@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 scripts/check_oracles.py <verify_out_dir> <sf_dir>
+
+Reads each <name>/ parquet dumped by graft.Verify plus oracle_sql.json,
+runs every oracle in DuckDB against the sf tables, and compares:
+  - column name sets (sorted),
+  - row counts,
+  - cell values (sorted columns, exact match; floats compared bitwise first,
+    then with 1e-12 relative tolerance reported separately).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    failures = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        try:
+            oracle = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        try:
+            spark = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            failures += 1
+            continue
+
+        ocols, scols = sorted(oracle.column_names), sorted(spark.column_names)
+        if ocols != scols:
+            print(f"FAIL {name}: columns differ\n  oracle: {ocols}\n  spark:  {scols}")
+            failures += 1
+            continue
+        if oracle.num_rows != spark.num_rows:
+            print(f"FAIL {name}: rows oracle={oracle.num_rows} spark={spark.num_rows}")
+            failures += 1
+            continue
+
+        odata = {c: oracle.column(c).to_pylist() for c in ocols}
+        sdata = {c: spark.column(c).to_pylist() for c in scols}
+        bad = []
+        for c in ocols:
+            for i, (a, b) in enumerate(zip(odata[c], sdata[c])):
+                if a == b:
+                    continue
+                if isinstance(a, float) and isinstance(b, float):
+                    if math.isnan(a) and math.isnan(b):
+                        continue
+                    if a == b or abs(a - b) <= 1e-12 * max(abs(a), abs(b)):
+                        bad.append((c, i, a, b, "float-close"))
+                    else:
+                        bad.append((c, i, a, b, "float-far"))
+                else:
+                    bad.append((c, i, a, b, "neq"))
+                if len(bad) > 5:
+                    break
+            if len(bad) > 5:
+                break
+        if bad:
+            hard = [x for x in bad if x[4] != "float-close"]
+            tag = "FAIL" if hard else "WARN(float-close)"
+            if hard:
+                failures += 1
+            print(f"{tag} {name}: first diffs:")
+            for c, i, a, b, kind in bad[:5]:
+                print(f"    [{c}][{i}] oracle={a!r} spark={b!r} ({kind})")
+        else:
+            print(f"OK   {name}: {oracle.num_rows} rows")
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the point of every choice here):
+  *   - NO all-pairs comparison anywhere. Candidate pairs come from an
+  *     inverted index (shared shingle) or an LSH band bucket, so the join
+  *     key is the shingle/band — a shuffle that grows with corpus size, not
+  *     its square.
+  *   - Hashes are `md5` of the shingle text: deterministic across engines
+  *     and machines (Spark's `hash()` murmur seed would work too, but md5
+  *     makes results reproducible against any external oracle).
+  *   - Hot shingles (stop-phrases) are the skew risk at 100 TB: a shingle
+  *     shared by 1M docs creates 10^12 candidate pairs. [[shingles]] callers
+  *     can cap document frequency via [[capDocFrequency]] before pairing —
+  *     standard practice in web-scale dedup.
+  */
+object Dedup {
+
+  /** Exact dedup (hash-groupBy): every doc mapped to the smallest doc id
+    * sharing its content hash. One shuffle on the 128-bit hash. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), h.as("content_hash"))
+      .withColumn("canonical_id",
+        min(col("doc_id")).over(Window.partitionBy("content_hash")))
+  }
+
+  /** Distinct word `n`-gram shingles per document: (doc_id, shingle).
+    * Docs shorter than `n` words contribute no shingles. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val grams = (0 until n).map(j => col("__ws")(col("__i") + j))
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .select(col("doc_id"),
+        explode(when(size(col("__ws")) >= n,
+          sequence(lit(0), size(col("__ws")) - n)).otherwise(array())).as("__i"),
+        col("__ws"))
+      .select(col("doc_id"), concat_ws(" ", grams: _*).as("shingle"))
+      .distinct()
+  }
+
+  /** Drop shingles occurring in more than `maxDf` documents — the skew guard
+    * for web-scale corpora (boilerplate phrases otherwise explode the
+    * candidate-pair join). */
+  def capDocFrequency(sh: DataFrame, maxDf: Long): DataFrame = {
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("shingle")
+    sh.join(df, Seq("shingle"), "left_semi")
+  }
+
+  /** Exact Jaccard over an inverted index: candidate pairs = docs sharing at
+    * least one shingle; |A∩B| from the shingle self-join, |A| and |B| from
+    * per-doc shingle counts; keep pairs with jaccard ≥ threshold.
+    *
+    * Shuffles: one on shingle (the pair join), one on doc_id (counts),
+    * one on the pair key (common-count agg). All keys are data-sized.
+    */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_shingles" -> "n_a")), "doc_a")
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_shingles" -> "n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash signature: `numHashes` permutations simulated by seeded md5;
+    * signature h_i(doc) = min over shingles of md5(i ":" shingle). One
+    * shuffle on doc_id; the min is a partial (map-side) aggregate. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    val aggs = (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: signature split into `bands` bands of `rowsPerBand`
+    * hashes; band key = md5 of the concatenated hashes. Docs colliding on
+    * any band key are candidate pairs. Returns (band_idx, band_key, doc_id). */
+  def lshBands(sig: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val perBand = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sig.select(
+        col("doc_id"), lit(b).as("band_idx"),
+        md5(concat_ws("|", cols: _*)).as("band_key"))
+    }
+    perBand.reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs from band collisions (distinct across bands). The join
+    * key (band_idx, band_key) is uniform by construction — md5 destroys any
+    * input skew, so this shuffle cannot hot-spot. */
+  def lshCandidates(bandsDf: DataFrame): DataFrame =
+    bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+  /** MinHash+LSH dedup end-to-end: candidates from band collisions, then
+    * exact-Jaccard verification restricted to candidates (the verify join
+    * touches only candidate docs' shingles, not the full corpus square). */
+  def minhashDedup(
+      sh: DataFrame,
+      threshold: Double,
+      numHashes: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), bands, numHashes / bands))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = cands
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_shingles" -> "n_a")), "doc_a")
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_shingles" -> "n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 16-bit SimHash over whitespace tokens (with multiplicity): bit j of the
+    * fingerprint is the sign of Σ_tokens (±1), where the ±1 is the j-th
+    * nibble-MSB of md5(token). Single shuffle on doc_id; 16 parallel sums. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val highNibbles = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val tok = docs.select(
+      col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+      .withColumn("__h", md5(col("word")))
+    val bitSums = (1 to 16).map { j =>
+      sum(when(substring(col("__h"), j, 1).isInCollection(highNibbles), 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    val bits = (1 to 16).map(j => when(col(s"s$j") >= 0, "1").otherwise("0"))
+    tok.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector similarity search over an embedding column (`array<float>`).
+  *
+  * All arithmetic is done in double precision with a strict left-to-right
+  * fold (`aggregate`), which makes results bit-reproducible across engines —
+  * the property the DuckDB oracle comparison relies on (its `list_reduce`
+  * folds the same way).
+  *
+  * Scale paths:
+  *   - [[bruteForceTopK]] — exact: corpus × queries. Right only when the
+  *     query set is small enough to broadcast; cost is linear in corpus size
+  *     per query (this is the baseline, not the 100 TB plan).
+  *   - [[ivfTopK]] — IVF: vectors are bucketed by nearest centroid once
+  *     (linear scan vs the tiny centroid set), and each query probes only
+  *     `nProbe` buckets. At 100 TB the corpus side stays partitioned by
+  *     centroid id and only ~nProbe/nCentroids of it is touched per query.
+  *     Centroids here are taken deterministically (lowest ids) — a k-means
+  *     sample pass would slot in without changing the query shape.
+  */
+object Similarity {
+
+  /** `array<float>` → `array<double>` (all math in doubles). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Strict sequential dot product — deterministic fold order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Pre-normalize: (id, v, norm) with doubles. Computing norms once before
+    * a pair join halves the flops and keeps the join row narrow. */
+  def withNorm(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(
+      col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+
+  /** Exact top-k cosine neighbors for each query vector (excluding self).
+    * The query side is broadcast; ranking is per-query via window. Ranking
+    * uses the raw cosine with id tiebreak — deterministic because the dot
+    * products are. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = queries.as("q").join(
+      corpus.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("c.vec_id").as("neighbor_id"),
+        (dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Assign every vector to its nearest centroid (by cosine). Centroid set
+    * is broadcast; argmax via window over the small per-vector candidate
+    * list. Returns corpus columns + cluster_id. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__sim").desc, col("__cid"))
+    corpus.as("c")
+      .join(broadcast(centroids.select(
+        col("vec_id").as("__cid"), col("v").as("__cv"), col("nrm").as("__cn")))
+      )
+      .withColumn("__sim", dot(col("c.v"), col("__cv")) / (col("c.nrm") * col("__cn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("c.vec_id").as("vec_id"), col("c.v").as("v"), col("c.nrm").as("nrm"),
+        col("__cid").as("cluster_id"))
+  }
+
+  /** IVF approximate top-k: each query probes its `nProbe` nearest centroids
+    * and ranks only vectors assigned to those clusters. */
+  def ivfTopK(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids)
+    // per-query probe list: nProbe nearest centroids
+    val pw = Window.partitionBy(col("q.vec_id")).orderBy(col("__sim").desc, col("__cid"))
+    val probes = queries.as("q")
+      .join(broadcast(centroids.select(
+        col("vec_id").as("__cid"), col("v").as("__cv"), col("nrm").as("__cn"))))
+      .withColumn("__sim", dot(col("q.v"), col("__cv")) / (col("q.nrm") * col("__cn")))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q.vec_id").as("query_id"), col("q.v").as("qv"),
+        col("q.nrm").as("qn"), col("__cid").as("cluster_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cluster_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Blocked near-duplicate pairs: cosine ≥ threshold within a blocking key
+    * (a cheap LSH stand-in: label, cluster id, or an LSH bucket). The block
+    * key bounds the pair join — never all-pairs. */
+  def blockedNearDupPairs(
+      emb: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val n = emb.select(
+      col(idCol).as("vec_id"), col(blockCol).as("block"),
+      asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    n.as("a").join(n.as("b"),
+        col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.block").as("block"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expressions for large-scale training-data pipelines:
+  * tokenization, quality scoring, fingerprinting, language-ID scaffolding.
+  *
+  * Everything here is a pure Catalyst expression over a string column — no
+  * UDFs, so the whole pipeline stays inside whole-stage codegen and scales
+  * linearly with input bytes (the only shuffle in a typical text-quality job
+  * is the final aggregation, not the scoring).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the corpus uses single-space separators). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish pre-tokenization count: runs of letters, runs of digits, or a
+    * single non-alphanumeric char — the shape of a byte-level BPE
+    * pre-tokenizer's word splits. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Canonical normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics, collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Exact-content fingerprint over normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Order-insensitive bag-of-words fingerprint: same word multiset modulo
+    * duplicates → same hash (catches shuffled near-dups). */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(normalized(text), " "))), " "))
+
+  /** Stopword list used by quality scoring (function-word density is a
+    * standard fluency proxy). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isInCollection(Stopwords))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length in characters. */
+  def avgWordLen(text: Column): Column = {
+    val n = wsTokenCount(text)
+    (length(text) - (n - lit(1))).cast("double") / greatest(n, lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0, ~1]: length credit + stopword density −
+    * punctuation noise. Deterministic double arithmetic (hash-stable across
+    * engines given the same inputs). */
+  def qualityScore(text: Column): Column =
+    least(length(text).cast("double") / lit(500.0), lit(1.0)) * lit(0.5) +
+      stopwordRatio(text) * lit(2.0) -
+      punctRatio(text) * lit(1.0)
+}

@@ -1,0 +1,378 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Lake
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over the `documents` and `embeddings`
+  * tables: deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash /
+  * embedding-cosine), similarity search (brute-force + IVF), text analysis
+  * (language-ID, quality, tokens, fingerprints), and the multimodal decode
+  * plumbing. See the ops objects for the scale rationale of each.
+  */
+object PipelineQueries {
+
+  /** Shared oracle CTE: distinct 3-gram word shingles per document. */
+  private val ShinglesCte = """
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i))"""
+
+  /** Shared oracle CTE: embeddings as double vectors with L2 norms.
+    * list_reduce folds left-to-right exactly like Spark's `aggregate`,
+    * so the doubles are bit-identical across the two engines. */
+  private val NormedCte = """
+    e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    m AS (SELECT vec_id, label, v,
+                 sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS nrm
+          FROM e)"""
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> x[1]*x[2]), (p,q) -> p+q)"
+
+  // ---------------------------------------------------------------- q30
+  /** Exact dedup: hash-groupBy on content (one shuffle on the hash). */
+  private val q30 = Q(
+    "q30_dedup_exact",
+    (s, dir) =>
+      Dedup.exact(Lake(s, dir).documents, "doc_id", "text")
+        .select("doc_id", "content_hash", "canonical_id")
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, md5(text) AS content_hash,
+        MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q31
+  /** Near-dup detection by exact Jaccard over an inverted shingle index —
+    * candidate pairs share >= 1 shingle; never an all-pairs join. */
+  private val q31 = Q(
+    "q31_dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = Dedup.shingles(Lake(s, dir).documents, "doc_id", "text", 3)
+      Dedup.jaccardPairs(sh, 0.8).orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $ShinglesCte,
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_common, ca.n AS n_a, cb.n AS n_b,
+        CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+      FROM common
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.8
+      ORDER BY doc_a, doc_b""")
+  )
+
+  // ---------------------------------------------------------------- q32
+  /** MinHash(16) + LSH(4 bands × 4 rows) with exact-Jaccard verification of
+    * candidates only. Band keys are md5s — the candidate join cannot skew. */
+  private val q32 = {
+    val sigCols = (0 until 16)
+      .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n        ")
+    val bandSelects = (0 until 4).map { b =>
+      val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($hs) AS band_key FROM sig"
+    }.mkString("\n        UNION ALL ")
+    Q(
+      "q32_dedup_minhash_lsh",
+      (s, dir) => {
+        val sh = Dedup.shingles(Lake(s, dir).documents, "doc_id", "text", 3)
+        Dedup.minhashDedup(sh, 0.8).orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+      WITH $ShinglesCte,
+      sig AS (SELECT doc_id,
+        $sigCols
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT doc_a, doc_b, COUNT(*) AS c
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+        GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+      FROM common
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+      ORDER BY doc_a, doc_b""")
+    )
+  }
+
+  // ---------------------------------------------------------------- q33
+  /** 16-bit SimHash fingerprints + fingerprint-cluster sizes. */
+  private val q33 = {
+    val sumCols = (1 to 16).map(j =>
+      s"SUM(CASE WHEN substr(hh, $j, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n        ")
+    val bitConcat = (1 to 16).map(j => s"(CASE WHEN s$j >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    Q(
+      "q33_dedup_simhash",
+      (s, dir) => {
+        val fp = Dedup.simhash16(Lake(s, dir).documents, "doc_id", "text")
+        fp.withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("simhash")))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      h AS (SELECT doc_id, md5(word) AS hh FROM tok),
+      s AS (SELECT doc_id,
+        $sumCols
+        FROM h GROUP BY doc_id)
+      SELECT doc_id, $bitConcat AS simhash,
+        COUNT(*) OVER (PARTITION BY $bitConcat) AS cluster_size
+      FROM s ORDER BY doc_id""")
+    )
+  }
+
+  // ---------------------------------------------------------------- q34
+  /** Embedding near-dup pairs, blocked by label (the blocking key bounds the
+    * pair join — an LSH bucket or IVF cluster id plays this role at scale). */
+  private val q34 = Q(
+    "q34_dedup_embedding_cosine",
+    (s, dir) =>
+      Similarity.blockedNearDupPairs(
+        Lake(s, dir).embeddings, "vec_id", "embedding", "label", 0.35)
+        .orderBy("id_a", "id_b"),
+    Some(s"""
+      WITH $NormedCte
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+        ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+      FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35
+      ORDER BY id_a, id_b""")
+  )
+
+  // ---------------------------------------------------------------- q35
+  /** Brute-force exact top-5 cosine neighbors for queries vec_id < 8. */
+  private val q35 = Q(
+    "q35_ann_bruteforce",
+    (s, dir) => {
+      val corpus = Similarity.withNorm(Lake(s, dir).embeddings, "vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 8)
+      Similarity.bruteForceTopK(corpus, queries, 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $NormedCte
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          ${sqlDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${sqlDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+        FROM m q JOIN m c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 8)
+      WHERE rank <= 5
+      ORDER BY query_id, rank""")
+  )
+
+  // ---------------------------------------------------------------- q36
+  /** IVF approximate top-5: 16 deterministic centroids (lowest vec_ids, a
+    * k-means pass would slot in), queries probe their 2 nearest clusters. */
+  private val q36 = Q(
+    "q36_ann_ivf",
+    (s, dir) => {
+      val corpus = Similarity.withNorm(Lake(s, dir).embeddings, "vec_id", "embedding")
+      val centroids = corpus.filter(col("vec_id") < 16)
+      val queries = corpus.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(corpus, centroids, queries, k = 5, nProbe = 2)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $NormedCte,
+      cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM m WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, nrm, cid AS cluster_id FROM (
+          SELECT c.vec_id, c.v, c.nrm, cent.cid,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY ${sqlDot("c.v", "cent.cv")} / (c.nrm * cent.cn) DESC, cent.cid) AS rn
+          FROM m c CROSS JOIN cent)
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS cluster_id FROM (
+          SELECT q.vec_id, q.v, q.nrm, cent.cid,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY ${sqlDot("q.v", "cent.cv")} / (q.nrm * cent.cn) DESC, cent.cid) AS rn
+          FROM m q CROSS JOIN cent WHERE q.vec_id < 8)
+        WHERE rn <= 2)
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+          ${sqlDot("p.qv", "a.v")} / (p.qn * a.nrm) AS cos,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY ${sqlDot("p.qv", "a.v")} / (p.qn * a.nrm) DESC, a.vec_id) AS rank
+        FROM probes p JOIN assigned a USING (cluster_id)
+        WHERE p.query_id != a.vec_id)
+      WHERE rank <= 5
+      ORDER BY query_id, rank""")
+  )
+
+  // ---------------------------------------------------------------- q37
+  /** Language-ID scaffold: marker-token votes via broadcast lookup; argmax
+    * per doc with deterministic tiebreak; no-hit docs → 'unknown'. */
+  private val q37 = {
+    val markers = Seq(
+      "en" -> "the", "en" -> "a", "en" -> "is",
+      "de" -> "der", "de" -> "die", "de" -> "und",
+      "es" -> "el", "es" -> "la", "es" -> "los",
+      "fr" -> "le", "fr" -> "les", "fr" -> "et",
+      "zh" -> "的", "zh" -> "是", "zh" -> "了")
+    val valuesSql = markers.map { case (l, w) => s"('$l','$w')" }.mkString(",")
+    Q(
+      "q37_text_langid",
+      (s, dir) => {
+        val docs = Lake(s, dir).documents
+        val m = s.createDataFrame(markers).toDF("cand_lang", "word")
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val scores = tok.join(broadcast(m), Seq("word"))
+          .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("score"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("cand_lang"))
+        val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        docs.select(col("doc_id"), col("lang").as("true_lang"))
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("true_lang"),
+            coalesce(col("cand_lang"), lit("unknown")).as("pred_lang"),
+            coalesce(col("score"), lit(0L)).as("score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+      WITH markers(cand_lang, word) AS (VALUES $valuesSql),
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      scores AS (
+        SELECT doc_id, cand_lang, COUNT(*) AS score
+        FROM tok JOIN markers USING (word)
+        GROUP BY doc_id, cand_lang),
+      best AS (
+        SELECT doc_id, cand_lang, score FROM scores
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) = 1)
+      SELECT d.doc_id, d.lang AS true_lang,
+        COALESCE(b.cand_lang, 'unknown') AS pred_lang,
+        COALESCE(b.score, 0) AS score
+      FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+      ORDER BY d.doc_id""")
+    )
+  }
+
+  // ---------------------------------------------------------------- q38
+  /** Per-document quality metrics + composite score — pure codegen'd
+    * expressions, no shuffle at all (scoring is embarrassingly parallel). */
+  private val q38 = Q(
+    "q38_text_quality",
+    (s, dir) =>
+      Lake(s, dir).documents.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_words"),
+        TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality")
+      ).orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_words,
+        CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+          / greatest(len(string_split(text, ' ')), 1) AS avg_word_len,
+        CAST(len(list_filter(string_split(text, ' '),
+            t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+          / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio,
+        CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS punct_ratio,
+        least(length(text) / 500.0, 1.0) * 0.5
+          + CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+            / greatest(len(string_split(text, ' ')), 1) * 2.0
+          - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) * 1.0 AS quality
+      FROM documents ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q39
+  /** Token counting: whitespace tokens, BPE-ish pre-tokens, distinct words. */
+  private val q39 = Q(
+    "q39_text_tokens",
+    (s, dir) =>
+      Lake(s, dir).documents.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct_words")
+      ).orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, length(text) AS n_chars,
+        len(string_split(text, ' ')) AS n_ws_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_distinct_words
+      FROM documents ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q40
+  /** Document fingerprints: normalized-content md5 + order-insensitive
+    * bag-of-words md5, with cluster sizes per content fingerprint. */
+  private val q40 = Q(
+    "q40_text_fingerprint",
+    (s, dir) =>
+      Lake(s, dir).documents.select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("content_fp"),
+        TextAnalysis.bagFingerprint(col("text")).as("bag_fp"))
+        .withColumn("bag_cluster_size",
+          count(lit(1)).over(Window.partitionBy("bag_fp")))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                ' +', ' ', 'g'))) AS content_fp,
+        md5(array_to_string(list_sort(list_distinct(string_split(
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                              ' +', ' ', 'g')), ' '))), ' ')) AS bag_fp,
+        COUNT(*) OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(
+          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                              ' +', ' ', 'g')), ' '))), ' '))) AS bag_cluster_size
+      FROM documents ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q41
+  /** Multimodal metadata extraction: binary column + partition-wise decode
+    * stub (see Multimodal — plumbing real, codec stubbed). */
+  private val q41 = Q(
+    "q41_multimodal_meta",
+    (s, dir) => {
+      val docs = Multimodal.asBinary(Lake(s, dir).documents, "text")
+      Multimodal.decodeStub(docs, "doc_id", "media").toDF().orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_bytes,
+        CASE length(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        CAST(length(text) % 512 + 1 AS BIGINT) AS width,
+        CAST((length(text) // 7) % 512 + 1 AS BIGINT) AS height,
+        ascii(substr(text, 1, 1)) AS first_byte
+      FROM documents ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+}

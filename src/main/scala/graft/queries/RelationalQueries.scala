@@ -1,0 +1,747 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.Lake
+import graft.ops.{Crosstab, DateKeys, Descriptors, Joins, OrderedAgg}
+
+/** Relational operator coverage (SURVEY.md §2.2–§2.6) expressed over the
+  * driver's synthetic TPC-H-ish tables.
+  *
+  * Each query names the SURVEY §2 operator IDs it exercises. The Spark side
+  * is plain declarative DataFrame code — Catalyst handles pushdown, pruning,
+  * join strategy; the only manual hints are `broadcast()` on dimension
+  * tables, which at 100 TB is the difference between a map-side hash join
+  * and a full shuffle of the fact table.
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent money aggregation: DECIMAL sum, double out. */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec4(c: Column): Column = c.cast("decimal(18,4)")
+  private def dec6(c: Column): Column = c.cast("decimal(18,6)")
+  private def dkey(c: Column): Column = date_format(c, "yyyyMMdd")
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1 shape: scan + filter + groupBy + multi-agg (A1/A5, P8, F14).
+    * One shuffle on (returnflag, linestatus); partial aggregation map-side. */
+  private val q01 = Q(
+    "q01_pricing_summary",
+    (s, dir) => {
+      val l = Lake(s, dir).lineitem
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  // ---------------------------------------------------------------- q02
+  /** TPC-H Q6 shape: pure scan-side filters (P3) + single global agg.
+    * All three predicates reach the parquet scan (PushedFilters). */
+  private val q02 = Q(
+    "q02_revenue_forecast",
+    (s, dir) => {
+      Lake(s, dir).lineitem
+        .filter(
+          col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24
+        )
+        .agg(
+          sum(dec4(col("l_extendedprice") * col("l_discount"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_items")
+        )
+    },
+    Some("""
+      SELECT
+        CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+  )
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3 shape: 3-way join + group + ordered top-N (J1, A1, O1).
+    * customer is the small side of its join — broadcast; the orders⋈lineitem
+    * join shuffles on orderkey, which is also the aggregation key, so the
+    * groupBy reuses the join's partitioning (no extra shuffle). */
+  private val q03 = Q(
+    "q03_unshipped_revenue",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val c = lake.customer.filter(col("c_mktsegment") === "BUILDING")
+      val o = lake.orders.filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
+      val l = lake.lineitem.filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), dkey(col("o_orderdate")).as("order_date"), col("o_orderpriority"))
+        .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))
+        .select(
+          col("l_orderkey"), col("order_date"), col("o_orderpriority"),
+          col("rev").cast("double").as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(100)
+    },
+    Some("""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y%m%d') AS order_date, o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15'
+        AND l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY l_orderkey, order_date, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 100""")
+  )
+
+  // ---------------------------------------------------------------- q04
+  /** TPC-H Q5 shape: star join fact→dims (J1) with broadcast dimension
+    * chain region⋈nation⋈customer; revenue rollup per region. */
+  private val q04 = Q(
+    "q04_region_revenue",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val dims = lake.customer
+        .join(broadcast(lake.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(lake.region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name"))
+      lake.lineitem
+        .join(lake.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy("r_name")
+        .agg(
+          sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_items")
+        )
+        .orderBy("r_name")
+    },
+    Some("""
+      SELECT r_name,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        COUNT(DISTINCT o_custkey) AS n_customers,
+        COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""")
+  )
+
+  // ---------------------------------------------------------------- q05
+  /** Left outer join + null-probe (J2): orders with no recent shipments.
+    * The lineitem side is pre-aggregated to one row per orderkey before the
+    * join — at scale this halves the shuffle volume vs joining raw rows. */
+  private val q05 = Q(
+    "q05_orders_without_recent_items",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val recent = lake.lineitem
+        .filter(col("l_shipdate") >= to_timestamp(lit("1998-06-01")))
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_recent"))
+      lake.orders
+        .join(recent, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("n_recent").isNull, 1L).otherwise(0L)).as("n_without_recent")
+        )
+        .orderBy("o_orderstatus")
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        SUM(CASE WHEN n_recent IS NULL THEN 1 ELSE 0 END) AS n_without_recent
+      FROM orders
+      LEFT JOIN (
+        SELECT l_orderkey, COUNT(*) AS n_recent
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey
+      ) recent ON o_orderkey = l_orderkey
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")
+  )
+
+  // ---------------------------------------------------------------- q06
+  /** Right outer join (J3): every part survives, parts never ordered get
+    * null lineitem columns — mirrors the reference's right-join descriptor
+    * mapping where unmapped rows must survive (SURVEY §7.4.6). */
+  private val q06 = Q(
+    "q06_part_order_coverage",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      lake.lineitem
+        .join(lake.part, col("l_partkey") === col("p_partkey"), "right")
+        .groupBy("p_brand")
+        .agg(
+          count(col("l_orderkey")).as("n_lineitems"),
+          countDistinct(col("p_partkey")).as("n_parts"),
+          sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_unordered_rows")
+        )
+        .orderBy("p_brand")
+    },
+    Some("""
+      SELECT p_brand, COUNT(l_orderkey) AS n_lineitems,
+        COUNT(DISTINCT p_partkey) AS n_parts,
+        SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unordered_rows
+      FROM lineitem
+      RIGHT JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand""")
+  )
+
+  // ---------------------------------------------------------------- q07
+  /** Cross join (J4): the reference fakes this with a constant fakeKey and
+    * outer merge (base/demographics_dim/main.py:68-106); Spark has the real
+    * operator, with the small side broadcast. */
+  private val q07 = Q(
+    "q07_year_type_matrix",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val years = lake.orders.select(year(col("o_orderdate")).as("order_year")).distinct()
+      val types = lake.events.select(col("event_type")).distinct()
+      Joins.cross(years, types).orderBy("order_year", "event_type")
+    },
+    Some("""
+      SELECT order_year, event_type
+      FROM (SELECT DISTINCT EXTRACT(year FROM o_orderdate) AS order_year FROM orders) y
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      ORDER BY order_year, event_type""")
+  )
+
+  // ---------------------------------------------------------------- q08
+  /** Literal in-memory lookup table (S9/S10) + case-insensitive expression
+    * join (J5) + broadcast translation join (J8). */
+  private val q08 = Q(
+    "q08_event_severity",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val sev = s.createDataFrame(Seq(
+        ("CLICK", "low"), ("VIEW", "low"), ("SIGNUP", "medium"),
+        ("PURCHASE", "high"), ("ERROR", "high")
+      )).toDF("type_key", "severity")
+      lake.events
+        .join(broadcast(sev), lower(col("event_type")) === lower(col("type_key")), "left")
+        .groupBy("severity")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("severity")
+    },
+    Some("""
+      SELECT severity, COUNT(*) AS n_events
+      FROM events
+      LEFT JOIN (VALUES ('CLICK','low'),('VIEW','low'),('SIGNUP','medium'),
+                        ('PURCHASE','high'),('ERROR','high')) sev(type_key, severity)
+        ON lower(event_type) = lower(type_key)
+      GROUP BY severity
+      ORDER BY severity""")
+  )
+
+  // ---------------------------------------------------------------- q09
+  /** Self-join with aliases (J6): co-occurring line pairs within an order.
+    * Shuffles once on orderkey; the pair explosion happens post-shuffle. */
+  private val q09 = Q(
+    "q09_intra_order_pairs",
+    (s, dir) => {
+      val l = Lake(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_returnflag")
+      val a = l.as("a")
+      val b = l.as("b")
+      a.join(b,
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") < col("b.l_linenumber"))
+        .groupBy(col("a.l_returnflag").as("l_returnflag"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT a.l_returnflag AS l_returnflag, COUNT(*) AS n_pairs
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+      GROUP BY a.l_returnflag
+      ORDER BY l_returnflag""")
+  )
+
+  // ---------------------------------------------------------------- q10
+  /** Union-by-name with missing columns (O2): the reference's pd_concat
+    * pads absent columns with nulls (pandasWrapper.py:31-32, 198-209). */
+  private val q10 = Q(
+    "q10_party_directory",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val c = lake.customer.select(
+        col("c_custkey").as("id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), lit("customer").as("kind"))
+      val sup = lake.supplier.select(
+        col("s_suppkey").as("id"), col("s_name").as("name"),
+        col("s_acctbal").as("acctbal"), lit("supplier").as("kind"))
+      val n = lake.nation.select(
+        col("n_nationkey").cast("long").as("id"), col("n_name").as("name"),
+        lit("nation").as("kind")) // no acctbal: exercises allowMissingColumns
+      c.unionByName(sup, allowMissingColumns = true)
+        .unionByName(n, allowMissingColumns = true)
+        .orderBy("kind", "id")
+    },
+    Some("""
+      SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+      UNION ALL
+      SELECT s_suppkey, s_name, s_acctbal, 'supplier' FROM supplier
+      UNION ALL
+      SELECT n_nationkey, n_name, NULL, 'nation' FROM nation
+      ORDER BY kind, id""")
+  )
+
+  // ---------------------------------------------------------------- q11
+  /** Distinct (A10). */
+  private val q11 = Q(
+    "q11_flag_status_domain",
+    (s, dir) =>
+      Lake(s, dir).lineitem.select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus"),
+    Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  // ---------------------------------------------------------------- q12
+  /** Crosstab / pivot-count (A8) with a FIXED category list — pandas'
+    * pd.crosstab output schema is data-dependent; ours is declared
+    * (SURVEY §7.4.2) and skips pivot's value-discovery scan. */
+  private val q12 = Q(
+    "q12_user_event_crosstab",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Crosstab.counts(Lake(s, dir).events, Seq("user_id"), "event_type", types)
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+        SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
+  // ---------------------------------------------------------------- q13
+  /** Pivot with value aggregate (A9): pandas df.pivot takes "the" value; we
+    * use max for a well-defined distributed answer (Crosstab.values). */
+  private val q13 = Q(
+    "q13_user_peak_value",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Crosstab.values(Lake(s, dir).events, Seq("user_id"), "event_type", types, "value")
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'click' THEN value END) AS click,
+        MAX(CASE WHEN event_type = 'error' THEN value END) AS error,
+        MAX(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+        MAX(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+        MAX(CASE WHEN event_type = 'view' THEN value END) AS view
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
+  // ---------------------------------------------------------------- q14
+  /** Order-sensitive string aggregation (A7, SURVEY §7.4.3): sort keys are
+    * encoded into the aggregation (struct array_sort), one shuffle, no
+    * window — Spark's collect_list alone is nondeterministic. */
+  private val q14 = Q(
+    "q14_order_part_list",
+    (s, dir) => {
+      val l = Lake(s, dir).lineitem
+      l.groupBy("l_orderkey")
+        .agg(OrderedAgg.stringAgg(
+          col("l_partkey").cast("string"), ",", col("l_linenumber")).as("part_list"))
+        .orderBy("l_orderkey")
+    },
+    Some("""
+      SELECT l_orderkey,
+        string_agg(CAST(l_partkey AS VARCHAR), ','
+                   ORDER BY l_linenumber, CAST(l_partkey AS VARCHAR)) AS part_list
+      FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")
+  )
+
+  // ---------------------------------------------------------------- q15
+  /** Group min/max/count (A2/A3/A4/A6): per-customer order extremes. Raw
+    * min/max of doubles are selections, not arithmetic — exact cross-engine. */
+  private val q15 = Q(
+    "q15_customer_order_extremes",
+    (s, dir) => {
+      Lake(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(
+          dkey(max(col("o_orderdate"))).as("last_order_date"),
+          dkey(min(col("o_orderdate"))).as("first_order_date"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).as("n_orders")
+        )
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey,
+        strftime(MAX(o_orderdate), '%Y%m%d') AS last_order_date,
+        strftime(MIN(o_orderdate), '%Y%m%d') AS first_order_date,
+        MIN(o_totalprice) AS min_price,
+        MAX(o_totalprice) AS max_price,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey""")
+  )
+
+  // ---------------------------------------------------------------- q16
+  /** Most-recent-per-key via ranking window — the reference's
+    * most_recent_grading_period (A2) generalized: full row of the latest
+    * order per customer, deterministic tiebreak on orderkey. */
+  private val q16 = Q(
+    "q16_latest_order_per_customer",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Lake(s, dir).orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          dkey(col("o_orderdate")).as("order_date"),
+          col("o_totalprice"), col("o_orderstatus"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y%m%d') AS order_date,
+             o_totalprice, o_orderstatus
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+      ORDER BY o_custkey""")
+  )
+
+  // ---------------------------------------------------------------- q17
+  /** Conditional assignment / row-wise conditionals (P5/P6): every pandas
+    * `.apply(lambda...)` in the reference reduces to when/otherwise chains —
+    * zero UDFs, fully codegen'd. */
+  private val q17 = Q(
+    "q17_value_bands",
+    (s, dir) => {
+      Lake(s, dir).lineitem
+        .withColumn("value_band",
+          when(col("l_extendedprice") >= 50000, "high")
+            .when(col("l_extendedprice") >= 10000, "mid")
+            .otherwise("low"))
+        .withColumn("is_discounted", (col("l_discount") > 0).cast("int"))
+        .groupBy("value_band", "is_discounted", "l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("value_band", "is_discounted", "l_returnflag")
+    },
+    Some("""
+      SELECT
+        CASE WHEN l_extendedprice >= 50000 THEN 'high'
+             WHEN l_extendedprice >= 10000 THEN 'mid' ELSE 'low' END AS value_band,
+        CAST(l_discount > 0 AS INT) AS is_discounted,
+        l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY value_band, is_discounted, l_returnflag
+      ORDER BY value_band, is_discounted, l_returnflag""")
+  )
+
+  // ---------------------------------------------------------------- q18
+  /** Null-fill conventions (P7) + regex field extraction from a JSON-ish
+    * string payload (F11): extract k, default 0 when absent. */
+  private val q18 = Q(
+    "q18_props_extraction",
+    (s, dir) => {
+      val k = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+      Lake(s, dir).events
+        .withColumn("k", coalesce(when(k === "", null).otherwise(k).cast("int"), lit(0)))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          (sum(col("k").cast("long")).cast("double") / count(lit(1))).as("avg_k"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+        SUM(k) AS sum_k,
+        CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+      FROM (
+        SELECT event_type,
+          COALESCE(TRY_CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INT), 0) AS k
+        FROM events)
+      GROUP BY event_type ORDER BY event_type""")
+  )
+
+  // ---------------------------------------------------------------- q19
+  /** Date dimension (F4–F8, date_dim parity): parts, names, quarter names,
+    * yyyyMMdd keys — all built-ins, no UDFs (DateKeys). */
+  private val q19 = Q(
+    "q19_date_dim",
+    (s, dir) => {
+      Lake(s, dir).orders
+        .select(col("o_orderdate").cast("date").as("d")).distinct()
+        .select(
+          DateKeys.dateKey(col("d")).as("date_key"),
+          year(col("d")).as("y"),
+          month(col("d")).as("m"),
+          dayofmonth(col("d")).as("day_of_month"),
+          DateKeys.monthName(col("d")).as("month_name"),
+          quarter(col("d")).as("q"),
+          DateKeys.quarterName(col("d")).as("quarter_name"))
+        .orderBy("date_key")
+    },
+    Some("""
+      SELECT strftime(d, '%Y%m%d') AS date_key,
+        EXTRACT(year FROM d) AS y, EXTRACT(month FROM d) AS m,
+        EXTRACT(day FROM d) AS day_of_month,
+        monthname(d) AS month_name,
+        EXTRACT(quarter FROM d) AS q,
+        CASE EXTRACT(quarter FROM d) WHEN 1 THEN 'First' WHEN 2 THEN 'Second'
+             WHEN 3 THEN 'Third' WHEN 4 THEN 'Fourth' END AS quarter_name
+      FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+      ORDER BY date_key""")
+  )
+
+  // ---------------------------------------------------------------- q20
+  /** String surgery (F1–F3, F9–F12): the Ed-Fi descriptor-URI parsers as
+    * single codegen'd expressions, round-tripped through synthesized URIs. */
+  private val q20 = Q(
+    "q20_uri_parsing",
+    (s, dir) => {
+      Lake(s, dir).part
+        .withColumn("uri",
+          concat(lit("uri://graft.dev/"), col("p_brand"), lit("Descriptor#"), col("p_type")))
+        .withColumn("href", concat(lit("api/parts/"), col("p_partkey")))
+        .select(
+          col("p_partkey"),
+          col("uri"),
+          Descriptors.codeValueFromUri(col("uri")).as("code_value"),
+          Descriptors.descriptorNameFromUri(col("uri")).as("descriptor_name"),
+          Descriptors.idFromHref(col("href")).as("ref_id"),
+          split(col("p_type"), " ").getItem(0).as("first_word"),
+          lower(col("p_brand")).as("brand_lower"),
+          upper(col("p_type")).as("type_upper"),
+          regexp_replace(col("p_type"), " ", "-").as("type_slug"))
+        .orderBy("p_partkey")
+    },
+    Some("""
+      SELECT p_partkey,
+        'uri://graft.dev/' || p_brand || 'Descriptor#' || p_type AS uri,
+        string_split('uri://graft.dev/' || p_brand || 'Descriptor#' || p_type, '#')[-1] AS code_value,
+        string_split(split_part('uri://graft.dev/' || p_brand || 'Descriptor#' || p_type, '#', 1), '/')[-1] AS descriptor_name,
+        string_split('api/parts/' || p_partkey, '/')[-1] AS ref_id,
+        split_part(p_type, ' ', 1) AS first_word,
+        lower(p_brand) AS brand_lower,
+        upper(p_type) AS type_upper,
+        replace(p_type, ' ', '-') AS type_slug
+      FROM part ORDER BY p_partkey""")
+  )
+
+  // ---------------------------------------------------------------- q21
+  /** Full descriptor-constant pipeline (J3/J5 + F1/F2 + S10): URI parse +
+    * case-insensitive broadcast lookup; unmapped rows survive with null
+    * constant (the reference's right-join contract, SURVEY §7.4.6). */
+  private val q21 = Q(
+    "q21_descriptor_constants",
+    (s, dir) => {
+      val mapping = s.createDataFrame(Seq(
+        ("Engagement.Click", "EventDescriptor", "click"),
+        ("Engagement.View", "EventDescriptor", "view"),
+        ("Conversion.Signup", "EventDescriptor", "SIGNUP"), // case-insensitive match
+        ("Conversion.Purchase", "EventDescriptor", "purchase"),
+        ("Quality.Error", "IncidentDescriptor", "error") // wrong family: stays unmapped
+      )).toDF("constantName", "descriptor", "codeValue")
+      val data = Lake(s, dir).events
+        .withColumn("uri", concat(lit("uri://graft.dev/EventDescriptor#"), col("event_type")))
+      Descriptors.withConstant(data, mapping, "uri")
+        .groupBy(col("constantName"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("constantName").asc_nulls_first)
+    },
+    Some("""
+      WITH m(constantName, descriptor, codeValue) AS (VALUES
+        ('Engagement.Click', 'EventDescriptor', 'click'),
+        ('Engagement.View', 'EventDescriptor', 'view'),
+        ('Conversion.Signup', 'EventDescriptor', 'SIGNUP'),
+        ('Conversion.Purchase', 'EventDescriptor', 'purchase'),
+        ('Quality.Error', 'IncidentDescriptor', 'error')),
+      data AS (
+        SELECT 'uri://graft.dev/EventDescriptor#' || event_type AS uri FROM events)
+      SELECT constantName, COUNT(*) AS n_events
+      FROM data LEFT JOIN m
+        ON lower(string_split(split_part(uri, '#', 1), '/')[-1]) = lower(descriptor)
+       AND lower(string_split(uri, '#')[-1]) = lower(codeValue)
+      GROUP BY constantName
+      ORDER BY constantName NULLS FIRST""")
+  )
+
+  // ---------------------------------------------------------------- q22
+  /** Rate arithmetic (F14, A5/A6 — the attendance-rate pattern
+    * 100*(enrolled-absent)/enrolled from student_history_dim). */
+  private val q22 = Q(
+    "q22_user_error_rate",
+    (s, dir) => {
+      Lake(s, dir).events
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+        .withColumn("ok_rate",
+          (col("n_events") - col("n_errors")).cast("double") * 100 / col("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        CAST(COUNT(*) - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) * 100
+          / COUNT(*) AS ok_rate
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
+  // ---------------------------------------------------------------- q23
+  /** Array explode (F15): word frequencies over documents — explode is
+    * Spark's Generator, no custom UDTF needed. */
+  private val q23 = Q(
+    "q23_word_frequencies",
+    (s, dir) => {
+      Lake(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+    },
+    Some("""
+      SELECT word, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word ORDER BY n DESC, word""")
+  )
+
+  // ---------------------------------------------------------------- q24
+  /** Tumbling-window aggregation over the event stream table — the batch
+    * equivalent of the Structured Streaming path (graft.streaming); at
+    * 100 TB the group key (hour, type) keeps cardinality bounded. */
+  private val q24 = Q(
+    "q24_hourly_event_rollup",
+    (s, dir) => {
+      Lake(s, dir).events
+        .withColumn("hour_key", date_format(date_trunc("hour", col("ts")), "yyyyMMddHH"))
+        .groupBy("hour_key", "event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_value"))
+        .orderBy("hour_key", "event_type")
+    },
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hour_key, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY hour_key, event_type ORDER BY hour_key, event_type""")
+  )
+
+  // ---------------------------------------------------------------- q25
+  /** Semi/anti joins — absent from the reference (§2.3) but first-class in
+    * Spark; semi/anti never duplicate or widen rows, so they beat
+    * join+distinct at scale. */
+  private val q25 = Q(
+    "q25_customer_activity_split",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val recentOrders = lake.orders
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
+      val active = lake.customer.join(recentOrders,
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      val dormant = lake.customer.join(recentOrders,
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      active.groupBy("c_mktsegment").agg(count(lit(1)).as("n_active"))
+        .join(
+          dormant.groupBy("c_mktsegment").agg(count(lit(1)).as("n_dormant")),
+          Seq("c_mktsegment"), "full")
+        .na.fill(0L, Seq("n_active", "n_dormant"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      WITH recent AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+      active AS (
+        SELECT c_mktsegment, COUNT(*) AS n_active FROM customer
+        WHERE EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment),
+      dormant AS (
+        SELECT c_mktsegment, COUNT(*) AS n_dormant FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM recent WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment)
+      SELECT c_mktsegment,
+        COALESCE(n_active, 0) AS n_active,
+        COALESCE(n_dormant, 0) AS n_dormant
+      FROM active FULL JOIN dormant USING (c_mktsegment)
+      ORDER BY c_mktsegment""")
+  )
+
+  // ---------------------------------------------------------------- q26
+  /** Sessionization via gap detection (lag window) — batch twin of the
+    * streaming flatMapGroupsWithState path: a new session starts after a
+    * 30-minute silence. One shuffle on user_id. */
+  private val q26 = Q(
+    "q26_user_sessions",
+    (s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Lake(s, dir).events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(
+          sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      FROM (
+        SELECT user_id,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+               THEN 1 ELSE 0 END AS new_session
+        FROM events)
+      GROUP BY user_id ORDER BY user_id""")
+  )
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+}

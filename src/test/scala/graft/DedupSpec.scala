@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkTestBase {
+  import testImplicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (4L, "completely different content with other words here entirely")
+  ).toDF("doc_id", "text")
+
+  test("exact: dup docs share canonical id = min doc_id") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L, 3L, 4L))
+  }
+
+  test("shingles: n-3 + 1 distinct word trigrams, short docs yield none") {
+    val sh = Dedup.shingles(docs.limit(1), "doc_id", "text", 3)
+    assert(sh.count() == 7) // 9 words -> 7 trigrams, all distinct
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+    assert(Dedup.shingles(short, "doc_id", "text", 3).count() == 0)
+  }
+
+  test("jaccardPairs: identical docs → jaccard 1.0; near dups found; unrelated absent") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val pairs = Dedup.jaccardPairs(sh, 0.0).orderBy("doc_a", "doc_b").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((1L, 4L))) // no shared shingle at all
+  }
+
+  test("capDocFrequency drops hot shingles") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val capped = Dedup.capDocFrequency(sh, 1)
+    // shingles shared by docs 1,2,3 (df 2-3) are gone; distinct ones stay
+    assert(capped.count() < sh.count())
+    assert(capped.groupBy("shingle").count().agg(max("count")).head.getLong(0) == 1L)
+  }
+
+  test("minhashDedup: finds exact+near dup pairs above threshold") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val out = Dedup.minhashDedup(sh, 0.3).orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L))) // identical signature: always a candidate
+  }
+
+  test("simhash16: identical text → identical fingerprint, 16 bits") {
+    val fp = Dedup.simhash16(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+    assert(fp(1L) != fp(4L)) // different content: different fingerprint
+  }
+
+  test("blockedNearDupPairs: identical vectors cosine ~ 1 within block") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 1.0f), 0), (4L, Seq(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.blockedNearDupPairs(emb, "vec_id", "embedding", "label", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // 3 orthogonal; 4 in another block
+  }
+
+  test("fingerprint: normalization collapses case/punct/whitespace") {
+    val df = Seq("Hello,  World!", "hello world").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t")).as("f"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+}
