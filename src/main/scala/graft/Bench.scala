@@ -18,9 +18,14 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warmup on the smallest SF so per-query numbers measure
-    // the plan, not first-run JIT + classloading.
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // JVM/codegen warmup: one pass of the full suite at the smallest SF so
+    // per-query numbers measure the plan, not first-run JIT + classloading
+    // (cold, the first join-shaped and first createDataFrame queries absorb
+    // multi-second one-time costs).
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

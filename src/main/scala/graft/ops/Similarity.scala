@@ -27,9 +27,11 @@ object Similarity {
   /** `array<float>` → `array<double>` (all math in doubles). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Strict sequential dot product — deterministic fold order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Strict sequential dot product — deterministic fold order. Backed by the
+    * codegen'd [[graft.functions.DotProduct]] expression; the equivalent
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` built-in computes the same
+    * bits but interpreted, ~100× slower in pair-join hot loops. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
