@@ -1,0 +1,152 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** Explicit schemas for the Ed-Fi ODS endpoints the AMT views consume.
+  *
+  * The reference infers structure row-by-row with pandas json_normalize and
+  * patches missing columns afterwards (reference
+  * parquet/Common/pandasWrapper.py:47-85). Declaring StructTypes instead
+  * makes the "declared columns always exist" contract structural:
+  * `spark.read.schema(...)` yields the full schema even for empty or
+  * field-missing files, and the JSON scan prunes to consumed fields.
+  * Endpoint census from reference helper/endpoint/endpoint.json:1-82.
+  */
+object EndpointCatalog {
+
+  private def s(fields: StructField*): StructType = StructType(fields)
+  private def f(name: String, t: DataType): StructField = StructField(name, t, nullable = true)
+  private def arr(t: DataType): ArrayType = ArrayType(t, containsNull = true)
+
+  private val sectionReference = s(
+    f("localCourseCode", StringType), f("schoolId", LongType),
+    f("schoolYear", LongType), f("sectionIdentifier", StringType),
+    f("sessionName", StringType),
+    f("link", s(f("rel", StringType), f("href", StringType))))
+
+  val schemas: Map[String, StructType] = Map(
+    "gradingPeriods" -> s(
+      f("schoolReference", s(f("schoolId", LongType))),
+      f("schoolYearTypeReference", s(f("schoolYear", LongType))),
+      f("gradingPeriodDescriptor", StringType),
+      f("beginDate", StringType), f("endDate", StringType),
+      f("totalInstructionalDays", LongType), f("periodSequence", LongType)),
+    "gradingPeriodDescriptors" -> descriptorSchema("gradingPeriodDescriptorId"),
+    "termDescriptors" -> descriptorSchema("termDescriptorId"),
+    "calendarDates" -> s(
+      f("date", StringType),
+      f("calendarReference", s(
+        f("schoolId", LongType), f("schoolYear", LongType), f("calendarCode", StringType))),
+      f("calendarEvents", arr(s(f("calendarEventDescriptor", StringType))))),
+    "studentSchoolAssociations" -> s(
+      f("schoolReference", s(f("schoolId", LongType))),
+      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("entryDate", StringType), f("exitWithdrawDate", StringType),
+      f("entryGradeLevelDescriptor", StringType)),
+    "studentSectionAssociations" -> s(
+      f("sectionReference", sectionReference),
+      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("beginDate", StringType), f("endDate", StringType),
+      f("homeroomIndicator", BooleanType)),
+    "studentSchoolAttendanceEvents" -> s(
+      f("schoolReference", s(f("schoolId", LongType))),
+      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("eventDate", StringType),
+      f("attendanceEventCategoryDescriptor", StringType)),
+    "studentSectionAttendanceEvents" -> s(
+      f("schoolReference", s(f("schoolId", LongType))),
+      f("sectionReference", sectionReference),
+      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("eventDate", StringType),
+      f("attendanceEventCategoryDescriptor", StringType),
+      f("educationalEnvironmentDescriptor", StringType)),
+    "schools" -> s(
+      f("schoolId", LongType), f("nameOfInstitution", StringType),
+      f("schoolTypeDescriptor", StringType),
+      f("localEducationAgencyReference", s(f("localEducationAgencyId", LongType))),
+      f("addresses", arr(s(
+        f("addressTypeDescriptor", StringType),
+        f("stateAbbreviationDescriptor", StringType),
+        f("streetNumberName", StringType), f("city", StringType),
+        f("nameOfCounty", StringType), f("postalCode", StringType)))),
+      f("gradeLevels", arr(s(f("gradeLevelDescriptor", StringType))))),
+    "localEducationAgencies" -> s(
+      f("localEducationAgencyId", LongType), f("nameOfInstitution", StringType),
+      f("educationServiceCenterReference", s(f("educationServiceCenterId", LongType)))),
+    "educationServiceCenters" -> s(
+      f("educationServiceCenterId", LongType), f("nameOfInstitution", StringType),
+      f("stateEducationAgencyReference", s(f("stateEducationAgencyId", LongType)))),
+    "stateEducationAgencies" -> s(
+      f("stateEducationAgencyId", LongType), f("nameOfInstitution", StringType)),
+    "grades" -> s(
+      f("gradingPeriodReference", s(
+        f("gradingPeriodDescriptor", StringType), f("periodSequence", LongType),
+        f("schoolId", LongType), f("schoolYear", LongType))),
+      f("studentSectionAssociationReference", s(
+        f("studentUniqueId", StringType), f("schoolId", LongType),
+        f("beginDate", StringType), f("localCourseCode", StringType),
+        f("schoolYear", LongType), f("sectionIdentifier", StringType),
+        f("sessionName", StringType))),
+      f("gradeTypeDescriptor", StringType),
+      f("numericGradeEarned", DoubleType), f("letterGradeEarned", StringType)),
+    "disciplineIncidents" -> s(
+      f("schoolReference", s(f("schoolId", LongType))),
+      f("incidentIdentifier", StringType), f("incidentDate", StringType)),
+    "studentDisciplineIncidentBehaviorAssociations" -> s(
+      f("disciplineIncidentReference", s(
+        f("incidentIdentifier", StringType), f("schoolId", LongType))),
+      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("behaviorDescriptor", StringType)),
+    "students" -> s(
+      f("studentUniqueId", StringType), f("firstName", StringType),
+      f("lastSurname", StringType), f("middleName", StringType),
+      f("birthDate", StringType)),
+    "staffs" -> s(
+      f("id", StringType), f("staffUniqueId", StringType),
+      f("firstName", StringType), f("lastSurname", StringType),
+      f("races", arr(s(f("raceDescriptor", StringType)))),
+      f("electronicMails", arr(s(
+        f("electronicMailAddress", StringType),
+        f("electronicMailTypeDescriptor", StringType))))),
+    "staffSectionAssociations" -> s(
+      f("staffReference", s(f("staffUniqueId", StringType))),
+      f("sectionReference", sectionReference),
+      f("beginDate", StringType), f("endDate", StringType),
+      f("classroomPositionDescriptor", StringType)),
+    "staffEducationOrganizationAssignmentAssociations" -> s(
+      f("staffReference", s(f("staffUniqueId", StringType))),
+      f("educationOrganizationReference", s(f("educationOrganizationId", LongType))),
+      f("staffClassificationDescriptor", StringType),
+      f("beginDate", StringType), f("endDate", StringType)),
+    "sections" -> s(
+      f("id", StringType),
+      f("courseOfferingReference", s(
+        f("localCourseCode", StringType), f("schoolId", LongType),
+        f("schoolYear", LongType), f("sessionName", StringType))),
+      f("sectionIdentifier", StringType),
+      f("educationalEnvironmentDescriptor", StringType)),
+    "studentEducationOrganizationAssociations" -> s(
+      f("id", StringType),
+      f("educationOrganizationReference", s(f("educationOrganizationId", LongType))),
+      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("limitedEnglishProficiencyDescriptor", StringType),
+      f("hispanicLatinoEthnicity", BooleanType),
+      f("sexDescriptor", StringType),
+      f("races", arr(s(f("raceDescriptor", StringType)))),
+      f("studentCharacteristics", arr(s(
+        f("studentCharacteristicDescriptor", StringType),
+        f("periods", arr(s(f("beginDate", StringType), f("endDate", StringType))))))),
+      f("studentIndicators", arr(s(
+        f("indicatorName", StringType), f("indicator", StringType),
+        f("indicatorGroup", StringType)))))
+  )
+
+  private def descriptorSchema(idField: String): StructType = s(
+    f(idField, LongType), f("codeValue", StringType),
+    f("description", StringType), f("namespace", StringType),
+    f("shortDescription", StringType))
+
+  def schema(endpoint: String): StructType =
+    schemas.getOrElse(endpoint,
+      throw new IllegalArgumentException(s"unknown endpoint: $endpoint"))
+}

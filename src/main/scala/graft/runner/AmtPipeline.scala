@@ -1,0 +1,61 @@
+package graft.runner
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.SilverReader
+import graft.views.{AmtView, ViewContext}
+
+/** Registry of implemented AMT views (grows with the port of the
+  * reference's 41-view census, SURVEY.md §2). */
+object AmtRegistry {
+  import graft.views.base._
+
+  val all: Seq[AmtView] = Seq(
+    GradingPeriodDim, DateDim, MostRecentGradingPeriod)
+
+  val byName: Map[String, AmtView] = all.map(v => v.name -> v).toMap
+}
+
+/** Builds AMT gold views for one school year.
+  *
+  * The reference runs views sequentially and memoizes them via gold-parquet
+  * read-back (pandasWrapper.py:219-256). Here:
+  *   - `view(name)` resolves through one shared cache, so a dependency DAG
+  *     like student_history_dim → 6 views evaluates each node once
+  *     (SURVEY §7.4.8);
+  *   - shared views are `.cache()`d (Spark's in-memory columnar cache
+  *     replaces the parquet round-trip);
+  *   - `writeAll` writes gold parquet partitioned by school year directory,
+  *     matching the reference's `PARQUET_FILES_LOCATION/<year>/<view>`
+  *     layout. Independent views are separate Spark jobs and can be
+  *     submitted concurrently from driver threads at scale.
+  */
+final class AmtPipeline(
+    spark: SparkSession,
+    silverRoot: String,
+    schoolYear: String
+) {
+  private val reader = SilverReader(spark, silverRoot, schoolYear)
+  private val built = mutable.Map.empty[String, DataFrame]
+
+  private val ctx: ViewContext =
+    ViewContext(spark, endpoint = reader.read, view = this.view)
+
+  def view(name: String): DataFrame = synchronized {
+    built.getOrElseUpdate(name, {
+      val v = AmtRegistry.byName.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown view: $name"))
+      val df = v.build(ctx)
+      // cache only views other views depend on; leaf views stream to gold
+      if (AmtRegistry.all.exists(_.viewDeps.contains(name))) df.cache() else df
+    })
+  }
+
+  def writeAll(goldRoot: String): Unit =
+    AmtRegistry.all.foreach { v =>
+      view(v.name).write.mode("overwrite")
+        .parquet(s"$goldRoot/$schoolYear/${v.name}.parquet")
+    }
+}
