@@ -18,11 +18,11 @@ object EndpointCatalog {
   private def f(name: String, t: DataType): StructField = StructField(name, t, nullable = true)
   private def arr(t: DataType): ArrayType = ArrayType(t, containsNull = true)
 
+  private val link = s(f("rel", StringType), f("href", StringType))
   private val sectionReference = s(
     f("localCourseCode", StringType), f("schoolId", LongType),
     f("schoolYear", LongType), f("sectionIdentifier", StringType),
-    f("sessionName", StringType),
-    f("link", s(f("rel", StringType), f("href", StringType))))
+    f("sessionName", StringType), f("link", link))
 
   val schemas: Map[String, StructType] = Map(
     "gradingPeriods" -> s(
@@ -45,7 +45,7 @@ object EndpointCatalog {
       f("entryGradeLevelDescriptor", StringType)),
     "studentSectionAssociations" -> s(
       f("sectionReference", sectionReference),
-      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("studentReference", s(f("studentUniqueId", StringType), f("link", link))),
       f("beginDate", StringType), f("endDate", StringType),
       f("homeroomIndicator", BooleanType)),
     "studentSchoolAttendanceEvents" -> s(
@@ -103,13 +103,23 @@ object EndpointCatalog {
       f("birthDate", StringType)),
     "staffs" -> s(
       f("id", StringType), f("staffUniqueId", StringType),
-      f("firstName", StringType), f("lastSurname", StringType),
+      f("personalTitlePrefix", StringType),
+      f("firstName", StringType), f("middleName", StringType),
+      f("lastSurname", StringType), f("birthDate", StringType),
+      f("sexDescriptor", StringType),
+      f("hispanicLatinoEthnicity", BooleanType),
+      f("highestCompletedLevelOfEducationDescriptor", StringType),
+      f("yearsOfPriorProfessionalExperience", DoubleType),
+      f("yearsOfPriorTeachingExperience", DoubleType),
+      f("highlyQualifiedTeacher", BooleanType),
+      f("loginId", StringType),
       f("races", arr(s(f("raceDescriptor", StringType)))),
       f("electronicMails", arr(s(
         f("electronicMailAddress", StringType),
         f("electronicMailTypeDescriptor", StringType))))),
     "staffSectionAssociations" -> s(
-      f("staffReference", s(f("staffUniqueId", StringType))),
+      f("id", StringType),
+      f("staffReference", s(f("staffUniqueId", StringType), f("link", link))),
       f("sectionReference", sectionReference),
       f("beginDate", StringType), f("endDate", StringType),
       f("classroomPositionDescriptor", StringType)),
@@ -122,9 +132,19 @@ object EndpointCatalog {
       f("id", StringType),
       f("courseOfferingReference", s(
         f("localCourseCode", StringType), f("schoolId", LongType),
-        f("schoolYear", LongType), f("sessionName", StringType))),
+        f("schoolYear", LongType), f("sessionName", StringType), f("link", link))),
       f("sectionIdentifier", StringType),
       f("educationalEnvironmentDescriptor", StringType)),
+    "courses" -> s(
+      f("id", StringType), f("courseTitle", StringType),
+      f("academicSubjectDescriptor", StringType)),
+    "courseOfferings" -> s(
+      f("id", StringType),
+      f("courseReference", s(f("courseCode", StringType), f("link", link)))),
+    "academicSubjectDescriptors" -> s(
+      f("academicSubjectDescriptorId", LongType), f("codeValue", StringType),
+      f("description", StringType), f("namespace", StringType),
+      f("shortDescription", StringType)),
     "studentEducationOrganizationAssociations" -> s(
       f("id", StringType),
       f("educationOrganizationReference", s(f("educationOrganizationId", LongType))),

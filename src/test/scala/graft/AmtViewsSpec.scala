@@ -113,6 +113,198 @@ class AmtViewsSpec extends SparkTestBase {
     assert(rows.head.getAs[String]("GradingPeriodBeginDateKey") == "20211004")
   }
 
+  test("schoolDim: physical-address filter, org chain, '' defaults (golden)") {
+    val silver = silverWith(
+      "schools" -> """[
+        {"schoolId": 255901001, "nameOfInstitution": "Grand Bend High School",
+         "schoolTypeDescriptor": "uri://ed-fi.org/SchoolTypeDescriptor#Regular",
+         "localEducationAgencyReference": {"localEducationAgencyId": 255901},
+         "addresses": [
+           {"addressTypeDescriptor": "uri://ed-fi.org/AddressTypeDescriptor#Physical",
+            "stateAbbreviationDescriptor": "uri://ed-fi.org/StateAbbreviationDescriptor#TX",
+            "streetNumberName": "456 Oak Street", "city": "Grand Bend", "nameOfCounty": "Williston"},
+           {"addressTypeDescriptor": "uri://ed-fi.org/AddressTypeDescriptor#Mailing",
+            "stateAbbreviationDescriptor": "uri://ed-fi.org/StateAbbreviationDescriptor#TX",
+            "streetNumberName": "PO Box 9", "city": "Grand Bend", "nameOfCounty": "Williston"}]},
+        {"schoolId": 255901002, "nameOfInstitution": "Orphan School",
+         "schoolTypeDescriptor": "uri://ed-fi.org/SchoolTypeDescriptor#Regular",
+         "addresses": [
+           {"addressTypeDescriptor": "uri://ed-fi.org/AddressTypeDescriptor#Physical",
+            "stateAbbreviationDescriptor": "uri://ed-fi.org/StateAbbreviationDescriptor#TX",
+            "streetNumberName": "1 Elm", "city": "Elsewhere", "nameOfCounty": "Nowhere"}]}
+      ]""",
+      "localEducationAgencies" -> """[
+        {"localEducationAgencyId": 255901, "nameOfInstitution": "Grand Bend ISD",
+         "educationServiceCenterReference": {"educationServiceCenterId": 255950}}]""",
+      "educationServiceCenters" -> """[
+        {"educationServiceCenterId": 255950, "nameOfInstitution": "Region 99",
+         "stateEducationAgencyReference": {"stateEducationAgencyId": 48}}]""",
+      "stateEducationAgencies" -> """[
+        {"stateEducationAgencyId": 48, "nameOfInstitution": "Texas Education Agency"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("schoolDim").orderBy("SchoolKey").collect()
+    assert(rows.length == 2) // mailing address filtered out
+    val r = rows.head
+    assert(r.getAs[String]("SchoolType") == "Regular")
+    assert(r.getAs[String]("SchoolAddress") == "456 Oak Street, Grand Bend TX Williston")
+    assert(r.getAs[String]("SchoolState") == "TX")
+    assert(r.getAs[String]("LocalEducationAgencyName") == "Grand Bend ISD")
+    assert(r.getAs[String]("EducationServiceCenterName") == "Region 99")
+    assert(r.getAs[String]("StateEducationAgencyName") == "Texas Education Agency")
+    assert(r.getAs[String]("StateEducationAgencyKey") == "48")
+    val orphan = rows(1) // no LEA reference: whole org chain defaults to ''
+    assert(orphan.getAs[String]("LocalEducationAgencyKey") == "")
+    assert(orphan.getAs[String]("StateEducationAgencyName") == "")
+  }
+
+  test("ews_studentSectionGradeFact: letter-grade fallback, keys, type filter (golden)") {
+    val silver = silverWith(
+      "grades" -> """[
+        {"gradingPeriodReference": {
+           "gradingPeriodDescriptor": "uri://ed-fi.org/GradingPeriodDescriptor#First Six Weeks",
+           "periodSequence": 1, "schoolId": 255901001, "schoolYear": 2022},
+         "studentSectionAssociationReference": {
+           "studentUniqueId": "604821", "schoolId": 255901001, "beginDate": "2021-08-23",
+           "localCourseCode": "ALG-1", "schoolYear": 2022,
+           "sectionIdentifier": "ALG1-01", "sessionName": "2021-2022 Fall Semester"},
+         "gradeTypeDescriptor": "uri://ed-fi.org/GradeTypeDescriptor#Grading Period",
+         "numericGradeEarned": 88, "letterGradeEarned": "B"},
+        {"gradingPeriodReference": {
+           "gradingPeriodDescriptor": "uri://ed-fi.org/GradingPeriodDescriptor#First Six Weeks",
+           "periodSequence": 1, "schoolId": 255901001, "schoolYear": 2022},
+         "studentSectionAssociationReference": {
+           "studentUniqueId": "604822", "schoolId": 255901001, "beginDate": "2021-08-23",
+           "localCourseCode": "ALG-1", "schoolYear": 2022,
+           "sectionIdentifier": "ALG1-01", "sessionName": "2021-2022 Fall Semester"},
+         "gradeTypeDescriptor": "uri://ed-fi.org/GradeTypeDescriptor#Grading Period",
+         "numericGradeEarned": 0, "letterGradeEarned": "C"},
+        {"gradingPeriodReference": {
+           "gradingPeriodDescriptor": "uri://ed-fi.org/GradingPeriodDescriptor#First Six Weeks",
+           "periodSequence": 1, "schoolId": 255901001, "schoolYear": 2022},
+         "studentSectionAssociationReference": {
+           "studentUniqueId": "604823", "schoolId": 255901001, "beginDate": "2021-08-23",
+           "localCourseCode": "ALG-1", "schoolYear": 2022,
+           "sectionIdentifier": "ALG1-01", "sessionName": "2021-2022 Fall Semester"},
+         "gradeTypeDescriptor": "uri://ed-fi.org/GradeTypeDescriptor#Exam",
+         "numericGradeEarned": 70}
+      ]""",
+      "gradingPeriods" -> gradingPeriodsJson,
+      "gradingPeriodDescriptors" -> gradingPeriodDescriptorsJson)
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("ews_studentSectionGradeFact").orderBy("StudentKey").collect()
+    assert(rows.length == 2) // 'Exam' grade type filtered out
+    val b = rows.head
+    assert(b.getAs[Double]("NumericGradeEarned") == 88.0)
+    assert(b.getAs[String]("GradingPeriodKey") == "123-255901001-20210823")
+    assert(b.getAs[String]("StudentSectionKey") ==
+      "604821-255901001-ALG-1-2022-ALG1-01-2021-2022 Fall Semester-20210823")
+    assert(b.getAs[String]("SectionKey") ==
+      "255901001-ALG-1-2022-ALG1-01-2021-2022 Fall Semester")
+    assert(b.getAs[String]("GradeType") == "Grading Period")
+    val c = rows(1) // numeric 0 replaced by the letter-grade translation
+    assert(c.getAs[Double]("NumericGradeEarned") == 75.0)
+    assert(c.getAs[String]("LetterGradeEarned") == "C")
+  }
+
+  test("staffSectionDim: active-assignment filter, Multiracial collapse (golden)") {
+    val silver = silverWith(
+      "staffSectionAssociations" -> """[
+        {"staffReference": {"staffUniqueId": "207220"},
+         "sectionReference": {"localCourseCode": "ALG-1", "schoolId": 255901001, "schoolYear": 2022,
+           "sectionIdentifier": "ALG1-01", "sessionName": "Fall"},
+         "beginDate": "2021-08-23", "endDate": "2099-05-27"},
+        {"staffReference": {"staffUniqueId": "207221"},
+         "sectionReference": {"localCourseCode": "ALG-1", "schoolId": 255901001, "schoolYear": 2022,
+           "sectionIdentifier": "ALG1-01", "sessionName": "Fall"},
+         "beginDate": "2021-08-23", "endDate": "2021-12-01"},
+        {"staffReference": {"staffUniqueId": "207222"},
+         "sectionReference": {"localCourseCode": "BIO-1", "schoolId": 255901001, "schoolYear": 2022,
+           "sectionIdentifier": "BIO1-01", "sessionName": "Fall"},
+         "beginDate": "2021-08-23"}
+      ]""",
+      "staffs" -> """[
+        {"id": "st-1", "staffUniqueId": "207220", "firstName": "Jane", "lastSurname": "Smith",
+         "sexDescriptor": "uri://ed-fi.org/SexDescriptor#Female",
+         "hispanicLatinoEthnicity": false, "highlyQualifiedTeacher": true,
+         "races": [{"raceDescriptor": "uri://ed-fi.org/RaceDescriptor#White"},
+                    {"raceDescriptor": "uri://ed-fi.org/RaceDescriptor#Asian"}],
+         "electronicMails": [{"electronicMailAddress": "jane@school.edu",
+           "electronicMailTypeDescriptor": "uri://ed-fi.org/ElectronicMailTypeDescriptor#Work"}]},
+        {"id": "st-2", "staffUniqueId": "207221", "firstName": "Jo", "lastSurname": "Past",
+         "races": [{"raceDescriptor": "uri://ed-fi.org/RaceDescriptor#White"}]}
+      ]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("staffSectionDim").collect()
+    // 207221 ends in the past, 207222 has no endDate ('' fails the > today
+    // compare, reference main.py:74-77), both dropped
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("UserKey") == "207220")
+    assert(r.getAs[String]("StaffSectionKey") == "207220-255901001-ALG-1-2022-ALG1-01-Fall")
+    assert(r.getAs[String]("Race") == "Multiracial")
+    assert(r.getAs[String]("Sex") == "Female")
+    assert(r.getAs[Int]("HispanicLatinoEthnicity") == 0)
+    assert(r.getAs[Int]("HighlyQualifiedTeacher") == 1)
+    assert(r.getAs[String]("ElectronicMailAddress") == "jane@school.edu")
+  }
+
+  test("studentSectionDim: href chain joins + ordered teacher list (golden)") {
+    val silver = silverWith(
+      "studentSectionAssociations" -> """[
+        {"sectionReference": {"localCourseCode": "ALG-1", "schoolId": 255901001, "schoolYear": 2022,
+           "sectionIdentifier": "ALG1-01", "sessionName": "Fall",
+           "link": {"rel": "Section", "href": "/ed-fi/sections/sec-1"}},
+         "studentReference": {"studentUniqueId": "604821",
+           "link": {"rel": "Student", "href": "/ed-fi/students/stu-1"}},
+         "beginDate": "2021-08-23", "endDate": "2022-05-27", "homeroomIndicator": true}
+      ]""",
+      "sections" -> """[
+        {"id": "sec-1", "sectionIdentifier": "ALG1-01",
+         "courseOfferingReference": {"localCourseCode": "ALG-1", "schoolId": 255901001,
+           "schoolYear": 2022, "sessionName": "Fall",
+           "link": {"rel": "CourseOffering", "href": "/ed-fi/courseOfferings/co-1"}}}
+      ]""",
+      "courseOfferings" -> """[
+        {"id": "co-1", "courseReference": {"courseCode": "ALG-1",
+          "link": {"rel": "Course", "href": "/ed-fi/courses/crs-1"}}}
+      ]""",
+      "courses" -> """[
+        {"id": "crs-1", "courseTitle": "Algebra I",
+         "academicSubjectDescriptor": "uri://ed-fi.org/AcademicSubjectDescriptor#Mathematics"}
+      ]""",
+      "academicSubjectDescriptors" -> """[
+        {"academicSubjectDescriptorId": 10, "codeValue": "Mathematics",
+         "description": "Mathematics", "namespace": "uri://ed-fi.org/AcademicSubjectDescriptor",
+         "shortDescription": "Mathematics"}
+      ]""",
+      "staffSectionAssociations" -> """[
+        {"staffReference": {"staffUniqueId": "207220",
+           "link": {"rel": "Staff", "href": "/ed-fi/staffs/st-1"}},
+         "sectionReference": {"localCourseCode": "ALG-1", "schoolId": 255901001, "schoolYear": 2022,
+           "sectionIdentifier": "ALG1-01", "sessionName": "Fall",
+           "link": {"rel": "Section", "href": "/ed-fi/sections/sec-1"}}},
+        {"staffReference": {"staffUniqueId": "207221",
+           "link": {"rel": "Staff", "href": "/ed-fi/staffs/st-2"}},
+         "sectionReference": {"localCourseCode": "ALG-1", "schoolId": 255901001, "schoolYear": 2022,
+           "sectionIdentifier": "ALG1-01", "sessionName": "Fall",
+           "link": {"rel": "Section", "href": "/ed-fi/sections/sec-1"}}}
+      ]""",
+      "staffs" -> """[
+        {"id": "st-1", "staffUniqueId": "207220", "firstName": "Jane", "lastSurname": "Smith"},
+        {"id": "st-2", "staffUniqueId": "207221", "firstName": "Al", "lastSurname": "Jones"}
+      ]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("studentSectionDim").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("StudentSectionKey") ==
+      "604821-255901001-ALG-1-2022-ALG1-01-Fall-20210823")
+    assert(r.getAs[String]("Subject") == "Mathematics")
+    assert(r.getAs[String]("CourseTitle") == "Algebra I")
+    assert(r.getAs[String]("TeacherName") == "Al Jones, Jane Smith") // name-sorted
+    assert(r.getAs[String]("StudentSchoolKey") == "604821-255901001")
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
