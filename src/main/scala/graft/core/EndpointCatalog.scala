@@ -39,7 +39,10 @@ object EndpointCatalog {
         f("schoolId", LongType), f("schoolYear", LongType), f("calendarCode", StringType))),
       f("calendarEvents", arr(s(f("calendarEventDescriptor", StringType))))),
     "studentSchoolAssociations" -> s(
+      f("id", StringType),
       f("schoolReference", s(f("schoolId", LongType))),
+      f("schoolYearTypeReference", s(f("schoolYear", LongType))),
+      f("calendarReference", s(f("calendarCode", StringType))),
       f("studentReference", s(f("studentUniqueId", StringType))),
       f("entryDate", StringType), f("exitWithdrawDate", StringType),
       f("entryGradeLevelDescriptor", StringType)),
@@ -49,8 +52,10 @@ object EndpointCatalog {
       f("beginDate", StringType), f("endDate", StringType),
       f("homeroomIndicator", BooleanType)),
     "studentSchoolAttendanceEvents" -> s(
+      f("id", StringType),
       f("schoolReference", s(f("schoolId", LongType))),
       f("studentReference", s(f("studentUniqueId", StringType))),
+      f("sessionReference", s(f("schoolYear", LongType))),
       f("eventDate", StringType),
       f("attendanceEventCategoryDescriptor", StringType)),
     "studentSectionAttendanceEvents" -> s(

@@ -20,7 +20,9 @@ object Crosstab {
     * (0 when absent, matching `pd.crosstab`). */
   def counts(df: DataFrame, keys: Seq[String], category: String, values: Seq[String]): DataFrame = {
     val pivoted = df.groupBy(keys.map(col): _*).pivot(category, values).count()
-    values.foldLeft(pivoted)((d, v) => d.withColumn(v, coalesce(col(v), lit(0L))))
+    // backticks: category values may contain dots (descriptor constants)
+    values.foldLeft(pivoted)((d, v) =>
+      d.withColumn(v, coalesce(col(s"`$v`"), lit(0L))))
   }
 
   /** `df.pivot(index, columns, values)` parity (A9) with a deterministic

@@ -11,11 +11,13 @@ import graft.views.{AmtView, ViewContext}
   * reference's 41-view census, SURVEY.md §2). */
 object AmtRegistry {
   import graft.views.base._
+  import graft.views.chrab._
   import graft.views.ews._
 
   val all: Seq[AmtView] = Seq(
     GradingPeriodDim, DateDim, MostRecentGradingPeriod, SchoolDim,
-    StaffSectionDim, StudentSectionDim, StudentSectionGradeFact)
+    StaffSectionDim, StudentSectionDim, StudentSectionGradeFact,
+    StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact)
 
   val byName: Map[String, AmtView] = all.map(v => v.name -> v).toMap
 }

@@ -305,6 +305,119 @@ class AmtViewsSpec extends SparkTestBase {
     assert(r.getAs[String]("StudentSchoolKey") == "604821-255901001")
   }
 
+  test("chrab fact: spine window, attendance crosstab flags (golden)") {
+    val silver = silverWith(
+      "studentSchoolAssociations" -> """[
+        {"schoolReference": {"schoolId": 1}, "studentReference": {"studentUniqueId": "s1"},
+         "entryDate": "2021-08-23", "exitWithdrawDate": "2022-05-27"}
+      ]""",
+      "calendarDates" -> """[
+        {"date": "2021-09-13", "calendarReference": {"schoolId": 1, "schoolYear": 2022, "calendarCode": "C"},
+         "calendarEvents": [{"calendarEventDescriptor": "uri://ed-fi.org/CalendarEventDescriptor#Instructional day"}]},
+        {"date": "2021-09-14", "calendarReference": {"schoolId": 1, "schoolYear": 2022, "calendarCode": "C"},
+         "calendarEvents": [{"calendarEventDescriptor": "uri://ed-fi.org/CalendarEventDescriptor#Instructional day"}]},
+        {"date": "2021-09-15", "calendarReference": {"schoolId": 1, "schoolYear": 2022, "calendarCode": "C"},
+         "calendarEvents": [{"calendarEventDescriptor": "uri://ed-fi.org/CalendarEventDescriptor#Holiday"}]},
+        {"date": "2021-08-20", "calendarReference": {"schoolId": 1, "schoolYear": 2022, "calendarCode": "C"},
+         "calendarEvents": [{"calendarEventDescriptor": "uri://ed-fi.org/CalendarEventDescriptor#Instructional day"}]}
+      ]""",
+      "studentSchoolAttendanceEvents" -> """[
+        {"schoolReference": {"schoolId": 1}, "studentReference": {"studentUniqueId": "s1"},
+         "eventDate": "2021-09-13",
+         "attendanceEventCategoryDescriptor": "uri://ed-fi.org/AttendanceEventCategoryDescriptor#Excused Absence"}
+      ]""",
+      "studentSectionAttendanceEvents" -> """[
+        {"schoolReference": {"schoolId": 1},
+         "sectionReference": {"localCourseCode": "ALG-1", "schoolId": 1, "schoolYear": 2022,
+           "sectionIdentifier": "A", "sessionName": "Fall"},
+         "studentReference": {"studentUniqueId": "s1"}, "eventDate": "2021-09-14",
+         "attendanceEventCategoryDescriptor": "uri://ed-fi.org/AttendanceEventCategoryDescriptor#In Attendance"}
+      ]""",
+      "studentSectionAssociations" -> "[]")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("chrab_chronicAbsenteeismAttendanceFact")
+      .orderBy("DateKey").collect()
+    // spine: instructional days inside the enrollment window = 0913, 0914
+    // (0915 is a holiday, 0820 predates entry)
+    assert(rows.map(_.getAs[String]("DateKey")).toSeq == Seq("20210913", "20210914"))
+    val d13 = rows.head
+    assert(d13.getAs[String]("StudentSchoolKey") == "s1-1")
+    assert(d13.getAs[Int]("ReportedAsAbsentFromSchool") == 1) // excused → Absence constant
+    assert(d13.getAs[Int]("ReportedAsPresentAtSchool") == 0)
+    assert(d13.getAs[Int]("ReportedAsAbsentFromAnySection") == 0)
+    val d14 = rows(1)
+    assert(d14.getAs[Int]("ReportedAsPresentAtHomeRoom") == 1)
+    assert(d14.getAs[Int]("ReportedAsIsPresentInAllSections") == 1)
+    assert(d14.getAs[Int]("ReportedAsAbsentFromSchool") == 0)
+  }
+
+  test("ews early warning fact: spine + 3 crosstab joins + homeroom gating (golden)") {
+    val silver = silverWith(
+      "studentSchoolAssociations" -> """[
+        {"schoolReference": {"schoolId": 1}, "studentReference": {"studentUniqueId": "s1"},
+         "entryDate": "2021-08-23"}
+      ]""",
+      "calendarDates" -> """[
+        {"date": "2021-09-13", "calendarReference": {"schoolId": 1, "schoolYear": 2022, "calendarCode": "C"},
+         "calendarEvents": [{"calendarEventDescriptor": "uri://ed-fi.org/CalendarEventDescriptor#Instructional day"}]},
+        {"date": "2021-09-14", "calendarReference": {"schoolId": 1, "schoolYear": 2022, "calendarCode": "C"},
+         "calendarEvents": [{"calendarEventDescriptor": "uri://ed-fi.org/CalendarEventDescriptor#Holiday"}]}
+      ]""",
+      "studentSchoolAttendanceEvents" -> """[
+        {"schoolReference": {"schoolId": 1}, "studentReference": {"studentUniqueId": "s1"},
+         "eventDate": "2021-09-13",
+         "attendanceEventCategoryDescriptor": "uri://ed-fi.org/AttendanceEventCategoryDescriptor#Excused Absence"}
+      ]""",
+      "studentSectionAttendanceEvents" -> """[
+        {"schoolReference": {"schoolId": 1},
+         "sectionReference": {"localCourseCode": "HR", "schoolId": 1, "schoolYear": 2022,
+           "sectionIdentifier": "HR-1", "sessionName": "Fall"},
+         "studentReference": {"studentUniqueId": "s1"}, "eventDate": "2021-09-13",
+         "attendanceEventCategoryDescriptor": "uri://ed-fi.org/AttendanceEventCategoryDescriptor#Tardy"},
+        {"schoolReference": {"schoolId": 1},
+         "sectionReference": {"localCourseCode": "ALG-1", "schoolId": 1, "schoolYear": 2022,
+           "sectionIdentifier": "A", "sessionName": "Fall"},
+         "studentReference": {"studentUniqueId": "s1"}, "eventDate": "2021-09-13",
+         "attendanceEventCategoryDescriptor": "uri://ed-fi.org/AttendanceEventCategoryDescriptor#In Attendance"}
+      ]""",
+      "studentSectionAssociations" -> """[
+        {"sectionReference": {"localCourseCode": "HR", "schoolId": 1, "schoolYear": 2022,
+           "sectionIdentifier": "HR-1", "sessionName": "Fall"},
+         "studentReference": {"studentUniqueId": "s1"},
+         "beginDate": "2021-08-23", "homeroomIndicator": true},
+        {"sectionReference": {"localCourseCode": "ALG-1", "schoolId": 1, "schoolYear": 2022,
+           "sectionIdentifier": "A", "sessionName": "Fall"},
+         "studentReference": {"studentUniqueId": "s1"},
+         "beginDate": "2021-08-23", "homeroomIndicator": false}
+      ]""",
+      "disciplineIncidents" -> """[
+        {"schoolReference": {"schoolId": 1}, "incidentIdentifier": "INC-1", "incidentDate": "2021-09-13"}
+      ]""",
+      "studentDisciplineIncidentBehaviorAssociations" -> """[
+        {"disciplineIncidentReference": {"incidentIdentifier": "INC-1", "schoolId": 1},
+         "studentReference": {"studentUniqueId": "s1"},
+         "behaviorDescriptor": "uri://ed-fi.org/BehaviorDescriptor#State Offense"}
+      ]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("ews_studentEarlyWarningFact").orderBy("DateKey").collect()
+    assert(rows.length == 2)
+    val d13 = rows.head
+    assert(d13.getAs[String]("DateKey") == "20210913")
+    assert(d13.getAs[Int]("IsInstructionalDay") == 1)
+    assert(d13.getAs[Int]("IsEnrolled") == 1)
+    assert(d13.getAs[Int]("IsAbsentFromSchoolExcused") == 1)
+    assert(d13.getAs[Int]("IsPresentSchool") == 0)
+    assert(d13.getAs[Int]("IsTardyToHomeroom") == 1) // homeroom section tardy
+    assert(d13.getAs[Int]("IsTardyToAnyClass") == 1)
+    assert(d13.getAs[Int]("IsPresentAnyClass") == 1) // non-homeroom section present
+    assert(d13.getAs[Int]("IsPresentHomeroom") == 0) // gated off
+    assert(d13.getAs[Int]("CountByDayOfStateOffenses") == 1)
+    assert(d13.getAs[Int]("CountByDayOfConductOffenses") == 0)
+    val d14 = rows(1) // holiday: spine row exists, nothing reported
+    assert(d14.getAs[Int]("IsInstructionalDay") == 0)
+    assert(d14.getAs[Int]("IsPresentSchool") == 0)
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
