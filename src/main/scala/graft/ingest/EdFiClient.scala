@@ -1,0 +1,175 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.Base64
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** Driver-side Ed-Fi ODS ingest: OAuth2 client-credentials token, offset
+  * pagination, per-endpoint fan-out, and the change-version incremental
+  * window (SURVEY §2.1 S1/S2; reference api/api.py:88-137,
+  * helper/token.py:13-31, api/changeVersion.py:57-94).
+  *
+  * Deliberately NOT a Spark concern: extraction is driver-side I/O writing
+  * silver JSON files that SilverReader then scans (the reference does the
+  * same with a process pool). [[HttpTransport]] is pluggable so the client
+  * is testable without a network (and this build environment has none).
+  *
+  * Scale: per-endpoint parallelism via Futures (reference uses
+  * Pool(OS_CPU)); within an endpoint pagination is sequential because
+  * offset paging is inherently serial per resource.
+  */
+trait HttpTransport {
+  /** GET with headers → (status, body). */
+  def get(url: String, headers: Map[String, String]): (Int, String)
+
+  /** POST form body with headers → (status, body). */
+  def post(url: String, headers: Map[String, String], form: Map[String, String]): (Int, String)
+}
+
+/** java.net.http-backed default transport. */
+final class JdkHttpTransport extends HttpTransport {
+  private val client = java.net.http.HttpClient.newHttpClient()
+
+  private def build(url: String, headers: Map[String, String]) = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    b
+  }
+
+  def get(url: String, headers: Map[String, String]): (Int, String) = {
+    val resp = client.send(build(url, headers).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  def post(url: String, headers: Map[String, String], form: Map[String, String]): (Int, String) = {
+    val body = form.map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("&")
+    val resp = client.send(
+      build(url, headers ++ Map("Content-Type" -> "application/x-www-form-urlencoded"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+}
+
+final case class ChangeVersionWindow(oldest: String, newest: String)
+
+/** Two-line changeVersion.txt state file (reference changeVersion.py:51-54),
+  * with the reference's three update scenarios (:57-94). */
+final class ChangeVersionStore(root: Path) {
+
+  private def fileFor(schoolYear: String): Path =
+    if (schoolYear.isEmpty) root.resolve("changeVersion.txt")
+    else root.resolve(schoolYear).resolve("changeVersion.txt")
+
+  def read(schoolYear: String): ChangeVersionWindow = {
+    val f = fileFor(schoolYear)
+    if (Files.exists(f)) {
+      val lines = Files.readAllLines(f)
+      if (lines.size == 2) return ChangeVersionWindow(lines.get(0).trim, lines.get(1).trim)
+    }
+    ChangeVersionWindow("0", "0")
+  }
+
+  def write(schoolYear: String, w: ChangeVersionWindow): Unit = {
+    val f = fileFor(schoolYear)
+    Files.createDirectories(f.getParent)
+    Files.writeString(f, s"${w.oldest}\n${w.newest}")
+  }
+
+  /** Next extraction window given the API's newest version: first run uses
+    * the API's full range; unchanged newest → None (skip extraction);
+    * otherwise window = (last newest, api newest]. */
+  def advance(schoolYear: String, api: ChangeVersionWindow): Option[ChangeVersionWindow] = {
+    val prev = read(schoolYear)
+    val next =
+      if (prev.newest == "0") Some(api)
+      else if (prev.newest == api.newest) None
+      else Some(ChangeVersionWindow(prev.newest, api.newest))
+    next.foreach(write(schoolYear, _))
+    next
+  }
+}
+
+final class EdFiClient(
+    transport: HttpTransport,
+    apiUrl: String,
+    apiKey: String,
+    apiSecret: String,
+    pageLimit: Int = 500,
+    tokenPath: String = "oauth/token"
+) {
+
+  /** OAuth2 client-credentials token (reference helper/token.py:13-31). */
+  def token(): String = {
+    val cred = Base64.getEncoder.encodeToString(
+      s"$apiKey:$apiSecret".getBytes(StandardCharsets.UTF_8))
+    val (status, body) = transport.post(
+      s"$apiUrl/$tokenPath",
+      Map("Authorization" -> s"Basic $cred"),
+      Map("grant_type" -> "client_credentials"))
+    require(status == 200, s"token request failed: $status")
+    accessTokenFrom(body)
+  }
+
+  private[ingest] def accessTokenFrom(json: String): String = {
+    val m = """"access_token"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json)
+    m.map(_.group(1)).getOrElse(sys.error("no access_token in token response"))
+  }
+
+  /** Offset-paginated extraction of one endpoint: pages of JSON arrays
+    * until an empty page (reference api/api.py:88-116). Returns the raw
+    * page bodies (silver stays byte-faithful; parsing happens in Spark). */
+  def fetchPages(
+      endpointUrl: String,
+      bearer: String,
+      window: Option[ChangeVersionWindow] = None
+  ): Seq[String] = {
+    val versionParams = window
+      .map(w => s"&minChangeVersion=${w.oldest}&maxChangeVersion=${w.newest}")
+      .getOrElse("")
+    val headers = Map("Authorization" -> s"Bearer $bearer")
+    Iterator.from(0)
+      .map { page =>
+        val url = s"$endpointUrl?limit=$pageLimit&offset=${page * pageLimit}$versionParams"
+        transport.get(url, headers)
+      }
+      .takeWhile { case (status, body) =>
+        status == 200 && body.trim.nonEmpty && body.trim != "[]"
+      }
+      .map(_._2)
+      .toSeq
+  }
+
+  /** Fan out endpoints concurrently (reference api/api.py:120-137 uses a
+    * process pool; JVM threads suffice for I/O-bound paging), writing one
+    * silver JSON file per endpoint page under
+    * `silverRoot/<schoolYear>/<endpoint>/`. */
+  def extractAll(
+      endpoints: Seq[String],
+      silverRoot: Path,
+      schoolYear: String,
+      window: Option[ChangeVersionWindow] = None,
+      parallelism: Int = 4
+  ): Unit = {
+    val bearer = token()
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(parallelism))
+    val work = endpoints.map { ep =>
+      Future {
+        val pages = fetchPages(s"$apiUrl/data/v3/ed-fi/$ep", bearer, window)
+        val dir = silverRoot.resolve(schoolYear).resolve(ep)
+        Files.createDirectories(dir)
+        pages.zipWithIndex.foreach { case (body, i) =>
+          Files.writeString(dir.resolve(s"${ep}_$i.json"), body)
+        }
+      }
+    }
+    Await.result(Future.sequence(work), Duration.Inf)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference has no streaming layer — freshness is an hourly full
+  * batch re-extract (SURVEY §1.3). These operators are the streaming
+  * upgrade path: the same hourly rollup the batch query q24 computes,
+  * expressed incrementally with watermarked state, plus session windows
+  * via typed state (the batch twin is q26's lag-gap sessionization).
+  *
+  * Scale notes: state is partitioned by the group key (window×type /
+  * user), so executors hold disjoint state shards; the watermark bounds
+  * state size — without it the window store grows forever. Output mode
+  * `update` for counters (append would wait for watermark closure).
+  */
+object EventStreams {
+
+  /** Tumbling-window event counts + value sums per type, late data
+    * tolerated up to `watermark`. */
+  def hourlyRollup(
+      events: DataFrame,
+      watermark: String = "30 minutes",
+      windowLength: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+
+  final case class SessionSummary(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Session windows per user with a gap timeout: a session closes after
+    * `gapMs` of silence (event-time via watermark + processing-time
+    * timeout), emitting one summary row. The typed-state analogue of the
+    * batch lag-gap sessionization (q26). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(
+              userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.nEvents))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t), nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= SessionSummary(
+                    userId, new Timestamp(s.start), new Timestamp(s.lastSeen), s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest._
+
+/** Ingest client tests against a fake in-memory transport (no network in
+  * this environment; the transport seam is the point). */
+class IngestSpec extends AnyFunSuite {
+
+  private class FakeTransport(pages: Map[Int, String]) extends HttpTransport {
+    var requests: List[String] = Nil
+    def get(url: String, headers: Map[String, String]): (Int, String) = {
+      requests ::= url
+      assert(headers("Authorization") == "Bearer tok-123")
+      val offset = "offset=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+      (200, pages.getOrElse(offset, "[]"))
+    }
+    def post(url: String, headers: Map[String, String], form: Map[String, String]): (Int, String) = {
+      assert(form("grant_type") == "client_credentials")
+      assert(headers("Authorization").startsWith("Basic "))
+      (200, """{"access_token": "tok-123", "token_type": "bearer"}""")
+    }
+  }
+
+  test("token + pagination until empty page") {
+    val t = new FakeTransport(Map(
+      0 -> """[{"id": 1}, {"id": 2}]""",
+      2 -> """[{"id": 3}]"""))
+    val client = new EdFiClient(t, "http://api", "k", "s", pageLimit = 2)
+    val bearer = client.token()
+    val pages = client.fetchPages("http://api/data/v3/ed-fi/students", bearer)
+    assert(pages.size == 2)
+    assert(t.requests.exists(_.contains("offset=4"))) // stopped on empty page 3
+  }
+
+  test("change-version window appended to requests") {
+    val t = new FakeTransport(Map(0 -> """[{"id": 1}]"""))
+    val client = new EdFiClient(t, "http://api", "k", "s", pageLimit = 2)
+    client.fetchPages("http://api/x", "tok-123",
+      Some(ChangeVersionWindow("10", "20")))
+    assert(t.requests.exists(u =>
+      u.contains("minChangeVersion=10") && u.contains("maxChangeVersion=20")))
+  }
+
+  test("extractAll writes silver layout") {
+    val t = new FakeTransport(Map(0 -> """[{"id": 1}]"""))
+    val client = new EdFiClient(t, "http://api", "k", "s", pageLimit = 2)
+    val root = Files.createTempDirectory("silver")
+    client.extractAll(Seq("students", "schools"), root, "2022", parallelism = 2)
+    assert(Files.exists(root.resolve("2022/students/students_0.json")))
+    assert(Files.exists(root.resolve("2022/schools/schools_0.json")))
+  }
+
+  test("ChangeVersionStore: first run, no-op run, incremental run") {
+    val store = new ChangeVersionStore(Files.createTempDirectory("cv"))
+    // first run: full API range
+    assert(store.advance("2022", ChangeVersionWindow("5", "100"))
+      .contains(ChangeVersionWindow("5", "100")))
+    // unchanged newest: skip
+    assert(store.advance("2022", ChangeVersionWindow("5", "100")).isEmpty)
+    // newer data: window starts at last newest
+    assert(store.advance("2022", ChangeVersionWindow("5", "140"))
+      .contains(ChangeVersionWindow("100", "140")))
+    assert(store.read("2022") == ChangeVersionWindow("100", "140"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkTestBase {
+  import testImplicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("hourlyRollup: incremental windowed counts match the batch shape") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.hourlyRollup(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(7), 2, "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("rollup")
+        .groupBy("window_start", "event_type")
+        .agg(max("n").as("n"), max("sum_value").as("sum_value"))
+        .orderBy("event_type").collect()
+      assert(out.length == 2)
+      assert(out.head.getAs[Long]("n") == 2) // two clicks in the window
+      assert(out.head.getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap closes a session and emits its summary") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60000L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // session 1: minutes 0-5; then 30min silence; session 2: minute 40
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(5), 7, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(40), 7, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark so the first session's event-time timeout fires
+      input.addData(Event(4, ts(90), 8, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").orderBy("session_start").collect()
+      assert(out.nonEmpty)
+      val s1 = out.head
+      assert(s1.getAs[Long]("user_id") == 7L)
+      assert(s1.getAs[Long]("n_events") == 2L)
+      assert(s1.getAs[Timestamp]("session_end") == ts(5))
+    } finally q.stop()
+  }
+}
