@@ -33,6 +33,16 @@ object EndpointCatalog {
       f("totalInstructionalDays", LongType), f("periodSequence", LongType)),
     "gradingPeriodDescriptors" -> descriptorSchema("gradingPeriodDescriptorId"),
     "termDescriptors" -> descriptorSchema("termDescriptorId"),
+    "raceDescriptors" -> descriptorSchema("raceDescriptorId"),
+    "sexDescriptors" -> descriptorSchema("sexDescriptorId"),
+    "cohortTypeDescriptors" -> descriptorSchema("cohortTypeDescriptorId"),
+    "disabilityDescriptors" -> descriptorSchema("disabilityDescriptorId"),
+    "languageDescriptors" -> descriptorSchema("languageDescriptorId"),
+    "studentCharacteristicDescriptors" -> descriptorSchema("studentCharacteristicDescriptorId"),
+    "tribalAffiliationDescriptors" -> descriptorSchema("tribalAffiliationDescriptorId"),
+    "schoolYearTypes" -> s(
+      f("schoolYear", LongType), f("currentSchoolYear", BooleanType),
+      f("schoolYearDescription", StringType)),
     "calendarDates" -> s(
       f("date", StringType),
       f("calendarReference", s(

@@ -12,12 +12,17 @@ import graft.views.{AmtView, ViewContext}
 object AmtRegistry {
   import graft.views.base._
   import graft.views.chrab._
+  import graft.views.epp._
   import graft.views.ews._
+  import graft.views.rls._
 
   val all: Seq[AmtView] = Seq(
     GradingPeriodDim, DateDim, MostRecentGradingPeriod, SchoolDim,
     StaffSectionDim, StudentSectionDim, StudentSectionGradeFact,
-    StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact)
+    AllStudentSchoolDim, StudentSchoolDim,
+    StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact,
+    RaceDescriptorDim, TermDescriptorDim, SexDescriptorDim,
+    RlsStaffClassificationDescriptorScopeList, RlsStudentDataAuthorization)
 
   val byName: Map[String, AmtView] = all.map(v => v.name -> v).toMap
 }

@@ -418,6 +418,61 @@ class AmtViewsSpec extends SparkTestBase {
     assert(d14.getAs[Int]("IsPresentSchool") == 0)
   }
 
+  test("allStudentSchoolDim: district fallback, indicator pivot, defaults (golden)") {
+    val silver = silverWith(
+      "studentSchoolAssociations" -> """[
+        {"schoolReference": {"schoolId": 100}, "schoolYearTypeReference": {"schoolYear": 2022},
+         "studentReference": {"studentUniqueId": "s1"}, "entryDate": "2021-08-23",
+         "entryGradeLevelDescriptor": "uri://ed-fi.org/GradeLevelDescriptor#Ninth grade"},
+        {"schoolReference": {"schoolId": 100}, "schoolYearTypeReference": {"schoolYear": 2022},
+         "studentReference": {"studentUniqueId": "s2"}, "entryDate": "2021-08-23",
+         "entryGradeLevelDescriptor": "uri://ed-fi.org/GradeLevelDescriptor#Ninth grade",
+         "exitWithdrawDate": "2021-12-01"}
+      ]""",
+      "students" -> """[
+        {"studentUniqueId": "s1", "firstName": "Ana", "lastSurname": "Lopez", "birthDate": "2007-01-01"},
+        {"studentUniqueId": "s2", "firstName": "Bo", "lastSurname": "Chen"}
+      ]""",
+      "schools" -> """[
+        {"schoolId": 100, "nameOfInstitution": "X",
+         "localEducationAgencyReference": {"localEducationAgencyId": 9000}}
+      ]""",
+      "studentEducationOrganizationAssociations" -> """[
+        {"id": "e1", "educationOrganizationReference": {"educationOrganizationId": 100},
+         "studentReference": {"studentUniqueId": "s1"},
+         "sexDescriptor": "uri://ed-fi.org/SexDescriptor#Female",
+         "studentIndicators": [
+           {"indicatorName": "Internet Access In Residence", "indicator": "Yes"}]},
+        {"id": "e2", "educationOrganizationReference": {"educationOrganizationId": 9000},
+         "studentReference": {"studentUniqueId": "s1"},
+         "hispanicLatinoEthnicity": true,
+         "limitedEnglishProficiencyDescriptor": "uri://ed-fi.org/LimitedEnglishProficiencyDescriptor#Limited",
+         "sexDescriptor": "uri://ed-fi.org/SexDescriptor#NotSeen"}
+      ]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("allStudentSchoolDim").orderBy("StudentKey").collect()
+    assert(rows.length == 2)
+    val s1 = rows.head
+    assert(s1.getAs[String]("AllStudentSchoolKey") == "s1-100-20210823")
+    assert(s1.getAs[String]("Sex") == "Female") // school-level wins over district
+    assert(s1.getAs[Int]("IsHispanic") == 1) // district-level fallback
+    assert(s1.getAs[String]("LimitedEnglishProficiency") == "Limited") // district fallback
+    assert(s1.getAs[String]("InternetAccessInResidence") == "Yes") // pivoted indicator
+    assert(s1.getAs[String]("InternetPerformance") == "n/a") // absent indicator default
+    assert(s1.getAs[Int]("IsEnrolled") == 1) // no exit date = enrolled
+    assert(s1.getAs[String]("EnrollmentDateKey") == "2021-08-23") // raw ISO preserved
+    val s2 = rows(1)
+    assert(s2.getAs[Int]("IsEnrolled") == 0) // exited in the past
+    assert(s2.getAs[String]("LimitedEnglishProficiency") == "Not applicable")
+    assert(s2.getAs[String]("Sex") == "")
+
+    // derived view: only enrolled rows, history columns dropped
+    val enrolled = p.view("studentSchoolDim").collect()
+    assert(enrolled.length == 1)
+    assert(enrolled.head.getAs[String]("StudentKey") == "s1")
+    assert(!enrolled.head.schema.fieldNames.contains("IsEnrolled"))
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
