@@ -26,16 +26,31 @@ object EndpointCatalog {
 
   val schemas: Map[String, StructType] = Map(
     "gradingPeriods" -> s(
+      f("id", StringType),
       f("schoolReference", s(f("schoolId", LongType))),
       f("schoolYearTypeReference", s(f("schoolYear", LongType))),
       f("gradingPeriodDescriptor", StringType),
       f("beginDate", StringType), f("endDate", StringType),
       f("totalInstructionalDays", LongType), f("periodSequence", LongType)),
+    "sessions" -> s(
+      f("id", StringType), f("sessionName", StringType),
+      f("beginDate", StringType), f("endDate", StringType),
+      f("termDescriptor", StringType),
+      f("schoolReference", s(f("schoolId", LongType))),
+      f("schoolYearTypeReference", s(f("schoolYear", LongType))),
+      f("gradingPeriods", arr(s(
+        f("gradingPeriodReference", s(
+          f("schoolId", LongType), f("schoolYear", LongType),
+          f("gradingPeriodDescriptor", StringType),
+          f("periodSequence", LongType), f("link", link))))))),
     "gradingPeriodDescriptors" -> descriptorSchema("gradingPeriodDescriptorId"),
     "termDescriptors" -> descriptorSchema("termDescriptorId"),
     "raceDescriptors" -> descriptorSchema("raceDescriptorId"),
     "sexDescriptors" -> descriptorSchema("sexDescriptorId"),
     "cohortTypeDescriptors" -> descriptorSchema("cohortTypeDescriptorId"),
+    "cohortYearTypeDescriptors" -> descriptorSchema("cohortYearTypeDescriptorId"),
+    "disabilityDesignationDescriptors" -> descriptorSchema("disabilityDesignationDescriptorId"),
+    "languageUseDescriptors" -> descriptorSchema("languageUseDescriptorId"),
     "disabilityDescriptors" -> descriptorSchema("disabilityDescriptorId"),
     "languageDescriptors" -> descriptorSchema("languageDescriptorId"),
     "studentCharacteristicDescriptors" -> descriptorSchema("studentCharacteristicDescriptorId"),
@@ -149,7 +164,13 @@ object EndpointCatalog {
         f("localCourseCode", StringType), f("schoolId", LongType),
         f("schoolYear", LongType), f("sessionName", StringType), f("link", link))),
       f("sectionIdentifier", StringType),
-      f("educationalEnvironmentDescriptor", StringType)),
+      f("educationalEnvironmentDescriptor", StringType),
+      f("classPeriods", arr(s(
+        f("classPeriodReference", s(f("classPeriodName", StringType))))))),
+    "feederSchoolAssociations" -> s(
+      f("feederSchoolReference", s(f("schoolId", LongType))),
+      f("schoolReference", s(f("schoolId", LongType))),
+      f("beginDate", StringType), f("endDate", StringType)),
     "courses" -> s(
       f("id", StringType), f("courseTitle", StringType),
       f("academicSubjectDescriptor", StringType)),

@@ -13,14 +13,17 @@ object AmtRegistry {
   import graft.views.base._
   import graft.views.chrab._
   import graft.views.epp._
+  import graft.views.equity._
   import graft.views.ews._
   import graft.views.rls._
 
   val all: Seq[AmtView] = Seq(
     GradingPeriodDim, DateDim, MostRecentGradingPeriod, SchoolDim,
     StaffSectionDim, StudentSectionDim, StudentSectionGradeFact,
-    AllStudentSchoolDim, StudentSchoolDim,
+    AllStudentSchoolDim, StudentSchoolDim, DemographicsDim,
+    AcademicTimePeriodDim, ClassPeriodDim,
     StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact,
+    FeederSchoolDim,
     RaceDescriptorDim, TermDescriptorDim, SexDescriptorDim,
     RlsStaffClassificationDescriptorScopeList, RlsStudentDataAuthorization)
 

@@ -473,6 +473,87 @@ class AmtViewsSpec extends SparkTestBase {
     assert(!enrolled.head.schema.fieldNames.contains("IsEnrolled"))
   }
 
+  test("demographicsDim: cross-join cohort family + descriptor union (golden)") {
+    val silver = silverWith(
+      "schoolYearTypes" -> """[{"schoolYear": 2022, "currentSchoolYear": true, "schoolYearDescription": "2021-2022"}]""",
+      "cohortYearTypeDescriptors" -> """[
+        {"cohortYearTypeDescriptorId": 1, "codeValue": "First grade", "shortDescription": "First grade"}]""",
+      "disabilityDescriptors" -> """[
+        {"disabilityDescriptorId": 2, "codeValue": "Autism", "shortDescription": "Autism"}]""",
+      "raceDescriptors" -> """[
+        {"raceDescriptorId": 3, "codeValue": "Asian", "shortDescription": "Asian"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("demographicsDim").orderBy("DemographicKey").collect()
+    assert(rows.map(_.getAs[String]("DemographicKey")).toSeq == Seq(
+      "CohortYear:2022-First grade", "Disability:Autism", "Race:Asian"))
+    assert(rows.head.getAs[String]("DemographicParentKey") == "CohortYear")
+    assert(rows.head.getAs[String]("DemographicLabel") == "2022-First grade")
+  }
+
+  test("academicTimePeriodDim: session explode + 4-way join keys (golden)") {
+    val silver = silverWith(
+      "sessions" -> """[
+        {"id": "se-1", "sessionName": "Fall",
+         "termDescriptor": "uri://ed-fi.org/TermDescriptor#Fall Semester",
+         "gradingPeriods": [{"gradingPeriodReference": {
+            "schoolId": 100, "schoolYear": 2022,
+            "gradingPeriodDescriptor": "uri://ed-fi.org/GradingPeriodDescriptor#First Six Weeks",
+            "periodSequence": 1,
+            "link": {"rel": "GradingPeriod", "href": "/ed-fi/gradingPeriods/gp-1"}}}]}
+      ]""",
+      "gradingPeriods" -> """[
+        {"id": "gp-1", "schoolReference": {"schoolId": 100},
+         "schoolYearTypeReference": {"schoolYear": 2022},
+         "gradingPeriodDescriptor": "uri://ed-fi.org/GradingPeriodDescriptor#First Six Weeks",
+         "beginDate": "2021-08-23", "endDate": "2021-10-01",
+         "totalInstructionalDays": 29, "periodSequence": 1}
+      ]""",
+      "gradingPeriodDescriptors" -> gradingPeriodDescriptorsJson,
+      "termDescriptors" -> """[
+        {"termDescriptorId": 9, "codeValue": "Fall Semester", "description": "Fall Semester"}]""",
+      "schoolYearTypes" -> """[
+        {"schoolYear": 2022, "currentSchoolYear": true, "schoolYearDescription": "2021-2022"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("academicTimePeriodDim").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("AcademicTimePeriodKey") == "100-2022-9-123-20210823")
+    assert(r.getAs[String]("SessionKey") == "100-2022-Fall")
+    assert(r.getAs[String]("GradingPeriodKey") == "123-100-20210823")
+    assert(r.getAs[Int]("IsCurrentSchoolYear") == 1)
+    assert(r.getAs[String]("TermName") == "Fall Semester")
+    assert(r.getAs[String]("SchoolYearName") == "2021-2022")
+  }
+
+  test("classPeriodDim + feederSchoolDim (golden)") {
+    val silver = silverWith(
+      "sections" -> """[
+        {"id": "sec-1", "sectionIdentifier": "ALG1-01",
+         "courseOfferingReference": {"localCourseCode": "ALG-1", "schoolId": 100,
+           "schoolYear": 2022, "sessionName": "Fall"},
+         "classPeriods": [{"classPeriodReference": {"classPeriodName": "Period 1"}}]}
+      ]""",
+      "feederSchoolAssociations" -> """[
+        {"feederSchoolReference": {"schoolId": 99}, "schoolReference": {"schoolId": 100}},
+        {"feederSchoolReference": {"schoolId": 98}, "schoolReference": {"schoolId": 100},
+         "endDate": "2020-01-01"}
+      ]""",
+      "schools" -> """[
+        {"schoolId": 99, "nameOfInstitution": "Feeder Elementary"},
+        {"schoolId": 98, "nameOfInstitution": "Old Feeder"}
+      ]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val cp = p.view("classPeriodDim").collect()
+    assert(cp.length == 1)
+    assert(cp.head.getAs[String]("ClassPeriodKey") == "Period 1-ALG-1-100-2022-ALG1-01-Fall")
+    assert(cp.head.getAs[String]("SectionKey") == "100-ALG-1-2022-ALG1-01-Fall")
+
+    val fs = p.view("equity_feederSchoolDim").collect()
+    assert(fs.length == 1) // expired feeder relation filtered
+    assert(fs.head.getAs[String]("feederSchoolUniqueKey") == "100-99")
+    assert(fs.head.getAs[String]("feederSchoolName") == "Feeder Elementary")
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
