@@ -99,14 +99,25 @@ object EndpointCatalog {
         f("stateAbbreviationDescriptor", StringType),
         f("streetNumberName", StringType), f("city", StringType),
         f("nameOfCounty", StringType), f("postalCode", StringType)))),
-      f("gradeLevels", arr(s(f("gradeLevelDescriptor", StringType))))),
+      f("gradeLevels", arr(s(f("gradeLevelDescriptor", StringType)))),
+      f("educationOrganizationCategories", arr(s(
+        f("educationOrganizationCategoryDescriptor", StringType))))),
     "localEducationAgencies" -> s(
+      f("id", StringType),
       f("localEducationAgencyId", LongType), f("nameOfInstitution", StringType),
-      f("educationServiceCenterReference", s(f("educationServiceCenterId", LongType)))),
+      f("localEducationAgencyCategoryDescriptor", StringType),
+      f("charterStatusDescriptor", StringType),
+      f("parentLocalEducationAgencyReference", s(f("localEducationAgencyId", LongType))),
+      f("educationServiceCenterReference",
+        s(f("educationServiceCenterId", LongType), f("link", link))),
+      f("stateEducationAgencyReference",
+        s(f("stateEducationAgencyId", LongType), f("link", link)))),
     "educationServiceCenters" -> s(
+      f("id", StringType),
       f("educationServiceCenterId", LongType), f("nameOfInstitution", StringType),
       f("stateEducationAgencyReference", s(f("stateEducationAgencyId", LongType)))),
     "stateEducationAgencies" -> s(
+      f("id", StringType),
       f("stateEducationAgencyId", LongType), f("nameOfInstitution", StringType)),
     "grades" -> s(
       f("gradingPeriodReference", s(

@@ -21,11 +21,12 @@ object AmtRegistry {
     GradingPeriodDim, DateDim, MostRecentGradingPeriod, SchoolDim,
     StaffSectionDim, StudentSectionDim, StudentSectionGradeFact,
     AllStudentSchoolDim, StudentSchoolDim, DemographicsDim,
-    AcademicTimePeriodDim, ClassPeriodDim,
+    AcademicTimePeriodDim, ClassPeriodDim, LocalEducationAgencyDim,
     StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact,
     FeederSchoolDim,
-    RaceDescriptorDim, TermDescriptorDim, SexDescriptorDim,
-    RlsStaffClassificationDescriptorScopeList, RlsStudentDataAuthorization)
+    RaceDescriptorDim, TermDescriptorDim, SexDescriptorDim, EppDim,
+    RlsStaffClassificationDescriptorScopeList, RlsStudentDataAuthorization,
+    RlsUserDim)
 
   val byName: Map[String, AmtView] = all.map(v => v.name -> v).toMap
 }

@@ -23,6 +23,28 @@ object RlsStaffClassificationDescriptorScopeList extends AmtView {
         col("codeValue").as("CodeValue"))
 }
 
+/** RLS user dimension — reference parquet/amt/rls/rls_user_dim/main.py:
+  * 26-99: staff joined to their exploded e-mails, kept only when the mail
+  * type maps to the Email.Work constant. */
+object RlsUserDim extends AmtView {
+  val name = "rls_userDim"
+  val collection = "rls"
+  val outputColumns = Seq("UserKey", "UserEmail")
+  val endpointDeps = Seq("staffs")
+
+  def build(ctx: ViewContext): DataFrame = {
+    val mails = ctx.endpoint("staffs")
+      .withColumn("mail", explode(col("electronicMails")))
+      .select(
+        col("staffUniqueId").as("UserKey"),
+        col("mail.electronicMailAddress").as("UserEmail"),
+        col("mail.electronicMailTypeDescriptor").as("mailType"))
+    DescriptorMap.withConstant(mails, "mailType")
+      .filter(coalesce(col("mailType_constantName").contains("Email.Work"), lit(false)))
+      .select(outputColumns.map(col): _*)
+  }
+}
+
 /** RLS student-section authorization — reference
   * parquet/amt/rls/rls_student_data_authorization/main.py:29-89: enrollment
   * spans per student-section with the section id recovered from the API

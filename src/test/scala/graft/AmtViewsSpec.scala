@@ -554,6 +554,58 @@ class AmtViewsSpec extends SparkTestBase {
     assert(fs.head.getAs[String]("feederSchoolName") == "Feeder Elementary")
   }
 
+  test("localEducationAgencyDim, rls_userDim, epp_eppDim (golden)") {
+    val silver = silverWith(
+      "localEducationAgencies" -> """[
+        {"id": "lea-1", "localEducationAgencyId": 9000, "nameOfInstitution": "Grand Bend ISD",
+         "localEducationAgencyCategoryDescriptor": "uri://ed-fi.org/LocalEducationAgencyCategoryDescriptor#Independent",
+         "charterStatusDescriptor": "uri://ed-fi.org/CharterStatusDescriptor#Not a Charter",
+         "educationServiceCenterReference": {"educationServiceCenterId": 255950,
+           "link": {"rel": "EducationServiceCenter", "href": "/ed-fi/educationServiceCenters/esc-1"}},
+         "stateEducationAgencyReference": {"stateEducationAgencyId": 48,
+           "link": {"rel": "StateEducationAgency", "href": "/ed-fi/stateEducationAgencies/sea-1"}}},
+        {"id": "lea-2", "localEducationAgencyId": 9001, "nameOfInstitution": "Orphan ISD",
+         "localEducationAgencyCategoryDescriptor": "uri://ed-fi.org/LocalEducationAgencyCategoryDescriptor#Independent"}
+      ]""",
+      "stateEducationAgencies" -> """[
+        {"id": "sea-1", "stateEducationAgencyId": 48, "nameOfInstitution": "Texas Education Agency"}]""",
+      "educationServiceCenters" -> """[
+        {"id": "esc-1", "educationServiceCenterId": 255950, "nameOfInstitution": "Region 99",
+         "stateEducationAgencyReference": {"stateEducationAgencyId": 48}}]""",
+      "staffs" -> """[
+        {"id": "st-1", "staffUniqueId": "207220", "firstName": "Jane", "lastSurname": "Smith",
+         "electronicMails": [
+           {"electronicMailAddress": "jane@school.edu",
+            "electronicMailTypeDescriptor": "uri://ed-fi.org/ElectronicMailTypeDescriptor#Work"},
+           {"electronicMailAddress": "jane@home.net",
+            "electronicMailTypeDescriptor": "uri://ed-fi.org/ElectronicMailTypeDescriptor#Home/Personal"}]}
+      ]""",
+      "schools" -> """[
+        {"schoolId": 77, "nameOfInstitution": "Teachers College",
+         "educationOrganizationCategories": [{"educationOrganizationCategoryDescriptor":
+           "uri://ed-fi.org/EducationOrganizationCategoryDescriptor#Educator Preparation Provider"}]},
+        {"schoolId": 100, "nameOfInstitution": "Regular High",
+         "educationOrganizationCategories": [{"educationOrganizationCategoryDescriptor":
+           "uri://ed-fi.org/EducationOrganizationCategoryDescriptor#School"}]}
+      ]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+
+    val leas = p.view("localEducationAgencyDim").orderBy("LocalEducationAgencyKey").collect()
+    assert(leas.length == 2)
+    assert(leas.head.getAs[String]("LocalEducationAgencyType") == "Independent")
+    assert(leas.head.getAs[String]("LocalEducationAgencyStateEducationAgencyName") == "Texas Education Agency")
+    assert(leas.head.getAs[String]("LocalEducationAgencyServiceCenterKey") == "255950")
+    assert(leas(1).getAs[String]("LocalEducationAgencyStateEducationAgencyName") == "")
+
+    val users = p.view("rls_userDim").collect()
+    assert(users.length == 1) // personal mail filtered out
+    assert(users.head.getAs[String]("UserEmail") == "jane@school.edu")
+
+    val epps = p.view("epp_eppDim").collect()
+    assert(epps.length == 1)
+    assert(epps.head.getAs[String]("EducationOrganizationKey") == "77")
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
