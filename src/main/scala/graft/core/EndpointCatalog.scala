@@ -178,6 +178,26 @@ object EndpointCatalog {
       f("educationalEnvironmentDescriptor", StringType),
       f("classPeriods", arr(s(
         f("classPeriodReference", s(f("classPeriodName", StringType))))))),
+    "disciplineActions" -> s(
+      f("disciplineActionIdentifier", StringType),
+      f("disciplineDate", StringType),
+      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("disciplines", arr(s(f("disciplineDescriptor", StringType)))),
+      f("staffs", arr(s(
+        f("staffReference", s(f("staffUniqueId", StringType), f("link", link))))))),
+    "disciplineDescriptors" -> descriptorSchema("disciplineDescriptorId"),
+    "programs" -> s(
+      f("id", StringType), f("programName", StringType),
+      f("programTypeDescriptor", StringType),
+      f("educationOrganizationReference", s(f("educationOrganizationId", LongType)))),
+    "programTypeDescriptors" -> descriptorSchema("programTypeDescriptorId"),
+    "studentProgramAssociations" -> s(
+      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("beginDate", StringType), f("endDate", StringType),
+      f("programReference", s(
+        f("programName", StringType), f("programTypeDescriptor", StringType),
+        f("educationOrganizationId", LongType), f("link", link))),
+      f("educationOrganizationReference", s(f("educationOrganizationId", LongType)))),
     "feederSchoolAssociations" -> s(
       f("feederSchoolReference", s(f("schoolId", LongType))),
       f("schoolReference", s(f("schoolId", LongType))),

@@ -22,8 +22,9 @@ object AmtRegistry {
     StaffSectionDim, StudentSectionDim, StudentSectionGradeFact,
     AllStudentSchoolDim, StudentSchoolDim, DemographicsDim,
     AcademicTimePeriodDim, ClassPeriodDim, LocalEducationAgencyDim,
+    StudentProgramDim,
     StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact,
-    FeederSchoolDim,
+    FeederSchoolDim, StudentDisciplineActionDim,
     RaceDescriptorDim, TermDescriptorDim, SexDescriptorDim, EppDim,
     RlsStaffClassificationDescriptorScopeList, RlsStudentDataAuthorization,
     RlsUserDim)

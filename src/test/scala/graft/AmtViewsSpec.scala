@@ -606,6 +606,52 @@ class AmtViewsSpec extends SparkTestBase {
     assert(epps.head.getAs[String]("EducationOrganizationKey") == "77")
   }
 
+  test("studentProgramDim + studentDisciplineActionDim (golden)") {
+    val silver = silverWith(
+      "studentProgramAssociations" -> """[
+        {"studentReference": {"studentUniqueId": "s1"}, "beginDate": "2021-09-01",
+         "programReference": {"programName": "Gifted",
+           "programTypeDescriptor": "uri://ed-fi.org/ProgramTypeDescriptor#Gifted and Talented",
+           "educationOrganizationId": 9000,
+           "link": {"rel": "Program", "href": "/ed-fi/programs/pr-1"}},
+         "educationOrganizationReference": {"educationOrganizationId": 100}}
+      ]""",
+      "programTypeDescriptors" -> """[
+        {"programTypeDescriptorId": 5, "codeValue": "Gifted and Talented"}]""",
+      "programs" -> """[
+        {"id": "pr-1", "programName": "Gifted",
+         "programTypeDescriptor": "uri://ed-fi.org/ProgramTypeDescriptor#Gifted and Talented",
+         "educationOrganizationReference": {"educationOrganizationId": 9000}}]""",
+      "studentSchoolAssociations" -> """[
+        {"schoolReference": {"schoolId": 100}, "studentReference": {"studentUniqueId": "s1"},
+         "entryDate": "2021-08-23"}
+      ]""",
+      "disciplineActions" -> """[
+        {"disciplineActionIdentifier": "DA-1", "disciplineDate": "2021-11-04",
+         "studentReference": {"studentUniqueId": "s1"},
+         "disciplines": [{"disciplineDescriptor": "uri://ed-fi.org/DisciplineDescriptor#In School Suspension"}],
+         "staffs": [{"staffReference": {"staffUniqueId": "207220"}}]}
+      ]""",
+      "disciplineDescriptors" -> """[
+        {"disciplineDescriptorId": 7, "codeValue": "In School Suspension",
+         "description": "In School Suspension"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+
+    val programs = p.view("studentProgramDim").collect()
+    assert(programs.length == 1)
+    assert(programs.head.getAs[String]("StudentSchoolProgramKey") ==
+      "s1-100-Gifted-5-100-9000-20210901")
+    assert(programs.head.getAs[String]("EducationOrganizationId") == "9000")
+    assert(programs.head.getAs[String]("EducationOrganizationKey") == "100")
+
+    val actions = p.view("equity_studentDisciplineActionDim").collect()
+    assert(actions.length == 1)
+    assert(actions.head.getAs[String]("StudentDisciplineActionKey") ==
+      "DA-1-20211104-s1-100")
+    assert(actions.head.getAs[String]("DisciplineActionDescription") == "In School Suspension")
+    assert(actions.head.getAs[String]("UserKey") == "207220")
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
