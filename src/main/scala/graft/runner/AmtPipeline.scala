@@ -24,7 +24,7 @@ object AmtRegistry {
     AcademicTimePeriodDim, ClassPeriodDim, LocalEducationAgencyDim,
     StudentProgramDim,
     StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact,
-    FeederSchoolDim, StudentDisciplineActionDim,
+    FeederSchoolDim, StudentDisciplineActionDim, StudentHistoryDim,
     RaceDescriptorDim, TermDescriptorDim, SexDescriptorDim, EppDim,
     RlsStaffClassificationDescriptorScopeList, RlsStudentDataAuthorization,
     RlsUserDim)

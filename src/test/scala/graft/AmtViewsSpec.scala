@@ -652,6 +652,88 @@ class AmtViewsSpec extends SparkTestBase {
     assert(actions.head.getAs[String]("UserKey") == "207220")
   }
 
+  test("studentHistoryDim: 6-view DAG integration (golden)") {
+    val silver = silverWith(
+      "studentSchoolAssociations" -> """[
+        {"schoolReference": {"schoolId": 100}, "schoolYearTypeReference": {"schoolYear": 2022},
+         "studentReference": {"studentUniqueId": "s1"}, "entryDate": "2021-08-23"}
+      ]""",
+      "students" -> """[
+        {"studentUniqueId": "s1", "firstName": "Ana", "lastSurname": "Lopez"}]""",
+      "schools" -> """[
+        {"schoolId": 100, "nameOfInstitution": "Grand Bend High",
+         "schoolTypeDescriptor": "uri://ed-fi.org/SchoolTypeDescriptor#Regular",
+         "addresses": [{"addressTypeDescriptor": "uri://ed-fi.org/AddressTypeDescriptor#Physical",
+           "stateAbbreviationDescriptor": "uri://ed-fi.org/StateAbbreviationDescriptor#TX",
+           "streetNumberName": "1 Main", "city": "GB", "nameOfCounty": "W"}]}]""",
+      "studentEducationOrganizationAssociations" -> "[]",
+      "calendarDates" -> """[
+        {"date": "2021-09-13", "calendarReference": {"schoolId": 100, "schoolYear": 2022, "calendarCode": "C"},
+         "calendarEvents": [{"calendarEventDescriptor": "uri://ed-fi.org/CalendarEventDescriptor#Instructional day"}]},
+        {"date": "2021-09-14", "calendarReference": {"schoolId": 100, "schoolYear": 2022, "calendarCode": "C"},
+         "calendarEvents": [{"calendarEventDescriptor": "uri://ed-fi.org/CalendarEventDescriptor#Instructional day"}]}
+      ]""",
+      "studentSchoolAttendanceEvents" -> "[]",
+      "studentSectionAttendanceEvents" -> """[
+        {"schoolReference": {"schoolId": 100},
+         "sectionReference": {"localCourseCode": "ALG-1", "schoolId": 100, "schoolYear": 2022,
+           "sectionIdentifier": "A", "sessionName": "Fall"},
+         "studentReference": {"studentUniqueId": "s1"}, "eventDate": "2021-09-13",
+         "attendanceEventCategoryDescriptor": "uri://ed-fi.org/AttendanceEventCategoryDescriptor#Unexcused Absence"}
+      ]""",
+      "studentSectionAssociations" -> """[
+        {"sectionReference": {"localCourseCode": "ALG-1", "schoolId": 100, "schoolYear": 2022,
+           "sectionIdentifier": "A", "sessionName": "Fall",
+           "link": {"rel": "Section", "href": "/ed-fi/sections/sec-1"}},
+         "studentReference": {"studentUniqueId": "s1"},
+         "beginDate": "2021-08-23", "homeroomIndicator": true}
+      ]""",
+      "sections" -> """[
+        {"id": "sec-1", "sectionIdentifier": "A",
+         "courseOfferingReference": {"localCourseCode": "ALG-1", "schoolId": 100,
+           "schoolYear": 2022, "sessionName": "Fall",
+           "link": {"rel": "CourseOffering", "href": "/ed-fi/courseOfferings/co-1"}}}]""",
+      "courseOfferings" -> """[
+        {"id": "co-1", "courseReference": {"courseCode": "ALG-1",
+          "link": {"rel": "Course", "href": "/ed-fi/courses/crs-1"}}}]""",
+      "courses" -> """[
+        {"id": "crs-1", "courseTitle": "Algebra I",
+         "academicSubjectDescriptor": "uri://ed-fi.org/AcademicSubjectDescriptor#Mathematics"}]""",
+      "academicSubjectDescriptors" -> """[
+        {"academicSubjectDescriptorId": 10, "codeValue": "Mathematics", "description": "Mathematics"}]""",
+      "staffSectionAssociations" -> "[]",
+      "staffs" -> "[]",
+      "grades" -> """[
+        {"gradingPeriodReference": {
+           "gradingPeriodDescriptor": "uri://ed-fi.org/GradingPeriodDescriptor#First Six Weeks",
+           "periodSequence": 1, "schoolId": 100, "schoolYear": 2022},
+         "studentSectionAssociationReference": {
+           "studentUniqueId": "s1", "schoolId": 100, "beginDate": "2021-08-23",
+           "localCourseCode": "ALG-1", "schoolYear": 2022,
+           "sectionIdentifier": "A", "sessionName": "Fall"},
+         "gradeTypeDescriptor": "uri://ed-fi.org/GradeTypeDescriptor#Grading Period",
+         "numericGradeEarned": 88}
+      ]""",
+      "disciplineActions" -> """[
+        {"disciplineActionIdentifier": "DA-1", "disciplineDate": "2021-11-04",
+         "studentReference": {"studentUniqueId": "s1"},
+         "disciplines": [{"disciplineDescriptor": "uri://ed-fi.org/DisciplineDescriptor#In School Suspension"}],
+         "staffs": []}]""",
+      "disciplineDescriptors" -> """[
+        {"disciplineDescriptorId": 7, "codeValue": "In School Suspension",
+         "description": "In School Suspension"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("equity_studentHistoryDim").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("StudentSchoolKey") == "s1-100")
+    assert(r.getAs[String]("CurrentSchoolKey") == "100")
+    assert(r.getAs[Double]("AttendanceRate") == 50.0) // absent 1 of 2 days
+    assert(r.getAs[Long]("ReferralsAndSuspensions") == 1L)
+    assert(r.getAs[String]("GradeSummary") == "Algebra I: 88.0")
+    assert(r.getAs[String]("EnrollmentHistory") == "Grand Bend High")
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
