@@ -165,8 +165,9 @@ object EndpointCatalog {
       f("beginDate", StringType), f("endDate", StringType),
       f("classroomPositionDescriptor", StringType)),
     "staffEducationOrganizationAssignmentAssociations" -> s(
-      f("staffReference", s(f("staffUniqueId", StringType))),
-      f("educationOrganizationReference", s(f("educationOrganizationId", LongType))),
+      f("staffReference", s(f("staffUniqueId", StringType), f("link", link))),
+      f("educationOrganizationReference",
+        s(f("educationOrganizationId", LongType), f("link", link))),
       f("staffClassificationDescriptor", StringType),
       f("beginDate", StringType), f("endDate", StringType)),
     "sections" -> s(
@@ -174,7 +175,7 @@ object EndpointCatalog {
       f("courseOfferingReference", s(
         f("localCourseCode", StringType), f("schoolId", LongType),
         f("schoolYear", LongType), f("sessionName", StringType), f("link", link))),
-      f("sectionIdentifier", StringType),
+      f("sectionIdentifier", StringType), f("sectionName", StringType),
       f("educationalEnvironmentDescriptor", StringType),
       f("classPeriods", arr(s(
         f("classPeriodReference", s(f("classPeriodName", StringType))))))),
@@ -203,11 +204,16 @@ object EndpointCatalog {
       f("schoolReference", s(f("schoolId", LongType))),
       f("beginDate", StringType), f("endDate", StringType)),
     "courses" -> s(
-      f("id", StringType), f("courseTitle", StringType),
-      f("academicSubjectDescriptor", StringType)),
+      f("id", StringType), f("courseCode", StringType),
+      f("courseTitle", StringType),
+      f("academicSubjectDescriptor", StringType),
+      f("educationOrganizationReference", s(f("educationOrganizationId", LongType)))),
     "courseOfferings" -> s(
       f("id", StringType),
-      f("courseReference", s(f("courseCode", StringType), f("link", link)))),
+      f("courseReference", s(f("courseCode", StringType), f("link", link))),
+      f("sessionReference", s(f("sessionName", StringType), f("link", link))),
+      f("schoolReference", s(f("schoolId", LongType), f("link", link)))),
+    "educationalEnvironmentDescriptors" -> descriptorSchema("educationalEnvironmentDescriptorId"),
     "academicSubjectDescriptors" -> s(
       f("academicSubjectDescriptorId", LongType), f("codeValue", StringType),
       f("description", StringType), f("namespace", StringType),

@@ -26,8 +26,9 @@ object AmtRegistry {
     StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact,
     FeederSchoolDim, StudentDisciplineActionDim, StudentHistoryDim,
     RaceDescriptorDim, TermDescriptorDim, SexDescriptorDim, EppDim,
+    SectionDim,
     RlsStaffClassificationDescriptorScopeList, RlsStudentDataAuthorization,
-    RlsUserDim)
+    RlsUserDim, RlsUserAuthorization)
 
   val byName: Map[String, AmtView] = all.map(v => v.name -> v).toMap
 }

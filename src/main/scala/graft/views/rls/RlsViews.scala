@@ -23,6 +23,76 @@ object RlsStaffClassificationDescriptorScopeList extends AmtView {
         col("codeValue").as("CodeValue"))
 }
 
+/** RLS user authorization — reference
+  * parquet/amt/rls/rls_user_authorization/main.py:34-285.
+  *
+  * Staff ed-org assignments restricted to AuthorizationScope.* roles,
+  * left-joined to the staff's section assignments. Permission columns are
+  * scope-conditional (the reference's `.loc[mask] =` cascade →
+  * when/otherwise): District/School scopes grant 'ALL' sections;
+  * Section scope grants the specific section (id and 5-part key);
+  * District additionally carries its org id. Section-scope rows require a
+  * currently-active section assignment (endDate ≥ today). */
+object RlsUserAuthorization extends AmtView {
+  val name = "rls_userAuthorization"
+  val collection = "rls"
+  val outputColumns = Seq(
+    "UserKey", "UserScope", "StudentPermission", "SectionPermission",
+    "SectionKeyPermission", "SchoolPermission", "DistrictId")
+  val endpointDeps = Seq(
+    "staffEducationOrganizationAssignmentAssociations", "staffSectionAssociations")
+
+  def build(ctx: ViewContext): DataFrame = {
+    val assignments = DescriptorMap.withConstant(
+      ctx.endpoint("staffEducationOrganizationAssignmentAssociations").select(
+        col("staffReference.staffUniqueId").as("UserKey"),
+        Descriptors.idFromHref(col("staffReference.link.href")).as("staffReferenceId"),
+        col("staffClassificationDescriptor"),
+        col("educationOrganizationReference.educationOrganizationId").as("edOrgId")),
+      "staffClassificationDescriptor")
+      .withColumnRenamed("staffClassificationDescriptor_constantName", "UserScope")
+      .filter(col("UserScope").startsWith("AuthorizationScope."))
+
+    val sections = ctx.endpoint("staffSectionAssociations").select(
+      Descriptors.idFromHref(col("staffReference.link.href")).as("staffReferenceId"),
+      Descriptors.idFromHref(col("sectionReference.link.href")).as("sectionReferenceId"),
+      DateKeys.dateKey(col("endDate")).as("sectionEndKey"),
+      concat_ws("-",
+        col("sectionReference.schoolId").cast("string"),
+        col("sectionReference.localCourseCode"),
+        col("sectionReference.schoolYear").cast("string"),
+        col("sectionReference.sectionIdentifier"),
+        col("sectionReference.sessionName")).as("sectionKey"))
+      .distinct()
+
+    val districtOrSchool = col("UserScope").isin(
+      "AuthorizationScope.District", "AuthorizationScope.School")
+    val isSection = col("UserScope") === "AuthorizationScope.Section"
+
+    assignments
+      .join(sections, Seq("staffReferenceId"), "left")
+      .filter(districtOrSchool ||
+        (col("sectionEndKey") >= DateKeys.todayKey && col("sectionReferenceId").isNotNull))
+      .select(
+        col("UserKey"),
+        col("UserScope"),
+        lit("ALL").as("StudentPermission"),
+        when(districtOrSchool, "ALL")
+          .when(isSection, col("sectionReferenceId")).otherwise("")
+          .as("SectionPermission"),
+        when(districtOrSchool, "ALL")
+          .when(isSection, col("sectionKey")).otherwise("")
+          .as("SectionKeyPermission"),
+        when(col("UserScope") === "AuthorizationScope.District", "ALL")
+          .otherwise(col("edOrgId").cast("string")).as("SchoolPermission"),
+        when(col("UserScope") === "AuthorizationScope.District",
+          col("edOrgId").cast("string")).otherwise("").as("DistrictId"))
+      .na.fill("", Seq("SectionPermission", "SectionKeyPermission", "DistrictId"))
+      .distinct()
+      .select(outputColumns.map(col): _*)
+  }
+}
+
 /** RLS user dimension — reference parquet/amt/rls/rls_user_dim/main.py:
   * 26-99: staff joined to their exploded e-mails, kept only when the mail
   * type maps to the Email.Work constant. */

@@ -734,6 +734,78 @@ class AmtViewsSpec extends SparkTestBase {
     assert(r.getAs[String]("EnrollmentHistory") == "Grand Bend High")
   }
 
+  test("sectionDim + rls_userAuthorization (golden)") {
+    val silver = silverWith(
+      "sections" -> """[
+        {"id": "sec-1", "sectionIdentifier": "A", "sectionName": "Alg A",
+         "educationalEnvironmentDescriptor": "uri://ed-fi.org/EducationalEnvironmentDescriptor#Classroom",
+         "courseOfferingReference": {"localCourseCode": "ALG-1", "schoolId": 100,
+           "schoolYear": 2022, "sessionName": "Fall",
+           "link": {"rel": "CourseOffering", "href": "/ed-fi/courseOfferings/co-1"}}}]""",
+      "courseOfferings" -> """[
+        {"id": "co-1",
+         "courseReference": {"courseCode": "ALG-1", "link": {"rel": "Course", "href": "/c/crs-1"}},
+         "sessionReference": {"sessionName": "Fall", "link": {"rel": "Session", "href": "/s/se-1"}},
+         "schoolReference": {"schoolId": 100, "link": {"rel": "School", "href": "/sch/sch-1"}}}]""",
+      "courses" -> """[
+        {"id": "crs-1", "courseTitle": "Algebra I",
+         "academicSubjectDescriptor": "uri://ed-fi.org/AcademicSubjectDescriptor#Mathematics"}]""",
+      "sessions" -> """[
+        {"id": "se-1", "sessionName": "Fall",
+         "termDescriptor": "uri://ed-fi.org/TermDescriptor#Fall Semester"}]""",
+      "schools" -> """[
+        {"schoolId": 100, "nameOfInstitution": "GBH",
+         "localEducationAgencyReference": {"localEducationAgencyId": 9000}}]""",
+      "academicSubjectDescriptors" -> """[
+        {"academicSubjectDescriptorId": 10, "codeValue": "Mathematics",
+         "description": "Math", "namespace": "uri://ed-fi.org/AcademicSubjectDescriptor"}]""",
+      "termDescriptors" -> """[
+        {"termDescriptorId": 9, "codeValue": "Fall Semester",
+         "description": "Fall Sem", "namespace": "uri://ed-fi.org/TermDescriptor"}]""",
+      "educationalEnvironmentDescriptors" -> """[
+        {"educationalEnvironmentDescriptorId": 3, "codeValue": "Classroom",
+         "description": "Classroom", "namespace": "uri://ed-fi.org/EducationalEnvironmentDescriptor"}]""",
+      "staffEducationOrganizationAssignmentAssociations" -> """[
+        {"staffReference": {"staffUniqueId": "207220", "link": {"rel": "Staff", "href": "/st/st-1"}},
+         "educationOrganizationReference": {"educationOrganizationId": 9000},
+         "staffClassificationDescriptor": "uri://ed-fi.org/StaffClassificationDescriptor#Superintendent"},
+        {"staffReference": {"staffUniqueId": "207221", "link": {"rel": "Staff", "href": "/st/st-2"}},
+         "educationOrganizationReference": {"educationOrganizationId": 100},
+         "staffClassificationDescriptor": "uri://ed-fi.org/StaffClassificationDescriptor#Teacher"},
+        {"staffReference": {"staffUniqueId": "207222", "link": {"rel": "Staff", "href": "/st/st-3"}},
+         "educationOrganizationReference": {"educationOrganizationId": 100},
+         "staffClassificationDescriptor": "uri://ed-fi.org/StaffClassificationDescriptor#Custodian"}]""",
+      "staffSectionAssociations" -> """[
+        {"staffReference": {"staffUniqueId": "207221", "link": {"rel": "Staff", "href": "/st/st-2"}},
+         "sectionReference": {"localCourseCode": "ALG-1", "schoolId": 100, "schoolYear": 2022,
+           "sectionIdentifier": "A", "sessionName": "Fall",
+           "link": {"rel": "Section", "href": "/ed-fi/sections/sec-1"}},
+         "endDate": "2099-05-27"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+
+    val secs = p.view("sectionDim").collect()
+    assert(secs.length == 1)
+    assert(secs.head.getAs[String]("SectionKey") == "100-ALG-1-2022-A-Fall")
+    assert(secs.head.getAs[String]("Description") == "Math-(ALG-1)-Algebra I-Fall Sem")
+    assert(secs.head.getAs[String]("EducationalEnvironmentDescriptor") == "Classroom")
+    assert(secs.head.getAs[String]("LocalEducationAgencyKey") == "9000")
+    assert(secs.head.getAs[String]("SessionKey") == "100-2022-Fall")
+
+    val auth = p.view("rls_userAuthorization").orderBy("UserKey").collect()
+    assert(auth.length == 2) // Custodian (no auth scope) dropped
+    val superintendent = auth.head
+    assert(superintendent.getAs[String]("UserScope") == "AuthorizationScope.District")
+    assert(superintendent.getAs[String]("SectionPermission") == "ALL")
+    assert(superintendent.getAs[String]("SchoolPermission") == "ALL")
+    assert(superintendent.getAs[String]("DistrictId") == "9000")
+    val teacher = auth(1)
+    assert(teacher.getAs[String]("UserScope") == "AuthorizationScope.Section")
+    assert(teacher.getAs[String]("SectionPermission") == "sec-1")
+    assert(teacher.getAs[String]("SectionKeyPermission") == "100-ALG-1-2022-A-Fall")
+    assert(teacher.getAs[String]("SchoolPermission") == "100")
+    assert(teacher.getAs[String]("DistrictId") == "")
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
