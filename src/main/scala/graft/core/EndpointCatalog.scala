@@ -229,6 +229,16 @@ object EndpointCatalog {
       f("studentCharacteristics", arr(s(
         f("studentCharacteristicDescriptor", StringType),
         f("periods", arr(s(f("beginDate", StringType), f("endDate", StringType))))))),
+      f("cohortYears", arr(s(
+        f("cohortYearTypeDescriptor", StringType),
+        f("schoolYearTypeReference", s(f("schoolYear", LongType)))))),
+      f("languages", arr(s(
+        f("languageDescriptor", StringType),
+        f("uses", arr(s(f("languageUseDescriptor", StringType))))))),
+      f("disabilities", arr(s(
+        f("disabilityDescriptor", StringType),
+        f("designations", arr(s(f("disabilityDesignationDescriptor", StringType))))))),
+      f("tribalAffiliations", arr(s(f("tribalAffiliationDescriptor", StringType)))),
       f("studentIndicators", arr(s(
         f("indicatorName", StringType), f("indicator", StringType),
         f("indicatorGroup", StringType)))))

@@ -21,6 +21,7 @@ object AmtRegistry {
     GradingPeriodDim, DateDim, MostRecentGradingPeriod, SchoolDim,
     StaffSectionDim, StudentSectionDim, StudentSectionGradeFact,
     AllStudentSchoolDim, StudentSchoolDim, DemographicsDim,
+    StudentSchoolDemographicsBridge, StudentLeaDemographicsBridge,
     AcademicTimePeriodDim, ClassPeriodDim, LocalEducationAgencyDim,
     StudentProgramDim,
     StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact,

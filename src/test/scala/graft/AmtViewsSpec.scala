@@ -806,6 +806,45 @@ class AmtViewsSpec extends SparkTestBase {
     assert(teacher.getAs[String]("DistrictId") == "")
   }
 
+  test("demographics bridges: explode families, derived fan-out, active periods (golden)") {
+    val silver = silverWith(
+      "studentSchoolAssociations" -> """[
+        {"schoolReference": {"schoolId": 100}, "studentReference": {"studentUniqueId": "s1"},
+         "entryDate": "2021-08-23"}]""",
+      "schools" -> """[
+        {"schoolId": 100, "nameOfInstitution": "GBH",
+         "localEducationAgencyReference": {"localEducationAgencyId": 9000}}]""",
+      "studentEducationOrganizationAssociations" -> """[
+        {"id": "e1", "educationOrganizationReference": {"educationOrganizationId": 100},
+         "studentReference": {"studentUniqueId": "s1"},
+         "races": [{"raceDescriptor": "uri://ed-fi.org/RaceDescriptor#Asian"}],
+         "languages": [{"languageDescriptor": "uri://ed-fi.org/LanguageDescriptor#Spanish",
+           "uses": [{"languageUseDescriptor": "uri://ed-fi.org/LanguageUseDescriptor#Home language"}]}],
+         "cohortYears": [{"cohortYearTypeDescriptor": "uri://ed-fi.org/CohortYearTypeDescriptor#First grade",
+           "schoolYearTypeReference": {"schoolYear": 2022}}],
+         "studentCharacteristics": [
+           {"studentCharacteristicDescriptor": "uri://ed-fi.org/StudentCharacteristicDescriptor#Foster Care",
+            "periods": [{"beginDate": "2021-08-23", "endDate": "2020-01-01"}]},
+           {"studentCharacteristicDescriptor": "uri://ed-fi.org/StudentCharacteristicDescriptor#Homeless",
+            "periods": [{"beginDate": "2021-08-23"}]}]},
+        {"id": "e2", "educationOrganizationReference": {"educationOrganizationId": 9000},
+         "studentReference": {"studentUniqueId": "s1"},
+         "races": [{"raceDescriptor": "uri://ed-fi.org/RaceDescriptor#Asian"}]}
+      ]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val keys = p.view("studentSchoolDemographicsBridge")
+      .collect().map(_.getAs[String]("DemographicKey")).toSet
+    assert(keys == Set(
+      "CohortYear:2022-First grade", "Race:Asian", "Language:Spanish",
+      "LanguageUse:Home language", "StudentCharacteristic:Homeless"))
+    // expired Foster Care period excluded; school-level rows only (e1)
+
+    val leaKeys = p.view("studentLocalEducationAgencyDemographicsBridge").collect()
+    assert(leaKeys.length == 1) // only e2 matches the LEA org id
+    assert(leaKeys.head.getAs[String]("StudentLocalEducationAgencyKey") == "s1-9000")
+    assert(leaKeys.head.getAs[String]("DemographicKey") == "Race:Asian")
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
