@@ -179,6 +179,60 @@ object EndpointCatalog {
       f("educationalEnvironmentDescriptor", StringType),
       f("classPeriods", arr(s(
         f("classPeriodReference", s(f("classPeriodName", StringType))))))),
+    "assessments" -> s(
+      f("assessmentIdentifier", StringType), f("namespace", StringType),
+      f("assessmentCategoryDescriptor", StringType),
+      f("assessmentTitle", StringType), f("assessmentVersion", LongType),
+      f("assessedGradeLevels", arr(s(f("gradeLevelDescriptor", StringType)))),
+      f("scores", arr(s(
+        f("assessmentReportingMethodDescriptor", StringType),
+        f("maximumScore", StringType), f("minimumScore", StringType),
+        f("resultDatatypeTypeDescriptor", StringType)))),
+      f("academicSubjects", arr(s(f("academicSubjectDescriptor", StringType))))),
+    "objectiveAssessments" -> s(
+      f("assessmentReference", s(
+        f("assessmentIdentifier", StringType), f("namespace", StringType))),
+      f("identificationCode", StringType),
+      f("parentObjectiveAssessmentReference", s(
+        f("assessmentIdentifier", StringType),
+        f("identificationCode", StringType), f("namespace", StringType))),
+      f("description", StringType), f("percentOfAssessment", DoubleType),
+      f("scores", arr(s(
+        f("assessmentReportingMethodDescriptor", StringType),
+        f("maximumScore", StringType), f("minimumScore", StringType),
+        f("resultDatatypeTypeDescriptor", StringType)))),
+      f("learningStandards", arr(s(
+        f("learningStandardReference", s(
+          f("learningStandardId", StringType), f("link", link))))))),
+    "studentAssessments" -> s(
+      f("id", StringType),
+      f("studentAssessmentIdentifier", StringType),
+      f("administrationDate", StringType),
+      f("assessmentReference", s(
+        f("assessmentIdentifier", StringType), f("namespace", StringType))),
+      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("whenAssessedGradeLevelDescriptor", StringType),
+      f("scoreResults", arr(s(
+        f("assessmentReportingMethodDescriptor", StringType),
+        f("result", StringType), f("resultDatatypeTypeDescriptor", StringType)))),
+      f("performanceLevels", arr(s(
+        f("assessmentReportingMethodDescriptor", StringType),
+        f("performanceLevelDescriptor", StringType),
+        f("performanceLevelMet", BooleanType)))),
+      f("studentObjectiveAssessments", arr(s(
+        f("objectiveAssessmentReference", s(f("identificationCode", StringType))),
+        f("scoreResults", arr(s(
+          f("assessmentReportingMethodDescriptor", StringType),
+          f("result", StringType), f("resultDatatypeTypeDescriptor", StringType)))),
+        f("performanceLevels", arr(s(
+          f("assessmentReportingMethodDescriptor", StringType),
+          f("performanceLevelDescriptor", StringType),
+          f("performanceLevelMet", BooleanType)))))))),
+    "performanceLevelDescriptors" -> descriptorSchema("performanceLevelDescriptorId"),
+    "assessmentCategoryDescriptors" -> descriptorSchema("assessmentCategoryDescriptorId"),
+    "gradeLevelDescriptors" -> descriptorSchema("gradeLevelDescriptorId"),
+    "assessmentReportingMethodDescriptors" -> descriptorSchema("assessmentReportingMethodDescriptorId"),
+    "resultDatatypeTypeDescriptors" -> descriptorSchema("resultDatatypeTypeDescriptorId"),
     "disciplineActions" -> s(
       f("disciplineActionIdentifier", StringType),
       f("disciplineDate", StringType),

@@ -10,6 +10,7 @@ import graft.views.{AmtView, ViewContext}
 /** Registry of implemented AMT views (grows with the port of the
   * reference's 41-view census, SURVEY.md §2). */
 object AmtRegistry {
+  import graft.views.asmt._
   import graft.views.base._
   import graft.views.chrab._
   import graft.views.epp._
@@ -27,7 +28,7 @@ object AmtRegistry {
     StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact,
     FeederSchoolDim, StudentDisciplineActionDim, StudentHistoryDim,
     RaceDescriptorDim, TermDescriptorDim, SexDescriptorDim, EppDim,
-    SectionDim,
+    SectionDim, AssessmentFact, StudentAssessmentFact,
     RlsStaffClassificationDescriptorScopeList, RlsStudentDataAuthorization,
     RlsUserDim, RlsUserAuthorization)
 

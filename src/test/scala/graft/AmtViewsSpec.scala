@@ -845,6 +845,81 @@ class AmtViewsSpec extends SparkTestBase {
     assert(leaKeys.head.getAs[String]("DemographicKey") == "Race:Asian")
   }
 
+  test("asmt facts: array fan-out + two-level recordPath (golden)") {
+    val silver = silverWith(
+      "assessments" -> """[
+        {"assessmentIdentifier": "ACT-1", "namespace": "uri://act.org",
+         "assessmentCategoryDescriptor": "uri://ed-fi.org/AssessmentCategoryDescriptor#College entrance exam",
+         "assessmentTitle": "ACT", "assessmentVersion": 2,
+         "assessedGradeLevels": [{"gradeLevelDescriptor": "uri://ed-fi.org/GradeLevelDescriptor#Eleventh grade"}],
+         "scores": [{"assessmentReportingMethodDescriptor": "uri://ed-fi.org/AssessmentReportingMethodDescriptor#Scale score",
+           "maximumScore": "36", "minimumScore": "1",
+           "resultDatatypeTypeDescriptor": "uri://ed-fi.org/ResultDatatypeTypeDescriptor#Integer"}],
+         "academicSubjects": [{"academicSubjectDescriptor": "uri://ed-fi.org/AcademicSubjectDescriptor#Mathematics"}]}
+      ]""",
+      "objectiveAssessments" -> """[
+        {"assessmentReference": {"assessmentIdentifier": "ACT-1", "namespace": "uri://act.org"},
+         "identificationCode": "MATH", "description": "Math section",
+         "percentOfAssessment": 25,
+         "scores": [], "learningStandards": []}
+      ]""",
+      "assessmentCategoryDescriptors" -> """[
+        {"assessmentCategoryDescriptorId": 1, "codeValue": "College entrance exam",
+         "description": "College entrance exam"}]""",
+      "gradeLevelDescriptors" -> """[
+        {"gradeLevelDescriptorId": 11, "codeValue": "Eleventh grade", "description": "11th"}]""",
+      "assessmentReportingMethodDescriptors" -> """[
+        {"assessmentReportingMethodDescriptorId": 20, "codeValue": "Scale score",
+         "description": "Scale score"}]""",
+      "academicSubjectDescriptors" -> """[
+        {"academicSubjectDescriptorId": 10, "codeValue": "Mathematics", "description": "Math"}]""",
+      "resultDatatypeTypeDescriptors" -> """[
+        {"resultDatatypeTypeDescriptorId": 30, "codeValue": "Integer", "description": "Integer"}]""",
+      "performanceLevelDescriptors" -> """[
+        {"performanceLevelDescriptorId": 40, "codeValue": "Proficient", "description": "Proficient"}]""",
+      "studentAssessments" -> """[
+        {"id": "sa-1", "studentAssessmentIdentifier": "SA-1",
+         "administrationDate": "2022-03-01",
+         "assessmentReference": {"assessmentIdentifier": "ACT-1", "namespace": "uri://act.org"},
+         "studentReference": {"studentUniqueId": "s1"},
+         "whenAssessedGradeLevelDescriptor": "uri://ed-fi.org/GradeLevelDescriptor#Eleventh grade",
+         "scoreResults": [{"assessmentReportingMethodDescriptor": "uri://ed-fi.org/AssessmentReportingMethodDescriptor#Scale score",
+           "result": "28", "resultDatatypeTypeDescriptor": "uri://ed-fi.org/ResultDatatypeTypeDescriptor#Integer"}],
+         "performanceLevels": [],
+         "studentObjectiveAssessments": [
+           {"objectiveAssessmentReference": {"identificationCode": "MATH"},
+            "scoreResults": [{"assessmentReportingMethodDescriptor": "uri://ed-fi.org/AssessmentReportingMethodDescriptor#Scale score",
+              "result": "30", "resultDatatypeTypeDescriptor": "uri://ed-fi.org/ResultDatatypeTypeDescriptor#Integer"}],
+            "performanceLevels": [{"assessmentReportingMethodDescriptor": "uri://ed-fi.org/AssessmentReportingMethodDescriptor#Scale score",
+              "performanceLevelDescriptor": "uri://ed-fi.org/PerformanceLevelDescriptor#Proficient",
+              "performanceLevelMet": true}]}]}
+      ]""",
+      "studentSchoolAssociations" -> """[
+        {"schoolReference": {"schoolId": 100}, "studentReference": {"studentUniqueId": "s1"},
+         "entryDate": "2021-08-23"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+
+    val af = p.view("asmt_assessmentFact").collect()
+    assert(af.length == 1)
+    assert(af.head.getAs[String]("AssessmentKey") == "ACT-1-uri://act.org")
+    assert(af.head.getAs[String]("Category") == "College entrance exam")
+    assert(af.head.getAs[String]("MinScore") == "1")
+    assert(af.head.getAs[String]("ObjectiveAssessmentKey") == "ACT-1-MATH-uri://act.org")
+    assert(af.head.getAs[String]("PercentOfAssessment") == "25.0")
+
+    val saf = p.view("asmt_studentAssessmentFact").collect()
+    assert(saf.length == 1)
+    val r = saf.head
+    assert(r.getAs[String]("StudentAssessmentKey") == "ACT-1-uri://act.org-SA-1-s1")
+    assert(r.getAs[String]("StudentScore") == "30") // objective-level score wins
+    assert(r.getAs[String]("StudentAssessmentScore") == "28") // assessment-level kept
+    assert(r.getAs[String]("PerformanceResult") == "Proficient")
+    assert(r.getAs[String]("AdministrationDateKey") == "20220301")
+    assert(r.getAs[String]("StudentObjectiveAssessmentKey") ==
+      "s1-MATH-ACT-1-SA-1-uri://act.org")
+    assert(r.getAs[String]("SchoolKey") == "100")
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
