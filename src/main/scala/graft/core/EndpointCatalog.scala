@@ -246,6 +246,17 @@ object EndpointCatalog {
       f("programTypeDescriptor", StringType),
       f("educationOrganizationReference", s(f("educationOrganizationId", LongType)))),
     "programTypeDescriptors" -> descriptorSchema("programTypeDescriptorId"),
+    "schoolFoodServiceProgramServiceDescriptors" ->
+      descriptorSchema("schoolFoodServiceProgramServiceDescriptorId"),
+    "studentSchoolFoodServiceProgramAssociations" -> s(
+      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("programReference", s(
+        f("programName", StringType), f("programTypeDescriptor", StringType),
+        f("educationOrganizationId", LongType))),
+      f("educationOrganizationReference", s(f("educationOrganizationId", LongType))),
+      f("beginDate", StringType),
+      f("schoolFoodServiceProgramServices", arr(s(
+        f("schoolFoodServiceProgramServiceDescriptor", StringType))))),
     "studentProgramAssociations" -> s(
       f("studentReference", s(f("studentUniqueId", StringType))),
       f("beginDate", StringType), f("endDate", StringType),

@@ -27,6 +27,7 @@ object AmtRegistry {
     StudentProgramDim,
     StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact,
     FeederSchoolDim, StudentDisciplineActionDim, StudentHistoryDim,
+    StudentSchoolFoodServiceProgramDim,
     RaceDescriptorDim, TermDescriptorDim, SexDescriptorDim, EppDim,
     SectionDim, AssessmentFact, StudentAssessmentFact,
     RlsStaffClassificationDescriptorScopeList, RlsStudentDataAuthorization,

@@ -920,6 +920,33 @@ class AmtViewsSpec extends SparkTestBase {
     assert(r.getAs[String]("SchoolKey") == "100")
   }
 
+  test("foodServiceProgramDim: service explode + descriptor ids in key (golden)") {
+    val silver = silverWith(
+      "studentSchoolFoodServiceProgramAssociations" -> """[
+        {"studentReference": {"studentUniqueId": "s1"},
+         "programReference": {"programName": "Lunch",
+           "programTypeDescriptor": "uri://ed-fi.org/ProgramTypeDescriptor#Food Service",
+           "educationOrganizationId": 9000},
+         "educationOrganizationReference": {"educationOrganizationId": 100},
+         "beginDate": "2021-09-01",
+         "schoolFoodServiceProgramServices": [
+           {"schoolFoodServiceProgramServiceDescriptor": "uri://ed-fi.org/SchoolFoodServiceProgramServiceDescriptor#Free Lunch"}]}
+      ]""",
+      "studentSchoolAssociations" -> """[
+        {"schoolReference": {"schoolId": 100}, "studentReference": {"studentUniqueId": "s1"},
+         "entryDate": "2021-08-23"}]""",
+      "programTypeDescriptors" -> """[
+        {"programTypeDescriptorId": 6, "codeValue": "Food Service"}]""",
+      "schoolFoodServiceProgramServiceDescriptors" -> """[
+        {"schoolFoodServiceProgramServiceDescriptorId": 12, "codeValue": "Free Lunch"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("equity_studentSchoolFoodServiceProgramDim").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("StudentSchoolFoodServiceProgramKey") ==
+      "s1-100-Lunch-6-100-9000-20210901-12")
+    assert(rows.head.getAs[String]("SchoolFoodServiceProgramServiceDescriptor") == "Free Lunch")
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
