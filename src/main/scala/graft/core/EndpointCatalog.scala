@@ -139,9 +139,23 @@ object EndpointCatalog {
       f("studentReference", s(f("studentUniqueId", StringType))),
       f("behaviorDescriptor", StringType)),
     "students" -> s(
+      f("id", StringType),
       f("studentUniqueId", StringType), f("firstName", StringType),
       f("lastSurname", StringType), f("middleName", StringType),
-      f("birthDate", StringType)),
+      f("birthDate", StringType),
+      f("personReference", s(f("personId", StringType), f("link", link)))),
+    "candidates" -> s(
+      f("candidateIdentifier", StringType),
+      f("firstName", StringType), f("lastSurname", StringType),
+      f("personReference", s(f("personId", StringType), f("link", link)))),
+    "financialAids" -> s(
+      f("beginDate", StringType), f("endDate", StringType),
+      f("aidConditionDescription", StringType),
+      f("aidTypeDescriptor", StringType),
+      f("aidAmount", DoubleType),
+      f("pellGrantRecipient", BooleanType),
+      f("studentReference", s(f("studentUniqueId", StringType), f("link", link)))),
+    "aidTypeDescriptors" -> descriptorSchema("aidTypeDescriptorId"),
     "staffs" -> s(
       f("id", StringType), f("staffUniqueId", StringType),
       f("personalTitlePrefix", StringType),

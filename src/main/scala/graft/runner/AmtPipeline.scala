@@ -29,9 +29,10 @@ object AmtRegistry {
     FeederSchoolDim, StudentDisciplineActionDim, StudentHistoryDim,
     StudentSchoolFoodServiceProgramDim,
     RaceDescriptorDim, TermDescriptorDim, SexDescriptorDim, EppDim,
+    EppFinancialAidFact,
     SectionDim, AssessmentFact, StudentAssessmentFact,
     RlsStaffClassificationDescriptorScopeList, RlsStudentDataAuthorization,
-    RlsUserDim, RlsUserAuthorization)
+    RlsUserDim, RlsUserAuthorization, RlsUserStudentDataAuthorization)
 
   val byName: Map[String, AmtView] = all.map(v => v.name -> v).toMap
 }

@@ -115,6 +115,74 @@ object RlsUserDim extends AmtView {
   }
 }
 
+/** RLS user→student authorization — reference
+  * parquet/amt/rls/rls_user_student_data_authorization/main.py:36-422:
+  * which staff member may see which student, as the union of three scope
+  * paths (O2): District staff reach every enrolled student of their LEA's
+  * schools, School staff every enrolled student of their school, Section
+  * staff the students of their active sections. Active filters use the
+  * reference's open-ended sentinel for missing end dates. */
+object RlsUserStudentDataAuthorization extends AmtView {
+  val name = "rls_userStudentDataAuthorization"
+  val collection = "rls"
+  val outputColumns = Seq("UserKey", "StudentKey")
+  val endpointDeps = Seq(
+    "staffEducationOrganizationAssignmentAssociations",
+    "studentSchoolAssociations", "schools", "studentSectionAssociations",
+    "staffSectionAssociations")
+
+  def build(ctx: ViewContext): DataFrame = {
+    val assignments = DescriptorMap.withConstant(
+      ctx.endpoint("staffEducationOrganizationAssignmentAssociations").select(
+        col("staffReference.staffUniqueId").as("UserKey"),
+        col("staffClassificationDescriptor"),
+        col("educationOrganizationReference.educationOrganizationId").as("edOrgId"),
+        DateKeys.dateKey(col("endDate")).as("endKey")),
+      "staffClassificationDescriptor")
+      .withColumnRenamed("staffClassificationDescriptor_constantName", "scope")
+      .filter(col("endKey") === "" || col("endKey") >= DateKeys.todayKey)
+
+    val enrolled = ctx.endpoint("studentSchoolAssociations").select(
+      col("studentReference.studentUniqueId").as("StudentKey"),
+      col("schoolReference.schoolId").as("schoolId"),
+      DateKeys.dateKey(col("exitWithdrawDate")).as("exitKey"))
+      .filter(col("exitKey") === "" || col("exitKey") >= DateKeys.todayKey)
+      .select("StudentKey", "schoolId")
+
+    val schools = ctx.endpoint("schools").select(
+      col("schoolId"),
+      col("localEducationAgencyReference.localEducationAgencyId").as("leaId"))
+
+    val district = assignments
+      .filter(col("scope") === "AuthorizationScope.District")
+      .join(broadcast(schools), col("edOrgId") === col("leaId"), "inner")
+      .join(enrolled, Seq("schoolId"), "inner")
+      .select("UserKey", "StudentKey")
+
+    val school = assignments
+      .filter(col("scope") === "AuthorizationScope.School")
+      .join(enrolled, col("edOrgId") === col("schoolId"), "inner")
+      .select("UserKey", "StudentKey")
+
+    val staffSections = ctx.endpoint("staffSectionAssociations").select(
+      col("staffReference.staffUniqueId").as("UserKey"),
+      Descriptors.idFromHref(col("sectionReference.link.href")).as("sectionReferenceId"))
+      .distinct()
+    val studentSections = ctx.endpoint("studentSectionAssociations").select(
+      col("studentReference.studentUniqueId").as("StudentKey"),
+      Descriptors.idFromHref(col("sectionReference.link.href")).as("sectionReferenceId"),
+      DateKeys.dateKey(col("endDate")).as("sectionEndKey"))
+      .filter(col("sectionEndKey") === "" || col("sectionEndKey") >= DateKeys.todayKey)
+    val section = staffSections
+      .join(studentSections, Seq("sectionReferenceId"), "inner")
+      .select("UserKey", "StudentKey")
+
+    district.unionByName(school).unionByName(section)
+      .distinct()
+      .select(outputColumns.map(col): _*)
+  }
+}
+
 /** RLS student-section authorization — reference
   * parquet/amt/rls/rls_student_data_authorization/main.py:29-89: enrollment
   * spans per student-section with the section id recovered from the API

@@ -947,6 +947,58 @@ class AmtViewsSpec extends SparkTestBase {
     assert(rows.head.getAs[String]("SchoolFoodServiceProgramServiceDescriptor") == "Free Lunch")
   }
 
+  test("epp_financialAidFact + rls_userStudentDataAuthorization (golden)") {
+    val silver = silverWith(
+      "candidates" -> """[
+        {"candidateIdentifier": "C-1", "firstName": "Ana", "lastSurname": "Lopez",
+         "personReference": {"personId": "P-1", "link": {"rel": "Person", "href": "/people/per-1"}}}]""",
+      "students" -> """[
+        {"id": "stu-1", "studentUniqueId": "s1", "firstName": "Ana", "lastSurname": "Lopez",
+         "personReference": {"personId": "P-1", "link": {"rel": "Person", "href": "/people/per-1"}}}]""",
+      "financialAids" -> """[
+        {"beginDate": "2022-01-10", "aidConditionDescription": "Merit",
+         "aidTypeDescriptor": "uri://ed-fi.org/AidTypeDescriptor#Scholarship",
+         "aidAmount": 1200.50, "pellGrantRecipient": true,
+         "studentReference": {"studentUniqueId": "s1",
+           "link": {"rel": "Student", "href": "/students/stu-1"}}}]""",
+      "aidTypeDescriptors" -> """[
+        {"aidTypeDescriptorId": 4, "codeValue": "Scholarship", "description": "Scholarship"}]""",
+      "staffEducationOrganizationAssignmentAssociations" -> """[
+        {"staffReference": {"staffUniqueId": "207220", "link": {"rel": "Staff", "href": "/st/st-1"}},
+         "educationOrganizationReference": {"educationOrganizationId": 9000},
+         "staffClassificationDescriptor": "uri://ed-fi.org/StaffClassificationDescriptor#Superintendent"},
+        {"staffReference": {"staffUniqueId": "207221", "link": {"rel": "Staff", "href": "/st/st-2"}},
+         "educationOrganizationReference": {"educationOrganizationId": 100},
+         "staffClassificationDescriptor": "uri://ed-fi.org/StaffClassificationDescriptor#Principal"}]""",
+      "studentSchoolAssociations" -> """[
+        {"schoolReference": {"schoolId": 100}, "studentReference": {"studentUniqueId": "s1"},
+         "entryDate": "2021-08-23"},
+        {"schoolReference": {"schoolId": 200}, "studentReference": {"studentUniqueId": "s2"},
+         "entryDate": "2021-08-23"}]""",
+      "schools" -> """[
+        {"schoolId": 100, "nameOfInstitution": "A",
+         "localEducationAgencyReference": {"localEducationAgencyId": 9000}},
+        {"schoolId": 200, "nameOfInstitution": "B",
+         "localEducationAgencyReference": {"localEducationAgencyId": 9999}}]""",
+      "studentSectionAssociations" -> "[]",
+      "staffSectionAssociations" -> "[]")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+
+    val aid = p.view("epp_financialAidFact").collect()
+    assert(aid.length == 1)
+    assert(aid.head.getAs[String]("CandidateAidKey") == "C-1-4-20220110")
+    assert(aid.head.getAs[Double]("AidAmount") == 1200.50)
+    assert(aid.head.getAs[Int]("PellGrantRecipient") == 1)
+    assert(aid.head.getAs[String]("AidType") == "Scholarship")
+
+    val auth = p.view("rls_userStudentDataAuthorization")
+      .orderBy("UserKey", "StudentKey").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // district staff (LEA 9000) sees s1 (school 100 in that LEA), not s2;
+    // school staff at 100 sees s1
+    assert(auth == Seq(("207220", "s1"), ("207221", "s1")))
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
