@@ -24,7 +24,7 @@ object AmtRegistry {
     AllStudentSchoolDim, StudentSchoolDim, DemographicsDim,
     StudentSchoolDemographicsBridge, StudentLeaDemographicsBridge,
     AcademicTimePeriodDim, ClassPeriodDim, LocalEducationAgencyDim,
-    StudentProgramDim,
+    StudentProgramDim, StudentLocalEducationAgencyDim,
     StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact,
     FeederSchoolDim, StudentDisciplineActionDim, StudentHistoryDim,
     StudentSchoolFoodServiceProgramDim,

@@ -44,8 +44,10 @@ object AllStudentSchoolDim extends AmtView {
     "Internet Access In Residence", "Internet Access Type In Residence",
     "Internet Performance In Residence", "Digital Device", "Device Access")
 
-  /** Demographic attributes + pivoted indicators per (student, edOrgId). */
-  private def edOrgAttributes(edorg: DataFrame, suffix: String): DataFrame = {
+  /** Demographic attributes + pivoted indicators per (student, edOrgId).
+    * Shared with StudentLocalEducationAgencyDim (same pivot machinery at
+    * LEA level). */
+  private[base] def edOrgAttributes(edorg: DataFrame, suffix: String): DataFrame = {
     val base = edorg.select(
       col("id"),
       col("educationOrganizationReference.educationOrganizationId").as(s"edOrgId$suffix"),

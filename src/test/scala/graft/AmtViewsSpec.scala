@@ -999,6 +999,36 @@ class AmtViewsSpec extends SparkTestBase {
     assert(auth == Seq(("207220", "s1"), ("207221", "s1")))
   }
 
+  test("studentLocalEducationAgencyDim: LEA-level attributes + enrollment semi-join (golden)") {
+    val silver = silverWith(
+      "students" -> """[
+        {"studentUniqueId": "s1", "firstName": "Ana", "lastSurname": "Lopez"}]""",
+      "studentSchoolAssociations" -> """[
+        {"schoolReference": {"schoolId": 100}, "studentReference": {"studentUniqueId": "s1"},
+         "entryDate": "2021-08-23"}]""",
+      "localEducationAgencies" -> """[
+        {"id": "lea-1", "localEducationAgencyId": 9000, "nameOfInstitution": "GB ISD"}]""",
+      "studentEducationOrganizationAssociations" -> """[
+        {"id": "e1", "educationOrganizationReference": {"educationOrganizationId": 9000},
+         "studentReference": {"studentUniqueId": "s1"},
+         "hispanicLatinoEthnicity": true,
+         "sexDescriptor": "uri://ed-fi.org/SexDescriptor#Female",
+         "studentIndicators": [{"indicatorName": "Digital Device", "indicator": "Laptop"}]},
+        {"id": "e2", "educationOrganizationReference": {"educationOrganizationId": 100},
+         "studentReference": {"studentUniqueId": "s1"},
+         "sexDescriptor": "uri://ed-fi.org/SexDescriptor#Other"}
+      ]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("studentLocalEducationAgencyDim").collect()
+    assert(rows.length == 1) // only the LEA-level association (e1) qualifies
+    val r = rows.head
+    assert(r.getAs[String]("StudentLocalEducationAgencyKey") == "s1-9000")
+    assert(r.getAs[Int]("IsHispanic") == 1)
+    assert(r.getAs[String]("Sex") == "Female")
+    assert(r.getAs[String]("DigitalDevice") == "Laptop")
+    assert(r.getAs[String]("InternetPerformance") == "n/a")
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
