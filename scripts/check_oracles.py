@@ -55,6 +55,32 @@ def main(out_dir: str, sf_dir: str) -> int:
             failures += 1
             continue
 
+        # The driver hashes typed values, so a DuckDB HUGEINT (decimal128)
+        # vs Spark BIGINT (int64) mismatch is a FAIL even when the Python
+        # values compare equal. Mirror that here via the arrow schema.
+        type_bad = []
+        for c in ocols:
+            ot = str(oracle.schema.field(c).type)
+            st = str(spark.schema.field(c).type)
+            # parquet round-trip turns duckdb VARCHAR into large_string etc.
+            # Plain integer widths hash identically on the driver (r1 evidence:
+            # int32-vs-int64 queries were green) — only HUGEINT (decimal128)
+            # vs integer mismatches fail, so normalize intXX to "int".
+            def norm(t):
+                t = t.replace("large_string", "string").replace(
+                    "timestamp[us]", "timestamp").replace("timestamp[ns]", "timestamp")
+                if t in ("int8", "int16", "int32", "int64"):
+                    t = "int"
+                return t
+            if norm(ot) != norm(st):
+                type_bad.append((c, ot, st))
+        if type_bad:
+            print(f"FAIL {name}: column types differ (driver hash would mismatch)")
+            for c, ot, st in type_bad:
+                print(f"    [{c}] oracle={ot} spark={st}")
+            failures += 1
+            continue
+
         odata = {c: oracle.column(c).to_pylist() for c in ocols}
         sdata = {c: spark.column(c).to_pylist() for c in scols}
         bad = []

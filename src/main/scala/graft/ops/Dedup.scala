@@ -90,15 +90,19 @@ object Dedup {
 
   /** LSH banding: signature split into `bands` bands of `rowsPerBand`
     * hashes; band key = md5 of the concatenated hashes. Docs colliding on
-    * any band key are candidate pairs. Returns (band_idx, band_key, doc_id). */
+    * any band key are candidate pairs. Returns (doc_id, band_idx, band_key).
+    *
+    * Single pass: all band keys are computed as one array and `posexplode`d,
+    * so the signature frame is scanned ONCE — a per-band select unioned
+    * `bands` times would recompute the whole upstream pipeline per band. */
   def lshBands(sig: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val perBand = (0 until bands).map { b =>
+    val bandKeys = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      sig.select(
-        col("doc_id"), lit(b).as("band_idx"),
-        md5(concat_ws("|", cols: _*)).as("band_key"))
+      md5(concat_ws("|", cols: _*))
     }
-    perBand.reduce(_ unionByName _)
+    sig.select(
+      col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
   }
 
   /** Candidate pairs from band collisions (distinct across bands). The join
@@ -115,18 +119,27 @@ object Dedup {
 
   /** MinHash+LSH dedup end-to-end: candidates from band collisions, then
     * exact-Jaccard verification restricted to candidates (the verify join
-    * touches only candidate docs' shingles, not the full corpus square). */
+    * touches only candidate docs' shingles, not the full corpus square).
+    *
+    * The shingle frame is consumed FOUR times (signatures, per-doc counts,
+    * both sides of the verify join) and the signature frame twice (the band
+    * self-join) — both are persisted so the explode+distinct shingle shuffle
+    * runs once, not ~5×. Callers that keep the shingle frame around can
+    * `unpersist()` after the result is materialized. */
   def minhashDedup(
       sh: DataFrame,
       threshold: Double,
       numHashes: Int = 16,
       bands: Int = 4
   ): DataFrame = {
-    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), bands, numHashes / bands))
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    import org.apache.spark.storage.StorageLevel
+    val shc = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatures(shc, numHashes).persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(lshBands(sig, bands, numHashes / bands))
+    val counts = shc.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val common = cands
-      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sh.as("sb"),
+      .join(shc.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(shc.as("sb"),
         col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))

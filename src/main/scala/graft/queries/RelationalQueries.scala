@@ -184,7 +184,7 @@ object RelationalQueries {
     },
     Some("""
       SELECT o_orderstatus, COUNT(*) AS n_orders,
-        SUM(CASE WHEN n_recent IS NULL THEN 1 ELSE 0 END) AS n_without_recent
+        CAST(SUM(CASE WHEN n_recent IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_recent
       FROM orders
       LEFT JOIN (
         SELECT l_orderkey, COUNT(*) AS n_recent
@@ -216,7 +216,7 @@ object RelationalQueries {
     Some("""
       SELECT p_brand, COUNT(l_orderkey) AS n_lineitems,
         COUNT(DISTINCT p_partkey) AS n_parts,
-        SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unordered_rows
+        CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unordered_rows
       FROM lineitem
       RIGHT JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand
@@ -347,11 +347,11 @@ object RelationalQueries {
     },
     Some("""
       SELECT user_id,
-        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-        SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
       FROM events GROUP BY user_id ORDER BY user_id""")
   )
 
@@ -498,7 +498,7 @@ object RelationalQueries {
     },
     Some("""
       SELECT event_type, COUNT(*) AS n,
-        SUM(k) AS sum_k,
+        CAST(SUM(k) AS BIGINT) AS sum_k,
         CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
       FROM (
         SELECT event_type,
@@ -627,7 +627,7 @@ object RelationalQueries {
     },
     Some("""
       SELECT user_id, COUNT(*) AS n_events,
-        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         CAST(COUNT(*) - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) * 100
           / COUNT(*) AS ok_rate
       FROM events GROUP BY user_id ORDER BY user_id""")
@@ -723,7 +723,8 @@ object RelationalQueries {
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+            .otherwise(0L))
         .groupBy("user_id")
         .agg(
           sum(col("new_session")).as("n_sessions"),
@@ -731,11 +732,11 @@ object RelationalQueries {
         .orderBy("user_id")
     },
     Some("""
-      SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM (
         SELECT user_id,
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
                THEN 1 ELSE 0 END AS new_session
         FROM events)
       GROUP BY user_id ORDER BY user_id""")
