@@ -147,7 +147,68 @@ object EndpointCatalog {
     "candidates" -> s(
       f("candidateIdentifier", StringType),
       f("firstName", StringType), f("lastSurname", StringType),
+      f("sexDescriptor", StringType),
+      f("hispanicLatinoEthnicity", BooleanType),
+      f("economicDisadvantaged", BooleanType),
+      f("races", arr(s(f("raceDescriptor", StringType)))),
       f("personReference", s(f("personId", StringType), f("link", link)))),
+    "people" -> s(f("id", StringType), f("personId", StringType)),
+    "credentials" -> s(
+      f("id", StringType), f("credentialIdentifier", StringType),
+      f("issuanceDate", StringType),
+      f("_ext", s(f("tpdm", s(
+        f("personReference", s(f("personId", StringType), f("link", link)))))))),
+    "candidateEducatorPreparationProgramAssociations" -> s(
+      f("id", StringType), f("beginDate", StringType),
+      f("reasonExitedDescriptor", StringType),
+      f("candidateReference", s(f("candidateIdentifier", StringType), f("link", link))),
+      f("educatorPreparationProgramReference", s(
+        f("programName", StringType), f("educationOrganizationId", LongType),
+        f("link", link))),
+      f("cohortYears", arr(s(
+        f("cohortYearTypeDescriptor", StringType),
+        f("schoolYearTypeReference", s(f("schoolYear", LongType))))))),
+    "surveys" -> s(
+      f("id", StringType), f("surveyIdentifier", StringType),
+      f("surveyTitle", StringType)),
+    "surveyQuestions" -> s(
+      f("id", StringType), f("questionCode", StringType),
+      f("questionText", StringType),
+      f("surveySectionReference", s(
+        f("surveyIdentifier", StringType), f("surveySectionTitle", StringType))),
+      f("surveyReference", s(f("surveyIdentifier", StringType), f("link", link)))),
+    "surveyResponses" -> s(
+      f("id", StringType), f("responseDate", StringType),
+      f("surveyResponseIdentifier", StringType),
+      f("surveyReference", s(f("surveyIdentifier", StringType), f("link", link))),
+      f("studentReference", s(f("studentUniqueId", StringType), f("link", link)))),
+    "surveyQuestionResponses" -> s(
+      f("id", StringType),
+      f("surveyQuestionReference", s(
+        f("questionCode", StringType), f("surveyIdentifier", StringType),
+        f("link", link))),
+      f("surveyResponseReference", s(
+        f("surveyResponseIdentifier", StringType), f("link", link))),
+      f("surveyQuestionMatrixElementResponses", arr(s(
+        f("numericResponse", LongType), f("textResponse", StringType))))),
+    "surveyResponsePersonTargetAssociations" -> s(
+      f("surveyResponseReference", s(
+        f("surveyResponseIdentifier", StringType), f("link", link))),
+      f("personReference", s(f("personId", StringType), f("link", link)))),
+    "evaluationObjectives" -> s(
+      f("id", StringType), f("evaluationObjectiveTitle", StringType)),
+    "evaluationElementRatings" -> s(
+      f("id", StringType),
+      f("evaluationObjectiveRatingReference", s(
+        f("personId", StringType), f("evaluationDate", StringType),
+        f("evaluationObjectiveTitle", StringType))),
+      f("evaluationElementReference", s(
+        f("performanceEvaluationTitle", StringType),
+        f("evaluationElementTitle", StringType),
+        f("termDescriptor", StringType), f("schoolYear", LongType),
+        f("evaluationTitle", StringType))),
+      f("results", arr(s(
+        f("ratingResultTitle", StringType), f("rating", DoubleType))))),
     "financialAids" -> s(
       f("beginDate", StringType), f("endDate", StringType),
       f("aidConditionDescription", StringType),
@@ -156,6 +217,45 @@ object EndpointCatalog {
       f("pellGrantRecipient", BooleanType),
       f("studentReference", s(f("studentUniqueId", StringType), f("link", link)))),
     "aidTypeDescriptors" -> descriptorSchema("aidTypeDescriptorId"),
+    "cohorts" -> s(
+      f("id", StringType), f("cohortIdentifier", StringType),
+      f("cohortDescription", StringType), f("cohortTypeDescriptor", StringType),
+      f("educationOrganizationReference",
+        s(f("educationOrganizationId", LongType), f("link", link))),
+      f("programs", arr(s(
+        f("programReference", s(
+          f("educationOrganizationId", LongType), f("programName", StringType),
+          f("programTypeDescriptor", StringType), f("link", link))))))),
+    "studentCohortAssociations" -> s(
+      f("id", StringType), f("beginDate", StringType), f("endDate", StringType),
+      f("cohortReference", s(
+        f("cohortIdentifier", StringType),
+        f("educationOrganizationId", LongType), f("link", link))),
+      f("studentReference", s(f("studentUniqueId", StringType), f("link", link)))),
+    "parents" -> s(
+      f("id", StringType), f("parentUniqueId", StringType),
+      f("firstName", StringType), f("lastSurname", StringType),
+      f("addresses", arr(s(
+        f("addressTypeDescriptor", StringType), f("city", StringType),
+        f("postalCode", StringType), f("stateAbbreviationDescriptor", StringType),
+        f("streetNumberName", StringType), f("nameOfCounty", StringType),
+        f("apartmentRoomSuiteNumber", StringType),
+        f("periods", arr(s(f("beginDate", StringType), f("endDate", StringType))))))),
+      f("telephones", arr(s(
+        f("telephoneNumber", StringType),
+        f("telephoneNumberTypeDescriptor", StringType)))),
+      f("electronicMails", arr(s(
+        f("electronicMailAddress", StringType),
+        f("electronicMailTypeDescriptor", StringType),
+        f("primaryEmailAddressIndicator", BooleanType))))),
+    "studentParentAssociations" -> s(
+      f("id", StringType),
+      f("parentReference", s(f("parentUniqueId", StringType), f("link", link))),
+      f("studentReference", s(f("studentUniqueId", StringType), f("link", link))),
+      f("primaryContactStatus", BooleanType), f("livesWith", BooleanType),
+      f("emergencyContactStatus", BooleanType),
+      f("contactPriority", LongType), f("contactRestrictions", StringType),
+      f("relationDescriptor", StringType)),
     "staffs" -> s(
       f("id", StringType), f("staffUniqueId", StringType),
       f("personalTitlePrefix", StringType),

@@ -21,15 +21,17 @@ object AmtRegistry {
   val all: Seq[AmtView] = Seq(
     GradingPeriodDim, DateDim, MostRecentGradingPeriod, SchoolDim,
     StaffSectionDim, StudentSectionDim, StudentSectionGradeFact,
-    AllStudentSchoolDim, StudentSchoolDim, DemographicsDim,
+    AllStudentSchoolDim, StudentSchoolDim, ContactPersonDim, DemographicsDim,
     StudentSchoolDemographicsBridge, StudentLeaDemographicsBridge,
     AcademicTimePeriodDim, ClassPeriodDim, LocalEducationAgencyDim,
     StudentProgramDim, StudentLocalEducationAgencyDim,
     StudentEarlyWarningFact, ChronicAbsenteeismAttendanceFact,
     FeederSchoolDim, StudentDisciplineActionDim, StudentHistoryDim,
+    StudentProgramCohortDim,
     StudentSchoolFoodServiceProgramDim,
     RaceDescriptorDim, TermDescriptorDim, SexDescriptorDim, EppDim,
-    EppFinancialAidFact,
+    EppFinancialAidFact, CandidateDim, CandidateSurveyDim,
+    EvaluationElementRatingDim,
     SectionDim, AssessmentFact, StudentAssessmentFact,
     RlsStaffClassificationDescriptorScopeList, RlsStudentDataAuthorization,
     RlsUserDim, RlsUserAuthorization, RlsUserStudentDataAuthorization)

@@ -1029,6 +1029,305 @@ class AmtViewsSpec extends SparkTestBase {
     assert(r.getAs[String]("InternetPerformance") == "n/a")
   }
 
+  test("contactPersonDim: typed addresses/phones/emails, primary-email rule (golden)") {
+    val silver = silverWith(
+      "studentParentAssociations" -> """[
+        {"parentReference": {"parentUniqueId": "p1"},
+         "studentReference": {"studentUniqueId": "s1"},
+         "primaryContactStatus": true, "livesWith": true,
+         "emergencyContactStatus": false, "contactPriority": 1,
+         "contactRestrictions": "None",
+         "relationDescriptor": "uri://ed-fi.org/RelationDescriptor#Mother"},
+        {"parentReference": {"parentUniqueId": "p2"},
+         "studentReference": {"studentUniqueId": "s1"},
+         "primaryContactStatus": false,
+         "emergencyContactStatus": true,
+         "relationDescriptor": "uri://ed-fi.org/RelationDescriptor#Uncle"},
+        {"parentReference": {"parentUniqueId": "ghost"},
+         "studentReference": {"studentUniqueId": "s1"},
+         "primaryContactStatus": false, "emergencyContactStatus": false}
+      ]""",
+      "parents" -> """[
+        {"id": "par-1", "parentUniqueId": "p1", "firstName": "Maria", "lastSurname": "Lopez",
+         "addresses": [
+           {"addressTypeDescriptor": "uri://ed-fi.org/AddressTypeDescriptor#Home",
+            "streetNumberName": "123 Main St", "apartmentRoomSuiteNumber": "4B",
+            "city": "Grand Bend",
+            "stateAbbreviationDescriptor": "uri://ed-fi.org/StateAbbreviationDescriptor#TX",
+            "postalCode": "78834",
+            "periods": [{"beginDate": "2020-01-01"}]},
+           {"addressTypeDescriptor": "uri://ed-fi.org/AddressTypeDescriptor#Work",
+            "streetNumberName": "9 Office Park", "city": "Grand Bend",
+            "stateAbbreviationDescriptor": "uri://ed-fi.org/StateAbbreviationDescriptor#TX",
+            "postalCode": "78835"}],
+         "telephones": [
+           {"telephoneNumber": "555-0100",
+            "telephoneNumberTypeDescriptor": "uri://ed-fi.org/TelephoneNumberTypeDescriptor#Home"},
+           {"telephoneNumber": "555-0101",
+            "telephoneNumberTypeDescriptor": "uri://ed-fi.org/TelephoneNumberTypeDescriptor#Mobile"}],
+         "electronicMails": [
+           {"electronicMailAddress": "maria@work.example",
+            "electronicMailTypeDescriptor": "uri://ed-fi.org/ElectronicMailTypeDescriptor#Work",
+            "primaryEmailAddressIndicator": true},
+           {"electronicMailAddress": "maria@home.example",
+            "electronicMailTypeDescriptor": "uri://ed-fi.org/ElectronicMailTypeDescriptor#Home/Personal",
+            "primaryEmailAddressIndicator": true}]},
+        {"id": "par-2", "parentUniqueId": "p2", "firstName": "Ed", "lastSurname": "Jones"}
+      ]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("contactPersonDim").orderBy("UniqueKey").collect()
+    // ghost parent dropped by the inner join; p1 and p2 each one row
+    assert(rows.length == 2)
+    val r1 = rows.head
+    assert(r1.getAs[String]("UniqueKey") == "p1-s1")
+    assert(r1.getAs[String]("ContactPersonKey") == "p1")
+    assert(r1.getAs[String]("RelationshipToStudent") == "Mother")
+    // street, apt, city state zip — apt only when non-empty
+    assert(r1.getAs[String]("ContactHomeAddress") == "123 Main St, 4B, Grand Bend TX 78834")
+    assert(r1.getAs[String]("ContactWorkAddress") == "9 Office Park, Grand Bend TX 78835")
+    assert(r1.getAs[String]("ContactPhysicalAddress") == "")
+    assert(r1.getAs[String]("PostalCode") == "78834")
+    assert(r1.getAs[String]("HomePhoneNumber") == "555-0100")
+    assert(r1.getAs[String]("MobilePhoneNumber") == "555-0101")
+    assert(r1.getAs[String]("WorkPhoneNumber") == "")
+    assert(r1.getAs[String]("WorkEmailAddress") == "maria@work.example")
+    assert(r1.getAs[String]("PersonalEmailAddress") == "maria@home.example")
+    // reference main.py:455-462: the personal-indicator apply overwrites the
+    // work one, so flagged-personal → 'Personal'
+    assert(r1.getAs[String]("PrimaryEmailAddress") == "Personal")
+    assert(r1.getAs[Int]("IsPrimaryContact") == 1)
+    assert(r1.getAs[Int]("StudentLivesWith") == 1)
+    assert(r1.getAs[Int]("IsEmergencyContact") == 0)
+    assert(r1.getAs[Int]("ContactPriority") == 1)
+    assert(r1.getAs[String]("ContactRestrictions") == "None")
+    val r2 = rows(1)
+    assert(r2.getAs[String]("UniqueKey") == "p2-s1")
+    // no addresses at all: home address and postal stay null (not ''-filled)
+    assert(r2.getAs[String]("ContactHomeAddress") == null)
+    assert(r2.getAs[String]("PostalCode") == null)
+    assert(r2.getAs[String]("ContactMailingAddress") == "")
+    assert(r2.getAs[String]("PrimaryEmailAddress") == "Not specified")
+    assert(r2.getAs[Int]("StudentLivesWith") == 0) // livesWith null → false
+    assert(r2.getAs[Int]("ContactPriority") == 0)  // contactPriority null → 0
+  }
+
+  test("contactPersonDim: empty associations → empty frame, full schema") {
+    val p = new AmtPipeline(spark, silverWith("parents" -> "[]").toString, "2022")
+    val df = p.view("contactPersonDim")
+    assert(df.columns.toSeq == graft.views.base.ContactPersonDim.outputColumns)
+    assert(df.count() == 0)
+  }
+
+  test("equity_studentProgramCohortDim: program fan-out, descriptor descriptions, enrollment filter (golden)") {
+    val silver = silverWith(
+      "studentCohortAssociations" -> """[
+        {"cohortReference": {"cohortIdentifier": "ACAD", "educationOrganizationId": 9000,
+          "link": {"rel": "Cohort", "href": "/ed-fi/cohorts/co-1"}},
+         "studentReference": {"studentUniqueId": "s1"},
+         "beginDate": "2021-09-01"},
+        {"cohortReference": {"cohortIdentifier": "ACAD", "educationOrganizationId": 9000,
+          "link": {"rel": "Cohort", "href": "/ed-fi/cohorts/co-1"}},
+         "studentReference": {"studentUniqueId": "s2"},
+         "beginDate": "2021-09-01"}
+      ]""",
+      "cohorts" -> """[
+        {"id": "co-1", "cohortIdentifier": "ACAD", "cohortDescription": "Academic support",
+         "cohortTypeDescriptor": "uri://ed-fi.org/CohortTypeDescriptor#Academic Intervention",
+         "educationOrganizationReference": {"educationOrganizationId": 9000},
+         "programs": [
+           {"programReference": {"educationOrganizationId": 9000, "programName": "Tutoring",
+             "programTypeDescriptor": "uri://ed-fi.org/ProgramTypeDescriptor#Remedial Education"}},
+           {"programReference": {"educationOrganizationId": 9000, "programName": "Mentoring",
+             "programTypeDescriptor": "uri://ed-fi.org/ProgramTypeDescriptor#Remedial Education"}}]},
+        {"id": "co-2", "cohortIdentifier": "EMPTY", "cohortDescription": "No programs",
+         "cohortTypeDescriptor": "uri://ed-fi.org/CohortTypeDescriptor#Academic Intervention",
+         "educationOrganizationReference": {"educationOrganizationId": 9000}}
+      ]""",
+      "studentSchoolAssociations" -> """[
+        {"schoolReference": {"schoolId": 100}, "studentReference": {"studentUniqueId": "s1"},
+         "entryDate": "2021-08-23",
+         "entryGradeLevelDescriptor": "uri://ed-fi.org/GradeLevelDescriptor#Ninth grade"},
+        {"schoolReference": {"schoolId": 100}, "studentReference": {"studentUniqueId": "s2"},
+         "entryDate": "2021-08-23", "exitWithdrawDate": "2021-12-01",
+         "entryGradeLevelDescriptor": "uri://ed-fi.org/GradeLevelDescriptor#Ninth grade"}
+      ]""",
+      "cohortTypeDescriptors" -> """[
+        {"cohortTypeDescriptorId": 10, "codeValue": "Academic Intervention",
+         "description": "Academic Intervention Cohort",
+         "namespace": "uri://ed-fi.org/CohortTypeDescriptor", "shortDescription": "AI"}]""",
+      "programTypeDescriptors" -> """[
+        {"programTypeDescriptorId": 77, "codeValue": "Remedial Education",
+         "description": "Remedial Education",
+         "namespace": "uri://ed-fi.org/ProgramTypeDescriptor", "shortDescription": "RE"}]""",
+      "gradeLevelDescriptors" -> """[
+        {"gradeLevelDescriptorId": 9, "codeValue": "Ninth grade",
+         "description": "9th Grade",
+         "namespace": "uri://ed-fi.org/GradeLevelDescriptor", "shortDescription": "9"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("equity_studentProgramCohortDim")
+      .orderBy("StudentProgramCohortKey").collect()
+    // s1 × 2 programs; s2 dropped (withdrew 2021-12-01 < today); co-2 has no
+    // programs so contributes nothing
+    assert(rows.length == 2)
+    val r = rows.head
+    assert(r.getAs[String]("StudentProgramCohortKey") ==
+      "s1-100-Mentoring-77-9000-9000-20210901-ACAD")
+    assert(r.getAs[String]("StudentSchoolProgramKey") ==
+      "s1-100-Mentoring-77-9000-9000-20210901")
+    assert(r.getAs[String]("StudentSchoolKey") == "s1-100")
+    assert(r.getAs[String]("CohortTypeDescriptor") == "Academic Intervention Cohort")
+    assert(r.getAs[String]("EntryGradeLevelDescriptor") == "9th Grade")
+    assert(r.getAs[String]("CohortDescription") == "Academic support")
+    assert(rows(1).getAs[String]("ProgramName") == "Tutoring")
+  }
+
+  test("epp_candidateDim: program join, descriptor URIs, credential group-min (golden)") {
+    val silver = silverWith(
+      "candidates" -> """[
+        {"candidateIdentifier": "c1", "firstName": "Eva", "lastSurname": "Reyes",
+         "sexDescriptor": "uri://ed-fi.org/SexDescriptor#Female",
+         "hispanicLatinoEthnicity": true, "economicDisadvantaged": false,
+         "races": [{"raceDescriptor": "uri://ed-fi.org/RaceDescriptor#Asian"}],
+         "personReference": {"personId": "per-1"}},
+        {"candidateIdentifier": "c2", "firstName": "Sam", "lastSurname": "Nolan",
+         "sexDescriptor": "uri://ed-fi.org/SexDescriptor#Male",
+         "personReference": {"personId": "per-2"}}
+      ]""",
+      "candidateEducatorPreparationProgramAssociations" -> """[
+        {"candidateReference": {"candidateIdentifier": "c1"},
+         "educatorPreparationProgramReference":
+           {"programName": "Teacher Prep", "educationOrganizationId": 6000053},
+         "beginDate": "2021-08-01",
+         "reasonExitedDescriptor": "uri://ed-fi.org/ReasonExitedDescriptor#Completed",
+         "cohortYears": [{"cohortYearTypeDescriptor": "uri://ed-fi.org/CohortYearTypeDescriptor#First year",
+                          "schoolYearTypeReference": {"schoolYear": 2022}}]}
+      ]""",
+      "students" -> """[
+        {"studentUniqueId": "stu-9", "personReference": {"personId": "per-1"}}]""",
+      "people" -> """[{"id": "pp-1", "personId": "per-1"}]""",
+      "credentials" -> """[
+        {"credentialIdentifier": "cr-1", "issuanceDate": "2023-06-02",
+         "_ext": {"tpdm": {"personReference": {"personId": "per-1"}}}},
+        {"credentialIdentifier": "cr-2", "issuanceDate": "2022-06-02",
+         "_ext": {"tpdm": {"personReference": {"personId": "per-1"}}}},
+        {"credentialIdentifier": "cr-3", "issuanceDate": "2021-01-01"}
+      ]""",
+      "raceDescriptors" -> """[
+        {"raceDescriptorId": 31, "codeValue": "Asian",
+         "description": "Asian", "namespace": "uri://ed-fi.org/RaceDescriptor",
+         "shortDescription": "Asian"}]""",
+      "sexDescriptors" -> """[
+        {"sexDescriptorId": 21, "codeValue": "Female",
+         "description": "Female", "namespace": "uri://ed-fi.org/SexDescriptor",
+         "shortDescription": "Female"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("epp_candidateDim").collect()
+    // c2 has no program association (inner join drops); c1's two credentials
+    // collapse in the group-min
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("CandidateKey") == "c1")
+    assert(r.getAs[String]("SexDescriptorKey") == "21")
+    assert(r.getAs[String]("SexDescriptor") == "Female")
+    assert(r.getAs[String]("RaceDescriptorKey") == "31")
+    assert(r.getAs[String]("RaceDescriptor") == "Asian")
+    assert(r.getAs[Int]("HispanicLatinoEthnicity") == 1)
+    assert(r.getAs[Int]("EconomicDisadvantaged") == 0)
+    assert(r.getAs[String]("Cohort") == "2022")
+    assert(r.getAs[Int]("ProgramComplete") == 1)
+    assert(r.getAs[String]("StudentKey") == "stu-9")
+    assert(r.getAs[String]("ProgramName") == "Teacher Prep")
+    assert(r.getAs[String]("EducationOrganizationKey") == "6000053")
+    assert(r.getAs[String]("CohortYearTermDescription") == "")
+  }
+
+  test("epp_candidateSurveyDim: matrix-element fan-out through the survey join chain (golden)") {
+    val silver = silverWith(
+      "candidates" -> """[
+        {"candidateIdentifier": "c1",
+         "personReference": {"personId": "per-1",
+           "link": {"rel": "Person", "href": "/ed-fi/people/pp-1"}}}]""",
+      "surveys" -> """[
+        {"id": "sv-1", "surveyIdentifier": "EPP-EXIT", "surveyTitle": "Exit Survey"}]""",
+      "surveyQuestions" -> """[
+        {"id": "sq-1", "questionCode": "Q1", "questionText": "Rate the program",
+         "surveySectionReference": {"surveyIdentifier": "EPP-EXIT",
+           "surveySectionTitle": "Overall"}}]""",
+      "surveyResponses" -> """[
+        {"id": "sr-1", "responseDate": "2022-05-10",
+         "surveyResponseIdentifier": "RESP-7",
+         "surveyReference": {"surveyIdentifier": "EPP-EXIT"}}]""",
+      "surveyQuestionResponses" -> """[
+        {"id": "sqr-1",
+         "surveyQuestionReference": {"questionCode": "Q1", "surveyIdentifier": "EPP-EXIT",
+           "link": {"rel": "SurveyQuestion", "href": "/ed-fi/surveyQuestions/sq-1"}},
+         "surveyResponseReference":
+           {"link": {"rel": "SurveyResponse", "href": "/ed-fi/surveyResponses/sr-1"}},
+         "surveyQuestionMatrixElementResponses": [
+           {"numericResponse": 4},
+           {"textResponse": "Great mentors"}]}
+      ]""",
+      "surveyResponsePersonTargetAssociations" -> """[
+        {"surveyResponseReference":
+           {"link": {"rel": "SurveyResponse", "href": "/ed-fi/surveyResponses/sr-1"}},
+         "personReference": {"personId": "per-1",
+           "link": {"rel": "Person", "href": "/ed-fi/people/pp-1"}}}
+      ]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("epp_candidateSurveyDim").orderBy("NumericResponse").collect()
+    assert(rows.length == 2) // one per matrix element
+    val numeric = rows(1)
+    assert(numeric.getAs[String]("CandidateSurveyKey") == "EPP-EXIT-Q1-RESP-7-per-1")
+    assert(numeric.getAs[String]("CandidateKey") == "c1")
+    assert(numeric.getAs[String]("SurveyTitle") == "Exit Survey")
+    assert(numeric.getAs[String]("SurveySectionTitle") == "Overall")
+    assert(numeric.getAs[String]("ResponseDateKey") == "20220510")
+    assert(numeric.getAs[String]("NumericResponse") == "4")
+    assert(numeric.getAs[String]("TextResponse") == "")
+    assert(rows.head.getAs[String]("TextResponse") == "Great mentors")
+  }
+
+  test("epp_evaluationElementRatingDim: results fan-out, term lookup, dedup (golden)") {
+    val silver = silverWith(
+      "candidates" -> """[
+        {"candidateIdentifier": "c1", "personReference": {"personId": "per-1"}}]""",
+      "evaluationObjectives" -> """[
+        {"id": "eo-1", "evaluationObjectiveTitle": "Instructional Practice"}]""",
+      "evaluationElementRatings" -> """[
+        {"id": "er-1",
+         "evaluationObjectiveRatingReference": {"personId": "per-1",
+           "evaluationDate": "2022-04-01T09:30:00Z",
+           "evaluationObjectiveTitle": "Instructional Practice"},
+         "evaluationElementReference": {
+           "performanceEvaluationTitle": "Spring Review",
+           "evaluationElementTitle": "Lesson Planning",
+           "termDescriptor": "uri://ed-fi.org/TermDescriptor#Spring Semester",
+           "schoolYear": 2022, "evaluationTitle": "Formative"},
+         "results": [
+           {"ratingResultTitle": "Pedagogy", "rating": 3.5},
+           {"ratingResultTitle": "Pedagogy", "rating": 3.5},
+           {"ratingResultTitle": "Content", "rating": 4.0}]}
+      ]""",
+      "termDescriptors" -> """[
+        {"termDescriptorId": 45, "codeValue": "Spring Semester",
+         "description": "Spring Semester", "namespace": "uri://ed-fi.org/TermDescriptor",
+         "shortDescription": "Spring"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val rows = p.view("epp_evaluationElementRatingDim").orderBy("RatingResultTitle").collect()
+    assert(rows.length == 2) // duplicate Pedagogy row deduped
+    val r = rows.last
+    assert(r.getAs[String]("CandidateKey") == "c1")
+    assert(r.getAs[String]("EvaluationDate") == "2022-04-01")
+    assert(r.getAs[String]("EvaluationDateKey") == "20220401")
+    assert(r.getAs[String]("PerformanceEvaluationTitle") == "Spring Review")
+    assert(r.getAs[String]("EvaluationObjectiveTitle") == "Instructional Practice")
+    assert(r.getAs[String]("EvaluationElementTitle") == "Lesson Planning")
+    assert(r.getAs[String]("RatingResultTitle") == "Pedagogy")
+    assert(r.getAs[String]("TermDescriptorKey") == "45")
+    assert(r.getAs[String]("SchoolYear") == "2022")
+    assert(r.getAs[Double]("Rating") == 3.5)
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
