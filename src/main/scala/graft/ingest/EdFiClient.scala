@@ -149,7 +149,17 @@ final class EdFiClient(
   /** Fan out endpoints concurrently (reference api/api.py:120-137 uses a
     * process pool; JVM threads suffice for I/O-bound paging), writing one
     * silver JSON file per endpoint page under
-    * `silverRoot/<schoolYear>/<endpoint>/`. */
+    * `silverRoot/<schoolYear>/<endpoint>/`.
+    *
+    * Each endpoint also gets its `/deletes` twin (reference api/api.py:
+    * 133-136) — the change-data stream of removed resources. The reference
+    * drops delete pages into the SAME directory with a `deletes_` suffix
+    * and then reads back only the first file the OS lists
+    * (functions.py:14-17), so deletes can silently shadow base data there;
+    * here they land in a sibling `<endpoint>_deletes/` directory so
+    * [[graft.core.SilverReader]] scans stay clean while the stream is
+    * still captured. Empty delete streams write nothing, matching
+    * save_file's no-data short-circuit (helper.py:37). */
   def extractAll(
       endpoints: Seq[String],
       silverRoot: Path,
@@ -160,15 +170,23 @@ final class EdFiClient(
     val bearer = token()
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
       java.util.concurrent.Executors.newFixedThreadPool(parallelism))
-    val work = endpoints.map { ep =>
-      Future {
-        val pages = fetchPages(s"$apiUrl/data/v3/ed-fi/$ep", bearer, window)
-        val dir = silverRoot.resolve(schoolYear).resolve(ep)
+    def save(pages: Seq[String], dirName: String, prefix: String): Unit =
+      if (pages.nonEmpty) {
+        val dir = silverRoot.resolve(schoolYear).resolve(dirName)
         Files.createDirectories(dir)
         pages.zipWithIndex.foreach { case (body, i) =>
-          Files.writeString(dir.resolve(s"${ep}_$i.json"), body)
+          Files.writeString(dir.resolve(s"${prefix}_$i.json"), body)
         }
       }
+    val work = endpoints.flatMap { ep =>
+      Seq(
+        Future {
+          save(fetchPages(s"$apiUrl/data/v3/ed-fi/$ep", bearer, window), ep, ep)
+        },
+        Future {
+          save(fetchPages(s"$apiUrl/data/v3/ed-fi/$ep/deletes", bearer, window),
+            s"${ep}_deletes", s"${ep}_deletes")
+        })
     }
     Await.result(Future.sequence(work), Duration.Inf)
   }

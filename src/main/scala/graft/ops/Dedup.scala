@@ -152,6 +152,46 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** PRODUCTION n-gram Jaccard dedup: shingle → document-frequency cap →
+    * inverted-index pair join. This is the entry point a pipeline should
+    * call at scale; the uncapped [[jaccardPairs]] path exists for oracle
+    * parity and small corpora.
+    *
+    * `maxDf` choice: the pair join emits C(df,2) candidates per shingle, so
+    * a shingle in 10k docs costs ~5·10^7 pairs on its own. Capping df at
+    * 1000 bounds any one shingle to ~5·10^5 pairs while keeping recall —
+    * a true near-duplicate pair shares many shingles, so losing its few
+    * boilerplate shingles (the high-df ones are navigation chrome, license
+    * headers, templates) still leaves shared low-df shingles to surface the
+    * pair. The same default governs web-scale dedup in practice; tune down
+    * toward 100 for template-heavy corpora. */
+  def jaccardDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxDf: Long = 1000
+  ): DataFrame =
+    jaccardPairs(capDocFrequency(shingles(docs, idCol, textCol, n), maxDf), threshold)
+
+  /** PRODUCTION MinHash+LSH dedup with the same document-frequency guard:
+    * the cap bounds both the signature cost (fewer shingle rows) and —
+    * because boilerplate shingles no longer dominate the minima — the
+    * band-collision rate of template-heavy corpora. */
+  def minhashDedupCapped(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxDf: Long = 1000
+  ): DataFrame =
+    minhashDedup(capDocFrequency(shingles(docs, idCol, textCol, n), maxDf),
+      threshold, numHashes, bands)
+
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit j of the
     * fingerprint is the sign of Σ_tokens (±1), where the ±1 is the j-th
     * nibble-MSB of md5(token). Single shuffle on doc_id; 16 parallel sums. */

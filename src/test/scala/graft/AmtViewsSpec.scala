@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Path}
 
+import org.apache.spark.sql.functions.col
+
 import graft.runner.AmtPipeline
 
 /** Golden-output tests for AMT views on hand-written silver fixtures
@@ -1326,6 +1328,56 @@ class AmtViewsSpec extends SparkTestBase {
     assert(r.getAs[String]("TermDescriptorKey") == "45")
     assert(r.getAs[String]("SchoolYear") == "2022")
     assert(r.getAs[Double]("Rating") == 3.5)
+  }
+
+  test("ews_studentEarlyWarningFact: hot-school skew fixture stays correct (AQE skew join)") {
+    // school 100 is hot (300 students), school 200 tiny (3) — the spine join
+    // on schoolId hashes all hot-school rows into one partition; AQE
+    // skew-split (asserted on) is the runtime mitigation at scale, and the
+    // result must be identical either way.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    val hot = (1 to 300).map { i =>
+      s"""{"schoolReference": {"schoolId": 100},
+          "studentReference": {"studentUniqueId": "h$i"},
+          "entryDate": "2021-08-01"}"""
+    }
+    val tiny = (1 to 3).map { i =>
+      s"""{"schoolReference": {"schoolId": 200},
+          "studentReference": {"studentUniqueId": "t$i"},
+          "entryDate": "2021-08-01"}"""
+    }
+    val days = (1 to 20).map { d =>
+      val date = f"2021-09-$d%02d"
+      s"""{"date": "$date",
+          "calendarReference": {"schoolId": 100, "schoolYear": 2022},
+          "calendarEvents": [{"calendarEventDescriptor":
+            "uri://ed-fi.org/CalendarEventDescriptor#Instructional day"}]},
+         {"date": "$date",
+          "calendarReference": {"schoolId": 200, "schoolYear": 2022},
+          "calendarEvents": [{"calendarEventDescriptor":
+            "uri://ed-fi.org/CalendarEventDescriptor#Instructional day"}]}"""
+    }
+    val silver = silverWith(
+      "studentSchoolAssociations" -> s"[${(hot ++ tiny).mkString(",")}]",
+      "calendarDates" -> s"[${days.mkString(",")}]",
+      "studentSchoolAttendanceEvents" -> """[
+        {"schoolReference": {"schoolId": 100},
+         "studentReference": {"studentUniqueId": "h7"},
+         "eventDate": "2021-09-03",
+         "attendanceEventCategoryDescriptor":
+           "uri://ed-fi.org/AttendanceEventCategoryDescriptor#Tardy"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val fact = p.view("ews_studentEarlyWarningFact").cache()
+    assert(fact.count() == (300 + 3) * 20)
+    val bySchool = fact.groupBy("SchoolKey").count().collect()
+      .map(r => r.getAs[String]("SchoolKey") -> r.getAs[Long]("count")).toMap
+    assert(bySchool == Map("100" -> 6000L, "200" -> 60L))
+    val tardy = fact.filter(col("IsTardyToSchool") > 0).collect()
+    assert(tardy.length == 1 &&
+      tardy.head.getAs[String]("StudentKey") == "h7" &&
+      tardy.head.getAs[String]("DateKey") == "20210903")
+    fact.unpersist()
   }
 
   test("writeAll produces one gold parquet per view") {

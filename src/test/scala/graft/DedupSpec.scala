@@ -43,6 +43,31 @@ class DedupSpec extends SparkTestBase {
     assert(capped.groupBy("shingle").count().agg(max("count")).head.getLong(0) == 1L)
   }
 
+  test("jaccardDedup (production, capped): boilerplate shingle can't create pairs, true dups survive") {
+    // two real near-dups + two unrelated docs sharing only a boilerplate footer
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon COPYRIGHT ACME CORP"),
+      (2L, "alpha beta gamma delta zeta COPYRIGHT ACME CORP"),
+      (3L, "one two three four five six COPYRIGHT ACME CORP"),
+      (4L, "seven eight nine ten eleven twelve COPYRIGHT ACME CORP")
+    ).toDF("doc_id", "text")
+    // uncapped: the footer trigram links everything
+    val uncapped = Dedup.jaccardDedup(corpus, "doc_id", "text", threshold = 0.0, maxDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((3L, 4L))) // boilerplate-only pair
+    // capped at df<=2: footer shingles (df=4) drop; the near-dup pair remains
+    val capped = Dedup.jaccardDedup(corpus, "doc_id", "text", threshold = 0.0, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.contains((3L, 4L)))
+  }
+
+  test("minhashDedupCapped: end-to-end over raw docs") {
+    val out = Dedup.minhashDedupCapped(docs, "doc_id", "text", threshold = 0.3, maxDf = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))
+  }
+
   test("minhashDedup: finds exact+near dup pairs above threshold") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val out = Dedup.minhashDedup(sh, 0.3).orderBy("doc_a", "doc_b").collect()

@@ -45,13 +45,28 @@ class IngestSpec extends AnyFunSuite {
       u.contains("minChangeVersion=10") && u.contains("maxChangeVersion=20")))
   }
 
-  test("extractAll writes silver layout") {
-    val t = new FakeTransport(Map(0 -> """[{"id": 1}]"""))
+  test("extractAll writes silver layout plus /deletes twins") {
+    // base endpoints return one page; only students has a deletes stream
+    val t = new FakeTransport(Map(0 -> """[{"id": 1}]""")) {
+      override def get(url: String, headers: Map[String, String]): (Int, String) = {
+        requests ::= url
+        if (url.contains("/deletes"))
+          if (url.contains("students") && url.contains("offset=0"))
+            (200, """[{"id": 1, "changeVersion": 9}]""")
+          else (200, "[]")
+        else super.get(url, headers)
+      }
+    }
     val client = new EdFiClient(t, "http://api", "k", "s", pageLimit = 2)
     val root = Files.createTempDirectory("silver")
     client.extractAll(Seq("students", "schools"), root, "2022", parallelism = 2)
     assert(Files.exists(root.resolve("2022/students/students_0.json")))
     assert(Files.exists(root.resolve("2022/schools/schools_0.json")))
+    // deletes twin captured in its own directory (S1 surface, api.py:133-136)
+    assert(Files.exists(root.resolve("2022/students_deletes/students_deletes_0.json")))
+    // empty deletes stream → no directory at all
+    assert(!Files.exists(root.resolve("2022/schools_deletes")))
+    assert(t.requests.exists(_.contains("ed-fi/schools/deletes")))
   }
 
   test("ChangeVersionStore: first run, no-op run, incremental run") {
