@@ -61,11 +61,17 @@ object Dedup {
     *
     * Shuffles: one on shingle (the pair join), one on doc_id (counts),
     * one on the pair key (common-count agg). All keys are data-sized.
+    *
+    * The shingle frame feeds three consumers (counts + both join sides);
+    * persisting it runs the explode+distinct pipeline once — the self-join
+    * sides share a ReusedExchange, but the doc_id-keyed counts shuffle
+    * would otherwise recompute the scan from scratch.
     */
   def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
+    val shc = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = shc.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = shc.as("a")
+      .join(shc.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))

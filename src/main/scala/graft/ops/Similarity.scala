@@ -107,6 +107,50 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Lloyd's k-means over a `withNorm`-shaped corpus — the production
+    * centroid pass for [[ivfTopK]] (the oracle query q36 keeps its
+    * deterministic lowest-id centroids; this replaces them when cluster
+    * quality matters).
+    *
+    * Per iteration: assign every vector to its nearest centroid (broadcast
+    * — [[ivfAssign]]), then recompute each centroid as the element-wise
+    * mean via `posexplode` + per-(cluster, dim) average — two data-sized
+    * shuffles, no all-pairs anything. The k×dim centroid matrix is
+    * collected to the driver between iterations: that is k rows, not data;
+    * it breaks the iterative lineage exactly the way MLlib's own k-means
+    * does. Empty clusters keep their previous centroid. Init is the k
+    * lowest-id vectors, so runs are reproducible up to floating-point
+    * summation order inside the means.
+    */
+  def kMeansCentroids(corpus: DataFrame, k: Int, maxIter: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def toCentroidFrame(rows: Seq[(Long, Seq[Double])]): DataFrame =
+      rows.toDF("vec_id", "v")
+        .select(col("vec_id"), col("v"), l2Norm(col("v")).as("nrm"))
+
+    var centroids: Seq[(Long, Seq[Double])] = corpus
+      .orderBy("vec_id").limit(k)
+      .select(col("v")).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }.toSeq
+
+    for (_ <- 1 to maxIter) {
+      val means = ivfAssign(corpus, toCentroidFrame(centroids))
+        .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster_id", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cluster_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster_id"),
+          transform(col("pm"), s => s.getField("m")).as("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      centroids = centroids.map { case (cid, v) => (cid, means.getOrElse(cid, v)) }
+    }
+    toCentroidFrame(centroids)
+  }
+
   /** Blocked near-duplicate pairs: cosine ≥ threshold within a blocking key
     * (a cheap LSH stand-in: label, cluster id, or an LSH bucket). The block
     * key bounds the pair join — never all-pairs. */

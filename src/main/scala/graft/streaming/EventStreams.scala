@@ -37,6 +37,23 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same `event_id`
+    * within the watermark horizon — the incremental twin of the batch
+    * exact-dedup operator (`ops.Dedup.exact`, q30). State is one row per
+    * id, partitioned by id, and expires with the watermark, so state size
+    * is bounded by (event rate × watermark), not stream history. */
+  def dedupStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: join each event against a batch dimension
+    * (broadcast when small — same plan rules as batch). The streaming
+    * analogue of the views' descriptor/lookup joins; no state is kept
+    * because the static side is re-resolvable per micro-batch. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -5,6 +5,36 @@ import org.apache.spark.sql.functions._
 import graft.ops.Similarity
 
 class SimilaritySpec extends SparkTestBase {
+
+  test("kMeansCentroids: converges onto two obvious clusters and drives ivfTopK") {
+    import testImplicits._
+    import org.apache.spark.sql.functions.col
+    // 2-D corpus: ids 1-4 hug the x-axis, ids 5-8 the y-axis
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(1.0f, 0.1f)), (4L, Seq(0.95f, 0.0f)),
+      (5L, Seq(0.0f, 1.0f)), (6L, Seq(0.1f, 0.9f)),
+      (7L, Seq(0.1f, 1.0f)), (8L, Seq(0.0f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Similarity.withNorm(vecs, "vec_id", "embedding")
+    val centroids = Similarity.kMeansCentroids(corpus, k = 2, maxIter = 4)
+    val cents = centroids.orderBy("vec_id").collect()
+      .map(r => r.getSeq[Double](1))
+    assert(cents.length == 2)
+    // one centroid dominated by x, the other by y
+    val xish = cents.count(c => c.head > c(1))
+    assert(xish == 1)
+    // cluster assignment separates the two groups
+    val assigned = Similarity.ivfAssign(corpus, centroids)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(assigned) != Set(5L, 6L, 7L, 8L).map(assigned))
+    assert(Set(1L, 2L, 3L, 4L).map(assigned).size == 1)
+    // IVF top-1 with nProbe=1 finds an in-cluster neighbor
+    val q = corpus.filter(col("vec_id") === 1L)
+    val nn = Similarity.ivfTopK(corpus, centroids, q, k = 1, nProbe = 1).collect()
+    assert(nn.length == 1 && Set(2L, 3L, 4L).contains(nn.head.getAs[Long]("neighbor_id")))
+  }
   import testImplicits._
 
   private def emb(rows: (Long, Seq[Float])*) =

@@ -35,6 +35,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupStream: re-delivered event_id within the watermark is dropped") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // same id re-delivered
+        Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(3), 1, "click", 1.0)) // still within watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("enrichStream: stream-static broadcast lookup attaches dim columns") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq(("click", "interaction"), ("view", "passive"))
+      .toDF("event_type", "category")
+    val q = EventStreams.enrichStream(input.toDF(), dim, "event_type")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "purchase", 5.0)) // no dim row → null category
+      q.processAllAvailable()
+      val out = spark.table("enriched").orderBy("event_id").collect()
+      assert(out(0).getAs[String]("category") == "interaction")
+      assert(out(1).getAs[String]("category") == null)
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session and emits its summary") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
