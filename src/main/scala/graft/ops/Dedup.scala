@@ -198,6 +198,83 @@ object Dedup {
     minhashDedup(capDocFrequency(shingles(docs, idCol, textCol, n), maxDf),
       threshold, numHashes, bands)
 
+  /** 64-bit SimHash packed into four 16-bit integer bands (`b0`-`b3`):
+    * bit i of the fingerprint is the sign of Σ_tokens ±1, where the ±1 is
+    * bit (3 - i%4) of md5-hex-nibble i/4. Integers, not bit-strings, on
+    * purpose: the first cut carried a 64-char fingerprint string and 64
+    * substring aggregates — its generated code took ~25 s to JIT and the
+    * pair verify did 128 substring compares per row. Packed bands make
+    * banding a plain equi-key and Hamming a `bit_count(xor)` — both
+    * codegen to a handful of integer ops. One shuffle on doc_id.
+    *
+    * 64 bits (not [[simhash16]]'s 16) is what survives scale: a 16-bit
+    * space has 65536 fingerprints, so at thousands of documents its band
+    * buckets saturate and banded pairing degenerates toward all-pairs
+    * (measured at sf0.1: 3.5M "candidate" pairs from 5k docs). */
+  def simhash64Bands(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+      .withColumn("__h", md5(col("word")))
+    // hex nibble values once per char, then pure integer bit tests
+    val nibs = (1 to 16).map(j =>
+      conv(substring(col("__h"), j, 1), 16, 10).cast("int").as(s"n$j"))
+    val withNibs = tok.select(col("doc_id") +: nibs: _*)
+    val bitSums = (0 until 64).map { i =>
+      val nib = col(s"n${i / 4 + 1}")
+      val shift = 3 - i % 4
+      sum(when(shiftright(nib, shift).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+        .as(s"s$i")
+    }
+    val bandCols = (0 until 4).map { b =>
+      (0 until 16).map { k =>
+        when(col(s"s${b * 16 + k}") >= 0, lit(1 << (15 - k))).otherwise(lit(0))
+      }.reduce(_ + _).as(s"b$b")
+    }
+    withNibs.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: bandCols: _*)
+  }
+
+  /** SimHash near-duplicate pairs via band blocking + exact Hamming verify
+    * over a [[simhash64Bands]] frame.
+    *
+    * Docs sharing any of the four 16-bit band values are candidates (one
+    * shuffle on the band value), then exact Hamming — Σ `bit_count(xor)`
+    * of the bands — filters to ≤ `maxHamming`. By pigeonhole, any pair
+    * within `bands - 1 = 3` differing bits shares at least one clean
+    * band, so for maxHamming ≤ 3 this returns EXACTLY the all-pairs
+    * answer without ever forming all pairs — the q29 oracle states the
+    * all-pairs spec and the hash gate proves the equality.
+    *
+    * Band width is the skew lever, MEASURED on the synthetic corpus at
+    * sf0.1 (5k docs, short shared-vocab texts → fingerprints cluster,
+    * median pairwise Hamming 20/64): 16-bit bands → 188k candidate pairs,
+    * hottest bucket 279 docs; 8-bit bands → 5.0M candidates, hottest
+    * bucket 1138 docs. */
+  def simhashPairs(fp: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bandNames = (0 until 4).map(b => s"b$b")
+    val banded = fp.select(
+      col("doc_id") +: bandNames.map(col) :+
+        posexplode(array(bandNames.map(col): _*)).as(Seq("band_idx", "band_val")): _*)
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
+          (bandNames.map(n => col(s"a.$n").as(s"a_$n")) ++
+            bandNames.map(n => col(s"b.$n").as(s"b_$n"))): _*)
+      .distinct()
+    val hamming = bandNames.map(n =>
+      bit_count(col(s"a_$n").bitwiseXOR(col(s"b_$n")))).reduce(_ + _)
+    cands
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit j of the
     * fingerprint is the sign of Σ_tokens (±1), where the ±1 is the j-th
     * nibble-MSB of md5(token). Single shuffle on doc_id; 16 parallel sums. */

@@ -34,6 +34,57 @@ object PipelineQueries {
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), x -> x[1]*x[2]), (p,q) -> p+q)"
 
+  // ---------------------------------------------------------------- q29
+  /** 64-bit SimHash banded near-dup pairs. The Spark side runs the scale
+    * path (16-bit band buckets → candidates → Hamming verify, never all
+    * pairs); the oracle states the mathematical spec (all pairs with
+    * Hamming ≤ 3). They are provably equal: 4 bands / ≤3 differing bits
+    * leaves one clean band by pigeonhole — the hash gate checks that
+    * equality on real data. 64-bit fingerprints with 16-bit bands are
+    * deliberate: a 16-bit fingerprint saturates its buckets at a few
+    * thousand docs, and 8-bit bands admit 27× the candidate pairs
+    * (measured at sf0.1 — see Dedup.simhashPairs). */
+  private val q29 = {
+    val nibCols = (1 to 16).map(j =>
+      s"strpos('0123456789abcdef', substr(hh, $j, 1)) - 1 AS n$j")
+      .mkString(",\n        ")
+    val sumCols = (0 until 64).map { i =>
+      val nib = s"n${i / 4 + 1}"
+      val shift = 3 - i % 4
+      s"SUM(CASE WHEN (($nib >> $shift) & 1) = 1 THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(",\n        ")
+    val bandCols = (0 until 4).map { b =>
+      (0 until 16).map { k =>
+        s"(CASE WHEN s${b * 16 + k} >= 0 THEN ${1 << (15 - k)} ELSE 0 END)"
+      }.mkString(" + ") + s" AS b$b"
+    }.mkString(",\n        ")
+    val hamming = (0 until 4).map(b => s"bit_count(xor(a.b$b, b.b$b))").mkString(" + ")
+    Q(
+      "q29_dedup_simhash_pairs",
+      (s, dir) => {
+        val fp = Dedup.simhash64Bands(Lake(s, dir).documents, "doc_id", "text")
+        Dedup.simhashPairs(fp, maxHamming = 3).orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      h AS (SELECT doc_id, md5(word) AS hh FROM tok),
+      nib AS (SELECT doc_id,
+        $nibCols
+        FROM h),
+      s AS (SELECT doc_id,
+        $sumCols
+        FROM nib GROUP BY doc_id),
+      fp AS (SELECT doc_id,
+        $bandCols
+        FROM s)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST($hamming AS INTEGER) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE $hamming <= 3
+      ORDER BY doc_a, doc_b""")
+    )
+  }
+
   // ---------------------------------------------------------------- q30
   /** Exact dedup: hash-groupBy on content (one shuffle on the hash). */
   private val q30 = Q(
@@ -374,5 +425,5 @@ object PipelineQueries {
       FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }

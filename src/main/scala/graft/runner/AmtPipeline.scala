@@ -74,9 +74,24 @@ final class AmtPipeline(
     })
   }
 
-  def writeAll(goldRoot: String): Unit =
-    AmtRegistry.all.foreach { v =>
-      view(v.name).write.mode("overwrite")
-        .parquet(s"$goldRoot/$schoolYear/${v.name}.parquet")
-    }
+  /** Write every view to gold parquet. Independent view jobs are submitted
+    * from `parallelism` driver threads — Spark schedules concurrent jobs
+    * fine, and at cluster scale this keeps executors busy while a deep
+    * view's long stage chain resolves. Plan construction (`view`) is
+    * synchronized (the memoized DAG), the write actions are not. */
+  def writeAll(goldRoot: String, parallelism: Int = 4): Unit = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try
+      Await.result(Future.sequence(AmtRegistry.all.map { v =>
+        Future {
+          view(v.name).write.mode("overwrite")
+            .parquet(s"$goldRoot/$schoolYear/${v.name}.parquet")
+        }
+      }), Duration.Inf)
+    finally pool.shutdown()
+  }
 }

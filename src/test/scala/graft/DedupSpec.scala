@@ -75,6 +75,30 @@ class DedupSpec extends SparkTestBase {
     assert(out.contains((1L, 2L))) // identical signature: always a candidate
   }
 
+  test("simhash64Bands: four 16-bit bands, identical text → identical fingerprint") {
+    val fp = Dedup.simhash64Bands(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    assert(fp.values.forall(_.forall(b => b >= 0 && b <= 0xFFFF)))
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(4L))
+  }
+
+  test("simhashPairs: banding finds every pair within maxHamming (pigeonhole)") {
+    val fp = Dedup.simhash64Bands(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(fp, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // identical docs 1/2: hamming 0, must surface through a shared band
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    // equivalence vs the all-pairs spec at maxHamming <= bands-1 = 3
+    val raw = fp.collect().map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    val all = (for {
+      a <- raw.keys; b <- raw.keys if a < b
+      h = raw(a).zip(raw(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(pairs == all)
+  }
+
   test("simhash16: identical text → identical fingerprint, 16 bits") {
     val fp = Dedup.simhash16(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
