@@ -107,6 +107,55 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic rational hyperplane `p` for [[lshTopK]]: integer
+    * arithmetic only, so any engine reproduces the exact same vector (and
+    * therefore the exact same sign bits — no float-threshold flakiness
+    * between the Spark plan and the SQL oracle). */
+  def hyperplane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(j => (((p * 31 + j * 17) % 13) - 6).toDouble)
+
+  /** Sign-LSH bucket id: bit p of the bucket is `dot(v, hyperplane(p)) >= 0`.
+    * `nPlanes` bits → 2^nPlanes buckets. */
+  def lshBucket(v: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { p =>
+      val h = array(hyperplane(p, dim).map(lit): _*)
+      when(dot(v, h) >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k — the second scale path next to
+    * [[ivfTopK]] (random-hyperplane buckets need no centroid pass).
+    * Corpus vectors are bucketed once; each query probes its own bucket
+    * plus every 1-bit-flip neighbor (multiprobe, `nPlanes + 1` buckets),
+    * so per query only ~(nPlanes+1)/2^nPlanes of the corpus is ranked. A
+    * doc lives in exactly one bucket and probe keys are distinct, so no
+    * candidate dedup is needed. At 100 TB the corpus side stays hash-
+    * partitioned by bucket; the probe fan-out is rows-per-query × 9, not
+    * data-sized. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nPlanes: Int,
+      dim: Int
+  ): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
+    val probeKeys = col("bucket0") +:
+      (0 until nPlanes).map(p => col("bucket0").bitwiseXOR(lit(1 << p)))
+    val probes = queries
+      .withColumn("bucket0", lshBucket(col("v"), nPlanes, dim))
+      .select(
+        col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(probeKeys: _*)).as("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(bucketed, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Lloyd's k-means over a `withNorm`-shaped corpus — the production
     * centroid pass for [[ivfTopK]] (the oracle query q36 keeps its
     * deterministic lowest-id centroids; this replaces them when cluster

@@ -8,7 +8,7 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash /
-  * embedding-cosine), similarity search (brute-force + IVF), text analysis
+  * embedding-cosine), similarity search (brute-force + IVF + LSH), text analysis
   * (language-ID, quality, tokens, fingerprints), and the multimodal decode
   * plumbing. See the ops objects for the scale rationale of each.
   */
@@ -279,6 +279,50 @@ object PipelineQueries {
       ORDER BY query_id, rank""")
   )
 
+  // ---------------------------------------------------------------- q42
+  /** LSH-bucketed approximate top-5 — the second ANN scale path (no
+    * centroid pass): sign-hyperplane buckets + 1-bit multiprobe. The
+    * hyperplanes are integer-rational, generated from ONE Scala function
+    * into both the Spark plan and this SQL, so the sign bits — and hence
+    * the buckets — are identical by construction, not by float luck. */
+  private val q42 = {
+    val nPlanes = 8
+    val dim = 64
+    def planeList(p: Int): String =
+      Similarity.hyperplane(p, dim).map(d => s"$d").mkString("[", ", ", "]")
+    val bucketExpr = (0 until nPlanes).map { p =>
+      s"(CASE WHEN ${sqlDot("v", planeList(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList = ("bucket" +: (0 until nPlanes).map(p => s"xor(bucket, ${1 << p})"))
+      .mkString("[", ", ", "]")
+    Q(
+      "q42_ann_lsh",
+      (s, dir) => {
+        val corpus = Similarity.withNorm(Lake(s, dir).embeddings, "vec_id", "embedding")
+        val queries = corpus.filter(col("vec_id") < 8)
+        Similarity.lshTopK(corpus, queries, k = 5, nPlanes = nPlanes, dim = dim)
+          .select("query_id", "neighbor_id", "cos", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+      WITH $NormedCte,
+      b AS (SELECT vec_id, v, nrm, $bucketExpr AS bucket FROM m),
+      probes AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+               unnest($probeList) AS probe_bucket
+        FROM b WHERE vec_id < 8)
+      SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+          ${sqlDot("p.qv", "c.v")} / (p.qn * c.nrm) AS cos,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY ${sqlDot("p.qv", "c.v")} / (p.qn * c.nrm) DESC, c.vec_id) AS rank
+        FROM probes p JOIN b c ON c.bucket = p.probe_bucket
+        WHERE p.query_id != c.vec_id)
+      WHERE rank <= 5
+      ORDER BY query_id, rank""")
+    )
+  }
+
   // ---------------------------------------------------------------- q37
   /** Language-ID scaffold: marker-token votes via broadcast lookup; argmax
     * per doc with deterministic tiebreak; no-hit docs → 'unknown'. */
@@ -425,5 +469,5 @@ object PipelineQueries {
       FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }

@@ -6,6 +6,24 @@ import graft.ops.Similarity
 
 class SimilaritySpec extends SparkTestBase {
 
+  test("lshTopK: bucket+multiprobe ANN agrees with brute force on obvious clusters") {
+    import testImplicits._
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 1.0f)),
+      (5L, Seq(0.95f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Similarity.withNorm(vecs, "vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 1L)
+    val lsh = Similarity.lshTopK(corpus, q, k = 1, nPlanes = 4, dim = 2).collect()
+    val exact = Similarity.bruteForceTopK(corpus, q, k = 1).collect()
+    assert(lsh.length == 1)
+    // top-1 must agree: near-identical vectors always share the sign bucket
+    assert(lsh.head.getAs[Long]("neighbor_id") == exact.head.getAs[Long]("neighbor_id"))
+    assert(lsh.head.getAs[Double]("cos") == exact.head.getAs[Double]("cos"))
+  }
+
   test("kMeansCentroids: converges onto two obvious clusters and drives ivfTopK") {
     import testImplicits._
     import org.apache.spark.sql.functions.col
