@@ -102,8 +102,26 @@ final class EdFiClient(
     apiKey: String,
     apiSecret: String,
     pageLimit: Int = 500,
-    tokenPath: String = "oauth/token"
+    tokenPath: String = "oauth/token",
+    maxRetries: Int = 3,
+    sleep: Long => Unit = Thread.sleep
 ) {
+
+  /** GET with bounded exponential backoff on 429/5xx (beyond the
+    * reference, which lets any transient API hiccup kill the page loop —
+    * api.py:100-116 just logs and returns a short result). `sleep` is
+    * injectable so tests don't wait. */
+  private def getWithRetry(url: String, headers: Map[String, String]): (Int, String) = {
+    var attempt = 0
+    var result = transport.get(url, headers)
+    while (attempt < maxRetries &&
+      (result._1 == 429 || result._1 >= 500)) {
+      sleep(500L << attempt)
+      attempt += 1
+      result = transport.get(url, headers)
+    }
+    result
+  }
 
   /** OAuth2 client-credentials token (reference helper/token.py:13-31). */
   def token(): String = {
@@ -137,7 +155,7 @@ final class EdFiClient(
     Iterator.from(0)
       .map { page =>
         val url = s"$endpointUrl?limit=$pageLimit&offset=${page * pageLimit}$versionParams"
-        transport.get(url, headers)
+        getWithRetry(url, headers)
       }
       .takeWhile { case (status, body) =>
         status == 200 && body.trim.nonEmpty && body.trim != "[]"

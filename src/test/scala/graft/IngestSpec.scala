@@ -69,6 +69,34 @@ class IngestSpec extends AnyFunSuite {
     assert(t.requests.exists(_.contains("ed-fi/schools/deletes")))
   }
 
+  test("transient 5xx/429 pages retry with backoff, then succeed") {
+    var failures = 2
+    val sleeps = scala.collection.mutable.ListBuffer.empty[Long]
+    val t = new FakeTransport(Map(0 -> """[{"id": 1}]""")) {
+      override def get(url: String, headers: Map[String, String]): (Int, String) =
+        if (failures > 0) { failures -= 1; (503, "busy") }
+        else super.get(url, headers)
+    }
+    val client = new EdFiClient(t, "http://api", "k", "s", pageLimit = 2,
+      maxRetries = 3, sleep = sleeps.append(_))
+    val pages = client.fetchPages("http://api/x", "tok-123")
+    assert(pages == Seq("""[{"id": 1}]"""))
+    assert(sleeps.toList == List(500L, 1000L)) // exponential backoff
+  }
+
+  test("persistent 5xx gives up after maxRetries and ends the page loop") {
+    var calls = 0
+    val t = new FakeTransport(Map.empty) {
+      override def get(url: String, headers: Map[String, String]): (Int, String) = {
+        calls += 1; (500, "down")
+      }
+    }
+    val client = new EdFiClient(t, "http://api", "k", "s",
+      maxRetries = 2, sleep = _ => ())
+    assert(client.fetchPages("http://api/x", "tok-123").isEmpty)
+    assert(calls == 3) // initial + 2 retries, then takeWhile stops
+  }
+
   test("ChangeVersionStore: first run, no-op run, incremental run") {
     val store = new ChangeVersionStore(Files.createTempDirectory("cv"))
     // first run: full API range
