@@ -62,4 +62,31 @@ object Joins {
     * 68-106); Spark has the real operator. */
   def cross(left: DataFrame, right: DataFrame): DataFrame =
     left.crossJoin(broadcast(right))
+
+  /** Skew-proof equi-join by key salting — the manual fallback when AQE's
+    * runtime skew split can't apply (e.g. the skewed side feeds an
+    * aggregation in the same stage, or the join is inside a cached plan).
+    *
+    * The skewed side gets a per-row salt in [0, saltFactor); the other
+    * side is replicated across ALL salt values (explode of a literal
+    * range — saltFactor× its size, so keep that side the smaller one).
+    * A hot key's rows now spread over `saltFactor` shuffle partitions
+    * instead of one. Semantics are exactly `skewed.join(other, keys,
+    * joinType)` for inner/left joins; right/full would lose unmatched
+    * right rows to the replication and are rejected. */
+  def saltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      joinType: String = "inner"
+  ): DataFrame = {
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin replicates the right side; '$joinType' would duplicate unmatched rows")
+    val salted = skewed.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+    val expanded = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(expanded, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

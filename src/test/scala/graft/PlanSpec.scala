@@ -39,6 +39,38 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"descriptor join shuffled:\n$plan")
   }
 
+  test("bucketed tables join and aggregate with zero exchanges") {
+    val wh = java.nio.file.Files.createTempDirectory("bucketed")
+    val orders = Lake(spark, sfDir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    val lines = Lake(spark, sfDir).lineitem.select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    graft.core.Bucketing.writeBucketed(orders, "b_orders", s"$wh/o", 4, Seq("o_orderkey"))
+    graft.core.Bucketing.writeBucketed(lines, "b_lines", s"$wh/l", 4, Seq("o_orderkey"))
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lines"), "o_orderkey")
+        .groupBy("o_orderkey").agg(sum("l_quantity"))
+      val plan = planOf(joined)
+      // co-located join AND same-key aggregation: the shuffle was paid at write
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE b_orders")
+      spark.sql("DROP TABLE b_lines")
+    }
+  }
+
+  test("saltedJoin spreads a hot key and matches the plain join exactly") {
+    // one hot key (90% of rows) + a small dimension
+    val skewed = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "payload")
+    val dim = Seq((7L, "hot"), (20L, "cold"), (30L, "cold")).toDF("k", "tag")
+    val salted = graft.ops.Joins.saltedJoin(skewed, dim, Seq("k"), saltFactor = 8)
+      .groupBy("k", "tag").count().orderBy("k")
+    val plain = skewed.join(dim, Seq("k")).groupBy("k", "tag").count().orderBy("k")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("no registered query plans a cartesian product (cross-join ops excepted)") {
     // q07 is the deliberate J4 cross-join operator; q27 cross-joins a
     // 775-row calendar spine (broadcast nested loop, intentional).
