@@ -423,12 +423,109 @@ object EndpointCatalog {
         f("indicatorGroup", StringType)))))
   )
 
+  /** Schemas for census endpoints no AMT view consumes (extracted for
+    * completeness — reference endpoint.json rows without a downstream
+    * reader). Kept minimal: id + the references that identify the row. */
+  private val extractionOnlySchemas: Map[String, StructType] = Map(
+    "addressTypeDescriptors" -> descriptorSchema("addressTypeDescriptorId"),
+    "schoolTypeDescriptors" -> descriptorSchema("schoolTypeDescriptorId"),
+    "stateAbbreviationDescriptors" -> descriptorSchema("stateAbbreviationDescriptorId"),
+    "calendars" -> s(
+      f("id", StringType), f("calendarCode", StringType),
+      f("schoolReference", s(f("schoolId", LongType))),
+      f("schoolYearTypeReference", s(f("schoolYear", LongType))),
+      f("calendarTypeDescriptor", StringType)),
+    "staffDisciplineIncidentAssociations" -> s(
+      f("id", StringType),
+      f("staffReference", s(f("staffUniqueId", StringType), f("link", link))),
+      f("disciplineIncidentReference", s(
+        f("schoolId", LongType), f("incidentIdentifier", StringType)))),
+    "staffSchoolAssociations" -> s(
+      f("id", StringType),
+      f("staffReference", s(f("staffUniqueId", StringType), f("link", link))),
+      f("schoolReference", s(f("schoolId", LongType))),
+      f("programAssignmentDescriptor", StringType)),
+    "studentLanguageInstructionProgramAssociations" -> s(
+      f("id", StringType), f("beginDate", StringType), f("endDate", StringType),
+      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("programReference", s(
+        f("programName", StringType), f("programTypeDescriptor", StringType),
+        f("educationOrganizationId", LongType)))),
+    "studentSpecialEducationProgramAssociations" -> s(
+      f("id", StringType), f("beginDate", StringType), f("endDate", StringType),
+      f("studentReference", s(f("studentUniqueId", StringType))),
+      f("programReference", s(
+        f("programName", StringType), f("programTypeDescriptor", StringType),
+        f("educationOrganizationId", LongType))),
+      f("specialEducationSettingDescriptor", StringType)),
+    "evaluationElements" -> s(
+      f("id", StringType),
+      f("evaluationElementTitle", StringType),
+      f("evaluationObjectiveReference", s(
+        f("evaluationObjectiveTitle", StringType), f("link", link)))),
+    "evaluationRatings" -> s(
+      f("id", StringType),
+      f("evaluationRatingLevelDescriptor", StringType),
+      f("evaluationReference", s(
+        f("evaluationTitle", StringType), f("link", link))),
+      f("performanceEvaluationRatingReference", s(
+        f("personId", StringType), f("evaluationDate", StringType)))))
+
+  /** The reference's full extraction census: all 80 namespace-qualified
+    * endpoint paths from helper/endpoint/endpoint.json:1-82 (order kept).
+    * Drive [[graft.ingest.EdFiClient.extractAll]] with this for a complete
+    * silver pull (each also gets its /deletes twin). */
+  val extractionEndpoints: Seq[String] = Seq(
+    "ed-fi/academicSubjectDescriptors", "ed-fi/addressTypeDescriptors",
+    "tpdm/aidTypeDescriptors", "ed-fi/assessments",
+    "ed-fi/assessmentCategoryDescriptors",
+    "ed-fi/assessmentReportingMethodDescriptors", "ed-fi/calendarDates",
+    "ed-fi/calendars", "ed-fi/cohorts", "ed-fi/cohortTypeDescriptors",
+    "ed-fi/cohortYearTypeDescriptors", "ed-fi/courseOfferings",
+    "ed-fi/courses", "ed-fi/credentials", "ed-fi/disabilityDescriptors",
+    "ed-fi/disabilityDesignationDescriptors", "ed-fi/disciplineActions",
+    "ed-fi/disciplineDescriptors", "ed-fi/disciplineIncidents",
+    "ed-fi/educationalEnvironmentDescriptors", "ed-fi/educationServiceCenters",
+    "ed-fi/feederSchoolAssociations", "ed-fi/grades",
+    "ed-fi/gradeLevelDescriptors", "ed-fi/gradingPeriodDescriptors",
+    "ed-fi/gradingPeriods", "ed-fi/languageDescriptors",
+    "ed-fi/languageUseDescriptors", "ed-fi/localEducationAgencies",
+    "ed-fi/objectiveAssessments", "ed-fi/parents", "ed-fi/people",
+    "ed-fi/performanceLevelDescriptors", "ed-fi/programs",
+    "ed-fi/programTypeDescriptors", "ed-fi/raceDescriptors",
+    "ed-fi/resultDatatypeTypeDescriptors", "ed-fi/schools",
+    "ed-fi/schoolFoodServiceProgramServiceDescriptors",
+    "ed-fi/schoolTypeDescriptors", "ed-fi/schoolYearTypes", "ed-fi/sections",
+    "ed-fi/sessions", "ed-fi/sexDescriptors",
+    "ed-fi/staffDisciplineIncidentAssociations",
+    "ed-fi/staffEducationOrganizationAssignmentAssociations", "ed-fi/staffs",
+    "ed-fi/staffSchoolAssociations", "ed-fi/staffSectionAssociations",
+    "ed-fi/stateAbbreviationDescriptors", "ed-fi/stateEducationAgencies",
+    "ed-fi/studentAssessments", "ed-fi/studentCharacteristicDescriptors",
+    "ed-fi/studentCohortAssociations",
+    "ed-fi/studentDisciplineIncidentBehaviorAssociations",
+    "ed-fi/studentEducationOrganizationAssociations",
+    "ed-fi/studentLanguageInstructionProgramAssociations",
+    "ed-fi/studentParentAssociations", "ed-fi/studentProgramAssociations",
+    "ed-fi/students", "ed-fi/studentSchoolAssociations",
+    "ed-fi/studentSchoolAttendanceEvents",
+    "ed-fi/studentSchoolFoodServiceProgramAssociations",
+    "ed-fi/studentSectionAssociations", "ed-fi/studentSectionAttendanceEvents",
+    "ed-fi/studentSpecialEducationProgramAssociations",
+    "ed-fi/surveyQuestionResponses", "ed-fi/surveyQuestions",
+    "ed-fi/surveyResponses", "ed-fi/surveys", "ed-fi/termDescriptors",
+    "ed-fi/tribalAffiliationDescriptors", "tpdm/candidates",
+    "tpdm/candidateEducatorPreparationProgramAssociations",
+    "tpdm/evaluationElements", "tpdm/evaluationElementRatings",
+    "tpdm/evaluationObjectives", "tpdm/evaluationRatings",
+    "tpdm/financialAids", "tpdm/surveyResponsePersonTargetAssociations")
+
   private def descriptorSchema(idField: String): StructType = s(
     f(idField, LongType), f("codeValue", StringType),
     f("description", StringType), f("namespace", StringType),
     f("shortDescription", StringType))
 
   def schema(endpoint: String): StructType =
-    schemas.getOrElse(endpoint,
-      throw new IllegalArgumentException(s"unknown endpoint: $endpoint"))
+    schemas.getOrElse(endpoint, extractionOnlySchemas.getOrElse(endpoint,
+      throw new IllegalArgumentException(s"unknown endpoint: $endpoint")))
 }

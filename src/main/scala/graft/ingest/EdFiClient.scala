@@ -197,13 +197,18 @@ final class EdFiClient(
         }
       }
     val work = endpoints.flatMap { ep =>
+      // accept namespace-qualified paths ("tpdm/candidates") or bare names
+      // (default ed-fi namespace); silver dirs use the bare name, like the
+      // reference's url-last-segment file naming (helper.py:128-131)
+      val path = if (ep.contains("/")) ep else s"ed-fi/$ep"
+      val name = path.substring(path.lastIndexOf('/') + 1)
       Seq(
         Future {
-          save(fetchPages(s"$apiUrl/data/v3/ed-fi/$ep", bearer, window), ep, ep)
+          save(fetchPages(s"$apiUrl/data/v3/$path", bearer, window), name, name)
         },
         Future {
-          save(fetchPages(s"$apiUrl/data/v3/ed-fi/$ep/deletes", bearer, window),
-            s"${ep}_deletes", s"${ep}_deletes")
+          save(fetchPages(s"$apiUrl/data/v3/$path/deletes", bearer, window),
+            s"${name}_deletes", s"${name}_deletes")
         })
     }
     Await.result(Future.sequence(work), Duration.Inf)

@@ -59,9 +59,13 @@ class IngestSpec extends AnyFunSuite {
     }
     val client = new EdFiClient(t, "http://api", "k", "s", pageLimit = 2)
     val root = Files.createTempDirectory("silver")
-    client.extractAll(Seq("students", "schools"), root, "2022", parallelism = 2)
+    client.extractAll(Seq("students", "schools", "tpdm/candidates"), root, "2022",
+      parallelism = 2)
     assert(Files.exists(root.resolve("2022/students/students_0.json")))
     assert(Files.exists(root.resolve("2022/schools/schools_0.json")))
+    // namespaced endpoint: URL keeps tpdm/, silver dir uses the bare name
+    assert(Files.exists(root.resolve("2022/candidates/candidates_0.json")))
+    assert(t.requests.exists(_.contains("data/v3/tpdm/candidates?")))
     // deletes twin captured in its own directory (S1 surface, api.py:133-136)
     assert(Files.exists(root.resolve("2022/students_deletes/students_deletes_0.json")))
     // empty deletes stream → no directory at all
@@ -95,6 +99,15 @@ class IngestSpec extends AnyFunSuite {
       maxRetries = 2, sleep = _ => ())
     assert(client.fetchPages("http://api/x", "tok-123").isEmpty)
     assert(calls == 3) // initial + 2 retries, then takeWhile stops
+  }
+
+  test("the full 80-endpoint census resolves a silver schema for every entry") {
+    val eps = graft.core.EndpointCatalog.extractionEndpoints
+    assert(eps.size == 80) // reference endpoint.json census
+    eps.foreach { ep =>
+      val name = ep.substring(ep.lastIndexOf('/') + 1)
+      assert(graft.core.EndpointCatalog.schema(name).fields.nonEmpty, s"no schema: $ep")
+    }
   }
 
   test("ChangeVersionStore: first run, no-op run, incremental run") {
