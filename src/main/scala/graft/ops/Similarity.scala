@@ -50,7 +50,7 @@ object Similarity {
     * uses the raw cosine with id tiebreak — deterministic because the dot
     * products are. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val joined = queries.as("q").join(
+    val joined = broadcast(queries.as("q")).join(
       corpus.as("c"), col("q.vec_id") =!= col("c.vec_id"))
       .select(
         col("q.vec_id").as("query_id"),
@@ -98,7 +98,7 @@ object Similarity {
       .select(col("q.vec_id").as("query_id"), col("q.v").as("qv"),
         col("q.nrm").as("qn"), col("__cid").as("cluster_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    probes.join(assigned, Seq("cluster_id"))
+    broadcast(probes).join(assigned, Seq("cluster_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
@@ -147,7 +147,7 @@ object Similarity {
         col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(array(probeKeys: _*)).as("bucket"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    probes.join(bucketed, Seq("bucket"))
+    broadcast(probes).join(bucketed, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
