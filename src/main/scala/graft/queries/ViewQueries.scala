@@ -251,5 +251,102 @@ object ViewQueries {
       ORDER BY StudentKey, StudentSchoolKey""")
   )
 
-  val all: Seq[Q] = Seq(q27, q28)
+  // ---------------------------------------------------------------- q43
+  /** chrab_chronicAbsenteeismAttendanceFact over the same derived
+    * endpoints as q27 (customers enroll at their nation's school, January
+    * 1995 order dates are the calendar, orders are attendance events).
+    * Differences the mirror encodes: the spine keeps ONLY instructional
+    * days; AttendanceEvent.Absence aggregates both Excused and Unexcused
+    * code values (two map rows); all outputs are 0/1 flags, so the
+    * duplicate 'In Attendance' map row is invisible here; section-level
+    * events stay empty, pinning the section/homeroom flags at 0. */
+  private val q43 = Q(
+    "q43_view_chrab_attendance",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val cust = lake.customer.select(col("c_custkey"), col("c_nationkey"))
+
+      val ssa = cust.select(
+        struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
+        struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
+        lit("1995-01-05").as("entryDate"),
+        when(col("c_custkey") % 10 === 0, "1995-01-20")
+          .otherwise(lit(null).cast("string")).as("exitWithdrawDate"))
+
+      val jan = lake.orders
+        .filter(col("o_orderdate").between("1995-01-01", "1995-01-31"))
+      val cal = jan.select(col("o_orderdate").cast("string").as("date")).distinct()
+        .crossJoin(lake.nation.select(col("n_nationkey")))
+        .select(
+          struct(
+            col("n_nationkey").cast("long").as("schoolId"),
+            lit(1995L).as("schoolYear")).as("calendarReference"),
+          col("date"),
+          array(struct(
+            when(dayofmonth(to_date(col("date"))) % 5 =!= 0,
+              "uri://ed-fi.org/CalendarEventDescriptor#Instructional day")
+              .otherwise("uri://ed-fi.org/CalendarEventDescriptor#Holiday")
+              .as("calendarEventDescriptor"))).as("calendarEvents"))
+
+      val att = jan.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(
+          struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
+          struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
+          col("o_orderdate").cast("string").as("eventDate"),
+          concat(lit("uri://ed-fi.org/AttendanceEventCategoryDescriptor#"),
+            element_at(
+              array(lit("In Attendance"), lit("Tardy"),
+                lit("Excused Absence"), lit("Unexcused Absence")),
+              (col("o_orderkey") % 4 + 1).cast("int")))
+            .as("attendanceEventCategoryDescriptor"))
+
+      val ctx = ctxWith(s, Map(
+        "studentSchoolAssociations" -> ssa,
+        "calendarDates" -> cal,
+        "studentSchoolAttendanceEvents" -> att))
+      ctx.view("chrab_chronicAbsenteeismAttendanceFact")
+        .orderBy("StudentKey", "SchoolKey", "DateKey")
+    },
+    Some("""
+      WITH cal AS (
+        SELECT DISTINCT n_nationkey AS school_id,
+               replace(strftime(o_orderdate, '%Y-%m-%d'), '-', '') AS date_key
+        FROM orders, nation
+        WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+          AND day(o_orderdate) % 5 <> 0),
+      enr AS (
+        SELECT c_nationkey AS school_id, CAST(c_custkey AS VARCHAR) AS student_key,
+               CASE WHEN c_custkey % 10 = 0 THEN '19950120' ELSE '' END AS exit_key
+        FROM customer),
+      att AS (
+        SELECT c_nationkey AS school_id, CAST(c_custkey AS VARCHAR) AS student_key,
+               replace(strftime(o_orderdate, '%Y-%m-%d'), '-', '') AS date_key,
+               SUM(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS present,
+               SUM(CASE WHEN o_orderkey % 4 IN (2, 3) THEN 1 ELSE 0 END) AS absence
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+        GROUP BY 1, 2, 3)
+      SELECT e.student_key || '-' || CAST(c.school_id AS VARCHAR) AS StudentSchoolKey,
+             e.student_key AS StudentKey,
+             CAST(c.school_id AS VARCHAR) AS SchoolKey,
+             c.date_key AS DateKey,
+             CAST(CASE WHEN COALESCE(a.present, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS ReportedAsPresentAtSchool,
+             CAST(CASE WHEN COALESCE(a.absence, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS ReportedAsAbsentFromSchool,
+             CAST(0 AS INTEGER) AS ReportedAsPresentAtHomeRoom,
+             CAST(0 AS INTEGER) AS ReportedAsAbsentFromHomeRoom,
+             CAST(0 AS INTEGER) AS ReportedAsIsPresentInAllSections,
+             CAST(0 AS INTEGER) AS ReportedAsAbsentFromAnySection
+      FROM enr e
+      JOIN cal c ON e.school_id = c.school_id
+      LEFT JOIN att a ON a.school_id = e.school_id
+        AND a.student_key = e.student_key AND a.date_key = c.date_key
+      WHERE '19950105' <= c.date_key
+        AND (e.exit_key = '' OR e.exit_key >= c.date_key)
+        AND c.date_key <= strftime(current_date, '%Y%m%d')
+      ORDER BY StudentKey, SchoolKey, DateKey""")
+  )
+
+  val all: Seq[Q] = Seq(q27, q28, q43)
 }
