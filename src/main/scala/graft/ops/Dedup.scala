@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   *     shared by 1M docs creates 10^12 candidate pairs. [[shingles]] callers
   *     can cap document frequency via [[capDocFrequency]] before pairing —
   *     standard practice in web-scale dedup.
+  *
+  * Measured scaling (10× corpus probe: 50k docs built by replicating the
+  * sf0.1 documents with 30% perturbed variants, local[32]):
+  *   - [[exact]] 4.6 s (30k dup rows) — linear, one shuffle;
+  *   - [[simhashPairs]] 18.6 s (219k pairs) — output-bound;
+  *   - [[jaccardDedup]] 80.6 s vs [[minhashDedupCapped]] 11.3 s for the
+  *     SAME ~250k-pair answer (minhash recall 99.9%: 250,025 of 250,378).
+  *     Exact Jaccard pays Σ C(df,2) candidate rows per shared shingle —
+  *     with ~10 near-copies per doc that is ~11M grouped rows; LSH
+  *     collapses identical signatures into band buckets first. This 7×
+  *     gap WIDENS with duplication factor, which is why minhash is the
+  *     default at real scale and exact Jaccard the verification oracle.
   */
 object Dedup {
 
