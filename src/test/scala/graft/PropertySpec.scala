@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ops.{DateKeys, Dedup, Joins, OrderedAgg}
+
+/** Property-based invariants over randomized inputs — the laws the engine
+  * depends on but example tests can't pin: order-independence of the
+  * deterministic aggregations, the pigeonhole equality behind banded
+  * SimHash, salted-join equivalence, date-key totality. Iteration counts
+  * stay small (each case runs Spark jobs); generators use fixed scalacheck
+  * seeds per run, which is plenty to catch law violations. */
+class PropertySpec extends SparkTestBase {
+  import testImplicits._
+
+  private def holds(p: Prop, n: Int = 5): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("stringAgg is invariant to input row order") {
+    val rows = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0, 5), Gen.alphaLowerStr.map(_.take(4))))
+    holds(Prop.forAll(rows) { data =>
+      def agg(d: Seq[(Int, Int, String)]): Map[Int, String] =
+        d.toDF("g", "k", "v")
+          .groupBy("g")
+          .agg(OrderedAgg.stringAgg(col("v"), ",", col("k")).as("s"))
+          .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      agg(data) == agg(scala.util.Random.shuffle(data))
+    })
+  }
+
+  test("simhashPairs equals the all-pairs spec for any fingerprints (pigeonhole)") {
+    val fps = Gen.listOfN(10, Gen.listOfN(4, Gen.choose(0, 0xFFFF)))
+      .map(_.zipWithIndex.map { case (bs, i) => (i.toLong, bs(0), bs(1), bs(2), bs(3)) })
+    holds(Prop.forAll(fps) { rows =>
+      val fp = rows.toDF("doc_id", "b0", "b1", "b2", "b3")
+      val banded = Dedup.simhashPairs(fp, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val byId = rows.map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+      val spec = (for {
+        a <- byId.keys; b <- byId.keys if a < b
+        h = byId(a).zip(byId(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+        if h <= 3
+      } yield (a, b, h)).toSet
+      banded == spec
+    })
+  }
+
+  test("saltedJoin equals the plain join for any data and salt factor") {
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.choose(0L, 4L)),
+      Gen.choose(1, 8))
+    holds(Prop.forAll(gen) { case (keys, saltFactor) =>
+      val left = keys.zipWithIndex.toDF("k", "payload")
+      val right = Seq((0L, "a"), (2L, "b"), (4L, "c")).toDF("k", "tag")
+      val salted = Joins.saltedJoin(left, right, Seq("k"), saltFactor)
+        .select("k", "payload", "tag").collect().map(_.toSeq).toSet
+      val plain = left.join(right, Seq("k"))
+        .select("k", "payload", "tag").collect().map(_.toSeq).toSet
+      salted == plain
+    })
+  }
+
+  test("dateKey: total on any input — valid dates to 8 digits, junk to ''") {
+    val valid = Gen.zip(Gen.choose(1900, 2100), Gen.choose(1, 12), Gen.choose(1, 28))
+    val junk = Gen.oneOf(Gen.alphaStr.map(_.take(10)), Gen.const(""), Gen.const("99-99"))
+    holds(Prop.forAll(valid, junk) { case ((y, m, d), bad) =>
+      val iso = f"$y%04d-$m%02d-$d%02d"
+      val out = Seq(iso, bad).toDF("s")
+        .select(DateKeys.dateKey(col("s"))).collect().map(_.getString(0))
+      out(0) == f"$y%04d$m%02d$d%02d" &&
+        (out(1) == "" || out(1).matches("\\d{8}")) // junk → ''; parseable stays a key
+    })
+  }
+
+  test("exact dedup: canonical id is the min doc_id of each text group") {
+    val docs = Gen.listOfN(15, Gen.zip(Gen.choose(1L, 100L), Gen.choose(0, 3)))
+      .map(_.distinctBy(_._1).map { case (id, t) => (id, s"text $t") })
+    holds(Prop.forAll(docs) { rows =>
+      rows.isEmpty || {
+        val out = Dedup.exact(rows.toDF("doc_id", "text"), "doc_id", "text")
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val expect = rows.groupBy(_._2).values.flatMap { g =>
+          val m = g.map(_._1).min; g.map(r => r._1 -> m)
+        }.toMap
+        out == expect
+      }
+    })
+  }
+}
