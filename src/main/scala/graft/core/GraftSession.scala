@@ -38,6 +38,45 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Cluster-deployment configurator: the same engine defaults plus the
+    * sizing knobs that matter when the input is ~100 TB, with the math
+    * spelled out instead of folklore numbers.
+    *
+    * @param inputTB      expected scan volume per heavy query, in TB
+    * @param executorCores total cores across the cluster (e.g. 1000
+    *                     executors × 4 cores = 4000)
+    *
+    * - shuffle.partitions: target ~200 MB per post-shuffle partition
+    *   (large enough to amortize task overhead, small enough to never
+    *   spill a 4 GB executor core). AQE coalescing treats this as a
+    *   ceiling, so oversizing is safe; undersizing is not recoverable.
+    * - files.maxPartitionBytes 256 MB: scan tasks sized to one parquet
+    *   row-group neighborhood — fewer, fatter tasks than the 128 MB
+    *   default, which at 100 TB halves the scheduler pressure
+    *   (~400k → ~200k scan tasks).
+    * - advisoryPartitionSizeInBytes aligned with the 200 MB target so
+    *   AQE coalescing and skew-splitting aim at the same size.
+    * - broadcast threshold 64 MB: dimension tables (schools, descriptor
+    *   maps, centroid sets) stay broadcast even when wide; anything
+    *   bigger genuinely should shuffle.
+    */
+  /** ~200 MB per post-shuffle partition; floor of two waves per core. */
+  val targetPartitionBytes: Long = 200L * 1024 * 1024
+
+  def clusterShufflePartitions(inputTB: Double, executorCores: Int): Int =
+    math.max(
+      executorCores * 2, // keep every core busy ≥2 waves even for small stages
+      (inputTB * 1e12 / targetPartitionBytes).toInt)
+
+  def cluster(b: SparkSession.Builder, inputTB: Double, executorCores: Int): SparkSession.Builder = {
+    val shufflePartitions = clusterShufflePartitions(inputTB, executorCores)
+    configure(b, shufflePartitions)
+      .config("spark.sql.files.maxPartitionBytes", (256L * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        targetPartitionBytes.toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+  }
+
   /** Local session for tests/bench: one JVM, N threads. */
   def local(cores: Int = defaultParallelism, appName: String = "graft"): SparkSession = {
     val spark = configure(

@@ -39,6 +39,34 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"descriptor join shuffled:\n$plan")
   }
 
+  test("cluster configurator sizes partitions from input volume, not folklore") {
+    import graft.core.GraftSession
+    // 100 TB / 200 MiB target → ~477k shuffle partitions (AQE coalesces down)
+    assert(GraftSession.clusterShufflePartitions(100.0, 4000) ==
+      (100.0 * 1e12 / GraftSession.targetPartitionBytes).toInt)
+    assert(GraftSession.clusterShufflePartitions(100.0, 4000) > 400000)
+    // small input: the two-waves-per-core floor wins
+    assert(GraftSession.clusterShufflePartitions(0.001, 4000) == 8000)
+    // builder applies the engine defaults on top (getOrCreate reuses the
+    // shared test session and applies runtime confs — capture & restore)
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.files.maxPartitionBytes", "spark.sql.autoBroadcastJoinThreshold")
+    val before = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      val s = GraftSession.cluster(
+        org.apache.spark.sql.SparkSession.builder(),
+        inputTB = 0.0001, executorCores = 2).getOrCreate()
+      assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+      assert(s.conf.get("spark.sql.files.maxPartitionBytes") ==
+        (256L * 1024 * 1024).toString)
+      assert(s.conf.get("spark.sql.autoBroadcastJoinThreshold") ==
+        (64L * 1024 * 1024).toString)
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join and aggregate with zero exchanges") {
     val wh = java.nio.file.Files.createTempDirectory("bucketed")
     val orders = Lake(spark, sfDir).orders.select("o_orderkey", "o_custkey", "o_totalprice")
