@@ -404,6 +404,78 @@ object PipelineQueries {
       FROM documents ORDER BY doc_id""")
   )
 
+  // ---------------------------------------------------------------- q44
+  /** Corpus composition report — the "dataset card" aggregation every
+    * training-data pipeline ends with: per (source, language) document
+    * counts, volume, and exact-dedup uniqueness ratio. One shuffle on the
+    * group key; the distinct-hash count is the per-stratum dedup rate. */
+  private val q44 = Q(
+    "q44_corpus_stats",
+    (s, dir) =>
+      Lake(s, dir).documents
+        .groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(md5(col("text"))).as("n_unique"),
+          (countDistinct(md5(col("text"))).cast("double") / count(lit(1)))
+            .as("unique_ratio"))
+        .orderBy("source", "lang"),
+    Some("""
+      SELECT source, lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        COUNT(DISTINCT md5(text)) AS n_unique,
+        CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS unique_ratio
+      FROM documents GROUP BY source, lang ORDER BY source, lang""")
+  )
+
+  // ---------------------------------------------------------------- q45
+  /** End-to-end curation decision — the operators composed the way a real
+    * pipeline runs them: exact-dedup canonicality, quality threshold,
+    * language allowlist, folded into one keep/drop verdict with the first
+    * failing reason. Per-doc and shuffle-light (one window on the content
+    * hash); the quality doubles are bit-identical across engines (q38), so
+    * the threshold comparison cannot flake. */
+  private val q45 = Q(
+    "q45_curation_decision",
+    (s, dir) => {
+      val allow = Seq("en", "de", "es", "fr")
+      val quality = TextAnalysis.qualityScore(col("text"))
+      Lake(s, dir).documents
+        .withColumn("canonical_id",
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+        .select(
+          col("doc_id"),
+          quality.as("quality"),
+          when(col("doc_id") =!= col("canonical_id"), "duplicate")
+            .when(quality < 0.5, "low_quality")
+            .when(!col("lang").isInCollection(allow), "lang")
+            .otherwise("keep").as("decision"))
+        .withColumn("keep", (col("decision") === "keep").cast("int"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+          least(length(text) / 500.0, 1.0) * 0.5
+            + CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+              / greatest(len(string_split(text, ' ')), 1) * 2.0
+            - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) * 1.0 AS quality
+        FROM documents)
+      SELECT doc_id, quality,
+        CASE WHEN doc_id <> canonical_id THEN 'duplicate'
+             WHEN quality < 0.5 THEN 'low_quality'
+             WHEN lang NOT IN ('en','de','es','fr') THEN 'lang'
+             ELSE 'keep' END AS decision,
+        CAST(CASE WHEN doc_id = canonical_id AND quality >= 0.5
+                   AND lang IN ('en','de','es','fr')
+             THEN 1 ELSE 0 END AS INTEGER) AS keep
+      FROM scored ORDER BY doc_id""")
+  )
+
   // ---------------------------------------------------------------- q39
   /** Token counting: whitespace tokens, BPE-ish pre-tokens, distinct words. */
   private val q39 = Q(
@@ -469,5 +541,5 @@ object PipelineQueries {
       FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q44, q45)
 }
