@@ -37,6 +37,44 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding-window rollup: like [[hourlyRollup]] but each event counts
+    * into every window covering it (`windowLength` wide, sliding every
+    * `slide`). State per (window, type) shard; the watermark still bounds
+    * retention — windowLength/slide windows are open per instant. */
+  def slidingRollup(
+      events: DataFrame,
+      watermark: String = "30 minutes",
+      windowLength: String = "1 hour",
+      slide: String = "15 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows via the BUILT-IN `session_window` (gap-merged state
+    * managed by the engine, fully codegen'd) — the declarative sibling of
+    * [[sessionize]]'s typed flatMapGroupsWithState. Prefer this form when
+    * the per-session output is plain aggregates; drop to typed state only
+    * for custom in-session logic. */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming exact dedup: drop re-deliveries of the same `event_id`
     * within the watermark horizon — the incremental twin of the batch
     * exact-dedup operator (`ops.Dedup.exact`, q30). State is one row per

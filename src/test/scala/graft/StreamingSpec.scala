@@ -35,6 +35,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("slidingRollup: an event lands in every window covering it") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.slidingRollup(input.toDF(),
+      watermark = "10 minutes", windowLength = "1 hour", slide = "30 minutes")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("update").start()
+    try {
+      input.addData(Event(1, ts(40), 1, "click", 2.0)) // minute 40
+      q.processAllAvailable()
+      // covered by the windows starting at minute 0 and minute 30
+      val starts = spark.table("sliding").collect()
+        .map(_.getAs[java.sql.Timestamp]("window_start")).distinct
+      assert(starts.length == 2)
+    } finally q.stop()
+  }
+
+  test("sessionWindows (built-in): gap merge closes one session per burst") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionWindows(input.toDS().toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("swin")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(5), 7, "view", 2.0),  // merges: gap < 10m
+        Event(3, ts(40), 7, "click", 4.0)) // new session
+      q.processAllAvailable()
+      val out = spark.table("swin").orderBy("session_start").collect()
+      assert(out.length == 2)
+      assert(out.head.getAs[Long]("n_events") == 2 &&
+        out.head.getAs[Double]("sum_value") == 3.0)
+      assert(out.last.getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
   test("dedupStream: re-delivered event_id within the watermark is dropped") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
