@@ -29,6 +29,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Runtime bloom-filter pruning: a selective filter on one join side
+      // builds a bloom filter that prunes the other side's scan — at
+      // 100 TB this is the difference between scanning a full fact table
+      // and only the fraction that can possibly join. Explicit (not left
+      // to version defaults) because the engine counts on it.
+      // (Spark 4 removed the semi-join-reduction runtime filter; bloom is
+      // the only runtime filter kind now.)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // Write timestamps as INT64 micros: readable by every modern engine
       // (the DuckDB oracle included) without INT96 legacy handling.

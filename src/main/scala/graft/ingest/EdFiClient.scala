@@ -185,7 +185,24 @@ final class EdFiClient(
       window: Option[ChangeVersionWindow] = None,
       parallelism: Int = 4
   ): Unit = {
-    val bearer = token()
+    // One shared token, refreshed (once per expiry) when the API starts
+    // rejecting it mid-extraction — long pulls outlive token TTLs, and the
+    // reference would silently truncate every remaining endpoint. An empty
+    // page result is ambiguous (no data vs 401), so one probe request
+    // disambiguates before re-authing.
+    val bearerRef = new java.util.concurrent.atomic.AtomicReference(token())
+    def fetchAuthed(url: String): Seq[String] = {
+      val pages = fetchPages(url, bearerRef.get(), window)
+      if (pages.nonEmpty) pages
+      else {
+        val (status, _) = transport.get(s"$url?limit=1&offset=0",
+          Map("Authorization" -> s"Bearer ${bearerRef.get()}"))
+        if (status == 401) {
+          bearerRef.set(token())
+          fetchPages(url, bearerRef.get(), window)
+        } else pages
+      }
+    }
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
       java.util.concurrent.Executors.newFixedThreadPool(parallelism))
     def save(pages: Seq[String], dirName: String, prefix: String): Unit =
@@ -204,10 +221,10 @@ final class EdFiClient(
       val name = path.substring(path.lastIndexOf('/') + 1)
       Seq(
         Future {
-          save(fetchPages(s"$apiUrl/data/v3/$path", bearer, window), name, name)
+          save(fetchAuthed(s"$apiUrl/data/v3/$path"), name, name)
         },
         Future {
-          save(fetchPages(s"$apiUrl/data/v3/$path/deletes", bearer, window),
+          save(fetchAuthed(s"$apiUrl/data/v3/$path/deletes"),
             s"${name}_deletes", s"${name}_deletes")
         })
     }

@@ -88,7 +88,12 @@ final class AmtPipeline(
     try
       Await.result(Future.sequence(AmtRegistry.all.map { v =>
         Future {
-          view(v.name).write.mode("overwrite")
+          // sort within partitions by the leading key column so parquet
+          // row-group min/max stats prune consumer point-lookups (the
+          // RLS views filter gold by user/student keys constantly)
+          view(v.name)
+            .sortWithinPartitions(org.apache.spark.sql.functions.col(v.outputColumns.head))
+            .write.mode("overwrite")
             .parquet(s"$goldRoot/$schoolYear/${v.name}.parquet")
         }
       }), Duration.Inf)

@@ -101,6 +101,31 @@ class IngestSpec extends AnyFunSuite {
     assert(calls == 3) // initial + 2 retries, then takeWhile stops
   }
 
+  test("expired token mid-extraction: probe detects 401, re-auths, retries") {
+    var issued = 0
+    val t = new HttpTransport {
+      var requests: List[String] = Nil
+      def get(url: String, headers: Map[String, String]): (Int, String) = {
+        requests ::= url
+        if (headers("Authorization") == "Bearer tok-2")
+          if (url.contains("offset=0") && !url.contains("deletes")) (200, """[{"id": 1}]""")
+          else (200, "[]")
+        else (401, "expired")
+      }
+      def post(url: String, headers: Map[String, String], form: Map[String, String]): (Int, String) = {
+        issued += 1
+        (200, s"""{"access_token": "tok-$issued"}""")
+      }
+    }
+    val client = new EdFiClient(t, "http://api", "k", "s", pageLimit = 2)
+    val root = Files.createTempDirectory("silver")
+    client.extractAll(Seq("students"), root, "2022", parallelism = 1)
+    // first token rejected (401 pages read as empty), probe sees 401,
+    // second token succeeds
+    assert(issued == 2)
+    assert(Files.exists(root.resolve("2022/students/students_0.json")))
+  }
+
   test("the full 80-endpoint census resolves a silver schema for every entry") {
     val eps = graft.core.EndpointCatalog.extractionEndpoints
     assert(eps.size == 80) // reference endpoint.json census
