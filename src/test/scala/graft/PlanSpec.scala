@@ -99,6 +99,14 @@ class PlanSpec extends SparkTestBase {
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("top-k windows compile to WindowGroupLimit, not a full per-partition sort") {
+    // rank<=k filters push a group limit into the window operator
+    // (Spark's WindowGroupLimit) — the reason an explicit top-k physical
+    // operator is NOT needed in this engine.
+    val plan = planOf(Registry.byName("q35_ann_bruteforce").run(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+  }
+
   test("no registered query plans a cartesian product (cross-join ops excepted)") {
     // q07 is the deliberate J4 cross-join operator; q27 cross-joins a
     // 775-row calendar spine (broadcast nested loop, intentional).
