@@ -711,6 +711,87 @@ object RelationalQueries {
       ORDER BY c_mktsegment""")
   )
 
+  // ---------------------------------------------------------------- q46
+  /** Window FRAME specs (beyond the reference): per-user running total and
+    * 3-row moving average over the event stream. Sums go through DECIMAL —
+    * windowed double sums are engine-dependent (DuckDB aggregates frames
+    * via segment trees, a different summation order than Spark's running
+    * accumulator), decimals are exact under any order. One shuffle on
+    * user_id; both windows share the same sort. */
+  private val q46 = Q(
+    "q46_event_running_stats",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Lake(s, dir).events
+        .withColumn("running_value",
+          sum(dec6(col("value"))).over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"))
+        .withColumn("mov_avg3",
+          // cast the exact decimal sum to double BEFORE dividing: decimal
+          // division scale rules differ between engines, double division
+          // of identical inputs does not
+          sum(dec6(col("value"))).over(byUser.rowsBetween(-2, 0)).cast("double") /
+            count(lit(1)).over(byUser.rowsBetween(-2, 0)))
+        .select("event_id", "user_id", "running_value", "mov_avg3")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w_all AS DOUBLE) AS running_value,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE) / COUNT(*) OVER w3
+          AS mov_avg3
+      FROM events
+      WINDOW
+        w_all AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""")
+  )
+
+  // ---------------------------------------------------------------- q47
+  /** ROLLUP hierarchy totals (beyond the reference): revenue at
+    * (region, nation), per-region, and grand-total levels in one pass —
+    * Spark's partial-aggregate rollup vs DuckDB GROUP BY ROLLUP. Sort
+    * keys coalesce the NULL level markers because the engines disagree on
+    * default null ordering. */
+  private val q47 = Q(
+    "q47_region_nation_rollup",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      // joins stay DataFrame-side (broadcast hints); the rollup itself goes
+      // through spark.sql because Dataset.rollup over a multi-join lineage
+      // trips the ambiguous-self-join detector on its duplicated grouping
+      // attributes (SQL text has no dataset-id tags to disambiguate).
+      // NULL level markers become '' — the engines disagree on default
+      // null ordering.
+      lake.customer
+        .join(broadcast(lake.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(lake.region), col("n_regionkey") === col("r_regionkey"))
+        .join(lake.orders, col("o_custkey") === col("c_custkey"))
+        .select("r_name", "n_name", "o_totalprice")
+        .createOrReplaceTempView("q47_rev_base")
+      s.sql("""
+        SELECT COALESCE(r_name, '') AS r_name, COALESCE(n_name, '') AS n_name,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM q47_rev_base
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name, n_name""")
+    },
+    Some("""
+      SELECT COALESCE(r_name, '') AS r_name, COALESCE(n_name, '') AS n_name,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_orders
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN orders ON o_custkey = c_custkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name, n_name""")
+  )
+
   // ---------------------------------------------------------------- q26
   /** Sessionization via gap detection (lag window) — batch twin of the
     * streaming flatMapGroupsWithState path: a new session starts after a
@@ -744,5 +825,5 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q46, q47)
 }
