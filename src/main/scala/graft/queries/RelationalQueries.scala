@@ -792,6 +792,34 @@ object RelationalQueries {
       ORDER BY r_name, n_name""")
   )
 
+  // ---------------------------------------------------------------- q48
+  /** Exact quantiles (beyond the reference): per-priority order-value
+    * median and quartiles. Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the same linear-interpolation definition and
+    * produce bit-identical doubles (verified before this query was added);
+    * the aggregation sorts within groups — at scale prefer
+    * `approx_percentile` when a bounded error is acceptable, exact
+    * percentile when the group fits an executor (true here: 5 groups). */
+  private val q48 = Q(
+    "q48_order_value_quantiles",
+    (s, dir) =>
+      Lake(s, dir).orders
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.5)").as("median"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority,
+        quantile_cont(o_totalprice, 0.25) AS p25,
+        quantile_cont(o_totalprice, 0.5) AS median,
+        quantile_cont(o_totalprice, 0.75) AS p75,
+        COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
   // ---------------------------------------------------------------- q26
   /** Sessionization via gap detection (lag window) — batch twin of the
     * streaming flatMapGroupsWithState path: a new session starts after a
@@ -825,5 +853,5 @@ object RelationalQueries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q46, q47)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q46, q47, q48)
 }
