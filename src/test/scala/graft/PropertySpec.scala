@@ -76,6 +76,21 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("descriptor-constant lookup is case-insensitive in both key parts") {
+    val entryGen = Gen.oneOf(graft.ops.DescriptorMap.entries)
+    val gen = Gen.zip(entryGen, Gen.long)
+    holds(Prop.forAll(gen) { case ((constant, descriptor, codeValue), seed) =>
+      // randomize the casing of every letter with the seed
+      val rnd = new scala.util.Random(seed)
+      def mix(s: String) = s.map(c => if (rnd.nextBoolean()) c.toUpper else c.toLower)
+      val uri = s"uri://ed-fi.org/${mix(descriptor)}#${mix(codeValue)}"
+      val out = graft.ops.DescriptorMap.withConstant(
+        Seq(uri).toDF("d"), "d")
+        .collect().map(_.getAs[String]("d_constantName")).toSet
+      out.contains(constant) // multi-mapped entries fan out; ours must be there
+    })
+  }
+
   test("exact dedup: canonical id is the min doc_id of each text group") {
     val docs = Gen.listOfN(15, Gen.zip(Gen.choose(1L, 100L), Gen.choose(0, 3)))
       .map(_.distinctBy(_._1).map { case (id, t) => (id, s"text $t") })
