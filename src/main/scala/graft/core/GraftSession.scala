@@ -41,6 +41,9 @@ object GraftSession {
       // Write timestamps as INT64 micros: readable by every modern engine
       // (the DuckDB oracle included) without INT96 legacy handling.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // zstd parquet: ~30% smaller than snappy at comparable speed — at
+      // 100 TB of gold that is tens of TB of storage and scan bandwidth.
+      .config("spark.sql.parquet.compression.codec", "zstd")
       // Parquet TIMESTAMP(NANOS) (the events table) has no native Spark
       // type; read as long nanos and convert in Lake.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
