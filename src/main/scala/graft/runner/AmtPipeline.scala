@@ -60,9 +60,26 @@ final class AmtPipeline(
 ) {
   private val reader = SilverReader(spark, silverRoot, schoolYear)
   private val built = mutable.Map.empty[String, DataFrame]
+  private val endpoints = mutable.Map.empty[String, DataFrame]
+
+  /** Endpoints consumed by ≥3 views (studentSchoolAssociations feeds 9 of
+    * them): cache the parsed silver frame so the JSON scan+parse runs once
+    * per pipeline, not once per consuming view. Cold endpoints stay
+    * uncached — caching a frame read once only costs memory. */
+  private val hotEndpoints: Set[String] = AmtRegistry.all
+    .flatMap(_.endpointDeps)
+    .groupBy(identity).collect { case (e, uses) if uses.size >= 3 => e }
+    .toSet
+
+  private def endpoint(name: String): DataFrame = synchronized {
+    endpoints.getOrElseUpdate(name, {
+      val df = reader.read(name)
+      if (hotEndpoints(name)) df.cache() else df
+    })
+  }
 
   private val ctx: ViewContext =
-    ViewContext(spark, endpoint = reader.read, view = this.view)
+    ViewContext(spark, endpoint = this.endpoint, view = this.view)
 
   def view(name: String): DataFrame = synchronized {
     built.getOrElseUpdate(name, {

@@ -1380,6 +1380,21 @@ class AmtViewsSpec extends SparkTestBase {
     fact.unpersist()
   }
 
+  test("hot silver endpoints are cached once across consuming views") {
+    val silver = silverWith(
+      "studentSchoolAssociations" -> """[
+        {"schoolReference": {"schoolId": 100}, "studentReference": {"studentUniqueId": "s1"},
+         "entryDate": "2021-08-23"}]""",
+      "students" -> """[{"studentUniqueId": "s1", "firstName": "A", "lastSurname": "B"}]""")
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    // two views that both consume studentSchoolAssociations
+    p.view("ews_studentEarlyWarningFact").count()
+    p.view("chrab_chronicAbsenteeismAttendanceFact").count()
+    val cached = spark.sparkContext.getPersistentRDDs.values
+      .exists(_.name != null)
+    assert(cached) // the shared endpoint frame is in the block manager
+  }
+
   test("writeAll produces one gold parquet per view") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
