@@ -1380,6 +1380,23 @@ class AmtViewsSpec extends SparkTestBase {
     fact.unpersist()
   }
 
+  test("csv debug sink (S8) and gold truncate-on-rewrite (S11)") {
+    val silver = silverWith(
+      "gradingPeriods" -> gradingPeriodsJson,
+      "gradingPeriodDescriptors" -> gradingPeriodDescriptorsJson)
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val df = p.view("gradingPeriodDim")
+    // S8: csv debug dump round-trips the row count
+    val csvDir = Files.createTempDirectory("csvdump")
+    df.write.mode("overwrite").option("header", "true").csv(s"$csvDir/gp")
+    assert(spark.read.option("header", "true").csv(s"$csvDir/gp").count() == df.count())
+    // S11: overwrite truncates — double write leaves exactly one copy
+    val gold = Files.createTempDirectory("goldtrunc")
+    df.write.mode("overwrite").parquet(s"$gold/gp.parquet")
+    df.write.mode("overwrite").parquet(s"$gold/gp.parquet")
+    assert(spark.read.parquet(s"$gold/gp.parquet").count() == df.count())
+  }
+
   test("hot silver endpoints are cached once across consuming views") {
     val silver = silverWith(
       "studentSchoolAssociations" -> """[
