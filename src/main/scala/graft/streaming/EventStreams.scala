@@ -92,6 +92,29 @@ object EventStreams {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Durable gold sink: append the (already transformed) stream to
+    * parquet with a checkpoint. Exactly-once lands via the checkpoint's
+    * offset log + the sink's transactional file commit; restarts resume
+    * from the last committed batch. `Trigger.AvailableNow` processes the
+    * full backlog in bounded batches then stops — the pattern for running
+    * a "streaming" pipeline as an incremental batch job on a schedule
+    * (the reference's hourly full re-extract collapses into this). */
+  def sinkToGold(
+      transformed: DataFrame,
+      path: String,
+      checkpoint: String,
+      availableNow: Boolean = true
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = transformed.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+    (if (availableNow)
+      w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else w).start()
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 

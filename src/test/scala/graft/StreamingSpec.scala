@@ -109,6 +109,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sinkToGold: availableNow drains the backlog to parquet and stops") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 2, "view", 2.0))
+    val out = java.nio.file.Files.createTempDirectory("goldstream")
+    val q = EventStreams.sinkToGold(
+      input.toDF(), s"$out/events", s"$out/ckpt")
+    q.awaitTermination(60000) // AvailableNow stops after draining
+    assert(!q.isActive)
+    assert(spark.read.parquet(s"$out/events").count() == 2)
+    // restart with more data: checkpoint resumes, no reprocessing
+    input.addData(Event(3, ts(2), 3, "click", 3.0))
+    val q2 = EventStreams.sinkToGold(
+      input.toDF(), s"$out/events", s"$out/ckpt")
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(s"$out/events").count() == 3)
+  }
+
   test("sessionize: gap closes a session and emits its summary") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
