@@ -129,6 +129,30 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/events").count() == 3)
   }
 
+  test("silver readStream: incremental silver→gold over arriving extraction files") {
+    val root = java.nio.file.Files.createTempDirectory("silverstream")
+    val dir = root.resolve("2022/students")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("students_0.json"),
+      """[{"studentUniqueId": "s1", "firstName": "Ana", "lastSurname": "Lopez"}]""")
+    val reader = graft.core.SilverReader(spark, root.toString, "2022")
+    val out = java.nio.file.Files.createTempDirectory("goldinc")
+    def drain(): Unit = {
+      val q = EventStreams.sinkToGold(
+        reader.readStream("students")
+          .select("studentUniqueId", "firstName", "lastSurname"),
+        s"$out/students", s"$out/ckpt")
+      q.awaitTermination(60000)
+    }
+    drain()
+    assert(spark.read.parquet(s"$out/students").count() == 1)
+    // a new extraction drop becomes the next incremental batch
+    java.nio.file.Files.writeString(dir.resolve("students_1.json"),
+      """[{"studentUniqueId": "s2", "firstName": "Bo", "lastSurname": "Chen"}]""")
+    drain()
+    assert(spark.read.parquet(s"$out/students").count() == 2)
+  }
+
   test("sessionize: gap closes a session and emits its summary") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
