@@ -88,6 +88,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("compaction collapses a many-small-files table without losing rows") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").resolve("t")
+    val df = Lake(spark, sfDir).orders.select("o_orderkey", "o_totalprice")
+    df.repartition(20).write.parquet(dir.toString) // simulate incremental drops
+    def parquetFiles = {
+      val s = java.nio.file.Files.list(dir)
+      try s.filter(_.toString.endsWith(".parquet")).count() finally s.close()
+    }
+    assert(parquetFiles == 20)
+    val before = spark.read.parquet(dir.toString).count()
+    graft.core.Compaction.compact(spark, dir.toString, targetMB = 512)
+    assert(parquetFiles == 1) // tiny table → single right-sized file
+    assert(spark.read.parquet(dir.toString).count() == before)
+  }
+
   test("saltedJoin spreads a hot key and matches the plain join exactly") {
     // one hot key (90% of rows) + a small dimension
     val skewed = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
