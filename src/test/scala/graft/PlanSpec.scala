@@ -88,6 +88,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("keySkew surfaces the hot key with share and skew ratio") {
+    val skewed = ((1 to 900).map(_ => 7L) ++ (1 to 100).map(_.toLong + 100))
+      .toDF("k")
+    val top = graft.ops.Stats.keySkew(skewed, "k", topN = 3).collect()
+    assert(top.head.getAs[String]("key") == "7")
+    assert(top.head.getAs[Long]("n") == 900L)
+    assert(math.abs(top.head.getAs[Double]("share") - 0.9) < 1e-9)
+    // 101 distinct keys, mean load ~9.9 rows → hot key ratio ~90.9
+    assert(top.head.getAs[Double]("skew_ratio") > 80)
+    assert(top(1).getAs[Long]("n") == 1L)
+  }
+
   test("compaction collapses a many-small-files table without losing rows") {
     val dir = java.nio.file.Files.createTempDirectory("compact").resolve("t")
     val df = Lake(spark, sfDir).orders.select("o_orderkey", "o_totalprice")
