@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-import graft.core.GraftSession
+import graft.core.{GraftSession, Lake, SilverWriter}
+import graft.runner.AmtPipeline
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line (driver contract). Each query is forced end-to-end
@@ -18,6 +20,20 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Cache hygiene: several queries persist intermediates (Dedup's shingle
+    // and signature frames, the view DAG's memoized frames) and Spark's
+    // CacheManager substitutes cached data into any later plan that matches
+    // a cached plan. Without cleanup, (a) each query runs against executor
+    // memory pinned by every query before it, and (b) a query's second
+    // timed pass silently reads the first pass's caches — warm numbers
+    // masquerading as plan cost. Dropping all SQL caches and any persisted
+    // RDDs between passes makes every number a cold, isolated measurement.
+    def dropCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    }
+
     // JVM/codegen warmup: one pass of the full suite at the smallest SF so
     // per-query numbers measure the plan, not first-run JIT + classloading
     // (cold, the first join-shaped and first createDataFrame queries absorb
@@ -25,13 +41,25 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      dropCaches()
+    }
+    // Prime the OS page cache for the target-SF parquet once, untimed —
+    // otherwise the alphabetically-first queries pay every table's cold
+    // first read and the per-query numbers conflate disk with plan cost.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     }
 
     // Two timed passes per query, keep the per-query minimum: the plan's
     // steady-state cost, insulated from one-off scheduler/GC/host noise
-    // (this box runs other work during rounds). Labeled in the output so
-    // the methodology is visible to any reader of the JSON.
+    // (this box runs other work during rounds). The passes run as two
+    // SEPARATED full sweeps — back-to-back passes of one query would let a
+    // single multi-second host-noise burst pollute both samples, and the
+    // min would keep it; separated sweeps make the two samples independent.
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      dropCaches()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -40,13 +68,101 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweep1 = ordered.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
     val results = ordered.map { case (name, fn) =>
-      name -> math.min(timeOne(name, fn), timeOne(name, fn))
+      name -> math.min(sweep1(name), timeOne(name, fn))
     }
+    val pipelineSec = pipelineBench(spark, sfDir, dropCaches _)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":2,"agg":"min","pipeline_total":$pipelineSec%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** The view layer's own number: the full 41-view `writeAll` over a silver
+    * tree derived from the sf tables (students/schools/enrollment/calendar/
+    * attendance populated — the spine that feeds the deep EWS, chrab and
+    * equity DAGs — every other endpoint an empty frame). Setup (deriving and
+    * writing the silver JSON) is untimed; the timed region is exactly what a
+    * production run pays: silver scan → 41 view plans → gold parquet. */
+  private def pipelineBench(
+      spark: SparkSession, sfDir: String, dropCaches: () => Unit): Double = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bench-pipeline")
+    val silver = s"$tmp/silver"
+    val gold = s"$tmp/gold"
+    val lake = Lake(spark, sfDir)
+    val cust = lake.customer.select(
+      col("c_custkey"), col("c_nationkey"), col("c_name"))
+
+    val students = cust.select(
+      col("c_custkey").cast("string").as("studentUniqueId"),
+      col("c_name").as("firstName"),
+      lit("Doe").as("lastSurname"))
+
+    val schools = lake.nation.select(
+      col("n_nationkey").cast("long").as("schoolId"),
+      col("n_name").as("nameOfInstitution"),
+      lit("uri://ed-fi.org/SchoolTypeDescriptor#Regular").as("schoolTypeDescriptor"),
+      array(struct(
+        lit("uri://ed-fi.org/AddressTypeDescriptor#Physical").as("addressTypeDescriptor"),
+        lit("1 Main St").as("streetNumberName"),
+        lit("Metro").as("city"),
+        lit("uri://ed-fi.org/StateAbbreviationDescriptor#TX")
+          .as("stateAbbreviationDescriptor"),
+        lit("Central").as("nameOfCounty"))).as("addresses"))
+
+    val ssa = cust.select(
+      struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
+      struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
+      struct(lit(1995L).as("schoolYear")).as("schoolYearTypeReference"),
+      lit("1995-01-05").as("entryDate"),
+      when(col("c_custkey") % 10 === 0, "1995-01-20")
+        .otherwise(lit(null).cast("string")).as("exitWithdrawDate"))
+
+    val jan = lake.orders
+      .filter(col("o_orderdate").between("1995-01-01", "1995-01-31"))
+    val cal = jan.select(col("o_orderdate").cast("string").as("date")).distinct()
+      .crossJoin(lake.nation.select(col("n_nationkey")))
+      .select(
+        struct(
+          col("n_nationkey").cast("long").as("schoolId"),
+          lit(1995L).as("schoolYear")).as("calendarReference"),
+        col("date"),
+        array(struct(
+          when(dayofmonth(to_date(col("date"))) % 5 =!= 0,
+            "uri://ed-fi.org/CalendarEventDescriptor#Instructional day")
+            .otherwise("uri://ed-fi.org/CalendarEventDescriptor#Holiday")
+            .as("calendarEventDescriptor"))).as("calendarEvents"))
+
+    val att = jan.join(cust, col("o_custkey") === col("c_custkey"))
+      .select(
+        struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
+        struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
+        col("o_orderdate").cast("string").as("eventDate"),
+        concat(lit("uri://ed-fi.org/AttendanceEventCategoryDescriptor#"),
+          element_at(
+            array(lit("In Attendance"), lit("Tardy"),
+              lit("Excused Absence"), lit("Unexcused Absence")),
+            (col("o_orderkey") % 4 + 1).cast("int")))
+          .as("attendanceEventCategoryDescriptor"))
+
+    Seq(
+      "students" -> students,
+      "schools" -> schools,
+      "studentSchoolAssociations" -> ssa,
+      "calendarDates" -> cal,
+      "studentSchoolAttendanceEvents" -> att
+    ).foreach { case (name, df) => SilverWriter.write(df, s"$silver/1995/$name") }
+
+    dropCaches()
+    val t0 = System.nanoTime()
+    try new AmtPipeline(spark, silver, "1995").writeAll(gold)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    dropCaches()
+    sec
   }
 }

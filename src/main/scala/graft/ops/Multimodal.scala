@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media (image/audio/video) as opaque `binary`
   * columns plus typed metadata extracted by a partition-wise decode.
   *
-  * The decode itself is STUBBED (this container has no image/audio codecs):
-  * [[decodeStub]] derives deterministic fake metadata from the raw bytes.
-  * What is REAL — and what this operator exists to exercise — is the Spark
-  * plumbing a production decoder needs:
+  * Metadata decode is REAL for the containers a pure-JVM byte reader can
+  * handle — PNG (IHDR chunk) and JPEG (SOF marker scan) in
+  * [[parseImageHeader]] — and falls back to deterministic stub values for
+  * everything else (this container hosts no native codecs; full pixel
+  * decode stays out of scope). Equally real is the Spark plumbing a
+  * production decoder needs:
   *   - media travels as `binary`, never materialized driver-side;
   *   - the decoder runs `mapPartitions` over a typed Dataset, i.e. one
   *     JVM-side batch per partition (the Scala analogue of `mapInPandas`'s
@@ -38,10 +40,65 @@ object Multimodal {
   def asBinary(df: DataFrame, textCol: String, as: String = "media"): DataFrame =
     df.withColumn(as, col(textCol).cast("binary"))
 
-  /** Partition-wise decode stub: deterministic fake format/dimensions from
-    * byte length. A real implementation replaces ONLY the body of the map —
-    * signature, batching, and schema are production-shaped. */
-  def decodeStub(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {
+  /** Pure-JVM image-container header parse: (format, width, height) from
+    * raw bytes, no codecs. `None` for anything that is not a recognized
+    * container, so text-shaped or truncated blobs never mis-parse.
+    *
+    *   - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR
+    *     chunk is mandated first — width and height are the two big-endian
+    *     u32 at offsets 16 and 20 (PNG spec §11.2.2).
+    *   - JPEG: `FF D8` SOI, then a marker scan (each segment `FF mm` +
+    *     big-endian u16 length) to the first SOFn frame header
+    *     (`C0`–`CF` minus `C4` DHT, `C8` JPG, `CC` DAC), which carries
+    *     height then width as big-endian u16 after the precision byte
+    *     (ITU T.81 §B.2.2). Standalone markers (RSTn/SOI/EOI/TEM) and
+    *     fill bytes are skipped without a length read.
+    *
+    * Both magics start with a non-ASCII byte, so no text blob can alias
+    * into an image — a property [[decodeMeta]]'s fallback relies on. */
+  def parseImageHeader(bytes: Array[Byte]): Option[(String, Long, Long)] = {
+    def u16(i: Int): Long = ((bytes(i) & 0xff) << 8 | (bytes(i + 1) & 0xff)).toLong
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    if (bytes == null) None
+    else if (bytes.length >= 24 &&
+      bytes.take(8).sameElements(
+        Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)) &&
+      new String(bytes.slice(12, 16), "US-ASCII") == "IHDR")
+      Some(("png", u32(16), u32(20)))
+    else if (bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if ((bytes(i) & 0xff) != 0xff) return None // desynced, not a JPEG
+        // skip fill bytes (spec allows any number of FFs before the marker)
+        while (i + 1 < bytes.length && (bytes(i + 1) & 0xff) == 0xff) i += 1
+        if (i + 3 >= bytes.length) return None
+        val marker = bytes(i + 1) & 0xff
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (i + 8 >= bytes.length) return None
+          return Some(("jpeg", u16(i + 7), u16(i + 5))) // width, height
+        } else if (marker == 0xd9 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd8)) {
+          i += 2 // standalone marker, no length field
+        } else {
+          i += 2 + u16(i + 2).toInt // segment length includes its own bytes
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Partition-wise metadata decode. Real header parse for PNG/JPEG via
+    * [[parseImageHeader]]; unrecognized containers fall back to
+    * deterministic stub values derived from byte length (honest about the
+    * missing codecs) so the operator stays total. A full pixel decoder
+    * replaces ONLY the fallback arm — signature, batching, and schema are
+    * production-shaped. */
+  def decodeMeta(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
@@ -50,13 +107,17 @@ object Multimodal {
         // per-partition init would go here (codec handles, model weights…)
         rows.map { case (id, bytes) =>
           val n = if (bytes == null) 0L else bytes.length.toLong
-          val fmt = (n % 3) match {
-            case 0 => "png"
-            case 1 => "jpeg"
-            case _ => "webp"
-          }
           val first = if (bytes == null || bytes.isEmpty) 0 else bytes(0) & 0xff
-          MediaMeta(id, n, fmt, n % 512 + 1, (n / 7) % 512 + 1, first)
+          parseImageHeader(bytes) match {
+            case Some((fmt, w, h)) => MediaMeta(id, n, fmt, w, h, first)
+            case None =>
+              val fmt = (n % 3) match {
+                case 0 => "png"
+                case 1 => "jpeg"
+                case _ => "webp"
+              }
+              MediaMeta(id, n, fmt, n % 512 + 1, (n / 7) % 512 + 1, first)
+          }
         }
       }
   }

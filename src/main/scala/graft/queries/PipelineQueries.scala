@@ -524,12 +524,14 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- q41
   /** Multimodal metadata extraction: binary column + partition-wise decode
-    * stub (see Multimodal — plumbing real, codec stubbed). */
+    * (real PNG/JPEG header parse; text blobs — non-image by construction,
+    * both magics are non-ASCII — take the documented stub fallback the
+    * oracle mirrors). */
   private val q41 = Q(
     "q41_multimodal_meta",
     (s, dir) => {
       val docs = Multimodal.asBinary(Lake(s, dir).documents, "text")
-      Multimodal.decodeStub(docs, "doc_id", "media").toDF().orderBy("doc_id")
+      Multimodal.decodeMeta(docs, "doc_id", "media").toDF().orderBy("doc_id")
     },
     Some("""
       SELECT doc_id,

@@ -5,8 +5,8 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{EndpointCatalog, Lake}
-import graft.runner.AmtRegistry
+import graft.core.{EndpointCatalog, Lake, SilverWriter}
+import graft.runner.{AmtPipeline, AmtRegistry}
 import graft.views.ViewContext
 
 /** Oracle-backed AMT view queries (VERDICT r1 item 6).
@@ -64,6 +64,7 @@ object ViewQueries {
 
       val ssa = cust.select(
         struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
+        struct(lit(1995L).as("schoolYear")).as("schoolYearTypeReference"),
         struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
         lit("1995-01-05").as("entryDate"),
         when(col("c_custkey") % 10 === 0, "1995-01-20")
@@ -268,6 +269,7 @@ object ViewQueries {
 
       val ssa = cust.select(
         struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
+        struct(lit(1995L).as("schoolYear")).as("schoolYearTypeReference"),
         struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
         lit("1995-01-05").as("entryDate"),
         when(col("c_custkey") % 10 === 0, "1995-01-20")
@@ -348,5 +350,72 @@ object ViewQueries {
       ORDER BY StudentKey, SchoolKey, DateKey""")
   )
 
-  val all: Seq[Q] = Seq(q27, q28, q43)
+  // ---------------------------------------------------------------- q49
+  /** The silver JSON scan path under the hash gate (VERDICT r2 item 3):
+    * derived school/LEA endpoint frames are WRITTEN as silver-layout
+    * multiLine JSON ([[SilverWriter]], reference helper.py:35-47 layout),
+    * read back through [[graft.core.SilverReader]]'s schema'd scan inside a
+    * real [[AmtPipeline]], and built into schoolDim. The ESC and SEA
+    * endpoint directories are intentionally MISSING, so the empty-frame
+    * fallback (pandasWrapper.py:84-85 semantics) is exercised end-to-end —
+    * their name/key columns must come back as '', which the oracle pins.
+    * The nested `addresses` array (one physical, one mailing element)
+    * round-trips through JSON and drives the explode + constant-map filter. */
+  private val q49 = Q(
+    "q49_silver_roundtrip_school_dim",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val schools = lake.nation.select(
+        col("n_nationkey").cast("long").as("schoolId"),
+        col("n_name").as("nameOfInstitution"),
+        lit("uri://ed-fi.org/SchoolTypeDescriptor#Regular").as("schoolTypeDescriptor"),
+        struct(col("n_regionkey").cast("long").as("localEducationAgencyId"))
+          .as("localEducationAgencyReference"),
+        array(
+          struct(
+            lit("uri://ed-fi.org/AddressTypeDescriptor#Physical").as("addressTypeDescriptor"),
+            lit("uri://ed-fi.org/StateAbbreviationDescriptor#TX")
+              .as("stateAbbreviationDescriptor"),
+            concat(col("n_nationkey").cast("string"), lit(" Main St"))
+              .as("streetNumberName"),
+            lit("Metro").as("city"),
+            lit("Central").as("nameOfCounty")),
+          struct(
+            lit("uri://ed-fi.org/AddressTypeDescriptor#Mailing").as("addressTypeDescriptor"),
+            lit("uri://ed-fi.org/StateAbbreviationDescriptor#TX")
+              .as("stateAbbreviationDescriptor"),
+            lit("PO Box 1").as("streetNumberName"),
+            lit("Metro").as("city"),
+            lit("Central").as("nameOfCounty"))).as("addresses"))
+
+      val leas = lake.region.select(
+        col("r_regionkey").cast("long").as("localEducationAgencyId"),
+        col("r_name").as("nameOfInstitution"))
+
+      val silverRoot =
+        java.nio.file.Files.createTempDirectory("graft-q49-silver").toString
+      SilverWriter.write(schools, s"$silverRoot/1995/schools")
+      SilverWriter.write(leas, s"$silverRoot/1995/localEducationAgencies")
+      // educationServiceCenters + stateEducationAgencies dirs do not exist
+      new AmtPipeline(s, silverRoot, "1995").view("schoolDim").orderBy("SchoolKey")
+    },
+    Some("""
+      SELECT CAST(n_nationkey AS VARCHAR) AS SchoolKey,
+             n_name AS SchoolName,
+             'Regular' AS SchoolType,
+             CAST(n_nationkey AS VARCHAR) || ' Main St, Metro TX Central' AS SchoolAddress,
+             'Metro' AS SchoolCity,
+             'Central' AS SchoolCounty,
+             'TX' AS SchoolState,
+             r_name AS LocalEducationAgencyName,
+             CAST(n_regionkey AS VARCHAR) AS LocalEducationAgencyKey,
+             '' AS StateEducationAgencyName,
+             '' AS StateEducationAgencyKey,
+             '' AS EducationServiceCenterName,
+             '' AS EducationServiceCenterKey
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      ORDER BY SchoolKey""")
+  )
+
+  val all: Seq[Q] = Seq(q27, q28, q43, q49)
 }

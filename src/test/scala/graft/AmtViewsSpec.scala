@@ -1421,4 +1421,20 @@ class AmtViewsSpec extends SparkTestBase {
     val written = spark.read.parquet(s"$gold/2022/gradingPeriodDim.parquet")
     assert(written.count() == 2)
   }
+
+  test("diagnose: one-call key-skew report for a view's hot key") {
+    val silver = silverWith(
+      "gradingPeriods" -> gradingPeriodsJson,
+      "gradingPeriodDescriptors" -> gradingPeriodDescriptorsJson)
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    // default key = leading output column (GradingPeriodKey: unique here)
+    val byKey = p.diagnose("gradingPeriodDim").collect()
+    assert(byKey.length == 2 && byKey.forall(_.getAs[Long]("n") == 1L))
+    // explicit key: both periods share one school → share 1.0
+    val bySchool = p.diagnose("gradingPeriodDim", Some("SchoolKey")).collect()
+    assert(bySchool.length == 1)
+    assert(bySchool.head.getAs[String]("key") == "255901001")
+    assert(bySchool.head.getAs[Double]("share") == 1.0)
+    intercept[IllegalArgumentException](p.diagnose("nope"))
+  }
 }

@@ -19,12 +19,54 @@ class MultimodalSpec extends SparkTestBase {
       (4L, "")          // empty blob
     ).toDF("doc_id", "text"), "text")
 
-  test("decodeStub: typed metadata, deterministic, null-safe") {
-    val meta = Multimodal.decodeStub(media, "doc_id", "media").collect()
+  test("decodeMeta fallback: typed metadata, deterministic, null-safe") {
+    val meta = Multimodal.decodeMeta(media, "doc_id", "media").collect()
       .map(m => m.doc_id -> m).toMap
     assert(meta(1L).n_bytes == 300 && meta(1L).format == "png")
     assert(meta(1L).width == meta(2L).width)
     assert(meta(4L).n_bytes == 0 && meta(4L).first_byte == 0)
+  }
+
+  // real container fixtures, built byte-for-byte from the specs
+  private def pngBytes(width: Int, height: Int): Array[Byte] = {
+    def u32(v: Long) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      u32(13) ++ "IHDR".getBytes("US-ASCII") ++
+      u32(width.toLong) ++ u32(height.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ u32(0) // bit depth…interlace + (unchecked) CRC
+  }
+  private def jpegBytes(width: Int, height: Int): Array[Byte] = {
+    def u16(v: Int) = Array((v >> 8).toByte, v.toByte)
+    Array(0xff, 0xd8).map(_.toByte) ++                         // SOI
+      Array(0xff, 0xe0).map(_.toByte) ++ u16(6) ++
+      "JFIF".getBytes("US-ASCII") ++                           // APP0 to skip over
+      Array(0xff, 0xc2).map(_.toByte) ++ u16(11) ++            // SOF2 (progressive)
+      Array[Byte](8) ++ u16(height) ++ u16(width) ++
+      Array[Byte](1, 1, 0x11, 0) ++
+      Array(0xff, 0xd9).map(_.toByte)                          // EOI
+  }
+
+  test("decodeMeta parses real PNG IHDR and JPEG SOF headers") {
+    val imgs = Seq(
+      (10L, pngBytes(640, 480)),
+      (11L, jpegBytes(1920, 1080)),
+      (12L, "not an image at all".getBytes("US-ASCII"))
+    ).toDF("doc_id", "media")
+    val meta = Multimodal.decodeMeta(imgs, "doc_id", "media").collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(meta(10L).format == "png" && meta(10L).width == 640 && meta(10L).height == 480)
+    assert(meta(11L).format == "jpeg" && meta(11L).width == 1920 && meta(11L).height == 1080)
+    // non-image bytes take the deterministic fallback, never a mis-parse
+    assert(meta(12L).width == meta(12L).n_bytes % 512 + 1)
+  }
+
+  test("parseImageHeader rejects truncated and desynced containers") {
+    assert(Multimodal.parseImageHeader(null) == None)
+    assert(Multimodal.parseImageHeader(pngBytes(9, 9).take(20)) == None)
+    assert(Multimodal.parseImageHeader(jpegBytes(9, 9).take(6)) == None)
+    // JPEG SOI followed by garbage (no FF marker alignment) → None
+    assert(Multimodal.parseImageHeader(
+      Array(0xff, 0xd8, 0x00, 0x01, 0x02, 0x03).map(_.toByte)) == None)
   }
 
   test("frameSampleStub: 1:N fan-out with stride, inside the partition") {

@@ -134,6 +134,63 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
   }
 
+  test("EWS spine joins on (schoolId, schoolYear) and splits a hot school by year") {
+    import org.apache.spark.sql.Row
+    import graft.core.EndpointCatalog
+    import graft.views.ViewContext
+
+    // hot-school fixture: 90% of enrollments at school 7, spread over two
+    // school years; each year has its own 10-day instructional calendar
+    val enrRows = (1 to 200).map { i =>
+      val school = if (i <= 180) 7L else (i - 180) % 5 + 1
+      val year = if (i % 2 == 0) 1995L else 1996L
+      (school, year, i.toString, s"$year-01-01")
+    }
+    val ssa = enrRows.toDF("schoolId", "schoolYear", "sid", "entry").select(
+      struct($"schoolId").as("schoolReference"),
+      struct($"schoolYear").as("schoolYearTypeReference"),
+      struct($"sid".as("studentUniqueId")).as("studentReference"),
+      $"entry".as("entryDate"),
+      lit(null).cast("string").as("exitWithdrawDate"))
+    val cal = (for {
+      school <- (1L to 10L); year <- Seq(1995L, 1996L); day <- 1 to 10
+    } yield (school, year, f"$year-01-$day%02d"))
+      .toDF("schoolId", "schoolYear", "date").select(
+        struct($"schoolId", $"schoolYear").as("calendarReference"),
+        $"date",
+        array(struct(
+          lit("uri://ed-fi.org/CalendarEventDescriptor#Instructional day")
+            .as("calendarEventDescriptor"))).as("calendarEvents"))
+
+    val endpoints = Map("studentSchoolAssociations" -> ssa, "calendarDates" -> cal)
+    lazy val ctx: ViewContext = ViewContext(
+      spark,
+      endpoint = n => endpoints.getOrElse(n, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], EndpointCatalog.schema(n))),
+      view = n => graft.runner.AmtRegistry.byName(n).build(ctx))
+
+    val fact = graft.views.ews.StudentEarlyWarningFact.build(ctx)
+    // year-matched pairing: each enrollment × its own year's 10 days only
+    // (a bare-schoolId key would also pair 1995 enrollments with 1996 days)
+    assert(fact.count() == 200L * 10)
+
+    // the spine join carries BOTH key columns in the physical plan
+    val plan = planOf(fact)
+    val keyed = raw"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \[schoolId#\d+L?, schoolYear#\d+L?\]".r
+    assert(keyed.findFirstIn(plan).isDefined,
+      s"spine join not keyed on (schoolId, schoolYear):\n$plan")
+
+    // and the composite key halves the hot school's shuffle share
+    val enr = enrRows.toDF("schoolId", "schoolYear", "sid", "entry")
+    val bare = graft.ops.Stats.keySkew(enr, "schoolId", topN = 1)
+      .collect().head.getAs[Double]("share")
+    val composite = graft.ops.Stats.keySkew(
+      enr.withColumn("k", concat_ws("|", $"schoolId", $"schoolYear")), "k", topN = 1)
+      .collect().head.getAs[Double]("share")
+    assert(math.abs(bare - 0.9) < 0.01)
+    assert(composite < bare / 2 + 0.01, s"composite share $composite vs bare $bare")
+  }
+
   test("no registered query plans a cartesian product (cross-join ops excepted)") {
     // q07 is the deliberate J4 cross-join operator; q27 cross-joins a
     // 775-row calendar spine (broadcast nested loop, intentional).

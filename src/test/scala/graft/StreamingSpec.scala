@@ -153,6 +153,61 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/students").count() == 2)
   }
 
+  test("end-to-end incremental lake: silver stream → view → gold == batch pipeline") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("lake")
+    val silver = root.resolve("silver")
+    val gold = root.resolve("gold").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    val descriptorsJson = """[
+      {"gradingPeriodDescriptorId": 123, "codeValue": "First Six Weeks"},
+      {"gradingPeriodDescriptorId": 124, "codeValue": "Second Six Weeks"}
+    ]"""
+    def gpJson(school: Long, code: String, begin: String, seq: Int) =
+      s"""[{"schoolReference": {"schoolId": $school},
+            "schoolYearTypeReference": {"schoolYear": 2022},
+            "gradingPeriodDescriptor": "uri://ed-fi.org/GradingPeriodDescriptor#$code",
+            "beginDate": "$begin", "endDate": "2022-06-30",
+            "totalInstructionalDays": 29, "periodSequence": $seq}]"""
+    def drop(n: Int, json: String): Unit = {
+      val dir = silver.resolve("2022/gradingPeriods")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve(s"gradingPeriods_$n.json"), json)
+    }
+    val dDir = silver.resolve("2022/gradingPeriodDescriptors")
+    Files.createDirectories(dDir)
+    Files.writeString(dDir.resolve("gradingPeriodDescriptors_1.json"), descriptorsJson)
+
+    // the REAL view builder over a ctx whose fact endpoint is the stream
+    // and whose descriptor endpoint is the static silver read — the
+    // incremental silver→gold path from SilverReader's scaladoc
+    val reader = graft.core.SilverReader(spark, silver.toString, "2022")
+    def runIncrement(): Unit = {
+      lazy val ctx: graft.views.ViewContext = graft.views.ViewContext(
+        spark,
+        endpoint = n =>
+          if (n == "gradingPeriods") reader.readStream(n) else reader.read(n),
+        view = n => graft.runner.AmtRegistry.byName(n).build(ctx))
+      val q = EventStreams.sinkToGold(
+        graft.views.base.GradingPeriodDim.build(ctx), gold, ckpt)
+      q.awaitTermination(120000)
+    }
+
+    drop(1, gpJson(101, "First Six Weeks", "2021-08-23", 1))
+    runIncrement() // backlog batch 1
+    drop(2, gpJson(102, "Second Six Weeks", "2021-10-04", 2))
+    runIncrement() // ONLY the new file — the checkpoint remembers drop 1
+    graft.core.Compaction.compact(spark, gold, targetMB = 512)
+
+    val streamed = spark.read.parquet(gold)
+    val batch = new graft.runner.AmtPipeline(spark, silver.toString, "2022")
+      .view("gradingPeriodDim")
+    assert(streamed.count() == 2)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("sessionize: gap closes a session and emits its summary") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
