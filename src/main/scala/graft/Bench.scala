@@ -52,12 +52,12 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Two timed passes per query, keep the per-query minimum: the plan's
-    // steady-state cost, insulated from one-off scheduler/GC/host noise
-    // (this box runs other work during rounds). The passes run as two
-    // SEPARATED full sweeps — back-to-back passes of one query would let a
-    // single multi-second host-noise burst pollute both samples, and the
-    // min would keep it; separated sweeps make the two samples independent.
+    // Three timed passes per query, keep the per-query minimum: the plan's
+    // steady-state cost, insulated from scheduler/GC/host noise (this box
+    // runs other work during rounds, with multi-second bursts). The passes
+    // run as SEPARATED full sweeps — back-to-back passes of one query would
+    // let a single noise burst pollute every sample of that query, and the
+    // min would keep it; separated sweeps make the samples independent.
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       dropCaches()
       val t0 = System.nanoTime()
@@ -68,15 +68,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val sweep1 = ordered.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
-    val results = ordered.map { case (name, fn) =>
-      name -> math.min(sweep1(name), timeOne(name, fn))
+    val sweeps = (1 to 3).map { _ =>
+      ordered.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    }
+    val results = ordered.map { case (name, _) =>
+      name -> sweeps.map(_(name)).min
     }
     val pipelineSec = pipelineBench(spark, sfDir, dropCaches _)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":2,"agg":"min","pipeline_total":$pipelineSec%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","pipeline_total":$pipelineSec%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

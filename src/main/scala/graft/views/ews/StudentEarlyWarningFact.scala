@@ -30,7 +30,16 @@ import graft.views.{AmtView, ViewContext}
   * Scale: every crosstab is pre-aggregated to the spine's join key before
   * joining (1:1 joins against the large spine); pivots use fixed category
   * lists (SURVEY §7.4.2). The spine itself is the students × days fan-out —
-  * at 100 TB partition by schoolId: every join here carries schoolId.
+  * at 100 TB partition by (schoolId, schoolYear): every join here carries
+  * schoolId, and the spine key includes the year (see build()).
+  *
+  * Measured 10× probe (graft.runner.ScaleProbe, sf0.1 derived endpoints,
+  * local[32]): replicating students 10× grows the spine from 388,500 to
+  * 3,885,000 rows at 1.68 s → 1.69 s (factor 1.01 — the plan is
+  * shuffle-bound on fixed stage setup, not data volume, at this scale);
+  * hottest enrollment key carries 4.3% of rows, skew_ratio 1.07 (uniform
+  * fixture — production skew is what the (schoolId, schoolYear) key and
+  * AmtPipeline.diagnose exist for).
   *
   * Parity note: the reference keeps rows with missing exitWithdrawDate only
   * by accident (NaN → 'nan' compares greater than any date key); the
