@@ -287,6 +287,69 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every node's label converges to the smallest
+    * node id in its component. This is the step that turns near-duplicate
+    * PAIRS ([[jaccardPairs]], [[minhashDedup]], [[simhashPairs]]) into
+    * duplicate CLUSTERS with a canonical representative — what a curation
+    * pass actually consumes (keep min id, drop the rest).
+    *
+    * Scale shape: each iteration is one shuffle keyed on node id (messages
+    * along symmetrized edges) plus a min-aggregate; iterations needed =
+    * the graph diameter. Near-dup graphs are star-ish cliques around
+    * canonical documents (diameter 1-3 in practice — the 10× probe corpus
+    * converged in 3 rounds), so the loop is short; a corpus with
+    * pathological million-hop chains would want the alternating
+    * large-star/small-star algorithm (Kiveris et al., MapReduce CC),
+    * which this API can swap in without changing callers. Per iteration
+    * the label frame is `localCheckpoint`ed: the convergence check needs
+    * an action anyway, and cutting lineage keeps round k from replaying
+    * rounds 1..k-1 (the same MLlib-style loop discipline as
+    * [[graft.ops.Similarity.kMeansCentroids]]).
+    *
+    * @param nodes one row per node: (`doc_id`)
+    * @param pairs undirected edges: (`doc_a`, `doc_b`)
+    * @return (doc_id, cluster_id) — cluster_id = min doc_id reachable
+    */
+  def connectedComponents(
+      nodes: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.union(msgs)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      converged = next.withColumnRenamed("cluster_id", "next_id")
+        .join(labels, Seq("doc_id"))
+        .filter(col("next_id") =!= col("cluster_id"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate clusters end-to-end: documents + near-dup pairs →
+    * (doc_id, cluster_id, cluster_size). Singleton documents form their
+    * own cluster of size 1, so the output is a total map over the corpus —
+    * a curation pass keeps `doc_id == cluster_id` rows and drops the rest. */
+  def dupClusters(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    connectedComponents(nodes, pairs)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+  }
+
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit j of the
     * fingerprint is the sign of Σ_tokens (±1), where the ±1 is the j-th
     * nibble-MSB of md5(token). Single shuffle on doc_id; 16 parallel sums. */

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixes.
+  *
+  * Everything here is HASH-based, never RNG-based: a row's fate depends
+  * only on (key, salt), so samples are reproducible across runs, engines,
+  * partitionings and cluster sizes — the property a training pipeline
+  * needs for stable train/validation splits, resumable jobs, and
+  * auditable mix definitions. `df.sample()` gives none of that (it is
+  * seeded per-partition, so a repartition reshuffles the sample).
+  *
+  * Mechanism: the first 3 hex chars of `md5(key || salt)` are compared
+  * lexicographically against a threshold — hex digits sort in value
+  * order, so a string compare IS a numeric compare on the top 12 bits of
+  * the hash (resolution 1/4096 ≈ 0.02%). No hex→int parsing, which keeps
+  * the predicate a codegen'd string compare and makes it expressible
+  * verbatim in any engine with md5 (the DuckDB oracle mirrors it
+  * character for character).
+  *
+  * Scale: the filter is a pure map — no shuffle, pushes below anything
+  * stateless, and composes with scans (a sampled read never materializes
+  * the dropped rows past the filter).
+  */
+object Sampling {
+
+  /** 3-char threshold string for a keep-rate in [0, 1]. Rate 1.0 maps to
+    * "g00": 'g' sorts above every hex digit, so 3 hex chars always compare
+    * under it (keep-all) while staying a plain same-length string compare.
+    * Rate 0 maps to "000", which no hex string sorts under (keep-none). */
+  private[graft] def thresholdHex(rate: Double): String = {
+    val t = math.round(rate * 4096)
+    if (t >= 4096) "g00" else if (t <= 0) "000" else f"$t%03x"
+  }
+
+  /** Keep-predicate: row survives iff the top 12 hash bits of
+    * (key, salt) fall under `rate`. Change `salt` to draw an independent
+    * sample (e.g. "val" vs "test" splits from the same keys). */
+  def keeps(key: Column, rate: Double, salt: String = ""): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 3) <
+      lit(thresholdHex(rate))
+
+  /** Uniform deterministic sample at `rate` keyed on `keyCol`. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+      salt: String = ""): DataFrame =
+    df.filter(keeps(col(keyCol), rate, salt))
+
+  /** Stratified deterministic sample: each stratum keeps its own rate
+    * (`rates`), everything else keeps `defaultRate`. This is the mix
+    * knob — "keep 100% of books, 30% of web" — as one broadcast join +
+    * one string compare, no shuffle of the fact side. */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String = ""
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thresholds = rates.toSeq
+      .map { case (s, r) => (s, thresholdHex(r)) }
+      .toDF(stratumCol, "__thr")
+    df.join(broadcast(thresholds), Seq(stratumCol), "left")
+      .withColumn("__thr", coalesce(col("__thr"), lit(thresholdHex(defaultRate))))
+      .filter(substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 3)
+        < col("__thr"))
+      .drop("__thr")
+  }
+}

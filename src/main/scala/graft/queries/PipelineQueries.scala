@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Lake
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash /
@@ -543,5 +543,77 @@ object PipelineQueries {
       FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q44, q45)
+  // ---------------------------------------------------------------- q50
+  /** Duplicate clusters: the near-dup PAIRS of q31 resolved into components
+    * with a canonical representative (min doc id) via iterative min-label
+    * propagation — the step a curation pass consumes. The oracle states
+    * the same fixpoint declaratively as a DuckDB recursive CTE (labels
+    * propagate along symmetrized edges until closure; min per node), so
+    * the hash gate proves the iterative Spark loop reaches exactly the
+    * transitive closure the recursion defines. */
+  private val q50 = Q(
+    "q50_dedup_clusters",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val pairs = Dedup.jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3), 0.8)
+      Dedup.dupClusters(docs.select("doc_id"), pairs).orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $ShinglesCte,
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.8),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst AS node, r.label
+        FROM reach r JOIN edges e ON r.node = e.src),
+      cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+             FROM reach GROUP BY node)
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM cc ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q51
+  /** Deterministic stratified sampling — the training-mix knob ("keep all
+    * of src0, half of src1, a quarter of the rest") as a pure hash
+    * predicate: a row's fate depends only on (doc_id, salt), so the sample
+    * is reproducible across runs, engines and partitionings. The oracle
+    * mirrors the exact md5-prefix string compare, proving the two engines
+    * select the identical row set — the property that makes the split
+    * auditable. */
+  private val q51 = Q(
+    "q51_sampling_stratified",
+    (s, dir) =>
+      Sampling.stratifiedSample(
+        Lake(s, dir).documents.select("doc_id", "source", "lang"),
+        keyCol = "doc_id", stratumCol = "source",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25,
+        salt = "mix1")
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, source, lang
+      FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'mix1'), 1, 3) <
+        CASE source WHEN 'src0' THEN 'g00' WHEN 'src1' THEN '800'
+                    ELSE '400' END
+      ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
+    q39, q40, q41, q42, q44, q45, q50, q51)
 }

@@ -123,4 +123,25 @@ class DedupSpec extends SparkTestBase {
     val fps = df.collect().map(_.getString(0))
     assert(fps(0) == fps(1))
   }
+
+  test("connectedComponents: chains merge transitively, singletons self-label") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // 1-2-3 is a CHAIN (diameter 2): label 1 must reach 3 through 2,
+    // proving the loop iterates past the first round
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("dupClusters: total map over the corpus with cluster sizes") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(nodes, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"))).toMap
+    assert(out(3L) == (1L, 3L) && out(5L) == (4L, 2L) && out(6L) == (6L, 1L))
+    // the curation keep-rule: exactly one canonical doc per cluster
+    assert(out.count { case (id, (cl, _)) => id == cl } == 3)
+  }
 }

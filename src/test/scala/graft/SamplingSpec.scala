@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Deterministic hash sampling: reproducibility is the contract under
+  * test — same inputs, same sample, regardless of partitioning. */
+class SamplingSpec extends SparkTestBase {
+  import testImplicits._
+
+  private def keys = (1L to 2000L).toDF("k")
+
+  test("thresholdHex: hex formatting with keep-all / keep-none edges") {
+    assert(Sampling.thresholdHex(1.0) == "g00") // above every hex string
+    assert(Sampling.thresholdHex(0.0) == "000") // below/equal to none
+    assert(Sampling.thresholdHex(0.5) == "800")
+    assert(Sampling.thresholdHex(0.25) == "400")
+  }
+
+  test("hashSample: deterministic, partition-invariant, near the rate") {
+    val a = Sampling.hashSample(keys, "k", 0.5).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(keys.repartition(7), "k", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // df.sample() fails exactly this property
+    assert(math.abs(a.size - 1000) < 100) // binomial, ~3 sigma
+    assert(Sampling.hashSample(keys, "k", 1.0).count() == 2000)
+    assert(Sampling.hashSample(keys, "k", 0.0).count() == 0)
+  }
+
+  test("hashSample: salt draws an independent sample from the same keys") {
+    val train = Sampling.hashSample(keys, "k", 0.5, salt = "train")
+      .collect().map(_.getLong(0)).toSet
+    val other = Sampling.hashSample(keys, "k", 0.5, salt = "val")
+      .collect().map(_.getLong(0)).toSet
+    assert(train != other)
+    // independence: overlap ~ rate² of the population, not 0 and not 100%
+    val overlap = (train & other).size.toDouble / 2000
+    assert(overlap > 0.15 && overlap < 0.35)
+  }
+
+  test("stratifiedSample: per-stratum rates with a default") {
+    val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("k", "s")
+    val kept = Sampling.stratifiedSample(
+      df, "k", "s", Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") == 1000)         // keep-all stratum intact
+    assert(!kept.contains("src1"))       // keep-none stratum gone
+    assert(math.abs(kept("src2") - 500) < 80)
+  }
+}
