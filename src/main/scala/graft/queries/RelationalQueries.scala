@@ -851,7 +851,38 @@ object RelationalQueries {
       GROUP BY user_id ORDER BY user_id""")
   )
 
+  // ---------------------------------------------------------------- q52
+  /** Suffix-disambiguated merge (J7) under the hash gate: both sides carry
+    * a colliding non-key column (`value`), which `ops.Joins.mergeJoin`
+    * suffixes to `value_x`/`value_y` — pandas `pd.merge` suffix semantics
+    * (collision-only, keys exempt; reference pandasWrapper.py:20-28). The
+    * oracle writes the aliases out explicitly, so the hash match proves
+    * the rename rule produces exactly the pandas column contract. */
+  private val q52 = Q(
+    "q52_suffix_merge",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val left = lake.orders
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice").as("value"))
+      val right = lake.customer
+        .select(col("c_custkey").as("custkey"), col("c_name"),
+          col("c_acctbal").as("value"))
+      Joins.mergeJoin(left, right, Seq("custkey"), "inner")
+        .select("custkey", "o_orderkey", "value_x", "value_y", "c_name")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey AS custkey, o_orderkey,
+             o_totalprice AS value_x, c_acctbal AS value_y, c_name
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey % 100 = 0
+      ORDER BY o_orderkey""")
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q46, q47, q48)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
+    q46, q47, q48, q52)
 }

@@ -361,9 +361,7 @@ object ViewQueries {
     * their name/key columns must come back as '', which the oracle pins.
     * The nested `addresses` array (one physical, one mailing element)
     * round-trips through JSON and drives the explode + constant-map filter. */
-  private val q49 = Q(
-    "q49_silver_roundtrip_school_dim",
-    (s, dir) => {
+  private def derivedOrgSilver(s: SparkSession, dir: String): String = {
       val lake = Lake(s, dir)
       val schools = lake.nation.select(
         col("n_nationkey").cast("long").as("schoolId"),
@@ -396,10 +394,10 @@ object ViewQueries {
         java.nio.file.Files.createTempDirectory("graft-q49-silver").toString
       SilverWriter.write(schools, s"$silverRoot/1995/schools")
       SilverWriter.write(leas, s"$silverRoot/1995/localEducationAgencies")
-      // educationServiceCenters + stateEducationAgencies dirs do not exist
-      new AmtPipeline(s, silverRoot, "1995").view("schoolDim").orderBy("SchoolKey")
-    },
-    Some("""
+      silverRoot
+  }
+
+  private val schoolDimOracle = """
       SELECT CAST(n_nationkey AS VARCHAR) AS SchoolKey,
              n_name AS SchoolName,
              'Regular' AS SchoolType,
@@ -414,8 +412,32 @@ object ViewQueries {
              '' AS EducationServiceCenterName,
              '' AS EducationServiceCenterKey
       FROM nation JOIN region ON n_regionkey = r_regionkey
-      ORDER BY SchoolKey""")
+      ORDER BY SchoolKey"""
+
+  private val q49 = Q(
+    "q49_silver_roundtrip_school_dim",
+    (s, dir) => new AmtPipeline(s, derivedOrgSilver(s, dir), "1995")
+      .view("schoolDim").orderBy("SchoolKey"),
+    Some(schoolDimOracle)
   )
 
-  val all: Seq[Q] = Seq(q27, q28, q43, q49)
+  // ---------------------------------------------------------------- q53
+  /** The gold parquet sink (S6) under the hash gate: the same derived
+    * silver tree as q49 is run through the REAL `AmtPipeline.writeAll`
+    * (all 41 views, sorted-within-partitions parquet, overwrite layout
+    * `gold/<year>/<view>.parquet`), and the result read BACK from the
+    * written gold file — so the sink's file layout, sort, and overwrite
+    * semantics all sit between the view builder and the oracle compare. */
+  private val q53 = Q(
+    "q53_gold_roundtrip_write_all",
+    (s, dir) => {
+      val goldRoot =
+        java.nio.file.Files.createTempDirectory("graft-q53-gold").toString
+      new AmtPipeline(s, derivedOrgSilver(s, dir), "1995").writeAll(goldRoot)
+      s.read.parquet(s"$goldRoot/1995/schoolDim.parquet").orderBy("SchoolKey")
+    },
+    Some(schoolDimOracle)
+  )
+
+  val all: Seq[Q] = Seq(q27, q28, q43, q49, q53)
 }
