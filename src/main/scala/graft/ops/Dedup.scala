@@ -287,6 +287,67 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Incremental MinHash dedup: near-dup pairs INVOLVING A NEW BATCH
+    * against an existing corpus, without recomputing the corpus.
+    *
+    * The production loop this supports: at ingest time the lake persists
+    * the corpus' band index — `lshBands(minhashSignatures(shingles))` as
+    * parquet, a few dozen bytes per document — and each daily batch then
+    * (1) computes bands for ITS OWN documents only, (2) joins them against
+    * index ∪ own-bands for candidates, (3) Jaccard-verifies candidates
+    * against the combined shingle frames. Corpus-side work is a semi-join
+    * restricted to candidate docs, so the job is O(batch), not O(corpus) —
+    * at 100 TB that is the difference between a daily job and an
+    * impossible one. Corpus-internal pairs are (by construction) never
+    * re-emitted: one side of the candidate join is always a new doc.
+    *
+    * Returns the same (doc_a, doc_b, jaccard) contract as [[minhashDedup]]
+    * with doc_a < doc_b; new-new pairs appear once.
+    *
+    * @param indexBands   persisted corpus band index (doc_id, band_idx, band_key)
+    * @param corpusShingles corpus shingle frame (only candidate docs' rows
+    *                       are touched — keep it parquet-backed and lazy)
+    * @param newSh        the new batch's shingles ([[shingles]] output)
+    */
+  def incrementalMinhash(
+      indexBands: DataFrame,
+      corpusShingles: DataFrame,
+      newSh: DataFrame,
+      threshold: Double,
+      numHashes: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val shc = newSh.persist(StorageLevel.MEMORY_AND_DISK)
+    val newBands = lshBands(minhashSignatures(shc, numHashes), bands, numHashes / bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allBands = indexBands.unionByName(newBands)
+    val cands = newBands.as("a")
+      .join(allBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val sh = corpusShingles.unionByName(shc)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = cands
+      .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sh.as("sb"),
+        col("sb.doc_id") === col("doc_b") && col("sb.shingle") === col("sa.shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_shingles" -> "n_a")), "doc_a")
+      .join(counts.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_shingles" -> "n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation: every node's label converges to the smallest
     * node id in its component. This is the step that turns near-duplicate

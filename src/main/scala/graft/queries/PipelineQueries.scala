@@ -124,16 +124,21 @@ object PipelineQueries {
       ORDER BY doc_a, doc_b""")
   )
 
+  /** Shared q32/q54 oracle fragments: 16 minhash signature columns and the
+    * 4-band key selects over a `sig` CTE. */
+  private val SigCols = (0 until 16)
+    .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n        ")
+  private val BandSelects = (0 until 4).map { b =>
+    val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band_idx, md5($hs) AS band_key FROM sig"
+  }.mkString("\n        UNION ALL ")
+
   // ---------------------------------------------------------------- q32
   /** MinHash(16) + LSH(4 bands × 4 rows) with exact-Jaccard verification of
     * candidates only. Band keys are md5s — the candidate join cannot skew. */
   private val q32 = {
-    val sigCols = (0 until 16)
-      .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n        ")
-    val bandSelects = (0 until 4).map { b =>
-      val hs = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band_idx, md5($hs) AS band_key FROM sig"
-    }.mkString("\n        UNION ALL ")
+    val sigCols = SigCols
+    val bandSelects = BandSelects
     Q(
       "q32_dedup_minhash_lsh",
       (s, dir) => {
@@ -614,6 +619,51 @@ object PipelineQueries {
       ORDER BY doc_id""")
   )
 
+  // ---------------------------------------------------------------- q54
+  /** Incremental dedup: docs ≥ 250 are the "new batch", deduped against
+    * the persisted band index of docs < 250 via `Dedup.incrementalMinhash`
+    * — only the batch is signed, corpus work is candidate-restricted. The
+    * oracle states the equivalence that makes the increment correct: the
+    * result must equal the FULL corpus MinHash answer (q32's SQL)
+    * restricted to pairs touching the new batch. */
+  private val q54 = Q(
+    "q54_dedup_incremental",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val corpusSh = Dedup.shingles(docs.filter(col("doc_id") < 250), "doc_id", "text", 3)
+      val index = Dedup.lshBands(Dedup.minhashSignatures(corpusSh, 16), 4, 4)
+      val newSh = Dedup.shingles(docs.filter(col("doc_id") >= 250), "doc_id", "text", 3)
+      Dedup.incrementalMinhash(index, corpusSh, newSh, 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $ShinglesCte,
+      sig AS (SELECT doc_id,
+        $SigCols
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        $BandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT doc_a, doc_b, COUNT(*) AS c
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+        GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+      FROM common
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+        AND (doc_a >= 250 OR doc_b >= 250)
+      ORDER BY doc_a, doc_b""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q44, q45, q50, q51)
+    q39, q40, q41, q42, q44, q45, q50, q51, q54)
 }

@@ -124,6 +124,24 @@ class DedupSpec extends SparkTestBase {
     assert(fps(0) == fps(1))
   }
 
+  test("incrementalMinhash: new-batch pairs only, corpus-internal dups not re-emitted") {
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    val long = "the quick brown fox jumps over the lazy dog again and again today"
+    // corpus holds an internal dup pair (6,7) that must NOT re-surface
+    val dupText = "an old corpus internal duplicate sentence sitting quietly in the archive"
+    val corpus = mk(Seq(1L -> long, 2L -> "completely different words here entirely",
+      6L -> dupText, 7L -> dupText))
+    val corpusSh = Dedup.shingles(corpus, "doc_id", "text", 3)
+    val index = Dedup.lshBands(Dedup.minhashSignatures(corpusSh, 16), 4, 4)
+    // new batch: 10 dups corpus doc 1; 11/12 are new-new dups; 13 is novel
+    val newSh = Dedup.shingles(mk(Seq(10L -> long, 11L -> "brand new content never seen before in this corpus at all",
+      12L -> "brand new content never seen before in this corpus at all",
+      13L -> "nothing shared with anything else whatsoever in any way")), "doc_id", "text", 3)
+    val pairs = Dedup.incrementalMinhash(index, corpusSh, newSh, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L), (11L, 12L))) // (6,7) absent: O(batch), not O(corpus)
+  }
+
   test("connectedComponents: chains merge transitively, singletons self-label") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // 1-2-3 is a CHAIN (diameter 2): label 1 must reach 3 through 2,
