@@ -191,6 +191,43 @@ class PlanSpec extends SparkTestBase {
     assert(composite < bare / 2 + 0.01, s"composite share $composite vs bare $bare")
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    // the runtime half of the skew story: the (schoolId, schoolYear) spine
+    // key and saltedJoin are the plan-shape levers, AQE's skew-join split
+    // is the backstop — prove it actually engages on a hot key
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val before = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // per-row varying payload: skew detection reads COMPRESSED shuffle
+      // sizes, so a constant pad would vanish under lz4 and mask the skew
+      def pad(i: Int) = java.util.UUID.nameUUIDFromBytes(
+        BigInt(i).toByteArray).toString * 3
+      val skewed = (1 to 50000)
+        .map(i => (if (i % 50 == 0) i.toLong else 7L, pad(i)))
+        .toDF("k", "payload")
+      val dim = (1L to 60000L).map(i => (i, i * 2)).toDF("k", "v")
+      val joined = skewed.join(dim, Seq("k"))
+      // run THIS dataframe's own plan (count() would execute a different,
+      // aggregated query and leave this one un-finalized)
+      assert(joined.collect().length == 50000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not split the hot partition:\n$plan")
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no registered query plans a cartesian product (cross-join ops excepted)") {
     // q07 is the deliberate J4 cross-join operator; q27 cross-joins a
     // 775-row calendar spine (broadcast nested loop, intentional).
