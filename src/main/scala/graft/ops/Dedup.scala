@@ -411,6 +411,25 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy("cluster_id")))
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minOverlap` distinct shingles with an evaluation/benchmark set.
+    * Training corpora must drop these rows or eval numbers are
+    * contaminated; the standard check is exactly this n-gram overlap.
+    *
+    * Scale shape: the benchmark side is tiny (eval suites are thousands
+    * of rows) — its distinct shingle set broadcasts, so the corpus scan
+    * is one pass with a broadcast semi-join and a doc_id-keyed count.
+    * Nothing touches corpus×corpus pairs.
+    *
+    * @return (doc_id, n_overlap) for contaminated docs only
+    */
+  def contamination(
+      corpusSh: DataFrame, benchSh: DataFrame, minOverlap: Int = 1): DataFrame =
+    corpusSh
+      .join(broadcast(benchSh.select("shingle").distinct()), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit j of the
     * fingerprint is the sign of Σ_tokens (±1), where the ±1 is the j-th
     * nibble-MSB of md5(token). Single shuffle on doc_id; 16 parallel sums. */

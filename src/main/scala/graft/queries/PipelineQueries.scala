@@ -664,6 +664,30 @@ object PipelineQueries {
       ORDER BY doc_a, doc_b""")
   )
 
+  // ---------------------------------------------------------------- q55
+  /** Benchmark decontamination: docs < 20 stand in for an eval suite;
+    * corpus docs (≥ 20) sharing ≥ 2 distinct trigram shingles with it are
+    * flagged with their overlap count. The benchmark shingle set is
+    * broadcast — one corpus pass, no pair joins. */
+  private val q55 = Q(
+    "q55_decontamination",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val corpusSh = Dedup.shingles(docs.filter(col("doc_id") >= 20), "doc_id", "text", 3)
+      val benchSh = Dedup.shingles(docs.filter(col("doc_id") < 20), "doc_id", "text", 3)
+      Dedup.contamination(corpusSh, benchSh, minOverlap = 2).orderBy("doc_id")
+    },
+    Some(s"""
+      WITH $ShinglesCte,
+      bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+      SELECT s.doc_id, COUNT(*) AS n_overlap
+      FROM sh s JOIN bench b ON s.shingle = b.shingle
+      WHERE s.doc_id >= 20
+      GROUP BY s.doc_id
+      HAVING COUNT(*) >= 2
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q44, q45, q50, q51, q54)
+    q39, q40, q41, q42, q44, q45, q50, q51, q54, q55)
 }

@@ -142,6 +142,21 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 10L), (11L, 12L))) // (6,7) absent: O(batch), not O(corpus)
   }
 
+  test("contamination: overlap threshold flags docs sharing benchmark shingles") {
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
+    val bench = Dedup.shingles(
+      mk(Seq(1L -> "what is the capital of france paris obviously")), "doc_id", "text", 3)
+    val corpus = Dedup.shingles(mk(Seq(
+      10L -> "trivia time what is the capital of france everyone knows", // 4 shared
+      11L -> "the capital of germany is berlin not paris",               // 1 shared
+      12L -> "entirely unrelated sentence with no benchmark overlap")),  // 0 shared
+      "doc_id", "text", 3)
+    val flagged = Dedup.contamination(corpus, bench, minOverlap = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap")).toMap
+    assert(flagged.keySet == Set(10L))
+    assert(flagged(10L) == 4L) // "what is the", "is the capital", "the capital of", "capital of france"
+  }
+
   test("connectedComponents: chains merge transitively, singletons self-label") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     // 1-2-3 is a CHAIN (diameter 2): label 1 must reach 3 through 2,
