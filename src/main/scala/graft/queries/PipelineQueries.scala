@@ -688,6 +688,38 @@ object PipelineQueries {
       ORDER BY doc_id""")
   )
 
+  // ---------------------------------------------------------------- q56
+  /** Sequence packing: documents chunked into 512-token training
+    * sequences across 16 parallel bucket streams (concat-then-split
+    * convention; the bucketed window is the scale path — no global
+    * sort). Token counts are whitespace tokens, the q39 operator. */
+  private val q56 = Q(
+    "q56_sequence_packing",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+        .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.packSequences(docs, "doc_id", "n_tokens",
+        budget = 512, buckets = 16)
+        .select("doc_id", "n_tokens", "bucket", "tok_offset", "seq_id")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               doc_id % 16 AS bucket
+        FROM documents),
+      o AS (
+        SELECT doc_id, n_tokens, bucket,
+               CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+                    AS BIGINT) - n_tokens AS tok_offset
+        FROM t)
+      SELECT doc_id, n_tokens, bucket, tok_offset,
+             CAST(bucket AS VARCHAR) || '-' ||
+               CAST(CAST(floor(tok_offset / 512.0) AS BIGINT) AS VARCHAR) AS seq_id
+      FROM o ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q44, q45, q50, q51, q54, q55)
+    q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56)
 }

@@ -39,6 +39,25 @@ class SamplingSpec extends SparkTestBase {
     assert(overlap > 0.15 && overlap < 0.35)
   }
 
+  test("packSequences: bucketed token-budget chunk assignment") {
+    import graft.ops.Packing
+    // one bucket (buckets=1) to make the stream arithmetic hand-checkable:
+    // docs of 300/300/300 tokens, budget 512 → offsets 0/300/600 →
+    // sequences 0-0 / 0-0 / 0-1 (doc 2 STARTS inside seq 0: concat-split)
+    val docs = Seq((1L, 300), (2L, 300), (3L, 300)).toDF("doc_id", "n_tokens")
+    val out = Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512, buckets = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tok_offset"), r.getAs[String]("seq_id"))).toMap
+    assert(out(1L) == (0L, "0-0"))
+    assert(out(2L) == (300L, "0-0"))
+    assert(out(3L) == (600L, "0-1"))
+    // bucketing: two buckets pack independently (parallel streams)
+    val bucketed = Packing.packSequences(docs, "doc_id", "n_tokens", budget = 512, buckets = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tok_offset")).toMap
+    assert(bucketed(1L) == 0L && bucketed(2L) == 0L) // different buckets, both start at 0
+    assert(bucketed(3L) == 300L) // follows doc 1 in bucket 1
+  }
+
   test("stratifiedSample: per-stratum rates with a default") {
     val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("k", "s")
     val kept = Sampling.stratifiedSample(
