@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** Streaming curation for a document feed — the incremental twin of the
+  * batch curation decision (q45): each micro-batch of arriving documents
+  * is quality-scored and language-gated with the SAME codegen'd
+  * expressions the batch path uses (stateless, no shuffle), then exact
+  * near-dup re-deliveries are dropped by content fingerprint within the
+  * watermark horizon.
+  *
+  * State is one row per fingerprint, partitioned by fingerprint, expiring
+  * with the watermark — bounded by (ingest rate × watermark), not stream
+  * history. A full MinHash near-dup pass stays batch-side (its candidate
+  * join needs the corpus index; see Dedup.incrementalMinhash for the
+  * batch-incremental variant) — this stream gate is the cheap first
+  * filter in front of it, which is how production feeds layer the two.
+  */
+object DocumentStreams {
+
+  /** Gate + dedup an arriving document stream. Expects columns
+    * (`ts` timestamp, `text`, `lang`); emits the surviving rows with
+    * `quality` and `fp` attached. */
+  def curateStream(
+      docs: DataFrame,
+      minQuality: Double,
+      langs: Seq[String],
+      watermark: String = "1 hour"
+  ): DataFrame =
+    docs
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .filter(col("quality") >= minQuality && col("lang").isInCollection(langs))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+}

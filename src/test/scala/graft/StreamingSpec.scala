@@ -153,6 +153,30 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/students").count() == 2)
   }
 
+  test("curateStream: quality/language gates + fingerprint dedup on a doc feed") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "lang", "text")
+    val q = graft.streaming.DocumentStreams
+      .curateStream(docs, minQuality = 0.2, langs = Seq("en"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      val good = "the quick brown fox jumps over the lazy dog and then sleeps " * 5
+      input.addData(
+        (1L, ts(0), "en", good),
+        (2L, ts(1), "en", "Good; punctuation!!! ;;; ### $$$ %%% @@@ !!! ??? &&& ***"),
+        (3L, ts(2), "de", good),                 // language-gated
+        (4L, ts(3), "en", good.toUpperCase))     // same fingerprint as 1 → deduped
+      q.processAllAvailable()
+      val kept = spark.table("curated").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept.contains(1L))
+      assert(!kept.contains(3L)) // wrong language
+      assert(!(kept.contains(1L) && kept.contains(4L))) // fp dedup kept one
+      assert(kept.size == (if (kept.contains(2L)) 2 else 1))
+    } finally q.stop()
+  }
+
   test("end-to-end incremental lake: silver stream → view → gold == batch pipeline") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("lake")
