@@ -159,12 +159,16 @@ object Bench {
 
     dropCaches()
     val t0 = System.nanoTime()
-    try new AmtPipeline(spark, silver, "1995").writeAll(gold)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
-    }
+    val ok =
+      try { new AmtPipeline(spark, silver, "1995").writeAll(gold); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+        false
+      }
     val sec = (System.nanoTime() - t0) / 1e9
     dropCaches()
-    sec
+    graft.core.SilverWriter.deleteOnExit(tmp.toString)
+    // a crash must not masquerade as a fast run — report a sentinel
+    if (ok) sec else -1.0
   }
 }

@@ -14,13 +14,38 @@ import org.apache.spark.sql.DataFrame
   */
 object SilverWriter {
 
+  /** Register `root` for recursive deletion at JVM exit. For fixture
+    * trees that must outlive the lazy DataFrames reading them (deleting
+    * eagerly would break later materialization) but should not accumulate
+    * across verify/bench runs. deleteOnExit deletes in reverse
+    * registration order, so parents are registered before children. */
+  def deleteOnExit(root: String): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.forEach(f => f.toFile.deleteOnExit())
+      finally s.close()
+    }
+  }
+
   /** Write `df` as silver-layout JSON under `dir` (one array file per
     * non-empty partition). Round-trips through [[SilverReader.read]]'s
     * multiLine scan: `read(write(df)) == df` modulo the endpoint schema's
-    * column set. */
-  def write(df: DataFrame, dir: String): Unit = {
+    * column set.
+    *
+    * Each file's array is assembled as ONE in-memory string per task, so
+    * partition size bounds task memory: `maxRowsPerFile` caps it by
+    * repartitioning up when the incoming partitions are too coarse (one
+    * count pass — cheap next to the write; round-robin repartition keeps
+    * the split even under skew). */
+  def write(df: DataFrame, dir: String, maxRowsPerFile: Long = 500000): Unit = {
     import df.sparkSession.implicits._
-    df.toJSON
+    val json = df.toJSON
+    val needed = math.max(1L,
+      math.ceil(json.count().toDouble / maxRowsPerFile).toLong).toInt
+    val sized =
+      if (json.rdd.getNumPartitions >= needed) json else json.repartition(needed)
+    sized
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else Iterator(it.mkString("[\n", ",\n", "\n]"))

@@ -304,6 +304,11 @@ object Dedup {
     * Returns the same (doc_a, doc_b, jaccard) contract as [[minhashDedup]]
     * with doc_a < doc_b; new-new pairs appear once.
     *
+    * The new batch's shingle and band frames are persisted (they feed the
+    * band join and the verify join); a long-lived driver running this
+    * daily should `spark.catalog.clearCache()` (or unpersist) after
+    * materializing each day's result, or the per-day frames accumulate.
+    *
     * @param indexBands   persisted corpus band index (doc_id, band_idx, band_key)
     * @param corpusShingles corpus shingle frame (only candidate docs' rows
     *                       are touched — keep it parquet-backed and lazy)
@@ -331,7 +336,13 @@ object Dedup {
         least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+    // restrict the corpus side to candidate docs BEFORE any aggregation —
+    // this semi-join is what makes the job O(batch): without it the
+    // per-doc shingle counts would shuffle the full corpus frame
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sh = corpusShingles.unionByName(shc)
+      .join(candDocs, Seq("doc_id"), "left_semi")
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val common = cands
       .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
@@ -397,6 +408,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a silent non-converged return would split real components into
+    // several "canonical" docs and a curation pass would keep duplicates —
+    // fail loudly instead (raise maxIter, or pre-collapse long chains)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "graph diameter exceeds maxIter; raise it for chain-shaped graphs")
     labels
   }
 

@@ -37,9 +37,12 @@ object Sampling {
 
   /** Keep-predicate: row survives iff the top 12 hash bits of
     * (key, salt) fall under `rate`. Change `salt` to draw an independent
-    * sample (e.g. "val" vs "test" splits from the same keys). */
+    * sample (e.g. "val" vs "test" splits from the same keys). Null keys
+    * hash as the empty string (one equivalence class, all kept or all
+    * dropped together) — without the coalesce the null predicate would
+    * silently drop them at EVERY rate, including keep-all. */
   def keeps(key: Column, rate: Double, salt: String = ""): Column =
-    substring(md5(concat(key.cast("string"), lit(salt))), 1, 3) <
+    substring(md5(concat(coalesce(key.cast("string"), lit("")), lit(salt))), 1, 3) <
       lit(thresholdHex(rate))
 
   /** Uniform deterministic sample at `rate` keyed on `keyCol`. */
@@ -66,7 +69,8 @@ object Sampling {
       .toDF(stratumCol, "__thr")
     df.join(broadcast(thresholds), Seq(stratumCol), "left")
       .withColumn("__thr", coalesce(col("__thr"), lit(thresholdHex(defaultRate))))
-      .filter(substring(md5(concat(col(keyCol).cast("string"), lit(salt))), 1, 3)
+      .filter(substring(md5(concat(
+        coalesce(col(keyCol).cast("string"), lit("")), lit(salt))), 1, 3)
         < col("__thr"))
       .drop("__thr")
   }

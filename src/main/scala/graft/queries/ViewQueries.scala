@@ -394,6 +394,9 @@ object ViewQueries {
         java.nio.file.Files.createTempDirectory("graft-q49-silver").toString
       SilverWriter.write(schools, s"$silverRoot/1995/schools")
       SilverWriter.write(leas, s"$silverRoot/1995/localEducationAgencies")
+      // lazy consumers still need the files; reclaim at JVM exit instead
+      // (verify/bench run each query several times — don't accumulate)
+      SilverWriter.deleteOnExit(silverRoot)
       silverRoot
   }
 
@@ -434,6 +437,7 @@ object ViewQueries {
       val goldRoot =
         java.nio.file.Files.createTempDirectory("graft-q53-gold").toString
       new AmtPipeline(s, derivedOrgSilver(s, dir), "1995").writeAll(goldRoot)
+      SilverWriter.deleteOnExit(goldRoot)
       s.read.parquet(s"$goldRoot/1995/schoolDim.parquet").orderBy("SchoolKey")
     },
     Some(schoolDimOracle)

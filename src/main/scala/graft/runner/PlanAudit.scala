@@ -24,7 +24,10 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     val df = Registry.byName(name).run(spark, sfDir)
-    df.collect() // finalize the adaptive plan
+    // finalize THIS dataframe's adaptive plan without materializing the
+    // result on the driver (collect() would OOM on large-SF pair joins;
+    // a noop write would execute a different QueryExecution)
+    df.foreach(_ => ())
     val plan = df.queryExecution.executedPlan.toString
     println(plan)
     def n(pat: String) = pat.r.findAllIn(plan).length

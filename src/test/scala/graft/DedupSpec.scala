@@ -167,6 +167,16 @@ class DedupSpec extends SparkTestBase {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("connectedComponents: fails loudly instead of returning non-converged labels") {
+    val nodes = (1L to 8L).toDF("doc_id")
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException](
+      Dedup.connectedComponents(nodes, chain, maxIter = 2).collect())
+    // ...and converges fine when maxIter covers the diameter
+    val ok = Dedup.connectedComponents(nodes, chain, maxIter = 10).collect()
+    assert(ok.forall(_.getAs[Long]("cluster_id") == 1L))
+  }
+
   test("dupClusters: total map over the corpus with cluster sizes") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")

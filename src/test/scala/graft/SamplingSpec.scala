@@ -28,6 +28,15 @@ class SamplingSpec extends SparkTestBase {
     assert(Sampling.hashSample(keys, "k", 0.0).count() == 0)
   }
 
+  test("hashSample: null keys are one equivalence class, kept at rate 1.0") {
+    val df = Seq(Some(1L), Some(2L), None, None).toDF("k")
+    assert(Sampling.hashSample(df, "k", 1.0).count() == 4) // keep-all keeps nulls
+    assert(Sampling.hashSample(df, "k", 0.0).count() == 0)
+    // all null rows share one fate at any rate
+    val kept = Sampling.hashSample(df, "k", 0.5).filter(col("k").isNull).count()
+    assert(kept == 0 || kept == 2)
+  }
+
   test("hashSample: salt draws an independent sample from the same keys") {
     val train = Sampling.hashSample(keys, "k", 0.5, salt = "train")
       .collect().map(_.getLong(0)).toSet
