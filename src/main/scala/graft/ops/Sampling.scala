@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   * Scale: the filter is a pure map — no shuffle, pushes below anything
   * stateless, and composes with scans (a sampled read never materializes
   * the dropped rows past the filter).
+  *
+  * Rates NEST: for the same key and salt, `sample(r1) ⊆ sample(r2)`
+  * whenever r1 ≤ r2 (the threshold moves, the hash doesn't) — growing a
+  * training split later only adds rows, never churns the existing ones.
   */
 object Sampling {
 

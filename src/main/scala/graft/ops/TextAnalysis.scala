@@ -68,4 +68,39 @@ object TextAnalysis {
     least(length(text).cast("double") / lit(500.0), lit(1.0)) * lit(0.5) +
       stopwordRatio(text) * lit(2.0) -
       punctRatio(text) * lit(1.0)
+
+  /** Repetition metrics per document — the Gopher-rule quality signals
+    * (Rae et al. 2021, §A1.2): `dup_word_frac` (1 − distinct/total words,
+    * a columnar expression) and `top_bigram_frac` (share of the most
+    * frequent word bigram), used to drop loop-generated or boilerplate
+    * text before training.
+    *
+    * Scale shape: the bigram counts are one shuffle on (doc_id, bigram) —
+    * the explode fans out inside the stage — followed by a doc-keyed max;
+    * docs with fewer than two words get `top_bigram_frac = 0` via the
+    * left join back to the base frame (the operator is total). */
+  def repetitionMetrics(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(
+      col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .withColumn("n_words", size(col("__ws")))
+      .withColumn("dup_word_frac",
+        lit(1.0) - size(array_distinct(col("__ws"))).cast("double") /
+          greatest(col("n_words"), lit(1)).cast("double"))
+    val top = base
+      .select(col("doc_id"), col("__ws"),
+        explode(when(col("n_words") >= 2,
+          sequence(lit(0), col("n_words") - 2)).otherwise(array())).as("__i"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("__ws")(col("__i")), col("__ws")(col("__i") + 1))
+          .as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"))
+    base.join(top, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac",
+        coalesce(col("top_c").cast("double") /
+          (col("n_words") - 1).cast("double"), lit(0.0)))
+      .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac")
+  }
 }

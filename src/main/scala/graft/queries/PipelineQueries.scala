@@ -720,6 +720,35 @@ object PipelineQueries {
       FROM o ORDER BY doc_id""")
   )
 
+  // ---------------------------------------------------------------- q57
+  /** Repetition metrics (Gopher-style quality rules): duplicate-word
+    * fraction (pure expression) and most-frequent-bigram share (one
+    * shuffle on (doc, bigram), doc-keyed max, total over the corpus). */
+  private val q57 = Q(
+    "q57_text_repetition",
+    (s, dir) =>
+      TextAnalysis.repetitionMetrics(Lake(s, dir).documents, "doc_id", "text")
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      base AS (
+        SELECT doc_id, len(ws) AS n_words,
+               1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) /
+                     CAST(len(ws) AS DOUBLE) AS dup_word_frac,
+               ws
+        FROM w),
+      bg AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+        FROM base, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+      bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      tb AS (SELECT doc_id, MAX(c) AS top_c FROM bc GROUP BY 1)
+      SELECT b.doc_id, CAST(b.n_words AS INTEGER) AS n_words, b.dup_word_frac,
+             COALESCE(CAST(top_c AS DOUBLE) / (b.n_words - 1), 0.0)
+               AS top_bigram_frac
+      FROM base b LEFT JOIN tb USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56)
+    q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57)
 }

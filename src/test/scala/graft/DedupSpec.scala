@@ -124,6 +124,20 @@ class DedupSpec extends SparkTestBase {
     assert(fps(0) == fps(1))
   }
 
+  test("repetitionMetrics: duplicate words and repeated bigrams flagged") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),          // degenerate repetition
+      (2L, "all words here are different"), // clean text
+      (3L, "one")                           // < 2 words: no bigram
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_word_frac"), r.getAs[Double]("top_bigram_frac"))).toMap
+    assert(m(1L) == (0.75, 1.0)) // 1 distinct of 4; "spam spam" fills all 3 slots
+    assert(m(2L) == (0.0, 0.25))
+    assert(m(3L) == (0.0, 0.0))  // total operator: short docs still present
+  }
+
   test("incrementalMinhash: new-batch pairs only, corpus-internal dups not re-emitted") {
     val mk = (rows: Seq[(Long, String)]) => rows.toDF("doc_id", "text")
     val long = "the quick brown fox jumps over the lazy dog again and again today"

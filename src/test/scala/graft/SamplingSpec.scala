@@ -67,6 +67,14 @@ class SamplingSpec extends SparkTestBase {
     assert(bucketed(3L) == 300L) // follows doc 1 in bucket 1
   }
 
+  test("hashSample: rates nest — raising the rate only ADDS rows") {
+    // threshold compare over the same hash ⇒ sample(0.2) ⊆ sample(0.5):
+    // growing a training split never churns previously selected rows
+    val s20 = Sampling.hashSample(keys, "k", 0.2).collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.hashSample(keys, "k", 0.5).collect().map(_.getLong(0)).toSet
+    assert(s20.subsetOf(s50))
+  }
+
   test("stratifiedSample: per-stratum rates with a default") {
     val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("k", "s")
     val kept = Sampling.stratifiedSample(
