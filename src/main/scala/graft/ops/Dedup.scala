@@ -366,17 +366,17 @@ object Dedup {
     * duplicate CLUSTERS with a canonical representative — what a curation
     * pass actually consumes (keep min id, drop the rest).
     *
-    * Scale shape: each iteration is one shuffle keyed on node id (messages
-    * along symmetrized edges) plus a min-aggregate; iterations needed =
-    * the graph diameter. Near-dup graphs are star-ish cliques around
-    * canonical documents (diameter 1-3 in practice — the 10× probe corpus
-    * converged in 3 rounds), so the loop is short; a corpus with
-    * pathological million-hop chains would want the alternating
-    * large-star/small-star algorithm (Kiveris et al., MapReduce CC),
-    * which this API can swap in without changing callers. Per iteration
-    * the label frame is `localCheckpoint`ed: the convergence check needs
-    * an action anyway, and cutting lineage keeps round k from replaying
-    * rounds 1..k-1 (the same MLlib-style loop discipline as
+    * Scale shape: each round shuffles on node id twice — messages along
+    * symmetrized edges AND a pointer jump (my new label = min of my
+    * label, my neighbors' labels, and my label's label). The jump doubles
+    * the distance a label travels per round, so convergence is
+    * O(log diameter) rounds, not O(diameter) — a million-hop chain
+    * resolves in ~20 rounds (the same doubling idea as the alternating
+    * large-star/small-star MapReduce algorithm, Kiveris et al.). Near-dup
+    * graphs are star-ish cliques anyway (2-3 rounds in practice). Per
+    * round the label frame is `localCheckpoint`ed: the convergence check
+    * needs an action anyway, and cutting lineage keeps round k from
+    * replaying rounds 1..k-1 (the same MLlib-style loop discipline as
     * [[graft.ops.Similarity.kMeansCentroids]]).
     *
     * @param nodes one row per node: (`doc_id`)
@@ -397,7 +397,12 @@ object Dedup {
       val msgs = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.union(msgs)
+      // pointer jump: adopt my label's own label (doubles propagation
+      // distance per round — O(log diameter) total rounds)
+      val jump = labels.as("a")
+        .join(labels.as("b"), col("a.cluster_id") === col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.cluster_id").as("cluster_id"))
+      val next = labels.union(msgs).union(jump)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint()
       converged = next.withColumnRenamed("cluster_id", "next_id")
