@@ -630,7 +630,11 @@ object PipelineQueries {
     "q54_dedup_incremental",
     (s, dir) => {
       val docs = Lake(s, dir).documents
+      // in production the corpus shingles/bands are parquet on disk; here
+      // they are derived, so persist stands in for the storage layer
+      // (three consumers: the band index, the verify join, the counts)
       val corpusSh = Dedup.shingles(docs.filter(col("doc_id") < 250), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val index = Dedup.lshBands(Dedup.minhashSignatures(corpusSh, 16), 4, 4)
       val newSh = Dedup.shingles(docs.filter(col("doc_id") >= 250), "doc_id", "text", 3)
       Dedup.incrementalMinhash(index, corpusSh, newSh, 0.8)
