@@ -53,14 +53,34 @@ object Multimodal {
     *     height then width as big-endian u16 after the precision byte
     *     (ITU T.81 §B.2.2). Standalone markers (RSTn/SOI/EOI/TEM) and
     *     fill bytes are skipped without a length read.
+    *   - GIF: `GIF87a`/`GIF89a` signature, then the logical screen
+    *     descriptor — width and height are little-endian u16 at offsets
+    *     6 and 8 (GIF89a spec §18).
+    *   - WebP: RIFF container (`RIFF` + u32le size + `WEBP`), first chunk
+    *     at offset 12 decides the form (WebP Container Specification):
+    *     `VP8X` carries 24-bit LE canvas-width-1 / height-1 at offsets
+    *     24/27; `VP8 ` (lossy) carries 14-bit LE dimensions at 26/28
+    *     after the `9D 01 2A` frame start code; `VP8L` (lossless) packs
+    *     two 14-bit fields into the u32le after its `2F` signature byte.
     *
-    * Both magics start with a non-ASCII byte, so no text blob can alias
-    * into an image — a property [[decodeMeta]]'s fallback relies on. */
+    * PNG and JPEG magics start with a non-ASCII byte, so no text blob can
+    * alias into them; GIF/RIFF magics are ASCII, but aliasing needs the
+    * exact 6-byte signature (plus `WEBP` + a valid chunk tag for RIFF) as
+    * a text PREFIX — [[decodeMeta]]'s fallback arm tolerates that residual
+    * risk, a real lake keys format on metadata anyway. */
   def parseImageHeader(bytes: Array[Byte]): Option[(String, Long, Long)] = {
     def u16(i: Int): Long = ((bytes(i) & 0xff) << 8 | (bytes(i + 1) & 0xff)).toLong
     def u32(i: Int): Long =
       ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
         ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def u16le(i: Int): Long = ((bytes(i + 1) & 0xff) << 8 | (bytes(i) & 0xff)).toLong
+    def u24le(i: Int): Long =
+      ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 1) & 0xffL) << 8) | (bytes(i) & 0xffL)
+    def u32le(i: Int): Long =
+      ((bytes(i + 3) & 0xffL) << 24) | ((bytes(i + 2) & 0xffL) << 16) |
+        ((bytes(i + 1) & 0xffL) << 8) | (bytes(i) & 0xffL)
+    def ascii(from: Int, until: Int): String =
+      new String(bytes.slice(from, until), "US-ASCII")
     if (bytes == null) None
     else if (bytes.length >= 24 &&
       bytes.take(8).sameElements(
@@ -89,6 +109,25 @@ object Multimodal {
         }
       }
       None
+    } else if (bytes.length >= 10 &&
+      (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a"))
+      Some(("gif", u16le(6), u16le(8)))
+    else if (bytes.length >= 25 && ascii(0, 4) == "RIFF" && ascii(8, 12) == "WEBP") {
+      ascii(12, 16) match {
+        case "VP8X" if bytes.length >= 30 =>
+          // extended form: 24-bit LE canvas dimensions, stored minus one
+          Some(("webp", u24le(24) + 1, u24le(27) + 1))
+        case "VP8 " if bytes.length >= 30 &&
+          (bytes(23) & 0xff) == 0x9d && (bytes(24) & 0xff) == 0x01 &&
+          (bytes(25) & 0xff) == 0x2a =>
+          // lossy form: 14-bit LE dimensions after the frame start code
+          Some(("webp", u16le(26) & 0x3fff, u16le(28) & 0x3fff))
+        case "VP8L" if (bytes(20) & 0xff) == 0x2f =>
+          // lossless form: two 14-bit fields packed into one u32le
+          val bits = u32le(21)
+          Some(("webp", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1))
+        case _ => None
+      }
     } else None
   }
 

@@ -286,10 +286,12 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- q42
   /** LSH-bucketed approximate top-5 — the second ANN scale path (no
-    * centroid pass): sign-hyperplane buckets + 1-bit multiprobe. The
-    * hyperplanes are integer-rational, generated from ONE Scala function
-    * into both the Spark plan and this SQL, so the sign bits — and hence
-    * the buckets — are identical by construction, not by float luck. */
+    * centroid pass): sign-hyperplane buckets + ≤2-bit multiprobe (the
+    * production default; RecallProbe measured the recall cliff between
+    * 1-bit and 2-bit probing). The hyperplanes AND the probe mask list
+    * are generated from ONE Scala source into both the Spark plan and
+    * this SQL, so the sign bits — and hence the buckets probed — are
+    * identical by construction, not by float luck. */
   private val q42 = {
     val nPlanes = 8
     val dim = 64
@@ -298,7 +300,9 @@ object PipelineQueries {
     val bucketExpr = (0 until nPlanes).map { p =>
       s"(CASE WHEN ${sqlDot("v", planeList(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
-    val probeList = ("bucket" +: (0 until nPlanes).map(p => s"xor(bucket, ${1 << p})"))
+    val masks = (0 until nPlanes).map(p => 1 << p) ++
+      (for { p <- 0 until nPlanes; q <- (p + 1) until nPlanes } yield (1 << p) | (1 << q))
+    val probeList = ("bucket" +: masks.map(m => s"xor(bucket, $m)"))
       .mkString("[", ", ", "]")
     Q(
       "q42_ann_lsh",

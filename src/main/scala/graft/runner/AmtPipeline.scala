@@ -110,11 +110,28 @@ final class AmtPipeline(
     * from `parallelism` driver threads — Spark schedules concurrent jobs
     * fine, and at cluster scale this keeps executors busy while a deep
     * view's long stage chain resolves. Plan construction (`view`) is
-    * synchronized (the memoized DAG), the write actions are not. */
-  def writeAll(goldRoot: String, parallelism: Int = 4): Unit = {
+    * synchronized (the memoized DAG), the write actions are not.
+    *
+    * Two layouts:
+    *   - default (`partitionedByYear = false`): one directory per year,
+    *     `<gold>/<year>/<view>.parquet` — the reference's
+    *     `PARQUET_FILES_LOCATION/<year>/<view>` layout, right for
+    *     consumers that always read one year.
+    *   - `partitionedByYear = true`: one table per view,
+    *     `<gold>/<view>.parquet/schoolYear=<year>/…` — a Hive-partitioned
+    *     single table, right for cross-year consumers: a `schoolYear`
+    *     filter prunes to one partition directory at plan time (asserted
+    *     in PlanSpec), and an unfiltered scan unions all years with the
+    *     year recovered as a partition column. Writes use dynamic
+    *     partition overwrite so re-running year Y replaces ONLY
+    *     `schoolYear=Y` — the incremental-year story: each year's run
+    *     truncates its own partition and never touches history. */
+  def writeAll(goldRoot: String, parallelism: Int = 4,
+      partitionedByYear: Boolean = false): Unit = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import org.apache.spark.sql.functions.{col, lit}
     val pool = Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try
@@ -123,10 +140,16 @@ final class AmtPipeline(
           // sort within partitions by the leading key column so parquet
           // row-group min/max stats prune consumer point-lookups (the
           // RLS views filter gold by user/student keys constantly)
-          view(v.name)
-            .sortWithinPartitions(org.apache.spark.sql.functions.col(v.outputColumns.head))
-            .write.mode("overwrite")
-            .parquet(s"$goldRoot/$schoolYear/${v.name}.parquet")
+          val sorted = view(v.name).sortWithinPartitions(col(v.outputColumns.head))
+          if (partitionedByYear)
+            sorted.withColumn("schoolYear", lit(schoolYear))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("schoolYear")
+              .parquet(s"$goldRoot/${v.name}.parquet")
+          else
+            sorted.write.mode("overwrite")
+              .parquet(s"$goldRoot/$schoolYear/${v.name}.parquet")
         }
       }), Duration.Inf)
     finally pool.shutdown()

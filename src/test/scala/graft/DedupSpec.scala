@@ -191,6 +191,20 @@ class DedupSpec extends SparkTestBase {
     assert(ok.forall(_.getAs[Long]("cluster_id") == 1L))
   }
 
+  test("connectedComponents: pointer jumping closes a diameter-64 chain in O(log d) rounds") {
+    // 65-node path graph, diameter 64. Plain min-label propagation needs
+    // ~64 rounds (label 1 crawls one hop per round); pointer jumping doubles
+    // the reach per round, so convergence must land in ~log2(64)+2 = 8
+    // rounds. The bound (<=9, one round of slack over the measured 8) is the
+    // regression tripwire for dropping the jump join: without it this graph
+    // blows straight past maxIter.
+    val nodes = (1L to 65L).toDF("doc_id")
+    val chain = (1L to 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(nodes, chain, maxIter = 12)
+    assert(labels.collect().forall(_.getAs[Long]("cluster_id") == 1L))
+    assert(rounds <= 9, s"pointer jump regressed: $rounds rounds for diameter 64")
+  }
+
   test("dupClusters: total map over the corpus with cluster sizes") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")

@@ -135,6 +135,62 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("change-version incremental ingest end-to-end: full day, delta day, no-op day") {
+    // Stub ODS whose /data/v3 honors min/maxChangeVersion the way the real
+    // API does: only rows whose changeVersion falls inside the requested
+    // window are served (reference api/changeVersion.py:57-94 drives the
+    // window; api/api.py appends it to every page URL).
+    val rows = scala.collection.mutable.ArrayBuffer((1, 1L), (2, 2L), (3, 3L))
+    val t = new HttpTransport {
+      def get(url: String, headers: Map[String, String]): (Int, String) = {
+        if (url.contains("/deletes")) return (200, "[]")
+        def param(p: String) =
+          s"$p=(\\d+)".r.findFirstMatchIn(url).map(_.group(1).toLong)
+        val (min, max) = (param("minChangeVersion"), param("maxChangeVersion"))
+        val offset = param("offset").get.toInt
+        val inWindow = rows.filter(r =>
+          min.forall(r._2 >= _) && max.forall(r._2 <= _)).sortBy(_._2)
+        val page = inWindow.slice(offset, offset + 500)
+        (200, page.map { case (id, cv) =>
+          s"""{"id": $id, "changeVersion": $cv}"""
+        }.mkString("[", ", ", "]"))
+      }
+      def post(url: String, headers: Map[String, String], form: Map[String, String]): (Int, String) =
+        (200, """{"access_token": "tok-123"}""")
+    }
+    val client = new EdFiClient(t, "http://api", "k", "s")
+    val store = new ChangeVersionStore(Files.createTempDirectory("cv"))
+    val silver = Files.createTempDirectory("silver")
+    def extractDay(day: String, apiWindow: ChangeVersionWindow): Boolean =
+      store.advance("2022", apiWindow) match {
+        case Some(w) =>
+          client.extractAll(Seq("students"), silver.resolve(day), "2022",
+            window = Some(w), parallelism = 1)
+          true
+        case None => false
+      }
+    def idsIn(day: String): Seq[Int] = {
+      val f = silver.resolve(day).resolve("2022/students/students_0.json")
+      if (!Files.exists(f)) Seq.empty
+      else """"id": (\d+)""".r.findAllMatchIn(Files.readString(f))
+        .map(_.group(1).toInt).toSeq
+    }
+    // day 1: first run → full API range, all three rows land in silver
+    assert(extractDay("day1", ChangeVersionWindow("1", "3")))
+    assert(idsIn("day1") == Seq(1, 2, 3))
+    // day 2: rows 4 (new) and 2 (updated, cv bumped) → window (3, 7];
+    // the delta batch carries ONLY changed rows (+ the inclusive boundary
+    // row, the reference's overlap semantics) — not the whole corpus
+    rows += ((4, 5L)); rows(1) = (2, 7L)
+    assert(extractDay("day2", ChangeVersionWindow("1", "7")))
+    assert(idsIn("day2") == Seq(3, 4, 2)) // cv order: 3, 5, 7 — no full reload
+    assert(store.read("2022") == ChangeVersionWindow("3", "7"))
+    // day 3: API newest unchanged → no extraction at all, watermark holds
+    assert(!extractDay("day3", ChangeVersionWindow("1", "7")))
+    assert(idsIn("day3").isEmpty)
+    assert(store.read("2022") == ChangeVersionWindow("3", "7"))
+  }
+
   test("ChangeVersionStore: first run, no-op run, incremental run") {
     val store = new ChangeVersionStore(Files.createTempDirectory("cv"))
     // first run: full API range

@@ -60,6 +60,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(meta(12L).width == meta(12L).n_bytes % 512 + 1)
   }
 
+  private def gifBytes(width: Int, height: Int, sig: String = "GIF89a"): Array[Byte] = {
+    def u16le(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    sig.getBytes("US-ASCII") ++ u16le(width) ++ u16le(height) ++
+      Array[Byte](0, 0, 0) // packed fields, bg color, aspect ratio
+  }
+  private def u24le(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+  private def u32le(v: Long) =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def riff(chunk: String, payload: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ u32le(4 + 8 + payload.length) ++
+      "WEBP".getBytes("US-ASCII") ++ chunk.getBytes("US-ASCII") ++
+      u32le(payload.length) ++ payload
+  private def webpVp8x(width: Int, height: Int): Array[Byte] =
+    riff("VP8X", Array[Byte](0, 0, 0, 0) ++ u24le(width - 1L) ++ u24le(height - 1L))
+  private def webpVp8(width: Int, height: Int): Array[Byte] =
+    riff("VP8 ", Array[Byte](0, 0, 0) ++ // frame tag
+      Array(0x9d, 0x01, 0x2a).map(_.toByte) ++
+      Array(width.toByte, (width >> 8).toByte, height.toByte, (height >> 8).toByte))
+  private def webpVp8l(width: Int, height: Int): Array[Byte] = {
+    val bits = (width - 1L) | ((height - 1L) << 14)
+    riff("VP8L", Array(0x2f.toByte) ++ u32le(bits))
+  }
+
+  test("decodeMeta parses real GIF and WebP (VP8/VP8L/VP8X) headers") {
+    val imgs = Seq(
+      (20L, gifBytes(320, 200)),
+      (21L, gifBytes(12, 7, sig = "GIF87a")),
+      (22L, webpVp8x(1024, 768)),
+      (23L, webpVp8(800, 600)),
+      (24L, webpVp8l(333, 77)),
+      (25L, riff("ANMF", Array.fill(12)(0.toByte))) // RIFF/WEBP, unknown first chunk
+    ).toDF("doc_id", "media")
+    val meta = Multimodal.decodeMeta(imgs, "doc_id", "media").collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(meta(20L).format == "gif" && meta(20L).width == 320 && meta(20L).height == 200)
+    assert(meta(21L).format == "gif" && meta(21L).width == 12 && meta(21L).height == 7)
+    assert(meta(22L).format == "webp" && meta(22L).width == 1024 && meta(22L).height == 768)
+    assert(meta(23L).format == "webp" && meta(23L).width == 800 && meta(23L).height == 600)
+    assert(meta(24L).format == "webp" && meta(24L).width == 333 && meta(24L).height == 77)
+    // unknown chunk type → fallback arm, never a mis-parse
+    assert(meta(25L).width == meta(25L).n_bytes % 512 + 1)
+  }
+
   test("parseImageHeader rejects truncated and desynced containers") {
     assert(Multimodal.parseImageHeader(null) == None)
     assert(Multimodal.parseImageHeader(pngBytes(9, 9).take(20)) == None)
@@ -67,6 +110,11 @@ class MultimodalSpec extends SparkTestBase {
     // JPEG SOI followed by garbage (no FF marker alignment) → None
     assert(Multimodal.parseImageHeader(
       Array(0xff, 0xd8, 0x00, 0x01, 0x02, 0x03).map(_.toByte)) == None)
+    assert(Multimodal.parseImageHeader(gifBytes(9, 9).take(8)) == None)
+    assert(Multimodal.parseImageHeader(webpVp8(9, 9).take(24)) == None)
+    // VP8 lossy without the 9D 01 2A start code → None
+    val badVp8 = webpVp8(9, 9); badVp8(23) = 0
+    assert(Multimodal.parseImageHeader(badVp8) == None)
   }
 
   test("frameSampleStub: 1:N fan-out with stride, inside the partition") {

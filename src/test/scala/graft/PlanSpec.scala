@@ -115,6 +115,46 @@ class PlanSpec extends SparkTestBase {
     assert(spark.read.parquet(dir.toString).count() == before)
   }
 
+  test("partitioned gold: year filter prunes partitions; dynamic overwrite keeps other years") {
+    import java.nio.file.Files
+    import graft.runner.AmtPipeline
+    val silver = Files.createTempDirectory("silver-py")
+    val gpJson = (year: Int) => s"""[
+      {"schoolReference": {"schoolId": 1}, "schoolYearTypeReference": {"schoolYear": $year},
+       "gradingPeriodDescriptor": "uri://ed-fi.org/GradingPeriodDescriptor#First",
+       "beginDate": "2021-08-23", "endDate": "2021-10-01",
+       "totalInstructionalDays": 29, "periodSequence": 1}]"""
+    val gpdJson = """[
+      {"gradingPeriodDescriptorId": 1, "codeValue": "First", "description": "First",
+       "namespace": "uri://ed-fi.org/GradingPeriodDescriptor", "shortDescription": "First"}]"""
+    Seq("2022", "2023").foreach { y =>
+      Seq("gradingPeriods" -> gpJson(y.toInt), "gradingPeriodDescriptors" -> gpdJson)
+        .foreach { case (ep, json) =>
+          val d = silver.resolve(y).resolve(ep)
+          Files.createDirectories(d)
+          Files.writeString(d.resolve(s"${ep}_1.json"), json)
+        }
+    }
+    val gold = Files.createTempDirectory("gold-py")
+    new AmtPipeline(spark, silver.toString, "2022").writeAll(gold.toString, partitionedByYear = true)
+    new AmtPipeline(spark, silver.toString, "2023").writeAll(gold.toString, partitionedByYear = true)
+    val table = spark.read.parquet(s"$gold/gradingPeriodDim.parquet")
+    // single cross-year table: both years present, year recovered as a
+    // partition column (type-inferred to int on read-back)
+    assert(table.select(col("schoolYear").cast("string")).distinct().collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("2022", "2023"))
+    // a year filter must prune at plan time, not scan-and-discard
+    val filtered = table.filter(col("schoolYear") === "2022")
+    val plan = planOf(filtered)
+    assert(plan.contains("PartitionFilters:") && plan.contains("schoolYear"),
+      s"no partition pruning on schoolYear in:\n$plan")
+    assert(filtered.count() == 1)
+    // dynamic partition overwrite: re-running 2022 must not clobber 2023
+    new AmtPipeline(spark, silver.toString, "2022").writeAll(gold.toString, partitionedByYear = true)
+    assert(spark.read.parquet(s"$gold/gradingPeriodDim.parquet")
+      .filter(col("schoolYear") === "2023").count() == 1)
+  }
+
   test("saltedJoin spreads a hot key and matches the plain join exactly") {
     // one hot key (90% of rows) + a small dimension
     val skewed = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))

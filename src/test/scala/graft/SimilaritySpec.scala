@@ -92,6 +92,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(out(0L) == 0L && out(1L) == 1L)
   }
 
+  test("ANN recall floor: ivf and lsh recover the exact neighbors on a clustered corpus") {
+    import org.apache.spark.sql.functions.col
+    import graft.runner.RecallProbe
+    // 4× replicated sf0.001 embeddings (2000 vectors): every original grows
+    // a tight ±3%-perturbed cluster — the regime ANN exists for. Floors sit
+    // under the measured recalls (RecallProbe, Similarity scaladoc) with
+    // margin; a bucketing/probe regression drops recall far below them.
+    val corpus = RecallProbe.corpus10x(spark, sfDir, replicas = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    exact.count()
+    val centroids = Similarity.kMeansCentroids(corpus, k = 16, maxIter = 2)
+    val rIvf = RecallProbe.recallOf(
+      Similarity.ivfTopK(corpus, centroids, queries, k = 5, nProbe = 2), exact)
+    val rLsh = RecallProbe.recallOf(
+      Similarity.lshTopK(corpus, queries, k = 5, nPlanes = 6, dim = 64), exact)
+    corpus.unpersist(); exact.unpersist()
+    assert(rIvf >= 0.9, f"ivf recall@5 regressed: $rIvf%.3f")
+    assert(rLsh >= 0.8, f"lsh recall@5 regressed: $rLsh%.3f")
+  }
+
   test("ivfTopK: finds in-cluster neighbors") {
     val corpus = Similarity.withNorm(emb(
       (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
