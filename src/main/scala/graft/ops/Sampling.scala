@@ -54,6 +54,55 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(keeps(col(keyCol), rate, salt))
 
+  /** Mix-weight planning: given RELATIVE target weights per stratum (use
+    * integer-valued weights — their sums stay exact in doubles, keeping
+    * every derived share bit-identical across engines), compute the
+    * largest corpus drawable from the data that honors the target mix
+    * WITHOUT upsampling, and each stratum's keep rate for it.
+    *
+    * The math: target_share_s = w_s / Σw (over observed strata); the
+    * binding stratum is the one that runs out first, scale
+    * M = min_s(n_s / target_share_s); keep n_keep_s = target_share_s · M
+    * of each stratum, i.e. keep_rate_s = n_keep_s / n_s (exactly 1 at the
+    * binding stratum). The rates feed [[stratifiedSample]] directly —
+    * plan the mix here, execute it there, audit both (this is the
+    * DoReMi/Pile-style domain-mixing step expressed as relational
+    * algebra).
+    *
+    * Scale shape: one shuffle (the per-stratum count); the totals and the
+    * scale are 1-row aggregates broadcast back (the [[Stats]] pattern) —
+    * stratum cardinality is corpus-metadata-sized, never data-sized.
+    *
+    * @return one row per stratum: (stratum, n_docs, actual_share,
+    *         target_share, keep_rate, n_keep) */
+  def mixWeights(
+      df: DataFrame,
+      stratumCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0
+  ): DataFrame = {
+    val wExpr = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, w)) =>
+      when(col(stratumCol) === s, lit(w)).otherwise(acc)
+    }
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__w", wExpr)
+    val totals = counts.agg(
+      sum(col("n_docs")).as("__ntot"), sum(col("__w")).as("__wtot"))
+    val shared = counts.crossJoin(broadcast(totals))
+      .withColumn("actual_share",
+        col("n_docs").cast("double") / col("__ntot").cast("double"))
+      .withColumn("target_share", col("__w") / col("__wtot"))
+    val scale = shared.agg(
+      min(col("n_docs").cast("double") / col("target_share")).as("__scale"))
+    shared.crossJoin(broadcast(scale))
+      .withColumn("keep_rate",
+        least(lit(1.0), col("target_share") * col("__scale") / col("n_docs").cast("double")))
+      .withColumn("n_keep",
+        least(col("n_docs").cast("double"), col("target_share") * col("__scale")))
+      .select(stratumCol, "n_docs", "actual_share", "target_share",
+        "keep_rate", "n_keep")
+  }
+
   /** Stratified deterministic sample: each stratum keeps its own rate
     * (`rates`), everything else keeps `defaultRate`. This is the mix
     * knob — "keep 100% of books, 30% of web" — as one broadcast join +

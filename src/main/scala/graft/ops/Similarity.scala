@@ -231,6 +231,46 @@ object Similarity {
     toCentroidFrame(centroids)
   }
 
+  /** Semantic dedup, the SemDeDup shape (Abbas et al. 2023): cluster the
+    * embedding space, pair-join WITHIN clusters only, and canonicalize
+    * every vector to the smallest id it is near-duplicate with. Returns a
+    * total map (vec_id, cluster_id, canonical_id, is_kept) — the curation
+    * pass keeps `is_kept` rows, dropping semantically redundant documents
+    * that textual dedup (different words, same meaning) cannot see.
+    *
+    * Canonicalization is one-hop (min over direct ≥-threshold neighbors,
+    * then min with self): at SemDeDup's high thresholds near-dup groups
+    * are cliques, where one hop IS the fixpoint. For chain-shaped groups
+    * at looser thresholds, compose the pair list with
+    * [[graft.ops.Dedup.connectedComponents]] instead (the q50 machinery).
+    *
+    * Scale shape: the centroid set bounds the pair join — a vector only
+    * meets its own cluster, so the shuffle key is cluster_id and the pair
+    * count is Σ C(cluster_size, 2), tunable via k (more centroids →
+    * smaller clusters → fewer pairs, slightly lower recall at cluster
+    * borders; SemDeDup accepts that trade by design). Centroids come from
+    * [[kMeansCentroids]] in production; the q59 oracle pins the
+    * deterministic lowest-id variant. */
+  def semanticDedup(
+      corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids)
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+    val canon = pairs.groupBy(col("id_b").as("vec_id"))
+      .agg(min("id_a").as("__min_nb"))
+    assigned.select("vec_id", "cluster_id")
+      .join(canon, Seq("vec_id"), "left")
+      .withColumn("canonical_id", coalesce(col("__min_nb"), col("vec_id")))
+      .withColumn("is_kept", col("vec_id") === col("canonical_id"))
+      .select("vec_id", "cluster_id", "canonical_id", "is_kept")
+  }
+
   /** Blocked near-duplicate pairs: cosine ≥ threshold within a blocking key
     * (a cheap LSH stand-in: label, cluster id, or an LSH bucket). The block
     * key bounds the pair join — never all-pairs. */

@@ -69,6 +69,32 @@ object TextAnalysis {
       stopwordRatio(text) * lit(2.0) -
       punctRatio(text) * lit(1.0)
 
+  /** PII surface patterns — deliberately simple regexes that mean the same
+    * thing in Java regex (Spark codegen) and RE2 (the DuckDB oracle; also
+    * what a Go/Rust scrubber would run): character classes and bounded
+    * repetition only, no lookaround, no backreferences. Production
+    * scrubbing pipelines run exactly this shape (regex pass over every
+    * document, zero shuffle) with a larger pattern battery. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Number of non-overlapping matches of `pattern` (bigint, engine-stable). */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact PII in place with typed placeholders. Replacement ORDER is
+    * load-bearing: emails first (their local parts may contain digit runs),
+    * then IPv4 (dot-separated digit runs), then phones (hyphen-separated) —
+    * so an earlier replacement can never manufacture or destroy a later
+    * pattern's match. Pure string expression; stays in whole-stage codegen. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
   /** Repetition metrics per document — the Gopher-rule quality signals
     * (Rae et al. 2021, §A1.2): `dup_word_frac` (1 − distinct/total words,
     * a columnar expression) and `top_bigram_frac` (share of the most

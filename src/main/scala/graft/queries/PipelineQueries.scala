@@ -757,6 +757,141 @@ object PipelineQueries {
       ORDER BY doc_id""")
   )
 
+  // ---------------------------------------------------------------- q58
+  /** PII detection + redaction — the scrub pass every pretraining corpus
+    * runs before anything else sees the text. The corpus is synthetic
+    * (no real PII), so both engines derive the SAME pii-bearing text
+    * deterministically from doc_id (emails for id%3, phones for id%5,
+    * IPv4 for id%7 — the q08/q21 literal-fixture convention), then count
+    * and redact with the shared patterns from [[TextAnalysis]] — ONE
+    * Scala constant feeds the Spark plan and this SQL, so the regexes
+    * cannot drift apart. Zero shuffle: scan → regex → project. */
+  private val q58 = {
+    import TextAnalysis.{EmailPattern, Ipv4Pattern, PhonePattern}
+    val derivedSql = s"""
+      p AS (SELECT doc_id, text ||
+        CASE WHEN doc_id % 3 = 0
+             THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+             THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+             ELSE '' END AS text
+      FROM documents)"""
+    Q(
+      "q58_pii_redaction",
+      (s, dir) => {
+        val withPii = Lake(s, dir).documents.select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+                lit("."), (col("doc_id") % 100).cast("string")))
+              .otherwise(lit(""))).as("text"))
+        withPii.select(
+          col("doc_id"),
+          TextAnalysis.countMatches(col("text"), EmailPattern).as("n_emails"),
+          TextAnalysis.countMatches(col("text"), PhonePattern).as("n_phones"),
+          TextAnalysis.countMatches(col("text"), Ipv4Pattern).as("n_ips"),
+          TextAnalysis.redactPii(col("text")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+      WITH $derivedSql
+      SELECT doc_id,
+        len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
+        len(regexp_extract_all(text, '$PhonePattern')) AS n_phones,
+        len(regexp_extract_all(text, '$Ipv4Pattern')) AS n_ips,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '$EmailPattern', '<EMAIL>', 'g'),
+          '$Ipv4Pattern', '<IP>', 'g'),
+          '$PhonePattern', '<PHONE>', 'g') AS redacted
+      FROM p ORDER BY doc_id""")
+    )
+  }
+
+  // ---------------------------------------------------------------- q59
+  /** Semantic dedup (SemDeDup): IVF-cluster the embedding space, find
+    * ≥-threshold cosine pairs WITHIN clusters only, canonicalize to the
+    * smallest near-duplicate id. Centroids are the q36 deterministic
+    * lowest-16 so the oracle can state the same clustering; production
+    * swaps in kMeansCentroids without changing the shape. */
+  private val q59 = Q(
+    "q59_semantic_dedup",
+    (s, dir) => {
+      val corpus = Similarity.withNorm(Lake(s, dir).embeddings, "vec_id", "embedding")
+      val centroids = corpus.filter(col("vec_id") < 16)
+      Similarity.semanticDedup(corpus, centroids, threshold = 0.35)
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH $NormedCte,
+      cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM m WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, nrm, cid AS cluster_id FROM (
+          SELECT c.vec_id, c.v, c.nrm, cent.cid,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY ${sqlDot("c.v", "cent.cv")} / (c.nrm * cent.cn) DESC, cent.cid) AS rn
+          FROM m c CROSS JOIN cent)
+        WHERE rn = 1),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.35),
+      canon AS (SELECT id_b AS vec_id, MIN(id_a) AS min_nb FROM pairs GROUP BY id_b)
+      SELECT a.vec_id, a.cluster_id,
+        COALESCE(c.min_nb, a.vec_id) AS canonical_id,
+        a.vec_id = COALESCE(c.min_nb, a.vec_id) AS is_kept
+      FROM assigned a LEFT JOIN canon c ON a.vec_id = c.vec_id
+      ORDER BY a.vec_id""")
+  )
+
+  // ---------------------------------------------------------------- q60
+  /** Domain-mix planning: the largest corpus drawable at a target mix
+    * without upsampling, per-stratum keep rates included (feeds q51's
+    * stratified sampler). Targets are integer relative weights — their
+    * sums stay exact in doubles, so every derived share is bit-identical
+    * across engines. The weight table is generated from ONE Scala map
+    * into both the Spark plan and this SQL. */
+  private val q60 = {
+    val weights = Map("src0" -> 6.0, "src1" -> 4.0)
+    val defaultW = 1.0
+    val caseSql = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }
+      .mkString("CASE source ", " ", s" ELSE $defaultW END")
+    Q(
+      "q60_mix_weights",
+      (s, dir) =>
+        Sampling.mixWeights(Lake(s, dir).documents, "source", weights, defaultW)
+          .orderBy("source"),
+      Some(s"""
+      WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      w AS (SELECT source, n_docs, CAST($caseSql AS DOUBLE) AS wt FROM c),
+      t AS (SELECT SUM(n_docs) AS nn, SUM(wt) AS ww FROM w),
+      s AS (SELECT source, n_docs, wt,
+              CAST(n_docs AS DOUBLE) / CAST(nn AS DOUBLE) AS actual_share,
+              wt / ww AS target_share
+            FROM w, t),
+      sc AS (SELECT MIN(CAST(n_docs AS DOUBLE) / target_share) AS scale FROM s)
+      SELECT source, n_docs, actual_share, target_share,
+        least(1.0, target_share * scale / CAST(n_docs AS DOUBLE)) AS keep_rate,
+        least(CAST(n_docs AS DOUBLE), target_share * scale) AS n_keep
+      FROM s, sc ORDER BY source""")
+    )
+  }
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57)
+    q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59, q60)
 }

@@ -117,6 +117,51 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L))) // 3 orthogonal; 4 in another block
   }
 
+  test("PII: counts find each pattern, redaction order keeps placeholders clean") {
+    val df = Seq(
+      (1L, "reach me at jo.doe+spam@mail-host.org or 555-123-4567"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 no phone"),
+      (3L, "clean text without any identifiers at all")
+    ).toDF("doc_id", "text")
+    val out = df.select(
+      col("doc_id"),
+      TextAnalysis.countMatches(col("text"), TextAnalysis.EmailPattern).as("e"),
+      TextAnalysis.countMatches(col("text"), TextAnalysis.PhonePattern).as("p"),
+      TextAnalysis.countMatches(col("text"), TextAnalysis.Ipv4Pattern).as("i"),
+      TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 0)
+    assert(out(1L)._4 == "reach me at <EMAIL> or <PHONE>")
+    assert(out(2L)._3 == 2)
+    assert(out(2L)._4 == "server <IP> and <IP> no phone")
+    assert(out(3L)._4 == "clean text without any identifiers at all")
+  }
+
+  test("semanticDedup: within-cluster near-dups canonicalize to the min id, clusters isolate") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),  // centroid 0 (x-axis)
+      (1L, Seq(0.0f, 1.0f)),  // centroid 1 (y-axis)
+      (10L, Seq(0.99f, 0.01f)), (11L, Seq(0.98f, 0.02f)), // x cluster near-dups
+      (20L, Seq(0.3f, 0.95f)),  // y cluster, below threshold of everything
+      (21L, Seq(0.9f, 0.44f))   // x cluster but NOT near-dup of anything
+    ).toDF("vec_id", "embedding")
+    val corpus = Similarity.withNorm(emb, "vec_id", "embedding")
+    val centroids = corpus.filter(col("vec_id") < 2)
+    val out = Similarity.semanticDedup(corpus, centroids, threshold = 0.995)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Boolean]("is_kept"))).toMap
+    // 0/10/11 are mutual near-dups in the x cluster: all canonicalize to 0
+    assert(out(10L) == (0L, false) && out(11L) == (0L, false))
+    assert(out(0L) == (0L, true))
+    // 20 shares a cluster with 1 but sits below threshold -> kept
+    assert(out(20L) == (20L, true) && out(1L) == (1L, true))
+    // 21 is in the x cluster but not within threshold of its members
+    assert(out(21L) == (21L, true))
+    // total map over the corpus
+    assert(out.size == 6)
+  }
+
   test("fingerprint: normalization collapses case/punct/whitespace") {
     val df = Seq("Hello,  World!", "hello world").toDF("t")
       .select(TextAnalysis.fingerprint(col("t")).as("f"))

@@ -75,6 +75,29 @@ class SamplingSpec extends SparkTestBase {
     assert(s20.subsetOf(s50))
   }
 
+  test("mixWeights: largest corpus honoring the target mix, binding stratum at rate 1") {
+    // 100 a, 300 b, 600 c; targets 2:1:1 → a is binding (needs 2 shares
+    // from the smallest pool): scale = 100/0.5 = 200 → keep all 100 a,
+    // 50 b, 50 c
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (1 to 300).map(i => (i.toLong, "b")) ++
+      (1 to 600).map(i => (i.toLong, "c"))).toDF("k", "s")
+    val out = Sampling.mixWeights(df, "s", Map("a" -> 2.0), defaultWeight = 1.0)
+      .collect().map(r => r.getAs[String]("s") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("target_share"),
+          r.getAs[Double]("keep_rate"), r.getAs[Double]("n_keep"))).toMap
+    assert(out("a") == ((100L, 0.5, 1.0, 100.0))) // binding stratum: keep all
+    assert(out("b")._2 == 0.25 && out("b")._4 == 50.0)
+    assert(out("c")._3 == 50.0 / 600.0 && out("c")._4 == 50.0)
+    // the planned rates feed stratifiedSample: post-sample counts track n_keep
+    val rates = out.map { case (s, (_, _, rate, _)) => s -> rate }
+    val sampled = Sampling.stratifiedSample(df, "k", "s", rates, defaultRate = 0.0)
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled("a") == 100)
+    assert(math.abs(sampled("b") - 50) < 25 && math.abs(sampled("c") - 50) < 25)
+  }
+
   test("stratifiedSample: per-stratum rates with a default") {
     val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("k", "s")
     val kept = Sampling.stratifiedSample(
