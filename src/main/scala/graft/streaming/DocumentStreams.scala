@@ -36,4 +36,20 @@ object DocumentStreams {
       .filter(col("quality") >= minQuality && col("lang").isInCollection(langs))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming PII scrub — the incremental twin of the batch redaction
+    * pass (q58), using the SAME codegen'd expressions. Stateless (pure
+    * map, no watermark, no state store): a scrub belongs at the front of
+    * the feed, before anything stateful sees — or persists — raw text.
+    * Emits the redacted text in place plus `n_pii` (total patterns
+    * found) so a monitor can alert on PII-rate shifts in the feed. */
+  def scrubStream(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import TextAnalysis.{EmailPattern, Ipv4Pattern, PhonePattern}
+    docs
+      .withColumn("n_pii",
+        TextAnalysis.countMatches(col(textCol), EmailPattern) +
+          TextAnalysis.countMatches(col(textCol), PhonePattern) +
+          TextAnalysis.countMatches(col(textCol), Ipv4Pattern))
+      .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+  }
 }

@@ -166,6 +166,22 @@ class PlanSpec extends SparkTestBase {
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("scrub and mix-planning plans: q58 never hash-shuffles, q60 broadcasts its 1-row totals") {
+    // q58 is scan → regex → project: the only exchange allowed is the
+    // final orderBy's range partitioning — a hash shuffle would mean the
+    // scrub pass stopped being a pure map over the corpus
+    val plan58 = planOf(Registry.byName("q58_pii_redaction").run(spark, sfDir))
+    assert(!plan58.contains("Exchange hashpartitioning"),
+      s"PII scrub gained a shuffle:\n$plan58")
+    // q60's totals and scale are 1-row aggregates joined back by broadcast
+    // (the Stats pattern) — a sort-merge join here would shuffle the
+    // stratum frame twice for two scalar numbers
+    val plan60 = planOf(Registry.byName("q60_mix_weights").run(spark, sfDir))
+    assert(plan60.contains("BroadcastNestedLoopJoin"),
+      s"mix-weight totals not broadcast:\n$plan60")
+    assert(!plan60.contains("SortMergeJoin"), s"mix-weight join shuffled:\n$plan60")
+  }
+
   test("top-k windows compile to WindowGroupLimit, not a full per-partition sort") {
     // rank<=k filters push a group limit into the window operator
     // (Spark's WindowGroupLimit) — the reason an explicit top-k physical

@@ -91,6 +91,54 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("redactPii: no pattern survives redaction, clean text passes untouched") {
+    import graft.ops.TextAnalysis
+    // random interleavings of words, PII shapes, and near-miss fragments
+    val fragment = Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)),
+      Gen.zip(Gen.alphaLowerStr.map(_.take(4) + "x"), Gen.alphaLowerStr.map(_.take(4) + "x"))
+        .map { case (u, h) => s"$u@$h.org" },
+      Gen.choose(100, 999).map(n => s"$n-555-0123"),
+      Gen.listOfN(4, Gen.choose(0, 255)).map(_.mkString(".")),
+      Gen.const("a@b"), Gen.const("1.2.3"), Gen.const("12-34-56")) // near misses
+    val text = Gen.listOfN(6, fragment).map(_.mkString(" "))
+    holds(Prop.forAll(text) { t =>
+      val out = Seq(t).toDF("text").select(
+        TextAnalysis.redactPii(col("text")).as("r"))
+        .withColumn("e", TextAnalysis.countMatches(col("r"), TextAnalysis.EmailPattern))
+        .withColumn("p", TextAnalysis.countMatches(col("r"), TextAnalysis.PhonePattern))
+        .withColumn("i", TextAnalysis.countMatches(col("r"), TextAnalysis.Ipv4Pattern))
+        .collect().head
+      // THE scrub guarantee: zero detectable PII after redaction — and
+      // redaction is idempotent (placeholders carry no @, digits, or dots)
+      out.getAs[Long]("e") == 0 && out.getAs[Long]("p") == 0 &&
+        out.getAs[Long]("i") == 0
+    })
+  }
+
+  test("mixWeights: rates capped at 1, binding stratum exactly 1, keeps proportional to targets") {
+    import graft.ops.Sampling
+    val gen = Gen.zip(
+      Gen.choose(2, 5),                       // strata
+      Gen.listOfN(5, Gen.choose(1, 200)),     // counts
+      Gen.listOfN(5, Gen.choose(1, 9)))       // integer weights
+    holds(Prop.forAll(gen) { case (k, counts, weights) =>
+      val rows = (0 until k).flatMap(s =>
+        (1 to counts(s)).map(i => (s.toLong * 1000 + i, s"s$s")))
+      val wMap = (0 until k).map(s => s"s$s" -> weights(s).toDouble).toMap
+      val out = Sampling.mixWeights(rows.toDF("k", "s"), "s", wMap)
+        .collect().map(r => r.getAs[String]("s") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Double]("target_share"),
+            r.getAs[Double]("keep_rate"), r.getAs[Double]("n_keep"))).toMap
+      val eps = 1e-9
+      val ratios = out.values.map { case (_, t, _, keep) => keep / t }
+      out.values.forall { case (n, _, rate, keep) =>
+        rate <= 1.0 && keep <= n + eps } &&
+        out.values.exists { case (_, _, rate, _) => rate >= 1.0 - eps } &&
+        (ratios.max - ratios.min) < 1e-6 // keeps ∝ targets: same scale everywhere
+    })
+  }
+
   test("exact dedup: canonical id is the min doc_id of each text group") {
     val docs = Gen.listOfN(15, Gen.zip(Gen.choose(1L, 100L), Gen.choose(0, 3)))
       .map(_.distinctBy(_._1).map { case (id, t) => (id, s"text $t") })

@@ -177,6 +177,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("scrubStream: in-flight PII redaction matches the batch expressions row for row") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocumentStreams.scrubStream(docs)
+      .writeStream.format("memory").queryName("scrubbed")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "mail me at a.b@example.org from 10.1.2.3"),
+        (2L, "call 555-123-4567 twice"),
+        (3L, "nothing sensitive here"))
+      q.processAllAvailable()
+      val out = spark.table("scrubbed").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("text"), r.getAs[Long]("n_pii"))).toMap
+      assert(out(1L) == ("mail me at <EMAIL> from <IP>", 2L))
+      assert(out(2L) == ("call <PHONE> twice", 1L))
+      assert(out(3L) == ("nothing sensitive here", 0L))
+    } finally q.stop()
+  }
+
   test("end-to-end incremental lake: silver stream → view → gold == batch pipeline") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("lake")
