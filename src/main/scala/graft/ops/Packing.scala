@@ -43,4 +43,51 @@ object Packing {
         concat_ws("-", col("bucket"),
           floor(col("tok_offset") / lit(budget)).cast("long")))
   }
+
+  /** Sliding-window document chunking — the windowing step RAG indexes
+    * and long-document pretraining both run: each document becomes
+    * ceil((n - overlap) / stride) word-window chunks of up to
+    * `chunkTokens` words, consecutive chunks sharing `overlap` words so
+    * no boundary context is lost. Chunk starts are the arithmetic
+    * sequence 0, stride, 2·stride… (stride = chunkTokens − overlap), so
+    * chunk_idx = start / stride is derivable in any engine — the q61
+    * oracle states exactly that.
+    *
+    * Scale shape: zero shuffle — the fan-out is a `posexplode` inside the
+    * stage (1:N like [[graft.ops.Multimodal.frameSampleStub]]), output
+    * volume ≈ input × (1 + overlap/stride). Short documents yield exactly
+    * one (possibly short) chunk, so the operator is total over the
+    * corpus.
+    *
+    * @param chunkTokens max words per chunk
+    * @param overlap     words shared between consecutive chunks
+    *                    (0 ≤ overlap < chunkTokens)
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int = 0
+  ): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap vs $chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(
+      col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .withColumn("__n", size(col("__ws")))
+      // last start is the largest stride multiple still inside the doc —
+      // sequence's inclusive bound (n-1) gives exactly that
+      .select(
+        col("doc_id"), col("__ws"), col("__n"),
+        posexplode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), col("__n") - col("__start")).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("__ws"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
 }

@@ -892,6 +892,36 @@ object PipelineQueries {
     )
   }
 
+  // ---------------------------------------------------------------- q61
+  /** Sliding-window document chunking (RAG indexing / long-doc
+    * pretraining): 40-word chunks, 8-word overlap → stride 32. Chunk
+    * starts are the stride multiples inside the doc, so chunk_idx =
+    * start / stride — the oracle derives the identical windows from
+    * `generate_series` + list slicing. Zero shuffle on the Spark side
+    * (posexplode fan-out inside the stage). */
+  private val q61 = {
+    val chunkTokens = 40
+    val overlap = 8
+    val stride = chunkTokens - overlap
+    Q(
+      "q61_doc_chunking",
+      (s, dir) =>
+        graft.ops.Packing.chunkDocuments(
+          Lake(s, dir).documents, "doc_id", "text", chunkTokens, overlap)
+          .orderBy("doc_id", "chunk_idx"),
+      Some(s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      c AS (SELECT doc_id, ws, len(ws) AS n,
+              unnest(generate_series(0, greatest(len(ws) - 1, 0), $stride)) AS s
+            FROM w)
+      SELECT doc_id, CAST(s // $stride AS BIGINT) AS chunk_idx,
+        CAST(least($chunkTokens, n - s) AS BIGINT) AS n_tokens,
+        array_to_string(ws[s + 1 : s + $chunkTokens], ' ') AS chunk_text
+      FROM c ORDER BY doc_id, chunk_idx""")
+    )
+  }
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
-    q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59, q60)
+    q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
+    q60, q61)
 }

@@ -67,6 +67,27 @@ class SamplingSpec extends SparkTestBase {
     assert(bucketed(3L) == 300L) // follows doc 1 in bucket 1
   }
 
+  test("chunkDocuments: sliding windows with overlap, short docs yield one chunk") {
+    import graft.ops.Packing
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c")                                   // shorter than a chunk
+    ).toDF("doc_id", "text")
+    // chunk 4, overlap 1 → stride 3: starts 0,3,6,9
+    val out = Packing.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text"))).toMap
+    assert(out((1L, 0L)) == (4L, "w1 w2 w3 w4"))
+    assert(out((1L, 1L)) == (4L, "w4 w5 w6 w7"))  // overlap: w4 shared
+    assert(out((1L, 2L)) == (4L, "w7 w8 w9 w10"))
+    assert(out((1L, 3L)) == (1L, "w10"))          // tail chunk, short
+    assert(out((2L, 0L)) == (3L, "a b c"))        // total: one short chunk
+    assert(out.size == 5)
+    // every adjacent pair shares exactly `overlap` words
+    intercept[IllegalArgumentException](
+      Packing.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, overlap = 4))
+  }
+
   test("hashSample: rates nest — raising the rate only ADDS rows") {
     // threshold compare over the same hash ⇒ sample(0.2) ⊆ sample(0.5):
     // growing a training split never churns previously selected rows
