@@ -98,11 +98,19 @@ object Dedup {
 
   /** MinHash signature: `numHashes` permutations simulated by seeded md5;
     * signature h_i(doc) = min over shingles of md5(i ":" shingle). One
-    * shuffle on doc_id; the min is a partial (map-side) aggregate. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    * shuffle on doc_id; the min is a partial (map-side) aggregate.
+    *
+    * `includeCount` fuses the per-doc shingle count into the SAME
+    * aggregation as an `n_shingles` column (the Jaccard verify needs it;
+    * a separate counts pass would shuffle the full shingle frame on
+    * doc_id a second time for data this shuffle already carries). One
+    * definition of the hash expression serves every consumer — q32's
+    * fused path and q54's index build cannot drift apart. */
+  def minhashSignatures(
+      sh: DataFrame, numHashes: Int = 16, includeCount: Boolean = false): DataFrame = {
     val aggs = (0 until numHashes).map { i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")
-    }
+    } ++ (if (includeCount) Seq(count(lit(1)).as("n_shingles")) else Seq.empty)
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -166,10 +174,7 @@ object Dedup {
   ): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val shc = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    val sigAggs = (0 until numHashes).map { i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i")
-    } :+ count(lit(1)).as("n_shingles")
-    val sig = shc.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sig = minhashSignatures(shc, numHashes, includeCount = true)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(lshBands(sig, bands, numHashes / bands))
     val counts = sig.select(col("doc_id"), col("n_shingles"))

@@ -76,11 +76,19 @@ object Packing {
     df.select(
       col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
       .withColumn("__n", size(col("__ws")))
-      // last start is the largest stride multiple still inside the doc —
-      // sequence's inclusive bound (n-1) gives exactly that
+      // last start: the largest stride multiple that still contributes a
+      // NEW word. A start at s only adds words beyond the previous
+      // chunk's end when s < n - overlap, so the inclusive sequence
+      // bound is n - 1 - overlap (floored at 0 so short docs keep their
+      // single chunk) — a bound of n - 1 would emit a tail chunk that is
+      // a strict subset of its predecessor whenever the document length
+      // mod stride lands in 1..overlap, silently duplicating content
+      // into the chunk stream. Coverage is preserved: the last start is
+      // > n - 1 - overlap - stride, so start + chunkTokens >= n.
       .select(
         col("doc_id"), col("__ws"), col("__n"),
-        posexplode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride)))
+        posexplode(sequence(
+          lit(0), greatest(col("__n") - 1 - overlap, lit(0)), lit(stride)))
           .as(Seq("chunk_idx", "__start")))
       .select(
         col("doc_id"),

@@ -164,8 +164,11 @@ object Similarity {
       dim: Int,
       multiprobeBits: Int = 2
   ): DataFrame = {
+    require(multiprobeBits >= 0 && multiprobeBits <= 2,
+      s"multiprobeBits must be 0 (exact bucket), 1, or 2: $multiprobeBits")
     val bucketed = corpus.withColumn("bucket", lshBucket(col("v"), nPlanes, dim))
-    val flips1 = (0 until nPlanes).map(p => 1 << p)
+    val flips1 =
+      if (multiprobeBits < 1) Seq.empty else (0 until nPlanes).map(p => 1 << p)
     val flips2 =
       if (multiprobeBits < 2) Seq.empty
       else for { p <- 0 until nPlanes; q <- (p + 1) until nPlanes }
@@ -232,17 +235,30 @@ object Similarity {
   }
 
   /** Semantic dedup, the SemDeDup shape (Abbas et al. 2023): cluster the
-    * embedding space, pair-join WITHIN clusters only, and canonicalize
-    * every vector to the smallest id it is near-duplicate with. Returns a
-    * total map (vec_id, cluster_id, canonical_id, is_kept) — the curation
-    * pass keeps `is_kept` rows, dropping semantically redundant documents
-    * that textual dedup (different words, same meaning) cannot see.
+    * embedding space, pair-join WITHIN clusters only, and apply the
+    * paper's keep rule — a vector is DROPPED iff any smaller-id vector
+    * in its cluster is within `threshold` (the upper-triangular pass
+    * over the cluster similarity matrix, exactly as the reference
+    * implementation orders it). Returns a total map (vec_id, cluster_id,
+    * canonical_id, is_kept) — the curation pass keeps `is_kept` rows,
+    * dropping semantically redundant documents that textual dedup
+    * (different words, same meaning) cannot see.
     *
-    * Canonicalization is one-hop (min over direct ≥-threshold neighbors,
-    * then min with self): at SemDeDup's high thresholds near-dup groups
-    * are cliques, where one hop IS the fixpoint. For chain-shaped groups
-    * at looser thresholds, compose the pair list with
-    * [[graft.ops.Dedup.connectedComponents]] instead (the q50 machinery).
+    * Two contract points to read precisely:
+    *   - `canonical_id` is the smallest DIRECT ≥-threshold neighbor —
+    *     an audit attribution ("dropped because of this doc"), not a
+    *     transitive representative. In a chain a–b–c where only
+    *     adjacent pairs clear the threshold, c's attribution b is
+    *     itself dropped; the kept set is exactly {v: no smaller
+    *     near-dup}, which is SemDeDup's semantics (greedy chain
+    *     deletion is accepted by design — at the paper's tight
+    *     thresholds near-dup groups are cliques and the distinction
+    *     vanishes).
+    *   - If the use case needs every dropped doc to map to a KEPT
+    *     representative (loose thresholds, chain-shaped groups), feed
+    *     the within-cluster pair list to
+    *     [[graft.ops.Dedup.connectedComponents]] instead (the q50
+    *     machinery) and keep each component's minimum.
     *
     * Scale shape: the centroid set bounds the pair join — a vector only
     * meets its own cluster, so the shuffle key is cluster_id and the pair

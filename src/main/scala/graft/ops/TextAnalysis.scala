@@ -83,11 +83,20 @@ object TextAnalysis {
   def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
-  /** Redact PII in place with typed placeholders. Replacement ORDER is
-    * load-bearing: emails first (their local parts may contain digit runs),
-    * then IPv4 (dot-separated digit runs), then phones (hyphen-separated) —
-    * so an earlier replacement can never manufacture or destroy a later
-    * pattern's match. Pure string expression; stays in whole-stage codegen. */
+  /** Redact PII in place with typed placeholders. Replacement ORDER
+    * matters: emails first (their local parts may contain digit runs),
+    * then IPv4 (dot-separated digit runs), then phones. Placeholders
+    * contain no `@`, digits, or dots, so a replacement can never
+    * MANUFACTURE a later pattern's match — the PropertySpec scrub
+    * guarantee (zero detectable PII after redaction) rests on that.
+    * When two patterns' matches OVERLAP in the raw text with no
+    * separator (e.g. an IP run flowing straight into phone digits), the
+    * earlier pass wins greedily and the residue is no longer a match for
+    * the later pattern — so [[countMatches]] on the RAW text can exceed
+    * the number of spans actually replaced. Counts are a detection
+    * metric, not a replacement ledger; adversarial adjacency needs a
+    * boundary-aware pattern battery. Pure string expression; stays in
+    * whole-stage codegen. */
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(

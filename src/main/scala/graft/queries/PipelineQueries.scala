@@ -823,10 +823,15 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- q59
   /** Semantic dedup (SemDeDup): IVF-cluster the embedding space, find
-    * ≥-threshold cosine pairs WITHIN clusters only, canonicalize to the
-    * smallest near-duplicate id. Centroids are the q36 deterministic
-    * lowest-16 so the oracle can state the same clustering; production
-    * swaps in kMeansCentroids without changing the shape. */
+    * ≥-threshold cosine pairs WITHIN clusters only, drop every vector
+    * with a smaller-id near-duplicate (the paper's upper-triangular keep
+    * rule; canonical_id is the audit attribution — see the semanticDedup
+    * scaladoc for the chain-regime contract). Centroids are the q36
+    * deterministic lowest-16 so the oracle can state the same
+    * clustering; production swaps in kMeansCentroids without changing
+    * the shape. The 0.35 threshold matches q34's (this corpus' vectors
+    * are well spread); a real run at SemDeDup's tighter thresholds only
+    * shrinks the pair set. */
   private val q59 = Q(
     "q59_semantic_dedup",
     (s, dir) => {
@@ -912,7 +917,7 @@ object PipelineQueries {
       Some(s"""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       c AS (SELECT doc_id, ws, len(ws) AS n,
-              unnest(generate_series(0, greatest(len(ws) - 1, 0), $stride)) AS s
+              unnest(generate_series(0, greatest(len(ws) - 1 - $overlap, 0), $stride)) AS s
             FROM w)
       SELECT doc_id, CAST(s // $stride AS BIGINT) AS chunk_idx,
         CAST(least($chunkTokens, n - s) AS BIGINT) AS n_tokens,

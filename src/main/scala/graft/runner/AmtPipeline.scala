@@ -140,15 +140,21 @@ final class AmtPipeline(
           // sort within partitions by the leading key column so parquet
           // row-group min/max stats prune consumer point-lookups (the
           // RLS views filter gold by user/student keys constantly)
-          val sorted = view(v.name).sortWithinPartitions(col(v.outputColumns.head))
           if (partitionedByYear)
-            sorted.withColumn("schoolYear", lit(schoolYear))
+            // sort AFTER adding the partition column and lead with it:
+            // the file writer requires ordering by partition columns and
+            // would otherwise inject its own SortExec over the constant
+            // schoolYear — correct only by sorter-stability luck, and a
+            // spill could reorder equal keys and void the row-group stats
+            view(v.name).withColumn("schoolYear", lit(schoolYear))
+              .sortWithinPartitions(col("schoolYear"), col(v.outputColumns.head))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("schoolYear")
               .parquet(s"$goldRoot/${v.name}.parquet")
           else
-            sorted.write.mode("overwrite")
+            view(v.name).sortWithinPartitions(col(v.outputColumns.head))
+              .write.mode("overwrite")
               .parquet(s"$goldRoot/$schoolYear/${v.name}.parquet")
         }
       }), Duration.Inf)

@@ -57,7 +57,12 @@ object BenchAttribution {
     // B: r3 conditions — cold isolated q32, 3 samples
     val b32 = (1 to 3).map { _ => dropCaches(); time(runQ("q32_dedup_minhash_lsh")) }
 
-    // C: cold stage breakdown (replicates minhashDedup's internal structure)
+    // C: cold stage breakdown. NOTE: this deliberately replicates the
+    // ROUND-3 shape of minhashDedup (separate counts pass over the
+    // shingle frame) — the shape the r3 bench measured and this
+    // experiment attributes. The shipped operator has since fused the
+    // counts into the signature aggregation, so these stage numbers are
+    // the historical baseline, not the current plan's split.
     dropCaches()
     val docs = Lake(spark, sfDir).documents
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)

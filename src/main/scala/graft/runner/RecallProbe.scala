@@ -80,11 +80,12 @@ object RecallProbe {
     // IVF: k-means centroids are the amortized setup (built once per corpus
     // snapshot); the probe-time cost is what a query batch pays
     val kCent = 32
+    var centroids: DataFrame = null
     val centSec = time {
-      Similarity.kMeansCentroids(corpus, kCent, maxIter = 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      centroids = Similarity.kMeansCentroids(corpus, kCent, maxIter = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      centroids.count()
     }
-    val centroids = Similarity.kMeansCentroids(corpus, kCent, maxIter = 3)
     val ivf = Seq(1, 2, 4).map { nProbe =>
       val out = Similarity.ivfTopK(corpus, centroids, queries, k, nProbe)
       noop(out) // warm

@@ -73,17 +73,20 @@ class SamplingSpec extends SparkTestBase {
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
       (2L, "a b c")                                   // shorter than a chunk
     ).toDF("doc_id", "text")
-    // chunk 4, overlap 1 → stride 3: starts 0,3,6,9
+    // chunk 4, overlap 1 → stride 3: starts 0,3,6 (NOT 9 — a chunk
+    // starting at 9 would be just "w10", a strict subset of the chunk
+    // before it: redundant content in the stream)
     val out = Packing.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, overlap = 1)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
         (r.getAs[Long]("n_tokens"), r.getAs[String]("chunk_text"))).toMap
     assert(out((1L, 0L)) == (4L, "w1 w2 w3 w4"))
     assert(out((1L, 1L)) == (4L, "w4 w5 w6 w7"))  // overlap: w4 shared
-    assert(out((1L, 2L)) == (4L, "w7 w8 w9 w10"))
-    assert(out((1L, 3L)) == (1L, "w10"))          // tail chunk, short
+    assert(out((1L, 2L)) == (4L, "w7 w8 w9 w10")) // last NEW word covered
     assert(out((2L, 0L)) == (3L, "a b c"))        // total: one short chunk
-    assert(out.size == 5)
-    // every adjacent pair shares exactly `overlap` words
+    assert(out.size == 4)
+    // a doc exactly one chunk long yields one chunk, not a redundant tail
+    val exact = Seq((3L, (1 to 4).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    assert(Packing.chunkDocuments(exact, "doc_id", "text", 4, 1).count() == 1)
     intercept[IllegalArgumentException](
       Packing.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, overlap = 4))
   }
