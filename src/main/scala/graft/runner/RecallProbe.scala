@@ -103,7 +103,20 @@ object RecallProbe {
       f""""planes_${nPlanes}_bits_$bits":{"recall":$r%.4f,"sec":$sec%.3f}"""
     }).mkString(",")
 
-    println(f"""{"probe":"ann-recall","sf":"$sfDir","corpus":$n,"queries":50,"k":$k,"bf_sec":$bfSec%.3f,"kmeans_setup_sec":$centSec%.3f,"ivf":{$ivf},"lsh":{$lsh}}""")
+    // semanticDedup at 10×: cluster-count is the pair-join lever —
+    // Σ C(cluster_size, 2) shrinks ~linearly in k for fixed corpus
+    val sem = Seq(32, 128).map { kc =>
+      val cents = Similarity.kMeansCentroids(corpus, kc, maxIter = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cents.count()
+      val out = Similarity.semanticDedup(corpus, cents, threshold = 0.995)
+      noop(out)
+      val sec = time(noop(out))
+      val dropped = out.filter(!col("is_kept")).count()
+      f""""k_$kc":{"sec":$sec%.3f,"dropped":$dropped}"""
+    }.mkString(",")
+
+    println(f"""{"probe":"ann-recall","sf":"$sfDir","corpus":$n,"queries":50,"k":$k,"bf_sec":$bfSec%.3f,"kmeans_setup_sec":$centSec%.3f,"ivf":{$ivf},"lsh":{$lsh},"semantic_dedup":{$sem}}""")
     spark.stop()
   }
 }

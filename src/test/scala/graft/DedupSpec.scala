@@ -40,7 +40,7 @@ class DedupSpec extends SparkTestBase {
     val capped = Dedup.capDocFrequency(sh, 1)
     // shingles shared by docs 1,2,3 (df 2-3) are gone; distinct ones stay
     assert(capped.count() < sh.count())
-    assert(capped.groupBy("shingle").count().agg(max("count")).head.getLong(0) == 1L)
+    assert(capped.groupBy("shingle").count().agg(max("count")).head().getLong(0) == 1L)
   }
 
   test("jaccardDedup (production, capped): boilerplate shingle can't create pairs, true dups survive") {
