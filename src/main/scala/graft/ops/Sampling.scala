@@ -54,6 +54,49 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(keeps(col(keyCol), rate, salt))
 
+  /** Deterministic EXACT-size sample: the `n` rows with the smallest
+    * md5(key ‖ salt) — a fixed-size draw where [[hashSample]]'s
+    * rate-based form gives a binomial-sized one. The use case is
+    * eval/holdout-set construction ("exactly 1000 docs"), where set SIZE
+    * is part of the contract. Same determinism story as the rate form:
+    * the chosen set depends only on (keys, salt), never on partitioning
+    * or cluster size.
+    *
+    * Scale shape: a hash-ranked top-n compiles to
+    * TakeOrderedAndProject — per-partition n-row heaps merged on the
+    * driver, NO global sort — so it is safe for n up to what one node
+    * holds (an eval set), not for sampling half the corpus (use rates
+    * for that). The key tiebreak makes the order total even under
+    * (astronomically unlikely) hash collisions. */
+  def exactSample(df: DataFrame, keyCol: String, n: Int,
+      salt: String = ""): DataFrame =
+    df.orderBy(
+      md5(concat(coalesce(col(keyCol).cast("string"), lit("")), lit(salt))),
+      col(keyCol))
+      .limit(n)
+
+  /** Deterministic exact-n-PER-STRATUM sample ("5 docs from every
+    * source") — the stratified eval-set builder. One hash-ranked window
+    * per stratum; the rank<=n filter compiles to WindowGroupLimit
+    * (per-group top-n heaps inside the window operator, asserted in
+    * PlanSpec), so no stratum is ever fully sorted. Strata smaller than
+    * `n` contribute all their rows. */
+  def exactStratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      nPerStratum: Int,
+      salt: String = ""
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol)).orderBy(
+      md5(concat(coalesce(col(keyCol).cast("string"), lit("")), lit(salt))),
+      col(keyCol))
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= nPerStratum)
+      .drop("__rank")
+  }
+
   /** Mix-weight planning: given RELATIVE target weights per stratum (use
     * integer-valued weights — their sums stay exact in doubles, keeping
     * every derived share bit-identical across engines), compute the

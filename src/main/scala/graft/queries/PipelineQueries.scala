@@ -926,7 +926,32 @@ object PipelineQueries {
     )
   }
 
+  // ---------------------------------------------------------------- q62
+  /** Deterministic exact-n-per-stratum sampling — the eval/holdout-set
+    * builder: exactly 5 documents from every source, chosen by hash
+    * rank so the set is reproducible across engines and partitionings
+    * (q51's rate-based form draws a binomial-SIZED sample; eval sets
+    * need exact size). The rank window compiles to WindowGroupLimit —
+    * per-group top-n heaps, no stratum ever fully sorted. */
+  private val q62 = Q(
+    "q62_sampling_exact_n",
+    (s, dir) =>
+      Sampling.exactStratifiedSample(
+        Lake(s, dir).documents.select("doc_id", "source", "lang"),
+        keyCol = "doc_id", stratumCol = "source", nPerStratum = 5,
+        salt = "eval1")
+        .select("doc_id", "source", "lang")
+        .orderBy("source", "doc_id"),
+    Some("""
+      SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+          row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || 'eval1'), doc_id) AS r
+        FROM documents)
+      WHERE r <= 5 ORDER BY source, doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
-    q60, q61)
+    q60, q61, q62)
 }

@@ -188,6 +188,10 @@ class PlanSpec extends SparkTestBase {
     // operator is NOT needed in this engine.
     val plan = planOf(Registry.byName("q35_ann_bruteforce").run(spark, sfDir))
     assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+    // the exact-n stratified sampler rides the same mechanism: no stratum
+    // is ever fully sorted to take its top-n
+    val plan62 = planOf(Registry.byName("q62_sampling_exact_n").run(spark, sfDir))
+    assert(plan62.contains("WindowGroupLimit"), s"stratified sampler sorts fully:\n$plan62")
   }
 
   test("EWS spine joins on (schoolId, schoolYear) and splits a hot school by year") {

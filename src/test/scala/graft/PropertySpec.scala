@@ -139,6 +139,30 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("chunkDocuments: every word covered, no redundant chunk, adjacent overlap exact") {
+    import graft.ops.Packing
+    val gen = Gen.zip(
+      Gen.choose(1, 30),                         // words in the doc
+      Gen.choose(2, 8),                          // chunkTokens
+      Gen.choose(0, 6))                          // raw overlap (clamped below)
+    holds(Prop.forAll(gen) { case (n, c, rawO) =>
+      val o = math.min(rawO, c - 1)
+      val words = (1 to n).map(i => s"w$i")
+      val chunks = Packing.chunkDocuments(
+        Seq((1L, words.mkString(" "))).toDF("doc_id", "text"), "doc_id", "text", c, o)
+        .orderBy("chunk_idx").collect()
+        .map(r => r.getAs[String]("chunk_text").split(" ").toSeq).toSeq
+      val covered = chunks.flatten.toSet
+      val noRedundant = chunks.sliding(2).forall {
+        case Seq(a, b) => !b.forall(a.contains); case _ => true
+      }
+      val overlapExact = chunks.sliding(2).forall {
+        case Seq(a, b) => a.toSet.intersect(b.toSet).size == o; case _ => true
+      }
+      covered == words.toSet && noRedundant && overlapExact
+    })
+  }
+
   test("exact dedup: canonical id is the min doc_id of each text group") {
     val docs = Gen.listOfN(15, Gen.zip(Gen.choose(1L, 100L), Gen.choose(0, 3)))
       .map(_.distinctBy(_._1).map { case (id, t) => (id, s"text $t") })

@@ -122,6 +122,22 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(sampled("b") - 50) < 25 && math.abs(sampled("c") - 50) < 25)
   }
 
+  test("exactSample / exactStratifiedSample: exact sizes, invariant to partitioning") {
+    val df = (1L to 500L).map(i => (i, s"src${i % 4}")).toDF("k", "s")
+    val once = Sampling.exactSample(df, "k", 20, "ev").collect().map(_.getLong(0)).toSet
+    assert(once.size == 20)
+    // the chosen SET is a pure function of (keys, salt) — repartitioning
+    // must not churn it (df.sample() fails exactly this)
+    val repart = Sampling.exactSample(df.repartition(13), "k", 20, "ev")
+      .collect().map(_.getLong(0)).toSet
+    assert(repart == once)
+    // per-stratum: exactly n from each big stratum, all rows of small ones
+    val withSmall = df.union(Seq((1000L, "tiny")).toDF("k", "s"))
+    val strat = Sampling.exactStratifiedSample(withSmall, "k", "s", 7, "ev")
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(strat == Map("src0" -> 7L, "src1" -> 7L, "src2" -> 7L, "src3" -> 7L, "tiny" -> 1L))
+  }
+
   test("stratifiedSample: per-stratum rates with a default") {
     val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("k", "s")
     val kept = Sampling.stratifiedSample(
