@@ -63,6 +63,98 @@ object Joins {
   def cross(left: DataFrame, right: DataFrame): DataFrame =
     left.crossJoin(broadcast(right))
 
+  /** AS-OF join: every left row picks up the LATEST right row with
+    * `right.ts <= left.ts` for the same key (temporal dimension lookup —
+    * "what was this user's tier when the event happened"). Left rows
+    * before a key's first right row get nulls (left-join semantics).
+    *
+    * Implementation is union-and-scan, NOT a join: both sides union into
+    * one (key, ts)-ordered stream (right rows sorting before left rows
+    * at equal ts, so a same-instant change is visible to the event) and
+    * a running `last(ignoreNulls)` window forwards each right value to
+    * the left rows after it. Cost: ONE shuffle on the key and an O(1)
+    * running state per partition — where the naive formulation
+    * (`left.join(right, key && r.ts <= l.ts)` + max-per-left-row)
+    * explodes into |left|×|right-per-key| intermediate rows and a
+    * second aggregation shuffle. This is the standard big-data as-of
+    * shape; DuckDB's native `ASOF JOIN` states the same semantics and
+    * serves as the q63 oracle.
+    *
+    * If several right rows share an exact (key, ts), which of them wins
+    * is unspecified — pre-aggregate the right side to unique (key, ts)
+    * first (a real change stream is unique there anyway).
+    *
+    * @param valueCols right-side columns to attach; emitted under their
+    *                  own names, plus `__matched_ts` (the right ts that
+    *                  matched, null when none)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StructType
+    val leftStruct = StructType(left.schema.fields)
+    val lu = left.select(
+      keyCols.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(1).as("__side"),
+        struct(left.columns.map(col): _*).as("__lrow"),
+        lit(null).cast("timestamp").as("__rts")) ++
+        valueCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val ru = right.select(
+      keyCols.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(leftStruct).as("__lrow"),
+        col(tsCol).as("__rts")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lu.unionByName(ru)
+      .select(
+        col("__side") +: col("__lrow") +:
+          last(col("__rts"), ignoreNulls = true).over(w).as("__matched_ts") +:
+          valueCols.map(c =>
+            last(col(s"__v_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 1)
+      .select(col("__lrow.*") +: col("__matched_ts") +: valueCols.map(col): _*)
+  }
+
+  /** RANGE (interval) join: fact rows matched to every interval
+    * containing their timestamp (`start <= ts < end`). The naive plan is
+    * a BroadcastNestedLoopJoin — fine when the interval side broadcasts,
+    * quadratic disaster when it doesn't. This implementation bin-buckets
+    * instead: timestamps hash to a `binSeconds` bucket, intervals explode
+    * to every bucket they overlap, and the join becomes an EQUI-join on
+    * the bucket followed by the exact range predicate. One data-sized
+    * shuffle on the bin key; interval-side blowup is
+    * duration/binSeconds rows per interval — set `binSeconds` near the
+    * typical interval length so that factor stays small. Each
+    * (fact, interval) pair meets in exactly one bucket (the fact's), so
+    * no dedup pass is needed. */
+  def rangeJoin(
+      facts: DataFrame,
+      tsCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      binSeconds: Long
+  ): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    val f = facts.withColumn("__bin", floor(unix_micros(col(tsCol)) / binUs))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(unix_micros(col(startCol)) / binUs),
+        floor(unix_micros(col(endCol)) / binUs))))
+    f.join(i, Seq("__bin"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bin")
+  }
+
   /** Skew-proof equi-join by key salting — the manual fallback when AQE's
     * runtime skew split can't apply (e.g. the skewed side feeds an
     * aggregation in the same stage, or the join is inside a cached plan).

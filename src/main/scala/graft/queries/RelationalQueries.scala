@@ -881,8 +881,69 @@ object RelationalQueries {
       ORDER BY o_orderkey""")
   )
 
+  // ---------------------------------------------------------------- q63
+  /** AS-OF join (absent in the reference; a first-class temporal operator
+    * here): every 50th event is a "status change" stream, and each other
+    * event picks up its user's latest status at-or-before its timestamp.
+    * The Spark side is the union-and-scan shape (ONE shuffle on the key,
+    * O(1) window state — see Joins.asofJoin); the oracle is DuckDB's
+    * native ASOF LEFT JOIN stating the same semantics declaratively, so
+    * the hash gate proves the window formulation IS the as-of join. */
+  private val q63 = Q(
+    "q63_asof_join",
+    (s, dir) => {
+      val events = Lake(s, dir).events
+      val changes = events.filter(col("event_id") % 50 === 0)
+        .select(col("user_id"), col("ts"), col("value").as("status_value"))
+      val facts = events.filter(col("event_id") % 50 =!= 0)
+      Joins.asofJoin(facts, changes, Seq("user_id"), "ts", Seq("status_value"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("event_ts_us"),
+          unix_micros(col("__matched_ts")).as("status_ts_us"),
+          col("status_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH r AS (SELECT user_id, ts, value AS status_value FROM events
+                 WHERE event_id % 50 = 0),
+           l AS (SELECT * FROM events WHERE event_id % 50 <> 0)
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS event_ts_us,
+             epoch_us(r.ts) AS status_ts_us, r.status_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY event_id""")
+  )
+
+  // ---------------------------------------------------------------- q64
+  /** RANGE (interval) join: every 100th event opens a 30-minute window;
+    * each event matches every window containing its timestamp. The Spark
+    * side bin-buckets (Joins.rangeJoin) so the inequality join runs as an
+    * EQUI-join on the time bucket + exact predicate — one data-sized
+    * shuffle instead of a nested loop; the oracle states the plain
+    * inequality join. */
+  private val q64 = Q(
+    "q64_range_join",
+    (s, dir) => {
+      val events = Lake(s, dir).events
+      val windows = events.filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      Joins.rangeJoin(events, "ts", windows, "w_start", "w_end", binSeconds = 1800)
+        .select(col("event_id"), col("window_id"),
+          unix_micros(col("ts")).as("event_ts_us"))
+        .orderBy("event_id", "window_id")
+    },
+    Some("""
+      WITH w AS (SELECT event_id AS window_id, ts AS w_start,
+                        ts + INTERVAL 30 MINUTE AS w_end
+                 FROM events WHERE event_id % 100 = 0)
+      SELECT e.event_id, w.window_id, epoch_us(e.ts) AS event_ts_us
+      FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+      ORDER BY event_id, window_id""")
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q46, q47, q48, q52)
+    q46, q47, q48, q52, q63, q64)
 }

@@ -94,4 +94,51 @@ class OpsSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (1L, "b"), (2L, null)))
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("Joins.asofJoin: latest at-or-before per key, same-instant visible, pre-first null") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 09:00:00")),  // before any change → null
+      (2L, 7L, ts("2024-01-01 10:00:00")),  // exactly at change 1 → sees it
+      (3L, 7L, ts("2024-01-01 11:30:00")),  // between changes → change 1
+      (4L, 7L, ts("2024-01-01 12:30:00")),  // after change 2 → change 2
+      (5L, 8L, ts("2024-01-01 12:30:00"))   // other key: own stream only
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 10:00:00"), "silver"),
+      (7L, ts("2024-01-01 12:00:00"), "gold"),
+      (8L, ts("2024-01-01 08:00:00"), "bronze")
+    ).toDF("user_id", "ts", "tier")
+    val out = Joins.asofJoin(left, right, Seq("user_id"), "ts", Seq("tier"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[String]("tier")),
+          Option(r.getAs[java.sql.Timestamp]("__matched_ts")))).toMap
+    assert(out(1L) == (None, None))
+    assert(out(2L) == (Some("silver"), Some(ts("2024-01-01 10:00:00"))))
+    assert(out(3L) == (Some("silver"), Some(ts("2024-01-01 10:00:00"))))
+    assert(out(4L) == (Some("gold"), Some(ts("2024-01-01 12:00:00"))))
+    assert(out(5L) == (Some("bronze"), Some(ts("2024-01-01 08:00:00"))))
+    assert(out.size == 5) // every left row survives (left-join semantics)
+  }
+
+  test("Joins.rangeJoin: half-open containment, bin-spanning intervals, multi-match") {
+    val facts = Seq(
+      (1L, ts("2024-01-01 10:00:00")),  // == start of A: included
+      (2L, ts("2024-01-01 10:29:59")),  // inside A
+      (3L, ts("2024-01-01 10:30:00")),  // == end of A: excluded there (half-open), inside B
+      (4L, ts("2024-01-01 10:20:00")),  // inside A and overlapping B
+      (5L, ts("2024-01-01 23:00:00"))   // in no window
+    ).toDF("event_id", "ts")
+    val windows = Seq(
+      ("A", ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
+      ("B", ts("2024-01-01 10:15:00"), ts("2024-01-01 10:45:00"))
+    ).toDF("window_id", "w_start", "w_end")
+    // binSeconds deliberately smaller than the windows so each interval
+    // spans several bins — the explode/equi-join path, not a 1:1 bucket
+    val out = Joins.rangeJoin(facts, "ts", windows, "w_start", "w_end", binSeconds = 300)
+      .select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B"), (4L, "A"), (4L, "B")))
+  }
 }
