@@ -146,6 +146,40 @@ object Sampling {
         "keep_rate", "n_keep")
   }
 
+  /** Token-BUDGET-capped per-stratum selection: rank each stratum's rows
+    * by `rankBy` (best first) and keep rows while the running token total
+    * stays within `budget` — "fill each domain's slice of the training
+    * mix with its best documents up to N tokens". This is the
+    * budget-based companion to [[exactStratifiedSample]] (exact COUNT per
+    * stratum) and [[stratifiedSample]] (RATE per stratum): training mixes
+    * are specified in tokens, and documents have wildly different token
+    * counts, so neither count nor rate can hit a token target.
+    *
+    * Semantics are take-while, expressed as a filter: the running sum is
+    * monotone (token counts are non-negative), so `cum <= budget` keeps
+    * exactly the prefix that fits and nothing after the first overflow —
+    * deterministic given a total `rankBy` order (include a key tiebreak).
+    *
+    * Scale shape: ONE shuffle on the stratum; the running sum is an O(1)
+    * streaming window state per stratum. No global sort, no collect —
+    * stratum cardinality never matters, only per-stratum row counts,
+    * which the window streams through. The emitted `cum_tokens` column
+    * is the audit trail (how full each stratum's budget ran).
+    */
+  def budgetCappedSelect(
+      df: DataFrame,
+      stratumCol: String,
+      tokensCol: String,
+      budget: Long,
+      rankBy: Seq[Column]
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol)).orderBy(rankBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Stratified deterministic sample: each stratum keeps its own rate
     * (`rates`), everything else keeps `defaultRate`. This is the mix
     * knob — "keep 100% of books, 30% of web" — as one broadcast join +

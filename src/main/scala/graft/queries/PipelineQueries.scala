@@ -951,7 +951,69 @@ object PipelineQueries {
       WHERE r <= 5 ORDER BY source, doc_id""")
   )
 
+  // ---------------------------------------------------------------- q65
+  /** Token-budget-capped mix fill: each source contributes its
+    * highest-quality documents (n_chars-ranked here; any total order
+    * works) until an 800-token budget fills — the budget-based third leg
+    * of the sampling family (q51 rate, q62 exact count, q65 token
+    * budget). Training mixes are specified in tokens, so this is the
+    * form a mix executor actually runs. One shuffle on the stratum, O(1)
+    * running-sum window state (Sampling.budgetCappedSelect). */
+  private val q65 = Q(
+    "q65_budget_capped_mix",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+        .withColumn("n_tokens",
+          graft.ops.TextAnalysis.wsTokenCount(col("text")).cast("long"))
+      graft.ops.Sampling.budgetCappedSelect(
+        docs, "source", "n_tokens", budget = 800L,
+        rankBy = Seq(col("n_chars").desc, col("doc_id")))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, n_chars,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+          CAST(SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+        FROM d)
+      SELECT doc_id, source, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 800 ORDER BY source, cum_tokens""")
+  )
+
+  // ---------------------------------------------------------------- q66
+  /** Corpus head-vocabulary + per-document OOV rate: build the top-20
+    * vocabulary by corpus frequency, score every document by the
+    * fraction of its tokens outside it (the junk/encoding filter). The
+    * Spark side folds the vocabulary to one broadcast array so the
+    * scoring pass is map-side (Vocabulary.oovStats); the oracle
+    * recomputes it as an anti-join count over exploded tokens. */
+  private val q66 = Q(
+    "q66_vocab_oov",
+    (s, dir) =>
+      graft.ops.Vocabulary.oovStats(Lake(s, dir).documents, "text", 20)
+        .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+        .orderBy("doc_id"),
+    Some("""
+      WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+      cnt AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+      v AS (SELECT word FROM cnt ORDER BY freq DESC, word LIMIT 20),
+      agg AS (SELECT w.doc_id, COUNT(*) AS n_tokens,
+                SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+              FROM words w LEFT JOIN v ON w.word = v.word
+              GROUP BY w.doc_id)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(n_oov AS BIGINT) AS n_oov,
+        CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+      FROM agg ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62)
+    q60, q61, q62, q65, q66)
 }

@@ -163,6 +163,24 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("vocabOov: head vocab by (freq desc, word asc), rate = oov tokens / tokens") {
+    // corpus frequencies: x 4, y 3, b 2, a 2 — vocabSize 2 takes {x, y};
+    // the a/b tie at freq 2 checks the word-asc tiebreak does NOT admit
+    // either (both lose to y), and doc 3 checks duplicates count per-token
+    val docs = Seq(
+      (1L, "x y x a"),
+      (2L, "x y b b"),
+      (3L, "x y a z z")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Vocabulary.oovStats(docs, "text", vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate"))).toMap
+    assert(out(1L) == (4L, 1L, 0.25))      // a
+    assert(out(2L) == (4L, 2L, 0.5))       // b b
+    assert(out(3L) == (5L, 3L, 0.6))       // a z z
+  }
+
   test("exact dedup: canonical id is the min doc_id of each text group") {
     val docs = Gen.listOfN(15, Gen.zip(Gen.choose(1L, 100L), Gen.choose(0, 3)))
       .map(_.distinctBy(_._1).map { case (id, t) => (id, s"text $t") })

@@ -138,6 +138,28 @@ class SamplingSpec extends SparkTestBase {
     assert(strat == Map("src0" -> 7L, "src1" -> 7L, "src2" -> 7L, "src3" -> 7L, "tiny" -> 1L))
   }
 
+  test("budgetCappedSelect: take-while prefix per stratum, audit column, determinism") {
+    // src0: tokens 50,40,30,20,10 ranked by quality desc → cum 50,90,120,140,150
+    // budget 120 keeps the first three and nothing after the overflow;
+    // src1: one 200-token doc never fits → stratum contributes nothing
+    val df = Seq(
+      (1L, "src0", 5.0, 50L), (2L, "src0", 4.0, 40L), (3L, "src0", 3.0, 30L),
+      (4L, "src0", 2.0, 20L), (5L, "src0", 1.0, 10L),
+      (6L, "src1", 9.0, 200L)
+    ).toDF("id", "s", "quality", "nt")
+    val out = Sampling.budgetCappedSelect(
+      df, "s", "nt", budget = 120L,
+      rankBy = Seq(col("quality").desc, col("id")))
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got == Map(1L -> 50L, 2L -> 90L, 3L -> 120L))
+    // partition-invariant: same prefix regardless of physical layout
+    val repart = Sampling.budgetCappedSelect(
+      df.repartition(7), "s", "nt", 120L,
+      Seq(col("quality").desc, col("id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(repart == Set(1L, 2L, 3L))
+  }
+
   test("stratifiedSample: per-stratum rates with a default") {
     val df = (1L to 3000L).map(i => (i, s"src${i % 3}")).toDF("k", "s")
     val kept = Sampling.stratifiedSample(
