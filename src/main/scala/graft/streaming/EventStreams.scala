@@ -118,6 +118,54 @@ object EventStreams {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  final case class AsofState(rts: Long, value: Double)
+
+  final case class AsofEnriched(event_id: Long, user_id: Long, ts: Timestamp,
+      status_ts: Option[Timestamp], status_value: Option[Double])
+
+  /** Streaming AS-OF enrichment — the incremental twin of the batch
+    * `ops.Joins.asofJoin` (q63): one stream carries both dimension
+    * changes (`isChange`) and fact events; every fact is emitted with
+    * its key's latest change at-or-before its event time.
+    *
+    * State is ONE (ts, value) pair per key — bounded by key cardinality,
+    * never by stream history (the batch form's running
+    * `last(ignoreNulls)` window state, made durable across
+    * micro-batches). Within a micro-batch, arrival order is irrelevant:
+    * the group sorts by (ts, changes-first) so a same-instant change is
+    * visible to the fact, exactly the batch operator's tie rule.
+    *
+    * Cross-batch semantics are forward-only: a change arriving AFTER a
+    * later-timestamped fact was already emitted does not retro-correct
+    * it (that would need retractions; batch replay via asofJoin is the
+    * repair path). Delivered in event-time order per key — the shape of
+    * any log-compacted CDC feed — the stream output EQUALS the batch
+    * operator row for row (asserted in StreamingSpec). */
+  def asofEnrich(
+      events: Dataset[Event],
+      isChange: Event => Boolean
+  ): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[AsofState]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, !isChange(e)))
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsofEnriched]
+          sorted.foreach { e =>
+            if (isChange(e)) {
+              if (cur.forall(_.rts <= e.ts.getTime))
+                cur = Some(AsofState(e.ts.getTime, e.value))
+            } else out += AsofEnriched(
+              e.event_id, userId, e.ts,
+              cur.map(s => new Timestamp(s.rts)), cur.map(_.value))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+        })
+  }
+
   final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
 
   final case class SessionSummary(user_id: Long, session_start: Timestamp,

@@ -109,6 +109,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("asofEnrich: streamed output equals batch asofJoin on an in-order feed") {
+    implicit val sc = spark.sqlContext
+    // status changes are event_type == "status"; three batches delivered
+    // in event-time order per key (the CDC-feed contract), with an
+    // intra-batch shuffle (batch 2 arrives fact-before-change at the
+    // same instant) to exercise the changes-first tie sort
+    val b1 = Seq(
+      Event(1, ts(0), 7, "click", 1.0),            // pre-first-change → null
+      Event(100, ts(5), 7, "status", 10.0),
+      Event(2, ts(6), 7, "click", 1.0))            // → 10.0
+    val b2 = Seq(
+      Event(3, ts(8), 7, "click", 1.0),            // → 10.0 (state crossed batches)
+      Event(4, ts(9), 8, "click", 1.0),            // other key, no change yet → null
+      Event(5, ts(10), 7, "click", 1.0),           // same instant as change ↓ → 20.0
+      Event(101, ts(10), 7, "status", 20.0))
+    val b3 = Seq(
+      Event(102, ts(11), 8, "status", 30.0),
+      Event(6, ts(12), 8, "click", 1.0),           // → 30.0
+      Event(7, ts(13), 7, "click", 1.0))           // → 20.0 still
+    val input = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(input.toDS(), _.event_type == "status")
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("asof")
+        .select("event_id", "status_ts", "status_value").collect()
+        .map(r => (r.getLong(0),
+          Option(r.getAs[Timestamp]("status_ts")),
+          Option(r.getAs[java.lang.Double]("status_value")).map(_.doubleValue))).toSet
+
+      val all = (b1 ++ b2 ++ b3).toDS()
+      val batch = graft.ops.Joins.asofJoin(
+        all.filter(col("event_type") =!= "status").toDF(),
+        all.filter(col("event_type") === "status")
+          .select(col("user_id"), col("ts"), col("value").as("status_value")),
+        Seq("user_id"), "ts", Seq("status_value"))
+        .select("event_id", "__matched_ts", "status_value").collect()
+        .map(r => (r.getLong(0),
+          Option(r.getAs[Timestamp]("__matched_ts")),
+          Option(r.getAs[java.lang.Double]("status_value")).map(_.doubleValue))).toSet
+
+      assert(streamed == batch)
+      assert(streamed.size == 7)
+      // spot-check the tie rule and the null-before-first-change rows
+      val byId = streamed.map(t => t._1 -> t._3).toMap
+      assert(byId(1L).isEmpty && byId(4L).isEmpty)
+      assert(byId(5L).contains(20.0))
+    } finally q.stop()
+  }
+
   test("sinkToGold: availableNow drains the backlog to parquet and stops") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
