@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Lake
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Classifier, Dedup, Index, LanguageModel, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash /
@@ -1013,7 +1013,157 @@ object PipelineQueries {
       FROM agg ORDER BY doc_id""")
   )
 
+  // ---------------------------------------------------------------- q67
+  /** Inverted-index build (retrieval/BM25/RAG candidate layer): per-term
+    * document frequency, collection frequency, and top-3 posting heads by
+    * (tf DESC, doc ASC). One token shuffle to (term, doc) counts, then a
+    * single repartition(term) feeds BOTH the stats aggregate and the
+    * WindowGroupLimit top-k — a stopword's postings are heap-pruned to 3
+    * rows, never sorted or collected (ops.Index scaladoc). */
+  private val q67 = Q(
+    "q67_inverted_index",
+    (s, dir) =>
+      Index.invertedIndex(Lake(s, dir).documents, "doc_id", "text", k = 3)
+        .orderBy("term"),
+    Some("""
+      WITH tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      p AS (SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY term, doc),
+      stats AS (SELECT term, COUNT(*) AS df, SUM(tf) AS cf FROM p GROUP BY term),
+      r AS (SELECT term, doc,
+              row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc) AS rn
+            FROM p),
+      heads AS (SELECT term,
+                  string_agg(CAST(doc AS VARCHAR), ',' ORDER BY rn) AS top_docs
+                FROM r WHERE rn <= 3 GROUP BY term)
+      SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf, top_docs
+      FROM stats JOIN heads USING (term) ORDER BY term""")
+  )
+
+  // ---------------------------------------------------------------- q68
+  /** Hashed-feature linear classifier scoring — the fastText-shaped
+    * quality gate (CCNet/FineWeb style). Bucket = md5(token) mod dim,
+    * integer-tenth weights derived from md5(bucket), so the model is a
+    * pure zero-shuffle expression and the margin sum is exact integer
+    * arithmetic (no float-order hazard; ops.Classifier scaladoc). The
+    * oracle rebuilds the same hash arithmetic nibble-by-nibble. */
+  private val q68 = {
+    val dim = 64
+    val biasTenths = 5
+    // DuckDB hex→int via the strpos-nibble idiom (q29 precedent).
+    def nib(e: String, j: Int) =
+      s"(strpos('0123456789abcdef', substr($e, $j, 1)) - 1)"
+    def hex4(e: String) =
+      s"(${nib(e, 1)} * 4096 + ${nib(e, 2)} * 256 + ${nib(e, 3)} * 16 + ${nib(e, 4)})"
+    def hex2(e: String) = s"(${nib(e, 1)} * 16 + ${nib(e, 2)})"
+    Q(
+      "q68_classifier_score",
+      (s, dir) =>
+        Classifier.hashedLinearScore(
+          Lake(s, dir).documents, "text", dim = dim, biasTenths = biasTenths)
+          .select("doc_id", "n_tokens", "score", "keep")
+          .orderBy("doc_id"),
+      Some(s"""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+      b AS (SELECT doc_id, ${hex4("md5(tok)")} % $dim AS bucket FROM t),
+      wt AS (SELECT doc_id,
+               ${hex2("md5('w' || CAST(bucket AS VARCHAR))")} % 21 - 10 AS w
+             FROM b),
+      s AS (SELECT doc_id, SUM(w) AS sw FROM wt GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(s.sw + $biasTenths AS DOUBLE) / 10.0 AS score,
+        (s.sw + $biasTenths) >= 0 AS keep
+      FROM documents d JOIN s USING (doc_id) ORDER BY doc_id""")
+    )
+  }
+
+  // ---------------------------------------------------------------- q69
+  /** Unicode NFC normalization (codegen'd custom Expression) + mojibake
+    * probe. Composed vs decomposed forms of the same visible text hash
+    * differently and silently break exact dedup / fingerprints / vocab
+    * counts, so normalization runs ahead of every hash-keyed operator.
+    * The corpus text is ASCII, so the query decorates each doc with a
+    * constant mixed-form suffix (decomposed e+combining-acute, A+ring,
+    * and a double-encoded 'Ã©' mojibake marker) — the oracle applies
+    * DuckDB's nfc_normalize to the identical construction. */
+  private val q69 = {
+    // " cafe" + U+0301, " A" + U+030A, mojibake marker "Ã©"
+    val suffix = " café Å Ã©"
+    val sqlSuffix = s"' cafe' || chr(769) || ' A' || chr(778) || ' ' || chr(195) || chr(169)"
+    Q(
+      "q69_unicode_nfc",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        val deco = concat(substring(col("text"), 1, 24), lit(suffix))
+        Lake(s, dir).documents
+          .withColumn("raw", deco)
+          .withColumn("nfc_text", TextFunctions.nfc(col("raw")))
+          .withColumn("len_raw", length(col("raw")).cast("long"))
+          .withColumn("len_nfc", length(col("nfc_text")).cast("long"))
+          .withColumn("changed", col("nfc_text") =!= col("raw"))
+          .withColumn("mojibake_hits",
+            size(regexp_extract_all(col("raw"), lit("Ã[ -¿]"), lit(0)))
+              .cast("long"))
+          .select("doc_id", "len_raw", "len_nfc", "changed", "mojibake_hits",
+            "nfc_text")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+      WITH d AS (SELECT doc_id, substr(text, 1, 24) || $sqlSuffix AS raw
+                 FROM documents)
+      SELECT doc_id,
+        CAST(length(raw) AS BIGINT) AS len_raw,
+        CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+        nfc_normalize(raw) != raw AS changed,
+        CAST(len(regexp_extract_all(raw, chr(195) || '[' || chr(160) || '-' || chr(191) || ']')) AS BIGINT)
+          AS mojibake_hits,
+        nfc_normalize(raw) AS nfc_text
+      FROM d ORDER BY doc_id""")
+    )
+  }
+
+  // ---------------------------------------------------------------- q70
+  /** Corpus bigram-LM predictability scoring — the KenLM-shaped quality
+    * filter (CCNet drops perplexity outliers). Mean add-one-smoothed
+    * conditional probability per document; probability domain instead of
+    * log so every step is exact-int division + sorted-fold summation —
+    * bit-identical across engines (ops.LanguageModel scaladoc on why
+    * log's libm ulp makes it un-oracle-able). */
+  private val q70 = Q(
+    "q70_bigram_lm_score",
+    (s, dir) =>
+      LanguageModel.bigramScore(Lake(s, dir).documents, "doc_id", "text")
+        .select("doc_id", "n_bigrams", "mean_condp")
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+             FROM w),
+      c12 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+      c1t AS (SELECT string_split(bigram, ' ')[1] AS w1, SUM(c12) AS c1
+              FROM c12 GROUP BY 1),
+      lm AS (SELECT bigram, c12.c12 AS c12, c1t.c1 AS c1
+             FROM c12 JOIN c1t ON string_split(c12.bigram, ' ')[1] = c1t.w1),
+      v AS (SELECT COUNT(DISTINCT word) AS v FROM
+              (SELECT unnest(string_split(text, ' ')) AS word FROM documents)),
+      p AS (SELECT doc_id,
+              CAST(COALESCE(lm.c12, 0) + 1 AS DOUBLE)
+                / (COALESCE(lm.c1, 0) + v.v) AS p
+            FROM bg LEFT JOIN lm USING (bigram) CROSS JOIN v),
+      s AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+              list_reduce(list(p ORDER BY p), (a, b) -> a + b) AS sp
+            FROM p GROUP BY doc_id)
+      SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        s.sp / s.n_bigrams AS mean_condp
+      FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+      ORDER BY d.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q65, q66)
+    q60, q61, q62, q65, q66, q67, q68, q69, q70)
 }

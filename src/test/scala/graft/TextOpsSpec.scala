@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.ops.{Classifier, Index, LanguageModel}
+
+/** Unit tests for the round-4 text operators: inverted index, hashed
+  * linear classifier, Unicode normalization, bigram LM scoring. */
+class TextOpsSpec extends SparkTestBase {
+  import testImplicits._
+
+  // ------------------------------------------------------------ Index
+
+  test("Index.postings: one row per (term, doc) with the term frequency") {
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val p = Index.postings(docs, "doc_id", "text")
+      .orderBy("term", "doc")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(p.toSeq == Seq(("a", 1L, 2L), ("b", 1L, 1L), ("b", 2L, 1L),
+      ("c", 2L, 1L)))
+  }
+
+  test("Index.invertedIndex: df/cf and tf-ranked posting heads, doc tiebreak") {
+    val docs = Seq(
+      (1L, "x x x y"), (2L, "x y y"), (3L, "x"), (4L, "x x")
+    ).toDF("doc_id", "text")
+    val idx = Index.invertedIndex(docs, "doc_id", "text", k = 2)
+      .orderBy("term")
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // x: tf 3(d1), 1(d2), 1(d3), 2(d4) → top2 = 1,4; y: tf 1(d1), 2(d2)
+    assert(idx.toSeq == Seq(
+      ("x", 4L, 7L, "1,4"),
+      ("y", 2L, 3L, "2,1")))
+  }
+
+  test("Index.invertedIndex: ties rank by ascending doc id") {
+    val docs = Seq((5L, "t"), (3L, "t"), (9L, "t")).toDF("doc_id", "text")
+    val idx = Index.invertedIndex(docs, "doc_id", "text", k = 2).collect()
+    assert(idx.head.getString(3) == "3,5")
+  }
+
+  // ------------------------------------------------------- Classifier
+
+  test("Classifier: margin is an exact integer-tenths sum, keep at >= 0") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta")).toDF("doc_id", "text")
+    val out = Classifier.hashedLinearScore(docs, "text", dim = 64, biasTenths = 0)
+      .select("doc_id", "score", "keep").orderBy("doc_id").collect()
+    out.foreach { r =>
+      val score = r.getDouble(1)
+      // every score is an integer number of tenths
+      assert((score * 10).round / 10.0 == score)
+      assert(r.getBoolean(2) == (score >= 0))
+    }
+  }
+
+  test("Classifier: score is invariant to repartitioning and stable across runs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Classifier.hashedLinearScore(docs, "text", dim = 64)
+      .select("doc_id", "score").orderBy("doc_id").collect()
+    val b = Classifier.hashedLinearScore(docs.repartition(13), "text", dim = 64)
+      .select("doc_id", "score").orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("Classifier: bucketing collides tokens into dim buckets (hashing trick)") {
+    // with dim=1 every token shares one bucket → margin = n_tokens * w0 + bias
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val one = Classifier.hashedLinearScore(docs, "text", dim = 1, biasTenths = 0)
+      .select("score").head().getDouble(0)
+    val single = Classifier.hashedLinearScore(
+      Seq((1L, "a")).toDF("doc_id", "text"), "text", dim = 1, biasTenths = 0)
+      .select("score").head().getDouble(0)
+    assert(math.abs(one - 4 * single) < 1e-9)
+  }
+
+  // --------------------------------------------- UnicodeNormalize (q69)
+
+  test("unicode nfc: decomposed composes, composed unchanged, idempotent") {
+    val decomposed = "café Å"
+    val composed = "café Å"
+    val df = Seq((decomposed, composed)).toDF("d", "c").select(
+      TextFunctions.nfc(col("d")).as("nd"),
+      TextFunctions.nfc(col("c")).as("nc"),
+      TextFunctions.nfc(TextFunctions.nfc(col("d"))).as("ndd"))
+    val r = df.head()
+    assert(r.getString(0) == composed)
+    assert(r.getString(1) == composed)
+    assert(r.getString(2) == composed)
+  }
+
+  test("unicode nfkc: compatibility forms fold (ligature, fullwidth)") {
+    val df = Seq("ﬁ Ａ").toDF("s") // ﬁ ligature, fullwidth A
+      .select(TextFunctions.nfkc(col("s")).as("n"))
+    assert(df.head().getString(0) == "fi A")
+  }
+
+  test("unicode nfc: null survives; interpreted and codegen paths agree") {
+    val df = Seq(Option("é"), None).toDF("s")
+    val out = df.select(TextFunctions.nfc(col("s")).as("n")).collect()
+    assert(out(0).getString(0) == "é")
+    assert(out(1).isNullAt(0))
+    // force the interpreted path through a filter on the same expression
+    val n = df.filter(TextFunctions.nfc(col("s")) === "é").count()
+    assert(n == 1)
+  }
+
+  test("unicode nfc: normalization unifies exact-dedup hashes") {
+    val docs = Seq((1L, "café"), (2L, "café")).toDF("doc_id", "text")
+    val distinctRaw = docs.select(md5(col("text"))).distinct().count()
+    val distinctNfc = docs.select(md5(TextFunctions.nfc(col("text"))))
+      .distinct().count()
+    assert(distinctRaw == 2 && distinctNfc == 1)
+  }
+
+  // ------------------------------------------------- LanguageModel (q70)
+
+  test("LanguageModel.bigrams: map-side bigram strings, empty below 2 tokens") {
+    val df = Seq("a b c", "solo").toDF("t")
+      .select(LanguageModel.bigrams(col("t")).as("bg"))
+    val rows = df.collect().map(_.getSeq[String](0).toList)
+    assert(rows(0) == List("a b", "b c"))
+    assert(rows(1) == Nil)
+  }
+
+  test("LanguageModel.bigramScore: hand-computed add-one smoothed mean") {
+    // corpus: "a b" ×2, "a c" ×1 → c(a b)=2, c(a c)=1, c1(a)=3, V={a,b,c}=3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramScore(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "mean_condp").orderBy("doc_id").collect()
+    val pAB = 3.0 / 6.0 // (2+1)/(3+3)
+    val pAC = 2.0 / 6.0 // (1+1)/(3+3)
+    assert(out(0).getLong(1) == 1L && out(0).getDouble(2) == pAB)
+    assert(out(2).getLong(1) == 1L && out(2).getDouble(2) == pAC)
+  }
+
+  test("LanguageModel.bigramScore: single-token doc gets 0 bigrams, null score") {
+    val docs = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramScore(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "mean_condp").orderBy("doc_id").collect()
+    assert(out(1).getLong(1) == 0L)
+    assert(out(1).isNullAt(2))
+  }
+
+  test("LanguageModel.bigramScore: score is partitioning-invariant") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val a = LanguageModel.bigramScore(docs, "doc_id", "text")
+      .select("doc_id", "mean_condp").orderBy("doc_id").collect()
+    val b = LanguageModel.bigramScore(docs.repartition(7), "doc_id", "text")
+      .select("doc_id", "mean_condp").orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}
