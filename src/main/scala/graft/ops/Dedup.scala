@@ -523,4 +523,70 @@ object Dedup {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
+
+  /** Sub-document span dedup — the C4 rule ("any three-sentence span
+    * occurring more than once in the corpus is removed once seen twice"),
+    * at fixed word-span granularity since this corpus has no sentence
+    * marks: documents split into consecutive `span`-word chunks, every
+    * chunk whose exact text appears in ≥ `minDocs` DISTINCT documents is
+    * dropped from all of them, and each document is re-assembled from its
+    * surviving chunks in order. This removes boilerplate (headers,
+    * licenses, navigation) that document-level dedup can never see
+    * because the surrounding text differs.
+    *
+    * Scale shape:
+    *   - chunking is the zero-shuffle posexplode fan-out
+    *     ([[graft.ops.Packing.chunkDocuments]] with overlap 0);
+    *   - ONE shuffle keyed on the span text for the distinct-doc count
+    *     (map-side combine; span keys are near-uniform — the hot-key
+    *     ceiling is docs-per-boilerplate-span, exactly the thing being
+    *     removed, and a `maxDf`-style cap is unnecessary because the
+    *     count aggregate is O(1) state per key however hot the key);
+    *   - at 100 TB the join back is keyed on `md5(span)` instead of the
+    *     raw span text to keep shuffle rows narrow — same answer, 16
+    *     bytes per key;
+    *   - re-assembly is one doc_id shuffle; the per-doc fold collects
+    *     only that document's own spans (bounded by document length).
+    *
+    * @return (doc_id, n_spans, n_dropped, clean_text), total over the
+    *         corpus — clean_text is '' when every span was shared
+    */
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      span: Int,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(span >= 1, s"span must be >= 1: $span")
+    val spans = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .select(
+        col("doc_id"),
+        posexplode(sequence(lit(0), size(col("__ws")) - 1, lit(span)))
+          .as(Seq("span_idx", "__start")),
+        col("__ws"))
+      .select(
+        col("doc_id"),
+        col("span_idx").cast("long").as("span_idx"),
+        concat_ws(" ", slice(col("__ws"), col("__start") + 1, lit(span)))
+          .as("span_text"))
+    val shared = spans
+      .groupBy("span_text")
+      .agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("span_text"), lit(true).as("__dup"))
+    spans
+      .join(shared, Seq("span_text"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__dup"), lit(1L)).otherwise(lit(0L))).as("n_dropped"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(not(coalesce(col("__dup"), lit(false))),
+                struct(col("span_idx"), col("span_text"))))),
+            s => s.getField("span_text"))).as("clean_text"))
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+
 /** Inverted-index construction over a document corpus — the artifact a
   * retrieval layer (BM25 search, RAG candidate generation, corpus
   * exploration) builds once per lake snapshot: for every term, its
@@ -70,5 +71,80 @@ object Index {
       count(lit(1)).as("df"),
       sum("tf").as("cf"))
     stats.join(heads, Seq("term"))
+  }
+
+  /** BM25 top-`k` retrieval: score every document against a set of
+    * multi-term queries and keep the `k` best per query.
+    *
+    * Log-free BM25: the scoring uses the standard Robertson saturation
+    * with k1 = 1.2, b = 0.75, but replaces `ln((N − df + ½)/(df + ½))`
+    * with the rational `(2(N − df) + 1)/(2df + 1)` — the same ratio
+    * without the log. Per term the substitution is strictly monotone in
+    * df, and it makes every arithmetic step cross-engine exact: with
+    * integer N, T = Σ dl, tf, df, dl, each factor is ONE correctly
+    * rounded IEEE division of two exact longs
+    * (k1 = 6/5, b = 3/4 multiplied through:
+    * tf_sat = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)), the product of the
+    * two factors is one rounded multiply, and the per-(query, doc) sum
+    * folds a SORTED list — the DotProduct/LanguageModel determinism
+    * rule. Longs stay exact: 10·T·tf < 2⁶³ up to T ≈ 10¹⁷ tokens,
+    * comfortably past a 100 TB corpus.
+    *
+    * Scale shape:
+    *   - the query table is tiny by construction — broadcast twice (term
+    *     restriction + query fan-out); the corpus-side postings shrink to
+    *     query-relevant terms BEFORE the df aggregate, so per-query work
+    *     is O(matching postings), not O(index);
+    *   - (N, T) is a 1-row broadcast (the Stats totals idiom);
+    *   - one shuffle to (query, doc) partial scores; the final top-k is
+    *     a per-query rank window — WindowGroupLimit heaps, k rows per
+    *     query survive.
+    * At serving scale the same plan reads `postings` back from a
+    * term-bucketed parquet table and skips the tokenize pass entirely.
+    *
+    * @param queries (query_id, term) rows — one row per query term
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val qterms = queries.select(col("query_id"), col("term"))
+    // Restrict the postings stream to query-relevant terms map-side;
+    // df counts over the full corpus are preserved because the semi-join
+    // filters terms, never documents.
+    val rel = postings(docs, idCol, textCol)
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+    val dfs = rel.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(
+      col(idCol).as("doc"),
+      TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("dl"))
+    val totals = dl.agg(
+      count(lit(1)).as("n_docs"), sum("dl").as("t_tokens"))
+    val contrib = rel
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(totals))
+      .withColumn("tf_sat",
+        (lit(22L) * col("t_tokens") * col("tf")).cast("double") /
+          (lit(10L) * col("t_tokens") * col("tf")
+            + lit(3L) * col("t_tokens")
+            + lit(9L) * col("dl") * col("n_docs")))
+      .withColumn("idf",
+        (lit(2L) * (col("n_docs") - col("df")) + lit(1L)).cast("double") /
+          (lit(2L) * col("df") + lit(1L)))
+      .withColumn("contrib", col("tf_sat") * col("idf"))
+    val scored = contrib.groupBy("query_id", "doc").agg(
+      count(lit(1)).as("n_terms"),
+      aggregate(sort_array(collect_list(col("contrib"))), lit(0.0d),
+        (acc, x) => acc + x).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 }

@@ -215,6 +215,106 @@ object Multimodal {
       }
   }
 
+  /** Typed audio metadata a decoder would emit. */
+  final case class AudioMeta(
+      doc_id: Long,
+      sample_rate: Long,
+      channels: Long,
+      bits_per_sample: Long,
+      n_samples: Long,
+      duration_ms: Long
+  )
+
+  /** Pure-JVM WAV (RIFF/WAVE) header parse: sample rate, channel count,
+    * bit depth, and sample count from the canonical `fmt ` + `data`
+    * chunks, no codec. `None` for anything that is not a RIFF/WAVE
+    * container or whose chunks are malformed.
+    *
+    * Layout (RIFF spec / WAVE format): `RIFF` + u32le riff-size +
+    * `WAVE`, then a chunk walk — each chunk is a 4-byte ASCII tag +
+    * u32le payload size (payloads pad to even offsets). `fmt ` carries
+    * u16le audio format, u16le channels, u32le sample rate, u32le byte
+    * rate, u16le block align, u16le bits per sample; `data`'s size in
+    * bytes over the block align gives the per-channel sample count. The
+    * walk tolerates leading `LIST`/`INFO` metadata chunks the way real
+    * encoders emit them. */
+  def parseWavHeader(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def u16le(i: Int): Long = ((bytes(i + 1) & 0xff) << 8 | (bytes(i) & 0xff)).toLong
+    def u32le(i: Int): Long =
+      ((bytes(i + 3) & 0xffL) << 24) | ((bytes(i + 2) & 0xffL) << 16) |
+        ((bytes(i + 1) & 0xffL) << 8) | (bytes(i) & 0xffL)
+    def ascii(from: Int, until: Int): String =
+      new String(bytes.slice(from, until), "US-ASCII")
+    if (bytes == null || bytes.length < 44 ||
+      ascii(0, 4) != "RIFF" || ascii(8, 12) != "WAVE") None
+    else {
+      var i = 12
+      var fmt: Option[(Long, Long, Long)] = None // (channels, rate, bits)
+      var blockAlign = 0L
+      while (i + 8 <= bytes.length) {
+        val tag = ascii(i, i + 4)
+        val size = u32le(i + 4)
+        if (tag == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length) {
+          fmt = Some((u16le(i + 10), u32le(i + 12), u16le(i + 22)))
+          blockAlign = u16le(i + 20)
+        } else if (tag == "data") {
+          return fmt.collect {
+            case (ch, rate, bits) if blockAlign > 0 && rate > 0 =>
+              (rate, ch, bits, size / blockAlign)
+          }
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+      }
+      None
+    }
+  }
+
+  /** Build a real 44-byte canonical WAV header (PCM, no payload bytes —
+    * the `data` size field declares them, which is all header-level
+    * tooling reads). Exists so tests and the oracle query can round-trip
+    * [[parseWavHeader]] through genuine container bytes. */
+  def wavHeader(
+      sampleRate: Long, channels: Long, bitsPerSample: Long, nSamples: Long
+  ): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataLen = nSamples * blockAlign
+    val byteRate = sampleRate * blockAlign
+    val b = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt((36 + dataLen).toInt)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate.toInt)
+      .putInt(byteRate.toInt).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen.toInt)
+    b.array()
+  }
+
+  /** Partition-wise audio metadata decode — the audio face of
+    * [[decodeMeta]]: real WAV header parse, deterministic stub values
+    * for other containers (same honesty contract as the image arm).
+    * `duration_ms` is exact integer arithmetic (samples·1000 / rate) so
+    * the result is engine-reproducible. */
+  def decodeAudioMeta(df: DataFrame, idCol: String, binCol: String): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          parseWavHeader(bytes) match {
+            case Some((rate, ch, bits, n)) =>
+              AudioMeta(id, rate, ch, bits, n, n * 1000L / rate)
+            case None =>
+              val len = if (bytes == null) 0L else bytes.length.toLong
+              AudioMeta(id, 8000L, 1L, 16L, len, len * 1000L / 8000L)
+          }
+        }
+      }
+  }
+
   /** Media embedding row — feeds [[Similarity]] directly. */
   final case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
 

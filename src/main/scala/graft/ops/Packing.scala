@@ -98,4 +98,44 @@ object Packing {
         concat_ws(" ", slice(col("__ws"), col("__start") + 1, lit(chunkTokens)))
           .as("chunk_text"))
   }
+
+  /** Deterministic training-shard export: a reproducible global shuffle
+    * of the corpus into `nShards` shards, WITHOUT a global sort. Every
+    * epoch-shuffle / export step a pretraining pipeline runs is exactly
+    * this: documents land in shard `md5(salt‖id) mod nShards` and are
+    * ordered inside the shard by a second independent hash — so the
+    * training order is (a) pseudorandom, (b) bit-reproducible from
+    * (salt, ids) alone on any engine and any partitioning, and (c) a
+    * different permutation per salt (one salt per epoch).
+    *
+    * Scale shape: shard assignment is a map-side expression; the only
+    * exchange is one hash shuffle on `shard` (uniform by construction —
+    * md5 equidistributes ids), and the within-shard position is a
+    * rank window over that same partitioning. No stage ever holds more
+    * than one shard's keys; writing `partitionBy(shard)` after this is
+    * a straight append. A global `orderBy(random)` — the naive spelling
+    * — would funnel 100 TB through a range sort; this never sorts more
+    * than one shard, and shards are sized to executor memory by picking
+    * `nShards`.
+    *
+    * @return input plus `shard` and `shard_pos` (0-based rank inside
+    *         the shard)
+    */
+  def shardExport(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val shard = pmod(
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 4),
+        16, 10).cast("long"),
+      lit(nShards.toLong))
+    val orderKey = md5(concat(lit("o"), lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy("shard")
+      .orderBy(orderKey.asc, col(idCol).asc)
+    df.withColumn("shard", shard)
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+  }
 }

@@ -204,4 +204,41 @@ object Sampling {
         < col("__thr"))
       .drop("__thr")
   }
+
+  /** Per-stratum percentile quality gate: keep a document iff its score
+    * ranks at or above the `minPct` percentile WITHIN its stratum
+    * (language, source…). This is the CCNet/FineWeb filter shape —
+    * absolute score thresholds misfire across languages because score
+    * distributions differ per language, so the cut must be relative to
+    * each stratum's own distribution.
+    *
+    * Determinism: `percent_rank` = (rank − 1)/(n − 1) — exact integer
+    * arithmetic divided once, identical in any engine — and the ordering
+    * includes the id tiebreak, so ranks are total. Single-row strata get
+    * rank 0.0 (both engines' convention) and pass any gate ≤ 0.
+    *
+    * Scale shape: one shuffle partitioned by stratum, then a streaming
+    * rank window (no buffering beyond the sort). A single dominant
+    * stratum (web text is 90% of a crawl) makes that window partition
+    * huge — Spark's window sort spills and survives, but the better plan
+    * at that skew is the two-pass form: aggregate per-stratum exact
+    * rank thresholds (count + ordered rank select, tiny result),
+    * broadcast them back, and filter map-side — same answer, no giant
+    * partition. This one-pass form is right up to ~10⁸ rows per
+    * stratum; the scaladoc contract is the switch point, and q74 gates
+    * the one-pass form.
+    */
+  def percentileGate(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      scoreCol: String,
+      minPct: Double
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    df.withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("keep", col("pct_rank") >= lit(minPct))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Lake
-import graft.ops.{Classifier, Dedup, Index, LanguageModel, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Classifier, Dedup, Index, LanguageModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash /
@@ -1163,7 +1163,239 @@ object PipelineQueries {
       ORDER BY d.doc_id""")
   )
 
+  // ---------------------------------------------------------------- q71
+  /** BM25 top-k retrieval over the corpus — the serving face of the q67
+    * inverted index. Log-free BM25 (rational idf, k1=1.2 / b=0.75
+    * saturation multiplied through to exact-long divisions) so every
+    * double is bit-identical across engines — ops.Index.bm25TopK
+    * scaladoc has the determinism proof. One query carries a term absent
+    * from the corpus (contributes nothing) and one a rare term ('dup',
+    * df 26) whose idf dominates — the ranking must surface rare-term
+    * docs over common-term frequency. */
+  private val q71 = {
+    val fixture = Seq(
+      ("search_dup", "dup"), ("search_dup", "scan"),
+      ("search_join", "join"), ("search_join", "hash"), ("search_join", "merge"),
+      ("search_missing", "nonexistent"), ("search_missing", "spark"),
+      ("search_stream", "stream"), ("search_stream", "window"),
+      ("search_stream", "batch"))
+    val valuesSql = fixture
+      .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    Q(
+      "q71_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val queries = fixture.toDF("query_id", "term")
+        Index.bm25TopK(Lake(s, dir).documents, "doc_id", "text", queries, k = 5)
+          .select("query_id", "doc", "n_terms", "score", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+      WITH q(query_id, term) AS (VALUES $valuesSql),
+      tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+      p AS (SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY term, doc),
+      rel AS (SELECT p.* FROM p WHERE term IN (SELECT DISTINCT term FROM q)),
+      dfv AS (SELECT term, COUNT(*) AS df FROM rel GROUP BY term),
+      dl AS (SELECT doc_id AS doc,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             FROM documents),
+      tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl),
+      sc AS (SELECT q.query_id, rel.doc,
+               CAST(22 * tot.t_tokens * rel.tf AS DOUBLE)
+                 / (10 * tot.t_tokens * rel.tf + 3 * tot.t_tokens
+                    + 9 * dl.dl * tot.n_docs)
+               * (CAST(2 * (tot.n_docs - dfv.df) + 1 AS DOUBLE)
+                  / (2 * dfv.df + 1)) AS contrib
+             FROM q JOIN rel ON q.term = rel.term
+             JOIN dfv ON rel.term = dfv.term
+             JOIN dl ON rel.doc = dl.doc
+             CROSS JOIN tot),
+      agg AS (SELECT query_id, doc, COUNT(*) AS n_terms,
+                list_reduce(list(contrib ORDER BY contrib), (a, b) -> a + b)
+                  AS score
+              FROM sc GROUP BY query_id, doc),
+      r AS (SELECT query_id, doc, n_terms, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc) AS rank
+            FROM agg)
+      SELECT query_id, doc, CAST(n_terms AS BIGINT) AS n_terms, score,
+        CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
+    )
+  }
+
+  // ---------------------------------------------------------------- q72
+  /** Sub-document span dedup — the C4 boilerplate rule at 3-word-span
+    * granularity (this corpus has no sentence marks): spans appearing in
+    * ≥ 2 distinct documents are removed from all of them and documents
+    * re-assemble from their surviving spans in order
+    * (ops.Dedup.spanDedup scaladoc for the one-span-shuffle shape). */
+  private val q72 = Q(
+    "q72_span_dedup",
+    (s, dir) =>
+      Dedup.spanDedup(Lake(s, dir).documents, "doc_id", "text",
+        span = 3, minDocs = 2)
+        .select("doc_id", "n_spans", "n_dropped", "clean_text")
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sp AS (SELECT doc_id, CAST(i // 3 AS BIGINT) AS span_idx,
+               array_to_string(ws[(i + 1):(i + 3)], ' ') AS span_text
+             FROM w, unnest(generate_series(0, len(ws) - 1, 3)) AS t(i)),
+      shared AS (SELECT span_text FROM sp GROUP BY span_text
+                 HAVING COUNT(DISTINCT doc_id) >= 2),
+      m AS (SELECT sp.doc_id, sp.span_idx, sp.span_text,
+              (shared.span_text IS NOT NULL) AS dup
+            FROM sp LEFT JOIN shared USING (span_text)),
+      agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+                SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dropped,
+                COALESCE(string_agg(CASE WHEN NOT dup THEN span_text END,
+                  ' ' ORDER BY span_idx), '') AS clean_text
+              FROM m GROUP BY doc_id)
+      SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+        CAST(n_dropped AS BIGINT) AS n_dropped, clean_text
+      FROM agg ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q73
+  /** Deterministic training-shard export: reproducible epoch shuffle
+    * into 8 shards with within-shard order, no global sort anywhere
+    * (ops.Packing.shardExport scaladoc). Shard and order come from two
+    * independent md5 keys, so the permutation is salt-reproducible on
+    * any engine — the oracle rebuilds both hashes nibble-for-nibble. */
+  private val q73 = {
+    def nib(e: String, j: Int) =
+      s"(strpos('0123456789abcdef', substr($e, $j, 1)) - 1)"
+    def hex4(e: String) =
+      s"(${nib(e, 1)} * 4096 + ${nib(e, 2)} * 256 + ${nib(e, 3)} * 16 + ${nib(e, 4)})"
+    val salt = "ep1"
+    Q(
+      "q73_shard_export",
+      (s, dir) =>
+        Packing.shardExport(Lake(s, dir).documents, "doc_id",
+          nShards = 8, salt = salt)
+          .select("doc_id", "shard", "shard_pos")
+          .orderBy("shard", "shard_pos"),
+      Some(s"""
+      WITH h AS (SELECT doc_id,
+                   ${hex4(s"md5('$salt' || CAST(doc_id AS VARCHAR))")} % 8
+                     AS shard,
+                   md5('o$salt' || CAST(doc_id AS VARCHAR)) AS ok
+                 FROM documents)
+      SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        CAST(row_number() OVER (PARTITION BY shard ORDER BY ok, doc_id) - 1
+          AS BIGINT) AS shard_pos
+      FROM h ORDER BY shard, shard_pos""")
+    )
+  }
+
+  // ---------------------------------------------------------------- q74
+  /** Per-language percentile quality gate (the CCNet/FineWeb filter
+    * shape): keep a document iff its quality score clears the 10th
+    * percentile WITHIN its language — absolute thresholds misfire
+    * across languages because the score distributions differ.
+    * percent_rank is exact-int arithmetic with an id tiebreak, so the
+    * gate is engine-deterministic (ops.Sampling.percentileGate scaladoc,
+    * including the two-pass broadcast-threshold form for a dominant
+    * stratum at crawl scale). */
+  private val q74 = {
+    val qualitySql = """
+        least(length(text) / 500.0, 1.0) * 0.5
+          + CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+            / greatest(len(string_split(text, ' ')), 1) * 2.0
+          - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) * 1.0"""
+    Q(
+      "q74_quality_percentile_gate",
+      (s, dir) =>
+        Sampling.percentileGate(
+          Lake(s, dir).documents
+            .withColumn("quality", TextAnalysis.qualityScore(col("text"))),
+          "doc_id", "lang", "quality", minPct = 0.1)
+          .select("doc_id", "lang", "quality", "pct_rank", "keep")
+          .orderBy("doc_id"),
+      Some(s"""
+      WITH s AS (SELECT doc_id, lang, $qualitySql AS quality FROM documents),
+      r AS (SELECT doc_id, lang, quality,
+              percent_rank() OVER (PARTITION BY lang
+                                   ORDER BY quality, doc_id) AS pct_rank
+            FROM s)
+      SELECT doc_id, lang, quality, pct_rank, pct_rank >= 0.1 AS keep
+      FROM r ORDER BY doc_id""")
+    )
+  }
+
+  // ---------------------------------------------------------------- q75
+  /** Audio (WAV) metadata decode — the audio face of q41: each doc gets
+    * a REAL 44-byte RIFF/WAVE header built from per-doc parameters
+    * (rate/channels/bit-depth/sample-count derived from doc_id and text
+    * length), and ops.Multimodal.parseWavHeader reads them back through
+    * genuine container bytes inside the partition-wise decode. The
+    * oracle recomputes the same parameters arithmetically — the parse
+    * must round-trip exactly, including the integer-exact duration. */
+  private val q75 = Q(
+    "q75_audio_meta",
+    (s, dir) => {
+      import s.implicits._
+      val wavs = Lake(s, dir).documents
+        .select(col("doc_id"), length(col("text")).cast("long").as("__n"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) =>
+          (id, Multimodal.wavHeader(
+            sampleRate = 8000L + (id % 5) * 4000L,
+            channels = id % 2 + 1,
+            bitsPerSample = if (id % 3 == 0) 8L else 16L,
+            nSamples = n))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.decodeAudioMeta(wavs, "doc_id", "media")
+        .toDF().orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sample_rate,
+        CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS BIGINT)
+          AS bits_per_sample,
+        CAST(length(text) AS BIGINT) AS n_samples,
+        CAST(length(text) * 1000 // (8000 + (doc_id % 5) * 4000) AS BIGINT)
+          AS duration_ms
+      FROM documents ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q76
+  /** Salted skew-proof join under the hash gate: ops.Joins.saltedJoin
+    * must equal the plain equi-join EXACTLY (the oracle is that plain
+    * join, aggregated). The salt spreads each part key across 8 shuffle
+    * partitions — the manual lever for hot keys AQE can't split; the
+    * sum is decimal-exact so the equality is bitwise. */
+  private val q76 = Q(
+    "q76_salted_join",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val li = lake.lineitem.select(
+        col("l_partkey").as("partkey"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+      val parts = lake.part.select(
+        col("p_partkey").as("partkey"), col("p_brand"))
+      graft.ops.Joins.saltedJoin(li, parts, Seq("partkey"), saltFactor = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("qty")).cast("double").as("total_qty"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      SELECT p.p_brand,
+        CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand ORDER BY p.p_brand""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q65, q66, q67, q68, q69, q70)
+    q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
+    q76)
 }

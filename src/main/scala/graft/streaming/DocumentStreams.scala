@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.TextAnalysis
+import graft.ops.{Classifier, TextAnalysis}
 
 /** Streaming curation for a document feed — the incremental twin of the
   * batch curation decision (q45): each micro-batch of arriving documents
@@ -51,5 +51,24 @@ object DocumentStreams {
           TextAnalysis.countMatches(col(textCol), PhonePattern) +
           TextAnalysis.countMatches(col(textCol), Ipv4Pattern))
       .withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+  }
+
+  /** Streaming classifier gate — the incremental twin of the q68
+    * hashed-linear quality scorer. The model is a pure expression
+    * (integer-tenths weights addressed by md5 of the token — see
+    * ops.Classifier), so the streaming form is stateless and
+    * shuffle-free: score and gate each micro-batch at read speed,
+    * BEFORE anything stateful (dedup state stores, sinks) pays for a
+    * document the gate would drop. Batch ≡ streaming by construction —
+    * StreamingSpec asserts the equality on the same rows. */
+  def classifyStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      dim: Int = 64,
+      biasTenths: Int = 0,
+      keepOnly: Boolean = true
+  ): DataFrame = {
+    val scored = Classifier.hashedLinearScore(docs, textCol, dim, biasTenths)
+    if (keepOnly) scored.filter(col("keep")) else scored
   }
 }

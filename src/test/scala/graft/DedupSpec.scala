@@ -260,4 +260,51 @@ class DedupSpec extends SparkTestBase {
     // the curation keep-rule: exactly one canonical doc per cluster
     assert(out.count { case (id, (cl, _)) => id == cl } == 3)
   }
+
+  test("spanDedup: shared spans drop from every doc, unique spans survive in order") {
+    // Docs 1 and 2 share the span "x y z" (boilerplate); doc 3 is clean.
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z d e f"),
+      (3L, "g h i j k l")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", span = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_dropped"), r.getAs[String]("clean_text")))
+    assert(out(0) == ((1L, 2L, 1L, "a b c")))
+    assert(out(1) == ((2L, 2L, 1L, "d e f")))
+    assert(out(2) == ((3L, 2L, 0L, "g h i j k l")))
+  }
+
+  test("spanDedup: a doc made entirely of shared spans empties to ''") {
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y z"), (3L, "x y z p q")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", span = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "")
+    assert(out(1).getAs[String]("clean_text") == "")
+    // doc 3's tail span "p q" (partial) is unique and survives
+    assert(out(2).getAs[String]("clean_text") == "p q")
+  }
+
+  test("spanDedup: within-doc repetition alone is not cross-doc duplication") {
+    // The same span twice in ONE doc: n_docs = 1 < minDocs, kept.
+    val docs = Seq((1L, "x y z x y z"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", span = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_dropped") == 0L)
+    assert(out(0).getAs[String]("clean_text") == "x y z x y z")
+  }
+
+  test("spanDedup: total over the corpus, invariant to partitioning") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Dedup.spanDedup(docs, "doc_id", "text", span = 3)
+      .orderBy("doc_id").collect()
+    val b = Dedup.spanDedup(docs.repartition(7), "doc_id", "text", span = 3)
+      .orderBy("doc_id").collect()
+    assert(a.length == docs.count())
+    assert(a.toSeq == b.toSeq)
+  }
 }

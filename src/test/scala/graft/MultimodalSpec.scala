@@ -150,4 +150,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(nn.head.getAs[Long]("neighbor_id") == 2L)
     assert(nn.head.getAs[Double]("cos") == 1.0)
   }
+
+  test("parseWavHeader round-trips the canonical header wavHeader builds") {
+    val hdr = Multimodal.wavHeader(
+      sampleRate = 44100, channels = 2, bitsPerSample = 16, nSamples = 1000)
+    assert(Multimodal.parseWavHeader(hdr).contains((44100L, 2L, 16L, 1000L)))
+    // mono 8-bit: blockAlign 1
+    val mono = Multimodal.wavHeader(8000, 1, 8, 123)
+    assert(Multimodal.parseWavHeader(mono).contains((8000L, 1L, 8L, 123L)))
+  }
+
+  test("parseWavHeader walks past LIST metadata chunks to fmt/data") {
+    val base = Multimodal.wavHeader(16000, 1, 16, 50)
+    // splice a LIST chunk (tag + u32le size + payload) between WAVE and fmt
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val spliced = base.take(12) ++ list ++ base.drop(12)
+    // RIFF size field is now stale, which real tooling tolerates; the
+    // parser must still find fmt and data by the chunk walk
+    assert(Multimodal.parseWavHeader(spliced).contains((16000L, 1L, 16L, 50L)))
+  }
+
+  test("parseWavHeader rejects non-WAV and truncated bytes") {
+    assert(Multimodal.parseWavHeader(null).isEmpty)
+    assert(Multimodal.parseWavHeader("RIFFxxxxAVI LIST".getBytes).isEmpty)
+    assert(Multimodal.parseWavHeader(
+      Multimodal.wavHeader(8000, 1, 16, 10).take(20)).isEmpty)
+    // data chunk before any fmt chunk: no format info, must not guess
+    val hdr = Multimodal.wavHeader(8000, 1, 16, 10)
+    val dataFirst = hdr.take(12) ++ hdr.drop(36)
+    assert(Multimodal.parseWavHeader(dataFirst).isEmpty)
+  }
+
+  test("decodeAudioMeta: real parse for WAV, stub fallback elsewhere") {
+    val rows = Seq(
+      (1L, Multimodal.wavHeader(22050, 2, 16, 2205)),
+      (2L, "not audio at all".getBytes)
+    ).toDF("doc_id", "media")
+    val out = Multimodal.decodeAudioMeta(rows, "doc_id", "media")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).sample_rate == 22050L && out(1L).channels == 2L)
+    assert(out(1L).n_samples == 2205L)
+    assert(out(1L).duration_ms == 100L) // 2205 * 1000 / 22050 exactly
+    assert(out(2L).sample_rate == 8000L) // honest deterministic fallback
+  }
 }

@@ -288,6 +288,25 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("bm25 broadcasts the query table; shard export never range-shuffles") {
+    val docs = Lake(spark, sfDir).documents
+    val queries = Seq(("q", "spark"), ("q", "join")).toDF("query_id", "term")
+    val bm = graft.ops.Index.bm25TopK(docs, "doc_id", "text", queries, k = 5)
+    val plan = planOf(bm)
+    // the tiny query table must never shuffle the postings side
+    assert(plan.contains("BroadcastHashJoin"), s"query table not broadcast:\n$plan")
+    // top-k per query is a group-limit heap, not a full per-query sort
+    assert(plan.contains("WindowGroupLimit"), s"bm25 top-k sorts fully:\n$plan")
+
+    // the epoch shuffle is hash-partitioned by shard; a rangepartitioning
+    // exchange would mean a global sort snuck in (the thing shardExport
+    // exists to avoid)
+    val sh = graft.ops.Packing.shardExport(docs, "doc_id", nShards = 8)
+    val plan2 = planOf(sh)
+    assert(!plan2.toLowerCase.contains("rangepartitioning"),
+      s"shardExport plans a global range sort:\n$plan2")
+  }
+
   test("no registered query plans a cartesian product (cross-join ops excepted)") {
     // q07 is the deliberate J4 cross-join operator; q27 cross-joins a
     // 775-row calendar spine (broadcast nested loop, intentional).

@@ -170,4 +170,55 @@ class SamplingSpec extends SparkTestBase {
     assert(!kept.contains("src1"))       // keep-none stratum gone
     assert(math.abs(kept("src2") - 500) < 80)
   }
+
+  test("shardExport: every doc lands in exactly one shard, positions dense from 0") {
+    val df = (1L to 200L).map(i => Tuple1(i)).toDF("doc_id")
+    val out = graft.ops.Packing.shardExport(df, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "shard_pos").collect()
+    assert(out.length == 200)
+    assert(out.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 4))
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+  }
+
+  test("shardExport: salt changes the permutation; same salt reproduces it") {
+    val df = (1L to 100L).map(i => Tuple1(i)).toDF("doc_id")
+    def order(salt: String) =
+      graft.ops.Packing.shardExport(df, "doc_id", nShards = 2, salt = salt)
+        .orderBy("shard", "shard_pos").collect().map(_.getLong(0)).toSeq
+    assert(order("ep1") == order("ep1"))
+    assert(order("ep1") != order("ep2"))
+    // partitioning-invariant: the permutation is a pure function of ids
+    val repart = graft.ops.Packing.shardExport(
+      df.repartition(9), "doc_id", nShards = 2, salt = "ep1")
+      .orderBy("shard", "shard_pos").collect().map(_.getLong(0)).toSeq
+    assert(repart == order("ep1"))
+  }
+
+  test("percentileGate: bottom decile per stratum gated, strata independent") {
+    // Stratum A scores 1..100; stratum B scores 1001..1010. An absolute
+    // threshold would keep all of B or kill all of A; the per-stratum
+    // gate trims each stratum's own bottom 10%.
+    val rows = (1L to 100L).map(i => (i, "A", i.toDouble)) ++
+      (1L to 10L).map(i => (100L + i, "B", 1000.0 + i))
+    val out = Sampling.percentileGate(
+      rows.toDF("doc_id", "lang", "score"), "doc_id", "lang", "score", 0.1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // A: percent_rank = (i-1)/99 >= 0.1 → i >= 10.9 → keep i >= 11
+    assert((1L to 10L).forall(!out(_)))
+    assert((11L to 100L).forall(out(_)))
+    // B: (i-1)/9 >= 0.1 → keep i >= 2 (its own distribution, not A's)
+    assert(!out(101L) && (102L to 110L).forall(out(_)))
+  }
+
+  test("percentileGate: single-row stratum ranks 0.0 and passes a 0 gate") {
+    val df = Seq((1L, "solo", 5.0)).toDF("doc_id", "lang", "score")
+    val r0 = Sampling.percentileGate(df, "doc_id", "lang", "score", 0.0)
+      .collect().head
+    assert(r0.getDouble(3) == 0.0 && r0.getBoolean(4))
+    val r1 = Sampling.percentileGate(df, "doc_id", "lang", "score", 0.1)
+      .collect().head
+    assert(!r1.getBoolean(4))
+  }
 }

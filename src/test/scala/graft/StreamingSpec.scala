@@ -249,6 +249,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("classifyStream: streamed scores equal the batch classifier row for row") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocumentStreams
+      .classifyStream(docs, keepOnly = false)
+      .writeStream.format("memory").queryName("classified")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "spark join fast table scan"),
+        (2L, "slow merge batch window stream"),
+        (3L, "a"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("classified")
+        .select("doc_id", "score", "keep").orderBy("doc_id").collect().toSeq
+      val batch = graft.ops.Classifier
+        .hashedLinearScore(rows.toDF("doc_id", "text"), "text", dim = 64)
+        .select("doc_id", "score", "keep").orderBy("doc_id").collect().toSeq
+      assert(streamed == batch)
+      // the gating form keeps exactly the keep=true rows
+      assert(graft.streaming.DocumentStreams.classifyStream(
+        rows.toDF("doc_id", "text")).count() ==
+        batch.count(_.getAs[Boolean]("keep")))
+    } finally q.stop()
+  }
+
   test("end-to-end incremental lake: silver stream → view → gold == batch pipeline") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("lake")

@@ -151,4 +151,55 @@ class TextOpsSpec extends SparkTestBase {
       .select("doc_id", "mean_condp").orderBy("doc_id").collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  // ------------------------------------------------------------- BM25
+
+  test("Index.bm25TopK: rare-term doc outranks common-term frequency") {
+    // 'rare' appears in one doc; 'common' in all four. The rare-term
+    // match must beat any pile-up of common-term tf.
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common rare"),
+      (3L, "common common common"),
+      (4L, "common")
+    ).toDF("doc_id", "text")
+    val queries = Seq(("q", "rare"), ("q", "common")).toDF("query_id", "term")
+    val top = Index.bm25TopK(docs, "doc_id", "text", queries, k = 4)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 2L) // doc 2 holds the only 'rare'
+    assert(top.head.getLong(2) == 2L) // matched both terms
+  }
+
+  test("Index.bm25TopK: terms absent from the corpus contribute nothing") {
+    val docs = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val qWith = Seq(("q", "a"), ("q", "zz_missing")).toDF("query_id", "term")
+    val qBare = Seq(("q", "a")).toDF("query_id", "term")
+    val a = Index.bm25TopK(docs, "doc_id", "text", qWith, k = 5)
+      .select("doc", "score").orderBy("doc").collect()
+    val b = Index.bm25TopK(docs, "doc_id", "text", qBare, k = 5)
+      .select("doc", "score").orderBy("doc").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("Index.bm25TopK: k bounds every query's results; rank is dense from 1") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val queries = Seq(("q1", "spark"), ("q1", "join"), ("q2", "scan"))
+      .toDF("query_id", "term")
+    val out = Index.bm25TopK(docs, "doc_id", "text", queries, k = 3)
+      .select("query_id", "rank").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq)
+    out.foreach { case (_, ranks) =>
+      assert(ranks == (1L to ranks.size).toSeq && ranks.size <= 3)
+    }
+  }
+
+  test("Index.bm25TopK: score is invariant to repartitioning") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val queries = Seq(("q", "hash"), ("q", "dup")).toDF("query_id", "term")
+    val a = Index.bm25TopK(docs, "doc_id", "text", queries, k = 10)
+      .select("doc", "score").orderBy("doc").collect()
+    val b = Index.bm25TopK(docs.repartition(13), "doc_id", "text", queries, k = 10)
+      .select("doc", "score").orderBy("doc").collect()
+    assert(a.toSeq == b.toSeq)
+  }
 }
