@@ -31,4 +31,42 @@ object Stats {
         (F.col("n").cast("double") * F.col("n_keys") / F.col("total_rows"))
           .as("skew_ratio"))
   }
+
+  /** Mergeable per-group statistics state — the incremental-aggregate-
+    * maintenance pattern: a 100 TB lake never re-aggregates history, it
+    * keeps a small per-group STATE table and folds each day's partial
+    * into it. Every field here is a commutative monoid (count/sum add,
+    * min/max lattice-join), and the sum is decimal — exact and
+    * order-independent — so `merge(partial(A), partial(B)) ==
+    * partial(A ∪ B)` holds BITWISE, not approximately. q78 proves that
+    * equality under the DuckDB hash gate; derived values (avg) are
+    * computed once at read time from exact state, never stored.
+    *
+    * Scale shape: partial() is one map-side-combined shuffle over the
+    * batch only (O(day), not O(history)); merge() shuffles the state
+    * tables — group-cardinality-sized, tiny next to the data.
+    */
+  def partialStats(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(F.col): _*).agg(
+      F.count(F.lit(1)).as("cnt"),
+      F.sum(F.col(valueCol).cast("decimal(28,2)")).as("sum_v"),
+      F.min(F.col(valueCol)).as("min_v"),
+      F.max(F.col(valueCol)).as("max_v"))
+
+  /** Fold two (or more, via repeated union) partial-state frames into
+    * one — same schema in, same schema out, so states chain across days. */
+  def mergeStats(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame =
+    states.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(F.col): _*).agg(
+        F.sum(F.col("cnt")).as("cnt"),
+        // cast back to the partial() precision so states CHAIN: the state
+        // schema is a fixed point of merge, whatever the fold depth
+        F.sum(F.col("sum_v")).cast("decimal(28,2)").as("sum_v"),
+        F.min(F.col("min_v")).as("min_v"),
+        F.max(F.col("max_v")).as("max_v"))
+
+  /** Read-time view over the state: attach derived values (mean). */
+  def finalizeStats(state: DataFrame): DataFrame =
+    state.withColumn("avg_v",
+      F.col("sum_v").cast("double") / F.col("cnt"))
 }

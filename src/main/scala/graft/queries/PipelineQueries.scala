@@ -1394,8 +1394,46 @@ object PipelineQueries {
       GROUP BY p.p_brand ORDER BY p.p_brand""")
   )
 
+  // ---------------------------------------------------------------- q77
+  /** Snapshot diff (CDC for the lake): yesterday's corpus vs today's,
+    * every key classified added/removed/changed by content hash, the
+    * unchanged bulk dropped before anything materializes — the primitive
+    * that lets a daily refresh re-dedup/re-score only the delta
+    * (ops.Snapshot scaladoc). Both snapshots derive deterministically
+    * from `documents` (drop multiples of 7 from prev, multiples of 13
+    * from curr, uppercase multiples of 11 in prev), so the oracle can
+    * rebuild the exact same diff. */
+  private val q77 = Q(
+    "q77_snapshot_diff",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, upper(col("text")))
+            .otherwise(col("text")))
+      val curr = docs.filter(col("doc_id") % 13 =!= 0)
+      graft.ops.Snapshot.diff(prev, curr, "doc_id", Seq("text"))
+        .select("doc_id", "change_type")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH prev AS (SELECT doc_id,
+                      CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END
+                        AS text
+                    FROM documents WHERE doc_id % 7 <> 0),
+      curr AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0),
+      j AS (SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+              CASE WHEN p.doc_id IS NULL THEN 'added'
+                   WHEN c.doc_id IS NULL THEN 'removed'
+                   WHEN md5(p.text) <> md5(c.text) THEN 'changed'
+                   ELSE 'unchanged' END AS change_type
+            FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id)
+      SELECT doc_id, change_type FROM j
+      WHERE change_type <> 'unchanged' ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76)
+    q76, q77)
 }

@@ -942,8 +942,45 @@ object RelationalQueries {
       ORDER BY event_id, window_id""")
   )
 
+  // ---------------------------------------------------------------- q78
+  /** Incremental aggregate maintenance: the per-group stats state is a
+    * commutative monoid (count/decimal-sum add, min/max lattice-join),
+    * so merging yesterday's state with today's partial equals the full
+    * recompute BITWISE — which is exactly what the oracle states (one
+    * plain GROUP BY over the whole table). The engine side never
+    * touches history: two partials (each O(its batch)) and a
+    * state-sized merge (ops.Stats.partialStats/mergeStats). */
+  private val q78 = Q(
+    "q78_incremental_stats",
+    (s, dir) => {
+      import graft.ops.Stats
+      val li = Lake(s, dir).lineitem
+      val cutoff = "1997-01-01"
+      val history = li.filter(col("l_shipdate") < cutoff)
+      val batch = li.filter(col("l_shipdate") >= cutoff)
+      val state = Stats.mergeStats(
+        Seq(Stats.partialStats(history, Seq("l_returnflag"), "l_quantity"),
+          Stats.partialStats(batch, Seq("l_returnflag"), "l_quantity")),
+        Seq("l_returnflag"))
+      Stats.finalizeStats(state)
+        .select(col("l_returnflag"), col("cnt"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"), col("avg_v"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
+        MIN(l_quantity) AS min_v,
+        MAX(l_quantity) AS max_v,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+          AS avg_v
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q46, q47, q48, q52, q63, q64)
+    q46, q47, q48, q52, q63, q64, q78)
 }

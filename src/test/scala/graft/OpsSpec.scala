@@ -141,4 +141,40 @@ class OpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(out == Set((1L, "A"), (2L, "A"), (2L, "B"), (3L, "B"), (4L, "A"), (4L, "B")))
   }
+
+  test("Snapshot.diff: added/removed/changed classified, unchanged omitted") {
+    val prev = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("id", "text")
+    val curr = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("id", "text")
+    val out = Snapshot.diff(prev, curr, "id", Seq("text"))
+      .select("id", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val summary = Snapshot.diffSummary(prev, curr, "id", Seq("text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L))
+  }
+
+  test("Snapshot.diff: content columns outside the list do not mark 'changed'") {
+    val prev = Seq((1L, "body", "meta_a")).toDF("id", "text", "meta")
+    val curr = Seq((1L, "body", "meta_b")).toDF("id", "text", "meta")
+    assert(Snapshot.diff(prev, curr, "id", Seq("text")).count() == 0)
+    assert(Snapshot.diff(prev, curr, "id", Seq("text", "meta")).count() == 1)
+  }
+
+  test("Stats merge: chained daily states equal the full recompute exactly") {
+    val days = Seq(
+      Seq(("A", 1.5), ("A", 2.5), ("B", 10.0)),
+      Seq(("A", 4.0), ("B", 0.5)),
+      Seq(("C", 7.25)))
+    val partials = days.map(d =>
+      Stats.partialStats(d.toDF("g", "v"), Seq("g"), "v"))
+    // fold day 3 into (day 1 ⊕ day 2): merge must chain, not just pair
+    val chained = Stats.mergeStats(
+      Seq(Stats.mergeStats(partials.take(2), Seq("g")), partials(2)), Seq("g"))
+    val full = Stats.partialStats(
+      days.flatten.toDF("g", "v"), Seq("g"), "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      Stats.finalizeStats(df).orderBy("g").collect().map(_.toSeq).toSeq
+    assert(snap(chained) == snap(full))
+  }
 }

@@ -181,6 +181,53 @@ class PropertySpec extends SparkTestBase {
     assert(out(3L) == (5L, 3L, 0.6))       // a z z
   }
 
+  test("mergeStats(partial(A), partial(B)) == partial(A ∪ B) for any split") {
+    import graft.ops.Stats
+    val gen = Gen.zip(
+      Gen.listOfN(20, Gen.zip(Gen.oneOf("x", "y", "z"), Gen.choose(-50, 50))),
+      Gen.choose(0, 20))
+    holds(Prop.forAll(gen) { case (rows0, cut) =>
+      val rows = rows0.map { case (g, v) => (g, v / 4.0) }
+      rows.isEmpty || {
+        val (a, b) = rows.splitAt(cut)
+        def partial(d: Seq[(String, Double)]) =
+          Stats.partialStats(d.toDF("g", "v"), Seq("g"), "v")
+        val merged = Stats.mergeStats(
+          Seq(a, b).filter(_.nonEmpty).map(partial), Seq("g"))
+        val full = partial(rows)
+        merged.orderBy("g").collect().map(_.toSeq).toSeq ==
+          full.orderBy("g").collect().map(_.toSeq).toSeq
+      }
+    })
+  }
+
+  test("spanDedup reconstruction law: kept + dropped spans rebuild the doc") {
+    val docs = Gen.listOfN(6, Gen.zip(
+      Gen.choose(1L, 50L),
+      Gen.listOfN(7, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+      .map(_.distinctBy(_._1))
+    holds(Prop.forAll(docs) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("doc_id", "text")
+        val out = Dedup.spanDedup(df, "doc_id", "text", span = 3)
+          .collect().map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dropped"),
+              r.getAs[String]("clean_text"))).toMap
+        rows.forall { case (id, text) =>
+          val (nSpans, nDropped, clean) = out(id)
+          val words = text.split(" ")
+          // span accounting is total and clean_text is a subsequence of
+          // the original built from whole spans
+          nSpans == (words.length + 2) / 3 &&
+          nDropped >= 0 && nDropped <= nSpans &&
+          (clean.isEmpty ||
+            clean.split(" ").grouped(3).forall(chunk =>
+              text.contains(chunk.mkString(" "))))
+        }
+      }
+    })
+  }
+
   test("exact dedup: canonical id is the min doc_id of each text group") {
     val docs = Gen.listOfN(15, Gen.zip(Gen.choose(1L, 100L), Gen.choose(0, 3)))
       .map(_.distinctBy(_._1).map { case (id, t) => (id, s"text $t") })
