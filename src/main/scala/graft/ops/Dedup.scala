@@ -563,18 +563,14 @@ object Dedup {
       minDocs: Int = 2
   ): DataFrame = {
     require(span >= 1, s"span must be >= 1: $span")
-    val spans = docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+    // non-overlapping chunking IS chunkDocuments with overlap 0 — one
+    // implementation of the slice/sequence-bound subtleties, not two
+    val spans = Packing.chunkDocuments(docs, idCol, textCol,
+      chunkTokens = span, overlap = 0)
       .select(
         col("doc_id"),
-        posexplode(sequence(lit(0), size(col("__ws")) - 1, lit(span)))
-          .as(Seq("span_idx", "__start")),
-        col("__ws"))
-      .select(
-        col("doc_id"),
-        col("span_idx").cast("long").as("span_idx"),
-        concat_ws(" ", slice(col("__ws"), col("__start") + 1, lit(span)))
-          .as("span_text"))
+        col("chunk_idx").as("span_idx"),
+        col("chunk_text").as("span_text"))
     val shared = spans
       .groupBy("span_text")
       .agg(countDistinct("doc_id").as("__nd"))

@@ -248,22 +248,27 @@ object Multimodal {
     if (bytes == null || bytes.length < 44 ||
       ascii(0, 4) != "RIFF" || ascii(8, 12) != "WAVE") None
     else {
-      var i = 12
+      // the cursor advances by declared chunk sizes, which are UNTRUSTED
+      // u32 values up to 4 GiB — walk in Long so a corrupt size can
+      // neither wrap negative (index crash) nor stall the loop; any
+      // overshoot simply exits the while and returns None (malformed)
+      var i = 12L
       var fmt: Option[(Long, Long, Long)] = None // (channels, rate, bits)
       var blockAlign = 0L
       while (i + 8 <= bytes.length) {
-        val tag = ascii(i, i + 4)
-        val size = u32le(i + 4)
+        val at = i.toInt // safe: i < bytes.length <= Int.MaxValue here
+        val tag = ascii(at, at + 4)
+        val size = u32le(at + 4)
         if (tag == "fmt " && size >= 16 && i + 8 + 16 <= bytes.length) {
-          fmt = Some((u16le(i + 10), u32le(i + 12), u16le(i + 22)))
-          blockAlign = u16le(i + 20)
+          fmt = Some((u16le(at + 10), u32le(at + 12), u16le(at + 22)))
+          blockAlign = u16le(at + 20)
         } else if (tag == "data") {
           return fmt.collect {
             case (ch, rate, bits) if blockAlign > 0 && rate > 0 =>
               (rate, ch, bits, size / blockAlign)
           }
         }
-        i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+        i += 8L + size + (size & 1L) // chunks pad to even offsets
       }
       None
     }

@@ -129,8 +129,12 @@ object Packing {
       salt: String = ""
   ): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    // 12 hex digits = 48 bits of hash feeding the modulo: the floor/ceil
+    // imbalance of (2^48 mod nShards) keeps shard-size skew below
+    // nShards/2^48 (~4e-9 even at a million shards) — 4 digits would
+    // skew 2x at nShards ~ 40k and leave shards beyond 65535 empty
     val shard = pmod(
-      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 4),
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 12),
         16, 10).cast("long"),
       lit(nShards.toLong))
     val orderKey = md5(concat(lit("o"), lit(salt), col(idCol).cast("string")))

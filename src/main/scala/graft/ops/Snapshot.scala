@@ -37,7 +37,13 @@ object Snapshot {
     def hashed(df: DataFrame, as: String) =
       df.select(
         col(idCol),
-        md5(concat_ws("", contentCols.map(col): _*)).as(as))
+        // each column folds to "v<value>" or "n" BEFORE the separator
+        // join: concat_ws alone silently drops NULL columns (and their
+        // separator), which would hash (a="x", b=NULL) and (a=NULL,
+        // b="x") identically and classify a changed row as unchanged
+        md5(concat_ws("", contentCols.map(c =>
+          coalesce(concat(lit("v"), col(c).cast("string")), lit("n"))): _*))
+          .as(as))
     val p = hashed(prev, "prev_hash")
     val c = hashed(curr, "curr_hash")
     p.join(c, Seq(idCol), "full_outer")

@@ -14,6 +14,19 @@ import graft.ops.{Classifier, Dedup, Index, LanguageModel, Multimodal, Packing, 
   */
 object PipelineQueries {
 
+  /** Shared oracle expression: the DuckDB mirror of
+    * [[graft.ops.TextAnalysis.qualityScore]]. ONE copy feeding every
+    * oracle that scores quality (q38/q45/q74) — a weight or stopword
+    * change in the Scala side has exactly one SQL twin to update, so
+    * the gates cannot silently diverge query-by-query. */
+  private val QualitySqlExpr = """
+        least(length(text) / 500.0, 1.0) * 0.5
+          + CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+            / greatest(len(string_split(text, ' ')), 1) * 2.0
+          - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) * 1.0"""
+
   /** Shared oracle CTE: distinct 3-gram word shingles per document. */
   private val ShinglesCte = """
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -394,7 +407,7 @@ object PipelineQueries {
         TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
         TextAnalysis.qualityScore(col("text")).as("quality")
       ).orderBy("doc_id"),
-    Some("""
+    Some(s"""
       SELECT doc_id, length(text) AS n_chars,
         len(string_split(text, ' ')) AS n_words,
         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
@@ -404,12 +417,7 @@ object PipelineQueries {
           / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio,
         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
           / greatest(length(text), 1) AS punct_ratio,
-        least(length(text) / 500.0, 1.0) * 0.5
-          + CAST(len(list_filter(string_split(text, ' '),
-              t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-            / greatest(len(string_split(text, ' ')), 1) * 2.0
-          - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-            / greatest(length(text), 1) * 1.0 AS quality
+        $QualitySqlExpr AS quality
       FROM documents ORDER BY doc_id""")
   )
 
@@ -463,16 +471,11 @@ object PipelineQueries {
         .withColumn("keep", (col("decision") === "keep").cast("int"))
         .orderBy("doc_id")
     },
-    Some("""
+    Some(s"""
       WITH scored AS (
         SELECT doc_id, lang,
           MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-          least(length(text) / 500.0, 1.0) * 0.5
-            + CAST(len(list_filter(string_split(text, ' '),
-                t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-              / greatest(len(string_split(text, ' ')), 1) * 2.0
-            - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-              / greatest(length(text), 1) * 1.0 AS quality
+          $QualitySqlExpr AS quality
         FROM documents)
       SELECT doc_id, quality,
         CASE WHEN doc_id <> canonical_id THEN 'duplicate'
@@ -1267,8 +1270,11 @@ object PipelineQueries {
   private val q73 = {
     def nib(e: String, j: Int) =
       s"(strpos('0123456789abcdef', substr($e, $j, 1)) - 1)"
-    def hex4(e: String) =
-      s"(${nib(e, 1)} * 4096 + ${nib(e, 2)} * 256 + ${nib(e, 3)} * 16 + ${nib(e, 4)})"
+    // 12-nibble (48-bit) hash, mirroring Packing.shardExport's width:
+    // Horner form Σ nib_j · 16^(12-j), exact in BIGINT
+    def hex12(e: String) =
+      (1 to 12).map(j => s"${nib(e, j)} * ${1L << (4 * (12 - j))}")
+        .mkString("(", " + ", ")")
     val salt = "ep1"
     Q(
       "q73_shard_export",
@@ -1279,7 +1285,7 @@ object PipelineQueries {
           .orderBy("shard", "shard_pos"),
       Some(s"""
       WITH h AS (SELECT doc_id,
-                   ${hex4(s"md5('$salt' || CAST(doc_id AS VARCHAR))")} % 8
+                   ${hex12(s"md5('$salt' || CAST(doc_id AS VARCHAR))")} % 8
                      AS shard,
                    md5('o$salt' || CAST(doc_id AS VARCHAR)) AS ok
                  FROM documents)
@@ -1300,13 +1306,7 @@ object PipelineQueries {
     * including the two-pass broadcast-threshold form for a dominant
     * stratum at crawl scale). */
   private val q74 = {
-    val qualitySql = """
-        least(length(text) / 500.0, 1.0) * 0.5
-          + CAST(len(list_filter(string_split(text, ' '),
-              t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-            / greatest(len(string_split(text, ' ')), 1) * 2.0
-          - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-            / greatest(length(text), 1) * 1.0"""
+    val qualitySql = QualitySqlExpr
     Q(
       "q74_quality_percentile_gate",
       (s, dir) =>

@@ -176,10 +176,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.parseWavHeader("RIFFxxxxAVI LIST".getBytes).isEmpty)
     assert(Multimodal.parseWavHeader(
       Multimodal.wavHeader(8000, 1, 16, 10).take(20)).isEmpty)
-    // data chunk before any fmt chunk: no format info, must not guess
-    val hdr = Multimodal.wavHeader(8000, 1, 16, 10)
-    val dataFirst = hdr.take(12) ++ hdr.drop(36)
+    // data chunk before any fmt chunk: no format info, must not guess.
+    // 12-byte RIFF/WAVE preamble + 8-byte data chunk header declaring a
+    // 24-byte payload + the payload = 44 bytes, past the length precheck
+    // so the walk itself must hit the fmt-less data branch
+    val dataFirst = "RIFF".getBytes("US-ASCII") ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "data".getBytes("US-ASCII") ++
+      Array[Byte](24, 0, 0, 0) ++ Array.fill(24)(0.toByte)
+    assert(dataFirst.length == 44)
     assert(Multimodal.parseWavHeader(dataFirst).isEmpty)
+    // a corrupt chunk size that would wrap a 32-bit cursor negative (or
+    // stall it at zero advance) must classify as malformed, not hang
+    val corrupt = "RIFF".getBytes("US-ASCII") ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      Array[Byte](-8, -1, -1, -1) ++ Array.fill(24)(0.toByte)
+    assert(Multimodal.parseWavHeader(corrupt).isEmpty)
   }
 
   test("decodeAudioMeta: real parse for WAV, stub fallback elsewhere") {
