@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The composed batch-curation pipeline — the one-call API a user
+  * migrating a pretraining data pipeline actually wants: the canonical
+  * stage order (PII scrub → exact-dedup canonicality → classifier gate →
+  * language allowlist → deterministic sampling) wired together with a
+  * first-failing-stage decision per document, fully auditable (every
+  * document comes back with its decision, never silently dropped).
+  *
+  * Stage order rationale:
+  *   - scrub FIRST: nothing downstream (state stores, fingerprints,
+  *     sinks) may see or key on raw PII — and dedup must fingerprint the
+  *     scrubbed form, or two docs differing only in a redacted email
+  *     would not collapse;
+  *   - dedup before the gates so the canonical survivor is stable under
+  *     gate-config changes;
+  *   - sampling LAST so the rate applies to the already-clean pool (a
+  *     mix plan from [[Sampling.mixWeights]] slots in here).
+  *
+  * Scale shape: scrub, classifier, language, and sampling are all
+  * map-side expressions (zero shuffle, [[Classifier]]/[[TextAnalysis]]
+  * scaladocs); the ONLY exchange is the fingerprint window for
+  * canonicality — one hash shuffle on `fp`, O(1) state per group. The
+  * whole pipeline is a single-shuffle pass over the corpus, which is
+  * what lets a daily 100 TB refresh run it end-to-end.
+  *
+  * Every stage is individually oracle-gated (q58/q30/q68/q45/q51); q79
+  * gates the COMPOSITION — same expressions, so the pipeline cannot
+  * drift from its parts.
+  */
+object Curation {
+
+  final case class Config(
+      langs: Seq[String] = Seq("en"),
+      classifierDim: Int = 64,
+      classifierBiasTenths: Int = 0,
+      sampleRate: Double = 1.0,
+      salt: String = "")
+
+  /** Run the composed pipeline. Emits every input row plus `text`
+    * (scrubbed in place), `fp`, `score`, `n_tokens`, `decision`
+    * (duplicate | classifier | lang | sampled_out | keep — first failing
+    * stage wins), and `kept`. */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      cfg: Config
+  ): DataFrame = {
+    val scrubbed = docs.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    val margin = Classifier.marginTenths(
+      col(textCol), cfg.classifierDim, cfg.classifierBiasTenths)
+    val w = Window.partitionBy("fp")
+    scrubbed
+      .withColumn("fp", md5(col(textCol)))
+      .withColumn("__canonical", min(col(idCol)).over(w))
+      .withColumn("__margin", margin)
+      .withColumn("score", col("__margin").cast("double") / 10.0)
+      .withColumn("n_tokens", TextAnalysis.wsTokenCount(col(textCol)).cast("long"))
+      .withColumn("decision",
+        when(col(idCol) =!= col("__canonical"), "duplicate")
+          .when(col("__margin") < 0, "classifier")
+          .when(!col(langCol).isInCollection(cfg.langs), "lang")
+          .when(!Sampling.keeps(col(idCol), cfg.sampleRate, cfg.salt),
+            "sampled_out")
+          .otherwise("keep"))
+      .withColumn("kept", col("decision") === "keep")
+      .drop("__canonical", "__margin")
+  }
+}

@@ -27,6 +27,39 @@ object PipelineQueries {
           - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
             / greatest(length(text), 1) * 1.0"""
 
+  /** Shared fixture: deterministically derive PII-bearing text from
+    * doc_id (emails for id%3, phones for id%5, IPv4 for id%7 — the
+    * q08/q21 literal-fixture convention; the corpus itself is synthetic
+    * and PII-free). Spark and SQL twins of the same construction, used
+    * by q58 (scrub in isolation) and q79 (scrub inside the composed
+    * pipeline). */
+  private def piiTextCol: org.apache.spark.sql.Column =
+    concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string")))
+        .otherwise(lit("")))
+
+  private val PiiTextSqlExpr = """text ||
+        CASE WHEN doc_id % 3 = 0
+             THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+             THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+             ELSE '' END"""
+
   /** Shared oracle CTE: distinct 3-gram word shingles per document. */
   private val ShinglesCte = """
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -772,36 +805,13 @@ object PipelineQueries {
   private val q58 = {
     import TextAnalysis.{EmailPattern, Ipv4Pattern, PhonePattern}
     val derivedSql = s"""
-      p AS (SELECT doc_id, text ||
-        CASE WHEN doc_id % 3 = 0
-             THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
-        CASE WHEN doc_id % 5 = 0
-             THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-             ELSE '' END ||
-        CASE WHEN doc_id % 7 = 0
-             THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
-             ELSE '' END AS text
+      p AS (SELECT doc_id, $PiiTextSqlExpr AS text
       FROM documents)"""
     Q(
       "q58_pii_redaction",
       (s, dir) => {
         val withPii = Lake(s, dir).documents.select(
-          col("doc_id"),
-          concat(
-            col("text"),
-            when(col("doc_id") % 3 === 0,
-              concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
-              .otherwise(lit("")),
-            when(col("doc_id") % 5 === 0,
-              concat(lit(" call 555-"),
-                lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
-                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-              .otherwise(lit("")),
-            when(col("doc_id") % 7 === 0,
-              concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
-                lit("."), (col("doc_id") % 100).cast("string")))
-              .otherwise(lit(""))).as("text"))
+          col("doc_id"), piiTextCol.as("text"))
         withPii.select(
           col("doc_id"),
           TextAnalysis.countMatches(col("text"), EmailPattern).as("n_emails"),
@@ -1432,8 +1442,74 @@ object PipelineQueries {
       WHERE change_type <> 'unchanged' ORDER BY doc_id""")
   )
 
+  // ---------------------------------------------------------------- q79
+  /** The COMPOSED curation pipeline end-to-end under the hash gate:
+    * PII scrub → exact-dedup canonicality (on the scrubbed form) →
+    * classifier gate → language allowlist → deterministic sampling, one
+    * first-failing decision per document (ops.Curation scaladoc — one
+    * shuffle total). Every stage is gated in isolation (q58/q30/q68/
+    * q45/q51); this gates their composition, so the pipeline can never
+    * drift from its parts. The oracle chains the same five stages as
+    * CTEs. */
+  private val q79 = {
+    import TextAnalysis.{EmailPattern, Ipv4Pattern, PhonePattern}
+    val dim = 64
+    val bias = 5
+    def nib(e: String, j: Int) =
+      s"(strpos('0123456789abcdef', substr($e, $j, 1)) - 1)"
+    def hex4(e: String) =
+      s"(${nib(e, 1)} * 4096 + ${nib(e, 2)} * 256 + ${nib(e, 3)} * 16 + ${nib(e, 4)})"
+    def hex2(e: String) = s"(${nib(e, 1)} * 16 + ${nib(e, 2)})"
+    Q(
+      "q79_curation_pipeline",
+      (s, dir) => {
+        val withPii = Lake(s, dir).documents.select(
+          col("doc_id"), col("lang"), piiTextCol.as("text"))
+        graft.ops.Curation.curate(withPii, "doc_id", "text", "lang",
+          graft.ops.Curation.Config(
+            langs = Seq("en", "de", "es", "fr"),
+            classifierDim = dim, classifierBiasTenths = bias,
+            sampleRate = 0.5, salt = "cur"))
+          .select("doc_id", "lang", "fp", "score", "n_tokens",
+            "decision", "kept")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+      WITH p AS (SELECT doc_id, lang, $PiiTextSqlExpr AS text
+                 FROM documents),
+      sc AS (SELECT doc_id, lang,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '$EmailPattern', '<EMAIL>', 'g'),
+                 '$Ipv4Pattern', '<IP>', 'g'),
+                 '$PhonePattern', '<PHONE>', 'g') AS t
+             FROM p),
+      c AS (SELECT doc_id, lang, t, md5(t) AS fp,
+              MIN(doc_id) OVER (PARTITION BY md5(t)) AS canonical
+            FROM sc),
+      tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM sc),
+      b AS (SELECT doc_id, ${hex4("md5(tk)")} % $dim AS bucket FROM tok),
+      wt AS (SELECT doc_id,
+               ${hex2("md5('w' || CAST(bucket AS VARCHAR))")} % 21 - 10 AS wgt
+             FROM b),
+      mg AS (SELECT doc_id, SUM(wgt) + $bias AS m FROM wt GROUP BY doc_id),
+      d AS (SELECT c.doc_id, c.lang, c.fp,
+              CAST(mg.m AS DOUBLE) / 10.0 AS score,
+              CAST(len(string_split(c.t, ' ')) AS BIGINT) AS n_tokens,
+              CASE WHEN c.doc_id <> c.canonical THEN 'duplicate'
+                   WHEN mg.m < 0 THEN 'classifier'
+                   WHEN c.lang NOT IN ('en','de','es','fr') THEN 'lang'
+                   WHEN NOT (substr(md5(CAST(c.doc_id AS VARCHAR) || 'cur'),
+                             1, 3) < '800') THEN 'sampled_out'
+                   ELSE 'keep' END AS decision
+            FROM c JOIN mg ON c.doc_id = mg.doc_id)
+      SELECT doc_id, lang, fp, score, n_tokens, decision,
+        decision = 'keep' AS kept
+      FROM d ORDER BY doc_id""")
+    )
+  }
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77)
+    q76, q77, q79)
 }

@@ -202,4 +202,64 @@ class TextOpsSpec extends SparkTestBase {
       .select("doc", "score").orderBy("doc").collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  // --------------------------------------------------------- Curation
+
+  test("Curation.curate: first-failing decision, total over the corpus") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma"),
+      (2L, "en", "alpha beta gamma"),  // dup of 1 → 'duplicate' wins
+      (3L, "xx", "alpha beta gamma delta"), // bad lang
+      (4L, "en", "unique words here entirely")
+    ).toDF("doc_id", "lang", "text")
+    // huge positive bias: classifier passes everything, isolating the
+    // dedup/lang stages; rate 1.0 disables sampling
+    val out = Curation.curate(docs, "doc_id", "text", "lang",
+      Curation.Config(langs = Seq("en"), classifierBiasTenths = 10000,
+        sampleRate = 1.0))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("decision"), r.getAs[Boolean]("kept"))).toMap
+    assert(out.size == 4) // auditable: nothing silently dropped
+    assert(out(1L) == ("keep", true))
+    assert(out(2L) == ("duplicate", false))
+    assert(out(3L) == ("lang", false))
+    assert(out(4L) == ("keep", true))
+
+    // classifier failure outranks the language gate but not dedup
+    val strict = Curation.curate(docs, "doc_id", "text", "lang",
+      Curation.Config(langs = Seq("en"), classifierBiasTenths = -10000,
+        sampleRate = 1.0))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("decision")).toMap
+    assert(strict(2L) == "duplicate")
+    assert(strict(1L) == "classifier" && strict(3L) == "classifier")
+  }
+
+  test("Curation.curate: scrub precedes fingerprinting (PII-only diffs collapse)") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, "en", "reach me at aa@x.org thanks"),
+      (2L, "en", "reach me at bb@y.org thanks") // differs only in the email
+    ).toDF("doc_id", "lang", "text")
+    val out = Curation.curate(docs, "doc_id", "text", "lang",
+      Curation.Config(langs = Seq("en"), classifierBiasTenths = 10000,
+        sampleRate = 1.0))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("decision"), r.getAs[String]("text"))).toMap
+    assert(out(1L)._1 == "keep")
+    assert(out(2L)._1 == "duplicate") // same doc after redaction
+    assert(out(1L)._2 == "reach me at <EMAIL> thanks")
+  }
+
+  test("Curation.curate plans exactly one shuffle (the fp window)") {
+    import graft.ops.Curation
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val plan = Curation.curate(docs, "doc_id", "text", "lang",
+      Curation.Config(sampleRate = 0.5))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"curation pipeline should shuffle once (fp window):\n$plan")
+  }
 }
