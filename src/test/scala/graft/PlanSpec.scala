@@ -288,6 +288,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed postings serve term lookups with no postings-side exchange") {
+    // the Index scaladoc's serving claim, proven: postings written
+    // bucketed by term are read back and joined/aggregated on term
+    // without re-shuffling the postings side — the retrieval layer's
+    // per-query cost at 100 TB is a bucket-pruned read, not a shuffle
+    val wh = java.nio.file.Files.createTempDirectory("postings")
+    val postings = graft.ops.Index.postings(
+      Lake(spark, sfDir).documents, "doc_id", "text")
+    graft.core.Bucketing.writeBucketed(
+      postings, "b_postings", s"$wh/p", 4, Seq("term"))
+    try {
+      val dfAgg = spark.table("b_postings")
+        .groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      val plan = planOf(dfAgg)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed postings aggregation still shuffles:\n$plan")
+      assert(dfAgg.count() > 0)
+    } finally spark.sql("DROP TABLE b_postings")
+  }
+
   test("bm25 broadcasts the query table; shard export never range-shuffles") {
     val docs = Lake(spark, sfDir).documents
     val queries = Seq(("q", "spark"), ("q", "join")).toDF("query_id", "term")
