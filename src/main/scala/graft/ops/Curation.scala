@@ -65,7 +65,11 @@ object Curation {
       .withColumn("decision",
         when(col(idCol) =!= col("__canonical"), "duplicate")
           .when(col("__margin") < 0, "classifier")
-          .when(!col(langCol).isInCollection(cfg.langs), "lang")
+          // explicit isNull arm: a bare NOT isInCollection is NULL for a
+          // null lang (lang-ID failure, common in real crawls), which
+          // skips the when-branch and lets the doc fall through to keep
+          .when(col(langCol).isNull ||
+            !col(langCol).isInCollection(cfg.langs), "lang")
           .when(!Sampling.keeps(col(idCol), cfg.sampleRate, cfg.salt),
             "sampled_out")
           .otherwise("keep"))

@@ -65,13 +65,12 @@ object Index {
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k)
       .groupBy("term")
+      // ≤ k rows per term reach this fold (the group limit above)
       .agg(
-        count(lit(1)).as("__k"), // ≤ k rows per term reach this fold
         concat_ws(",",
           transform(
             array_sort(collect_list(struct(col("__r"), col("doc")))),
             s => s.getField("doc").cast("string"))).as("top_docs"))
-      .drop("__k")
     val stats = p.groupBy("term").agg(
       count(lit(1)).as("df"),
       sum("tf").as("cf"))
@@ -92,8 +91,13 @@ object Index {
     * tf_sat = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)), the product of the
     * two factors is one rounded multiply, and the per-(query, doc) sum
     * folds a SORTED list — the DotProduct/LanguageModel determinism
-    * rule. Longs stay exact: 10·T·tf < 2⁶³ up to T ≈ 10¹⁷ tokens,
-    * comfortably past a 100 TB corpus.
+    * rule. Long exactness needs 10·T·tf < 2⁶³, i.e. T·tf < 9.2·10¹⁷ —
+    * so tf is capped at 10⁴ before the arithmetic (saturation has
+    * flattened by then: tf_sat(10⁴) is within 0.03% of its tf→∞
+    * limit, so rankings are unaffected). With the cap, a 100 TB corpus
+    * (T ≈ 2.5·10¹³ tokens) sits at T·tf ≤ 2.5·10¹⁷ — inside the bound
+    * even for a pathological million-token single-word document, which
+    * UNCAPPED tf would silently wrap negative on.
     *
     * Scale shape:
     *   - the query table is tiny by construction — broadcast twice (term
@@ -119,23 +123,28 @@ object Index {
     val qterms = queries.select(col("query_id"), col("term"))
     // Restrict the postings stream to query-relevant terms map-side;
     // df counts over the full corpus are preserved because the semi-join
-    // filters terms, never documents.
+    // filters terms, never documents. Persisted: rel feeds BOTH the df
+    // aggregate and the contrib join — without the persist each consumer
+    // re-pays the corpus tokenize + (term, doc) shuffle (the Dedup
+    // shingle-frame precedent; bench hygiene drops these caches).
     val rel = postings(docs, idCol, textCol)
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfs = rel.groupBy("term").agg(count(lit(1)).as("df"))
     val dl = docs.select(
       col(idCol).as("doc"),
       TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("dl"))
     val totals = dl.agg(
       count(lit(1)).as("n_docs"), sum("dl").as("t_tokens"))
+    val tfCapped = least(col("tf"), lit(10000L))
     val contrib = rel
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfs), Seq("term"))
       .join(dl, Seq("doc"))
       .crossJoin(broadcast(totals))
       .withColumn("tf_sat",
-        (lit(22L) * col("t_tokens") * col("tf")).cast("double") /
-          (lit(10L) * col("t_tokens") * col("tf")
+        (lit(22L) * col("t_tokens") * tfCapped).cast("double") /
+          (lit(10L) * col("t_tokens") * tfCapped
             + lit(3L) * col("t_tokens")
             + lit(9L) * col("dl") * col("n_docs")))
       .withColumn("idf",

@@ -283,6 +283,10 @@ object Multimodal {
   ): Array[Byte] = {
     val blockAlign = channels * bitsPerSample / 8
     val dataLen = nSamples * blockAlign
+    // the RIFF size fields are u32: past 4 GiB the format is RF64, and
+    // silently wrapping .toInt would emit a corrupt-but-parseable header
+    require(dataLen + 36 <= 0xFFFFFFFFL,
+      s"WAV data $dataLen bytes exceeds the u32 RIFF limit (use RF64)")
     val byteRate = sampleRate * blockAlign
     val b = java.nio.ByteBuffer.allocate(44)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -49,6 +49,10 @@ object Stats {
   def partialStats(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
     df.groupBy(groupCols.map(F.col): _*).agg(
       F.count(F.lit(1)).as("cnt"),
+      // non-null value count carried separately: sum skips nulls, so
+      // dividing by cnt (row count) would understate the mean of any
+      // nullable metric — avg must divide by n_v, matching SQL AVG
+      F.count(F.col(valueCol)).as("n_v"),
       F.sum(F.col(valueCol).cast("decimal(28,2)")).as("sum_v"),
       F.min(F.col(valueCol)).as("min_v"),
       F.max(F.col(valueCol)).as("max_v"))
@@ -59,14 +63,17 @@ object Stats {
     states.reduce(_.unionByName(_))
       .groupBy(groupCols.map(F.col): _*).agg(
         F.sum(F.col("cnt")).as("cnt"),
+        F.sum(F.col("n_v")).as("n_v"),
         // cast back to the partial() precision so states CHAIN: the state
         // schema is a fixed point of merge, whatever the fold depth
         F.sum(F.col("sum_v")).cast("decimal(28,2)").as("sum_v"),
         F.min(F.col("min_v")).as("min_v"),
         F.max(F.col("max_v")).as("max_v"))
 
-  /** Read-time view over the state: attach derived values (mean). */
+  /** Read-time view over the state: attach derived values (mean over
+    * NON-NULL values, null when none — SQL AVG semantics). */
   def finalizeStats(state: DataFrame): DataFrame =
     state.withColumn("avg_v",
-      F.col("sum_v").cast("double") / F.col("cnt"))
+      F.when(F.col("n_v") === 0, F.lit(null).cast("double"))
+        .otherwise(F.col("sum_v").cast("double") / F.col("n_v")))
 }

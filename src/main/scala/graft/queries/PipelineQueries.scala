@@ -60,6 +60,33 @@ object PipelineQueries {
              THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
              ELSE '' END"""
 
+  /** md5-nibble SQL helpers (the DuckDB hex→int idiom, q29 precedent) —
+    * ONE copy feeding every oracle that rebuilds hash arithmetic
+    * (q68/q73/q79), so a nibble-order change cannot drift per query. */
+  private def nibSql(e: String, j: Int): String =
+    s"(strpos('0123456789abcdef', substr($e, $j, 1)) - 1)"
+
+  private def hexSql(e: String, digits: Int): String =
+    (1 to digits).map(j => s"${nibSql(e, j)} * ${1L << (4 * (digits - j))}")
+      .mkString("(", " + ", ")")
+
+  /** Shared classifier-margin CTE chain — the SQL twin of
+    * [[graft.ops.Classifier.marginTenths]], used by q68 (stage in
+    * isolation) and q79 (inside the composed pipeline): tokens of
+    * `textCol` in `srcCte` → hash bucket → integer-tenths weight →
+    * per-doc margin `m` (bias included). */
+  private def classifierMarginCtes(
+      srcCte: String, textCol: String, dim: Int, biasTenths: Int): String = s"""
+      tok AS (SELECT doc_id, unnest(string_split($textCol, ' ')) AS tk
+              FROM $srcCte),
+      bkt AS (SELECT doc_id, ${hexSql("md5(tk)", 4)} % $dim AS bucket FROM tok),
+      wt AS (SELECT doc_id,
+               ${hexSql("md5('w' || CAST(bucket AS VARCHAR))", 2)} % 21 - 10
+                 AS wgt
+             FROM bkt),
+      mg AS (SELECT doc_id, SUM(wgt) + $biasTenths AS m FROM wt
+             GROUP BY doc_id)"""
+
   /** Shared oracle CTE: distinct 3-gram word shingles per document. */
   private val ShinglesCte = """
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1063,12 +1090,6 @@ object PipelineQueries {
   private val q68 = {
     val dim = 64
     val biasTenths = 5
-    // DuckDB hex→int via the strpos-nibble idiom (q29 precedent).
-    def nib(e: String, j: Int) =
-      s"(strpos('0123456789abcdef', substr($e, $j, 1)) - 1)"
-    def hex4(e: String) =
-      s"(${nib(e, 1)} * 4096 + ${nib(e, 2)} * 256 + ${nib(e, 3)} * 16 + ${nib(e, 4)})"
-    def hex2(e: String) = s"(${nib(e, 1)} * 16 + ${nib(e, 2)})"
     Q(
       "q68_classifier_score",
       (s, dir) =>
@@ -1077,18 +1098,12 @@ object PipelineQueries {
           .select("doc_id", "n_tokens", "score", "keep")
           .orderBy("doc_id"),
       Some(s"""
-      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                 FROM documents),
-      b AS (SELECT doc_id, ${hex4("md5(tok)")} % $dim AS bucket FROM t),
-      wt AS (SELECT doc_id,
-               ${hex2("md5('w' || CAST(bucket AS VARCHAR))")} % 21 - 10 AS w
-             FROM b),
-      s AS (SELECT doc_id, SUM(w) AS sw FROM wt GROUP BY doc_id)
+      WITH ${classifierMarginCtes("documents", "text", dim, biasTenths)}
       SELECT d.doc_id,
         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
-        CAST(s.sw + $biasTenths AS DOUBLE) / 10.0 AS score,
-        (s.sw + $biasTenths) >= 0 AS keep
-      FROM documents d JOIN s USING (doc_id) ORDER BY doc_id""")
+        CAST(mg.m AS DOUBLE) / 10.0 AS score,
+        mg.m >= 0 AS keep
+      FROM documents d JOIN mg USING (doc_id) ORDER BY doc_id""")
     )
   }
 
@@ -1130,7 +1145,7 @@ object PipelineQueries {
         CAST(length(raw) AS BIGINT) AS len_raw,
         CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
         nfc_normalize(raw) != raw AS changed,
-        CAST(len(regexp_extract_all(raw, chr(195) || '[' || chr(160) || '-' || chr(191) || ']')) AS BIGINT)
+        CAST(len(regexp_extract_all(raw, chr(195) || '[' || chr(32) || '-' || chr(191) || ']')) AS BIGINT)
           AS mojibake_hits,
         nfc_normalize(raw) AS nfc_text
       FROM d ORDER BY doc_id""")
@@ -1215,8 +1230,9 @@ object PipelineQueries {
              FROM documents),
       tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl),
       sc AS (SELECT q.query_id, rel.doc,
-               CAST(22 * tot.t_tokens * rel.tf AS DOUBLE)
-                 / (10 * tot.t_tokens * rel.tf + 3 * tot.t_tokens
+               CAST(22 * tot.t_tokens * LEAST(rel.tf, 10000) AS DOUBLE)
+                 / (10 * tot.t_tokens * LEAST(rel.tf, 10000)
+                    + 3 * tot.t_tokens
                     + 9 * dl.dl * tot.n_docs)
                * (CAST(2 * (tot.n_docs - dfv.df) + 1 AS DOUBLE)
                   / (2 * dfv.df + 1)) AS contrib
@@ -1278,13 +1294,8 @@ object PipelineQueries {
     * independent md5 keys, so the permutation is salt-reproducible on
     * any engine — the oracle rebuilds both hashes nibble-for-nibble. */
   private val q73 = {
-    def nib(e: String, j: Int) =
-      s"(strpos('0123456789abcdef', substr($e, $j, 1)) - 1)"
-    // 12-nibble (48-bit) hash, mirroring Packing.shardExport's width:
-    // Horner form Σ nib_j · 16^(12-j), exact in BIGINT
-    def hex12(e: String) =
-      (1 to 12).map(j => s"${nib(e, j)} * ${1L << (4 * (12 - j))}")
-        .mkString("(", " + ", ")")
+    // 12-nibble (48-bit) hash, mirroring Packing.shardExport's width
+    def hex12(e: String) = hexSql(e, 12)
     val salt = "ep1"
     Q(
       "q73_shard_export",
@@ -1455,11 +1466,6 @@ object PipelineQueries {
     import TextAnalysis.{EmailPattern, Ipv4Pattern, PhonePattern}
     val dim = 64
     val bias = 5
-    def nib(e: String, j: Int) =
-      s"(strpos('0123456789abcdef', substr($e, $j, 1)) - 1)"
-    def hex4(e: String) =
-      s"(${nib(e, 1)} * 4096 + ${nib(e, 2)} * 256 + ${nib(e, 3)} * 16 + ${nib(e, 4)})"
-    def hex2(e: String) = s"(${nib(e, 1)} * 16 + ${nib(e, 2)})"
     Q(
       "q79_curation_pipeline",
       (s, dir) => {
@@ -1486,18 +1492,14 @@ object PipelineQueries {
       c AS (SELECT doc_id, lang, t, md5(t) AS fp,
               MIN(doc_id) OVER (PARTITION BY md5(t)) AS canonical
             FROM sc),
-      tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM sc),
-      b AS (SELECT doc_id, ${hex4("md5(tk)")} % $dim AS bucket FROM tok),
-      wt AS (SELECT doc_id,
-               ${hex2("md5('w' || CAST(bucket AS VARCHAR))")} % 21 - 10 AS wgt
-             FROM b),
-      mg AS (SELECT doc_id, SUM(wgt) + $bias AS m FROM wt GROUP BY doc_id),
+      ${classifierMarginCtes("sc", "t", dim, bias)},
       d AS (SELECT c.doc_id, c.lang, c.fp,
               CAST(mg.m AS DOUBLE) / 10.0 AS score,
               CAST(len(string_split(c.t, ' ')) AS BIGINT) AS n_tokens,
               CASE WHEN c.doc_id <> c.canonical THEN 'duplicate'
                    WHEN mg.m < 0 THEN 'classifier'
-                   WHEN c.lang NOT IN ('en','de','es','fr') THEN 'lang'
+                   WHEN c.lang IS NULL
+                        OR c.lang NOT IN ('en','de','es','fr') THEN 'lang'
                    WHEN NOT (substr(md5(CAST(c.doc_id AS VARCHAR) || 'cur'),
                              1, 3) < '800') THEN 'sampled_out'
                    ELSE 'keep' END AS decision

@@ -963,7 +963,7 @@ object RelationalQueries {
           Stats.partialStats(batch, Seq("l_returnflag"), "l_quantity")),
         Seq("l_returnflag"))
       Stats.finalizeStats(state)
-        .select(col("l_returnflag"), col("cnt"),
+        .select(col("l_returnflag"), col("cnt"), col("n_v"),
           col("sum_v").cast("double").as("sum_v"),
           col("min_v"), col("max_v"), col("avg_v"))
         .orderBy("l_returnflag")
@@ -971,11 +971,12 @@ object RelationalQueries {
     Some("""
       SELECT l_returnflag,
         CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(COUNT(l_quantity) AS BIGINT) AS n_v,
         CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
         MIN(l_quantity) AS min_v,
         MAX(l_quantity) AS max_v,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
-          AS avg_v
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+          / COUNT(l_quantity) AS avg_v
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 

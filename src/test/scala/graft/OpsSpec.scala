@@ -161,6 +161,17 @@ class OpsSpec extends SparkTestBase {
     assert(Snapshot.diff(prev, curr, "id", Seq("text", "meta")).count() == 1)
   }
 
+  test("Stats: avg divides by non-null value count, not row count") {
+    val df = Seq(("A", Some(2.0)), ("A", None), ("B", None))
+      .toDF("g", "v")
+    val out = Stats.finalizeStats(Stats.partialStats(df, Seq("g"), "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("cnt"), r.getAs[Long]("n_v"),
+          Option(r.get(r.fieldIndex("avg_v"))))).toMap
+    assert(out("A") == (2L, 1L, Some(2.0))) // SQL AVG semantics, not 1.0
+    assert(out("B") == (1L, 0L, None))      // all-null group: null avg
+  }
+
   test("Stats merge: chained daily states equal the full recompute exactly") {
     val days = Seq(
       Seq(("A", 1.5), ("A", 2.5), ("B", 10.0)),

@@ -226,6 +226,15 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(3L) == ("lang", false))
     assert(out(4L) == ("keep", true))
 
+    // a null lang (lang-ID failure) must be gated, not fall through the
+    // three-valued NOT IN to 'keep'
+    val withNull = Seq((9L, null.asInstanceOf[String], "totally novel text"))
+      .toDF("doc_id", "lang", "text")
+    val nullOut = Curation.curate(withNull, "doc_id", "text", "lang",
+      Curation.Config(langs = Seq("en"), classifierBiasTenths = 10000,
+        sampleRate = 1.0)).collect().head
+    assert(nullOut.getAs[String]("decision") == "lang")
+
     // classifier failure outranks the language gate but not dedup
     val strict = Curation.curate(docs, "doc_id", "text", "lang",
       Curation.Config(langs = Seq("en"), classifierBiasTenths = -10000,
