@@ -54,6 +54,32 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(keeps(col(keyCol), rate, salt))
 
+  /** Per-row weighted keep-predicate: a row survives with probability
+    * equal to its own `weight` (clamped to [0, 1]) — importance
+    * sampling, the fourth sampling leg (rate q51, count q62, tokens
+    * q65, weight here). The use case is quality-weighted corpus
+    * selection: weight = f(quality) keeps good documents at a higher
+    * rate without a hard threshold.
+    *
+    * Deterministic like [[keeps]]: the uniform draw is the top 24 hash
+    * bits of (key, salt) scaled by 2⁻²⁴ (an exact power-of-two double),
+    * compared once against the clamped weight — reproducible across
+    * engines, runs, and partitionings, and MONOTONE per row: raising a
+    * row's weight can only add it to the sample, never remove it (the
+    * q51 nesting law, row-wise). Zero shuffle. */
+  def weightedKeeps(key: Column, weight: Column, salt: String = ""): Column = {
+    val u = conv(substring(md5(concat(
+      coalesce(key.cast("string"), lit("")), lit(salt))), 1, 6), 16, 10)
+      .cast("double") / 16777216.0
+    u < least(greatest(weight, lit(0.0)), lit(1.0))
+  }
+
+  /** Weighted deterministic sample: keep each row with probability
+    * `weightCol` (clamped to [0, 1]), keyed on `keyCol`. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      salt: String = ""): DataFrame =
+    df.filter(weightedKeeps(col(keyCol), col(weightCol), salt))
+
   /** Deterministic EXACT-size sample: the `n` rows with the smallest
     * md5(key ‖ salt) — a fixed-size draw where [[hashSample]]'s
     * rate-based form gives a binomial-sized one. The use case is

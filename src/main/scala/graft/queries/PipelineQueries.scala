@@ -1510,8 +1510,41 @@ object PipelineQueries {
     )
   }
 
+  // ---------------------------------------------------------------- q80
+  /** Weighted (importance) sampling — keep each document with
+    * probability equal to its own quality-derived weight, no hard
+    * threshold: the soft-selection knob FineWeb-style pipelines use
+    * between "keep all" and a cliff-edge filter. Deterministic and
+    * row-monotone (ops.Sampling.weightedKeeps); the oracle rebuilds the
+    * 24-bit uniform draw nibble-for-nibble and the shared quality
+    * expression supplies the weight on both sides. */
+  private val q80 = {
+    val salt = "imp"
+    Q(
+      "q80_weighted_sampling",
+      (s, dir) => {
+        val weighted = Lake(s, dir).documents
+          .withColumn("weight",
+            least(greatest(
+              TextAnalysis.qualityScore(col("text")) / 3.0, lit(0.0)), lit(1.0)))
+        Sampling.weightedSample(weighted, "doc_id", "weight", salt)
+          .select("doc_id", "weight")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+      WITH s AS (SELECT doc_id,
+                   LEAST(GREATEST(($QualitySqlExpr) / 3.0, 0.0), 1.0)
+                     AS weight
+                 FROM documents)
+      SELECT doc_id, weight FROM s
+      WHERE CAST(${hexSql(s"md5(CAST(doc_id AS VARCHAR) || '$salt')", 6)}
+              AS DOUBLE) / 16777216.0 < weight
+      ORDER BY doc_id""")
+    )
+  }
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q79)
+    q76, q77, q79, q80)
 }

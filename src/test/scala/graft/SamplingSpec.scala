@@ -212,6 +212,27 @@ class SamplingSpec extends SparkTestBase {
     assert(!out(101L) && (102L to 110L).forall(out(_)))
   }
 
+  test("weightedSample: boundary weights are exact; higher weight only adds rows") {
+    val df = (1L to 2000L).map(i => (i, (i % 5) / 4.0)).toDF("k", "w")
+    val kept = Sampling.weightedSample(df, "k", "w").collect()
+      .map(_.getLong(0)).toSet
+    // weight 0 rows can never survive (u >= 0 always), weight 1 always do
+    assert((5L to 2000L by 5).forall(!kept.contains(_)))  // w = 0
+    assert((4L to 2000L by 5).forall(kept.contains(_)))   // w = 1
+    // intermediate rates land near their expectation
+    val w25 = (1L to 2000L by 5).count(kept.contains(_))  // w = 0.25, n=400
+    assert(math.abs(w25 - 100) < 50, s"w=0.25 kept $w25 of 400")
+    // row-wise monotonicity: raising every weight only ADDS rows
+    val keptMore = Sampling.weightedSample(
+      df.withColumn("w", col("w") + 0.2), "k", "w").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept.subsetOf(keptMore))
+    // reproducible under repartitioning
+    val repart = Sampling.weightedSample(df.repartition(7), "k", "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(repart == kept)
+  }
+
   test("percentileGate: single-row stratum ranks 0.0 and passes a 0 gate") {
     val df = Seq((1L, "solo", 5.0)).toDF("doc_id", "lang", "score")
     val r0 = Sampling.percentileGate(df, "doc_id", "lang", "score", 0.0)
