@@ -175,6 +175,54 @@ object EventStreams {
     * `gapMs` of silence (event-time via watermark + processing-time
     * timeout), emitting one summary row. The typed-state analogue of the
     * batch lag-gap sessionization (q26). */
+  final case class StatsState(
+      cnt: Long, nV: Long, sum: BigDecimal, minV: Option[Double], maxV: Option[Double])
+
+  final case class KeyStats(
+      user_id: Long, cnt: Long, n_v: Long, sum_v: BigDecimal,
+      min_v: Option[Double], max_v: Option[Double])
+
+  /** Streaming running per-key statistics — the incremental twin of the
+    * q78 batch state (`ops.Stats.partialStats`/`mergeStats`): the same
+    * commutative-monoid fields (count / quantized-decimal sum / min /
+    * max), kept durable in typed state and re-emitted per micro-batch.
+    * After ANY prefix of the stream, a key's latest emitted row equals
+    * the batch `partialStats` over the rows seen so far — asserted in
+    * StreamingSpec across multiple micro-batches.
+    *
+    * Determinism note: each value is quantized to 2 decimals EXACTLY the
+    * way Spark's `cast(v as decimal(…,2))` does it —
+    * `BigDecimal.valueOf` (the Double's decimal string, not its binary
+    * expansion) then HALF_UP — so the streaming sum is bit-equal to the
+    * batch decimal sum, not merely close.
+    *
+    * Scale shape: state is one small row per key, partitioned by key;
+    * no watermark needed because the state never grows with history —
+    * it IS the aggregate. */
+  def runningStats(events: Dataset[Event]): Dataset[KeyStats] = {
+    import events.sparkSession.implicits._
+    def quantize(v: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(v)
+        .setScale(2, java.math.RoundingMode.HALF_UP))
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[StatsState]) => {
+          var s = state.getOption.getOrElse(
+            StatsState(0L, 0L, BigDecimal(0), None, None))
+          batch.foreach { e =>
+            s = StatsState(
+              s.cnt + 1,
+              s.nV + 1,
+              s.sum + quantize(e.value),
+              Some(s.minV.fold(e.value)(math.min(_, e.value))),
+              Some(s.maxV.fold(e.value)(math.max(_, e.value))))
+          }
+          state.update(s)
+          KeyStats(userId, s.cnt, s.nV, s.sum, s.minV, s.maxV)
+        })
+  }
+
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events

@@ -181,6 +181,36 @@ class PropertySpec extends SparkTestBase {
     assert(out(3L) == (5L, 3L, 0.6))       // a z z
   }
 
+  test("asofJoin equals the naive latest-at-or-before spec for any data") {
+    val gen = Gen.zip(
+      Gen.listOfN(12, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0, 20))),
+      Gen.listOfN(8, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0, 20),
+        Gen.choose(1, 99))))
+    holds(Prop.forAll(gen) { case (leftRaw, rightRaw) =>
+      def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+      val left = leftRaw.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+      // unique (key, ts) on the right — the operator's documented
+      // precondition (a real change stream is unique there)
+      val right = rightRaw.distinctBy(r => (r._1, r._2))
+        .map { case (k, t, v) => (k, ts(t), v.toDouble) }
+      val out = Joins.asofJoin(
+        left.toDF("row_id", "k", "ts"),
+        right.toDF("k", "ts", "v"),
+        Seq("k"), "ts", Seq("v"))
+        .collect()
+        .map(r => r.getAs[Long]("row_id") ->
+          Option(r.get(r.fieldIndex("v"))).map(_.asInstanceOf[Double]))
+        .toMap
+      left.forall { case (id, k, lts) =>
+        val expect = right
+          .filter(r => r._1 == k && !r._2.after(lts))
+          .sortBy(_._2.getTime).lastOption.map(_._3)
+        out(id) == expect
+      }
+    })
+  }
+
   test("mergeStats(partial(A), partial(B)) == partial(A ∪ B) for any split") {
     import graft.ops.Stats
     val gen = Gen.zip(

@@ -332,6 +332,51 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("runningStats: latest emitted state equals batch partialStats after every batch") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.runningStats(input.toDS())
+      .writeStream.format("memory").queryName("runstats")
+      .outputMode("update").start()
+    try {
+      // 0.565 is the quantization honeypot: its binary double is
+      // 0.5649999…, so exact-expansion rounding gives 0.56 while
+      // Spark's cast-to-decimal (string-based) gives 0.57 — the state
+      // must match the batch cast, and this value catches a mismatch
+      val b1 = Seq(Event(1, ts(0), 7, "a", 0.565), Event(2, ts(1), 7, "b", 2.0),
+        Event(3, ts(2), 8, "a", -1.25))
+      val b2 = Seq(Event(4, ts(3), 7, "a", 10.111), Event(5, ts(4), 8, "b", 0.004))
+      def batchStats(rows: Seq[Event]) = {
+        import graft.ops.Stats
+        Stats.partialStats(
+          rows.toDF(), Seq("user_id"), "value")
+          .collect().map(r => r.getAs[Long]("user_id") ->
+            (r.getAs[Long]("cnt"), r.getAs[java.math.BigDecimal]("sum_v"),
+              r.getAs[Double]("min_v"), r.getAs[Double]("max_v"))).toMap
+      }
+      def latestStreamed(): Map[Long, (Long, java.math.BigDecimal, Double, Double)] =
+        spark.table("runstats").collect()
+          .map(r => r.getAs[Long]("user_id") ->
+            (r.getAs[Long]("cnt"), r.getAs[java.math.BigDecimal]("sum_v"),
+              r.getAs[Double]("min_v"), r.getAs[Double]("max_v")))
+          .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      input.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = latestStreamed()
+      batchStats(b1).foreach { case (k, (cnt, sum, mn, mx)) =>
+        val (scnt, ssum, smn, smx) = afterB1(k)
+        assert(scnt == cnt && ssum.compareTo(sum) == 0 && smn == mn && smx == mx)
+      }
+      input.addData(b2: _*); q.processAllAvailable()
+      val afterB2 = latestStreamed()
+      batchStats(b1 ++ b2).foreach { case (k, (cnt, sum, mn, mx)) =>
+        val (scnt, ssum, smn, smx) = afterB2(k)
+        assert(scnt == cnt, s"key $k cnt $scnt != $cnt")
+        assert(ssum.compareTo(sum) == 0, s"key $k sum $ssum != $sum")
+        assert(smn == mn && smx == mx)
+      }
+    } finally q.stop()
+  }
+
   test("sessionize: gap closes a session and emits its summary") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
