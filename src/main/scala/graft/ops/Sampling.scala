@@ -39,6 +39,14 @@ object Sampling {
     if (t >= 4096) "g00" else if (t <= 0) "000" else f"$t%03x"
   }
 
+  /** The one hash draw every sampler shares: md5 of (key-as-string ‖
+    * salt), null keys hashing as the empty string. Centralized so a
+    * change to the null-key or salt convention cannot silently diverge
+    * between sampler variants (each variant reads a different prefix
+    * width of the same draw). */
+  private def drawHex(key: Column, salt: String): Column =
+    md5(concat(coalesce(key.cast("string"), lit("")), lit(salt)))
+
   /** Keep-predicate: row survives iff the top 12 hash bits of
     * (key, salt) fall under `rate`. Change `salt` to draw an independent
     * sample (e.g. "val" vs "test" splits from the same keys). Null keys
@@ -46,8 +54,7 @@ object Sampling {
     * dropped together) — without the coalesce the null predicate would
     * silently drop them at EVERY rate, including keep-all. */
   def keeps(key: Column, rate: Double, salt: String = ""): Column =
-    substring(md5(concat(coalesce(key.cast("string"), lit("")), lit(salt))), 1, 3) <
-      lit(thresholdHex(rate))
+    substring(drawHex(key, salt), 1, 3) < lit(thresholdHex(rate))
 
   /** Uniform deterministic sample at `rate` keyed on `keyCol`. */
   def hashSample(df: DataFrame, keyCol: String, rate: Double,
@@ -68,8 +75,7 @@ object Sampling {
     * row's weight can only add it to the sample, never remove it (the
     * q51 nesting law, row-wise). Zero shuffle. */
   def weightedKeeps(key: Column, weight: Column, salt: String = ""): Column = {
-    val u = conv(substring(md5(concat(
-      coalesce(key.cast("string"), lit("")), lit(salt))), 1, 6), 16, 10)
+    val u = conv(substring(drawHex(key, salt), 1, 6), 16, 10)
       .cast("double") / 16777216.0
     u < least(greatest(weight, lit(0.0)), lit(1.0))
   }
@@ -97,7 +103,7 @@ object Sampling {
   def exactSample(df: DataFrame, keyCol: String, n: Int,
       salt: String = ""): DataFrame =
     df.orderBy(
-      md5(concat(coalesce(col(keyCol).cast("string"), lit("")), lit(salt))),
+      drawHex(col(keyCol), salt),
       col(keyCol))
       .limit(n)
 
@@ -116,7 +122,7 @@ object Sampling {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(stratumCol)).orderBy(
-      md5(concat(coalesce(col(keyCol).cast("string"), lit("")), lit(salt))),
+      drawHex(col(keyCol), salt),
       col(keyCol))
     df.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= nPerStratum)
@@ -225,9 +231,7 @@ object Sampling {
       .toDF(stratumCol, "__thr")
     df.join(broadcast(thresholds), Seq(stratumCol), "left")
       .withColumn("__thr", coalesce(col("__thr"), lit(thresholdHex(defaultRate))))
-      .filter(substring(md5(concat(
-        coalesce(col(keyCol).cast("string"), lit("")), lit(salt))), 1, 3)
-        < col("__thr"))
+      .filter(substring(drawHex(col(keyCol), salt), 1, 3) < col("__thr"))
       .drop("__thr")
   }
 

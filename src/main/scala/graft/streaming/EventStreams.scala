@@ -171,15 +171,12 @@ object EventStreams {
   final case class SessionSummary(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long)
 
-  /** Session windows per user with a gap timeout: a session closes after
-    * `gapMs` of silence (event-time via watermark + processing-time
-    * timeout), emitting one summary row. The typed-state analogue of the
-    * batch lag-gap sessionization (q26). */
   final case class StatsState(
-      cnt: Long, nV: Long, sum: BigDecimal, minV: Option[Double], maxV: Option[Double])
+      cnt: Long, nV: Long, sum: Option[BigDecimal],
+      minV: Option[Double], maxV: Option[Double])
 
   final case class KeyStats(
-      user_id: Long, cnt: Long, n_v: Long, sum_v: BigDecimal,
+      user_id: Long, cnt: Long, n_v: Long, sum_v: Option[BigDecimal],
       min_v: Option[Double], max_v: Option[Double])
 
   /** Streaming running per-key statistics — the incremental twin of the
@@ -194,35 +191,53 @@ object EventStreams {
     * way Spark's `cast(v as decimal(…,2))` does it —
     * `BigDecimal.valueOf` (the Double's decimal string, not its binary
     * expansion) then HALF_UP — so the streaming sum is bit-equal to the
-    * batch decimal sum, not merely close.
+    * batch decimal sum, not merely close. Non-finite values follow the
+    * batch semantics too: the cast yields null (no sum contribution,
+    * but n_v still counts the non-null double), and min/max use Spark's
+    * double ordering (NaN sorts LARGEST; `math.min`/`math.max` would
+    * propagate NaN into min and diverge).
     *
     * Scale shape: state is one small row per key, partitioned by key;
     * no watermark needed because the state never grows with history —
     * it IS the aggregate. */
   def runningStats(events: Dataset[Event]): Dataset[KeyStats] = {
     import events.sparkSession.implicits._
-    def quantize(v: Double): BigDecimal =
-      BigDecimal(java.math.BigDecimal.valueOf(v)
-        .setScale(2, java.math.RoundingMode.HALF_UP))
+    def quantize(v: Double): Option[BigDecimal] =
+      if (java.lang.Double.isFinite(v))
+        Some(BigDecimal(java.math.BigDecimal.valueOf(v)
+          .setScale(2, java.math.RoundingMode.HALF_UP)))
+      else None // cast(NaN/Inf as decimal) is null — sum skips it
+    // Spark's total order on doubles: NaN largest, -0.0 < 0.0
+    def lesser(a: Double, b: Double) =
+      if (java.lang.Double.compare(a, b) <= 0) a else b
+    def greater(a: Double, b: Double) =
+      if (java.lang.Double.compare(a, b) >= 0) a else b
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[StatsState]) => {
           var s = state.getOption.getOrElse(
-            StatsState(0L, 0L, BigDecimal(0), None, None))
+            StatsState(0L, 0L, None, None, None))
           batch.foreach { e =>
             s = StatsState(
               s.cnt + 1,
               s.nV + 1,
-              s.sum + quantize(e.value),
-              Some(s.minV.fold(e.value)(math.min(_, e.value))),
-              Some(s.maxV.fold(e.value)(math.max(_, e.value))))
+              quantize(e.value)
+                .map(q => s.sum.getOrElse(BigDecimal(0)) + q)
+                .orElse(s.sum), // all-skipped group stays null, like SUM
+              Some(s.minV.fold(e.value)(lesser(_, e.value))),
+              Some(s.maxV.fold(e.value)(greater(_, e.value))))
           }
           state.update(s)
           KeyStats(userId, s.cnt, s.nV, s.sum, s.minV, s.maxV)
         })
   }
 
+
+  /** Session windows per user with a gap timeout: a session closes after
+    * `gapMs` of silence (event-time via watermark + processing-time
+    * timeout), emitting one summary row. The typed-state analogue of the
+    * batch lag-gap sessionization (q26). */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events

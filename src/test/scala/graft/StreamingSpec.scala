@@ -345,7 +345,10 @@ class StreamingSpec extends SparkTestBase {
       // must match the batch cast, and this value catches a mismatch
       val b1 = Seq(Event(1, ts(0), 7, "a", 0.565), Event(2, ts(1), 7, "b", 2.0),
         Event(3, ts(2), 8, "a", -1.25))
-      val b2 = Seq(Event(4, ts(3), 7, "a", 10.111), Event(5, ts(4), 8, "b", 0.004))
+      // NaN mirrors the batch semantics: no sum contribution (cast →
+      // null), counted in n_v, and sorts LARGEST for min/max
+      val b2 = Seq(Event(4, ts(3), 7, "a", 10.111),
+        Event(5, ts(4), 8, "b", 0.004), Event(6, ts(5), 8, "a", Double.NaN))
       def batchStats(rows: Seq[Event]) = {
         import graft.ops.Stats
         Stats.partialStats(
@@ -360,11 +363,14 @@ class StreamingSpec extends SparkTestBase {
             (r.getAs[Long]("cnt"), r.getAs[java.math.BigDecimal]("sum_v"),
               r.getAs[Double]("min_v"), r.getAs[Double]("max_v")))
           .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      // NaN == NaN is false under ==; Double.compare treats them equal
+      def dEq(a: Double, b: Double) = java.lang.Double.compare(a, b) == 0
       input.addData(b1: _*); q.processAllAvailable()
       val afterB1 = latestStreamed()
       batchStats(b1).foreach { case (k, (cnt, sum, mn, mx)) =>
         val (scnt, ssum, smn, smx) = afterB1(k)
-        assert(scnt == cnt && ssum.compareTo(sum) == 0 && smn == mn && smx == mx)
+        assert(scnt == cnt && ssum.compareTo(sum) == 0)
+        assert(dEq(smn, mn) && dEq(smx, mx))
       }
       input.addData(b2: _*); q.processAllAvailable()
       val afterB2 = latestStreamed()
@@ -372,7 +378,7 @@ class StreamingSpec extends SparkTestBase {
         val (scnt, ssum, smn, smx) = afterB2(k)
         assert(scnt == cnt, s"key $k cnt $scnt != $cnt")
         assert(ssum.compareTo(sum) == 0, s"key $k sum $ssum != $sum")
-        assert(smn == mn && smx == mx)
+        assert(dEq(smn, mn) && dEq(smx, mx), s"key $k min/max $smn/$smx != $mn/$mx")
       }
     } finally q.stop()
   }
