@@ -181,6 +181,33 @@ class PropertySpec extends SparkTestBase {
     assert(out(3L) == (5L, 3L, 0.6))       // a z z
   }
 
+  test("rangeJoin equals the naive inequality join for any bin size") {
+    val gen = Gen.zip(
+      Gen.listOfN(10, Gen.choose(0, 40)),          // fact minutes
+      Gen.listOfN(5, Gen.zip(Gen.choose(0, 40), Gen.choose(1, 20))),
+      Gen.oneOf(60L, 300L, 1800L))                 // bin sizes (seconds)
+    holds(Prop.forAll(gen) { case (factMins, intervalRaw, binSeconds) =>
+      def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+      val facts = factMins.zipWithIndex
+        .map { case (m, i) => (i.toLong, ts(m)) }
+      val intervals = intervalRaw.zipWithIndex
+        .map { case ((s, len), i) => (i.toLong, ts(s), ts(s + len)) }
+      val out = Joins.rangeJoin(
+        facts.toDF("fact_id", "ts"),
+        "ts",
+        intervals.toDF("interval_id", "w_start", "w_end"),
+        "w_start", "w_end", binSeconds)
+        .select("fact_id", "interval_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val spec = (for {
+        (fid, fts) <- facts
+        (iid, s, e) <- intervals
+        if !fts.before(s) && fts.before(e)
+      } yield (fid, iid)).toSet
+      out == spec
+    })
+  }
+
   test("asofJoin equals the naive latest-at-or-before spec for any data") {
     val gen = Gen.zip(
       Gen.listOfN(12, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0, 20))),
