@@ -325,6 +325,14 @@ class PlanSpec extends SparkTestBase {
     val plan2 = planOf(sh)
     assert(!plan2.toLowerCase.contains("rangepartitioning"),
       s"shardExport plans a global range sort:\n$plan2")
+
+    // weighted sampling is a pure filter: no exchange of any kind — it
+    // must push below anything stateless and compose with the scan
+    val ws = graft.ops.Sampling.weightedSample(
+      docs.withColumn("w", length(col("text")) / lit(1000.0)), "doc_id", "w")
+    val plan3 = planOf(ws)
+    assert(!plan3.contains("Exchange"),
+      s"weightedSample should be shuffle-free:\n$plan3")
   }
 
   test("no registered query plans a cartesian product (cross-join ops excepted)") {
