@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{GraftSession, Lake}
-import graft.ops.{Dedup, Index, LanguageModel, Packing, Snapshot}
+import graft.ops.{Curation, Dedup, Index, LanguageModel, Packing, Snapshot}
 
 /** Scaling probe for the text/retrieval operator families — the same
   * measured-not-asserted evidence the dedup and ANN families document
@@ -67,7 +67,10 @@ object TextScaleProbe {
       "bigram_lm" -> (d => LanguageModel.bigramScore(d, "doc_id", "text")),
       "shard_export" -> (d => Packing.shardExport(d, "doc_id", nShards = 64)),
       "snapshot_diff" -> (d => Snapshot.diff(
-        d.filter(col("doc_id") % 7 =!= 0), d, "doc_id", Seq("text")))
+        d.filter(col("doc_id") % 7 =!= 0), d, "doc_id", Seq("text"))),
+      "curation_pipeline" -> (d => Curation.curate(
+        d.withColumn("lang", lit("en")), "doc_id", "text", "lang",
+        Curation.Config(langs = Seq("en"), sampleRate = 0.5)))
     )
 
     val results = probes.map { case (name, op) =>
