@@ -104,6 +104,43 @@ object TextAnalysis {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Markup patterns shared by the Spark plan and the SQL oracle (the
+    * PII-pattern convention): RE2-portable — no backreferences or
+    * lookaround, `(?s)` + non-greedy for the container blocks. */
+  val ScriptBlockPattern = "(?s)<script[^>]*>.*?</script>"
+  val StyleBlockPattern = "(?s)<style[^>]*>.*?</style>"
+  val TagPattern = "<[^>]+>"
+
+  /** HTML → text extraction — the FIRST stage of every web-crawl
+    * pipeline (trafilatura/jusText-shaped, reduced to the deterministic
+    * core): script and style blocks vanish WITH their content, remaining
+    * tags become spaces, the five core entities decode, whitespace
+    * collapses. Zero shuffle — a regexp_replace chain that stays in
+    * whole-stage codegen and runs at scan speed over 100 TB of crawl.
+    *
+    * Entity order matters and is part of the contract: `&lt;/&gt;/
+    * &quot;/&#39;` decode BEFORE `&amp;`, so the double-encoded
+    * `&amp;lt;` correctly yields the literal `&lt;` rather than `<`
+    * (decoding `&amp;` first would re-expose it to the later rules).
+    * A full HTML5 entity table and DOM-aware boilerplate scoring layer
+    * on top; this chain is the exact, engine-portable core. */
+  def extractText(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(html, ScriptBlockPattern, " "),
+      StyleBlockPattern, " ")
+    val noTags = regexp_replace(noBlocks, TagPattern, " ")
+    val decoded = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Repetition metrics per document — the Gopher-rule quality signals
     * (Rae et al. 2021, §A1.2): `dup_word_frac` (1 − distinct/total words,
     * a columnar expression) and `top_bigram_frac` (share of the most

@@ -1543,8 +1543,61 @@ object PipelineQueries {
     )
   }
 
+  // ---------------------------------------------------------------- q81
+  /** HTML → text extraction — the first stage of every web-crawl
+    * pipeline, gated end-to-end: each document is wrapped in a
+    * deterministic HTML page (title/style/h1/p/script, entities incl. a
+    * double-encoded `&amp;amp;`), then ops.TextAnalysis.extractText
+    * recovers the text — script/style content gone, tags to spaces,
+    * core entities decoded AFTER tag stripping (so decoded `&lt;b&gt;`
+    * survives as literal text) and `&amp;` decoded last (so the
+    * double-encoding yields `&amp;`, not `&`). The oracle rebuilds the
+    * identical page and chain from the same shared patterns. */
+  private val q81 = {
+    import TextAnalysis.{ScriptBlockPattern, StyleBlockPattern, TagPattern}
+    val pre = "<html><head><title>Doc "
+    val mid1 = "</title><style>p { color: red }</style></head><body><h1>&quot;Doc&quot; &#39;"
+    val mid2 = "&#39;</h1><p>"
+    val mid3 = " &amp;amp; tail &lt;b&gt;</p><script type=\"text/javascript\">var x = "
+    val post = "; if (x &lt; 2) {}</script></body></html>"
+    Q(
+      "q81_html_extraction",
+      (s, dir) => {
+        val html = concat(
+          lit(pre), col("doc_id"), lit(mid1), col("doc_id"), lit(mid2),
+          col("text"), lit(mid3), col("doc_id"), lit(post))
+        Lake(s, dir).documents
+          .select(col("doc_id"), html.as("html"))
+          .select(
+            col("doc_id"),
+            TextAnalysis.extractText(col("html")).as("clean_text"))
+          .withColumn("n_chars", length(col("clean_text")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+      WITH h AS (SELECT doc_id,
+          '$pre' || doc_id || '$mid1' || doc_id || '$mid2' || text
+            || '$mid3' || doc_id || '$post' AS html
+        FROM documents),
+      e AS (SELECT doc_id,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(html, '$ScriptBlockPattern', ' ', 'g'),
+                  '$StyleBlockPattern', ' ', 'g'),
+                '$TagPattern', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+              '&amp;', '&'),
+            '\\s+', ' ', 'g')) AS clean_text
+        FROM h)
+      SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars
+      FROM e ORDER BY doc_id""")
+    )
+  }
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q79, q80)
+    q76, q77, q79, q80, q81)
 }

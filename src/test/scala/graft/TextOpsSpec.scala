@@ -203,6 +203,38 @@ class TextOpsSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  // ------------------------------------------------- extractText
+
+  test("extractText: script/style content removed, tags to spaces, entities decoded") {
+    import graft.ops.TextAnalysis
+    val html = Seq((1L,
+      "<html><head><style>p{x}</style></head><body><h1>Hi</h1>" +
+        "<p>a &lt;b&gt; c</p><script>var secret = 1;</script></body></html>"
+    )).toDF("doc_id", "html")
+    val out = html.select(TextAnalysis.extractText(col("html")).as("t"))
+      .collect().head.getString(0)
+    assert(out == "Hi a <b> c")
+    assert(!out.contains("secret") && !out.contains("p{x}"))
+  }
+
+  test("extractText: double-encoded entities decode exactly one level") {
+    import graft.ops.TextAnalysis
+    val df = Seq((1L, "<p>&amp;lt; and &amp;amp; and &amp;</p>")).toDF("id", "h")
+    val out = df.select(TextAnalysis.extractText(col("h")).as("t"))
+      .collect().head.getString(0)
+    // &amp;lt; → &lt; (NOT <): the &amp; decode runs last and once
+    assert(out == "&lt; and &amp; and &")
+  }
+
+  test("extractText: whitespace collapses across removed block boundaries") {
+    import graft.ops.TextAnalysis
+    val df = Seq((1L,
+      "<div>  one\n\n<script a=b>x</script>\ttwo  </div>")).toDF("id", "h")
+    val out = df.select(TextAnalysis.extractText(col("h")).as("t"))
+      .collect().head.getString(0)
+    assert(out == "one two")
+  }
+
   // --------------------------------------------------------- Curation
 
   test("Curation.curate: first-failing decision, total over the corpus") {
