@@ -106,10 +106,24 @@ object TextAnalysis {
 
   /** Markup patterns shared by the Spark plan and the SQL oracle (the
     * PII-pattern convention): RE2-portable — no backreferences or
-    * lookaround, `(?s)` + non-greedy for the container blocks. */
-  val ScriptBlockPattern = "(?s)<script[^>]*>.*?</script>"
-  val StyleBlockPattern = "(?s)<style[^>]*>.*?</style>"
+    * lookaround, `(?is)` + non-greedy for the container blocks.
+    *
+    * Real-crawl defenses built into the patterns themselves:
+    *   - `(?i)`: <SCRIPT>/<Style> casing is everywhere in crawl HTML;
+    *   - `…|$` alternative: a TRUNCATED record ending mid-script must
+    *     still drop the dangling body, not leak it as text;
+    *   - `</script[ \t\n\f\r]*>` tolerates the spec-legal `</script >`;
+    *   - comments are removed as blocks (a `<!-- a > b -->` would
+    *     otherwise lose only `<!-- a >` to the tag rule and leak
+    *     ` b -->`);
+    *   - the whitespace run uses an EXPLICIT class, not `\s`: Java's
+    *     `\s` includes vertical tab, RE2's does not — the one place the
+    *     two engines' shorthands disagree. */
+  val ScriptBlockPattern = "(?is)<script[^>]*>.*?(</script[ \\t\\n\\f\\r]*>|$)"
+  val StyleBlockPattern = "(?is)<style[^>]*>.*?(</style[ \\t\\n\\f\\r]*>|$)"
+  val CommentBlockPattern = "(?s)<!--.*?(-->|$)"
   val TagPattern = "<[^>]+>"
+  val WhitespaceRunPattern = "[ \\t\\n\\f\\r]+"
 
   /** HTML → text extraction — the FIRST stage of every web-crawl
     * pipeline (trafilatura/jusText-shaped, reduced to the deterministic
@@ -125,9 +139,13 @@ object TextAnalysis {
     * A full HTML5 entity table and DOM-aware boilerplate scoring layer
     * on top; this chain is the exact, engine-portable core. */
   def extractText(html: Column): Column = {
+    // script/style first (their bodies may contain legacy <!-- wrappers),
+    // then comments, then the residual tags
     val noBlocks = regexp_replace(
-      regexp_replace(html, ScriptBlockPattern, " "),
-      StyleBlockPattern, " ")
+      regexp_replace(
+        regexp_replace(html, ScriptBlockPattern, " "),
+        StyleBlockPattern, " "),
+      CommentBlockPattern, " ")
     val noTags = regexp_replace(noBlocks, TagPattern, " ")
     val decoded = regexp_replace(
       regexp_replace(
@@ -138,7 +156,7 @@ object TextAnalysis {
           "&quot;", "\""),
         "&#39;", "'"),
       "&amp;", "&")
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, WhitespaceRunPattern, " "))
   }
 
   /** Repetition metrics per document — the Gopher-rule quality signals

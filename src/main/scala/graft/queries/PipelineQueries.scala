@@ -1546,20 +1546,23 @@ object PipelineQueries {
   // ---------------------------------------------------------------- q81
   /** HTML → text extraction — the first stage of every web-crawl
     * pipeline, gated end-to-end: each document is wrapped in a
-    * deterministic HTML page (title/style/h1/p/script, entities incl. a
-    * double-encoded `&amp;amp;`), then ops.TextAnalysis.extractText
-    * recovers the text — script/style content gone, tags to spaces,
-    * core entities decoded AFTER tag stripping (so decoded `&lt;b&gt;`
-    * survives as literal text) and `&amp;` decoded last (so the
-    * double-encoding yields `&amp;`, not `&`). The oracle rebuilds the
-    * identical page and chain from the same shared patterns. */
+    * deterministic HTML page exercising the crawl-HTML hazards the
+    * patterns defend against (UPPERCASE `SCRIPT`/`STYLE` blocks, a
+    * spec-legal spaced `</SCRIPT >` close, an HTML comment containing
+    * `>`, entities incl. a double-encoded `&amp;amp;`), then
+    * ops.TextAnalysis.extractText recovers the text — script/style/
+    * comment content gone, tags to spaces, core entities decoded AFTER
+    * tag stripping (so decoded `&lt;b&gt;` survives as literal text)
+    * and `&amp;` decoded last (so the double-encoding yields `&amp;`,
+    * not `&`). The oracle rebuilds the identical page and chain from
+    * the same shared patterns. */
   private val q81 = {
-    import TextAnalysis.{ScriptBlockPattern, StyleBlockPattern, TagPattern}
+    import TextAnalysis.{CommentBlockPattern, ScriptBlockPattern, StyleBlockPattern, TagPattern, WhitespaceRunPattern}
     val pre = "<html><head><title>Doc "
-    val mid1 = "</title><style>p { color: red }</style></head><body><h1>&quot;Doc&quot; &#39;"
-    val mid2 = "&#39;</h1><p>"
-    val mid3 = " &amp;amp; tail &lt;b&gt;</p><script type=\"text/javascript\">var x = "
-    val post = "; if (x &lt; 2) {}</script></body></html>"
+    val mid1 = "</title><STYLE>p { color: red }</STYLE></head><body><h1>&quot;Doc&quot; &#39;"
+    val mid2 = "&#39;</h1><!-- nav > menu --><p>"
+    val mid3 = " &amp;amp; tail &lt;b&gt;</p><SCRIPT type=\"text/javascript\">var x = "
+    val post = "; if (x &lt; 2) {}</SCRIPT ></body></html>"
     Q(
       "q81_html_extraction",
       (s, dir) => {
@@ -1584,12 +1587,14 @@ object PipelineQueries {
             replace(replace(replace(replace(replace(
               regexp_replace(
                 regexp_replace(
-                  regexp_replace(html, '$ScriptBlockPattern', ' ', 'g'),
-                  '$StyleBlockPattern', ' ', 'g'),
+                  regexp_replace(
+                    regexp_replace(html, '$ScriptBlockPattern', ' ', 'g'),
+                    '$StyleBlockPattern', ' ', 'g'),
+                  '$CommentBlockPattern', ' ', 'g'),
                 '$TagPattern', ' ', 'g'),
               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
               '&amp;', '&'),
-            '\\s+', ' ', 'g')) AS clean_text
+            '$WhitespaceRunPattern', ' ', 'g')) AS clean_text
         FROM h)
       SELECT doc_id, clean_text, CAST(length(clean_text) AS BIGINT) AS n_chars
       FROM e ORDER BY doc_id""")

@@ -235,6 +235,24 @@ class TextOpsSpec extends SparkTestBase {
     assert(out == "one two")
   }
 
+  test("extractText: crawl hazards — casing, truncation, spaced close, comments") {
+    import graft.ops.TextAnalysis
+    def extract(h: String): String =
+      Seq((1L, h)).toDF("id", "h")
+        .select(TextAnalysis.extractText(col("h")).as("t"))
+        .collect().head.getString(0)
+    // uppercase/mixed-case blocks vanish with their content
+    assert(extract("<SCRIPT>var secret = 1;</SCRIPT>ok") == "ok")
+    assert(extract("<Style>p{x}</stYle>ok") == "ok")
+    // a truncated record ending mid-script drops the dangling body
+    assert(extract("before<script>var a = 1; var b") == "before")
+    // spec-legal whitespace before the close bracket
+    assert(extract("<script>x</script >after") == "after")
+    // comments are blocks: a '>' inside must not leak the remainder
+    assert(extract("a<!-- nav > menu -->b") == "a b")
+    assert(extract("a<!-- unclosed comment") == "a")
+  }
+
   // --------------------------------------------------------- Curation
 
   test("Curation.curate: first-failing decision, total over the corpus") {
