@@ -34,18 +34,28 @@ object Compaction {
   /** Rewrite `path` into files of ~`targetMB` each. Returns the resulting
     * partition count. Row order within the table is not preserved (parquet
     * directories carry no order contract); row CONTENT is, verified by the
-    * caller's reads. */
+    * caller's reads.
+    *
+    * The swap is rename-aside-then-rename-in, never delete-then-rename:
+    * the old directory moves to `.old` in one rename, the rewrite moves
+    * into place in a second, and only then is `.old` deleted — a crash
+    * between the renames leaves either the old or the new table at `path`
+    * (plus a recoverable sibling), never a window with NO table, which
+    * delete-first would open. */
   def compact(spark: SparkSession, path: String, targetMB: Int = 512): Int = {
     val dir = Paths.get(path)
     require(Files.isDirectory(dir), s"not a directory: $path")
     val parts = math.max(1L, dirBytes(dir) / (targetMB.toLong * 1024 * 1024)).toInt
     val tmp = Paths.get(path + ".compacting")
+    val old = Paths.get(path + ".old")
     if (Files.exists(tmp)) deleteRecursively(tmp)
+    if (Files.exists(old)) deleteRecursively(old)
     spark.read.parquet(path)
       .repartition(parts)
       .write.mode("overwrite").parquet(tmp.toString)
-    deleteRecursively(dir)
+    Files.move(dir, old)
     Files.move(tmp, dir)
+    deleteRecursively(old)
     parts
   }
 }

@@ -1,7 +1,5 @@
 package graft.core
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Reads the "silver" layer: one directory per endpoint per school year
@@ -30,7 +28,13 @@ final case class SilverReader(spark: SparkSession, silverRoot: String, schoolYea
   def read(endpoint: String): DataFrame = {
     val schema = EndpointCatalog.schema(endpoint)
     val dir = endpointDir(endpoint)
-    if (Files.isDirectory(Paths.get(dir)))
+    // existence goes through the Hadoop FileSystem API, not java.nio:
+    // nio sees only the local filesystem, so an s3://
+    // silver root would read as "missing" for EVERY endpoint and
+    // silently turn the whole lake into empty frames
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path) && fs.getFileStatus(path).isDirectory)
       spark.read.schema(schema).option("multiLine", "true").json(dir)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -35,17 +35,18 @@ object SilverWriter {
     *
     * Each file's array is assembled as ONE in-memory string per task, so
     * partition size bounds task memory: `maxRowsPerFile` caps it by
-    * repartitioning up when the incoming partitions are too coarse (one
-    * count pass — cheap next to the write; round-robin repartition keeps
-    * the split even under skew). */
+    * ALWAYS round-robin repartitioning to the computed file count —
+    * comparing partition COUNTS instead would let one skewed incoming
+    * partition (post-groupBy input) carry arbitrarily many rows and
+    * build an unbounded string; round-robin is the only distribution
+    * that makes the per-task bound hold regardless of input shape. The
+    * count pass and shuffle are cheap next to the write itself. */
   def write(df: DataFrame, dir: String, maxRowsPerFile: Long = 500000): Unit = {
     import df.sparkSession.implicits._
     val json = df.toJSON
     val needed = math.max(1L,
       math.ceil(json.count().toDouble / maxRowsPerFile).toLong).toInt
-    val sized =
-      if (json.rdd.getNumPartitions >= needed) json else json.repartition(needed)
-    sized
+    json.repartition(needed)
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else Iterator(it.mkString("[\n", ",\n", "\n]"))

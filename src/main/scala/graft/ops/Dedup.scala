@@ -122,6 +122,12 @@ object Dedup {
     * so the signature frame is scanned ONCE — a per-band select unioned
     * `bands` times would recompute the whole upstream pipeline per band. */
   def lshBands(sig: DataFrame, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    // rowsPerBand = 0 would key every band as md5 of ZERO columns — one
+    // identical key for the whole corpus, i.e. the C(n,2) all-pairs
+    // blowup this module exists to avoid — so the degenerate geometry
+    // must fail loudly at plan time, not melt down at run time
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"degenerate LSH geometry: bands=$bands rowsPerBand=$rowsPerBand")
     val bandKeys = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       md5(concat_ws("|", cols: _*))
@@ -172,6 +178,10 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4
   ): DataFrame = {
+    // non-divisible geometry would silently IGNORE the trailing hashes
+    // (numHashes=16, bands=5 → 15 used), quietly lowering recall
+    require(numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes: numHashes=$numHashes bands=$bands")
     import org.apache.spark.storage.StorageLevel
     val shc = sh.persist(StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(shc, numHashes, includeCount = true)
@@ -355,6 +365,8 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4
   ): DataFrame = {
+    require(numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes: numHashes=$numHashes bands=$bands")
     import org.apache.spark.storage.StorageLevel
     val shc = newSh.persist(StorageLevel.MEMORY_AND_DISK)
     val newBands = lshBands(minhashSignatures(shc, numHashes), bands, numHashes / bands)

@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** pandas `pd.merge(left, right, on=keys, how=..., suffixes=(l, r))`. */
+  /** The SUFFIX half of pandas `pd.merge`: renames colliding non-key
+    * columns on both sides (no join — [[mergeJoin]] adds that). */
   def merge(
       left: DataFrame,
       right: DataFrame,
       on: Seq[String],
-      how: String = "inner",
       suffixLeft: String = "_x",
       suffixRight: String = "_y"
   ): (DataFrame, DataFrame) = {
@@ -34,6 +34,7 @@ object Joins {
     (l, r)
   }
 
+  /** pandas `pd.merge(left, right, on=keys, how=..., suffixes=(l, r))`. */
   def mergeJoin(
       left: DataFrame,
       right: DataFrame,
@@ -42,7 +43,7 @@ object Joins {
       suffixLeft: String = "_x",
       suffixRight: String = "_y"
   ): DataFrame = {
-    val (l, r) = merge(left, right, on, how, suffixLeft, suffixRight)
+    val (l, r) = merge(left, right, on, suffixLeft, suffixRight)
     l.join(r, on, how)
   }
 
@@ -102,7 +103,10 @@ object Joins {
       keyCols.map(col) ++ Seq(
         col(tsCol).as("__ts"), lit(1).as("__side"),
         struct(left.columns.map(col): _*).as("__lrow"),
-        lit(null).cast("timestamp").as("__rts")) ++
+        // typed from the right side like the __v_ columns below — a
+        // hardcoded timestamp cast would break the union for epoch-long
+        // (or date) ts columns, a common event-table shape
+        lit(null).cast(right.schema(tsCol).dataType).as("__rts")) ++
         valueCols.map(c =>
           lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
     val ru = right.select(

@@ -68,12 +68,22 @@ object LanguageModel {
       idCol: String,
       textCol: String
   ): DataFrame = {
-    val lm = bigramCounts(docs, textCol)
+    // One bigram explode feeds BOTH the LM build and the per-doc scoring
+    // join — persisted, or each consumer re-pays the corpus tokenize
+    // pass (the Index.bm25TopK / Dedup shingle-frame precedent). The
+    // vocab count still needs its own unigram pass (doc-final tokens
+    // never appear on a bigram's left side, so it is not derivable from
+    // the bigram frame).
+    val docBg = docs.select(col(idCol).as("__id"),
+      explode(bigrams(col(textCol))).as("bigram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = docBg.groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val lm = c12.join(c1, Seq("w1")).select("bigram", "c12", "c1")
     val vocabSize = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .agg(countDistinct("w").as("v"))
-    val docBg = docs.select(col(idCol).as("__id"),
-      explode(bigrams(col(textCol))).as("bigram"))
     val p = docBg
       .join(lm, Seq("bigram"), "left")
       .crossJoin(broadcast(vocabSize))

@@ -17,9 +17,12 @@ object Stats {
     * salting is needed anywhere AQE can't reach). */
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(keyCol).agg(F.count(F.lit(1)).as("n"))
+    // no cache(): the 1-row totals frame is consumed exactly once (the
+    // broadcast below), and a cache here would leak a registered entry
+    // per diagnostic call for the session's lifetime
     val totals = counts.agg(
       F.sum(F.col("n")).as("total_rows"),
-      F.count(F.lit(1)).as("n_keys")).cache()
+      F.count(F.lit(1)).as("n_keys"))
     counts
       .orderBy(F.col("n").desc, F.col(keyCol))
       .limit(topN)
@@ -53,7 +56,10 @@ object Stats {
       // dividing by cnt (row count) would understate the mean of any
       // nullable metric — avg must divide by n_v, matching SQL AVG
       F.count(F.col(valueCol)).as("n_v"),
-      F.sum(F.col(valueCol).cast("decimal(28,2)")).as("sum_v"),
+      // 12-dp scale: 2 dp quantizes fine-grained metrics (a per-doc
+      // quality score of 0.004 would sum to 0 with a systematic bias);
+      // 38-12 = 26 integer digits still holds any realistic total
+      F.sum(F.col(valueCol).cast("decimal(38,12)")).as("sum_v"),
       F.min(F.col(valueCol)).as("min_v"),
       F.max(F.col(valueCol)).as("max_v"))
 
@@ -66,7 +72,7 @@ object Stats {
         F.sum(F.col("n_v")).as("n_v"),
         // cast back to the partial() precision so states CHAIN: the state
         // schema is a fixed point of merge, whatever the fold depth
-        F.sum(F.col("sum_v")).cast("decimal(28,2)").as("sum_v"),
+        F.sum(F.col("sum_v")).cast("decimal(38,12)").as("sum_v"),
         F.min(F.col("min_v")).as("min_v"),
         F.max(F.col("max_v")).as("max_v"))
 

@@ -972,10 +972,10 @@ object RelationalQueries {
       SELECT l_returnflag,
         CAST(COUNT(*) AS BIGINT) AS cnt,
         CAST(COUNT(l_quantity) AS BIGINT) AS n_v,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_v,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sum_v,
         MIN(l_quantity) AS min_v,
         MAX(l_quantity) AS max_v,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
+        CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE)
           / COUNT(l_quantity) AS avg_v
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )

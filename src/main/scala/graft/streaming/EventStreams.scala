@@ -187,8 +187,8 @@ object EventStreams {
     * the batch `partialStats` over the rows seen so far — asserted in
     * StreamingSpec across multiple micro-batches.
     *
-    * Determinism note: each value is quantized to 2 decimals EXACTLY the
-    * way Spark's `cast(v as decimal(…,2))` does it —
+    * Determinism note: each value is quantized to 12 decimals EXACTLY the
+    * way Spark's `cast(v as decimal(38,12))` does it —
     * `BigDecimal.valueOf` (the Double's decimal string, not its binary
     * expansion) then HALF_UP — so the streaming sum is bit-equal to the
     * batch decimal sum, not merely close. Non-finite values follow the
@@ -205,7 +205,7 @@ object EventStreams {
     def quantize(v: Double): Option[BigDecimal] =
       if (java.lang.Double.isFinite(v))
         Some(BigDecimal(java.math.BigDecimal.valueOf(v)
-          .setScale(2, java.math.RoundingMode.HALF_UP)))
+          .setScale(12, java.math.RoundingMode.HALF_UP)))
       else None // cast(NaN/Inf as decimal) is null — sum skips it
     // Spark's total order on doubles: NaN largest, -0.0 < 0.0
     def lesser(a: Double, b: Double) =

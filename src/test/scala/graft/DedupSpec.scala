@@ -261,6 +261,20 @@ class DedupSpec extends SparkTestBase {
     assert(out.count { case (id, (cl, _)) => id == cl } == 3)
   }
 
+  test("degenerate LSH geometry fails loudly, never silently goes all-pairs") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    // bands > numHashes → rowsPerBand 0 → every band key identical →
+    // the corpus-squared candidate join; must be rejected at plan time
+    intercept[IllegalArgumentException] {
+      Dedup.minhashDedup(sh, 0.8, numHashes = 16, bands = 32)
+    }
+    // non-divisible geometry would silently drop trailing hashes
+    intercept[IllegalArgumentException] {
+      Dedup.minhashDedup(sh, 0.8, numHashes = 16, bands = 5)
+    }
+  }
+
   test("spanDedup: shared spans drop from every doc, unique spans survive in order") {
     // Docs 1 and 2 share the span "x y z" (boilerplate); doc 3 is clean.
     val docs = Seq(

@@ -122,6 +122,17 @@ class OpsSpec extends SparkTestBase {
     assert(out.size == 5) // every left row survives (left-join semantics)
   }
 
+  test("Joins.asofJoin: epoch-long ts columns work (no hardcoded timestamp cast)") {
+    // event tables commonly carry bigint epoch millis; the null __rts
+    // sentinel must take the RIGHT side's ts type, not assume timestamp
+    val left = Seq((1L, 7L, 1000L), (2L, 7L, 3000L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, 2000L, "gold")).toDF("user_id", "ts", "tier")
+    val out = Joins.asofJoin(left, right, Seq("user_id"), "ts", Seq("tier"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[String]("tier"))).toMap
+    assert(out(1L).isEmpty && out(2L).contains("gold"))
+  }
+
   test("Joins.rangeJoin: half-open containment, bin-spanning intervals, multi-match") {
     val facts = Seq(
       (1L, ts("2024-01-01 10:00:00")),  // == start of A: included

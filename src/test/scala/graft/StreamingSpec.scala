@@ -332,6 +332,8 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  // the 0.565-style 2-dp honeypot became moot when the state widened to
+  // 12 dp; the 5e-13 value below plays the same role at the new scale
   test("runningStats: latest emitted state equals batch partialStats after every batch") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
@@ -339,11 +341,13 @@ class StreamingSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("runstats")
       .outputMode("update").start()
     try {
-      // 0.565 is the quantization honeypot: its binary double is
-      // 0.5649999…, so exact-expansion rounding gives 0.56 while
-      // Spark's cast-to-decimal (string-based) gives 0.57 — the state
-      // must match the batch cast, and this value catches a mismatch
-      val b1 = Seq(Event(1, ts(0), 7, "a", 0.565), Event(2, ts(1), 7, "b", 2.0),
+      // 5e-13 is the quantization honeypot at the state's 12-dp scale:
+      // its decimal string is exactly 0.0000000000005 (rounds UP to
+      // 1e-12 under HALF_UP) while its binary expansion is
+      // 4.9999…e-13 (rounds DOWN to 0) — the streaming state must use
+      // the decimal-string path like Spark's cast, and this value
+      // catches a regression to exact-binary rounding
+      val b1 = Seq(Event(1, ts(0), 7, "a", 5e-13), Event(2, ts(1), 7, "b", 2.0),
         Event(3, ts(2), 8, "a", -1.25))
       // NaN mirrors the batch semantics: no sum contribution (cast →
       // null), counted in n_v, and sorts LARGEST for min/max
