@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-crawl link-graph operators: href extraction, the host-level edge
+  * graph, an engine-exact PageRank over it, and URL canonicalization.
+  * Together with [[TextAnalysis.extractText]] these form the front of a
+  * crawl-curation pipeline: extract text AND links from each page, rank
+  * hosts by link authority, and use the rank as a quality prior for
+  * document filtering (the CommonCrawl-derived corpora all weight by
+  * some host-authority signal; cf. reference `SURVEY.md` §2 F-rows for
+  * the expression conventions used here).
+  *
+  * Scale shape: link extraction is a zero-shuffle expression chain that
+  * runs at scan speed; the edge graph is one shuffle on (src, dst); the
+  * rank loop is `iterations` × (one broadcast-or-shuffle join + one
+  * aggregation on dst), with per-round `localCheckpoint` keeping the
+  * plan constant-size (the [[Dedup.connectedComponents]] loop
+  * discipline).
+  */
+object WebGraph {
+
+  /** Patterns shared verbatim by the Spark plan and the SQL oracle (the
+    * [[TextAnalysis]] convention): RE2-portable — no backreferences or
+    * lookaround, explicit character classes, inline `(?i)` only.
+    *
+    * Crawl-HTML defenses:
+    *   - `(?i)`: `HREF="HTTP://…"` casing is everywhere in real crawl;
+    *   - absolute `http(s)` URLs only — relative links, `mailto:`,
+    *     `javascript:` and protocol-relative `//host` hrefs are
+    *     navigation noise for a HOST graph (resolving them needs the
+    *     page's own base URL, which the caller can join in upstream);
+    *   - the capture stops at `"` — crawl hrefs are attribute-quoted by
+    *     the fixture contract; unquoted attributes would need a
+    *     DOM-aware pass, same boundary as [[TextAnalysis.extractText]].
+    */
+  val HrefPattern = "(?i)href=\"(https?://[^\"]+)\""
+
+  /** Authority component of an absolute URL: everything between `://`
+    * and the first `/ : ? #`. Port, path, query, fragment excluded. */
+  val HostPattern = "(?i)^https?://([^/:?#]+)"
+
+  /** All absolute http(s) link targets in an HTML column, in document
+    * order. Zero shuffle — stays in whole-stage codegen. */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit(HrefPattern), lit(1))
+
+  /** Lower-cased host of an absolute URL ('' for non-URLs — filter it). */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, HostPattern, 1))
+
+  /** The host-level edge graph: one row per (src_host, dst_host) with
+    * the link count. `pages` carries one row per document; `srcHost` is
+    * the page's own host, `html` its markup. Self-links are KEPT here
+    * (they are real link counts); [[hostRank]] drops them itself because
+    * self-endorsement must not transfer authority.
+    *
+    * One shuffle (the groupBy); the explode fans out inside the scan
+    * stage. At 100 TB the group key space is |hosts|² sparse — millions
+    * of rows, not billions — so the aggregate output is small even when
+    * the input is the whole crawl. */
+  def hostEdges(pages: DataFrame, srcHost: Column, html: Column): DataFrame =
+    pages
+      .select(srcHost.as("src_host"), explode(extractLinks(html)).as("url"))
+      .select(col("src_host"), hostOf(col("url")).as("dst_host"))
+      .filter(col("dst_host") =!= "")
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
+
+  /** PageRank over the host graph in integer fixed-point arithmetic —
+    * every operation is BIGINT add / multiply / truncating `div`, so the
+    * result is BIT-IDENTICAL on any engine and any partitioning: no
+    * float summation order, no decimal division scale rules (the
+    * [[Similarity]] integer-rational-hyperplane trick applied to an
+    * iterative algorithm). That is what lets an iterative graph
+    * algorithm sit under the exact-hash oracle gate at all.
+    *
+    * Semantics: ranks live in units of `unit` (default 1e12 = the total
+    * mass). Each round every host keeps the teleport share
+    * `15% × unit/n` and receives `85%` of the sum of its in-neighbors'
+    * `rank div outdeg` contributions, computed over the DISTINCT,
+    * self-loop-free edge set (multi-links and self-endorsement do not
+    * multiply authority — the anti-spam convention). Truncation loses a
+    * few units per host per round and dangling-host mass is dropped, so
+    * total mass is ≤ unit and strictly decreasing — the fixed point is
+    * still unique and the floor losses are ~1e-10 relative. With
+    * damping 0.85 the gap to the fixed point shrinks 0.85× per round.
+    *
+    * Scale shape: `n` (host count) is a single driver-side count — the
+    * only action; ranks are one row per host, joined to edges each round
+    * (broadcastable: even the full web is ~1e8 hosts ≈ a few GB of
+    * (host, long) pairs; AQE picks broadcast when it fits). Per-round
+    * `localCheckpoint` cuts lineage so round k does not replay rounds
+    * 1..k-1.
+    *
+    * @param edges (src_host, dst_host) rows; duplicates and self-loops
+    *              tolerated (dropped internally)
+    * @return (host, rank_units: bigint), one row per host in `edges`
+    */
+  def hostRank(
+      edges: DataFrame,
+      iterations: Int = 5,
+      unit: Long = 1000000000000L
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges
+      .select(col("src_host").cast("string").as("src"),
+        col("dst_host").cast("string").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hosts = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = hosts.count() // the one driver action: a single long
+    if (n == 0) { // no linked hosts: the empty graph, not a 1/0 crash
+      e.unpersist(); hosts.unpersist()
+      return hosts.select(col("host"), lit(0L).as("rank_units"))
+    }
+    val base = unit / n   // integer division, mirrored by the oracle
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = hosts.select(col("host"), lit(base).as("rank_units"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("host"))
+        .join(outdeg, "src")
+        .select(col("dst").as("host"),
+          expr("rank_units div outdeg").as("c"))
+        .groupBy("host")
+        .agg(sum("c").as("in_sum"))
+      ranks = hosts
+        .join(contribs, Seq("host"), "left")
+        .select(col("host"),
+          (lit((15L * base) / 100L) +
+            expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank_units"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    hosts.unpersist()
+    ranks
+  }
+
+  /** Tracking query parameters stripped by [[canonicalizeUrl]]: the
+    * analytics/click-id families that vary per visit without changing
+    * the resource. Shared with the oracle. */
+  val TrackingParamPattern = "(utm_[a-zA-Z]+|gclid|fbclid|msclkid)=[^&#]*"
+
+  /** Canonicalize an absolute http(s) URL so that per-visit noise
+    * collapses and the same resource gets the same key — the identity
+    * under which a crawl dedups fetches. The steps, in order:
+    *
+    *   1. scheme and host lowercase (path stays case-sensitive — RFC
+    *      3986 §6.2.2.1 draws exactly this line);
+    *   2. default ports dropped (`http://…:80`, `https://…:443`);
+    *   3. fragment dropped (client-side only, never sent to the server);
+    *   4. tracking parameters removed ([[TrackingParamPattern]]), with
+    *      separator cleanup so `?utm_x=1&id=2` → `?id=2` and a
+    *      query left empty disappears entirely;
+    *   5. empty path → `/` (`http://a.com` ≡ `http://a.com/`).
+    *
+    * Pure expression chain — zero shuffle, scan-speed over 100 TB of
+    * crawl logs. Non-URLs (no `scheme://host`) canonicalize to '' so
+    * the caller can filter them in one pass. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "(?i)^(https?)://", 1))
+    val host = hostOf(url)
+    val port = regexp_extract(url, "(?i)^https?://[^/:?#]+:([0-9]+)", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    // path + query, fragment excluded: everything after the authority
+    // up to the first '#'
+    val rest = regexp_extract(url, "(?i)^https?://[^/?#]+([^#]*)", 1)
+    // tracking params go in two shapes: followed by '&' (swallow the
+    // '&') or last-in-query (swallow nothing, cleanup pass trims the
+    // dangling '?'/'&')
+    val noTrack = regexp_replace(
+      regexp_replace(rest, TrackingParamPattern + "&", ""),
+      TrackingParamPattern, "")
+    val cleaned = regexp_replace(noTrack, "[?&]+$", "")
+    val path = when(cleaned === "", lit("/")).otherwise(cleaned)
+    when(scheme === "" || host === "", lit(""))
+      .otherwise(concat(
+        scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path))
+  }
+}

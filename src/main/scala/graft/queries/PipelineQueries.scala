@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Lake
-import graft.ops.{Classifier, Dedup, Index, LanguageModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Classifier, Dedup, Index, LanguageModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis, WebGraph}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash /
@@ -1601,8 +1601,182 @@ object PipelineQueries {
     )
   }
 
+  // ------------------------------------------------------- q82/q83 fixture
+  /** Shared link fixture for the crawl-graph queries: each document
+    * becomes a page on host `h(doc_id % 17).example` carrying two
+    * absolute links whose targets are modular functions of doc_id (a
+    * deterministic 17-host web both engines rebuild exactly), plus the
+    * hazards [[graft.ops.WebGraph.HrefPattern]] defends against — an
+    * UPPERCASE `HREF="HTTPS://…"` (casing), a relative href and a
+    * `mailto:` (both must NOT extract into a HOST graph). */
+  private val linkPre = "<html><body><a href=\"http://h"
+  private val linkMid1 = ".example/p"
+  private val linkMid2 = "\">a</a><A HREF=\"HTTPS://H"
+  private val linkMid3 = ".EXAMPLE/q"
+  private val linkMid4 = "?x=1\">b</A><a href=\"/nav/p"
+  private val linkMid5 = "\">n</a><a href=\"mailto:x@h0.example\">m</a></body></html>"
+
+  private def linkPagesSpark(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Lake(s, dir).documents.select(
+      concat(lit("h"), pmod(col("doc_id"), lit(17)), lit(".example")).as("src_host"),
+      concat(
+        lit(linkPre), pmod(col("doc_id") * 3 + 1, lit(17)), lit(linkMid1), col("doc_id"),
+        lit(linkMid2), pmod(col("doc_id") * 5 + 2, lit(17)), lit(linkMid3), col("doc_id"),
+        lit(linkMid4), col("doc_id"), lit(linkMid5)).as("html"))
+
+  /** SQL twin of [[linkPagesSpark]] + [[graft.ops.WebGraph.hostEdges]]'s
+    * ungrouped link rows, shared by the q82 and q83 oracles. */
+  private val linkHostsSql = {
+    val esc = (s: String) => s.replace("'", "''")
+    s"""pages AS (SELECT
+          'h' || CAST(doc_id % 17 AS VARCHAR) || '.example' AS src_host,
+          '${esc(linkPre)}' || CAST((doc_id * 3 + 1) % 17 AS VARCHAR)
+            || '${esc(linkMid1)}' || CAST(doc_id AS VARCHAR)
+            || '${esc(linkMid2)}' || CAST((doc_id * 5 + 2) % 17 AS VARCHAR)
+            || '${esc(linkMid3)}' || CAST(doc_id AS VARCHAR)
+            || '${esc(linkMid4)}' || CAST(doc_id AS VARCHAR)
+            || '${esc(linkMid5)}' AS html
+        FROM documents),
+      links AS (SELECT src_host,
+          unnest(regexp_extract_all(html, '${WebGraph.HrefPattern}', 1)) AS url
+        FROM pages),
+      lhosts AS (SELECT src_host,
+          lower(regexp_extract(url, '${WebGraph.HostPattern}', 1)) AS dst_host
+        FROM links)"""
+  }
+
+  // ---------------------------------------------------------------- q82
+  /** Host-level link graph from crawl HTML — href extraction (casing-
+    * tolerant, absolute-http(s)-only) exploded to (src_host, dst_host)
+    * edges with link counts. The zero-shuffle extraction plus ONE
+    * groupBy shuffle; at 100 TB the aggregate output is |hosts|²-sparse,
+    * tiny next to the input. */
+  private val q82 = Q(
+    "q82_link_graph",
+    (s, dir) => {
+      val pages = linkPagesSpark(s, dir)
+      WebGraph.hostEdges(pages, col("src_host"), col("html"))
+        .orderBy("src_host", "dst_host")
+    },
+    Some(s"""
+      WITH $linkHostsSql
+      SELECT src_host, dst_host, COUNT(*) AS n_links
+      FROM lhosts WHERE dst_host <> ''
+      GROUP BY src_host, dst_host
+      ORDER BY src_host, dst_host""")
+  )
+
+  // ---------------------------------------------------------------- q83
+  /** Host PageRank in integer fixed-point — an ITERATIVE graph algorithm
+    * under the exact-hash oracle gate, possible because every step is
+    * BIGINT add/multiply/truncating-div ([[graft.ops.WebGraph.hostRank]]):
+    * no float summation order, no decimal division scale rules. The
+    * oracle unrolls the same five rounds as chained CTEs (DuckDB `//` =
+    * Spark `div` on non-negative values); the scalar `base = unit // n`
+    * is computed inside each engine from its own host count. */
+  private val q83 = {
+    val unit = 1000000000000L
+    val iters = 5
+    val step = (k: Int) => s"""
+      r$k AS (SELECT h.host,
+          (15 * p.base) // 100 + (85 * COALESCE(s.in_sum, 0)) // 100 AS rank
+        FROM h CROSS JOIN p LEFT JOIN (
+          SELECT e.dst AS host, SUM(r.rank // o.outdeg) AS in_sum
+          FROM e JOIN r${k - 1} r ON r.host = e.src
+          JOIN outd o ON o.src = e.src
+          GROUP BY e.dst) s ON s.host = h.host)"""
+    Q(
+      "q83_host_pagerank",
+      (s, dir) => {
+        val pages = linkPagesSpark(s, dir)
+        val edges = WebGraph.hostEdges(pages, col("src_host"), col("html"))
+        WebGraph.hostRank(edges, iterations = iters, unit = unit)
+          .orderBy("host")
+      },
+      Some(s"""
+      WITH $linkHostsSql,
+      e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lhosts
+            WHERE dst_host <> '' AND src_host <> dst_host),
+      h AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+      p AS (SELECT CAST($unit // COUNT(*) AS BIGINT) AS base FROM h),
+      outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT host, base AS rank FROM h CROSS JOIN p),
+      ${(1 to iters).map(step).mkString(",")}
+      SELECT host, CAST(rank AS BIGINT) AS rank_units FROM r$iters
+      ORDER BY host""")
+    )
+  }
+
+  // ---------------------------------------------------------------- q84
+  /** URL canonicalization — the identity under which a crawl dedups
+    * fetches: scheme/host case, default ports, fragments, and tracking
+    * params collapse ([[graft.ops.WebGraph.canonicalizeUrl]], a pure
+    * expression chain). The fixture spreads each resource across three
+    * per-visit variants (port/case/utm/fragment noise keyed by
+    * doc_id % 3) over doc_id % 50 resource paths, so canonical groups
+    * cross document boundaries and an under-canonicalizing engine
+    * fails on group COUNTS, not just strings. */
+  private val q84 = Q(
+    "q84_url_canonical",
+    (s, dir) => {
+      val m = pmod(col("doc_id"), lit(50))
+      val k = pmod(col("doc_id"), lit(5))
+      val url = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("HTTP://WWW.Site"), k, lit(".COM:80/a/p"), m,
+          lit("?id="), m, lit("&utm_source=feed#top")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit("https://www.site"), k, lit(".com:8080/a/p"), m,
+            lit("?gclid=XYZ"), col("doc_id")))
+        .otherwise(
+          concat(lit("https://Site"), k, lit(".COM:443/a/p"), m,
+            lit("?utm_campaign=c&ref=keep")))
+      Lake(s, dir).documents
+        .select(col("doc_id"), WebGraph.canonicalizeUrl(url).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_urls"), min("doc_id").as("first_doc"))
+        .orderBy("canonical_url")
+    },
+    Some(s"""
+      WITH u AS (SELECT doc_id,
+          CASE doc_id % 3
+            WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 5 AS VARCHAR)
+              || '.COM:80/a/p' || CAST(doc_id % 50 AS VARCHAR)
+              || '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_source=feed#top'
+            WHEN 1 THEN 'https://www.site' || CAST(doc_id % 5 AS VARCHAR)
+              || '.com:8080/a/p' || CAST(doc_id % 50 AS VARCHAR)
+              || '?gclid=XYZ' || CAST(doc_id AS VARCHAR)
+            ELSE 'https://Site' || CAST(doc_id % 5 AS VARCHAR)
+              || '.COM:443/a/p' || CAST(doc_id % 50 AS VARCHAR)
+              || '?utm_campaign=c&ref=keep'
+          END AS url
+        FROM documents),
+      parts AS (SELECT doc_id,
+          lower(regexp_extract(url, '(?i)^(https?)://', 1)) AS scheme,
+          lower(regexp_extract(url, '${WebGraph.HostPattern}', 1)) AS host,
+          regexp_extract(url, '(?i)^https?://[^/:?#]+:([0-9]+)', 1) AS port,
+          regexp_extract(url, '(?i)^https?://[^/?#]+([^#]*)', 1) AS rest
+        FROM u),
+      canon AS (SELECT doc_id,
+          CASE WHEN scheme = '' OR host = '' THEN '' ELSE
+            scheme || '://' || host ||
+            CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                  AND NOT (scheme = 'https' AND port = '443')
+              THEN ':' || port ELSE '' END ||
+            CASE WHEN cleaned = '' THEN '/' ELSE cleaned END
+          END AS canonical_url
+        FROM (SELECT doc_id, scheme, host, port,
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(rest, '${WebGraph.TrackingParamPattern}&', '', 'g'),
+                '${WebGraph.TrackingParamPattern}', '', 'g'),
+              '[?&]+$$', '', 'g') AS cleaned
+          FROM parts) q)
+      SELECT canonical_url, COUNT(*) AS n_urls, MIN(doc_id) AS first_doc
+      FROM canon GROUP BY canonical_url ORDER BY canonical_url""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q79, q80, q81)
+    q76, q77, q79, q80, q81, q82, q83, q84)
 }

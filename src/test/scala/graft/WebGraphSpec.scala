@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.WebGraph
+
+class WebGraphSpec extends SparkTestBase {
+  import testImplicits._
+
+  test("extractLinks: absolute http(s) only, casing tolerated, document order") {
+    val html =
+      """<a href="http://a.example/p">1</a>
+        |<A HREF="HTTPS://B.EXAMPLE/q?x=1">2</A>
+        |<a href="/relative/p">no</a>
+        |<a href="mailto:x@c.example">no</a>
+        |<a href="javascript:void(0)">no</a>
+        |<a href="http://a.example/p2">3</a>""".stripMargin
+    val out = Seq(Tuple1(html)).toDF("html")
+      .select(WebGraph.extractLinks(col("html")).as("links"))
+      .head.getSeq[String](0)
+    assert(out == Seq(
+      "http://a.example/p", "HTTPS://B.EXAMPLE/q?x=1", "http://a.example/p2"))
+  }
+
+  test("hostOf: lowercase, strips port/path/query/fragment, '' for non-URLs") {
+    val rows = Seq(
+      "HTTP://WWW.Ex.COM:8080/a?b=1#f", "https://plain.io", "not a url",
+      "ftp://files.example/x").toDF("url")
+      .select(WebGraph.hostOf(col("url")).as("h"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("www.ex.com", "plain.io", "", ""))
+  }
+
+  test("hostEdges: per-pair link counts, self-links kept at this layer") {
+    val pages = Seq(
+      ("a.ex", """<a href="http://b.ex/1">x</a><a href="http://b.ex/2">y</a>
+                 |<a href="http://a.ex/self">s</a>""".stripMargin),
+      ("b.ex", """<a href="http://a.ex/1">z</a>""")).toDF("src_host", "html")
+    val out = WebGraph.hostEdges(pages, col("src_host"), col("html"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("a.ex", "b.ex") -> 2L, ("a.ex", "a.ex") -> 1L, ("b.ex", "a.ex") -> 1L))
+  }
+
+  test("hostRank: one round matches the hand-computed integer fixed point") {
+    // a→b, b→a, c→b: n=3, base = 1e12/3 = 333333333333
+    // teleport = (15*base)/100 = 49999999999 (truncated)
+    // contrib: a and c each send base to b; b sends base to a
+    // rank(b) = tp + (85*2*base)/100; rank(a) = tp + (85*base)/100; rank(c) = tp
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "b")).toDF("src_host", "dst_host")
+    val out = WebGraph.hostRank(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = 1000000000000L / 3
+    val tp = 15L * base / 100
+    assert(out == Map(
+      "a" -> (tp + 85L * base / 100),
+      "b" -> (tp + 85L * 2 * base / 100),
+      "c" -> tp))
+  }
+
+  test("hostRank: dup edges and self-loops don't multiply authority") {
+    val clean = Seq(("a", "b"), ("b", "a"), ("c", "b")).toDF("src_host", "dst_host")
+    val noisy = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("a", "a"),
+      ("b", "a"), ("c", "b"), ("c", "c")).toDF("src_host", "dst_host")
+    val r1 = WebGraph.hostRank(clean).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = WebGraph.hostRank(noisy).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == r2)
+  }
+
+  test("hostRank: mass bounded by unit, authority ordering, partitioning-invariant") {
+    // star graph: spokes all point at hub; hub points at one spoke
+    val edges = (1 to 8).map(i => (s"s$i", "hub")).toSeq ++ Seq(("hub", "s1"))
+    val df = edges.toDF("src_host", "dst_host")
+    val ranks = WebGraph.hostRank(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.values.sum <= 1000000000000L)
+    assert(ranks.values.forall(_ > 0))
+    assert(ranks("hub") > ranks("s1")) // in-degree 8 beats in-degree 1
+    assert(ranks("s1") > ranks("s2"))  // s1 gets the hub's mass, s2 teleport only
+    val shuffled = WebGraph.hostRank(df.repartition(7, col("dst_host"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shuffled == ranks) // integer arithmetic: bit-equal on any layout
+  }
+
+  test("hostRank: empty edge set yields the empty graph, not a crash") {
+    val empty = Seq.empty[(String, String)].toDF("src_host", "dst_host")
+    assert(WebGraph.hostRank(empty).count() == 0)
+  }
+
+  test("canonicalizeUrl: case, default ports, fragments, tracking params") {
+    val cases = Seq(
+      // scheme+host lowercase, :80 dropped, fragment dropped, utm stripped
+      // mid-query (the '&' swallow), path CASE PRESERVED
+      "HTTP://WWW.Ex.COM:80/A/b?utm_source=x&id=1#f" -> "http://www.ex.com/A/b?id=1",
+      // non-default port kept; query emptied by the strip disappears
+      "https://ex.com:8443/p?gclid=1" -> "https://ex.com:8443/p",
+      // bare authority gains the root path
+      "https://ex.com" -> "https://ex.com/",
+      "https://EX.com:443/" -> "https://ex.com/",
+      // trailing tracking param: swallowed by the no-& shape + cleanup
+      "http://e.com/p?a=1&utm_x=2" -> "http://e.com/p?a=1",
+      // adjacent tracking params both go (global replace)
+      "http://e.com/p?utm_a=1&utm_b=2&id=3" -> "http://e.com/p?id=3",
+      // non-URLs canonicalize to '' for one-pass filtering
+      "not a url" -> "",
+      "ftp://files.example/x" -> "")
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), WebGraph.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) == want, s"for $in: got ${out(in)}, want $want")
+    }
+  }
+}
