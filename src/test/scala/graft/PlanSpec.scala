@@ -335,6 +335,25 @@ class PlanSpec extends SparkTestBase {
       s"weightedSample should be shuffle-free:\n$plan3")
   }
 
+  test("link extraction and URL canonicalization are shuffle-free; hostEdges shuffles once") {
+    import graft.ops.WebGraph
+    val pages = Lake(spark, sfDir).documents
+      .select(col("source").as("src_host"),
+        concat(lit("<a href=\"http://x.ex/"), col("doc_id"), lit("\">l</a>")).as("html"))
+    // the per-page stages are pure expressions: scan-speed over crawl data
+    val exprOnly = pages.select(
+      WebGraph.extractLinks(col("html")).as("links"),
+      WebGraph.canonicalizeUrl(concat(lit("HTTP://A.EX:80/p?utm_a=1&id="),
+        col("src_host"))).as("canon"))
+    val plan = planOf(exprOnly)
+    assert(!plan.contains("Exchange"),
+      s"extraction/canonicalization should be shuffle-free:\n$plan")
+    // the edge aggregate is the ONE shuffle of the link-graph build
+    val plan2 = planOf(WebGraph.hostEdges(pages, col("src_host"), col("html")))
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(plan2).size
+    assert(n == 1, s"hostEdges should shuffle exactly once, found $n:\n$plan2")
+  }
+
   test("no registered query plans a cartesian product (cross-join ops excepted)") {
     // q07 is the deliberate J4 cross-join operator; q27 cross-joins a
     // 775-row calendar spine (broadcast nested loop, intentional).
