@@ -68,6 +68,85 @@ case class UnicodeNormalize(child: Expression, form: String)
     copy(child = newChild)
 }
 
+/** Shared fold routine for [[StripAccents]] — a plain object so scalac
+  * emits a static forwarder the generated Java can call directly
+  * (`graft.functions.AccentFold.strip(s)`), keeping eval and codegen on
+  * ONE implementation instead of two hand-synced loops.
+  *
+  * Semantics chosen to match DuckDB's `strip_accents` (utf8proc
+  * NFD + strip-mark + compose), probed case-by-case: decompose (NFD),
+  * drop ALL mark categories — nonspacing `é`→e, spacing `का`→`क`,
+  * enclosing — then recompose (NFC, so Hangul syllables come back
+  * composed). `ß`, `ø`, ligatures and CJK pass through: they are not
+  * canonically decomposable and compatibility folding is [[UnicodeNormalize]]
+  * NFKC's job, not this one's. */
+object AccentFold {
+  def strip(s: String): String = {
+    // fast path: ASCII has no marks and is NFD/NFC-stable — the
+    // overwhelming bulk of crawl text skips all allocation
+    var ascii = true
+    var j = 0
+    while (ascii && j < s.length) { if (s.charAt(j) >= 0x80) ascii = false; j += 1 }
+    if (ascii) return s
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val b = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK.toInt &&
+        t != Character.COMBINING_SPACING_MARK.toInt &&
+        t != Character.ENCLOSING_MARK.toInt)
+        b.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    java.text.Normalizer.normalize(b.toString, java.text.Normalizer.Form.NFC)
+  }
+}
+
+/** Native Catalyst accent folding (diacritic stripping).
+  *
+  * Why a custom Expression: accent-insensitive match keys are the other
+  * half of the [[UnicodeNormalize]] story — "café" vs "cafe" vs
+  * "café" must collide for search keys, entity resolution, and
+  * fuzzy dedup blocking, and Spark has no built-in (the usual answer is
+  * a UDF, which boxes every row and blocks whole-stage codegen). This
+  * compiles to one static call ([[AccentFold.strip]]) inside the
+  * generated loop, with an ASCII fast path that makes the common case
+  * allocation-free. */
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"strip_accents expects string, got $t")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = AccentFold.strip(s)
+    if (out eq s) input else UTF8String.fromString(out)
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |java.lang.String $out = graft.functions.AccentFold.strip($s);
+         |${ev.value} = ($out == $s) ? $c :
+         |  org.apache.spark.unsafe.types.UTF8String.fromString($out);
+       """.stripMargin
+    })
+
+  protected override def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+
 /** Column-level API for the text expressions. */
 object TextFunctions {
 
@@ -77,4 +156,9 @@ object TextFunctions {
 
   def nfc(c: Column): Column = unicodeNormalize(c, "NFC")
   def nfkc(c: Column): Column = unicodeNormalize(c, "NFKC")
+
+  /** Codegen'd accent folding (see [[StripAccents]]): DuckDB
+    * `strip_accents` semantics — NFD, drop all marks, NFC. */
+  def stripAccents(c: Column): Column =
+    ColumnBridge.column(StripAccents(ColumnBridge.expression(c)))
 }

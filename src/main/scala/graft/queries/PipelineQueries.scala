@@ -1775,8 +1775,51 @@ object PipelineQueries {
       FROM canon GROUP BY canonical_url ORDER BY canonical_url""")
   )
 
+  // ---------------------------------------------------------------- q85
+  /** Accent folding — the [[graft.functions.StripAccents]] codegen'd
+    * Expression under the hash gate against DuckDB's `strip_accents`
+    * (whose utf8proc semantics the Expression reproduces: NFD → drop
+    * marks → NFC). The fixture injects BOTH composed accents (é, à:
+    * one codepoint) and a decomposed one (o + U+0301 combining acute:
+    * two codepoints) keyed by doc_id % 3, so the gate covers the
+    * decomposition path, not just the lookup-table-friendly composed
+    * forms; `accented` itself is also emitted, pinning the fixture
+    * bytes codepoint-for-codepoint. */
+  private val q85 = {
+    val oAcute = "o\u0301" // decomposed: 'o' + combining acute
+    val eAcute = "\u00e9"  // composed é
+    val aGrave = "\u00e0"  // composed à
+    Q(
+      "q85_accent_fold",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        val orig = substring(col("text"), 1, 80)
+        val accented = when(pmod(col("doc_id"), lit(3)) === 0,
+          regexp_replace(orig, "o", oAcute))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            regexp_replace(orig, "e", eAcute))
+          .otherwise(regexp_replace(orig, "a", aGrave))
+        Lake(s, dir).documents
+          .select(col("doc_id"), accented.as("accented"))
+          .select(col("doc_id"), col("accented"),
+            TextFunctions.stripAccents(col("accented")).as("folded"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+      WITH a AS (SELECT doc_id,
+          CASE doc_id % 3
+            WHEN 0 THEN replace(substr(text, 1, 80), 'o', '$oAcute')
+            WHEN 1 THEN replace(substr(text, 1, 80), 'e', '$eAcute')
+            ELSE replace(substr(text, 1, 80), 'a', '$aGrave')
+          END AS accented
+        FROM documents)
+      SELECT doc_id, accented, strip_accents(accented) AS folded
+      FROM a ORDER BY doc_id""")
+    )
+  }
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q79, q80, q81, q82, q83, q84)
+    q76, q77, q79, q80, q81, q82, q83, q84, q85)
 }

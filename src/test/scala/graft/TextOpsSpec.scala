@@ -106,6 +106,43 @@ class TextOpsSpec extends SparkTestBase {
     assert(n == 1)
   }
 
+  test("strip accents: marks drop (Mn/Mc/Me), non-decomposables survive, Hangul recomposes") {
+    val cases = Seq(
+      "\u00e9" -> "e",            // composed e-acute: decomposes, mark drops
+      "e\u0301" -> "e",           // already-decomposed e + combining acute
+      "\u0915\u093e" -> "\u0915", // ka + spacing (Mc) matra
+      "a\u20dd" -> "a",           // a + enclosing (Me) circle
+      "\u00df\u00f8" -> "\u00df\u00f8", // eszett, o-slash: not canonically decomposable
+      "\ufb01" -> "\ufb01",        // fi ligature: compat-only, NFKC's job
+      "\ud55c" -> "\ud55c",        // Hangul syllable: decomposes to Jamo,
+                                   // recomposes - NOT left decomposed
+      "plain ascii 42" -> "plain ascii 42")
+    val out = cases.map(_._1).toDF("s")
+      .select(col("s"), TextFunctions.stripAccents(col("s")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) == want,
+        s"for ${in.map(c => "%04x".format(c.toInt)).mkString(",")}")
+    }
+  }
+
+  test("strip accents: null survives; interpreted and codegen paths agree") {
+    val df = Seq(Option("caf\u00e9"), None).toDF("s")
+    val out = df.select(TextFunctions.stripAccents(col("s")).as("f")).collect()
+    assert(out(0).getString(0) == "cafe")
+    assert(out(1).isNullAt(0))
+    // force the interpreted path through a filter on the same expression
+    assert(df.filter(TextFunctions.stripAccents(col("s")) === "cafe").count() == 1)
+  }
+
+  test("strip accents: composed, decomposed, and plain spellings share one match key") {
+    val docs = Seq((1L, "caf\u00e9"), (2L, "cafe\u0301"), (3L, "cafe"))
+      .toDF("doc_id", "text")
+    val keys = docs.select(TextFunctions.stripAccents(col("text")).as("k"))
+      .distinct().count()
+    assert(keys == 1)
+  }
+
   test("unicode nfc: normalization unifies exact-dedup hashes") {
     val docs = Seq((1L, "café"), (2L, "café")).toDF("doc_id", "text")
     val distinctRaw = docs.select(md5(col("text"))).distinct().count()
