@@ -159,6 +159,26 @@ object TextAnalysis {
     trim(regexp_replace(decoded, WhitespaceRunPattern, " "))
   }
 
+  /** Simpson concentration index over a document's whitespace tokens:
+    * Σ (count(w)/n)² across distinct words w — the probability two
+    * randomly drawn tokens coincide. 1/n for all-distinct text, → 1 for
+    * degenerate repetition; unlike `dup_word_frac` (which only sees the
+    * DISTINCT ratio) it weights by squared frequency, so "a a b b"
+    * (0.5) and "a a a b" (0.625) separate despite an identical distinct
+    * ratio. The sum is an EXACT integer (squared
+    * counts, order-independent) with ONE double division at the end —
+    * engine-portable under the hash gate, zero shuffle, and O(distinct ×
+    * n) per row inside codegen (no explode, no groupBy: the whole
+    * computation is a higher-order-function chain on the token array). */
+  def wordConcentration(text: Column): Column = {
+    val ws = tokens(text)
+    val counts = transform(array_distinct(ws),
+      d => size(filter(ws, w => w === d)).cast("long"))
+    val sumsq = aggregate(counts, lit(0L), (acc, x) => acc + x * x)
+    sumsq.cast("double") /
+      (size(ws).cast("long") * size(ws).cast("long")).cast("double")
+  }
+
   /** Repetition metrics per document — the Gopher-rule quality signals
     * (Rae et al. 2021, §A1.2): `dup_word_frac` (1 − distinct/total words,
     * a columnar expression) and `top_bigram_frac` (share of the most

@@ -1818,8 +1818,40 @@ object PipelineQueries {
     )
   }
 
+  // ---------------------------------------------------------------- q86
+  /** Word-concentration (Simpson) quality signal —
+    * [[graft.ops.TextAnalysis.wordConcentration]] under the hash gate.
+    * The sum of squared counts is exact integer arithmetic on both
+    * engines (order-independent), so the single final double division
+    * hash-matches bit-for-bit; the whole metric is a zero-shuffle
+    * higher-order-function chain (no explode, no groupBy) that DuckDB
+    * mirrors with list lambdas. */
+  private val q86 = Q(
+    "q86_word_concentration",
+    (s, dir) => {
+      Lake(s, dir).documents
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words"),
+          size(array_distinct(TextAnalysis.tokens(col("text"))))
+            .cast("long").as("n_distinct"),
+          TextAnalysis.wordConcentration(col("text")).as("simpson"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      c AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd,
+          list_transform(list_distinct(ws),
+            d -> CAST(len(list_filter(ws, w -> w = d)) AS BIGINT)) AS counts
+        FROM t)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        CAST(nd AS BIGINT) AS n_distinct,
+        CAST(list_aggregate(list_transform(counts, c -> c * c), 'sum') AS DOUBLE)
+          / (CAST(n AS BIGINT) * CAST(n AS BIGINT)) AS simpson
+      FROM c ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q79, q80, q81, q82, q83, q84, q85)
+    q76, q77, q79, q80, q81, q82, q83, q84, q85, q86)
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Classifier, TextAnalysis}
+import graft.ops.{Classifier, TextAnalysis, WebGraph}
 
 /** Streaming curation for a document feed — the incremental twin of the
   * batch curation decision (q45): each micro-batch of arriving documents
@@ -71,4 +71,30 @@ object DocumentStreams {
     val scored = Classifier.hashedLinearScore(docs, textCol, dim, biasTenths)
     if (keepOnly) scored.filter(col("keep")) else scored
   }
+
+  /** Streaming link-graph build — the incremental twin of the q82 batch
+    * edge aggregate: pages arrive as (`ts`, `src_host`, `html`), links
+    * extract with the SAME zero-shuffle expressions
+    * ([[graft.ops.WebGraph.extractLinks]]/`hostOf`), and edges count
+    * into event-time windows. State is one row per
+    * (window, src_host, dst_host), expiring with the watermark — the
+    * hourly edge deltas a nightly [[graft.ops.WebGraph.hostRank]] batch
+    * folds into the full graph, which is how a crawl keeps its authority
+    * signal fresh without re-scanning history. */
+  def linkEdgesStream(
+      pages: DataFrame,
+      watermark: String = "1 hour",
+      windowLength: String = "1 hour"
+  ): DataFrame =
+    pages
+      .select(col("ts"), col("src_host"),
+        explode(WebGraph.extractLinks(col("html"))).as("url"))
+      .select(col("ts"), col("src_host"),
+        WebGraph.hostOf(col("url")).as("dst_host"))
+      .filter(col("dst_host") =!= "")
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+      .select(col("window.start").as("window_start"),
+        col("src_host"), col("dst_host"), col("n_links"))
 }

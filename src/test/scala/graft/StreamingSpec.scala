@@ -277,6 +277,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("linkEdgesStream: windowed edge counts equal the batch hostEdges aggregate") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val pages = input.toDF().toDF("page_id", "ts", "src_host", "html")
+    val q = graft.streaming.DocumentStreams
+      .linkEdgesStream(pages, watermark = "10 minutes", windowLength = "1 hour")
+      .writeStream.format("memory").queryName("linkedges")
+      .outputMode("update").start()
+    try {
+      val rows = Seq(
+        (1L, ts(0), "a.ex", """<a href="http://b.ex/1">x</a><A HREF="HTTP://B.EX/2">y</A>"""),
+        (2L, ts(3), "b.ex", """<a href="http://a.ex/1">z</a><a href="/rel">r</a>"""),
+        (3L, ts(5), "a.ex", """<a href="https://b.ex/3">w</a>"""))
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*) // same window: the a.ex→b.ex count grows
+      q.processAllAvailable()
+      // update mode re-emits a key's row per batch: latest state = max n
+      val streamed = spark.table("linkedges")
+        .groupBy("src_host", "dst_host").agg(max("n_links").as("n_links"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = graft.ops.WebGraph
+        .hostEdges(rows.toDF("page_id", "ts", "src_host", "html"),
+          col("src_host"), col("html"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      assert(batch == Map(("a.ex", "b.ex") -> 3L, ("b.ex", "a.ex") -> 1L))
+    } finally q.stop()
+  }
+
   test("end-to-end incremental lake: silver stream → view → gold == batch pipeline") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("lake")

@@ -143,6 +143,18 @@ class TextOpsSpec extends SparkTestBase {
     assert(keys == 1)
   }
 
+  test("wordConcentration: hand-computed Simpson, separates equal distinct ratios") {
+    import graft.ops.TextAnalysis
+    val df = Seq("a a b b", "a a a b", "x y z", "x x x x")
+      .toDF("text")
+      .select(col("text"), TextAnalysis.wordConcentration(col("text")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(df("a a b b") == 0.5)    // (4+4)/16
+    assert(df("a a a b") == 0.625)  // (9+1)/16 — same distinct ratio, higher
+    assert(df("x y z") == 1.0 / 3)  // all distinct → 1/n
+    assert(df("x x x x") == 1.0)    // degenerate repetition
+  }
+
   test("unicode nfc: normalization unifies exact-dedup hashes") {
     val docs = Seq((1L, "café"), (2L, "café")).toDF("doc_id", "text")
     val distinctRaw = docs.select(md5(col("text"))).distinct().count()
