@@ -1674,10 +1674,11 @@ object PipelineQueries {
     * oracle unrolls the same five rounds as chained CTEs (DuckDB `//` =
     * Spark `div` on non-negative values); the scalar `base = unit // n`
     * is computed inside each engine from its own host count. */
-  private val q83 = {
-    val unit = 1000000000000L
-    val iters = 5
-    val step = (k: Int) => s"""
+  /** One unrolled PageRank round as a DuckDB CTE — the SQL twin of the
+    * [[graft.ops.WebGraph.hostRank]] loop body, shared by the q83 and
+    * q87 oracles. Expects CTEs `e(src, dst)`, `h(host)`, `p(base, …)`,
+    * `outd(src, outdeg)` and the previous round as `r{k-1}`. */
+  private def pagerankStepSql(k: Int): String = s"""
       r$k AS (SELECT h.host,
           (15 * p.base) // 100 + (85 * COALESCE(s.in_sum, 0)) // 100 AS rank
         FROM h CROSS JOIN p LEFT JOIN (
@@ -1685,6 +1686,11 @@ object PipelineQueries {
           FROM e JOIN r${k - 1} r ON r.host = e.src
           JOIN outd o ON o.src = e.src
           GROUP BY e.dst) s ON s.host = h.host)"""
+
+  private val q83 = {
+    val unit = 1000000000000L
+    val iters = 5
+    val step = pagerankStepSql _
     Q(
       "q83_host_pagerank",
       (s, dir) => {
@@ -1850,8 +1856,108 @@ object PipelineQueries {
       FROM c ORDER BY doc_id""")
   )
 
+  // ---------------------------------------------------------------- q87
+  /** The composed crawl pipeline — the round's flagship composition
+    * gate (the q79 pattern applied to the crawl stack): each document
+    * becomes an HTML page carrying its text AND two host links; ONE
+    * query then runs extraction ([[TextAnalysis.extractText]]), the
+    * link graph ([[WebGraph.hostEdges]]), integer PageRank
+    * ([[WebGraph.hostRank]]), quality scoring, and the curation
+    * decision — keep iff quality ≥ 0.3 AND the page's host carries at
+    * least the uniform share of link authority (rank·n ≥ unit,
+    * integer-exact). Every stage is individually gated (q81/q82/q83/
+    * q38); this gates their COMPOSITION, host-prior join included.
+    *
+    * Scale shape: extraction+scoring ride the scan; the graph side
+    * aggregates to |hosts|-sized frames; the rank join back to docs is
+    * a broadcast (ranks are (host, long) rows at any corpus size). */
+  private val q87 = {
+    val unit = 1000000000000L
+    val iters = 5
+    val p1 = "<html><head><STYLE>p { x }</STYLE></head><body><a href=\"http://h"
+    val p2 = ".example/p"
+    val p3 = "\">a</a><A HREF=\"HTTPS://H"
+    val p4 = ".EXAMPLE/q"
+    val p5 = "?x=1\">b</A><p>"
+    val p6 = "</p><a href=\"/nav\">n</a></body></html>"
+    Q(
+      "q87_crawl_pipeline",
+      (s, dir) => {
+        val pages = Lake(s, dir).documents.select(
+          col("doc_id"),
+          concat(lit("h"), pmod(col("doc_id"), lit(17)), lit(".example")).as("src_host"),
+          concat(
+            lit(p1), pmod(col("doc_id") * 3 + 1, lit(17)), lit(p2), col("doc_id"),
+            lit(p3), pmod(col("doc_id") * 5 + 2, lit(17)), lit(p4), col("doc_id"),
+            lit(p5), col("text"), lit(p6)).as("html"))
+        val ranks = WebGraph.hostRank(
+          WebGraph.hostEdges(pages, col("src_host"), col("html")),
+          iterations = iters, unit = unit)
+        val n = ranks.count() // host count: the oracle derives the same scalar
+        val cleaned = pages.select(col("doc_id"), col("src_host"),
+          TextAnalysis.extractText(col("html")).as("clean_text"))
+        cleaned
+          .join(broadcast(ranks), cleaned("src_host") === ranks("host"), "left")
+          .select(col("doc_id"), col("src_host"),
+            coalesce(col("rank_units"), lit(0L)).as("rank_units"),
+            TextAnalysis.qualityScore(col("clean_text")).as("quality"))
+          .withColumn("keep",
+            col("quality") >= 0.3 && col("rank_units") * n >= unit)
+          .orderBy("doc_id")
+      },
+      Some({
+        import TextAnalysis.{CommentBlockPattern, ScriptBlockPattern, StyleBlockPattern, TagPattern, WhitespaceRunPattern}
+        s"""
+      WITH pages AS (SELECT doc_id,
+          'h' || CAST(doc_id % 17 AS VARCHAR) || '.example' AS src_host,
+          '$p1' || CAST((doc_id * 3 + 1) % 17 AS VARCHAR)
+            || '$p2' || CAST(doc_id AS VARCHAR)
+            || '$p3' || CAST((doc_id * 5 + 2) % 17 AS VARCHAR)
+            || '$p4' || CAST(doc_id AS VARCHAR)
+            || '$p5' || text || '$p6' AS html
+        FROM documents),
+      links AS (SELECT src_host,
+          unnest(regexp_extract_all(html, '${WebGraph.HrefPattern}', 1)) AS url
+        FROM pages),
+      lh AS (SELECT src_host,
+          lower(regexp_extract(url, '${WebGraph.HostPattern}', 1)) AS dst_host
+        FROM links),
+      e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lh
+            WHERE dst_host <> '' AND src_host <> dst_host),
+      h AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+      p AS (SELECT CAST($unit // COUNT(*) AS BIGINT) AS base,
+                   COUNT(*) AS n FROM h),
+      outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT host, base AS rank FROM h CROSS JOIN p),
+      ${(1 to iters).map(pagerankStepSql).mkString(",")},
+      ext AS (SELECT doc_id, src_host,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(html, '$ScriptBlockPattern', ' ', 'g'),
+                    '$StyleBlockPattern', ' ', 'g'),
+                  '$CommentBlockPattern', ' ', 'g'),
+                '$TagPattern', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+              '&amp;', '&'),
+            '$WhitespaceRunPattern', ' ', 'g')) AS text
+        FROM pages),
+      sc AS (SELECT doc_id, src_host, $QualitySqlExpr AS quality FROM ext)
+      SELECT sc.doc_id, sc.src_host,
+        CAST(COALESCE(r.rank, 0) AS BIGINT) AS rank_units,
+        sc.quality,
+        (sc.quality >= 0.3 AND
+         COALESCE(r.rank, 0) * (SELECT n FROM p) >= $unit) AS keep
+      FROM sc LEFT JOIN r$iters r ON r.host = sc.src_host
+      ORDER BY doc_id"""
+      })
+    )
+  }
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q79, q80, q81, q82, q83, q84, q85, q86)
+    q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87)
 }
