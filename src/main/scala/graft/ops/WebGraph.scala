@@ -77,6 +77,51 @@ object WebGraph {
       .groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n_links"))
 
+  /** A complete `<a …href="http(s)://…"…>…</a>` element — the unit the
+    * anchor-text extractor works per-match on (group structure unused by
+    * the full-match extraction; kept so the same pattern documents the
+    * url/text split). Same boundary as [[HrefPattern]]: quoted absolute
+    * http(s) targets only. */
+  val AnchorElemPattern = "(?is)<a [^>]*href=\"(https?://[^\"]+)\"[^>]*>(.*?)</a>"
+
+  /** From-first-`>` inner content of an anchor element (tags inside the
+    * anchor — `<b>`, `<span>` — are stripped by the caller). */
+  val AnchorInnerPattern = "(?is)>(.*)</a>"
+
+  /** (dst_host, anchor_text) pairs for every absolute-http(s) link in an
+    * HTML column — the anchor corpus, the classic relevance signal
+    * (what OTHER pages call a host ranks it better than what it calls
+    * itself). Zero shuffle: per-element regex work inside a
+    * higher-order `transform`, no explode until the caller aggregates. */
+  def extractAnchors(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit(AnchorElemPattern), lit(0)),
+      el => struct(
+        hostOf(regexp_extract(el, HrefPattern, 1)).as("dst_host"),
+        trim(regexp_replace(
+          regexp_replace(regexp_extract(el, AnchorInnerPattern, 1),
+            TextAnalysis.TagPattern, " "),
+          TextAnalysis.WhitespaceRunPattern, " ")).as("anchor")))
+
+  /** The anchor-text index: per destination host, the incoming link
+    * count and the distinct anchor strings (sorted, '|'-joined — a
+    * deterministic digest of "what the web calls this host"). ONE
+    * shuffle (the groupBy); anchor sets are bounded by distinct
+    * phrasings, not link count, so the aggregate stays host-sized at
+    * crawl scale. */
+  def anchorIndex(pages: DataFrame, html: Column): DataFrame =
+    pages
+      .select(explode(extractAnchors(html)).as("a"))
+      .select(col("a.dst_host").as("dst_host"), col("a.anchor").as("anchor"))
+      .filter(col("dst_host") =!= "")
+      .groupBy("dst_host")
+      .agg(
+        count(lit(1)).as("n_links"),
+        size(array_distinct(collect_list(col("anchor")))).cast("long")
+          .as("n_anchors"),
+        array_join(array_sort(array_distinct(collect_list(col("anchor")))), "|")
+          .as("anchors"))
+
   /** PageRank over the host graph in integer fixed-point arithmetic —
     * every operation is BIGINT add / multiply / truncating `div`, so the
     * result is BIT-IDENTICAL on any engine and any partitioning: no

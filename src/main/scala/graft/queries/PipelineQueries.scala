@@ -1956,8 +1956,67 @@ object PipelineQueries {
     )
   }
 
+  // ---------------------------------------------------------------- q88
+  /** Anchor-text index — [[graft.ops.WebGraph.extractAnchors]]/
+    * `anchorIndex` under the hash gate: per destination host, the
+    * incoming link count and the sorted distinct anchor digest ("what
+    * the web calls this host" — the classic relevance signal). The
+    * fixture varies anchor phrasing per link (`site k` / `page m`,
+    * modular in doc_id) and nests a `<b>` tag inside one anchor so the
+    * inner-tag strip is exercised; the relative link's anchor must NOT
+    * appear. Per-element regex work runs inside a higher-order
+    * `transform` (zero shuffle until the one groupBy). */
+  private val q88 = {
+    val a1 = "<html><body><a href=\"http://h"
+    val a2 = ".example/p"
+    val a3 = "\">site "
+    val a4 = "</a><A HREF=\"HTTPS://H"
+    val a5 = ".EXAMPLE/q\" class=\"z\">page <b>"
+    val a6 = "</b></A><a href=\"/rel\">rel</a></body></html>"
+    Q(
+      "q88_anchor_text",
+      (s, dir) => {
+        val pages = Lake(s, dir).documents.select(
+          col("doc_id"),
+          concat(
+            lit(a1), pmod(col("doc_id") * 3 + 1, lit(17)), lit(a2), col("doc_id"),
+            lit(a3), pmod(col("doc_id"), lit(7)),
+            lit(a4), pmod(col("doc_id") * 5 + 2, lit(17)), lit(a5),
+            pmod(col("doc_id"), lit(3)), lit(a6)).as("html"))
+        WebGraph.anchorIndex(pages, col("html")).orderBy("dst_host")
+      },
+      Some(s"""
+      WITH pages AS (SELECT doc_id,
+          '$a1' || CAST((doc_id * 3 + 1) % 17 AS VARCHAR)
+            || '$a2' || CAST(doc_id AS VARCHAR)
+            || '$a3' || CAST(doc_id % 7 AS VARCHAR)
+            || '$a4' || CAST((doc_id * 5 + 2) % 17 AS VARCHAR)
+            || '$a5' || CAST(doc_id % 3 AS VARCHAR)
+            || '$a6' AS html
+        FROM documents),
+      els AS (SELECT doc_id,
+          unnest(regexp_extract_all(html, '${WebGraph.AnchorElemPattern}')) AS el
+        FROM pages),
+      an AS (SELECT
+          lower(regexp_extract(
+            regexp_extract(el, '${WebGraph.HrefPattern}', 1),
+            '${WebGraph.HostPattern}', 1)) AS dst_host,
+          trim(regexp_replace(
+            regexp_replace(
+              regexp_extract(el, '${WebGraph.AnchorInnerPattern}', 1),
+              '${TextAnalysis.TagPattern}', ' ', 'g'),
+            '${TextAnalysis.WhitespaceRunPattern}', ' ', 'g')) AS anchor
+        FROM els)
+      SELECT dst_host, CAST(COUNT(*) AS BIGINT) AS n_links,
+        CAST(len(list_distinct(list(anchor))) AS BIGINT) AS n_anchors,
+        array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchors
+      FROM an WHERE dst_host <> ''
+      GROUP BY dst_host ORDER BY dst_host""")
+    )
+  }
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87)
+    q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

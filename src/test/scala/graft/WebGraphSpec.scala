@@ -42,6 +42,29 @@ class WebGraphSpec extends SparkTestBase {
       ("a.ex", "b.ex") -> 2L, ("a.ex", "a.ex") -> 1L, ("b.ex", "a.ex") -> 1L))
   }
 
+  test("extractAnchors: host+text pairs, inner tags stripped, relative links skipped") {
+    val html =
+      """<a href="http://a.ex/p">first link</a>
+        |<A HREF="HTTPS://B.EX/q" class="z">with <b>bold</b> inside</A>
+        |<a href="/relative">nope</a>""".stripMargin
+    val out = Seq(Tuple1(html)).toDF("html")
+      .select(explode(WebGraph.extractAnchors(col("html"))).as("a"))
+      .select("a.dst_host", "a.anchor")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(out == Seq("a.ex" -> "first link", "b.ex" -> "with bold inside"))
+  }
+
+  test("anchorIndex: per-host counts and sorted distinct anchor digest") {
+    val pages = Seq(
+      """<a href="http://t.ex/1">beta</a><a href="http://t.ex/2">alpha</a>""",
+      """<a href="http://t.ex/3">beta</a><a href="http://u.ex/1">only</a>""")
+      .map(Tuple1(_)).toDF("html")
+    val out = WebGraph.anchorIndex(pages, col("html"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out("t.ex") == ((3L, 2L, "alpha|beta"))) // sorted, deduped
+    assert(out("u.ex") == ((1L, 1L, "only")))
+  }
+
   test("hostRank: one round matches the hand-computed integer fixed point") {
     // a→b, b→a, c→b: n=3, base = 1e12/3 = 333333333333
     // teleport = (15*base)/100 = 49999999999 (truncated)
