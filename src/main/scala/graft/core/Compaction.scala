@@ -1,7 +1,6 @@
 package graft.core
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.SparkSession
 
@@ -13,23 +12,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Strategy: size the target partition count from the directory's actual
   * bytes (not file count), rewrite into a sibling `.compacting` directory,
-  * then swap via rename — atomic on POSIX filesystems; on object stores
-  * swap this step for the store's atomic-commit primitive. The rewrite is
-  * a plain scan+repartition, so it distributes like any other job.
+  * then swap via rename. All filesystem work goes through the Hadoop
+  * FileSystem API resolved from the table's own path (the SilverReader
+  * convention), so the same code compacts a local dir, HDFS, or an
+  * s3a:// prefix — java.nio would see only the local disk and call every
+  * remote table "not a directory". Renames are atomic on POSIX and HDFS;
+  * on S3 they are copies, which widens the swap window — on object
+  * stores prefer the store's atomic-commit primitive for the swap step.
   */
 object Compaction {
-
-  private def dirBytes(dir: Path): Long = {
-    val s = Files.walk(dir)
-    try s.filter(p => Files.isRegularFile(p)).mapToLong(p => Files.size(p)).sum()
-    finally s.close()
-  }
-
-  private def deleteRecursively(dir: Path): Unit = {
-    val s = Files.walk(dir)
-    try s.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
-    finally s.close()
-  }
 
   /** Rewrite `path` into files of ~`targetMB` each. Returns the resulting
     * partition count. Row order within the table is not preserved (parquet
@@ -43,19 +34,22 @@ object Compaction {
     * (plus a recoverable sibling), never a window with NO table, which
     * delete-first would open. */
   def compact(spark: SparkSession, path: String, targetMB: Int = 512): Int = {
-    val dir = Paths.get(path)
-    require(Files.isDirectory(dir), s"not a directory: $path")
-    val parts = math.max(1L, dirBytes(dir) / (targetMB.toLong * 1024 * 1024)).toInt
-    val tmp = Paths.get(path + ".compacting")
-    val old = Paths.get(path + ".old")
-    if (Files.exists(tmp)) deleteRecursively(tmp)
-    if (Files.exists(old)) deleteRecursively(old)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir) && fs.getFileStatus(dir).isDirectory,
+      s"not a directory: $path")
+    val bytes = fs.getContentSummary(dir).getLength
+    val parts = math.max(1L, bytes / (targetMB.toLong * 1024 * 1024)).toInt
+    val tmp = new Path(path + ".compacting")
+    val old = new Path(path + ".old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
     spark.read.parquet(path)
       .repartition(parts)
       .write.mode("overwrite").parquet(tmp.toString)
-    Files.move(dir, old)
-    Files.move(tmp, dir)
-    deleteRecursively(old)
+    fs.rename(dir, old)
+    fs.rename(tmp, dir)
+    fs.delete(old, true)
     parts
   }
 }

@@ -50,15 +50,22 @@ object LanguageModel {
       (a, b) => concat(a, lit(" "), b))
   }
 
-  /** The trained model: (bigram, c12, c1) — pair count and left-context
-    * total. Persist/write this once per corpus snapshot. */
-  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
-    val bg = docs.select(explode(bigrams(col(textCol))).as("bigram"))
+  /** LM build from an already-exploded bigram frame — the ONE copy of
+    * the (bigram, c12, c1) construction, shared by [[bigramCounts]]
+    * (standalone train) and [[bigramScore]] (train + score off one
+    * explode), so a smoothing or pruning change cannot drift between
+    * the two entry points. */
+  private def lmFromBigrams(bg: DataFrame): DataFrame = {
     val c12 = bg.groupBy("bigram").agg(count(lit(1)).as("c12"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     c12.join(c1, Seq("w1")).select("bigram", "c12", "c1")
   }
+
+  /** The trained model: (bigram, c12, c1) — pair count and left-context
+    * total. Persist/write this once per corpus snapshot. */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    lmFromBigrams(docs.select(explode(bigrams(col(textCol))).as("bigram")))
 
   /** Score every document by mean smoothed conditional probability of
     * its bigrams under the corpus's own bigram LM. Emits `n_bigrams`
@@ -71,16 +78,16 @@ object LanguageModel {
     // One bigram explode feeds BOTH the LM build and the per-doc scoring
     // join — persisted, or each consumer re-pays the corpus tokenize
     // pass (the Index.bm25TopK / Dedup shingle-frame precedent). The
-    // vocab count still needs its own unigram pass (doc-final tokens
-    // never appear on a bigram's left side, so it is not derivable from
-    // the bigram frame).
+    // persist stays registered for the result frame's lifetime; a
+    // long-lived session scoring many corpora should
+    // `spark.catalog.clearCache()` between them (the Dedup escape
+    // hatch). The vocab count still needs its own unigram pass
+    // (doc-final tokens never appear on a bigram's left side, so it is
+    // not derivable from the bigram frame).
     val docBg = docs.select(col(idCol).as("__id"),
       explode(bigrams(col(textCol))).as("bigram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c12 = docBg.groupBy("bigram").agg(count(lit(1)).as("c12"))
-      .withColumn("w1", split(col("bigram"), " ").getItem(0))
-    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    val lm = c12.join(c1, Seq("w1")).select("bigram", "c12", "c1")
+    val lm = lmFromBigrams(docBg)
     val vocabSize = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .agg(countDistinct("w").as("v"))

@@ -32,10 +32,16 @@ object WebGraph {
 
   /** Patterns shared verbatim by the Spark plan and the SQL oracle (the
     * [[TextAnalysis]] convention): RE2-portable — no backreferences or
-    * lookaround, explicit character classes, inline `(?i)` only.
+    * lookaround, explicit character classes, inline `(?i)`/`(?is)` only.
     *
     * Crawl-HTML defenses:
     *   - `(?i)`: `HREF="HTTP://…"` casing is everywhere in real crawl;
+    *   - ANCHOR elements only (`<a␣…href=…`, any whitespace after the
+    *     tag name): `<link rel="stylesheet" href=…>`, `<base>`, `<area>`
+    *     and hrefs inside script/style/comment blocks (the extractors
+    *     strip those blocks first) are resource references, not
+    *     endorsements — counting them would hand every shared CDN a
+    *     PageRank subsidy;
     *   - absolute `http(s)` URLs only — relative links, `mailto:`,
     *     `javascript:` and protocol-relative `//host` hrefs are
     *     navigation noise for a HOST graph (resolving them needs the
@@ -44,16 +50,28 @@ object WebGraph {
     *     the fixture contract; unquoted attributes would need a
     *     DOM-aware pass, same boundary as [[TextAnalysis.extractText]].
     */
-  val HrefPattern = "(?i)href=\"(https?://[^\"]+)\""
+  val HrefPattern =
+    "(?is)<a[ \\t\\n\\f\\r][^>]*href=\"(https?://[^\"]+)\""
 
   /** Authority component of an absolute URL: everything between `://`
     * and the first `/ : ? #`. Port, path, query, fragment excluded. */
   val HostPattern = "(?i)^https?://([^/:?#]+)"
 
-  /** All absolute http(s) link targets in an HTML column, in document
-    * order. Zero shuffle — stays in whole-stage codegen. */
+  /** Script/style/comment blocks removed — the [[TextAnalysis]] block
+    * patterns applied before any link matching, so commented-out markup
+    * and generated-in-JS hrefs never become edges. */
+  private def stripBlocks(html: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(html, TextAnalysis.ScriptBlockPattern, " "),
+        TextAnalysis.StyleBlockPattern, " "),
+      TextAnalysis.CommentBlockPattern, " ")
+
+  /** All absolute http(s) ANCHOR targets in an HTML column, in document
+    * order (script/style/comment content excluded). Zero shuffle —
+    * stays in whole-stage codegen. */
   def extractLinks(html: Column): Column =
-    regexp_extract_all(html, lit(HrefPattern), lit(1))
+    regexp_extract_all(stripBlocks(html), lit(HrefPattern), lit(1))
 
   /** Lower-cased host of an absolute URL ('' for non-URLs — filter it). */
   def hostOf(url: Column): Column =
@@ -82,7 +100,8 @@ object WebGraph {
     * the full-match extraction; kept so the same pattern documents the
     * url/text split). Same boundary as [[HrefPattern]]: quoted absolute
     * http(s) targets only. */
-  val AnchorElemPattern = "(?is)<a [^>]*href=\"(https?://[^\"]+)\"[^>]*>(.*?)</a>"
+  val AnchorElemPattern =
+    "(?is)<a[ \\t\\n\\f\\r][^>]*href=\"(https?://[^\"]+)\"[^>]*>(.*?)</a>"
 
   /** From-first-`>` inner content of an anchor element (tags inside the
     * anchor — `<b>`, `<span>` — are stripped by the caller). */
@@ -95,7 +114,7 @@ object WebGraph {
     * higher-order `transform`, no explode until the caller aggregates. */
   def extractAnchors(html: Column): Column =
     transform(
-      regexp_extract_all(html, lit(AnchorElemPattern), lit(0)),
+      regexp_extract_all(stripBlocks(html), lit(AnchorElemPattern), lit(0)),
       el => struct(
         hostOf(regexp_extract(el, HrefPattern, 1)).as("dst_host"),
         trim(regexp_replace(
@@ -105,22 +124,27 @@ object WebGraph {
 
   /** The anchor-text index: per destination host, the incoming link
     * count and the distinct anchor strings (sorted, '|'-joined — a
-    * deterministic digest of "what the web calls this host"). ONE
-    * shuffle (the groupBy); anchor sets are bounded by distinct
-    * phrasings, not link count, so the aggregate stays host-sized at
-    * crawl scale. */
+    * deterministic digest of "what the web calls this host").
+    *
+    * Two-level aggregation so state is bounded by distinct PHRASINGS,
+    * not link count: (dst_host, anchor) counts first (map-side partial
+    * combine collapses the "click here" millions inside each task),
+    * then per-host the already-distinct anchors collect. A single-level
+    * collect_list would materialize one string per raw occurrence in
+    * the aggregation buffer — the hot-host OOM this shape exists to
+    * avoid. Two shuffles, both on pre-combined keys. */
   def anchorIndex(pages: DataFrame, html: Column): DataFrame =
     pages
       .select(explode(extractAnchors(html)).as("a"))
       .select(col("a.dst_host").as("dst_host"), col("a.anchor").as("anchor"))
       .filter(col("dst_host") =!= "")
+      .groupBy("dst_host", "anchor")
+      .agg(count(lit(1)).as("c"))
       .groupBy("dst_host")
       .agg(
-        count(lit(1)).as("n_links"),
-        size(array_distinct(collect_list(col("anchor")))).cast("long")
-          .as("n_anchors"),
-        array_join(array_sort(array_distinct(collect_list(col("anchor")))), "|")
-          .as("anchors"))
+        sum("c").as("n_links"),
+        count(lit(1)).as("n_anchors"),
+        array_join(array_sort(collect_list(col("anchor"))), "|").as("anchors"))
 
   /** PageRank over the host graph in integer fixed-point arithmetic —
     * every operation is BIGINT add / multiply / truncating `div`, so the
@@ -159,19 +183,24 @@ object WebGraph {
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     import org.apache.spark.storage.StorageLevel
-    val e = edges
+    // host universe from the edge list BEFORE the self-loop filter: a
+    // host whose only edges are self-loops still EXISTS (it gets the
+    // teleport-only rank), honoring the one-row-per-host contract —
+    // deriving hosts after the filter would silently drop it
+    val eAll = edges
       .select(col("src_host").cast("string").as("src"),
         col("dst_host").cast("string").as("dst"))
-      .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hosts = e.select(col("src").as("host"))
-      .union(e.select(col("dst").as("host")))
+    val e = eAll.filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hosts = eAll.select(col("src").as("host"))
+      .union(eAll.select(col("dst").as("host")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = hosts.count() // the one driver action: a single long
     if (n == 0) { // no linked hosts: the empty graph, not a 1/0 crash
-      e.unpersist(); hosts.unpersist()
+      eAll.unpersist(); e.unpersist(); hosts.unpersist()
       return hosts.select(col("host"), lit(0L).as("rank_units"))
     }
     val base = unit / n   // integer division, mirrored by the oracle
@@ -193,6 +222,7 @@ object WebGraph {
             expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank_units"))
         .localCheckpoint()
     }
+    eAll.unpersist()
     e.unpersist()
     hosts.unpersist()
     ranks
@@ -200,7 +230,11 @@ object WebGraph {
 
   /** Tracking query parameters stripped by [[canonicalizeUrl]]: the
     * analytics/click-id families that vary per visit without changing
-    * the resource. Shared with the oracle. */
+    * the resource. Shared with the oracle. Used with a `[?&]` LEFT
+    * BOUNDARY prepended — without it, `gclid=` would match inside a
+    * longer param name (`xgclid=1`) or inside a VALUE
+    * (`q=what+is+gclid=x`), corrupting non-tracking params and falsely
+    * merging distinct URLs. */
   val TrackingParamPattern = "(utm_[a-zA-Z]+|gclid|fbclid|msclkid)=[^&#]*"
 
   /** Canonicalize an absolute http(s) URL so that per-visit noise
@@ -229,13 +263,15 @@ object WebGraph {
     // path + query, fragment excluded: everything after the authority
     // up to the first '#'
     val rest = regexp_extract(url, "(?i)^https?://[^/?#]+([^#]*)", 1)
-    // tracking params go in two shapes: followed by '&' (swallow the
-    // '&') or last-in-query (swallow nothing, cleanup pass trims the
-    // dangling '?'/'&')
-    val noTrack = regexp_replace(
-      regexp_replace(rest, TrackingParamPattern + "&", ""),
-      TrackingParamPattern, "")
-    val cleaned = regexp_replace(noTrack, "[?&]+$", "")
+    // each tracking param is removed WITH its leading delimiter (the
+    // left boundary that keeps lookalike names and values intact);
+    // adjacent params chain because each match ends exactly where the
+    // next one's delimiter begins. If the removals ate the '?', the
+    // first surviving '&' is promoted back to '?' (anchored — at most
+    // one match), then dangling separators trim.
+    val noTrack = regexp_replace(rest, "[?&]" + TrackingParamPattern, "")
+    val requeried = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    val cleaned = regexp_replace(requeried, "[?&]+$", "")
     val path = when(cleaned === "", lit("/")).otherwise(cleaned)
     when(scheme === "" || host === "", lit(""))
       .otherwise(concat(

@@ -1637,9 +1637,17 @@ object PipelineQueries {
             || '${esc(linkMid4)}' || CAST(doc_id AS VARCHAR)
             || '${esc(linkMid5)}' AS html
         FROM documents),
+      stripped AS (SELECT src_host,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html,
+                '${TextAnalysis.ScriptBlockPattern}', ' ', 'g'),
+              '${TextAnalysis.StyleBlockPattern}', ' ', 'g'),
+            '${TextAnalysis.CommentBlockPattern}', ' ', 'g') AS html
+        FROM pages),
       links AS (SELECT src_host,
           unnest(regexp_extract_all(html, '${WebGraph.HrefPattern}', 1)) AS url
-        FROM pages),
+        FROM stripped),
       lhosts AS (SELECT src_host,
           lower(regexp_extract(url, '${WebGraph.HostPattern}', 1)) AS dst_host
         FROM links)"""
@@ -1701,9 +1709,10 @@ object PipelineQueries {
       },
       Some(s"""
       WITH $linkHostsSql,
-      e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lhosts
-            WHERE dst_host <> '' AND src_host <> dst_host),
-      h AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+      eall AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lhosts
+               WHERE dst_host <> ''),
+      e AS (SELECT * FROM eall WHERE src <> dst),
+      h AS (SELECT src AS host FROM eall UNION SELECT dst FROM eall),
       p AS (SELECT CAST($unit // COUNT(*) AS BIGINT) AS base FROM h),
       outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
       r0 AS (SELECT host, base AS rank FROM h CROSS JOIN p),
@@ -1773,8 +1782,8 @@ object PipelineQueries {
         FROM (SELECT doc_id, scheme, host, port,
             regexp_replace(
               regexp_replace(
-                regexp_replace(rest, '${WebGraph.TrackingParamPattern}&', '', 'g'),
-                '${WebGraph.TrackingParamPattern}', '', 'g'),
+                regexp_replace(rest, '[?&]${WebGraph.TrackingParamPattern}', '', 'g'),
+                '^([^?]*)&', '\\1?'),
               '[?&]+$$', '', 'g') AS cleaned
           FROM parts) q)
       SELECT canonical_url, COUNT(*) AS n_urls, MIN(doc_id) AS first_doc
@@ -1916,15 +1925,23 @@ object PipelineQueries {
             || '$p4' || CAST(doc_id AS VARCHAR)
             || '$p5' || text || '$p6' AS html
         FROM documents),
+      lstripped AS (SELECT src_host,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html, '$ScriptBlockPattern', ' ', 'g'),
+              '$StyleBlockPattern', ' ', 'g'),
+            '$CommentBlockPattern', ' ', 'g') AS html
+        FROM pages),
       links AS (SELECT src_host,
           unnest(regexp_extract_all(html, '${WebGraph.HrefPattern}', 1)) AS url
-        FROM pages),
+        FROM lstripped),
       lh AS (SELECT src_host,
           lower(regexp_extract(url, '${WebGraph.HostPattern}', 1)) AS dst_host
         FROM links),
-      e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lh
-            WHERE dst_host <> '' AND src_host <> dst_host),
-      h AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+      eall AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lh
+               WHERE dst_host <> ''),
+      e AS (SELECT * FROM eall WHERE src <> dst),
+      h AS (SELECT src AS host FROM eall UNION SELECT dst FROM eall),
       p AS (SELECT CAST($unit // COUNT(*) AS BIGINT) AS base,
                    COUNT(*) AS n FROM h),
       outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
@@ -1994,9 +2011,17 @@ object PipelineQueries {
             || '$a5' || CAST(doc_id % 3 AS VARCHAR)
             || '$a6' AS html
         FROM documents),
+      astripped AS (SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(html,
+                '${TextAnalysis.ScriptBlockPattern}', ' ', 'g'),
+              '${TextAnalysis.StyleBlockPattern}', ' ', 'g'),
+            '${TextAnalysis.CommentBlockPattern}', ' ', 'g') AS html
+        FROM pages),
       els AS (SELECT doc_id,
           unnest(regexp_extract_all(html, '${WebGraph.AnchorElemPattern}')) AS el
-        FROM pages),
+        FROM astripped),
       an AS (SELECT
           lower(regexp_extract(
             regexp_extract(el, '${WebGraph.HrefPattern}', 1),

@@ -7,7 +7,7 @@ import graft.ops.WebGraph
 class WebGraphSpec extends SparkTestBase {
   import testImplicits._
 
-  test("extractLinks: absolute http(s) only, casing tolerated, document order") {
+  test("extractLinks: absolute http(s) anchors only, casing tolerated, document order") {
     val html =
       """<a href="http://a.example/p">1</a>
         |<A HREF="HTTPS://B.EXAMPLE/q?x=1">2</A>
@@ -20,6 +20,25 @@ class WebGraphSpec extends SparkTestBase {
       .head.getSeq[String](0)
     assert(out == Seq(
       "http://a.example/p", "HTTPS://B.EXAMPLE/q?x=1", "http://a.example/p2"))
+  }
+
+  test("extractLinks: resource hrefs and blocked-out markup are not endorsements") {
+    val html =
+      """<link rel="stylesheet" href="https://cdn.example/a.css">
+        |<base href="http://base.example/">
+        |<script>var u = 'href="http://js.example/x"';</script>
+        |<style>a { background: url(x) } /* href="http://css.example/" */</style>
+        |<!-- <a href="http://old.example/">dead</a> -->
+        |<a
+        |  class="multi"
+        |  href="http://real.example/p">kept: attrs split over lines</a>""".stripMargin
+    val out = Seq(Tuple1(html)).toDF("html")
+      .select(WebGraph.extractLinks(col("html")).as("links"))
+      .head.getSeq[String](0)
+    // only the real anchor survives: <link>/<base> are resource refs,
+    // script/style/comment content is stripped before matching, and a
+    // newline after '<a' is whitespace like any other
+    assert(out == Seq("http://real.example/p"))
   }
 
   test("hostOf: lowercase, strips port/path/query/fragment, '' for non-URLs") {
@@ -110,6 +129,19 @@ class WebGraphSpec extends SparkTestBase {
     assert(WebGraph.hostRank(empty).count() == 0)
   }
 
+  test("hostRank: a self-loop-only host still gets a row (teleport-only rank)") {
+    // z's only edge is z→z: no authority transfers, but the host EXISTS
+    // — the one-row-per-host contract — so it earns the teleport share
+    val edges = Seq(("a", "b"), ("b", "a"), ("z", "z")).toDF("src_host", "dst_host")
+    val out = WebGraph.hostRank(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = 1000000000000L / 3 // n = 3: z counts in the universe
+    val tp = 15L * base / 100
+    assert(out.keySet == Set("a", "b", "z"))
+    assert(out("z") == tp)
+    assert(out("a") == tp + 85L * base / 100)
+  }
+
   test("canonicalizeUrl: case, default ports, fragments, tracking params") {
     val cases = Seq(
       // scheme+host lowercase, :80 dropped, fragment dropped, utm stripped
@@ -122,8 +154,16 @@ class WebGraphSpec extends SparkTestBase {
       "https://EX.com:443/" -> "https://ex.com/",
       // trailing tracking param: swallowed by the no-& shape + cleanup
       "http://e.com/p?a=1&utm_x=2" -> "http://e.com/p?a=1",
-      // adjacent tracking params both go (global replace)
+      // adjacent tracking params both go (each match consumes its own
+      // leading delimiter, so the chain doesn't break)
       "http://e.com/p?utm_a=1&utm_b=2&id=3" -> "http://e.com/p?id=3",
+      // leading tracking param: the surviving '&' is promoted to '?'
+      "http://e.com/p?gclid=1&id=2" -> "http://e.com/p?id=2",
+      // LOOKALIKES survive: 'gclid=' inside a longer param name or
+      // inside a VALUE is not a tracking param (the left boundary)
+      "http://e.com/p?xgclid=1&id=2" -> "http://e.com/p?xgclid=1&id=2",
+      "http://e.com/search?q=what+is+gclid=x" -> "http://e.com/search?q=what+is+gclid=x",
+      "http://e.com/p?id=1&refgclid=2" -> "http://e.com/p?id=1&refgclid=2",
       // non-URLs canonicalize to '' for one-pass filtering
       "not a url" -> "",
       "ftp://files.example/x" -> "")
