@@ -20,12 +20,13 @@ import org.apache.spark.sql.functions._
   * discipline).
   *
   * Measured ([[graft.runner.WebGraphScaleProbe]], sf0.1 pages ×10 with
-  * the host universe grown ×10 alongside, local[32], warm-then-time):
-  * host_edges 0.20 → 0.29 s (1.5×), host_rank 2.76 → 2.87 s (1.0× —
-  * the loop's fixed 5-round stage setup dominates; the rank state is
-  * (host, long) rows, so even a 10× graph is invisible next to it),
-  * url_canonical 0.11 → 0.39 s (3.4×). Nothing super-linear: extraction
-  * and canonicalization ride the scan, the graph side is
+  * the host universe grown ×10 alongside, local[32], warm-then-time,
+  * post block-strip hardening): host_edges 0.26 → 0.66 s (2.6×),
+  * host_rank 2.37 → 2.78 s (1.2× — the loop's fixed 5-round stage
+  * setup dominates; the rank state is (host, long) rows, so even a 10×
+  * graph is invisible next to it), anchor_index 0.23 → 0.66 s (2.8×),
+  * url_canonical 0.09 → 0.32 s (3.7×). Nothing super-linear:
+  * extraction and canonicalization ride the scan, the graph side is
   * state-size-bound exactly as a 1000-executor run needs.
   */
 object WebGraph {

@@ -70,6 +70,7 @@ object WebGraphScaleProbe {
       "host_edges" -> (p => WebGraph.hostEdges(p, col("src_host"), col("html"))),
       "host_rank" -> (p =>
         WebGraph.hostRank(WebGraph.hostEdges(p, col("src_host"), col("html")))),
+      "anchor_index" -> (p => WebGraph.anchorIndex(p, col("html"))),
       "url_canonical" -> (p =>
         urls(p).select(WebGraph.canonicalizeUrl(col("url")).as("c")))
     )

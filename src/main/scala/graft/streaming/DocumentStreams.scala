@@ -81,6 +81,27 @@ object DocumentStreams {
     * hourly edge deltas a nightly [[graft.ops.WebGraph.hostRank]] batch
     * folds into the full graph, which is how a crawl keeps its authority
     * signal fresh without re-scanning history. */
+  /** Streaming crawl-frontier dedup — the incremental twin of q84's
+    * canonical identity: arriving URLs (`ts`, `url`) canonicalize with
+    * the SAME expression chain the batch path uses, then re-seen
+    * canonical keys drop within the watermark horizon. This is the gate
+    * in front of a fetcher: per-visit noise (tracking params, casing,
+    * fragments) stops re-queueing the same resource. State is one row
+    * per canonical URL, expiring with the watermark — bounded by
+    * (frontier rate × horizon), not crawl history; the full dedup
+    * against the historical fetch log is the batch join this stream
+    * gate sits in front of (the curateStream/incrementalMinhash
+    * layering). */
+  def frontierStream(
+      urls: DataFrame,
+      watermark: String = "1 hour"
+  ): DataFrame =
+    urls
+      .withColumn("canonical_url", WebGraph.canonicalizeUrl(col("url")))
+      .filter(col("canonical_url") =!= "")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   def linkEdgesStream(
       pages: DataFrame,
       watermark: String = "1 hour",

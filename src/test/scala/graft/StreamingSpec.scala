@@ -277,6 +277,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("frontierStream: per-visit URL noise dedups to one fetch per resource") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val urls = input.toDF().toDF("req_id", "ts", "url")
+    val q = graft.streaming.DocumentStreams
+      .frontierStream(urls, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("frontier")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), "HTTP://EX.com:80/p?utm_source=a#top"), // canonical: http://ex.com/p
+        (2L, ts(1), "http://ex.com/p?gclid=z"),             // same resource, re-seen → drop
+        (3L, ts(2), "http://ex.com/q"),                      // distinct resource
+        (4L, ts(3), "not a url"))                            // filtered, never queued
+      q.processAllAvailable()
+      input.addData((5L, ts(4), "http://ex.com/p"))          // still within horizon → drop
+      q.processAllAvailable()
+      val kept = spark.table("frontier").collect().map(_.getAs[Long]("req_id")).toSet
+      assert(kept == Set(1L, 3L))
+      val canon = spark.table("frontier").collect()
+        .map(_.getAs[String]("canonical_url")).toSet
+      assert(canon == Set("http://ex.com/p", "http://ex.com/q"))
+    } finally q.stop()
+  }
+
   test("linkEdgesStream: windowed edge counts equal the batch hostEdges aggregate") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, String)]
