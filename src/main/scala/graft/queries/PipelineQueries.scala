@@ -2040,8 +2040,45 @@ object PipelineQueries {
     )
   }
 
+  // ---------------------------------------------------------------- q89
+  /** Crawl politeness schedule — [[graft.ops.WebGraph.fetchSchedule]]
+    * under the hash gate: per host, deterministic (arrival, url)
+    * ordering packs fetches into rate slots, all integer arithmetic
+    * (row_number, truncating div), so the schedule hash-matches the
+    * oracle's window exactly. One host-partitioned window — no global
+    * sort; the fixture spreads ~30 requests per host with arrival-time
+    * ties so the url tiebreak is exercised. */
+  private val q89 = Q(
+    "q89_fetch_schedule",
+    (s, dir) => {
+      val frontier = Lake(s, dir).documents.select(
+        concat(lit("h"), pmod(col("doc_id"), lit(17)), lit(".example")).as("host"),
+        concat(lit("http://h"), pmod(col("doc_id"), lit(17)),
+          lit(".example/p"), col("doc_id")).as("url"),
+        pmod(col("doc_id") * 37, lit(50)).as("ts_s"))
+      WebGraph.fetchSchedule(frontier, "host", "ts_s", "url",
+        perSlot = 4, slotSeconds = 10)
+        .orderBy("host", "rn")
+    },
+    Some("""
+      WITH f AS (SELECT
+          'h' || CAST(doc_id % 17 AS VARCHAR) || '.example' AS host,
+          'http://h' || CAST(doc_id % 17 AS VARCHAR) || '.example/p'
+            || CAST(doc_id AS VARCHAR) AS url,
+          (doc_id * 37) % 50 AS ts_s
+        FROM documents),
+      r AS (SELECT host, url, CAST(ts_s AS BIGINT) AS ts_s,
+          CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY ts_s, url)
+            AS BIGINT) AS rn
+        FROM f)
+      SELECT host, url, ts_s, rn,
+        CAST((rn - 1) // 4 AS BIGINT) AS slot,
+        CAST(((rn - 1) // 4) * 10 AS BIGINT) AS start_s
+      FROM r ORDER BY host, rn""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

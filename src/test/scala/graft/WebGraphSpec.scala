@@ -124,6 +124,39 @@ class WebGraphSpec extends SparkTestBase {
     assert(shuffled == ranks) // integer arithmetic: bit-equal on any layout
   }
 
+  test("hostRankWarmStart: uniform seed is exactly a cold start; warm rounds land 5x closer than cold") {
+    val day1 = ((1 to 8).map(i => (s"s$i", "hub")) ++ Seq(("hub", "s1")))
+      .toDF("src_host", "dst_host")
+    val cold5 = WebGraph.hostRank(day1, iterations = 5)
+      .persist()
+    // law: warm-starting from the uniform state IS a cold start, bit-equal
+    val n = cold5.count()
+    val uniform = cold5.selectExpr("host", s"${1000000000000L / n}L AS rank_units")
+    val warmFromUniform = WebGraph.hostRankWarmStart(day1, uniform, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val coldMap = cold5.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(warmFromUniform == coldMap)
+    // daily refresh: fold in a delta edge. Damping contracts the gap to
+    // the fixed point 0.85x per round from ANY start, so 2 warm rounds
+    // from yesterday's (deeper) state must land far closer to the
+    // reference than 2 cold rounds — that round savings is the entire
+    // point of warm-starting
+    val day2 = day1.union(Seq(("s2", "s3")).toDF("src_host", "dst_host"))
+    val seed = WebGraph.hostRank(day1, iterations = 20)
+    val ref = WebGraph.hostRank(day2, iterations = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val warm2 = WebGraph.hostRankWarmStart(day2, seed, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cold2 = WebGraph.hostRank(day2, iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(warm2.keySet == ref.keySet)
+    val errWarm = ref.keys.map(h => math.abs(warm2(h) - ref(h))).max
+    val errCold = ref.keys.map(h => math.abs(cold2(h) - ref(h))).max
+    assert(errWarm * 5 <= errCold,
+      s"warm-start not ahead: errWarm=$errWarm errCold=$errCold")
+    cold5.unpersist()
+  }
+
   test("hostRank: empty edge set yields the empty graph, not a crash") {
     val empty = Seq.empty[(String, String)].toDF("src_host", "dst_host")
     assert(WebGraph.hostRank(empty).count() == 0)
@@ -140,6 +173,25 @@ class WebGraphSpec extends SparkTestBase {
     assert(out.keySet == Set("a", "b", "z"))
     assert(out("z") == tp)
     assert(out("a") == tp + 85L * base / 100)
+  }
+
+  test("fetchSchedule: per-host slots, url tiebreak on arrival ties, hosts independent") {
+    val frontier = Seq(
+      ("a.ex", "http://a.ex/2", 5L), // same second as /1: url breaks the tie
+      ("a.ex", "http://a.ex/1", 5L),
+      ("a.ex", "http://a.ex/3", 9L),
+      ("a.ex", "http://a.ex/4", 1L), // earliest arrival → rn 1
+      ("b.ex", "http://b.ex/1", 99L) // other host: its own clock
+    ).toDF("host", "url", "ts_s")
+    val out = WebGraph.fetchSchedule(frontier, "host", "ts_s", "url",
+      perSlot = 2, slotSeconds = 10)
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[Long]("rn"), r.getAs[Long]("slot"), r.getAs[Long]("start_s")))).toMap
+    assert(out("http://a.ex/4") == ((1L, 0L, 0L)))
+    assert(out("http://a.ex/1") == ((2L, 0L, 0L)))  // tie: /1 before /2
+    assert(out("http://a.ex/2") == ((3L, 1L, 10L))) // third fetch waits a slot
+    assert(out("http://a.ex/3") == ((4L, 1L, 10L)))
+    assert(out("http://b.ex/1") == ((1L, 0L, 0L)))
   }
 
   test("canonicalizeUrl: case, default ports, fragments, tracking params") {
