@@ -21,14 +21,17 @@ import org.apache.spark.sql.functions._
   * discipline).
   *
   * Measured ([[graft.runner.WebGraphScaleProbe]], sf0.1 pages ×10 with
-  * the host universe grown ×10 alongside, local[32], warm-then-time,
-  * post block-strip hardening): host_edges 0.26 → 0.66 s (2.6×),
-  * host_rank 2.37 → 2.78 s (1.2× — the loop's fixed 5-round stage
-  * setup dominates; the rank state is (host, long) rows, so even a 10×
-  * graph is invisible next to it), anchor_index 0.23 → 0.66 s (2.8×),
-  * url_canonical 0.09 → 0.32 s (3.7×). Nothing super-linear:
-  * extraction and canonicalization ride the scan, the graph side is
-  * state-size-bound exactly as a 1000-executor run needs.
+  * the host universe grown ×10 alongside and each page carrying its
+  * document's full text, local[32], warm-then-time — one run, one
+  * fixture, so the numbers reproduce together): host_edges 0.35 →
+  * 0.83 s (2.4×), host_rank 2.12 → 2.81 s (1.3× — the loop's fixed
+  * 5-round stage setup dominates; the rank state is (host, long) rows,
+  * so even a 10× graph is invisible next to it), anchor_index 0.30 →
+  * 0.91 s (3.0×), url_canonical 0.09 → 0.31 s (3.3×), and the full
+  * q87-shaped composition (extract + rank + quality + broadcast join)
+  * 2.16 → 5.65 s (2.6×). Nothing super-linear: extraction and
+  * canonicalization ride the scan, the graph side is state-size-bound
+  * exactly as a 1000-executor run needs.
   */
 object WebGraph {
 

@@ -26,18 +26,21 @@ object WebGraphScaleProbe {
     * q82/q83 fixture shape at scale. */
   def pagesNx(spark: SparkSession, dir: String, replicas: Int): DataFrame = {
     val k = 17 * replicas
-    val base = Lake(spark, dir).documents.select("doc_id")
+    val base = Lake(spark, dir).documents.select("doc_id", "text")
     val rep = spark.range(replicas.toLong).select(col("id").as("replica"))
     base.crossJoin(broadcast(rep))
-      .select((col("doc_id") + col("replica") * 1000000L).as("doc_id"))
+      .select((col("doc_id") + col("replica") * 1000000L).as("doc_id"),
+        col("text"))
       .select(
+        col("doc_id"),
         concat(lit("h"), pmod(col("doc_id"), lit(k)), lit(".example")).as("src_host"),
         concat(
           lit("<html><body><a href=\"http://h"), pmod(col("doc_id") * 3 + 1, lit(k)),
           lit(".example/p"), col("doc_id"),
           lit("\">a</a><A HREF=\"HTTPS://H"), pmod(col("doc_id") * 5 + 2, lit(k)),
           lit(".EXAMPLE/q"), col("doc_id"),
-          lit("?x=1\">b</A><a href=\"/nav\">n</a></body></html>")).as("html"))
+          lit("?x=1\">b</A><p>"), col("text"),
+          lit("</p><a href=\"/nav\">n</a></body></html>")).as("html"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,7 +75,21 @@ object WebGraphScaleProbe {
         WebGraph.hostRank(WebGraph.hostEdges(p, col("src_host"), col("html")))),
       "anchor_index" -> (p => WebGraph.anchorIndex(p, col("html"))),
       "url_canonical" -> (p =>
-        urls(p).select(WebGraph.canonicalizeUrl(col("url")).as("c")))
+        urls(p).select(WebGraph.canonicalizeUrl(col("url")).as("c"))),
+      // the q87 composition: extraction + quality riding the scan, the
+      // graph side folding to host-sized frames, one broadcast join back
+      "crawl_pipeline" -> { p =>
+        import graft.ops.TextAnalysis
+        val ranks = WebGraph.hostRank(
+          WebGraph.hostEdges(p, col("src_host"), col("html")))
+        val cleaned = p.select(col("doc_id"), col("src_host"),
+          TextAnalysis.extractText(col("html")).as("clean_text"))
+        cleaned
+          .join(broadcast(ranks), cleaned("src_host") === ranks("host"), "left")
+          .select(col("doc_id"),
+            coalesce(col("rank_units"), lit(0L)).as("rank_units"),
+            TextAnalysis.qualityScore(col("clean_text")).as("quality"))
+      }
     )
 
     val results = probes.map { case (name, op) =>

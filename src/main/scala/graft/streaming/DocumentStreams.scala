@@ -72,15 +72,6 @@ object DocumentStreams {
     if (keepOnly) scored.filter(col("keep")) else scored
   }
 
-  /** Streaming link-graph build — the incremental twin of the q82 batch
-    * edge aggregate: pages arrive as (`ts`, `src_host`, `html`), links
-    * extract with the SAME zero-shuffle expressions
-    * ([[graft.ops.WebGraph.extractLinks]]/`hostOf`), and edges count
-    * into event-time windows. State is one row per
-    * (window, src_host, dst_host), expiring with the watermark — the
-    * hourly edge deltas a nightly [[graft.ops.WebGraph.hostRank]] batch
-    * folds into the full graph, which is how a crawl keeps its authority
-    * signal fresh without re-scanning history. */
   /** Streaming crawl-frontier dedup — the incremental twin of q84's
     * canonical identity: arriving URLs (`ts`, `url`) canonicalize with
     * the SAME expression chain the batch path uses, then re-seen
@@ -102,6 +93,15 @@ object DocumentStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("canonical_url")
 
+  /** Streaming link-graph build — the incremental twin of the q82 batch
+    * edge aggregate: pages arrive as (`ts`, `src_host`, `html`), links
+    * extract with the SAME zero-shuffle expressions
+    * ([[graft.ops.WebGraph.extractLinks]]/`hostOf`), and edges count
+    * into event-time windows. State is one row per
+    * (window, src_host, dst_host), expiring with the watermark — the
+    * hourly edge deltas a nightly [[graft.ops.WebGraph.hostRank]] batch
+    * folds into the full graph, which is how a crawl keeps its authority
+    * signal fresh without re-scanning history. */
   def linkEdgesStream(
       pages: DataFrame,
       watermark: String = "1 hour",
