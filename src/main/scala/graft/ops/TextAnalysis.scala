@@ -138,15 +138,19 @@ object TextAnalysis {
     * (decoding `&amp;` first would re-expose it to the later rules).
     * A full HTML5 entity table and DOM-aware boilerplate scoring layer
     * on top; this chain is the exact, engine-portable core. */
-  def extractText(html: Column): Column = {
-    // script/style first (their bodies may contain legacy <!-- wrappers),
-    // then comments, then the residual tags
-    val noBlocks = regexp_replace(
+  /** Script/style/comment blocks removed WITH their content — the ONE
+    * copy of the block-strip chain, shared by [[extractText]] and the
+    * [[WebGraph]] link/anchor extractors (script/style first: their
+    * bodies may contain legacy `<!--` wrappers; then comments). */
+  def stripBlocks(html: Column): Column =
+    regexp_replace(
       regexp_replace(
         regexp_replace(html, ScriptBlockPattern, " "),
         StyleBlockPattern, " "),
       CommentBlockPattern, " ")
-    val noTags = regexp_replace(noBlocks, TagPattern, " ")
+
+  def extractText(html: Column): Column = {
+    val noTags = regexp_replace(stripBlocks(html), TagPattern, " ")
     val decoded = regexp_replace(
       regexp_replace(
         regexp_replace(

@@ -62,21 +62,12 @@ object WebGraph {
     * and the first `/ : ? #`. Port, path, query, fragment excluded. */
   val HostPattern = "(?i)^https?://([^/:?#]+)"
 
-  /** Script/style/comment blocks removed — the [[TextAnalysis]] block
-    * patterns applied before any link matching, so commented-out markup
-    * and generated-in-JS hrefs never become edges. */
-  private def stripBlocks(html: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(html, TextAnalysis.ScriptBlockPattern, " "),
-        TextAnalysis.StyleBlockPattern, " "),
-      TextAnalysis.CommentBlockPattern, " ")
-
   /** All absolute http(s) ANCHOR targets in an HTML column, in document
-    * order (script/style/comment content excluded). Zero shuffle —
-    * stays in whole-stage codegen. */
+    * order ([[TextAnalysis.stripBlocks]] runs first, so commented-out
+    * markup and generated-in-JS hrefs never become edges). Zero
+    * shuffle — stays in whole-stage codegen. */
   def extractLinks(html: Column): Column =
-    regexp_extract_all(stripBlocks(html), lit(HrefPattern), lit(1))
+    regexp_extract_all(TextAnalysis.stripBlocks(html), lit(HrefPattern), lit(1))
 
   /** Lower-cased host of an absolute URL ('' for non-URLs — filter it). */
   def hostOf(url: Column): Column =
@@ -119,7 +110,8 @@ object WebGraph {
     * higher-order `transform`, no explode until the caller aggregates. */
   def extractAnchors(html: Column): Column =
     transform(
-      regexp_extract_all(stripBlocks(html), lit(AnchorElemPattern), lit(0)),
+      regexp_extract_all(TextAnalysis.stripBlocks(html),
+        lit(AnchorElemPattern), lit(0)),
       el => struct(
         hostOf(regexp_extract(el, HrefPattern, 1)).as("dst_host"),
         trim(regexp_replace(
@@ -332,20 +324,28 @@ object WebGraph {
     // path + query, fragment excluded: everything after the authority
     // up to the first '#'
     val rest = regexp_extract(url, "(?i)^https?://[^/?#]+([^#]*)", 1)
-    // each tracking param is removed WITH its leading delimiter (the
-    // left boundary that keeps lookalike names and values intact);
-    // adjacent params chain because each match ends exactly where the
-    // next one's delimiter begins. If the removals ate the '?', the
-    // first surviving '&' is promoted back to '?' (anchored — at most
-    // one match), then dangling separators trim.
-    val noTrack = regexp_replace(rest, "[?&]" + TrackingParamPattern, "")
-    val requeried = regexp_replace(noTrack, "^([^?]*)&", "$1?")
-    val cleaned = regexp_replace(requeried, "[?&]+$", "")
-    val path = when(cleaned === "", lit("/")).otherwise(cleaned)
+    // path and query handled SEPARATELY — the tracking strip only ever
+    // sees the query, so a literal '&' in a path (legal, unencoded)
+    // passes through untouched and the whole transform is idempotent
+    // (PropertySpec pins canonical(canonical(u)) == canonical(u); the
+    // earlier promote-&-to-? form re-fired on &-in-path inputs). Inside
+    // the query, each tracking param anchors at its delimiter — the
+    // left boundary that keeps lookalike names (xgclid=) and values
+    // ('q=what+is+gclid=x') intact: mid-query '&p' first, then a
+    // leading 'p&' (at most one survives the first pass), then a
+    // query that was ONLY tracking, then dangling '&'s.
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val q1 = regexp_replace(query, "&" + TrackingParamPattern, "")
+    val q2 = regexp_replace(q1, "^" + TrackingParamPattern + "&", "")
+    val q3 = regexp_replace(q2, "^" + TrackingParamPattern + "$", "")
+    val q4 = regexp_replace(q3, "&+$", "")
+    val pathNorm = when(path === "", lit("/")).otherwise(path)
     when(scheme === "" || host === "", lit(""))
       .otherwise(concat(
         scheme, lit("://"), host,
         when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
-        path))
+        pathNorm,
+        when(q4 === "", lit("")).otherwise(concat(lit("?"), q4))))
   }
 }

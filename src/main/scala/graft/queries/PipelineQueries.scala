@@ -1777,14 +1777,20 @@ object PipelineQueries {
             CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
                   AND NOT (scheme = 'https' AND port = '443')
               THEN ':' || port ELSE '' END ||
-            CASE WHEN cleaned = '' THEN '/' ELSE cleaned END
+            CASE WHEN pth = '' THEN '/' ELSE pth END ||
+            CASE WHEN q4 = '' THEN '' ELSE '?' || q4 END
           END AS canonical_url
         FROM (SELECT doc_id, scheme, host, port,
+            regexp_extract(rest, '^([^?]*)', 1) AS pth,
             regexp_replace(
               regexp_replace(
-                regexp_replace(rest, '[?&]${WebGraph.TrackingParamPattern}', '', 'g'),
-                '^([^?]*)&', '\\1?'),
-              '[?&]+$$', '', 'g') AS cleaned
+                regexp_replace(
+                  regexp_replace(
+                    regexp_extract(rest, '^[^?]*\\?(.*)$$', 1),
+                    '&${WebGraph.TrackingParamPattern}', '', 'g'),
+                  '^${WebGraph.TrackingParamPattern}&', ''),
+                '^${WebGraph.TrackingParamPattern}$$', ''),
+              '&+$$', '') AS q4
           FROM parts) q)
       SELECT canonical_url, COUNT(*) AS n_urls, MIN(doc_id) AS first_doc
       FROM canon GROUP BY canonical_url ORDER BY canonical_url""")

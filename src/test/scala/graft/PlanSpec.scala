@@ -352,6 +352,20 @@ class PlanSpec extends SparkTestBase {
     val plan2 = planOf(WebGraph.hostEdges(pages, col("src_host"), col("html")))
     val n = "Exchange hashpartitioning".r.findAllMatchIn(plan2).size
     assert(n == 1, s"hostEdges should shuffle exactly once, found $n:\n$plan2")
+
+    // the politeness schedule is a host-partitioned window: hash
+    // exchange, never a rangepartitioning (that would mean a global
+    // frontier sort snuck in)
+    val sched = WebGraph.fetchSchedule(
+      Lake(spark, sfDir).documents.select(
+        col("source").as("host"), col("text").as("url"),
+        col("doc_id").as("ts_s")),
+      "host", "ts_s", "url")
+    val plan3 = planOf(sched)
+    assert(!plan3.toLowerCase.contains("rangepartitioning"),
+      s"fetchSchedule plans a global sort:\n$plan3")
+    assert(plan3.contains("Exchange hashpartitioning"),
+      s"fetchSchedule should hash-partition by host:\n$plan3")
   }
 
   test("no registered query plans a cartesian product (cross-join ops excepted)") {

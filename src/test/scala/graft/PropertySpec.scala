@@ -285,6 +285,49 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("canonicalizeUrl is idempotent: a canonical URL is its own canonical form") {
+    // the defining law of a canonicalization: applying it twice changes
+    // nothing — generated URLs mix case, ports, fragments, tracking and
+    // real params in every order
+    import graft.ops.WebGraph
+    val scheme = Gen.oneOf("http", "HTTP", "https", "HTTPS")
+    val host = Gen.oneOf("Ex.COM", "www.ex.com", "A.b.C")
+    val port = Gen.oneOf("", ":80", ":443", ":8080")
+    val path = Gen.oneOf("", "/", "/A/b", "/p")
+    val params = Gen.someOf(
+      Seq("utm_source=x", "gclid=1", "id=2", "q=a+b", "xgclid=keep", "fbclid=f"))
+      .map(ps => if (ps.isEmpty) "" else "?" + ps.mkString("&"))
+    val frag = Gen.oneOf("", "#top", "#a=b")
+    val urls = Gen.listOfN(8,
+      Gen.zip(scheme, host, port, path, params, frag)
+        .map { case (s, h, po, pa, q, f) => s"$s://$h$po$pa$q$f" })
+    holds(Prop.forAll(urls) { us =>
+      val df = us.toDF("url")
+      val once = df.select(WebGraph.canonicalizeUrl(col("url")).as("c"))
+      val twice = once.select(col("c"),
+        WebGraph.canonicalizeUrl(col("c")).as("cc"))
+      twice.collect().forall(r => r.getString(0) == r.getString(1))
+    })
+  }
+
+  test("hostRank mass laws: every host earns at least teleport, total never exceeds unit") {
+    import graft.ops.WebGraph
+    val edges = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0, 5), Gen.choose(0, 5))
+        .map { case (a, b) => (s"h$a", s"h$b") })
+    holds(Prop.forAll(edges) { es =>
+      es.isEmpty || {
+        val ranks = WebGraph.hostRank(es.toDF("src_host", "dst_host"))
+          .collect().map(_.getLong(1))
+        ranks.isEmpty || {
+          val n = ranks.length
+          val tp = 15L * (1000000000000L / n) / 100
+          ranks.forall(_ >= tp) && ranks.sum <= 1000000000000L
+        }
+      }
+    }, n = 4)
+  }
+
   test("exact dedup: canonical id is the min doc_id of each text group") {
     val docs = Gen.listOfN(15, Gen.zip(Gen.choose(1L, 100L), Gen.choose(0, 3)))
       .map(_.distinctBy(_._1).map { case (id, t) => (id, s"text $t") })
