@@ -197,11 +197,34 @@ object WebGraph {
       unit: Long = 1000000000000L
   ): DataFrame = hostRankFrom(edges, Some(seed), iterations, unit)
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): the
+    * same integer fixed-point propagation as [[hostRank]], but teleport
+    * mass goes ONLY to a curated seed set of trusted hosts — authority
+    * then flows outward along links, so a host unreachable from every
+    * seed converges to EXACTLY 0 (integers, not epsilon) and link-farm
+    * clusters starve no matter how densely they cite each other. The
+    * spam-control companion to [[hostRank]]: rank says "the web points
+    * here", trust says "the web WE VETTED points here", and a large
+    * rank/trust gap is the classic spam-mass signal.
+    *
+    * `seeds` is one `host` column; seeds absent from the graph are
+    * ignored (their mass is redistributed over the seeds present —
+    * `unit div |seeds ∩ hosts|`). With seeds = ALL hosts this is
+    * bit-identical to [[hostRank]] (asserted in WebGraphSpec). */
+  def trustRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int = 5,
+      unit: Long = 1000000000000L
+  ): DataFrame =
+    hostRankFrom(edges, None, iterations, unit, Some(seeds))
+
   private def hostRankFrom(
       edges: DataFrame,
       seed: Option[DataFrame],
       iterations: Int,
-      unit: Long
+      unit: Long,
+      trustSeeds: Option[DataFrame] = None
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     import org.apache.spark.storage.StorageLevel
@@ -226,16 +249,31 @@ object WebGraph {
       return hosts.select(col("host"), lit(0L).as("rank_units"))
     }
     val base = unit / n   // integer division, mirrored by the oracle
+    // per-host teleport vector: uniform `base` for PageRank; for
+    // TrustRank `unit div |seeds ∩ hosts|` on seed hosts, 0 elsewhere.
+    // One (host, long) frame — broadcastable like the ranks themselves.
+    val tele = (trustSeeds match {
+      case None => hosts.select(col("host"), lit(base).as("tele"))
+      case Some(s) =>
+        val sIn = hosts.join(
+          s.select(col("host").cast("string").as("host")).distinct(),
+          Seq("host"), "left_semi")
+        val nS = sIn.count()
+        require(nS > 0, "trustRank: no seed host present in the graph")
+        hosts.join(sIn.select(col("host"), lit(unit / nS).as("__t")),
+          Seq("host"), "left")
+          .select(col("host"), coalesce(col("__t"), lit(0L)).as("tele"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var ranks = (seed match {
-      case None => hosts.select(col("host"), lit(base).as("rank_units"))
+      case None => tele.select(col("host"), col("tele").as("rank_units"))
       case Some(prev) => // warm start; unseeded (new) hosts get the
-        // uniform share, exactly like a cold round 0
-        hosts.join(
+        // teleport share, exactly like a cold round 0
+        tele.join(
           prev.select(col("host"), col("rank_units").as("__seed")),
           Seq("host"), "left")
           .select(col("host"),
-            coalesce(col("__seed"), lit(base)).as("rank_units"))
+            coalesce(col("__seed"), col("tele")).as("rank_units"))
     }).localCheckpoint()
     for (_ <- 1 to iterations) {
       val contribs = e
@@ -245,16 +283,17 @@ object WebGraph {
           expr("rank_units div outdeg").as("c"))
         .groupBy("host")
         .agg(sum("c").as("in_sum"))
-      ranks = hosts
+      ranks = tele
         .join(contribs, Seq("host"), "left")
         .select(col("host"),
-          (lit((15L * base) / 100L) +
+          (expr("(15 * tele) div 100") +
             expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank_units"))
         .localCheckpoint()
     }
     eAll.unpersist()
     e.unpersist()
     hosts.unpersist()
+    tele.unpersist()
     ranks
   }
 

@@ -2083,8 +2083,62 @@ object PipelineQueries {
       FROM r ORDER BY host, rn""")
   )
 
+  // ---------------------------------------------------------------- q90
+  /** TrustRank — seed-restricted teleport over the q82 link graph
+    * ([[graft.ops.WebGraph.trustRank]]): the crawl spam-control signal,
+    * under the exact-hash gate via the same integer fixed-point
+    * arithmetic as q83. Seeds are the three lowest host residues; the
+    * oracle rebuilds the per-host teleport vector (uniform over seeds
+    * present in the graph, zero elsewhere) and unrolls the same five
+    * rounds. */
+  private val q90 = {
+    val unit = 1000000000000L
+    val iters = 5
+    val step = (k: Int) => s"""
+      r$k AS (SELECT t.host,
+          (15 * t.t) // 100 + (85 * COALESCE(s.in_sum, 0)) // 100 AS rank
+        FROM tele t LEFT JOIN (
+          SELECT e.dst AS host, SUM(r.rank // o.outdeg) AS in_sum
+          FROM e JOIN r${k - 1} r ON r.host = e.src
+          JOIN outd o ON o.src = e.src
+          GROUP BY e.dst) s ON s.host = t.host)"""
+    Q(
+      "q90_trustrank",
+      (s, dir) => {
+        val pages = linkPagesSpark(s, dir)
+        val edges = WebGraph.hostEdges(pages, col("src_host"), col("html"))
+        val seeds = Lake(s, dir).documents
+          .filter(pmod(col("doc_id"), lit(17)) < 3)
+          .select(concat(lit("h"), pmod(col("doc_id"), lit(17)),
+            lit(".example")).as("host"))
+          .distinct()
+        WebGraph.trustRank(edges, seeds, iterations = iters, unit = unit)
+          .orderBy("host")
+      },
+      Some(s"""
+      WITH $linkHostsSql,
+      eall AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lhosts
+               WHERE dst_host <> ''),
+      e AS (SELECT * FROM eall WHERE src <> dst),
+      h AS (SELECT src AS host FROM eall UNION SELECT dst FROM eall),
+      seeds AS (SELECT DISTINCT
+          'h' || CAST(doc_id % 17 AS VARCHAR) || '.example' AS host
+        FROM documents WHERE doc_id % 17 < 3),
+      sin AS (SELECT h.host FROM h JOIN seeds s ON s.host = h.host),
+      p AS (SELECT CAST($unit // COUNT(*) AS BIGINT) AS tbase FROM sin),
+      tele AS (SELECT h.host,
+          CASE WHEN s.host IS NOT NULL THEN p.tbase ELSE 0 END AS t
+        FROM h LEFT JOIN sin s ON s.host = h.host CROSS JOIN p),
+      outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT host, t AS rank FROM tele),
+      ${(1 to iters).map(step).mkString(",")}
+      SELECT host, CAST(rank AS BIGINT) AS rank_units FROM r$iters
+      ORDER BY host""")
+    )
+  }
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }

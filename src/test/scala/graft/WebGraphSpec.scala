@@ -157,6 +157,35 @@ class WebGraphSpec extends SparkTestBase {
     cold5.unpersist()
   }
 
+  test("trustRank: all-hosts seed set IS PageRank; unreachable hosts get exactly 0") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "d"))
+      .toDF("src_host", "dst_host")
+    // law: trusting every host uniformly reduces TrustRank to PageRank,
+    // bit-for-bit (same teleport vector by construction)
+    val allHosts = Seq("a", "b", "c", "d").toDF("host")
+    val trustAll = WebGraph.trustRank(edges, allHosts)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pr = WebGraph.hostRank(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(trustAll == pr)
+    // seed {a}: trust flows a→b→a; c and d are unreachable from the
+    // seed and converge to EXACTLY zero — integers, not epsilon
+    val t = WebGraph.trustRank(edges, Seq("a").toDF("host"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t("c") == 0L && t("d") == 0L)
+    assert(t("a") > 0L && t("b") > 0L)
+    // all trust mass lives on the component reachable from the seed
+    assert(t("a") + t("b") <= 1000000000000L)
+    // seeds absent from the graph are ignored; an all-absent seed set
+    // is a configuration error and fails loudly
+    val t2 = WebGraph.trustRank(edges, Seq("a", "zzz").toDF("host"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t2 == t)
+    intercept[IllegalArgumentException] {
+      WebGraph.trustRank(edges, Seq("zzz").toDF("host")).collect()
+    }
+  }
+
   test("hostRank: empty edge set yields the empty graph, not a crash") {
     val empty = Seq.empty[(String, String)].toDF("src_host", "dst_host")
     assert(WebGraph.hostRank(empty).count() == 0)
