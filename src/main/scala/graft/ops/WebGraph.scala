@@ -297,6 +297,40 @@ object WebGraph {
     ranks
   }
 
+  /** Co-citation pairs: two hosts are related when the same SOURCES
+    * link to both (Small 1973 — the item-similarity primitive of link
+    * analysis; "people who cite X also cite Y"). One self-join of the
+    * distinct edge list on the source key, emitting each unordered
+    * (host_a < host_b) pair with the number of common citing sources.
+    *
+    * The `maxOutDeg` cap is the skew guard AND a relevance filter in
+    * one (the [[Dedup]] shingle maxDf precedent): a mega-hub source —
+    * a directory page, a spam farm index — co-cites everything, so its
+    * pairs are both quadratic (outdeg² per source) and uninformative;
+    * dropping sources above the cap bounds the join fan-out per key
+    * without losing discriminative co-citations. */
+  def coCitation(
+      edges: DataFrame,
+      maxOutDeg: Int = 50,
+      minCount: Long = 1
+  ): DataFrame = {
+    val e = edges
+      .select(col("src_host").cast("string").as("src"),
+        col("dst_host").cast("string").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val capped = e
+      .withColumn("__od", count(lit(1)).over(Window.partitionBy("src")))
+      .filter(col("__od") <= maxOutDeg)
+      .drop("__od")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("host_a"), col("b.dst").as("host_b"))
+      .agg(count(lit(1)).as("n_common_sources"))
+      .filter(col("n_common_sources") >= minCount)
+  }
+
   /** Politeness schedule for a crawl frontier: per host, requests order
     * deterministically (arrival second, then URL as the tiebreak) and
     * pack into slots of `perSlot` fetches; slot k starts `k ×

@@ -2137,8 +2137,39 @@ object PipelineQueries {
     )
   }
 
+  // ---------------------------------------------------------------- q91
+  /** Co-citation similarity — [[graft.ops.WebGraph.coCitation]] under
+    * the hash gate: hosts the same sources link to, the related-items
+    * primitive of link analysis. The fixture's two modular link
+    * families give every source exactly two outlinks, so each source
+    * contributes one unordered pair and the counts aggregate across
+    * the 17-host web; the oracle mirrors the capped self-join. */
+  private val q91 = Q(
+    "q91_co_citation",
+    (s, dir) => {
+      val pages = linkPagesSpark(s, dir)
+      val edges = WebGraph.hostEdges(pages, col("src_host"), col("html"))
+      WebGraph.coCitation(edges, maxOutDeg = 50, minCount = 1)
+        .orderBy("host_a", "host_b")
+    },
+    Some(s"""
+      WITH $linkHostsSql,
+      e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lhosts
+            WHERE dst_host <> '' AND src_host <> dst_host),
+      capped AS (SELECT src, dst FROM (
+          SELECT src, dst, COUNT(*) OVER (PARTITION BY src) AS od FROM e)
+        WHERE od <= 50)
+      SELECT a.dst AS host_a, b.dst AS host_b,
+        CAST(COUNT(*) AS BIGINT) AS n_common_sources
+      FROM capped a JOIN capped b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY a.dst, b.dst
+      HAVING COUNT(*) >= 1
+      ORDER BY host_a, host_b""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
-    q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
+    q91)
 }

@@ -223,6 +223,19 @@ class WebGraphSpec extends SparkTestBase {
     assert(out("http://b.ex/1") == ((1L, 0L, 0L)))
   }
 
+  test("coCitation: common-source pairs counted, hub sources capped out") {
+    val edges = Seq(
+      ("s1", "x"), ("s1", "y"),             // s1 cites x,y → pair (x,y)
+      ("s2", "x"), ("s2", "y"), ("s2", "z"), // s2 → (x,y),(x,z),(y,z)
+      ("hub", "x"), ("hub", "y"), ("hub", "z"), ("hub", "w") // capped out
+    ).toDF("src_host", "dst_host")
+    val out = WebGraph.coCitation(edges, maxOutDeg = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the hub (outdeg 4 > cap 3) contributes nothing: w pairs absent
+    assert(out == Map(
+      ("x", "y") -> 2L, ("x", "z") -> 1L, ("y", "z") -> 1L))
+  }
+
   test("canonicalizeUrl: case, default ports, fragments, tracking params") {
     val cases = Seq(
       // scheme+host lowercase, :80 dropped, fragment dropped, utm stripped
