@@ -297,6 +297,82 @@ object WebGraph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) in integer
+    * arithmetic: a good AUTHORITY is linked by good hubs, a good HUB
+    * links to good authorities — the mutually-recursive pair that
+    * separates "directory pages" from "destination pages", which
+    * PageRank's single score conflates. Each round sums the opposite
+    * score over the edge list (no outdegree division — HITS is the
+    * un-normalized-transfer cousin of PageRank) and then renormalizes
+    * to ~`scale` units by a truncating integer division: `q = max(v)
+    * div scale` (floored at 1), `v' = v div q`. Every operation is
+    * BIGINT add / `div`, so the result is bit-identical on any engine
+    * and partitioning — the q83/q90 trick extended to an algorithm
+    * that NEEDS per-round normalization (raw HITS values grow
+    * geometrically and would overflow by round three).
+    *
+    * Bounds that make the integer form safe: after renormalization
+    * every score is < 2·scale, so a round's raw sums stay below
+    * 2·scale·maxIndegree — with the default 1e9 scale that holds to
+    * ~4.6e9 in-links per host, comfortably web-scale. The per-round
+    * `max` is one scalar action each for auth and hub (the documented
+    * kMeans/hostRank driver-scalar discipline); frames are (host,
+    * long) rows, broadcastable at any corpus size.
+    *
+    * @return (host, auth_units, hub_units) — a pure hub (nothing links
+    *         to it) has auth 0; a pure authority has hub 0 */
+  def hits(
+      edges: DataFrame,
+      iterations: Int = 5,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    import org.apache.spark.storage.StorageLevel
+    // host universe pre-self-loop-filter — the hostRank/trustRank
+    // one-row-per-host contract: a self-loop-only host exists and
+    // scores 0 on both axes (self-citation is neither hubness nor
+    // authority)
+    val eAll = edges
+      .select(col("src_host").cast("string").as("src"),
+        col("dst_host").cast("string").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = eAll.filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hosts = eAll.select(col("src").as("host"))
+      .union(eAll.select(col("dst").as("host")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (hosts.isEmpty) { // empty input: no graph
+      eAll.unpersist(); e.unpersist(); hosts.unpersist()
+      return hosts.select(col("host"), lit(0L).as("auth_units"),
+        lit(0L).as("hub_units"))
+    }
+    var auth = hosts.select(col("host"), lit(scale).as("v")).localCheckpoint()
+    var hub = auth
+    def renorm(raw: DataFrame): DataFrame = {
+      val mx = raw.agg(max("v")).head.getLong(0) // scalar action per round
+      val q = math.max(mx / scale, 1L)
+      raw.select(col("host"), expr(s"v div $q").as("v")).localCheckpoint()
+    }
+    for (_ <- 1 to iterations) {
+      auth = renorm(hosts
+        .join(e.join(hub, e("src") === hub("host"))
+          .groupBy(col("dst").as("host")).agg(sum("v").as("__s")),
+          Seq("host"), "left")
+        .select(col("host"), coalesce(col("__s"), lit(0L)).as("v")))
+      hub = renorm(hosts
+        .join(e.join(auth, e("dst") === auth("host"))
+          .groupBy(col("src").as("host")).agg(sum("v").as("__s")),
+          Seq("host"), "left")
+        .select(col("host"), coalesce(col("__s"), lit(0L)).as("v")))
+    }
+    val out = auth.select(col("host"), col("v").as("auth_units"))
+      .join(hub.select(col("host"), col("v").as("hub_units")), "host")
+    eAll.unpersist(); e.unpersist(); hosts.unpersist()
+    out
+  }
+
   /** Co-citation pairs: two hosts are related when the same SOURCES
     * link to both (Small 1973 — the item-similarity primitive of link
     * analysis; "people who cite X also cite Y"). One self-join of the

@@ -2167,9 +2167,71 @@ object PipelineQueries {
       ORDER BY host_a, host_b""")
   )
 
+  // ---------------------------------------------------------------- q92
+  /** HITS hubs & authorities — [[graft.ops.WebGraph.hits]] under the
+    * hash gate: the third iterative graph algorithm made engine-exact
+    * by integer arithmetic, this one with per-round renormalization
+    * (`v div (max(v) div scale)`, floored at 1) because raw HITS
+    * values grow geometrically. The oracle unrolls five rounds of the
+    * auth/hub mutual recursion with a scalar-subquery normalizer per
+    * half-round. */
+  private val q92 = {
+    val scale = 1000000000L
+    val iters = 5
+    // every round CTE is MATERIALIZED: each is referenced 2-3 times
+    // (the raw frame by its normalizer AND its quotient; each score by
+    // the next half-round), and DuckDB's default inlining re-expands
+    // the whole upstream chain per reference — exponential in rounds
+    // (the un-hinted form ran minutes; materialized, milliseconds)
+    val step = (k: Int) => s"""
+      a${k}raw AS MATERIALIZED (SELECT h.host, COALESCE(s.s, 0) AS v
+        FROM h LEFT JOIN (
+          SELECT e.dst AS host, SUM(p.v) AS s FROM e
+          JOIN hb${k - 1} p ON p.host = e.src GROUP BY e.dst) s
+        ON s.host = h.host),
+      qa$k AS MATERIALIZED (
+        SELECT GREATEST(MAX(v) // $scale, 1) AS q FROM a${k}raw),
+      a$k AS MATERIALIZED (
+        SELECT host, CAST(v // (SELECT q FROM qa$k) AS BIGINT) AS v
+        FROM a${k}raw),
+      hb${k}raw AS MATERIALIZED (SELECT h.host, COALESCE(s.s, 0) AS v
+        FROM h LEFT JOIN (
+          SELECT e.src AS host, SUM(p.v) AS s FROM e
+          JOIN a$k p ON p.host = e.dst GROUP BY e.src) s
+        ON s.host = h.host),
+      qh$k AS MATERIALIZED (
+        SELECT GREATEST(MAX(v) // $scale, 1) AS q FROM hb${k}raw),
+      hb$k AS MATERIALIZED (
+        SELECT host, CAST(v // (SELECT q FROM qh$k) AS BIGINT) AS v
+        FROM hb${k}raw)"""
+    Q(
+      "q92_hits",
+      (s, dir) => {
+        val pages = linkPagesSpark(s, dir)
+        val edges = WebGraph.hostEdges(pages, col("src_host"), col("html"))
+        WebGraph.hits(edges, iterations = iters, scale = scale)
+          .orderBy("host")
+      },
+      Some(s"""
+      WITH $linkHostsSql,
+      eall AS MATERIALIZED (SELECT DISTINCT src_host AS src, dst_host AS dst
+            FROM lhosts WHERE dst_host <> ''),
+      e AS MATERIALIZED (SELECT * FROM eall WHERE src <> dst),
+      h AS MATERIALIZED (SELECT src AS host FROM eall
+                         UNION SELECT dst FROM eall),
+      a0 AS (SELECT host, CAST($scale AS BIGINT) AS v FROM h),
+      hb0 AS (SELECT host, CAST($scale AS BIGINT) AS v FROM h),
+      ${(1 to iters).map(step).mkString(",")}
+      SELECT h.host, a.v AS auth_units, b.v AS hub_units
+      FROM h JOIN a$iters a ON a.host = h.host
+      JOIN hb$iters b ON b.host = h.host
+      ORDER BY h.host""")
+    )
+  }
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91)
+    q91, q92)
 }

@@ -223,6 +223,44 @@ class WebGraphSpec extends SparkTestBase {
     assert(out("http://b.ex/1") == ((1L, 0L, 0L)))
   }
 
+  test("hits: hubs and authorities separate; pure roles score 0 on the other axis") {
+    // h1 links 3 authorities, h2 links 2 — bipartite, roles are pure
+    val edges = Seq(
+      ("h1", "a1"), ("h1", "a2"), ("h1", "a3"),
+      ("h2", "a1"), ("h2", "a2")).toDF("src_host", "dst_host")
+    val out = WebGraph.hits(edges)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // authorities: a1/a2 (linked by both hubs) beat a3 (one hub)
+    assert(out("a1")._1 == out("a2")._1)
+    assert(out("a1")._1 > out("a3")._1)
+    // hubs: h1 (3 outlinks to good authorities) beats h2
+    assert(out("h1")._2 > out("h2")._2)
+    // pure hubs have zero authority, pure authorities zero hubness
+    assert(out("h1")._1 == 0L && out("h2")._1 == 0L)
+    assert(out("a1")._2 == 0L && out("a3")._2 == 0L)
+    // partitioning invariance: integer arithmetic, bit-equal
+    val shuffled = WebGraph.hits(edges.repartition(5, col("dst_host")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(shuffled == out)
+  }
+
+  test("hits: on a symmetric chain the center dominates both axes") {
+    // a-b-c undirected: b has degree 2, the ends degree 1 — b must top
+    // both rankings. (auth == hub does NOT hold pointwise: the update
+    // is sequential — hub is computed from the NEW auth, a half-step
+    // ahead, exactly as Kleinberg's iteration specifies.)
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("src_host", "dst_host")
+    val out = WebGraph.hits(edges)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("b")._1 > out("a")._1 && out("b")._1 > out("c")._1)
+    // hub scores TIE on this graph — correct HITS math: b's two
+    // half-weight authorities sum to exactly a's one full-weight one
+    assert(out("b")._2 == out("a")._2 && out("a")._2 == out("c")._2)
+    // the symmetric ends are indistinguishable — bit-equal scores
+    assert(out("a") == out("c"))
+  }
+
   test("coCitation: common-source pairs counted, hub sources capped out") {
     val edges = Seq(
       ("s1", "x"), ("s1", "y"),             // s1 cites x,y → pair (x,y)
