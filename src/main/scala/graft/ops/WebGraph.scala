@@ -219,19 +219,16 @@ object WebGraph {
   ): DataFrame =
     hostRankFrom(edges, None, iterations, unit, Some(seeds))
 
-  private def hostRankFrom(
-      edges: DataFrame,
-      seed: Option[DataFrame],
-      iterations: Int,
-      unit: Long,
-      trustSeeds: Option[DataFrame] = None
-  ): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+  /** Normalized (eAll, e, hosts) for the graph algorithms — ONE copy
+    * of the edge preamble shared by [[hostRankFrom]] and [[hits]]. The
+    * host universe derives from the edge list BEFORE the self-loop
+    * filter: a host whose only edges are self-loops still EXISTS
+    * (teleport-only rank in PageRank, zero in HITS), honoring the
+    * one-row-per-host contract — deriving hosts after the filter would
+    * silently drop it. All three frames are persisted; callers
+    * unpersist all three. */
+  private def edgeGraph(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    // host universe from the edge list BEFORE the self-loop filter: a
-    // host whose only edges are self-loops still EXISTS (it gets the
-    // teleport-only rank), honoring the one-row-per-host contract —
-    // deriving hosts after the filter would silently drop it
     val eAll = edges
       .select(col("src_host").cast("string").as("src"),
         col("dst_host").cast("string").as("dst"))
@@ -243,6 +240,19 @@ object WebGraph {
       .union(eAll.select(col("dst").as("host")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    (eAll, e, hosts)
+  }
+
+  private def hostRankFrom(
+      edges: DataFrame,
+      seed: Option[DataFrame],
+      iterations: Int,
+      unit: Long,
+      trustSeeds: Option[DataFrame] = None
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    import org.apache.spark.storage.StorageLevel
+    val (eAll, e, hosts) = edgeGraph(edges)
     val n = hosts.count() // the one driver action: a single long
     if (n == 0) { // no linked hosts: the empty graph, not a 1/0 crash
       eAll.unpersist(); e.unpersist(); hosts.unpersist()
@@ -327,22 +337,7 @@ object WebGraph {
       scale: Long = 1000000000L
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    import org.apache.spark.storage.StorageLevel
-    // host universe pre-self-loop-filter — the hostRank/trustRank
-    // one-row-per-host contract: a self-loop-only host exists and
-    // scores 0 on both axes (self-citation is neither hubness nor
-    // authority)
-    val eAll = edges
-      .select(col("src_host").cast("string").as("src"),
-        col("dst_host").cast("string").as("dst"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val e = eAll.filter(col("src") =!= col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val hosts = eAll.select(col("src").as("host"))
-      .union(eAll.select(col("dst").as("host")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (eAll, e, hosts) = edgeGraph(edges)
     if (hosts.isEmpty) { // empty input: no graph
       eAll.unpersist(); e.unpersist(); hosts.unpersist()
       return hosts.select(col("host"), lit(0L).as("auth_units"),
@@ -351,9 +346,14 @@ object WebGraph {
     var auth = hosts.select(col("host"), lit(scale).as("v")).localCheckpoint()
     var hub = auth
     def renorm(raw: DataFrame): DataFrame = {
-      val mx = raw.agg(max("v")).head.getLong(0) // scalar action per round
+      // materialize the half-round ONCE, then read both the max scalar
+      // and the normalized frame from it — max() straight off the lazy
+      // raw plan would run the join+aggregate a second time when the
+      // checkpoint materializes
+      val r = raw.localCheckpoint()
+      val mx = r.agg(max("v")).head.getLong(0) // scalar action per round
       val q = math.max(mx / scale, 1L)
-      raw.select(col("host"), expr(s"v div $q").as("v")).localCheckpoint()
+      r.select(col("host"), expr(s"v div $q").as("v"))
     }
     for (_ <- 1 to iterations) {
       auth = renorm(hosts
@@ -395,10 +395,16 @@ object WebGraph {
         col("dst_host").cast("string").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+    // persisted: both sides of the self-join read this frame — without
+    // it the outdeg window and cap filter run twice (ReuseExchange only
+    // covers the shuffle below the window). Registered for the result's
+    // lifetime; a long-lived session should clearCache() between
+    // corpora (the bigramScore/Dedup escape hatch).
     val capped = e
       .withColumn("__od", count(lit(1)).over(Window.partitionBy("src")))
       .filter(col("__od") <= maxOutDeg)
       .drop("__od")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     capped.as("a")
       .join(capped.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))

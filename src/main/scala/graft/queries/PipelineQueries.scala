@@ -2219,7 +2219,6 @@ object PipelineQueries {
       e AS MATERIALIZED (SELECT * FROM eall WHERE src <> dst),
       h AS MATERIALIZED (SELECT src AS host FROM eall
                          UNION SELECT dst FROM eall),
-      a0 AS (SELECT host, CAST($scale AS BIGINT) AS v FROM h),
       hb0 AS (SELECT host, CAST($scale AS BIGINT) AS v FROM h),
       ${(1 to iters).map(step).mkString(",")}
       SELECT h.host, a.v AS auth_units, b.v AS hub_units
