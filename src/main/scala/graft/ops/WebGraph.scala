@@ -373,6 +373,43 @@ object WebGraph {
     out
   }
 
+  /** Per-host degree profile of the link graph: out-degree, in-degree,
+    * and how many of a host's out-edges are reciprocated (the other
+    * host links back). Reciprocity is the classic link-exchange
+    * signal — organic graphs run low, link-farm rings run near 1.0 —
+    * and together with the degree ratio it is the cheap first screen
+    * a crawl runs before anything iterative ([[hostRank]]/[[hits]]).
+    *
+    * One distinct edge pass: degrees are two aggregations of it,
+    * reciprocity one self-join on the reversed key (equi-join, not a
+    * pair blowup — it matches each edge to at most one mirror). All
+    * counts exact integers. The edge frames stay persisted for the
+    * result's lifetime (four consumers read them; unpersisting before
+    * the lazy result is consumed would recompute the distinct per
+    * consumer) — clearCache() between corpora, the coCitation
+    * convention. */
+  def degreeProfile(edges: DataFrame): DataFrame = {
+    val (eAll, e, hosts) = edgeGraph(edges)
+    eAll.unpersist() // only e and hosts are read downstream
+    val out = e.groupBy(col("src").as("host"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("host"))
+      .agg(count(lit(1)).as("in_deg"))
+    val recip = e.as("f")
+      .join(e.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+      .groupBy(col("f.src").as("host"))
+      .agg(count(lit(1)).as("reciprocal_out"))
+    hosts
+      .join(out, Seq("host"), "left")
+      .join(in, Seq("host"), "left")
+      .join(recip, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("reciprocal_out"), lit(0L)).as("reciprocal_out"))
+  }
+
   /** Co-citation pairs: two hosts are related when the same SOURCES
     * link to both (Small 1973 — the item-similarity primitive of link
     * analysis; "people who cite X also cite Y"). One self-join of the

@@ -2228,9 +2228,43 @@ object PipelineQueries {
     )
   }
 
+  // ---------------------------------------------------------------- q93
+  /** Link-graph degree profile — [[graft.ops.WebGraph.degreeProfile]]
+    * under the hash gate: per-host out/in degree and reciprocated
+    * out-edges (the link-exchange screen a crawl runs before anything
+    * iterative). Exact integer counts; the oracle mirrors the
+    * reversed-key self-join. */
+  private val q93 = Q(
+    "q93_degree_profile",
+    (s, dir) => {
+      val pages = linkPagesSpark(s, dir)
+      val edges = WebGraph.hostEdges(pages, col("src_host"), col("html"))
+      WebGraph.degreeProfile(edges).orderBy("host")
+    },
+    Some(s"""
+      WITH $linkHostsSql,
+      eall AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lhosts
+               WHERE dst_host <> ''),
+      e AS (SELECT * FROM eall WHERE src <> dst),
+      h AS (SELECT src AS host FROM eall UNION SELECT dst FROM eall),
+      outd AS (SELECT src AS host, COUNT(*) AS c FROM e GROUP BY src),
+      ind AS (SELECT dst AS host, COUNT(*) AS c FROM e GROUP BY dst),
+      rec AS (SELECT f.src AS host, COUNT(*) AS c
+        FROM e f JOIN e r ON f.src = r.dst AND f.dst = r.src
+        GROUP BY f.src)
+      SELECT h.host,
+        CAST(COALESCE(outd.c, 0) AS BIGINT) AS out_deg,
+        CAST(COALESCE(ind.c, 0) AS BIGINT) AS in_deg,
+        CAST(COALESCE(rec.c, 0) AS BIGINT) AS reciprocal_out
+      FROM h LEFT JOIN outd ON outd.host = h.host
+      LEFT JOIN ind ON ind.host = h.host
+      LEFT JOIN rec ON rec.host = h.host
+      ORDER BY h.host""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92)
+    q91, q92, q93)
 }

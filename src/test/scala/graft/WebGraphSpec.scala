@@ -261,6 +261,21 @@ class WebGraphSpec extends SparkTestBase {
     assert(out("a") == out("c"))
   }
 
+  test("degreeProfile: out/in degrees and reciprocated out-edges, zeros for pure roles") {
+    val edges = Seq(
+      ("a", "b"), ("b", "a"),  // reciprocal pair
+      ("a", "c"), ("c", "b"),  // one-way edges
+      ("d", "d")               // self-loop only: exists with zeros
+    ).toDF("src_host", "dst_host")
+    val out = WebGraph.degreeProfile(edges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") == ((2L, 1L, 1L))) // a→b reciprocated, a→c not
+    assert(out("b") == ((1L, 2L, 1L)))
+    assert(out("c") == ((1L, 1L, 0L)))
+    assert(out("d") == ((0L, 0L, 0L))) // self-loop host: in the universe, zero degrees
+  }
+
   test("coCitation: common-source pairs counted, hub sources capped out") {
     val edges = Seq(
       ("s1", "x"), ("s1", "y"),             // s1 cites x,y → pair (x,y)
