@@ -47,8 +47,20 @@ object Compaction {
     spark.read.parquet(path)
       .repartition(parts)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(dir, old)
-    fs.rename(tmp, dir)
+    // Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
+    // throwing — unchecked, a failed rename-aside would report success
+    // with the table unswapped, and a failed rename-in would let the
+    // delete below destroy the renamed-aside original while `path` holds
+    // no table (exactly the window the rename-aside design exists to
+    // close). Check both; on a failed rename-in, restore the original
+    // before raising so the caller is never left table-less.
+    require(fs.rename(dir, old), s"compact: rename $dir -> $old failed")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // best-effort restore of the original
+      throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
+    }
+    // only drop the aside copy once the new table is verifiably in place
+    require(fs.exists(dir), s"compact: $dir missing after swap")
     fs.delete(old, true)
     parts
   }

@@ -78,12 +78,13 @@ object LanguageModel {
     // One bigram explode feeds BOTH the LM build and the per-doc scoring
     // join — persisted, or each consumer re-pays the corpus tokenize
     // pass (the Index.bm25TopK / Dedup shingle-frame precedent). The
-    // persist stays registered for the result frame's lifetime; a
-    // long-lived session scoring many corpora should
-    // `spark.catalog.clearCache()` between them (the Dedup escape
-    // hatch). The vocab count still needs its own unigram pass
-    // (doc-final tokens never appear on a bigram's left side, so it is
-    // not derivable from the bigram frame).
+    // persist releases before return: the narrow per-doc score frame
+    // (id + two numbers, NOT the corpus-width result) materializes
+    // eagerly via localCheckpoint, after which nothing reads docBg
+    // again (the hostRankFrom discipline). The vocab count still needs
+    // its own unigram pass (doc-final tokens never appear on a
+    // bigram's left side, so it is not derivable from the bigram
+    // frame).
     val docBg = docs.select(col(idCol).as("__id"),
       explode(bigrams(col(textCol))).as("bigram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -101,6 +102,8 @@ object LanguageModel {
       count(lit(1)).as("n_bigrams"),
       (aggregate(sort_array(collect_list(col("p"))), lit(0.0d),
         (acc, x) => acc + x) / count(lit(1))).as("mean_condp"))
+      .localCheckpoint()
+    docBg.unpersist()
     docs.join(scored, docs(idCol) === scored("__id"), "left")
       .drop("__id")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))

@@ -281,6 +281,13 @@ object Multimodal {
   def wavHeader(
       sampleRate: Long, channels: Long, bitsPerSample: Long, nSamples: Long
   ): Array[Byte] = {
+    // blockAlign is an integer byte count: a non-byte-multiple depth
+    // (e.g. 12-bit) would truncate and emit data-size/blockAlign fields
+    // that disagree with the declared depth — corrupt but parseable,
+    // the exact shape the u32 require below exists to prevent
+    require(bitsPerSample % 8 == 0 && bitsPerSample > 0 && channels >= 1,
+      s"WAV header needs whole-byte samples and >=1 channel: " +
+        s"bits=$bitsPerSample channels=$channels")
     val blockAlign = channels * bitsPerSample / 8
     val dataLen = nSamples * blockAlign
     // the RIFF size fields are u32: past 4 GiB the format is RF64, and

@@ -487,8 +487,12 @@ object WebGraph {
     * BOUNDARY prepended — without it, `gclid=` would match inside a
     * longer param name (`xgclid=1`) or inside a VALUE
     * (`q=what+is+gclid=x`), corrupting non-tracking params and falsely
-    * merging distinct URLs. */
-  val TrackingParamPattern = "(utm_[a-zA-Z]+|gclid|fbclid|msclkid)=[^&#]*"
+    * merging distinct URLs. The name match is case-INSENSITIVE via a
+    * scoped `(?i:…)` group (RE2-portable, and scoped so the prepended
+    * boundary stays case-exact): real crawl logs carry `UTM_Source=`
+    * and `GCLID=` variants, and a case-sensitive strip would let them
+    * defeat frontier dedup. Param VALUES are untouched either way. */
+  val TrackingParamPattern = "(?i:utm_[a-z]+|gclid|fbclid|msclkid)=[^&#]*"
 
   /** Canonicalize an absolute http(s) URL so that per-visit noise
     * collapses and the same resource gets the same key — the identity

@@ -1730,7 +1730,10 @@ object PipelineQueries {
     * per-visit variants (port/case/utm/fragment noise keyed by
     * doc_id % 3) over doc_id % 50 resource paths, so canonical groups
     * cross document boundaries and an under-canonicalizing engine
-    * fails on group COUNTS, not just strings. */
+    * fails on group COUNTS, not just strings. The `GCLid=` variant is
+    * mixed-case on purpose: tracking-param names strip
+    * case-insensitively (real crawl logs carry UTM_Source=/GCLID=),
+    * so a case-sensitive strip fails this gate. */
   private val q84 = Q(
     "q84_url_canonical",
     (s, dir) => {
@@ -1741,7 +1744,7 @@ object PipelineQueries {
           lit("?id="), m, lit("&utm_source=feed#top")))
         .when(pmod(col("doc_id"), lit(3)) === 1,
           concat(lit("https://www.site"), k, lit(".com:8080/a/p"), m,
-            lit("?gclid=XYZ"), col("doc_id")))
+            lit("?GCLid=XYZ"), col("doc_id")))
         .otherwise(
           concat(lit("https://Site"), k, lit(".COM:443/a/p"), m,
             lit("?utm_campaign=c&ref=keep")))
@@ -1759,7 +1762,7 @@ object PipelineQueries {
               || '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_source=feed#top'
             WHEN 1 THEN 'https://www.site' || CAST(doc_id % 5 AS VARCHAR)
               || '.com:8080/a/p' || CAST(doc_id % 50 AS VARCHAR)
-              || '?gclid=XYZ' || CAST(doc_id AS VARCHAR)
+              || '?GCLid=XYZ' || CAST(doc_id AS VARCHAR)
             ELSE 'https://Site' || CAST(doc_id % 5 AS VARCHAR)
               || '.COM:443/a/p' || CAST(doc_id % 50 AS VARCHAR)
               || '?utm_campaign=c&ref=keep'
