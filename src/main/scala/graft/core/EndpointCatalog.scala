@@ -525,7 +525,16 @@ object EndpointCatalog {
     f("description", StringType), f("namespace", StringType),
     f("shortDescription", StringType))
 
+  /** The `/deletes` twin feed shape, shared by every endpoint
+    * (reference api/api.py:133-136 extracts it; the Ed-Fi change-query
+    * contract returns the removed resource's id and the change version
+    * of the deletion). The reference never CONSUMES this feed; here
+    * [[graft.ops.Snapshot.applyDeletes]] folds it into gold. */
+  val DeletesSchema: StructType = s(
+    f("id", StringType), f("changeVersion", LongType))
+
   def schema(endpoint: String): StructType =
     schemas.getOrElse(endpoint, extractionOnlySchemas.getOrElse(endpoint,
-      throw new IllegalArgumentException(s"unknown endpoint: $endpoint")))
+      if (endpoint.endsWith("_deletes")) DeletesSchema
+      else throw new IllegalArgumentException(s"unknown endpoint: $endpoint")))
 }

@@ -113,12 +113,19 @@ object Index {
     *
     * @param queries (query_id, term) rows — one row per query term
     */
+  /** @param eager materialize the k-rows-per-query result and release
+    *              the internal postings persist before returning (the
+    *              default — nothing stays in the cache registry). Pass
+    *              false to get the LAZY plan instead (plan audits,
+    *              composition into a larger pipeline); the persist then
+    *              stays registered until the caller clears caches. */
   def bm25TopK(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       queries: DataFrame,
-      k: Int
+      k: Int,
+      eager: Boolean = true
   ): DataFrame = {
     val qterms = queries.select(col("query_id"), col("term"))
     // Restrict the postings stream to query-relevant terms map-side;
@@ -126,7 +133,10 @@ object Index {
     // filters terms, never documents. Persisted: rel feeds BOTH the df
     // aggregate and the contrib join — without the persist each consumer
     // re-pays the corpus tokenize + (term, doc) shuffle (the Dedup
-    // shingle-frame precedent; bench hygiene drops these caches).
+    // shingle-frame precedent). Released before return: the k-rows-per-
+    // query result materializes eagerly via localCheckpoint (the
+    // hostRankFrom discipline), so serving many query batches in one
+    // session accumulates nothing in the cache registry.
     val rel = postings(docs, idCol, textCol)
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -157,8 +167,14 @@ object Index {
         (acc, x) => acc + x).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc").asc)
-    scored
+    val ranked = scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+    if (!eager) ranked
+    else {
+      val res = ranked.localCheckpoint()
+      rel.unpersist()
+      res
+    }
   }
 }

@@ -100,8 +100,26 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       nProbe: Int
+  ): DataFrame =
+    ivfTopKFromAssigned(ivfAssign(corpus, centroids), centroids, queries, k, nProbe)
+
+  /** The SERVING path of [[ivfTopK]]: probe an already-assigned corpus —
+    * in production `assigned` is [[ivfAssign]]'s output written ONCE per
+    * corpus snapshot as parquet partitioned by `cluster_id`, so a query
+    * batch costs only the probed partitions (the probes join on the
+    * partition column, so partition pruning skips ~(1 − nProbe/k_c) of
+    * the index on disk — the incrementalMinhash persisted-index shape
+    * applied to ANN). The assignment pass is setup cost, amortized
+    * across every batch that probes the same snapshot; per batch the
+    * work is O(queries × probed-cluster size), independent of corpus
+    * growth outside the probed clusters. */
+  def ivfTopKFromAssigned(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int
   ): DataFrame = {
-    val assigned = ivfAssign(corpus, centroids)
     // per-query probe list: nProbe nearest centroids
     val pw = Window.partitionBy(col("q.vec_id")).orderBy(col("__sim").desc, col("__cid"))
     val probes = queries.as("q")

@@ -55,6 +55,20 @@ object Snapshot {
       .filter(col("change_type") =!= "unchanged")
   }
 
+  /** Apply a deletes feed to a keyed gold table: drop every row whose
+    * key appears in `deletes` — the consumption step for the Ed-Fi
+    * `/deletes` twin the reference extracts but never applies
+    * (api/api.py:133-136; silver captures the feed, gold still carries
+    * the ghosts). Composes with the change-version window: a daily
+    * incremental run upserts the delta batch and THEN removes this
+    * feed's keys; [[diffSummary]] against the previous gold audits both.
+    *
+    * One left_anti hash join on the key. The deletes batch is one day's
+    * removals — tiny against the table — so AQE broadcasts it and the
+    * pass costs a scan of gold, no shuffle of the big side. */
+  def applyDeletes(curr: DataFrame, deletes: DataFrame, idCol: String): DataFrame =
+    curr.join(deletes.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** The audit summary a daily refresh logs: one row per change type. */
   def diffSummary(
       prev: DataFrame,

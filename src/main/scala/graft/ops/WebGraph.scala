@@ -69,6 +69,30 @@ object WebGraph {
   def extractLinks(html: Column): Column =
     regexp_extract_all(TextAnalysis.stripBlocks(html), lit(HrefPattern), lit(1))
 
+  /** EVERY quoted anchor href, absolute or not — the input to
+    * [[resolveUrl]]. Same element boundary as [[HrefPattern]] (anchor
+    * tags only, attribute-quoted), but the capture keeps relative,
+    * protocol-relative, query-only and other-scheme targets instead of
+    * discarding them at the regex. */
+  val AnyHrefPattern =
+    "(?is)<a[ \\t\\n\\f\\r][^>]*href=\"([^\"]+)\""
+
+  /** All ANCHOR targets in an HTML column resolved against the page's
+    * own URL ([[resolveUrl]]) — the crawl-complete overload of
+    * [[extractLinks]]: real crawl HTML is dominated by RELATIVE hrefs,
+    * which the absolute-only extractor drops, silently starving
+    * [[hostEdges]]/[[anchorIndex]] of most of the graph. Non-http(s)
+    * targets (`mailto:`, `javascript:`) resolve to '' and are filtered
+    * here. Still a pure expression chain — the per-link regex work runs
+    * inside `transform`, zero shuffle, scan speed. */
+  def extractLinks(baseUrl: Column, html: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(TextAnalysis.stripBlocks(html),
+          lit(AnyHrefPattern), lit(1)),
+        h => resolveUrl(baseUrl, h)),
+      u => u =!= "")
+
   /** Lower-cased host of an absolute URL ('' for non-URLs — filter it). */
   def hostOf(url: Column): Column =
     lower(regexp_extract(url, HostPattern, 1))
@@ -383,11 +407,11 @@ object WebGraph {
     * One distinct edge pass: degrees are two aggregations of it,
     * reciprocity one self-join on the reversed key (equi-join, not a
     * pair blowup — it matches each edge to at most one mirror). All
-    * counts exact integers. The edge frames stay persisted for the
-    * result's lifetime (four consumers read them; unpersisting before
-    * the lazy result is consumed would recompute the distinct per
-    * consumer) — clearCache() between corpora, the coCitation
-    * convention. */
+    * counts exact integers. The persisted edge frames feed four
+    * consumers, then release before return: the per-host result (a few
+    * longs per host) materializes eagerly via localCheckpoint — the
+    * hostRankFrom discipline, so a long-lived session scoring many
+    * corpora accumulates nothing in the cache registry. */
   def degreeProfile(edges: DataFrame): DataFrame = {
     val (eAll, e, hosts) = edgeGraph(edges)
     eAll.unpersist() // only e and hosts are read downstream
@@ -400,7 +424,7 @@ object WebGraph {
         col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
       .groupBy(col("f.src").as("host"))
       .agg(count(lit(1)).as("reciprocal_out"))
-    hosts
+    val res = hosts
       .join(out, Seq("host"), "left")
       .join(in, Seq("host"), "left")
       .join(recip, Seq("host"), "left")
@@ -408,6 +432,10 @@ object WebGraph {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("reciprocal_out"), lit(0L)).as("reciprocal_out"))
+      .localCheckpoint()
+    e.unpersist()
+    hosts.unpersist()
+    res
   }
 
   /** Co-citation pairs: two hosts are related when the same SOURCES
@@ -434,20 +462,23 @@ object WebGraph {
       .distinct()
     // persisted: both sides of the self-join read this frame — without
     // it the outdeg window and cap filter run twice (ReuseExchange only
-    // covers the shuffle below the window). Registered for the result's
-    // lifetime; a long-lived session should clearCache() between
-    // corpora (the bigramScore/Dedup escape hatch).
+    // covers the shuffle below the window). Released before return: the
+    // pair result materializes eagerly via localCheckpoint (the
+    // hostRankFrom discipline), so nothing stays in the cache registry.
     val capped = e
       .withColumn("__od", count(lit(1)).over(Window.partitionBy("src")))
       .filter(col("__od") <= maxOutDeg)
       .drop("__od")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    capped.as("a")
+    val res = capped.as("a")
       .join(capped.as("b"),
         col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
       .groupBy(col("a.dst").as("host_a"), col("b.dst").as("host_b"))
       .agg(count(lit(1)).as("n_common_sources"))
       .filter(col("n_common_sources") >= minCount)
+      .localCheckpoint()
+    capped.unpersist()
+    res
   }
 
   /** Politeness schedule for a crawl frontier: per host, requests order
@@ -481,6 +512,76 @@ object WebGraph {
       .withColumn("start_s", col("slot") * slotSeconds)
   }
 
+  /** [[fetchSchedule]] with per-host politeness inputs — real crawl
+    * etiquette is per-host, not global: robots.txt carries a host's own
+    * `Crawl-delay` and `Disallow` rules. `hostPolicies` is one row per
+    * host with `crawl_delay_s` (nullable — null falls back to the
+    * global `slotSeconds`) and `disallow` (nullable array of path
+    * prefixes; a URL whose PATH starts with any of them is dropped
+    * before scheduling, the robots exclusion applied at frontier time).
+    * Hosts absent from the table get the global defaults.
+    *
+    * Scale shape unchanged: the policy table is per-host (small —
+    * broadcast), the single host-partitioned window still does the
+    * scheduling, and the disallow filter is a scan-side expression. */
+  def fetchSchedule(
+      frontier: DataFrame,
+      hostCol: String,
+      tsSecondsCol: String,
+      urlCol: String,
+      perSlot: Int,
+      slotSeconds: Int,
+      hostPolicies: DataFrame
+  ): DataFrame = {
+    require(perSlot >= 1 && slotSeconds >= 1,
+      s"degenerate schedule: perSlot=$perSlot slotSeconds=$slotSeconds")
+    val pol = broadcast(hostPolicies.select(
+      col("host").as("__phost"),
+      col("crawl_delay_s").cast("long").as("__delay"),
+      col("disallow").as("__disallow")))
+    frontier
+      .select(col(hostCol).as("host"), col(urlCol).as("url"),
+        col(tsSecondsCol).as("ts_s"))
+      .join(pol, col("host") === col("__phost"), "left")
+      .withColumn("__path",
+        regexp_extract(col("url"), "(?i)^https?://[^/?#]+([^?#]*)", 1))
+      .filter(!exists(
+        coalesce(col("__disallow"), array().cast("array<string>")),
+        p => col("__path").startsWith(p)))
+      .withColumn("__slot_s", coalesce(col("__delay"), lit(slotSeconds.toLong)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("host").orderBy(col("ts_s"), col("url"))).cast("long"))
+      .withColumn("slot", expr(s"(rn - 1) div $perSlot"))
+      .withColumn("start_s", col("slot") * col("__slot_s"))
+      .drop("__phost", "__delay", "__disallow", "__path", "__slot_s")
+  }
+
+  /** Spam mass (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004 §6): the
+    * fraction of a host's PageRank that did NOT arrive through trusted
+    * paths — `(rank − trust) / rank`, here in parts-per-million integer
+    * fixed point so the composite stays under the exact-hash gate like
+    * its two inputs. A link farm ranks well but is unreachable from
+    * every trust seed, so its trust is exactly 0 (integers) and its
+    * spam mass is exactly 1,000,000; an organically-cited host's rank
+    * is mostly trust-covered and its mass sits near 0. The difference
+    * is clamped at 0 before the division (a seed host's concentrated
+    * teleport can exceed its rank; truncating `div` is only
+    * engine-exact on non-negatives — the q83/q90 rule).
+    *
+    * One broadcast-sized join of two (host, long) frames — rank and
+    * trust are [[hostRank]]/[[trustRank]] outputs, already tiny
+    * relative to the corpus at any scale. */
+  def spamMass(rank: DataFrame, trust: DataFrame): DataFrame =
+    rank.select(col("host"), col("rank_units"))
+      .join(
+        trust.select(col("host"), col("rank_units").as("trust_units")),
+        Seq("host"), "left")
+      .select(col("host"), col("rank_units"),
+        coalesce(col("trust_units"), lit(0L)).as("trust_units"))
+      .withColumn("spam_mass_ppm",
+        when(col("rank_units") <= 0, lit(0L)).otherwise(
+          expr("(greatest(rank_units - trust_units, 0L) * 1000000) div rank_units")))
+
   /** Tracking query parameters stripped by [[canonicalizeUrl]]: the
     * analytics/click-id families that vary per visit without changing
     * the resource. Shared with the oracle. Used with a `[?&]` LEFT
@@ -510,6 +611,97 @@ object WebGraph {
     * Pure expression chain — zero shuffle, scan-speed over 100 TB of
     * crawl logs. Non-URLs (no `scheme://host`) canonicalize to '' so
     * the caller can filter them in one pass. */
+  /** Dot-segment removal (RFC 3986 §5.2.4) by bounded regexp passes —
+    * shared verbatim (patterns AND pass counts) between the Spark
+    * expression and the DuckDB oracle, the [[TrackingParamPattern]]
+    * convention. Each `/./` pass halves a run of dot segments; each
+    * parent pass removes one nesting level of `/seg/../`, so the bounds
+    * below normalize any path with ≤ 2^[[DotSegmentPasses]] consecutive
+    * `.`s and ≤ [[ParentSegmentPasses]] nested `..`s — deeper chains
+    * are adversarial, not crawl HTML. The parent-segment class excludes
+    * `.` and `..` themselves so `/a/../../b` collapses left-to-right
+    * instead of eating the wrong pair; what `..`s survive to the front
+    * collapse to the root in the final leading pass (a URI's path
+    * cannot climb above the authority — §5.2.4's "remove leading ..").
+    */
+  val DotSlashPattern = "/\\.(/|$)"
+  val ParentPattern = "/([^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)/\\.\\.(/|$)"
+  val LeadingParentPattern = "^(/\\.\\.)+(/|$)"
+  val DotSegmentPasses = 8
+  val ParentSegmentPasses = 10
+
+  /** Apply [[DotSlashPattern]]/[[ParentPattern]]/[[LeadingParentPattern]]
+    * to a PATH column (must be authority-rooted, i.e. start with `/` or
+    * be empty). Pure expression — zero shuffle. */
+  def removeDotSegments(path: Column): Column = {
+    val noDots = (1 to DotSegmentPasses).foldLeft(path)((p, _) =>
+      regexp_replace(p, DotSlashPattern, "/"))
+    val noParents = (1 to ParentSegmentPasses).foldLeft(noDots)((p, _) =>
+      regexp_replace(p, ParentPattern, "/"))
+    regexp_replace(noParents, LeadingParentPattern, "/")
+  }
+
+  /** SQL twin of [[removeDotSegments]] for the oracle: the same
+    * patterns, the same pass counts, nested `regexp_replace` calls. */
+  def removeDotSegmentsSql(expr: String): String = {
+    val noDots = (1 to DotSegmentPasses).foldLeft(expr)((e, _) =>
+      s"regexp_replace($e, '$DotSlashPattern', '/', 'g')")
+    val noParents = (1 to ParentSegmentPasses).foldLeft(noDots)((e, _) =>
+      s"regexp_replace($e, '$ParentPattern', '/', 'g')")
+    s"regexp_replace($noParents, '$LeadingParentPattern', '/', 'g')"
+  }
+
+  /** [[removeDotSegments]] applied to the path portion of an absolute
+    * http(s) URL, leaving scheme/authority/query/fragment untouched (a
+    * `/../` inside a QUERY is data, not navigation). Non-http(s)
+    * strings pass through unchanged — [[canonicalizeUrl]] downstream
+    * maps them to ''. */
+  def normalizeDotSegments(url: Column): Column = {
+    val pre = regexp_extract(url, "(?i)^(https?://[^/?#]*)", 1)
+    val path = regexp_extract(url, "(?i)^https?://[^/?#]*([^?#]*)", 1)
+    val suffix = regexp_extract(url, "(?i)^https?://[^/?#]*[^?#]*(.*)$", 1)
+    when(pre === "", url)
+      .otherwise(concat(pre, removeDotSegments(path), suffix))
+  }
+
+  /** Resolve an href against its page's base URL — RFC 3986 §5's
+    * reference-resolution algorithm as a pure expression, then
+    * [[canonicalizeUrl]] so every resolved link lands in the same
+    * keyspace the frontier dedups on. This is what lets the crawl
+    * family see RELATIVE links — the majority of hrefs in real HTML:
+    *
+    *   - href with a scheme (`http://…`, `mailto:…`) → taken as-is
+    *     (non-http(s) schemes canonicalize to '' — filter them);
+    *   - `//host/p` (protocol-relative) → base's scheme;
+    *   - `/p` (root-relative) → base's authority;
+    *   - `?q` (query-only) → base's authority + path, new query;
+    *   - `#frag` / empty → the base itself (same document);
+    *   - `p`, `./p`, `../p` (relative) → merged onto the base path's
+    *     directory (§5.3 merge), dot segments removed (§5.2.4).
+    *
+    * An invalid base (not absolute http(s)) resolves everything to ''.
+    * Zero shuffle; usable inside `transform` over an href array
+    * ([[extractLinks]]'s two-argument overload). */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val bScheme = lower(regexp_extract(base, "(?i)^(https?)://", 1))
+    val bAuth = regexp_extract(base, "(?i)^https?://([^/?#]+)", 1)
+    val bPath = regexp_extract(base, "(?i)^https?://[^/?#]+([^?#]*)", 1)
+    val bDirRaw = regexp_extract(bPath, "^(.*/)", 1)
+    val bDir = when(bDirRaw === "", lit("/")).otherwise(bDirRaw)
+    val root = concat(bScheme, lit("://"), bAuth)
+    val merged =
+      when(bScheme === "" || bAuth === "", lit(""))
+        .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
+        .when(href.startsWith("//"), concat(bScheme, lit(":"), href))
+        .when(href.startsWith("/"), concat(root, href))
+        .when(href.startsWith("?"),
+          concat(root,
+            when(bPath === "", lit("/")).otherwise(bPath), href))
+        .when(href.startsWith("#") || href === "", base)
+        .otherwise(concat(root, bDir, href))
+    canonicalizeUrl(normalizeDotSegments(merged))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "(?i)^(https?)://", 1))
     val host = hostOf(url)

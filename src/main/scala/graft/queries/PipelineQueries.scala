@@ -317,19 +317,11 @@ object PipelineQueries {
   )
 
   // ---------------------------------------------------------------- q36
-  /** IVF approximate top-5: 16 deterministic centroids (lowest vec_ids, a
-    * k-means pass would slot in), queries probe their 2 nearest clusters. */
-  private val q36 = Q(
-    "q36_ann_ivf",
-    (s, dir) => {
-      val corpus = Similarity.withNorm(Lake(s, dir).embeddings, "vec_id", "embedding")
-      val centroids = corpus.filter(col("vec_id") < 16)
-      val queries = corpus.filter(col("vec_id") < 8)
-      Similarity.ivfTopK(corpus, centroids, queries, k = 5, nProbe = 2)
-        .select("query_id", "neighbor_id", "cos", "rank")
-        .orderBy("query_id", "rank")
-    },
-    Some(s"""
+  /** IVF oracle SQL, shared by q36 (derive-from-scratch) and q98 (the
+    * persisted-index serving path): the assignment is deterministic, so
+    * both engines land on the same mathematical result regardless of
+    * whether the Spark side round-tripped the index through parquet. */
+  private val IvfTopkSql = s"""
       WITH $NormedCte,
       cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM m WHERE vec_id < 16),
       assigned AS (
@@ -354,7 +346,21 @@ object PipelineQueries {
         FROM probes p JOIN assigned a USING (cluster_id)
         WHERE p.query_id != a.vec_id)
       WHERE rank <= 5
-      ORDER BY query_id, rank""")
+      ORDER BY query_id, rank"""
+
+  /** IVF approximate top-5: 16 deterministic centroids (lowest vec_ids, a
+    * k-means pass would slot in), queries probe their 2 nearest clusters. */
+  private val q36 = Q(
+    "q36_ann_ivf",
+    (s, dir) => {
+      val corpus = Similarity.withNorm(Lake(s, dir).embeddings, "vec_id", "embedding")
+      val centroids = corpus.filter(col("vec_id") < 16)
+      val queries = corpus.filter(col("vec_id") < 8)
+      Similarity.ivfTopK(corpus, centroids, queries, k = 5, nProbe = 2)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    },
+    Some(IvfTopkSql)
   )
 
   // ---------------------------------------------------------------- q42
@@ -1768,13 +1774,24 @@ object PipelineQueries {
               || '?utm_campaign=c&ref=keep'
           END AS url
         FROM documents),
-      parts AS (SELECT doc_id,
+      ${canonicalizeSqlCtes("u", "doc_id")}
+      SELECT canonical_url, COUNT(*) AS n_urls, MIN(doc_id) AS first_doc
+      FROM canon GROUP BY canonical_url ORDER BY canonical_url""")
+  )
+
+  /** SQL twin of [[graft.ops.WebGraph.canonicalizeUrl]] as CTEs —
+    * expects `srcCte($keep, url)`, yields `canon($keep,
+    * canonical_url)`. ONE copy feeding q84 and q94 (the QualitySqlExpr
+    * convention), so a canonicalization change has exactly one oracle
+    * mirror to update. */
+  private def canonicalizeSqlCtes(srcCte: String, keep: String): String = s"""
+      parts AS (SELECT $keep,
           lower(regexp_extract(url, '(?i)^(https?)://', 1)) AS scheme,
           lower(regexp_extract(url, '${WebGraph.HostPattern}', 1)) AS host,
           regexp_extract(url, '(?i)^https?://[^/:?#]+:([0-9]+)', 1) AS port,
           regexp_extract(url, '(?i)^https?://[^/?#]+([^#]*)', 1) AS rest
-        FROM u),
-      canon AS (SELECT doc_id,
+        FROM $srcCte),
+      canon AS (SELECT $keep,
           CASE WHEN scheme = '' OR host = '' THEN '' ELSE
             scheme || '://' || host ||
             CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
@@ -1783,7 +1800,7 @@ object PipelineQueries {
             CASE WHEN pth = '' THEN '/' ELSE pth END ||
             CASE WHEN q4 = '' THEN '' ELSE '?' || q4 END
           END AS canonical_url
-        FROM (SELECT doc_id, scheme, host, port,
+        FROM (SELECT $keep, scheme, host, port,
             regexp_extract(rest, '^([^?]*)', 1) AS pth,
             regexp_replace(
               regexp_replace(
@@ -1794,10 +1811,7 @@ object PipelineQueries {
                   '^${WebGraph.TrackingParamPattern}&', ''),
                 '^${WebGraph.TrackingParamPattern}$$', ''),
               '&+$$', '') AS q4
-          FROM parts) q)
-      SELECT canonical_url, COUNT(*) AS n_urls, MIN(doc_id) AS first_doc
-      FROM canon GROUP BY canonical_url ORDER BY canonical_url""")
-  )
+          FROM parts) q)"""
 
   // ---------------------------------------------------------------- q85
   /** Accent folding — the [[graft.functions.StripAccents]] codegen'd
@@ -2265,9 +2279,283 @@ object PipelineQueries {
       ORDER BY h.host""")
   )
 
+  // ---------------------------------------------------------------- q94
+  /** Relative-URL resolution (RFC 3986 §5) —
+    * [[graft.ops.WebGraph.resolveUrl]] under the hash gate: the step
+    * that lets the crawl link graph see RELATIVE hrefs (the majority of
+    * links in real HTML — the absolute-only extractor silently drops
+    * them). The fixture routes each document through one of the seven
+    * resolution branches (absolute, protocol-relative, root-relative,
+    * parent-relative `../`, dot-relative `./` with a fragment,
+    * query-only with a tracking param, and `mailto:`/`#frag`), against
+    * a base URL that itself needs canonicalizing (uppercase scheme and
+    * host, default port, tracking param) — so the gate covers the §5.3
+    * merge, §5.2.4 dot removal, AND the canonical landing in one
+    * query. The dot-segment patterns and pass counts are shared
+    * verbatim with the oracle via
+    * [[graft.ops.WebGraph.removeDotSegmentsSql]]. */
+  private val q94 = Q(
+    "q94_url_resolve",
+    (s, dir) => {
+      val m7 = pmod(col("doc_id"), lit(7))
+      val base = concat(
+        lit("HTTP://WWW.Base"), pmod(col("doc_id"), lit(5)),
+        lit(".example:80/a/b/c"), pmod(col("doc_id"), lit(3)),
+        lit("/page.html?keep=1&utm_source=x"))
+      val href = when(m7 === 0,
+        concat(lit("https://ext"), pmod(col("doc_id"), lit(5)),
+          lit(".example/x"), pmod(col("doc_id"), lit(20))))
+        .when(m7 === 1,
+          concat(lit("//cdn"), pmod(col("doc_id"), lit(5)), lit(".example/lib.js")))
+        .when(m7 === 2, concat(lit("/root/p"), pmod(col("doc_id"), lit(20))))
+        .when(m7 === 3, concat(lit("../up/p"), pmod(col("doc_id"), lit(20))))
+        .when(m7 === 4,
+          concat(lit("./same/./p"), pmod(col("doc_id"), lit(20)), lit("#sec")))
+        .when(m7 === 5,
+          concat(lit("?page="), pmod(col("doc_id"), lit(10)), lit("&gclid=Z")))
+        .otherwise(when(pmod(col("doc_id"), lit(2)) === 0,
+          lit("mailto:a@b.example")).otherwise(lit("#top")))
+      Lake(s, dir).documents
+        .select(col("doc_id"),
+          WebGraph.resolveUrl(base, href).as("resolved_url"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH f AS (SELECT doc_id,
+          'HTTP://WWW.Base' || CAST(doc_id % 5 AS VARCHAR)
+            || '.example:80/a/b/c' || CAST(doc_id % 3 AS VARCHAR)
+            || '/page.html?keep=1&utm_source=x' AS base,
+          CASE doc_id % 7
+            WHEN 0 THEN 'https://ext' || CAST(doc_id % 5 AS VARCHAR)
+              || '.example/x' || CAST(doc_id % 20 AS VARCHAR)
+            WHEN 1 THEN '//cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example/lib.js'
+            WHEN 2 THEN '/root/p' || CAST(doc_id % 20 AS VARCHAR)
+            WHEN 3 THEN '../up/p' || CAST(doc_id % 20 AS VARCHAR)
+            WHEN 4 THEN './same/./p' || CAST(doc_id % 20 AS VARCHAR) || '#sec'
+            WHEN 5 THEN '?page=' || CAST(doc_id % 10 AS VARCHAR) || '&gclid=Z'
+            ELSE CASE WHEN doc_id % 2 = 0 THEN 'mailto:a@b.example' ELSE '#top' END
+          END AS href
+        FROM documents),
+      b AS (SELECT doc_id, base, href,
+          lower(regexp_extract(base, '(?i)^(https?)://', 1)) AS bscheme,
+          regexp_extract(base, '(?i)^https?://([^/?#]+)', 1) AS bauth,
+          regexp_extract(base, '(?i)^https?://[^/?#]+([^?#]*)', 1) AS bpath
+        FROM f),
+      m AS (SELECT doc_id,
+          CASE
+            WHEN bscheme = '' OR bauth = '' THEN ''
+            WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN href
+            WHEN href LIKE '//%' THEN bscheme || ':' || href
+            WHEN href LIKE '/%' THEN bscheme || '://' || bauth || href
+            WHEN href LIKE '?%' THEN bscheme || '://' || bauth ||
+              (CASE WHEN bpath = '' THEN '/' ELSE bpath END) || href
+            WHEN href LIKE '#%' OR href = '' THEN base
+            ELSE bscheme || '://' || bauth ||
+              (CASE WHEN regexp_extract(bpath, '^(.*/)', 1) = '' THEN '/'
+                    ELSE regexp_extract(bpath, '^(.*/)', 1) END) || href
+          END AS target
+        FROM b),
+      d AS (SELECT doc_id,
+          CASE WHEN regexp_extract(target, '(?i)^(https?://[^/?#]*)', 1) = ''
+               THEN target
+               ELSE regexp_extract(target, '(?i)^(https?://[^/?#]*)', 1)
+                 || ${WebGraph.removeDotSegmentsSql(
+                      "regexp_extract(target, '(?i)^https?://[^/?#]*([^?#]*)', 1)")}
+                 || regexp_extract(target, '(?i)^https?://[^/?#]*[^?#]*(.*)$$', 1)
+          END AS url
+        FROM m),
+      ${canonicalizeSqlCtes("d", "doc_id")}
+      SELECT doc_id, canonical_url AS resolved_url FROM canon
+      ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q95
+  /** Per-host politeness — [[graft.ops.WebGraph.fetchSchedule]]'s
+    * policied overload under the hash gate: robots-style inputs (per-
+    * host crawl delay, disallowed path prefixes) drive the schedule
+    * instead of one global rate. h0 carries a 30 s delay and an
+    * /admin + /private disallow list (its doc_id%4==0 URLs vanish
+    * before scheduling), h1 a NULL delay (falls back to the global
+    * 10 s), every other host no policy row at all — so the gate covers
+    * the delay override, the null fallback, the absent-host default
+    * AND the disallow filter in one query. The policy table is the
+    * q08/q21 literal-table convention, mirrored as VALUES. */
+  private val q95 = Q(
+    "q95_fetch_schedule_policies",
+    (s, dir) => {
+      import s.implicits._
+      val frontier = Lake(s, dir).documents.select(
+        concat(lit("h"), pmod(col("doc_id"), lit(17)), lit(".example")).as("host"),
+        concat(lit("http://h"), pmod(col("doc_id"), lit(17)), lit(".example"),
+          when(pmod(col("doc_id"), lit(4)) === 0, lit("/admin/p"))
+            .otherwise(lit("/p")),
+          col("doc_id")).as("url"),
+        pmod(col("doc_id") * 37, lit(50)).as("ts_s"))
+      val policies = Seq(
+        ("h0.example", Some(30L), Seq("/admin", "/private")),
+        ("h1.example", Option.empty[Long], Seq.empty[String])
+      ).toDF("host", "crawl_delay_s", "disallow")
+      WebGraph.fetchSchedule(frontier, "host", "ts_s", "url",
+        perSlot = 4, slotSeconds = 10, hostPolicies = policies)
+        .orderBy("host", "rn")
+    },
+    Some("""
+      WITH f AS (SELECT
+          'h' || CAST(doc_id % 17 AS VARCHAR) || '.example' AS host,
+          'http://h' || CAST(doc_id % 17 AS VARCHAR) || '.example'
+            || (CASE WHEN doc_id % 4 = 0 THEN '/admin/p' ELSE '/p' END)
+            || CAST(doc_id AS VARCHAR) AS url,
+          (doc_id * 37) % 50 AS ts_s
+        FROM documents),
+      pol AS (SELECT * FROM (VALUES
+          ('h0.example', CAST(30 AS BIGINT), ['/admin', '/private']),
+          ('h1.example', CAST(NULL AS BIGINT), CAST([] AS VARCHAR[]))
+        ) AS t(host, crawl_delay_s, disallow)),
+      j AS (SELECT f.host, f.url, f.ts_s,
+          COALESCE(p.crawl_delay_s, 10) AS slot_s,
+          COALESCE(p.disallow, CAST([] AS VARCHAR[])) AS dis,
+          regexp_extract(f.url, '(?i)^https?://[^/?#]+([^?#]*)', 1) AS pth
+        FROM f LEFT JOIN pol p ON p.host = f.host),
+      a AS (SELECT * FROM j
+        WHERE len(list_filter(dis, x -> starts_with(pth, x))) = 0),
+      r AS (SELECT host, url, CAST(ts_s AS BIGINT) AS ts_s,
+          CAST(slot_s AS BIGINT) AS slot_s,
+          CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY ts_s, url)
+            AS BIGINT) AS rn
+        FROM a)
+      SELECT host, url, ts_s, rn,
+        CAST((rn - 1) // 4 AS BIGINT) AS slot,
+        CAST(((rn - 1) // 4) * slot_s AS BIGINT) AS start_s
+      FROM r ORDER BY host, rn""")
+  )
+
+  // ---------------------------------------------------------------- q96
+  /** Spam mass — the [[graft.ops.WebGraph.spamMass]] composite of q83's
+    * PageRank and q90's TrustRank (Gyöngyi et al., VLDB 2004 §6): the
+    * ppm share of a host's rank that no trusted path explains, the
+    * classic link-spam screen. Integer fixed point end-to-end, so the
+    * two five-round chains AND the composite division sit under the
+    * exact-hash gate; the oracle concatenates both unrolled chains
+    * (PageRank rounds r1..r5, trust rounds t1..t5) and mirrors the
+    * clamp-then-divide. */
+  private val q96 = {
+    val unit = 1000000000000L
+    val iters = 5
+    val tstep = (k: Int) => s"""
+      t$k AS (SELECT tele.host,
+          (15 * tele.t) // 100 + (85 * COALESCE(s.in_sum, 0)) // 100 AS rank
+        FROM tele LEFT JOIN (
+          SELECT e.dst AS host, SUM(r.rank // o.outdeg) AS in_sum
+          FROM e JOIN t${k - 1} r ON r.host = e.src
+          JOIN outd o ON o.src = e.src
+          GROUP BY e.dst) s ON s.host = tele.host)"""
+    Q(
+      "q96_spam_mass",
+      (s, dir) => {
+        val pages = linkPagesSpark(s, dir)
+        val edges = WebGraph.hostEdges(pages, col("src_host"), col("html"))
+        val seeds = Lake(s, dir).documents
+          .filter(pmod(col("doc_id"), lit(17)) < 3)
+          .select(concat(lit("h"), pmod(col("doc_id"), lit(17)),
+            lit(".example")).as("host"))
+          .distinct()
+        WebGraph.spamMass(
+          WebGraph.hostRank(edges, iterations = iters, unit = unit),
+          WebGraph.trustRank(edges, seeds, iterations = iters, unit = unit))
+          .orderBy("host")
+      },
+      Some(s"""
+      WITH $linkHostsSql,
+      eall AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lhosts
+               WHERE dst_host <> ''),
+      e AS (SELECT * FROM eall WHERE src <> dst),
+      h AS (SELECT src AS host FROM eall UNION SELECT dst FROM eall),
+      p AS (SELECT CAST($unit // COUNT(*) AS BIGINT) AS base FROM h),
+      outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT host, base AS rank FROM h CROSS JOIN p),
+      ${(1 to iters).map(pagerankStepSql).mkString(",")},
+      seeds AS (SELECT DISTINCT
+          'h' || CAST(doc_id % 17 AS VARCHAR) || '.example' AS host
+        FROM documents WHERE doc_id % 17 < 3),
+      sin AS (SELECT h.host FROM h JOIN seeds sd ON sd.host = h.host),
+      pt AS (SELECT CAST($unit // COUNT(*) AS BIGINT) AS tbase FROM sin),
+      tele AS (SELECT h.host,
+          CASE WHEN si.host IS NOT NULL THEN pt.tbase ELSE 0 END AS t
+        FROM h LEFT JOIN sin si ON si.host = h.host CROSS JOIN pt),
+      t0 AS (SELECT host, t AS rank FROM tele),
+      ${(1 to iters).map(tstep).mkString(",")}
+      SELECT h.host,
+        CAST(r.rank AS BIGINT) AS rank_units,
+        CAST(t.rank AS BIGINT) AS trust_units,
+        CAST(CASE WHEN r.rank <= 0 THEN 0
+             ELSE (GREATEST(r.rank - t.rank, 0) * 1000000) // r.rank
+             END AS BIGINT) AS spam_mass_ppm
+      FROM h JOIN r$iters r ON r.host = h.host
+      JOIN t$iters t ON t.host = h.host
+      ORDER BY h.host""")
+    )
+  }
+
+  // ---------------------------------------------------------------- q97
+  /** CDC delete application — [[graft.ops.Snapshot.applyDeletes]] under
+    * the hash gate: the consumption step for the `/deletes` feed the
+    * reference extracts but never applies (api/api.py:133-136). The
+    * fixture derives a deterministic deletes batch (doc_id % 7 == 2),
+    * applies it anti-join-style, and summarizes survivors per bucket so
+    * an off-by-one in the anti join shifts counts, mins AND char sums.
+    * The end-to-end wiring (stub ODS → silver `/deletes` twin → gold
+    * reflects removals, diffSummary audit) runs in StreamingSpec. */
+  private val q97 = Q(
+    "q97_cdc_deletes",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val deletes = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+        .select("doc_id")
+      graft.ops.Snapshot.applyDeletes(docs, deletes, "doc_id")
+        .groupBy(pmod(col("doc_id"), lit(5)).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+          sum(length(col("text"))).as("n_chars"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH surv AS (SELECT * FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 2))
+      SELECT doc_id % 5 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        MIN(doc_id) AS min_doc, CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      FROM surv GROUP BY doc_id % 5 ORDER BY bucket""")
+  )
+
+  // ---------------------------------------------------------------- q98
+  /** IVF serving against a PERSISTED index —
+    * [[graft.ops.Similarity.ivfTopKFromAssigned]] under the hash gate:
+    * the assignment pass writes to parquet partitioned by cluster_id
+    * (the incrementalMinhash persisted-index shape applied to ANN), the
+    * query batch probes the read-back index. Shares q36's oracle SQL:
+    * correctness here asserts the parquet round-trip preserves the
+    * mathematical result exactly (doubles included), while the bench
+    * override times the serving path with the index build split out as
+    * setup. */
+  private val q98 = Q(
+    "q98_ann_ivf_served",
+    (s, dir) => {
+      val corpus = Similarity.withNorm(Lake(s, dir).embeddings, "vec_id", "embedding")
+      val centroids = corpus.filter(col("vec_id") < 16)
+      val queries = corpus.filter(col("vec_id") < 8)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q98-index").toString
+      Similarity.ivfAssign(corpus, centroids)
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$tmp/index")
+      val assigned = s.read.parquet(s"$tmp/index")
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      Similarity.ivfTopKFromAssigned(assigned, centroids, queries, k = 5, nProbe = 2)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    },
+    Some(IvfTopkSql)
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93)
+    q91, q92, q93, q94, q95, q96, q97, q98)
 }

@@ -311,7 +311,10 @@ class PlanSpec extends SparkTestBase {
   test("bm25 broadcasts the query table; shard export never range-shuffles") {
     val docs = Lake(spark, sfDir).documents
     val queries = Seq(("q", "spark"), ("q", "join")).toDF("query_id", "term")
-    val bm = graft.ops.Index.bm25TopK(docs, "doc_id", "text", queries, k = 5)
+    // eager=false: the audit needs the LAZY plan (the default eagerly
+    // checkpoints, which replaces the plan with a Scan of the result)
+    val bm = graft.ops.Index.bm25TopK(docs, "doc_id", "text", queries, k = 5,
+      eager = false)
     val plan = planOf(bm)
     // the tiny query table must never shuffle the postings side
     assert(plan.contains("BroadcastHashJoin"), s"query table not broadcast:\n$plan")

@@ -310,6 +310,50 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("resolveUrl laws: absolute hrefs ignore the base; resolution is idempotent") {
+    // two laws over generated (base, href) pairs with bounded dot depth
+    // (the documented pass bounds):
+    //   1. an absolute http(s) href resolves identically under ANY base
+    //      — the base only matters for relative references;
+    //   2. re-resolving a non-empty resolved URL (against any base) is
+    //      the identity — resolved output is absolute and canonical, so
+    //      a frontier can re-feed it without drift.
+    import graft.ops.WebGraph
+    val bases = Gen.oneOf(
+      "http://a.ex/b/c/d?q=1", "HTTPS://B.EX:443/x/", "http://c.ex",
+      "not a url")
+    val seg = Gen.oneOf("p", "q2", ".", "..", "a.b")
+    val rel = Gen.listOfN(3, seg).map(_.mkString("/"))
+    val hrefs = Gen.oneOf(
+      rel,
+      rel.map("/" + _),
+      rel.map("../" + _),
+      rel.map("./" + _),
+      Gen.oneOf("https://abs.ex/p/../q?id=2", "HTTP://ABS.EX:80/r", "//pr.ex/x",
+        "?only=q", "#frag", "", "mailto:a@b.c"))
+    val pairs = Gen.listOfN(8, Gen.zip(bases, hrefs))
+    holds(Prop.forAll(pairs) { ps =>
+      ps.isEmpty || {
+        val df = ps.toDF("base", "href")
+        val out = df
+          .select(
+            col("base"), col("href"),
+            WebGraph.resolveUrl(col("base"), col("href")).as("r"),
+            WebGraph.resolveUrl(lit("http://other.ex/z/w"), col("href"))
+              .as("r_other"))
+          // law 2 in the same pass: a resolved URL re-resolved against
+          // itself must be itself ('' short-circuits: not a link)
+          .withColumn("rr", WebGraph.resolveUrl(col("r"), col("r")))
+        out.collect().forall { row =>
+          val (href, r, rOther, rr) = (row.getString(1), row.getString(2),
+            row.getString(3), row.getString(4))
+          val absolute = href.matches("(?i)^https?://.*")
+          (!absolute || r == rOther) && (r.isEmpty || rr == r)
+        }
+      }
+    }, n = 6)
+  }
+
   test("hostRank mass laws: every host earns at least teleport, total never exceeds unit") {
     import graft.ops.WebGraph
     val edges = Gen.listOfN(12,

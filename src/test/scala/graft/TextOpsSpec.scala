@@ -242,6 +242,20 @@ class TextOpsSpec extends SparkTestBase {
     }
   }
 
+  test("Index.bm25TopK and LanguageModel.bigramScore leave no cached frames registered") {
+    // the unpersist discipline: the persisted postings/bigram frames
+    // release before return (results materialize via localCheckpoint),
+    // so a session serving many query batches accumulates nothing
+    spark.catalog.clearCache()
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "c d")).toDF("doc_id", "text")
+    val queries = Seq(("q", "a"), ("q", "c")).toDF("query_id", "term")
+    val bm = Index.bm25TopK(docs, "doc_id", "text", queries, k = 3)
+    val lm = graft.ops.LanguageModel.bigramScore(docs, "doc_id", "text")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cached frames left registered after bm25TopK/bigramScore")
+    assert(bm.count() > 0 && lm.count() == 3)
+  }
+
   test("Index.bm25TopK: score is invariant to repartitioning") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val queries = Seq(("q", "hash"), ("q", "dup")).toDF("query_id", "term")

@@ -41,6 +41,74 @@ class WebGraphSpec extends SparkTestBase {
     assert(out == Seq("http://real.example/p"))
   }
 
+  test("resolveUrl: the RFC 3986 §5.4 reference examples land canonically") {
+    // the spec's own worked examples against base http://a/b/c/d;p?q —
+    // resolution output here is additionally canonicalized (lowercase
+    // host, default port drop, fragment drop), so expectations are the
+    // §5.4 targets' canonical forms
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g",
+      "//g" -> "http://g/",
+      "?y" -> "http://a/b/c/d;p?y",
+      "#s" -> "http://a/b/c/d;p?q", // same document, fragment dropped
+      "" -> "http://a/b/c/d;p?q",
+      "g?y" -> "http://a/b/c/g?y",
+      "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/",
+      "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g",
+      "../.." -> "http://a/",
+      "../../" -> "http://a/",
+      "../../g" -> "http://a/g",
+      // abnormal (§5.4.2): .. past the root stays at the root
+      "../../../g" -> "http://a/g",
+      "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g",
+      "/../g" -> "http://a/g",
+      // non-http(s) schemes are not links for this graph
+      "mailto:x@y" -> "",
+      "javascript:void(0)" -> "")
+    val out = cases.map(_._1).toDF("href")
+      .select(col("href"),
+        WebGraph.resolveUrl(lit(base), col("href")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (href, want) =>
+      assert(out(href) == want, s"href=$href")
+    }
+  }
+
+  test("resolveUrl: uppercase base with default port and tracking noise lands canonical") {
+    val out = Seq(("HTTP://WWW.Ex.COM:80/a/b/page.html?keep=1&utm_source=x", "../up"))
+      .toDF("base", "href")
+      .select(WebGraph.resolveUrl(col("base"), col("href")).as("r"))
+      .head.getString(0)
+    assert(out == "http://www.ex.com/a/up")
+  }
+
+  test("extractLinks(baseUrl, html): relative hrefs join the graph, junk schemes drop") {
+    val html =
+      """<a href="p2">rel</a>
+        |<a href="../q">up</a>
+        |<a href="/root">abs-path</a>
+        |<a href="//cdn.example/l">proto-rel</a>
+        |<a href="https://ext.example/x">abs</a>
+        |<a href="mailto:x@c.example">no</a>""".stripMargin
+    val out = Seq(("http://h.example/a/b/page", html)).toDF("base", "html")
+      .select(WebGraph.extractLinks(col("base"), col("html")).as("links"))
+      .head.getSeq[String](0)
+    assert(out == Seq(
+      "http://h.example/a/b/p2",
+      "http://h.example/a/q",
+      "http://h.example/root",
+      "http://cdn.example/l",
+      "https://ext.example/x"))
+  }
+
   test("hostOf: lowercase, strips port/path/query/fragment, '' for non-URLs") {
     val rows = Seq(
       "HTTP://WWW.Ex.COM:8080/a?b=1#f", "https://plain.io", "not a url",
@@ -261,6 +329,70 @@ class WebGraphSpec extends SparkTestBase {
     assert(out("a") == out("c"))
   }
 
+  test("fetchSchedule with host policies: per-host delay, null fallback, disallow filter") {
+    val frontier = ((0 until 6).map(i => ("h0.ex", s"http://h0.ex/p$i", 0L)) ++
+      Seq(("h0.ex", "http://h0.ex/admin/x", 0L),
+        ("h0.ex", "http://h0.ex/private/y", 0L)) ++
+      (0 until 4).map(i => ("h1.ex", s"http://h1.ex/q$i", 0L)) ++
+      (0 until 2).map(i => ("h2.ex", s"http://h2.ex/r$i", 0L)))
+      .toDF("host", "url", "ts_s")
+    val pol = Seq(
+      ("h0.ex", Some(30L), Seq("/admin", "/private")),
+      ("h1.ex", Option.empty[Long], Seq.empty[String]))
+      .toDF("host", "crawl_delay_s", "disallow")
+    val out = WebGraph.fetchSchedule(frontier, "host", "ts_s", "url",
+      perSlot = 2, slotSeconds = 10, hostPolicies = pol)
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("host")),
+        r.getString(r.fieldIndex("url")),
+        r.getLong(r.fieldIndex("start_s"))))
+    // the robots exclusion applies before scheduling
+    assert(!out.exists(t => t._2.contains("/admin/") || t._2.contains("/private/")))
+    // h0: 6 surviving urls at 2/slot, 30 s crawl delay
+    assert(out.filter(_._1 == "h0.ex").map(_._3).sorted.toSeq ==
+      Seq(0L, 0L, 30L, 30L, 60L, 60L))
+    // h1: policy row with NULL delay → the global 10 s default
+    assert(out.filter(_._1 == "h1.ex").map(_._3).sorted.toSeq ==
+      Seq(0L, 0L, 10L, 10L))
+    // h2: no policy row at all → same default, nothing filtered
+    assert(out.filter(_._1 == "h2.ex").map(_._3).sorted.toSeq == Seq(0L, 0L))
+  }
+
+  test("spamMass: a link-farm ring unreachable from any seed scores exactly 1e6 ppm") {
+    // farm f1-f3 cite each other densely but no trusted path reaches
+    // them: integer TrustRank gives them trust EXACTLY 0, so spam mass
+    // is exactly the full 1,000,000 ppm — while organically-linked a/b
+    // (reachable from seed s) stay well below
+    val farm = Seq(("f1", "f2"), ("f2", "f3"), ("f3", "f1"),
+      ("f1", "f3"), ("f3", "f2"), ("f2", "f1"))
+    val organic = Seq(("s", "a"), ("a", "b"), ("b", "a"), ("s", "b"))
+    val edges = (farm ++ organic).toDF("src_host", "dst_host")
+    val seeds = Seq("s").toDF("host")
+    val sm = WebGraph.spamMass(
+      WebGraph.hostRank(edges), WebGraph.trustRank(edges, seeds))
+      .collect()
+      .map(r => r.getString(r.fieldIndex("host")) ->
+        r.getLong(r.fieldIndex("spam_mass_ppm"))).toMap
+    assert(Seq("f1", "f2", "f3").forall(sm(_) == 1000000L))
+    assert(sm("a") < 900000L && sm("b") < 900000L)
+  }
+
+  test("coCitation and degreeProfile leave no cached frames registered") {
+    // the unpersist discipline: results materialize eagerly
+    // (localCheckpoint) and the corpus-sized intermediates release
+    // before return — a long-lived session scoring many corpora must
+    // not accumulate cache entries
+    spark.catalog.clearCache()
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src_host", "dst_host")
+    val cc = WebGraph.coCitation(edges)
+    val dp = WebGraph.degreeProfile(edges)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cached frames left registered after coCitation/degreeProfile")
+    // results stay consumable after their inputs were released
+    assert(cc.count() >= 0 && dp.count() == 3)
+  }
+
   test("degreeProfile: out/in degrees and reciprocated out-edges, zeros for pure roles") {
     val edges = Seq(
       ("a", "b"), ("b", "a"),  // reciprocal pair
@@ -274,6 +406,28 @@ class WebGraphSpec extends SparkTestBase {
     assert(out("b") == ((1L, 2L, 1L)))
     assert(out("c") == ((1L, 1L, 0L)))
     assert(out("d") == ((0L, 0L, 0L))) // self-loop host: in the universe, zero degrees
+  }
+
+  test("coCitation maxOutDeg cap: zipfian hub sources excluded exactly, quadratic mass removed") {
+    // power-law sources (the real link-graph shape): the hottest source
+    // holds hundreds of outlinks, so its pair fan-out is quadratic —
+    // the cap must remove exactly the over-cap sources' pairs, leaving
+    // Σ C(outdeg, 2) over the surviving sources, and the mass removed
+    // must dwarf what stays (that is what makes the cap a skew guard)
+    val edges = spark.range(3000).select(
+      concat(lit("s"), graft.runner.ZipfSkewProbe.zipfIdx(col("id") * 37 + 11, 40))
+        .as("src_host"),
+      concat(lit("d"), pmod(col("id"), lit(300))).as("dst_host"))
+    val distinctEdges = edges.distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val outdeg = distinctEdges.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(outdeg.values.max > 50, "fixture not skewed enough to exercise the cap")
+    def pairsUpTo(cap: Int): Long = outdeg.values.filter(_ <= cap)
+      .map(od => od.toLong * (od - 1) / 2).sum
+    val got = WebGraph.coCitation(edges, maxOutDeg = 50)
+      .agg(coalesce(sum("n_common_sources"), lit(0L))).head.getLong(0)
+    assert(got == pairsUpTo(50))
+    assert(pairsUpTo(Int.MaxValue) > 10 * pairsUpTo(50))
   }
 
   test("coCitation: common-source pairs counted, hub sources capped out") {
