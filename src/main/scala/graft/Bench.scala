@@ -88,13 +88,32 @@ object Bench {
     // without re-running anything.
     val maxes = ordered.map { case (name, _) => name -> sweeps.map(_(name)).max }
     val pipelineSec = pipelineBench(spark, sfDir, dropCaches _)
+    // Self-defense against in-suite host inflation (the recurring review
+    // cost of rounds 3 and 4: apparent regressions that a clean JVM
+    // falsifies): any query whose min shifted >1.5x against the previous
+    // round's recorded min re-times in a DEDICATED child JVM (the
+    // runner.TimeQuery path, same classpath and JVM flags as this fork),
+    // and the samples land in the bench JSON under "dedicated" — the
+    // noise-vs-regression call is in the artifact itself, no manual
+    // archaeology. The comparison file BENCH_MINS.json is rewritten with
+    // this run's mins for the next round. Absolute floor 0.25 s keeps
+    // sub-second jitter from triggering child JVMs.
+    val prevMins = BenchRecheck.readMins("BENCH_MINS.json")
+    val outliers = results.collect {
+      case (name, v) if prevMins.get(name).exists(p => v > 1.5 * p && v - p > 0.25) => name
+    }.take(10)
+    val dedicated = BenchRecheck.dedicatedSamples(outliers, sfDir)
+    BenchRecheck.writeMins("BENCH_MINS.json", results)
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = jsonMap(results)
     val maxJson = jsonMap(maxes)
     val setupJson = jsonMap(setupTimes.toSeq.sortBy(_._1))
+    val dedJson = dedicated.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","pipeline_total":$pipelineSec%.3f,"setup":$setupJson,"queries":$qs,"max":$maxJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","pipeline_total":$pipelineSec%.3f,"setup":$setupJson,"queries":$qs,"max":$maxJson,"dedicated":$dedJson,"sf":"$sfDir"}""")
     graft.core.SilverWriter.deleteOnExit(setupDir)
     spark.stop()
   }
@@ -190,6 +209,72 @@ object Bench {
   }
 }
 
+/** The bench's noise defense: previous-round minima and the dedicated-JVM
+  * re-check for outliers. BENCH_NOTES.md documents why a clean JVM is the
+  * arbiter — a 12-minute in-suite sweep inflates individual queries in ways
+  * an isolated session does not reproduce (r3's "7.25 s" q32 was ~1.5 s
+  * isolated; r4 had four such mirages). Failures here must never fail the
+  * bench: a missing minima file or an unspawnable child JVM degrades to an
+  * empty "dedicated" map. */
+object BenchRecheck {
+
+  /** name → min seconds from a previous run (flat JSON object file). */
+  def readMins(path: String): Map[String, Double] = {
+    val f = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else
+      "\"(q[0-9a-z_]+)\"\\s*:\\s*([0-9.]+)".r
+        .findAllMatchIn(java.nio.file.Files.readString(f))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  def writeMins(path: String, results: Seq[(String, Double)]): Unit = {
+    val body = results.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\": " + f"$v%.3f" }
+      .mkString("{\n", ",\n", "\n}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+    }
+  }
+
+  /** Run [[graft.runner.TimeQuery]] on `names` in a fresh child JVM with
+    * this JVM's classpath and flags; parse its one-line JSON into
+    * name → 3 samples. One child covers all names (each still gets a
+    * clean-session measurement — the suite-JVM state is what inflates). */
+  def dedicatedSamples(
+      names: Seq[String], sfDir: String): Map[String, Seq[Double]] = {
+    if (names.isEmpty) return Map.empty
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
+      cmd.add("graft.runner.TimeQuery")
+      names.foreach(cmd.add)
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      // discard child stderr (Spark logging) — draining only stdout while
+      // the stderr pipe fills would deadlock the child at ~64 KiB
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      proc.waitFor()
+      "\"(q[0-9a-z_]+)\":\\[([0-9.,]+)\\]".r.findAllMatchIn(out)
+        .map(m => m.group(1) -> m.group(2).split(",").toSeq.map(_.toDouble))
+        .toMap
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] dedicated re-time failed: ${e.getMessage}")
+      Map.empty
+    }
+  }
+}
+
 /** Amortized-setup artifacts for [[Bench]]: parquet stand-ins for the lake
   * state the production loop carries between runs. The Verify/oracle paths
   * keep the self-contained `SparkEntry.queries` shapes (correctness is
@@ -198,12 +283,13 @@ object Bench {
 object BenchSetup {
   import org.apache.spark.sql.DataFrame
 
-  import graft.ops.Dedup
+  import graft.ops.{Dedup, Similarity}
 
-  /** Materialize q50's near-dup pair list and q54's corpus shingles + band
-    * index under `dir`; return (timed-query overrides that READ the
-    * artifacts, per-query setup seconds — reported in the bench JSON under
-    * `"setup"`, like `pipeline_total`). */
+  /** Materialize q50's near-dup pair list, q54's corpus shingles + band
+    * index, and q98's cluster-partitioned IVF assignments under `dir`;
+    * return (timed-query overrides that READ the artifacts, per-query
+    * setup seconds — reported in the bench JSON under `"setup"`, like
+    * `pipeline_total`). */
   def materialize(
       spark: SparkSession, sfDir: String, dir: String, dropCaches: () => Unit
   ): (Map[String, (SparkSession, String) => DataFrame], Map[String, Double]) = {
@@ -230,6 +316,16 @@ object BenchSetup {
         .write.mode("overwrite").parquet(s"$dir/q54_index_bands")
       corpusSh.unpersist()
     }
+    // q98: the IVF index (cluster-partitioned assignments) is built once
+    // per corpus snapshot; query batches probe it. Operator time = the
+    // serving path only.
+    val q98Setup = timed {
+      val corpus = Similarity.withNorm(
+        Lake(spark, sfDir).embeddings, "vec_id", "embedding")
+      Similarity.ivfAssign(corpus, corpus.filter(col("vec_id") < 16))
+        .write.mode("overwrite").partitionBy("cluster_id")
+        .parquet(s"$dir/q98_ivf_index")
+    }
     val overrides = Map[String, (SparkSession, String) => DataFrame](
       "q50_dedup_clusters" -> ((s, d) => {
         val pairs = s.read.parquet(s"$dir/q50_pairs")
@@ -243,9 +339,21 @@ object BenchSetup {
           Lake(s, d).documents.filter(col("doc_id") >= 250), "doc_id", "text", 3)
         Dedup.incrementalMinhash(index, corpusSh, newSh, 0.8)
           .orderBy("doc_a", "doc_b")
+      }),
+      "q98_ann_ivf_served" -> ((s, d) => {
+        val corpus = Similarity.withNorm(
+          Lake(s, d).embeddings, "vec_id", "embedding")
+        val centroids = corpus.filter(col("vec_id") < 16)
+        val queries = corpus.filter(col("vec_id") < 8)
+        Similarity.ivfTopKFromAssigned(
+          s.read.parquet(s"$dir/q98_ivf_index"), centroids, queries,
+          k = 5, nProbe = 2)
+          .select("query_id", "neighbor_id", "cos", "rank")
+          .orderBy("query_id", "rank")
       })
     )
     (overrides,
-      Map("q50_dedup_clusters" -> q50Setup, "q54_dedup_incremental" -> q54Setup))
+      Map("q50_dedup_clusters" -> q50Setup, "q54_dedup_incremental" -> q54Setup,
+        "q98_ann_ivf_served" -> q98Setup))
   }
 }
