@@ -36,6 +36,16 @@ import org.apache.spark.sql.expressions.Window
   * All defaults clear the ≥95% bar via nProbe ≥ 1 (IVF) and sit at ~94%
   * for the centroid-free LSH path with 2-bit multiprobe (its default);
   * SimilaritySpec pins recall floors so a bucketing regression fails CI.
+  *
+  * SERVING shape (r5 [[graft.runner.IvfServeProbe]], cluster-partitioned
+  * parquet index built once as setup — 1.7-2.2 s — then query batches
+  * against the persisted index): 10 queries 0.58 s vs 100 queries
+  * 0.51 s at 1× (ratio 0.87 — fixed stage setup dominates, per-query
+  * marginal cost ~0), and a 10× corpus (20k vectors) leaves the serve
+  * time flat (0.48/0.56 s) because only the probed clusters are read —
+  * O(queries × probed-cluster volume), not O(corpus). q98 gates the
+  * parquet round trip bit-exactly against q36's derive-from-scratch
+  * oracle.
   */
 object Similarity {
 

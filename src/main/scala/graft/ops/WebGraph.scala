@@ -32,6 +32,22 @@ import org.apache.spark.sql.functions._
   * 2.16 → 5.65 s (2.6×). Nothing super-linear: extraction and
   * canonicalization ride the scan, the graph side is state-size-bound
   * exactly as a 1000-executor run needs.
+  *
+  * ZIPFIAN skew (r5 [[graft.runner.ZipfSkewProbe]], same 10× geometry
+  * but power-law hosts — the hottest host holds 13.5% of all 50k page
+  * slots, the real link-graph shape the uniform probe can't exercise):
+  * wall times match the uniform probe within host noise (host_edges
+  * 0.14 s, host_rank 3.5 s, anchor_index 0.86 s, co_citation 0.68 s),
+  * and the one page-data-sized aggregation (host_edges) runs at
+  * hottest-task/median-task = 1.3 — the map-side partial combine
+  * absorbing the hot key before the exchange, which is the claim that
+  * matters at 100 TB (the iterative stages run on host-sized state
+  * where task durations are ms-scale and max/median reflects scheduler
+  * noise, not data). The coCitation cap is measured as a mass lever:
+  * maxOutDeg=50 removes 43% of the pair count (7,944 vs 13,978) on the
+  * 170-host zipf graph, and WebGraphSpec pins the cap's EXACT
+  * semantics (Σ C(outdeg,2) over surviving sources) on a skewed
+  * fixture whose hottest source is an order of magnitude over cap.
   */
 object WebGraph {
 
@@ -681,25 +697,41 @@ object WebGraph {
     *
     * An invalid base (not absolute http(s)) resolves everything to ''.
     * Zero shuffle; usable inside `transform` over an href array
-    * ([[extractLinks]]'s two-argument overload). */
-  def resolveUrl(base: Column, href: Column): Column = {
+    * ([[extractLinks]]'s two-argument overload).
+    *
+    * PERFORMANCE: as ONE expression, each canonicalization stage
+    * re-references its input, so the merge CASE and the dot-removal
+    * chain re-evaluate multiply per row (measured ~5 s for 5k rows).
+    * For COLUMN-level use prefer the staged form — one `withColumn`
+    * per stage ([[mergeRelative]] → [[normalizeDotSegments]] →
+    * [[canonicalizeUrl]]): since the expressions are non-cheap and
+    * multiply-referenced, CollapseProject keeps the projections
+    * separate and each stage evaluates once per row (the q94 shape,
+    * ~8× faster, bit-identical output). Inside a `transform` lambda
+    * (per-link work in [[extractLinks]]) staging is not expressible —
+    * there the composed form is the cost of per-element semantics. */
+  def resolveUrl(base: Column, href: Column): Column =
+    canonicalizeUrl(normalizeDotSegments(mergeRelative(base, href)))
+
+  /** Stage 1 of [[resolveUrl]]: the RFC 3986 §5.3 merge alone — href
+    * classified against the base into an absolute-URL string, dot
+    * segments NOT yet removed, nothing canonicalized. */
+  def mergeRelative(base: Column, href: Column): Column = {
     val bScheme = lower(regexp_extract(base, "(?i)^(https?)://", 1))
     val bAuth = regexp_extract(base, "(?i)^https?://([^/?#]+)", 1)
     val bPath = regexp_extract(base, "(?i)^https?://[^/?#]+([^?#]*)", 1)
     val bDirRaw = regexp_extract(bPath, "^(.*/)", 1)
     val bDir = when(bDirRaw === "", lit("/")).otherwise(bDirRaw)
     val root = concat(bScheme, lit("://"), bAuth)
-    val merged =
-      when(bScheme === "" || bAuth === "", lit(""))
-        .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
-        .when(href.startsWith("//"), concat(bScheme, lit(":"), href))
-        .when(href.startsWith("/"), concat(root, href))
-        .when(href.startsWith("?"),
-          concat(root,
-            when(bPath === "", lit("/")).otherwise(bPath), href))
-        .when(href.startsWith("#") || href === "", base)
-        .otherwise(concat(root, bDir, href))
-    canonicalizeUrl(normalizeDotSegments(merged))
+    when(bScheme === "" || bAuth === "", lit(""))
+      .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
+      .when(href.startsWith("//"), concat(bScheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(root, href))
+      .when(href.startsWith("?"),
+        concat(root,
+          when(bPath === "", lit("/")).otherwise(bPath), href))
+      .when(href.startsWith("#") || href === "", base)
+      .otherwise(concat(root, bDir, href))
   }
 
   def canonicalizeUrl(url: Column): Column = {

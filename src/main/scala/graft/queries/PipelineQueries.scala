@@ -2315,9 +2315,16 @@ object PipelineQueries {
           concat(lit("?page="), pmod(col("doc_id"), lit(10)), lit("&gclid=Z")))
         .otherwise(when(pmod(col("doc_id"), lit(2)) === 0,
           lit("mailto:a@b.example")).otherwise(lit("#top")))
+      // staged, not composed: one withColumn per resolution stage so
+      // CollapseProject keeps the projections separate and each stage
+      // evaluates ONCE per row (the composed resolveUrl re-evaluates
+      // the merge CASE ~20x per row via duplicated subtrees — measured
+      // ~8x slower; output bit-identical)
       Lake(s, dir).documents
+        .withColumn("__m", WebGraph.mergeRelative(base, href))
+        .withColumn("__n", WebGraph.normalizeDotSegments(col("__m")))
         .select(col("doc_id"),
-          WebGraph.resolveUrl(base, href).as("resolved_url"))
+          WebGraph.canonicalizeUrl(col("__n")).as("resolved_url"))
         .orderBy("doc_id")
     },
     Some(s"""
@@ -2453,7 +2460,11 @@ object PipelineQueries {
       "q96_spam_mass",
       (s, dir) => {
         val pages = linkPagesSpark(s, dir)
+        // both rank loops consume the edge aggregate — persisted, or
+        // each loop re-pays the page-scan extraction (the host-sized
+        // frame is tiny; bench cache hygiene reclaims it)
         val edges = WebGraph.hostEdges(pages, col("src_host"), col("html"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val seeds = Lake(s, dir).documents
           .filter(pmod(col("doc_id"), lit(17)) < 3)
           .select(concat(lit("h"), pmod(col("doc_id"), lit(17)),
