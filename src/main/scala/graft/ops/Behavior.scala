@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics — funnel conversion, Markov transition
+  * counts, and cohort retention over an append-only event log. The
+  * reference pipeline stops at attendance/grade aggregates; these are
+  * the product-analytics operators the same event-shaped data feeds in
+  * a large-scale pipeline (and the batch twins of the
+  * [[graft.streaming.EventStreams]] sessionization family).
+  *
+  * Scale shape (the design constraint for all three): the event log is
+  * the 100 TB side, users are the key. Every operator here does its
+  * heavy lifting inside ONE hash partitioning on the user column —
+  * window functions and the per-user aggregate reuse the same exchange
+  * (Catalyst keeps the child's hash partitioning, so the
+  * window → groupBy(user) pair plans a single shuffle). What leaves
+  * that partitioning is per-user or per-(small-cardinality-key) rows:
+  * step counts, k² transition cells, cohort×offset cells — all tiny
+  * next to the input, so the second exchange moves nothing.
+  */
+object Behavior {
+
+  /** Per-user funnel step times: for an ordered step sequence
+    * (e.g. view → click → purchase), each user's earliest time of
+    * completing step k AFTER their step-(k-1) time — the standard
+    * ordered-funnel semantics (step k only counts once steps 1..k-1
+    * happened, in order). `withinUs` bounds the whole funnel to a
+    * conversion window starting at the user's step-0 time.
+    *
+    * Chained conditional window-mins over one partitioning of the
+    * user column: t0 = min ts of step 0; tk = min ts of step k with
+    * ts > t(k-1) (and ts ≤ t0 + withinUs). All k windows share the
+    * same partition spec, so the plan carries ONE exchange however
+    * many steps the funnel has. Returns one row per user that has at
+    * least one event: (user, t0..t(k-1)) with null at the first
+    * uncompleted step.
+    */
+  def funnelUserTimes(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      withinUs: Option[Long] = None
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(userCol)
+    var df = events.withColumn("__t0",
+      min(when(col(typeCol) === steps.head, col(tsCol))).over(w))
+    for (k <- 1 until steps.length) {
+      val afterPrev =
+        col(typeCol) === steps(k) && col(tsCol) > col(s"__t${k - 1}")
+      val cond = withinUs match {
+        case Some(us) =>
+          afterPrev &&
+            unix_micros(col(tsCol)) <= unix_micros(col("__t0")) + us
+        case None => afterPrev
+      }
+      df = df.withColumn(s"__t$k", min(when(cond, col(tsCol))).over(w))
+    }
+    // window output is constant per user; max() collapses to one row
+    // on the SAME hash(user) partitioning — no second exchange
+    df.groupBy(col(userCol))
+      .agg(
+        max(col("__t0")).as("t0"),
+        (1 until steps.length).map(k => max(col(s"__t$k")).as(s"t$k")): _*)
+  }
+
+  /** Funnel summary: (step, step_name, n_users) — how many users
+    * reached each step under [[funnelUserTimes]]'s ordered semantics.
+    * The per-user frame is |users|-sized; the explode + final count is
+    * driver-negligible next to the event scan. */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      withinUs: Option[Long] = None
+  ): DataFrame = {
+    val times = funnelUserTimes(events, userCol, tsCol, typeCol, steps, withinUs)
+    val perStep = array(steps.indices.map(k =>
+      struct(
+        lit(k.toLong).as("step"),
+        lit(steps(k)).as("step_name"),
+        col(s"t$k").isNotNull.cast("long").as("reached"))): _*)
+    times.select(explode(perStep).as("s"))
+      .groupBy(col("s.step").as("step"), col("s.step_name").as("step_name"))
+      .agg(sum(col("s.reached")).as("n_users"))
+  }
+
+  /** First-order Markov transition counts over each user's event
+    * sequence: (from_state, to_state, n), with the synthetic
+    * `(start)` state for each user's first event. One lag window on
+    * the user partitioning (the only event-sized shuffle); the
+    * transition aggregate's key space is k²+k cells, combined
+    * map-side before the second (negligible) exchange. */
+  def transitions(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .groupBy(
+        coalesce(col("__prev"), lit("(start)")).as("from_state"),
+        col(typeCol).as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Weekly cohort retention: users bucketed by the epoch-week of
+    * their FIRST event (`cohort_week` = days-since-1970 ÷ 7, an
+    * engine-neutral week index with no locale/week-start semantics to
+    * disagree on), counted distinct in each week offset from that
+    * first event. Returns (cohort_week, week_offset, n_users).
+    *
+    * The first-event time is a window-min on the user partitioning —
+    * same single event-sized shuffle as the other operators here; the
+    * distinct count dedups (cohort, offset, user) map-side before the
+    * second exchange, so what shuffles twice is at most one row per
+    * user per active week. */
+  def retention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(userCol)
+    events
+      .withColumn("__d", to_date(col(tsCol)))
+      .withColumn("__first", min(col("__d")).over(w))
+      // integer epoch-day / 7: exact in double far beyond any date range
+      .withColumn("cohort_week",
+        floor(unix_date(col("__first")) / 7).cast("long"))
+      .withColumn("week_offset",
+        floor((unix_date(col("__d")) - unix_date(col("__first"))) / 7)
+          .cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+}

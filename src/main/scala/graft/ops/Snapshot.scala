@@ -78,4 +78,54 @@ object Snapshot {
   ): DataFrame =
     diff(prev, curr, idCol, contentCols)
       .groupBy("change_type").agg(count(lit(1)).as("n"))
+
+  /** SCD Type-2 history build: collapse a keyed observation log (one
+    * row per (key, observation time) carrying the entity's state at
+    * that time) into validity ranges — (key, state, valid_from,
+    * valid_to, n_obs, version), where `valid_to` is the next range's
+    * start and null marks the current range. The complement of [[diff]]:
+    * diff tells a refresh WHAT changed between two snapshots; scd2
+    * turns the accumulated snapshots into the dimension-table shape
+    * warehouse queries join against (the classic Kimball type-2
+    * dimension, built here from the log instead of maintained row by
+    * row).
+    *
+    * Gaps-and-islands on one partitioning of the key: a lag window
+    * marks state changes (null-safe, so a null state is a real state,
+    * not a wildcard), a running sum numbers the islands, and the
+    * per-island aggregate + the valid_to lead both reuse the same
+    * hash(key) exchange — ONE event-sized shuffle end to end, the
+    * same discipline as [[graft.ops.Behavior]]. Ties in `seqCol` are
+    * broken by `tieCol` so the ranges are deterministic.
+    */
+  def scd2(
+      history: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      tieCol: String,
+      stateCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(keyCol).orderBy(col(seqCol), col(tieCol))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the first row is marked explicitly: a lag-is-distinct test alone
+    // can't tell "no previous row" from "previous state was null", and
+    // would start a null-state history at version 0
+    val ranges = history
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__prev", lag(col(stateCol), 1).over(wOrd))
+      .withColumn("__chg",
+        when(col("__rn") === 1 || not(col("__prev") <=> col(stateCol)), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("__chg")).over(wRun))
+      .groupBy(col(keyCol), col("version"))
+      .agg(
+        min(col(stateCol)).as("state"), // constant within the island
+        min(col(seqCol)).as("valid_from"),
+        count(lit(1)).as("n_obs"))
+    val wVer = Window.partitionBy(keyCol).orderBy(col("version"))
+    ranges.withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+      .select(col(keyCol), col("state"), col("valid_from"),
+        col("valid_to"), col("n_obs"), col("version"))
+  }
 }

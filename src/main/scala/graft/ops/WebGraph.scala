@@ -723,8 +723,11 @@ object WebGraph {
     val bDirRaw = regexp_extract(bPath, "^(.*/)", 1)
     val bDir = when(bDirRaw === "", lit("/")).otherwise(bDirRaw)
     val root = concat(bScheme, lit("://"), bAuth)
-    when(bScheme === "" || bAuth === "", lit(""))
-      .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
+    // RFC 3986 §5.2.2: a reference that carries its own scheme IS the
+    // target — checked before base validity, so absolute hrefs survive
+    // a garbage base (the law PropertySpec pins for any base)
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
+      .when(bScheme === "" || bAuth === "", lit(""))
       .when(href.startsWith("//"), concat(bScheme, lit(":"), href))
       .when(href.startsWith("/"), concat(root, href))
       .when(href.startsWith("?"),

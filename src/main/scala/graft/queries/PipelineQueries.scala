@@ -2350,8 +2350,8 @@ object PipelineQueries {
         FROM f),
       m AS (SELECT doc_id,
           CASE
-            WHEN bscheme = '' OR bauth = '' THEN ''
             WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN href
+            WHEN bscheme = '' OR bauth = '' THEN ''
             WHEN href LIKE '//%' THEN bscheme || ':' || href
             WHEN href LIKE '/%' THEN bscheme || '://' || bauth || href
             WHEN href LIKE '?%' THEN bscheme || '://' || bauth ||

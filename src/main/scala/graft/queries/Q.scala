@@ -23,7 +23,8 @@ final case class Q(
 
 object Registry {
   lazy val all: Seq[Q] =
-    RelationalQueries.all ++ ViewQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ ViewQueries.all ++ PipelineQueries.all ++
+      BehaviorQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

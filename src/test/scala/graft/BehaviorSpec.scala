@@ -1,0 +1,164 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Behavior, Snapshot}
+
+/** Unit tests for the behavioral-analytics operators (ops.Behavior) and
+  * the SCD2 history build (ops.Snapshot.scd2) — hand-computed fixtures
+  * pinning the ordered-funnel, transition, cohort, and gaps-and-islands
+  * semantics the q99–q102 oracles gate at corpus scale. */
+class BehaviorSpec extends SparkTestBase {
+  import testImplicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def mkEvents(rows: Seq[(Long, String, String)]) =
+    rows.zipWithIndex
+      .map { case ((u, t, e), i) => (u, ts(t), e, i.toLong) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+
+  // ------------------------------------------------------------ funnel
+
+  test("funnel: steps count only in order — a purchase before the click doesn't convert") {
+    val events = mkEvents(Seq(
+      // u1: view → click → purchase, in order: reaches all three
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 10:10:00", "purchase"),
+      // u2: purchase BEFORE the click: reaches view, click — not purchase
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 10:02:00", "purchase"),
+      (2L, "2024-01-01 10:05:00", "click"),
+      // u3: click with no prior view: reaches nothing
+      (3L, "2024-01-01 10:00:00", "click"),
+      (3L, "2024-01-01 10:05:00", "purchase")))
+    val out = Behavior.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, "view", 2L), (1L, "click", 2L), (2L, "purchase", 1L)))
+  }
+
+  test("funnel: the conversion window is anchored at step 0, not per step") {
+    val events = mkEvents(Seq(
+      // u1 converts within 1h of the first view
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:20:00", "click"),
+      (1L, "2024-01-01 10:40:00", "purchase"),
+      // u2's purchase is 30min after the click but >1h after the view
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 10:50:00", "click"),
+      (2L, "2024-01-01 11:20:00", "purchase")))
+    val hourUs = 3600L * 1000000
+    val out = Behavior.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), Some(hourUs))
+      .orderBy("step").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 2L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("funnelUserTimes: step times are the EARLIEST valid completion, not any") {
+    val events = mkEvents(Seq(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 10:30:00", "click"), // later click must not win
+      (1L, "2024-01-01 10:40:00", "purchase")))
+    val r = Behavior.funnelUserTimes(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).collect().head
+    assert(r.getTimestamp(1) == ts("2024-01-01 10:00:00"))
+    assert(r.getTimestamp(2) == ts("2024-01-01 10:05:00"))
+    assert(r.getTimestamp(3) == ts("2024-01-01 10:40:00"))
+  }
+
+  // -------------------------------------------------------- transitions
+
+  test("transitions: lag pairs per user with the (start) state, counted") {
+    val events = mkEvents(Seq(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 10:10:00", "click"),
+      (2L, "2024-01-01 09:00:00", "view"),
+      (2L, "2024-01-01 09:05:00", "click")))
+    val out = Behavior.transitions(events, "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_state", "to_state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("(start)", "view", 2L), ("click", "click", 1L), ("view", "click", 2L)))
+  }
+
+  // ---------------------------------------------------------- retention
+
+  test("retention: cohort is the first event's epoch-week, offsets are user-relative") {
+    // 2024-01-01 is a Monday; epoch-day 19723 → epoch-week 2817
+    val events = mkEvents(Seq(
+      // u1 first active Jan 1 (week 2817), again 8 days later (offset 1)
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-09 10:00:00", "view"),
+      // u2 first active Jan 2 — same epoch-week cohort as u1;
+      // two events the same week (offset 0 counted once)
+      (2L, "2024-01-02 10:00:00", "view"),
+      (2L, "2024-01-03 10:00:00", "view"),
+      // u3 first active Jan 10 → next epoch-week cohort
+      (3L, "2024-01-10 10:00:00", "view")))
+    val out = Behavior.retention(events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w = 19723 / 7 // epoch-week of 2024-01-01
+    assert(out.toSeq == Seq(
+      (w.toLong, 0L, 2L), (w.toLong, 1L, 1L), (w.toLong + 1, 0L, 1L)))
+  }
+
+  // --------------------------------------------------------------- scd2
+
+  test("scd2: consecutive equal states collapse; valid_to chains to the next range") {
+    val hist = mkEvents(Seq(
+      (1L, "2024-01-01 00:00:00", "trial"),
+      (1L, "2024-01-02 00:00:00", "trial"),
+      (1L, "2024-01-03 00:00:00", "paid"),
+      (1L, "2024-01-04 00:00:00", "trial"), // back to trial = NEW range
+      (2L, "2024-01-01 00:00:00", "paid")))
+    val out = Snapshot.scd2(hist, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "trial", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), 2L),
+      (1L, "paid",  ts("2024-01-03 00:00:00"), Some(ts("2024-01-04 00:00:00")), 1L),
+      (1L, "trial", ts("2024-01-04 00:00:00"), None, 1L),
+      (2L, "paid",  ts("2024-01-01 00:00:00"), None, 1L)))
+  }
+
+  test("scd2: null state is a real state (null-safe change detection), ties broken by tieCol") {
+    val hist = Seq(
+      (1L, ts("2024-01-01 00:00:00"), null.asInstanceOf[String], 0L),
+      (1L, ts("2024-01-02 00:00:00"), null.asInstanceOf[String], 1L),
+      (1L, ts("2024-01-03 00:00:00"), "active", 2L),
+      // same timestamp, ordered by event_id: state flips twice
+      (2L, ts("2024-01-01 00:00:00"), "a", 3L),
+      (2L, ts("2024-01-01 00:00:00"), "b", 4L),
+      (2L, ts("2024-01-01 00:00:00"), "a", 5L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Snapshot.scd2(hist, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "version").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (1L, None, 2L, 1L), (1L, Some("active"), 1L, 2L),
+      (2L, Some("a"), 1L, 1L), (2L, Some("b"), 1L, 2L), (2L, Some("a"), 1L, 3L)))
+  }
+
+  test("scd2 composes with diff: the final range states ARE the current snapshot") {
+    val hist = mkEvents(Seq(
+      (1L, "2024-01-01 00:00:00", "x"),
+      (1L, "2024-01-02 00:00:00", "y"),
+      (2L, "2024-01-01 00:00:00", "z")))
+    val current = Snapshot.scd2(hist, "user_id", "ts", "event_id", "event_type")
+      .filter(col("valid_to").isNull)
+      .select(col("user_id"), col("state"))
+    val latest = hist.groupBy("user_id")
+      .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("state"))
+    assert(Snapshot.diff(current, latest, "user_id", Seq("state")).count() == 0)
+  }
+}
