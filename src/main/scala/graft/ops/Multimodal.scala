@@ -309,10 +309,10 @@ object Multimodal {
   }
 
   /** Partition-wise audio metadata decode — the audio face of
-    * [[decodeMeta]]: real WAV header parse, deterministic stub values
-    * for other containers (same honesty contract as the image arm).
-    * `duration_ms` is exact integer arithmetic (samples·1000 / rate) so
-    * the result is engine-reproducible. */
+    * [[decodeMeta]]: real WAV and FLAC header parses, deterministic
+    * stub values for other containers (same honesty contract as the
+    * image arm). `duration_ms` is exact integer arithmetic
+    * (samples·1000 / rate) so the result is engine-reproducible. */
   def decodeAudioMeta(df: DataFrame, idCol: String, binCol: String): Dataset[AudioMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -320,12 +320,194 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          parseWavHeader(bytes) match {
+          parseWavHeader(bytes).orElse(parseFlacHeader(bytes)) match {
             case Some((rate, ch, bits, n)) =>
               AudioMeta(id, rate, ch, bits, n, n * 1000L / rate)
             case None =>
               val len = if (bytes == null) 0L else bytes.length.toLong
               AudioMeta(id, 8000L, 1L, 16L, len, len * 1000L / 8000L)
+          }
+        }
+      }
+  }
+
+  /** Pure-JVM FLAC STREAMINFO parse: (sample rate, channels, bits per
+    * sample, total samples) — the same tuple as [[parseWavHeader]], so
+    * [[decodeAudioMeta]] treats both containers uniformly. `None` for
+    * anything that is not a FLAC stream with a well-formed first block.
+    *
+    * Layout (FLAC format spec §METADATA_BLOCK_STREAMINFO): `fLaC`
+    * magic, then metadata blocks each headed by 1 byte (bit 7 =
+    * last-block flag, bits 0–6 = type; type 0 = STREAMINFO, mandated
+    * first) + u24be length (34 for STREAMINFO). After min/max
+    * blocksize (2×u16) and min/max framesize (2×u24), one big-endian
+    * 64-bit word packs sample-rate (20 bits), channels−1 (3),
+    * bits-per-sample−1 (5), and total samples (36). */
+  def parseFlacHeader(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def ascii(from: Int, until: Int): String =
+      new String(bytes.slice(from, until), "US-ASCII")
+    if (bytes == null || bytes.length < 42 || ascii(0, 4) != "fLaC") None
+    else {
+      val blockType = bytes(4) & 0x7f
+      val blockLen = ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 8) |
+        (bytes(7) & 0xff)
+      if (blockType != 0 || blockLen < 34) None // STREAMINFO must be first
+      else {
+        var v = 0L // the packed 64-bit word at offset 8 + 10
+        var i = 0
+        while (i < 8) { v = (v << 8) | (bytes(18 + i) & 0xffL); i += 1 }
+        val rate = v >>> 44
+        val channels = ((v >>> 41) & 0x7L) + 1
+        val bits = ((v >>> 36) & 0x1fL) + 1
+        val nSamples = v & 0xFFFFFFFFFL
+        if (rate == 0) None else Some((rate, channels, bits, nSamples))
+      }
+    }
+  }
+
+  /** Build a real 42-byte FLAC header (magic + a last-flagged
+    * STREAMINFO block, no frames — header-level tooling reads exactly
+    * this). The round-trip twin of [[parseFlacHeader]], the
+    * [[wavHeader]] convention. */
+  def flacHeader(
+      sampleRate: Long, channels: Long, bitsPerSample: Long, nSamples: Long
+  ): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1L << 20) &&
+      channels >= 1 && channels <= 8 &&
+      bitsPerSample >= 1 && bitsPerSample <= 32 &&
+      nSamples >= 0 && nSamples < (1L << 36),
+      s"outside FLAC STREAMINFO field ranges: rate=$sampleRate " +
+        s"channels=$channels bits=$bitsPerSample samples=$nSamples")
+    val packed = (sampleRate << 44) | ((channels - 1) << 41) |
+      ((bitsPerSample - 1) << 36) | nSamples
+    val b = java.nio.ByteBuffer.allocate(42) // big-endian by default
+    b.put("fLaC".getBytes("US-ASCII"))
+      .put(0x80.toByte) // last-block flag + type 0 (STREAMINFO)
+      .put(0.toByte).put(0.toByte).put(34.toByte) // u24be block length
+      .putShort(4096.toShort).putShort(4096.toShort) // min/max blocksize
+      .put(Array[Byte](0, 0, 0)).put(Array[Byte](0, 0, 0)) // framesizes
+      .putLong(packed)
+    // 16-byte unaudited-MD5 field stays zeroed (allocate() zero-fills)
+    b.array()
+  }
+
+  /** Typed video-container metadata a decoder would emit. */
+  final case class VideoMeta(
+      doc_id: Long,
+      brand: String,
+      timescale: Long,
+      duration_units: Long,
+      duration_ms: Long
+  )
+
+  /** Pure-JVM MP4 (ISO BMFF, ISO/IEC 14496-12) box walk: the `ftyp`
+    * major brand plus `mvhd`'s timescale and duration, no codec.
+    * `None` for anything that is not a box-structured file with both.
+    *
+    * Each box is u32be size + 4-char type; size 1 = u64 largesize
+    * follows, size 0 = box runs to end of file. `mvhd` lives inside
+    * the `moov` container; its version byte picks the layout — v0
+    * packs creation/modification/timescale/duration as u32, v1 widens
+    * the times and duration to u64 (timescale stays u32). Sizes are
+    * untrusted: the walk advances in Long so a corrupt u32 can neither
+    * wrap negative nor stall, and any overshoot ends the scan. */
+  def parseMp4Header(bytes: Array[Byte]): Option[(String, Long, Long)] = {
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def ascii(from: Int, until: Int): String =
+      new String(bytes.slice(from, until), "US-ASCII")
+    if (bytes == null || bytes.length < 16 || ascii(4, 8) != "ftyp") None
+    else {
+      var brand: Option[String] = None
+      var mvhd: Option[(Long, Long)] = None // (timescale, duration)
+      // walk(from, until): top-level boxes, recursing only into moov
+      def walk(from: Long, until: Long, depth: Int): Unit = {
+        var i = from
+        while (i + 8 <= until && (brand.isEmpty || mvhd.isEmpty)) {
+          val at = i.toInt
+          val size0 = u32(at)
+          val tag = ascii(at + 4, at + 8)
+          val (payload, size) =
+            if (size0 == 1 && i + 16 <= until) (i + 16, u64(at + 8))
+            else if (size0 == 0) (i + 8, until - i) // runs to end
+            else (i + 8, size0)
+          if (size < 8 || i + size > until) return // corrupt: stop scan
+          tag match {
+            case "ftyp" if payload + 4 <= until =>
+              brand = Some(ascii(payload.toInt, payload.toInt + 4))
+            case "moov" if depth == 0 =>
+              walk(payload, i + size, 1)
+            case "mvhd" if depth == 1 =>
+              val p = payload.toInt
+              val version = bytes(p) & 0xff
+              if (version == 1 && payload + 32 <= until)
+                mvhd = Some((u32(p + 20), u64(p + 24)))
+              else if (version == 0 && payload + 20 <= until)
+                mvhd = Some((u32(p + 12), u32(p + 16)))
+            case _ => ()
+          }
+          i += size
+        }
+      }
+      walk(0L, bytes.length.toLong, 0)
+      for (b <- brand; (ts, d) <- mvhd; if ts > 0) yield (b, ts, d)
+    }
+  }
+
+  /** Build a real ISO BMFF prefix — a 16-byte `ftyp` plus a `moov`
+    * holding one spec-complete `mvhd` (v0: 100-byte payload, v1:
+    * 112-byte) — the round-trip twin of [[parseMp4Header]]. */
+  def mp4Header(
+      brand: String, timescale: Long, duration: Long, version: Int = 0
+  ): Array[Byte] = {
+    require(brand.length == 4, s"brand must be 4 ASCII chars: '$brand'")
+    require(timescale > 0 && timescale <= 0xFFFFFFFFL,
+      s"timescale out of u32: $timescale")
+    require(duration >= 0 && (version == 1 || duration <= 0xFFFFFFFFL),
+      s"duration $duration needs mvhd v1")
+    require(version == 0 || version == 1, s"mvhd version 0 or 1: $version")
+    val mvhdPayload = if (version == 0) 100 else 112
+    val b = java.nio.ByteBuffer.allocate(16 + 8 + 8 + mvhdPayload)
+    b.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put(brand.getBytes("US-ASCII")).putInt(0) // minor_version
+    b.putInt(8 + 8 + mvhdPayload).put("moov".getBytes("US-ASCII"))
+    b.putInt(8 + mvhdPayload).put("mvhd".getBytes("US-ASCII"))
+      .putInt(version << 24) // version byte + zero flags
+    if (version == 0)
+      b.putInt(0).putInt(0) // creation/modification
+        .putInt(timescale.toInt).putInt(duration.toInt)
+    else
+      b.putLong(0L).putLong(0L)
+        .putInt(timescale.toInt).putLong(duration)
+    b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort) // rate, volume
+      .putLong(0L) // 2×u32 reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(b.putInt) // identity matrix
+    (1 to 6).foreach(_ => b.putInt(0)) // pre_defined
+    b.putInt(2) // next_track_ID
+    b.array()
+  }
+
+  /** Partition-wise video metadata decode — the video face of
+    * [[decodeMeta]]/[[decodeAudioMeta]]: real MP4 box walk,
+    * deterministic stub values for other containers (same honesty
+    * contract). `duration_ms` = units·1000 / timescale, exact integer
+    * arithmetic. */
+  def decodeVideoMeta(df: DataFrame, idCol: String, binCol: String): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          parseMp4Header(bytes) match {
+            case Some((brand, ts, d)) =>
+              VideoMeta(id, brand, ts, d, d * 1000L / ts)
+            case None =>
+              val len = if (bytes == null) 0L else bytes.length.toLong
+              VideoMeta(id, "stub", 1000L, len, len)
           }
         }
       }

@@ -497,6 +497,54 @@ object WebGraph {
     res
   }
 
+  /** BFS crawl depth: the minimum hop count from any seed host to each
+    * reachable host, bounded by `maxDepth` — the crawl-scheduling
+    * signal ("how far from the trusted frontier is this host?") that
+    * complements [[trustRank]]'s mass propagation with plain
+    * reachability, and the standard budget lever for breadth-first
+    * crawl expansion (depth-k frontier = round-k fetch budget).
+    *
+    * Level-synchronous frontier BFS, the iterative-loop discipline of
+    * [[hostRankFrom]]/[[hits]]: each round joins the CURRENT frontier
+    * (not the whole distance table) against the edge list, anti-joins
+    * out hosts already reached — min-hop therefore needs no min() at
+    * all, a host is claimed by the first round that touches it — and
+    * localCheckpoints both frames to keep lineage flat. One scalar
+    * count per round drives early exit when the frontier drains before
+    * `maxDepth`. State is (host, long) rows; the per-round work is
+    * |frontier-adjacent edges|, never |graph|², and a 1000-executor
+    * run shuffles only frontier-sized frames keyed on host. */
+  def crawlDepth(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int = 6
+  ): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
+    val (eAll, e, hosts) = edgeGraph(edges)
+    val seedHosts = hosts.join(
+      seeds.select(col("host").cast("string").as("host")).distinct(),
+      Seq("host"), "left_semi")
+    var dist = seedHosts.select(col("host"), lit(0L).as("depth"))
+      .localCheckpoint()
+    var frontier = dist
+    var frontierSize = frontier.count()
+    var k = 1L
+    while (k <= maxDepth && frontierSize > 0) {
+      val next = e
+        .join(frontier.select(col("host").as("src")), Seq("src"))
+        .select(col("dst").as("host")).distinct()
+        .join(dist, Seq("host"), "left_anti")
+        .select(col("host"), lit(k).as("depth"))
+        .localCheckpoint()
+      frontierSize = next.count()
+      dist = dist.union(next).localCheckpoint()
+      frontier = next
+      k += 1
+    }
+    eAll.unpersist(); e.unpersist(); hosts.unpersist()
+    dist
+  }
+
   /** Politeness schedule for a crawl frontier: per host, requests order
     * deterministically (arrival second, then URL as the tiebreak) and
     * pack into slots of `perSlot` fetches; slot k starts `k ×

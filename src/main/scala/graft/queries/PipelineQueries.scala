@@ -2564,9 +2564,136 @@ object PipelineQueries {
     Some(IvfTopkSql)
   )
 
+  // --------------------------------------------------------------- q103
+  /** BFS crawl depth — [[graft.ops.WebGraph.crawlDepth]] under the hash
+    * gate: minimum hop count from the q90 seed set over the q82 link
+    * graph, bounded at 3 hops. Min-hop is integer-exact and unique, so
+    * an iterative frontier loop is hash-gateable the same way the rank
+    * loops are; the oracle unrolls the same rounds as a min-fold
+    * (round k = min(round k-1, 1 + depth of an in-neighbor at k-1)),
+    * each round CTE MATERIALIZED (referenced twice — DuckDB's default
+    * inlining would re-expand the chain exponentially, the q92
+    * lesson). */
+  private val q103 = {
+    val maxDepth = 3
+    val step = (k: Int) => s"""
+      d$k AS MATERIALIZED (SELECT host, MIN(depth) AS depth FROM (
+          SELECT host, depth FROM d${k - 1}
+          UNION ALL
+          SELECT e.dst AS host, $k AS depth
+          FROM e JOIN d${k - 1} p ON p.host = e.src AND p.depth = ${k - 1})
+        GROUP BY host)"""
+    Q(
+      "q103_crawl_depth",
+      (s, dir) => {
+        val pages = linkPagesSpark(s, dir)
+        val edges = WebGraph.hostEdges(pages, col("src_host"), col("html"))
+        val seeds = Lake(s, dir).documents
+          .filter(pmod(col("doc_id"), lit(17)) < 3)
+          .select(concat(lit("h"), pmod(col("doc_id"), lit(17)),
+            lit(".example")).as("host"))
+          .distinct()
+        WebGraph.crawlDepth(edges, seeds, maxDepth).orderBy("host")
+      },
+      Some(s"""
+      WITH $linkHostsSql,
+      eall AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lhosts
+               WHERE dst_host <> ''),
+      e AS MATERIALIZED (SELECT * FROM eall WHERE src <> dst),
+      h AS (SELECT src AS host FROM eall UNION SELECT dst FROM eall),
+      seeds AS (SELECT DISTINCT
+          'h' || CAST(doc_id % 17 AS VARCHAR) || '.example' AS host
+        FROM documents WHERE doc_id % 17 < 3),
+      d0 AS MATERIALIZED (SELECT h.host, 0 AS depth
+        FROM h JOIN seeds s ON s.host = h.host),
+      ${(1 to maxDepth).map(step).mkString(",")}
+      SELECT host, CAST(depth AS BIGINT) AS depth FROM d$maxDepth
+      ORDER BY host""")
+    )
+  }
+
+  // --------------------------------------------------------------- q104
+  /** FLAC audio metadata — the q75 shape over the second audio
+    * container: each doc gets a REAL 42-byte fLaC/STREAMINFO header
+    * built from per-doc parameters, and
+    * [[graft.ops.Multimodal.decodeAudioMeta]] (which now tries WAV then
+    * FLAC) reads the packed 20/3/5/36-bit word back through genuine
+    * container bytes. The oracle recomputes the parameters
+    * arithmetically — the bit packing must round-trip exactly. */
+  private val q104 = Q(
+    "q104_flac_meta",
+    (s, dir) => {
+      import s.implicits._
+      val flacs = Lake(s, dir).documents
+        .select(col("doc_id"), length(col("text")).cast("long").as("__n"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) =>
+          (id, Multimodal.flacHeader(
+            sampleRate = 32000L + (id % 4) * 12000L,
+            channels = id % 8 + 1,
+            bitsPerSample = if (id % 2 == 0) 16L else 24L,
+            nSamples = n))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.decodeAudioMeta(flacs, "doc_id", "media")
+        .toDF().orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(32000 + (doc_id % 4) * 12000 AS BIGINT) AS sample_rate,
+        CAST(doc_id % 8 + 1 AS BIGINT) AS channels,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS BIGINT)
+          AS bits_per_sample,
+        CAST(length(text) AS BIGINT) AS n_samples,
+        CAST(length(text) * 1000 // (32000 + (doc_id % 4) * 12000) AS BIGINT)
+          AS duration_ms
+      FROM documents ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q105
+  /** MP4 (ISO BMFF) video metadata — each doc gets a real
+    * ftyp + moov/mvhd prefix (mvhd version alternating v0/v1, so both
+    * layouts are under the gate) and
+    * [[graft.ops.Multimodal.decodeVideoMeta]]'s box walk reads brand,
+    * timescale and duration back. The oracle recomputes the
+    * parameters; duration_ms is exact integer arithmetic. */
+  private val q105 = Q(
+    "q105_video_meta",
+    (s, dir) => {
+      import s.implicits._
+      val mp4s = Lake(s, dir).documents
+        .select(col("doc_id"), length(col("text")).cast("long").as("__n"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) =>
+          val brand = (id % 3) match {
+            case 0 => "isom"
+            case 1 => "mp42"
+            case _ => "avc1"
+          }
+          (id, Multimodal.mp4Header(
+            brand = brand,
+            timescale = 600L * (id % 5 + 1),
+            duration = n * (id % 7 + 1),
+            version = (id % 2).toInt))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.decodeVideoMeta(mp4s, "doc_id", "media")
+        .toDF().orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+          ELSE 'avc1' END AS brand,
+        CAST(600 * (doc_id % 5 + 1) AS BIGINT) AS timescale,
+        CAST(length(text) * (doc_id % 7 + 1) AS BIGINT) AS duration_units,
+        CAST(length(text) * (doc_id % 7 + 1) * 1000
+             // (600 * (doc_id % 5 + 1)) AS BIGINT) AS duration_ms
+      FROM documents ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98)
+    q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105)
 }

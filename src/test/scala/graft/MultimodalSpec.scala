@@ -205,4 +205,64 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1L).duration_ms == 100L) // 2205 * 1000 / 22050 exactly
     assert(out(2L).sample_rate == 8000L) // honest deterministic fallback
   }
+
+  test("parseFlacHeader round-trips flacHeader across the packed bit fields") {
+    // edge values: 8-channel 32-bit at a rate needing all 20 bits,
+    // and a 36-bit-straddling sample count
+    val cases = Seq(
+      (44100L, 2L, 16L, 441000L),
+      ((1L << 20) - 1, 8L, 32L, (1L << 36) - 1),
+      (8000L, 1L, 4L, 0L))
+    cases.foreach { case (r, c, b, n) =>
+      assert(Multimodal.parseFlacHeader(Multimodal.flacHeader(r, c, b, n))
+        .contains((r, c, b, n)), s"round-trip failed for ($r,$c,$b,$n)")
+    }
+  }
+
+  test("parseFlacHeader rejects non-FLAC, truncated, and misordered blocks") {
+    assert(Multimodal.parseFlacHeader(null).isEmpty)
+    assert(Multimodal.parseFlacHeader("fLaC".getBytes).isEmpty) // truncated
+    assert(Multimodal.parseFlacHeader("not flac at all, but long enough to index"
+      .getBytes).isEmpty)
+    // first block is not STREAMINFO (type 4 = VORBIS_COMMENT): reject
+    val wrongType = Multimodal.flacHeader(44100, 2, 16, 100)
+    wrongType(4) = (0x80 | 4).toByte
+    assert(Multimodal.parseFlacHeader(wrongType).isEmpty)
+  }
+
+  test("decodeAudioMeta: FLAC parses as real audio alongside WAV") {
+    val rows = Seq(
+      (1L, Multimodal.wavHeader(22050, 2, 16, 2205)),
+      (2L, Multimodal.flacHeader(48000, 6, 24, 96000))
+    ).toDF("doc_id", "media")
+    val out = Multimodal.decodeAudioMeta(rows, "doc_id", "media")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).sample_rate == 22050L)
+    assert(out(2L).sample_rate == 48000L && out(2L).channels == 6L &&
+      out(2L).bits_per_sample == 24L && out(2L).n_samples == 96000L &&
+      out(2L).duration_ms == 2000L)
+  }
+
+  test("parseMp4Header round-trips mp4Header for both mvhd versions") {
+    assert(Multimodal.parseMp4Header(
+      Multimodal.mp4Header("isom", 600, 1200, version = 0))
+      .contains(("isom", 600L, 1200L)))
+    // v1: a duration only u64 can hold
+    val big = 5_000_000_000L
+    assert(Multimodal.parseMp4Header(
+      Multimodal.mp4Header("mp42", 90000, big, version = 1))
+      .contains(("mp42", 90000L, big)))
+  }
+
+  test("parseMp4Header rejects corrupt boxes and non-BMFF bytes") {
+    assert(Multimodal.parseMp4Header(null).isEmpty)
+    assert(Multimodal.parseMp4Header("RIFF not bmff but plenty long".getBytes).isEmpty)
+    // declared box size overruns the file: scan must stop, not crash
+    val overrun = Multimodal.mp4Header("isom", 600, 1200)
+    overrun(16) = 0x7f.toByte // moov size high byte → absurdly large
+    assert(Multimodal.parseMp4Header(overrun).isEmpty)
+    // ftyp alone (no moov/mvhd): structurally valid but incomplete
+    assert(Multimodal.parseMp4Header(
+      Multimodal.mp4Header("isom", 600, 0).take(16)).isEmpty)
+  }
 }

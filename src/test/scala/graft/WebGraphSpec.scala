@@ -475,4 +475,31 @@ class WebGraphSpec extends SparkTestBase {
       assert(out(in) == want, s"for $in: got ${out(in)}, want $want")
     }
   }
+
+  test("crawlDepth: min-hop BFS from seeds, depth bound honored, unreachable excluded") {
+    // diamond a→{b,c}→d→e, plus a far tail e→f and a disconnected x→y:
+    // two paths to d must yield ONE row at the min hop
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("e", "f"), ("x", "y")).toDF("src_host", "dst_host")
+    val seeds = Seq("a").toDF("host")
+    val d3 = WebGraph.crawlDepth(edges, seeds, maxDepth = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d3 == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "e" -> 3L))
+    // raising the bound reaches the tail; x/y stay unreachable
+    val d6 = WebGraph.crawlDepth(edges, seeds, maxDepth = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d6("f") == 4L && !d6.contains("x") && !d6.contains("y"))
+  }
+
+  test("crawlDepth: frontier drains early; a seed outside the graph contributes nothing") {
+    val edges = Seq(("a", "b"), ("b", "b")).toDF("src_host", "dst_host")
+    // maxDepth far beyond the graph: the empty round-2 frontier must
+    // end the loop (self-loops are not progress), not run 10 rounds
+    val out = WebGraph.crawlDepth(edges,
+      Seq("a", "ghost").toDF("host"), maxDepth = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 0L, "b" -> 1L))
+    // no seed present in the graph: empty result, not a crash
+    assert(WebGraph.crawlDepth(edges, Seq("ghost").toDF("host"), 3).count() == 0)
+  }
 }
