@@ -275,4 +275,40 @@ object EventStreams {
           }
         })
   }
+
+  final case class LastEvent(ts: Long, eventId: Long, tpe: String)
+
+  final case class Transition(user_id: Long, from_state: String, to_state: String)
+
+  /** Streaming twin of [[graft.ops.Behavior.transitions]]: one
+    * (from_state, to_state) pair per arriving event, with `(start)`
+    * for a user's first-ever event — per-user last-event state, the
+    * incremental form of the batch lag window. Aggregating the emitted
+    * pairs reproduces the batch transition matrix exactly when each
+    * user's events arrive in order (the partition-by-user log
+    * contract); within a micro-batch, arrival order is normalized by
+    * (ts, event_id) sort, so batch boundaries don't reorder ties.
+    *
+    * State is ONE (ts, event_id, type) triple per user — bounded by
+    * the user population, not the stream length, the same shard-by-key
+    * discipline as [[sessionize]] (no timeout: a user's chain head
+    * stays valid forever; evict via TTL config if the key space churns). */
+  def transitionPairs(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[LastEvent]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var prev = state.getOption
+          val out = sorted.map { e =>
+            val t = Transition(userId, prev.map(_.tpe).getOrElse("(start)"),
+              e.event_type)
+            prev = Some(LastEvent(e.ts.getTime, e.event_id, e.event_type))
+            t
+          }
+          prev.foreach(state.update)
+          out.iterator
+        })
+  }
 }

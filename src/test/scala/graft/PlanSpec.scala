@@ -371,6 +371,39 @@ class PlanSpec extends SparkTestBase {
       s"fetchSchedule should hash-partition by host:\n$plan3")
   }
 
+  test("behavioral family: the event-sized work rides ONE hash(user) exchange") {
+    import graft.ops.{Behavior, Snapshot}
+    val events = Lake(spark, sfDir).events
+    def userExchanges(plan: String): Int =
+      "Exchange hashpartitioning\\(user_id".r.findAllMatchIn(plan).size
+
+    // funnel: k chained window-mins + per-user agg share one partitioning
+    val funnelPlan = planOf(Behavior.funnelUserTimes(
+      events, "user_id", "ts", "event_type", Seq("view", "click", "purchase")))
+    assert(userExchanges(funnelPlan) == 1,
+      s"funnel should shuffle events on user exactly once:\n$funnelPlan")
+
+    // scd2: lag + running sum + island agg + lead ALL reuse hash(user) —
+    // the whole history build is a single exchange end to end
+    val scd2Plan = planOf(Snapshot.scd2(events, "user_id", "ts", "event_id", "event_type"))
+    assert(userExchanges(scd2Plan) == 1 &&
+      "Exchange".r.findAllMatchIn(scd2Plan).size == 1,
+      s"scd2 should plan exactly one exchange (hash(user)):\n$scd2Plan")
+
+    // transitions/retention: one event-sized user shuffle; the second
+    // exchange moves only k² cells / per-user-week rows, and nothing
+    // plans a global sort
+    for ((name, df) <- Seq(
+        "transitions" -> Behavior.transitions(events, "user_id", "ts", "event_id", "event_type"),
+        "retention" -> Behavior.retention(events, "user_id", "ts"))) {
+      val plan = planOf(df)
+      assert(userExchanges(plan) == 1,
+        s"$name should shuffle events on user exactly once:\n$plan")
+      assert(!plan.toLowerCase.contains("rangepartitioning"),
+        s"$name plans a global sort:\n$plan")
+    }
+  }
+
   test("no registered query plans a cartesian product (cross-join ops excepted)") {
     // q07 is the deliberate J4 cross-join operator; q27 cross-joins a
     // 775-row calendar spine (broadcast nested loop, intentional).

@@ -506,4 +506,40 @@ class StreamingSpec extends SparkTestBase {
       assert(s1.getAs[Timestamp]("session_end") == ts(5))
     } finally q.stop()
   }
+
+  test("transitionPairs: aggregated stream pairs equal the batch transition matrix") {
+    implicit val sc = spark.sqlContext
+    // per-user in-order feed across THREE batches (state must carry the
+    // chain head over batch boundaries); batch 2 delivers a same-instant
+    // tie out of order to exercise the (ts, event_id) sort
+    val b1 = Seq(
+      Event(1, ts(0), 7, "view", 0.0),
+      Event(2, ts(1), 7, "click", 0.0),
+      Event(3, ts(0), 8, "view", 0.0))
+    val b2 = Seq(
+      Event(5, ts(2), 7, "purchase", 0.0), // same instant, higher id → second
+      Event(4, ts(2), 7, "click", 0.0),
+      Event(6, ts(3), 8, "error", 0.0))
+    val b3 = Seq(
+      Event(7, ts(9), 7, "view", 0.0),
+      Event(8, ts(10), 9, "signup", 0.0))
+    val input = MemoryStream[Event]
+    val q = EventStreams.transitionPairs(input.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("trans")
+        .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.ops.Behavior.transitions(
+        (b1 ++ b2 ++ b3).toDS().toDF(), "user_id", "ts", "event_id", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      // the cross-batch chain: u7's batch-3 view follows batch-2's purchase
+      assert(streamed.contains(("purchase", "view", 1L)))
+      // the intra-batch tie resolved by event_id: click(4) before purchase(5)
+      assert(streamed.contains(("click", "purchase", 1L)))
+      assert(streamed.contains(("(start)", "view", 2L)))
+    } finally q.stop()
+  }
 }
