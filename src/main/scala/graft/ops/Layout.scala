@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout — multi-dimensional clustering
+  * for lake tables, the file-skipping complement to
+  * [[graft.core.Bucketing]] (joins) and partitioned gold (single-column
+  * pruning): sorting by the interleaved key keeps rows that are close
+  * in BOTH dimensions close on disk, so parquet min/max footers prune
+  * files/row-groups for box predicates on either or both columns —
+  * where a single-column sort serves only its leading column.
+  *
+  * The key is pure bit arithmetic on built-in expressions (shiftright /
+  * bitwise AND / shiftleft folded with OR — whole-stage codegen, zero
+  * UDF), so it costs a projection, not a job. Monotone in each
+  * coordinate: a1 ≤ a2 ∧ b1 ≤ b2 ⟹ z(a1,b1) ≤ z(a2,b2), which is what
+  * makes z(lo) / z(hi) of a box's corners valid scan bounds.
+  *
+  * At 100 TB: [[zorderWrite]] = one range exchange (sampled bounds,
+  * AQE-coalesced) + in-partition sort + write — the standard
+  * OPTIMIZE-layout shape. `bits` caps the interleave depth: 16 bits per
+  * dimension = 4 G cells, far below parquet row-group granularity, so
+  * deeper interleaving buys nothing while widening the sort key. */
+object Layout {
+
+  /** The interleave terms (bit index → shift math), shared by the
+    * Column builder and the SQL twin so the two engines compute the
+    * same key from the same list. Dimension d of n occupies bit
+    * positions d, d+n, d+2n, … (dimension 0 = least significant). */
+  private def terms(nDims: Int, bits: Int): Seq[(Int, Int, Int)] =
+    for (i <- 0 until bits; d <- 0 until nDims)
+      yield (d, i, i * nDims + d) // (dimension, source bit, target bit)
+
+  /** Morton key over `dims` (each clamped to `bits` low bits; negative
+    * inputs are rejected at runtime via the null-yielding bit math
+    * being masked first — callers pre-scale real domains to [0, 2^bits)
+    * with [[scaleToBits]]). */
+  def zorderKey(dims: Seq[Column], bits: Int = 16): Column = {
+    require(dims.nonEmpty && dims.size * bits <= 63,
+      s"${dims.size} dims x $bits bits must fit a signed long")
+    val masked = dims.map(c => c.cast("long").bitwiseAND(lit((1L << bits) - 1)))
+    terms(dims.size, bits).map { case (d, i, t) =>
+      shiftleft(shiftright(masked(d), i).bitwiseAND(lit(1L)), t)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The DuckDB SQL twin of [[zorderKey]], generated from the same
+    * term list — oracle queries splice this string so the two engines
+    * can never drift. `dims` are SQL expressions assumed BIGINT. */
+  def zorderKeySql(dims: Seq[String], bits: Int = 16): String = {
+    require(dims.nonEmpty && dims.size * bits <= 63)
+    val masked = dims.map(e => s"(($e) & ${(1L << bits) - 1})")
+    terms(dims.size, bits).map { case (d, i, t) =>
+      s"(((${masked(d)} >> $i) & 1) << $t)"
+    }.mkString("(", " | ", ")")
+  }
+
+  /** Affine rescale of a [lo, hi] domain onto the [0, 2^bits) grid —
+    * how real-valued or wide-ranged columns become interleavable.
+    * Monotone, so the z-key monotonicity (and the corner-bound scan
+    * property) survives the rescale. Values outside [lo, hi] clamp. */
+  def scaleToBits(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
+    require(hi > lo, s"degenerate domain [$lo, $hi]")
+    val cells = (1L << bits) - 1
+    val scaled = (c.cast("double") - lit(lo)) / lit(hi - lo) * lit(cells.toDouble)
+    // clamp in DOUBLE space, before the integer cast: a wild outlier
+    // would overflow the long cast (engine-dependent behavior); the
+    // clamped value always fits
+    floor(greatest(lit(0.0), least(lit(cells.toDouble), scaled))).cast("long")
+  }
+
+  /** SQL twin of [[scaleToBits]], same clamp-then-floor order so the
+    * double arithmetic is bit-identical across engines. */
+  def scaleToBitsSql(expr: String, lo: Double, hi: Double, bits: Int = 16): String = {
+    require(hi > lo)
+    val cells = ((1L << bits) - 1).toDouble
+    s"CAST(FLOOR(GREATEST(0.0, LEAST($cells, " +
+      s"(CAST($expr AS DOUBLE) - $lo) / ${hi - lo} * $cells))) AS BIGINT)"
+  }
+
+  /** Z-ordered parquet layout: range-partition by the z-key into
+    * `targetFiles` output files, sort within each, write. Box queries
+    * on (the low `bits` of) either dimension then touch only the files
+    * whose [min z, max z] footer range intersects the box's corner
+    * bounds — see the PlanSpec skipping assertion. */
+  def zorderWrite(
+      df: DataFrame,
+      path: String,
+      dims: Seq[Column],
+      bits: Int = 16,
+      targetFiles: Int = 32
+  ): Unit =
+    df.withColumn("__z", zorderKey(dims, bits))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

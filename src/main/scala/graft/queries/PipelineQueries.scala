@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Lake
-import graft.ops.{Classifier, Dedup, Index, LanguageModel, Multimodal, Packing, Sampling, Similarity, TextAnalysis, WebGraph}
+import graft.ops.{Classifier, Dedup, Index, LanguageModel, Layout, Multimodal, Packing, Sampling, Similarity, TextAnalysis, WebGraph}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash /
@@ -2691,9 +2691,34 @@ object PipelineQueries {
       FROM documents ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q106
+  /** Z-order key arithmetic — [[graft.ops.Layout.zorderKey]] +
+    * [[graft.ops.Layout.scaleToBits]] under the hash gate: the Morton
+    * interleave of (user_id, value rescaled onto the 16-bit grid) for
+    * every event. Both engines compute the key from the SAME generated
+    * term list ([[graft.ops.Layout.zorderKeySql]] splices the oracle),
+    * so the bit math that drives the file-skipping layout (PlanSpec's
+    * z-order pruning test) can never drift from what the lake would
+    * actually write. */
+  private val q106 = Q(
+    "q106_zorder_key",
+    (s, dir) =>
+      Lake(s, dir).events
+        .select(col("event_id"),
+          Layout.zorderKey(Seq(
+            col("user_id"),
+            Layout.scaleToBits(col("value"), 0.0, 500.0))).as("z"))
+        .orderBy("event_id"),
+    Some(s"""
+      SELECT event_id,
+        ${Layout.zorderKeySql(Seq("user_id",
+          Layout.scaleToBitsSql("value", 0.0, 500.0)))} AS z
+      FROM events ORDER BY event_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105)
+    q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106)
 }

@@ -199,4 +199,35 @@ class OpsSpec extends SparkTestBase {
       Stats.finalizeStats(df).orderBy("g").collect().map(_.toSeq).toSeq
     assert(snap(chained) == snap(full))
   }
+
+  test("Layout.zorderKey: exact interleave, monotone in each coordinate") {
+    // bits=2: dim 0 → even bit positions, dim 1 → odd
+    val cases = Seq(
+      (0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L), (3L, 3L, 15L),
+      (2L, 1L, 6L),  // a=10b → bits 0,2 give 100b; b=1 → bit 1 → +2
+      (7L, 0L, 5L))  // the 4s bit of a=111b masks off at bits=2
+    val df = cases.toDF("a", "b", "want")
+      .select(Layout.zorderKey(Seq(col("a"), col("b")), bits = 2).as("z"), col("want"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"z mismatch: got ${r.getLong(0)}, want ${r.getLong(1)}"))
+    // monotone: componentwise <= implies z <= (the corner-bound property
+    // zorderWrite's skipping relies on), checked over the full 16x16 grid
+    val grid = for (a <- 0 to 15; b <- 0 to 15) yield (a.toLong, b.toLong)
+    val z = grid.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zorderKey(Seq(col("a"), col("b")), 4).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (((a1, b1), z1) <- z; ((a2, b2), z2) <- z
+         if a1 <= a2 && b1 <= b2)
+      assert(z1 <= z2, s"monotonicity broken: z($a1,$b1)=$z1 > z($a2,$b2)=$z2")
+  }
+
+  test("Layout.scaleToBits: affine grid rescale with double-space clamping") {
+    val out = Seq(0.0, 250.0, 500.0, -10.0, 1e18).toDF("v")
+      .select(Layout.scaleToBits(col("v"), 0.0, 500.0).as("s"))
+      .collect().map(_.getLong(0))
+    assert(out(0) == 0L && out(2) == 65535L)
+    assert(out(1) == 32767L) // 250/500 * 65535 floored
+    assert(out(3) == 0L, "below-domain clamps to 0")
+    assert(out(4) == 65535L, "a wild outlier clamps instead of overflowing")
+  }
 }

@@ -404,6 +404,43 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("z-order layout: file min/max prune box queries on BOTH dimensions") {
+    import graft.ops.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    graft.core.SilverWriter.deleteOnExit(dir)
+    // a 64x64 grid; 16 files of ~256 rows each
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"))
+    Layout.zorderWrite(grid, s"$dir/z", Seq(col("a"), col("b")),
+      bits = 6, targetFiles = 16)
+    // the single-column alternative: perfectly sorted by a alone
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.mode("overwrite").parquet(s"$dir/bya")
+
+    def fileStats(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("a").as("amin"), max("a").as("amax"),
+        min("b").as("bmin"), max("b").as("bmax"))
+      .collect()
+    val z = fileStats(s"$dir/z")
+    val byA = fileStats(s"$dir/bya")
+    assert(z.length == 16 && byA.length == 16)
+
+    // a b-only box (b <= 7): the a-sorted layout cannot skip ANY file —
+    // every file spans the full b range — while the z-ordered layout
+    // confines it to the bottom quadrant row
+    def touchesB(rows: Array[org.apache.spark.sql.Row]) =
+      rows.count(_.getAs[Long]("bmin") <= 7)
+    assert(touchesB(byA) == 16,
+      s"a-sorted layout should be useless for b predicates: ${touchesB(byA)}")
+    assert(touchesB(z) <= 6,
+      s"z-order should confine a b-box to a few files, touched ${touchesB(z)}/16")
+    // and the same layout still serves a-only boxes (a <= 7)
+    val touchesA = z.count(_.getAs[Long]("amin") <= 7)
+    assert(touchesA <= 6,
+      s"z-order should also confine an a-box, touched $touchesA/16")
+  }
+
   test("no registered query plans a cartesian product (cross-join ops excepted)") {
     // q07 is the deliberate J4 cross-join operator; q27 cross-joins a
     // 775-row calendar spine (broadcast nested loop, intentional).
