@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * AQE-coalesced) + in-partition sort + write — the standard
   * OPTIMIZE-layout shape. `bits` caps the interleave depth: 16 bits per
   * dimension = 4 G cells, far below parquet row-group granularity, so
-  * deeper interleaving buys nothing while widening the sort key. */
+  * deeper interleaving buys nothing while widening the sort key.
+  *
+  * Measured: key computation 0.11 → 0.13 s for 10× rows
+  * (runner.BehaviorScaleProbe — projection-speed, no job structure);
+  * skipping effect asserted from real parquet footers in PlanSpec
+  * (b-box: 16/16 files touched a-sorted vs ≤6/16 z-ordered). */
 object Layout {
 
   /** The interleave terms (bit index → shift math), shared by the

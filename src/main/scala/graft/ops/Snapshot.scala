@@ -95,8 +95,12 @@ object Snapshot {
     * not a wildcard), a running sum numbers the islands, and the
     * per-island aggregate + the valid_to lead both reuse the same
     * hash(key) exchange — ONE event-sized shuffle end to end, the
-    * same discipline as [[graft.ops.Behavior]]. Ties in `seqCol` are
+    * same discipline as [[graft.ops.Behavior]] (PlanSpec asserts
+    * exactly one exchange on the executed plan). Ties in `seqCol` are
     * broken by `tieCol` so the ranges are deterministic.
+    *
+    * Measured (runner.BehaviorScaleProbe, sf0.1 → 10× the users,
+    * local[32]): 0.43 → 0.69 s for 10× data (1.6×).
     */
   def scd2(
       history: DataFrame,

@@ -513,7 +513,12 @@ object WebGraph {
     * count per round drives early exit when the frontier drains before
     * `maxDepth`. State is (host, long) rows; the per-round work is
     * |frontier-adjacent edges|, never |graph|², and a 1000-executor
-    * run shuffles only frontier-sized frames keyed on host. */
+    * run shuffles only frontier-sized frames keyed on host.
+    *
+    * Measured (runner.BehaviorScaleProbe, local[32]): 4-round BFS over
+    * a 40k-edge / 2k-host graph 2.58 s → 10× the hosts at the same
+    * out-degree 3.18 s (1.2× — round-count fixed, per-round frames
+    * grow, stage setup dominates). */
   def crawlDepth(
       edges: DataFrame,
       seeds: DataFrame,
