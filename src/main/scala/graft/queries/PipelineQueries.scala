@@ -2460,19 +2460,17 @@ object PipelineQueries {
       "q96_spam_mass",
       (s, dir) => {
         val pages = linkPagesSpark(s, dir)
-        // both rank loops consume the edge aggregate — persisted, or
-        // each loop re-pays the page-scan extraction (the host-sized
-        // frame is tiny; bench cache hygiene reclaims it)
         val edges = WebGraph.hostEdges(pages, col("src_host"), col("html"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val seeds = Lake(s, dir).documents
           .filter(pmod(col("doc_id"), lit(17)) < 3)
           .select(concat(lit("h"), pmod(col("doc_id"), lit(17)),
             lit(".example")).as("host"))
           .distinct()
-        WebGraph.spamMass(
-          WebGraph.hostRank(edges, iterations = iters, unit = unit),
-          WebGraph.trustRank(edges, seeds, iterations = iters, unit = unit))
+        // ONE fused loop: both scores share the edge preamble and the
+        // per-round join tree (WebGraph.rankAndTrust — bit-identical
+        // to the separate hostRank/trustRank loops, ~half the jobs)
+        WebGraph.spamMassFrom(
+          WebGraph.rankAndTrust(edges, seeds, iterations = iters, unit = unit))
           .orderBy("host")
       },
       Some(s"""

@@ -476,6 +476,21 @@ class WebGraphSpec extends SparkTestBase {
     }
   }
 
+  test("rankAndTrust: the fused loop equals separate hostRank/trustRank bit-for-bit") {
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "a"), ("s", "b"),
+      ("f1", "f2"), ("f2", "f1"), ("b", "f1"), ("a", "s"))
+      .toDF("src_host", "dst_host")
+    val seeds = Seq("s").toDF("host")
+    val fused = WebGraph.rankAndTrust(edges, seeds, iterations = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rank = WebGraph.hostRank(edges, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trust = WebGraph.trustRank(edges, seeds, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val separate = rank.keySet.map(h => (h, rank(h), trust(h)))
+    assert(fused == separate)
+  }
+
   test("crawlDepth: min-hop BFS from seeds, depth bound honored, unreachable excluded") {
     // diamond a→{b,c}→d→e, plus a far tail e→f and a disconnected x→y:
     // two paths to d must yield ONE row at the min hop
