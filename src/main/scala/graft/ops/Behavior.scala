@@ -121,6 +121,36 @@ object Behavior {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Sliding event-type paths of length `len` per user (order-(len-1)
+    * generalization of [[transitions]]): each window of `len`
+    * consecutive events contributes one `a>b>c` path — the sequence-
+    * mining view of user journeys ("which 3-step paths dominate?").
+    * len-1 lead windows on the same hash(user) partitioning (still ONE
+    * event-sized shuffle); the path aggregate's key space is at most
+    * k^len cells, combined map-side. Windows that run off the end of a
+    * user's history (null leads) are dropped — every counted path is a
+    * real observed sequence. */
+  def paths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      tieCol: String,
+      typeCol: String,
+      len: Int
+  ): DataFrame = {
+    require(len >= 2, s"a path needs at least 2 steps: $len")
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val steps = col(typeCol) +:
+      (1 until len).map(i => lead(col(typeCol), i).over(w))
+    events
+      .withColumn("__path",
+        when(steps.map(_.isNotNull).reduce(_ && _),
+          concat_ws(">", steps: _*)))
+      .filter(col("__path").isNotNull)
+      .groupBy(col("__path").as("path"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Weekly cohort retention: users bucketed by the epoch-week of
     * their FIRST event (`cohort_week` = days-since-1970 ÷ 7, an
     * engine-neutral week index with no locale/week-start semantics to

@@ -141,5 +141,29 @@ object BehaviorQueries {
       FROM f ORDER BY user_id, version""")
   )
 
-  val all: Seq[Q] = Seq(q99, q100, q101, q102)
+  // --------------------------------------------------------------- q107
+  /** Top 3-step user journeys ([[graft.ops.Behavior.paths]]): sliding
+    * length-3 event-type windows per user, counted and ranked — the
+    * sequence-mining generalization of the q100 transition matrix. The
+    * deterministic (n DESC, path ASC) order makes the LIMIT
+    * hash-gateable. */
+  private val q107 = Q(
+    "q107_event_paths",
+    (s, dir) =>
+      Behavior.paths(Lake(s, dir).events,
+          "user_id", "ts", "event_id", "event_type", len = 3)
+        .orderBy(col("n").desc, col("path"))
+        .limit(25),
+    Some("""
+      SELECT path, COUNT(*) AS n
+      FROM (SELECT event_type || '>' ||
+              lead(event_type, 1) OVER w || '>' ||
+              lead(event_type, 2) OVER w AS path
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      WHERE path IS NOT NULL
+      GROUP BY path ORDER BY n DESC, path LIMIT 25""")
+  )
+
+  val all: Seq[Q] = Seq(q99, q100, q101, q102, q107)
 }

@@ -89,6 +89,22 @@ class BehaviorSpec extends SparkTestBase {
       ("(start)", "view", 2L), ("click", "click", 1L), ("view", "click", 2L)))
   }
 
+  test("paths: sliding length-3 windows per user, partial windows dropped") {
+    val events = mkEvents(Seq(
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:01:00", "click"),
+      (1L, "2024-01-01 10:02:00", "purchase"),
+      (1L, "2024-01-01 10:03:00", "view"),   // second window: click>purchase>view
+      (2L, "2024-01-01 10:00:00", "view"),
+      (2L, "2024-01-01 10:01:00", "click"),
+      (2L, "2024-01-01 10:02:00", "purchase"),
+      (3L, "2024-01-01 10:00:00", "view")))  // too short: contributes nothing
+    val out = Behavior.paths(events, "user_id", "ts", "event_id", "event_type", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "view>click>purchase" -> 2L, "click>purchase>view" -> 1L))
+  }
+
   // ---------------------------------------------------------- retention
 
   test("retention: cohort is the first event's epoch-week, offsets are user-relative") {

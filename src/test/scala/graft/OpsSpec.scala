@@ -200,6 +200,35 @@ class OpsSpec extends SparkTestBase {
     assert(snap(chained) == snap(full))
   }
 
+  test("Sketches: HLL estimate within the lgK error bound; merge law; order-invariant") {
+    import org.apache.spark.sql.functions.col
+    // 40k distinct values under one key: lgK=12 → ~1.6% relative error,
+    // asserted at a loose 5% so the bound never flakes
+    val df = spark.range(0, 40000)
+      .select(col("id"), lit("k").as("key"), concat(lit("v"), col("id")).as("v"))
+    val est = Sketches.estimate(
+      Sketches.distinctSketch(df, Seq("key"), "v"))
+      .collect().head.getLong(1)
+    assert(math.abs(est - 40000L) <= 2000,
+      s"HLL estimate $est off by more than 5% of 40000")
+    // merge law: union of the two halves' sketches estimates EXACTLY
+    // like one sketch over the whole set (same registers, max-folded)
+    val whole = Sketches.distinctSketch(df, Seq("key"), "v")
+    val parts = Sketches.distinctSketch(
+      df.withColumn("day", when(col("id") % 2 === 0, "d1").otherwise("d2")),
+      Seq("key", "day"), "v")
+    val merged = Sketches.mergeSketches(parts, Seq("key"))
+    val (a, b) = (
+      Sketches.estimate(whole).collect().head.getLong(1),
+      Sketches.estimate(merged).collect().head.getLong(1))
+    assert(a == b, s"merge law broken: whole=$a merged=$b")
+    // order/partitioning invariance of the estimate
+    val shuffled = Sketches.estimate(Sketches.distinctSketch(
+      df.orderBy(col("v").desc).repartition(7), Seq("key"), "v"))
+      .collect().head.getLong(1)
+    assert(shuffled == est)
+  }
+
   test("Layout.zorderKey: exact interleave, monotone in each coordinate") {
     // bits=2: dim 0 → even bit positions, dim 1 → odd
     val cases = Seq(
