@@ -33,7 +33,40 @@ object Compaction {
     * between the renames leaves either the old or the new table at `path`
     * (plus a recoverable sibling), never a window with NO table, which
     * delete-first would open. */
-  def compact(spark: SparkSession, path: String, targetMB: Int = 512): Int = {
+  def compact(spark: SparkSession, path: String, targetMB: Int = 512): Int =
+    compactWith(spark, path, targetMB, (df, parts) => df.repartition(parts))
+
+  /** Compaction + Z-order clustering in ONE rewrite — the OPTIMIZE …
+    * ZORDER BY maintenance pass: since compaction already pays the full
+    * read-rewrite, adding the [[graft.ops.Layout]] clustering layout is
+    * free I/O-wise, and the rewritten files' min/max footers then prune
+    * box predicates on every `dims` column (PlanSpec measures the
+    * skipping). Range-partitioned on the Morton key — a hash
+    * repartition would hand every file the full min/max span and prune
+    * nothing. `bits`/`dims` as in [[graft.ops.Layout.zorderKey]];
+    * pre-scale wide or real-valued dims with `scaleToBits`-shaped
+    * expressions at the call site. */
+  def compactZorder(
+      spark: SparkSession,
+      path: String,
+      dims: Seq[String],
+      targetMB: Int = 512,
+      bits: Int = 16
+  ): Int =
+    compactWith(spark, path, targetMB, (df, parts) => {
+      import org.apache.spark.sql.functions.col
+      df.withColumn("__z", graft.ops.Layout.zorderKey(dims.map(col), bits))
+        .repartitionByRange(parts, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    })
+
+  private def compactWith(
+      spark: SparkSession,
+      path: String,
+      targetMB: Int,
+      layout: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame
+  ): Int = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(dir) && fs.getFileStatus(dir).isDirectory,
@@ -44,8 +77,7 @@ object Compaction {
     val old = new Path(path + ".old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(old)) fs.delete(old, true)
-    spark.read.parquet(path)
-      .repartition(parts)
+    layout(spark.read.parquet(path), parts)
       .write.mode("overwrite").parquet(tmp.toString)
     // Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
     // throwing — unchecked, a failed rename-aside would report success

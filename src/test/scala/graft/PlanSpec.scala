@@ -115,6 +115,32 @@ class PlanSpec extends SparkTestBase {
     assert(spark.read.parquet(dir.toString).count() == before)
   }
 
+  test("compactZorder: one rewrite compacts AND clusters — content preserved, footers disjoint") {
+    val dir = java.nio.file.Files.createTempDirectory("compactz").resolve("t")
+    // a 1024x1024 grid (~a few MB of parquet) scattered over 20
+    // unclustered files, so the 1 MB target genuinely splits the rewrite
+    val grid = spark.range(0, 1L << 20).select(
+      (col("id") % 1024).as("a"), (col("id") / 1024).cast("long").as("b"))
+    grid.repartition(20).write.parquet(dir.toString)
+    val before = spark.read.parquet(dir.toString).count()
+    graft.core.Compaction.compactZorder(
+      spark, dir.toString, Seq("a", "b"), targetMB = 1, bits = 10)
+    val after = spark.read.parquet(dir.toString)
+    assert(after.count() == before)
+    assert(after.select(sum(col("a") + col("b") * 1024)).head.getLong(0) ==
+      grid.select(sum(col("a") + col("b") * 1024)).head.getLong(0),
+      "compactZorder changed row content")
+    // the rewrite is z-clustered: per-file b-ranges must NOT all span the
+    // full domain (an unclustered rewrite gives every file ~0..1023)
+    val stats = after.groupBy(input_file_name().as("f"))
+      .agg(min("b").as("bmin"), max("b").as("bmax")).collect()
+    assert(stats.length > 1, "fixture too small to split — test is vacuous")
+    val fullSpan = stats.count(r =>
+      r.getAs[Long]("bmin") <= 127 && r.getAs[Long]("bmax") >= 896)
+    assert(fullSpan < stats.length,
+      s"all ${stats.length} files span the full b domain — not clustered")
+  }
+
   test("partitioned gold: year filter prunes partitions; dynamic overwrite keeps other years") {
     import java.nio.file.Files
     import graft.runner.AmtPipeline
