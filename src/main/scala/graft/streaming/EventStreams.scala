@@ -278,6 +278,59 @@ object EventStreams {
 
   final case class LastEvent(ts: Long, eventId: Long, tpe: String)
 
+  final case class FunnelState(times: List[Long])
+
+  final case class FunnelTimes(user_id: Long, times: Seq[Option[Long]])
+
+  /** Streaming twin of [[graft.ops.Behavior.funnelUserTimes]]: per-user
+    * ordered-funnel step times maintained incrementally — state is one
+    * fixed-length list of epoch-micros per user (step k's earliest
+    * completion after step k-1, within `withinUs` of step 0), updated
+    * per arriving event and emitted in Update mode whenever it
+    * improves. On an in-order per-user feed the final emission per
+    * user equals the batch operator's row (StreamingSpec).
+    *
+    * The update rule is the batch semantics restated incrementally: an
+    * event of step-k type claims slot k iff slot k is open (or this is
+    * earlier — can't happen in-order), slot k-1 is filled with an
+    * earlier time, and the window bound holds. State is O(k) longs per
+    * user — the same bounded-by-population shape as [[transitionPairs]]. */
+  def funnelTimes(
+      events: Dataset[Event],
+      steps: Seq[String],
+      withinUs: Option[Long] = None
+  ): Dataset[FunnelTimes] = {
+    import events.sparkSession.implicits._
+    val k = steps.size
+    require(k >= 1, "funnel needs at least one step")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var times = state.getOption.map(_.times)
+            .getOrElse(List.fill(k)(Long.MinValue))
+            .toArray // MinValue = unfilled
+          var changed = false
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            val idx = steps.indexOf(e.event_type)
+            if (idx >= 0 && times(idx) == Long.MinValue) {
+              val prevOk = idx == 0 ||
+                (times(idx - 1) != Long.MinValue && us > times(idx - 1))
+              val windowOk = withinUs.forall(w =>
+                idx == 0 || (times(0) != Long.MinValue && us <= times(0) + w))
+              if (prevOk && windowOk) { times(idx) = us; changed = true }
+            }
+          }
+          if (changed) {
+            state.update(FunnelState(times.toList))
+            Iterator.single(FunnelTimes(userId,
+              times.toSeq.map(t => if (t == Long.MinValue) None else Some(t))))
+          } else Iterator.empty
+        })
+  }
+
   final case class Transition(user_id: Long, from_state: String, to_state: String)
 
   /** Streaming twin of [[graft.ops.Behavior.transitions]]: one

@@ -542,4 +542,59 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed.contains(("(start)", "view", 2L)))
     } finally q.stop()
   }
+
+  test("funnelTimes: incremental step times equal the batch funnel on an in-order feed") {
+    implicit val sc = spark.sqlContext
+    val hourUs = 3600L * 1000000
+    // u7 completes across three batches; u8's purchase precedes its
+    // click (ordered semantics must hold it back); u9 converts too late
+    // for the 1h window
+    val b1 = Seq(
+      Event(1, ts(0), 7, "view", 0.0),
+      Event(2, ts(1), 8, "view", 0.0),
+      Event(3, ts(2), 8, "purchase", 0.0), // out of funnel order
+      Event(4, ts(0), 9, "view", 0.0))
+    val b2 = Seq(
+      Event(5, ts(10), 7, "click", 0.0),
+      Event(6, ts(11), 8, "click", 0.0))
+    val b3 = Seq(
+      Event(7, ts(20), 7, "purchase", 0.0),
+      Event(8, ts(70), 9, "click", 0.0)) // 70min after the view: outside 1h
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[Event]
+    val q = EventStreams.funnelTimes(input.toDS(), steps, Some(hourUs))
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+      // emissions improve monotonically; fold per user by keeping each
+      // slot's value once set
+      // Option[Long] encodes as a nullable bigint array element — read
+      // raw and re-wrap
+      val streamed = spark.table("funnel")
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Any](1).map(v => Option(v).map(_.asInstanceOf[Long]))))
+        .groupBy(_._1).map { case (u, rows) =>
+          u -> (0 until steps.size).map(i =>
+            rows.flatMap(_._2(i)).headOption).toSeq
+        }
+      val batch = graft.ops.Behavior.funnelUserTimes(
+        (b1 ++ b2 ++ b3).toDS().toDF(), "user_id", "ts", "event_type",
+        steps, Some(hourUs))
+        .collect().map { r =>
+          r.getLong(0) -> (1 to steps.size).map(i =>
+            Option(r.getTimestamp(i)).map(_.getTime * 1000L)).toSeq
+        }.toMap
+      // batch emits a row per user with events; streaming only emits on
+      // funnel progress — compare on streaming's users, and confirm the
+      // batch rows for missing users carry no step times at all
+      streamed.foreach { case (u, times) => assert(batch(u) == times,
+        s"user $u: streamed $times vs batch ${batch(u)}") }
+      (batch.keySet -- streamed.keySet).foreach { u =>
+        assert(batch(u).forall(_.isEmpty), s"user $u reached steps but never streamed")
+      }
+      // the held-back purchase and the window miss, pinned explicitly
+      assert(streamed(8L)(2).isEmpty && streamed(9L)(1).isEmpty)
+      assert(streamed(7L)(2).contains(ts(20).getTime * 1000L))
+    } finally q.stop()
+  }
 }
