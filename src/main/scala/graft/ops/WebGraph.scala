@@ -497,6 +497,30 @@ object WebGraph {
     res
   }
 
+  /** Weakly-connected components of the host graph — site-cluster /
+    * link-neighborhood identification (a mirror network or a link farm
+    * is one component; [[spamMass]] scores it, this NAMES it so a
+    * policy can act per cluster, not per host). Reuses the
+    * [[graft.ops.Dedup.connectedComponents]] pointer-jump loop —
+    * min-label is type-agnostic, so the component id is the
+    * lexicographically smallest member host, stable and meaningful
+    * ("the cluster named by its first host"). O(log diameter) rounds,
+    * loud non-convergence, the q50 machinery applied to the crawl
+    * domain. Host universe derives from the edge list BEFORE the
+    * self-loop filter (the [[edgeGraph]] one-row-per-host contract). */
+  def hostComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val eAll = edges
+      .select(col("src_host").cast("string").as("doc_a"),
+        col("dst_host").cast("string").as("doc_b"))
+      .filter(col("doc_a") =!= "" && col("doc_b") =!= "")
+      .distinct()
+    val hosts = eAll.select(col("doc_a").as("doc_id"))
+      .union(eAll.select(col("doc_b").as("doc_id"))).distinct()
+    val e = eAll.filter(col("doc_a") =!= col("doc_b"))
+    Dedup.connectedComponents(hosts, e, maxIter)
+      .select(col("doc_id").as("host"), col("cluster_id").as("component"))
+  }
+
   /** BFS crawl depth: the minimum hop count from any seed host to each
     * reachable host, bounded by `maxDepth` — the crawl-scheduling
     * signal ("how far from the trusted frontier is this host?") that

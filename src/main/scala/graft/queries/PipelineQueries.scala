@@ -2714,9 +2714,49 @@ object PipelineQueries {
       FROM events ORDER BY event_id""")
   )
 
+  // --------------------------------------------------------------- q108
+  /** Host-graph connected components —
+    * [[graft.ops.WebGraph.hostComponents]] under the hash gate: the
+    * q50 pointer-jump loop applied to the crawl domain, component id =
+    * lexicographically smallest member host. The fixture's ×3+1 mod-7
+    * orbit splits each of five site groups into one 6-host component
+    * plus a self-loop-only singleton (h3 → h3), so the gate covers the
+    * self-loop contract AND the min-label fixpoint; the oracle is the
+    * same fixpoint as a recursive CTE. */
+  private val q108 = Q(
+    "q108_host_components",
+    (s, dir) => {
+      val edges = Lake(s, dir).documents.select(
+        concat(lit("c"), pmod(col("doc_id"), lit(5)),
+          lit("h"), pmod(col("doc_id"), lit(7))).as("src_host"),
+        concat(lit("c"), pmod(col("doc_id"), lit(5)),
+          lit("h"), pmod(col("doc_id") * 3 + 1, lit(7))).as("dst_host"))
+      WebGraph.hostComponents(edges).orderBy("host")
+    },
+    Some("""
+      WITH RECURSIVE f AS (SELECT
+          'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+            || CAST(doc_id % 7 AS VARCHAR) AS src,
+          'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+            || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS dst
+        FROM documents),
+      eall AS (SELECT DISTINCT src, dst FROM f),
+      hosts AS (SELECT src AS host FROM eall UNION SELECT dst FROM eall),
+      e AS (SELECT * FROM eall WHERE src <> dst),
+      edges AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      reach AS (
+        SELECT host AS node, host AS label FROM hosts
+        UNION
+        SELECT e.dst AS node, r.label
+        FROM reach r JOIN edges e ON r.node = e.src),
+      cc AS (SELECT node AS host, MIN(label) AS component
+             FROM reach GROUP BY node)
+      SELECT host, component FROM cc ORDER BY host""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106)
+    q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108)
 }

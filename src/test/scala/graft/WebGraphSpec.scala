@@ -476,6 +476,21 @@ class WebGraphSpec extends SparkTestBase {
     }
   }
 
+  test("hostComponents: min-host labels, self-loop-only host is its own component") {
+    val edges = Seq(
+      ("a.ex", "b.ex"), ("b.ex", "c.ex"),      // one component, label a.ex
+      ("x.ex", "y.ex"), ("y.ex", "x.ex"),      // reciprocal pair, label x.ex
+      ("solo.ex", "solo.ex"),                  // self-loop only: singleton
+      ("d.ex", "")                             // empty dst dropped entirely
+    ).toDF("src_host", "dst_host")
+    val out = WebGraph.hostComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      "a.ex" -> "a.ex", "b.ex" -> "a.ex", "c.ex" -> "a.ex",
+      "x.ex" -> "x.ex", "y.ex" -> "x.ex",
+      "solo.ex" -> "solo.ex"))
+  }
+
   test("rankAndTrust: the fused loop equals separate hostRank/trustRank bit-for-bit") {
     val edges = Seq(("s", "a"), ("a", "b"), ("b", "a"), ("s", "b"),
       ("f1", "f2"), ("f2", "f1"), ("b", "f1"), ("a", "s"))
