@@ -497,6 +497,31 @@ object WebGraph {
     res
   }
 
+  /** robots.txt → the per-host policy table [[fetchSchedule]]'s
+    * policies overload consumes — (host, crawl_delay_s, disallow) from
+    * raw fetched robots bodies, closing the politeness loop: crawl the
+    * robots files, parse them HERE, feed the schedule. Pure regexp
+    * work, zero shuffle, scan speed over the (tiny) robots corpus.
+    *
+    * Parsing contract (documented boundary, the practical crawler
+    * approximation): directives are read file-wide — the first
+    * `Crawl-delay:` wins (null if absent) and every `Disallow:` path
+    * contributes, i.e. single-agent robots files parse exactly; per-
+    * user-agent sectioning (split on `User-agent:` groups and match
+    * the crawler's token, RFC 9309 §2.2.1) is deliberately out of
+    * scope until a caller needs non-`*` sections. Disallow paths sort
+    * lexicographically so the output is deterministic under any
+    * partitioning. */
+  def parseRobots(robots: DataFrame, hostCol: String, textCol: String): DataFrame = {
+    val delay = regexp_extract(col(textCol), "(?i)crawl-delay:\\s*([0-9]+)", 1)
+    robots.select(
+      col(hostCol).cast("string").as("host"),
+      when(delay === "", lit(null).cast("long"))
+        .otherwise(delay.cast("long")).as("crawl_delay_s"),
+      array_sort(regexp_extract_all(col(textCol),
+        lit("(?i)disallow:\\s*(\\S+)"), lit(1))).as("disallow"))
+  }
+
   /** Weakly-connected components of the host graph — site-cluster /
     * link-neighborhood identification (a mirror network or a link farm
     * is one component; [[spamMass]] scores it, this NAMES it so a

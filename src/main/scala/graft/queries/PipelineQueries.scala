@@ -2754,9 +2754,59 @@ object PipelineQueries {
       SELECT host, component FROM cc ORDER BY host""")
   )
 
+  // --------------------------------------------------------------- q109
+  /** robots.txt parsing — [[graft.ops.WebGraph.parseRobots]] under the
+    * hash gate: per-doc robots bodies (every fifth file omits its
+    * Crawl-delay, exercising the null fallback) parsed to the policy
+    * shape q95's schedule consumes; disallow lists sort and digest to
+    * a `|`-joined string so the array is hash-comparable. */
+  private val q109 = Q(
+    "q109_robots_parse",
+    (s, dir) => {
+      val body = concat(
+        lit("User-agent: *\n"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(""))
+          .otherwise(concat(lit("Crawl-delay: "),
+            pmod(col("doc_id"), lit(7)), lit("\n"))),
+        lit("Disallow: /p"), pmod(col("doc_id"), lit(3)), lit("\n"),
+        lit("Disallow: /tmp"))
+      val robots = Lake(s, dir).documents
+        .select(concat(lit("h"), col("doc_id"), lit(".example")).as("host"),
+          body.as("body"))
+      WebGraph.parseRobots(robots, "host", "body")
+        .select(col("host"), col("crawl_delay_s"),
+          concat_ws("|", col("disallow")).as("disallow_digest"),
+          size(col("disallow")).cast("long").as("n_rules"))
+        .orderBy("host")
+    },
+    Some("""
+      WITH r AS (SELECT
+          'h' || CAST(doc_id AS VARCHAR) || '.example' AS host,
+          'User-agent: *' || chr(10) ||
+          CASE WHEN doc_id % 5 = 0 THEN '' ELSE
+            'Crawl-delay: ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) END ||
+          'Disallow: /p' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+          'Disallow: /tmp' AS body
+        FROM documents),
+      p AS (SELECT host,
+          CASE WHEN regexp_extract(body, '(?i)crawl-delay:\s*([0-9]+)', 1) = ''
+               THEN NULL
+               ELSE CAST(regexp_extract(body,
+                 '(?i)crawl-delay:\s*([0-9]+)', 1) AS BIGINT) END
+            AS crawl_delay_s,
+          list_sort(regexp_extract_all(body, '(?i)disallow:\s*(\S+)', 1))
+            AS dis
+        FROM r)
+      SELECT host, crawl_delay_s,
+        array_to_string(dis, '|') AS disallow_digest,
+        CAST(len(dis) AS BIGINT) AS n_rules
+      FROM p ORDER BY host""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108)
+    q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
+    q109)
 }

@@ -476,6 +476,35 @@ class WebGraphSpec extends SparkTestBase {
     }
   }
 
+  test("parseRobots → fetchSchedule: parsed policies drive the schedule end-to-end") {
+    val robots = Seq(
+      ("slow.ex", "User-agent: *\nCrawl-delay: 30\nDisallow: /admin\nDisallow: /tmp"),
+      ("open.ex", "User-agent: *\n# no rules"),
+      ("mixed.ex", "user-agent: *\ncrawl-DELAY: 7\ndisallow: /x")
+    ).toDF("host", "body")
+    val policies = WebGraph.parseRobots(robots, "host", "body")
+    val byHost = policies.collect()
+      .map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getSeq[String](2))).toMap
+    assert(byHost("slow.ex") == (Some(30L), Seq("/admin", "/tmp")))
+    assert(byHost("open.ex") == (None, Seq()))            // null delay → global
+    assert(byHost("mixed.ex") == (Some(7L), Seq("/x")))   // casing tolerated
+    // composition: the parsed table IS the fetchSchedule policy input
+    val frontier = Seq(
+      ("slow.ex", 0L, "http://slow.ex/a"),
+      ("slow.ex", 1L, "http://slow.ex/admin/secret"), // robots-excluded
+      ("slow.ex", 2L, "http://slow.ex/b"),
+      ("open.ex", 0L, "http://open.ex/a")
+    ).toDF("host", "ts_s", "url")
+    val sched = WebGraph.fetchSchedule(frontier, "host", "ts_s", "url",
+        perSlot = 1, slotSeconds = 10, hostPolicies = policies)
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[Long]("start_s")).toMap
+    assert(!sched.contains("http://slow.ex/admin/secret"))
+    assert(sched("http://slow.ex/a") == 0L)
+    assert(sched("http://slow.ex/b") == 30L)  // parsed 30s delay, not global 10
+    assert(sched("http://open.ex/a") == 0L)
+  }
+
   test("hostComponents: min-host labels, self-loop-only host is its own component") {
     val edges = Seq(
       ("a.ex", "b.ex"), ("b.ex", "c.ex"),      // one component, label a.ex
