@@ -391,6 +391,162 @@ object Multimodal {
     b.array()
   }
 
+  /** Pure-JVM MP3 header parse: (mpeg_version, layer, bitrate_kbps,
+    * sample_rate) from the first audio frame header, tolerating a
+    * leading ID3v2 tag. `None` for anything that is not an MPEG audio
+    * frame (bad sync, reserved indices, free-format bitrate).
+    *
+    * Layout (ISO 11172-3 / ID3v2.4): an optional `ID3` tag header —
+    * 10 bytes whose length field is a 28-bit SYNCSAFE integer (7 bits
+    * per byte, high bit zero) — then the 4-byte frame header: 11 sync
+    * bits, 2 version bits (11=MPEG1, 10=MPEG2), 2 layer bits
+    * (01=Layer III), then bitrate index (4) and sample-rate index (2),
+    * both table lookups that differ per version. Only Layer III (the
+    * "MP3" in MP3) decodes; other layers return None rather than
+    * guessing at their tables. */
+  def parseMp3Header(bytes: Array[Byte]): Option[(String, Long, Long, Long)] = {
+    if (bytes == null || bytes.length < 4) return None
+    var i = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val tagLen = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      i = 10 + tagLen
+      if (i < 0 || i + 4 > bytes.length) return None
+    }
+    val b1 = bytes(i) & 0xff; val b2 = bytes(i + 1) & 0xff
+    val b3 = bytes(i + 2) & 0xff
+    if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None // 11 sync bits
+    val versionBits = (b2 >> 3) & 0x3
+    val layerBits = (b2 >> 1) & 0x3
+    if (layerBits != 1) return None // Layer III only
+    val version = versionBits match {
+      case 3 => "mpeg1"
+      case 2 => "mpeg2"
+      case _ => return None
+    }
+    val brIdx = (b3 >> 4) & 0xf
+    val srIdx = (b3 >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val bitrate = if (version == "mpeg1")
+      Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+    else
+      Seq(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)(brIdx)
+    val rate = if (version == "mpeg1") Seq(44100, 48000, 32000)(srIdx)
+    else Seq(22050, 24000, 16000)(srIdx)
+    Some((version, 3L, bitrate.toLong, rate.toLong))
+  }
+
+  /** Build a genuine ID3v2-prefixed MPEG Layer-III frame header — the
+    * round-trip twin of [[parseMp3Header]]. `tagBytes` pads a real
+    * (zeroed) ID3v2 tag in front so the syncsafe skip is exercised. */
+  def mp3Header(
+      mpeg1: Boolean, bitrateIndex: Int, sampleRateIndex: Int, tagBytes: Int = 32
+  ): Array[Byte] = {
+    require(bitrateIndex >= 1 && bitrateIndex <= 14, s"bitrate idx $bitrateIndex")
+    require(sampleRateIndex >= 0 && sampleRateIndex <= 2, s"rate idx $sampleRateIndex")
+    require(tagBytes >= 0 && tagBytes < (1 << 28), s"tag size $tagBytes")
+    val b = java.nio.ByteBuffer.allocate(10 + tagBytes + 4)
+    b.put("ID3".getBytes("US-ASCII")).put(4.toByte).put(0.toByte).put(0.toByte)
+      .put(((tagBytes >> 21) & 0x7f).toByte).put(((tagBytes >> 14) & 0x7f).toByte)
+      .put(((tagBytes >> 7) & 0x7f).toByte).put((tagBytes & 0x7f).toByte)
+    b.position(b.position() + tagBytes) // zeroed tag body
+    val versionBits = if (mpeg1) 3 else 2
+    b.put(0xff.toByte)
+      .put((0xe0 | (versionBits << 3) | (1 << 1)).toByte) // sync + ver + L3
+      .put(((bitrateIndex << 4) | (sampleRateIndex << 2)).toByte)
+      .put(0.toByte)
+    b.array()
+  }
+
+  /** Pure-JVM Ogg/Opus identification-header parse: (channels,
+    * pre_skip, input_sample_rate) from the `OpusHead` packet on the
+    * first Ogg page. `None` unless the page structure and the OpusHead
+    * magic both check out (RFC 3533 page layout, RFC 7845 §5.1 header).
+    * The segment table is walked, not assumed, so a first packet that
+    * is not 19 bytes still parses as long as it holds OpusHead. */
+  def parseOpusHead(bytes: Array[Byte]): Option[(Long, Long, Long)] = {
+    def u16le(i: Int): Long = ((bytes(i + 1) & 0xff) << 8 | (bytes(i) & 0xff)).toLong
+    def u32le(i: Int): Long =
+      ((bytes(i + 3) & 0xffL) << 24) | ((bytes(i + 2) & 0xffL) << 16) |
+        ((bytes(i + 1) & 0xffL) << 8) | (bytes(i) & 0xffL)
+    def ascii(from: Int, until: Int): String =
+      new String(bytes.slice(from, until), "US-ASCII")
+    if (bytes == null || bytes.length < 28 || ascii(0, 4) != "OggS" ||
+      bytes(4) != 0) None
+    else {
+      val nSegs = bytes(26) & 0xff
+      val dataAt = 27 + nSegs
+      if (nSegs < 1 || dataAt + 19 > bytes.length) None
+      else if (ascii(dataAt, dataAt + 8) != "OpusHead") None
+      else Some((
+        (bytes(dataAt + 9) & 0xff).toLong,
+        u16le(dataAt + 10),
+        u32le(dataAt + 12)))
+    }
+  }
+
+  /** Build a genuine single-page Ogg stream holding an OpusHead — the
+    * round-trip twin of [[parseOpusHead]] (CRC left zero: header-level
+    * tooling reads structure, not checksums). */
+  def opusHeader(channels: Long, preSkip: Long, sampleRate: Long): Array[Byte] = {
+    require(channels >= 1 && channels <= 255 && preSkip >= 0 &&
+      preSkip <= 0xffff && sampleRate > 0 && sampleRate <= 0xFFFFFFFFL,
+      s"outside OpusHead ranges: ch=$channels preSkip=$preSkip rate=$sampleRate")
+    val b = java.nio.ByteBuffer.allocate(27 + 1 + 19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("OggS".getBytes("US-ASCII")).put(0.toByte) // version
+      .put(0x02.toByte)   // header type: first page of stream
+      .putLong(0L)        // granule position
+      .putInt(1)          // serial
+      .putInt(0)          // page sequence
+      .putInt(0)          // CRC (unchecked at header level)
+      .put(1.toByte)      // one segment
+      .put(19.toByte)     // of 19 bytes: the OpusHead packet
+    b.put("OpusHead".getBytes("US-ASCII"))
+      .put(1.toByte)      // version
+      .put(channels.toByte)
+      .putShort(preSkip.toShort)
+      .putInt(sampleRate.toInt)
+      .putShort(0.toShort) // output gain
+      .put(0.toByte)       // mapping family
+    b.array()
+  }
+
+  final case class Mp3Meta(doc_id: Long, version: String, layer: Long,
+      bitrate_kbps: Long, sample_rate: Long)
+
+  /** Partition-wise MP3 metadata decode ([[parseMp3Header]]; stub row
+    * for non-MP3 bytes, the decodeAudioMeta honesty contract). */
+  def decodeMp3(df: DataFrame, idCol: String, binCol: String): Dataset[Mp3Meta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseMp3Header(bytes) match {
+          case Some((v, l, br, sr)) => Mp3Meta(id, v, l, br, sr)
+          case None => Mp3Meta(id, "stub", 0L, 0L, 0L)
+        }
+      })
+  }
+
+  final case class OpusMeta(doc_id: Long, channels: Long, pre_skip: Long,
+      input_sample_rate: Long)
+
+  /** Partition-wise Ogg/Opus metadata decode ([[parseOpusHead]]). */
+  def decodeOpus(df: DataFrame, idCol: String, binCol: String): Dataset[OpusMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseOpusHead(bytes) match {
+          case Some((ch, ps, sr)) => OpusMeta(id, ch, ps, sr)
+          case None => OpusMeta(id, 0L, 0L, 0L)
+        }
+      })
+  }
+
   /** Typed video-container metadata a decoder would emit. */
   final case class VideoMeta(
       doc_id: Long,

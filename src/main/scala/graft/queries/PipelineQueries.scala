@@ -2803,10 +2803,76 @@ object PipelineQueries {
       FROM p ORDER BY host""")
   )
 
+  // --------------------------------------------------------------- q110
+  /** MP3 frame-header metadata — the q75/q104 shape for MPEG audio:
+    * real ID3v2-prefixed Layer-III headers (syncsafe tag skip
+    * exercised by a per-doc tag size) parsed back by
+    * [[graft.ops.Multimodal.parseMp3Header]]; the oracle recomputes
+    * version and the bitrate/sample-rate TABLE lookups arithmetically,
+    * so the gate covers the index decoding, not just the sync walk. */
+  private val q110 = Q(
+    "q110_mp3_meta",
+    (s, dir) => {
+      import s.implicits._
+      val mp3s = Lake(s, dir).documents
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.mp3Header(
+            mpeg1 = id % 2 == 0,
+            bitrateIndex = (id % 14 + 1).toInt,
+            sampleRateIndex = (id % 3).toInt,
+            tagBytes = (id % 50).toInt))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.decodeMp3(mp3s, "doc_id", "media").toDF().orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'mpeg1' ELSE 'mpeg2' END AS version,
+        CAST(3 AS BIGINT) AS layer,
+        CAST(CASE WHEN doc_id % 2 = 0
+          THEN list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                 CAST(doc_id % 14 + 1 AS INTEGER))
+          ELSE list_extract([8,16,24,32,40,48,56,64,80,96,112,128,144,160],
+                 CAST(doc_id % 14 + 1 AS INTEGER)) END AS BIGINT) AS bitrate_kbps,
+        CAST(CASE WHEN doc_id % 2 = 0
+          THEN list_extract([44100,48000,32000], CAST(doc_id % 3 + 1 AS INTEGER))
+          ELSE list_extract([22050,24000,16000], CAST(doc_id % 3 + 1 AS INTEGER))
+          END AS BIGINT) AS sample_rate
+      FROM documents ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q111
+  /** Ogg/Opus identification-header metadata: a genuine single-page
+    * Ogg stream per doc, [[graft.ops.Multimodal.parseOpusHead]]'s
+    * segment-table walk recovering channels / pre-skip / input rate. */
+  private val q111 = Q(
+    "q111_opus_meta",
+    (s, dir) => {
+      import s.implicits._
+      val oggs = Lake(s, dir).documents
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.opusHeader(
+            channels = id % 8 + 1,
+            preSkip = id % 1000,
+            sampleRate = 8000L + (id % 5) * 9600L))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.decodeOpus(oggs, "doc_id", "media").toDF().orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CAST(doc_id % 8 + 1 AS BIGINT) AS channels,
+        CAST(doc_id % 1000 AS BIGINT) AS pre_skip,
+        CAST(8000 + (doc_id % 5) * 9600 AS BIGINT) AS input_sample_rate
+      FROM documents ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
-    q109)
+    q109, q110, q111)
 }

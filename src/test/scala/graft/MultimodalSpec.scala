@@ -254,6 +254,32 @@ class MultimodalSpec extends SparkTestBase {
       .contains(("mp42", 90000L, big)))
   }
 
+  test("parseMp3Header: syncsafe tag skip, version tables, reject bad sync/layer") {
+    // mpeg1 idx 9 → 128 kbps, rate idx 0 → 44100; big tag exercises syncsafe
+    assert(Multimodal.parseMp3Header(Multimodal.mp3Header(
+      mpeg1 = true, bitrateIndex = 9, sampleRateIndex = 0, tagBytes = 300))
+      .contains(("mpeg1", 3L, 128L, 44100L)))
+    assert(Multimodal.parseMp3Header(Multimodal.mp3Header(
+      mpeg1 = false, bitrateIndex = 14, sampleRateIndex = 2, tagBytes = 0))
+      .contains(("mpeg2", 3L, 160L, 16000L)))
+    assert(Multimodal.parseMp3Header(null).isEmpty)
+    assert(Multimodal.parseMp3Header("no sync here at all".getBytes).isEmpty)
+    // valid sync but Layer I (bits 11): honest refusal, not a wrong table
+    val l1 = Multimodal.mp3Header(mpeg1 = true, 9, 0, 0)
+    l1(11) = (l1(11) | 0x06).toByte
+    assert(Multimodal.parseMp3Header(l1).isEmpty)
+  }
+
+  test("parseOpusHead: page walk to OpusHead, reject non-Ogg and truncated pages") {
+    assert(Multimodal.parseOpusHead(Multimodal.opusHeader(6, 312, 48000))
+      .contains((6L, 312L, 48000L)))
+    assert(Multimodal.parseOpusHead(null).isEmpty)
+    assert(Multimodal.parseOpusHead("OggS but then garbage that is long enough"
+      .getBytes).isEmpty)
+    assert(Multimodal.parseOpusHead(
+      Multimodal.opusHeader(2, 0, 48000).take(30)).isEmpty)
+  }
+
   test("parseMp4Header rejects corrupt boxes and non-BMFF bytes") {
     assert(Multimodal.parseMp4Header(null).isEmpty)
     assert(Multimodal.parseMp4Header("RIFF not bmff but plenty long".getBytes).isEmpty)
