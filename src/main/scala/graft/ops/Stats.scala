@@ -78,6 +78,30 @@ object Stats {
 
   /** Read-time view over the state: attach derived values (mean over
     * NON-NULL values, null when none — SQL AVG semantics). */
+  /** Log₂-bucketed histogram per group — the dataset-card distribution
+    * report ("how are document lengths spread per source?") with
+    * INTEGER-EXACT bucket edges: bucket = number of binary digits of
+    * the value (`length(bin(v))`, = ⌊log₂ v⌋ + 1 for v ≥ 1; v ≤ 0 →
+    * bucket 0), so no floating log can disagree across engines —
+    * `floor(log2(x))` flips at powers of two under FP rounding, digit
+    * count cannot. One shuffle on (group, bucket) with map-side
+    * combine; output is ≤ 64 buckets per group at any corpus size. */
+  def logHistogram(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String]
+  ): DataFrame = {
+    val v = F.col(valueCol)
+    val bucket = F.when(v <= 0, F.lit(0))
+      .otherwise(F.length(F.bin(v.cast("long")))).cast("long")
+    df.withColumn("bucket", bucket)
+      .groupBy((groupCols.map(F.col) :+ F.col("bucket")): _*)
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.min(v).as("min_value"),
+        F.max(v).as("max_value"))
+  }
+
   def finalizeStats(state: DataFrame): DataFrame =
     state.withColumn("avg_v",
       F.when(F.col("n_v") === 0, F.lit(null).cast("double"))

@@ -2869,10 +2869,31 @@ object PipelineQueries {
       FROM documents ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q112
+  /** Log₂-bucketed length histogram per source —
+    * [[graft.ops.Stats.logHistogram]] under the hash gate: the
+    * dataset-card distribution with integer-exact bucket edges
+    * (binary digit count, no floating log to disagree on). */
+  private val q112 = Q(
+    "q112_length_histogram",
+    (s, dir) =>
+      graft.ops.Stats.logHistogram(
+        Lake(s, dir).documents, "n_chars", Seq("source"))
+        .orderBy("source", "bucket"),
+    Some("""
+      SELECT source,
+        CAST(CASE WHEN n_chars <= 0 THEN 0
+             ELSE length(bin(n_chars)) END AS BIGINT) AS bucket,
+        COUNT(*) AS n,
+        MIN(n_chars) AS min_value,
+        MAX(n_chars) AS max_value
+      FROM documents GROUP BY 1, 2 ORDER BY source, bucket""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
-    q109, q110, q111)
+    q109, q110, q111, q112)
 }

@@ -200,6 +200,20 @@ class OpsSpec extends SparkTestBase {
     assert(snap(chained) == snap(full))
   }
 
+  test("Stats.logHistogram: binary-digit buckets, zero bucket, power-of-two edges exact") {
+    val df = Seq(("a", 0L), ("a", 1L), ("a", 1L), ("a", 7L), ("a", 8L),
+      ("b", 1023L), ("b", 1024L)).toDF("g", "v")
+    val out = Stats.logHistogram(df, "v", Seq("g"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("a", 0L)) == (1L, 0L, 0L))   // v=0 → its own bucket
+    assert(out(("a", 1L)) == (2L, 1L, 1L))   // two 1s
+    assert(out(("a", 3L)) == (1L, 7L, 7L))   // 7 = 111b → 3 digits
+    assert(out(("a", 4L)) == (1L, 8L, 8L))   // 8 = 1000b → the NEXT bucket
+    assert(out(("b", 10L)) == (1L, 1023L, 1023L))
+    assert(out(("b", 11L)) == (1L, 1024L, 1024L)) // power of two: exact edge
+  }
+
   test("Sketches: HLL estimate within the lgK error bound; merge law; order-invariant") {
     import org.apache.spark.sql.functions.col
     // 40k distinct values under one key: lgK=12 → ~1.6% relative error,
