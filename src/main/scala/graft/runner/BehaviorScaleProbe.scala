@@ -94,8 +94,28 @@ object BehaviorScaleProbe {
     val bfsJson =
       f""""crawl_depth":{"sec_1x":$b1%.3f,"sec_${replicas}x":$b10%.3f,"factor":${b10 / b1}%.1f}"""
 
+    // Zipf stress: the behavioral family's real skew risk is a HOT USER —
+    // per-user windows serialize within a user, so one user holding 10%
+    // of the log is one straggler task no partitioning can split. Measure
+    // the wall-time ratio of the skewed log vs the uniform one at equal
+    // row count; the mitigation (documented in ops.Behavior) is per-user
+    // history capping upstream, not salting — a window's semantics ARE
+    // per-user-sequential.
+    val hot = ten.withColumn("user_id",
+      when(pmod(col("event_id"), lit(10)) === 0, lit(424242L))
+        .otherwise(col("user_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hot.count()
+    def scd2On(d: DataFrame): Unit =
+      noop(Snapshot.scd2(d, "user_id", "ts", "event_id", "event_type"))
+    scd2On(hot) // warm
+    val zUni = timed(scd2On(ten))
+    val zHot = timed(scd2On(hot))
+    val zipfJson =
+      f""""scd2_zipf":{"uniform_s":$zUni%.3f,"hot_user_s":$zHot%.3f,"ratio":${zHot / zUni}%.2f}"""
+
     println(f"""{"probe":"behavior-scale","sf":"$sfDir","rows_1x":$n1,""" +
-      f""""rows_${replicas}x":$n10,${(results :+ bfsJson).mkString(",")}}""")
+      f""""rows_${replicas}x":$n10,${(results :+ bfsJson :+ zipfJson).mkString(",")}}""")
     spark.stop()
   }
 }

@@ -386,4 +386,43 @@ class PropertySpec extends SparkTestBase {
       }
     })
   }
+
+  test("behavior laws: funnel counts non-increasing; scd2 partitions the log; paths count exact") {
+    import graft.ops.{Behavior, Snapshot}
+    val types = Gen.oneOf("view", "click", "purchase", "error")
+    val evs = Gen.listOfN(25,
+      Gen.zip(Gen.choose(1L, 5L), Gen.choose(0, 2000), types))
+    holds(Prop.forAll(evs) { raw =>
+      raw.isEmpty || {
+        val rows = raw.zipWithIndex.map { case ((u, m, t), i) =>
+          (u, new java.sql.Timestamp(1700000000000L + m * 60000L), t, i.toLong)
+        }
+        val df = rows.toDF("user_id", "ts", "event_type", "event_id")
+        // funnel law: each step's reach is <= the previous step's
+        val reach = Behavior.funnel(df, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+          .orderBy("step").collect().map(_.getLong(2))
+        val monotone = reach.sliding(2).forall(w => w.length < 2 || w(0) >= w(1))
+        // scd2 law: ranges PARTITION the log — per-key n_obs sums to the
+        // key's row count, and valid_to chains to the next valid_from
+        val ranges = Snapshot.scd2(df, "user_id", "ts", "event_id", "event_type")
+          .orderBy("user_id", "version").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(2),
+            Option(r.getTimestamp(3)), r.getLong(4)))
+        val partitions = ranges.groupBy(_._1).forall { case (u, rs) =>
+          rs.map(_._4).sum == rows.count(_._1 == u) &&
+            rs.sliding(2).forall(w => w.length < 2 ||
+              w(0)._3.contains(w(1)._2)) &&
+            rs.last._3.isEmpty
+        }
+        // paths law: total windows = Σ_user max(0, n_events - len + 1)
+        val nPaths = Behavior.paths(df, "user_id", "ts", "event_id",
+          "event_type", 3).agg(sum("n")).head.get(0)
+        val expectPaths = raw.groupBy(_._1).values
+          .map(g => math.max(0, g.size - 2)).sum
+        val pathsOk = (if (nPaths == null) 0L else nPaths.asInstanceOf[Long]) == expectPaths
+        monotone && partitions && pathsOk
+      }
+    }, n = 4)
+  }
 }
