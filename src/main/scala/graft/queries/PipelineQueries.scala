@@ -2890,10 +2890,69 @@ object PipelineQueries {
       FROM documents GROUP BY 1, 2 ORDER BY source, bucket""")
   )
 
+  /** The q113/q114 fixture: documents with an escaping-hazard column —
+    * embedded newline, double quote, and comma injected
+    * deterministically, because the natural corpus contains none of
+    * them and an un-exercised escape path is an untested one. */
+  private def hazardDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Lake(s, dir).documents
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"),
+        concat(col("text"), lit("\n\"x,"), col("lang")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+
+  private val hazardSql = """
+      SELECT doc_id, text || chr(10) || '"x,' || lang AS text,
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id"""
+
+  // --------------------------------------------------------------- q113
+  /** JSONL round trip under the hash gate — the training-data
+    * interchange format (one JSON object per line, `spark.write.json`'s
+    * native shape): write the hazard fixture, read it back with the
+    * declared schema, and the result must hash-equal the oracle's
+    * direct computation — which holds only if JSON string escaping
+    * (embedded newline, quote, comma, unicode) is byte-faithful both
+    * ways. */
+  private val q113 = Q(
+    "q113_jsonl_roundtrip",
+    (s, dir) => {
+      val docs = hazardDocs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q113").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      docs.coalesce(2).write.mode("overwrite").json(s"$tmp/jsonl")
+      s.read.schema(docs.schema).json(s"$tmp/jsonl").orderBy("doc_id")
+    },
+    Some(hazardSql)
+  )
+
+  // --------------------------------------------------------------- q114
+  /** CSV round trip under the hash gate — S8 promoted from
+    * untested-by-oracle to gated: RFC 4180 quoting (escape = quote, so
+    * embedded quotes double) with multiLine read for the embedded
+    * newline. A wrong quote/escape/multiLine setting silently corrupts
+    * text corpora; this gate pins the exact option set that survives. */
+  private val q114 = Q(
+    "q114_csv_roundtrip",
+    (s, dir) => {
+      val docs = hazardDocs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q114").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      docs.coalesce(2).write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(s"$tmp/csv")
+      s.read.schema(docs.schema)
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .csv(s"$tmp/csv").orderBy("doc_id")
+    },
+    Some(hazardSql)
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
-    q109, q110, q111, q112)
+    q109, q110, q111, q112, q113, q114)
 }
