@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional (OLAP) aggregation: ROLLUP, CUBE and arbitrary
+  * GROUPING SETS with subtotal rows labeled `ALL` instead of SQL's
+  * ambiguous NULL.
+  *
+  * The reference's pandas pipelines only ever aggregate at one grain per
+  * view (SURVEY.md §2.5); dashboard workloads over the same gold tables
+  * want the subtotal lattice, which Spark computes in ONE pass — `Expand`
+  * replicates each input row once per grouping set and a single hash
+  * aggregate (with map-side partials) consumes the union, so a rollup
+  * over k columns costs one shuffle of (k+1)× the row count, not k+1
+  * separate scans+shuffles. At 100 TB that multiplier is the knob:
+  * prefer `rollup` (k+1 sets) over `cube` (2^k sets) unless every
+  * marginal is needed; filters on the dims stay below the Expand
+  * (Catalyst pushes deterministic predicates through it), so partition
+  * pruning is unaffected.
+  *
+  * Subtotal labeling: SQL marks rolled-up columns with NULL plus a
+  * `grouping()` bit. Downstream consumers (and the driver's hash gate)
+  * can't tell a subtotal NULL from a NULL in the data, so each dim is
+  * relabeled from its `grouping()` flag — not `coalesce` — which stays
+  * correct when the data itself contains NULLs. The flags are computed
+  * inside the aggregate projection (the only context where `grouping()`
+  * is defined) and dropped after the relabel.
+  */
+object MultiDim {
+
+  /** Hierarchical subtotals: (d1..dk), (d1..dk-1), …, (d1), (). */
+  def rollupAgg(df: DataFrame, dims: Seq[String], aggs: Seq[Column]): DataFrame =
+    relabeled(df.rollup(dims.map(col): _*), dims, aggs)
+
+  /** Full lattice: every subset of the dims (2^k grouping sets). */
+  def cubeAgg(df: DataFrame, dims: Seq[String], aggs: Seq[Column]): DataFrame =
+    relabeled(df.cube(dims.map(col): _*), dims, aggs)
+
+  /** Arbitrary grouping sets, each a subset of `dims`. */
+  def groupingSetsAgg(
+      df: DataFrame,
+      dims: Seq[String],
+      sets: Seq[Seq[String]],
+      aggs: Seq[Column]): DataFrame =
+    relabeled(df.groupingSets(sets.map(_.map(col)), dims.map(col): _*), dims, aggs)
+
+  private def relabeled(
+      grouped: RelationalGroupedDataset,
+      dims: Seq[String],
+      aggs: Seq[Column]): DataFrame = {
+    val flags = dims.map(d => grouping(col(d)).cast("int").as(s"_g_$d"))
+    val all = flags ++ aggs
+    val out = grouped.agg(all.head, all.tail: _*)
+    val relabel = dims.map { d =>
+      when(col(s"_g_$d") === 1, lit("ALL"))
+        .otherwise(col(d).cast("string")).as(d)
+    }
+    out.select(relabel ++ aggs.map(a => col(aliasOf(a))): _*)
+  }
+
+  /** Alias of an `expr.as("name")` column (all agg columns here are
+    * explicitly aliased, per the repo's hash-gate convention). */
+  private def aliasOf(c: Column): String =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c) match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.name
+      case e => e.sql
+    }
+}

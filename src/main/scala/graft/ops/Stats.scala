@@ -106,4 +106,63 @@ object Stats {
     state.withColumn("avg_v",
       F.when(F.col("n_v") === 0, F.lit(null).cast("double"))
         .otherwise(F.col("sum_v").cast("double") / F.col("n_v")))
+
+  /** Per-group k-sigma outlier counts with INTEGER-EXACT arithmetic — no
+    * floating sqrt/mean, so the flags are bit-identical across engines and
+    * partitionings (what makes the operator hash-gateable, q119).
+    *
+    * `x` must be integer-valued (scale fractional metrics first, e.g.
+    * micros). The test |x − μ| > k·σ is evaluated as the equivalent
+    * integer inequality
+    *
+    *   (n·x − s)² · (n−1)  >  k² · n · (n·ss − s²)
+    *
+    * (σ² = sample variance), cleared of denominators. All terms are
+    * DECIMAL(38,0): exact while n·max|x − pivot| < 10¹⁹. To keep that
+    * headroom at any corpus size the values are first shifted by a
+    * per-group integer pivot ≈ ⌊mean⌋ — the inequality is invariant under
+    * ANY integer shift, and the shifted s′, ss′ come from the unshifted
+    * window sums by exact identities (s′ = s − n·p, ss′ = ss − 2·p·s +
+    * n·p²), so re-centering costs no extra pass. The pivot itself may be
+    * computed in floating point: any integer near the mean works, only the
+    * SHIFTED arithmetic must be exact.
+    *
+    * Plan shape: one window over hash(group) computes (n, s, ss); the
+    * per-row flag and the final groupBy reuse the same exchange
+    * (HashPartitioning(group) satisfies the groupBy's distribution), so
+    * the whole operator is ONE shuffle of the input. */
+  def sigmaOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val x = F.col(valueCol).cast(dec)
+    val w = Window.partitionBy(groupCols.map(F.col): _*)
+    val staged = df
+      .withColumn("x", x)
+      .withColumn("n", F.count(F.lit(1)).over(w).cast(dec))
+      .withColumn("s", F.sum(F.col("x")).over(w).cast(dec))
+      .withColumn("ss", F.sum(F.col("x") * F.col("x")).over(w).cast(dec))
+      .withColumn("p",
+        F.floor(F.col("s").cast("double") / F.col("n").cast("double")).cast(dec))
+      .withColumn("xp", F.col("x") - F.col("p"))
+      .withColumn("sp", F.col("s") - F.col("n") * F.col("p"))
+      .withColumn("ssp",
+        F.col("ss") - F.lit(2).cast(dec) * F.col("p") * F.col("s") +
+          F.col("n") * F.col("p") * F.col("p"))
+    val lhs = (F.col("n") * F.col("xp") - F.col("sp")) *
+      (F.col("n") * F.col("xp") - F.col("sp")) * (F.col("n") - F.lit(1).cast(dec))
+    val rhs = F.lit(k.toLong * k).cast(dec) * F.col("n") *
+      (F.col("n") * F.col("ssp") - F.col("sp") * F.col("sp"))
+    staged
+      .withColumn("is_out",
+        F.when(F.col("n") >= 2 && lhs > rhs, F.lit(1L)).otherwise(F.lit(0L)))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.col("is_out")).as("n_outliers"))
+  }
 }
