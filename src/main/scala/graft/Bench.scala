@@ -58,14 +58,24 @@ object Bench {
     // run as SEPARATED full sweeps — back-to-back passes of one query would
     // let a single noise burst pollute every sample of that query, and the
     // min would keep it; separated sweeps make the samples independent.
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query (analysis OR execution) yields None, never a time: a
+    // fail-fast exception measures nothing, and recording it would anchor
+    // BENCH_MINS.json at e.g. 50 ms and "confirm" the breakage as a perf win
+    // next round (round 5's q26 blind spot). Failures surface in the bench
+    // JSON under "errors" with a -1.0 sentinel in "queries".
+    val benchErrors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       dropCaches()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[bench] $name FAILED: $msg")
+        benchErrors(name) = msg.take(300)
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // Setup/operator split for the index-backed dedup queries: q50/q54's
     // production shape reads a persisted pair list / band index from the
@@ -79,14 +89,23 @@ object Bench {
     val sweeps = (1 to 3).map { _ =>
       ordered.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
     }
+    // A query is "good" only if every sweep produced a time; -1.0 is the
+    // failure sentinel in the reported maps (matches pipeline_total's
+    // convention), and BENCH_MINS.json only ever records good minima.
+    val good = ordered.collect {
+      case (name, _) if sweeps.forall(_(name).isDefined) =>
+        name -> sweeps.flatMap(_(name)).min
+    }
     val results = ordered.map { case (name, _) =>
-      name -> sweeps.map(_(name)).min
+      name -> sweeps.flatMap(_(name)).minOption.filter(_ =>
+        sweeps.forall(_(name).isDefined)).getOrElse(-1.0)
     }
     // per-query max across sweeps: the spread. A wide min/max gap reads as
     // host noise (this VM bursts for seconds at a time); a shifted MIN is a
     // plan regression — reporting both lets a reviewer tell them apart
     // without re-running anything.
-    val maxes = ordered.map { case (name, _) => name -> sweeps.map(_(name)).max }
+    val maxes = ordered.map { case (name, _) =>
+      name -> sweeps.flatMap(_(name)).maxOption.getOrElse(-1.0) }
     val pipelineSec = pipelineBench(spark, sfDir, dropCaches _)
     // Self-defense against in-suite host inflation (the recurring review
     // cost of rounds 3 and 4: apparent regressions that a clean JVM
@@ -99,11 +118,12 @@ object Bench {
     // this run's mins for the next round. Absolute floor 0.25 s keeps
     // sub-second jitter from triggering child JVMs.
     val prevMins = BenchRecheck.readMins("BENCH_MINS.json")
-    val outliers = results.collect {
+    val outliers = good.collect {
       case (name, v) if prevMins.get(name).exists(p => v > 1.5 * p && v - p > 0.25) => name
     }.take(10)
     val dedicated = BenchRecheck.dedicatedSamples(outliers, sfDir)
-    BenchRecheck.writeMins("BENCH_MINS.json", results)
+    BenchRecheck.writeMins("BENCH_MINS.json",
+      BenchRecheck.minsToRecord(good, benchErrors.keys.toSeq, prevMins))
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = jsonMap(results)
@@ -112,8 +132,11 @@ object Bench {
     val dedJson = dedicated.map { case (k, vs) =>
       "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","pipeline_total":$pipelineSec%.3f,"setup":$setupJson,"queries":$qs,"max":$maxJson,"dedicated":$dedJson,"sf":"$sfDir"}""")
+    val total = good.map(_._2).sum
+    val errJson = benchErrors.map { case (k, v) =>
+      VerifyCore.q(k) + ":" + VerifyCore.q(v)
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","pipeline_total":$pipelineSec%.3f,"setup":$setupJson,"queries":$qs,"max":$maxJson,"dedicated":$dedJson,"errors":$errJson,"sf":"$sfDir"}""")
     graft.core.SilverWriter.deleteOnExit(setupDir)
     spark.stop()
   }
@@ -217,6 +240,16 @@ object Bench {
   * bench: a missing minima file or an unspawnable child JVM degrades to an
   * empty "dedicated" map. */
 object BenchRecheck {
+
+  /** What BENCH_MINS.json records: this run's good minima, plus — for
+    * queries that FAILED this run — their previous minima unchanged, so the
+    * self-defense gate still has a baseline once they're fixed. A failed
+    * query must never mint a new (fail-fast) minimum. Pure; VerifySpec
+    * covers the failure cases. */
+  def minsToRecord(
+      good: Seq[(String, Double)], failed: Seq[String],
+      prev: Map[String, Double]): Seq[(String, Double)] =
+    good ++ failed.flatMap(n => prev.get(n).map(n -> _))
 
   /** name → min seconds from a previous run (flat JSON object file). */
   def readMins(path: String): Map[String, Double] = {

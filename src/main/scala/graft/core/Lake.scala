@@ -14,7 +14,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 16 lineitem columns must only read 2 column chunks.
   */
 final case class Lake(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** One normalization point for the whole engine: every TIMESTAMP_NTZ
+    * column is cast to TIMESTAMP at scan time. The driver's generator writes
+    * parquet `timestamp[us]` with `isAdjustedToUTC=false`, which Spark 4
+    * infers as TIMESTAMP_NTZ — a type `unix_micros()` and friends reject at
+    * analysis time (the round-5 five-query regression). The session TZ is
+    * pinned UTC (GraftSession), so the cast is a deterministic wall-clock
+    * identity, and the DuckDB oracle (which reads the same parquet as naive
+    * timestamps) sees identical values. The cast happens BEFORE any filter,
+    * and Catalyst still pushes predicates on untouched columns to the scan;
+    * timestamp predicates compare post-cast, same as the pre-drift plans. */
+  def table(name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((d, c) =>
+      d.withColumn(c, org.apache.spark.sql.functions.col(c).cast("timestamp")))
+  }
 
   def region: DataFrame = table("region")
   def nation: DataFrame = table("nation")
@@ -24,10 +41,18 @@ final case class Lake(spark: SparkSession, dir: String) {
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark has no native type
-    * for; with spark.sql.legacy.parquet.nanosAsLong the scan yields long
-    * nanos, converted here (losslessly — the data is micro-aligned) to a
-    * proper timestamp column. */
+  /** Normalizes `ts` to TimestampType no matter which parquet encoding the
+    * generator used. Encodings observed across testdata regenerations:
+    *   - TIMESTAMP(NANOS) → long nanos under
+    *     spark.sql.legacy.parquet.nanosAsLong (no native Spark type),
+    *     converted losslessly here (the data is micro-aligned);
+    *   - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ, handled by
+    *     [[table]]'s generic NTZ cast;
+    *   - plain TIMESTAMP, passed through.
+    * Downstream micro-arithmetic (sessionization, as-of/range joins,
+    * funnels, SCD2) relies on this contract; LakeSpec pins it so the next
+    * encoding drift fails at the Lake layer with a clear message, not five
+    * queries deep. */
   def events: DataFrame = {
     val e = table("events")
     import org.apache.spark.sql.functions.expr

@@ -123,6 +123,36 @@ final class EdFiClient(
     result
   }
 
+  /** Data-standard version gate (reference api/api.py:26,72-78
+    * `validate_supported_api`): the ODS root document advertises its
+    * `dataModels`; the Ed-Fi model's version must start with a supported
+    * major.minor (3.3 / 4.0) or extraction refuses to start — endpoint
+    * paths and schemas are version-specific, and extracting from e.g. a
+    * 5.x ODS would produce silently-wrong silver. Returns the advertised
+    * version on success; throws with the advertised-vs-supported detail
+    * otherwise. Call order matches the reference job: validate, then
+    * extract ([[extractAll]] invokes it unless told not to). */
+  def validateSupportedApi(): String = {
+    val (status, body) = getWithRetry(apiUrl, Map.empty)
+    require(status == 200, s"ODS root document request failed: $status")
+    val version = edFiVersionFrom(body).getOrElse(
+      sys.error(s"no Ed-Fi dataModel advertised by $apiUrl"))
+    require(
+      EdFiClient.SupportedVersions.exists(version.startsWith),
+      s"unsupported Ed-Fi data standard $version (supported: " +
+        s"${EdFiClient.SupportedVersions.mkString(", ")})")
+    version
+  }
+
+  /** The `version` of the dataModels entry named Ed-Fi (case-insensitive),
+    * from the ODS root JSON. */
+  private[ingest] def edFiVersionFrom(json: String): Option[String] =
+    """(?i)\{[^{}]*"name"\s*:\s*"ed-fi"[^{}]*\}""".r
+      .findFirstIn(json)
+      .flatMap(entry =>
+        """"version"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(entry)
+          .map(_.group(1)))
+
   /** OAuth2 client-credentials token (reference helper/token.py:13-31). */
   def token(): String = {
     val cred = Base64.getEncoder.encodeToString(
@@ -183,8 +213,10 @@ final class EdFiClient(
       silverRoot: Path,
       schoolYear: String,
       window: Option[ChangeVersionWindow] = None,
-      parallelism: Int = 4
+      parallelism: Int = 4,
+      validateVersion: Boolean = true
   ): Unit = {
+    if (validateVersion) validateSupportedApi()
     // One shared token, refreshed (once per expiry) when the API starts
     // rejecting it mid-extraction — long pulls outlive token TTLs, and the
     // reference would silently truncate every remaining endpoint. An empty
@@ -230,4 +262,10 @@ final class EdFiClient(
     }
     Await.result(Future.sequence(work), Duration.Inf)
   }
+}
+
+object EdFiClient {
+  /** Ed-Fi data-standard versions the endpoint census targets
+    * (reference api/api.py:26 SUPPORTED_VERSION). */
+  val SupportedVersions: Seq[String] = Seq("3.3", "4.0")
 }

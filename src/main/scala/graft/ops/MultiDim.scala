@@ -56,14 +56,13 @@ object MultiDim {
       when(col(s"_g_$d") === 1, lit("ALL"))
         .otherwise(col(d).cast("string")).as(d)
     }
-    out.select(relabel ++ aggs.map(a => col(aliasOf(a))): _*)
+    // The agg result schema is (dims, flags, aggs) in declaration order, so
+    // the agg output names are simply the LAST aggs.length columns — read
+    // them positionally. (Extracting the alias from the Column itself is a
+    // trap on Spark 4: the Column → Expression conversion wraps the node in
+    // a ColumnNodeExpression, so a catalyst-Alias match silently falls
+    // through and resolves a garbage name.)
+    val aggNames = out.columns.takeRight(aggs.length).toSeq
+    out.select(relabel ++ aggNames.map(col): _*)
   }
-
-  /** Alias of an `expr.as("name")` column (all agg columns here are
-    * explicitly aliased, per the repo's hash-gate convention). */
-  private def aliasOf(c: Column): String =
-    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c) match {
-      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.name
-      case e => e.sql
-    }
 }

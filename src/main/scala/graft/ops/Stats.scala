@@ -107,25 +107,39 @@ object Stats {
       F.when(F.col("n_v") === 0, F.lit(null).cast("double"))
         .otherwise(F.col("sum_v").cast("double") / F.col("n_v")))
 
-  /** Per-group k-sigma outlier counts with INTEGER-EXACT arithmetic — no
-    * floating sqrt/mean, so the flags are bit-identical across engines and
-    * partitionings (what makes the operator hash-gateable, q119).
+  /** Per-group k-sigma outlier counts, deterministic across engines and
+    * partitionings (hash-gateable: q117).
     *
-    * `x` must be integer-valued (scale fractional metrics first, e.g.
-    * micros). The test |x − μ| > k·σ is evaluated as the equivalent
-    * integer inequality
+    * `x` must be integer-valued (scale fractional metrics first). The test
+    * |x − μ| > k·σ (σ² = sample variance) is evaluated cleared of
+    * denominators as
     *
-    *   (n·x − s)² · (n−1)  >  k² · n · (n·ss − s²)
+    *   d² · (n−1)  >  k² · n · V,   d = n·x − s,  V = n·ss − s²
     *
-    * (σ² = sample variance), cleared of denominators. All terms are
-    * DECIMAL(38,0): exact while n·max|x − pivot| < 10¹⁹. To keep that
-    * headroom at any corpus size the values are first shifted by a
-    * per-group integer pivot ≈ ⌊mean⌋ — the inequality is invariant under
-    * ANY integer shift, and the shifted s′, ss′ come from the unshifted
-    * window sums by exact identities (s′ = s − n·p, ss′ = ss − 2·p·s +
-    * n·p²), so re-centering costs no extra pass. The pivot itself may be
-    * computed in floating point: any integer near the mean works, only the
-    * SHIFTED arithmetic must be exact.
+    * over per-group sums that are themselves DECIMAL(38,0)-exact: the
+    * values are first shifted by a per-group integer pivot ≈ ⌊mean⌋ (the
+    * inequality is invariant under any integer shift; the shifted s′, ss′
+    * come from the unshifted window sums by exact identities s′ = s − n·p,
+    * ss′ = ss − 2·p·s + n·p², so re-centering costs no extra pass — and
+    * |s′| < n always, since p is within 1 of the mean).
+    *
+    * Exactness domain, and what happens beyond it: the decimal comparison
+    * is performed exactly whenever BOTH sides are < 10³⁶ — a per-row
+    * branch guard evaluated on double approximations first (margin 100×
+    * under the DECIMAL(38,0) ceiling, far wider than the double's 1e-15
+    * relative error). Outside the guard the sides are compared in double:
+    * still fully deterministic (same exact sums in, IEEE arithmetic), and
+    * a wrong verdict would need the two sides to agree to ~15 significant
+    * digits while one exceeds 10³⁶ — beyond k-sigma's meaningfulness.
+    * This replaces the r5 formulation, which evaluated the decimal path
+    * unconditionally and threw NUMERIC_VALUE_OUT_OF_RANGE (ANSI) once
+    * n·|deviation| crossed ~10¹⁹ — e.g. epoch-micros data, n=1000
+    * (OpsSpec covers exactly that domain now).
+    *
+    * The un-guarded staging sums impose the only hard domain limit:
+    * n·x̄² must stay below 10³⁸ (the p·s / n·p² re-centering terms), i.e.
+    * micros-scale magnitudes (~10¹⁵) are safe to ~10⁷ rows per group;
+    * larger groups should pre-scale the unit.
     *
     * Plan shape: one window over hash(group) computes (n, s, ss); the
     * per-row flag and the final groupBy reuse the same exchange
@@ -138,31 +152,49 @@ object Stats {
       k: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val internal = Seq("_sig_x", "_sig_n", "_sig_s", "_sig_ss", "_sig_p",
+      "_sig_xp", "_sig_sp", "_sig_ssp", "_sig_out")
+    require(df.columns.intersect(internal).isEmpty,
+      s"input columns collide with sigmaOutliers internals: " +
+        df.columns.intersect(internal).mkString(", "))
+    require(!groupCols.contains("n") && !groupCols.contains("n_outliers"),
+      "group columns collide with output columns n/n_outliers")
     val dec = "decimal(38,0)"
-    val x = F.col(valueCol).cast(dec)
     val w = Window.partitionBy(groupCols.map(F.col): _*)
     val staged = df
-      .withColumn("x", x)
-      .withColumn("n", F.count(F.lit(1)).over(w).cast(dec))
-      .withColumn("s", F.sum(F.col("x")).over(w).cast(dec))
-      .withColumn("ss", F.sum(F.col("x") * F.col("x")).over(w).cast(dec))
-      .withColumn("p",
-        F.floor(F.col("s").cast("double") / F.col("n").cast("double")).cast(dec))
-      .withColumn("xp", F.col("x") - F.col("p"))
-      .withColumn("sp", F.col("s") - F.col("n") * F.col("p"))
-      .withColumn("ssp",
-        F.col("ss") - F.lit(2).cast(dec) * F.col("p") * F.col("s") +
-          F.col("n") * F.col("p") * F.col("p"))
-    val lhs = (F.col("n") * F.col("xp") - F.col("sp")) *
-      (F.col("n") * F.col("xp") - F.col("sp")) * (F.col("n") - F.lit(1).cast(dec))
-    val rhs = F.lit(k.toLong * k).cast(dec) * F.col("n") *
-      (F.col("n") * F.col("ssp") - F.col("sp") * F.col("sp"))
+      .withColumn("_sig_x", F.col(valueCol).cast(dec))
+      .withColumn("_sig_n", F.count(F.lit(1)).over(w).cast(dec))
+      .withColumn("_sig_s", F.sum(F.col("_sig_x")).over(w).cast(dec))
+      .withColumn("_sig_ss",
+        F.sum(F.col("_sig_x") * F.col("_sig_x")).over(w).cast(dec))
+      .withColumn("_sig_p",
+        F.floor(F.col("_sig_s").cast("double") / F.col("_sig_n").cast("double"))
+          .cast(dec))
+      .withColumn("_sig_xp", F.col("_sig_x") - F.col("_sig_p"))
+      .withColumn("_sig_sp", F.col("_sig_s") - F.col("_sig_n") * F.col("_sig_p"))
+      .withColumn("_sig_ssp",
+        F.col("_sig_ss") - F.lit(2).cast(dec) * F.col("_sig_p") * F.col("_sig_s") +
+          F.col("_sig_n") * F.col("_sig_p") * F.col("_sig_p"))
+    val n = F.col("_sig_n"); val xp = F.col("_sig_xp")
+    val sp = F.col("_sig_sp"); val ssp = F.col("_sig_ssp")
+    val k2 = F.lit(k.toLong * k)
+    // double approximations steer the branch; exact decimals decide in it
+    val nD = n.cast("double"); val dD = (n * xp - sp).cast("double")
+    val vD = nD * ssp.cast("double") - sp.cast("double") * sp.cast("double")
+    val lhsD = dD * dD * (nD - F.lit(1.0))
+    val rhsD = F.lit((k.toLong * k).toDouble) * nD * vD
+    val guard = F.abs(lhsD) < F.lit(1e36) && F.abs(rhsD) < F.lit(1e36)
+    val d = n * xp - sp
+    val lhs = d * d * (n - F.lit(1).cast(dec))
+    val rhs = k2.cast(dec) * n * (n * ssp - sp * sp)
+    val isOut = F.when(n < 2, F.lit(false))
+      .when(guard, lhs > rhs)
+      .otherwise(lhsD > rhsD)
     staged
-      .withColumn("is_out",
-        F.when(F.col("n") >= 2 && lhs > rhs, F.lit(1L)).otherwise(F.lit(0L)))
+      .withColumn("_sig_out", F.when(isOut, F.lit(1L)).otherwise(F.lit(0L)))
       .groupBy(groupCols.map(F.col): _*)
       .agg(
         F.count(F.lit(1)).as("n"),
-        F.sum(F.col("is_out")).as("n_outliers"))
+        F.sum(F.col("_sig_out")).as("n_outliers"))
   }
 }

@@ -83,6 +83,44 @@ object TextScaleProbe {
 
     println(
       f"""{"probe":"text-scale","sf":"$sfDir","rows_1x":$n1,"rows_${replicas}x":$n10,$results}""")
+
+    // ---- document-LENGTH scaling (VERDICT r5 #8) -----------------------
+    // The count probes above replicate docs; none grow a DOC. Per-row
+    // higher-order-function chains are where a hidden quadratic bites
+    // book-length documents (the r5 wordConcentration cliff), so this
+    // section scales each doc's TEXT `lengthX`× on a fixed small doc set
+    // and reports the growth factor — ≈ lengthX (allowing log-factor sort
+    // cost and fixed overhead) is the pass condition.
+    import graft.ops.TextAnalysis
+    val lengthX = 30
+    def longCorpus(mult: Int): DataFrame =
+      Lake(spark, sfDir).documents.filter(col("doc_id") < 2000)
+        .select(col("doc_id"),
+          concat_ws(" ", array_repeat(col("text"), mult)).as("text"))
+    val short = longCorpus(1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val long = longCorpus(lengthX)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    short.count(); long.count()
+    val lenProbes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "len_token_counts" -> (d => d.select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpe"))),
+      "len_concentration" -> (d => d.select(col("doc_id"),
+        TextAnalysis.wordConcentration(col("text")).as("simpson"))),
+      "len_repetition" -> (d =>
+        TextAnalysis.repetitionMetrics(d, "doc_id", "text")),
+      "len_bm25" -> (d => Index.bm25TopK(d, "doc_id", "text", queries, k = 10))
+    )
+    val lenResults = lenProbes.map { case (name, op) =>
+      noop(op(short))
+      val t1 = timed(noop(op(short)))
+      noop(op(long))
+      val tL = timed(noop(op(long)))
+      f""""$name":{"sec_1x":$t1%.3f,"sec_${lengthX}x":$tL%.3f,"factor":${tL / t1}%.1f}"""
+    }.mkString(",")
+    println(
+      f"""{"probe":"text-length-scale","sf":"$sfDir","docs":2000,"length_mult":$lengthX,$lenResults}""")
     spark.stop()
   }
 }

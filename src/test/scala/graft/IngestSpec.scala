@@ -10,10 +10,17 @@ import graft.ingest._
   * this environment; the transport seam is the point). */
 class IngestSpec extends AnyFunSuite {
 
+  /** The ODS root document a healthy 3.3 API advertises (version gate). */
+  private val RootDoc =
+    """{"version": "5.3", "dataModels": [
+      |  {"name": "Ed-Fi", "version": "3.3.1-b", "informationalVersion": "latest"},
+      |  {"name": "TPDM", "version": "1.1.0"}]}""".stripMargin
+
   private class FakeTransport(pages: Map[Int, String]) extends HttpTransport {
     var requests: List[String] = Nil
     def get(url: String, headers: Map[String, String]): (Int, String) = {
       requests ::= url
+      if (!url.contains("offset=")) return (200, RootDoc) // root: version gate
       assert(headers("Authorization") == "Bearer tok-123")
       val offset = "offset=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
       (200, pages.getOrElse(offset, "[]"))
@@ -107,6 +114,7 @@ class IngestSpec extends AnyFunSuite {
       var requests: List[String] = Nil
       def get(url: String, headers: Map[String, String]): (Int, String) = {
         requests ::= url
+        if (!url.contains("offset=")) return (200, RootDoc)
         if (headers("Authorization") == "Bearer tok-2")
           if (url.contains("offset=0") && !url.contains("deletes")) (200, """[{"id": 1}]""")
           else (200, "[]")
@@ -126,6 +134,41 @@ class IngestSpec extends AnyFunSuite {
     assert(Files.exists(root.resolve("2022/students/students_0.json")))
   }
 
+  test("version gate: supported data standard passes, 5.x ODS refuses extraction") {
+    // supported: RootDoc advertises Ed-Fi 3.3.1-b
+    val ok = new EdFiClient(new FakeTransport(Map.empty), "http://api", "k", "s")
+    assert(ok.validateSupportedApi() == "3.3.1-b")
+    // unsupported: a future ODS advertising Ed-Fi 5.2.0 must fail BEFORE
+    // any endpoint extraction (reference api/api.py:26,72-78)
+    val t5 = new FakeTransport(Map(0 -> """[{"id": 1}]""")) {
+      override def get(url: String, headers: Map[String, String]): (Int, String) = {
+        requests ::= url
+        if (!url.contains("offset="))
+          (200, """{"dataModels": [{"name": "Ed-Fi", "version": "5.2.0"}]}""")
+        else super.get(url, headers)
+      }
+    }
+    val bad = new EdFiClient(t5, "http://api", "k", "s")
+    val e = intercept[IllegalArgumentException] {
+      bad.extractAll(Seq("students"), Files.createTempDirectory("silver"), "2022")
+    }
+    assert(e.getMessage.contains("5.2.0"))
+    assert(!t5.requests.exists(_.contains("data/v3")), "no endpoint GET after refusal")
+    // no Ed-Fi model advertised at all → clear failure too
+    val tNone = new FakeTransport(Map.empty) {
+      override def get(url: String, headers: Map[String, String]): (Int, String) =
+        (200, """{"dataModels": [{"name": "TPDM", "version": "1.1.0"}]}""")
+    }
+    intercept[RuntimeException] {
+      new EdFiClient(tNone, "http://api", "k", "s").validateSupportedApi()
+    }
+    // opt-out for test rigs without a root document
+    val tOff = new FakeTransport(Map(0 -> """[{"id": 1}]"""))
+    new EdFiClient(tOff, "http://api", "k", "s").extractAll(
+      Seq("students"), Files.createTempDirectory("silver"), "2022",
+      validateVersion = false)
+  }
+
   test("the full 80-endpoint census resolves a silver schema for every entry") {
     val eps = graft.core.EndpointCatalog.extractionEndpoints
     assert(eps.size == 80) // reference endpoint.json census
@@ -143,6 +186,7 @@ class IngestSpec extends AnyFunSuite {
     val rows = scala.collection.mutable.ArrayBuffer((1, 1L), (2, 2L), (3, 3L))
     val t = new HttpTransport {
       def get(url: String, headers: Map[String, String]): (Int, String) = {
+        if (!url.contains("offset=")) return (200, RootDoc)
         if (url.contains("/deletes")) return (200, "[]")
         def param(p: String) =
           s"$p=(\\d+)".r.findFirstMatchIn(url).map(_.group(1).toLong)

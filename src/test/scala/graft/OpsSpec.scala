@@ -200,6 +200,110 @@ class OpsSpec extends SparkTestBase {
     assert(snap(chained) == snap(full))
   }
 
+  test("MultiDim.rollupAgg: subtotal lattice with ALL labels, aliased agg names survive") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val df = Seq(("US", "web", 10L), ("US", "app", 5L), ("EU", "web", 7L))
+      .toDF("country", "channel", "v")
+    val out = MultiDim.rollupAgg(df, Seq("country", "channel"),
+      Seq(sum(col("v")).as("total"), count(lit(1)).as("n")))
+    assert(out.columns.toSeq == Seq("country", "channel", "total", "n"))
+    val m = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(m(("US", "web")) == (10L, 1L))
+    assert(m(("US", "ALL")) == (15L, 2L))   // per-country subtotal
+    assert(m(("EU", "ALL")) == (7L, 1L))
+    assert(m(("ALL", "ALL")) == (22L, 3L))  // grand total
+    assert(m.size == 6)                     // 3 leaves + 2 subtotals + 1 total
+  }
+
+  test("MultiDim: ALL label vs genuine NULL dim value stay distinct; cube and grouping sets run") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val df = Seq((Some("US"), 1L), (None, 2L)).toDF("country", "v")
+    val rolled = MultiDim.rollupAgg(df, Seq("country"), Seq(sum(col("v")).as("total")))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(rolled(Some("US")) == 1L)
+    assert(rolled(None) == 2L)              // data NULL survives as NULL
+    assert(rolled(Some("ALL")) == 3L)       // subtotal labeled, not coalesced
+    val cube = MultiDim.cubeAgg(
+      Seq(("a", "x", 1L)).toDF("d1", "d2", "v"), Seq("d1", "d2"),
+      Seq(count(lit(1)).as("n")))
+    assert(cube.count() == 4)               // 2^2 grouping sets
+    val gs = MultiDim.groupingSetsAgg(
+      Seq(("a", "x", 1L)).toDF("d1", "d2", "v"), Seq("d1", "d2"),
+      Seq(Seq("d1"), Seq("d2")), Seq(count(lit(1)).as("n")))
+    assert(gs.count() == 2)
+  }
+
+  test("Intervals: closed semantics — adjacent blocks merge, coverage counts end-start+1") {
+    // the ADVICE r5 case: [1,3],[2,5],[4,6] is ONE closed block of 6 days
+    val df = Seq(("u", 1L, 3L), ("u", 2L, 5L), ("u", 4L, 6L),
+      ("v", 1L, 3L), ("v", 4L, 6L),   // adjacent (4 = 3+1) → merge
+      ("w", 1L, 2L), ("w", 4L, 5L))   // gap (4 > 2+1) → two blocks
+      .toDF("k", "s", "e")
+    val cov = Intervals.coverage(df, Seq("k"), "s", "e")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cov("u") == (1L, 6L))
+    assert(cov("v") == (1L, 6L))      // [1,6] = 6 days, one block
+    assert(cov("w") == (2L, 4L))      // [1,2] + [4,5] = 4 days
+    val blocks = Intervals.mergeIntervals(df, Seq("k"), "s", "e")
+      .filter(col("k") === "w").orderBy("block_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(blocks == Seq((1L, 2L), (4L, 5L)))
+  }
+
+  test("Intervals/sigmaOutliers reject colliding internal column names") {
+    val iv = Seq(("u", 1L, 2L, 0L)).toDF("k", "s", "e", "_iv_opens")
+    intercept[IllegalArgumentException] {
+      Intervals.mergeIntervals(iv, Seq("k"), "s", "e")
+    }
+    val sg = Seq(("g", 1L, 0L)).toDF("g", "v", "_sig_x")
+    intercept[IllegalArgumentException] {
+      Stats.sigmaOutliers(sg, Seq("g"), "v", 2)
+    }
+  }
+
+  test("Stats.sigmaOutliers: epoch-micros scale, n=1000 — no overflow, exact counts") {
+    import org.apache.spark.sql.functions.col
+    // the ADVICE r5 failing domain: micros-scale magnitudes with n=1000
+    // threw NUMERIC_VALUE_OUT_OF_RANGE under ANSI. Values spread over ~30
+    // years of epoch micros plus two planted 5-sigma-ish outliers.
+    val base = 1500000000000000L // ~2017-07 in epoch micros
+    val day = 86400000000L
+    val rows = (0 until 998).map(i => ("g", base + (i % 200) * day * 37)) ++
+      Seq(("g", base + 500L * 365 * day), ("g", base - 400L * 365 * day))
+    val out = Stats.sigmaOutliers(rows.toDF("g", "ts_us"), Seq("g"), "ts_us", 3)
+      .collect().head
+    assert(out.getLong(1) == 1000L)
+    // oracle computed exactly in BigInt from the same rows
+    val xs = rows.map(_._2).map(BigInt(_))
+    val n = BigInt(xs.size); val s = xs.sum; val ss = xs.map(x => x * x).sum
+    val expected = xs.count { x =>
+      val d = n * x - s
+      d * d * (n - 1) > BigInt(9) * n * (n * ss - s * s)
+    }
+    assert(out.getLong(2) == expected.toLong, "outlier count vs BigInt oracle")
+    assert(expected >= 2, s"fixture should plant detectable outliers, got $expected")
+  }
+
+  test("Stats.sigmaOutliers: small-magnitude exact path agrees with BigInt oracle") {
+    val rows = Seq.tabulate(50)(i => ("a", (i % 7).toLong)) ++
+      Seq(("a", 1000L), ("b", 5L), ("b", 5L), ("b", 5L))
+    val out = Stats.sigmaOutliers(rows.toDF("g", "v"), Seq("g"), "v", 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def oracle(g: String, k: Int): Long = {
+      val xs = rows.filter(_._1 == g).map(t => BigInt(t._2))
+      val n = BigInt(xs.size); val s = xs.sum; val ss = xs.map(x => x * x).sum
+      xs.count { x =>
+        val d = n * x - s
+        d * d * (n - 1) > BigInt(k.toLong * k) * n * (n * ss - s * s)
+      }.toLong
+    }
+    assert(out("a") == (51L, oracle("a", 2)))
+    assert(out("a")._2 >= 1L)             // the planted 1000 is caught
+    assert(out("b") == (3L, 0L))          // zero variance → no outliers
+  }
+
   test("Stats.logHistogram: binary-digit buckets, zero bucket, power-of-two edges exact") {
     val df = Seq(("a", 0L), ("a", 1L), ("a", 1L), ("a", 7L), ("a", 8L),
       ("b", 1023L), ("b", 1024L)).toDF("g", "v")
