@@ -29,6 +29,12 @@ object TimeQuery {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
+      // ContextCleaner is GC-driven: in a large-heap measurement JVM the
+      // collector may never run on its own, so shuffle files and broadcast
+      // blocks from previous samples pile up and perturb later ones (the
+      // bimodal q54 samples that round 5 could not attribute). An explicit
+      // GC between samples keeps each measurement's runway clean.
+      System.gc()
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
