@@ -10,23 +10,49 @@ import graft.runner.AmtPipeline
   * read silver JSON for each school year, build every registered view,
   * write gold parquet.
   *
-  * Usage: AmtRun <silverRoot> <goldRoot> <schoolYear> [<schoolYear>...]
+  * Usage: AmtRun <silverRoot> <goldRoot> <schoolYear>... [--loop <seconds>]
+  *
+  * With `--loop`, the process stays up and refreshes on the interval —
+  * the reference's hourly schedule (dagster_config/schedules/
+  * schedule.py:8-10) without the Dagster daemon — and each iteration
+  * skips years whose silver tree is byte-identical to the last build
+  * ([[graft.runner.AmtLoop]] fingerprints; the reference rebuilds
+  * unconditionally every hour). Without `--loop` it runs once, which is
+  * the cron/Airflow shape: the fingerprint state persists under
+  * `<goldRoot>/_state/`, so even cron-driven runs no-op on unchanged
+  * silver.
   */
 object AmtRun {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: AmtRun <silverRoot> <goldRoot> <schoolYear>...")
-    val silverRoot = args(0)
-    val goldRoot = args(1)
-    val years = args.drop(2)
+    val loopIdx = args.indexOf("--loop")
+    val (positional, intervalSec) =
+      if (loopIdx >= 0) {
+        require(loopIdx + 1 < args.length, "--loop requires <seconds>")
+        (args.take(loopIdx) ++ args.drop(loopIdx + 2),
+          Some(args(loopIdx + 1).toLong))
+      } else (args, None)
+    require(positional.length >= 3,
+      "usage: AmtRun <silverRoot> <goldRoot> <schoolYear>... [--loop <seconds>]")
+    val silverRoot = positional(0)
+    val goldRoot = positional(1)
+    val years = positional.drop(2).toSeq
     val cpus = GraftSession.defaultParallelism
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-amt"),
       shufflePartitions = cpus
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    years.foreach { year =>
-      new AmtPipeline(spark, silverRoot, year).writeAll(goldRoot)
-      println(s"[amt] school year $year -> $goldRoot/$year")
+    intervalSec match {
+      case None =>
+        years.foreach { year =>
+          val built = graft.runner.AmtLoop.runOnce(spark, silverRoot, goldRoot, year)
+          println(s"[amt] school year $year -> $goldRoot/$year" +
+            (if (built) "" else " (unchanged, skipped)"))
+        }
+      case Some(sec) =>
+        println(s"[amt] refresh loop every ${sec}s over years ${years.mkString(", ")}")
+        graft.runner.AmtLoop.loop(
+          spark, silverRoot, goldRoot, years, sec * 1000L)
     }
     spark.stop()
   }

@@ -182,7 +182,10 @@ object TextAnalysis {
     * (`transform(array_distinct(ws), d → size(filter(ws, _ = d)))`),
     * which was O(distinct × w) per ROW: fine at sf0.1, a 10⁸-comparison
     * cliff for one book-length document at corpus scale (VERDICT r5
-    * What's-wrong #3). TextScaleProbe measures the length scaling. */
+    * What's-wrong #3). MEASURED (TextScaleProbe length section, sf0.1,
+    * 2000 docs, text ×30): 0.182 s → 4.18 s = 23× at 30× length —
+    * near-linear, the sort's log factor absorbed; token counts 15.3×,
+    * repetitionMetrics 2.1×, BM25 1.3× on the same fixture. */
   def wordConcentration(text: Column): Column = {
     val ws = array_sort(tokens(text))
     val init = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc"))

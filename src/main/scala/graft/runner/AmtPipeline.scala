@@ -160,4 +160,13 @@ final class AmtPipeline(
       }), Duration.Inf)
     finally pool.shutdown()
   }
+
+  /** Unpersist every frame this pipeline cached (hot endpoints + shared
+    * views). A long-lived loop ([[AmtLoop]]) builds a fresh pipeline per
+    * iteration — without release the previous iteration's caches pin
+    * executor memory for the session's lifetime. */
+  def release(): Unit = synchronized {
+    (endpoints.values ++ built.values).foreach(_.unpersist(false))
+    endpoints.clear(); built.clear()
+  }
 }

@@ -1422,6 +1422,36 @@ class AmtViewsSpec extends SparkTestBase {
     assert(written.count() == 2)
   }
 
+  test("refresh loop: rebuild, no-op on unchanged silver, rebuild on drift") {
+    import graft.runner.AmtLoop
+    val silver = silverWith(
+      "gradingPeriods" -> gradingPeriodsJson,
+      "gradingPeriodDescriptors" -> gradingPeriodDescriptorsJson)
+    val gold = Files.createTempDirectory("gold").toString
+    val sleeps = scala.collection.mutable.ListBuffer.empty[Long]
+    // two consecutive loop iterations over unchanged silver: the first
+    // builds all 41 views, the second must be a NO-OP (fingerprint hit —
+    // the incremental story the reference's unconditional hourly rebuild
+    // lacks, dagster_config/schedules/schedule.py:8-10)
+    val counts = AmtLoop.loop(spark, silver.toString, gold, Seq("2022"),
+      intervalMillis = 3600_000L, maxIterations = 2, sleep = sleeps.append(_))
+    assert(counts == Seq(1, 0), "second iteration must skip the unchanged year")
+    assert(sleeps.toList == List(3600_000L)) // slept between, not after
+    assert(spark.read.parquet(s"$gold/2022/gradingPeriodDim.parquet").count() == 2)
+    // a new silver file (a delta batch landing) must trigger a rebuild,
+    // and a rebuild after gold deletion must also repair the output
+    Files.writeString(
+      silver.resolve("2022").resolve("gradingPeriods").resolve("gradingPeriods_2.json"),
+      "[]")
+    assert(AmtLoop.runOnce(spark, silver.toString, gold, "2022"))
+    assert(!AmtLoop.runOnce(spark, silver.toString, gold, "2022"))
+    // missing silver year: stable "absent" fingerprint, builds once (empty
+    // frames), then no-ops
+    assert(AmtLoop.silverFingerprint(silver.toString, "1999") == "absent")
+    assert(AmtLoop.runOnce(spark, silver.toString, gold, "1999"))
+    assert(!AmtLoop.runOnce(spark, silver.toString, gold, "1999"))
+  }
+
   test("diagnose: one-call key-skew report for a view's hot key") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
