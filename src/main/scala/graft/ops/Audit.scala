@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit — the constraint layer a production lake
+  * runs on every batch before publishing it (the Delta-constraints /
+  * dbt-test shape). The reference has no audit at all: bad rows flow into
+  * gold silently (its empty-input tolerance actively hides them, SURVEY
+  * §2 S5). Training-data pipelines need the opposite: a cheap, declarative
+  * report of how many rows violate each contract, so a poisoned delivery
+  * is quarantined BEFORE it contaminates a shuffle-distributed corpus.
+  *
+  * Three check families, three plan shapes — each the cheapest Spark can
+  * offer for its question:
+  *   - row checks (not-null / range / custom predicate): ALL of them fold
+  *     into ONE aggregate pass over the table — k checks cost one scan with
+  *     k conditional counters (map-side combined), not k scans;
+  *   - uniqueness: one groupBy on the key with a >1 filter — a shuffle of
+  *     the key columns only (project-then-shuffle, never the full row);
+  *   - referential integrity: a left-anti join against the dimension's
+  *     distinct keys — broadcast when the dimension is small (the usual
+  *     case: descriptor/dim tables), shuffle otherwise, and only the two
+  *     key columns move.
+  *
+  * Output contract (one row per check, stable names for the gate):
+  * `(check_name, violations, rows_checked)` ordered by check name. `violations`
+  * counts ROWS in violation; a NULL in a range/custom check column is NOT
+  * a violation of that check (SQL three-valued logic: add an explicit
+  * NotNull check for null policing, matching how SQL CHECK constraints
+  * treat NULL as passing).
+  *
+  * Gated by q118 (DuckDB oracle states each family as plain SQL). */
+object Audit {
+
+  /** One declarative constraint. `name` keys the report row. */
+  sealed trait Check { def name: String }
+
+  /** Violation: the column IS NULL. */
+  final case class NotNull(col: String) extends Check {
+    val name = s"not_null:$col"
+  }
+
+  /** Violation: value outside [lo, hi] (inclusive). NULLs pass. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Check {
+    val name = s"range:$col"
+  }
+
+  /** Violation: the predicate is NOT satisfied (false). NULLs pass,
+    * matching SQL CHECK semantics. */
+  final case class Satisfies(checkName: String, predicate: Column) extends Check {
+    val name = s"check:$checkName"
+  }
+
+  /** Violation: a row whose key tuple occurs more than once (every row of
+    * a duplicated key counts, including the "first"). */
+  final case class UniqueKey(cols: Seq[String]) extends Check {
+    val name = s"unique:${cols.mkString(",")}"
+  }
+
+  /** Violation: a non-null foreign key with no match in `dim.dimCol`.
+    * `broadcastDim = true` (default) hints the usual dim-table case; pass
+    * false for a fact-sized right side and let AQE pick the join. */
+  final case class RefIntegrity(
+      col: String, dim: DataFrame, dimCol: String,
+      broadcastDim: Boolean = true) extends Check {
+    val name = s"fk:$col"
+  }
+
+  /** Run every check; returns `(check_name, violations, rows_checked)` sorted by
+    * check name. All row checks share one aggregate scan; each UniqueKey
+    * adds one key-column shuffle; each RefIntegrity adds one anti-join. */
+  def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "audit needs at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "duplicate check names: " + checks.map(_.name).diff(checks.map(_.name).distinct))
+
+    def violationExpr(c: Check): Option[Column] = c match {
+      case NotNull(col0) => Some(col(col0).isNull)
+      case InRange(col0, lo, hi) =>
+        // NULL-safe: null comparison yields null → coalesce to false
+        Some(coalesce(col(col0) < lit(lo) || col(col0) > lit(hi), lit(false)))
+      case Satisfies(_, p) => Some(coalesce(!p, lit(false)))
+      case _ => None
+    }
+
+    val rowChecks = checks.flatMap(c => violationExpr(c).map(c.name -> _))
+    val rowReport: Option[DataFrame] =
+      if (rowChecks.isEmpty) None
+      else {
+        val aggs = rowChecks.map { case (name, v) =>
+          sum(when(v, 1L).otherwise(0L)).as(s"v::$name")
+        } :+ count(lit(1)).as("rows_checked")
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        // one wide row → k narrow report rows via EXPLODE of a struct
+        // array, NOT a union of k selects: a union re-plans the aggregate
+        // per branch (column pruning splits it into k single-counter aggs,
+        // each with its own scan of the source — observed in the plan),
+        // while the explode provably keeps the one shared pass
+        val kvs = array(rowChecks.map { case (name, _) =>
+          struct(lit(name).as("check_name"),
+            coalesce(col(s"`v::$name`"), lit(0L)).as("violations"))
+        }: _*)
+        Some(one.select(explode(kvs).as("kv"), col("rows_checked"))
+          .select(col("kv.check_name").as("check_name"),
+            col("kv.violations").as("violations"),
+            col("rows_checked")))
+      }
+
+    val keyReports = checks.collect { case UniqueKey(cols0) =>
+      val dup = df.groupBy(cols0.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("violations"))
+      dup.crossJoin(df.agg(count(lit(1)).as("rows_checked")))
+        .select(lit(s"unique:${cols0.mkString(",")}").as("check_name"),
+          col("violations"), col("rows_checked"))
+    }
+
+    val fkReports = checks.collect { case RefIntegrity(col0, dim, dimCol, bcast) =>
+      val keys = dim.select(col(dimCol).as(col0)).distinct()
+      val orphans = df.select(col(col0)).filter(col(col0).isNotNull)
+        .join(if (bcast) broadcast(keys) else keys, Seq(col0), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      orphans.crossJoin(df.agg(count(lit(1)).as("rows_checked")))
+        .select(lit(s"fk:$col0").as("check_name"),
+          col("violations"), col("rows_checked"))
+    }
+
+    (rowReport.toSeq ++ keyReports ++ fkReports)
+      .reduce(_.unionByName(_))
+      .orderBy("check_name")
+  }
+}

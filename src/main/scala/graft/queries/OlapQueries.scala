@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.core.Lake
 import graft.ops.{Intervals, MultiDim, Stats}
 
-/** OLAP-analytics coverage: the subtotal lattice ([[graft.ops.MultiDim]]),
-  * closed-interval union/coverage ([[graft.ops.Intervals]]) and exact
-  * k-sigma outlier counts ([[graft.ops.Stats.sigmaOutliers]]) — the three
-  * round-5 operators that shipped without gates (and, for MultiDim, without
-  * working: the alias round-trip broke on Spark 4's ColumnNode — ADVICE r5).
-  * Each oracle states the identical algebra in DuckDB SQL; the hash gate is
-  * what proves the window/Expand formulations ARE the textbook definitions.
+/** OLAP + lake-governance coverage: the subtotal lattice
+  * ([[graft.ops.MultiDim]]), closed-interval union/coverage
+  * ([[graft.ops.Intervals]]) and exact k-sigma outlier counts
+  * ([[graft.ops.Stats.sigmaOutliers]]) — the three round-5 operators that
+  * shipped without gates (and, for MultiDim, without working: the alias
+  * round-trip broke on Spark 4's ColumnNode — ADVICE r5) — plus the
+  * declarative data-quality audit ([[graft.ops.Audit]], q118) and the
+  * additive schema-evolution read contract (q119). Each oracle states the
+  * identical algebra in DuckDB SQL; the hash gate is what proves the
+  * window/Expand/audit formulations ARE the textbook definitions.
   */
 object OlapQueries {
 
@@ -139,5 +142,107 @@ object OlapQueries {
       FROM flags GROUP BY event_type ORDER BY event_type""")
   )
 
-  val all: Seq[Q] = Seq(q115, q116, q117)
+  // --------------------------------------------------------------- q118
+  /** Data-quality audit over orders: five declarative constraints —
+    * three row checks folded into ONE aggregate scan, a key-uniqueness
+    * shuffle (key columns only), and a broadcast anti-join FK probe
+    * against customer. One row per check, `(check_name, violations, rows_checked)`. The fixture plants violations deterministically
+    * (every 97th order gets an out-of-range price and a dangling
+    * custkey; every 101st duplicates its key) so each family's counter
+    * is exercised above zero. */
+  private val q118 = Q(
+    "q118_quality_audit",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val base = lake.orders.select(
+        when(pmod(col("o_orderkey"), lit(101)) === 0, lit(1L))
+          .otherwise(col("o_orderkey")).as("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(97)) === 0, col("o_custkey") * lit(-1))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        when(pmod(col("o_orderkey"), lit(97)) === 0, lit(-1.0))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+      graft.ops.Audit.audit(base, Seq(
+        graft.ops.Audit.NotNull("o_custkey"),
+        graft.ops.Audit.InRange("o_totalprice", 0.0, 1e9),
+        graft.ops.Audit.Satisfies("status_known",
+          col("o_orderstatus").isin("O", "F", "P")),
+        graft.ops.Audit.UniqueKey(Seq("o_orderkey")),
+        graft.ops.Audit.RefIntegrity("o_custkey", lake.customer, "c_custkey")))
+    },
+    Some("""
+      WITH base AS (
+        SELECT
+          CASE WHEN o_orderkey % 101 = 0 THEN 1
+               ELSE o_orderkey END AS o_orderkey,
+          CASE WHEN o_orderkey % 97 = 0 THEN o_custkey * -1
+               ELSE o_custkey END AS o_custkey,
+          CASE WHEN o_orderkey % 97 = 0 THEN -1.0
+               ELSE o_totalprice END AS o_totalprice,
+          o_orderstatus
+        FROM orders),
+      n AS (SELECT COUNT(*) AS rows_checked FROM base)
+      SELECT 'check:status_known' AS check_name,
+        CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+          o_orderstatus IN ('O','F','P'), FALSE)) AS BIGINT) AS violations,
+        rows_checked
+      FROM base CROSS JOIN n GROUP BY rows_checked
+      UNION ALL
+      SELECT 'fk:o_custkey' AS check_name,
+        CAST((SELECT COUNT(*) FROM base b
+          WHERE b.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = b.o_custkey)) AS BIGINT),
+        rows_checked FROM n
+      UNION ALL
+      SELECT 'not_null:o_custkey' AS check_name,
+        CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+        rows_checked
+      FROM base CROSS JOIN n GROUP BY rows_checked
+      UNION ALL
+      SELECT 'range:o_totalprice' AS check_name,
+        CAST(COUNT(*) FILTER (WHERE COALESCE(
+          o_totalprice < 0.0 OR o_totalprice > 1e9, FALSE)) AS BIGINT),
+        rows_checked
+      FROM base CROSS JOIN n GROUP BY rows_checked
+      UNION ALL
+      SELECT 'unique:o_orderkey' AS check_name,
+        CAST(COALESCE((SELECT SUM(c) FROM (
+          SELECT COUNT(*) AS c FROM base GROUP BY o_orderkey
+          HAVING COUNT(*) > 1)), 0) AS BIGINT),
+        rows_checked FROM n
+      ORDER BY check_name""")
+  )
+
+  // --------------------------------------------------------------- q119
+  /** Schema-evolution round trip — the lake reality that a corpus's
+    * schema GROWS over deliveries: batch 1 lands (doc_id, text), batch 2
+    * adds a `lang` column; a mergeSchema read must see the union schema
+    * with NULL backfill for the early batch, and the result must
+    * hash-equal the oracle's direct statement of that semantics. Pins
+    * the exact read options that make additive evolution safe (the
+    * default read takes ONE file's footer and would silently drop or
+    * misread `lang`). */
+  private val q119 = Q(
+    "q119_schema_evolution",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q119").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$tmp/evolved/batch=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/evolved/batch=2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/evolved")
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, text,
+        CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
+      FROM documents ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119)
 }

@@ -200,6 +200,56 @@ class OpsSpec extends SparkTestBase {
     assert(snap(chained) == snap(full))
   }
 
+  test("Audit: every check family counts its planted violations; NULLs pass range/custom") {
+    import org.apache.spark.sql.functions.col
+    val dim = Seq(1L, 2L, 3L).toDF("id")
+    val rows = Seq(
+      (Some(1L), Some(10.0), "ok", 1L),
+      (Some(2L), Some(-5.0), "ok", 2L),   // range violation
+      (None, None, "ok", 3L),             // null fk (passes fk+range), null violation
+      (Some(9L), Some(20.0), "bad", 4L),  // fk orphan + custom violation
+      (Some(3L), Some(30.0), "ok", 4L))   // duplicate key with previous row
+      .toDF("fk", "v", "status", "k")
+    val out = Audit.audit(rows, Seq(
+      Audit.NotNull("fk"),
+      Audit.InRange("v", 0.0, 100.0),
+      Audit.Satisfies("status_ok", col("status") === "ok"),
+      Audit.UniqueKey(Seq("k")),
+      Audit.RefIntegrity("fk", dim, "id")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("not_null:fk") == (1L, 5L))
+    assert(out("range:v") == (1L, 5L))        // the NULL v is not a violation
+    assert(out("check:status_ok") == (1L, 5L))
+    assert(out("unique:k") == (2L, 5L))       // both rows of the dup key count
+    assert(out("fk:fk") == (1L, 5L))          // NULL fk passes, 9 is the orphan
+    assert(out.size == 5)
+    // a clean table reports all-zero violations, same shape
+    val clean = Audit.audit(dim.toDF("k"), Seq(
+      Audit.NotNull("k"), Audit.UniqueKey(Seq("k"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean == Map("not_null:k" -> 0L, "unique:k" -> 0L))
+    intercept[IllegalArgumentException] { Audit.audit(dim, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      Audit.audit(dim.toDF("k"), Seq(Audit.NotNull("k"), Audit.NotNull("k")))
+    }
+  }
+
+  test("Audit: row checks fold into one aggregate over one scan") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 2.0), (2L, 3.0)).toDF("a", "b")
+    val plan = Audit.audit(df, Seq(
+      Audit.NotNull("a"), Audit.InRange("b", 0, 10),
+      Audit.Satisfies("pos", col("b") > 0)))
+      .queryExecution.executedPlan.toString
+    // three row checks, but the source is scanned once per report row via
+    // the shared 1-row aggregate (ReusedExchange/InMemory aside, there is
+    // no per-check shuffle): no Exchange beyond the single-partition agg
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    assert(exchanges - reused <= 2,
+      s"row checks should share one aggregate, got $exchanges exchanges:\n$plan")
+  }
+
   test("MultiDim.rollupAgg: subtotal lattice with ALL labels, aliased agg names survive") {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     val df = Seq(("US", "web", 10L), ("US", "app", 5L), ("EU", "web", 7L))

@@ -27,6 +27,17 @@ class PlanSpec extends SparkTestBase {
     // pruned read schema: only the two projected columns reach the scan
     assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate"),
       s"scan not pruned to 2 columns in:\n$plan")
+    // the Lake layer's NTZ→TIMESTAMP normalization must not cost pushdown:
+    // under the pinned UTC session the cast is order-preserving, and
+    // Catalyst unwraps the comparison back onto the NTZ scan column —
+    // a typed timestamp predicate lands in PushedFilters, not above a
+    // cast-projection
+    val ts = Lake(spark, sfDir).orders
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate")
+    val tsPlan = planOf(ts)
+    assert(tsPlan.contains("LessThan(o_orderdate"),
+      s"timestamp predicate not pushed through the NTZ cast in:\n$tsPlan")
   }
 
   test("descriptor-constant lookup joins are broadcast, never shuffled") {

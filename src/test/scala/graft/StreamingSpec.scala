@@ -211,6 +211,8 @@ class StreamingSpec extends SparkTestBase {
     import graft.ingest._
     val t = new HttpTransport {
       def get(url: String, headers: Map[String, String]): (Int, String) = {
+        if (!url.contains("offset="))          // root doc: version gate
+          return (200, """{"dataModels": [{"name": "Ed-Fi", "version": "4.0.0"}]}""")
         val offset = "offset=(\\d+)".r.findFirstMatchIn(url)
           .map(_.group(1).toInt).getOrElse(0)
         if (offset > 0) (200, "[]")
