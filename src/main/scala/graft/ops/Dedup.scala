@@ -498,6 +498,38 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy("cluster_id")))
   }
 
+  /** Canonical-survivor selection — the step after [[dupClusters]] that
+    * actually SHRINKS the corpus: keep exactly one document per duplicate
+    * cluster, chosen by a quality score (longest text, classifier score,
+    * source priority — any numeric column), ties broken by smallest
+    * doc_id so the choice is deterministic under any partitioning.
+    * `dupClusters`' own `doc_id == cluster_id` rule keeps the
+    * smallest-id member regardless of quality; real curation wants the
+    * BEST member, which is this operator.
+    *
+    * Plan shape: one broadcast-able join of the cluster map onto the
+    * score frame, then a row_number window on hash(cluster_id) — at
+    * corpus scale the window state per task is one cluster's rows, and
+    * no full-row data moves (join carries only doc_id, cluster
+    * metadata, and the score column).
+    *
+    * @param clusters [[dupClusters]] output (doc_id, cluster_id, cluster_size)
+    * @param scores   (doc_id, scoreCol, ...) — one row per corpus doc
+    * @return one row per cluster: the surviving doc with its cluster_id,
+    *         cluster_size, and n_dropped = cluster_size − 1
+    */
+  def keepCanonical(
+      clusters: DataFrame, scores: DataFrame, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    clusters.join(scores, Seq("doc_id"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("cluster_size") - lit(1L)).cast("long").as("n_dropped"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minOverlap` distinct shingles with an evaluation/benchmark set.
     * Training corpora must drop these rows or eval numbers are

@@ -665,6 +665,58 @@ object PipelineQueries {
       FROM cc ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q120
+  /** The corpus-dedup pipeline CLOSED end-to-end: near-dup pairs →
+    * connected components → best-member survivor per cluster
+    * ([[graft.ops.Dedup.keepCanonical]]: longest text wins, doc_id breaks
+    * ties deterministically). One row per cluster — this is the frame a
+    * curation pass writes as the deduplicated corpus. The oracle extends
+    * q50's recursive-CC chain with a QUALIFY row_number survivor pick. */
+  private val q120 = Q(
+    "q120_dedup_survivors",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val pairs = Dedup.jaccardPairs(Dedup.shingles(docs, "doc_id", "text", 3), 0.8)
+      val clusters = Dedup.dupClusters(docs.select("doc_id"), pairs)
+      Dedup.keepCanonical(clusters, docs.select("doc_id", "n_chars"), "n_chars")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE $ShinglesCte,
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.8),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+      reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst AS node, r.label
+        FROM reach r JOIN edges e ON r.node = e.src),
+      cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+             FROM reach GROUP BY node),
+      sized AS (
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM cc)
+      SELECT s.doc_id, s.cluster_id, s.cluster_size,
+             CAST(s.cluster_size - 1 AS BIGINT) AS n_dropped
+      FROM sized s JOIN documents d ON d.doc_id = s.doc_id
+      QUALIFY row_number() OVER (
+        PARTITION BY s.cluster_id ORDER BY d.n_chars DESC, s.doc_id) = 1
+      ORDER BY s.doc_id""")
+  )
+
   // ---------------------------------------------------------------- q51
   /** Deterministic stratified sampling — the training-mix knob ("keep all
     * of src0, half of src1, a quarter of the rest") as a pure hash
@@ -2954,5 +3006,5 @@ object PipelineQueries {
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
-    q109, q110, q111, q112, q113, q114)
+    q109, q110, q111, q112, q113, q114, q120)
 }

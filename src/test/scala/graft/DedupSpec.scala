@@ -261,6 +261,24 @@ class DedupSpec extends SparkTestBase {
     assert(out.count { case (id, (cl, _)) => id == cl } == 3)
   }
 
+  test("keepCanonical: best-by-score survives, ties break by doc_id, singletons kept") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.dupClusters(nodes, pairs)
+    // cluster {1,2,3}: doc 3 has the best score (NOT the min-id member);
+    // cluster {4,5}: tie on score → smaller doc_id 4 wins; 6 is a singleton
+    val scores = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 7L), (5L, 7L),
+      (6L, 1L)).toDF("doc_id", "quality")
+    val out = Dedup.keepCanonical(clusters, scores, "quality").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Long]("n_dropped"))).toMap
+    assert(out.keySet == Set(3L, 4L, 6L))
+    assert(out(3L) == (1L, 3L, 2L))
+    assert(out(4L) == (4L, 2L, 1L))
+    assert(out(6L) == (6L, 1L, 0L))
+  }
+
   test("degenerate LSH geometry fails loudly, never silently goes all-pairs") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
