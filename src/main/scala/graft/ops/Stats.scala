@@ -107,6 +107,79 @@ object Stats {
       F.when(F.col("n_v") === 0, F.lit(null).cast("double"))
         .otherwise(F.col("sum_v").cast("double") / F.col("n_v")))
 
+  /** Per-group discrete quantile threshold as a window column: the SMALLEST
+    * value whose cumulative distribution reaches `p` — a value drawn FROM
+    * the data (quantile_disc semantics), so no interpolation arithmetic
+    * exists to drift between engines; the oracle states the identical
+    * cume_dist + conditional-min algebra. Both windows hash-partition on
+    * the group, so stacking thresholds adds sorts but never exchanges. */
+  private def discThreshold(
+      groupCols: Seq[String], valueCol: String, p: Double): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy(groupCols.map(F.col): _*)
+    val cd = F.cume_dist().over(byGroup.orderBy(F.col(valueCol)))
+    F.min(F.when(cd >= p, F.col(valueCol))).over(byGroup)
+  }
+
+  /** Winsorization — clip each value to its group's [pLo, pHi] discrete
+    * quantiles, the standard tail-taming step before training-statistics
+    * aggregation (a corrupted parse that claims 10¹² tokens would
+    * otherwise own the mean). Returns the input plus `v_clipped`; clipped
+    * values are existing data points (discrete quantiles), so the output
+    * is bit-exact across engines — no interpolated floats. One shuffle on
+    * hash(group); the quantile windows and the clip projection share it.
+    * Gated by q121. */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      pLo: Double,
+      pHi: Double
+  ): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile pair ($pLo, $pHi)")
+    val v = F.col(valueCol)
+    val lo = discThreshold(groupCols, valueCol, pLo)
+    val hi = discThreshold(groupCols, valueCol, pHi)
+    df.withColumn("v_clipped",
+      F.when(v < lo, lo).when(v > hi, hi).otherwise(v))
+  }
+
+  /** Robust (median/MAD) per-group outlier counts — the companion to
+    * [[sigmaOutliers]] for heavy-tailed metrics where mean/variance are
+    * themselves dragged by the outliers being hunted. A row is an outlier
+    * when |x − median| > k·MAD (MAD = median of absolute deviations).
+    * Both medians are DISCRETE (smallest value with cume_dist ≥ 0.5), so
+    * every comparison is between doubles copied from the data —
+    * deterministic across engines and partitionings, no interpolation.
+    * Degenerate MAD = 0 (over half the group identical) flags every
+    * value ≠ median, the textbook behavior. Two window sorts, ONE
+    * exchange on hash(group) (PlanSpec-asserted). Gated by q122. */
+  def robustOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double
+  ): DataFrame = {
+    val internal = Seq("_rob_med", "_rob_dev", "_rob_mad", "_rob_out")
+    require(df.columns.intersect(internal).isEmpty,
+      s"input columns collide with robustOutliers internals: " +
+        df.columns.intersect(internal).mkString(", "))
+    require(!groupCols.contains("n") && !groupCols.contains("n_outliers"),
+      "group columns collide with output columns n/n_outliers")
+    val staged = df
+      .withColumn("_rob_med", discThreshold(groupCols, valueCol, 0.5))
+      .withColumn("_rob_dev", F.abs(F.col(valueCol) - F.col("_rob_med")))
+      .withColumn("_rob_mad", discThreshold(groupCols, "_rob_dev", 0.5))
+    staged
+      .withColumn("_rob_out",
+        F.when(F.col("_rob_dev") > F.lit(k) * F.col("_rob_mad"), 1L)
+          .otherwise(0L))
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.col("_rob_out")).as("n_outliers"))
+  }
+
   /** Per-group k-sigma outlier counts, deterministic across engines and
     * partitionings (hash-gateable: q117).
     *

@@ -244,5 +244,75 @@ object OlapQueries {
       FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119)
+  // --------------------------------------------------------------- q121
+  /** Per-group winsorization of event values at the [p05, p95] discrete
+    * quantiles — clipped values are existing data points (no
+    * interpolation), so the row-wise output is bit-exact across engines.
+    * The oracle states the identical cume_dist + conditional-min
+    * threshold algebra. */
+  private val q121 = Q(
+    "q121_winsorize",
+    (s, dir) =>
+      Stats.winsorize(
+        Lake(s, dir).events.select("event_id", "event_type", "value"),
+        Seq("event_type"), "value", 0.05, 0.95)
+        .filter(col("event_id") < 2000)
+        .select("event_id", "event_type", "value", "v_clipped")
+        .orderBy("event_id"),
+    Some("""
+      WITH cd AS (
+        SELECT event_id, event_type, value,
+          cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS c
+        FROM events),
+      th AS (
+        SELECT event_id, event_type, value,
+          MIN(CASE WHEN c >= 0.05 THEN value END)
+            OVER (PARTITION BY event_type) AS lo,
+          MIN(CASE WHEN c >= 0.95 THEN value END)
+            OVER (PARTITION BY event_type) AS hi
+        FROM cd)
+      SELECT event_id, event_type, value,
+        CASE WHEN value < lo THEN lo
+             WHEN value > hi THEN hi
+             ELSE value END AS v_clipped
+      FROM th WHERE event_id < 2000 ORDER BY event_id""")
+  )
+
+  // --------------------------------------------------------------- q122
+  /** Robust (median/MAD) outlier counts per event type — the
+    * heavy-tail-safe twin of q117: |x − median| > 3·MAD with BOTH medians
+    * discrete (smallest value at cume_dist ≥ 0.5), so every comparison
+    * is between doubles copied from the data. Two window sorts on one
+    * hash(event_type) exchange. */
+  private val q122 = Q(
+    "q122_robust_outliers",
+    (s, dir) =>
+      Stats.robustOutliers(
+        Lake(s, dir).events.select("event_type", "value"),
+        Seq("event_type"), "value", k = 3.0)
+        .orderBy("event_type"),
+    Some("""
+      WITH med AS (
+        SELECT event_type, value,
+          MIN(CASE WHEN c >= 0.5 THEN value END)
+            OVER (PARTITION BY event_type) AS m
+        FROM (SELECT event_type, value,
+                cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS c
+              FROM events)),
+      dev AS (
+        SELECT event_type, value, m, ABS(value - m) AS d FROM med),
+      mad AS (
+        SELECT event_type, value, m, d,
+          MIN(CASE WHEN cd >= 0.5 THEN d END)
+            OVER (PARTITION BY event_type) AS md
+        FROM (SELECT *,
+                cume_dist() OVER (PARTITION BY event_type ORDER BY d) AS cd
+              FROM dev))
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN d > 3.0 * md THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers
+      FROM mad GROUP BY event_type ORDER BY event_type""")
+  )
+
+  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q121, q122)
 }

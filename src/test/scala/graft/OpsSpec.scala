@@ -354,6 +354,38 @@ class OpsSpec extends SparkTestBase {
     assert(out("b") == (3L, 0L))          // zero variance → no outliers
   }
 
+  test("Stats.winsorize: discrete-quantile clip — thresholds are data points, tails clamp") {
+    // group g: values 1..20; p10 discrete = smallest v with cume_dist ≥ .1
+    // = 2, p90 = 18; values clip INTO the data's own range
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val out = Stats.winsorize(df, Seq("k"), "v", 0.10, 0.90)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(out(1.0) == 2.0 && out(2.0) == 2.0)    // low tail → p10 threshold
+    assert(out(19.0) == 18.0 && out(20.0) == 18.0)
+    assert(out(10.0) == 10.0)                     // body untouched
+    intercept[IllegalArgumentException] {
+      Stats.winsorize(df, Seq("k"), "v", 0.9, 0.1)
+    }
+  }
+
+  test("Stats.robustOutliers: MAD flags the planted spike; zero-MAD degenerate case") {
+    // median 5, deviations {0..4, 95}: MAD = 2, 3·MAD = 6 → only the 100 flags
+    val rows = Seq(1.0, 3.0, 4.0, 5.0, 6.0, 7.0, 9.0, 100.0).map(("a", _)) ++
+      Seq(("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 42.0)) // MAD 0: 42 ≠ med flags
+      .toSeq
+    val out = Stats.robustOutliers(rows.toDF("g", "v"), Seq("g"), "v", 3.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a") == (8L, 1L), "only the planted 100 exceeds 3*MAD")
+    assert(out("b") == (4L, 1L), "MAD=0 flags every value off the median")
+    // contrast with sigma: the 100 drags the mean/variance so hard that a
+    // 2-sigma test MISSES it on tiny n — the reason the robust twin exists
+    val sig = Stats.sigmaOutliers(
+      rows.filter(_._1 == "a").map { case (g, v) => (g, v.toLong) }
+        .toDF("g", "v"), Seq("g"), "v", 2)
+      .collect().head
+    assert(sig.getLong(2) <= 1L)
+  }
+
   test("Stats.logHistogram: binary-digit buckets, zero bucket, power-of-two edges exact") {
     val df = Seq(("a", 0L), ("a", 1L), ("a", 1L), ("a", 7L), ("a", 8L),
       ("b", 1023L), ("b", 1024L)).toDF("g", "v")

@@ -478,6 +478,54 @@ class PlanSpec extends SparkTestBase {
       s"z-order should also confine an a-box, touched $touchesA/16")
   }
 
+  test("rollup lattice: ONE Expand + one aggregate pass, not k separate scans") {
+    import graft.ops.MultiDim
+    val plan = planOf(MultiDim.rollupAgg(
+      Lake(spark, sfDir).orders, Seq("o_orderstatus", "o_orderpriority"),
+      Seq(sum(col("o_totalprice").cast("decimal(38,2)")).as("rev"),
+        count(lit(1)).as("n"))))
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"subtotal lattice must be one Expand, got:\n$plan")
+    // one partial+final aggregate pair over the expanded rows — the whole
+    // hierarchy costs one shuffle of (k+1)x rows, never k+1 scans
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"rollup must scan the source once:\n$plan")
+  }
+
+  test("interval coverage and sigma outliers ride ONE exchange of the input") {
+    import graft.ops.{Intervals, Stats}
+    val iv = Seq(("u", 1L, 3L), ("u", 5L, 9L), ("v", 2L, 4L)).toDF("k", "s", "e")
+    val ivPlan = planOf(Intervals.coverage(iv, Seq("k"), "s", "e"))
+    // two windows + per-block groupBy + per-key groupBy all satisfy their
+    // distribution from the first hash(k) exchange
+    val ivEx = "Exchange".r.findAllIn(ivPlan).size -
+      "ReusedExchange".r.findAllIn(ivPlan).size
+    assert(ivEx == 1, s"coverage should shuffle once, got $ivEx:\n$ivPlan")
+    val sg = Seq(("g", 5L), ("g", 9L), ("h", 2L)).toDF("g", "v")
+    val sgPlan = planOf(Stats.sigmaOutliers(sg, Seq("g"), "v", 3))
+    val sgEx = "Exchange".r.findAllIn(sgPlan).size -
+      "ReusedExchange".r.findAllIn(sgPlan).size
+    assert(sgEx == 1, s"sigmaOutliers should shuffle once, got $sgEx:\n$sgPlan")
+    // the robust twin stacks two window sorts (value, then deviation) on
+    // the SAME hash(group) exchange — sorts are per-partition, free of
+    // further shuffles
+    val rbPlan = planOf(Stats.robustOutliers(
+      sg.toDF("g", "v").withColumn("v", col("v").cast("double")),
+      Seq("g"), "v", 3.0))
+    val rbEx = "Exchange".r.findAllIn(rbPlan).size -
+      "ReusedExchange".r.findAllIn(rbPlan).size
+    assert(rbEx == 1, s"robustOutliers should shuffle once, got $rbEx:\n$rbPlan")
+  }
+
+  test("audit referential integrity probes via broadcast anti-join") {
+    import graft.ops.Audit
+    val lake = Lake(spark, sfDir)
+    val plan = planOf(Audit.audit(lake.orders, Seq(
+      Audit.RefIntegrity("o_custkey", lake.customer, "c_custkey"))))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"FK check must be a broadcast anti-join:\n$plan")
+  }
+
   test("no registered query plans a cartesian product (cross-join ops excepted)") {
     // q07 is the deliberate J4 cross-join operator; q27 cross-joins a
     // 775-row calendar spine (broadcast nested loop, intentional).
