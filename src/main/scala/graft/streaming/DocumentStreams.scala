@@ -37,6 +37,73 @@ object DocumentStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming data-quality audit — the incremental twin of the batch
+    * [[graft.ops.Audit]] report (q118): per tumbling window, how many
+    * arriving rows violate each declared contract. This is the monitor a
+    * feed runs CONTINUOUSLY (alert when a delivery's violation rate
+    * jumps), in front of the batch audit that gates publication.
+    *
+    * Supported check families and their streaming shapes:
+    *   - row checks (NotNull / InRange / Satisfies): stateless violation
+    *     flags folded into the ONE windowed aggregate — identical
+    *     expressions to the batch path;
+    *   - RefIntegrity: a stream-static left join against the (static)
+    *     dimension's distinct keys — broadcast, stateless per batch —
+    *     with the orphan flag feeding the same aggregate.
+    *   - UniqueKey is deliberately NOT supported here: cross-batch
+    *     uniqueness needs unbounded state; within-watermark duplicate
+    *     policing belongs to `dropDuplicatesWithinWatermark` (see
+    *     [[curateStream]]) and full-history uniqueness to the batch audit.
+    *
+    * Output: one row per closed window — `window_start`, `rows_checked`,
+    * and a `v::<check name>` violation count per check (wide, not
+    * exploded: a monitor reads one row per window; the batch report shape
+    * is one explode away). Append mode via the watermark. */
+  def auditStream(
+      rows: DataFrame,
+      checks: Seq[graft.ops.Audit.Check],
+      tsCol: String = "ts",
+      windowDur: String = "1 hour",
+      watermark: String = "1 hour"
+  ): DataFrame = {
+    import graft.ops.Audit._
+    require(checks.nonEmpty, "auditStream needs at least one check")
+    require(!checks.exists(_.isInstanceOf[UniqueKey]),
+      "UniqueKey is batch-only (unbounded state); use " +
+        "dropDuplicatesWithinWatermark for in-horizon duplicate policing")
+    // attach one violation flag per check; FK checks join the static dim
+    val (flagged, flagCols) = checks.foldLeft((rows, Seq.empty[(String, String)])) {
+      case ((df, acc), c) =>
+        val flagCol = s"__viol_${acc.size}"
+        val withFlag = c match {
+          case NotNull(c0) => df.withColumn(flagCol, col(c0).isNull)
+          case InRange(c0, lo, hi) => df.withColumn(flagCol,
+            coalesce(col(c0) < lit(lo) || col(c0) > lit(hi), lit(false)))
+          case Satisfies(_, p) => df.withColumn(flagCol, coalesce(!p, lit(false)))
+          case RefIntegrity(c0, dim, dimCol, _) =>
+            val marker = s"__dim_${acc.size}"
+            df.join(
+              broadcast(dim.select(col(dimCol).as(c0)).distinct()
+                .withColumn(marker, lit(1))),
+              Seq(c0), "left")
+              .withColumn(flagCol, col(c0).isNotNull && col(marker).isNull)
+              .drop(marker)
+          case u: UniqueKey => throw new IllegalArgumentException(u.name)
+        }
+        (withFlag, acc :+ (c.name, flagCol))
+    }
+    val aggs = flagCols.map { case (name, f) =>
+      sum(when(col(f), 1L).otherwise(0L)).as(s"v::$name")
+    } :+ count(lit(1)).as("rows_checked")
+    flagged
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start") +:
+        col("rows_checked") +:
+        flagCols.map { case (name, _) => col(s"`v::$name`") }: _*)
+  }
+
   /** Streaming PII scrub — the incremental twin of the batch redaction
     * pass (q58), using the SAME codegen'd expressions. Stateless (pure
     * map, no watermark, no state store): a scrub belongs at the front of

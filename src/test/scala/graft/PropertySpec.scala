@@ -425,4 +425,94 @@ class PropertySpec extends SparkTestBase {
       }
     }, n = 4)
   }
+
+  test("interval coverage laws: bounded by span, exact on disjoint closed blocks") {
+    val gen = Gen.listOfN(15, Gen.zip(
+      Gen.choose(0, 2), Gen.choose(0L, 40L), Gen.choose(0L, 15L)))
+    holds(Prop.forAll(gen) { raw =>
+      val rows = raw.map { case (k, s, len) => (s"k$k", s, s + len) }
+      if (rows.isEmpty) true
+      else {
+        val out = graft.ops.Intervals.coverage(
+          rows.toDF("k", "s", "e"), Seq("k"), "s", "e")
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        rows.groupBy(_._1).forall { case (k, g) =>
+          val (blocks, covered) = out(k)
+          val span = g.map(_._3).max - g.map(_._2).min + 1
+          // union measure: covered within [max single block, whole span],
+          // block count within [1, #intervals]; exact vs a brute-force
+          // point-set union (small domains make it affordable)
+          val points = g.flatMap { case (_, s, e) => s to e }.toSet
+          covered == points.size && blocks >= 1 && blocks <= g.size &&
+            covered <= span
+        }
+      }
+    }, n = 5)
+  }
+
+  test("rollup law: subtotals and grand total are consistent for any data") {
+    val gen = Gen.listOfN(12, Gen.zip(
+      Gen.oneOf("a", "b", "c"), Gen.oneOf("x", "y"), Gen.choose(-50L, 50L)))
+    holds(Prop.forAll(gen) { raw =>
+      if (raw.isEmpty) true
+      else {
+        val df = raw.toDF("d1", "d2", "v")
+        val out = graft.ops.MultiDim.rollupAgg(df, Seq("d1", "d2"),
+          Seq(sum(col("v")).as("total")))
+          .collect().map(r =>
+            (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val grand = raw.map(_._3).sum
+        val perD1 = raw.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        out(("ALL", "ALL")) == grand &&
+          perD1.forall { case (d1, s) => out((d1, "ALL")) == s } &&
+          // leaf rows reproduce the plain groupBy
+          raw.groupBy(t => (t._1, t._2)).forall { case ((d1, d2), g) =>
+            out((d1, d2)) == g.map(_._3).sum
+          }
+      }
+    }, n = 5)
+  }
+
+  test("winsorize laws: idempotent, count-preserving, clipped into data range") {
+    val gen = Gen.listOfN(20, Gen.choose(-1000, 1000).map(_.toDouble))
+    holds(Prop.forAll(gen) { vs =>
+      if (vs.isEmpty) true
+      else {
+        val df = vs.map(("g", _)).toDF("k", "v")
+        val once = graft.ops.Stats.winsorize(df, Seq("k"), "v", 0.1, 0.9)
+        val clipped = once.select("v_clipped").collect().map(_.getDouble(0))
+        val again = graft.ops.Stats.winsorize(
+          once.select(col("k"), col("v_clipped").as("v")), Seq("k"), "v", 0.1, 0.9)
+          .select("v_clipped").collect().map(_.getDouble(0))
+        // thresholds are data points → output ⊆ input values; re-clipping
+        // at the same percentiles is a no-op; row count preserved
+        clipped.length == vs.length &&
+          clipped.forall(vs.contains) &&
+          clipped.sorted.sameElements(again.sorted)
+      }
+    }, n = 5)
+  }
+
+  test("audit law: violations never exceed rows_checked; clean data reports zero") {
+    val gen = Gen.listOfN(15, Gen.zip(Gen.choose(0L, 8L), Gen.choose(-5.0, 15.0)))
+    holds(Prop.forAll(gen) { raw =>
+      if (raw.isEmpty) true
+      else {
+        val df = raw.toDF("k", "v")
+        val out = graft.ops.Audit.audit(df, Seq(
+          graft.ops.Audit.NotNull("k"),
+          graft.ops.Audit.InRange("v", 0.0, 10.0),
+          graft.ops.Audit.UniqueKey(Seq("k"))))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        val expectedRange = raw.count { case (_, v) => v < 0.0 || v > 10.0 }
+        val expectedDup = raw.groupBy(_._1).values
+          .filter(_.size > 1).map(_.size).sum
+        out.forall { case (_, (viol, rows)) =>
+          viol >= 0 && viol <= rows && rows == raw.length
+        } &&
+          out.toMap.apply("range:v")._1 == expectedRange.toLong &&
+          out.toMap.apply("unique:k")._1 == expectedDup.toLong
+      }
+    }, n = 5)
+  }
 }

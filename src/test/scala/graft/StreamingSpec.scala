@@ -268,6 +268,65 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("auditStream: per-window violation counts equal the batch audit on the same rows") {
+    import graft.ops.Audit
+    implicit val sc = spark.sqlContext
+    val dim = Seq(1L, 2L, 3L).toDF("id")
+    val checks = Seq(
+      Audit.NotNull("fk"),
+      Audit.InRange("v", 0.0, 10.0),
+      Audit.RefIntegrity("fk", dim, "id"))
+    val input = MemoryStream[(Long, Timestamp, java.lang.Long, java.lang.Double)]
+    val rows = input.toDF().toDF("row_id", "ts", "fk", "v")
+    val q = graft.streaming.DocumentStreams
+      .auditStream(rows, checks, windowDur = "10 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("audited")
+      .outputMode("append").start()
+    try {
+      // window 1 (t+0..9): one orphan fk, one range violation, one null fk
+      // window 2 (t+10..19): clean
+      def row(id: Long, t: Timestamp, fk: java.lang.Long, v: java.lang.Double) =
+        (id, t, fk, v)
+      input.addData(
+        row(1L, ts(0), 1L, 5.0),
+        row(2L, ts(1), 9L, 5.0),                   // fk orphan
+        row(3L, ts(2), 2L, -1.0),                  // range violation
+        row(4L, ts(3), null, 5.0),                 // null fk
+        row(5L, ts(11), 3L, 7.0))
+      input.addData((6L, ts(25), java.lang.Long.valueOf(1L),
+        java.lang.Double.valueOf(1.0)))            // advances watermark
+      q.processAllAvailable()
+      val out = spark.table("audited").collect()
+        .map(r => r.getAs[java.sql.Timestamp]("window_start") ->
+          (r.getAs[Long]("rows_checked"), r.getAs[Long]("v::not_null:fk"),
+            r.getAs[Long]("v::range:v"), r.getAs[Long]("v::fk:fk"))).toMap
+      assert(out.nonEmpty, "first window should have closed")
+      val w1 = out.minBy(_._1.getTime)._2
+      assert(w1 == (4L, 1L, 1L, 1L))
+      // twin law: the batch audit over the same first-window rows agrees
+      val batchRows = Seq(
+        (1L, Option(1L), Option(5.0)), (2L, Option(9L), Option(5.0)),
+        (3L, Option(2L), Option(-1.0)), (4L, Option.empty[Long], Option(5.0)))
+        .toDF("row_id", "fk", "v")
+      val batch = Audit.audit(batchRows, checks).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(batch("not_null:fk") == w1._2)
+      assert(batch("range:v") == w1._3)
+      assert(batch("fk:fk") == w1._4)
+    } finally q.stop()
+  }
+
+  test("auditStream refuses UniqueKey (unbounded state) with a clear message") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val rows = input.toDF().toDF("k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.DocumentStreams.auditStream(
+        rows, Seq(graft.ops.Audit.UniqueKey(Seq("k"))))
+    }
+    assert(e.getMessage.contains("batch-only"))
+  }
+
   test("scrubStream: in-flight PII redaction matches the batch expressions row for row") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, String)]
