@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   * NotNull check for null policing, matching how SQL CHECK constraints
   * treat NULL as passing).
   *
-  * Gated by q118 (DuckDB oracle states each family as plain SQL). */
+  * Gated by q118 (DuckDB oracle states each family as plain SQL);
+  * MEASURED flat at 10× data (OlapScaleProbe: 0.37 → 0.30 s — the
+  * broadcast and map-side combines absorb the volume). Streaming twin:
+  * [[graft.streaming.DocumentStreams.auditStream]]. */
 object Audit {
 
   /** One declarative constraint. `name` keys the report row. */

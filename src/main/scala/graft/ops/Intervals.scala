@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
   * rows-per-key maps to task skew exactly like any window; the q116 gate
   * runs it over per-user event intervals where key cardinality is high
   * and per-key counts are small, the shape the operator targets.
+  * MEASURED (OlapScaleProbe, sf0.1 events ×10): 0.64 → 0.89 s = 1.4× at
+  * 10× data — stage setup dominates at this scale.
   */
 object Intervals {
 

@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * prefer `rollup` (k+1 sets) over `cube` (2^k sets) unless every
   * marginal is needed; filters on the dims stay below the Expand
   * (Catalyst pushes deterministic predicates through it), so partition
-  * pruning is unaffected.
+  * pruning is unaffected. MEASURED (OlapScaleProbe, sf0.1 events ×10,
+  * rollup over (event_type, day)): 0.33 → 1.56 s = 4.7× at 10× data.
   *
   * Subtotal labeling: SQL marks rolled-up columns with NULL plus a
   * `grouping()` bit. Downstream consumers (and the driver's hash gate)

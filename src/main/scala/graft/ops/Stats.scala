@@ -127,8 +127,8 @@ object Stats {
     * otherwise own the mean). Returns the input plus `v_clipped`; clipped
     * values are existing data points (discrete quantiles), so the output
     * is bit-exact across engines — no interpolated floats. One shuffle on
-    * hash(group); the quantile windows and the clip projection share it.
-    * Gated by q121. */
+    * hash(group); the quantile windows and the clip projection share it
+    * (MEASURED 3.1× wall at 10× data, OlapScaleProbe). Gated by q121. */
   def winsorize(
       df: DataFrame,
       groupCols: Seq[String],
@@ -153,7 +153,8 @@ object Stats {
     * deterministic across engines and partitionings, no interpolation.
     * Degenerate MAD = 0 (over half the group identical) flags every
     * value ≠ median, the textbook behavior. Two window sorts, ONE
-    * exchange on hash(group) (PlanSpec-asserted). Gated by q122. */
+    * exchange on hash(group) (PlanSpec-asserted); MEASURED 2.6× wall at
+    * 10× data (OlapScaleProbe). Gated by q122. */
   def robustOutliers(
       df: DataFrame,
       groupCols: Seq[String],
@@ -217,7 +218,9 @@ object Stats {
     * Plan shape: one window over hash(group) computes (n, s, ss); the
     * per-row flag and the final groupBy reuse the same exchange
     * (HashPartitioning(group) satisfies the groupBy's distribution), so
-    * the whole operator is ONE shuffle of the input. */
+    * the whole operator is ONE shuffle of the input. MEASURED
+    * (OlapScaleProbe, sf0.1 events ×10 = 1M rows): 0.65 → 1.79 s = 2.8×
+    * at 10× data. */
   def sigmaOutliers(
       df: DataFrame,
       groupCols: Seq[String],
