@@ -144,6 +144,36 @@ object Stats {
       F.when(v < lo, lo).when(v > hi, hi).otherwise(v))
   }
 
+  /** Equi-depth (equal-frequency) histogram per group — `k` buckets each
+    * holding ≈ n/k rows, the statistic query optimizers and dataset cards
+    * prefer over equi-width when distributions are skewed (every bucket
+    * is equally informative). Bucket assignment is ⌈cume_dist · k⌉
+    * (clamped to k): deterministic under ties — equal values share a
+    * cume_dist, so they can never straddle a boundary, and no
+    * interpolation arithmetic exists to drift between engines. Output:
+    * (group, bucket, n, lo, hi) — lo/hi are the bucket's actual extreme
+    * data points. ONE exchange: the cume_dist window hash-partitions on
+    * the group and the (group, bucket) groupBy reuses it (subset rule).
+    * Gated by q123. */
+  def equiDepthHistogram(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"need at least one bucket, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val cd = F.cume_dist()
+      .over(Window.partitionBy(groupCols.map(F.col): _*).orderBy(F.col(valueCol)))
+    df.withColumn("bucket",
+        F.least(F.ceil(cd * F.lit(k)), F.lit(k.toLong)))
+      .groupBy((groupCols.map(F.col) :+ F.col("bucket")): _*)
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.min(F.col(valueCol)).as("lo"),
+        F.max(F.col(valueCol)).as("hi"))
+  }
+
   /** Robust (median/MAD) per-group outlier counts — the companion to
     * [[sigmaOutliers]] for heavy-tailed metrics where mean/variance are
     * themselves dragged by the outliers being hunted. A row is an outlier

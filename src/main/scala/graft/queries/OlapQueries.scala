@@ -314,5 +314,50 @@ object OlapQueries {
       FROM mad GROUP BY event_type ORDER BY event_type""")
   )
 
-  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q121, q122)
+  // --------------------------------------------------------------- q123
+  /** Equi-depth histogram of event values per event type (8 buckets):
+    * the skew-proof distribution statistic — each bucket holds ≈ n/8
+    * rows, boundaries are data points. Bucket = ⌈cume_dist · 8⌉, so ties
+    * can never straddle a boundary and both engines assign identically. */
+  private val q123 = Q(
+    "q123_equidepth_histogram",
+    (s, dir) =>
+      Stats.equiDepthHistogram(
+        Lake(s, dir).events.select("event_type", "value"),
+        Seq("event_type"), "value", k = 8)
+        .orderBy("event_type", "bucket"),
+    Some("""
+      WITH cd AS (
+        SELECT event_type, value,
+          cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS c
+        FROM events)
+      SELECT event_type,
+        CAST(LEAST(CEIL(c * 8), 8) AS BIGINT) AS bucket,
+        COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+      FROM cd GROUP BY event_type, bucket
+      ORDER BY event_type, bucket""")
+  )
+
+  // --------------------------------------------------------------- q124
+  /** Key-skew diagnostic promoted to the oracle gate: top-10 heaviest
+    * order customers with share and skew ratio — the measurement that
+    * decides salting vs AQE before any 100 TB join
+    * ([[graft.ops.Stats.keySkew]], previously unit-tested only). */
+  private val q124 = Q(
+    "q124_key_skew",
+    (s, dir) =>
+      Stats.keySkew(Lake(s, dir).orders, "o_custkey", topN = 10),
+    Some("""
+      WITH counts AS (
+        SELECT o_custkey AS k0, COUNT(*) AS n FROM orders GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+                   COUNT(*) AS n_keys FROM counts)
+      SELECT CAST(k0 AS VARCHAR) AS key, n,
+        CAST(n AS DOUBLE) / total_rows AS share,
+        CAST(n AS DOUBLE) * n_keys / total_rows AS skew_ratio
+      FROM counts CROSS JOIN t
+      ORDER BY n DESC, k0 LIMIT 10""")
+  )
+
+  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q121, q122, q123, q124)
 }

@@ -386,6 +386,26 @@ class OpsSpec extends SparkTestBase {
     assert(sig.getLong(2) <= 1L)
   }
 
+  test("Stats.equiDepthHistogram: balanced buckets, ties never straddle, extremes exact") {
+    // 16 distinct values into 4 buckets → 4 rows each, contiguous ranges
+    val df = (1 to 16).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val out = Stats.equiDepthHistogram(df, Seq("k"), "v", 4)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == (4L, 1.0, 4.0))
+    assert(out(4L) == (4L, 13.0, 16.0))
+    assert(out.values.map(_._1).sum == 16L)
+    // ties: ten copies of one value all land in ONE bucket (never split)
+    val ties = (Seq.fill(10)(5.0) ++ Seq(1.0, 9.0)).map(("t", _)).toDF("k", "v")
+    val tied = Stats.equiDepthHistogram(ties, Seq("k"), "v", 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(tied.values.sum == 12L)
+    assert(tied.values.exists(_ >= 10L), "tied value must stay in one bucket")
+    intercept[IllegalArgumentException] {
+      Stats.equiDepthHistogram(df, Seq("k"), "v", 0)
+    }
+  }
+
   test("Stats.logHistogram: binary-digit buckets, zero bucket, power-of-two edges exact") {
     val df = Seq(("a", 0L), ("a", 1L), ("a", 1L), ("a", 7L), ("a", 8L),
       ("b", 1023L), ("b", 1024L)).toDF("g", "v")
