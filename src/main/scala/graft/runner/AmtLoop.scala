@@ -53,24 +53,52 @@ object AmtLoop {
     * recorded build. Returns true when a rebuild ran, false on the no-op
     * path. The fingerprint is recorded only AFTER a successful writeAll, so
     * a crashed build retries on the next iteration rather than being
-    * skipped. */
+    * skipped.
+    *
+    * Overlap guard: a cron schedule whose interval is shorter than a build
+    * (the reference's hourly job has exactly this failure mode — two
+    * Dagster runs racing the same gold folder) is fenced by a per-year
+    * lock file created atomically; a second runner skips the year, and a
+    * crashed holder's lock goes stale after `lockStaleMillis` and is taken
+    * over rather than wedging the pipeline forever. */
   def runOnce(
       spark: SparkSession,
       silverRoot: String,
       goldRoot: String,
-      schoolYear: String
+      schoolYear: String,
+      lockStaleMillis: Long = 6 * 3600 * 1000L
   ): Boolean = {
     val fp = silverFingerprint(silverRoot, schoolYear)
     val marker = stateFile(goldRoot, schoolYear)
     val previous =
       if (Files.exists(marker)) Some(Files.readString(marker).trim) else None
     if (previous.contains(fp)) return false
-    val pipeline = new AmtPipeline(spark, silverRoot, schoolYear)
-    try pipeline.writeAll(goldRoot)
-    finally pipeline.release()
-    Files.createDirectories(marker.getParent)
-    Files.writeString(marker, fp)
-    true
+    val lock = Paths.get(goldRoot, "_state", s"$schoolYear.lock")
+    Files.createDirectories(lock.getParent)
+    if (!acquireLock(lock, lockStaleMillis)) return false
+    try {
+      val pipeline = new AmtPipeline(spark, silverRoot, schoolYear)
+      try pipeline.writeAll(goldRoot)
+      finally pipeline.release()
+      Files.writeString(marker, fp)
+      true
+    } finally Files.deleteIfExists(lock)
+  }
+
+  /** Atomically create the lock file; on failure, take over only a STALE
+    * lock (mtime older than `staleMillis` — a crashed holder). */
+  private def acquireLock(lock: Path, staleMillis: Long): Boolean = {
+    def tryCreate(): Boolean =
+      try { Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (tryCreate()) return true
+    val stale =
+      try System.currentTimeMillis() -
+        Files.getLastModifiedTime(lock).toMillis > staleMillis
+      catch { case _: java.nio.file.NoSuchFileException => true }
+    if (!stale) return false
+    Files.deleteIfExists(lock)
+    tryCreate()
   }
 
   /** Run `runOnce` for every year, sleep, repeat. `maxIterations` bounds the

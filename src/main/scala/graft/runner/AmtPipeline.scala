@@ -106,6 +106,33 @@ final class AmtPipeline(
     Stats.keySkew(view(viewName), keyCol.getOrElse(v.outputColumns.head), topN)
   }
 
+  /** One-call data-quality report for a built view
+    * ([[graft.ops.Audit.audit]]): the leading output column — the surrogate
+    * key downstream consumers join on — is checked NOT NULL and (by
+    * default) UNIQUE, plus any caller-declared extra checks. The reference
+    * pipeline publishes gold with no audit at all; its empty-input
+    * tolerance means a malformed silver delivery flows through silently —
+    * this is the gate a production deployment runs between `writeAll` and
+    * publication. Returns the (check_name, violations, rows_checked)
+    * report; the caller decides the quarantine policy.
+    *
+    * Note: several AMT views are legitimately non-unique on their leading
+    * column (bridge tables keyed by composite membership) — pass
+    * `expectUniqueKey = false` for those, or supply the composite via
+    * `extraChecks` with [[graft.ops.Audit.UniqueKey]]. */
+  def qualityReport(
+      viewName: String,
+      expectUniqueKey: Boolean = true,
+      extraChecks: Seq[graft.ops.Audit.Check] = Seq.empty): DataFrame = {
+    val v = AmtRegistry.byName.getOrElse(viewName,
+      throw new IllegalArgumentException(s"unknown view: $viewName"))
+    val key = v.outputColumns.head
+    val checks = Seq(graft.ops.Audit.NotNull(key)) ++
+      (if (expectUniqueKey) Seq(graft.ops.Audit.UniqueKey(Seq(key))) else Seq.empty) ++
+      extraChecks
+    graft.ops.Audit.audit(view(viewName), checks)
+  }
+
   /** Write every view to gold parquet. Independent view jobs are submitted
     * from `parallelism` driver threads — Spark schedules concurrent jobs
     * fine, and at cluster scale this keeps executors busy while a deep

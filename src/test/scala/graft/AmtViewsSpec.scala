@@ -1452,6 +1452,44 @@ class AmtViewsSpec extends SparkTestBase {
     assert(!AmtLoop.runOnce(spark, silver.toString, gold, "1999"))
   }
 
+  test("qualityReport: view key audited not-null and unique; extra checks compose") {
+    import graft.ops.Audit
+    val silver = silverWith(
+      "gradingPeriods" -> gradingPeriodsJson,
+      "gradingPeriodDescriptors" -> gradingPeriodDescriptorsJson)
+    val p = new AmtPipeline(spark, silver.toString, "2022")
+    val report = p.qualityReport("gradingPeriodDim").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report("not_null:GradingPeriodKey") == (0L, 2L))
+    assert(report("unique:GradingPeriodKey") == (0L, 2L))
+    val withExtra = p.qualityReport("gradingPeriodDim",
+      extraChecks = Seq(Audit.Satisfies("has_school",
+        col("SchoolKey").isNotNull))).collect()
+    assert(withExtra.length == 3)
+    intercept[IllegalArgumentException](p.qualityReport("nope"))
+  }
+
+  test("refresh loop lock: a held lock skips the year; a stale lock is taken over") {
+    import graft.runner.AmtLoop
+    val silver = silverWith(
+      "gradingPeriods" -> gradingPeriodsJson,
+      "gradingPeriodDescriptors" -> gradingPeriodDescriptorsJson)
+    val gold = Files.createTempDirectory("gold-lock").toString
+    val lock = java.nio.file.Paths.get(gold, "_state", "2022.lock")
+    Files.createDirectories(lock.getParent)
+    // a FRESH lock (another runner mid-build): this runner must skip
+    Files.createFile(lock)
+    assert(!AmtLoop.runOnce(spark, silver.toString, gold, "2022"))
+    assert(Files.exists(lock), "held lock must not be stolen")
+    // a STALE lock (crashed holder): taken over, build proceeds, lock freed
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7 * 3600 * 1000L))
+    assert(AmtLoop.runOnce(spark, silver.toString, gold, "2022"))
+    assert(!Files.exists(lock), "lock must be released after the build")
+    assert(spark.read.parquet(s"$gold/2022/gradingPeriodDim.parquet").count() == 2)
+  }
+
   test("diagnose: one-call key-skew report for a view's hot key") {
     val silver = silverWith(
       "gradingPeriods" -> gradingPeriodsJson,
