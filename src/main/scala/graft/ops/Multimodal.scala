@@ -161,6 +161,187 @@ object Multimodal {
       }
   }
 
+  // ----------------------------------------------------------------- BMP
+  // The one raster format a pure-JVM reader can decode COMPLETELY — 24-bit
+  // uncompressed BI_RGB needs no codec, just the documented byte layout
+  // (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows padded to 4
+  // bytes). That makes the image path genuinely end-to-end here: decode →
+  // resize → features are REAL for BMP (q125 gates them against an
+  // arithmetic oracle), and the compressed formats keep honest stubs.
+
+  /** Decoded raster: row-major top-down RGB triples (3 bytes/pixel). */
+  final case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** Decode a 24-bit uncompressed (BI_RGB) BMP. `None` for any other
+    * format, bit depth, compression, or malformed/truncated layout —
+    * never throws on arbitrary bytes. Handles the standard bottom-up row
+    * order (positive height) and top-down (negative height), and the
+    * 4-byte row padding. */
+  def decodeBmp(bytes: Array[Byte]): Option[DecodedImage] = {
+    def u16le(i: Int): Int = (bytes(i + 1) & 0xff) << 8 | (bytes(i) & 0xff)
+    def u32le(i: Int): Long =
+      ((bytes(i + 3) & 0xffL) << 24) | ((bytes(i + 2) & 0xffL) << 16) |
+        ((bytes(i + 1) & 0xffL) << 8) | (bytes(i) & 0xffL)
+    def s32le(i: Int): Int = u32le(i).toInt
+    if (bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = u32le(10)
+    val headerSize = u32le(14)
+    if (headerSize < 40) return None // BITMAPCOREHEADER not supported
+    val width = s32le(18)
+    val rawHeight = s32le(22)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    val bpp = u16le(28)
+    val compression = u32le(30)
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0) return None
+    if (width.toLong * height > 64L * 1024 * 1024) return None // 64 MPix cap
+    val rowBytes = (width * 3 + 3) & ~3
+    if (dataOffset + rowBytes.toLong * height > bytes.length) return None
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val src = dataOffset.toInt + srcRow * rowBytes
+      var x = 0
+      while (x < width) {
+        val d = (y * width + x) * 3
+        rgb(d) = bytes(src + x * 3 + 2)     // R (BMP stores BGR)
+        rgb(d + 1) = bytes(src + x * 3 + 1) // G
+        rgb(d + 2) = bytes(src + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some(DecodedImage(width, height, rgb))
+  }
+
+  /** Encode row-major top-down RGB triples as a 24-bit BI_RGB BMP —
+    * the inverse of [[decodeBmp]] (decode ∘ encode = identity, tested). */
+  def encodeBmp(img: DecodedImage): Array[Byte] = {
+    val rowBytes = (img.width * 3 + 3) & ~3
+    val dataSize = rowBytes * img.height
+    val out = new Array[Byte](54 + dataSize)
+    def putU16le(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putU32le(i: Int, v: Long): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte; out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putU32le(2, 54L + dataSize); putU32le(10, 54L)
+    putU32le(14, 40L); putU32le(18, img.width.toLong); putU32le(22, img.height.toLong)
+    putU16le(26, 1); putU16le(28, 24); putU32le(30, 0L); putU32le(34, dataSize.toLong)
+    var y = 0
+    while (y < img.height) {
+      val dstRow = 54 + (img.height - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        out(dstRow + x * 3) = img.rgb(s + 2)     // B
+        out(dstRow + x * 3 + 1) = img.rgb(s + 1) // G
+        out(dstRow + x * 3 + 2) = img.rgb(s)     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor resample to (w, h): source pixel for output (x, y)
+    * is (⌊x·W/w⌋, ⌊y·H/h⌋) — integer arithmetic only, so the oracle can
+    * state the identical sampling in SQL. */
+  def resampleNearest(img: DecodedImage, w: Int, h: Int): DecodedImage = {
+    require(w > 0 && h > 0, s"bad target size ${w}x$h")
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.height / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.width / w).toInt
+        val s = (sy * img.width + sx) * 3
+        val d = (y * w + x) * 3
+        out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1); out(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(w, h, out)
+  }
+
+  /** Per-image channel statistics from REAL decoded pixels. */
+  final case class ImageFeatures(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double
+  )
+
+  /** Decode (BMP) → nearest-neighbor resize → channel means, one row per
+    * decodable image; non-BMP blobs are dropped (a production pipeline
+    * routes them to their codec's variant of this map). Means are exact:
+    * integer pixel sums divided once — bit-identical to the SQL oracle's
+    * CAST(SUM)/(w·h). Partition-wise flatMap: no shuffle, no driver data. */
+  def imageFeatures(
+      df: DataFrame, idCol: String, binCol: String,
+      width: Int, height: Int
+  ): Dataset[ImageFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          decodeBmp(bytes).map { img =>
+            val r = resampleNearest(img, width, height)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var i = 0
+            while (i < r.rgb.length) {
+              sr += r.rgb(i) & 0xff; sg += r.rgb(i + 1) & 0xff
+              sb += r.rgb(i + 2) & 0xff
+              i += 3
+            }
+            val n = (width * height).toDouble
+            ImageFeatures(id, width.toLong, height.toLong,
+              sr / n, sg / n, sb / n)
+          }
+        }
+      }
+  }
+
+  /** Resized media with REAL pixels where the format allows: BMP blobs are
+    * decoded, nearest-neighbor resampled and re-encoded; anything else
+    * falls through to the documented [[resizeStub]] byte arithmetic. */
+  def resizeImage(
+      df: DataFrame, idCol: String, binCol: String,
+      width: Int, height: Int
+  ): Dataset[Resized] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          decodeBmp(bytes) match {
+            case Some(img) =>
+              Resized(id, width.toLong, height.toLong,
+                encodeBmp(resampleNearest(img, width, height)))
+            case None =>
+              val b = if (bytes == null) Array.empty[Byte] else bytes
+              val target = math.max(1, (width.toLong * height / 64).toInt)
+              val out =
+                if (b.length >= target) b.take(target)
+                else b ++ Array.fill(target - b.length)(0.toByte)
+              Resized(id, width.toLong, height.toLong, out)
+          }
+        }
+      }
+  }
+
   /** One sampled frame of a video blob. */
   final case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
 

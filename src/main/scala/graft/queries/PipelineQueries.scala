@@ -2921,6 +2921,67 @@ object PipelineQueries {
       FROM documents ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q125
+  /** REAL image pixels under the hash gate: a genuine 24-bit BMP per doc
+    * (dimensions and pixel values functions of doc_id), decoded by
+    * [[graft.ops.Multimodal.decodeBmp]], nearest-neighbor resampled to
+    * 8×8 and reduced to exact channel means — the full decode → resize →
+    * feature-extract chain with zero stubs. The oracle recomputes the
+    * identical integer sampling arithmetic ((x·W)/8 source coords, mod-256
+    * pixel functions) without ever seeing a byte, so a hash match proves
+    * the byte-level codec right. */
+  private val q125 = Q(
+    "q125_image_features",
+    (s, dir) => {
+      import s.implicits._
+      val bmps = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (6 + id % 7).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = (y * w + x) * 3
+              rgb(i) = ((id + x + 2L * y) % 256).toByte
+              rgb(i + 1) = ((2L * id + 3L * x + y) % 256).toByte
+              rgb(i + 2) = ((id + 5L * x + 7L * y) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.encodeBmp(Multimodal.DecodedImage(w, h, rgb)))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.imageFeatures(bmps, "doc_id", "media", 8, 8)
+        .toDF().orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+        FROM documents WHERE doc_id < 400),
+      grid AS (
+        SELECT doc_id, w, h, t1.x, t2.y
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      sampled AS (
+        SELECT doc_id,
+          (doc_id + (x * w) // 8 + 2 * ((y * h) // 8)) % 256 AS r,
+          (2 * doc_id + 3 * ((x * w) // 8) + (y * h) // 8) % 256 AS g,
+          (doc_id + 5 * ((x * w) // 8) + 7 * ((y * h) // 8)) % 256 AS b
+        FROM grid)
+      SELECT doc_id,
+        CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        CAST(SUM(r) AS DOUBLE) / 64 AS mean_r,
+        CAST(SUM(g) AS DOUBLE) / 64 AS mean_g,
+        CAST(SUM(b) AS DOUBLE) / 64 AS mean_b
+      FROM sampled GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   // --------------------------------------------------------------- q112
   /** Log₂-bucketed length histogram per source —
     * [[graft.ops.Stats.logHistogram]] under the hash gate: the
@@ -3006,5 +3067,5 @@ object PipelineQueries {
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
-    q109, q110, q111, q112, q113, q114, q120)
+    q109, q110, q111, q112, q113, q114, q120, q125)
 }

@@ -291,4 +291,67 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.parseMp4Header(
       Multimodal.mp4Header("isom", 600, 0).take(16)).isEmpty)
   }
+
+  test("BMP codec: encode/decode identity, padding, top-down rows, rejects") {
+    import Multimodal.{DecodedImage, decodeBmp, encodeBmp}
+    // 3x2 (row stride 9 → padded to 12): identity through the round trip
+    val rgb = Array.tabulate(3 * 2 * 3)(i => ((i * 37 + 5) % 256).toByte)
+    val img = DecodedImage(3, 2, rgb)
+    val back = decodeBmp(encodeBmp(img)).get
+    assert(back.width == 3 && back.height == 2)
+    assert(back.rgb.sameElements(rgb))
+    // top-down variant (negative height) decodes to the same raster
+    val enc = encodeBmp(img)
+    val topDown = enc.clone()
+    // height = -2 as s32le at offset 22; rows must then be stored top-down,
+    // so rebuild pixel data in top-down row order
+    val rowBytes = (3 * 3 + 3) & ~3
+    val bottomUpRows = (0 until 2).map(r => enc.slice(54 + r * rowBytes, 54 + (r + 1) * rowBytes))
+    val swapped = bottomUpRows.reverse.flatten.toArray
+    System.arraycopy(swapped, 0, topDown, 54, swapped.length)
+    val neg = -2
+    topDown(22) = (neg & 0xff).toByte; topDown(23) = ((neg >> 8) & 0xff).toByte
+    topDown(24) = ((neg >> 16) & 0xff).toByte; topDown(25) = ((neg >> 24) & 0xff).toByte
+    assert(decodeBmp(topDown).get.rgb.sameElements(rgb))
+    // rejects: wrong magic, truncated pixel data, unsupported depth
+    assert(decodeBmp("not a bitmap at all, just text".getBytes).isEmpty)
+    assert(decodeBmp(enc.take(53)).isEmpty)
+    assert(decodeBmp(enc.dropRight(1)).isEmpty)
+    val depth16 = enc.clone(); depth16(28) = 16.toByte
+    assert(decodeBmp(depth16).isEmpty)
+  }
+
+  test("resampleNearest: integer source sampling; imageFeatures exact means") {
+    import Multimodal.{DecodedImage, resampleNearest}
+    // 4x2 image downsampled to 2x1: output (x,0) samples source (2x, 0)
+    val rgb = Array.tabulate(4 * 2 * 3)(i => (i + 1).toByte)
+    val small = resampleNearest(DecodedImage(4, 2, rgb), 2, 1)
+    assert(small.rgb.toSeq == Seq(rgb(0), rgb(1), rgb(2), rgb(6), rgb(7), rgb(8)))
+    // upsample replicates pixels — 1x1 to 2x2
+    val one = DecodedImage(1, 1, Array[Byte](10, 20, 30))
+    assert(resampleNearest(one, 2, 2).rgb.toSeq ==
+      Seq[Byte](10, 20, 30, 10, 20, 30, 10, 20, 30, 10, 20, 30))
+    // imageFeatures: uniform image → means equal the pixel values; the
+    // non-BMP row is dropped, the real BMP row survives
+    val flat = DecodedImage(5, 4, Array.fill(5 * 4 * 3)(0.toByte))
+    for (i <- 0 until 5 * 4) {
+      flat.rgb(i * 3) = 100.toByte; flat.rgb(i * 3 + 1) = 150.toByte
+      flat.rgb(i * 3 + 2) = 250.toByte
+    }
+    val df = Seq(
+      (1L, Multimodal.encodeBmp(flat)),
+      (2L, "plain text, not an image".getBytes)).toDF("doc_id", "media")
+    val feats = Multimodal.imageFeatures(df, "doc_id", "media", 3, 3)
+      .collect().map(f => f.doc_id -> (f.mean_r, f.mean_g, f.mean_b)).toMap
+    assert(feats.keySet == Set(1L))
+    assert(feats(1L) == ((100.0, 150.0, 250.0)))
+    // resizeImage: BMP gets REAL pixels back out (decodable, right size)
+    val resized = Multimodal.resizeImage(df, "doc_id", "media", 3, 3).collect()
+      .map(r => r.doc_id -> r.media).toMap
+    val r1 = Multimodal.decodeBmp(resized(1L)).get
+    assert(r1.width == 3 && r1.height == 3)
+    assert(r1.rgb.grouped(3).forall(px =>
+      (px(0) & 0xff) == 100 && (px(1) & 0xff) == 150 && (px(2) & 0xff) == 250))
+    assert(Multimodal.decodeBmp(resized(2L)).isEmpty) // stub path for text
+  }
 }
