@@ -342,6 +342,121 @@ object Multimodal {
       }
   }
 
+  /** Per-image perceptual hash row: the 64-bit average-hash as a bit
+    * string (MSB-first row-major), from REAL decoded pixels. */
+  final case class AHash(doc_id: Long, ahash: String)
+
+  /** Average-hash (aHash) over real pixels — the standard image near-dup
+    * fingerprint: resample to 8×8, grayscale each cell as ⌊(r+g+b)/3⌋,
+    * threshold against the integer mean ⌊Σgray/64⌋; bit i is 1 iff
+    * gray(i) > mean. All arithmetic is integer, so the oracle can restate
+    * it exactly in SQL (q126). Identical images hash identically at ANY
+    * source resolution that samples to the same grid; near-identical
+    * images differ in few bits, so downstream near-dup is a Hamming
+    * band-join — exactly [[graft.ops.Dedup.simhashPairs]]'s shape over
+    * this column. BMP-decodable rows only (codec honesty contract). */
+  def imageAHash(df: DataFrame, idCol: String, binCol: String): Dataset[AHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          decodeBmp(bytes).map { img =>
+            val r = resampleNearest(img, 8, 8)
+            val gray = Array.tabulate(64) { i =>
+              ((r.rgb(i * 3) & 0xff) + (r.rgb(i * 3 + 1) & 0xff) +
+                (r.rgb(i * 3 + 2) & 0xff)) / 3
+            }
+            val mean = gray.sum / 64
+            AHash(id, gray.map(g => if (g > mean) '1' else '0').mkString)
+          }
+        }
+      }
+  }
+
+  /** Exact PCM sample statistics for one audio blob — every field integer
+    * arithmetic (mean_sq is the integer-division mean of squares, not an
+    * RMS float), so the row is engine-reproducible. */
+  final case class PcmStats(
+      doc_id: Long,
+      n_samples: Long,
+      peak: Long,
+      sum_abs: Long,
+      mean_sq: Long
+  )
+
+  /** 16-bit PCM mono WAV with a real payload: [[wavHeader]] + the samples
+    * little-endian — the generator q127's fixture uses, and the inverse
+    * of [[pcmStats]]' sample walk. */
+  def pcm16Wav(sampleRate: Long, samples: Array[Short]): Array[Byte] = {
+    val header = wavHeader(sampleRate, channels = 1, bitsPerSample = 16,
+      nSamples = samples.length.toLong)
+    val b = java.nio.ByteBuffer.allocate(header.length + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(header)
+    samples.foreach(b.putShort)
+    b.array()
+  }
+
+  /** REAL audio feature extraction for PCM WAV: walk the 16-bit LE data
+    * chunk and reduce to exact integer statistics (count, peak |s|,
+    * Σ|s|, ⌊Σs²/n⌋). Only 16-bit mono PCM rows survive (the depth/layout
+    * the walk decodes); compressed containers keep their header-only
+    * parses — same honesty contract as the image arm. Partition-wise
+    * flatMap, no shuffle. Gated by q127 against a sample-generating
+    * oracle. */
+  def pcmStats(df: DataFrame, idCol: String, binCol: String): Dataset[PcmStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseWavHeader(bytes).flatMap { case (rate @ _, channels, bits, n) =>
+            if (channels != 1 || bits != 16 || n <= 0) None
+            else {
+              // the data chunk starts right after the canonical 44-byte
+              // header layout wavHeader emits; re-locate it defensively
+              // by chunk walk (LIST/INFO tolerant, like parseWavHeader)
+              val dataOff = findDataChunk(bytes)
+              if (dataOff < 0 || dataOff + n * 2 > bytes.length) None
+              else {
+                var i = 0L
+                var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+                while (i < n) {
+                  val o = (dataOff + i * 2).toInt
+                  val s = ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toLong
+                  val a = math.abs(s)
+                  if (a > peak) peak = a
+                  sumAbs += a; sumSq += s * s
+                  i += 1
+                }
+                Some(PcmStats(id, n, peak, sumAbs, sumSq / n))
+              }
+            }
+          }
+        }
+      }
+  }
+
+  /** Offset of the first byte of the `data` chunk payload, or -1. */
+  private def findDataChunk(bytes: Array[Byte]): Int = {
+    def u32le(i: Int): Long =
+      ((bytes(i + 3) & 0xffL) << 24) | ((bytes(i + 2) & 0xffL) << 16) |
+        ((bytes(i + 1) & 0xffL) << 8) | (bytes(i) & 0xffL)
+    def tag(i: Int): String =
+      new String(bytes.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return -1
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val t = tag(p); val size = u32le(p + 4)
+      if (t == "data") return p + 8
+      p += 8 + size.toInt + (size.toInt & 1)
+    }
+    -1
+  }
+
   /** One sampled frame of a video blob. */
   final case class Frame(doc_id: Long, frame_idx: Long, frame: Array[Byte])
 

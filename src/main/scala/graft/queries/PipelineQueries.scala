@@ -2982,6 +2982,118 @@ object PipelineQueries {
       FROM sampled GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q126
+  /** Image near-dup fingerprinting on REAL pixels: 64-bit average-hash
+    * (8×8 grayscale, integer mean threshold) per generated BMP, plus the
+    * per-hash duplicate count. The fixture keys image content on
+    * doc_id % 50, so each of the 50 content classes collapses to ONE
+    * hash — the image-dedup story: pixel-identical deliveries collapse
+    * regardless of doc identity, and near-identical ones land a Hamming
+    * band-join away ([[graft.ops.Dedup.simhashPairs]] over this column).
+    * The oracle restates the whole integer pipeline (sampling, ⌊/3⌋
+    * grayscale, ⌊/64⌋ mean, threshold, ordered bit concat) in SQL. */
+  private val q126 = Q(
+    "q126_image_ahash",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val bmps = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id % 50
+          val w = (8 + k % 9).toInt
+          val h = (6 + k % 7).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = (y * w + x) * 3
+              rgb(i) = ((k + x + 2L * y) % 256).toByte
+              rgb(i + 1) = ((2L * k + 3L * x + y) % 256).toByte
+              rgb(i + 2) = ((k + 5L * x + 7L * y) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.encodeBmp(Multimodal.DecodedImage(w, h, rgb)))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.imageAHash(bmps, "doc_id", "media").toDF()
+        .withColumn("dup_count",
+          count(lit(1)).over(Window.partitionBy("ahash")))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 50 AS k,
+          8 + (doc_id % 50) % 9 AS w, 6 + (doc_id % 50) % 7 AS h
+        FROM documents WHERE doc_id < 400),
+      grid AS (
+        SELECT doc_id, k, w, h, t1.x, t2.y,
+          (x * w) // 8 AS sx, (y * h) // 8 AS sy
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      gray AS (
+        SELECT doc_id, x, y,
+          ((k + sx + 2 * sy) % 256 + (2 * k + 3 * sx + sy) % 256
+            + (k + 5 * sx + 7 * sy) % 256) // 3 AS g
+        FROM grid),
+      hashed AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN g > m THEN '1' ELSE '0' END, ''
+                     ORDER BY y, x) AS ahash
+        FROM (SELECT doc_id, x, y, g,
+                SUM(g) OVER (PARTITION BY doc_id) // 64 AS m
+              FROM gray)
+        GROUP BY doc_id)
+      SELECT doc_id, ahash,
+        COUNT(*) OVER (PARTITION BY ahash) AS dup_count
+      FROM hashed ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q127
+  /** REAL audio features under the hash gate: genuine 16-bit PCM WAV
+    * payloads (samples a function of doc_id), walked sample-by-sample to
+    * exact integer statistics — count, peak amplitude, Σ|s|, ⌊Σs²/n⌋.
+    * The oracle regenerates the identical samples with generate_series
+    * and aggregates them in SQL; a hash match proves the byte-level PCM
+    * walk. Completes the audio arm: header parses were already real,
+    * now the payload is too. */
+  private val q127 = Q(
+    "q127_audio_pcm_stats",
+    (s, dir) => {
+      import s.implicits._
+      val wavs = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (200 + id % 100).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 17) % 2048) - 1024).toShort)
+          (id, Multimodal.pcm16Wav(16000L, samples))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.pcmStats(wavs, "doc_id", "media").toDF().orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 200 + doc_id % 100 AS n
+        FROM documents WHERE doc_id < 400),
+      samp AS (
+        SELECT doc_id, n,
+          (doc_id * 31 + t.i * 17) % 2048 - 1024 AS s
+        FROM ids, unnest(generate_series(0, n - 1)) AS t(i))
+      SELECT doc_id,
+        COUNT(*) AS n_samples,
+        CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+        CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+        CAST(SUM(s * s) // COUNT(*) AS BIGINT) AS mean_sq
+      FROM samp GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   // --------------------------------------------------------------- q112
   /** Log₂-bucketed length histogram per source —
     * [[graft.ops.Stats.logHistogram]] under the hash gate: the
@@ -3067,5 +3179,5 @@ object PipelineQueries {
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
-    q109, q110, q111, q112, q113, q114, q120, q125)
+    q109, q110, q111, q112, q113, q114, q120, q125, q126, q127)
 }

@@ -292,6 +292,50 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.mp4Header("isom", 600, 0).take(16)).isEmpty)
   }
 
+  test("imageAHash: identical content → identical hash at any resolution; near-dup differs in few bits") {
+    import Multimodal.{DecodedImage, encodeBmp}
+    // the same 2x2 gradient content upscaled to 16x16 and 24x24 must
+    // sample to the same 8x8 grid → identical aHash
+    def gradient(w: Int, h: Int, flipOne: Boolean): DecodedImage = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (x < w / 2 ^ y < h / 2) 200 else 20
+        val vv = if (flipOne && x == 0 && y == 0) 255 else v
+        val i = (y * w + x) * 3
+        rgb(i) = vv.toByte; rgb(i + 1) = vv.toByte; rgb(i + 2) = vv.toByte
+      }
+      DecodedImage(w, h, rgb)
+    }
+    val df = Seq(
+      (1L, encodeBmp(gradient(16, 16, flipOne = false))),
+      (2L, encodeBmp(gradient(24, 24, flipOne = false))),
+      (3L, encodeBmp(gradient(16, 16, flipOne = true))),
+      (4L, "not an image".getBytes)).toDF("doc_id", "media")
+    val hashes = Multimodal.imageAHash(df, "doc_id", "media")
+      .collect().map(a => a.doc_id -> a.ahash).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L))
+    assert(hashes(1L).length == 64 && hashes(1L).forall(c => c == '0' || c == '1'))
+    assert(hashes(1L) == hashes(2L), "same content, different resolution")
+    val hamming = hashes(1L).zip(hashes(3L)).count { case (a, b) => a != b }
+    assert(hamming >= 1 && hamming <= 4, s"one flipped corner pixel ≈ 1 grid cell, got $hamming")
+  }
+
+  test("pcmStats: exact integer stats from a real PCM payload; non-PCM rejected") {
+    val samples = Array[Short](0, 100, -200, 300, -1024, 1023)
+    val df = Seq(
+      (1L, Multimodal.pcm16Wav(8000L, samples)),
+      (2L, Multimodal.wavHeader(8000L, 2, 16, 4)), // stereo header, no data
+      (3L, "plain text".getBytes)).toDF("doc_id", "media")
+    val out = Multimodal.pcmStats(df, "doc_id", "media")
+      .collect().map(p => p.doc_id -> p).toMap
+    assert(out.keySet == Set(1L))
+    val p = out(1L)
+    assert(p.n_samples == 6L)
+    assert(p.peak == 1024L)
+    assert(p.sum_abs == samples.map(s => math.abs(s.toLong)).sum)
+    assert(p.mean_sq == samples.map(s => s.toLong * s).sum / 6)
+  }
+
   test("BMP codec: encode/decode identity, padding, top-down rows, rejects") {
     import Multimodal.{DecodedImage, decodeBmp, encodeBmp}
     // 3x2 (row stride 9 → padded to 12): identity through the round trip
