@@ -3094,6 +3094,61 @@ object PipelineQueries {
       FROM samp GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q128
+  /** REAL video frame sampling under the hash gate: genuine mono
+    * YUV4MPEG2 streams (luma a function of doc_id, frame, x, y), walked
+    * frame-by-frame at stride 2 by [[graft.ops.Multimodal.y4mFrameStats]]
+    * to exact integer luma statistics per sampled frame. The oracle
+    * regenerates the identical pixels with generate_series — a hash
+    * match proves the container walk (header parse, FRAME markers,
+    * geometry-derived frame boundaries). Completes the video arm: frame
+    * boundaries now come from a real parsed container, not byte
+    * slicing. */
+  private val q128 = Q(
+    "q128_video_frame_stats",
+    (s, dir) => {
+      import s.implicits._
+      val vids = Lake(s, dir).documents
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (6 + id % 4).toInt
+          val nFrames = (3 + id % 4).toInt
+          val frames = (0 until nFrames).map { f =>
+            Array.tabulate(w * h) { i =>
+              val x = i % w; val y = i / w
+              ((id + 11L * f + 3L * x + 5L * y) % 256).toByte
+            }
+          }
+          (id, Multimodal.y4mMono(w, h, frames))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.y4mFrameStats(vids, "doc_id", "media", stride = 2)
+        .toDF().orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+          3 + doc_id % 4 AS nf
+        FROM documents WHERE doc_id < 300),
+      frames AS (
+        SELECT doc_id, w, h, t.f
+        FROM ids, unnest(generate_series(0, nf - 1)) AS t(f)
+        WHERE t.f % 2 = 0),
+      px AS (
+        SELECT doc_id, w, h, f,
+          (doc_id + 11 * f + 3 * t1.x + 5 * t2.y) % 256 AS v
+        FROM frames,
+          unnest(generate_series(0, w - 1)) AS t1(x),
+          unnest(generate_series(0, h - 1)) AS t2(y))
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        CAST(SUM(v) // (w * h) AS BIGINT) AS mean_y,
+        CAST(MAX(v) AS BIGINT) AS peak_y
+      FROM px GROUP BY doc_id, f, w, h
+      ORDER BY doc_id, frame_idx""")
+  )
+
   // --------------------------------------------------------------- q112
   /** Log₂-bucketed length histogram per source —
     * [[graft.ops.Stats.logHistogram]] under the hash gate: the
@@ -3179,5 +3234,5 @@ object PipelineQueries {
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
-    q109, q110, q111, q112, q113, q114, q120, q125, q126, q127)
+    q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128)
 }

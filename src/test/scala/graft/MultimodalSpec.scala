@@ -336,6 +336,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(p.mean_sq == samples.map(s => s.toLong * s).sum / 6)
   }
 
+  test("Y4M: header parse, strided frame walk with exact luma stats, rejects") {
+    import Multimodal.{parseY4mHeader, y4mFrameStats, y4mMono}
+    val f0 = Array.fill(4 * 2)(10.toByte)
+    val f1 = Array.tabulate(4 * 2)(i => (i * 20).toByte)
+    val f2 = Array.fill(4 * 2)(200.toByte)
+    val stream = y4mMono(4, 2, Seq(f0, f1, f2))
+    assert(parseY4mHeader(stream).map(t => (t._1, t._2, t._3)) ==
+      Some((4, 2, "mono")))
+    val df = Seq(
+      (1L, stream),
+      (2L, "YUV4MPEG2 W0 H2 Cmono\n".getBytes),   // bad geometry
+      (3L, "just text".getBytes)).toDF("doc_id", "media")
+    // stride 2 keeps frames 0 and 2 only
+    val out = y4mFrameStats(df, "doc_id", "media", stride = 2).collect()
+      .map(s => (s.doc_id, s.frame_idx) -> (s.mean_y, s.peak_y)).toMap
+    assert(out.keySet == Set((1L, 0L), (1L, 2L)))
+    assert(out((1L, 0L)) == (10L, 10L))
+    assert(out((1L, 2L)) == (200L, 200L))
+    // stride 1 sees the gradient frame too: mean ⌊(0+20+..+140)/8⌋ = 70
+    val all = y4mFrameStats(df, "doc_id", "media").collect()
+      .map(s => s.frame_idx -> s.mean_y).toMap
+    assert(all(1L) == 70L)
+    // truncated payload: the incomplete trailing frame is not emitted
+    val cut = y4mFrameStats(
+      Seq((9L, stream.dropRight(3))).toDF("doc_id", "media"),
+      "doc_id", "media").collect()
+    assert(cut.map(_.frame_idx).toSet == Set(0L, 1L))
+  }
+
   test("BMP codec: encode/decode identity, padding, top-down rows, rejects") {
     import Multimodal.{DecodedImage, decodeBmp, encodeBmp}
     // 3x2 (row stride 9 → padded to 12): identity through the round trip
