@@ -191,4 +191,46 @@ object Behavior {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count_distinct(col(userCol)).as("n_users"))
   }
+
+  /** Daily resample with forward fill — the feature-store "daily state"
+    * materialization: one row per key per calendar day across the key's
+    * own observed span, carrying that day's aggregate where events exist
+    * and the LAST observed day's value across gaps (training features
+    * must be point-in-time correct on days with no events too; a plain
+    * daily groupBy silently drops those days and the model trains on a
+    * biased calendar). Per-day reduction is `max(value)` — deterministic
+    * under ts ties, stated identically in the oracle; forward fill is
+    * `last(ignoreNulls)` over the dense grid.
+    *
+    * Shape: one (key, day) aggregate exchange (map-side combined, event
+    * volume), then everything — span, grid explode, grid⋈daily join, fill
+    * window — rides hash(key) exchanges of GRID-sized data (keys ×
+    * days, independent of event count). Dense-grid memory is bounded by
+    * span length per key, not events. Gated by q129. */
+  def gapFillDaily(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val daily = df
+      .withColumn("__day", to_date(col(tsCol)))
+      .groupBy((keys :+ col("__day")): _*)
+      .agg(max(col(valueCol)).as("__day_v"))
+    val grid = daily
+      .groupBy(keys: _*)
+      .agg(min(col("__day")).as("__d0"), max(col("__day")).as("__d1"))
+      .select((keys :+
+        explode(sequence(col("__d0"), col("__d1"),
+          expr("interval 1 day"))).as("__day")): _*)
+    val fill = Window.partitionBy(keys: _*).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, keyCols :+ "__day", "left")
+      .select((keys ++ Seq(
+        date_format(col("__day"), "yyyyMMdd").as("day_key"),
+        last(col("__day_v"), ignoreNulls = true).over(fill).as("v_filled"),
+        col("__day_v").isNotNull.cast("int").as("is_observed"))): _*)
+  }
 }

@@ -359,5 +359,42 @@ object OlapQueries {
       ORDER BY n DESC, k0 LIMIT 10""")
   )
 
-  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q121, q122, q123, q124)
+  // --------------------------------------------------------------- q129
+  /** Daily gap-filled state per user ([[graft.ops.Behavior.gapFillDaily]]):
+    * each user's calendar span densified to one row per day, carrying the
+    * day's max value where events exist and the last observed day's value
+    * across gaps — the point-in-time-correct feature-store materialization
+    * (a plain daily groupBy trains on a biased calendar that skips quiet
+    * days). The oracle builds the same dense grid with generate_series
+    * and fills with LAST_VALUE IGNORE NULLS. */
+  private val q129 = Q(
+    "q129_daily_gap_fill",
+    (s, dir) =>
+      graft.ops.Behavior.gapFillDaily(
+        Lake(s, dir).events.filter(col("user_id") < 40),
+        Seq("user_id"), "ts", "value")
+        .orderBy("user_id", "day_key"),
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS day_v
+        FROM events WHERE user_id < 40 GROUP BY 1, 2),
+      span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY 1),
+      grid AS (
+        SELECT user_id, CAST(t.d AS DATE) AS day
+        FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(d))
+      SELECT g.user_id,
+        strftime(g.day, '%Y%m%d') AS day_key,
+        LAST_VALUE(d.day_v IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+        CAST(d.day_v IS NOT NULL AS INT) AS is_observed
+      FROM grid g LEFT JOIN daily d
+        ON d.user_id = g.user_id AND d.day = g.day
+      ORDER BY g.user_id, day_key""")
+  )
+
+  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q121, q122, q123,
+    q124, q129)
 }

@@ -177,4 +177,25 @@ class BehaviorSpec extends SparkTestBase {
       .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("state"))
     assert(Snapshot.diff(current, latest, "user_id", Seq("state")).count() == 0)
   }
+
+  test("gapFillDaily: dense calendar per key, forward fill across gaps, observed flags") {
+    import java.sql.Timestamp
+    def t(day: String): Timestamp = Timestamp.valueOf(s"$day 10:00:00")
+    val rows = Seq(
+      ("u", t("2024-01-01"), 5.0),
+      ("u", t("2024-01-01"), 7.0),  // same day: max wins
+      ("u", t("2024-01-04"), 2.0),  // 2-day gap before this
+      ("v", t("2024-02-10"), 9.0))  // single-day span
+      .toDF("k", "ts", "v")
+    val out = Behavior.gapFillDaily(rows, Seq("k"), "ts", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    assert(out.size == 5) // u: 4 days, v: 1 day — dense spans only
+    assert(out(("u", "20240101")) == (7.0, 1))
+    assert(out(("u", "20240102")) == (7.0, 0)) // gap: carried forward
+    assert(out(("u", "20240103")) == (7.0, 0))
+    assert(out(("u", "20240104")) == (2.0, 1))
+    assert(out(("v", "20240210")) == (9.0, 1))
+  }
 }
