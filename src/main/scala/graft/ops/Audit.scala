@@ -56,7 +56,10 @@ object Audit {
   }
 
   /** Violation: a row whose key tuple occurs more than once (every row of
-    * a duplicated key counts, including the "first"). */
+    * a duplicated key counts, including the "first"). NULL keys group
+    * together like any value, so repeated NULLs DO count as duplicates —
+    * stricter than a SQL UNIQUE constraint (which ignores NULLs); pair
+    * with [[NotNull]] when the column should have neither. */
   final case class UniqueKey(cols: Seq[String]) extends Check {
     val name = s"unique:${cols.mkString(",")}"
   }

@@ -214,6 +214,11 @@ object Behavior {
       valueCol: String
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val internal = Seq("__day", "__day_v", "__d0", "__d1",
+      "day_key", "v_filled", "is_observed")
+    require(keyCols.intersect(internal).isEmpty &&
+      !internal.contains(valueCol),
+      "key/value columns collide with gapFillDaily internals/outputs")
     val keys = keyCols.map(col)
     val daily = df
       .withColumn("__day", to_date(col(tsCol)))

@@ -137,6 +137,8 @@ object Stats {
       pHi: Double
   ): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad percentile pair ($pLo, $pHi)")
+    require(!df.columns.contains("v_clipped"),
+      "input already has a v_clipped column")
     val v = F.col(valueCol)
     val lo = discThreshold(groupCols, valueCol, pLo)
     val hi = discThreshold(groupCols, valueCol, pHi)
@@ -162,6 +164,9 @@ object Stats {
       k: Int
   ): DataFrame = {
     require(k >= 1, s"need at least one bucket, got $k")
+    val out = Seq("bucket", "n", "lo", "hi")
+    require(groupCols.intersect(out).isEmpty,
+      s"group columns collide with output columns: ${groupCols.intersect(out).mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val cd = F.cume_dist()
       .over(Window.partitionBy(groupCols.map(F.col): _*).orderBy(F.col(valueCol)))
