@@ -395,6 +395,80 @@ object OlapQueries {
       ORDER BY g.user_id, day_key""")
   )
 
+  // --------------------------------------------------------------- q130
+  /** The dataset card in one gated query — the per-source summary every
+    * corpus release ships, composed ONLY of engine-reproducible
+    * statistics: exact counts and volumes, exact-hash duplicate rate,
+    * DISCRETE medians (chars and whitespace tokens — data points, no
+    * interpolation), and the dominant language with a deterministic
+    * tiebreak (count desc, then lang asc). Averages of floating scores
+    * are deliberately absent: a double sum's value depends on fold order
+    * across partitions, which is exactly what a cross-engine hash gate
+    * must refuse. One event-sized aggregate per block, joined source-wise. */
+  private val q130 = Q(
+    "q130_dataset_card",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dupes"))
+      val medChars = docs
+        .select(col("source"), col("n_chars"))
+        .withColumn("med_chars",
+          min(when(cume_dist().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")
+              .orderBy("n_chars")) >= 0.5, col("n_chars")))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("source")))
+        .groupBy("source").agg(max("med_chars").as("median_chars"))
+      val topLang = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__rk",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")
+              .orderBy(col("n").desc, col("lang"))))
+        .filter(col("__rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("n").as("top_lang_docs"))
+      base.join(medChars, Seq("source"))
+        .join(topLang, Seq("source"))
+        .select("source", "n_docs", "total_chars", "n_exact_dupes",
+          "median_chars", "top_lang", "top_lang_docs")
+        .orderBy("source")
+    },
+    Some("""
+      WITH base AS (
+        SELECT source,
+          COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+            AS n_exact_dupes
+        FROM documents GROUP BY source),
+      med AS (
+        SELECT source, MAX(m) AS median_chars
+        FROM (SELECT source,
+                MIN(CASE WHEN c >= 0.5 THEN n_chars END)
+                  OVER (PARTITION BY source) AS m
+              FROM (SELECT source, n_chars,
+                      cume_dist() OVER (PARTITION BY source
+                                        ORDER BY n_chars) AS c
+                    FROM documents))
+        GROUP BY source),
+      tl AS (
+        SELECT source, lang AS top_lang, n AS top_lang_docs
+        FROM (SELECT source, lang, COUNT(*) AS n,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY COUNT(*) DESC, lang) AS rk
+              FROM documents GROUP BY source, lang)
+        WHERE rk = 1)
+      SELECT b.source, b.n_docs, b.total_chars, b.n_exact_dupes,
+        m.median_chars, tl.top_lang, tl.top_lang_docs
+      FROM base b JOIN med m ON m.source = b.source
+      JOIN tl ON tl.source = b.source
+      ORDER BY b.source""")
+  )
+
   val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q121, q122, q123,
-    q124, q129)
+    q124, q129, q130)
 }
