@@ -13,12 +13,16 @@ import org.apache.spark.sql.SparkSession
   * sensors/sensor.py:8-12), which rebuilds every view every hour whether or
   * not anything changed.
   *
-  * Here a refresh is INCREMENTAL at two levels:
-  *   - per iteration: the silver tree is fingerprinted (relative path, size,
-  *     mtime of every file under `<silverRoot>/<year>`), and an unchanged
-  *     fingerprint skips the year entirely — the no-op costs one directory
-  *     walk, no Spark jobs. The reference has no such check; its hourly cron
-  *     re-reads and re-writes all 41 views unconditionally.
+  * Here a refresh is INCREMENTAL at three levels:
+  *   - per iteration: the silver tree is fingerprinted PER ENDPOINT
+  *     (file name, size, mtime under each `<silverRoot>/<year>/<endpoint>`
+  *     directory), and an unchanged year skips entirely — the no-op costs
+  *     one directory walk, no Spark jobs. The reference has no such check;
+  *     its hourly cron re-reads and re-writes all 41 views unconditionally.
+  *   - per view: when only SOME endpoints drifted (the delta-delivery
+  *     norm), only the views those endpoints reach — directly or through
+  *     view-on-view dependencies ([[affectedViews]] fixpoint) — are
+  *     rebuilt and rewritten; untouched views' gold files are not opened.
   *   - per year (upstream): ingest driven by the change-version window
   *     ([[graft.ingest.ChangeVersionStore]]) only writes silver when the ODS
   *     advanced, which is exactly what makes the fingerprint short-circuit
@@ -46,6 +50,62 @@ object AmtLoop {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Per-ENDPOINT digests for one year: silver directory name → md5 of its
+    * files' (name, size, mtime). The unit of change detection — a delta
+    * delivery touches few endpoints, and only views reachable from those
+    * endpoints need rebuilding. */
+  def endpointFingerprints(
+      silverRoot: String, schoolYear: String): Map[String, String] = {
+    val root = Paths.get(silverRoot, schoolYear)
+    if (!Files.isDirectory(root)) return Map.empty
+    Files.list(root).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map { dir =>
+        val entries = Files.list(dir).iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(p => s"${p.getFileName}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted
+        val md = MessageDigest.getInstance("MD5")
+        entries.foreach(e => md.update(e.getBytes("UTF-8")))
+        dir.getFileName.toString -> md.digest().map("%02x".format(_)).mkString
+      }
+      .toMap
+  }
+
+  /** Views that must rebuild when `changed` endpoints drifted: direct
+    * consumers plus the transitive view-on-view dependents (fixpoint over
+    * the registry — e.g. a gradingPeriods delta reaches
+    * mostRecentGradingPeriod through gradingPeriodDim). */
+  def affectedViews(changed: Set[String]): Seq[String] = {
+    var affected = AmtRegistry.all
+      .filter(_.endpointDeps.exists(changed)).map(_.name).toSet
+    var grown = true
+    while (grown) {
+      val next = AmtRegistry.all
+        .filter(v => !affected(v.name) && v.viewDeps.exists(affected))
+        .map(_.name)
+      grown = next.nonEmpty
+      affected ++= next
+    }
+    AmtRegistry.all.map(_.name).filter(affected) // registry order
+  }
+
+  private def readFingerprints(marker: Path): Option[Map[String, String]] = {
+    if (!Files.exists(marker)) return None
+    val lines = Files.readString(marker).linesIterator.toSeq.filter(_.nonEmpty)
+    // legacy single-hash files (no per-endpoint rows) → unknown state
+    if (!lines.forall(_.contains('|'))) return None
+    Some(lines.map { l =>
+      val i = l.lastIndexOf('|'); l.take(i) -> l.drop(i + 1)
+    }.toMap)
+  }
+
+  private def writeFingerprints(marker: Path, fps: Map[String, String]): Unit = {
+    Files.createDirectories(marker.getParent)
+    Files.writeString(marker,
+      fps.toSeq.sorted.map { case (k, v) => s"$k|$v" }.mkString("\n"))
+  }
+
   private def stateFile(goldRoot: String, schoolYear: String): Path =
     Paths.get(goldRoot, "_state", s"$schoolYear.fingerprint")
 
@@ -68,19 +128,35 @@ object AmtLoop {
       schoolYear: String,
       lockStaleMillis: Long = 6 * 3600 * 1000L
   ): Boolean = {
-    val fp = silverFingerprint(silverRoot, schoolYear)
+    val fps = endpointFingerprints(silverRoot, schoolYear)
     val marker = stateFile(goldRoot, schoolYear)
-    val previous =
-      if (Files.exists(marker)) Some(Files.readString(marker).trim) else None
-    if (previous.contains(fp)) return false
+    val previous = readFingerprints(marker)
+    // changed in EITHER direction: new/modified endpoints and removals
+    val changed = previous match {
+      case None => fps.keySet // plus "rebuild everything" below
+      case Some(prev) =>
+        (fps.keySet ++ prev.keySet).filter(k => fps.get(k) != prev.get(k))
+    }
+    if (previous.isDefined && changed.isEmpty) return false
+    // selective rebuild: first-ever build (or legacy/unknown state) takes
+    // every view; an incremental delta takes only the views the changed
+    // endpoints reach (directly or through view-on-view deps)
+    val views = previous match {
+      case None => AmtRegistry.all.map(_.name)
+      case Some(_) => affectedViews(changed)
+    }
+    if (views.isEmpty) { // drifted endpoints that no view consumes
+      writeFingerprints(marker, fps)
+      return false
+    }
     val lock = Paths.get(goldRoot, "_state", s"$schoolYear.lock")
     Files.createDirectories(lock.getParent)
     if (!acquireLock(lock, lockStaleMillis)) return false
     try {
       val pipeline = new AmtPipeline(spark, silverRoot, schoolYear)
-      try pipeline.writeAll(goldRoot)
+      try pipeline.writeViews(views, goldRoot)
       finally pipeline.release()
-      Files.writeString(marker, fp)
+      writeFingerprints(marker, fps)
       true
     } finally Files.deleteIfExists(lock)
   }

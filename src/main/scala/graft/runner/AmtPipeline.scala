@@ -154,15 +154,28 @@ final class AmtPipeline(
     *     `schoolYear=Y` — the incremental-year story: each year's run
     *     truncates its own partition and never touches history. */
   def writeAll(goldRoot: String, parallelism: Int = 4,
+      partitionedByYear: Boolean = false): Unit =
+    writeViews(AmtRegistry.all.map(_.name), goldRoot, parallelism,
+      partitionedByYear)
+
+  /** Write a SUBSET of views — the selective-rebuild path
+    * ([[AmtLoop.runOnce]] computes which views a changed endpoint
+    * actually reaches). View-on-view dependencies outside the subset are
+    * resolved through the normal memoized `view` resolver (built
+    * in-memory, not re-written), so a subset write never recomputes or
+    * touches an unaffected view's gold file. */
+  def writeViews(names: Seq[String], goldRoot: String, parallelism: Int = 4,
       partitionedByYear: Boolean = false): Unit = {
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     import org.apache.spark.sql.functions.{col, lit}
+    val unknown = names.filterNot(AmtRegistry.byName.contains)
+    require(unknown.isEmpty, s"unknown views: ${unknown.mkString(", ")}")
     val pool = Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try
-      Await.result(Future.sequence(AmtRegistry.all.map { v =>
+      Await.result(Future.sequence(names.map(AmtRegistry.byName).map { v =>
         Future {
           // sort within partitions by the leading key column so parquet
           // row-group min/max stats prune consumer point-lookups (the

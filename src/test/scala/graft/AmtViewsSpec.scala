@@ -1469,6 +1469,42 @@ class AmtViewsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](p.qualityReport("nope"))
   }
 
+  test("selective rebuild: a one-endpoint delta rewrites only the views it reaches") {
+    import graft.runner.AmtLoop
+    // dependency math first: a gradingPeriods drift must reach its direct
+    // consumer and the view-on-view dependents, never e.g. schoolDim
+    val affected = AmtLoop.affectedViews(Set("gradingPeriods")).toSet
+    assert(affected.contains("gradingPeriodDim"))
+    assert(affected.contains("mostRecentGradingPeriod"), "view-on-view dependent")
+    assert(!affected.contains("schoolDim"))
+    // end-to-end: full build, then a gradingPeriods delta — affected gold
+    // files get NEW mtimes, unaffected ones must not be rewritten
+    val silver = silverWith(
+      "gradingPeriods" -> gradingPeriodsJson,
+      "gradingPeriodDescriptors" -> gradingPeriodDescriptorsJson)
+    val gold = Files.createTempDirectory("gold-sel").toString
+    assert(AmtLoop.runOnce(spark, silver.toString, gold, "2022"))
+    import scala.jdk.CollectionConverters._
+    def mtime(view: String): Long =
+      Files.walk(java.nio.file.Paths.get(s"$gold/2022/$view.parquet"))
+        .iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.getLastModifiedTime(_).toMillis).max
+    val schoolBefore = mtime("schoolDim")
+    val gpBefore = mtime("gradingPeriodDim")
+    Thread.sleep(1100) // mtime granularity
+    Files.writeString(
+      silver.resolve("2022").resolve("gradingPeriods")
+        .resolve("gradingPeriods_2.json"), "[]")
+    assert(AmtLoop.runOnce(spark, silver.toString, gold, "2022"))
+    assert(mtime("gradingPeriodDim") > gpBefore, "affected view rewritten")
+    assert(mtime("schoolDim") == schoolBefore, "unaffected view untouched")
+    // endpoint REMOVAL is a change too
+    val gpDir = silver.resolve("2022").resolve("gradingPeriods")
+    Files.walk(gpDir).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    assert(AmtLoop.runOnce(spark, silver.toString, gold, "2022"))
+  }
+
   test("refresh loop lock: a held lock skips the year; a stale lock is taken over") {
     import graft.runner.AmtLoop
     val silver = silverWith(
