@@ -469,6 +469,49 @@ object OlapQueries {
       ORDER BY b.source""")
   )
 
+  // --------------------------------------------------------------- q131
+  /** Semi-structured extraction under the hash gate: the events table's
+    * `props` column is a JSON string the reference-shaped queries never
+    * open; production event logs carry exactly this shape (typed columns
+    * + a JSON properties bag). Spark parses it with `from_json` and an
+    * EXPLICIT schema — the codegen'd, analysis-checked path, not
+    * schema-inference or string surgery — and aggregates the extracted
+    * field exactly; the oracle extracts the same path with DuckDB's JSON
+    * functions. Malformed JSON yields NULL (from_json semantics), carried
+    * as an explicit n_null counter so silent parse loss is visible. */
+  private val q131 = Q(
+    "q131_json_props",
+    (s, dir) => {
+      val kSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      Lake(s, dir).events
+        .withColumn("k", from_json(col("props"), kSchema).getField("k"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH parsed AS (
+        SELECT event_type,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events)
+      SELECT event_type,
+        COUNT(*) AS n,
+        CAST(SUM(k) AS BIGINT) AS sum_k,
+        MIN(k) AS min_k,
+        MAX(k) AS max_k,
+        COUNT(DISTINCT k) AS n_distinct_k,
+        CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      FROM parsed GROUP BY event_type ORDER BY event_type""")
+  )
+
   val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q121, q122, q123,
-    q124, q129, q130)
+    q124, q129, q130, q131)
 }
