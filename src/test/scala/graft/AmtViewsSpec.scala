@@ -1498,6 +1498,13 @@ class AmtViewsSpec extends SparkTestBase {
     assert(AmtLoop.runOnce(spark, silver.toString, gold, "2022"))
     assert(mtime("gradingPeriodDim") > gpBefore, "affected view rewritten")
     assert(mtime("schoolDim") == schoolBefore, "unaffected view untouched")
+    // a drifted endpoint that NO view consumes records state but does not
+    // rebuild (returns false) — and stays a no-op afterwards
+    val stray = silver.resolve("2022").resolve("strayUnconsumedEndpoint")
+    Files.createDirectories(stray)
+    Files.writeString(stray.resolve("stray_1.json"), "[]")
+    assert(!AmtLoop.runOnce(spark, silver.toString, gold, "2022"))
+    assert(!AmtLoop.runOnce(spark, silver.toString, gold, "2022"))
     // endpoint REMOVAL is a change too
     val gpDir = silver.resolve("2022").resolve("gradingPeriods")
     Files.walk(gpDir).iterator().asScala.toSeq.reverse
