@@ -25,15 +25,27 @@ object PlanAudit {
 
     val df = Registry.byName(name).run(spark, sfDir)
     // finalize THIS dataframe's adaptive plan without materializing the
-    // result on the driver (collect() would OOM on large-SF pair joins;
-    // a noop write would execute a different QueryExecution)
-    df.foreach(_ => ())
-    val plan = df.queryExecution.executedPlan.toString
+    // result on the driver: run the executedPlan's OWN RDD (collect()
+    // would OOM on large-SF pair joins; df.foreach / a noop write plan a
+    // SEPARATE QueryExecution and leave this one's AQE unfinalized —
+    // the audit would then count the static pre-AQE plan, which is
+    // exactly the mistake this tool exists to prevent)
+    val qe = df.queryExecution
+    qe.executedPlan.execute().foreach(_ => ())
+    val plan = qe.executedPlan.toString
     println(plan)
     def n(pat: String) = pat.r.findAllIn(plan).length
-    println(s"--- audit: exchanges=${n("Exchange hashpartitioning")}" +
+    // a finalized adaptive plan prints each materialized exchange twice
+    // (the ShuffleQueryStage wrapper AND its child Exchange) — the stage
+    // count is the true shuffle count when stages exist
+    val shuffles =
+      if (n("ShuffleQueryStage") > 0) n("ShuffleQueryStage")
+      else n("Exchange (hash|range|single)")
+    println(s"--- audit: finalized=${plan.contains("isFinalPlan=true")}" +
+      s" shuffles=$shuffles" +
       s" reused=${n("ReusedExchange")} broadcastJoins=${n("BroadcastHashJoin")}" +
-      s" sortMergeJoins=${n("SortMergeJoin")} codegenSpans=${n("""\*\(\d+\)""")}" +
+      s" sortMergeJoins=${n("SortMergeJoin")}" +
+      s" codegenSpans=${math.max(n("""\*\(\d+\)"""), n("WholeStageCodegen"))}" +
       s" cartesian=${n("CartesianProduct")}")
     spark.stop()
   }
