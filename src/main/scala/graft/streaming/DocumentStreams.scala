@@ -104,6 +104,44 @@ object DocumentStreams {
         flagCols.map { case (name, _) => col(s"`v::$name`") }: _*)
   }
 
+  /** Streaming media ingestion — the multimodal arm's incremental twin:
+    * watch a landing directory with Spark's `binaryFile` source and run
+    * the SAME real decode the batch path uses
+    * ([[graft.ops.Multimodal.imageFeatures]]: BMP → resample → exact
+    * channel means) on every arriving blob. Stateless per batch (pure
+    * partition-wise decode, no watermark, no state store), so throughput
+    * is read-bound; `doc_id` is the digits of the file name (the lake
+    * convention for media drops: `<id>.bmp`). Undecodable blobs are
+    * dropped by the decode, exactly like the batch operator — a
+    * StreamingSpec test pins stream ≡ batch on the same files. */
+  def imageFeatureStream(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      width: Int,
+      height: Int
+  ): DataFrame = {
+    // streaming sources need the schema declared up front; binaryFile's
+    // is fixed by the format (path, modificationTime, length, content)
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val raw = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.bmp")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bmp$", 1).cast("long").as("doc_id"),
+        col("content").as("media"))
+    graft.ops.Multimodal.imageFeatures(raw, "doc_id", "media", width, height)
+      .toDF()
+  }
+
   /** Streaming PII scrub — the incremental twin of the batch redaction
     * pass (q58), using the SAME codegen'd expressions. Stateless (pure
     * map, no watermark, no state store): a scrub belongs at the front of

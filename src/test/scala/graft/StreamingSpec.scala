@@ -327,6 +327,39 @@ class StreamingSpec extends SparkTestBase {
     assert(e.getMessage.contains("batch-only"))
   }
 
+  test("imageFeatureStream: binaryFile landing dir decodes like the batch path") {
+    import graft.ops.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("media-land")
+    def bmp(id: Long): Array[Byte] = {
+      val w = 6; val h = 4
+      val rgb = Array.tabulate(w * h * 3)(i => ((id * 7 + i) % 256).toByte)
+      Multimodal.encodeBmp(Multimodal.DecodedImage(w, h, rgb))
+    }
+    java.nio.file.Files.write(dir.resolve("101.bmp"), bmp(101))
+    java.nio.file.Files.write(dir.resolve("102.bmp"), bmp(102))
+    java.nio.file.Files.writeString(dir.resolve("readme.txt"), "not media")
+    val q = graft.streaming.DocumentStreams
+      .imageFeatureStream(spark, dir.toString, 3, 3)
+      .writeStream.format("memory").queryName("media_feats")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("media_feats").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Double]("mean_r"), r.getAs[Double]("mean_g"),
+            r.getAs[Double]("mean_b"))).toMap
+      // twin law: identical to the batch operator over the same bytes
+      val batch = Multimodal.imageFeatures(
+        Seq((101L, bmp(101)), (102L, bmp(102))).toDF("doc_id", "media"),
+        "doc_id", "media", 3, 3)
+        .collect().map(f => f.doc_id -> (f.mean_r, f.mean_g, f.mean_b)).toMap
+      assert(streamed == batch)
+      assert(streamed.keySet == Set(101L, 102L)) // the .txt never enters
+    } finally q.stop()
+  }
+
   test("scrubStream: in-flight PII redaction matches the batch expressions row for row") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, String)]
