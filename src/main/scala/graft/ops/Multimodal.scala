@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -544,6 +546,119 @@ object Multimodal {
                 }
               }
             case _ => Iterator.empty
+          }
+        }
+      }
+  }
+
+  // ----------------------------------------------------------------- TAR
+  // WebDataset-shaped shard handling: training corpora commonly land as
+  // tar archives of per-sample member files. POSIX ustar needs no codec —
+  // 512-byte headers (name, octal size, checksum), content padded to 512
+  // — so shard ingestion is another genuinely end-to-end path: write and
+  // walk members with exact bytes, gated by q132.
+
+  /** Serialize members as a POSIX ustar archive (name → bytes), with the
+    * standard two-zero-block terminator — readable by any tar. Member
+    * names must fit ustar's 100-byte field. */
+  def tarArchive(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, content) =>
+      val nameBytes = name.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      require(nameBytes.length <= 100, s"ustar name too long: $name")
+      val h = new Array[Byte](512)
+      System.arraycopy(nameBytes, 0, h, 0, nameBytes.length)
+      def octal(v: Long, off: Int, len: Int): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val padded = ("0" * (len - 1 - s.length)) + s
+        System.arraycopy(padded.getBytes("US-ASCII"), 0, h, off, len - 1)
+        h(off + len - 1) = 0
+      }
+      octal(420, 100, 8)            // mode 0644
+      octal(0, 108, 8); octal(0, 116, 8) // uid/gid
+      octal(content.length.toLong, 124, 12)
+      octal(0, 136, 12)             // mtime
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces
+      h(156) = '0'                  // regular file
+      System.arraycopy("ustar 00".getBytes("US-ASCII"), 0, h, 257, 8)
+      val sum = h.map(_ & 0xff).sum
+      val cs = java.lang.Long.toOctalString(sum.toLong)
+      val csPadded = ("0" * (6 - cs.length)) + cs
+      System.arraycopy(csPadded.getBytes("US-ASCII"), 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '.toByte
+      out.write(h)
+      out.write(content)
+      val pad = (512 - content.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024)) // terminator
+    out.toByteArray
+  }
+
+  /** Walk a ustar archive: (member name, content bytes) for every regular
+    * file, verifying each header's checksum; stops cleanly at the zero
+    * terminator or on any malformed header (never throws on arbitrary
+    * bytes, never reads past the blob). */
+  def parseTarMembers(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var p = 0
+    var ok = true
+    while (ok && p + 512 <= bytes.length) {
+      val block = bytes.slice(p, p + 512)
+      if (block.forall(_ == 0)) ok = false // terminator
+      else {
+        val nameEnd = {
+          val i = block.indexOf(0.toByte); if (i < 0 || i > 100) 100 else i
+        }
+        val name = new String(block, 0, nameEnd,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val sizeStr = new String(block, 124, 12, "US-ASCII")
+          .takeWhile(c => c >= '0' && c <= '7')
+        val declared = new String(block, 148, 8, "US-ASCII")
+          .filter(c => c >= '0' && c <= '7')
+        val computed = {
+          val copy = block.clone()
+          java.util.Arrays.fill(copy, 148, 156, ' '.toByte)
+          copy.map(_ & 0xff).sum.toLong
+        }
+        val size = try java.lang.Long.parseLong(sizeStr, 8) catch {
+          case _: NumberFormatException => -1L
+        }
+        val checksumOk = declared.nonEmpty &&
+          java.lang.Long.parseLong(declared, 8) == computed
+        if (size < 0 || !checksumOk || p + 512 + size > bytes.length) ok = false
+        else {
+          if (block(156) == '0' || block(156) == 0) // regular file
+            out += name -> bytes.slice(p + 512, p + 512 + size.toInt)
+          val padded = ((size + 511) / 512) * 512
+          p += 512 + padded.toInt
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** One shard member with its exact content digest. */
+  final case class TarMember(
+      doc_id: Long, member_name: String, n_bytes: Long, content_md5: String)
+
+  /** Partition-wise shard walk: every member of every archive as a typed
+    * row with its exact size and content md5 — the ingestion shape for
+    * WebDataset-style shards (1:N fan-out inside the partition iterator,
+    * no shuffle, nothing driver-side). Malformed archives yield their
+    * valid prefix of members, matching [[parseTarMembers]]. */
+  def tarMembers(df: DataFrame, idCol: String, binCol: String): Dataset[TarMember] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val safe = if (bytes == null) Array.empty[Byte] else bytes
+          parseTarMembers(safe).iterator.map { case (name, content) =>
+            val md = MessageDigest.getInstance("MD5")
+            TarMember(id, name, content.length.toLong,
+              md.digest(content).map("%02x".format(_)).mkString)
           }
         }
       }

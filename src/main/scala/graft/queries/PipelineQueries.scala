@@ -3149,6 +3149,51 @@ object PipelineQueries {
       ORDER BY doc_id, frame_idx""")
   )
 
+  // --------------------------------------------------------------- q132
+  /** WebDataset-style shard ingestion under the hash gate: genuine POSIX
+    * ustar archives (members, sizes and ASCII payloads all functions of
+    * doc_id), walked by [[graft.ops.Multimodal.tarMembers]] with header
+    * checksum verification, emitting each member's exact size and content
+    * md5. The oracle rebuilds the identical payload STRINGS with repeat()
+    * and hashes them in SQL — a hash match proves the 512-byte-block
+    * archive walk byte-for-byte. */
+  private val q132 = Q(
+    "q132_tar_shard_members",
+    (s, dir) => {
+      import s.implicits._
+      val tars = Lake(s, dir).documents
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val members = (0 until (2 + id % 3).toInt).map { i =>
+            val reps = (10 + (id + i) % 5).toInt
+            (s"doc$id/part$i.txt",
+              (s"payload-$id-$i|" * reps).getBytes("US-ASCII"))
+          }
+          (id, Multimodal.tarArchive(members))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.tarMembers(tars, "doc_id", "media").toDF()
+        .orderBy("doc_id", "member_name")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 2 + doc_id % 3 AS nm
+        FROM documents WHERE doc_id < 300),
+      members AS (
+        SELECT doc_id,
+          'doc' || CAST(doc_id AS VARCHAR) || '/part'
+            || CAST(t.i AS VARCHAR) || '.txt' AS member_name,
+          repeat('payload-' || CAST(doc_id AS VARCHAR) || '-'
+            || CAST(t.i AS VARCHAR) || '|',
+            CAST(10 + (doc_id + t.i) % 5 AS INT)) AS payload
+        FROM ids, unnest(generate_series(0, nm - 1)) AS t(i))
+      SELECT doc_id, member_name,
+        CAST(length(payload) AS BIGINT) AS n_bytes,
+        md5(payload) AS content_md5
+      FROM members ORDER BY doc_id, member_name""")
+  )
+
   // --------------------------------------------------------------- q112
   /** Log₂-bucketed length histogram per source —
     * [[graft.ops.Stats.logHistogram]] under the hash gate: the
@@ -3234,5 +3279,5 @@ object PipelineQueries {
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
-    q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128)
+    q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132)
 }

@@ -365,6 +365,40 @@ class MultimodalSpec extends SparkTestBase {
     assert(cut.map(_.frame_idx).toSet == Set(0L, 1L))
   }
 
+  test("TAR: write/walk round trip, checksum gate, system-tar interop, rejects") {
+    import Multimodal.{parseTarMembers, tarArchive}
+    val members = Seq(
+      "a/one.txt" -> "hello world".getBytes("US-ASCII"),
+      "a/two.bin" -> Array.tabulate(700)(i => (i % 251).toByte), // >1 block
+      "empty.txt" -> Array.empty[Byte])
+    val tar = tarArchive(members)
+    val back = parseTarMembers(tar)
+    assert(back.map(_._1) == members.map(_._1))
+    assert(back.zip(members).forall { case ((_, b), (_, exp)) =>
+      b.sameElements(exp) })
+    // a corrupted header checksum stops the walk at the corruption point
+    val corrupt = tar.clone()
+    corrupt(0) = 'x'.toByte // name change invalidates the checksum
+    assert(parseTarMembers(corrupt).isEmpty)
+    val corrupt2 = tar.clone()
+    val secondHdr = 512 + 512 // after one-block member "a/one.txt"
+    corrupt2(secondHdr) = 'x'.toByte
+    assert(parseTarMembers(corrupt2).map(_._1) == Seq("a/one.txt"))
+    assert(parseTarMembers("not a tar at all".getBytes).isEmpty)
+    // interop: the REAL tar lists exactly our members (proves the ustar
+    // layout, not just our own round trip)
+    val f = java.nio.file.Files.createTempFile("graft-tar", ".tar")
+    java.nio.file.Files.write(f, tar)
+    try {
+      val p = new ProcessBuilder("tar", "-tf", f.toString).start()
+      val listed = new String(p.getInputStream.readAllBytes(), "US-ASCII")
+        .linesIterator.toSeq
+      if (p.waitFor() == 0)
+        assert(listed == members.map(_._1), s"system tar disagrees: $listed")
+    } catch { case _: java.io.IOException => () } // no tar binary: skip
+    finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("BMP codec: encode/decode identity, padding, top-down rows, rejects") {
     import Multimodal.{DecodedImage, decodeBmp, encodeBmp}
     // 3x2 (row stride 9 → padded to 12): identity through the round trip
