@@ -638,6 +638,25 @@ object Multimodal {
     out.result()
   }
 
+  /** Gzip-decompress (RFC 1952 magic 1f 8b) with a decompressed-size cap —
+    * a REAL codec, unlike the image/audio ones: DEFLATE ships in the JVM.
+    * `None` for non-gzip bytes or a corrupt/oversized stream. */
+  def gunzip(bytes: Array[Byte], maxBytes: Int = 256 * 1024 * 1024): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 2 ||
+      (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) return None
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0 && out.size <= maxBytes) {
+        out.write(buf, 0, n); n = in.read(buf)
+      }
+      if (out.size > maxBytes) None else Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+  }
+
   /** One shard member with its exact content digest. */
   final case class TarMember(
       doc_id: Long, member_name: String, n_bytes: Long, content_md5: String)
@@ -645,8 +664,10 @@ object Multimodal {
   /** Partition-wise shard walk: every member of every archive as a typed
     * row with its exact size and content md5 — the ingestion shape for
     * WebDataset-style shards (1:N fan-out inside the partition iterator,
-    * no shuffle, nothing driver-side). Malformed archives yield their
-    * valid prefix of members, matching [[parseTarMembers]]. */
+    * no shuffle, nothing driver-side). Gzipped archives (`.tar.gz`, the
+    * common shard form) are decompressed transparently via the gzip
+    * magic; malformed archives yield their valid prefix of members,
+    * matching [[parseTarMembers]]. */
   def tarMembers(df: DataFrame, idCol: String, binCol: String): Dataset[TarMember] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -655,7 +676,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           val safe = if (bytes == null) Array.empty[Byte] else bytes
-          parseTarMembers(safe).iterator.map { case (name, content) =>
+          val raw = gunzip(safe).getOrElse(safe)
+          parseTarMembers(raw).iterator.map { case (name, content) =>
             val md = MessageDigest.getInstance("MD5")
             TarMember(id, name, content.length.toLong,
               md.digest(content).map("%02x".format(_)).mkString)

@@ -3194,6 +3194,54 @@ object PipelineQueries {
       FROM members ORDER BY doc_id, member_name""")
   )
 
+  // --------------------------------------------------------------- q133
+  /** Compressed shard ingestion (.tar.gz, WebDataset's wire form): the
+    * q132 archives gzip-compressed with the JVM's own DEFLATE — a REAL
+    * decompressor, not a stub — and walked through the same checksum-
+    * verified member path. The oracle is identical to q132's (member
+    * payloads rebuilt in SQL): a hash match proves gunzip ∘ tar-walk
+    * recovers every byte. Fixture mirrors q132 with a doc_id offset so
+    * both gates stay independently diagnosable. */
+  private val q133 = Q(
+    "q133_targz_shard_members",
+    (s, dir) => {
+      import s.implicits._
+      val tars = Lake(s, dir).documents
+        .filter(col("doc_id") >= 300 && col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val members = (0 until (2 + id % 3).toInt).map { i =>
+            val reps = (10 + (id + i) % 5).toInt
+            (s"doc$id/part$i.txt",
+              (s"payload-$id-$i|" * reps).getBytes("US-ASCII"))
+          }
+          val gz = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.GZIPOutputStream(gz)
+          z.write(Multimodal.tarArchive(members)); z.close()
+          (id, gz.toByteArray)
+        })
+        .toDF("doc_id", "media")
+      Multimodal.tarMembers(tars, "doc_id", "media").toDF()
+        .orderBy("doc_id", "member_name")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 2 + doc_id % 3 AS nm
+        FROM documents WHERE doc_id >= 300 AND doc_id < 500),
+      members AS (
+        SELECT doc_id,
+          'doc' || CAST(doc_id AS VARCHAR) || '/part'
+            || CAST(t.i AS VARCHAR) || '.txt' AS member_name,
+          repeat('payload-' || CAST(doc_id AS VARCHAR) || '-'
+            || CAST(t.i AS VARCHAR) || '|',
+            CAST(10 + (doc_id + t.i) % 5 AS INT)) AS payload
+        FROM ids, unnest(generate_series(0, nm - 1)) AS t(i))
+      SELECT doc_id, member_name,
+        CAST(length(payload) AS BIGINT) AS n_bytes,
+        md5(payload) AS content_md5
+      FROM members ORDER BY doc_id, member_name""")
+  )
+
   // --------------------------------------------------------------- q112
   /** Log₂-bucketed length histogram per source —
     * [[graft.ops.Stats.logHistogram]] under the hash gate: the
@@ -3279,5 +3327,6 @@ object PipelineQueries {
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
-    q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132)
+    q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
+    q133)
 }

@@ -399,6 +399,31 @@ class MultimodalSpec extends SparkTestBase {
     finally java.nio.file.Files.deleteIfExists(f)
   }
 
+  test("gunzip: real DEFLATE round trip, magic gate, corrupt stream, size cap") {
+    import Multimodal.gunzip
+    val payload = ("some shard bytes " * 100).getBytes("US-ASCII")
+    val gz = {
+      val b = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.GZIPOutputStream(b)
+      z.write(payload); z.close(); b.toByteArray
+    }
+    assert(gunzip(gz).get.sameElements(payload))
+    assert(gunzip(payload).isEmpty)                 // no gzip magic
+    assert(gunzip(gz.take(10)).isEmpty)             // truncated stream
+    assert(gunzip(gz, maxBytes = 100).isEmpty)      // decompression bomb cap
+    // tarMembers transparently walks a gzipped archive
+    val tgz = {
+      val b = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.GZIPOutputStream(b)
+      z.write(Multimodal.tarArchive(Seq("m.txt" -> "hi".getBytes)))
+      z.close(); b.toByteArray
+    }
+    val out = Multimodal.tarMembers(
+      Seq((7L, tgz)).toDF("doc_id", "media"), "doc_id", "media").collect()
+    assert(out.length == 1 && out.head.member_name == "m.txt" &&
+      out.head.n_bytes == 2L)
+  }
+
   test("BMP codec: encode/decode identity, padding, top-down rows, rejects") {
     import Multimodal.{DecodedImage, decodeBmp, encodeBmp}
     // 3x2 (row stride 9 → padded to 12): identity through the round trip
