@@ -657,6 +657,52 @@ object Multimodal {
     } catch { case _: java.io.IOException => None }
   }
 
+  /** Serialize members as a ZIP archive (stored or deflated by the JVM's
+    * ZipOutputStream — both real codecs). */
+  def zipArchive(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    members.foreach { case (name, content) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content)
+      z.closeEntry()
+    }
+    z.close()
+    out.toByteArray
+  }
+
+  /** Walk a ZIP archive: (entry name, content) for every file entry via
+    * the JVM's ZipInputStream (real INFLATE). A per-entry and total
+    * decompressed-size cap guards against zip bombs; a malformed stream
+    * yields the valid prefix of entries, never throws. */
+  def parseZipMembers(
+      bytes: Array[Byte],
+      maxBytes: Long = 256L * 1024 * 1024): Seq[(String, Array[Byte])] = {
+    if (bytes == null || bytes.length < 4 ||
+      bytes(0) != 'P' || bytes(1) != 'K') return Seq.empty
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var total = 0L
+    try {
+      val in = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      var entry = in.getNextEntry
+      while (entry != null && total <= maxBytes) {
+        if (!entry.isDirectory) {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](64 * 1024)
+          var n = in.read(chunk)
+          while (n >= 0 && total + buf.size <= maxBytes) {
+            buf.write(chunk, 0, n); n = in.read(chunk)
+          }
+          total += buf.size
+          if (total <= maxBytes) out += entry.getName -> buf.toByteArray
+        }
+        entry = if (total <= maxBytes) in.getNextEntry else null
+      }
+    } catch { case _: java.io.IOException => () }
+    out.result()
+  }
+
   /** One shard member with its exact content digest. */
   final case class TarMember(
       doc_id: Long, member_name: String, n_bytes: Long, content_md5: String)
@@ -677,7 +723,12 @@ object Multimodal {
         rows.flatMap { case (id, bytes) =>
           val safe = if (bytes == null) Array.empty[Byte] else bytes
           val raw = gunzip(safe).getOrElse(safe)
-          parseTarMembers(raw).iterator.map { case (name, content) =>
+          // container sniff: PK magic → ZIP entries; else ustar walk
+          val members =
+            if (raw.length >= 2 && raw(0) == 'P' && raw(1) == 'K')
+              parseZipMembers(raw)
+            else parseTarMembers(raw)
+          members.iterator.map { case (name, content) =>
             val md = MessageDigest.getInstance("MD5")
             TarMember(id, name, content.length.toLong,
               md.digest(content).map("%02x".format(_)).mkString)

@@ -3242,6 +3242,50 @@ object PipelineQueries {
       FROM members ORDER BY doc_id, member_name""")
   )
 
+  // --------------------------------------------------------------- q134
+  /** ZIP shard ingestion — the third shard container, through the JVM's
+    * real INFLATE ([[graft.ops.Multimodal.parseZipMembers]], zip-bomb
+    * capped): same member fixture and oracle shape as q132/q133, so the
+    * three container gates (ustar, tar.gz, zip) are mutually
+    * diagnosable. `tarMembers` sniffs the PK magic and routes
+    * automatically — one ingestion entry point for all shard forms. */
+  private val q134 = Q(
+    "q134_zip_shard_members",
+    (s, dir) => {
+      import s.implicits._
+      val zips = Lake(s, dir).documents
+        .filter(col("doc_id") >= 100 && col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val members = (0 until (2 + id % 3).toInt).map { i =>
+            val reps = (10 + (id + i) % 5).toInt
+            (s"doc$id/part$i.txt",
+              (s"payload-$id-$i|" * reps).getBytes("US-ASCII"))
+          }
+          (id, Multimodal.zipArchive(members))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.tarMembers(zips, "doc_id", "media").toDF()
+        .orderBy("doc_id", "member_name")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 2 + doc_id % 3 AS nm
+        FROM documents WHERE doc_id >= 100 AND doc_id < 300),
+      members AS (
+        SELECT doc_id,
+          'doc' || CAST(doc_id AS VARCHAR) || '/part'
+            || CAST(t.i AS VARCHAR) || '.txt' AS member_name,
+          repeat('payload-' || CAST(doc_id AS VARCHAR) || '-'
+            || CAST(t.i AS VARCHAR) || '|',
+            CAST(10 + (doc_id + t.i) % 5 AS INT)) AS payload
+        FROM ids, unnest(generate_series(0, nm - 1)) AS t(i))
+      SELECT doc_id, member_name,
+        CAST(length(payload) AS BIGINT) AS n_bytes,
+        md5(payload) AS content_md5
+      FROM members ORDER BY doc_id, member_name""")
+  )
+
   // --------------------------------------------------------------- q112
   /** Log₂-bucketed length histogram per source —
     * [[graft.ops.Stats.logHistogram]] under the hash gate: the
@@ -3328,5 +3372,5 @@ object PipelineQueries {
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
-    q133)
+    q133, q134)
 }

@@ -424,6 +424,24 @@ class MultimodalSpec extends SparkTestBase {
       out.head.n_bytes == 2L)
   }
 
+  test("ZIP: real INFLATE round trip, magic gate, bomb cap, sniffed by tarMembers") {
+    import Multimodal.{parseZipMembers, zipArchive}
+    val members = Seq(
+      "s/a.txt" -> "alpha".getBytes("US-ASCII"),
+      "s/b.bin" -> Array.tabulate(5000)(i => (i % 97).toByte))
+    val zip = zipArchive(members)
+    val back = parseZipMembers(zip)
+    assert(back.map(_._1) == members.map(_._1))
+    assert(back.zip(members).forall { case ((_, b), (_, e)) => b.sameElements(e) })
+    assert(parseZipMembers("no archive here".getBytes).isEmpty)
+    assert(parseZipMembers(zip, maxBytes = 100).size <= 1) // bomb cap
+    // tarMembers sniffs PK and walks zip entries through the same path
+    val out = Multimodal.tarMembers(
+      Seq((3L, zip)).toDF("doc_id", "media"), "doc_id", "media")
+      .collect().map(m => m.member_name -> m.n_bytes).toMap
+    assert(out == Map("s/a.txt" -> 5L, "s/b.bin" -> 5000L))
+  }
+
   test("BMP codec: encode/decode identity, padding, top-down rows, rejects") {
     import Multimodal.{DecodedImage, decodeBmp, encodeBmp}
     // 3x2 (row stride 9 → padded to 12): identity through the round trip
