@@ -911,6 +911,132 @@ object WebGraph {
       .otherwise(concat(root, bDir, href))
   }
 
+  /** Exact per-host triangle counts and local clustering coefficients on
+    * the undirected host graph — the classic link-farm / mutual-citation
+    * density signal ([[spamMass]] measures WHERE bad rank mass flows;
+    * this measures HOW interlinked a neighborhood is — a host whose
+    * neighbors all link each other is a clique-ish cluster, organic
+    * hub-and-spoke hosts score near 0).
+    *
+    * Algorithm is the degree-ordered "compact-forward" enumeration: each
+    * undirected edge is oriented from the lower-(degree, host) endpoint
+    * to the higher, so every triangle {x,y,z} is emitted EXACTLY once
+    * (at its lowest-rank apex) and — the 100 TB property — the oriented
+    * out-degree is O(√m), which caps the wedge join that a naive
+    * enumeration lets explode on hub nodes: a 10⁶-degree hub generates
+    * 10¹² wedges undirected, but near-zero as a wedge APEX because
+    * almost all its edges orient inward. Three shuffles total (degree
+    * agg, wedge self-join, closing semi-join), all keyed on host —
+    * no all-pairs anywhere.
+    *
+    * Output: (host, degree, triangles, clustering_coeff) per host with
+    * degree ≥ 1; coefficient = 2T / d(d−1) (0 when d < 2), computed in
+    * double — one IEEE division of exact integers, bit-stable across
+    * engines. Self-loops and duplicate/reverse edges are collapsed
+    * first (triangle counting is defined on the simple graph). */
+  def triangles(edges: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // canonical simple undirected edges: (a < b), self-loops dropped
+    val und = edges
+      .select(col("src_host").cast("string").as("s"),
+        col("dst_host").cast("string").as("d"))
+      .filter(col("s") =!= "" && col("d") =!= "" && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("host"))
+      .union(und.select(col("b").as("host")))
+      .groupBy("host").agg(count(lit(1)).as("degree"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // orient low-rank → high-rank, rank = (degree, host) lexicographic
+    val withDeg = und
+      .join(deg.select(col("host").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("host").as("b"), col("degree").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst"),
+          col("db").as("ddst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+          col("da").as("ddst"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.ddst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // wedges at apex src: (v, w) with rank(v) < rank(w); close with the
+    // oriented edge (v, w) — a left_semi can't count multiplicity here
+    // because each wedge closes at most one way, so an inner join on the
+    // canonical pair is already multiplicity-exact
+    val wedges = oriented.as("l").join(oriented.as("r"), Seq("src"))
+      .filter(col("l.ddst") < col("r.ddst") ||
+        (col("l.ddst") === col("r.ddst") && col("l.dst") < col("r.dst")))
+      .select(col("src").as("x"), col("l.dst").as("y"), col("r.dst").as("z"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perHost = tris.select(explode(array(col("x"), col("y"), col("z"))).as("host"))
+      .groupBy("host").agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perHost, Seq("host"), "left_outer")
+      .select(col("host"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering_coeff",
+        when(col("degree") < 2, lit(0.0d))
+          .otherwise((col("triangles") * 2).cast("double") /
+            (col("degree") * (col("degree") - lit(1L))).cast("double")))
+    val materialized = out.localCheckpoint()
+    und.unpersist(); deg.unpersist(); oriented.unpersist(); tris.unpersist()
+    materialized
+  }
+
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * host whose degree in the CURRENT subgraph is < k until the
+    * subgraph is stable; what survives is the k-core — the standard
+    * "dense nucleus" extractor (crawl prioritization seeds, spam-ring
+    * cores, community backbones all start from it). Returns each
+    * surviving host with its degree inside the core.
+    *
+    * Loop discipline is [[crawlDepth]]'s: per round ONE degree
+    * aggregation keyed on host + one semi-join filtering the edge list,
+    * both `localCheckpoint`ed so lineage stays flat; one scalar count
+    * drives termination. Rounds are bounded by the peel depth of the
+    * graph (typically ≪ |V|; `maxIter` guards pathological chains
+    * loudly rather than spinning). Per-round cost is |surviving edges|
+    * — monotonically shrinking — and state is (host, long) rows, the
+    * shape that holds on a 1000-executor graph. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val und0 = edges
+      .select(col("src_host").cast("string").as("s"),
+        col("dst_host").cast("string").as("d"))
+      .filter(col("s") =!= "" && col("d") =!= "" && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+    var und = und0.localCheckpoint()
+    var pruned = 1L
+    var rounds = 0
+    while (pruned > 0 && rounds < maxIter) {
+      val deg = und.select(col("a").as("host"))
+        .union(und.select(col("b").as("host")))
+        .groupBy("host").agg(count(lit(1)).as("core_degree"))
+        .localCheckpoint()
+      val keep = deg.filter(col("core_degree") >= k)
+      val next = und
+        .join(keep.select(col("host").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("host").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint()
+      pruned = und.count() - next.count()
+      und = next
+      rounds += 1
+    }
+    require(pruned == 0,
+      s"kCore did not converge in $maxIter rounds (peel depth exceeded)")
+    // final degrees over the stable subgraph (deg was computed pre-peel
+    // in the last productive round; recompute on the fixed point)
+    und.select(col("a").as("host"))
+      .union(und.select(col("b").as("host")))
+      .groupBy("host").agg(count(lit(1)).as("core_degree"))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "(?i)^(https?)://", 1))
     val host = hostOf(url)

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Lake
+import graft.ops.WebGraph
+
+/** Graph-topology coverage beyond reachability and rank: exact triangle
+  * counting / clustering coefficients (q135) and k-core decomposition by
+  * iterative peeling (q136) — the two classic "how dense is this
+  * neighborhood" signals a crawl-curation pipeline layers on top of
+  * PageRank-family scores (link farms are triangle-dense and survive deep
+  * cores; organic hub-and-spoke link-graphs are neither).
+  *
+  * Both run on deterministic synthetic host graphs derived from `doc_id`
+  * arithmetic (the q108 convention): the structure is chosen so the
+  * interesting machinery is actually exercised — the triangle fixture has
+  * real triangles at every cluster, the k-core fixture has a pendant
+  * fringe AND a chain whose peel takes multiple rounds.
+  */
+object GraphQueries {
+
+  // --------------------------------------------------------------- q135
+  /** Two deterministic intra-cluster edge families over 5×7 hosts:
+    * i → (3i+1) mod 7 and i → (2i+3) mod 7 inside cluster doc_id mod 5.
+    * The union contains triangles (e.g. h1–h4–h6) but is far from
+    * complete, so the degree-ordered orientation's exactly-once emission
+    * is genuinely load-bearing. */
+  private def triangleEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Lake(s, dir).documents
+    def host(expr: org.apache.spark.sql.Column) =
+      concat(lit("c"), pmod(col("doc_id"), lit(5)), lit("h"), expr)
+    d.select(host(pmod(col("doc_id"), lit(7))).as("src_host"),
+        host(pmod(col("doc_id") * 3 + 1, lit(7))).as("dst_host"))
+      .union(
+        d.select(host(pmod(col("doc_id"), lit(7))).as("src_host"),
+          host(pmod(col("doc_id") * 2 + 3, lit(7))).as("dst_host")))
+  }
+
+  private val q135 = Q(
+    "q135_host_triangles",
+    (s, dir) =>
+      WebGraph.triangles(triangleEdges(s, dir))
+        .orderBy("host"),
+    Some("""
+      WITH raw AS (
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR) AS s,
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS d
+        FROM documents
+        UNION ALL
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR),
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 2 + 3) % 7 AS VARCHAR)
+        FROM documents),
+      und AS (
+        SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM raw WHERE s <> d),
+      deg AS (
+        SELECT host, COUNT(*) AS degree FROM (
+          SELECT a AS host FROM und UNION ALL SELECT b FROM und)
+        GROUP BY host),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      per_host AS (
+        SELECT host, COUNT(*) AS triangles FROM (
+          SELECT x AS host FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+        GROUP BY host)
+      SELECT deg.host, deg.degree,
+        COALESCE(per_host.triangles, 0) AS triangles,
+        CASE WHEN deg.degree < 2 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(COALESCE(per_host.triangles, 0) * 2 AS DOUBLE)
+                  / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+        END AS clustering_coeff
+      FROM deg LEFT JOIN per_host USING (host)
+      ORDER BY deg.host""")
+  )
+
+  // --------------------------------------------------------------- q136
+  /** k=2 core over a graph built to make the peel WORK for its answer:
+    * a 10-cycle (the core that must survive untouched), 17 pendant
+    * hosts hanging off it (one peel round), and a 6-host chain attached
+    * at one end (peels one host per round — the multi-round case that
+    * distinguishes iterative peeling from a single degree filter).
+    * Expected output: exactly the 10 cycle hosts, core_degree 2 each —
+    * which is also why the oracle is expressible without recursion: the
+    * fixed point is known to be the cycle, but the ORACLE still derives
+    * it by simulating enough peel rounds (8, ≥ the 7-deep chain) with
+    * an unrolled round per CTE, so the gate checks the algorithm, not
+    * the construction. */
+  private def kcoreEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val d = Lake(s, dir).documents
+    val cycle = d.select(
+      concat(lit("n"), pmod(col("doc_id"), lit(10))).as("src_host"),
+      concat(lit("n"), pmod(col("doc_id") + 1, lit(10))).as("dst_host"))
+    val pendants = d.filter(col("doc_id") < 17).select(
+      concat(lit("p"), pmod(col("doc_id"), lit(17))).as("src_host"),
+      concat(lit("n"), pmod(col("doc_id"), lit(10))).as("dst_host"))
+    val chain = d.filter(col("doc_id") >= 17 && col("doc_id") < 22).select(
+      concat(lit("x"), col("doc_id") - 17).as("src_host"),
+      concat(lit("x"), col("doc_id") - 16).as("dst_host"))
+    val attach = d.filter(col("doc_id") === 17).select(
+      concat(lit("x"), lit(0)).as("src_host"),
+      lit("n0").as("dst_host"))
+    cycle.union(pendants).union(chain).union(attach)
+  }
+
+  /** One unrolled peel round in SQL: from edge set `prev`, keep only
+    * edges whose BOTH endpoints have degree ≥ k in `prev`. MATERIALIZED
+    * is load-bearing: DuckDB inlines plain CTEs at every reference, and
+    * each round references its predecessor ~6× — an 8-round unroll
+    * would otherwise expand into ~6⁸ scans of the base table. */
+  private def peelRound(prev: String, next: String, k: Int): String = s"""
+      ${next}_deg AS MATERIALIZED (
+        SELECT host, COUNT(*) AS dg FROM (
+          SELECT a AS host FROM $prev UNION ALL SELECT b FROM $prev)
+        GROUP BY host),
+      $next AS MATERIALIZED (
+        SELECT a, b FROM $prev
+        WHERE a IN (SELECT host FROM ${next}_deg WHERE dg >= $k)
+          AND b IN (SELECT host FROM ${next}_deg WHERE dg >= $k))"""
+
+  private val kcoreOracle: String = {
+    val rounds = (0 until 8)
+      .map(i => peelRound(if (i == 0) "e0" else s"e$i", s"e${i + 1}", 2))
+      .mkString(",")
+    s"""
+      WITH raw AS (
+        SELECT 'n' || CAST(doc_id % 10 AS VARCHAR) AS s,
+               'n' || CAST((doc_id + 1) % 10 AS VARCHAR) AS d
+        FROM documents
+        UNION ALL
+        SELECT 'p' || CAST(doc_id % 17 AS VARCHAR),
+               'n' || CAST(doc_id % 10 AS VARCHAR)
+        FROM documents WHERE doc_id < 17
+        UNION ALL
+        SELECT 'x' || CAST(doc_id - 17 AS VARCHAR),
+               'x' || CAST(doc_id - 16 AS VARCHAR)
+        FROM documents WHERE doc_id >= 17 AND doc_id < 22
+        UNION ALL
+        SELECT 'x0', 'n0' FROM documents WHERE doc_id = 17),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM raw WHERE s <> d),$rounds
+      SELECT host, COUNT(*) AS core_degree FROM (
+        SELECT a AS host FROM e8 UNION ALL SELECT b FROM e8)
+      GROUP BY host ORDER BY host"""
+  }
+
+  private val q136 = Q(
+    "q136_host_kcore",
+    (s, dir) =>
+      WebGraph.kCore(kcoreEdges(s, dir), k = 2)
+        .orderBy("host"),
+    Some(kcoreOracle)
+  )
+
+  val all: Seq[Q] = Seq(q135, q136)
+}

@@ -561,4 +561,51 @@ class WebGraphSpec extends SparkTestBase {
     // no seed present in the graph: empty result, not a crash
     assert(WebGraph.crawlDepth(edges, Seq("ghost").toDF("host"), 3).count() == 0)
   }
+
+  test("triangles: K4 + pendant — exact counts, coefficients, simple-graph collapse") {
+    // K4 on a,b,c,d (4 triangles, every node in 3) plus pendant e–a;
+    // edges arrive directed, duplicated, reversed and with a self-loop,
+    // all of which must collapse before counting
+    val k4 = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d") if x < y
+    } yield (x, y)
+    val edges = (k4 ++ k4.map(_.swap) ++ Seq(("e", "a"), ("a", "e"), ("b", "b")))
+      .toDF("src_host", "dst_host")
+    val out = WebGraph.triangles(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("a") == ((4L, 3L, 0.5))) // deg 4 (K4 + pendant): 2*3/(4*3)
+    assert(out("b") == ((3L, 3L, 1.0)))
+    assert(out("c") == ((3L, 3L, 1.0)))
+    assert(out("d") == ((3L, 3L, 1.0)))
+    assert(out("e") == ((1L, 0L, 0.0))) // degree 1: coefficient pinned 0
+  }
+
+  test("triangles: a pure cycle has none; total triangle mass is 3 per triangle") {
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "a"))
+      .toDF("src_host", "dst_host")
+    val out = WebGraph.triangles(cycle).collect()
+    assert(out.forall(r => r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+    // one triangle spliced in: exactly a,b,c carry it, each counted once
+    val withTri = cycle.union(Seq(("a", "c")).toDF("src_host", "dst_host"))
+    val m = WebGraph.triangles(withTri).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(m == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 0L, "e" -> 0L))
+  }
+
+  test("kCore: chain peels round by round; the cycle core survives exactly") {
+    // 4-cycle core, a chain x0..x3 hanging off n0, and a lone pendant:
+    // k=2 must peel the chain one host per round (4 rounds) and return
+    // ONLY the cycle, every member at core-degree 2
+    val edges = (Seq(("n0", "n1"), ("n1", "n2"), ("n2", "n3"), ("n3", "n0"),
+      ("n0", "x0"), ("x0", "x1"), ("x1", "x2"), ("x2", "x3"),
+      ("p", "n2"))).toDF("src_host", "dst_host")
+    val out = WebGraph.kCore(edges, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("n0" -> 2L, "n1" -> 2L, "n2" -> 2L, "n3" -> 2L))
+    // k above the densest subgraph: empty core, not a crash
+    assert(WebGraph.kCore(edges, k = 3).count() == 0)
+    // k=1 on the simple graph: everything with an edge survives as-is
+    assert(WebGraph.kCore(edges, k = 1).count() == 9)
+  }
 }
