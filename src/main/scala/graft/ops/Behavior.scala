@@ -238,4 +238,58 @@ object Behavior {
         last(col("__day_v"), ignoreNulls = true).over(fill).as("v_filled"),
         col("__day_v").isNotNull.cast("int").as("is_observed"))): _*)
   }
+
+  /** Trailing-window rolling features — the feature-store staple
+    * ("activity over the last N days, as of each active day"): per key
+    * and observed day, the day's exact sum/count plus the trailing
+    * `windowDays`-day sum, event count, active-day count, average, and
+    * day-over-day delta. The time window is a RANGE frame over the
+    * integer epoch-day, so gaps count against the window (a 7-day
+    * trailing sum after 10 quiet days covers only the current day) —
+    * the semantics `rowsBetween` silently gets wrong on sparse keys.
+    *
+    * Exactness contract: money-style sums go through DECIMAL(38,6)
+    * (order-independent) and leave as double; the average is ONE
+    * double division of exact quantities — nothing depends on
+    * partition fold order, so the result hash-matches any engine.
+    *
+    * Scale shape: one (key, day) aggregate exchange (map-side combined
+    * from event volume down to active-day volume), then a single
+    * hash(key) window pass computes every feature — frames never leave
+    * the partition, state per task is the window buffer, and adding
+    * features costs zero extra shuffles. Gated by q137. */
+  def rollingFeatures(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      windowDays: Int = 7
+  ): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val internal = Seq("__day", "__ds", "__dn", "__serial", "day_key",
+      "day_sum", "trail_sum", "trail_events", "trail_days", "trail_avg",
+      "day_delta")
+    require(keyCols.intersect(internal).isEmpty && !internal.contains(valueCol),
+      "key/value columns collide with rollingFeatures internals/outputs")
+    val keys = keyCols.map(col)
+    val daily = df
+      .withColumn("__day", to_date(col(tsCol)))
+      .groupBy((keys :+ col("__day")): _*)
+      .agg(sum(col(valueCol).cast("decimal(38,6)")).as("__ds"),
+        count(lit(1)).as("__dn"))
+      .withColumn("__serial", unix_date(col("__day")).cast("long"))
+    val trail = Window.partitionBy(keys: _*).orderBy(col("__serial"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    val byDay = Window.partitionBy(keys: _*).orderBy(col("__serial"))
+    daily.select((keys ++ Seq(
+      date_format(col("__day"), "yyyyMMdd").as("day_key"),
+      col("__ds").cast("double").as("day_sum"),
+      sum(col("__ds")).over(trail).cast("double").as("trail_sum"),
+      sum(col("__dn")).over(trail).cast("long").as("trail_events"),
+      count(lit(1)).over(trail).as("trail_days"),
+      (sum(col("__ds")).over(trail).cast("double") /
+        sum(col("__dn")).over(trail)).as("trail_avg"),
+      (col("__ds") - lag(col("__ds"), 1).over(byDay)).cast("double")
+        .as("day_delta"))): _*)
+  }
 }

@@ -165,5 +165,48 @@ object BehaviorQueries {
       GROUP BY path ORDER BY n DESC, path LIMIT 25""")
   )
 
-  val all: Seq[Q] = Seq(q99, q100, q101, q102, q107)
+  // --------------------------------------------------------------- q137
+  /** Trailing 7-day rolling features per user
+    * ([[graft.ops.Behavior.rollingFeatures]]): day sum, trailing
+    * sum/events/active-days/average, day-over-day delta — all computed
+    * in ONE hash(user) window pass over the per-day aggregate, with a
+    * RANGE frame on the integer epoch-day so calendar gaps genuinely
+    * shrink the window (the sparse-key case `ROWS BETWEEN` gets
+    * wrong). Decimal sums keep the hash exact; the average is one
+    * double division. */
+  private val q137 = Q(
+    "q137_rolling_features",
+    (s, dir) =>
+      Behavior.rollingFeatures(
+        Lake(s, dir).events.filter(col("user_id") < 60),
+        Seq("user_id"), "ts", "value", windowDays = 7)
+        .orderBy("user_id", "day_key"),
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+          SUM(CAST(value AS DECIMAL(38,6))) AS ds,
+          COUNT(*) AS dn,
+          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS serial
+        FROM events WHERE user_id < 60 GROUP BY 1, 2),
+      w AS (
+        SELECT user_id, day, ds, dn,
+          SUM(ds) OVER tw AS tsum,
+          SUM(dn) OVER tw AS tn,
+          COUNT(*) OVER tw AS tdays,
+          LAG(ds) OVER (PARTITION BY user_id ORDER BY serial) AS prev
+        FROM daily
+        WINDOW tw AS (PARTITION BY user_id ORDER BY serial
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT user_id,
+        strftime(day, '%Y%m%d') AS day_key,
+        CAST(ds AS DOUBLE) AS day_sum,
+        CAST(tsum AS DOUBLE) AS trail_sum,
+        CAST(tn AS BIGINT) AS trail_events,
+        CAST(tdays AS BIGINT) AS trail_days,
+        CAST(tsum AS DOUBLE) / tn AS trail_avg,
+        CAST(ds - prev AS DOUBLE) AS day_delta
+      FROM w ORDER BY user_id, day_key""")
+  )
+
+  val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137)
 }

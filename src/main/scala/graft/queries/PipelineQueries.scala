@@ -316,6 +316,57 @@ object PipelineQueries {
       ORDER BY query_id, rank""")
   )
 
+  // --------------------------------------------------------------- q139
+  /** Int8 scalar-quantized ANN ([[graft.ops.Similarity.quantizeInt8]] +
+    * `quantizedTopK`): codes in [−127,127] with per-vector max-abs
+    * scale, ranked by the EXACT integer code dot product
+    * ([[graft.functions.LongDotProduct]], codegen'd) rescaled through
+    * one fixed float chain. The oracle quantizes identically in SQL —
+    * round() half-away ties match across engines on the shared binary
+    * doubles — so the hash gate pins the full quantize→rank algebra,
+    * not just the top-k ids. */
+  private val q139 = Q(
+    "q139_ann_quantized",
+    (s, dir) => {
+      val qz = Similarity.quantizeInt8(Lake(s, dir).embeddings, "vec_id", "embedding")
+      Similarity.quantizedTopK(qz, qz.filter(col("vec_id") < 8), 5)
+        .select("query_id", "neighbor_id", "qdot", "qcos", "rank")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      m AS (SELECT vec_id, v,
+              sqrt(${sqlDot("v", "v")}) AS nrm,
+              list_reduce(list_transform(v, x -> abs(x)),
+                (a, b) -> greatest(a, b)) AS ma
+            FROM e),
+      qz AS (SELECT vec_id, nrm, ma,
+              CASE WHEN ma = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                   ELSE list_transform(v,
+                     x -> CAST(round((x * 127.0) / ma) AS BIGINT)) END AS code
+            FROM m),
+      pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          ${sqlDot("q.code", "c.code")} AS qdot,
+          q.ma * c.ma AS ss, q.nrm * c.nrm AS nn
+        FROM qz q JOIN qz c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 8),
+      scored AS (
+        SELECT query_id, neighbor_id, CAST(qdot AS BIGINT) AS qdot,
+          (CAST(qdot AS DOUBLE) * ss) / (16129.0 * nn) AS qcos
+        FROM pairs),
+      ranked AS (
+        SELECT query_id, neighbor_id, qdot, qcos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY qcos DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, qdot, qcos, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")
+  )
+
   // ---------------------------------------------------------------- q36
   /** IVF oracle SQL, shared by q36 (derive-from-scratch) and q98 (the
     * persisted-index serving path): the assignment is deterministic, so
@@ -3307,6 +3358,36 @@ object PipelineQueries {
       FROM documents GROUP BY 1, 2 ORDER BY source, bucket""")
   )
 
+  // --------------------------------------------------------------- q138
+  /** Exact heavy hitters with count-min-sketch candidate pruning
+    * ([[graft.ops.Sketches.heavyHitters]]): words appearing ≥ N/200
+    * times across the corpus (N = total tokens). The sketch pass
+    * shuffles ≤ depth×width cells, the verify pass shuffles only
+    * candidate-matching rows — but the OUTPUT is exact, which is why a
+    * plain GROUP BY/HAVING oracle can gate an approximate data
+    * structure: CMS's one-sided error (never undercounts) means the
+    * candidate set provably contains every true heavy hitter, and the
+    * exact verify kills the false positives. */
+  private val q138 = Q(
+    "q138_heavy_hitters",
+    (s, dir) => {
+      val words = Lake(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+      val threshold = words.count() / 200
+      graft.ops.Sketches.heavyHitters(words, "word", threshold)
+        .orderBy("word")
+    },
+    Some("""
+      WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      tot AS (SELECT COUNT(*) AS n FROM words)
+      SELECT word, COUNT(*) AS n
+      FROM words
+      GROUP BY word
+      HAVING COUNT(*) >= (SELECT n // 200 FROM tot)
+      ORDER BY word""")
+  )
+
   /** The q113/q114 fixture: documents with an escaping-hazard column —
     * embedded newline, double quote, and comma injected
     * deterministically, because the natural corpus contains none of
@@ -3372,5 +3453,5 @@ object PipelineQueries {
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
-    q133, q134)
+    q133, q134, q138, q139)
 }

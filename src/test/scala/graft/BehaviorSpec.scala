@@ -198,4 +198,29 @@ class BehaviorSpec extends SparkTestBase {
     assert(out(("u", "20240104")) == (2.0, 1))
     assert(out(("v", "20240210")) == (9.0, 1))
   }
+
+  test("rollingFeatures: RANGE frame ages events out by calendar day, not row count") {
+    import java.sql.Timestamp
+    def t(day: String): Timestamp = Timestamp.valueOf(s"$day 10:00:00")
+    val rows = Seq(
+      ("u", t("2024-01-01"), 10.0),
+      ("u", t("2024-01-01"), 20.0),  // same day: summed
+      ("u", t("2024-01-05"), 3.0),   // inside day-1's 7-day reach
+      ("u", t("2024-01-20"), 5.0),   // far gap: window restarts
+      ("v", t("2024-03-01"), 1.5))
+      .toDF("k", "ts", "v")
+    val out = Behavior.rollingFeatures(rows, Seq("k"), "ts", "v", windowDays = 7)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), if (r.isNullAt(7)) None else Some(r.getDouble(7)))))
+      .toMap
+    assert(out.size == 4) // observed days only — no gap fill here
+    assert(out(("u", "20240101")) == ((30.0, 30.0, 2L, 1L, 15.0, None)))
+    // Jan 5: Jan 1 still inside the trailing 7 days → sum 33 over 3 events
+    assert(out(("u", "20240105")) == ((3.0, 33.0, 3L, 2L, 11.0, Some(-27.0))))
+    // Jan 20: everything aged out — a ROWS frame would have kept 3 rows
+    assert(out(("u", "20240120")) == ((5.0, 5.0, 1L, 1L, 5.0, Some(2.0))))
+    assert(out(("v", "20240301")) == ((1.5, 1.5, 1L, 1L, 1.5, None)))
+  }
 }

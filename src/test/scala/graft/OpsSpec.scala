@@ -449,6 +449,47 @@ class OpsSpec extends SparkTestBase {
     assert(shuffled == est)
   }
 
+  test("Sketches: CMS never undercounts, merge law exact, heavy hitters exact") {
+    import org.apache.spark.sql.functions.col
+    // zipf-ish multiset: item i appears 1000/i times (i in 1..200) — a
+    // few true heavies, a long colliding tail on a deliberately TINY
+    // 2x32 sketch so collisions actually happen
+    val df = spark.range(1, 201)
+      .select(explode(sequence(lit(1), (lit(1000) / col("id")).cast("int")))
+        .as("rep"), concat(lit("w"), col("id")).as("item"))
+    val exact = df.groupBy("item").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = Sketches.cmsBuild(df, "item", depth = 2, width = 32)
+    val est = Sketches.cmsEstimate(df, sketch, "item", depth = 2, width = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one-sided error: EVERY estimate >= the true count
+    exact.foreach { case (item, n) =>
+      assert(est(item) >= n, s"CMS undercounted $item: ${est(item)} < $n")
+    }
+    // an estimate can never exceed the total multiset size
+    val n = df.count()
+    assert(est.values.forall(_ <= n))
+    // absent item estimates from untouched-cell zero or collision mass,
+    // never negative, and a wide sketch pins it to exactly 0
+    val wide = Sketches.cmsBuild(df, "item", depth = 4, width = 4096)
+    val ghost = Sketches.cmsEstimate(
+      Seq("nope").toDF("item"), wide, "item", depth = 4, width = 4096)
+      .collect().head.getLong(1)
+    assert(ghost == 0L)
+    // merge law: cell-wise sum of the two halves IS the whole sketch
+    val whole = Sketches.cmsBuild(df, "item", depth = 2, width = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val h1 = Sketches.cmsBuild(df.filter(col("rep") % 2 === 0), "item", 2, 32)
+    val h2 = Sketches.cmsBuild(df.filter(col("rep") % 2 =!= 0), "item", 2, 32)
+    val merged = Sketches.cmsMerge(h1.union(h2))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+    // heavyHitters: exact output even on the tiny colliding sketch
+    val hh = Sketches.heavyHitters(df, "item", threshold = 100, depth = 2, width = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == exact.filter(_._2 >= 100))
+  }
+
   test("Layout.zorderKey: exact interleave, monotone in each coordinate") {
     // bits=2: dim 0 → even bit positions, dim 1 → odd
     val cases = Seq(

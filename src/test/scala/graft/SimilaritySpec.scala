@@ -115,6 +115,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(rLsh >= 0.8, f"lsh recall@5 regressed: $rLsh%.3f")
   }
 
+  test("quantizeInt8: codes bounded, zero vector safe, extremes hit ±127 exactly") {
+    import testImplicits._
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),   // max|x|=1.0 → codes 64,-127,32
+      (2L, Seq(0.0f, 0.0f, 0.0f)),     // zero vector: no NaN, zero codes
+      (3L, Seq(3.0f, 3.0f, -3.0f))     // uniform magnitude → ±127
+    ).toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(qz(1L)._1 == Seq(64L, -127L, 32L)) // round(0.5*127)=round(63.5)=64
+    assert(qz(1L)._2 == 1.0)
+    assert(qz(2L)._1 == Seq(0L, 0L, 0L) && qz(2L)._2 == 0.0 && qz(2L)._3 == 0.0)
+    assert(qz(3L)._1 == Seq(127L, 127L, -127L))
+  }
+
+  test("quantized ANN: recall@5 against exact brute force stays high on clusters") {
+    import org.apache.spark.sql.functions.col
+    import graft.runner.RecallProbe
+    // int8 keeps ~7 significant bits per dim — on the clustered corpus its
+    // top-5 should almost exactly match the float brute force
+    val base = RecallProbe.corpus10x(spark, sfDir, replicas = 4)
+    val raw = base.select(col("vec_id"),
+      transform(col("v"), x => x.cast("float")).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = Similarity.withNorm(raw, "vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(corpus, queries, 5)
+    val qz = Similarity.quantizeInt8(raw, "vec_id", "embedding")
+    val approx = Similarity.quantizedTopK(qz, qz.filter(col("vec_id") < 20), 5)
+    val r = RecallProbe.recallOf(approx, exact)
+    raw.unpersist()
+    assert(r >= 0.9, f"int8 recall@5 regressed: $r%.3f")
+  }
+
   test("ivfTopK: finds in-cluster neighbors") {
     val corpus = Similarity.withNorm(emb(
       (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
