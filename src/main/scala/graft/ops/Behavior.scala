@@ -292,4 +292,58 @@ object Behavior {
       (col("__ds") - lag(col("__ds"), 1).over(byDay)).cast("double")
         .as("day_delta"))): _*)
   }
+
+  /** First-touch / last-touch conversion attribution: for every
+    * conversion event, find the earliest and the latest NON-conversion
+    * event by the same user inside the trailing `lookbackDays` window
+    * (strictly before the conversion — same-microsecond events don't
+    * self-attribute), then credit each touch type under both models.
+    * Output: (model ∈ {first_touch, last_touch}, touch_type, and the
+    * exact conversion count), '(none)' rows collecting conversions with
+    * an empty lookback.
+    *
+    * The pick is ONE conditional min/max per conversion over a RANGE
+    * frame keyed on epoch-micros — no self-join of conversions against
+    * touches (the naive formulation shuffles |conv|×|touch| pairs per
+    * user; this shuffles the event log once on hash(user) and scans
+    * each partition linearly). Chronological order is encoded into a
+    * zero-padded (micros, event-id, type) string key so min/max ARE
+    * first/last with a deterministic id tiebreak — portable to any
+    * engine that can compare strings, which is what lets the oracle
+    * state the identical algebra. Gated by q140. */
+  def attribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      convType: String,
+      lookbackDays: Int = 7
+  ): DataFrame = {
+    require(lookbackDays >= 1, s"lookbackDays must be >= 1: $lookbackDays")
+    val us = unix_micros(col(tsCol))
+    val lookbackUs = lookbackDays.toLong * 24 * 3600 * 1000000L
+    // 20-digit micros + 12-digit id: lexicographic == chronological
+    val touchKey = when(col(typeCol) =!= convType,
+      concat(lpad(us.cast("string"), 20, "0"),
+        lpad(col(idCol).cast("string"), 12, "0"), col(typeCol)))
+    val w = Window.partitionBy(col(userCol)).orderBy(us)
+      .rangeBetween(-lookbackUs, -1L)
+    events
+      .withColumn("__first", min(touchKey).over(w))
+      .withColumn("__last", max(touchKey).over(w))
+      .filter(col(typeCol) === convType)
+      // both models fan out of ONE window pass — the generator runs in
+      // the same stage, so the event log is scanned and shuffled once
+      .select(explode(array(
+        struct(lit("first_touch").as("model"),
+          coalesce(substring(col("__first"), 33, 1000), lit("(none)"))
+            .as("touch_type")),
+        struct(lit("last_touch").as("model"),
+          coalesce(substring(col("__last"), 33, 1000), lit("(none)"))
+            .as("touch_type")))).as("__mt"))
+      .select(col("__mt.model").as("model"), col("__mt.touch_type").as("touch_type"))
+      .groupBy("model", "touch_type")
+      .agg(count(lit(1)).as("n_conversions"))
+  }
 }

@@ -208,5 +208,48 @@ object BehaviorQueries {
       FROM w ORDER BY user_id, day_key""")
   )
 
-  val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137)
+  // --------------------------------------------------------------- q140
+  /** First/last-touch attribution of `purchase` conversions over a 7-day
+    * lookback ([[graft.ops.Behavior.attribution]]): one RANGE-framed
+    * conditional min/max per conversion on a single hash(user) window
+    * pass — never the conversions×touches self-join — with chronology
+    * encoded in a zero-padded (micros, id, type) string key both engines
+    * compare identically. */
+  private val q140 = Q(
+    "q140_attribution",
+    (s, dir) =>
+      Behavior.attribution(
+        Lake(s, dir).events, "user_id", "ts", "event_type", "event_id",
+        convType = "purchase", lookbackDays = 7)
+        .orderBy("model", "touch_type"),
+    Some("""
+      WITH keyed AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us,
+          CASE WHEN event_type <> 'purchase' THEN
+            lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+            || lpad(CAST(event_id AS VARCHAR), 12, '0')
+            || event_type END AS tk
+        FROM events),
+      conv AS (
+        SELECT
+          MIN(tk) OVER w AS firstk,
+          MAX(tk) OVER w AS lastk,
+          event_type
+        FROM keyed
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+      models AS (
+        SELECT 'first_touch' AS model,
+          COALESCE(substr(firstk, 33), '(none)') AS touch_type
+        FROM conv WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'last_touch',
+          COALESCE(substr(lastk, 33), '(none)')
+        FROM conv WHERE event_type = 'purchase')
+      SELECT model, touch_type, COUNT(*) AS n_conversions
+      FROM models GROUP BY model, touch_type
+      ORDER BY model, touch_type""")
+  )
+
+  val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Lake
-import graft.ops.{Classifier, Dedup, Index, LanguageModel, Layout, Multimodal, Packing, Sampling, Similarity, TextAnalysis, WebGraph}
+import graft.ops.{Classifier, Dedup, Index, LanguageModel, Layout, Linkage, Multimodal, Packing, Sampling, Similarity, TextAnalysis, WebGraph}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash /
@@ -3388,6 +3388,137 @@ object PipelineQueries {
       ORDER BY word""")
   )
 
+  // --------------------------------------------------------------- q141
+  /** Record linkage over a deterministic dirty twin of `customer`
+    * ([[graft.ops.Linkage.bestMatches]]): names perturbed at the tail
+    * (truncate / append / substitute by custkey mod 3), blocked on
+    * (nation, the perturbation-stable digit slice), scored with edit
+    * distance, resolved per dirty record by (distance, id). The dirty
+    * records' own keys never see the original name — block keys derive
+    * from the dirty string, as production linkage must. `is_correct`
+    * audits resolution against the known ground truth; near-miss
+    * neighbors (same block, tail digits off by an edit) make the
+    * ranking genuinely load-bearing. */
+  private val q141 = Q(
+    "q141_record_linkage",
+    (s, dir) => {
+      val c = Lake(s, dir).customer
+      val clean = c.select(col("c_custkey").as("rid"),
+        col("c_name").as("name"), col("c_nationkey").as("nk"),
+        substring(col("c_name"), 10, 7).as("blk"))
+      val dirtyName = when(pmod(col("c_custkey"), lit(3)) === 0,
+          substring(col("c_name"), 1, 17))
+        .when(pmod(col("c_custkey"), lit(3)) === 1,
+          concat(col("c_name"), lit("x")))
+        .otherwise(concat(substring(col("c_name"), 1, 17), lit("Z")))
+      val dirty = c.select(col("c_custkey").as("rid"),
+        dirtyName.as("name"), col("c_nationkey").as("nk"))
+        .withColumn("blk", substring(col("name"), 10, 7))
+      Linkage.bestMatches(dirty, clean, "rid", "name", Seq("nk", "blk"), 2)
+        .withColumn("is_correct",
+          (col("match_id") === col("dirty_id")).cast("int"))
+        .orderBy("dirty_id")
+    },
+    Some("""
+      WITH clean AS (
+        SELECT c_custkey AS clean_id, c_name AS clean_name,
+          c_nationkey AS nk, substr(c_name, 10, 7) AS blk
+        FROM customer),
+      dirty AS (
+        SELECT c_custkey AS dirty_id,
+          CASE c_custkey % 3
+            WHEN 0 THEN substr(c_name, 1, 17)
+            WHEN 1 THEN c_name || 'x'
+            ELSE substr(c_name, 1, 17) || 'Z' END AS dirty_name,
+          c_nationkey AS nk
+        FROM customer),
+      d2 AS (SELECT dirty_id, dirty_name, nk,
+               substr(dirty_name, 10, 7) AS blk FROM dirty),
+      cand AS (
+        SELECT dirty_id, clean_id,
+          levenshtein(dirty_name, clean_name) AS distance
+        FROM d2 JOIN clean USING (nk, blk)
+        WHERE levenshtein(dirty_name, clean_name) <= 2),
+      best AS (
+        SELECT dirty_id, clean_id AS match_id, distance,
+          row_number() OVER (PARTITION BY dirty_id
+            ORDER BY distance, clean_id) AS rn
+        FROM cand)
+      SELECT dirty_id, match_id, CAST(distance AS INT) AS distance,
+        CAST(match_id = dirty_id AS INT) AS is_correct
+      FROM best WHERE rn = 1 ORDER BY dirty_id""")
+  )
+
+  // --------------------------------------------------------------- q142
+  /** One unrolled BPE round in DuckDB: count adjacent wrapped-symbol
+    * pairs weighted by word frequency, pick the (count desc, pair asc)
+    * top, apply it with the same boundary-wrapped literal replace the
+    * Spark loop uses. MATERIALIZED for the q136/q103 reason — each
+    * round references its predecessor several times. */
+  private def bpeRound(k: Int): String = {
+    val prev = s"s${k - 1}"
+    s"""
+      p$k AS MATERIALIZED (
+        SELECT p[1] AS lhs, p[2] AS rhs, SUM(freq) AS cnt FROM (
+          SELECT freq,
+            unnest(list_zip(syms[1:len(syms) - 1], syms[2:len(syms)])) AS p
+          FROM (SELECT freq,
+                  string_split(trim(s, chr(1)), chr(1) || chr(1)) AS syms
+                FROM $prev))
+        GROUP BY 1, 2),
+      t$k AS MATERIALIZED (
+        SELECT lhs, rhs, cnt FROM p$k
+        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      s$k AS MATERIALIZED (
+        SELECT freq,
+          replace(s, chr(1) || lhs || chr(1) || chr(1) || rhs || chr(1),
+            chr(1) || lhs || rhs || chr(1)) AS s
+        FROM $prev CROSS JOIN t$k)"""
+  }
+
+  private val BpeMergeCount = 12
+
+  private val bpeOracle: String = {
+    val rounds = (1 to BpeMergeCount).map(bpeRound).mkString(",")
+    val finals = (1 to BpeMergeCount)
+      .map(k => s"SELECT CAST($k AS INT) AS rank, lhs, rhs, CAST(cnt AS BIGINT) AS n FROM t$k")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH words AS MATERIALIZED (
+        SELECT w, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0 GROUP BY w),
+      s0 AS MATERIALIZED (
+        SELECT freq,
+          chr(1) || array_to_string(
+            list_transform(range(1, length(w) + 1),
+              i -> substr(w, i, 1)), chr(1) || chr(1)) || chr(1) AS s
+        FROM words),$rounds
+      $finals
+      ORDER BY rank"""
+  }
+
+  /** REAL byte-pair-encoding learning under the hash gate
+    * ([[graft.ops.Bpe.learn]]): 12 merges from the documents corpus,
+    * each row one learned merge with its pair count at merge time. The
+    * oracle replays the identical loop — wrapped-sentinel state, greedy
+    * left-to-right replace, (count desc, pair asc) tiebreak — unrolled
+    * round by round, so the gate pins the LOOP, not just the final
+    * vocabulary. The Spark side's per-round driver traffic is one
+    * 3-column row (the k-means discipline). */
+  private val q142 = Q(
+    "q142_bpe_merges",
+    (s, dir) => {
+      val merges = graft.ops.Bpe.learn(
+        Lake(s, dir).documents, "text", BpeMergeCount)
+      import s.implicits._
+      merges.map(m => (m.rank, m.left, m.right, m.n))
+        .toDF("rank", "lhs", "rhs", "n")
+        .orderBy("rank")
+    },
+    Some(bpeOracle)
+  )
+
   /** The q113/q114 fixture: documents with an escaping-hazard column —
     * embedded newline, double quote, and comma injected
     * deterministically, because the natural corpus contains none of
@@ -3453,5 +3584,5 @@ object PipelineQueries {
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
-    q133, q134, q138, q139)
+    q133, q134, q138, q139, q141, q142)
 }

@@ -223,4 +223,27 @@ class BehaviorSpec extends SparkTestBase {
     assert(out(("u", "20240120")) == ((5.0, 5.0, 1L, 1L, 5.0, Some(2.0))))
     assert(out(("v", "20240301")) == ((1.5, 1.5, 1L, 1L, 1.5, None)))
   }
+
+  test("attribution: lookback ages touches out, strictly-before, (none) fallback") {
+    import java.sql.Timestamp
+    def t(s: String): Timestamp = Timestamp.valueOf(s)
+    val rows = Seq(
+      // u1: view then click then purchase — first=view, last=click
+      (1L, t("2024-01-01 08:00:00"), 10L, "view"),
+      (2L, t("2024-01-02 09:00:00"), 10L, "click"),
+      (3L, t("2024-01-03 10:00:00"), 10L, "purchase"),
+      // u2: the only touch is 8 days before → aged out, (none)
+      (4L, t("2024-02-01 08:00:00"), 20L, "view"),
+      (5L, t("2024-02-09 09:00:00"), 20L, "purchase"),
+      // u3: touch at the SAME microsecond as the purchase → excluded
+      (6L, t("2024-03-01 12:00:00"), 30L, "click"),
+      (7L, t("2024-03-01 12:00:00"), 30L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Behavior.attribution(
+      rows, "user_id", "ts", "event_type", "event_id", "purchase", 7)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("first_touch", "view") -> 1L, ("first_touch", "(none)") -> 2L,
+      ("last_touch", "click") -> 1L, ("last_touch", "(none)") -> 2L))
+  }
 }

@@ -490,6 +490,31 @@ class OpsSpec extends SparkTestBase {
     assert(hh == exact.filter(_._2 >= 100))
   }
 
+  test("Linkage.bestMatches: blocking bounds candidates, distance+id resolve, no-match drops") {
+    import graft.ops.Linkage
+    val clean = Seq(
+      (1L, "jonathan smith", "b1"),
+      (2L, "jonathan smyth", "b1"),   // distance-1 decoy in the same block
+      (3L, "maria garcia", "b2"))
+      .toDF("rid", "name", "blk")
+    val dirty = Seq(
+      (10L, "jonathan smith", "b1"),  // exact: distance 0 beats the decoy
+      (11L, "jonathan smytX", "b1"),  // nearest is the decoy (distance 1)
+      (12L, "maria garcia", "b9"),    // right name, WRONG block: invisible
+      (13L, "zzzzzzzz", "b2"))        // in-block but beyond maxDistance
+      .toDF("rid", "name", "blk")
+    val out = Linkage.bestMatches(dirty, clean, "rid", "name", Seq("blk"), 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out == Map(10L -> ((1L, 0)), 11L -> ((2L, 1))))
+    // tie resolution: two clean records at equal distance → smaller id wins
+    val tie = Linkage.bestMatches(
+      Seq((20L, "ab", "t")).toDF("rid", "name", "blk"),
+      Seq((5L, "ax", "t"), (4L, "cb", "t")).toDF("rid", "name", "blk"),
+      "rid", "name", Seq("blk"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(tie.toSeq == Seq((20L, 4L, 1)))
+  }
+
   test("Layout.zorderKey: exact interleave, monotone in each coordinate") {
     // bits=2: dim 0 → even bit positions, dim 1 → odd
     val cases = Seq(

@@ -384,4 +384,45 @@ class TextOpsSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       s"curation pipeline should shuffle once (fp window):\n$plan")
   }
+
+  test("Bpe.learn: the Sennrich corpus yields the hand-computed merge table") {
+    import graft.ops.Bpe
+    // the classic fixture: low*5 lower*2 newest*6 widest*3 — every merge
+    // and tiebreak below is hand-derived (count desc, then (l, r) asc)
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val m = Bpe.learn(corpus, "text", numMerges = 8)
+      .map(x => (x.rank, x.left, x.right, x.n))
+    assert(m == Seq(
+      (1, "e", "s", 9L),      // ties (e,s)=(s,t)=9 → lexicographic
+      (2, "es", "t", 9L),
+      (3, "l", "o", 7L),      // ties (l,o)=(o,w)=7
+      (4, "lo", "w", 7L),
+      (5, "e", "w", 6L),      // ties (e,w)=(n,e)=(w,est)=6
+      (6, "ew", "est", 6L),   // "ew" < "n"
+      (7, "n", "ewest", 6L),
+      (8, "d", "est", 3L)))   // "d" < "i" < "w"
+  }
+
+  test("Bpe.tokenize: learned merges generalize to unseen words; overlap is greedy") {
+    import graft.ops.Bpe
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val merges = Bpe.learn(corpus, "text", 8)
+    val toks = Seq("newest low lowest").toDF("t")
+      .select(Bpe.tokenize(col("t"), merges).as("toks"))
+      .head.getSeq[String](0)
+    // "lowest" never appeared in training, still decomposes on the table
+    assert(toks == Seq("newest", "low", "low", "est"))
+    // greedy left-to-right overlap: merge (a,a) over "aaaa" → [aa, aa]
+    val aa = Seq("aaaa").toDF("t")
+      .select(Bpe.tokenize(col("t"),
+        Seq(Bpe.Merge(1, "a", "a", 99L))).as("toks"))
+      .head.getSeq[String](0)
+    assert(aa == Seq("aa", "aa"))
+  }
 }
