@@ -113,6 +113,60 @@ case class LongDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance over two `array<double>` columns — strict
+  * left-to-right fold of (aᵢ−bᵢ)², the third member of the codegen'd
+  * vector family ([[DotProduct]] rationale): product-quantization
+  * encode/ADC puts this in a (vector × codebook-entry) hot loop, and the
+  * sequential fold is what DuckDB's `list_reduce` twin reproduces
+  * bit-for-bit for the oracle gate. */
+case class SquaredDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"vector_sqdist expects (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_sqdist"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  ${ev.value} += $d * $d;
+         |}
+       """.stripMargin
+    })
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API for the vector expressions. */
 object VectorFunctions {
 
@@ -125,6 +179,11 @@ object VectorFunctions {
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(
       LongDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd strict-order squared L2 distance (see [[SquaredDistance]]). */
+  def sqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SquaredDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -271,4 +271,39 @@ object Sampling {
     df.withColumn("pct_rank", percent_rank().over(w))
       .withColumn("keep", col("pct_rank") >= lit(minPct))
   }
+
+  /** Leakage-proof train/val/test assignment: the split label is a pure
+    * function of the GROUP key's hash draw (same [[keeps]] md5-prefix
+    * machinery, cumulative thresholds), so every row of a group — every
+    * event of a user, every chunk of a document — lands in the same
+    * split by construction. Splitting on row hashes instead is the
+    * classic evaluation-leakage bug (a user's history straddles train
+    * and test and the model grades itself on memorized users); this
+    * operator makes that state unrepresentable, and [[splitLeakage]]
+    * audits feeds whose split column came from somewhere less careful.
+    * Zero shuffle: the label is an expression over the group column. */
+  def groupSplit(
+      df: DataFrame,
+      groupCol: String,
+      trainRate: Double,
+      valRate: Double,
+      salt: String = ""
+  ): DataFrame = {
+    require(trainRate > 0 && valRate >= 0 && trainRate + valRate < 1.0,
+      s"rates must leave room for test: train=$trainRate val=$valRate")
+    val draw = substring(drawHex(col(groupCol), salt), 1, 3)
+    df.withColumn("split",
+      when(draw < lit(thresholdHex(trainRate)), "train")
+        .when(draw < lit(thresholdHex(trainRate + valRate)), "val")
+        .otherwise("test"))
+  }
+
+  /** Count groups whose rows straddle more than one split — the audit
+    * for an EXTERNAL split column (for [[groupSplit]] output it is 0 by
+    * construction, which the q145 gate pins). One shuffle on the group
+    * key, group-cardinality-sized. */
+  def splitLeakage(df: DataFrame, groupCol: String, splitCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count_distinct(col(splitCol)).as("__n_splits"))
+      .agg(count(when(col("__n_splits") > 1, lit(1))).as("n_leaky_groups"))
 }

@@ -376,6 +376,85 @@ object Similarity {
         l2Norm(col("__v")).as("nrm"))
   }
 
+  /** Product-quantization codebooks from seed vectors: subspace `sub`'s
+    * codebook entry `code` is seed vector `code`'s slice — the
+    * deterministic-codebook simplification the IVF gates (q36/q98) use
+    * for centroids, applied per-subspace. A production build would run
+    * [[kMeansCentroids]] per subspace over sampled slices; the encode /
+    * ADC machinery downstream is identical either way. Output:
+    * (sub, code, cent), m×`codes` rows — broadcast-sized by
+    * construction. */
+  def pqCodebooks(corpus: DataFrame, m: Int, dsub: Int, codes: Int = 16): DataFrame =
+    corpus.filter(col("vec_id") < codes)
+      .select(col("vec_id").as("code"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("sub"),
+            slice(col("v"), j * dsub + 1, dsub).as("cent"))): _*)).as("__s"))
+      .select(col("__s.sub").as("sub"), col("code"), col("__s.cent").as("cent"))
+
+  /** Encode every corpus vector as m one-byte codes — nearest codebook
+    * entry per subspace by squared L2 ([[graft.functions.SquaredDistance]],
+    * codegen'd), ties to the lower code. Output is WIDE (vec_id,
+    * code_0..code_{m-1}): the ADC join downstream needs one row per
+    * vector, and the conditional-max pivot keeps the argmin inside one
+    * aggregate exchange keyed on vec_id. 64 bits of code replaces 2 KiB
+    * of floats per vector — the PQ memory story. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val sq = graft.functions.VectorFunctions.sqDist _
+    val scored = corpus
+      .crossJoin(broadcast(codebooks))
+      .select(col("vec_id"), col("sub"), col("code"),
+        sq(slice(col("v"), col("sub") * dsub + 1, lit(dsub)), col("cent"))
+          .as("d2"))
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d2"), col("code"))
+    val best = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val aggs = (0 until m).map(j =>
+      max(when(col("sub") === j, col("code"))).as(s"code_$j"))
+    best.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k: per query, ONE distance-table row
+    * per (sub, code) — m×|codebook| floats — then each corpus vector's
+    * approximate distance is the FIXED-ORDER sum of its m looked-up
+    * cells: m broadcast joins on (code_j), a left-assoc add chain, no
+    * per-pair vector math at all. That is the PQ serving shape: the
+    * corpus side streams 8-byte codes, flops are m adds per candidate.
+    * Deterministic end to end (strict-fold cell distances, fixed add
+    * order, id tiebreak) — which is what lets q143's oracle state the
+    * identical algebra. */
+  def pqTopK(
+      corpusCodes: DataFrame,
+      queries: DataFrame,
+      codebooks: DataFrame,
+      k: Int,
+      m: Int,
+      dsub: Int
+  ): DataFrame = {
+    val sq = graft.functions.VectorFunctions.sqDist _
+    val dtable = queries
+      .crossJoin(broadcast(codebooks))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        sq(slice(col("v"), col("sub") * dsub + 1, lit(dsub)), col("cent"))
+          .as("d2"))
+    val joined = (0 until m).foldLeft(
+      corpusCodes.crossJoin(broadcast(queries.select(col("vec_id").as("query_id"))))
+        .filter(col("query_id") =!= col("vec_id"))) { (acc, j) =>
+      acc.join(
+        broadcast(dtable.filter(col("sub") === j)
+          .select(col("query_id"), col("code").as(s"code_$j"),
+            col("d2").as(s"d2_$j"))),
+        Seq("query_id", s"code_$j"))
+    }
+    val adist = (1 until m).foldLeft(col("d2_0"))((e, j) => e + col(s"d2_$j"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    joined.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adist.as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact top-k by QUANTIZED cosine for each query: the integer dot
     * product ranks, one deterministic float chain rescales — the
     * brute-force twin of [[bruteForceTopK]] run entirely on int8 codes

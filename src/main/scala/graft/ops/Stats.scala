@@ -308,4 +308,87 @@ object Stats {
         F.count(F.lit(1)).as("n"),
         F.sum(F.col("_sig_out")).as("n_outliers"))
   }
+
+  /** Distribution-drift report between a baseline and a current snapshot
+    * — the monitoring gate every production feature pipeline runs before
+    * trusting new data: per group, bucket `valueCol` on the
+    * [[logHistogram]] integer-exact binary buckets and compare shares
+    * with total-variation distance (½ Σ|p−q|) and a half-count-smoothed
+    * chi-square statistic (Σ (q−p)²/p, baseline share floored at half a
+    * count so empty baseline buckets don't divide by zero). PSI is the
+    * textbook metric here, but its ln() term is library-rounded
+    * differently across engines — these two carry the same signal on
+    * +−×÷ only, which is what lets q144's oracle hash-match it (the
+    * q112/q130 "no floating transcendentals in a gate" rule).
+    *
+    * Exactness: per-bucket shares are one double division of exact
+    * counts; the cross-bucket reduction folds a BUCKET-SORTED list
+    * sequentially ([[graft.ops.Similarity]] dot-product discipline
+    * applied to aggregation), so no partition fold order leaks into the
+    * result. Scale shape: one (group, bucket) aggregate per side
+    * (map-side combined), a bucket-universe full join, one final
+    * group aggregate — everything after the first exchange is
+    * bucket-count-sized, not data-sized. */
+  def driftReport(
+      baseline: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String]
+  ): DataFrame = {
+    val internal = Seq("_dr_bucket", "_dr_nb", "_dr_nc", "_dr_arr",
+      "n_base", "n_cur", "n_buckets", "tvd", "chi2")
+    require(groupCols.intersect(internal).isEmpty && !internal.contains(valueCol),
+      s"input columns collide with driftReport internals: " +
+        groupCols.mkString(", "))
+    val v = F.col(valueCol)
+    val bucket = F.when(v <= 0, F.lit(0))
+      .otherwise(F.length(F.bin(v.cast("long")))).cast("long")
+    def bucketCounts(df: DataFrame, as: String) =
+      df.withColumn("_dr_bucket", bucket)
+        .groupBy((groupCols.map(F.col) :+ F.col("_dr_bucket")): _*)
+        .agg(F.count(F.lit(1)).as(as))
+    val joined = bucketCounts(baseline, "_dr_nb")
+      .join(bucketCounts(current, "_dr_nc"),
+        groupCols :+ "_dr_bucket", "full_outer")
+      .select((groupCols.map(F.col) ++ Seq(
+        F.col("_dr_bucket"),
+        F.coalesce(F.col("_dr_nb"), F.lit(0L)).as("_dr_nb"),
+        F.coalesce(F.col("_dr_nc"), F.lit(0L)).as("_dr_nc"))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(F.col): _*)
+    val shares = joined
+      .withColumn("n_base", F.sum(F.col("_dr_nb")).over(w))
+      .withColumn("n_cur", F.sum(F.col("_dr_nc")).over(w))
+      // an entirely-absent side (a group new to, or gone from, the
+      // feed) yields all-zero shares rather than a divide-by-zero:
+      // tvd lands at its 0.5 ceiling and chi2 at 0 — drift flagged by
+      // construction, no ANSI crash, mirrored verbatim in the oracle
+      .withColumn("_dr_arr", F.struct(
+        F.col("_dr_bucket"),
+        F.when(F.col("n_base") === 0, F.lit(0.0d))
+          .otherwise(F.col("_dr_nb").cast("double") / F.col("n_base")).as("p"),
+        F.when(F.col("n_cur") === 0, F.lit(0.0d))
+          .otherwise(F.col("_dr_nc").cast("double") / F.col("n_cur")).as("q"),
+        F.when(F.col("n_base") === 0, F.lit(0.0d))
+          .otherwise(F.greatest(F.col("_dr_nb").cast("double"), F.lit(0.5d)) /
+            F.col("n_base")).as("ps")))
+    shares
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(
+        F.max(F.col("n_base")).as("n_base"),
+        F.max(F.col("n_cur")).as("n_cur"),
+        F.count(F.lit(1)).as("n_buckets"),
+        F.sort_array(F.collect_list(F.col("_dr_arr"))).as("_dr_arr"))
+      .withColumn("tvd",
+        F.aggregate(
+          F.transform(F.col("_dr_arr"), x => F.abs(x("p") - x("q"))),
+          F.lit(0.0d), (acc, x) => acc + x) * 0.5d)
+      .withColumn("chi2",
+        F.aggregate(
+          F.transform(F.col("_dr_arr"),
+            x => F.when(x("ps") === 0.0d, F.lit(0.0d))
+              .otherwise((x("q") - x("p")) * (x("q") - x("p")) / x("ps"))),
+          F.lit(0.0d), (acc, x) => acc + x))
+      .drop("_dr_arr")
+  }
 }

@@ -512,6 +512,69 @@ object OlapQueries {
       FROM parsed GROUP BY event_type ORDER BY event_type""")
   )
 
+  // --------------------------------------------------------------- q144
+  /** Distribution-drift monitor ([[graft.ops.Stats.driftReport]]): split
+    * documents into a baseline (even doc_id) and current (odd) snapshot
+    * and compare per-source n_chars distributions on integer-exact
+    * binary buckets — total-variation distance + smoothed chi², the
+    * transcendental-free drift pair (PSI's ln() rounds differently per
+    * engine and can't sit under a hash gate). Cross-bucket sums fold a
+    * bucket-sorted list sequentially, so no aggregation order leaks. */
+  private val q144 = Q(
+    "q144_drift_report",
+    (s, dir) => {
+      val d = Lake(s, dir).documents
+      Stats.driftReport(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "n_chars", Seq("source"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH b AS (
+        SELECT source,
+          CAST(CASE WHEN n_chars <= 0 THEN 0
+               ELSE length(bin(n_chars)) END AS BIGINT) AS bucket,
+          COUNT(*) AS nb
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      c AS (
+        SELECT source,
+          CAST(CASE WHEN n_chars <= 0 THEN 0
+               ELSE length(bin(n_chars)) END AS BIGINT) AS bucket,
+          COUNT(*) AS nc
+        FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+      j AS (
+        SELECT COALESCE(b.source, c.source) AS source,
+          COALESCE(b.bucket, c.bucket) AS bucket,
+          COALESCE(nb, 0) AS nb, COALESCE(nc, 0) AS nc
+        FROM b FULL JOIN c ON b.source = c.source AND b.bucket = c.bucket),
+      t AS (
+        SELECT source, bucket, nb, nc,
+          CAST(SUM(nb) OVER (PARTITION BY source) AS BIGINT) AS n_base,
+          CAST(SUM(nc) OVER (PARTITION BY source) AS BIGINT) AS n_cur
+        FROM j),
+      arrs AS (
+        SELECT source, MAX(n_base) AS n_base, MAX(n_cur) AS n_cur,
+          COUNT(*) AS n_buckets,
+          list(ROW(bucket,
+            CASE WHEN n_base = 0 THEN 0.0
+                 ELSE CAST(nb AS DOUBLE) / n_base END,
+            CASE WHEN n_cur = 0 THEN 0.0
+                 ELSE CAST(nc AS DOUBLE) / n_cur END,
+            CASE WHEN n_base = 0 THEN 0.0
+                 ELSE greatest(CAST(nb AS DOUBLE), 0.5) / n_base END)
+            ORDER BY bucket) AS arr
+        FROM t GROUP BY source)
+      SELECT source, n_base, n_cur, n_buckets,
+        list_reduce(list_transform(arr, x -> abs(x[2] - x[3])),
+          (a, b) -> a + b) * 0.5 AS tvd,
+        list_reduce(list_transform(arr,
+          x -> CASE WHEN x[4] = 0.0 THEN 0.0
+               ELSE (x[3] - x[2]) * (x[3] - x[2]) / x[4] END),
+          (a, b) -> a + b) AS chi2
+      FROM arrs ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q121, q122, q123,
-    q124, q129, q130, q131)
+    q124, q129, q130, q131, q144)
 }

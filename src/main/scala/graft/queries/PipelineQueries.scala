@@ -367,6 +367,79 @@ object PipelineQueries {
       ORDER BY query_id, rank""")
   )
 
+  // --------------------------------------------------------------- q143
+  /** Product quantization end to end ([[graft.ops.Similarity.pqCodebooks]]
+    * → `pqEncode` → `pqTopK`): 64-dim vectors → 4 subspaces × 16-entry
+    * codebooks (seed-vector slices, the q36 deterministic-codebook
+    * convention) → 4 one-byte codes per vector → ADC top-5 where each
+    * candidate costs 4 table lookups and 3 adds, never vector math. The
+    * oracle replays codebook build, argmin encode, distance table and
+    * the fixed-order ADC sum — the strict-fold cell distances
+    * ([[graft.functions.SquaredDistance]] ↔ list_reduce) keep every
+    * float bit-equal. */
+  private val q143 = Q(
+    "q143_ann_pq",
+    (s, dir) => {
+      val corpus = Similarity.withNorm(Lake(s, dir).embeddings, "vec_id", "embedding")
+      val cb = Similarity.pqCodebooks(corpus, m = 4, dsub = 16)
+      val codes = Similarity.pqEncode(corpus, cb, m = 4, dsub = 16)
+      val queries = corpus.filter(col("vec_id") < 8).select("vec_id", "v")
+      Similarity.pqTopK(codes, queries, cb, k = 5, m = 4, dsub = 16)
+        .select("query_id", "neighbor_id", "adist", "rank")
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      cb AS MATERIALIZED (
+        SELECT t.j AS sub, vec_id AS code,
+          list_slice(v, t.j * 16 + 1, t.j * 16 + 16) AS cent
+        FROM e, (VALUES (0), (1), (2), (3)) t(j)
+        WHERE vec_id < 16),
+      scored AS MATERIALIZED (
+        SELECT e.vec_id, cb.sub, cb.code,
+          list_reduce(list_transform(
+            list_zip(list_slice(e.v, cb.sub * 16 + 1, cb.sub * 16 + 16),
+              cb.cent),
+            x -> (x[1] - x[2]) * (x[1] - x[2])), (p, q) -> p + q) AS d2
+        FROM e CROSS JOIN cb),
+      enc AS MATERIALIZED (
+        SELECT vec_id,
+          MAX(CASE WHEN sub = 0 THEN code END) AS code_0,
+          MAX(CASE WHEN sub = 1 THEN code END) AS code_1,
+          MAX(CASE WHEN sub = 2 THEN code END) AS code_2,
+          MAX(CASE WHEN sub = 3 THEN code END) AS code_3
+        FROM (SELECT vec_id, sub, code,
+                row_number() OVER (PARTITION BY vec_id, sub
+                  ORDER BY d2, code) AS rn
+              FROM scored)
+        WHERE rn = 1 GROUP BY vec_id),
+      dt AS MATERIALIZED (
+        SELECT vec_id AS query_id, sub, code, d2
+        FROM scored WHERE vec_id < 8),
+      pairs AS (
+        SELECT t0.query_id, c.vec_id AS neighbor_id,
+          ((t0.d2 + t1.d2) + t2.d2) + t3.d2 AS adist
+        FROM enc c
+        JOIN dt t0 ON t0.sub = 0 AND t0.code = c.code_0
+        JOIN dt t1 ON t1.query_id = t0.query_id
+          AND t1.sub = 1 AND t1.code = c.code_1
+        JOIN dt t2 ON t2.query_id = t0.query_id
+          AND t2.sub = 2 AND t2.code = c.code_2
+        JOIN dt t3 ON t3.query_id = t0.query_id
+          AND t3.sub = 3 AND t3.code = c.code_3
+        WHERE t0.query_id <> c.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, adist,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY adist, neighbor_id) AS rank
+        FROM pairs)
+      SELECT query_id, neighbor_id, adist, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")
+  )
+
   // ---------------------------------------------------------------- q36
   /** IVF oracle SQL, shared by q36 (derive-from-scratch) and q98 (the
     * persisted-index serving path): the assignment is deterministic, so
@@ -3388,6 +3461,47 @@ object PipelineQueries {
       ORDER BY word""")
   )
 
+  // --------------------------------------------------------------- q145
+  /** Leakage-proof train/val/test split of the event log by USER
+    * ([[graft.ops.Sampling.groupSplit]] 80/10/10 + `splitLeakage`):
+    * the label hashes the group key only, so a user's whole history
+    * lands in one split — the audit column proves it (0 straddling
+    * users, pinned by the gate; row-hash splitting is the classic
+    * eval-leakage bug this makes unrepresentable). The oracle mirrors
+    * the md5-prefix draw and cumulative thresholds exactly (q51's
+    * engine-reproducibility contract applied to splits). */
+  private val q145 = Q(
+    "q145_group_split",
+    (s, dir) => {
+      val split = Sampling.groupSplit(
+        Lake(s, dir).events, "user_id", 0.8, 0.1, salt = "split1")
+      val per = split.groupBy("split").agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("user_id")).as("n_users"))
+      per.crossJoin(Sampling.splitLeakage(split, "user_id", "split"))
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH s AS (
+        SELECT user_id,
+          CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || 'split1'), 1, 3)
+                 < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+               WHEN substring(md5(CAST(user_id AS VARCHAR) || 'split1'), 1, 3)
+                 < '${Sampling.thresholdHex(0.9)}' THEN 'val'
+               ELSE 'test' END AS split
+        FROM events),
+      per AS (
+        SELECT split, COUNT(*) AS n_rows,
+          COUNT(DISTINCT user_id) AS n_users
+        FROM s GROUP BY split),
+      leak AS (
+        SELECT COUNT(*) FILTER (WHERE ns > 1) AS n_leaky_groups
+        FROM (SELECT user_id, COUNT(DISTINCT split) AS ns
+              FROM s GROUP BY user_id))
+      SELECT split, n_rows, n_users, n_leaky_groups
+      FROM per CROSS JOIN leak ORDER BY split""")
+  )
+
   // --------------------------------------------------------------- q141
   /** Record linkage over a deterministic dirty twin of `customer`
     * ([[graft.ops.Linkage.bestMatches]]): names perturbed at the tail
@@ -3584,5 +3698,5 @@ object PipelineQueries {
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
-    q133, q134, q138, q139, q141, q142)
+    q133, q134, q138, q139, q141, q142, q143, q145)
 }

@@ -515,6 +515,28 @@ class OpsSpec extends SparkTestBase {
     assert(tie.toSeq == Seq((20L, 4L, 1)))
   }
 
+  test("Stats.driftReport: identical halves score 0, disjoint ranges score tvd=1") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Stats
+    val base = spark.range(0, 1000)
+      .select(lit("s").as("g"), (col("id") % 64 + 1).as("v"))
+    // same distribution → no drift at all, exactly
+    val same = Stats.driftReport(base, base, "v", Seq("g")).collect().head
+    assert(same.getAs[Double]("tvd") == 0.0 && same.getAs[Double]("chi2") == 0.0)
+    // disjoint magnitude ranges → every bucket fully one-sided: tvd = 1
+    val shifted = spark.range(0, 1000)
+      .select(lit("s").as("g"), (col("id") % 64 + 100000).as("v"))
+    val far = Stats.driftReport(base, shifted, "v", Seq("g")).collect().head
+    assert(far.getAs[Double]("tvd") == 1.0)
+    assert(far.getAs[Long]("n_base") == 1000L && far.getAs[Long]("n_cur") == 1000L)
+    // current side empty: zero q-shares, tvd at its 0.5 ceiling, chi2
+    // collapses to Σp²/pₛ = Σp = 1 — and crucially no ANSI divide crash
+    val gone = Stats.driftReport(base,
+      base.filter(lit(false)), "v", Seq("g")).collect().head
+    assert(gone.getAs[Double]("tvd") == 0.5)
+    assert(math.abs(gone.getAs[Double]("chi2") - 1.0) < 1e-9)
+  }
+
   test("Layout.zorderKey: exact interleave, monotone in each coordinate") {
     // bits=2: dim 0 → even bit positions, dim 1 → odd
     val cases = Seq(

@@ -242,4 +242,33 @@ class SamplingSpec extends SparkTestBase {
       .collect().head
     assert(!r1.getBoolean(4))
   }
+
+  test("groupSplit: whole groups move together, shares track rates, leakage audit fires") {
+    import org.apache.spark.sql.functions.{col, concat, explode, lit, sequence, when}
+    // 2000 groups × 3 rows each
+    val df = spark.range(0, 2000)
+      .select(col("id").as("g"), explode(sequence(lit(1), lit(3))).as("r"))
+    val split = Sampling.groupSplit(df, "g", 0.8, 0.1, salt = "s1")
+    // by construction: no group straddles splits
+    assert(Sampling.splitLeakage(split, "g", "split")
+      .collect().head.getLong(0) == 0L)
+    // shares approximate 80/10/10 over 2000 groups (hash-binomial, loose)
+    val byGroup = split.select("g", "split").distinct()
+    val shares = byGroup.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(shares("train") - 1600L) < 120,
+      s"train share off: ${shares("train")}")
+    assert(math.abs(shares.getOrElse("val", 0L) - 200L) < 80)
+    assert(math.abs(shares.getOrElse("test", 0L) - 200L) < 80)
+    // determinism: same salt, different partitioning → identical labels
+    val again = Sampling.groupSplit(df.repartition(7), "g", 0.8, 0.1, "s1")
+      .select("g", "split").distinct()
+    assert(again.exceptAll(byGroup).count() == 0)
+    // an externally-damaged split column IS caught
+    val leaky = split.withColumn("split",
+      when(col("r") === 3 && col("g") < 10, lit("test"))
+        .otherwise(col("split")))
+    assert(Sampling.splitLeakage(leaky, "g", "split")
+      .collect().head.getLong(0) > 0L)
+  }
 }

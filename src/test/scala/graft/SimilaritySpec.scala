@@ -150,6 +150,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(r >= 0.9, f"int8 recall@5 regressed: $r%.3f")
   }
 
+  test("PQ: encode snaps to codebook entries; ADC is exact on codebook-composed vectors") {
+    import testImplicits._
+    // seeds 0/1 ARE the codebooks (m=2, dsub=2, 2 codes); vectors 10/11
+    // are cross-compositions of seed slices, so quantization is LOSSLESS
+    // and ADC must equal the true squared distance — an exact gate on
+    // the whole codebook→encode→table→sum chain, no recall fuzz
+    val vecs = Seq(
+      (0L, Seq(0f, 0f, 1f, 1f)),
+      (1L, Seq(4f, 4f, 9f, 9f)),
+      (10L, Seq(0f, 0f, 9f, 9f)),
+      (11L, Seq(4f, 4f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Similarity.withNorm(vecs, "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(corpus, m = 2, dsub = 2, codes = 2)
+    val codes = Similarity.pqEncode(corpus, cb, m = 2, dsub = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(codes == Map(0L -> ((0L, 0L)), 1L -> ((1L, 1L)),
+      10L -> ((0L, 1L)), 11L -> ((1L, 0L))))
+    val enc = Similarity.pqEncode(corpus, cb, m = 2, dsub = 2)
+    val out = Similarity.pqTopK(enc,
+      corpus.filter(col("vec_id") === 10L).select("vec_id", "v"),
+      cb, k = 3, m = 2, dsub = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 32.0), (0L, 128.0), (11L, 160.0)))
+  }
+
   test("ivfTopK: finds in-cluster neighbors") {
     val corpus = Similarity.withNorm(emb(
       (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
