@@ -177,4 +177,87 @@ object Index {
       res
     }
   }
+
+  /** Per-document keyword extraction — top-`k` terms by a RATIONAL
+    * tf·idf (score = tf·N/df): the ranking signal of the textbook
+    * tf·log(N/df) without the logarithm, because ln() is library-rounded
+    * differently across engines and can't sit under the hash gate (the
+    * q144 rule). N/df is monotone in the same direction as log(N/df),
+    * so stopwords (df → N) still sink to score ≈ tf and rare terms
+    * still surface; the score is one integer product and one double
+    * division — bit-stable everywhere.
+    *
+    * Shape: the [[postings]] (term, doc, tf) aggregate, a term-keyed df
+    * aggregate joined back (both consume one term exchange), then ONE
+    * hash(doc) window for the top-k — no per-doc collect, no vocabulary
+    * broadcast. Gated by q146. */
+  def keywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val n = docs.select(countDistinct(col(idCol)).as("__n"))
+    val p = postings(docs, idCol, textCol)
+    val df = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = p.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("__n")).cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy("doc")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc").as("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /** Collocation mining — adjacent word pairs scored by LIFT
+    * (P(ab)/P(a)P(b) up to the constant T²/P — computed as the exact
+    * rational n_ab·T / (n_a·n_b), one integer product, one double
+    * division; no PMI logarithm for the same cross-engine reason as
+    * [[keywords]]): the phrase detector that seeds tokenizer
+    * vocabularies and query segmentation with multi-word units.
+    * `minCount` guards the classic lift pathology (two hapaxes that
+    * co-occur once score astronomically).
+    *
+    * Shape: pair explode rides the scan (slice+zip, no shuffle), one
+    * (w1, w2) aggregate, two word-keyed unigram joins (AQE broadcasts
+    * them when the vocabulary is small; at web scale a vocabulary is
+    * NOT broadcast-sized, so the plan stays a shuffle join on the word
+    * key), global top-k via TakeOrdered — nothing pair-quadratic, pair
+    * volume = token volume. Gated by q147. */
+  def collocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Int,
+      topK: Int
+  ): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"bad params: $minCount/$topK")
+    val words = docs.select(
+      filter(split(col(textCol), " "), w => length(w) > 0).as("__ws"))
+    val uni = words
+      .select(explode(col("__ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val nPairs = greatest(size(col("__ws")) - 1, lit(0))
+    val pairs = words
+      .select(explode(zip_with(
+        slice(col("__ws"), lit(1), nPairs),
+        slice(col("__ws"), lit(2), nPairs),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__p"))
+      .groupBy(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val total = pairs.select(sum(col("n_ab")).as("__t"))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("n").as("n_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        (col("n_ab") * col("__t")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "lift")
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

@@ -90,7 +90,7 @@ object Sketches {
 
   /** The depth probe positions of one item — shared by build and
     * estimate so the two sides can never disagree on the hash row. */
-  private def cmsCells(item: org.apache.spark.sql.Column, depth: Int, width: Int) =
+  private[graft] def cmsCells(item: org.apache.spark.sql.Column, depth: Int, width: Int) =
     array((0 until depth).map(i =>
       struct(lit(i).as("cms_row"),
         pmod(xxhash64(item, lit(i)), lit(width)).as("cms_col"))): _*)

@@ -933,7 +933,14 @@ object WebGraph {
     * degree ≥ 1; coefficient = 2T / d(d−1) (0 when d < 2), computed in
     * double — one IEEE division of exact integers, bit-stable across
     * engines. Self-loops and duplicate/reverse edges are collapsed
-    * first (triangle counting is defined on the simple graph). */
+    * first (triangle counting is defined on the simple graph).
+    *
+    * Measured ([[graft.runner.WebGraphScaleProbe]], sf0.1, local[32],
+    * warm): 10× the pages AND 10× the host universe 0.75 → 1.27 s
+    * (1.7× — edge-count-bound, stage setup still dominant), alongside
+    * kCore 2.1 → 1.2 s (0.6×: the bigger modular graph is MORE
+    * 2-core-complete, so the peel converges in fewer productive
+    * rounds — iterative cost tracks peel depth, not graph size). */
   def triangles(edges: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // canonical simple undirected edges: (a < b), self-loops dropped

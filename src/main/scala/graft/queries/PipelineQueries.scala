@@ -3461,6 +3461,70 @@ object PipelineQueries {
       ORDER BY word""")
   )
 
+  // --------------------------------------------------------------- q146
+  /** Per-document keyword extraction ([[graft.ops.Index.keywords]]):
+    * top-3 terms by RATIONAL tf·idf (tf·N/df — same ordering signal as
+    * the log form, zero transcendental rounding to disagree on), one
+    * term exchange for tf/df and one hash(doc) window for the top-k. */
+  private val q146 = Q(
+    "q146_keywords",
+    (s, dir) =>
+      Index.keywords(Lake(s, dir).documents, "doc_id", "text", 3)
+        .orderBy("doc_id", "rank"),
+    Some("""
+      WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      p AS (SELECT term, doc_id AS doc, COUNT(*) AS tf
+            FROM words GROUP BY 1, 2),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+      nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      scored AS (
+        SELECT p.doc, p.term, p.tf, dfreq.df,
+          CAST(p.tf * nn.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+        FROM p JOIN dfreq USING (term) CROSS JOIN nn),
+      r AS (SELECT doc, term, tf, df, score,
+              row_number() OVER (PARTITION BY doc
+                ORDER BY score DESC, term) AS rank
+            FROM scored)
+      SELECT doc AS doc_id, term, tf, df, score, rank
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")
+  )
+
+  // --------------------------------------------------------------- q147
+  /** Collocation mining ([[graft.ops.Index.collocations]]): adjacent
+    * word pairs at support ≥ 5 ranked by rational lift
+    * (n_ab·T / n_a·n_b) — the log-free PMI ordering. Pair explode rides
+    * the scan; unigram joins stay word-keyed shuffles (a web-scale
+    * vocabulary is not broadcast-sized). */
+  private val q147 = Q(
+    "q147_collocations",
+    (s, dir) =>
+      Index.collocations(Lake(s, dir).documents, "text",
+        minCount = 5, topK = 25)
+        .orderBy(col("lift").desc, col("w1"), col("w2")),
+    Some("""
+      WITH ws AS (
+        SELECT list_filter(string_split(text, ' '),
+          w -> length(w) > 0) AS ws
+        FROM documents),
+      uni AS (SELECT w, COUNT(*) AS n
+              FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY w),
+      pairs AS (
+        SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS n_ab
+        FROM (SELECT unnest(list_zip(ws[1:len(ws) - 1], ws[2:len(ws)])) AS p
+              FROM ws)
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS t FROM pairs)
+      SELECT w1, w2, n_ab, u1.n AS n_a, u2.n AS n_b,
+        CAST(n_ab * t AS DOUBLE) / CAST(u1.n * u2.n AS DOUBLE) AS lift
+      FROM pairs
+      JOIN uni u1 ON u1.w = pairs.w1
+      JOIN uni u2 ON u2.w = pairs.w2
+      CROSS JOIN tot
+      ORDER BY lift DESC, w1, w2 LIMIT 25""")
+  )
+
   // --------------------------------------------------------------- q145
   /** Leakage-proof train/val/test split of the event log by USER
     * ([[graft.ops.Sampling.groupSplit]] 80/10/10 + `splitLeakage`):
@@ -3698,5 +3762,5 @@ object PipelineQueries {
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
-    q133, q134, q138, q139, q141, q142, q143, q145)
+    q133, q134, q138, q139, q141, q142, q143, q145, q146, q147)
 }

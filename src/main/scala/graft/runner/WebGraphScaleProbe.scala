@@ -76,6 +76,15 @@ object WebGraphScaleProbe {
       "anchor_index" -> (p => WebGraph.anchorIndex(p, col("html"))),
       "url_canonical" -> (p =>
         urls(p).select(WebGraph.canonicalizeUrl(col("url")).as("c"))),
+      // r6 topology family: triangle counting rides the degree-ordered
+      // orientation (wedge work bounded by oriented out-degree, which the
+      // modular fixture keeps near-constant as hosts grow), k-core peels
+      // on monotonically-shrinking edge frames — both should scale with
+      // the EDGE count, not pages
+      "triangles" -> (p =>
+        WebGraph.triangles(WebGraph.hostEdges(p, col("src_host"), col("html")))),
+      "kcore" -> (p =>
+        WebGraph.kCore(WebGraph.hostEdges(p, col("src_host"), col("html")), 2)),
       // the q87 composition: extraction + quality riding the scan, the
       // graph side folding to host-sized frames, one broadcast join back
       "crawl_pipeline" -> { p =>

@@ -55,6 +55,34 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Per-window count-min sketch cells over a live feed — the streaming
+    * twin of [[graft.ops.Sketches.cmsBuild]]: frequency summaries of an
+    * UNBOUNDED item domain under BOUNDED state, which is exactly what a
+    * raw per-item streaming count can't promise (its state grows with
+    * distinct items; this holds ≤ depth×width cells per window, full
+    * stop). Tumbling windows + watermark; emitted cells are
+    * [[graft.ops.Sketches.cmsMerge]]-composable across windows and with
+    * batch-built daily sketches — the lambda-architecture join the
+    * tabular cell form exists for. Stream ≡ batch is pinned in
+    * StreamingSpec (same cells, same counts, per window). */
+  def sketchStream(
+      events: DataFrame,
+      itemCol: String,
+      watermark: String = "30 minutes",
+      windowLength: String = "1 hour",
+      depth: Int = 4,
+      width: Int = 1024
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        explode(graft.ops.Sketches.cmsCells(col(itemCol), depth, width)).as("__p"))
+      .groupBy(window(col("ts"), windowLength),
+        col("__p.cms_row").as("cms_row"), col("__p.cms_col").as("cms_col"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("cms_row"), col("cms_col"), col("cnt"))
+
   /** Session windows via the BUILT-IN `session_window` (gap-merged state
     * managed by the engine, fully codegen'd) — the declarative sibling of
     * [[sessionize]]'s typed flatMapGroupsWithState. Prefer this form when

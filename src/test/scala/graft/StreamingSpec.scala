@@ -35,6 +35,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sketchStream: per-window CMS cells equal the batch sketch on the same rows") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sketchStream(input.toDF(), "event_type",
+      watermark = "10 minutes", depth = 2, width = 32)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("update").start()
+    try {
+      val rows = Seq(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(7), 2, "view", 3.0),
+        Event(4, ts(9), 3, "click", 4.0))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamCells = spark.table("cms_stream")
+        .groupBy("cms_row", "cms_col").agg(max("cnt").as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batchCells = graft.ops.Sketches.cmsBuild(
+        rows.toDF(), "event_type", depth = 2, width = 32)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamCells == batchCells)
+      // the streamed cells serve estimates exactly like a batch sketch
+      val est = graft.ops.Sketches.cmsEstimate(
+        Seq("click", "view", "ghost").toDF("item"),
+        spark.table("cms_stream")
+          .groupBy("cms_row", "cms_col").agg(max("cnt").as("cnt")),
+        "item", depth = 2, width = 32)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est("click") >= 3L && est("view") >= 1L)
+    } finally q.stop()
+  }
+
   test("slidingRollup: an event lands in every window covering it") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]

@@ -385,6 +385,41 @@ class TextOpsSpec extends SparkTestBase {
       s"curation pipeline should shuffle once (fp window):\n$plan")
   }
 
+  test("Index.keywords: rare terms beat stopwords; rank ties break on term") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog ran"),
+      (3L, "the cat ran"))
+      .toDF("doc_id", "text")
+    val out = Index.keywords(docs, "doc_id", "text", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> ((r.getString(1), r.getDouble(4))))
+      .toMap
+    // doc 1: sat df=1 → score 3; cat df=2 → 1.5; the df=3 → 1
+    assert(out((1L, 1)) == (("sat", 3.0)))
+    assert(out((1L, 2)) == (("cat", 1.5)))
+    // doc 3: cat and ran both df=2 score 1.5 → lexicographic tiebreak
+    assert(out((3L, 1)) == (("cat", 1.5)))
+    assert(out((3L, 2)) == (("ran", 1.5)))
+  }
+
+  test("Index.collocations: lift ranks the glued pair above frequent-word noise") {
+    // "new york" always co-occur; "the" is everywhere — lift must rank
+    // (new, york) far above any pair involving "the"
+    val docs = Seq.tabulate(10)(i =>
+      Tuple1(s"the city of new york has the best bagels $i"))
+      .toDF("text")
+    val named = Index.collocations(docs, "text", minCount = 5, topK = 3)
+      .select("w1", "w2", "n_ab", "lift").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    val lifts = named.map(x => x._1 -> x._3).toMap
+    // every retained pair occurs 10 times; (new, york) involves two
+    // singleton-unigram words → maximal lift among them
+    assert(named.forall(_._2 == 10L))
+    assert(lifts.keySet.contains(("new", "york")))
+    assert(lifts(("new", "york")) == lifts.values.max)
+  }
+
   test("Bpe.learn: the Sennrich corpus yields the hand-computed merge table") {
     import graft.ops.Bpe
     // the classic fixture: low*5 lower*2 newest*6 widest*3 — every merge
