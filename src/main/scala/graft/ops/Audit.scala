@@ -137,4 +137,32 @@ object Audit {
       .reduce(_.unionByName(_))
       .orderBy("check_name")
   }
+
+  /** k-anonymity audit — the privacy gate a training corpus with joined
+    * user attributes needs before release: every row must hide in an
+    * equivalence class of ≥ k rows sharing its quasi-identifier tuple
+    * (Sweeney's k-anonymity; the quasi-identifiers are the caller's
+    * generalized columns, e.g. banded balance + region). Output is the
+    * equivalence-CLASS SIZE DISTRIBUTION, not the class list: one row per
+    * observed class size `(class_size, n_classes, n_rows, at_risk)` —
+    * bounded by the number of DISTINCT sizes (≤ ~log-many in practice),
+    * so the report stays driver-safe at any corpus scale, while
+    * `at_risk = class_size < k` rows quantify exactly how much data a
+    * release would leak. Two hash aggregates (classes, then sizes), both
+    * map-side-combining; the second input is already one row per class.
+    * Gated by q153 against a two-level GROUP BY oracle. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"))
+      .select(
+        col("class_size"),
+        col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_rows"),
+        (col("class_size") < lit(k)).as("at_risk"))
+      .orderBy("class_size")
+  }
 }

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Bloom filter — the scan-side join-pruning sketch that the
+  * broadcast semi-join can't replace once the build side stops fitting in
+  * an executor: a 10M-key dimension slice is ~100 MB of raw keys (too big
+  * to broadcast as a hash relation) but only `numBits/8` bytes of bitmap
+  * (2 MB at 2^24 bits) regardless of key count or key width. The probe is
+  * a pure-builtin, codegen'd expression (`xxhash64`/`getbit` — no UDF, no
+  * join), so fact rows die INSIDE the scan stage, before the exchange —
+  * the shuffle that dominates a 100 TB semi-join only ever carries the
+  * candidates. False positives are pruned by the exact semi-join that
+  * follows ([[prunedSemiJoin]]), so results stay EXACT; the sketch only
+  * decides how much traffic the exchange sees. This is the same
+  * sketch-then-verify contract as [[Sketches.heavyHitters]], applied to
+  * joins (and the hand-rollable twin of Spark's runtime row-level
+  * filtering, here available to any caller-controlled build side, e.g. a
+  * persisted filter over yesterday's keys).
+  *
+  * Build is distributed and MERGEABLE: the bitmap lives as (bloom_word,
+  * bits) rows — ≤ numBits/64 of them, bounded by geometry not data — built
+  * with one hash aggregate (`bit_or` partials collapse map-side, so the
+  * build shuffle carries sketch-sized frames). Daily bitmaps union with a
+  * plain `bit_or` by word ([[merge]]) — the [[Sketches]] mergeability
+  * contract, for MEMBERSHIP. The only driver materialization is the
+  * final word array (numBits/64 longs, e.g. 16K at 2^20 bits = 128 KB) —
+  * O(geometry), the same boundedness argument as k-means centroids.
+  *
+  * Determinism: positions are `pmod(xxhash64(key, seed_i), numBits)` —
+  * engine-deterministic, shared between build and probe so the two sides
+  * can never disagree ([[positions]]).
+  */
+object Bloom {
+
+  /** A collected bitmap: `words(i)` holds bits [64i, 64i+64). */
+  final case class BloomBits(numBits: Int, numHashes: Int, words: Array[Long]) {
+    def setBits: Long = words.map(w => java.lang.Long.bitCount(w).toLong).sum
+
+    /** Expected false-positive rate from the OBSERVED fill, (set/m)^k —
+      * tighter than the n-based formula because it uses the real bitmap. */
+    def expectedFpRate: Double =
+      math.pow(setBits.toDouble / numBits.toDouble, numHashes.toDouble)
+  }
+
+  /** The probe positions of one key — shared by build and probe. */
+  private[graft] def positions(key: Column, numBits: Int, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => pmod(xxhash64(key, lit(i)), lit(numBits.toLong)))
+
+  private def require64(numBits: Int): Unit =
+    require(numBits >= 64 && numBits % 64 == 0,
+      s"numBits must be a positive multiple of 64: $numBits")
+
+  /** Distributed bitmap build: (bloom_word: int, bits: long) rows. One
+    * explode (numHashes per key) + one hash aggregate; map-side `bit_or`
+    * partials mean the exchange carries ≤ numBits/64 rows per partition
+    * no matter how many keys went in. */
+  def build(
+      df: DataFrame,
+      keyCol: String,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 5
+  ): DataFrame = {
+    require64(numBits)
+    require(numHashes >= 1 && numHashes <= 16, s"bad numHashes: $numHashes")
+    df.select(explode(array(positions(col(keyCol), numBits, numHashes): _*)).as("__pos"))
+      .select(
+        shiftright(col("__pos"), 6).cast("int").as("bloom_word"),
+        call_function("shiftleft", lit(1L),
+          col("__pos").bitwiseAND(lit(63L)).cast("int")).as("__bit"))
+      .groupBy("bloom_word")
+      .agg(bit_or(col("__bit")).as("bits"))
+  }
+
+  /** Union of bitmaps with identical (numBits, numHashes) geometry:
+    * `bit_or` by word — daily filters fold into weekly ones without
+    * rescanning history. */
+  def merge(blooms: DataFrame): DataFrame =
+    blooms.groupBy("bloom_word").agg(bit_or(col("bits")).as("bits"))
+
+  /** Materialize a built (or merged) bitmap on the driver. O(numBits/64)
+    * rows by construction — geometry-bounded, never data-bounded. */
+  def collect(bloomDf: DataFrame, numBits: Int, numHashes: Int): BloomBits = {
+    require64(numBits)
+    val words = new Array[Long](numBits / 64)
+    bloomDf.select(col("bloom_word"), col("bits")).collect().foreach { r =>
+      words(r.getInt(0)) = r.getLong(1)
+    }
+    BloomBits(numBits, numHashes, words)
+  }
+
+  /** Membership-test column: true iff every probe bit is set. Pure
+    * builtins (`xxhash64`, `getbit`, `element_at` on ONE array literal),
+    * fully inside whole-stage codegen; evaluates in the scan stage, which
+    * is the entire point — pruned rows never reach the exchange. No false
+    * negatives ever; false positives at the [[BloomBits.expectedFpRate]]
+    * rate, to be killed by an exact verify (see [[prunedSemiJoin]]). */
+  def mightContain(bloom: BloomBits, key: Column): Column = {
+    val wordsLit = lit(bloom.words)
+    positions(key, bloom.numBits, bloom.numHashes).map { p =>
+      getbit(
+        element_at(wordsLit, shiftright(p, 6).cast("int") + 1),
+        p.bitwiseAND(lit(63L)).cast("int")) === 1
+    }.reduce(_ && _)
+  }
+
+  /** Exact semi-join with Bloom pre-pruning — the 100 TB shape when the
+    * build side is too big to broadcast: fact rows failing the bitmap die
+    * in the scan stage; the exact `left_semi` that follows sees only
+    * candidates (true matches + the fp-rate sliver) and removes the false
+    * positives, so the result is row-for-row the plain semi-join. */
+  def prunedSemiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 5
+  ): DataFrame = {
+    val keys = dim.select(col(dimKey)).distinct()
+    val bits = collect(build(keys, dimKey, numBits, numHashes), numBits, numHashes)
+    fact
+      .filter(mightContain(bits, col(factKey)))
+      .join(keys.withColumnRenamed(dimKey, factKey), Seq(factKey), "left_semi")
+  }
+}

@@ -391,4 +391,140 @@ object Stats {
           F.lit(0.0d), (acc, x) => acc + x))
       .drop("_dr_arr")
   }
+
+  /** Pairwise Pearson correlation over pre-scaled INTEGER value columns —
+    * the feature-screening pass (collinearity, leakage smells) run before
+    * training on tabular features. One aggregation pass computes every
+    * first/second moment (k sums, k square-sums, k·(k−1)/2 cross-sums —
+    * all map-side combined, one exchange of ONE row), then each pair's
+    * correlation is assembled on that row and exploded; nothing after the
+    * aggregate is data-sized.
+    *
+    * Cross-engine exactness discipline: the caller supplies integer-valued
+    * LONG columns (scale your doubles first — cents, hundredths; the
+    * per-row products must stay under 2^63), the moments are summed as
+    * DECIMAL(38,0) (exact, order-independent — a raw long sum would
+    * overflow at sf0.1's 6e19 square-sums, and ANSI mode would throw), and
+    * only the final assembly runs in double: `(n·Sxy − Sx·Sy) /
+    * (√(n·Sxx − Sx²)·√(n·Syy − Sy²))` with every operand cast to double
+    * FIRST and the same op tree on both engines — +,−,×,÷,√ are all
+    * IEEE-correctly-rounded, so the doubles match bit-for-bit (the
+    * q112/q130 no-transcendentals gate rule; √ is exempt because IEEE 754
+    * requires correct rounding for it). Gated by q154. */
+  def corrPairs(df: DataFrame, vars: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(vars.size >= 2, "corrPairs needs at least two variables")
+    val names = vars.map(_._1)
+    require(names.distinct.size == names.size, s"duplicate var names: $names")
+    val nAgg = F.count(F.lit(1)).as("_c_n")
+    val moments =
+      vars.map { case (nm, c) =>
+        F.sum(c.cast("decimal(38,0)")).as(s"_c_s_$nm") } ++
+      vars.map { case (nm, c) =>
+        F.sum((c * c).cast("decimal(38,0)")).as(s"_c_ss_$nm") } ++
+      (for { i <- vars.indices; j <- (i + 1) until vars.size } yield
+        F.sum((vars(i)._2 * vars(j)._2).cast("decimal(38,0)"))
+          .as(s"_c_x_${names(i)}_${names(j)}"))
+    val one = df.agg(nAgg, moments: _*)
+    def d(c: String) = F.col(c).cast("double")
+    val rows = for { i <- vars.indices; j <- (i + 1) until vars.size } yield {
+      val (x, y) = (names(i), names(j))
+      val num = d("_c_n") * d(s"_c_x_${x}_$y") - d(s"_c_s_$x") * d(s"_c_s_$y")
+      val den =
+        F.sqrt(d("_c_n") * d(s"_c_ss_$x") - d(s"_c_s_$x") * d(s"_c_s_$x")) *
+        F.sqrt(d("_c_n") * d(s"_c_ss_$y") - d(s"_c_s_$y") * d(s"_c_s_$y"))
+      F.struct(F.lit(x).as("var_x"), F.lit(y).as("var_y"),
+        (num / den).as("corr"))
+    }
+    one.select(F.explode(F.array(rows: _*)).as("_c_r"))
+      .select(F.col("_c_r.var_x").as("var_x"), F.col("_c_r.var_y").as("var_y"),
+        F.col("_c_r.corr").as("corr"))
+      .orderBy("var_x", "var_y")
+  }
+
+  /** Pearson chi-square independence cells for two categoricals — the
+    * "are these two labels independent" screen (stratification checks,
+    * feature/label dependence). Emits PER-CELL rows `(rowVal, colVal,
+    * obs, expected, contrib)` rather than the folded statistic: the cells
+    * ARE the diagnostic (which combinations are over/under-represented),
+    * and per-cell output sidesteps cross-cell double-sum ordering entirely
+    * (a caller wanting the scalar folds the sorted cells, the
+    * [[driftReport]] discipline). One (row,col) aggregate — map-side
+    * combined, output is category-product-sized — then three window sums
+    * over that tiny cell frame. Expected counts and contributions are
+    * pure +,−,×,÷ on exact longs cast to double: bit-identical across
+    * engines. Gated by q155. */
+  def chi2Cells(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val internal = Seq("obs", "expected", "contrib", "_x2_rt", "_x2_ct", "_x2_n")
+    require(!internal.contains(rowCol) && !internal.contains(colCol),
+      s"input columns collide with chi2Cells internals: $rowCol, $colCol")
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(rowCol, colCol).agg(F.count(F.lit(1)).as("obs"))
+      .withColumn("_x2_rt", F.sum("obs").over(w.partitionBy(rowCol)))
+      .withColumn("_x2_ct", F.sum("obs").over(w.partitionBy(colCol)))
+      .withColumn("_x2_n", F.sum("obs").over(w.partitionBy()))
+    val e = F.col("_x2_rt").cast("double") * F.col("_x2_ct").cast("double") /
+      F.col("_x2_n").cast("double")
+    cells
+      .withColumn("expected", e)
+      .withColumn("contrib",
+        (F.col("obs").cast("double") - F.col("expected")) *
+          (F.col("obs").cast("double") - F.col("expected")) / F.col("expected"))
+      .drop("_x2_rt", "_x2_ct", "_x2_n")
+      .orderBy(rowCol, colCol)
+  }
+
+  /** Per-group categorical diversity + divergence from the corpus — the
+    * "is this source's language mix collapsing / drifting from the
+    * whole" monitor for mixture-controlled pretraining corpora. Per
+    * group: `n_rows`, Simpson concentration `Σp²` (1 = single category),
+    * `effective_cats = 1/Σp²` (Hill number of order 2 — the "how many
+    * languages is this source really" reading), and squared Hellinger
+    * distance to the corpus-wide distribution `0.5·Σ(√p−√q)²` ∈ [0,1].
+    * Simpson/Hellinger are chosen OVER entropy/KL deliberately: they need
+    * only +,−,×,÷,√ (IEEE-exact, cross-engine hash-stable — the
+    * q112/q130 gate rule), while ln is a non-correctly-rounded libm call
+    * that differs in the last ulp between JVM and DuckDB.
+    *
+    * Shapes: one (group, cat) aggregate (map-side combined) is the only
+    * data-sized pass; the group×category alignment grid and the
+    * per-group sorted-fold (category-ordered, so no partition fold order
+    * leaks — [[driftReport]] discipline) are category-universe-sized.
+    * Contract: the category column is bounded-cardinality (languages,
+    * sources — not IDs). Gated by q156. */
+  def categoricalDivergence(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val internal = Seq("_cd_n", "_cd_ng", "_cd_nc", "_cd_nt", "_cd_arr",
+      "n_rows", "simpson", "effective_cats", "hellinger_sq")
+    require(!internal.contains(groupCol) && !internal.contains(catCol),
+      s"input columns collide with categoricalDivergence internals")
+    val counts = df.groupBy(groupCol, catCol).agg(F.count(F.lit(1)).as("_cd_n"))
+    val w = org.apache.spark.sql.expressions.Window
+    // alignment grid: every group × every corpus category, so a category
+    // ABSENT from a group contributes p=0 (its √q mass still counts in
+    // Hellinger — dropping absent cells would understate divergence)
+    val groups = counts.groupBy(groupCol).agg(F.sum("_cd_n").as("_cd_ng"))
+    val cats = counts.groupBy(catCol).agg(F.sum("_cd_n").as("_cd_nc"))
+      .withColumn("_cd_nt", F.sum("_cd_nc").over(w.partitionBy()))
+    val grid = groups.crossJoin(F.broadcast(cats))
+      .join(counts, Seq(groupCol, catCol), "left_outer")
+      .na.fill(0L, Seq("_cd_n"))
+    val p = F.col("_cd_n").cast("double") / F.col("_cd_ng").cast("double")
+    val q = F.col("_cd_nc").cast("double") / F.col("_cd_nt").cast("double")
+    val cell = F.struct(
+      F.col(catCol),
+      (p * p).as("p2"),
+      ((F.sqrt(p) - F.sqrt(q)) * (F.sqrt(p) - F.sqrt(q))).as("hc"))
+    grid
+      .groupBy(groupCol)
+      .agg(
+        F.max(F.col("_cd_ng")).as("n_rows"),
+        F.sort_array(F.collect_list(cell)).as("_cd_arr"))
+      .withColumn("simpson",
+        F.aggregate(F.col("_cd_arr"), F.lit(0.0d), (a, x) => a + x("p2")))
+      .withColumn("effective_cats", F.lit(1.0d) / F.col("simpson"))
+      .withColumn("hellinger_sq",
+        F.aggregate(F.col("_cd_arr"), F.lit(0.0d),
+          (a, x) => a + x("hc")) * 0.5d)
+      .drop("_cd_arr")
+      .orderBy(groupCol)
+  }
 }

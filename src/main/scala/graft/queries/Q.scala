@@ -24,7 +24,8 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ ViewQueries.all ++ PipelineQueries.all ++
-      BehaviorQueries.all ++ OlapQueries.all ++ GraphQueries.all
+      BehaviorQueries.all ++ OlapQueries.all ++ GraphQueries.all ++
+      ScaleQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

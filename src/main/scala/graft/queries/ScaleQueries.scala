@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Lake
+import graft.ops.{Audit, Bloom, Stats}
+
+/** Scale-and-governance coverage — the round-6 additions that close the
+  * "run this against 100 TB and against a privacy office" gaps:
+  * Bloom-pruned semi-joins ([[graft.ops.Bloom]] — scan-stage pruning when
+  * the build side outgrows broadcast), the k-anonymity release audit
+  * ([[graft.ops.Audit.kAnonymity]]), and the exact cross-engine statistics
+  * family ([[graft.ops.Stats.corrPairs]] / [[graft.ops.Stats.chi2Cells]] /
+  * [[graft.ops.Stats.categoricalDivergence]]) built on the repo's
+  * no-transcendentals gate discipline: every gated double is assembled
+  * from exact integer/decimal sums with +,−,×,÷,√ only, the same op tree
+  * stated in each DuckDB oracle, so the hash gate compares bit-identical
+  * values rather than hoping two libm implementations agree.
+  */
+object ScaleQueries {
+
+  // --------------------------------------------------------------- q148
+  /** Bloom-pruned exact semi-join: revenue from line items of high-value
+    * orders. The Spark side builds a 2^17-bit bitmap over the ~10%
+    * selected order keys (distributed `bit_or` aggregate), probes
+    * lineitem with the pure-builtin `mightContain` expression so
+    * non-candidates die IN THE SCAN STAGE, then removes the fp-rate
+    * sliver with the exact semi-join — at 100 TB the exchange under that
+    * semi-join carries candidates only, which is the entire value of the
+    * operator. The oracle states the mathematical spec (a plain IN
+    * subquery); the hash gate is what proves prune+verify ≡ semi-join
+    * (no false negatives, all false positives killed). */
+  private val q148 = Q(
+    "q148_bloom_prune",
+    (s, dir) => {
+      val lk = Lake(s, dir)
+      val dim = lk.orders.filter(col("o_totalprice") > lit(450000.0d))
+      Bloom.prunedSemiJoin(
+          lk.lineitem, dim, "l_orderkey", "o_orderkey",
+          numBits = 1 << 17, numHashes = 5)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(38,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  )
+
+  // --------------------------------------------------------------- q153
+  /** k-anonymity audit (k=5) over quasi-identifiers (nation, market
+    * segment, balance banded to 1000s): the equivalence-class size
+    * distribution, at_risk flagging every class smaller than k. The
+    * banding uses floor() — identical on both engines for the synthetic
+    * range — and the report is distinct-size-bounded, never
+    * class-count-bounded. */
+  private val q153 = Q(
+    "q153_kanonymity",
+    (s, dir) =>
+      Audit.kAnonymity(
+        Lake(s, dir).customer.select(
+          col("c_nationkey"),
+          col("c_mktsegment"),
+          (floor(col("c_acctbal") / lit(1000.0d)) * 1000.0d).cast("long")
+            .as("bal_band")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"),
+        k = 5L),
+    Some("""
+      WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000.0) * 1000.0 AS BIGINT) AS bal_band,
+               COUNT(*) AS class_size
+        FROM customer GROUP BY 1, 2, 3)
+      SELECT class_size, COUNT(*) AS n_classes,
+             class_size * COUNT(*) AS n_rows,
+             class_size < 5 AS at_risk
+      FROM classes GROUP BY class_size ORDER BY class_size""")
+  )
+
+  // --------------------------------------------------------------- q154
+  /** Pairwise Pearson correlation over lineitem's numeric measures,
+    * pre-scaled to exact integers (quantity is integral; price/discount
+    * scaled to cents — `round(x*100)` lands on the same long in both
+    * engines because both see the same IEEE double and round half away
+    * from zero). Moments are exact DECIMAL(38,0)/HUGEINT sums; only the
+    * final assembly (the textbook product-moment formula) runs in double,
+    * with the identical op tree on both sides. */
+  private val q154 = Q(
+    "q154_corr_matrix",
+    (s, dir) =>
+      Stats.corrPairs(
+        Lake(s, dir).lineitem.select(
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100.0d, 0).cast("long").as("price_c"),
+          round(col("l_discount") * 100.0d, 0).cast("long").as("disc_c")),
+        Seq(
+          "qty" -> col("qty"),
+          "price_c" -> col("price_c"),
+          "disc_c" -> col("disc_c"))),
+    Some("""
+      WITH v AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty,
+               CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+               CAST(ROUND(l_discount * 100.0) AS BIGINT) AS disc_c
+        FROM lineitem),
+      m AS (
+        SELECT COUNT(*) AS n,
+               SUM(qty) AS s_q, SUM(price_c) AS s_p, SUM(disc_c) AS s_d,
+               SUM(qty*qty) AS ss_q, SUM(price_c*price_c) AS ss_p,
+               SUM(disc_c*disc_c) AS ss_d,
+               SUM(qty*price_c) AS x_qp, SUM(qty*disc_c) AS x_qd,
+               SUM(price_c*disc_c) AS x_pd
+        FROM v),
+      pairs AS (
+        SELECT 'qty' AS var_x, 'price_c' AS var_y,
+               (CAST(n AS DOUBLE)*CAST(x_qp AS DOUBLE)
+                  - CAST(s_q AS DOUBLE)*CAST(s_p AS DOUBLE)) /
+               (sqrt(CAST(n AS DOUBLE)*CAST(ss_q AS DOUBLE)
+                  - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE)) *
+                sqrt(CAST(n AS DOUBLE)*CAST(ss_p AS DOUBLE)
+                  - CAST(s_p AS DOUBLE)*CAST(s_p AS DOUBLE))) AS corr
+        FROM m
+        UNION ALL
+        SELECT 'qty', 'disc_c',
+               (CAST(n AS DOUBLE)*CAST(x_qd AS DOUBLE)
+                  - CAST(s_q AS DOUBLE)*CAST(s_d AS DOUBLE)) /
+               (sqrt(CAST(n AS DOUBLE)*CAST(ss_q AS DOUBLE)
+                  - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE)) *
+                sqrt(CAST(n AS DOUBLE)*CAST(ss_d AS DOUBLE)
+                  - CAST(s_d AS DOUBLE)*CAST(s_d AS DOUBLE)))
+        FROM m
+        UNION ALL
+        SELECT 'price_c', 'disc_c',
+               (CAST(n AS DOUBLE)*CAST(x_pd AS DOUBLE)
+                  - CAST(s_p AS DOUBLE)*CAST(s_d AS DOUBLE)) /
+               (sqrt(CAST(n AS DOUBLE)*CAST(ss_p AS DOUBLE)
+                  - CAST(s_p AS DOUBLE)*CAST(s_p AS DOUBLE)) *
+                sqrt(CAST(n AS DOUBLE)*CAST(ss_d AS DOUBLE)
+                  - CAST(s_d AS DOUBLE)*CAST(s_d AS DOUBLE)))
+        FROM m)
+      SELECT var_x, var_y, corr FROM pairs ORDER BY var_x, var_y""")
+  )
+
+  // --------------------------------------------------------------- q155
+  /** Chi-square independence cells for order status × priority: observed
+    * vs expected-under-independence per cell, plus each cell's χ²
+    * contribution — the per-cell shape IS the diagnostic, and it
+    * sidesteps cross-cell double-sum ordering (fold the sorted cells if
+    * the scalar is wanted). Pure +,−,×,÷ on exact counts. */
+  private val q155 = Q(
+    "q155_chi2_independence",
+    (s, dir) =>
+      Stats.chi2Cells(Lake(s, dir).orders, "o_orderstatus", "o_orderpriority"),
+    Some("""
+      WITH cells AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS obs
+        FROM orders GROUP BY 1, 2),
+      t AS (
+        SELECT o_orderstatus, o_orderpriority, obs,
+               SUM(obs) OVER (PARTITION BY o_orderstatus) AS rt,
+               SUM(obs) OVER (PARTITION BY o_orderpriority) AS ct,
+               SUM(obs) OVER () AS n
+        FROM cells)
+      SELECT o_orderstatus, o_orderpriority, obs,
+             CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+               AS expected,
+             (CAST(obs AS DOUBLE)
+                - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))
+             * (CAST(obs AS DOUBLE)
+                - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))
+             / (CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))
+               AS contrib
+      FROM t ORDER BY o_orderstatus, o_orderpriority""")
+  )
+
+  // --------------------------------------------------------------- q156
+  /** Per-source language diversity and divergence from the corpus mix:
+    * Simpson concentration Σp², effective language count 1/Σp², squared
+    * Hellinger distance to the global distribution. Entropy/KL are
+    * deliberately NOT the gated form — ln differs in the last ulp across
+    * libm implementations; Simpson/Hellinger carry the same monitoring
+    * signal on IEEE-exact ops. The oracle aligns the same group×category
+    * grid (absent languages contribute their √q mass) and folds
+    * category-sorted lists, mirroring the Spark sorted-fold. */
+  private val q156 = Q(
+    "q156_lang_divergence",
+    (s, dir) =>
+      Stats.categoricalDivergence(Lake(s, dir).documents, "source", "lang"),
+    Some("""
+      WITH c AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+      g AS (SELECT source, SUM(n) AS ng FROM c GROUP BY 1),
+      l AS (SELECT lang, SUM(n) AS nc FROM c GROUP BY 1),
+      t AS (SELECT SUM(n) AS nt FROM c),
+      grid AS (
+        SELECT g.source, l.lang, g.ng, l.nc, t.nt, COALESCE(c.n, 0) AS n
+        FROM g CROSS JOIN l CROSS JOIN t
+        LEFT JOIN c ON c.source = g.source AND c.lang = l.lang),
+      cell AS (
+        SELECT source, lang, ng,
+               CAST(n AS DOUBLE) / CAST(ng AS DOUBLE) AS p,
+               CAST(nc AS DOUBLE) / CAST(nt AS DOUBLE) AS q
+        FROM grid),
+      contrib AS (
+        SELECT source, lang, ng,
+               p * p AS p2,
+               (sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)) AS hc
+        FROM cell),
+      agg AS (
+        SELECT source, MAX(ng) AS n_rows,
+               list(p2 ORDER BY lang) AS p2s,
+               list(hc ORDER BY lang) AS hcs
+        FROM contrib GROUP BY source)
+      SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+             list_reduce(list_prepend(0.0, p2s), (a, b) -> a + b) AS simpson,
+             1.0 / list_reduce(list_prepend(0.0, p2s), (a, b) -> a + b)
+               AS effective_cats,
+             list_reduce(list_prepend(0.0, hcs), (a, b) -> a + b) * 0.5
+               AS hellinger_sq
+      FROM agg ORDER BY source""")
+  )
+
+  val all: Seq[Q] = Seq(q148, q153, q154, q155, q156)
+}

@@ -567,4 +567,68 @@ class OpsSpec extends SparkTestBase {
     assert(out(3) == 0L, "below-domain clamps to 0")
     assert(out(4) == 65535L, "a wild outlier clamps instead of overflowing")
   }
+
+  test("Audit.kAnonymity: size distribution and at_risk flags") {
+    val df = Seq(
+      ("DE", "A"), ("DE", "A"), ("DE", "A"),         // class of 3
+      ("FR", "A"), ("FR", "A"),                      // class of 2
+      ("FR", "B"), ("US", "B"), ("US", "C")          // three singletons
+    ).toDF("country", "segment")
+    val out = Audit.kAnonymity(df, Seq("country", "segment"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, true), (2L, 1L, 2L, true), (3L, 1L, 3L, false)))
+  }
+
+  test("Stats.corrPairs: exact +1/-1/0 on constructed columns") {
+    val df = Seq((1L, 2L, -1L, 5L), (2L, 4L, -2L, 5L), (3L, 6L, -3L, 5L),
+      (4L, 8L, -4L, 5L)).toDF("x", "y2", "yneg", "c")
+      .withColumn("alt", when(col("x") % 2 === 0, 1L).otherwise(-1L))
+    val out = Stats.corrPairs(df,
+      Seq("x" -> col("x"), "y2" -> col("y2"), "yneg" -> col("yneg")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out.map(t => (t._1, t._2)) ==
+      Seq(("x", "y2"), ("x", "yneg"), ("y2", "yneg")))
+    // sqrt rounding means |corr| lands within an ulp of 1, not exactly on it
+    val want = Seq(1.0, -1.0, -1.0)
+    out.map(_._3).zip(want).foreach { case (got, w) =>
+      assert(math.abs(got - w) < 1e-12, s"corr $got vs $w") }
+  }
+
+  test("Stats.chi2Cells: independent 2x2 gives zero contribs; skewed does not") {
+    val indep = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val z = Stats.chi2Cells(indep.toDF("r", "c"), "r", "c")
+      .agg(sum(col("contrib"))).head.getDouble(0)
+    assert(z == 0.0, s"independent table must give chi2 == 0, got $z")
+    val skew = Seq.fill(20)(("a", "x")) ++ Seq.fill(5)(("a", "y")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(20)(("b", "y"))
+    val rows = Stats.chi2Cells(skew.toDF("r", "c"), "r", "c").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("expected") == 12.5)
+      assert(math.abs(r.getAs[Double]("contrib") - 4.5) < 1e-12)
+    }
+  }
+
+  test("Stats.categoricalDivergence: pure group = simpson 1; corpus-shaped group = hellinger 0") {
+    // g1 all 'en' (concentrated); g2 matches the corpus mix exactly? no --
+    // with two groups the corpus is their pooled mix, so craft g2 = pooled:
+    // g1: 4 en. g2: 4 en, 2 fr, 2 de. corpus: 8 en, 2 fr, 2 de.
+    val df = (Seq.fill(4)(("g1", "en")) ++ Seq.fill(4)(("g2", "en")) ++
+      Seq.fill(2)(("g2", "fr")) ++ Seq.fill(2)(("g2", "de"))).toDF("g", "cat")
+    val out = Stats.categoricalDivergence(df, "g", "cat")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (n1, s1, e1, h1) = out("g1")
+    assert(n1 == 4L && s1 == 1.0 && e1 == 1.0)
+    // g1 vs corpus (8/12, 2/12, 2/12): h2 = 0.5*((1-sqrt(2/3))^2 + 2*(1/6))
+    val expH1 = 0.5 * (math.pow(1 - math.sqrt(8.0 / 12), 2) + 2.0 / 6)
+    assert(math.abs(h1 - expH1) < 1e-12, s"h1=$h1 exp=$expH1")
+    val (n2, s2, e2, h2) = out("g2")
+    assert(n2 == 8L)
+    // g2 mix (1/2, 1/4, 1/4): simpson = 1/4+1/16+1/16 = 0.375
+    assert(s2 == 0.375 && math.abs(e2 - 1 / 0.375) < 1e-12)
+    assert(h2 > 0 && h2 < expH1, "g2 is closer to the corpus than g1")
+  }
 }

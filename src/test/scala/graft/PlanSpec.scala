@@ -538,4 +538,25 @@ class PlanSpec extends SparkTestBase {
       }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("bloom probe prunes below the semi-join: scan-stage filter, no UDF") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val lk = Lake(spark, sfDir)
+    val dim = lk.orders.filter(col("o_totalprice") > 400000.0)
+    val pruned = graft.ops.Bloom.prunedSemiJoin(
+      lk.lineitem, dim, "l_orderkey", "o_orderkey", 1 << 12, 5)
+    // optimized LOGICAL plan (AQE wraps the physical tree in opaque query
+    // stages): the probe filter must sit in the join's STREAM side — that
+    // is what puts it in the scan stage, before the exchange, at any scale
+    val joins = pruned.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "semi-join missing from the optimized plan")
+    val streamSideFiltered = joins.exists(_.left.collectFirst {
+      case f: Filter if f.condition.toString.contains("getbit") => f
+    }.nonEmpty)
+    assert(streamSideFiltered,
+      s"bloom probe filter not below the join:\n${pruned.queryExecution.optimizedPlan}")
+    pruned.collect()
+    assert(!pruned.queryExecution.executedPlan.toString.toLowerCase.contains("udf"),
+      "bloom probe must stay pure-builtin (codegen)")
+  }
 }
