@@ -3756,11 +3756,184 @@ object PipelineQueries {
     Some(hazardSql)
   )
 
+  // --------------------------------------------------------------- q149
+  /** ORC round trip under the hash gate — the third interchange format
+    * next to q113 JSONL / q114 CSV, same hazard fixture: Spark's native
+    * ORC writer/reader must return the corpus byte-faithfully (embedded
+    * newline, quote, comma). Columnar like parquet, so this is also the
+    * "can we land silver in ORC shops" compatibility gate. */
+  private val q149 = Q(
+    "q149_orc_roundtrip",
+    (s, dir) => {
+      val docs = hazardDocs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q149").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      docs.coalesce(2).write.mode("overwrite").orc(s"$tmp/orc")
+      s.read.schema(docs.schema).orc(s"$tmp/orc").orderBy("doc_id")
+    },
+    Some(hazardSql)
+  )
+
+  /** The q150-q152 fixture: every document scored by the q68 hashed
+    * linear classifier (margin in integer tenths — exact, zero-shuffle)
+    * against the weak label `lang = 'en'`. The label is deliberately
+    * cheap: the gates test the EVALUATION algebra (confusion counts,
+    * rank AUC, calibration bins), not model quality. */
+  private def scoredDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Lake(s, dir).documents.select(
+      col("doc_id"),
+      Classifier.marginTenths(col("text"), 64, 5).as("m"),
+      (col("lang") === "en").as("label"))
+
+  private val scoredSqlCtes = s"""
+      ${classifierMarginCtes("documents", "text", 64, 5)},
+      lab AS (SELECT d.doc_id, CAST(mg.m AS BIGINT) AS m, d.lang = 'en' AS label
+              FROM documents d JOIN mg USING (doc_id))"""
+
+  // --------------------------------------------------------------- q150
+  /** Classifier evaluation, part 1: the confusion matrix and its derived
+    * metrics in ONE aggregate pass (four conditional counts — map-side
+    * combined, one single-row exchange). Accuracy/precision/recall/F1
+    * are assembled from the exact counts with the identical +,−,×,÷ tree
+    * in both engines (zero-denominator arms guarded the same way), so
+    * the doubles hash-match. */
+  private val q150 = Q(
+    "q150_confusion_matrix",
+    (s, dir) => {
+      val c = scoredDocs(s, dir).agg(
+        sum(when(col("label") && col("m") >= 0, 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("label") && col("m") >= 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label") && col("m") < 0, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("label") && col("m") < 0, 1L).otherwise(0L)).as("tn"))
+      def d(c0: String) = col(c0).cast("double")
+      val prec = when(col("tp") + col("fp") === 0L, lit(0.0d))
+        .otherwise(d("tp") / (col("tp") + col("fp")).cast("double"))
+      val rec = when(col("tp") + col("fn") === 0L, lit(0.0d))
+        .otherwise(d("tp") / (col("tp") + col("fn")).cast("double"))
+      c.select(col("tp"), col("fp"), col("fn"), col("tn"),
+          ((d("tp") + d("tn")) /
+            (d("tp") + d("fp") + d("fn") + d("tn"))).as("accuracy"),
+          prec.as("precision"), rec.as("recall"))
+        .withColumn("f1",
+          when(col("precision") + col("recall") === 0.0d, lit(0.0d))
+            .otherwise(lit(2.0d) * col("precision") * col("recall") /
+              (col("precision") + col("recall"))))
+    },
+    Some(s"""
+      WITH $scoredSqlCtes,
+      c AS (SELECT
+        CAST(COUNT(*) FILTER (WHERE label AND m >= 0) AS BIGINT) AS tp,
+        CAST(COUNT(*) FILTER (WHERE NOT label AND m >= 0) AS BIGINT) AS fp,
+        CAST(COUNT(*) FILTER (WHERE label AND m < 0) AS BIGINT) AS fn,
+        CAST(COUNT(*) FILTER (WHERE NOT label AND m < 0) AS BIGINT) AS tn
+        FROM lab),
+      pr AS (SELECT tp, fp, fn, tn,
+        (CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE)) /
+          (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+            + CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE)) AS accuracy,
+        CASE WHEN tp + fp = 0 THEN 0.0
+             ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        CASE WHEN tp + fn = 0 THEN 0.0
+             ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+        FROM c)
+      SELECT tp, fp, fn, tn, accuracy, precision, recall,
+        CASE WHEN precision + recall = 0.0 THEN 0.0
+             ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+      FROM pr""")
+  )
+
+  // --------------------------------------------------------------- q151
+  /** Classifier evaluation, part 2: ROC-AUC as the Mann–Whitney rank
+    * statistic with tie correction — `(Σ_pos avgrank − P(P+1)/2)/(P·N)`,
+    * kept ALL-INTEGER until one final division: `2·avgrank = 2·rank +
+    * ties − 1` is an integer, so the numerator `Σ2r − P² − P` is exact
+    * and the AUC is a single double division (no per-row float sums to
+    * order). The global rank window is one sort of (score) pairs —
+    * at 100 TB you'd rank per stratum and average; the algebra gated
+    * here is the per-stratum kernel. */
+  private val q151 = Q(
+    "q151_roc_auc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val r2 = scoredDocs(s, dir)
+        .withColumn("r", rank().over(Window.orderBy("m")).cast("long"))
+        .withColumn("c", count(lit(1)).over(Window.partitionBy("m")))
+        .withColumn("r2", lit(2L) * col("r") + col("c") - 1L)
+      r2.agg(
+          sum(when(col("label"), col("r2")).otherwise(0L)).as("sum2r"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("p_count"),
+          sum(when(!col("label"), 1L).otherwise(0L)).as("n_count"))
+        .select(col("p_count"), col("n_count"),
+          ((col("sum2r") - col("p_count") * (col("p_count") + 1L))
+            .cast("double") /
+            (lit(2.0d) * col("p_count").cast("double") *
+              col("n_count").cast("double"))).as("auc"))
+    },
+    Some(s"""
+      WITH $scoredSqlCtes,
+      rk AS (SELECT label,
+               2 * RANK() OVER (ORDER BY m)
+                 + COUNT(*) OVER (PARTITION BY m) - 1 AS r2
+             FROM lab),
+      agg AS (SELECT
+        CAST(COALESCE(SUM(r2) FILTER (WHERE label), 0) AS BIGINT) AS sum2r,
+        CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS p_count,
+        CAST(COUNT(*) FILTER (WHERE NOT label) AS BIGINT) AS n_count
+        FROM rk)
+      SELECT p_count, n_count,
+        CAST(sum2r - p_count * (p_count + 1) AS DOUBLE) /
+          (2.0 * CAST(p_count AS DOUBLE) * CAST(n_count AS DOUBLE)) AS auc
+      FROM agg""")
+  )
+
+  // --------------------------------------------------------------- q152
+  /** Classifier evaluation, part 3: the calibration table — ten
+    * equal-count score bins (NTILE over the unique total order
+    * (score, doc_id), so both engines cut identical bins), each with its
+    * mean score and observed positive rate. Mean score is an exact
+    * integer-tenths sum divided once; a well-calibrated model shows
+    * pos_rate tracking mean score across bins. */
+  private val q152 = Q(
+    "q152_calibration",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      scoredDocs(s, dir)
+        .withColumn("bucket",
+          ntile(10).over(Window.orderBy(col("m"), col("doc_id"))).cast("long"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("positives"),
+          sum(col("m")).as("__sum_m"))
+        .select(col("bucket"), col("n"), col("positives"),
+          (col("__sum_m").cast("double") / lit(10.0d) /
+            col("n").cast("double")).as("mean_score"),
+          (col("positives").cast("double") / col("n").cast("double"))
+            .as("pos_rate"))
+        .orderBy("bucket")
+    },
+    Some(s"""
+      WITH $scoredSqlCtes,
+      b AS (SELECT label, m,
+              NTILE(10) OVER (ORDER BY m, doc_id) AS bucket
+            FROM lab),
+      g AS (SELECT bucket,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS positives,
+              CAST(SUM(m) AS BIGINT) AS sum_m
+            FROM b GROUP BY bucket)
+      SELECT CAST(bucket AS BIGINT) AS bucket, n, positives,
+             CAST(sum_m AS DOUBLE) / 10.0 / CAST(n AS DOUBLE) AS mean_score,
+             CAST(positives AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+      FROM g ORDER BY bucket""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
     q76, q77, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
-    q133, q134, q138, q139, q141, q142, q143, q145, q146, q147)
+    q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
+    q151, q152)
 }
