@@ -78,4 +78,67 @@ object Curation {
       .withColumn("kept", col("decision") === "keep")
       .drop("__canonical", "__margin")
   }
+
+  /** Gopher-style structural quality rules (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", §A1.1) — the heuristic pre-filter that runs BEFORE the
+    * learned classifier in a pretraining pipeline: word-count bounds,
+    * mean-word-length bounds, a minimum stop-word presence (gibberish /
+    * non-prose detector; the stop-word list is configurable because it
+    * is language- and corpus-specific), and a symbol-ratio cap
+    * (#/ellipsis spam). Thresholds default to the paper's published
+    * values where the corpus makes them meaningful.
+    *
+    * Every rule is a zero-shuffle map-side expression over the token
+    * array — one projection pass, no exchange, trivially 100 TB-safe.
+    * Output keeps every row with per-rule booleans plus the conjunction
+    * `keep` (auditable, like [[curate]]'s decision column — a filter
+    * that silently drops rows can't be debugged). Gated by q159. */
+  final case class GopherConfig(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with"),
+      minStopHits: Int = 2,
+      maxSymbolRatio: Double = 0.1)
+
+  def gopherRules(
+      docs: DataFrame,
+      textCol: String,
+      cfg: GopherConfig = GopherConfig()
+  ): DataFrame = {
+    val internal = Seq("__gw", "n_words", "mean_word_len", "stop_hits",
+      "symbol_ratio", "g_word_count", "g_mean_word_len", "g_stopwords",
+      "g_symbols", "keep")
+    require(!internal.contains(textCol) &&
+      docs.columns.intersect(internal).isEmpty,
+      s"input columns collide with gopherRules internals")
+    val stopArr = array(cfg.stopwords.map(lit): _*)
+    docs
+      .withColumn("__gw", TextAnalysis.tokens(col(textCol)))
+      .withColumn("n_words", size(col("__gw")).cast("long"))
+      // total word chars / word count; single-space corpus ⇒ exact
+      .withColumn("mean_word_len",
+        length(regexp_replace(col(textCol), " ", "")).cast("double") /
+          col("n_words").cast("double"))
+      .withColumn("stop_hits",
+        size(filter(col("__gw"), w => array_contains(stopArr, w)))
+          .cast("long"))
+      .withColumn("symbol_ratio",
+        size(filter(col("__gw"), w => w === "#" || w === "…"))
+          .cast("double") / col("n_words").cast("double"))
+      .withColumn("g_word_count",
+        col("n_words") >= cfg.minWords && col("n_words") <= cfg.maxWords)
+      .withColumn("g_mean_word_len",
+        col("mean_word_len") >= cfg.minMeanWordLen &&
+          col("mean_word_len") <= cfg.maxMeanWordLen)
+      .withColumn("g_stopwords", col("stop_hits") >= cfg.minStopHits)
+      .withColumn("g_symbols", col("symbol_ratio") <= cfg.maxSymbolRatio)
+      .withColumn("keep",
+        col("g_word_count") && col("g_mean_word_len") &&
+          col("g_stopwords") && col("g_symbols"))
+      .drop("__gw")
+  }
 }

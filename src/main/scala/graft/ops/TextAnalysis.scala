@@ -237,4 +237,24 @@ object TextAnalysis {
           (col("n_words") - 1).cast("double"), lit(0.0)))
       .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac")
   }
+
+  /** Sentence segments of punctuated text: split on terminator runs
+    * ([.!?]+ plus trailing whitespace), keep non-blank segments. Shared
+    * by the q157/q158 gates — the DuckDB twin is
+    * `regexp_split_to_array(text, '[.!?]+\\s*')` with the same blank
+    * filter, so segment boundaries cannot drift between engines. */
+  def sentences(text: Column): Column =
+    filter(split(text, "[.!?]+\\s*"), s => length(trim(s)) > 0)
+
+  /** Per-sentence whitespace word counts (sentences trimmed first —
+    * a split boundary can leave an edge space on a segment). */
+  def sentenceWordCounts(text: Column): Column =
+    transform(sentences(text), s => size(split(trim(s), " ")))
+
+  /** Vowel-group count — the classic syllable heuristic (each maximal
+    * [aeiouy]+ run ≈ one syllable). Exact integer; feeds the Flesch
+    * reading-ease gate (q158) where the only doubles are two divisions
+    * of exact counts. */
+  def vowelGroups(text: Column): Column =
+    size(regexp_extract_all(text, lit("[aeiouy]+"), lit(0))).cast("long")
 }

@@ -3928,6 +3928,158 @@ object PipelineQueries {
       FROM g ORDER BY bucket""")
   )
 
+  /** q157/q158 fixture: the corpus has no sentence punctuation, so (q69
+    * precedent) terminators are injected at fixed character offsets —
+    * identical substr/concat in both engines — giving every doc 1-4
+    * sentences of varying length. */
+  private def punctuatedDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Lake(s, dir).documents.select(
+      col("doc_id"),
+      concat(
+        substring(col("text"), 1, 60), lit(". "),
+        substring(col("text"), 61, 80), lit("! "),
+        substring(col("text"), 141, 100), lit("? "),
+        substring(col("text"), 241, 100000), lit(".")).as("ptext"))
+
+  private val punctuatedCte = """
+      p AS (SELECT doc_id,
+        substr(text, 1, 60) || '. ' || substr(text, 61, 80) || '! ' ||
+        substr(text, 141, 100) || '? ' || substr(text, 241, 100000) || '.'
+          AS ptext
+      FROM documents)"""
+
+  // --------------------------------------------------------------- q157
+  /** Sentence segmentation statistics — terminator-run splits with blank
+    * filtering, per-sentence word counts, and the per-doc profile
+    * (count, total words, longest sentence, mean length). Everything is
+    * array expressions over one projection (zero shuffle); the single
+    * double is one division of exact counts. */
+  private val q157 = Q(
+    "q157_sentence_stats",
+    (s, dir) =>
+      punctuatedDocs(s, dir)
+        .withColumn("__sw", TextAnalysis.sentenceWordCounts(col("ptext")))
+        .select(
+          col("doc_id"),
+          size(col("__sw")).cast("long").as("n_sentences"),
+          aggregate(col("__sw"), lit(0), (a, x) => a + x).cast("long")
+            .as("n_words"),
+          array_max(col("__sw")).cast("long").as("max_sentence_words"))
+        .withColumn("avg_sentence_words",
+          col("n_words").cast("double") / col("n_sentences").cast("double"))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH $punctuatedCte,
+      sents AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(ptext, '[.!?]+\\s*'),
+                    s -> length(trim(s)) > 0) AS ss
+        FROM p),
+      sw AS (SELECT doc_id,
+        list_transform(ss, s -> len(string_split(trim(s), ' '))) AS w
+        FROM sents)
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_sentences,
+        CAST(list_reduce(list_prepend(0, w), (a, b) -> a + b) AS BIGINT)
+          AS n_words,
+        CAST(list_aggregate(w, 'max') AS BIGINT) AS max_sentence_words,
+        CAST(list_reduce(list_prepend(0, w), (a, b) -> a + b) AS DOUBLE) /
+          CAST(len(w) AS DOUBLE) AS avg_sentence_words
+      FROM sw ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q158
+  /** Flesch reading ease over the punctuated fixture: `206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words)` with syllables
+    * from the vowel-group heuristic. All three inputs are exact integer
+    * counts; the formula is two divisions, two multiplications, two
+    * subtractions in the identical order on both engines — readability
+    * scoring with zero transcendentals, gate-safe by construction. */
+  private val q158 = Q(
+    "q158_readability",
+    (s, dir) =>
+      punctuatedDocs(s, dir)
+        .withColumn("__sw", TextAnalysis.sentenceWordCounts(col("ptext")))
+        .select(
+          col("doc_id"),
+          size(col("__sw")).cast("long").as("n_sentences"),
+          aggregate(col("__sw"), lit(0), (a, x) => a + x).cast("long")
+            .as("n_words"),
+          TextAnalysis.vowelGroups(col("ptext")).as("n_syllables"))
+        .withColumn("flesch",
+          lit(206.835d) -
+            lit(1.015d) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6d) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH $punctuatedCte,
+      sw AS (SELECT doc_id,
+        list_transform(
+          list_filter(regexp_split_to_array(ptext, '[.!?]+\\s*'),
+                      s -> length(trim(s)) > 0),
+          s -> len(string_split(trim(s), ' '))) AS w,
+        CAST(len(regexp_extract_all(ptext, '[aeiouy]+')) AS BIGINT)
+          AS n_syllables
+        FROM p),
+      c AS (SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_sentences,
+        CAST(list_reduce(list_prepend(0, w), (a, b) -> a + b) AS BIGINT)
+          AS n_words,
+        n_syllables
+        FROM sw)
+      SELECT doc_id, n_sentences, n_words, n_syllables,
+        206.835 -
+          1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+          84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+          AS flesch
+      FROM c ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q159
+  /** Gopher-style structural quality rules ([[graft.ops.Curation
+    * .gopherRules]]): word-count bounds, mean-word-length bounds,
+    * stop-word presence, symbol-ratio cap — per-doc booleans plus the
+    * conjunction, fully auditable. minWords and the stop-word list are
+    * adapted to the synthetic corpus (10-99-word docs whose only
+    * stop-shaped tokens are 'a'/'the') so every rule has both passing
+    * AND failing docs — a rule nothing fails is untested. */
+  private val q159 = Q(
+    "q159_gopher_rules",
+    (s, dir) =>
+      graft.ops.Curation.gopherRules(
+        Lake(s, dir).documents.select("doc_id", "text"), "text",
+        graft.ops.Curation.GopherConfig(
+          minWords = 30,
+          stopwords = Seq("a", "the"),
+          minStopHits = 2))
+        .select("doc_id", "n_words", "mean_word_len", "stop_hits",
+          "symbol_ratio", "g_word_count", "g_mean_word_len", "g_stopwords",
+          "g_symbols", "keep")
+        .orderBy("doc_id"),
+    Some("""
+      WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                 FROM documents),
+      m AS (SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+          CAST(len(ws) AS DOUBLE) AS mean_word_len,
+        CAST(len(list_filter(ws, x -> x IN ('a', 'the'))) AS BIGINT)
+          AS stop_hits,
+        CAST(len(list_filter(ws, x -> x IN ('#', '…'))) AS DOUBLE) /
+          CAST(len(ws) AS DOUBLE) AS symbol_ratio
+        FROM w)
+      SELECT doc_id, n_words, mean_word_len, stop_hits, symbol_ratio,
+        n_words >= 30 AND n_words <= 100000 AS g_word_count,
+        mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS g_mean_word_len,
+        stop_hits >= 2 AS g_stopwords,
+        symbol_ratio <= 0.1 AS g_symbols,
+        (n_words >= 30 AND n_words <= 100000)
+          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+          AND stop_hits >= 2 AND symbol_ratio <= 0.1 AS keep
+      FROM m ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -3935,5 +4087,5 @@ object PipelineQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
-    q151, q152)
+    q151, q152, q157, q158, q159)
 }

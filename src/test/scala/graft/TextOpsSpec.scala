@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.ops.{Classifier, Index, LanguageModel}
+import graft.ops.{Classifier, Curation, Index, LanguageModel, TextAnalysis}
 
 /** Unit tests for the round-4 text operators: inverted index, hashed
   * linear classifier, Unicode normalization, bigram LM scoring. */
@@ -459,5 +459,38 @@ class TextOpsSpec extends SparkTestBase {
         Seq(Bpe.Merge(1, "a", "a", 99L))).as("toks"))
       .head.getSeq[String](0)
     assert(aa == Seq("aa", "aa"))
+  }
+
+  test("TextAnalysis.sentences: terminator runs split, blanks drop, edge spaces trim") {
+    val df = Seq("one two. three!  four five?? six...", "no terminator at all")
+      .toDF("t")
+      .select(TextAnalysis.sentenceWordCounts(col("t")).as("w"))
+    val out = df.collect().map(_.getSeq[Int](0).toSeq).toSeq
+    assert(out == Seq(Seq(2, 1, 2, 1), Seq(4)))
+  }
+
+  test("TextAnalysis.vowelGroups: maximal vowel runs, y counts") {
+    val out = Seq("strength", "aeiou x y", "zzz").toDF("t")
+      .select(TextAnalysis.vowelGroups(col("t")).as("v"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 0L))
+  }
+
+  test("Curation.gopherRules: each rule has a planted failure; keep is the conjunction") {
+    val good = ("g", ("the quick value " * 20).trim)          // 60 words, stops
+    val short = ("s", "the a b")                              // fails word count
+    val nostop = ("n", ("value table row line " * 15).trim)   // fails stopwords
+    val thin = ("t", ("a a the " * 20).trim)                  // mean word len < 3
+    val docs = Seq(good, short, nostop, thin).toDF("id", "text")
+    val out = Curation.gopherRules(docs, "text",
+        Curation.GopherConfig(minWords = 30, stopwords = Seq("a", "the"),
+          minStopHits = 2))
+      .collect().map(r => r.getAs[String]("id") ->
+        (r.getAs[Boolean]("g_word_count"), r.getAs[Boolean]("g_mean_word_len"),
+         r.getAs[Boolean]("g_stopwords"), r.getAs[Boolean]("keep"))).toMap
+    assert(out("g") == ((true, true, true, true)))
+    assert(out("s")._1 == false && out("s")._4 == false)
+    assert(out("n")._3 == false && out("n")._4 == false)
+    assert(out("t")._2 == false && out("t")._4 == false)
   }
 }
