@@ -346,4 +346,52 @@ object Behavior {
       .groupBy("model", "touch_type")
       .agg(count(lit(1)).as("n_conversions"))
   }
+
+  /** Time-decayed engagement features — "recent activity counts more",
+    * the standard recency weighting for churn/LTV features — with the
+    * decay kept EXACT by integer fixed-point (the PageRank discipline
+    * applied to features): weight = 2^-age_days, so each event
+    * contributes `round(value·100) · 2^(maxAge − age)` — an integer —
+    * and the whole per-key sum happens in DECIMAL(38,0) (exact,
+    * order-independent, no float fold to stabilize) with ONE double
+    * division by 2^(maxAge)·100 at the end (division by a power of two
+    * times a final /100 — deterministic across engines). A half-life of
+    * one day is the dyadic choice that makes this possible; other
+    * half-lives need transcendental pow and fall outside the gate
+    * discipline. One hash aggregate on the key, map-side combined.
+    * Ages clamp to [0, maxAge]; with maxAge 31 and cent-scale values the
+    * per-row integer stays ≤ ~2^54, far under DECIMAL(38,0). Gated by
+    * q162. */
+  def decayedEngagement(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      anchorDate: String,
+      maxAge: Int = 31
+  ): DataFrame = {
+    require(maxAge >= 1 && maxAge <= 40, s"bad maxAge: $maxAge")
+    val age = least(greatest(
+      datediff(to_date(lit(anchorDate)), to_date(col(tsCol))), lit(0)),
+      lit(maxAge))
+    val shift = (lit(maxAge) - age).cast("int")
+    val cents = round(col(valueCol) * 100.0d, 0).cast("long")
+    val scale = call_function("shiftleft", lit(1L), shift)
+    events
+      .withColumn("__dv", (cents * scale).cast("decimal(38,0)"))
+      .withColumn("__dc", scale.cast("decimal(38,0)"))
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("__dv")).as("__sv"),
+        sum(col("__dc")).as("__sc"))
+      .select(
+        col(keyCol),
+        col("n_events"),
+        (col("__sv").cast("double") /
+          (math.pow(2.0, maxAge) * 100.0d)).as("decayed_value"),
+        (col("__sc").cast("double") / math.pow(2.0, maxAge))
+          .as("decayed_count"))
+      .orderBy(keyCol)
+  }
 }

@@ -306,4 +306,44 @@ object Sampling {
     df.groupBy(col(groupCol))
       .agg(count_distinct(col(splitCol)).as("__n_splits"))
       .agg(count(when(col("__n_splits") > 1, lit(1))).as("n_leaky_groups"))
+
+  /** Deterministic uniform negative sampling — the contrastive-training
+    * companion to [[graft.ops.Similarity.hardNegatives]]: for every
+    * anchor, k ids drawn uniformly from the DENSE id space [0, n)
+    * (the shard-export/packing convention — ids are contiguous after
+    * corpus packing; this op's contract, stated rather than checked,
+    * because checking costs a full max+count pass the caller usually
+    * already did). Draw j of anchor a is `md5(a ‖ '#' ‖ j ‖ salt)`'s
+    * 32-bit prefix mod n — the [[keeps]] md5-prefix discipline, so
+    * the sample is engine-reproducible (the q160 oracle restates it
+    * nibble-by-nibble) and re-runnable: same corpus, same salt → same
+    * negatives, across engines and runs. Self-draws (neg == anchor)
+    * are dropped, the standard word2vec treatment — callers needing
+    * exactly-k resample with a bumped salt.
+    *
+    * Shapes: `n` rides a broadcast 1-row count frame (the q60 totals
+    * pattern — no driver action); the k-way explode is map-side; the
+    * output is the (anchor, j, neg_id) edge list, zero shuffles. */
+  def negativeSamples(
+      df: DataFrame,
+      idCol: String,
+      k: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(k >= 1 && k <= 1000, s"bad negative count: $k")
+    val n1 = df.agg(count(lit(1)).as("__neg_n"))
+    df.select(col(idCol))
+      .crossJoin(broadcast(n1))
+      .select(col(idCol), col("__neg_n"),
+        explode(sequence(lit(0), lit(k - 1))).as("draw"))
+      .withColumn("neg_id",
+        pmod(
+          conv(substring(
+            md5(concat(col(idCol).cast("string"), lit("#"),
+              col("draw").cast("string"), lit(salt))), 1, 8), 16, 10)
+            .cast("long"),
+          col("__neg_n")))
+      .filter(col("neg_id") =!= col(idCol))
+      .select(col(idCol), col("draw").cast("long").as("draw"), col("neg_id"))
+  }
 }

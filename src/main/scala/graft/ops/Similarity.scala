@@ -85,6 +85,32 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive / metric learning: for each
+    * query, the k most-SIMILAR corpus vectors with a DIFFERENT label —
+    * the near-miss examples a triplet/InfoNCE loss learns the most from
+    * (random negatives are trivially separable; the hard ones sit just
+    * across the decision boundary). Same shape as [[bruteForceTopK]]
+    * (broadcast query side, windowed top-k) with the label-mismatch
+    * predicate INSIDE the join condition, so same-label pairs are
+    * discarded at the join, not ranked and filtered after; at scale
+    * swap the corpus side for the IVF/LSH-bucketed candidate frames
+    * exactly as q98 serves q36. Inputs need (vec_id, v, nrm, label).
+    * Gated by q161 against the label-filtered window oracle. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = broadcast(queries.as("q")).join(
+      corpus.as("c"),
+      col("q.vec_id") =!= col("c.vec_id") &&
+        col("q.label") =!= col("c.label"))
+      .select(
+        col("q.vec_id").as("query_id"),
+        col("q.label").as("query_label"),
+        col("c.vec_id").as("neighbor_id"),
+        col("c.label").as("neighbor_label"),
+        (dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Assign every vector to its nearest centroid (by cosine). Centroid set
     * is broadcast; argmax via window over the small per-vector candidate
     * list. Returns corpus columns + cluster_id. */

@@ -251,5 +251,100 @@ object BehaviorQueries {
       ORDER BY model, touch_type""")
   )
 
-  val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140)
+  // --------------------------------------------------------------- q162
+  /** Time-decayed engagement ([[graft.ops.Behavior.decayedEngagement]]):
+    * per-user recency-weighted value and count with a 1-day half-life,
+    * exact by integer fixed-point — each event contributes
+    * cents·2^(31−age) to a DECIMAL(38,0) sum, one double division at the
+    * end. The oracle restates the same shift arithmetic with `<<`;
+    * 2^31·100 = 214748364800 is exactly representable, so the final
+    * doubles agree bit-for-bit. Anchor 2024-02-01 sits after every
+    * generator window, making ages positive at every scale factor. */
+  private val q162 = Q(
+    "q162_decayed_engagement",
+    (s, dir) =>
+      Behavior.decayedEngagement(
+        Lake(s, dir).events, "user_id", "ts", "value", "2024-02-01", 31),
+    Some("""
+      WITH e AS (SELECT user_id,
+          CAST(ROUND(value * 100.0) AS BIGINT) AS cents,
+          31 - LEAST(GREATEST(
+            datediff('day', CAST(ts AS DATE), DATE '2024-02-01'), 0), 31)
+            AS shift
+        FROM events)
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(cents * (CAST(1 AS BIGINT) << shift)) AS DOUBLE)
+          / 214748364800.0 AS decayed_value,
+        CAST(SUM(CAST(1 AS BIGINT) << shift) AS DOUBLE)
+          / 2147483648.0 AS decayed_count
+      FROM e GROUP BY user_id ORDER BY user_id""")
+  )
+
+  // --------------------------------------------------------------- q163
+  /** Two-proportion A/B readout: deterministic variant split (user_id
+    * parity), per-user conversion (a RECENT purchase — on/after Jan 30;
+    * "any purchase" saturates at rate 1.0 on this corpus, which zeroes
+    * the pooled variance and divides by zero under ANSI), and the pooled
+    * two-proportion z-score — the experiment-analysis kernel, kept
+    * gate-exact because every input is an integer count and the z
+    * formula is one √ over +,−,×,÷ assembled identically in both
+    * engines. One hash(user) aggregate then a single-row reduction. */
+  private val q163 = Q(
+    "q163_ab_ztest",
+    (s, dir) => {
+      val perUser = Lake(s, dir).events
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" &&
+            to_date(col("ts")) >= lit("2024-01-30"), 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("variant", pmod(col("user_id"), lit(2L)))
+      val c = perUser.agg(
+        sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0L, col("converted")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1L, col("converted")).otherwise(0L))
+          .as("conv_b"))
+      def d(n: String) = col(n).cast("double")
+      val pa = d("conv_a") / d("n_a")
+      val pb = d("conv_b") / d("n_b")
+      val pool = (d("conv_a") + d("conv_b")) / (d("n_a") + d("n_b"))
+      c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        pa.as("rate_a"), pb.as("rate_b"),
+        ((pa - pb) /
+          sqrt(pool * (lit(1.0d) - pool) *
+            (lit(1.0d) / d("n_a") + lit(1.0d) / d("n_b")))).as("z_score"))
+    },
+    Some("""
+      WITH u AS (SELECT user_id,
+          CAST(MAX(CASE WHEN event_type = 'purchase'
+                         AND CAST(ts AS DATE) >= DATE '2024-01-30'
+                        THEN 1 ELSE 0 END)
+            AS BIGINT) AS converted,
+          user_id % 2 AS variant
+        FROM events GROUP BY user_id),
+      c AS (SELECT
+          CAST(COUNT(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+          CAST(COALESCE(SUM(converted) FILTER (WHERE variant = 0), 0)
+            AS BIGINT) AS conv_a,
+          CAST(COUNT(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+          CAST(COALESCE(SUM(converted) FILTER (WHERE variant = 1), 0)
+            AS BIGINT) AS conv_b
+        FROM u)
+      SELECT n_a, conv_a, n_b, conv_b,
+        CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        sqrt(((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) /
+              (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+             * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE)) /
+                      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+          AS z_score
+      FROM c""")
+  )
+
+  val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163)
 }

@@ -4080,6 +4080,64 @@ object PipelineQueries {
       FROM m ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q160
+  /** Deterministic uniform negative sampling over the dense embedding id
+    * space ([[graft.ops.Sampling.negativeSamples]]): 4 md5-prefix draws
+    * per anchor, self-draws dropped — the word2vec/contrastive negatives
+    * edge list, engine-reproducible (the oracle rebuilds the same 32-bit
+    * hex prefix nibble-by-nibble, q51/q68 idiom). */
+  private val q160 = Q(
+    "q160_negative_sampling",
+    (s, dir) =>
+      Sampling.negativeSamples(Lake(s, dir).embeddings, "vec_id", k = 4)
+        .orderBy("vec_id", "draw"),
+    Some(s"""
+      WITH n1 AS (SELECT COUNT(*) AS n FROM embeddings),
+      d AS (SELECT e.vec_id, j.draw,
+              ${hexSql("md5(CAST(e.vec_id AS VARCHAR) || '#' || CAST(j.draw AS VARCHAR))", 8)}
+                % n1.n AS neg_id
+            FROM embeddings e
+            CROSS JOIN n1
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS draw) j)
+      SELECT vec_id, CAST(draw AS BIGINT) AS draw, CAST(neg_id AS BIGINT) AS neg_id
+      FROM d WHERE neg_id != vec_id ORDER BY vec_id, draw""")
+  )
+
+  // --------------------------------------------------------------- q161
+  /** Hard-negative mining ([[graft.ops.Similarity.hardNegatives]]): for
+    * each query vector, the top-5 most-similar corpus vectors with a
+    * DIFFERENT label — the near-miss set a contrastive loss learns from.
+    * Same broadcast/window shape as q35 with the label-mismatch
+    * predicate in the join; the oracle is q35's window statement plus
+    * the label filter, strict-fold dot products as always. */
+  private val q161 = Q(
+    "q161_hard_negatives",
+    (s, dir) => {
+      val emb = Lake(s, dir).embeddings
+      val corpus = Similarity.withNorm(emb, "vec_id", "embedding")
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      val queries = corpus.filter(col("vec_id") < 8)
+      Similarity.hardNegatives(corpus, queries, 5)
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+          "cos", "rank")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH $NormedCte
+      SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank
+      FROM (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+          c.vec_id AS neighbor_id, c.label AS neighbor_label,
+          ${sqlDot("q.v", "c.v")} / (q.nrm * c.nrm) AS cos,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${sqlDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id)
+            AS rank
+        FROM m q JOIN m c ON q.vec_id != c.vec_id AND q.label != c.label
+        WHERE q.vec_id < 8)
+      WHERE rank <= 5
+      ORDER BY query_id, rank""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -4087,5 +4145,5 @@ object PipelineQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
-    q151, q152, q157, q158, q159)
+    q151, q152, q157, q158, q159, q160, q161)
 }

@@ -246,4 +246,21 @@ class BehaviorSpec extends SparkTestBase {
       ("first_touch", "view") -> 1L, ("first_touch", "(none)") -> 2L,
       ("last_touch", "click") -> 1L, ("last_touch", "(none)") -> 2L))
   }
+
+  test("decayedEngagement: exact dyadic halving, clamped ages") {
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-31 12:00:00"), 1.00),  // age 1 -> w 1/2
+      (1L, Timestamp.valueOf("2024-01-30 01:00:00"), 2.00),  // age 2 -> w 1/4
+      (2L, Timestamp.valueOf("2020-01-01 00:00:00"), 100.0)  // age clamps to 31
+    ).toDF("user_id", "ts", "value")
+    val out = Behavior.decayedEngagement(df, "user_id", "ts", "value",
+        "2024-02-01", 31)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (n1, v1, c1) = out(1L)
+    assert(n1 == 2L && v1 == 1.00 / 2 + 2.00 / 4 && c1 == 0.5 + 0.25)
+    val (n2, v2, c2) = out(2L)
+    assert(n2 == 1L && v2 == 100.0 / math.pow(2.0, 31) &&
+      c2 == 1.0 / math.pow(2.0, 31))
+  }
 }

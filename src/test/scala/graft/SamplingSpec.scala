@@ -271,4 +271,22 @@ class SamplingSpec extends SparkTestBase {
     assert(Sampling.splitLeakage(leaky, "g", "split")
       .collect().head.getLong(0) > 0L)
   }
+
+  test("negativeSamples: k draws per anchor minus self-hits, in [0,n), reproducible") {
+    val ids = (0L until 50L).toDF("id")
+    val out = Sampling.negativeSamples(ids, "id", k = 4, salt = "t")
+    val rows = out.collect()
+    assert(rows.length <= 200 && rows.length >= 200 - 10,
+      s"${rows.length} rows: self-draw rate should be ~k/n")
+    rows.foreach { r =>
+      val (id, neg) = (r.getLong(0), r.getLong(2))
+      assert(neg >= 0L && neg < 50L && neg != id)
+    }
+    // determinism: an identical second call yields the identical edge list
+    val again = Sampling.negativeSamples(ids, "id", k = 4, salt = "t").collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+    // a different salt draws a different set
+    val other = Sampling.negativeSamples(ids, "id", k = 4, salt = "u").collect()
+    assert(other.map(_.toString).sorted.toSeq != rows.map(_.toString).sorted.toSeq)
+  }
 }

@@ -189,4 +189,22 @@ class SimilaritySpec extends SparkTestBase {
     // probe=1 → only cluster 0 searched: neighbors are 0 and 11, never 12
     assert(out.map(_.getAs[Long]("neighbor_id")).toSet == Set(0L, 11L))
   }
+
+  test("hardNegatives: the nearest same-label vector is excluded from the top-k") {
+    // query 0 (label 0); vec 1 is nearly identical but SAME label ->
+    // must not appear; vecs 2/3 differ in label and rank by cosine
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.999f, 0.01f), 0),
+      (2L, Seq(0.9f, 0.4f), 1),
+      (3L, Seq(0.0f, 1.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val corpus = Similarity.withNorm(emb, "vec_id", "embedding")
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val out = Similarity.hardNegatives(
+        corpus, corpus.filter(col("vec_id") === 0L), k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
+    assert(out.forall(_.getAs[Int]("neighbor_label") != 0))
+  }
 }
