@@ -177,6 +177,24 @@ object DocumentStreams {
     if (keepOnly) scored.filter(col("keep")) else scored
   }
 
+  /** Streaming Gopher-rule gate — the incremental twin of q159's
+    * structural quality pre-filter. Every rule is a stateless map-side
+    * expression over the token array ([[graft.ops.Curation.gopherRules]]),
+    * so the streaming form is shuffle-free and sits naturally as the
+    * FIRST gate on a document feed: structurally-broken docs die before
+    * the classifier, the dedup state stores, or any sink pays for them.
+    * Batch ≡ streaming by construction; StreamingSpec asserts the
+    * equality on the same rows. */
+  def gopherStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      cfg: graft.ops.Curation.GopherConfig = graft.ops.Curation.GopherConfig(),
+      keepOnly: Boolean = true
+  ): DataFrame = {
+    val flagged = graft.ops.Curation.gopherRules(docs, textCol, cfg)
+    if (keepOnly) flagged.filter(col("keep")) else flagged
+  }
+
   /** Streaming crawl-frontier dedup — the incremental twin of q84's
     * canonical identity: arriving URLs (`ts`, `url`) canonicalize with
     * the SAME expression chain the batch path uses, then re-seen

@@ -539,6 +539,43 @@ class PlanSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes the fact partition scan") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    Lake(spark, sfDir).events
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$dir/events_p")
+    // keep the partition column a STRING (inference would date-type it and
+    // push an implicit cast into the join key)
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try {
+      val fact = spark.read.parquet(s"$dir/events_p")
+      val allDays = fact.select(col("day"))
+        .distinct().collect().map(_.getString(0)).sorted
+      assert(allDays.length >= 10, s"fixture needs many day partitions: $allDays")
+      // dim carries a non-partition attribute; only the filtered days may be
+      // scanned. Two traps the fixture must dodge: (a) a literal local
+      // relation constant-folds its filter away, so the dim must be a REAL
+      // scan; (b) DPP's isLikelySelective whitelist wants a comparison
+      // against a literal — a bare boolean attribute does not qualify.
+      allDays.zipWithIndex
+        .map { case (d, i) => (d, i % 5) }.toSeq.toDF("day", "tier")
+        .write.mode("overwrite").parquet(s"$dir/day_dim")
+      val dim = spark.read.parquet(s"$dir/day_dim")
+      val joined = fact.join(dim.filter(col("tier") === 0), Seq("day"))
+      val plan = planOf(joined).toLowerCase
+      assert(plan.contains("dynamicpruning"),
+        s"no runtime partition pruning in:\n${planOf(joined)}")
+      // and the result is the plain join's
+      val expected = fact.filter(
+        col("day").isInCollection(allDays.zipWithIndex.collect {
+          case (d, i) if i % 5 == 0 => d
+        }.toSeq)).count()
+      assert(joined.count() == expected && expected > 0)
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+  }
+
   test("bloom probe prunes below the semi-join: scan-stage filter, no UDF") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val lk = Lake(spark, sfDir)

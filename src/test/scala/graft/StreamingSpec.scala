@@ -443,6 +443,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("gopherStream: streamed rule flags equal the batch gopherRules row for row") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val cfg = graft.ops.Curation.GopherConfig(
+      minWords = 5, stopwords = Seq("a", "the"), minStopHits = 1)
+    val q = graft.streaming.DocumentStreams
+      .gopherStream(docs, cfg = cfg, keepOnly = false)
+      .writeStream.format("memory").queryName("gophered")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "the quick brown fox jumps over a lazy dog"),
+        (2L, "too short"),
+        (3L, "value table row line scan merge batch sort"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gophered")
+        .select("doc_id", "n_words", "g_word_count", "g_stopwords", "keep")
+        .orderBy("doc_id").collect().toSeq
+      val batch = graft.ops.Curation.gopherRules(rows.toDF("doc_id", "text"), "text", cfg)
+        .select("doc_id", "n_words", "g_word_count", "g_stopwords", "keep")
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+        == Map(1L -> true, 2L -> false, 3L -> false))
+    } finally q.stop()
+  }
+
   test("frontierStream: per-visit URL noise dedups to one fetch per resource") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
