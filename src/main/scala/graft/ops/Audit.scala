@@ -150,7 +150,8 @@ object Audit {
     * `at_risk = class_size < k` rows quantify exactly how much data a
     * release would leak. Two hash aggregates (classes, then sizes), both
     * map-side-combining; the second input is already one row per class.
-    * Gated by q153 against a two-level GROUP BY oracle. */
+    * Gated by q153 against a two-level GROUP BY oracle. MEASURED
+    * (GovernanceScaleProbe, sf0.1 orders ×10): 0.21 → 0.44 s = 2.1×. */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier")
     require(k >= 2, s"k must be >= 2: $k")

@@ -361,7 +361,8 @@ object Behavior {
     * discipline. One hash aggregate on the key, map-side combined.
     * Ages clamp to [0, maxAge]; with maxAge 31 and cent-scale values the
     * per-row integer stays ≤ ~2^54, far under DECIMAL(38,0). Gated by
-    * q162. */
+    * q162. MEASURED (GovernanceScaleProbe, sf0.1 events ×10):
+    * 0.19 → 0.65 s = 3.4×. */
   def decayedEngagement(
       events: DataFrame,
       keyCol: String,

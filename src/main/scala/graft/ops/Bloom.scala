@@ -31,6 +31,10 @@ import org.apache.spark.sql.functions._
   * Determinism: positions are `pmod(xxhash64(key, seed_i), numBits)` —
   * engine-deterministic, shared between build and probe so the two sides
   * can never disagree ([[positions]]).
+  *
+  * MEASURED (GovernanceScaleProbe, sf0.1 lineitem+orders ×10, local[32]):
+  * prunedSemiJoin 1.69 → 2.54 s = 1.5× at 10× data — the probe filter and
+  * geometry-bounded build absorb the growth; only candidate traffic scales.
   */
 object Bloom {
 

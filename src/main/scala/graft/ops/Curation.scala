@@ -93,7 +93,9 @@ object Curation {
     * array — one projection pass, no exchange, trivially 100 TB-safe.
     * Output keeps every row with per-rule booleans plus the conjunction
     * `keep` (auditable, like [[curate]]'s decision column — a filter
-    * that silently drops rows can't be debugged). Gated by q159. */
+    * that silently drops rows can't be debugged). Gated by q159.
+    * MEASURED (GovernanceScaleProbe, sf0.1 documents ×10):
+    * 0.21 → 0.94 s = 4.4×. */
   final case class GopherConfig(
       minWords: Int = 50,
       maxWords: Int = 100000,

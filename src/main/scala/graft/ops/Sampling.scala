@@ -323,7 +323,9 @@ object Sampling {
     *
     * Shapes: `n` rides a broadcast 1-row count frame (the q60 totals
     * pattern — no driver action); the k-way explode is map-side; the
-    * output is the (anchor, j, neg_id) edge list, zero shuffles. */
+    * output is the (anchor, j, neg_id) edge list, zero shuffles.
+    * MEASURED (GovernanceScaleProbe, sf0.1 documents ×10):
+    * 0.13 → 0.37 s = 2.9×. */
   def negativeSamples(
       df: DataFrame,
       idCol: String,

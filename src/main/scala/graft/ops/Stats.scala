@@ -410,7 +410,8 @@ object Stats {
     * FIRST and the same op tree on both engines — +,−,×,÷,√ are all
     * IEEE-correctly-rounded, so the doubles match bit-for-bit (the
     * q112/q130 no-transcendentals gate rule; √ is exempt because IEEE 754
-    * requires correct rounding for it). Gated by q154. */
+    * requires correct rounding for it). Gated by q154. MEASURED
+  * (GovernanceScaleProbe, sf0.1 lineitem ×10): 0.51 → 2.96 s = 5.8×. */
   def corrPairs(df: DataFrame, vars: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(vars.size >= 2, "corrPairs needs at least two variables")
     val names = vars.map(_._1)
@@ -452,7 +453,8 @@ object Stats {
     * combined, output is category-product-sized — then three window sums
     * over that tiny cell frame. Expected counts and contributions are
     * pure +,−,×,÷ on exact longs cast to double: bit-identical across
-    * engines. Gated by q155. */
+    * engines. Gated by q155. MEASURED (GovernanceScaleProbe, sf0.1
+    * orders ×10): 0.17 → 0.36 s = 2.1×. */
   def chi2Cells(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
     val internal = Seq("obs", "expected", "contrib", "_x2_rt", "_x2_ct", "_x2_n")
     require(!internal.contains(rowCol) && !internal.contains(colCol),
@@ -490,7 +492,9 @@ object Stats {
     * per-group sorted-fold (category-ordered, so no partition fold order
     * leaks — [[driftReport]] discipline) are category-universe-sized.
     * Contract: the category column is bounded-cardinality (languages,
-    * sources — not IDs). Gated by q156. */
+    * sources — not IDs). Gated by q156. MEASURED (GovernanceScaleProbe,
+    * sf0.1 documents ×10): 0.44 → 0.36 s = 0.8× — grid-dominated at this
+    * size; the data-sized pass is one map-side-combined aggregate. */
   def categoricalDivergence(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
     val internal = Seq("_cd_n", "_cd_ng", "_cd_nc", "_cd_nt", "_cd_arr",
       "n_rows", "simpson", "effective_cats", "hellinger_sq")
