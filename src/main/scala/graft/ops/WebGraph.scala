@@ -1078,4 +1078,61 @@ object WebGraph {
         pathNorm,
         when(q4 === "", lit("")).otherwise(concat(lit("?"), q4))))
   }
+
+  /** Deterministic random walks — the DeepWalk/node2vec corpus generator
+    * expressed as L iterated joins: each node launches `walkers` walks of
+    * `length` steps, and step t of walk (node, w) moves to
+    * `neighbors[md5(cur ‖ '#' ‖ w ‖ '#' ‖ t) mod degree]` over the
+    * SORTED neighbor list — a hash-indexed choice, not an RNG, so the
+    * corpus is reproducible across engines, runs, and partitionings (the
+    * [[graft.ops.Sampling]] determinism contract applied to graph
+    * traversal; the q166 oracle replays the same draws nibble-by-nibble).
+    * Dead-end nodes hold their position (the walk pads with the sink).
+    *
+    * Shapes: one aggregate builds the adjacency (node → sorted neighbor
+    * array — cap out-degree upstream for hub-heavy graphs, the
+    * co-citation lesson); each step is ONE join of the walk frontier
+    * against it. At web scale that is L shuffle joins with the frontier
+    * re-hashed per step — cut lineage every few steps exactly as the
+    * PageRank loop does ([[pageRank]]'s localCheckpoint discipline); at
+    * bounded node universes the adjacency broadcasts and the loop is
+    * shuffle-free. Output: one row per walk, `path` space-joined — the
+    * skip-gram training line. */
+  def randomWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      length: Int,
+      walkers: Int
+  ): DataFrame = {
+    require(length >= 1 && length <= 64, s"bad walk length: $length")
+    require(walkers >= 1 && walkers <= 64, s"bad walker count: $walkers")
+    val nbrs = edges
+      .select(col(srcCol).as("__node"), col(dstCol).as("__nbr"))
+      .filter(col("__node") =!= col("__nbr"))
+      .distinct()
+      .groupBy("__node")
+      .agg(sort_array(collect_list(col("__nbr"))).as("__ns"))
+    var state = nbrs.select(col("__node").as("start_node"))
+      .select(col("start_node"),
+        explode(sequence(lit(0), lit(walkers - 1))).as("walker"))
+      .select(col("start_node"), col("walker").cast("long").as("walker"),
+        col("start_node").as("__cur"), col("start_node").as("path"))
+    for (step <- 0 until length) {
+      val h = conv(substring(
+        md5(concat(col("__cur"), lit("#"), col("walker").cast("string"),
+          lit("#"), lit(step.toString))), 1, 8), 16, 10).cast("long")
+      state = state
+        .join(broadcast(nbrs), state("__cur") === nbrs("__node"), "left_outer")
+        .withColumn("__next",
+          when(col("__ns").isNull, col("__cur"))
+            .otherwise(element_at(col("__ns"),
+              (pmod(h, size(col("__ns"))) + 1).cast("int"))))
+        .select(col("start_node"), col("walker"),
+          col("__next").as("__cur"),
+          concat(col("path"), lit(" "), col("__next")).as("path"))
+    }
+    state.select(col("start_node"), col("walker"), col("path"))
+      .orderBy("start_node", "walker")
+  }
 }

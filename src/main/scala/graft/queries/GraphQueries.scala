@@ -162,5 +162,63 @@ object GraphQueries {
     Some(kcoreOracle)
   )
 
-  val all: Seq[Q] = Seq(q135, q136)
+  // --------------------------------------------------------------- q166
+  /** Deterministic random-walk corpus ([[graft.ops.WebGraph.randomWalks]])
+    * — the DeepWalk/node2vec skip-gram input: 2 walks of 4 steps from
+    * every host of a 10-node synthetic graph (doc_id arithmetic, q135
+    * convention; every node keeps out-degree ≥ 1 so no dead ends), next
+    * hop chosen by an md5-indexed draw over the sorted neighbor list.
+    * The oracle unrolls the 4 steps as MATERIALIZED CTEs and replays the
+    * identical nibble arithmetic, so the full path strings hash-match. */
+  private val q166 = {
+    val drawSql = (t: Int) => PipelineQueries.hexSql(
+      s"md5(w.cur || '#' || CAST(w.walker AS VARCHAR) || '#$t')", 8)
+    // each step emits (start_node, walker, cur, path); the output alias
+    // `cur` is not visible inside its own SELECT, so the draw's `w.cur`
+    // is unambiguous
+    val stepSql = (t: Int) => s"""
+      s${t + 1} AS MATERIALIZED (
+        SELECT w.start_node, w.walker,
+               n.ns[CAST(${drawSql(t)} % len(n.ns) AS INT) + 1] AS cur,
+               w.path || ' ' || n.ns[CAST(${drawSql(t)} % len(n.ns) AS INT) + 1]
+                 AS path
+        FROM s$t w JOIN nbrs n ON w.cur = n.node)"""
+    Q(
+      "q166_random_walks",
+      (s, dir) => {
+        val d = Lake(s, dir).documents
+        def host(e: org.apache.spark.sql.Column) =
+          concat(lit("h"), pmod(e, lit(10)))
+        val edges = d.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 3 + 1).as("dst"))
+          .union(d.select(host(col("doc_id")).as("src"),
+            host(col("doc_id") * 7 + 3).as("dst")))
+        WebGraph.randomWalks(edges, "src", "dst", length = 4, walkers = 2)
+      },
+      Some(s"""
+      WITH raw AS (
+        SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS s,
+               'h' || CAST((doc_id * 3 + 1) % 10 AS VARCHAR) AS d
+        FROM documents
+        UNION ALL
+        SELECT 'h' || CAST(doc_id % 10 AS VARCHAR),
+               'h' || CAST((doc_id * 7 + 3) % 10 AS VARCHAR)
+        FROM documents),
+      e AS (SELECT DISTINCT s, d FROM raw WHERE s <> d),
+      nbrs AS MATERIALIZED (
+        SELECT s AS node, list(d ORDER BY d) AS ns FROM e GROUP BY s),
+      s0 AS (
+        SELECT node AS start_node, CAST(j.w AS BIGINT) AS walker,
+               node AS cur, node AS path
+        FROM nbrs, (SELECT unnest(generate_series(0, 1)) AS w) j),
+      ${stepSql(0).stripLeading()},
+      ${stepSql(1).stripLeading()},
+      ${stepSql(2).stripLeading()},
+      ${stepSql(3).stripLeading()}
+      SELECT start_node, walker, path FROM s4
+      ORDER BY start_node, walker""")
+    )
+  }
+
+  val all: Seq[Q] = Seq(q135, q136, q166)
 }

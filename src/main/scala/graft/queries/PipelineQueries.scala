@@ -66,7 +66,7 @@ object PipelineQueries {
   private def nibSql(e: String, j: Int): String =
     s"(strpos('0123456789abcdef', substr($e, $j, 1)) - 1)"
 
-  private def hexSql(e: String, digits: Int): String =
+  private[queries] def hexSql(e: String, digits: Int): String =
     (1 to digits).map(j => s"${nibSql(e, j)} * ${1L << (4 * (digits - j))}")
       .mkString("(", " + ", ")")
 
@@ -4138,6 +4138,55 @@ object PipelineQueries {
       ORDER BY query_id, rank""")
   )
 
+  // --------------------------------------------------------------- q167
+  /** Length-bucketed batching audit — the padding-efficiency report for
+    * fixed-shape training batches: docs binned to 16-token capacity
+    * boundaries (⌈n/16⌉·16 — division by a power of two is FP-exact, so
+    * the ceil cannot straddle across engines), each bucket reporting its
+    * token mass and the padding waste a batch padded to the bucket
+    * capacity would carry. The complement of q56's sequence PACKING:
+    * packing eliminates padding by concatenation; bucketing keeps
+    * documents intact and measures what that choice costs. One map-side
+    * projection + one bucket aggregate. */
+  private val q167 = Q(
+    "q167_length_batching",
+    (s, dir) =>
+      Lake(s, dir).documents
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("bucket",
+          (ceil(col("n_tok").cast("double") / lit(16.0d)) * 16).cast("long"))
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          max(col("n_tok")).as("max_tokens"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          col("max_tokens"),
+          (col("bucket") * col("n_docs") - col("sum_tokens"))
+            .as("waste_tokens"),
+          ((col("bucket") * col("n_docs") - col("sum_tokens")).cast("double") /
+            (col("bucket") * col("n_docs")).cast("double")).as("waste_frac"))
+        .orderBy("bucket"),
+    Some("""
+      WITH t AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      b AS (SELECT CAST(CEIL(CAST(n_tok AS DOUBLE) / 16.0) * 16 AS BIGINT)
+              AS bucket, n_tok
+            FROM t),
+      g AS (SELECT bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+              CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+            FROM b GROUP BY bucket)
+      SELECT bucket, n_docs, sum_tokens, max_tokens,
+             bucket * n_docs - sum_tokens AS waste_tokens,
+             CAST(bucket * n_docs - sum_tokens AS DOUBLE) /
+               CAST(bucket * n_docs AS DOUBLE) AS waste_frac
+      FROM g ORDER BY bucket""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -4145,5 +4194,5 @@ object PipelineQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
-    q151, q152, q157, q158, q159, q160, q161)
+    q151, q152, q157, q158, q159, q160, q161, q167)
 }

@@ -229,5 +229,82 @@ object ScaleQueries {
       FROM agg ORDER BY source""")
   )
 
-  val all: Seq[Q] = Seq(q148, q153, q154, q155, q156)
+  // --------------------------------------------------------------- q164
+  /** Market-basket association rules over (order, part) baskets
+    * ([[graft.ops.Baskets.associationRules]]): canonical pairs seen in
+    * ≥ 3 baskets with support / confidence / lift from exact counts —
+    * the recommendation-prep pass, quadratic only within a capped basket
+    * (the co-citation hub-cap discipline). */
+  private val q164 = Q(
+    "q164_association_rules",
+    (s, dir) =>
+      graft.ops.Baskets.associationRules(
+        Lake(s, dir).lineitem, "l_orderkey", "l_partkey",
+        minPairCount = 3L, maxBasketSize = 100),
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                     FROM lineitem),
+      sized AS (SELECT bk, it FROM
+                 (SELECT bk, it, COUNT(*) OVER (PARTITION BY bk) AS bsz
+                  FROM items)
+                WHERE bsz <= 100),
+      nb AS (SELECT COUNT(DISTINCT bk) AS n FROM sized),
+      ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS ni FROM sized GROUP BY it),
+      p AS (SELECT a.it AS item_a, b.it AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pair
+            FROM sized a JOIN sized b ON a.bk = b.bk AND a.it < b.it
+            GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      SELECT item_a, item_b, n_pair, ia.ni AS n_a, ib.ni AS n_b,
+        CAST(n_pair AS DOUBLE) / CAST(nb.n AS DOUBLE) AS support,
+        CAST(n_pair AS DOUBLE) / CAST(ia.ni AS DOUBLE) AS confidence,
+        CAST(n_pair AS DOUBLE) * CAST(nb.n AS DOUBLE) /
+          (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE)) AS lift
+      FROM p
+      JOIN ic ia ON p.item_a = ia.it
+      JOIN ic ib ON p.item_b = ib.it
+      CROSS JOIN nb
+      ORDER BY item_a, item_b""")
+  )
+
+  // --------------------------------------------------------------- q165
+  /** Bloom serving — q148's production shape: the bitmap is BUILT once,
+    * persisted as (bloom_word, bits) parquet, and a later process loads
+    * and probes it (q54/q98's persisted-index pattern applied to
+    * membership). Same oracle algebra as q148 at a different selectivity;
+    * what this gate adds is the parquet round-trip of the sketch — a
+    * serialization bug that flips one bit would hash-mismatch. */
+  private val q165 = Q(
+    "q165_bloom_served",
+    (s, dir) => {
+      val lk = Lake(s, dir)
+      val dim = lk.orders.filter(col("o_totalprice") > lit(400000.0d))
+      val keys = dim.select(col("o_orderkey")).distinct()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q165").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      Bloom.build(keys, "o_orderkey", 1 << 17, 5)
+        .write.mode("overwrite").parquet(s"$tmp/bloom")
+      val served = Bloom.collect(s.read.parquet(s"$tmp/bloom"), 1 << 17, 5)
+      lk.lineitem
+        .filter(Bloom.mightContain(served, col("l_orderkey")))
+        .join(keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(38,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+               AS revenue
+      FROM lineitem
+      WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  )
+
+  val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165)
 }

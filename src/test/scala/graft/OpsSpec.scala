@@ -631,4 +631,26 @@ class OpsSpec extends SparkTestBase {
     assert(s2 == 0.375 && math.abs(e2 - 1 / 0.375) < 1e-12)
     assert(h2 > 0 && h2 < expH1, "g2 is closer to the corpus than g1")
   }
+
+  test("Baskets.associationRules: counts, metrics, basket cap") {
+    // baskets: {1,2,3}, {1,2}, {1,2}, {4,5} -> pair (1,2) count 3
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (13L, 4L), (13L, 5L)).toDF("bk", "it")
+    val rules = Baskets.associationRules(df, "bk", "it", minPairCount = 3L)
+      .collect()
+    assert(rules.length == 1)
+    val r = rules.head
+    assert(r.getAs[Long]("item_a") == 1L && r.getAs[Long]("item_b") == 2L)
+    assert(r.getAs[Long]("n_pair") == 3L && r.getAs[Long]("n_a") == 3L)
+    assert(r.getAs[Double]("support") == 0.75)     // 3 of 4 baskets
+    assert(r.getAs[Double]("confidence") == 1.0)   // every 1 comes with 2
+    assert(r.getAs[Double]("lift") == 4.0 / 3.0)   // 3*4/(3*3)
+    // an over-cap mega-basket contributes nothing
+    val mega = (1L to 50L).map(i => (99L, i))
+    val capped = Baskets.associationRules(
+      (df.collect().map(r0 => (r0.getLong(0), r0.getLong(1))) ++ mega)
+        .toSeq.toDF("bk", "it"),
+      "bk", "it", minPairCount = 3L, maxBasketSize = 10)
+    assert(capped.count() == 1, "mega-basket must be excluded by the cap")
+  }
 }

@@ -608,4 +608,33 @@ class WebGraphSpec extends SparkTestBase {
     // k=1 on the simple graph: everything with an edge survives as-is
     assert(WebGraph.kCore(edges, k = 1).count() == 9)
   }
+
+  test("randomWalks: hash-deterministic hops over sorted neighbors; dead ends hold") {
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "a") // 'a' never links to 'd'; d reaches the cycle
+    ).toDF("src", "dst")
+    val out = WebGraph.randomWalks(edges, "src", "dst", length = 3, walkers = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out.size == 8, "4 start nodes x 2 walkers")
+    // every hop must be a real edge of the graph
+    val adj = Map("a" -> Set("b", "c"), "b" -> Set("c"), "c" -> Set("a"),
+      "d" -> Set("a"))
+    out.values.foreach { path =>
+      val hops = path.split(" ")
+      assert(hops.length == 4)
+      hops.sliding(2).foreach { case Array(u, v) =>
+        assert(adj(u).contains(v), s"phantom edge $u->$v in $path")
+      }
+    }
+    // reproducible: identical second run
+    val again = WebGraph.randomWalks(edges, "src", "dst", 3, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(again == out)
+    // dead end: a sink node pads with itself
+    val sink = WebGraph.randomWalks(
+        Seq(("x", "y")).toDF("src", "dst"), "src", "dst", 2, 1)
+      .collect().map(_.getString(2)).toSeq
+    assert(sink == Seq("x y y"))
+  }
 }
