@@ -633,4 +633,78 @@ object Dedup {
                 struct(col("span_idx"), col("span_text"))))),
             s => s.getField("span_text"))).as("clean_text"))
   }
+
+  /** Word n-gram shingles WITH their 0-based start positions:
+    * (doc_id, pos, shingle). The positional variant of [[shingles]] —
+    * needed whenever WHERE a duplicate sits matters, not just that it
+    * exists ([[sharedSpans]]). Docs shorter than `n` words contribute
+    * nothing. */
+  def positionalShingles(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"bad shingle width: $n")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__ws"))
+      .select(col("doc_id"),
+        explode(when(size(col("__ws")) >= n,
+          transform(sequence(lit(0), size(col("__ws")) - n), i =>
+            struct(i.cast("long").as("pos"),
+              array_join(slice(col("__ws"), i + 1, lit(n)), " ").as("shingle"))))
+          .otherwise(array().cast("array<struct<pos:bigint,shingle:string>>")))
+          .as("__p"))
+      .select(col("doc_id"), col("__p.pos").as("pos"), col("__p.shingle").as("shingle"))
+  }
+
+  /** Cross-document duplicated-SPAN localization — the "deduplicating
+    * training data" measurement (Lee et al. 2021-style exact substring
+    * duplication, at shingle resolution): for every document pair sharing
+    * at least one df-capped `n`-gram, merge the shared shingle start
+    * positions into maximal contiguous runs and report how much
+    * contiguous text the pair shares. A run of `L` consecutive shared
+    * starts is a duplicated span of `L + n − 1` tokens — the thing a
+    * span-level deduper ([[spanDedup]]) would excise, here surfaced as
+    * evidence with doc-pair provenance instead of silently removed.
+    *
+    * Scale: the pair join is on the shingle (inverted-index discipline),
+    * bounded by the [[capDocFrequency]]-style df window [2, maxDf] —
+    * stop-phrases never fan out, singletons never join. The run merge is
+    * one window over (doc_a, doc_b) — pair-sized, far smaller than the
+    * shingle frame. Gated by q169 (planted common phrases + the same
+    * window algebra in the oracle). */
+  def sharedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxDf: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = positionalShingles(docs, idCol, textCol, n)
+    val keep = sh.groupBy("shingle")
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select("shingle")
+    val capped = sh.join(keep, Seq("shingle"), "left_semi")
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"))
+      .distinct()
+    val w = Window.partitionBy("doc_a", "doc_b").orderBy("pos_a")
+    val runs = pairs
+      .withColumn("__prev", lag(col("pos_a"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("pos_a") > col("__prev") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__blk", sum(col("__new")).over(w))
+      .groupBy("doc_a", "doc_b", "__blk")
+      .agg(count(lit(1)).as("__len"))
+    runs.groupBy("doc_a", "doc_b")
+      .agg(
+        sum(col("__len")).as("n_shared"),
+        count(lit(1)).as("n_spans"),
+        (max(col("__len")) + lit((n - 1).toLong)).as("longest_span_tokens"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -4187,6 +4187,110 @@ object PipelineQueries {
       FROM g ORDER BY bucket""")
   )
 
+  // --------------------------------------------------------------- q168
+  /** Permissive corrupt-record ingestion — the JSONL robustness gate a
+    * real crawl feed needs: each doc serialized to a JSON line, every
+    * 7th line deterministically truncated mid-object (always invalid —
+    * the closing brace is gone), then parsed with `from_json` +
+    * `columnNameOfCorruptRecord`. The gate proves three behaviors at
+    * once: corrupt lines are FLAGGED (not dropped, not crashed), their
+    * typed fields come back null, and a regex salvage still recovers the
+    * id from the intact prefix. The oracle states ground truth by
+    * construction — if Spark's permissive parser ever "recovered" a
+    * truncated object or dropped a good one, the hash would catch it. */
+  private val q168 = Q(
+    "q168_corrupt_json",
+    (s, dir) => {
+      val line = concat(
+        lit("""{"id": """), col("doc_id"),
+        lit(""", "lang": """"), col("lang"),
+        lit("""", "nc": """), col("n_chars"), lit("}"))
+      val corrupted = when(pmod(col("doc_id"), lit(7)) === 0,
+        substring(line, lit(1), length(line) - 10)).otherwise(line)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "id LONG, lang STRING, nc LONG, _corrupt_record STRING")
+      Lake(s, dir).documents
+        .select(col("doc_id"), corrupted.as("__line"))
+        .withColumn("__j", from_json(col("__line"), schema,
+          Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+        .select(
+          col("doc_id"),
+          col("__j._corrupt_record").isNotNull.as("is_corrupt"),
+          col("__j.lang").as("parsed_lang"),
+          regexp_extract(col("__line"), """"id": ([0-9]+)""", 1)
+            .cast("long").as("salvaged_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        doc_id % 7 = 0 AS is_corrupt,
+        CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS parsed_lang,
+        doc_id AS salvaged_id
+      FROM documents ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q169
+  /** Duplicated-span localization ([[graft.ops.Dedup.sharedSpans]]):
+    * doc pairs sharing contiguous 3-gram runs, with planted common
+    * phrases (every 25th doc gets one of two fixed 10-word tails) so
+    * multi-shingle spans genuinely occur — a run of L shared starts is a
+    * span of L+2 tokens. Natural single-shingle collisions ride along;
+    * the df window [2, 30] caps stop-phrase fan-out. The oracle replays
+    * the identical lag/sum window algebra. */
+  private val q169 = {
+    val p0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val p1 = "north south east west upper lower inner outer front back"
+    Q(
+      "q169_shared_spans",
+      (s, dir) =>
+        Dedup.sharedSpans(
+          Lake(s, dir).documents.select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(25)) === 0,
+              concat(col("text"), lit(" "),
+                when(pmod(col("doc_id"), lit(2)) === 0, lit(p0))
+                  .otherwise(lit(p1))))
+              .otherwise(col("text")).as("text")),
+          "doc_id", "text", n = 3, maxDf = 30L),
+      Some(s"""
+      WITH d AS (SELECT doc_id,
+          CASE WHEN doc_id % 25 = 0
+               THEN text || ' ' || (CASE WHEN doc_id % 2 = 0
+                                         THEN '$p0' ELSE '$p1' END)
+               ELSE text END AS text
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+      sp AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(ws[(i + 1):(i + 3)], ' ') AS shingle
+             FROM w, unnest(generate_series(0, len(ws) - 3)) AS t(i)),
+      keep AS (SELECT shingle FROM sp GROUP BY shingle
+               HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 30),
+      c AS (SELECT sp.doc_id, sp.pos, sp.shingle
+            FROM sp JOIN keep USING (shingle)),
+      pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.pos AS pos_a
+             FROM c a JOIN c b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      blk AS (SELECT doc_a, doc_b, pos_a,
+                CASE WHEN lag(pos_a) OVER
+                       (PARTITION BY doc_a, doc_b ORDER BY pos_a) IS NULL
+                     OR pos_a > lag(pos_a) OVER
+                       (PARTITION BY doc_a, doc_b ORDER BY pos_a) + 1
+                     THEN 1 ELSE 0 END AS newb
+              FROM pr),
+      blk2 AS (SELECT doc_a, doc_b, pos_a,
+                 SUM(newb) OVER (PARTITION BY doc_a, doc_b ORDER BY pos_a)
+                   AS blk
+               FROM blk),
+      spans AS (SELECT doc_a, doc_b, blk, COUNT(*) AS len
+                FROM blk2 GROUP BY 1, 2, 3)
+      SELECT doc_a, doc_b,
+             CAST(SUM(len) AS BIGINT) AS n_shared,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(MAX(len) + 2 AS BIGINT) AS longest_span_tokens
+      FROM spans GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""")
+    )
+  }
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -4194,5 +4298,5 @@ object PipelineQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
-    q151, q152, q157, q158, q159, q160, q161, q167)
+    q151, q152, q157, q158, q159, q160, q161, q167, q168, q169)
 }

@@ -339,4 +339,31 @@ class DedupSpec extends SparkTestBase {
     assert(a.length == docs.count())
     assert(a.toSeq == b.toSeq)
   }
+
+  test("sharedSpans: planted run localized, length includes shingle width") {
+    // docs 1 and 2 share the 5-word run "p q r s t" (3 shared 3-gram
+    // starts -> one span of 3+2 = 5 tokens); doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a b p q r s t c d"),
+      (2L, "x y z p q r s t w"),
+      (3L, "m n o u v k j h g")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.sharedSpans(docs, "doc_id", "text", n = 3, maxDf = 10)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("n_shared") == 3L)
+    assert(r.getAs[Long]("n_spans") == 1L)
+    assert(r.getAs[Long]("longest_span_tokens") == 5L)
+    // two DISJOINT planted runs -> two spans
+    val two = Seq(
+      (1L, "p q r x x x s t u"),
+      (2L, "p q r y y y s t u")
+    ).toDF("doc_id", "text")
+    val r2 = graft.ops.Dedup.sharedSpans(two, "doc_id", "text", 3, 10)
+      .collect().head
+    assert(r2.getAs[Long]("n_spans") == 2L)
+    assert(r2.getAs[Long]("longest_span_tokens") == 3L)
+  }
 }
