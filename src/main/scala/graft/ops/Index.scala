@@ -260,4 +260,48 @@ object Index {
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (Cormack et al. 2009): candidates from heterogeneous rankers
+    * (lexical BM25, vector ANN, …) merge by `Σ 1/(c + rank)` with no
+    * score normalization needed, because only RANKS cross the ranker
+    * boundary — which is also what makes it gate-exact: each
+    * contribution is one division of exact integers, and the per-doc
+    * sum folds a RANKER-TAG-SORTED list ([[graft.ops.Stats]] sorted-fold
+    * discipline; float addition is commutative but not associative, so
+    * with 3+ rankers the fold order must be pinned). Inputs are
+    * (query_id, doc, rank) frames, one per ranker, each tagged with a
+    * UNIQUE name. One union + one (query, doc) aggregate + one window
+    * top-k — candidate-list-sized throughout, never corpus-sized.
+    * Gated by q170 (BM25 ∪ brute-force ANN over the same anchors). */
+  def rrfFuse(
+      rankings: Seq[(String, DataFrame)],
+      c: Int = 60,
+      topK: Int = 10
+  ): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two rankers")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "ranker tags must be unique")
+    require(c >= 1 && topK >= 1, s"bad rrf params c=$c topK=$topK")
+    val tagged = rankings.map { case (tag, df) =>
+      df.select(col("query_id"), col("doc"), col("rank"),
+        lit(tag).as("__src"))
+    }.reduce(_.unionByName(_))
+    val fused = tagged
+      .withColumn("__contrib",
+        lit(1.0d) / (lit(c) + col("rank")).cast("double"))
+      .groupBy("query_id", "doc")
+      .agg(
+        count(lit(1)).as("n_lists"),
+        sort_array(collect_list(struct(col("__src"), col("__contrib"))))
+          .as("__cs"))
+      .withColumn("rrf_score",
+        aggregate(col("__cs"), lit(0.0d), (a, x) => a + x("__contrib")))
+      .drop("__cs")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+      .orderBy("query_id", "fused_rank")
+  }
 }

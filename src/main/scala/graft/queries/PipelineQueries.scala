@@ -4291,6 +4291,94 @@ object PipelineQueries {
     )
   }
 
+  // --------------------------------------------------------------- q170
+  /** Hybrid retrieval with reciprocal-rank fusion
+    * ([[graft.ops.Index.rrfFuse]]): the same three anchor docs queried
+    * through BOTH retrieval stacks — lexical BM25 (first three words as
+    * the query, the q71 engine at k=10) and embedding ANN (the q35
+    * brute-force ranker) — then fused by Σ 1/(60+rank) with a
+    * tag-sorted fold. The gate pins the full composition: both
+    * candidate lists, the integer-division contributions, the fold
+    * order, and the fused ranking. */
+  private val q170 = Q(
+    "q170_hybrid_retrieval",
+    (s, dir) => {
+      val lk = Lake(s, dir)
+      val docs = lk.documents
+      val terms = docs.filter(col("doc_id").isin(1L, 2L, 3L))
+        .select(col("doc_id").as("query_id"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+      val bm25 = Index.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .select(col("query_id"), col("doc"), col("rank"))
+      val corpus = Similarity.withNorm(lk.embeddings, "vec_id", "embedding")
+      val qs = corpus.filter(col("vec_id").isin(1L, 2L, 3L))
+      val ann = Similarity.bruteForceTopK(corpus, qs, 10)
+        .select(col("query_id"), col("neighbor_id").as("doc"), col("rank"))
+      Index.rrfFuse(Seq("ann" -> ann, "bm25" -> bm25), c = 60, topK = 10)
+    },
+    Some(s"""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      q AS (SELECT doc_id AS query_id, unnest(ws[1:3]) AS term
+            FROM w WHERE doc_id IN (1, 2, 3)),
+      tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+      p AS (SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY term, doc),
+      rel AS (SELECT p.* FROM p
+              WHERE term IN (SELECT DISTINCT term FROM q)),
+      dfv AS (SELECT term, COUNT(*) AS df FROM rel GROUP BY term),
+      dl AS (SELECT doc_id AS doc,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             FROM documents),
+      tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS t_tokens FROM dl),
+      sc AS (SELECT q.query_id, rel.doc,
+               CAST(22 * tot.t_tokens * LEAST(rel.tf, 10000) AS DOUBLE)
+                 / (10 * tot.t_tokens * LEAST(rel.tf, 10000)
+                    + 3 * tot.t_tokens
+                    + 9 * dl.dl * tot.n_docs)
+               * (CAST(2 * (tot.n_docs - dfv.df) + 1 AS DOUBLE)
+                  / (2 * dfv.df + 1)) AS contrib
+             FROM q JOIN rel ON q.term = rel.term
+             JOIN dfv ON rel.term = dfv.term
+             JOIN dl ON rel.doc = dl.doc
+             CROSS JOIN tot),
+      bagg AS (SELECT query_id, doc,
+                 list_reduce(list(contrib ORDER BY contrib), (a, b) -> a + b)
+                   AS score
+               FROM sc GROUP BY query_id, doc),
+      bm AS (SELECT query_id, doc, rank FROM (
+               SELECT query_id, doc,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc) AS rank
+               FROM bagg)
+             WHERE rank <= 10),
+      $NormedCte,
+      ann AS (SELECT query_id, doc, rank FROM (
+                SELECT qv.vec_id AS query_id, cv.vec_id AS doc,
+                  row_number() OVER (PARTITION BY qv.vec_id
+                    ORDER BY ${sqlDot("qv.v", "cv.v")} / (qv.nrm * cv.nrm)
+                      DESC, cv.vec_id) AS rank
+                FROM m qv JOIN m cv ON qv.vec_id != cv.vec_id
+                WHERE qv.vec_id IN (1, 2, 3))
+              WHERE rank <= 10),
+      u AS (SELECT query_id, doc, rank, 'ann' AS src FROM ann
+            UNION ALL
+            SELECT query_id, doc, rank, 'bm25' AS src FROM bm),
+      f AS (SELECT query_id, doc,
+              CAST(COUNT(*) AS BIGINT) AS n_lists,
+              list_reduce(
+                list_prepend(0.0,
+                  list(1.0 / CAST(60 + rank AS DOUBLE) ORDER BY src)),
+                (a, b) -> a + b) AS rrf_score
+            FROM u GROUP BY query_id, doc),
+      r AS (SELECT query_id, doc, n_lists, rrf_score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_score DESC, doc) AS fused_rank
+            FROM f)
+      SELECT query_id, doc, n_lists, rrf_score, fused_rank
+      FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -4298,5 +4386,5 @@ object PipelineQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
-    q151, q152, q157, q158, q159, q160, q161, q167, q168, q169)
+    q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170)
 }
