@@ -4237,20 +4237,37 @@ object PipelineQueries {
     * span of L+2 tokens. Natural single-shingle collisions ride along;
     * the df window [2, 30] caps stop-phrase fan-out. The oracle replays
     * the identical lag/sum window algebra. */
+  /** q169/q171 fixture: every 25th doc gets one of two fixed 10-word
+    * phrase tails, so multi-shingle duplicated SPANS genuinely occur. */
+  private val PhraseA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private val PhraseB = "north south east west upper lower inner outer front back"
+
+  private def phrasedDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Lake(s, dir).documents.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(25)) === 0,
+        concat(col("text"), lit(" "),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(PhraseA))
+            .otherwise(lit(PhraseB))))
+        .otherwise(col("text")).as("text"),
+      col("n_chars"))
+
+  private val phrasedSqlCte = s"""
+      d AS (SELECT doc_id,
+        CASE WHEN doc_id % 25 = 0
+             THEN text || ' ' || (CASE WHEN doc_id % 2 = 0
+                                       THEN '$PhraseA' ELSE '$PhraseB' END)
+             ELSE text END AS text,
+        n_chars
+      FROM documents)"""
+
   private val q169 = {
-    val p0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    val p1 = "north south east west upper lower inner outer front back"
+    val p0 = PhraseA
+    val p1 = PhraseB
     Q(
       "q169_shared_spans",
       (s, dir) =>
-        Dedup.sharedSpans(
-          Lake(s, dir).documents.select(col("doc_id"),
-            when(pmod(col("doc_id"), lit(25)) === 0,
-              concat(col("text"), lit(" "),
-                when(pmod(col("doc_id"), lit(2)) === 0, lit(p0))
-                  .otherwise(lit(p1))))
-              .otherwise(col("text")).as("text")),
-          "doc_id", "text", n = 3, maxDf = 30L),
+        Dedup.sharedSpans(phrasedDocs(s, dir), "doc_id", "text",
+          n = 3, maxDf = 30L),
       Some(s"""
       WITH d AS (SELECT doc_id,
           CASE WHEN doc_id % 25 = 0
@@ -4379,6 +4396,107 @@ object PipelineQueries {
       FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""")
   )
 
+  // --------------------------------------------------------------- q171
+  /** ENSEMBLE dedup — three independent evidence sources unioned into one
+    * duplicate graph, then components and survivors: exact content hash
+    * (q30's source), 3-gram Jaccard ≥ 0.8 (q31/q50's), and duplicated
+    * SPANS ≥ 6 tokens (q169's sharedSpans — catches partial-copy docs the
+    * whole-document measures miss; the planted phrase tails cluster
+    * through THIS source alone). Production dedup is exactly this shape:
+    * no single detector catches every duplication mode, and the CC layer
+    * is where the modes reconcile. The oracle unions the three pair
+    * chains, closes the recursive CC fixpoint, and picks survivors with
+    * the q120 QUALIFY — one declarative statement of the whole ensemble. */
+  private val q171 = Q(
+    "q171_ensemble_dedup",
+    (s, dir) => {
+      val docs = phrasedDocs(s, dir)
+      val jac = Dedup.jaccardPairs(
+          Dedup.shingles(docs, "doc_id", "text", 3), 0.8)
+        .select("doc_a", "doc_b")
+      val fp = docs.select(col("doc_id"), md5(col("text")).as("__fp"))
+      val exact = fp.as("a")
+        .join(fp.as("b"),
+          col("a.__fp") === col("b.__fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val spans = Dedup.sharedSpans(docs, "doc_id", "text", 3, 30L)
+        .filter(col("longest_span_tokens") >= 6)
+        .select("doc_a", "doc_b")
+      val pairs = jac.unionByName(exact).unionByName(spans).distinct()
+      val clusters = Dedup.dupClusters(docs.select("doc_id"), pairs)
+      Dedup.keepCanonical(clusters, docs.select("doc_id", "n_chars"), "n_chars")
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      $phrasedSqlCte,
+      w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+      shd AS (SELECT DISTINCT doc_id,
+                ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM w2, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+      common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_common
+                 FROM shd a JOIN shd b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+      jpairs AS (SELECT doc_a, doc_b FROM common
+                 JOIN cnt ca ON doc_a = ca.doc_id
+                 JOIN cnt cb ON doc_b = cb.doc_id
+                 WHERE CAST(n_common AS DOUBLE)
+                         / (ca.n + cb.n - n_common) >= 0.8),
+      fp AS (SELECT doc_id, md5(text) AS h FROM d),
+      epairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM fp a JOIN fp b
+                   ON a.h = b.h AND a.doc_id < b.doc_id),
+      sp AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               array_to_string(ws[(i + 1):(i + 3)], ' ') AS shingle
+             FROM w2, unnest(generate_series(0, len(ws) - 3)) AS t(i)),
+      keepw AS (SELECT shingle FROM sp GROUP BY shingle
+                HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 30),
+      c2 AS (SELECT sp.doc_id, sp.pos, sp.shingle
+             FROM sp JOIN keepw USING (shingle)),
+      pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    a.pos AS pos_a
+             FROM c2 a JOIN c2 b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      blk AS (SELECT doc_a, doc_b, pos_a,
+                CASE WHEN lag(pos_a) OVER
+                       (PARTITION BY doc_a, doc_b ORDER BY pos_a) IS NULL
+                     OR pos_a > lag(pos_a) OVER
+                       (PARTITION BY doc_a, doc_b ORDER BY pos_a) + 1
+                     THEN 1 ELSE 0 END AS newb
+              FROM pr),
+      blk2 AS (SELECT doc_a, doc_b, pos_a,
+                 SUM(newb) OVER (PARTITION BY doc_a, doc_b ORDER BY pos_a)
+                   AS blk
+               FROM blk),
+      spans AS (SELECT doc_a, doc_b, blk, COUNT(*) AS len
+                FROM blk2 GROUP BY 1, 2, 3),
+      spairs AS (SELECT doc_a, doc_b FROM spans GROUP BY doc_a, doc_b
+                 HAVING MAX(len) + 2 >= 6),
+      upairs AS (SELECT doc_a, doc_b FROM jpairs
+                 UNION SELECT doc_a, doc_b FROM epairs
+                 UNION SELECT doc_a, doc_b FROM spairs),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM upairs
+                UNION ALL SELECT doc_b, doc_a FROM upairs),
+      reach AS (SELECT doc_id AS node, doc_id AS label FROM documents
+                UNION
+                SELECT e.dst AS node, r.label
+                FROM reach r JOIN edges e ON r.node = e.src),
+      cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+             FROM reach GROUP BY node),
+      sized AS (SELECT doc_id, cluster_id,
+                  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+                FROM cc)
+      SELECT s.doc_id, s.cluster_id, s.cluster_size,
+             CAST(s.cluster_size - 1 AS BIGINT) AS n_dropped
+      FROM sized s JOIN documents dd ON dd.doc_id = s.doc_id
+      QUALIFY row_number() OVER (
+        PARTITION BY s.cluster_id ORDER BY dd.n_chars DESC, s.doc_id) = 1
+      ORDER BY s.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -4386,5 +4504,5 @@ object PipelineQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
-    q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170)
+    q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171)
 }
