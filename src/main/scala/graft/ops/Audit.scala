@@ -166,4 +166,33 @@ object Audit {
         (col("class_size") < lit(k)).as("at_risk"))
       .orderBy("class_size")
   }
+
+  /** l-diversity audit — k-anonymity's complement ([[kAnonymity]]):
+    * hiding in a big equivalence class is worthless if everyone in it
+    * shares the same SENSITIVE value (the classic homogeneity attack —
+    * "all 50 people in this (zip, age) class have the same diagnosis").
+    * One row per equivalence class: size, distinct sensitive values,
+    * `at_risk = distinct < l`. Output is class-count-bounded (quasi-
+    * identifiers are generalized/banded by contract, so classes are
+    * few); two hash aggregates, the second over one row per
+    * (class, sensitive value). Gated by q172. */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2: $l")
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(
+        sum(col("__n")).as("class_size"),
+        count(lit(1)).as("distinct_sensitive"))
+      .withColumn("at_risk", col("distinct_sensitive") < lit(l))
+      .orderBy(quasiCols.map(col): _*)
+  }
 }

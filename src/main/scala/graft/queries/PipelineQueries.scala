@@ -538,14 +538,57 @@ object PipelineQueries {
   // ---------------------------------------------------------------- q37
   /** Language-ID scaffold: marker-token votes via broadcast lookup; argmax
     * per doc with deterministic tiebreak; no-hit docs → 'unknown'. */
+  /** The q37/q174 lang-ID marker lexicon — ONE copy so the classifier
+    * and its evaluation can never disagree on the model. */
+  private val LangMarkers = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "is",
+    "de" -> "der", "de" -> "die", "de" -> "und",
+    "es" -> "el", "es" -> "la", "es" -> "los",
+    "fr" -> "le", "fr" -> "les", "fr" -> "et",
+    "zh" -> "的", "zh" -> "是", "zh" -> "了")
+
+  private val LangMarkersSql =
+    LangMarkers.map { case (l, w) => s"('$l','$w')" }.mkString(",")
+
+  /** Shared lang-ID SQL chain: per-doc (true_lang, pred_lang). */
+  private val LangIdCtes = s"""
+      markers(cand_lang, word) AS (VALUES $LangMarkersSql),
+      ltok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+      lscores AS (
+        SELECT doc_id, cand_lang, COUNT(*) AS score
+        FROM ltok JOIN markers USING (word)
+        GROUP BY doc_id, cand_lang),
+      lbest AS (
+        SELECT doc_id, cand_lang, score FROM lscores
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, cand_lang) = 1),
+      lpred AS (
+        SELECT d.doc_id, d.lang AS true_lang,
+               COALESCE(b.cand_lang, 'unknown') AS pred_lang,
+               COALESCE(b.score, 0) AS score
+        FROM documents d LEFT JOIN lbest b ON d.doc_id = b.doc_id)"""
+
+  /** Spark twin of [[LangIdCtes]]: (doc_id, true_lang, pred_lang, score). */
+  private def langIdFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val docs = Lake(s, dir).documents
+    val m = s.createDataFrame(LangMarkers).toDF("cand_lang", "word")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val scores = tok.join(broadcast(m), Seq("word"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand_lang"))
+    val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    docs.select(col("doc_id"), col("lang").as("true_lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("true_lang"),
+        coalesce(col("cand_lang"), lit("unknown")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   private val q37 = {
-    val markers = Seq(
-      "en" -> "the", "en" -> "a", "en" -> "is",
-      "de" -> "der", "de" -> "die", "de" -> "und",
-      "es" -> "el", "es" -> "la", "es" -> "los",
-      "fr" -> "le", "fr" -> "les", "fr" -> "et",
-      "zh" -> "的", "zh" -> "是", "zh" -> "了")
-    val valuesSql = markers.map { case (l, w) => s"('$l','$w')" }.mkString(",")
+    val markers = LangMarkers
+    val valuesSql = LangMarkersSql
     Q(
       "q37_text_langid",
       (s, dir) => {
@@ -4396,6 +4439,65 @@ object PipelineQueries {
       FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""")
   )
 
+  // --------------------------------------------------------------- q174
+  /** Lang-ID confusion matrix — q37's heuristic classifier EVALUATED:
+    * per (true_lang, pred_lang) cell counts plus per-cell share of the
+    * true language's row total (the recall diagonal when
+    * true == pred). The q150 confusion algebra applied per-class over
+    * the shared [[LangIdCtes]] chain, so the model under evaluation is
+    * definitionally the model in production. */
+  private val q174 = Q(
+    "q174_langid_confusion",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      langIdFrame(s, dir)
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("true_total",
+          sum(col("n")).over(W.partitionBy("true_lang")))
+        .withColumn("share",
+          col("n").cast("double") / col("true_total").cast("double"))
+        .orderBy("true_lang", "pred_lang")
+    },
+    Some(s"""
+      WITH $LangIdCtes,
+      cells AS (SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+                FROM lpred GROUP BY 1, 2)
+      SELECT true_lang, pred_lang, n,
+             CAST(SUM(n) OVER (PARTITION BY true_lang) AS BIGINT)
+               AS true_total,
+             CAST(n AS DOUBLE) /
+               CAST(SUM(n) OVER (PARTITION BY true_lang) AS DOUBLE) AS share
+      FROM cells ORDER BY true_lang, pred_lang""")
+  )
+
+  // --------------------------------------------------------------- q175
+  /** Label-noise candidates (confident-learning lite): docs where the
+    * weak label and a CONFIDENT classifier margin disagree — labeled
+    * positive but margin ≤ −5 tenths, or labeled negative but margin ≥
+    * +5. On real pipelines this list goes to re-annotation; flagging is
+    * one map-side predicate over the q150 scored frame. Output is the
+    * flagged docs plus their conflict direction, deterministic. */
+  private val q175 = Q(
+    "q175_label_noise",
+    (s, dir) =>
+      scoredDocs(s, dir)
+        .withColumn("conflict",
+          when(col("label") && col("m") <= -5L, "pos_label_neg_score")
+            .when(!col("label") && col("m") >= 5L, "neg_label_pos_score"))
+        .filter(col("conflict").isNotNull)
+        .select(col("doc_id"), col("label"), col("m"), col("conflict"))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH $scoredSqlCtes
+      SELECT doc_id, label, m,
+             CASE WHEN label AND m <= -5 THEN 'pos_label_neg_score'
+                  ELSE 'neg_label_pos_score' END AS conflict
+      FROM lab
+      WHERE (label AND m <= -5) OR (NOT label AND m >= 5)
+      ORDER BY doc_id""")
+  )
+
   // --------------------------------------------------------------- q171
   /** ENSEMBLE dedup — three independent evidence sources unioned into one
     * duplicate graph, then components and survivors: exact content hash
@@ -4504,5 +4606,6 @@ object PipelineQueries {
     q91, q92, q93, q94, q95, q96, q97, q98, q103, q104, q105, q106, q108,
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
-    q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171)
+    q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
+    q174, q175)
 }

@@ -306,5 +306,65 @@ object ScaleQueries {
       ORDER BY l_returnflag""")
   )
 
-  val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165)
+  // --------------------------------------------------------------- q172
+  /** l-diversity audit ([[graft.ops.Audit.lDiversity]]) — k-anonymity's
+    * homogeneity-attack complement on the same banded customer quasi-
+    * identifiers, with market segment as the sensitive attribute: a big
+    * class where everyone shares one segment is still a leak. l = 3. */
+  private val q172 = Q(
+    "q172_ldiversity",
+    (s, dir) =>
+      Audit.lDiversity(
+        Lake(s, dir).customer.select(
+          col("c_nationkey"),
+          (floor(col("c_acctbal") / lit(2000.0d)) * 2000.0d).cast("long")
+            .as("bal_band"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment", l = 3L),
+    Some("""
+      WITH cells AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 2000.0) * 2000.0 AS BIGINT) AS bal_band,
+               c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY 1, 2, 3)
+      SELECT c_nationkey, bal_band,
+             CAST(SUM(n) AS BIGINT) AS class_size,
+             CAST(COUNT(*) AS BIGINT) AS distinct_sensitive,
+             COUNT(*) < 3 AS at_risk
+      FROM cells GROUP BY c_nationkey, bal_band
+      ORDER BY c_nationkey, bal_band""")
+  )
+
+  // --------------------------------------------------------------- q173
+  /** Vocabulary growth / type-token profile per source — the Heaps-law
+    * corpus diagnostic without the log fit (which would be
+    * transcendental): total tokens, distinct words, and the type-token
+    * ratio as one division of exact counts. A source whose TTR collapses
+    * relative to its peers is template spam; one whose TTR explodes is
+    * likely encoding noise. */
+  private val q173 = Q(
+    "q173_vocab_growth",
+    (s, dir) => {
+      val tok = Lake(s, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      tok.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          count_distinct(col("w")).as("n_types"))
+        .withColumn("ttr",
+          col("n_types").cast("double") / col("n_tokens").cast("double"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents)
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+             CAST(COUNT(DISTINCT w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS ttr
+      FROM tok GROUP BY source ORDER BY source""")
+  )
+
+  val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173)
 }

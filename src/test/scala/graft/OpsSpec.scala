@@ -653,4 +653,18 @@ class OpsSpec extends SparkTestBase {
       "bk", "it", minPairCount = 3L, maxBasketSize = 10)
     assert(capped.count() == 1, "mega-basket must be excluded by the cap")
   }
+
+  test("Audit.lDiversity: homogeneous class flagged even when large") {
+    val df = Seq(
+      ("z1", "flu"), ("z1", "flu"), ("z1", "flu"), ("z1", "flu"), // big, same
+      ("z2", "flu"), ("z2", "cold"), ("z2", "ache"),              // diverse
+      ("z3", "flu"), ("z3", "cold")                               // l=3 fails
+    ).toDF("zip", "dx")
+    val out = Audit.lDiversity(df, Seq("zip"), "dx", l = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("z1") == ((4L, 1L, true)), "size-4 homogeneous class is at risk")
+    assert(out("z2") == ((3L, 3L, false)))
+    assert(out("z3") == ((2L, 2L, true)))
+  }
 }
