@@ -120,6 +120,41 @@ object EventStreams {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-STREAM interval join — attribution at ingest time: each left
+    * event matches right events of the same key whose timestamp lands in
+    * `[left.ts, left.ts + horizon]` (view→purchase within 10 minutes,
+    * impression→click, …). Both sides carry the same watermark, and the
+    * time-bound condition is what lets Spark EXPIRE join state: a left
+    * row can stop waiting once the watermark passes `ts + horizon`, a
+    * right row once it can no longer fall in any live interval — state
+    * is bounded by (rate × (watermark + horizon)), not stream history.
+    * An unbounded-condition stream-stream join would keep both sides
+    * forever; the interval bound IS the scalability contract.
+    *
+    * Inputs must not collide on column names except `keyCol`/`tsCol`
+    * (rename upstream); the right timestamp comes back as `r_ts`.
+    * Batch ≡ streaming asserted in StreamingSpec on the same rows. */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      horizon: String = "10 minutes",
+      watermark: String = "30 minutes"
+  ): DataFrame = {
+    val collide = left.columns.toSet
+      .intersect(right.columns.toSet) - keyCol - tsCol
+    require(collide.isEmpty, s"rename colliding columns upstream: $collide")
+    val l = left.withWatermark(tsCol, watermark)
+    val r = right.withWatermark(tsCol, watermark)
+      .withColumnRenamed(tsCol, "r_ts")
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        col("r_ts") >= l(tsCol) &&
+        col("r_ts") <= l(tsCol) + expr(s"interval $horizon"))
+      .drop(r(keyCol))
+  }
+
   /** Durable gold sink: append the (already transformed) stream to
     * parquet with a checkpoint. Exactly-once lands via the checkpoint's
     * offset log + the sink's transactional file commit; restarts resume

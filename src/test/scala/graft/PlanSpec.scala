@@ -576,6 +576,33 @@ class PlanSpec extends SparkTestBase {
       "spark.sql.sources.partitionColumnTypeInference.enabled", "true")
   }
 
+  test("builtin runtime bloom filter fires on a selective shuffle join") {
+    // the engine enables spark.sql.optimizer.runtime.bloomFilter.enabled
+    // (GraftSession); this pins that a selective dim filter on a SHUFFLE
+    // join actually injects the runtime might_contain probe. Thresholds
+    // are production-scale (10 GB application side), so the test fixture
+    // lowers them and forces the shuffle join path, then restores.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val before = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val lk = Lake(spark, sfDir)
+      val dim = lk.orders.filter(col("o_totalprice") > 450000.0)
+      val joined = lk.lineitem.join(dim,
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("might_contain") || plan.contains("bloomfilter"),
+        s"runtime bloom filter not injected:\n$plan")
+      assert(joined.count() > 0)
+    } finally before.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bloom probe prunes below the semi-join: scan-stage filter, no UDF") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val lk = Lake(spark, sfDir)

@@ -443,6 +443,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoinStream: stream-stream matches within horizon, batch equality") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val buys = MemoryStream[(Long, Timestamp, String)]
+    val l = views.toDF().toDF("user_id", "ts", "page")
+    val r = buys.toDF().toDF("user_id", "ts", "item")
+    val q = EventStreams.intervalJoinStream(l, r, "user_id", "ts",
+        horizon = "10 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      views.addData(
+        (1L, t("2024-01-01 10:00:00"), "home"),
+        (1L, t("2024-01-01 11:00:00"), "pricing"),
+        (2L, t("2024-01-01 10:00:00"), "home"))
+      buys.addData(
+        (1L, t("2024-01-01 10:05:00"), "basic"),   // within 10m of home only
+        (1L, t("2024-01-01 11:09:00"), "pro"),     // within 10m of pricing
+        (2L, t("2024-01-01 10:30:00"), "late"),    // outside every horizon
+        (3L, t("2024-01-01 10:00:00"), "orphan"))  // no view at all
+      q.processAllAvailable()
+      val streamed = spark.table("attributed")
+        .select("user_id", "page", "item").collect()
+        .map(r0 => (r0.getLong(0), r0.getString(1), r0.getString(2))).toSet
+      assert(streamed == Set(
+        (1L, "home", "basic"), (1L, "pricing", "pro")))
+      // batch twin: identical join condition over the same rows
+      val lb = Seq((1L, t("2024-01-01 10:00:00"), "home"),
+        (1L, t("2024-01-01 11:00:00"), "pricing"),
+        (2L, t("2024-01-01 10:00:00"), "home")).toDF("user_id", "ts", "page")
+      val rb = Seq((1L, t("2024-01-01 10:05:00"), "basic"),
+        (1L, t("2024-01-01 11:09:00"), "pro"),
+        (2L, t("2024-01-01 10:30:00"), "late"),
+        (3L, t("2024-01-01 10:00:00"), "orphan")).toDF("user_id", "ts", "item")
+      val batch = lb.join(rb.withColumnRenamed("ts", "r_ts"), Seq("user_id"))
+        .filter(col("r_ts") >= col("ts") &&
+          col("r_ts") <= col("ts") + expr("interval 10 minutes"))
+        .select("user_id", "page", "item").collect()
+        .map(r0 => (r0.getLong(0), r0.getString(1), r0.getString(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("gopherStream: streamed rule flags equal the batch gopherRules row for row") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, String)]
