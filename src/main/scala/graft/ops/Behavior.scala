@@ -395,4 +395,66 @@ object Behavior {
           .as("decayed_count"))
       .orderBy(keyCol)
   }
+
+  /** Mergeable per-user SESSION state — [[graft.ops.Stats.partialStats]]'s
+    * incremental-maintenance discipline applied to sessionization: a
+    * 100 TB event lake never re-sessionizes history; it keeps
+    * `(n_sessions, n_events, first_ts, last_ts)` per user and folds each
+    * day's partial in. The fold law that makes this exact: when batches
+    * PARTITION TIME (every event in the next batch is later than every
+    * prior event of that user — a global cutoff gives this for free),
+    * `merge(state(A), state(B)) == state(A ∪ B)` — the only cross-batch
+    * interaction is whether B's first event continues A's last session,
+    * which the merge checks with the same gap rule the window uses.
+    * Gated by q176: the two-step merge must hash-equal q26's one-pass
+    * oracle over all events. One window + one aggregate per batch
+    * (batch-sized); the merge is a state-sized full-outer join. */
+  def sessionState(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapUs: Long
+  ): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("__prev")) > gapUs, 1L)
+          .otherwise(0L))
+      .groupBy(userCol)
+      .agg(
+        sum(col("__new")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"))
+  }
+
+  /** Fold a later batch's state into an earlier one (same user key,
+    * `prev` strictly earlier in time — see [[sessionState]]). */
+  def mergeSessionState(
+      prev: DataFrame,
+      next: DataFrame,
+      userCol: String,
+      gapUs: Long
+  ): DataFrame = {
+    val p = prev.select(col(userCol), col("n_sessions").as("__pn"),
+      col("n_events").as("__pe"), col("first_ts").as("__pf"),
+      col("last_ts").as("__pl"))
+    val n = next.select(col(userCol), col("n_sessions").as("__nn"),
+      col("n_events").as("__ne"), col("first_ts").as("__nf"),
+      col("last_ts").as("__nl"))
+    val bridged = col("__pl").isNotNull && col("__nf").isNotNull &&
+      unix_micros(col("__nf")) - unix_micros(col("__pl")) <= gapUs
+    p.join(n, Seq(userCol), "full_outer")
+      .select(
+        col(userCol),
+        (coalesce(col("__pn"), lit(0L)) + coalesce(col("__nn"), lit(0L)) -
+          when(bridged, 1L).otherwise(0L)).as("n_sessions"),
+        (coalesce(col("__pe"), lit(0L)) + coalesce(col("__ne"), lit(0L)))
+          .as("n_events"),
+        coalesce(col("__pf"), col("__nf")).as("first_ts"),
+        coalesce(col("__nl"), col("__pl")).as("last_ts"))
+  }
 }

@@ -346,5 +346,43 @@ object BehaviorQueries {
       FROM c""")
   )
 
-  val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163)
+  // --------------------------------------------------------------- q176
+  /** Incremental sessionization ([[graft.ops.Behavior.sessionState]] /
+    * `mergeSessionState`): events split at a mid-month cutoff, each half
+    * sessionized independently, states folded — and the result must
+    * hash-equal the ONE-PASS oracle over all events (q26's window
+    * algebra). The gate proves the merge law end-to-end, cross-batch
+    * session bridging included: a session straddling the cutoff is
+    * counted once in each half and the merge subtracts the bridge. */
+  private val q176 = Q(
+    "q176_incremental_sessions",
+    (s, dir) => {
+      val gapUs = 1800000000L
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      val events = Lake(s, dir).events
+      val a = Behavior.sessionState(
+        events.filter(col("ts") < cutoff), "user_id", "ts", "event_id", gapUs)
+      val b = Behavior.sessionState(
+        events.filter(col("ts") >= cutoff), "user_id", "ts", "event_id", gapUs)
+      Behavior.mergeSessionState(a, b, "user_id", gapUs)
+        .select("user_id", "n_sessions", "n_events")
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+             COUNT(*) AS n_events
+      FROM (
+        SELECT user_id,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id))
+                    > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM events)
+      GROUP BY user_id ORDER BY user_id""")
+  )
+
+  val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
+    q176)
 }

@@ -263,4 +263,33 @@ class BehaviorSpec extends SparkTestBase {
     assert(n2 == 1L && v2 == 100.0 / math.pow(2.0, 31) &&
       c2 == 1.0 / math.pow(2.0, 31))
   }
+
+  test("sessionState merge law: bridged, non-bridged, and one-sided users") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val gap = 1800000000L // 30 min in micros
+    val a = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L),  // u1 session 1
+      (1L, t("2024-01-01 10:10:00"), 2L),
+      (2L, t("2024-01-01 09:00:00"), 3L),  // u2 session 1
+      (3L, t("2024-01-01 08:00:00"), 4L)   // u3 only in batch A
+    ).toDF("user_id", "ts", "event_id")
+    val b = Seq(
+      (1L, t("2024-01-01 10:20:00"), 5L),  // bridges u1's open session
+      (1L, t("2024-01-01 12:00:00"), 6L),  // new session
+      (2L, t("2024-01-01 11:00:00"), 7L),  // gap > 30m: NOT bridged
+      (4L, t("2024-01-01 10:00:00"), 8L)   // u4 only in batch B
+    ).toDF("user_id", "ts", "event_id")
+    val merged = Behavior.mergeSessionState(
+        Behavior.sessionState(a, "user_id", "ts", "event_id", gap),
+        Behavior.sessionState(b, "user_id", "ts", "event_id", gap),
+        "user_id", gap)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val onePass = Behavior.sessionState(a.unionByName(b),
+        "user_id", "ts", "event_id", gap)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged == onePass)
+    assert(merged(1L) == ((2L, 4L)), "bridge folds the straddling session")
+    assert(merged(2L) == ((2L, 2L)))
+    assert(merged(3L) == ((1L, 1L)) && merged(4L) == ((1L, 1L)))
+  }
 }
