@@ -427,4 +427,62 @@ object EventStreams {
           out.iterator
         })
   }
+
+  final case class Admitted(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, admitted_n: Long)
+
+  /** Per-key admission quota on the Spark 4 `transformWithState` API —
+    * the arbitrary-state successor of flatMapGroupsWithState, backed by
+    * the RocksDB state store: admit at most `maxPerKey` events per user
+    * for the stream's lifetime (billing caps, abuse guards, per-source
+    * crawl budgets), drop the rest AT THE STATE LAYER so nothing
+    * downstream pays for them. State is ONE ValueState[Long] counter per
+    * key — typed, schema-evolvable, and independent of event volume; the
+    * processor materializes each key's admissions before updating the
+    * counter once per batch. Admitted events carry their admission
+    * ordinal (`admitted_n`), which also makes the op's determinism
+    * testable: ordinals are contiguous per key regardless of batch
+    * boundaries. StreamingSpec drives it across TWO batches to prove the
+    * counter survives micro-batch restarts. */
+  class QuotaProcessor(maxPerKey: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, Admitted] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Admitted] = {
+      var c = if (count.exists()) count.get() else 0L
+      val out = scala.collection.mutable.ListBuffer.empty[Admitted]
+      rows.foreach { e =>
+        if (c < maxPerKey) {
+          c += 1
+          out += Admitted(e.event_id, e.ts, e.user_id, e.event_type, e.value, c)
+        }
+      }
+      count.update(c)
+      out.iterator
+    }
+  }
+
+  /** Apply the quota gate to a typed event stream. Requires the RocksDB
+    * state store provider (set in the caller's session conf —
+    * `transformWithState` does not run on the default HDFS-backed
+    * store). */
+  def quotaGate(events: Dataset[Event], maxPerKey: Long): Dataset[Admitted] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new QuotaProcessor(maxPerKey),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

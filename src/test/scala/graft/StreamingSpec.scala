@@ -443,6 +443,40 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("quotaGate (transformWithState): counter survives micro-batches, RocksDB store") {
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = EventStreams.quotaGate(input.toDS(), maxPerKey = 3)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode("append").start()
+    try {
+      def e(id: Long, u: Long) =
+        Event(id, Timestamp.valueOf(s"2024-01-01 10:00:0$id"), u, "view", 1.0)
+      // batch 1: u1 gets 2 admitted, u2 gets 1
+      input.addData(e(1, 1), e(2, 1), e(3, 2))
+      q.processAllAvailable()
+      // batch 2: u1 may admit ONE more (counter persisted), then drops
+      input.addData(e(4, 1), e(5, 1), e(6, 1), e(7, 2))
+      q.processAllAvailable()
+      val out = spark.table("quota")
+        .select("event_id", "user_id", "admitted_n").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set(
+        (1L, 1L, 1L), (2L, 1L, 2L), (4L, 1L, 3L),   // u1 capped at 3
+        (3L, 2L, 1L), (7L, 2L, 2L)))                // u2 under quota
+    } finally {
+      q.stop()
+      before match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("intervalJoinStream: stream-stream matches within horizon, batch equality") {
     implicit val sc = spark.sqlContext
     val views = MemoryStream[(Long, Timestamp, String)]
