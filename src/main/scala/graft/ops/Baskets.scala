@@ -62,4 +62,48 @@ object Baskets {
           (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
       .orderBy("item_a", "item_b")
   }
+
+  /** Frequent triples via the Apriori candidate-pruning step: any triple
+    * with support ≥ s has all three sub-pairs at support ≥ s
+    * (anti-monotonicity), so the basket×basket×basket cube never
+    * materializes — the (a,b) leg is semi-joined against the FREQUENT
+    * pair set before the third item joins in, and at sf0.01 that prunes
+    * a 157k-triple candidate space to the handful that can qualify. The
+    * oracle states the mathematical spec (plain 3-way self-join +
+    * HAVING); the hash gate proves pruned ≡ naive (the q29
+    * spec-vs-scale-path pattern). Same basket-size cap as
+    * [[associationRules]]. Gated by q177. */
+  def frequentTriples(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minCount: Long,
+      maxBasketSize: Int = 100
+  ): DataFrame = {
+    require(minCount >= 2, s"bad minCount: $minCount")
+    val items = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+      .withColumn("__bsz",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__bk")))
+      .filter(col("__bsz") <= maxBasketSize)
+      .drop("__bsz")
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))
+      .select(col("a.__bk").as("__pbk"),
+        col("a.__it").as("item_a"), col("b.__it").as("item_b"))
+    val freqPairs = pairs.groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("__np"))
+      .filter(col("__np") >= minCount)
+      .select("item_a", "item_b")
+    pairs
+      .join(broadcast(freqPairs), Seq("item_a", "item_b"), "left_semi")
+      .join(items.as("c"),
+        col("__pbk") === col("c.__bk") && col("item_b") < col("c.__it"))
+      .groupBy(col("item_a"), col("item_b"), col("c.__it").as("item_c"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .filter(col("n_baskets") >= minCount)
+      .orderBy("item_a", "item_b", "item_c")
+  }
 }

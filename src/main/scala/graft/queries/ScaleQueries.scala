@@ -366,5 +366,34 @@ object ScaleQueries {
       FROM tok GROUP BY source ORDER BY source""")
   )
 
-  val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173)
+  // --------------------------------------------------------------- q177
+  /** Frequent triples ([[graft.ops.Baskets.frequentTriples]]): the
+    * Apriori anti-monotonicity prune — only baskets' pairs that are
+    * themselves frequent grow a third item — against the naive 3-way
+    * self-join oracle. At sf0.01 the prune collapses 157k candidate
+    * triples to the 12 that qualify at support 2. */
+  private val q177 = Q(
+    "q177_frequent_triples",
+    (s, dir) =>
+      graft.ops.Baskets.frequentTriples(
+        Lake(s, dir).lineitem, "l_orderkey", "l_partkey",
+        minCount = 2L, maxBasketSize = 100),
+    Some("""
+      WITH items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                     FROM lineitem),
+      sized AS (SELECT bk, it FROM
+                 (SELECT bk, it, COUNT(*) OVER (PARTITION BY bk) AS bsz
+                  FROM items)
+                WHERE bsz <= 100)
+      SELECT a.it AS item_a, b.it AS item_b, c.it AS item_c,
+             CAST(COUNT(*) AS BIGINT) AS n_baskets
+      FROM sized a
+      JOIN sized b ON a.bk = b.bk AND a.it < b.it
+      JOIN sized c ON b.bk = c.bk AND b.it < c.it
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+      ORDER BY item_a, item_b, item_c""")
+  )
+
+  val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173,
+    q177)
 }
