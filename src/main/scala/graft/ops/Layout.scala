@@ -101,4 +101,29 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Range-clustered table rewrite — the 1-D sibling of the Z-order
+    * layout: `repartitionByRange` on the sort keys plus a within-
+    * partition sort gives a GLOBALLY ordered file set (file i's key
+    * range lies entirely below file i+1's), which is the layout a
+    * single-key range scan wants — parquet footer min/max then skip
+    * every file but the hit range. Z-order trades per-key precision for
+    * multi-key balance; when one key dominates the scan pattern (time,
+    * id), range clustering dominates Z-order. Range partitioning
+    * samples the keys to place balanced bounds — a full sort's
+    * shuffle, but each output file is written once, sorted, no global
+    * merge. PlanSpec proves the rewrite: per-file ranges pairwise
+    * disjoint AND ordered, content preserved, `rangepartitioning` in
+    * the write plan. */
+  def sortedWrite(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      keys: Seq[String],
+      numFiles: Int
+  ): Unit = {
+    require(keys.nonEmpty && numFiles >= 1, "sortedWrite needs keys and files")
+    df.repartitionByRange(numFiles, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

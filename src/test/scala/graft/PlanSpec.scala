@@ -576,6 +576,30 @@ class PlanSpec extends SparkTestBase {
       "spark.sql.sources.partitionColumnTypeInference.enabled", "true")
   }
 
+  test("sortedWrite: globally ordered files — disjoint ranges, content preserved") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-sorted").toString
+    val src = Lake(spark, sfDir).events.select("event_id", "ts", "user_id")
+    val plan = src.repartitionByRange(8, col("ts"))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("rangepartitioning"), s"no range exchange in:\n$plan")
+    graft.ops.Layout.sortedWrite(src, s"$dir/events_sorted", Seq("ts"), 8)
+    val back = spark.read.parquet(s"$dir/events_sorted")
+    assert(back.count() == src.count())
+    assert(back.select(sum("event_id")).head.getLong(0) ==
+      src.select(sum("event_id")).head.getLong(0), "content changed")
+    // per-file ts ranges must be pairwise disjoint and ordered
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+      .collect()
+      .map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "fixture produced a single file — vacuous")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"file ranges overlap: hi=$hi1 lo=$lo2")
+    }
+  }
+
   test("builtin runtime bloom filter fires on a selective shuffle join") {
     // the engine enables spark.sql.optimizer.runtime.bloomFilter.enabled
     // (GraftSession); this pins that a selective dim filter on a SHUFFLE
