@@ -457,4 +457,30 @@ object Behavior {
         coalesce(col("__pf"), col("__nf")).as("first_ts"),
         coalesce(col("__nl"), col("__pl")).as("last_ts"))
   }
+
+  /** Per-SESSION feature extraction — the row-per-session frame a churn
+    * or recommendation model trains on: session index (per-user running
+    * count of gap breaks), event count, exact duration in micros, and
+    * caller-chosen conversion/value aggregates layered on top by the
+    * query. The same lag-gap window as the q26 counter, plus the running
+    * sum that turns break flags into session ids — still ONE hash(user)
+    * exchange end-to-end (both windows and the final aggregate share
+    * it). Gated by q179. */
+  def sessions(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapUs: Long
+  ): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(tsCol, idCol)
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__ns",
+        when(col("__prev").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("__prev")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__ns")).over(byUser))
+      .drop("__prev", "__ns")
+  }
 }

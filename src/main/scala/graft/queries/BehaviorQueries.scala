@@ -383,6 +383,50 @@ object BehaviorQueries {
       GROUP BY user_id ORDER BY user_id""")
   )
 
+  // --------------------------------------------------------------- q179
+  /** Session features ([[graft.ops.Behavior.sessions]]): one row per
+    * (user, session) with event count, exact duration, conversion flag,
+    * and cent-exact session value — the training frame behavioral models
+    * consume. Session ids come from the running sum of gap breaks over
+    * the same one hash(user) exchange as q26. */
+  private val q179 = Q(
+    "q179_session_features",
+    (s, dir) =>
+      Behavior.sessions(Lake(s, dir).events, "user_id", "ts", "event_id",
+          1800000000L)
+        .groupBy("user_id", "session_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .as("duration_us"),
+          (max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            === 1L).as("has_purchase"),
+          (sum(round(col("value") * 100.0d, 0).cast("long")).cast("double")
+            / 100.0d).as("session_value"))
+        .orderBy("user_id", "session_idx"),
+    Some("""
+      WITH s AS (
+        SELECT user_id, ts, event_id, event_type, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s2 AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS session_idx
+             FROM s)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+               AS duration_us,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS has_purchase,
+             CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS session_value
+      FROM s2 GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
-    q176)
+    q176, q179)
 }

@@ -394,6 +394,31 @@ object ScaleQueries {
       ORDER BY item_a, item_b, item_c""")
   )
 
+  // --------------------------------------------------------------- q178
+  /** Percentile-rank feature transform — the rank-normalization step for
+    * tabular training features (scale-free, outlier-immune): each
+    * order's price mapped to its within-priority cumulative rank over
+    * the unique total order (price, key). cume_dist over a unique
+    * ordering is row_number/n — a division of exact integers, so the
+    * doubles hash-match; no interpolation, no distribution assumptions. */
+  private val q178 = Q(
+    "q178_percentile_rank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Lake(s, dir).orders
+        .withColumn("price_pct",
+          cume_dist().over(Window.partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "price_pct")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS price_pct
+      FROM orders ORDER BY o_orderkey""")
+  )
+
   val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173,
-    q177)
+    q177, q178)
 }
