@@ -428,6 +428,50 @@ object EventStreams {
         })
   }
 
+  /** Windowed drift monitor against a FROZEN baseline — the live twin of
+    * [[graft.ops.Stats.driftReport]]: per tumbling window, total
+    * variation distance between the window's value distribution and a
+    * baseline bucket-share map computed offline (yesterday's corpus, the
+    * training distribution). Buckets are the integer-exact binary-digit
+    * bins the batch op uses; the whole monitor is ONE windowed aggregate
+    * (a fixed counter per bucket — the [[graft.streaming.DocumentStreams
+    * .auditStream]] one-stateful-op discipline, no chained aggregation),
+    * and the TVD folds the counters in fixed bucket order, so stream ≡
+    * batch to the last bit (StreamingSpec). Alert on tvd crossing a
+    * threshold; 0.5 means disjoint distributions. */
+  def driftStream(
+      events: DataFrame,
+      valueCol: String,
+      baselineShares: Map[Long, Double],
+      tsCol: String = "ts",
+      windowDur: String = "1 hour",
+      watermark: String = "30 minutes",
+      maxBucket: Int = 40
+  ): DataFrame = {
+    require(baselineShares.keys.forall(b => b >= 0 && b <= maxBucket),
+      s"baseline bucket outside [0, $maxBucket]")
+    val v = col(valueCol)
+    val bucket = when(v <= 0, lit(0L))
+      .otherwise(length(bin(v.cast("long"))).cast("long"))
+    val counters = (0 to maxBucket).map(b =>
+      sum(when(bucket === b.toLong, 1L).otherwise(0L)).as(s"__b$b"))
+    val agg = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(counters.head, counters.tail: _*)
+    val n = (0 to maxBucket).map(b => col(s"__b$b")).reduce(_ + _)
+    val tvd = (0 to maxBucket).map { b =>
+      val q = baselineShares.getOrElse(b.toLong, 0.0)
+      abs(col(s"__b$b").cast("double") / col("__n").cast("double") - lit(q))
+    }.reduce(_ + _) * 0.5d
+    agg
+      .withColumn("__n", n)
+      .select(
+        col("window.start").as("window_start"),
+        col("__n").as("n_rows"),
+        tvd.as("tvd"))
+  }
+
   final case class Admitted(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double, admitted_n: Long)
 

@@ -443,6 +443,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("driftStream: windowed TVD against a frozen baseline, hand-checked") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    // baseline: values of magnitude bucket 1 (v=1) and 2 (v=2..3), 50/50
+    val baseline = Map(1L -> 0.5, 2L -> 0.5)
+    val q = EventStreams.driftStream(input.toDF(), "value", baseline,
+        windowDur = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("update").start()
+    try {
+      def e(id: Long, v: Double) =
+        Event(id, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "x", v)
+      // window: 4 events, buckets: v=1 -> b1 (x2), v=2 -> b2 (x1), v=8 -> b4 (x1)
+      input.addData(e(1, 1.0), e(2, 1.0), e(3, 2.0), e(4, 8.0))
+      q.processAllAvailable()
+      val r = spark.table("drift").orderBy(col("n_rows").desc).collect().head
+      assert(r.getAs[Long]("n_rows") == 4L)
+      // shares: b1=0.5, b2=0.25, b4=0.25 vs baseline b1=0.5, b2=0.5
+      // tvd = 0.5 * (|0.5-0.5| + |0.25-0.5| + |0.25-0|) = 0.25
+      assert(math.abs(r.getAs[Double]("tvd") - 0.25) < 1e-12)
+    } finally q.stop()
+  }
+
   test("quotaGate (transformWithState): counter survives micro-batches, RocksDB store") {
     implicit val sc = spark.sqlContext
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
