@@ -427,6 +427,76 @@ object BehaviorQueries {
       ORDER BY user_id, session_idx""")
   )
 
+  // --------------------------------------------------------------- q180
+  /** Segmented funnel — q99's ordered view→click→purchase funnel broken
+    * out by the q163 parity variant: per (variant, step) reach counts
+    * plus each step's share of the variant's step-0 population. The
+    * per-user funnel times come from the same one-exchange window chain
+    * ([[graft.ops.Behavior.funnelUserTimes]]); segmentation is a
+    * constant-per-user tag applied AFTER the collapse, so the funnel
+    * algebra is untouched — which is exactly what the shared oracle CTE
+    * proves. */
+  private val q180 = Q(
+    "q180_funnel_by_variant",
+    (s, dir) => {
+      val times = Behavior.funnelUserTimes(
+        Lake(s, dir).events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), Some(sevenDaysUs))
+        .withColumn("variant", pmod(col("user_id"), lit(2L)))
+      val steps = Seq(("t0", 0L, "view"), ("t1", 1L, "click"),
+        ("t2", 2L, "purchase"))
+      val cells = steps.map { case (tc, idx, nm) =>
+        times.groupBy("variant")
+          .agg(sum(when(col(tc).isNotNull, 1L).otherwise(0L)).as("n_users"))
+          .select(col("variant"), lit(idx).as("step"),
+            lit(nm).as("step_name"), col("n_users"))
+      }.reduce(_.unionByName(_))
+      import org.apache.spark.sql.expressions.Window
+      cells
+        .withColumn("step0_users",
+          first(col("n_users")).over(
+            Window.partitionBy("variant").orderBy("step")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("reach_share",
+          col("n_users").cast("double") / col("step0_users").cast("double"))
+        .drop("step0_users")
+        .orderBy("variant", "step")
+    },
+    Some(s"""
+      WITH s0 AS (SELECT user_id, ts, event_type,
+          MIN(CASE WHEN event_type = 'view' THEN ts END)
+            OVER (PARTITION BY user_id) AS t0
+        FROM events),
+      s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0
+            AND epoch_us(ts) <= epoch_us(t0) + $sevenDaysUs THEN ts END)
+          OVER (PARTITION BY user_id) AS t1 FROM s0),
+      s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1
+            AND epoch_us(ts) <= epoch_us(t0) + $sevenDaysUs THEN ts END)
+          OVER (PARTITION BY user_id) AS t2 FROM s1),
+      u AS (SELECT user_id, user_id % 2 AS variant,
+              MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2
+            FROM s2 GROUP BY user_id),
+      cells AS (
+        SELECT variant, 0 AS step, 'view' AS step_name,
+               CAST(COUNT(*) FILTER (WHERE t0 IS NOT NULL) AS BIGINT)
+                 AS n_users
+        FROM u GROUP BY variant
+        UNION ALL
+        SELECT variant, 1, 'click',
+               CAST(COUNT(*) FILTER (WHERE t1 IS NOT NULL) AS BIGINT)
+        FROM u GROUP BY variant
+        UNION ALL
+        SELECT variant, 2, 'purchase',
+               CAST(COUNT(*) FILTER (WHERE t2 IS NOT NULL) AS BIGINT)
+        FROM u GROUP BY variant)
+      SELECT variant, CAST(step AS BIGINT) AS step, step_name, n_users,
+             CAST(n_users AS DOUBLE) /
+               CAST(FIRST(n_users) OVER (PARTITION BY variant ORDER BY step
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS reach_share
+      FROM cells ORDER BY variant, step""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
-    q176, q179)
+    q176, q179, q180)
 }
