@@ -497,6 +497,86 @@ object BehaviorQueries {
       FROM cells ORDER BY variant, step""")
   )
 
+  // --------------------------------------------------------------- q181
+  /** Rolling 7-day active users — the canonical engagement metric
+    * (DAU/WAU family), exact: distinct (day, user) pairs fan out to the
+    * ≤ 7 trailing day-grid rows they activate, then one distinct count
+    * per grid day; the same aggregate also counts the day's own actives
+    * through a conditional distinct. The fan-out factor is the window
+    * length (bounded), never the data. */
+  private val q181 = Q(
+    "q181_rolling_active_users",
+    (s, dir) => {
+      val du = Lake(s, dir).events.select(
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("user_id")).distinct()
+      val days = du.select(col("day").as("g")).distinct()
+      days.join(du, col("day") >= col("g") - 6 && col("day") <= col("g"))
+        .groupBy("g")
+        .agg(
+          count_distinct(when(col("day") === col("g"), col("user_id")))
+            .as("active_1d"),
+          count_distinct(col("user_id")).as("active_7d"))
+        .select(col("g").as("day"), col("active_1d"), col("active_7d"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH du AS (SELECT DISTINCT
+          datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+          user_id
+        FROM events),
+      days AS (SELECT DISTINCT day AS g FROM du)
+      SELECT CAST(g AS BIGINT) AS day,
+        CAST(COUNT(DISTINCT CASE WHEN du.day = g THEN user_id END)
+          AS BIGINT) AS active_1d,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+      FROM days JOIN du ON du.day BETWEEN g - 6 AND g
+      GROUP BY g ORDER BY day""")
+  )
+
+  // --------------------------------------------------------------- q183
+  /** Conversion-delay distribution: view→purchase completion times from
+    * the q99 funnel chain, log₂-bucketed with the integer-exact
+    * binary-digit bins (q112 discipline — no floating log to disagree
+    * on). The shape marketing actually reads: most conversions land in
+    * a few adjacent power-of-two bands. */
+  private val q183 = Q(
+    "q183_conversion_delay",
+    (s, dir) => {
+      val times = Behavior.funnelUserTimes(
+        Lake(s, dir).events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), Some(sevenDaysUs))
+      graft.ops.Stats.logHistogram(
+        times.filter(col("t2").isNotNull)
+          .select((unix_micros(col("t2")) - unix_micros(col("t0")))
+            .as("delay_us")),
+        "delay_us", Seq.empty)
+        .orderBy("bucket")
+    },
+    Some(s"""
+      WITH s0 AS (SELECT user_id, ts, event_type,
+          MIN(CASE WHEN event_type = 'view' THEN ts END)
+            OVER (PARTITION BY user_id) AS t0
+        FROM events),
+      s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0
+            AND epoch_us(ts) <= epoch_us(t0) + $sevenDaysUs THEN ts END)
+          OVER (PARTITION BY user_id) AS t1 FROM s0),
+      s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1
+            AND epoch_us(ts) <= epoch_us(t0) + $sevenDaysUs THEN ts END)
+          OVER (PARTITION BY user_id) AS t2 FROM s1),
+      u AS (SELECT user_id, MAX(t0) AS t0, MAX(t2) AS t2
+            FROM s2 GROUP BY user_id),
+      d AS (SELECT epoch_us(t2) - epoch_us(t0) AS delay_us
+            FROM u WHERE t2 IS NOT NULL)
+      SELECT CAST(CASE WHEN delay_us <= 0 THEN 0
+                  ELSE length(bin(delay_us)) END AS BIGINT) AS bucket,
+             COUNT(*) AS n,
+             MIN(delay_us) AS min_value,
+             MAX(delay_us) AS max_value
+      FROM d GROUP BY 1 ORDER BY bucket""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
-    q176, q179, q180)
+    q176, q179, q180, q181, q183)
 }

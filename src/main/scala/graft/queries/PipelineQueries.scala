@@ -4439,6 +4439,91 @@ object PipelineQueries {
       FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""")
   )
 
+  // --------------------------------------------------------------- q182
+  /** Shard-balance audit for the q73 exporter: per-shard doc and token
+    * mass plus each shard's share — the check a training job runs before
+    * assuming its data-parallel workers get equal work. The oracle
+    * replays the 12-hex-digit md5 shard assignment nibble-by-nibble, so
+    * the gate pins the exact hash→shard mapping, not just the
+    * aggregate shape. */
+  private val q182 = Q(
+    "q182_shard_skew",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val docs = Lake(s, dir).documents.select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.shardExport(docs, "doc_id", nShards = 8, salt = "sk")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+        .withColumn("doc_share",
+          col("n_docs").cast("double") /
+            sum(col("n_docs")).over(W.partitionBy()).cast("double"))
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST(${hexSql("md5('sk' || CAST(doc_id AS VARCHAR))", 12)} % 8
+            AS BIGINT) AS shard
+        FROM documents)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+             CAST(COUNT(*) AS DOUBLE) /
+               CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS doc_share
+      FROM t GROUP BY shard ORDER BY shard""")
+  )
+
+  // --------------------------------------------------------------- q184
+  /** Source-vocabulary overlap matrix: exact Jaccard between every
+    * source pair's word sets — the corpus-level similarity diagnostic
+    * ("are src3 and src7 the same crawl twice?") that sits above the
+    * doc-level dedup family. Distinct (source, word) pairs self-join on
+    * the word (inverted-index discipline — never source×source×vocab),
+    * sizes ride a broadcast. */
+  private val q184 = Q(
+    "q184_source_vocab_overlap",
+    (s, dir) => {
+      val sv = Lake(s, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val sizes = sv.groupBy("source").agg(count(lit(1)).as("v"))
+      sv.as("a")
+        .join(sv.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.withColumnRenamed("v", "v_a")
+          .withColumnRenamed("source", "source_a")), Seq("source_a"))
+        .join(broadcast(sizes.withColumnRenamed("v", "v_b")
+          .withColumnRenamed("source", "source_b")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          col("v_a"), col("v_b"),
+          (col("n_common").cast("double") /
+            (col("v_a") + col("v_b") - col("n_common")).cast("double"))
+            .as("jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""
+      WITH sv AS (SELECT DISTINCT source,
+                    unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+      sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+                FROM sv GROUP BY source),
+      inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_common
+                FROM sv a JOIN sv b
+                  ON a.w = b.w AND a.source < b.source
+                GROUP BY 1, 2)
+      SELECT source_a, source_b, n_common, sa.v AS v_a, sb.v AS v_b,
+             CAST(n_common AS DOUBLE) /
+               CAST(sa.v + sb.v - n_common AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON source_a = sa.source
+      JOIN sizes sb ON source_b = sb.source
+      ORDER BY source_a, source_b""")
+  )
+
   // --------------------------------------------------------------- q174
   /** Lang-ID confusion matrix — q37's heuristic classifier EVALUATED:
     * per (true_lang, pred_lang) cell counts plus per-cell share of the
@@ -4607,5 +4692,5 @@ object PipelineQueries {
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
-    q174, q175)
+    q174, q175, q182, q184)
 }
