@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot diff — CDC for a keyed lake table: given yesterday's and
@@ -131,5 +132,36 @@ object Snapshot {
     ranges.withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
       .select(col(keyCol), col("state"), col("valid_from"),
         col("valid_to"), col("n_obs"), col("version"))
+  }
+
+  /** MERGE-INTO semantics for a keyed snapshot — the lakehouse upsert:
+    * apply a change batch of (key, version, op ∈ I/U/D, payload…) to a
+    * base table; per key the HIGHEST version wins (base rows carry their
+    * own version), and a winning D tombstone removes the key. Expressed
+    * as union + one row_number window on hash(key) — the exact shape a
+    * 100 TB MERGE compiles to (no per-row lookups; late/duplicate
+    * change deliveries collapse in the same window, making the apply
+    * idempotent). Insert-vs-update is a delivery hint, not a semantic:
+    * winner-takes-key handles both, which is what makes replayed feeds
+    * safe. Gated by q185 against the same window algebra in SQL. */
+  def applyChanges(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      versionCol: String,
+      opCol: String
+  ): DataFrame = {
+    val cols = base.columns
+    require(changes.columns.contains(opCol) &&
+      cols.forall(changes.columns.contains),
+      s"changes must carry every base column plus $opCol")
+    val tagged = base.withColumn(opCol, lit("U"))
+      .unionByName(changes.select((cols :+ opCol).map(col): _*))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(versionCol).desc, col(opCol).desc)
+    tagged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn", opCol)
   }
 }

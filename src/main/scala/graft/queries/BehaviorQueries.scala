@@ -577,6 +577,62 @@ object BehaviorQueries {
       FROM d GROUP BY 1 ORDER BY bucket""")
   )
 
+  // --------------------------------------------------------------- q186
+  /** Daily anomaly flags with ZERO floats — the [[graft.ops.Stats
+    * .sigmaOutliers]] integer discipline on a trailing RANGE frame:
+    * day d's count x is anomalous vs its type's trailing-7-day baseline
+    * iff `(n·x − Σx)² > k²·(n·Σx² − (Σx)²)` (the |x−μ| > k·σ inequality
+    * with both sides times n² — every term a long). k = 2; days with
+    * fewer than 3 baseline days abstain. Both inequality sides are
+    * emitted, so the flag is auditable. */
+  private val q186 = Q(
+    "q186_daily_anomaly",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val daily = Lake(s, dir).events
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = W.partitionBy("event_type").orderBy("day").rangeBetween(-7, -1)
+      daily
+        .withColumn("bn", count(col("x")).over(w))
+        // empty trailing frames: SUM is NULL while the oracle coalesces
+        // to 0 — match it, or the first day of every type hash-mismatches
+        .withColumn("bs", coalesce(sum(col("x")).over(w), lit(0L)))
+        .withColumn("bss",
+          coalesce(sum(col("x") * col("x")).over(w), lit(0L)))
+        .withColumn("lhs",
+          (col("bn") * col("x") - col("bs")) *
+            (col("bn") * col("x") - col("bs")))
+        .withColumn("rhs",
+          lit(4L) * (col("bn") * col("bss") - col("bs") * col("bs")))
+        .withColumn("is_anomaly", col("bn") >= 3 && col("lhs") > col("rhs"))
+        .select("event_type", "day", "x", "bn", "lhs", "rhs", "is_anomaly")
+        .orderBy("event_type", "day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                 AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, day, x,
+              CAST(COUNT(x) OVER w AS BIGINT) AS bn,
+              CAST(COALESCE(SUM(x) OVER w, 0) AS BIGINT) AS bs,
+              CAST(COALESCE(SUM(x * x) OVER w, 0) AS BIGINT) AS bss
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, day, x, bn,
+             (bn * x - bs) * (bn * x - bs) AS lhs,
+             4 * (bn * bss - bs * bs) AS rhs,
+             bn >= 3 AND (bn * x - bs) * (bn * x - bs)
+               > 4 * (bn * bss - bs * bs) AS is_anomaly
+      FROM b ORDER BY event_type, day""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
-    q176, q179, q180, q181, q183)
+    q176, q179, q180, q181, q183, q186)
 }

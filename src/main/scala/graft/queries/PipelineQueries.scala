@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Lake
-import graft.ops.{Classifier, Dedup, Index, LanguageModel, Layout, Linkage, Multimodal, Packing, Sampling, Similarity, TextAnalysis, WebGraph}
+import graft.ops.{Classifier, Dedup, Index, LanguageModel, Layout, Linkage, Multimodal, Packing, Sampling, Similarity, Snapshot, TextAnalysis, WebGraph}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash /
@@ -4439,6 +4439,57 @@ object PipelineQueries {
       FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""")
   )
 
+  // --------------------------------------------------------------- q185
+  /** MERGE-INTO / upsert semantics ([[graft.ops.Snapshot.applyChanges]]):
+    * a keyed base snapshot (each user's latest pre-cutoff state) merged
+    * with a change batch (latest post-cutoff state per user; users
+    * ending in 7 arrive as D tombstones) — highest version wins, winning
+    * tombstones delete, replayed deliveries collapse idempotently in the
+    * same window. The oracle restates the union + row_number algebra. */
+  private val q185 = Q(
+    "q185_cdc_upsert",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      val ev = Lake(s, dir).events
+      def latest(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("__rn", row_number().over(
+            W.partitionBy("user_id").orderBy(col("ts").desc,
+              col("event_id").desc)))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("event_type").as("state"),
+            unix_micros(col("ts")).as("version"))
+      val base = latest(ev.filter(col("ts") < cutoff))
+      val changes = latest(ev.filter(col("ts") >= cutoff))
+        .withColumn("op",
+          when(pmod(col("user_id"), lit(10)) === 7, "D").otherwise("U"))
+      Snapshot.applyChanges(base, changes, "user_id", "version", "op")
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH pre AS (SELECT user_id, event_type AS state,
+               epoch_us(ts) AS version,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+      base AS (SELECT user_id, state, version FROM pre WHERE rn = 1),
+      post AS (SELECT user_id, event_type AS state,
+                 epoch_us(ts) AS version,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+      chg AS (SELECT user_id, state, version,
+                CASE WHEN user_id % 10 = 7 THEN 'D' ELSE 'U' END AS op
+              FROM post WHERE rn = 1),
+      merged AS (SELECT user_id, state, version, 'U' AS op FROM base
+                 UNION ALL
+                 SELECT user_id, state, version, op FROM chg),
+      win AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY version DESC, op DESC) AS rn FROM merged)
+      SELECT user_id, state, CAST(version AS BIGINT) AS version
+      FROM win WHERE rn = 1 AND op != 'D' ORDER BY user_id""")
+  )
+
   // --------------------------------------------------------------- q182
   /** Shard-balance audit for the q73 exporter: per-shard doc and token
     * mass plus each shard's share — the check a training job runs before
@@ -4692,5 +4743,5 @@ object PipelineQueries {
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
-    q174, q175, q182, q184)
+    q174, q175, q182, q184, q185)
 }

@@ -667,4 +667,23 @@ class OpsSpec extends SparkTestBase {
     assert(out("z2") == ((3L, 3L, false)))
     assert(out("z3") == ((2L, 2L, true)))
   }
+
+  test("Snapshot.applyChanges: upsert, tombstone, replay idempotence") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
+      .toDF("k", "state", "version")
+    val changes = Seq(
+      (1L, "a2", 20L, "U"),  // update wins by version
+      (3L, "c", 20L, "D"),   // tombstone removes
+      (4L, "d", 20L, "I"),   // insert
+      (4L, "d", 20L, "I")    // replayed delivery collapses
+    ).toDF("k", "state", "version", "op")
+    val out = graft.ops.Snapshot.applyChanges(base, changes, "k", "version", "op")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map(1L -> ("a2", 20L), 2L -> ("b", 10L), 4L -> ("d", 20L)))
+    // stale tombstone (older version) must NOT delete
+    val stale = Seq((2L, "x", 5L, "D")).toDF("k", "state", "version", "op")
+    val kept = graft.ops.Snapshot.applyChanges(base, stale, "k", "version", "op")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L), "stale delete must lose to newer base row")
+  }
 }
