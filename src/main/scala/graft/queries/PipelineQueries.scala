@@ -4439,6 +4439,103 @@ object PipelineQueries {
       FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank""")
   )
 
+  // --------------------------------------------------------------- q187
+  /** NESTED-schema JSONL round trip — the q113 gate for structured
+    * training records: each doc carries an array-of-struct span column
+    * and a map column (the shape annotation/provenance metadata takes),
+    * written to JSONL and read back under the declared schema. The
+    * comparison flattens both sides to scalars (explode + map lookups),
+    * because nested fidelity bugs hide exactly there: field reordering,
+    * null-vs-missing, map key loss. */
+  private val q187 = Q(
+    "q187_nested_roundtrip",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+        .select(col("doc_id"),
+          expr("transform(slice(split(text, ' '), 1, 3), " +
+            "(w, i) -> named_struct('word', w, 'idx', CAST(i AS LONG), " +
+            "'len', CAST(length(w) AS LONG)))").as("spans"),
+          map(lit("lang"), col("lang"), lit("source"), col("source"))
+            .as("meta"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q187").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      docs.coalesce(2).write.mode("overwrite").json(s"$tmp/nested")
+      s.read.schema(docs.schema).json(s"$tmp/nested")
+        .select(col("doc_id"), explode(col("spans")).as("sp"),
+          col("meta")("lang").as("lang"), col("meta")("source").as("source"))
+        .select(col("doc_id"), col("sp.idx").as("idx"),
+          col("sp.word").as("word"), col("sp.len").as("len"),
+          col("lang"), col("source"))
+        .orderBy("doc_id", "idx")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, lang, source
+                 FROM documents)
+      SELECT doc_id, CAST(i AS BIGINT) AS idx, ws[i + 1] AS word,
+             CAST(length(ws[i + 1]) AS BIGINT) AS len, lang, source
+      FROM w, unnest(generate_series(0, 2)) AS t(i)
+      ORDER BY doc_id, idx""")
+  )
+
+  // --------------------------------------------------------------- q188
+  /** Fuzzy-timestamp event dedup — telemetry's classic double-fire:
+    * events of the same (user, type) within 1 second collapse to the
+    * earliest (retries, at-least-once sinks, double-clicks). The window
+    * form: an event survives iff its gap to the PREVIOUS same-key event
+    * exceeds the tolerance — chained duplicates all collapse onto the
+    * first of the burst, one hash(user,type) exchange, no self-join.
+    * The corpus has no natural sub-second bursts, so every 10th event
+    * gets a planted re-fire 200 ms later (the q113 hazard-fixture
+    * discipline: an unexercised collapse path is an untested one). The
+    * oracle states the same union + lag predicate. */
+  private val q188 = Q(
+    "q188_fuzzy_event_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val w = W.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val base = Lake(s, dir).events
+        .select("event_id", "ts", "user_id", "event_type")
+      val refires = base.filter(pmod(col("event_id"), lit(10)) === 0)
+        .select((col("event_id") + 10000000L).as("event_id"),
+          timestamp_micros(unix_micros(col("ts")) + 200000L).as("ts"),
+          col("user_id"), col("event_type"))
+      base.unionByName(refires)
+        .withColumn("__run",
+          sum(when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) -
+              unix_micros(lag(col("ts"), 1).over(w)) > 1000000L, 1L)
+            .otherwise(0L)).over(w))
+        .groupBy("user_id", "event_type", "__run")
+        .agg(min(col("event_id")).as("event_id"),
+          count(lit(1)).as("n_collapsed"),
+          unix_micros(min(col("ts"))).as("ts_us"))
+        .select("event_id", "user_id", "event_type", "ts_us", "n_collapsed")
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (SELECT event_id, ts, user_id, event_type FROM events
+                 UNION ALL
+                 SELECT event_id + 10000000,
+                        ts + INTERVAL 200 MILLISECONDS, user_id, event_type
+                 FROM events WHERE event_id % 10 = 0),
+      m AS (SELECT event_id, user_id, event_type, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1000000
+                    THEN 1 ELSE 0 END AS brk
+             FROM e
+             WINDOW w AS (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id)),
+      r AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id, event_type
+              ORDER BY ts, event_id) AS run
+            FROM m)
+      SELECT CAST(MIN(event_id) AS BIGINT) AS event_id, user_id, event_type,
+             epoch_us(MIN(ts)) AS ts_us,
+             CAST(COUNT(*) AS BIGINT) AS n_collapsed
+      FROM r GROUP BY user_id, event_type, run
+      ORDER BY event_id""")
+  )
+
   // --------------------------------------------------------------- q185
   /** MERGE-INTO / upsert semantics ([[graft.ops.Snapshot.applyChanges]]):
     * a keyed base snapshot (each user's latest pre-cutoff state) merged
@@ -4743,5 +4840,5 @@ object PipelineQueries {
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
-    q174, q175, q182, q184, q185)
+    q174, q175, q182, q184, q185, q187, q188)
 }
