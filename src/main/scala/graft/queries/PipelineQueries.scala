@@ -4536,6 +4536,29 @@ object PipelineQueries {
       ORDER BY event_id""")
   )
 
+  // --------------------------------------------------------------- q189
+  /** XML round trip — Spark 4's NATIVE XML data source (the spark-xml
+    * package folded into core) on the same escaping-hazard fixture as
+    * q113/q114/q149: entity escaping (&, <, >, quotes) plus an embedded
+    * newline must survive write + schema'd read. Fourth interchange
+    * format under the hash gate; `ignoreSurroundingSpaces` is disabled
+    * because the hazard text's value boundaries are load-bearing. */
+  private val q189 = Q(
+    "q189_xml_roundtrip",
+    (s, dir) => {
+      val docs = hazardDocs(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q189").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      docs.coalesce(2).write.mode("overwrite")
+        .option("rowTag", "doc").xml(s"$tmp/xml")
+      s.read.schema(docs.schema)
+        .option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false")
+        .xml(s"$tmp/xml").orderBy("doc_id")
+    },
+    Some(hazardSql)
+  )
+
   // --------------------------------------------------------------- q185
   /** MERGE-INTO / upsert semantics ([[graft.ops.Snapshot.applyChanges]]):
     * a keyed base snapshot (each user's latest pre-cutoff state) merged
@@ -4840,5 +4863,5 @@ object PipelineQueries {
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
-    q174, q175, q182, q184, q185, q187, q188)
+    q174, q175, q182, q184, q185, q187, q188, q189)
 }
