@@ -4536,6 +4536,42 @@ object PipelineQueries {
       ORDER BY event_id""")
   )
 
+  // --------------------------------------------------------------- q190
+  /** VARIANT-type semi-structured extraction — Spark 4's schemaless
+    * sibling of the q131 schema'd parse: each event's props bag is
+    * enriched into a nested JSON document, parsed ONCE into a VARIANT,
+    * and probed with typed `variant_get` paths (scalar, nested object,
+    * array index) plus a `try_variant_get` miss that must come back
+    * null rather than throw. The oracle states ground truth from the
+    * construction — wrong path semantics, type coercion, or array
+    * indexing all hash-mismatch. */
+  private val q190 = Q(
+    "q190_variant_extraction",
+    (s, dir) => {
+      val rich = concat(
+        lit("""{"k": """), regexp_extract(col("props"), "([0-9]+)", 1),
+        lit(""", "tags": ["a", """"), col("event_type"),
+        lit(""""], "meta": {"type": """"), col("event_type"),
+        lit(""""}}"""))
+      Lake(s, dir).events
+        .withColumn("__v", parse_json(rich))
+        .select(
+          col("event_id"),
+          variant_get(col("__v"), "$.k", "long").as("k"),
+          variant_get(col("__v"), "$.meta.type", "string").as("meta_type"),
+          variant_get(col("__v"), "$.tags[1]", "string").as("tag1"),
+          try_variant_get(col("__v"), "$.missing", "string").as("missing"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+             event_type AS meta_type,
+             event_type AS tag1,
+             CAST(NULL AS VARCHAR) AS missing
+      FROM events ORDER BY event_id""")
+  )
+
   // --------------------------------------------------------------- q189
   /** XML round trip — Spark 4's NATIVE XML data source (the spark-xml
     * package folded into core) on the same escaping-hazard fixture as
@@ -4863,5 +4899,5 @@ object PipelineQueries {
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
-    q174, q175, q182, q184, q185, q187, q188, q189)
+    q174, q175, q182, q184, q185, q187, q188, q189, q190)
 }
