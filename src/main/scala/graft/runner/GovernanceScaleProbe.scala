@@ -83,15 +83,54 @@ object GovernanceScaleProbe {
       "negative_sampling" -> ((dc, _) =>
         Sampling.negativeSamples(dc, "doc_id", k = 4)),
       "decayed_engagement" -> ((ev, _) => Behavior.decayedEngagement(
-        ev, "user_id", "ts", "value", "2024-02-01", 31))
+        ev, "user_id", "ts", "value", "2024-02-01", 31)),
+      "association_rules" -> ((li, _) => graft.ops.Baskets.associationRules(
+        li, "l_orderkey", "l_partkey", minPairCount = 3L)),
+      "frequent_triples" -> ((li, _) => graft.ops.Baskets.frequentTriples(
+        li, "l_orderkey", "l_partkey", minCount = 2L)),
+      "session_features" -> ((ev, _) => Behavior.sessions(
+          ev, "user_id", "ts", "event_id", 1800000000L)
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n"), min(col("ts")).as("t0"))),
+      "cdc_upsert" -> ((ev, _) => {
+        import org.apache.spark.sql.expressions.{Window => W}
+        val cutoff = lit("2024-01-16").cast("timestamp")
+        def latest(df: DataFrame) =
+          df.withColumn("__rn", org.apache.spark.sql.functions.row_number()
+              .over(W.partitionBy("user_id").orderBy(col("ts").desc,
+                col("event_id").desc)))
+            .filter(col("__rn") === 1)
+            .select(col("user_id"), col("event_type").as("state"),
+              unix_micros(col("ts")).as("version"))
+        val base = latest(ev.filter(col("ts") < cutoff))
+        val chg = latest(ev.filter(col("ts") >= cutoff))
+          .withColumn("op",
+            when(pmod(col("user_id"), lit(10)) === 7, "D").otherwise("U"))
+        graft.ops.Snapshot.applyChanges(base, chg, "user_id", "version", "op")
+      }),
+      "daily_anomaly" -> ((ev, _) => {
+        import org.apache.spark.sql.expressions.{Window => W}
+        val daily = ev.groupBy(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .cast("long").as("day"))
+          .agg(count(lit(1)).as("x"))
+        val w = W.partitionBy("event_type").orderBy("day").rangeBetween(-7, -1)
+        daily.withColumn("bn", count(col("x")).over(w))
+          .withColumn("bs", coalesce(sum(col("x")).over(w), lit(0L)))
+      }),
+      "shared_spans" -> ((dc, _) =>
+        graft.ops.Dedup.sharedSpans(dc, "doc_id", "text", 3, 30L))
     )
 
     val results = probes.map { case (name, op) =>
       val (a1, aN, b1, bN) = name match {
         case "chi2_cells" | "kanonymity" => (or1, orN, or1, orN)
-        case "lang_divergence" | "gopher_rules" | "negative_sampling" =>
+        case "lang_divergence" | "gopher_rules" | "negative_sampling" |
+             "shared_spans" =>
           (dc1, dcN, dc1, dcN)
-        case "decayed_engagement" => (ev1, evN, ev1, evN)
+        case "decayed_engagement" | "session_features" | "cdc_upsert" |
+             "daily_anomaly" => (ev1, evN, ev1, evN)
+        case "association_rules" | "frequent_triples" => (li1, liN, li1, liN)
         case _ => (li1, liN, or1, orN)
       }
       noop(op(a1, b1)) // warm plan/codegen
