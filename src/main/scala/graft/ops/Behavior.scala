@@ -465,7 +465,8 @@ object Behavior {
     * query. The same lag-gap window as the q26 counter, plus the running
     * sum that turns break flags into session ids — still ONE hash(user)
     * exchange end-to-end (both windows and the final aggregate share
-    * it). Gated by q179. */
+    * it). Gated by q179. MEASURED (GovernanceScaleProbe, sf0.1 events
+    * ×10, with the per-session aggregate): 0.22 → 0.49 s = 2.3×. */
   def sessions(
       events: DataFrame,
       userCol: String,

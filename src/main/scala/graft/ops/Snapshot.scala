@@ -143,7 +143,9 @@ object Snapshot {
     * change deliveries collapse in the same window, making the apply
     * idempotent). Insert-vs-update is a delivery hint, not a semantic:
     * winner-takes-key handles both, which is what makes replayed feeds
-    * safe. Gated by q185 against the same window algebra in SQL. */
+    * safe. Gated by q185 against the same window algebra in SQL.
+    * MEASURED (GovernanceScaleProbe, sf0.1 events ×10, full
+    * base+changes derivation included): 0.21 → 0.52 s = 2.4×. */
   def applyChanges(
       base: DataFrame,
       changes: DataFrame,
