@@ -980,8 +980,245 @@ object RelationalQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  // --------------------------------------------------------------- q191
+  /** TPC-H Q4 shape — EXISTS as a left-semi join with a MIXED condition
+    * (equi key + a non-equi lateness predicate): orders carrying at
+    * least one line shipped > 60 days after the order date, counted per
+    * priority. Catalyst plans the equi part as the join key and the
+    * lateness as a join-time filter — no correlated per-row subquery
+    * execution survives to the physical plan, which is the entire point
+    * of expressing EXISTS relationally at 100 TB. */
+  private val q191 = Q(
+    "q191_late_order_priorities",
+    (s, dir) => {
+      val lk = Lake(s, dir)
+      lk.orders
+        .join(lk.lineitem,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  // --------------------------------------------------------------- q192
+  /** TPC-H Q13 shape — customer order-count distribution including the
+    * zero bucket: left outer join + two-level aggregation. The reference
+    * has nothing like the "including absent" histogram; SQL's classic
+    * trap (COUNT(*) vs COUNT(col) on an outer join) is exactly what the
+    * hash gate pins. */
+  private val q192 = Q(
+    "q192_order_count_distribution",
+    (s, dir) => {
+      val lk = Lake(s, dir)
+      lk.customer
+        .join(lk.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")
+    },
+    Some("""
+      SELECT n_orders, COUNT(*) AS n_customers
+      FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+      GROUP BY n_orders ORDER BY n_orders""")
+  )
+
+  // --------------------------------------------------------------- q193
+  /** TPC-H Q17 shape — the correlated-average filter: revenue from lines
+    * whose quantity is under 20% of their PART's average quantity,
+    * reported as avg yearly revenue. The correlation decorrelates into a
+    * per-part aggregate joined back (AVG of integral quantities is an
+    * exact-sum division — identical doubles both engines); the money sum
+    * stays DECIMAL until one final division. */
+  private val q193 = Q(
+    "q193_small_quantity_revenue",
+    (s, dir) => {
+      val lk = Lake(s, dir)
+      val lim = lk.lineitem.groupBy(col("l_partkey").as("pk"))
+        .agg((lit(0.2d) * avg(col("l_quantity"))).as("lim"))
+      lk.lineitem
+        .join(lim, col("l_partkey") === col("pk") && col("l_quantity") < col("lim"))
+        .agg((sum(col("l_extendedprice").cast("decimal(38,2)"))
+          .cast("double") / 7.0d).as("avg_yearly"))
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+               / 7.0 AS avg_yearly
+      FROM lineitem
+      JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS lim
+            FROM lineitem GROUP BY 1) t
+        ON l_partkey = pk AND l_quantity < lim""")
+  )
+
+  // --------------------------------------------------------------- q194
+  /** TPC-H Q18 shape — large-volume orders: HAVING on a grouped sum,
+    * joined back to the order/customer detail. The join-back side is the
+    * tiny filtered aggregate, broadcast by AQE against the fact. */
+  private val q194 = Q(
+    "q194_large_volume_orders",
+    (s, dir) => {
+      val lk = Lake(s, dir)
+      val big = lk.lineitem.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(38,2)")).cast("double")
+          .as("sum_qty"))
+        .filter(col("sum_qty") > 250.0d)
+      lk.orders
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(lk.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+    },
+    Some("""
+      SELECT c_name, o_orderkey, o_totalprice, sum_qty
+      FROM orders
+      JOIN (SELECT l_orderkey,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                   > 250.0) b
+        ON o_orderkey = b.l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY sum_qty DESC, o_orderkey""")
+  )
+
+  // --------------------------------------------------------------- q195
+  /** TPC-H Q21 shape — "the one supplier who held up the order":
+    * multi-supplier orders where EXACTLY ONE supplier shipped late,
+    * charged to that supplier. The classic EXISTS/NOT-EXISTS pair
+    * decorrelates into per-order distinct counts + a conditional MIN —
+    * one aggregate over the join instead of two correlated probes. */
+  private val q195 = Q(
+    "q195_blame_supplier",
+    (s, dir) => {
+      val lk = Lake(s, dir)
+      val late = col("l_shipdate") >
+        col("o_orderdate") + expr("interval 60 days")
+      val per = lk.lineitem
+        .join(lk.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+          count_distinct(col("l_suppkey")).as("ns"),
+          count_distinct(when(late, col("l_suppkey"))).as("nlate"),
+          min(when(late, col("l_suppkey"))).as("late_supp"))
+      per.filter(col("ns") >= 2 && col("nlate") === 1)
+        .groupBy(col("late_supp").as("s_suppkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("s_suppkey"))
+        .limit(20)
+    },
+    Some("""
+      WITH per AS (
+        SELECT l_orderkey,
+               COUNT(DISTINCT l_suppkey) AS ns,
+               COUNT(DISTINCT CASE WHEN l_shipdate >
+                 o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS nlate,
+               MIN(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN l_suppkey END) AS late_supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey)
+      SELECT late_supp AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM per WHERE ns >= 2 AND nlate = 1
+      GROUP BY late_supp
+      ORDER BY n_orders DESC, s_suppkey LIMIT 20""")
+  )
+
+  // --------------------------------------------------------------- q196
+  /** TPC-H Q22 shape — scalar subquery + NOT EXISTS against a FILTERED
+    * set: above-average-balance customers with no high-value order,
+    * summarized per segment. The average is computed in exact cents
+    * (AVG over raw doubles is fold-order-dependent and would break the
+    * gate); the anti-join's right side is the filtered orders subset. */
+  private val q196 = Q(
+    "q196_rich_low_engagement",
+    (s, dir) => {
+      val lk = Lake(s, dir)
+      val avgBal = lk.customer.filter(col("c_acctbal") > 0.0d)
+        .agg((sum(round(col("c_acctbal") * 100.0d, 0).cast("long")
+          .cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double") / 100.0d).as("a"))
+      val rich = lk.customer.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("a"))
+      rich
+        .join(lk.orders.filter(col("o_totalprice") > 400000.0d)
+          .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          (sum(round(col("c_acctbal") * 100.0d, 0).cast("long")
+            .cast("decimal(38,0)")).cast("double") / 100.0d).as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""
+      WITH a AS (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT))
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS a
+                 FROM customer WHERE c_acctbal > 0.0)
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100.0) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_bal
+      FROM customer, a
+      WHERE c_acctbal > a.a
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_totalprice > 400000.0)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  // --------------------------------------------------------------- q197
+  /** TPC-H Q15 shape — argmax via scalar subquery: the top-revenue
+    * supplier(s) for a shipping window, revenue in exact integer
+    * ten-thousandths (cents × discount-hundredths) so the max and the
+    * equality join cannot drift. */
+  private val q197 = Q(
+    "q197_top_supplier",
+    (s, dir) => {
+      val lk = Lake(s, dir)
+      val rev = lk.lineitem
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg((sum((round(col("l_extendedprice") * 100.0d, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100.0d, 0).cast("long")))
+          .cast("decimal(38,0)")).cast("double") / 10000.0d).as("revenue"))
+      val best = rev.agg(max(col("revenue")).as("m"))
+      rev.crossJoin(broadcast(best))
+        .filter(col("revenue") === col("m"))
+        .select(col("l_suppkey").as("s_suppkey"), col("revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) *
+                 (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT)))
+                 AS DOUBLE) / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1995-04-01'
+        GROUP BY l_suppkey)
+      SELECT l_suppkey AS s_suppkey, revenue
+      FROM rev WHERE revenue = (SELECT MAX(revenue) FROM rev)
+      ORDER BY s_suppkey""")
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q46, q47, q48, q52, q63, q64, q78)
+    q46, q47, q48, q52, q63, q64, q78, q191, q192, q193, q194, q195,
+    q196, q197)
 }
