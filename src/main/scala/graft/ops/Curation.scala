@@ -95,7 +95,8 @@ object Curation {
     * `keep` (auditable, like [[curate]]'s decision column — a filter
     * that silently drops rows can't be debugged). Gated by q159.
     * MEASURED (GovernanceScaleProbe, sf0.1 documents ×10):
-    * 0.21 → 0.94 s = 4.4×. */
+    * 0.21 → 0.94 s = 4.4×; TextScaleProbe 30× doc LENGTH: 10.3× —
+    * sub-linear in both axes. */
   final case class GopherConfig(
       minWords: Int = 50,
       maxWords: Int = 100000,

@@ -110,7 +110,14 @@ object TextScaleProbe {
         TextAnalysis.wordConcentration(col("text")).as("simpson"))),
       "len_repetition" -> (d =>
         TextAnalysis.repetitionMetrics(d, "doc_id", "text")),
-      "len_bm25" -> (d => Index.bm25TopK(d, "doc_id", "text", queries, k = 10))
+      "len_bm25" -> (d => Index.bm25TopK(d, "doc_id", "text", queries, k = 10)),
+      "len_sentences" -> (d => d.select(col("doc_id"),
+        graft.ops.TextAnalysis.sentenceWordCounts(col("text")).as("w"))),
+      "len_vowel_groups" -> (d => d.select(col("doc_id"),
+        graft.ops.TextAnalysis.vowelGroups(col("text")).as("v"))),
+      "len_gopher" -> (d => graft.ops.Curation.gopherRules(d, "text",
+        graft.ops.Curation.GopherConfig(minWords = 30,
+          stopwords = Seq("a", "the"), minStopHits = 2)))
     )
     val lenResults = lenProbes.map { case (name, op) =>
       noop(op(short))
