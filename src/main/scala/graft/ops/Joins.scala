@@ -159,6 +159,45 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval×interval OVERLAP join — the temporal-join shape [[rangeJoin]]
+    * (point-in-interval) can't express: pairs of intervals that overlap,
+    * with the overlap length. Same bin-bucketing scale discipline — both
+    * sides explode to the day-grid bins they span, the join key is the
+    * bin (never a nested-loop inequality join) — plus the canonical-bin
+    * dedup trick: a pair overlapping several bins is emitted ONLY from
+    * the bin containing the overlap's start (`greatest(lStart, rStart)`),
+    * so no post-join distinct is ever paid. Overlap is half-open
+    * ([start, end)): a zero-length interval is empty and matches
+    * nothing, the consistent reading both engines state identically.
+    * Column names must not collide across sides (rename upstream).
+    * Gated by q198 against the direct inequality-join oracle. */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      binSeconds: Long
+  ): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    def binned(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bin",
+        explode(sequence(
+          floor(unix_micros(col(s)) / binUs),
+          floor(unix_micros(col(e)) / binUs))))
+    val l = binned(left, lStart, lEnd)
+    val r = binned(right, rStart, rEnd)
+    l.join(r, Seq("__bin"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bin") ===
+        floor(unix_micros(greatest(col(lStart), col(rStart))) / binUs))
+      .withColumn("overlap_us",
+        unix_micros(least(col(lEnd), col(rEnd))) -
+          unix_micros(greatest(col(lStart), col(rStart))))
+      .drop("__bin")
+  }
+
   /** Skew-proof equi-join by key salting — the manual fallback when AQE's
     * runtime skew split can't apply (e.g. the skewed side feeds an
     * aggregation in the same stage, or the join is inside a cached plan).

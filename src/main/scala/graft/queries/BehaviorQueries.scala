@@ -633,6 +633,103 @@ object BehaviorQueries {
       FROM b ORDER BY event_type, day""")
   )
 
+  // --------------------------------------------------------------- q198
+  /** Interval×interval overlap join ([[graft.ops.Joins
+    * .intervalOverlapJoin]]): user sessions against three campaign
+    * windows — per campaign, how many sessions overlapped and for how
+    * long. The Spark side runs the bin-bucketed scale path (day bins,
+    * canonical-bin dedup, no nested loop); the oracle states the direct
+    * inequality join — the rangeJoin spec-vs-scale-path pattern for the
+    * interval×interval case. */
+  private val q198 = Q(
+    "q198_campaign_session_overlap",
+    (s, dir) => {
+      import s.implicits._
+      val sessions = Behavior.sessions(Lake(s, dir).events,
+          "user_id", "ts", "event_id", 1800000000L)
+        .groupBy("user_id", "session_idx")
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      val campaigns = Seq(
+        ("c_week1", "2024-01-05 00:00:00", "2024-01-08 00:00:00"),
+        ("c_mid", "2024-01-12 00:00:00", "2024-01-20 00:00:00"),
+        ("c_final", "2024-01-25 00:00:00", "2024-01-27 00:00:00"))
+        .toDF("campaign", "cs0", "ce0")
+        .select(col("campaign"), col("cs0").cast("timestamp").as("cs"),
+          col("ce0").cast("timestamp").as("ce"))
+      graft.ops.Joins.intervalOverlapJoin(
+          sessions, "st", "en", campaigns, "cs", "ce", binSeconds = 86400L)
+        .groupBy("campaign")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("overlap_us")).as("total_overlap_us"))
+        .orderBy("campaign")
+    },
+    Some("""
+      WITH s0 AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s1 AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS sid
+             FROM s0),
+      sess AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+               FROM s1 GROUP BY user_id, sid),
+      c(campaign, cs, ce) AS (VALUES
+        ('c_week1', TIMESTAMP '2024-01-05 00:00:00',
+                    TIMESTAMP '2024-01-08 00:00:00'),
+        ('c_mid',   TIMESTAMP '2024-01-12 00:00:00',
+                    TIMESTAMP '2024-01-20 00:00:00'),
+        ('c_final', TIMESTAMP '2024-01-25 00:00:00',
+                    TIMESTAMP '2024-01-27 00:00:00'))
+      SELECT campaign, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(epoch_us(LEAST(en, ce)) -
+                      epoch_us(GREATEST(st, cs))) AS BIGINT)
+               AS total_overlap_us
+      FROM sess JOIN c ON st < ce AND cs < en
+      GROUP BY campaign ORDER BY campaign""")
+  )
+
+  // --------------------------------------------------------------- q199
+  /** Cumulative distinct users by day — the growth curve: a user counts
+    * from their FIRST active day onward, so "distinct to date" is a
+    * per-user min + a running sum over the day grid (never a
+    * distinct-over-expanding-window, which would re-scan history per
+    * day). New-user and cumulative columns share one pass. */
+  private val q199 = Q(
+    "q199_user_growth_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val ev = Lake(s, dir).events.select(
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("user_id"))
+      val firsts = ev.groupBy("user_id").agg(min(col("day")).as("first_day"))
+        .groupBy("first_day").agg(count(lit(1)).as("new_users"))
+      ev.select("day").distinct()
+        .join(firsts, col("day") === col("first_day"), "left_outer")
+        .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cumulative_users",
+          sum(col("new_users")).over(W.orderBy("day")))
+        .orderBy("day")
+    },
+    Some("""
+      WITH ev AS (SELECT
+          datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+          user_id
+        FROM events),
+      f AS (SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY 1),
+      d AS (SELECT first_day, CAST(COUNT(*) AS BIGINT) AS new_users
+            FROM f GROUP BY 1),
+      g AS (SELECT DISTINCT day FROM ev)
+      SELECT CAST(g.day AS BIGINT) AS day,
+             CAST(COALESCE(d.new_users, 0) AS BIGINT) AS new_users,
+             CAST(SUM(COALESCE(d.new_users, 0)) OVER (ORDER BY g.day)
+               AS BIGINT) AS cumulative_users
+      FROM g LEFT JOIN d ON g.day = d.first_day
+      ORDER BY day""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
-    q176, q179, q180, q181, q183, q186)
+    q176, q179, q180, q181, q183, q186, q198, q199)
 }

@@ -4572,6 +4572,82 @@ object PipelineQueries {
       FROM events ORDER BY event_id""")
   )
 
+  // --------------------------------------------------------------- q200
+  /** The CORPUS RELEASE PIPELINE, end to end — the capstone composition:
+    * Gopher structural rules → classifier gate → exact-dedup canonical
+    * (computed among the docs that SURVIVED the gates, the order a real
+    * release runs) → deterministic 80% sample, reported as per-stage
+    * survivor counts. Every stage is individually gated (q159 / q68 /
+    * q30 / q51); this gate pins the COMPOSITION — the same expressions
+    * chained, so stage order and survivor interactions cannot drift
+    * from the parts. */
+  private val q200 = Q(
+    "q200_release_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val cfg = graft.ops.Curation.GopherConfig(
+        minWords = 30, stopwords = Seq("a", "the"), minStopHits = 2)
+      val docs = Lake(s, dir).documents
+      val g = graft.ops.Curation.gopherRules(docs, "text", cfg)
+        .filter(col("keep"))
+        .select("doc_id", "text")
+      val cls = g.filter(Classifier.marginTenths(col("text"), 64, 5) >= 0)
+      val ded = cls
+        .withColumn("__cn",
+          min(col("doc_id")).over(W.partitionBy(md5(col("text")))))
+        .filter(col("doc_id") === col("__cn"))
+      val sam = ded.filter(Sampling.keeps(col("doc_id"), 0.8, "rel"))
+      val stages = Seq(
+        ("input", docs.select("doc_id")), ("gopher", g.select("doc_id")),
+        ("classifier", cls.select("doc_id")), ("dedup", ded.select("doc_id")),
+        ("sampled", sam.select("doc_id")))
+      stages.zipWithIndex.map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"))
+      }.reduce(_.unionByName(_)).orderBy("stage")
+    },
+    Some(s"""
+      WITH $scoredSqlCtes,
+      gw AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+             FROM documents),
+      gm AS (SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+                 CAST(len(ws) AS DOUBLE) AS mwl,
+               CAST(len(list_filter(ws, x -> x IN ('a', 'the'))) AS BIGINT)
+                 AS sh,
+               CAST(len(list_filter(ws, x -> x IN ('#', '…'))) AS DOUBLE) /
+                 CAST(len(ws) AS DOUBLE) AS sr
+             FROM gw),
+      f AS (SELECT d.doc_id, d.text, lab.m,
+              (gm.n_words >= 30 AND gm.n_words <= 100000
+               AND gm.mwl >= 3.0 AND gm.mwl <= 10.0
+               AND gm.sh >= 2 AND gm.sr <= 0.1) AS gk
+            FROM documents d
+            JOIN lab ON d.doc_id = lab.doc_id
+            JOIN gm ON d.doc_id = gm.doc_id),
+      g2 AS (SELECT doc_id, text, m FROM f WHERE gk),
+      c2 AS (SELECT doc_id, text FROM g2 WHERE m >= 0),
+      d2 AS (SELECT doc_id FROM
+              (SELECT doc_id,
+                 MIN(doc_id) OVER (PARTITION BY md5(text)) AS cn
+               FROM c2)
+             WHERE doc_id = cn),
+      s2 AS (SELECT doc_id FROM d2
+             WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'rel'), 1, 3)
+                   < '${graft.ops.Sampling.thresholdHex(0.8)}')
+      SELECT CAST(stage AS BIGINT) AS stage, stage_name,
+             CAST(n_docs AS BIGINT) AS n_docs
+      FROM (VALUES
+        (0, 'input', (SELECT COUNT(*) FROM documents)),
+        (1, 'gopher', (SELECT COUNT(*) FROM g2)),
+        (2, 'classifier', (SELECT COUNT(*) FROM c2)),
+        (3, 'dedup', (SELECT COUNT(*) FROM d2)),
+        (4, 'sampled', (SELECT COUNT(*) FROM s2))) AS t(stage, stage_name, n_docs)
+      ORDER BY stage""")
+  )
+
   // --------------------------------------------------------------- q189
   /** XML round trip — Spark 4's NATIVE XML data source (the spark-xml
     * package folded into core) on the same escaping-hazard fixture as
@@ -4899,5 +4975,5 @@ object PipelineQueries {
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
-    q174, q175, q182, q184, q185, q187, q188, q189, q190)
+    q174, q175, q182, q184, q185, q187, q188, q189, q190, q200)
 }

@@ -686,4 +686,24 @@ class OpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 3L), "stale delete must lose to newer base row")
   }
+
+  test("Joins.intervalOverlapJoin: half-open overlaps, bin-spanning, no dup pairs") {
+    val l = Seq(
+      ("s1", ts("2024-01-01 10:00:00"), ts("2024-01-03 10:00:00")), // spans bins
+      ("s2", ts("2024-01-05 00:00:00"), ts("2024-01-05 01:00:00")), // inside w2
+      ("s3", ts("2024-01-09 00:00:00"), ts("2024-01-09 00:00:00")), // empty
+      ("s4", ts("2024-01-06 00:00:00"), ts("2024-01-07 00:00:00"))  // == w2 end boundary
+    ).toDF("sid", "st", "en")
+    val r = Seq(
+      ("w1", ts("2024-01-02 00:00:00"), ts("2024-01-04 00:00:00")),
+      ("w2", ts("2024-01-04 12:00:00"), ts("2024-01-06 00:00:00"))
+    ).toDF("wid", "cs", "ce")
+    val out = graft.ops.Joins.intervalOverlapJoin(l, "st", "en", r, "cs", "ce", 86400L)
+      .select("sid", "wid", "overlap_us").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    // s1 x w1: overlap [01-02 00:00, 01-03 10:00) = 34h; exactly once despite 2 shared bins
+    assert(out == Map(
+      ("s1", "w1") -> 34L * 3600 * 1000000L,
+      ("s2", "w2") -> 1L * 3600 * 1000000L))
+  }
 }
