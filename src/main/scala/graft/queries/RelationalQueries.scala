@@ -1216,9 +1216,110 @@ object RelationalQueries {
       ORDER BY s_suppkey""")
   )
 
+  // --------------------------------------------------------------- q203
+  /** Typed Aggregator under the hash gate ([[graft.ops.TypedAggs
+    * .WeightedMeanCents]]): per-priority mean order value WEIGHTED by
+    * line count, computed through `groupByKey(...).agg(agg.toColumn)` —
+    * the Dataset custom-aggregate tier. Buffers are integer (cents ×
+    * weight) sums with one division in finish, so the typed path is as
+    * gate-exact as the untyped library; the oracle states ΣvW/Σw/100
+    * directly. */
+  private val q203 = Q(
+    "q203_typed_weighted_mean",
+    (s, dir) => {
+      import s.implicits._
+      val lk = Lake(s, dir)
+      val weights = lk.lineitem.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("w"))
+      val rows = lk.orders
+        .join(weights, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100.0d, 0).cast("long").as("cents"),
+          col("w"))
+        .as[(String, Long, Long)]
+      val agg = new graft.ops.TypedAggs.WeightedMeanCents
+      rows.groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(agg.toColumn.name("weighted_mean"))
+        .toDF("o_orderpriority", "weighted_mean")
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      WITH w AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS w
+                 FROM lineitem GROUP BY 1)
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT) * w)
+               AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0
+               AS weighted_mean
+      FROM orders JOIN w ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  // --------------------------------------------------------------- q201
+  /** Top-k per group under the hash gate: the 3 priciest parts per brand
+    * (row_number with a unique tiebreak). The rank<=k filter compiles to
+    * WindowGroupLimit — per-group top-k heaps INSIDE the window
+    * operator, no group ever fully sorts (PlanSpec asserts the operator
+    * on this exact shape); the gate pins the semantics the plan
+    * optimization must preserve. */
+  private val q201 = Q(
+    "q201_top_parts_per_brand",
+    (s, dir) => {
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Lake(s, dir).part
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("p_brand", "rank", "p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_brand", "rank")
+    },
+    Some("""
+      SELECT p_brand, CAST(rank AS BIGINT) AS rank, p_partkey, p_name,
+             p_retailprice
+      FROM (SELECT p_brand, p_partkey, p_name, p_retailprice,
+              row_number() OVER (PARTITION BY p_brand
+                ORDER BY p_retailprice DESC, p_partkey) AS rank
+            FROM part)
+      WHERE rank <= 3 ORDER BY p_brand, rank""")
+  )
+
+  // --------------------------------------------------------------- q202
+  /** UNPIVOT / melt — the pandas wide→long reshape the §2 inventory's
+    * pivot family lacked a reverse for: the q12-style per-user event
+    * crosstab melted back to (user, event_type, n) long form, zero
+    * cells dropped (include-nulls form would keep them; this gate uses
+    * the default drop-none because counts are never null). Pivot ∘
+    * unpivot = identity is the real contract: the melted frame must
+    * hash-equal the plain GROUP BY it round-trips to. */
+  private val q202 = Q(
+    "q202_unpivot_events",
+    (s, dir) => {
+      val wide = Lake(s, dir).events
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("view"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchase"))
+      wide.unpivot(
+          Array(col("user_id")),
+          Array(col("click"), col("view"), col("purchase")),
+          "event_type", "n")
+        .filter(col("n") > 0)
+        .orderBy("user_id", "event_type")
+    },
+    Some("""
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events
+      WHERE event_type IN ('click', 'view', 'purchase')
+      GROUP BY user_id, event_type
+      HAVING COUNT(*) > 0
+      ORDER BY user_id, event_type""")
+  )
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q46, q47, q48, q52, q63, q64, q78, q191, q192, q193, q194, q195,
-    q196, q197)
+    q196, q197, q201, q202, q203)
 }
