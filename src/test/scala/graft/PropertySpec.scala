@@ -515,4 +515,78 @@ class PropertySpec extends SparkTestBase {
       }
     }, n = 5)
   }
+
+  test("applyChanges batches fold associatively when versions partition") {
+    // applying two change batches sequentially == applying their union,
+    // provided versions are globally ordered (batch2 > batch1 > base)
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L), (4L, "d", 0L))
+      .toDF("k", "state", "version")
+    holds(Prop.forAll(
+      Gen.listOfN(4, Gen.zip(Gen.choose(1L, 5L), Gen.oneOf("U", "D"))),
+      Gen.listOfN(4, Gen.zip(Gen.choose(1L, 5L), Gen.oneOf("U", "D")))
+    ) { (b1, b2) =>
+      // de-dup keys within a batch (one delivery per key per batch)
+      val c1 = b1.distinctBy(_._1).zipWithIndex
+        .map { case ((k, op), i) => (k, s"s1_$i", 10L + k, op) }
+      val c2 = b2.distinctBy(_._1).zipWithIndex
+        .map { case ((k, op), i) => (k, s"s2_$i", 20L + k, op) }
+      val d1 = c1.toDF("k", "state", "version", "op")
+      val d2 = c2.toDF("k", "state", "version", "op")
+      import graft.ops.Snapshot.applyChanges
+      val seq2 = applyChanges(
+        applyChanges(base, d1, "k", "version", "op"), d2, "k", "version", "op")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val once = applyChanges(base, d1.unionByName(d2), "k", "version", "op")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      seq2 == once
+    }, n = 5)
+  }
+
+  test("rrfFuse: a doc present in more lists never scores below its single-list self") {
+    // adding a second ranker's contribution can only RAISE a doc's score
+    holds(Prop.forAll(Gen.listOfN(6, Gen.choose(1, 20))) { ranks =>
+      val docs = ranks.distinct.take(4)
+      if (docs.size < 2) true
+      else {
+        val a = docs.zipWithIndex.map { case (d, i) =>
+          (1L, d.toLong, i + 1) }.toDF("query_id", "doc", "rank")
+        val b = docs.reverse.zipWithIndex.map { case (d, i) =>
+          (1L, d.toLong, i + 1) }.toDF("query_id", "doc", "rank")
+        val both = graft.ops.Index.rrfFuse(Seq("a" -> a, "b" -> b), 60, 100)
+          .collect().map(r => r.getAs[Long]("doc") ->
+            (r.getAs[Long]("n_lists"), r.getAs[Double]("rrf_score"))).toMap
+        val solo = graft.ops.Index.rrfFuse(
+            Seq("a" -> a, "b" -> b.filter(lit(false))), 60, 100)
+          .collect().map(r => r.getAs[Long]("doc") ->
+            r.getAs[Double]("rrf_score")).toMap
+        both.forall { case (d, (nl, sc)) =>
+          nl == 2 && sc > solo(d)
+        }
+      }
+    }, n = 5)
+  }
+
+  test("intervalOverlapJoin is symmetric: swapping sides preserves pairs and overlap") {
+    import graft.ops.Joins.intervalOverlapJoin
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    holds(Prop.forAll(
+      Gen.listOfN(4, Gen.zip(Gen.choose(0L, 200L), Gen.choose(1L, 100L))),
+      Gen.listOfN(4, Gen.zip(Gen.choose(0L, 200L), Gen.choose(1L, 100L)))
+    ) { (ls, rs) =>
+      def frame(xs: List[(Long, Long)], id: String, sc: String, ec: String) =
+        xs.zipWithIndex.map { case ((off, len), i) =>
+          (s"$id$i", new java.sql.Timestamp(t0 + off * 3600000L),
+            new java.sql.Timestamp(t0 + (off + len) * 3600000L))
+        }.toDF(id, sc, ec)
+      val l = frame(ls, "lid", "ls", "le")
+      val r = frame(rs, "rid", "rs", "re")
+      val ab = intervalOverlapJoin(l, "ls", "le", r, "rs", "re", 86400L)
+        .collect().map(x => (x.getAs[String]("lid"), x.getAs[String]("rid"),
+          x.getAs[Long]("overlap_us"))).toSet
+      val ba = intervalOverlapJoin(r, "rs", "re", l, "ls", "le", 86400L)
+        .collect().map(x => (x.getAs[String]("lid"), x.getAs[String]("rid"),
+          x.getAs[Long]("overlap_us"))).toSet
+      ab == ba
+    }, n = 5)
+  }
 }
