@@ -516,6 +516,82 @@ object EventStreams {
     }
   }
 
+  final case class OpenSession(startMs: Long, lastMs: Long, nEvents: Long)
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Timer-driven sessionization on `transformWithState` — the part of
+    * the Spark 4 arbitrary-state API the quota gate doesn't touch:
+    * EVENT-TIME TIMERS. Each user's open session lives in one ValueState;
+    * every batch re-arms a single timer at `lastSeen + gap`, and the
+    * session is emitted from `handleExpiredTimer` when the WATERMARK
+    * (not wall time) passes it — so emission is deterministic under
+    * replay, late batches extend the session instead of splitting it,
+    * and state cannot outlive `gap` past the last event. The
+    * flatMapGroupsWithState twin ([[sessionize]]) carries its own
+    * timeout bookkeeping; here the engine owns it. */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, ClosedSession] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[ClosedSession] = {
+      var cur = if (open.exists()) open.get() else null
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        cur =
+          if (cur == null) OpenSession(t, t, 1L)
+          else OpenSession(math.min(cur.startMs, t), math.max(cur.lastMs, t),
+            cur.nEvents + 1L)
+      }
+      if (cur != null) {
+        open.update(cur)
+        // one armed timer per key: re-arm at the new horizon
+        getHandle.listTimers().foreach(ts => getHandle.deleteTimer(ts.asInstanceOf[Long]))
+        getHandle.registerTimer(cur.lastMs + gapMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSession] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        open.clear()
+        Iterator.single(ClosedSession(key,
+          new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents))
+      }
+    }
+  }
+
+  /** Sessionize a typed stream with engine-owned event-time timers.
+    * Input must be watermarked upstream (`withWatermark` before the
+    * typed conversion); requires the RocksDB state store. */
+  def sessionTimeoutStream(
+      events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L
+  ): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTimeoutProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Apply the quota gate to a typed event stream. Requires the RocksDB
     * state store provider (set in the caller's session conf —
     * `transformWithState` does not run on the default HDFS-backed

@@ -443,6 +443,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionTimeoutStream: event-time timers close sessions as the watermark passes") {
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    import org.apache.spark.sql.functions.{col => fcol}
+    val watermarked = input.toDS()
+      .withWatermark("ts", "0 seconds")
+      .as[Event](org.apache.spark.sql.Encoders.product[Event])
+    val q = EventStreams.sessionTimeoutStream(watermarked, gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("timed_sessions")
+      .outputMode("append").start()
+    try {
+      def e(id: Long, u: Long, t: String) =
+        Event(id, Timestamp.valueOf(t), u, "view", 1.0)
+      // burst 1 for u1 (2 events, 10 min apart)
+      input.addData(
+        e(1, 1, "2024-01-01 10:00:00"), e(2, 1, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      assert(spark.table("timed_sessions").count() == 0,
+        "session must stay open until the watermark passes lastSeen+gap")
+      // an event far in the future advances the watermark past the horizon
+      input.addData(e(3, 2, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      // one more batch so the new watermark fires the timer
+      input.addData(e(4, 2, "2024-01-01 12:01:00"))
+      q.processAllAvailable()
+      val closed = spark.table("timed_sessions")
+        .select("user_id", "n_events").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(closed.get(1L).contains(2L),
+        s"u1's burst must have closed with 2 events, got $closed")
+    } finally {
+      q.stop()
+      before match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("driftStream: windowed TVD against a frozen baseline, hand-checked") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
