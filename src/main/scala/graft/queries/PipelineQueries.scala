@@ -4572,6 +4572,55 @@ object PipelineQueries {
       FROM events ORDER BY event_id""")
   )
 
+  // --------------------------------------------------------------- q204
+  /** Length-distribution equalization — flatten the corpus's length
+    * histogram to its rarest 16-token bucket by sampling each bucket at
+    * `min_count / bucket_count`: the anti-length-bias step for training
+    * mixes, expressed as [[graft.ops.Sampling.weightedKeeps]] with a
+    * DATA-DERIVED weight column (the md5-uniform draw against a
+    * computed rate — deterministic, engine-reproducible; the oracle
+    * replays the 24-bit draw nibble-by-nibble). Reported per bucket:
+    * before/after counts and the rate, so the flattening is auditable. */
+  private val q204 = Q(
+    "q204_length_equalization",
+    (s, dir) => {
+      val t = Lake(s, dir).documents.select(col("doc_id"),
+        (ceil(TextAnalysis.wsTokenCount(col("text")).cast("double") /
+          lit(16.0d)) * 16).cast("long").as("bucket"))
+      val b = t.groupBy("bucket").agg(count(lit(1)).as("n"))
+      val m = b.agg(min(col("n")).as("mn"))
+      val rated = t.join(b, Seq("bucket")).crossJoin(broadcast(m))
+        .withColumn("rate", col("mn").cast("double") / col("n").cast("double"))
+      rated
+        .withColumn("kept",
+          Sampling.weightedKeeps(col("doc_id"), col("rate"), "eq"))
+        .groupBy("bucket")
+        .agg(max(col("n")).as("n_before"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_after"),
+          max(col("rate")).as("rate"))
+        .orderBy("bucket")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+          CAST(CEIL(CAST(len(string_split(text, ' ')) AS DOUBLE) / 16.0)
+            * 16 AS BIGINT) AS bucket
+        FROM documents),
+      b AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t GROUP BY 1),
+      m AS (SELECT MIN(n) AS mn FROM b),
+      r AS (SELECT t.doc_id, t.bucket, b.n,
+              CAST(m.mn AS DOUBLE) / CAST(b.n AS DOUBLE) AS rate
+            FROM t JOIN b USING (bucket) CROSS JOIN m),
+      k AS (SELECT bucket, n, rate,
+              CAST(${hexSql("md5(CAST(doc_id AS VARCHAR) || 'eq')", 6)}
+                AS DOUBLE) / 16777216.0 < rate AS kept
+            FROM r)
+      SELECT bucket, MAX(n) AS n_before,
+             CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_after,
+             MAX(rate) AS rate
+      FROM k GROUP BY bucket ORDER BY bucket""")
+  )
+
   // --------------------------------------------------------------- q200
   /** The CORPUS RELEASE PIPELINE, end to end — the capstone composition:
     * Gopher structural rules → classifier gate → exact-dedup canonical
@@ -4975,5 +5024,5 @@ object PipelineQueries {
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
-    q174, q175, q182, q184, q185, q187, q188, q189, q190, q200)
+    q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204)
 }

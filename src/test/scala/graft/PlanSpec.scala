@@ -576,6 +576,33 @@ class PlanSpec extends SparkTestBase {
       "spark.sql.sources.partitionColumnTypeInference.enabled", "true")
   }
 
+  test("corrupt file in a lake directory: ignoreCorruptFiles skips, default fails loudly") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-corrupt").toString
+    Lake(spark, sfDir).region.write.mode("overwrite").parquet(s"$dir/t")
+    val good = spark.read.parquet(s"$dir/t").count()
+    // a truncated/junk file lands in the directory (partial upload, torn
+    // write) — the exact failure a 100 TB lake sees weekly
+    Files.write(Paths.get(s"$dir/t/part-corrupt.parquet"),
+      "PAR1 this is not a parquet file".getBytes)
+    val key = "spark.sql.files.ignoreCorruptFiles"
+    val before = spark.conf.getOption(key)
+    try {
+      // default: the job must FAIL (silent data loss is worse than a crash)
+      spark.conf.set(key, "false")
+      val failed =
+        try { spark.read.parquet(s"$dir/t").count(); false }
+        catch { case _: Exception => true }
+      assert(failed, "a corrupt file must fail the read when not opted out")
+      // opted in: the good rows survive, the junk is skipped
+      spark.conf.set(key, "true")
+      assert(spark.read.parquet(s"$dir/t").count() == good)
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sortedWrite: globally ordered files — disjoint ranges, content preserved") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-sorted").toString
