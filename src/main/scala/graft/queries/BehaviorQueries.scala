@@ -730,6 +730,47 @@ object BehaviorQueries {
       ORDER BY day""")
   )
 
+  // --------------------------------------------------------------- q205
+  /** Time-weighted average value (TWAP) per user: each observation holds
+    * until the next one, so its weight is the micros until the user's
+    * next event (the last observation carries zero holding time and
+    * drops out — the standard left-closed convention). Numerator
+    * Σ(cents·hold_us) in DECIMAL(38,0) (cent-scale × month-of-micros
+    * products overflow a long at scale), ONE double division at the
+    * end — the integer fixed-point discipline on the classic
+    * finance/telemetry metric. */
+  private val q205 = Q(
+    "q205_time_weighted_value",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val w = W.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Lake(s, dir).events
+        .withColumn("__hold",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("__hold").isNotNull)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_holds"),
+          sum(col("__hold")).as("total_us"),
+          ((sum((round(col("value") * 100.0d, 0).cast("long") * col("__hold"))
+            .cast("decimal(38,0)")).cast("double") /
+            sum(col("__hold")).cast("double")) / 100.0d).as("twap"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH h AS (SELECT user_id, value,
+          epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)) - epoch_us(ts)
+            AS hold_us
+        FROM events),
+      f AS (SELECT * FROM h WHERE hold_us IS NOT NULL)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_holds,
+             CAST(SUM(hold_us) AS BIGINT) AS total_us,
+             CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT) * hold_us)
+               AS DOUBLE) / CAST(SUM(hold_us) AS DOUBLE) / 100.0 AS twap
+      FROM f GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
-    q176, q179, q180, q181, q183, q186, q198, q199)
+    q176, q179, q180, q181, q183, q186, q198, q199, q205)
 }

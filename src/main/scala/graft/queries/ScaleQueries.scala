@@ -419,6 +419,55 @@ object ScaleQueries {
       FROM orders ORDER BY o_orderkey""")
   )
 
+  // --------------------------------------------------------------- q206
+  /** Gini concentration of customer order value — "how unequal is the
+    * revenue distribution" as one exact formula: with per-customer cent
+    * totals sorted ascending and ranked 1..n,
+    * `G = (2·Σ rank·x) / (n·Σx) − (n+1)/n` — every sum an exact
+    * DECIMAL/HUGEINT integer, the assembly four double ops in the same
+    * order on both engines. The fairness audit for mixture design
+    * (a corpus where 1% of sources carry 99% of tokens has a Gini
+    * near 1) applied here to revenue. */
+  private val q206 = Q(
+    "q206_revenue_gini",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val per = Lake(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100.0d, 0).cast("long"))
+          .as("cents"))
+      val ranked = per.withColumn("rank",
+        row_number().over(W.orderBy(col("cents"), col("o_custkey")))
+          .cast("long"))
+      val agg = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum((col("rank") * col("cents")).cast("decimal(38,0)")).as("srx"))
+      def d(c0: String) = col(c0).cast("double")
+      agg.select(col("n"),
+        (lit(2.0d) * d("srx") / (d("n") * d("sx")) -
+          (d("n") + lit(1.0d)) / d("n")).as("gini"))
+    },
+    Some("""
+      WITH per AS (SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS cents
+             FROM orders GROUP BY o_custkey),
+      ranked AS (SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, o_custkey)
+                 AS BIGINT) AS rank
+             FROM per),
+      agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(cents) AS BIGINT) AS sx,
+                CAST(SUM(rank * cents) AS BIGINT) AS srx
+              FROM ranked)
+      SELECT n,
+             2.0 * CAST(srx AS DOUBLE) /
+               (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) -
+               (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+      FROM agg""")
+  )
+
   val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173,
-    q177, q178)
+    q177, q178, q206)
 }
