@@ -4572,6 +4572,115 @@ object PipelineQueries {
       FROM events ORDER BY event_id""")
   )
 
+  // --------------------------------------------------------------- q207
+  /** Hashing-trick feature vectors — the q68 classifier's INPUT layer
+    * surfaced as data: each doc's token stream bucketed by the md5 hash
+    * into a dense 32-dim count vector (the fastText/Vowpal featurization;
+    * collisions are the accepted lossy compression). Built by explode +
+    * (doc, bucket) aggregate + a SORTED struct fold back to a dense
+    * array — no per-row 32-way conditional scan; the oracle rebuilds the
+    * same nibble arithmetic and list ordering. */
+  private val q207 = Q(
+    "q207_hashed_features",
+    (s, dir) => {
+      val dim = 32
+      val tok = Lake(s, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("tk")), 1, 4), 16, 10).cast("long"),
+            lit(dim.toLong)))
+      tok.groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("bucket"), col("n"))))
+          .as("__cells"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0L), lit(dim - 1L)), b =>
+            coalesce(
+              element_at(
+                map_from_entries(col("__cells")), b),
+              lit(0L))).as("features"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                   FROM documents),
+      b AS (SELECT doc_id,
+              ${hexSql("md5(tk)", 4)} % 32 AS bucket
+            FROM tok),
+      cells AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+                FROM b GROUP BY 1, 2),
+      m AS (SELECT doc_id, map_from_entries(
+              list({'k': bucket, 'v': n} ORDER BY bucket)) AS mp
+            FROM cells GROUP BY doc_id)
+      SELECT doc_id,
+             [COALESCE(map_extract(mp, CAST(i AS BIGINT))[1], 0)
+              for i in generate_series(0, 31)] AS features
+      FROM m ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q208
+  /** Asymmetric CONTAINMENT pairs — quotation/subset detection, the
+    * measure Jaccard similarity hides: |A∩B|/|A| ≥ τ finds docs mostly
+    * CONTAINED in another even when the container is far larger (a
+    * quoted paragraph inside a book scores near-zero Jaccard but full
+    * containment). Same inverted-index candidate discipline as
+    * jaccardPairs; both directions emitted per candidate pair. The
+    * phrase-planted fixture guarantees real containment cases. */
+  private val q208 = Q(
+    "q208_containment_pairs",
+    (s, dir) => {
+      val sh = Dedup.shingles(phrasedDocs(s, dir), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val common = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val out = common
+        .join(counts.withColumnsRenamed(
+          Map("doc_id" -> "doc_a", "n_sh" -> "n_a")), Seq("doc_a"))
+        .join(counts.withColumnsRenamed(
+          Map("doc_id" -> "doc_b", "n_sh" -> "n_b")), Seq("doc_b"))
+        .withColumn("containment_a",
+          col("n_common").cast("double") / col("n_a").cast("double"))
+        .withColumn("containment_b",
+          col("n_common").cast("double") / col("n_b").cast("double"))
+        .filter(col("containment_a") >= 0.15d ||
+          col("containment_b") >= 0.15d)
+        .select("doc_a", "doc_b", "n_common", "n_a", "n_b",
+          "containment_a", "containment_b")
+        .orderBy("doc_a", "doc_b")
+      sh.unpersist()
+      out
+    },
+    Some(s"""
+      WITH $phrasedSqlCte,
+      w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+      sh AS (SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+             FROM w2, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh
+              GROUP BY doc_id),
+      common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+                 FROM sh a JOIN sh b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_common, ca.n AS n_a, cb.n AS n_b,
+             CAST(n_common AS DOUBLE) / CAST(ca.n AS DOUBLE)
+               AS containment_a,
+             CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE)
+               AS containment_b
+      FROM common
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / CAST(ca.n AS DOUBLE) >= 0.15
+         OR CAST(n_common AS DOUBLE) / CAST(cb.n AS DOUBLE) >= 0.15
+      ORDER BY doc_a, doc_b""")
+  )
+
   // --------------------------------------------------------------- q204
   /** Length-distribution equalization — flatten the corpus's length
     * histogram to its rarest 16-token bucket by sampling each bucket at
@@ -5024,5 +5133,6 @@ object PipelineQueries {
     q109, q110, q111, q112, q113, q114, q120, q125, q126, q127, q128, q132,
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
-    q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204)
+    q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
+    q207, q208)
 }
