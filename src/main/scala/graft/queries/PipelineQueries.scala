@@ -4572,6 +4572,89 @@ object PipelineQueries {
       FROM events ORDER BY event_id""")
   )
 
+  // --------------------------------------------------------------- q209
+  /** Skip-gram pair extraction — the word2vec/item2vec TRAINING-DATA
+    * generator: for every center word, its context words within ±2
+    * positions, counted corpus-wide with the distance kept (distance
+    * weighting happens at training time; the extractor must preserve
+    * it). One positional explode + a self-join on (doc, offset) bounded
+    * by the window — the collocation miner's (q147) generalization from
+    * adjacent-only to windowed context. Top pairs by count with a
+    * deterministic tiebreak. */
+  private val q209 = Q(
+    "q209_skipgram_pairs",
+    (s, dir) => {
+      val pos = Dedup.positionalShingles(
+        Lake(s, dir).documents, "doc_id", "text", 1)
+        .withColumnRenamed("shingle", "word")
+      val pairs = pos.as("a")
+        .join(pos.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") > col("a.pos") &&
+            col("b.pos") <= col("a.pos") + 2)
+        .select(col("a.word").as("center"), col("b.word").as("context"),
+          (col("b.pos") - col("a.pos")).as("distance"))
+      pairs.groupBy("center", "context", "distance")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("center"), col("context"),
+          col("distance"))
+        .limit(30)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS word
+            FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+      pairs AS (SELECT a.word AS center, b.word AS context,
+                  b.pos - a.pos AS distance
+                FROM p a JOIN p b
+                  ON a.doc_id = b.doc_id
+                 AND b.pos > a.pos AND b.pos <= a.pos + 2)
+      SELECT center, context, CAST(distance AS BIGINT) AS distance,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY center, context, distance
+      ORDER BY n DESC, center, context, distance LIMIT 30""")
+  )
+
+  // --------------------------------------------------------------- q210
+  /** Shard manifest with content fingerprints — the reproducibility
+    * artifact a training run records next to its shards: per shard, the
+    * doc count, id range, token mass, and an md5 over the ID-SORTED
+    * member list, so any later rebuild can prove (or refute) that shard
+    * k still holds exactly the same documents. The fingerprint is an
+    * ordered string_agg under md5 — deterministic by construction, and
+    * the one line that catches a silently changed shard assignment. */
+  private val q210 = Q(
+    "q210_shard_manifest",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents.select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      Packing.shardExport(docs, "doc_id", nShards = 8, salt = "mf")
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("n_tok")).as("sum_tokens"),
+          md5(graft.ops.OrderedAgg.stringAgg(
+            col("doc_id").cast("string"), ",", col("doc_id")))
+            .as("content_fp"))
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH t AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          CAST(${hexSql("md5('mf' || CAST(doc_id AS VARCHAR))", 12)} % 8
+            AS BIGINT) AS shard
+        FROM documents)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+             CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY doc_id)) AS content_fp
+      FROM t GROUP BY shard ORDER BY shard""")
+  )
+
   // --------------------------------------------------------------- q207
   /** Hashing-trick feature vectors — the q68 classifier's INPUT layer
     * surfaced as data: each doc's token stream bucketed by the md5 hash
@@ -5134,5 +5217,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208)
+    q207, q208, q209, q210)
 }
