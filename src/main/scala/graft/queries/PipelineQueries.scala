@@ -4572,6 +4572,50 @@ object PipelineQueries {
       FROM events ORDER BY event_id""")
   )
 
+  // --------------------------------------------------------------- q211
+  /** Effective token yield per source — the corpus-accounting line a
+    * data-acquisition team actually budgets on: raw token mass vs the
+    * mass surviving exact dedup (canonical docs only), and the yield
+    * ratio. A source with a low yield is paying for copies; the same
+    * frame prices near-dup storage. One dedup window + one aggregate. */
+  private val q211 = Q(
+    "q211_token_yield",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      Lake(s, dir).documents
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tok"),
+          md5(col("text")).as("__h"))
+        .withColumn("__cn", min(col("doc_id")).over(W.partitionBy("__h")))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("raw_tokens"),
+          sum(when(col("doc_id") === col("__cn"), 1L).otherwise(0L))
+            .as("unique_docs"),
+          sum(when(col("doc_id") === col("__cn"), col("n_tok"))
+            .otherwise(0L)).as("unique_tokens"))
+        .withColumn("yield_ratio",
+          col("unique_tokens").cast("double") /
+            col("raw_tokens").cast("double"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d AS (SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+          MIN(doc_id) OVER (PARTITION BY md5(text)) AS cn
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+             CAST(SUM(CASE WHEN doc_id = cn THEN 1 ELSE 0 END) AS BIGINT)
+               AS unique_docs,
+             CAST(SUM(CASE WHEN doc_id = cn THEN n_tok ELSE 0 END)
+               AS BIGINT) AS unique_tokens,
+             CAST(SUM(CASE WHEN doc_id = cn THEN n_tok ELSE 0 END)
+               AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS yield_ratio
+      FROM d GROUP BY source ORDER BY source""")
+  )
+
   // --------------------------------------------------------------- q209
   /** Skip-gram pair extraction — the word2vec/item2vec TRAINING-DATA
     * generator: for every center word, its context words within ±2
@@ -5217,5 +5261,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210)
+    q207, q208, q209, q210, q211)
 }
