@@ -678,9 +678,19 @@ object Dedup {
       textCol: String,
       n: Int,
       maxDf: Long
+  ): DataFrame =
+    sharedSpansFromPositional(positionalShingles(docs, idCol, textCol, n), n, maxDf)
+
+  /** [[sharedSpans]] over a caller-built positional-shingle frame — the
+    * seam that lets an ensemble (q171) pay the shingle scan ONCE and
+    * feed both the Jaccard chain (positions dropped + distinct) and the
+    * span chain from the same persisted frame. */
+  def sharedSpansFromPositional(
+      sh: DataFrame,
+      n: Int,
+      maxDf: Long
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = positionalShingles(docs, idCol, textCol, n)
     val keep = sh.groupBy("shingle")
       .agg(count_distinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)

@@ -5166,6 +5166,12 @@ object PipelineQueries {
     "q171_ensemble_dedup",
     (s, dir) => {
       val docs = phrasedDocs(s, dir)
+      // measured: sharing one persisted positional-shingle frame across
+      // the two fuzzy sources is SLOWER here (8.3 s vs 7.7 dedicated) —
+      // the wider positional frame costs more to persist+rescan than the
+      // two independent parquet scans it saves; kept as independent
+      // chains, with Dedup.sharedSpansFromPositional available for
+      // ensembles whose corpus scan actually dominates
       val jac = Dedup.jaccardPairs(
           Dedup.shingles(docs, "doc_id", "text", 3), 0.8)
         .select("doc_a", "doc_b")
