@@ -181,11 +181,16 @@ object Joins {
       binSeconds: Long
   ): DataFrame = {
     val binUs = binSeconds * 1000000L
+    // inverted rows (end < start) are malformed input: without the guard
+    // they would explode a DESCENDING bin sequence and could emit
+    // negative overlaps; dropping them is the only reading consistent
+    // with "empty intervals match nothing"
     def binned(df: DataFrame, s: String, e: String) =
-      df.withColumn("__bin",
-        explode(sequence(
-          floor(unix_micros(col(s)) / binUs),
-          floor(unix_micros(col(e)) / binUs))))
+      df.filter(col(s) <= col(e))
+        .withColumn("__bin",
+          explode(sequence(
+            floor(unix_micros(col(s)) / binUs),
+            floor(unix_micros(col(e)) / binUs))))
     val l = binned(left, lStart, lEnd)
     val r = binned(right, rStart, rEnd)
     l.join(r, Seq("__bin"))

@@ -1103,7 +1103,8 @@ object WebGraph {
       srcCol: String,
       dstCol: String,
       length: Int,
-      walkers: Int
+      walkers: Int,
+      broadcastAdjacency: Boolean = true
   ): DataFrame = {
     require(length >= 1 && length <= 64, s"bad walk length: $length")
     require(walkers >= 1 && walkers <= 64, s"bad walker count: $walkers")
@@ -1122,8 +1123,12 @@ object WebGraph {
       val h = conv(substring(
         md5(concat(col("__cur"), lit("#"), col("walker").cast("string"),
           lit("#"), lit(step.toString))), 1, 8), 16, 10).cast("long")
+      // the broadcast hint is only correct for bounded node universes
+      // (the scaladoc's contract); web-scale callers pass false and get
+      // a shuffle join per step + the pageRank lineage discipline
+      val adj = if (broadcastAdjacency) broadcast(nbrs) else nbrs
       state = state
-        .join(broadcast(nbrs), state("__cur") === nbrs("__node"), "left_outer")
+        .join(adj, state("__cur") === nbrs("__node"), "left_outer")
         .withColumn("__next",
           when(col("__ns").isNull, col("__cur"))
             .otherwise(element_at(col("__ns"),
