@@ -410,7 +410,9 @@ object Stats {
     * FIRST and the same op tree on both engines — +,−,×,÷,√ are all
     * IEEE-correctly-rounded, so the doubles match bit-for-bit (the
     * q112/q130 no-transcendentals gate rule; √ is exempt because IEEE 754
-    * requires correct rounding for it). Gated by q154. MEASURED
+    * requires correct rounding for it). A zero-variance column yields
+    * NaN (0/0) for its pairs — screen constants out upstream. Gated by
+    * q154. MEASURED
   * (GovernanceScaleProbe, sf0.1 lineitem ×10): 0.51 → 2.96 s = 5.8×. */
   def corrPairs(df: DataFrame, vars: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
     require(vars.size >= 2, "corrPairs needs at least two variables")
@@ -492,7 +494,11 @@ object Stats {
     * per-group sorted-fold (category-ordered, so no partition fold order
     * leaks — [[driftReport]] discipline) are category-universe-sized.
     * Contract: the category column is bounded-cardinality (languages,
-    * sources — not IDs). Gated by q156. MEASURED (GovernanceScaleProbe,
+    * sources — not IDs) and NON-NULL — the alignment grid joins on the
+    * category, and SQL null-equality would silently drop a null
+    * category's mass from p while keeping it in the group total;
+    * coalesce nulls to a sentinel upstream. Gated by q156. MEASURED
+    * (GovernanceScaleProbe,
     * sf0.1 documents ×10): 0.44 → 0.36 s = 0.8× — grid-dominated at this
     * size; the data-sized pass is one map-side-combined aggregate. */
   def categoricalDivergence(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
