@@ -1216,6 +1216,143 @@ object RelationalQueries {
       ORDER BY s_suppkey""")
   )
 
+  // --------------------------------------------------------------- q212
+  /** TPC-H Q7 shape — cross-border shipping volume: a FIVE-way join
+    * (lineitem→orders→customer→nation, lineitem→supplier→nation)
+    * aggregated per (supplier nation, customer nation) pair, domestic
+    * traffic excluded. The two nation dims broadcast; revenue is the
+    * exact integer cents×(100−disc) sum divided once. */
+  private val q212 = Q(
+    "q212_cross_border_volume",
+    (s, dir) => {
+      val lk = Lake(s, dir)
+      val sn = lk.nation.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val cn = lk.nation.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      lk.lineitem
+        .join(lk.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(lk.customer, col("o_custkey") === col("c_custkey"))
+        .join(lk.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          (sum((round(col("l_extendedprice") * 100.0d, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100.0d, 0).cast("long")))
+            .cast("decimal(38,0)")).cast("double") / 10000.0d).as("revenue"))
+        .orderBy("supp_nation", "cust_nation")
+    },
+    Some("""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) *
+               (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT)))
+               AS DOUBLE) / 10000.0 AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE sn.n_name <> cn.n_name
+      GROUP BY sn.n_name, cn.n_name
+      ORDER BY supp_nation, cust_nation""")
+  )
+
+  // --------------------------------------------------------------- q213
+  /** TPC-H Q11 shape — suppliers carrying an outsized value share:
+    * per-supplier revenue HAVING > 1.02% of the GLOBAL total (a scalar
+    * subquery both engines fold to one broadcast row). Exact integer
+    * revenue on both sides of the comparison. */
+  private val q213 = Q(
+    "q213_outsized_suppliers",
+    (s, dir) => {
+      val lk = Lake(s, dir)
+      val revExpr = sum((round(col("l_extendedprice") * 100.0d, 0)
+        .cast("long") *
+        (lit(100L) - round(col("l_discount") * 100.0d, 0).cast("long")))
+        .cast("decimal(38,0)"))
+      val per = lk.lineitem.groupBy("l_suppkey")
+        .agg(revExpr.as("__cents"))
+      val tot = lk.lineitem.agg(revExpr.as("__total"))
+      per.crossJoin(broadcast(tot))
+        .filter(col("__cents").cast("double") >
+          col("__total").cast("double") * 0.0102d)
+        .select(col("l_suppkey").as("s_suppkey"),
+          (col("__cents").cast("double") / 10000.0d).as("revenue"),
+          (col("__cents").cast("double") / col("__total").cast("double"))
+            .as("share"))
+        .orderBy("s_suppkey")
+    },
+    Some("""
+      WITH per AS (SELECT l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) *
+                 (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT)))
+                 AS BIGINT) AS cents
+             FROM lineitem GROUP BY l_suppkey),
+      tot AS (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT)))
+                AS BIGINT) AS total
+              FROM lineitem)
+      SELECT l_suppkey AS s_suppkey,
+             CAST(cents AS DOUBLE) / 10000.0 AS revenue,
+             CAST(cents AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      FROM per CROSS JOIN tot
+      WHERE CAST(cents AS DOUBLE) > CAST(total AS DOUBLE) * 0.0102
+      ORDER BY s_suppkey""")
+  )
+
+  // --------------------------------------------------------------- q214
+  /** TPC-H Q8 shape — market share over time: each supplier nation's
+    * share of total revenue per ship quarter, the window-over-aggregate
+    * composition (quarter totals as a window sum over the grouped
+    * frame — no second scan). */
+  private val q214 = Q(
+    "q214_nation_market_share",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val lk = Lake(s, dir)
+      val sn = lk.nation.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      lk.lineitem
+        .join(lk.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+        .groupBy(col("supp_nation"),
+          concat(year(col("l_shipdate")), lit("Q"),
+            quarter(col("l_shipdate"))).as("ship_quarter"))
+        .agg(sum((round(col("l_extendedprice") * 100.0d, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100.0d, 0).cast("long")))
+          .cast("decimal(38,0)")).as("__cents"))
+        .withColumn("revenue", col("__cents").cast("double") / 10000.0d)
+        .withColumn("share",
+          col("__cents").cast("double") /
+            sum(col("__cents")).over(W.partitionBy("ship_quarter"))
+              .cast("double"))
+        .select("ship_quarter", "supp_nation", "revenue", "share")
+        .orderBy("ship_quarter", "supp_nation")
+    },
+    Some("""
+      WITH g AS (SELECT sn.n_name AS supp_nation,
+               CAST(year(l_shipdate) AS VARCHAR) || 'Q' ||
+                 CAST(quarter(l_shipdate) AS VARCHAR) AS ship_quarter,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) *
+                 (100 - CAST(ROUND(l_discount * 100.0) AS BIGINT)))
+                 AS BIGINT) AS cents
+             FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation sn ON s_nationkey = sn.n_nationkey
+             GROUP BY 1, 2)
+      SELECT ship_quarter, supp_nation,
+             CAST(cents AS DOUBLE) / 10000.0 AS revenue,
+             CAST(cents AS DOUBLE) /
+               CAST(SUM(cents) OVER (PARTITION BY ship_quarter) AS DOUBLE)
+               AS share
+      FROM g ORDER BY ship_quarter, supp_nation""")
+  )
+
   // --------------------------------------------------------------- q203
   /** Typed Aggregator under the hash gate ([[graft.ops.TypedAggs
     * .WeightedMeanCents]]): per-priority mean order value WEIGHTED by
@@ -1321,5 +1458,5 @@ object RelationalQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q46, q47, q48, q52, q63, q64, q78, q191, q192, q193, q194, q195,
-    q196, q197, q201, q202, q203)
+    q196, q197, q201, q202, q203, q212, q213, q214)
 }
