@@ -724,4 +724,88 @@ object Dedup {
         (max(col("__len")) + lit((n - 1).toLong)).as("longest_span_tokens"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Exact-Jaccard pair detection via AllPairs/PPJoin-style prefix
+    * filtering (Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    * WWW'07): the same OUTPUT as [[jaccardPairs]] — every pair with
+    * jaccard ≥ threshold, same evidence columns — but candidate pairs come
+    * only from the PREFIX of each document's token list in ascending
+    * global-document-frequency order, never from the full inverted index.
+    *
+    * Why this is the exact-dedup scale path: [[jaccardPairs]] pays
+    * Σ_shingles C(df,2) candidate rows — boilerplate shingles dominate and
+    * [[capDocFrequency]] can only drop them (losing recall on
+    * template-heavy corpora). Prefix filtering keeps EVERY shingle but
+    * only indexes each doc's |x| − ⌈t·|x|⌉ + 1 rarest tokens: a pair with
+    * J ≥ t must share a token inside both prefixes (if all common tokens
+    * sat in x's final ⌈t·|x|⌉ − 1 positions, the overlap would be below
+    * the t·|x| ≤ |x∩y| bound), so completeness holds with no df cap and
+    * the candidate join is driven by exactly the RAREST tokens — the
+    * anti-skew choice: hot shingles land in nobody's prefix.
+    *
+    * Distributed shape (no global sort, no all-pairs): the total token
+    * order (df asc, shingle asc) is embedded into a sortable string key
+    * `zeroPad(df) ∥ shingle`, so per-doc ordering is a local
+    * `sort_array` — ranking tokens globally would otherwise be a
+    * single-partition window. Shuffles: df agg (shingle), per-doc prefix
+    * agg (doc_id), prefix self-join (key), verify joins (doc, shingle) —
+    * all data-sized keys.
+    *
+    * Size bounds are checked with exact rational arithmetic: threshold is
+    * lowered to num/1e6 ≤ t (floor), so ⌈t·n⌉ and the candidate length
+    * filters t·|a| ≤ |b| ≤ |a|/t never exclude a boundary-true pair to
+    * double rounding; the final jaccard ≥ t filter uses the identical
+    * double formula as the oracle. Gate: q215 (SimJoinQueries) against the
+    * brute-force inverted-index oracle. */
+  def prefixFilterPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1]: $threshold")
+    val den = 1000000L
+    val num = math.floor(threshold * den).toLong
+    val shc = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = shc.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    // the 12-char zero-padded df prefix makes plain string order equal to
+    // (df asc, shingle asc) tuple order; df is a function of the shingle so
+    // the key is injective and no separator is needed
+    val keyed = shc.join(dfreq, "shingle")
+      .select(col("doc_id"),
+        concat(lpad(col("__df").cast("string"), 12, "0"), col("shingle"))
+          .as("__k"))
+    // ceil(t*n) as exact integers: floor((n*num + den - 1) / den); the
+    // magnitudes (n <= 10^7 tokens/doc) stay far under 2^53 so the double
+    // floor is exact
+    val ceilTn = floor((col("n") * lit(num) + lit(den - 1L)) / lit(den.toDouble))
+      .cast("long")
+    val prefix = keyed.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("__k"))).as("__ks"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("__ks"), lit(1),
+          (col("n") - ceilTn + lit(1L)).cast("int"))).as("__k"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.__k") === col("b.__k") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * lit(den) >= col("a.n") * lit(num) &&
+          col("a.n") * lit(den) >= col("b.n") * lit(num))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val common = cand
+      .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shc.as("sb"),
+        col("doc_b") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    val counts = shc.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    common
+      .join(counts.withColumnsRenamed(
+        Map("doc_id" -> "doc_a", "n_shingles" -> "n_a")), "doc_a")
+      .join(counts.withColumnsRenamed(
+        Map("doc_id" -> "doc_b", "n_shingles" -> "n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+  }
 }

@@ -1140,4 +1140,104 @@ object WebGraph {
     state.select(col("start_node"), col("walker"), col("path"))
       .orderBy("start_node", "walker")
   }
+
+  /** Synchronous label propagation (Raghavan et al., Phys. Rev. E 2007) on
+    * the UNDIRECTED host graph: every host starts labeled with itself;
+    * each round, simultaneously, a host adopts the label most frequent
+    * among its neighbors (ties → lexicographically smallest label). A
+    * FIXED round count — not convergence detection — because synchronous
+    * LPA oscillates on bipartite-ish structures (a 2-node component flips
+    * labels forever); fixed rounds make the operator a pure deterministic
+    * function of the graph, which is what an oracle gate and a re-runnable
+    * pipeline both need. Complements [[hostComponents]]: components fuse
+    * everything reachable (one bridge merges two clusters), LPA's
+    * frequency vote keeps densely-linked clusters distinct across sparse
+    * bridges — the community signal used for crawl sharding and
+    * link-farm fencing.
+    *
+    * Per round: one join (edges × labels, keyed on the neighbor), one
+    * count agg on (host, label), one bounded window (partition = host,
+    * state = that host's distinct neighbor labels) for the
+    * argmax-with-tiebreak. Rounds localCheckpoint (the [[hostRankFrom]]
+    * lineage discipline). At 1000 executors every stage keys on host —
+    * degree skew lands in the count agg, which partial-aggregates
+    * map-side. Gate: q219 with a 3-round unrolled MATERIALIZED oracle. */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val dir0 = edges
+      .select(col("src_host").cast("string").as("a"),
+        col("dst_host").cast("string").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
+    val und = dir0.union(dir0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("a").as("host")).distinct()
+      .withColumn("label", col("host"))
+      .localCheckpoint()
+    val w = Window.partitionBy("host")
+      .orderBy(col("__c").desc, col("__nl"))
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(labels.select(col("host").as("b"), col("label").as("__nl")), "b")
+        .groupBy(col("a").as("host"), col("__nl"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("host"), col("__nl").as("label"))
+        .localCheckpoint()
+    }
+    und.unpersist()
+    labels.select(col("host"), col("label").as("community"))
+  }
+
+  /** Bounded-hop weighted shortest paths (Bellman-Ford, `rounds`
+    * relaxation rounds) from `seeds` over directed edges carrying a
+    * non-negative integer `weight` column: after round k every host
+    * reachable within k hops holds the cheapest ≤ k-hop cost — the
+    * weighted generalization of [[crawlDepth]]'s BFS (cost-aware crawl
+    * budgeting: weight = politeness delay or fetch cost instead of hop
+    * count). Costs stay exact longs; parallel edges collapse to their
+    * MIN weight first.
+    *
+    * Unlike BFS, a weighted relaxation can IMPROVE an already-reached
+    * host, so there is no frontier/anti-join shortcut — each round joins
+    * the full distance table against the edge list and min-folds:
+    * distance rows ∪ (dist + w via edges) → groupBy host → min. Per
+    * round: one join keyed on the edge source, one min agg keyed on
+    * host, both partial-aggregating; lineage cut per round by
+    * localCheckpoint. Gate: q220, oracle = the same min-fold unrolled as
+    * MATERIALIZED CTEs (the q103 discipline). */
+  def weightedPaths(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int = 4
+  ): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    import org.apache.spark.storage.StorageLevel
+    val e = edges
+      .select(col("src_host").cast("string").as("src"),
+        col("dst_host").cast("string").as("dst"),
+        col("weight").cast("long").as("w"))
+      .filter(col("src") =!= "" && col("dst") =!= "" &&
+        col("src") =!= col("dst") && col("w") >= 0L)
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("host").cast("string").as("host")).distinct()
+      .join(e.select(col("src").as("host"))
+        .union(e.select(col("dst").as("host"))).distinct(), Seq("host"),
+        "left_semi")
+      .withColumn("cost", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      dist = dist
+        .union(e.join(dist.select(col("host").as("src"), col("cost")), "src")
+          .select(col("dst").as("host"), (col("cost") + col("w")).as("cost")))
+        .groupBy("host").agg(min(col("cost")).as("cost"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    dist
+  }
 }

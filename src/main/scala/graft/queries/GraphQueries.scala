@@ -220,5 +220,127 @@ object GraphQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(q135, q136, q166)
+  // --------------------------------------------------------------- q219
+  /** Three 8-host clusters (doc_id CRT arithmetic gives every (cluster,
+    * slot) combo) with two intra-cluster edge families i→i+1, i→i+3 and a
+    * single bridge ring c0h0→c1h0→c2h0→c0h0: connected components would
+    * fuse all 24 hosts into one blob; the LPA frequency vote must keep
+    * the dense clusters separate across the sparse bridges. Oracle
+    * unrolls the 3 synchronous rounds as MATERIALIZED CTEs with the
+    * identical count → (count desc, label) argmax. */
+  private val q219 = {
+    def lpaStep(r: Int): String = s"""
+      l$r AS MATERIALIZED (
+        SELECT host, nl AS label FROM (
+          SELECT e.a AS host, l.label AS nl, COUNT(*) AS c,
+                 row_number() OVER (PARTITION BY e.a
+                   ORDER BY COUNT(*) DESC, l.label) AS rn
+          FROM und e JOIN l${r - 1} l ON e.b = l.host
+          GROUP BY e.a, l.label)
+        WHERE rn = 1)"""
+    Q(
+      "q219_host_communities",
+      (s, dir) => {
+        val d = Lake(s, dir).documents
+        val cl = pmod(col("doc_id"), lit(3))
+        val slot = pmod(col("doc_id"), lit(8))
+        def h(c: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+          concat(lit("c"), c, lit("h"), i)
+        val intra1 = d.select(h(cl, slot).as("src_host"),
+          h(cl, pmod(col("doc_id") + 1, lit(8))).as("dst_host"))
+        val intra2 = d.select(h(cl, slot).as("src_host"),
+          h(cl, pmod(col("doc_id") + 3, lit(8))).as("dst_host"))
+        val bridge = d.select(h(cl, lit(0)).as("src_host"),
+          h(pmod(col("doc_id") + 1, lit(3)), lit(0)).as("dst_host"))
+        WebGraph.labelPropagation(intra1.union(intra2).union(bridge),
+            rounds = 3)
+          .orderBy("host")
+      },
+      Some(s"""
+      WITH raw AS (
+        SELECT 'c' || CAST(doc_id % 3 AS VARCHAR) ||
+               'h' || CAST(doc_id % 8 AS VARCHAR) AS a,
+               'c' || CAST(doc_id % 3 AS VARCHAR) ||
+               'h' || CAST((doc_id + 1) % 8 AS VARCHAR) AS b
+        FROM documents
+        UNION ALL
+        SELECT 'c' || CAST(doc_id % 3 AS VARCHAR) ||
+               'h' || CAST(doc_id % 8 AS VARCHAR),
+               'c' || CAST(doc_id % 3 AS VARCHAR) ||
+               'h' || CAST((doc_id + 3) % 8 AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'c' || CAST(doc_id % 3 AS VARCHAR) || 'h0',
+               'c' || CAST((doc_id + 1) % 3 AS VARCHAR) || 'h0'
+        FROM documents),
+      und AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+          SELECT a, b FROM raw WHERE a <> b
+          UNION ALL
+          SELECT b, a FROM raw WHERE a <> b)),
+      l0 AS (SELECT DISTINCT a AS host, a AS label FROM und),
+      ${lpaStep(1).stripLeading()},
+      ${lpaStep(2).stripLeading()},
+      ${lpaStep(3).stripLeading()}
+      SELECT host, label AS community FROM l3 ORDER BY host""")
+    )
+  }
+
+  // --------------------------------------------------------------- q220
+  /** Bellman-Ford over a 10-host directed graph with two deterministic
+    * edge families carrying different weight arithmetic (parallel edges
+    * collapse to MIN weight); seeds h0/h1, 4 relaxation rounds. The
+    * oracle min-folds the identical rounds as MATERIALIZED CTEs —
+    * [[GraphQueries]]' q103 BFS discipline, weighted. */
+  private val q220 = {
+    def bfStep(r: Int): String = s"""
+      d$r AS MATERIALIZED (
+        SELECT host, MIN(cost) AS cost FROM (
+          SELECT host, cost FROM d${r - 1}
+          UNION ALL
+          SELECT e.dst AS host, d.cost + e.w AS cost
+          FROM e JOIN d${r - 1} d ON e.src = d.host)
+        GROUP BY host)"""
+    Q(
+      "q220_weighted_paths",
+      (s, dir) => {
+        import s.implicits._
+        val d = Lake(s, dir).documents
+        def h(e: org.apache.spark.sql.Column) = concat(lit("h"), pmod(e, lit(10)))
+        val edges = d.select(h(col("doc_id")).as("src_host"),
+            h(col("doc_id") * 3 + 1).as("dst_host"),
+            (pmod(col("doc_id"), lit(4)) + 1).as("weight"))
+          .union(d.select(h(col("doc_id")).as("src_host"),
+            h(col("doc_id") * 7 + 3).as("dst_host"),
+            (pmod(col("doc_id"), lit(5)) + 1).as("weight")))
+        val seeds = Seq("h0", "h1").toDF("host")
+        WebGraph.weightedPaths(edges, seeds, rounds = 4).orderBy("host")
+      },
+      Some(s"""
+      WITH raw AS (
+        SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS src,
+               'h' || CAST((doc_id * 3 + 1) % 10 AS VARCHAR) AS dst,
+               doc_id % 4 + 1 AS w
+        FROM documents
+        UNION ALL
+        SELECT 'h' || CAST(doc_id % 10 AS VARCHAR),
+               'h' || CAST((doc_id * 7 + 3) % 10 AS VARCHAR),
+               doc_id % 5 + 1
+        FROM documents),
+      e AS MATERIALIZED (
+        SELECT src, dst, CAST(MIN(w) AS BIGINT) AS w
+        FROM raw WHERE src <> dst GROUP BY src, dst),
+      d0 AS (SELECT h AS host, CAST(0 AS BIGINT) AS cost FROM (
+               SELECT DISTINCT src AS h FROM e
+               UNION SELECT DISTINCT dst FROM e)
+             WHERE h IN ('h0', 'h1')),
+      ${bfStep(1).stripLeading()},
+      ${bfStep(2).stripLeading()},
+      ${bfStep(3).stripLeading()},
+      ${bfStep(4).stripLeading()}
+      SELECT host, CAST(cost AS BIGINT) AS cost FROM d4 ORDER BY host""")
+    )
+  }
+
+  val all: Seq[Q] = Seq(q135, q136, q166, q219, q220)
 }

