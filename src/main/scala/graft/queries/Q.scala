@@ -25,7 +25,8 @@ object Registry {
   lazy val all: Seq[Q] =
     RelationalQueries.all ++ ViewQueries.all ++ PipelineQueries.all ++
       BehaviorQueries.all ++ OlapQueries.all ++ GraphQueries.all ++
-      ScaleQueries.all ++ SimJoinQueries.all ++ RecoQueries.all
+      ScaleQueries.all ++ SimJoinQueries.all ++ RecoQueries.all ++
+      SeriesQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

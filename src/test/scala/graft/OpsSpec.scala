@@ -515,6 +515,37 @@ class OpsSpec extends SparkTestBase {
     assert(tie.toSeq == Seq((20L, 4L, 1)))
   }
 
+  test("Series.ewmaLast: power-of-two weights, short-history denominator, exact division") {
+    import graft.ops.Series
+    // u: values 1,2,3 with window 2 -> num = 300*2 + 200*1 = 800, den = 3
+    // v: single event -> num = 100*2 = 200, den = 2 -> ewma exactly 1.0
+    val ev = Seq(
+      ("u", 1L, 101L, 1.0), ("u", 2L, 102L, 2.0), ("u", 3L, 103L, 3.0),
+      ("v", 1L, 201L, 1.0)
+    ).toDF("k", "t", "id", "value")
+    val out = Series.ewmaLast(ev, "k", "t", "id", "value", window = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("u") == ((3L, 800L, 3L, 800.0 / 3.0 / 100.0)))
+    assert(out("v") == ((1L, 200L, 2L, 1.0)))
+  }
+
+  test("Series.cusumChangepoint: peak |n·P−k·S| lands right before the level shift") {
+    import graft.ops.Series
+    // 1,1,1,10: T = -900,-1800,-2700,0 -> cp at k=3, |T|=2700
+    val ev = Seq(
+      ("u", 1L, 1L, 1.0), ("u", 2L, 2L, 1.0), ("u", 3L, 3L, 1.0),
+      ("u", 4L, 4L, 10.0),
+      // symmetric 1,3: |T| = 200 at k=1, 0 at k=2 -> tiebreak-free pick k=1
+      ("w", 1L, 5L, 1.0), ("w", 2L, 6L, 3.0)
+    ).toDF("k", "t", "id", "value")
+    val out = Series.cusumChangepoint(ev, "k", "t", "id", "value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("u") == ((4L, 3L, 2700L, 6.75)))
+    assert(out("w") == ((2L, 1L, 200L, 1.0)))
+  }
+
   test("Recommend: cosine model ranks, serving scores integer sums and excludes held items") {
     import graft.ops.Recommend
     // baskets: b1{1,2,3} b2{1,2} b3{1,2} b4{2,3} b5{1,3}
