@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   *     collapses identical signatures into band buckets first. This 7×
   *     gap WIDENS with duplication factor, which is why minhash is the
   *     default at real scale and exact Jaccard the verification oracle.
+  *
+  * Measured regimes for the EXACT paths (SimJoinScaleProbe, 50k docs,
+  * local[32]): with uniform small df (no boilerplate) [[jaccardPairs]]
+  * 35 s ≈ [[prefixFilterPairs]] 37 s — candidates are not the
+  * bottleneck, the prefix machinery buys nothing. Add ONE universal
+  * boilerplate sentence (8 shingles at df = 50k) and the inverted index
+  * detonates (C(50k,2)·8 ≈ 10^10 candidate rows, infeasible) while the
+  * prefix filter runs 31 s — faster than the df-capped variant (35 s,
+  * and that one silently changes answers: 109,499 vs the true 108,260
+  * pairs) and exact. Template-heavy corpora are exactly the web regime.
   */
 object Dedup {
 
@@ -776,9 +786,19 @@ object Dedup {
     // floor is exact
     val ceilTn = floor((col("n") * lit(num) + lit(den - 1L)) / lit(den.toDouble))
       .cast("long")
-    val prefix = keyed.groupBy("doc_id")
+    // the per-doc sorted key array serves BOTH stages: its head slice is
+    // the prefix index, and the full array is the verification payload —
+    // candidate verify is then two doc-keyed joins + one array_intersect
+    // per pair, never a re-shuffle of the (doc, shingle) inverted frame
+    // (the key is injective per shingle, so |ka ∩ kb| IS |A ∩ B|).
+    // Measured (SimJoinScaleProbe, 50k docs with universal boilerplate):
+    // 141 s with the inverted-frame verify → 31 s with the array verify
+    // — faster than the df-capped approximation (35 s) while exact.
+    val perDoc = keyed.groupBy("doc_id")
       .agg(sort_array(collect_list(col("__k"))).as("__ks"),
         count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = perDoc
       .select(col("doc_id"), col("n"),
         explode(slice(col("__ks"), lit(1),
           (col("n") - ceilTn + lit(1L)).cast("int"))).as("__k"))
@@ -789,19 +809,13 @@ object Dedup {
           col("a.n") * lit(den) >= col("b.n") * lit(num))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val common = cand
-      .join(shc.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(shc.as("sb"),
-        col("doc_b") === col("sb.doc_id") &&
-          col("sa.shingle") === col("sb.shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    val counts = shc.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    common
-      .join(counts.withColumnsRenamed(
-        Map("doc_id" -> "doc_a", "n_shingles" -> "n_a")), "doc_a")
-      .join(counts.withColumnsRenamed(
-        Map("doc_id" -> "doc_b", "n_shingles" -> "n_b")), "doc_b")
+    cand
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("__ks").as("__ka"),
+        col("n").as("n_a")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("__ks").as("__kb"),
+        col("n").as("n_b")), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("__ka"), col("__kb"))).cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")))
