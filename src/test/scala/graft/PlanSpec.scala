@@ -674,4 +674,13 @@ class PlanSpec extends SparkTestBase {
     assert(!pruned.queryExecution.executedPlan.toString.toLowerCase.contains("udf"),
       "bloom probe must stay pure-builtin (codegen)")
   }
+
+  test("table profile: six count-distincts ride ONE scan via a single Expand") {
+    val plan = planOf(
+      graft.queries.Registry.byName("q224_table_profile").run(spark, sfDir))
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"profile must scan the table once:\n$plan")
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"multi-distinct must be one Expand, not per-column passes:\n$plan")
+  }
 }

@@ -589,4 +589,70 @@ class PropertySpec extends SparkTestBase {
       ab == ba
     }, n = 5)
   }
+
+  test("prefixFilterPairs equals jaccardPairs for any corpus and threshold") {
+    val vocab = Seq("red", "blue", "green", "fox", "dog", "cat", "runs",
+      "jumps", "sleeps", "fast")
+    val gen = Gen.zip(
+      Gen.listOfN(8, Gen.chooseNum(4, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))),
+      Gen.oneOf(0.5, 0.7, 0.8))
+    holds(Prop.forAll(gen) { case (texts, t) =>
+      val docs = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "text")
+      val sh = Dedup.shingles(docs, "doc_id", "text", 2)
+      val brute = Dedup.jaccardPairs(sh, t)
+        .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+      val pf = Dedup.prefixFilterPairs(sh, t)
+        .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+      pf == brute
+    })
+  }
+
+  test("sortedNeighborhood: widening the window only ADDS candidate pairs") {
+    import graft.ops.Linkage
+    val gen = Gen.listOfN(14, Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString))
+    holds(Prop.forAll(gen) { keys =>
+      val recs = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("doc_id", "k")
+      def pairs(w: Int) = Linkage.sortedNeighborhood(
+          recs, "doc_id", Seq(col("k")), window = w, blockChars = 1)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val p2 = pairs(2)
+      val p3 = pairs(3)
+      p2.subsetOf(p3)
+    })
+  }
+
+  test("weightedPaths: one more relaxation round never worsens any cost") {
+    import graft.ops.WebGraph
+    val gen = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0, 6), Gen.choose(0, 6), Gen.choose(1L, 9L)))
+    holds(Prop.forAll(gen) { triples =>
+      val edges = triples.map { case (a, b, w) => (s"n$a", s"n$b", w) }
+        .toDF("src_host", "dst_host", "weight")
+      val seeds = Seq("n0").toDF("host")
+      def dist(r: Int) = WebGraph.weightedPaths(edges, seeds, rounds = r)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      val d2 = dist(2)
+      val d3 = dist(3)
+      d2.forall { case (h, c) => d3.get(h).exists(_ <= c) }
+    })
+  }
+
+  test("series laws: constant values give ewma == value and cusum_num == 0") {
+    import graft.ops.Series
+    val gen = Gen.zip(Gen.choose(1, 12), Gen.choose(1L, 500L))
+    holds(Prop.forAll(gen) { case (n, cents) =>
+      val v = cents / 100.0
+      val ev = (1 to n).map(i => ("u", i.toLong, i.toLong, v))
+        .toDF("k", "t", "id", "value")
+      val e = Series.ewmaLast(ev, "k", "t", "id", "value", window = 5)
+        .collect().head
+      val c = Series.cusumChangepoint(ev, "k", "t", "id", "value")
+        .collect().head
+      e.getAs[Double]("ewma") == v && c.getAs[Long]("cusum_num") == 0L
+    })
+  }
 }
