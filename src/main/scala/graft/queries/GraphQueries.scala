@@ -228,8 +228,25 @@ object GraphQueries {
     * the dense clusters separate across the sparse bridges. Oracle
     * unrolls the 3 synchronous rounds as MATERIALIZED CTEs with the
     * identical count → (count desc, label) argmax. */
-  private val q219 = {
-    def lpaStep(r: Int): String = s"""
+  /** The q219/q227 fixture: three 8-host clusters with two intra-cluster
+    * edge families and a single h0 bridge ring (see q219 doc). */
+  private def communityEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val d = Lake(s, dir).documents
+    val cl = pmod(col("doc_id"), lit(3))
+    val slot = pmod(col("doc_id"), lit(8))
+    def h(c: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      concat(lit("c"), c, lit("h"), i)
+    val intra1 = d.select(h(cl, slot).as("src_host"),
+      h(cl, pmod(col("doc_id") + 1, lit(8))).as("dst_host"))
+    val intra2 = d.select(h(cl, slot).as("src_host"),
+      h(cl, pmod(col("doc_id") + 3, lit(8))).as("dst_host"))
+    val bridge = d.select(h(cl, lit(0)).as("src_host"),
+      h(pmod(col("doc_id") + 1, lit(3)), lit(0)).as("dst_host"))
+    intra1.union(intra2).union(bridge)
+  }
+
+  private def lpaStep(r: Int): String = s"""
       l$r AS MATERIALIZED (
         SELECT host, nl AS label FROM (
           SELECT e.a AS host, l.label AS nl, COUNT(*) AS c,
@@ -238,26 +255,22 @@ object GraphQueries {
           FROM und e JOIN l${r - 1} l ON e.b = l.host
           GROUP BY e.a, l.label)
         WHERE rn = 1)"""
+
+  private val q219 = {
     Q(
       "q219_host_communities",
-      (s, dir) => {
-        val d = Lake(s, dir).documents
-        val cl = pmod(col("doc_id"), lit(3))
-        val slot = pmod(col("doc_id"), lit(8))
-        def h(c: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
-          concat(lit("c"), c, lit("h"), i)
-        val intra1 = d.select(h(cl, slot).as("src_host"),
-          h(cl, pmod(col("doc_id") + 1, lit(8))).as("dst_host"))
-        val intra2 = d.select(h(cl, slot).as("src_host"),
-          h(cl, pmod(col("doc_id") + 3, lit(8))).as("dst_host"))
-        val bridge = d.select(h(cl, lit(0)).as("src_host"),
-          h(pmod(col("doc_id") + 1, lit(3)), lit(0)).as("dst_host"))
-        WebGraph.labelPropagation(intra1.union(intra2).union(bridge),
-            rounds = 3)
-          .orderBy("host")
-      },
+      (s, dir) =>
+        WebGraph.labelPropagation(communityEdges(s, dir), rounds = 3)
+          .orderBy("host"),
       Some(s"""
-      WITH raw AS (
+      WITH $LpaCtes
+      SELECT host, label AS community FROM l3 ORDER BY host""")
+    )
+  }
+
+  /** Shared q219/q227 oracle chain: fixture edges, the undirected frame,
+    * and three unrolled LPA rounds ending at `l3`. */
+  private lazy val LpaCtes: String = s"""raw AS (
         SELECT 'c' || CAST(doc_id % 3 AS VARCHAR) ||
                'h' || CAST(doc_id % 8 AS VARCHAR) AS a,
                'c' || CAST(doc_id % 3 AS VARCHAR) ||
@@ -281,10 +294,7 @@ object GraphQueries {
       l0 AS (SELECT DISTINCT a AS host, a AS label FROM und),
       ${lpaStep(1).stripLeading()},
       ${lpaStep(2).stripLeading()},
-      ${lpaStep(3).stripLeading()}
-      SELECT host, label AS community FROM l3 ORDER BY host""")
-    )
-  }
+      ${lpaStep(3).stripLeading()}"""
 
   // --------------------------------------------------------------- q220
   /** Bellman-Ford over a 10-host directed graph with two deterministic
@@ -342,5 +352,76 @@ object GraphQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(q135, q136, q166, q219, q220)
+  // --------------------------------------------------------------- q227
+  /** Community-aware crawl sharding — the q219 composition: shard = LPA
+    * community, scored by edge locality (intra-shard edges over all edges
+    * touching the shard). A crawl scheduler placing politeness state and
+    * frontier queues by community instead of by hash keeps the fraction
+    * `locality` of link traversals shard-local; the bridge ring shows up
+    * as exactly the inter-edge mass. Canonical undirected edges, integer
+    * counts, one final exact-long division. */
+  private val q227 = Q(
+    "q227_community_sharding",
+    (s, dir) => {
+      val edges = communityEdges(s, dir)
+      val comm = WebGraph.labelPropagation(edges, rounds = 3)
+      val canon = edges
+        .select(col("src_host").cast("string").as("a"),
+          col("dst_host").cast("string").as("b"))
+        .filter(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("ea"),
+          greatest(col("a"), col("b")).as("eb"))
+        .distinct()
+      val tagged = canon
+        .join(comm.select(col("host").as("ea"), col("community").as("ca")),
+          "ea")
+        .join(comm.select(col("host").as("eb"), col("community").as("cb")),
+          "eb")
+      val cross = tagged.filter(col("ca") =!= col("cb"))
+      val intra = tagged.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val inter = cross.select(col("ca").as("community"))
+        .union(cross.select(col("cb").as("community")))
+        .groupBy("community").agg(count(lit(1)).as("inter_edges"))
+      comm.groupBy("community").agg(count(lit(1)).as("n_hosts"))
+        .join(intra, Seq("community"), "left")
+        .join(inter, Seq("community"), "left")
+        .na.fill(0L, Seq("intra_edges", "inter_edges"))
+        .withColumn("locality",
+          col("intra_edges").cast("double") /
+            (col("intra_edges") + col("inter_edges")).cast("double"))
+        .orderBy("community")
+    },
+    Some(s"""
+      WITH $LpaCtes,
+      cedges AS (SELECT DISTINCT least(a, b) AS ea, greatest(a, b) AS eb
+                 FROM raw WHERE a <> b),
+      tagged AS (SELECT e.ea, e.eb, la.label AS ca, lb.label AS cb
+                 FROM cedges e
+                 JOIN l3 la ON e.ea = la.host
+                 JOIN l3 lb ON e.eb = lb.host),
+      intra AS (SELECT ca AS community, CAST(COUNT(*) AS BIGINT)
+                  AS intra_edges
+                FROM tagged WHERE ca = cb GROUP BY ca),
+      inter AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS inter_edges
+                FROM (SELECT ca AS community FROM tagged WHERE ca <> cb
+                      UNION ALL
+                      SELECT cb FROM tagged WHERE ca <> cb)
+                GROUP BY community),
+      nh AS (SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_hosts
+             FROM l3 GROUP BY label)
+      SELECT nh.community, nh.n_hosts,
+             CAST(COALESCE(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+             CAST(COALESCE(inter.inter_edges, 0) AS BIGINT) AS inter_edges,
+             CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) /
+               CAST(COALESCE(intra.intra_edges, 0) +
+                    COALESCE(inter.inter_edges, 0) AS DOUBLE) AS locality
+      FROM nh
+      LEFT JOIN intra USING (community)
+      LEFT JOIN inter USING (community)
+      ORDER BY nh.community""")
+  )
+
+  val all: Seq[Q] = Seq(q135, q136, q166, q219, q220, q227)
 }

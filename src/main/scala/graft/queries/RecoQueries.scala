@@ -17,10 +17,10 @@ object RecoQueries {
 
   /** Shared oracle CTE chain: basket-capped pair counts (q164's algebra)
     * symmetrized into a per-item neighbor list with cosine, ranked and
-    * truncated to k = 5. */
-  private val ModelCte = """
-    items AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
-              FROM lineitem),
+    * truncated to k = 5. `itemsSql` defines the (bk, it) basket source —
+    * the full lineitem for q217/q218, the train-window join for q226. */
+  private[queries] def modelCte(itemsSql: String): String = s"""
+    items AS ($itemsSql),
     sized AS (SELECT bk, it FROM
                (SELECT bk, it, COUNT(*) OVER (PARTITION BY bk) AS bsz
                 FROM items)
@@ -50,6 +50,9 @@ object RecoQueries {
                     AS rank
                 FROM scored)
               WHERE rank <= 5)"""
+
+  private val ModelCte = modelCte(
+    "SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem")
 
   // --------------------------------------------------------------- q217
   private val q217 = Q(
@@ -105,5 +108,96 @@ object RecoQueries {
       FROM ranked WHERE rank <= 3 ORDER BY cust, rank""")
   )
 
-  val all: Seq[Q] = Seq(q217, q218)
+  // --------------------------------------------------------------- q226
+  /** Offline recommender evaluation — the capstone composition: orders
+    * split by date into train (< 1997-01-01) and test; the q217 model is
+    * built ONLY from train baskets, q218-style recommendations are served
+    * from train purchases, and the hit rate is measured against what the
+    * customers actually bought in the test window. Leakage-proof by
+    * construction (the model never sees a test order — the q145 split
+    * discipline applied to time); every metric integer except the final
+    * hit-rate divisions. */
+  private val q226 = {
+    val cutoff = "1997-01-01"
+    Q(
+      "q226_reco_eval",
+      (s, dir) => {
+        val lk = Lake(s, dir)
+        val train = lk.orders.filter(col("o_orderdate") < cutoff)
+        val test = lk.orders.filter(col("o_orderdate") >= cutoff)
+        val trainLi = train
+          .join(lk.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select(col("l_orderkey"), col("l_partkey"))
+        val model = Recommend.itemNeighbors(trainLi,
+          "l_orderkey", "l_partkey", minPairCount = 3L, k = 5)
+        val heldTrain = train
+          .join(lk.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_partkey"))
+        val recs = Recommend.alsoBought(heldTrain, "o_custkey", "l_partkey",
+          model, k = 3)
+        val testBuys = test
+          .join(lk.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("user"),
+            col("l_partkey").as("rec_item"))
+          .distinct()
+        val hits = recs.join(testBuys, Seq("user", "rec_item"), "left_semi")
+        val r = recs.agg(
+          count_distinct(col("user")).as("n_users"),
+          count(lit(1)).as("n_recs"))
+        val h = hits.agg(
+          count_distinct(col("user")).as("n_users_hit"),
+          count(lit(1)).as("n_rec_hits"))
+        r.crossJoin(h).select(
+          col("n_users"), col("n_recs"), col("n_users_hit"),
+          col("n_rec_hits"),
+          (col("n_rec_hits").cast("double") / col("n_recs").cast("double"))
+            .as("rec_precision"),
+          (col("n_users_hit").cast("double") / col("n_users").cast("double"))
+            .as("user_hit_rate"))
+      },
+      Some(s"""
+      WITH ${modelCte(
+        s"""SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE o_orderdate < TIMESTAMP '$cutoff'""").stripLeading()},
+      ui AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             WHERE o_orderdate < TIMESTAMP '$cutoff'),
+      cand AS (SELECT cust, m.neighbor AS rec_item,
+                 CAST(SUM(m.n_pair) AS BIGINT) AS score,
+                 CAST(COUNT(*) AS BIGINT) AS n_sources
+               FROM ui JOIN model m ON ui.item = m.item
+               GROUP BY 1, 2),
+      pruned AS (SELECT c.cust, c.rec_item, c.score, c.n_sources
+                 FROM cand c
+                 WHERE NOT EXISTS (SELECT 1 FROM ui
+                                   WHERE ui.cust = c.cust
+                                     AND ui.item = c.rec_item)),
+      recs AS (SELECT cust, rec_item FROM (
+                 SELECT cust, rec_item,
+                   row_number() OVER (PARTITION BY cust
+                     ORDER BY score DESC, n_sources DESC, rec_item) AS rank
+                 FROM pruned)
+               WHERE rank <= 3),
+      testbuys AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS rec_item
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                   WHERE o_orderdate >= TIMESTAMP '$cutoff'),
+      hits AS (SELECT r.cust, r.rec_item FROM recs r
+               WHERE EXISTS (SELECT 1 FROM testbuys t
+                             WHERE t.cust = r.cust
+                               AND t.rec_item = r.rec_item)),
+      ra AS (SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_users,
+                    CAST(COUNT(*) AS BIGINT) AS n_recs FROM recs),
+      ha AS (SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_users_hit,
+                    CAST(COUNT(*) AS BIGINT) AS n_rec_hits FROM hits)
+      SELECT n_users, n_recs, n_users_hit, n_rec_hits,
+             CAST(n_rec_hits AS DOUBLE) / CAST(n_recs AS DOUBLE)
+               AS rec_precision,
+             CAST(n_users_hit AS DOUBLE) / CAST(n_users AS DOUBLE)
+               AS user_hit_rate
+      FROM ra CROSS JOIN ha""")
+    )
+  }
+
+  val all: Seq[Q] = Seq(q217, q218, q226)
 }
