@@ -423,5 +423,67 @@ object GraphQueries {
       ORDER BY nh.community""")
   )
 
-  val all: Seq[Q] = Seq(q135, q136, q166, q219, q220, q227)
+  // --------------------------------------------------------------- q228
+  /** Newman modularity of the LPA partition — the quality score for
+    * q219/q227: Q = (Σ_c intra_c)/m − (Σ_c deg_c²)/(4m²) over the
+    * canonical undirected edge set. Every ingredient is an exact long
+    * (edge count, intra count, per-community degree sums and their
+    * squares); the score is two exact-long divisions and one subtraction,
+    * the identical op tree in both engines. Self-loops are excluded with
+    * the edges (the [[WebGraph.labelPropagation]] filter). */
+  private val q228 = Q(
+    "q228_partition_modularity",
+    (s, dir) => {
+      val edges = communityEdges(s, dir)
+      val comm = WebGraph.labelPropagation(edges, rounds = 3)
+      val canon = edges
+        .select(col("src_host").cast("string").as("a"),
+          col("dst_host").cast("string").as("b"))
+        .filter(col("a") =!= "" && col("b") =!= "" && col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("ea"),
+          greatest(col("a"), col("b")).as("eb"))
+        .distinct()
+      val tagged = canon
+        .join(comm.select(col("host").as("ea"), col("community").as("ca")),
+          "ea")
+        .join(comm.select(col("host").as("eb"), col("community").as("cb")),
+          "eb")
+      val base = tagged.agg(count(lit(1)).as("m"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("si"))
+      val degC = canon.select(col("ea").as("host"))
+        .union(canon.select(col("eb").as("host")))
+        .join(comm, "host")
+        .groupBy("community").agg(count(lit(1)).as("__d"))
+      val sds = degC.agg(sum(col("__d") * col("__d")).as("sds"))
+      base.crossJoin(sds).select(col("m"), col("si"), col("sds"),
+        (col("si").cast("double") / col("m").cast("double") -
+          col("sds").cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"))
+          .as("modularity"))
+    },
+    Some(s"""
+      WITH $LpaCtes,
+      cedges AS (SELECT DISTINCT least(a, b) AS ea, greatest(a, b) AS eb
+                 FROM raw WHERE a <> b),
+      tagged AS (SELECT e.ea, e.eb, la.label AS ca, lb.label AS cb
+                 FROM cedges e
+                 JOIN l3 la ON e.ea = la.host
+                 JOIN l3 lb ON e.eb = lb.host),
+      base AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS si
+               FROM tagged),
+      degc AS (SELECT l3.label AS community, CAST(COUNT(*) AS BIGINT) AS d
+               FROM (SELECT ea AS host FROM cedges
+                     UNION ALL SELECT eb FROM cedges) h
+               JOIN l3 ON h.host = l3.host
+               GROUP BY l3.label),
+      s2 AS (SELECT CAST(SUM(d * d) AS BIGINT) AS sds FROM degc)
+      SELECT m, si, sds,
+             CAST(si AS DOUBLE) / CAST(m AS DOUBLE) -
+               CAST(sds AS DOUBLE) / CAST(4 * m * m AS DOUBLE) AS modularity
+      FROM base CROSS JOIN s2""")
+  )
+
+  val all: Seq[Q] = Seq(q135, q136, q166, q219, q220, q227, q228)
 }

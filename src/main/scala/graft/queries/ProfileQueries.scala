@@ -124,5 +124,73 @@ object ProfileQueries {
       FROM l GROUP BY user_id ORDER BY user_id""")
   )
 
-  val all: Seq[Q] = Seq(q224, q225)
+  // --------------------------------------------------------------- q229
+  /** Per-user discrete lateness quantiles over the q225 arrival model —
+    * the actionable output: `withWatermark(p95 late + margin)` per
+    * ingest key. Quantiles are DISCRETE (smallest value at
+    * cume_dist ≥ p, the q121 threshold algebra) so no interpolation
+    * arithmetic can drift between engines; every window partitions by
+    * user — no global ordering anywhere. */
+  private val q229 = Q(
+    "q229_late_quantiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val arr = unix_micros(col("ts")) +
+        pmod(col("event_id"), lit(7)) * lit(3600000000L)
+      val wArr = W.partitionBy("user_id").orderBy("__arr", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+      val wCd = W.partitionBy("user_id").orderBy("__late")
+      val wAll = W.partitionBy("user_id")
+      Lake(s, dir).events
+        .withColumn("__tsus", unix_micros(col("ts")))
+        .withColumn("__arr", arr)
+        .withColumn("__hwm", max(col("__tsus")).over(wArr))
+        .withColumn("__late",
+          when(col("__hwm").isNotNull && col("__hwm") > col("__tsus"),
+            col("__hwm") - col("__tsus")).otherwise(lit(0L)))
+        .withColumn("__cd", cume_dist().over(wCd))
+        .withColumn("p50_late_us",
+          min(when(col("__cd") >= 0.5, col("__late"))).over(wAll))
+        .withColumn("p95_late_us",
+          min(when(col("__cd") >= 0.95, col("__late"))).over(wAll))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("__late") > 0, 1L).otherwise(0L)).as("n_late"),
+          first(col("p50_late_us")).as("p50_late_us"),
+          first(col("p95_late_us")).as("p95_late_us"),
+          max(col("__late")).as("max_late_us"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsus,
+                   epoch_us(ts) + (event_id % 7) * 3600000000 AS arr
+                 FROM events),
+      h AS (SELECT user_id,
+              MAX(tsus) OVER (PARTITION BY user_id ORDER BY arr, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm,
+              tsus
+            FROM e),
+      l AS (SELECT user_id,
+              CASE WHEN hwm IS NOT NULL AND hwm > tsus THEN hwm - tsus
+                   ELSE 0 END AS late
+            FROM h),
+      cd AS (SELECT user_id, late,
+               cume_dist() OVER (PARTITION BY user_id ORDER BY late) AS c
+             FROM l),
+      th AS (SELECT user_id, late,
+               MIN(CASE WHEN c >= 0.5 THEN late END)
+                 OVER (PARTITION BY user_id) AS p50,
+               MIN(CASE WHEN c >= 0.95 THEN late END)
+                 OVER (PARTITION BY user_id) AS p95
+             FROM cd)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+             CAST(MIN(p50) AS BIGINT) AS p50_late_us,
+             CAST(MIN(p95) AS BIGINT) AS p95_late_us,
+             CAST(MAX(late) AS BIGINT) AS max_late_us
+      FROM th GROUP BY user_id ORDER BY user_id""")
+  )
+
+  val all: Seq[Q] = Seq(q224, q225, q229)
 }
