@@ -147,12 +147,17 @@ object RecoQueries {
         val h = hits.agg(
           count_distinct(col("user")).as("n_users_hit"),
           count(lit(1)).as("n_rec_hits"))
+        // at scale factors where the train-window model is too sparse to
+        // recommend anything, the rates are NULL, not a division by zero
+        // (ANSI mode throws — the q163/q186 empty-side guard discipline)
         r.crossJoin(h).select(
           col("n_users"), col("n_recs"), col("n_users_hit"),
           col("n_rec_hits"),
-          (col("n_rec_hits").cast("double") / col("n_recs").cast("double"))
+          when(col("n_recs") > 0,
+            col("n_rec_hits").cast("double") / col("n_recs").cast("double"))
             .as("rec_precision"),
-          (col("n_users_hit").cast("double") / col("n_users").cast("double"))
+          when(col("n_users") > 0,
+            col("n_users_hit").cast("double") / col("n_users").cast("double"))
             .as("user_hit_rate"))
       },
       Some(s"""
@@ -191,10 +196,12 @@ object RecoQueries {
       ha AS (SELECT CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_users_hit,
                     CAST(COUNT(*) AS BIGINT) AS n_rec_hits FROM hits)
       SELECT n_users, n_recs, n_users_hit, n_rec_hits,
-             CAST(n_rec_hits AS DOUBLE) / CAST(n_recs AS DOUBLE)
-               AS rec_precision,
-             CAST(n_users_hit AS DOUBLE) / CAST(n_users AS DOUBLE)
-               AS user_hit_rate
+             CASE WHEN n_recs > 0
+                  THEN CAST(n_rec_hits AS DOUBLE) / CAST(n_recs AS DOUBLE)
+             END AS rec_precision,
+             CASE WHEN n_users > 0
+                  THEN CAST(n_users_hit AS DOUBLE) / CAST(n_users AS DOUBLE)
+             END AS user_hit_rate
       FROM ra CROSS JOIN ha""")
     )
   }

