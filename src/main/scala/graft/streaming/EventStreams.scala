@@ -605,4 +605,69 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
+
+  final case class EwmaBuf(cents: List[Long], n: Long)
+  final case class EwmaLevel(user_id: Long, n_events: Long,
+      ewma_num: Long, ewma_den: Long, ewma: Double)
+
+  /** Streaming twin of [[graft.ops.Series.ewmaLast]]: per key, the EWMA
+    * level (α = 1/2, exact power-of-two weights) maintained as typed
+    * state — a List of the last `window` cent values, newest first, plus
+    * the lifetime count. Each batch appends its rows in (ts, event_id)
+    * order, trims to `window`, and emits the key's refreshed level, so
+    * the LAST emission per key equals the batch operator on the full
+    * feed (StreamingSpec pins stream ≡ batch across micro-batch
+    * boundaries). Serving contract: the feed is event-time ordered per
+    * key — the q225/q229 lateness profile is how a deployment checks
+    * that assumption and sizes its watermark; out-of-order rows here
+    * would smooth in arrival order, exactly like any production metrics
+    * pipeline. State per key is `window` longs — independent of volume. */
+  class EwmaProcessor(window: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, EwmaLevel] {
+    @transient private var buf: org.apache.spark.sql.streaming.ValueState[EwmaBuf] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      buf = getHandle.getValueState[EwmaBuf]("buf",
+        org.apache.spark.sql.Encoders.product[EwmaBuf],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[EwmaLevel] = {
+      val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      if (batch.isEmpty) Iterator.empty
+      else {
+        val prev = if (buf.exists()) buf.get() else EwmaBuf(Nil, 0L)
+        // the same HALF_UP cents rounding as round(value * 100, 0)
+        val appended = batch.foldLeft(prev.cents) { (acc, e) =>
+          (java.math.BigDecimal.valueOf(e.value * 100.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue :: acc)
+            .take(window)
+        }
+        val next = EwmaBuf(appended, prev.n + batch.size)
+        buf.update(next)
+        val num = next.cents.zipWithIndex
+          .map { case (c, j) => c * (1L << (window - 1 - j)) }.sum
+        val den = next.cents.indices.map(j => 1L << (window - 1 - j)).sum
+        Iterator.single(EwmaLevel(key, next.n, num, den,
+          num.toDouble / den.toDouble / 100.0))
+      }
+    }
+  }
+
+  /** Apply the streaming EWMA to a typed event stream (RocksDB state
+    * store required, as for [[quotaGate]]). Emits one refreshed level
+    * per key per batch; downstream keeps the latest. */
+  def ewmaStream(events: Dataset[Event], window: Int = 10): Dataset[EwmaLevel] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new EwmaProcessor(window),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -543,6 +543,51 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("ewmaStream (transformWithState): last emission equals batch ewmaLast across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = EventStreams.ewmaStream(input.toDS(), window = 3)
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("append").start()
+    try {
+      def e(id: Long, u: Long, v: Double) =
+        Event(id, Timestamp.valueOf(s"2024-01-01 10:00:0$id"), u, "view", v)
+      // the window-3 buffer must carry values ACROSS the batch boundary
+      input.addData(e(1, 1, 1.0), e(2, 1, 2.0), e(3, 2, 5.0))
+      q.processAllAvailable()
+      input.addData(e(4, 1, 3.0), e(5, 1, 4.0))
+      q.processAllAvailable()
+      val lastPerKey = spark.table("ewma")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      // batch twin over the identical full feed
+      val all = Seq((1L, 1L, 1L, 1.0), (2L, 2L, 1L, 2.0), (3L, 3L, 2L, 5.0),
+        (4L, 4L, 1L, 3.0), (5L, 5L, 1L, 4.0))
+        .toDF("event_id", "t", "user_id", "value")
+      val batch = graft.ops.Series
+        .ewmaLast(all, "user_id", "t", "event_id", "value", window = 3)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))).toMap
+      assert(lastPerKey == batch)
+      // hand value: u1 (4 events) last-3 = (4,3,2) ->
+      // num = 400*4 + 300*2 + 200*1 = 2400, den = 7
+      assert(lastPerKey(1L) == ((4L, 2400L, 7L, 2400.0 / 7.0 / 100.0)))
+    } finally {
+      q.stop()
+      before match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("intervalJoinStream: stream-stream matches within horizon, batch equality") {
     implicit val sc = spark.sqlContext
     val views = MemoryStream[(Long, Timestamp, String)]
