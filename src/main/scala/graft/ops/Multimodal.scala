@@ -377,6 +377,43 @@ object Multimodal {
       }
   }
 
+  /** Per-image difference-hash row: the 64-bit gradient fingerprint as a
+    * bit string (row-major, each row comparing 8 adjacent cell pairs). */
+  final case class DHash(doc_id: Long, dhash: String)
+
+  /** Difference-hash (dHash) over real pixels — the gradient twin of
+    * [[imageAHash]]: resample to 9×8, grayscale each cell as ⌊(r+g+b)/3⌋,
+    * bit (y, x) = 1 iff gray(y, x+1) > gray(y, x). The comparison is
+    * LOCAL (adjacent cells), where aHash's is global (every cell vs one
+    * mean): a smooth luminance ramp — vignetting, uneven scan lighting —
+    * drags many cells across the global mean but changes each adjacent
+    * difference by only the ramp's per-cell step, so the two hashes fail
+    * differently; production image-dedup bands over BOTH (same Hamming
+    * band-join serving shape, [[graft.ops.Dedup.simhashPairs]]).
+    * Integer-exact end to end; gated by q230 against a full SQL
+    * restatement of the sampling, grayscale, and neighbor compare. */
+  def imageDHash(df: DataFrame, idCol: String, binCol: String): Dataset[DHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          decodeBmp(bytes).map { img =>
+            val r = resampleNearest(img, 9, 8)
+            def gray(x: Int, y: Int): Int = {
+              val i = (y * 9 + x) * 3
+              ((r.rgb(i) & 0xff) + (r.rgb(i + 1) & 0xff) +
+                (r.rgb(i + 2) & 0xff)) / 3
+            }
+            val bits = for (y <- 0 until 8; x <- 0 until 8)
+              yield if (gray(x + 1, y) > gray(x, y)) '1' else '0'
+            DHash(id, bits.mkString)
+          }
+        }
+      }
+  }
+
   /** Exact PCM sample statistics for one audio blob — every field integer
     * arithmetic (mean_sq is the integer-division mean of squares, not an
     * RMS float), so the row is engine-reproducible. */

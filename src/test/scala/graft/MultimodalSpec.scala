@@ -504,4 +504,33 @@ class MultimodalSpec extends SparkTestBase {
       (px(0) & 0xff) == 100 && (px(1) & 0xff) == 150 && (px(2) & 0xff) == 250))
     assert(Multimodal.decodeBmp(resized(2L)).isEmpty) // stub path for text
   }
+
+  test("imageDHash: gradient bits, uniform-shift invariance, local-edit sensitivity") {
+    import testImplicits._
+    def bmp(id: Long, shift: Int, spike: Boolean): (Long, Array[Byte]) = {
+      val w = 18; val h = 16
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * w + x) * 3
+        // values bounded so +shift never clamps
+        val base = (7 * x + 3 * y) % 150
+        val v = if (spike && x == 4) 200 else base + shift
+        rgb(i) = v.toByte; rgb(i + 1) = v.toByte; rgb(i + 2) = v.toByte
+      }
+      (id, Multimodal.encodeBmp(Multimodal.DecodedImage(w, h, rgb)))
+    }
+    val df = Seq(bmp(1, 0, false), bmp(2, 40, false), bmp(3, 0, true))
+      .toDF("doc_id", "media")
+    val out = Multimodal.imageDHash(df, "doc_id", "media")
+      .collect().map(d => d.doc_id -> d.dhash).toMap
+    assert(out(1L).length == 64 && out(1L).exists(_ == '1') &&
+      out(1L).exists(_ == '0'), "non-degenerate bit pattern")
+    // adjacent-difference structure is invariant to a uniform shift
+    assert(out(2L) == out(1L))
+    // a bright column edit flips bits around it
+    assert(out(3L) != out(1L))
+    // undecodable input contributes no row
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+    assert(Multimodal.imageDHash(bad, "doc_id", "media").count() == 0)
+  }
 }
