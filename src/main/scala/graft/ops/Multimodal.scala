@@ -480,6 +480,51 @@ object Multimodal {
   }
 
   /** Offset of the first byte of the `data` chunk payload, or -1. */
+  /** Exact per-frame PCM statistics: one row per fixed-size frame —
+    * the voice-activity / silence-detection primitive (energy gating
+    * works on frames, never whole files). Every field integer; the final
+    * short frame is emitted with its true sample count. */
+  final case class PcmFrame(
+      doc_id: Long,
+      frame_idx: Long,
+      n_samples: Long,
+      peak: Long,
+      sum_abs: Long,
+      energy: Long
+  )
+
+  /** Walk each WAV payload in `frameSize`-sample windows ([[pcmStats]]'
+    * byte walk, framed): per frame, peak |s|, Σ|s| and Σs² as exact
+    * longs. Gated by q231 against a generate_series restatement. */
+  def pcmFrameStats(
+      df: DataFrame, idCol: String, binCol: String,
+      frameSize: Int): Dataset[PcmFrame] = {
+    require(frameSize >= 1, s"frameSize must be >= 1: $frameSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        parseWavHeader(bytes).toSeq.flatMap { case (_, channels, bits, n) =>
+          val data = findDataChunk(bytes)
+          if (channels != 1 || bits != 16 || n <= 0 ||
+              data < 0 || data + n * 2 > bytes.length) Seq.empty
+          else {
+            (0 until n.toInt).grouped(frameSize).zipWithIndex.map {
+              case (idxs, f) =>
+                val vs = idxs.map { i =>
+                  (((bytes(data + 2 * i + 1) << 8) |
+                    (bytes(data + 2 * i) & 0xff)).toShort).toLong
+                }
+                PcmFrame(id, f.toLong, vs.size.toLong,
+                  vs.map(math.abs).max, vs.map(math.abs).sum,
+                  vs.map(v => v * v).sum)
+            }.toSeq
+          }
+        }
+      }
+  }
+
   private def findDataChunk(bytes: Array[Byte]): Int = {
     def u32le(i: Int): Long =
       ((bytes(i + 3) & 0xffL) << 24) | ((bytes(i + 2) & 0xffL) << 16) |

@@ -80,5 +80,115 @@ object MediaQueries {
       FROM hashed ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q230)
+  // --------------------------------------------------------------- q231
+  /** Frame-level audio features from real PCM payloads (the q127 WAV
+    * fixture, framed at 64 samples): per frame, exact peak / Σ|s| / Σs² —
+    * the voice-activity / silence-gating primitive; energy thresholds
+    * operate on these rows, never whole files. Oracle regenerates the
+    * samples and groups by i // 64. */
+  private val q231 = Q(
+    "q231_audio_frame_stats",
+    (s, dir) => {
+      import s.implicits._
+      val wavs = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (200 + id % 100).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 17) % 2048) - 1024).toShort)
+          (id, Multimodal.pcm16Wav(16000L, samples))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.pcmFrameStats(wavs, "doc_id", "media", frameSize = 64)
+        .toDF().orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 200 + doc_id % 100 AS n
+        FROM documents WHERE doc_id < 400),
+      samp AS (
+        SELECT doc_id, t.i // 64 AS f,
+          (doc_id * 31 + t.i * 17) % 2048 - 1024 AS s
+        FROM ids, unnest(generate_series(0, n - 1)) AS t(i))
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        COUNT(*) AS n_samples,
+        CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+        CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+        CAST(SUM(s * s) AS BIGINT) AS energy
+      FROM samp GROUP BY doc_id, f ORDER BY doc_id, frame_idx""")
+  )
+
+  // --------------------------------------------------------------- q232
+  /** Shot-boundary detection over real parsed video: the q128 container
+    * walk at stride 1 on a fixture with a PLANTED scene cut (luma jumps
+    * by 97 at frame 3; pixel values bounded under 256 so no modular wrap
+    * muddies the means), then a per-video lag on the exact integer frame
+    * means — a cut is |Δmean| > 40. The standard first pass of video
+    * dedup/segmentation, expressed as frame stats + one bounded window. */
+  private val q232 = Q(
+    "q232_video_shot_cuts",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.{Window => W}
+      val vids = Lake(s, dir).documents
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (6 + id % 4).toInt
+          val nFrames = (6 + id % 3).toInt
+          val frames = (0 until nFrames).map { f =>
+            val off = if (f < 3) 0L else 97L
+            Array.tabulate(w * h) { i =>
+              val x = i % w; val y = i / w
+              (id % 50 + off + 3L * x + 5L * y).toByte
+            }
+          }
+          (id, Multimodal.y4mMono(w, h, frames))
+        })
+        .toDF("doc_id", "media")
+      val stats = Multimodal.y4mFrameStats(vids, "doc_id", "media", stride = 1)
+        .toDF()
+      val w = W.partitionBy("doc_id").orderBy("frame_idx")
+      stats
+        .withColumn("delta",
+          col("mean_y") - coalesce(lag(col("mean_y"), 1).over(w),
+            col("mean_y")))
+        .withColumn("is_cut",
+          when(abs(col("delta")) > 40, 1).otherwise(0).cast("int"))
+        .select("doc_id", "frame_idx", "mean_y", "delta", "is_cut")
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+          6 + doc_id % 3 AS nf
+        FROM documents WHERE doc_id < 300),
+      frames AS (
+        SELECT doc_id, w, h, t.f FROM ids,
+          unnest(generate_series(0, nf - 1)) AS t(f)),
+      px AS (
+        SELECT doc_id, w, h, f,
+          doc_id % 50 + (CASE WHEN f < 3 THEN 0 ELSE 97 END)
+            + 3 * t1.x + 5 * t2.y AS v
+        FROM frames,
+          unnest(generate_series(0, w - 1)) AS t1(x),
+          unnest(generate_series(0, h - 1)) AS t2(y)),
+      fs AS (
+        SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+          CAST(SUM(v) // (w * h) AS BIGINT) AS mean_y
+        FROM px GROUP BY doc_id, f, w, h),
+      d AS (
+        SELECT doc_id, frame_idx, mean_y,
+          mean_y - COALESCE(lag(mean_y, 1) OVER
+            (PARTITION BY doc_id ORDER BY frame_idx), mean_y) AS delta
+        FROM fs)
+      SELECT doc_id, frame_idx, mean_y, delta,
+        CAST(CASE WHEN ABS(delta) > 40 THEN 1 ELSE 0 END AS INTEGER)
+          AS is_cut
+      FROM d ORDER BY doc_id, frame_idx""")
+  )
+
+  val all: Seq[Q] = Seq(q230, q231, q232)
 }

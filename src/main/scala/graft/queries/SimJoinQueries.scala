@@ -125,7 +125,16 @@ object SimJoinQueries {
         .orderBy("doc_a", "doc_b")
     },
     Some(s"""
-      WITH recs AS (
+      WITH $SnmCtes
+      SELECT doc_a, doc_b, CAST(COUNT(DISTINCT pass) AS BIGINT) AS n_passes
+      FROM allp WHERE doc_a <> doc_b
+      GROUP BY doc_a, doc_b
+      ORDER BY doc_a, doc_b""")
+  )
+
+  /** Shared q216/q233 oracle chain: the two pass keys, both block/
+    * boundary pass constructions, and the unioned `allp` pair set. */
+  private lazy val SnmCtes: String = s"""recs AS (
         SELECT doc_id AS id,
                lower(substr(text, 1, 24)) AS k0,
                lower(coalesce(string_split(text, ' ')[2], '') || ' ' ||
@@ -134,12 +143,61 @@ object SimJoinQueries {
       ${passSql(0, "k0").stripLeading()},
       ${passSql(1, "k1").stripLeading()},
       allp AS (SELECT doc_a, doc_b, 0 AS pass FROM pairs_0
-               UNION ALL SELECT doc_a, doc_b, 1 AS pass FROM pairs_1)
-      SELECT doc_a, doc_b, CAST(COUNT(DISTINCT pass) AS BIGINT) AS n_passes
-      FROM allp WHERE doc_a <> doc_b
-      GROUP BY doc_a, doc_b
-      ORDER BY doc_a, doc_b""")
+               UNION ALL SELECT doc_a, doc_b, 1 AS pass FROM pairs_1)"""
+
+  /** The q216 Spark-side pass keys, shared with q233. */
+  private[queries] def snmKeys(
+  ): Seq[org.apache.spark.sql.Column] = {
+    val ws = split(col("text"), " ")
+    Seq(
+      lower(substring(col("text"), 1, 24)),
+      lower(concat(coalesce(element_at(ws, 2), lit("")), lit(" "),
+        coalesce(element_at(ws, 1), lit("")))))
+  }
+
+  // --------------------------------------------------------------- q233
+  /** The SNM family closed end-to-end: sorted-neighborhood candidates
+    * (q216's two passes) verified by edit distance on the 24-char name
+    * key and kept at distance ≤ 8 — candidate generation by ORDER, match
+    * decision by string similarity, the full Hernández–Stolfo merge
+    * pipeline. The distance join touches only candidate pairs (never a
+    * cross join); the oracle replays the identical pass CTEs plus the
+    * levenshtein verify. */
+  private val q233 = Q(
+    "q233_snm_linkage",
+    (s, dir) => {
+      val d = Lake(s, dir).documents
+      val cands = Linkage.sortedNeighborhood(d, "doc_id", snmKeys(),
+        window = SnmWindow, blockChars = 2)
+      val named = d.select(col("doc_id"),
+        lower(substring(col("text"), 1, 24)).as("__nm"))
+      cands
+        .join(named.withColumnsRenamed(
+          Map("doc_id" -> "doc_a", "__nm" -> "__na")), "doc_a")
+        .join(named.withColumnsRenamed(
+          Map("doc_id" -> "doc_b", "__nm" -> "__nb")), "doc_b")
+        .withColumn("distance", levenshtein(col("__na"), col("__nb")))
+        .filter(col("distance") <= 8)
+        .select("doc_a", "doc_b", "n_passes", "distance")
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $SnmCtes,
+      snm AS (SELECT doc_a, doc_b,
+                CAST(COUNT(DISTINCT pass) AS BIGINT) AS n_passes
+              FROM allp WHERE doc_a <> doc_b
+              GROUP BY doc_a, doc_b)
+      SELECT s.doc_a, s.doc_b, s.n_passes,
+             CAST(levenshtein(lower(substr(da.text, 1, 24)),
+                              lower(substr(db.text, 1, 24))) AS INTEGER)
+               AS distance
+      FROM snm s
+      JOIN documents da ON s.doc_a = da.doc_id
+      JOIN documents db ON s.doc_b = db.doc_id
+      WHERE levenshtein(lower(substr(da.text, 1, 24)),
+                        lower(substr(db.text, 1, 24))) <= 8
+      ORDER BY s.doc_a, s.doc_b""")
   )
 
-  val all: Seq[Q] = Seq(q215, q216)
+  val all: Seq[Q] = Seq(q215, q216, q233)
 }
