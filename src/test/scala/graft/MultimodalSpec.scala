@@ -533,4 +533,23 @@ class MultimodalSpec extends SparkTestBase {
     val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
     assert(Multimodal.imageDHash(bad, "doc_id", "media").count() == 0)
   }
+
+  test("pcmFrameStats: frame boundaries exact, short last frame, junk rejected") {
+    import testImplicits._
+    // 10 samples framed at 4 -> frames of 4, 4, 2
+    val samples = Array[Short](10, -20, 30, -40, 5, 5, 5, 5, 100, -100)
+    val df = Seq((1L, Multimodal.pcm16Wav(16000L, samples)))
+      .toDF("doc_id", "media")
+    val out = Multimodal.pcmFrameStats(df, "doc_id", "media", frameSize = 4)
+      .collect().sortBy(_.frame_idx)
+      .map(f => (f.frame_idx, f.n_samples, f.peak, f.sum_abs, f.energy))
+    assert(out.toSeq == Seq(
+      (0L, 4L, 40L, 100L, 100L + 400L + 900L + 1600L),
+      (1L, 4L, 5L, 20L, 100L),
+      (2L, 2L, 100L, 200L, 20000L)))
+    // non-WAV bytes produce nothing
+    val junk = Seq((2L, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)))
+      .toDF("doc_id", "media")
+    assert(Multimodal.pcmFrameStats(junk, "doc_id", "media", 4).count() == 0)
+  }
 }
