@@ -575,6 +575,88 @@ object OlapQueries {
       FROM arrs ORDER BY source""")
   )
 
+  // --------------------------------------------------------------- q234
+  /** Bucketed-join correctness gate: orders and lineitem are WRITTEN
+    * bucketed + sorted on the order key ([[graft.core.Bucketing]], the
+    * pay-the-shuffle-once lever), then joined and aggregated to revenue
+    * per order priority. PlanSpec already pins the physical property
+    * (zero exchanges on the bucketed join); this gate pins the VALUE
+    * contract — the bucketed write/read round trip must produce exactly
+    * the plain join's numbers, decimal-exact. */
+  private val q234 = Q(
+    "q234_bucketed_revenue",
+    (s, dir) => {
+      val lk = graft.core.Lake(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q234").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      graft.core.Bucketing.writeBucketed(
+        lk.orders.select("o_orderkey", "o_orderpriority"),
+        "q234_b_orders", s"$tmp/o", 8, Seq("o_orderkey"))
+      graft.core.Bucketing.writeBucketed(
+        lk.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        "q234_b_lines", s"$tmp/l", 8, Seq("o_orderkey"))
+      graft.core.Bucketing.read(s, "q234_b_orders")
+        .join(graft.core.Bucketing.read(s, "q234_b_lines"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  // --------------------------------------------------------------- q235
+  /** Repeat-purchase cadence: per customer with ≥ 3 orders, the count
+    * and the exact-integer day gaps between consecutive order dates —
+    * mean gap as one final division, max gap, the churn-model feature
+    * pair. One hash(customer) window; ties on the same date break by
+    * order key so the gap sequence is total. */
+  private val q235 = Q(
+    "q235_repeat_purchase_gaps",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      graft.core.Lake(s, dir).orders
+        .withColumn("__prev", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("__gap",
+          datediff(col("o_orderdate"), col("__prev")).cast("long"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("__gap")).as("sum_gap_days"),
+          max(col("__gap")).as("max_gap_days"))
+        .filter(col("n_orders") >= 3)
+        .select(col("o_custkey"), col("n_orders"),
+          col("sum_gap_days"), col("max_gap_days"),
+          (col("sum_gap_days").cast("double") /
+            (col("n_orders") - 1).cast("double")).as("mean_gap_days"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      WITH g AS (
+        SELECT o_custkey,
+          CAST(date_diff('day',
+            lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS BIGINT) AS gap
+        FROM orders),
+      agg AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(gap) AS BIGINT) AS sum_gap_days,
+               CAST(MAX(gap) AS BIGINT) AS max_gap_days
+        FROM g GROUP BY o_custkey HAVING COUNT(*) >= 3)
+      SELECT o_custkey, n_orders, sum_gap_days, max_gap_days,
+             CAST(sum_gap_days AS DOUBLE) / CAST(n_orders - 1 AS DOUBLE)
+               AS mean_gap_days
+      FROM agg ORDER BY o_custkey""")
+  )
+
   val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q121, q122, q123,
-    q124, q129, q130, q131, q144)
+    q124, q129, q130, q131, q144, q234, q235)
 }
