@@ -657,6 +657,79 @@ object OlapQueries {
       FROM agg ORDER BY o_custkey""")
   )
 
+  // --------------------------------------------------------------- q236
+  /** CUBE over (event_type, weekday): the full 2^k lattice — every
+    * marginal plus the grand total in ONE Expand pass, ALL-labeled from
+    * the grouping() bits (the q115 discipline; cubeAgg/groupingSetsAgg
+    * were unit-tested but oracle-ungated until this pair — the r5 ADVICE
+    * convention fully closed). Money through DECIMAL, out as double. */
+  private val q236 = Q(
+    "q236_cube_value",
+    (s, dir) =>
+      MultiDim.cubeAgg(
+        Lake(s, dir).events
+          .select(col("event_type"),
+            (dayofweek(col("ts")) - 1).cast("int").as("dow"),
+            col("value")),
+        Seq("event_type", "dow"),
+        Seq(
+          sum(round(col("value") * 100.0d, 0).cast("long")
+            .cast("decimal(38,0)")).cast("double").as("cents"),
+          count(lit(1)).as("n")))
+        .orderBy("event_type", "dow"),
+    Some("""
+      WITH e AS (SELECT event_type,
+                   CAST(extract(dow FROM ts) AS INTEGER) AS dow, value
+                 FROM events)
+      SELECT
+        CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+             ELSE CAST(event_type AS VARCHAR) END AS event_type,
+        CASE WHEN GROUPING(dow) = 1 THEN 'ALL'
+             ELSE CAST(dow AS VARCHAR) END AS dow,
+        CAST(SUM(CAST(CAST(ROUND(value * 100.0) AS BIGINT)
+          AS DECIMAL(38,0))) AS DOUBLE) AS cents,
+        COUNT(*) AS n
+      FROM e
+      GROUP BY CUBE(event_type, dow)
+      ORDER BY event_type, dow""")
+  )
+
+  // --------------------------------------------------------------- q237
+  /** Arbitrary GROUPING SETS — exactly the two marginals (by type, by
+    * weekday), NO grand total and NO cross grain: the dashboard shape
+    * where the full cube wastes 2× the Expand rows. Same ALL labels. */
+  private val q237 = Q(
+    "q237_grouping_sets_value",
+    (s, dir) =>
+      MultiDim.groupingSetsAgg(
+        Lake(s, dir).events
+          .select(col("event_type"),
+            (dayofweek(col("ts")) - 1).cast("int").as("dow"),
+            col("value")),
+        Seq("event_type", "dow"),
+        Seq(Seq("event_type"), Seq("dow")),
+        Seq(
+          sum(round(col("value") * 100.0d, 0).cast("long")
+            .cast("decimal(38,0)")).cast("double").as("cents"),
+          count(lit(1)).as("n")))
+        .orderBy("event_type", "dow"),
+    Some("""
+      WITH e AS (SELECT event_type,
+                   CAST(extract(dow FROM ts) AS INTEGER) AS dow, value
+                 FROM events)
+      SELECT
+        CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+             ELSE CAST(event_type AS VARCHAR) END AS event_type,
+        CASE WHEN GROUPING(dow) = 1 THEN 'ALL'
+             ELSE CAST(dow AS VARCHAR) END AS dow,
+        CAST(SUM(CAST(CAST(ROUND(value * 100.0) AS BIGINT)
+          AS DECIMAL(38,0))) AS DOUBLE) AS cents,
+        COUNT(*) AS n
+      FROM e
+      GROUP BY GROUPING SETS ((event_type), (dow))
+      ORDER BY event_type, dow""")
+  )
+
   val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q121, q122, q123,
-    q124, q129, q130, q131, q144, q234, q235)
+    q124, q129, q130, q131, q144, q234, q235, q236, q237)
 }
