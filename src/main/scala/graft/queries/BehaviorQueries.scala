@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Lake
-import graft.ops.{Behavior, Snapshot}
+import graft.ops.{Behavior, Joins, Snapshot}
 
 /** Behavioral-analytics coverage: funnel conversion, Markov transitions,
   * cohort retention ([[graft.ops.Behavior]]) and the SCD Type-2 history
@@ -771,6 +771,66 @@ object BehaviorQueries {
       FROM f GROUP BY user_id ORDER BY user_id""")
   )
 
+  // --------------------------------------------------------------- q238
+  /** Point-in-time enrichment against SCD2 state — the lakehouse
+    * dimension-join pattern: the q102 history becomes the dimension
+    * (collapsed to the LAST version per (user, valid_from) so same-instant
+    * boundary ties have one deterministic owner), and every event picks
+    * up the state/version valid at its timestamp via [[Joins.asofJoin]]
+    * (one hash(user) exchange, union-and-scan — never the |events|×
+    * |versions| explosion). The oracle builds the identical dimension
+    * and states the join with DuckDB's native ASOF JOIN. */
+  private val q238 = Q(
+    "q238_pit_scd2_enrich",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val ev = Lake(s, dir).events
+      val scd = Snapshot.scd2(ev, "user_id", "ts", "event_id", "event_type")
+      val w = W.partitionBy("user_id", "valid_from")
+        .orderBy(col("version").desc)
+      val dim = scd
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("valid_from").as("ts"),
+          col("state"), col("version"))
+      Joins.asofJoin(ev.select("event_id", "user_id", "ts"), dim,
+          Seq("user_id"), "ts", Seq("state", "version"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("state"),
+          col("version"),
+          unix_micros(col("__matched_ts")).as("matched_from_us"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH m AS (SELECT user_id, ts, event_id, event_type,
+          row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS rn,
+          lag(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events),
+      c AS (SELECT *, CASE WHEN rn = 1
+                             OR prev IS DISTINCT FROM event_type
+                           THEN 1 ELSE 0 END AS chg FROM m),
+      i AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+            FROM c),
+      r AS (SELECT user_id, version, MIN(event_type) AS state,
+              MIN(ts) AS valid_from
+            FROM i GROUP BY user_id, version),
+      dim AS (SELECT user_id, valid_from, state, version FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, valid_from
+                  ORDER BY version DESC) AS drn FROM r)
+              WHERE drn = 1)
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             d.state, CAST(d.version AS BIGINT) AS version,
+             epoch_us(d.valid_from) AS matched_from_us
+      FROM events e
+      ASOF JOIN dim d
+        ON e.user_id = d.user_id AND d.valid_from <= e.ts
+      ORDER BY e.event_id""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
-    q176, q179, q180, q181, q183, q186, q198, q199, q205)
+    q176, q179, q180, q181, q183, q186, q198, q199, q205, q238)
 }
