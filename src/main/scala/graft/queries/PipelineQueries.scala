@@ -5258,6 +5258,70 @@ object PipelineQueries {
       ORDER BY s.doc_id""")
   )
 
+  // --------------------------------------------------------------- q251
+  /** Retrieval evaluation over the label ground truth: each query's
+    * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
+    * is RELEVANT iff it shares the query's label, and the suite reports
+    * precision@10, hit@10 and MRR@10. The reciprocal-rank sum is kept
+    * exact by clearing denominators: rank ∈ 1..10 all divide
+    * 2520 = lcm(1..10), so Σ 2520/first_rank is an exact long
+    * (`mrr_scaled`) and MRR is one double division at the end — the
+    * gate pins the metric algebra, not a float accumulation order. At
+    * scale the brute-force corpus side swaps for the IVF/LSH candidate
+    * frames exactly as q98 serves q36; the metric layer is unchanged. */
+  private val q251 = Q(
+    "q251_retrieval_eval",
+    (s, dir) => {
+      val emb = Lake(s, dir).embeddings
+      val corpus = Similarity.withNorm(emb, "vec_id", "embedding")
+      val queries = corpus.filter(col("vec_id") < 25)
+      val labels = emb.select(col("vec_id"), col("label"))
+      val top = Similarity.bruteForceTopK(corpus, queries, 10)
+        .join(broadcast(labels.toDF("query_id", "q_label")), Seq("query_id"))
+        .join(broadcast(labels.toDF("neighbor_id", "n_label")), Seq("neighbor_id"))
+      val rel = col("q_label") === col("n_label")
+      val per = top.groupBy("query_id")
+        .agg(
+          sum(when(rel, 1L).otherwise(0L)).as("rel10"),
+          min(when(rel, col("rank"))).as("first_rel"))
+      per.agg(
+          count(lit(1)).as("nq"),
+          sum(col("rel10")).as("total_rel"),
+          sum(when(col("first_rel").isNotNull, 1L).otherwise(0L)).as("hit_q"),
+          sum(coalesce((lit(2520) / col("first_rel")).cast("long"), lit(0L)))
+            .as("mrr_scaled"))
+        .select(col("nq"), col("total_rel"), col("hit_q"), col("mrr_scaled"),
+          (col("total_rel").cast("double") / (lit(10.0) * col("nq")))
+            .as("precision_at_10"),
+          (col("mrr_scaled").cast("double") / (lit(2520.0) * col("nq")))
+            .as("mrr"))
+    },
+    Some(s"""
+      WITH $NormedCte,
+      t AS (SELECT * FROM (
+        SELECT q.vec_id AS query_id, q.label AS q_label, c.label AS n_label,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${sqlDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+                     c.vec_id) AS rank
+        FROM m q JOIN m c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 25)
+        WHERE rank <= 10),
+      per AS (SELECT query_id,
+          CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END) AS BIGINT)
+            AS rel10,
+          MIN(CASE WHEN q_label = n_label THEN rank END) AS first_rel
+        FROM t GROUP BY query_id)
+      SELECT COUNT(*) AS nq,
+        CAST(SUM(rel10) AS BIGINT) AS total_rel,
+        CAST(SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS hit_q,
+        CAST(SUM(COALESCE(2520 // first_rel, 0)) AS BIGINT) AS mrr_scaled,
+        CAST(SUM(rel10) AS DOUBLE) / (10.0 * COUNT(*)) AS precision_at_10,
+        CAST(SUM(COALESCE(2520 // first_rel, 0)) AS DOUBLE)
+          / (2520.0 * COUNT(*)) AS mrr
+      FROM per""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -5267,5 +5331,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211)
+    q207, q208, q209, q210, q211, q251)
 }

@@ -26,7 +26,8 @@ object Registry {
     RelationalQueries.all ++ ViewQueries.all ++ PipelineQueries.all ++
       BehaviorQueries.all ++ OlapQueries.all ++ GraphQueries.all ++
       ScaleQueries.all ++ SimJoinQueries.all ++ RecoQueries.all ++
-      SeriesQueries.all ++ ProfileQueries.all ++ MediaQueries.all
+      SeriesQueries.all ++ ProfileQueries.all ++ MediaQueries.all ++
+      TpchShapeQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

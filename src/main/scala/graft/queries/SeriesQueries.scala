@@ -123,5 +123,146 @@ object SeriesQueries {
       ORDER BY d.event_type, d.dow""")
   )
 
-  val all: Seq[Q] = Seq(q221, q222, q223)
+  // --------------------------------------------------------------- q248
+  /** Autocorrelation of the daily value series at lags 1..3 — the
+    * seasonality/memory diagnostic that decides whether q221's EWMA or
+    * q223's weekday indices is the right model. Mean-centering is cleared
+    * of its division: with n days, total S and daily cents x_t, the
+    * centered term is a_t = n·x_t − S (exact long), and
+    * acf(k) = Σ a_t·a_{t+k} / Σ a_t² — both sums exact DECIMAL(38,0)
+    * (HUGEINT in the oracle), one double division at the end. Days are
+    * the observed grid (every day of the 30-day window has events at
+    * every sf; a gap would simply shorten the series — q129 is the
+    * gap-fill gate). One groupBy(day) shuffle; the lag terms ride a
+    * single ordered window over the tiny daily frame. */
+  private val q248 = Q(
+    "q248_acf_daily",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Lake(s, dir).events
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val tot = daily.agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      val w = Window.orderBy("day")
+      val a = daily.crossJoin(broadcast(tot))
+        .withColumn("a", (col("n") * col("cents") - col("s")).cast("decimal(19,0)"))
+        .withColumn("a1", lead(col("a"), 1).over(w))
+        .withColumn("a2", lead(col("a"), 2).over(w))
+        .withColumn("a3", lead(col("a"), 3).over(w))
+      a.select(col("a"),
+          expr("stack(3, 1, a * a1, 2, a * a2, 3, a * a3) AS (lag, prod)"))
+        .groupBy("lag")
+        .agg(
+          sum(col("prod")).cast("decimal(38,0)").as("num"),
+          sum(col("a") * col("a")).cast("decimal(38,0)").as("den"))
+        .select(col("lag").cast("int").as("lag"),
+          (col("num").cast("double") / col("den").cast("double")).as("acf"))
+        .orderBy("lag")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY 1),
+      tot AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s FROM daily),
+      a AS (SELECT CAST(n * cents - s AS HUGEINT) AS a,
+                   lead(CAST(n * cents - s AS HUGEINT), 1) OVER w AS a1,
+                   lead(CAST(n * cents - s AS HUGEINT), 2) OVER w AS a2,
+                   lead(CAST(n * cents - s AS HUGEINT), 3) OVER w AS a3
+            FROM daily CROSS JOIN tot
+            WINDOW w AS (ORDER BY day)),
+      st AS (SELECT lag, SUM(prod) AS num, SUM(a * a) AS den FROM (
+               SELECT a, 1 AS lag, a * a1 AS prod FROM a
+               UNION ALL SELECT a, 2, a * a2 FROM a
+               UNION ALL SELECT a, 3, a * a3 FROM a)
+             GROUP BY lag)
+      SELECT CAST(lag AS INT) AS lag,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+      FROM st ORDER BY lag""")
+  )
+
+  // --------------------------------------------------------------- q249
+  /** 7-day rolling median of daily order revenue — the robust twin of a
+    * rolling mean: one outlier day moves the mean, never the median. The
+    * window is a ROWS frame over the day-ordered series; the median of
+    * seven exact cent values is element 4 of the sorted window — computed
+    * via a collected-and-sorted array on both engines, no interpolation,
+    * no float. Emitted only for full windows (the first six days have no
+    * 7-day history). The daily frame is tiny after its one groupBy
+    * shuffle; at 100 TB the day cardinality is bounded by the calendar,
+    * not the data. */
+  private val q249 = Q(
+    "q249_rolling_median",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Lake(s, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("win", collect_list(col("cents")).over(w))
+        .filter(size(col("win")) === 7)
+        .select(date_format(col("day"), "yyyyMMdd").as("day"),
+          col("cents"),
+          element_at(array_sort(col("win")), 4).as("med7_cents"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1)
+      SELECT strftime(day, '%Y%m%d') AS day, cents,
+             list_sort(win)[4] AS med7_cents
+      FROM (
+        SELECT day, cents,
+               list(cents) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+        FROM daily)
+      WHERE len(win) = 7
+      ORDER BY day""")
+  )
+
+  // --------------------------------------------------------------- q250
+  /** Month-over-month revenue growth: monthly order revenue in exact
+    * cents, the previous month via one lag over the month-ordered frame,
+    * growth as a single double division of exact longs. The first month
+    * (no predecessor) is dropped rather than null-filled — a growth rate
+    * against nothing is not 0%. Calendar-bounded frame, same scale story
+    * as q249. */
+  private val q250 = Q(
+    "q250_mom_growth",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = Lake(s, dir).orders
+        .groupBy(date_format(col("o_orderdate"), "yyyyMM").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .filter(col("prev_cents").isNotNull)
+        .select(col("month"), col("cents"), col("prev_cents"),
+          ((col("cents") - col("prev_cents")).cast("double") /
+            col("prev_cents").cast("double")).as("growth"))
+        .orderBy("month")
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT strftime(o_orderdate, '%Y%m') AS month,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1)
+      SELECT month, cents, prev_cents,
+             CAST(cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
+               AS growth
+      FROM (SELECT month, cents,
+              lag(cents, 1) OVER (ORDER BY month) AS prev_cents
+            FROM monthly)
+      WHERE prev_cents IS NOT NULL
+      ORDER BY month""")
+  )
+
+  val all: Seq[Q] = Seq(q221, q222, q223, q248, q249, q250)
 }
