@@ -1240,4 +1240,115 @@ object WebGraph {
     e.unpersist()
     dist
   }
+
+  /** Strongly-connected components of the DIRECTED host graph — the
+    * signal [[hostComponents]] cannot give: a link farm that points at a
+    * victim site is WEAKLY connected to it, but only mutual-reachability
+    * cycles (the farm's internal ring, a mirror network's cross-links)
+    * are STRONGLY connected. SCC membership separates "linked to" from
+    * "in cahoots with".
+    *
+    * Orzan-style coloring (the published distributed SCC shape, the same
+    * family as FW-BW decomposition): each outer round
+    *   1. propagates the MAX host id forward along edges to a fixpoint
+    *      ("color" — every node learns the largest id that can reach it);
+    *   2. nodes whose color is their own id are pivots — provably the
+    *      max id of their own SCC;
+    *   3. each pivot's SCC is the set of nodes with the pivot's color
+    *      that can reach the pivot BACKWARD through same-colored nodes
+    *      (forward reachability is the color itself, so color-restricted
+    *      backward reachability = mutual reachability);
+    *   4. resolved SCCs leave the graph; repeat on the remainder.
+    * Every step is a join + groupBy over (host, color) frames —
+    * Pregel-shaped, no driver-side adjacency, per-step localCheckpoint
+    * keeps lineage flat; driver state is per-round scalar counts only.
+    * Rounds are capped and non-convergence is loud (the q50 discipline).
+    * Self-loops are dropped up front (a node is trivially in its own
+    * SCC); isolated or acyclic nodes resolve as singleton SCCs labeled
+    * by themselves. The SCC id is the LARGEST member host id (the pivot
+    * — max-label is what the forward pass computes; q108's weak
+    * components use min-label, the two are deliberately distinct). */
+  def stronglyConnectedComponents(
+      edges: DataFrame, maxOuter: Int = 20, maxInner: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val eAll = edges
+      .select(col("src_host").cast("string").as("src"),
+        col("dst_host").cast("string").as("dst"))
+      .filter(col("src") =!= "" && col("dst") =!= "")
+      .distinct()
+    val hosts = eAll.select(col("src").as("host"))
+      .union(eAll.select(col("dst").as("host"))).distinct()
+    var remaining = hosts.localCheckpoint()
+    var eRem = eAll.filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var result = remaining.sparkSession.emptyDataFrame
+      .select(lit("").as("host"), lit("").as("scc")).limit(0)
+    var outer = 0
+    var left = remaining.count()
+    while (left > 0 && outer < maxOuter) {
+      outer += 1
+      // 1. forward max-color fixpoint: color(v) = max id reaching v.
+      var color = remaining.select(col("host"), col("host").as("color"))
+        .localCheckpoint()
+      var changed = 1L
+      var inner = 0
+      while (changed > 0 && inner < maxInner) {
+        inner += 1
+        val next = color
+          .union(eRem.join(color.withColumnRenamed("host", "src"), "src")
+            .select(col("dst").as("host"), col("color")))
+          .groupBy("host").agg(max(col("color")).as("color"))
+          .localCheckpoint()
+        changed = next.as("n")
+          .join(color.as("c"), col("n.host") === col("c.host"))
+          .filter(col("n.color") =!= col("c.color")).count()
+        color = next
+      }
+      require(changed == 0,
+        s"SCC color propagation did not converge in $maxInner rounds")
+      // 2+3. pivots, then backward reachability inside the color class.
+      val colored = eRem
+        .join(color.select(col("host").as("src"), col("color").as("sc")), "src")
+        .join(color.select(col("host").as("dst"), col("color").as("dc")), "dst")
+        .filter(col("sc") === col("dc"))
+        .select(col("src"), col("dst"), col("sc").as("color"))
+        .localCheckpoint()
+      var marked = color.filter(col("host") === col("color")).localCheckpoint()
+      var grew = 1L
+      inner = 0
+      while (grew > 0 && inner < maxInner) {
+        inner += 1
+        val next = marked
+          .union(colored
+            .join(marked.select(col("host").as("dst"), col("color")),
+              Seq("dst", "color"))
+            .select(col("src").as("host"), col("color")))
+          .distinct()
+          .localCheckpoint()
+        grew = next.count() - marked.count()
+        marked = next
+      }
+      require(grew == 0,
+        s"SCC backward sweep did not converge in $maxInner rounds")
+      // 4. bank the resolved SCCs; shrink the graph.
+      result = result
+        .union(marked.select(col("host"), col("color").as("scc")))
+        .localCheckpoint()
+      remaining = remaining.join(marked.select("host"), Seq("host"),
+        "left_anti").localCheckpoint()
+      val eNext = eRem
+        .join(remaining.select(col("host").as("src")), Seq("src"), "left_semi")
+        .join(remaining.select(col("host").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      eNext.count()
+      eRem.unpersist()
+      eRem = eNext
+      left = remaining.count()
+    }
+    eRem.unpersist()
+    require(left == 0,
+      s"SCC decomposition did not finish in $maxOuter outer rounds")
+    result
+  }
 }

@@ -485,5 +485,61 @@ object GraphQueries {
       FROM base CROSS JOIN s2""")
   )
 
-  val all: Seq[Q] = Seq(q135, q136, q166, q219, q220, q227, q228)
+  // --------------------------------------------------------------- q252
+  /** Strongly-connected components on a directed fixture where weak and
+    * strong components genuinely differ: inside each cluster doc_id%5
+    * the functional edge i → (3i+1) mod 7 forms one 6-cycle
+    * {h0,h1,h2,h4,h5,h6} plus the self-loop h3; one-way cross edges
+    * c → c+1 (c < 4) chain the clusters WEAKLY (q108 would see one
+    * component) but never strongly — so the expected answer is ten
+    * SCCs: five 6-cycles and five singletons, each labeled by its
+    * largest member (the Orzan pivot). The oracle states the
+    * mathematical spec — mutual reachability over the recursive
+    * closure — which the coloring decomposition must land on exactly. */
+  private val q252 = Q(
+    "q252_host_scc",
+    (s, dir) => {
+      val d = Lake(s, dir).documents
+      def host(c: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column) =
+        concat(lit("c"), c, lit("h"), h)
+      val c = pmod(col("doc_id"), lit(5))
+      val h = pmod(col("doc_id"), lit(7))
+      val intra = d.select(host(c, h).as("src_host"),
+        host(c, pmod(col("doc_id") * 3 + 1, lit(7))).as("dst_host"))
+      val cross = d.filter(c < 4).select(host(c, h).as("src_host"),
+        host(c + 1, h).as("dst_host"))
+      WebGraph.stronglyConnectedComponents(intra.union(cross))
+        .orderBy("host")
+    },
+    Some("""
+      WITH RECURSIVE raw AS (
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR) AS src,
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR),
+               'c' || CAST(doc_id % 5 + 1 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR)
+        FROM documents WHERE doc_id % 5 < 4),
+      e AS (SELECT DISTINCT src, dst FROM raw),
+      nodes AS (SELECT DISTINCT host FROM
+                 (SELECT src AS host FROM e UNION ALL SELECT dst FROM e)),
+      ed AS MATERIALIZED (SELECT * FROM e WHERE src <> dst),
+      reach AS (
+        SELECT src AS a, dst AS b FROM ed
+        UNION
+        SELECT r.a, e2.dst FROM reach r JOIN ed e2 ON r.b = e2.src),
+      mutual AS (SELECT r1.a AS host, r1.b AS other
+                 FROM reach r1 JOIN reach r2
+                   ON r1.a = r2.b AND r1.b = r2.a),
+      lab AS (SELECT host, MAX(other) AS m FROM mutual GROUP BY host)
+      SELECT n.host, greatest(COALESCE(l.m, n.host), n.host) AS scc
+      FROM nodes n LEFT JOIN lab l ON n.host = l.host
+      ORDER BY n.host""")
+  )
+
+  val all: Seq[Q] = Seq(q135, q136, q166, q219, q220, q227, q228, q252)
 }

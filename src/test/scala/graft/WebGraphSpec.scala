@@ -520,6 +520,33 @@ class WebGraphSpec extends SparkTestBase {
       "solo.ex" -> "solo.ex"))
   }
 
+  test("stronglyConnectedComponents: cycles resolve, one-way bridges do not merge") {
+    val edges = Seq(
+      ("a.ex", "b.ex"), ("b.ex", "c.ex"), ("c.ex", "a.ex"), // 3-cycle
+      ("c.ex", "x.ex"),                                     // one-way bridge
+      ("x.ex", "y.ex"), ("y.ex", "x.ex"),                   // 2-cycle
+      ("y.ex", "tail.ex"),                                  // acyclic sink
+      ("solo.ex", "solo.ex")                                // self-loop only
+    ).toDF("src_host", "dst_host")
+    val out = WebGraph.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // weak components would merge everything reachable over the bridge;
+    // strong components keep the two cycles apart and leave the sink,
+    // the self-loop host, and nothing else as singletons (max-id labels).
+    assert(out == Map(
+      "a.ex" -> "c.ex", "b.ex" -> "c.ex", "c.ex" -> "c.ex",
+      "x.ex" -> "y.ex", "y.ex" -> "y.ex",
+      "tail.ex" -> "tail.ex", "solo.ex" -> "solo.ex"))
+  }
+
+  test("stronglyConnectedComponents: a pure DAG is all singletons") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("src_host", "dst_host")
+    val out = WebGraph.stronglyConnectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "b", "c" -> "c", "d" -> "d"))
+  }
+
   test("rankAndTrust: the fused loop equals separate hostRank/trustRank bit-for-bit") {
     val edges = Seq(("s", "a"), ("a", "b"), ("b", "a"), ("s", "b"),
       ("f1", "f2"), ("f2", "f1"), ("b", "f1"), ("a", "s"))
