@@ -195,4 +195,65 @@ object Audit {
       .withColumn("at_risk", col("distinct_sensitive") < lit(l))
       .orderBy(quasiCols.map(col): _*)
   }
+
+  /** t-closeness audit — [[lDiversity]]'s complement: a class can be
+    * diverse yet still leak ("this class has ALL five diagnoses, but 90%
+    * of it is one of them while the population is uniform" — the
+    * skewness attack). Per equivalence class, the total variational
+    * distance between the class's sensitive-value distribution and the
+    * table-wide one, with every division cleared: for class counts c_v
+    * (class size n) and global counts g_v (total N),
+    * TVD = ½ Σ_v |c_v/n − g_v/N|, so `tvd_scaled` = Σ_v |c_v·N − g_v·n|
+    * is the same statistic ×(2·n·N) — exact integers end to end, and
+    * `at_risk ⇔ tvd_scaled·tDen > 2·n·N·tNum` tests TVD > tNum/tDen
+    * without ever forming a float. Values ABSENT from a class still
+    * contribute (|0 − g_v·n|); rather than crossing every class with the
+    * full value domain, the absent mass folds to n·(N − Σ_present g_v) —
+    * one joint groupBy, one broadcast of the (small) global value
+    * distribution, no domain cross join, which is what keeps the plan
+    * flat when the sensitive domain is wide. Sums ride DECIMAL(38,0)
+    * (HUGEINT in the oracle) because c_v·N is quadratic in table size.
+    * Gated by q253. */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      tNum: Long,
+      tDen: Long
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one quasi-identifier")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(tNum > 0 && tDen > 0 && tNum < tDen,
+      s"threshold must satisfy 0 < tNum/tDen < 1: $tNum/$tDen")
+    def dec(c: Column): Column = c.cast("decimal(19,0)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    val joint = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(w))
+    val glob = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__g"))
+    val total = glob.agg(sum(col("__g")).as("__tot"))
+    joint
+      .join(broadcast(glob), Seq(sensitiveCol))
+      .crossJoin(broadcast(total))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(
+        first(col("__n")).as("__n"),
+        first(col("__tot")).as("__tot"),
+        sum(abs(dec(col("__c")) * dec(col("__tot")) -
+          dec(col("__g")) * dec(col("__n")))).as("__present"),
+        sum(dec(col("__g"))).as("__g_present"))
+      .select(quasiCols.map(col) ++ {
+        val scaled = col("__present") +
+          dec(col("__n")) * (dec(col("__tot")) - col("__g_present"))
+        Seq(
+          col("__n").as("class_size"),
+          scaled.cast("decimal(38,0)").as("tvd_scaled"),
+          (scaled * lit(tDen) >
+            dec(lit(2L * tNum)) * dec(col("__n")) * dec(col("__tot")))
+            .as("at_risk"))
+      }: _*)
+      .orderBy(quasiCols.map(col): _*)
+  }
 }

@@ -468,6 +468,52 @@ object ScaleQueries {
       FROM agg""")
   )
 
+  // --------------------------------------------------------------- q253
+  /** t-closeness audit ([[graft.ops.Audit.tCloseness]]) on q172's exact
+    * anonymization frame — the third privacy lens: q153 asks "is the
+    * class big enough", q172 "is it diverse enough", q253 "does its
+    * sensitive distribution still match the population" (the skewness
+    * attack l-diversity misses). Threshold t = 1/5; the statistic is
+    * the denominator-cleared TVD Σ_v |c_v·N − g_v·n| in HUGEINT /
+    * DECIMAL(38,0), absent-value mass folded in as n·(N − Σ g_present)
+    * instead of a domain cross join, and the flag is the pure integer
+    * inequality tvd_scaled·5 > 2·n·N — no float anywhere in the gate. */
+  private val q253 = Q(
+    "q253_tcloseness",
+    (s, dir) =>
+      Audit.tCloseness(
+        Lake(s, dir).customer.select(
+          col("c_nationkey"),
+          (floor(col("c_acctbal") / lit(2000.0d)) * 2000.0d).cast("long")
+            .as("bal_band"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment", tNum = 1L, tDen = 5L),
+    Some("""
+      WITH cells AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 2000.0) * 2000.0 AS BIGINT) AS bal_band,
+               c_mktsegment, CAST(COUNT(*) AS HUGEINT) AS c
+        FROM customer GROUP BY 1, 2, 3),
+      j AS (SELECT *, SUM(c) OVER (PARTITION BY c_nationkey, bal_band) AS n
+            FROM cells),
+      gdist AS (SELECT c_mktsegment, CAST(COUNT(*) AS HUGEINT) AS g
+               FROM customer GROUP BY 1),
+      tot AS (SELECT CAST(SUM(g) AS HUGEINT) AS total FROM gdist),
+      agg AS (
+        SELECT c_nationkey, bal_band,
+               MAX(n) AS n, MAX(total) AS total,
+               SUM(ABS(c * total - g * n)) AS present,
+               SUM(g) AS g_present
+        FROM j JOIN gdist USING (c_mktsegment) CROSS JOIN tot
+        GROUP BY 1, 2)
+      SELECT c_nationkey, bal_band,
+             CAST(n AS BIGINT) AS class_size,
+             present + n * (total - g_present) AS tvd_scaled,
+             (present + n * (total - g_present)) * 5 > 2 * n * total
+               AS at_risk
+      FROM agg ORDER BY c_nationkey, bal_band""")
+  )
+
   val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173,
-    q177, q178, q206)
+    q177, q178, q206, q253)
 }

@@ -752,6 +752,21 @@ class OpsSpec extends SparkTestBase {
     assert(out("z3") == ((2L, 2L, true)))
   }
 
+  test("Audit.tCloseness: skewed-but-diverse class flagged, absent values count") {
+    // global: x=3, y=2, z=1 over N=6
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"), // n=4, skew toward x
+      ("B", "y"), ("B", "z")                          // n=2, missing x entirely
+    ).toDF("qc", "sv")
+    // A: |3·6−3·4| + |1·6−2·4| + absent z 1·4 = 6+2+4 = 12 → TVD 12/48 = 0.25
+    // B: |1·6−2·2| + |1·6−1·2| + absent x 3·2 = 2+4+6 = 12 → TVD 12/24 = 0.5
+    val out = Audit.tCloseness(df, Seq("qc"), "sv", tNum = 3, tDen = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).longValueExact(), r.getBoolean(3))).toMap
+    assert(out("A") == ((4L, 12L, false)), "TVD 0.25 < t = 0.3 passes")
+    assert(out("B") == ((2L, 12L, true)), "TVD 0.5 > t = 0.3 is at risk")
+  }
+
   test("Snapshot.applyChanges: upsert, tombstone, replay idempotence") {
     val base = Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
       .toDF("k", "state", "version")
