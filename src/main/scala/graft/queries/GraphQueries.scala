@@ -541,5 +541,105 @@ object GraphQueries {
       ORDER BY n.host""")
   )
 
-  val all: Seq[Q] = Seq(q135, q136, q166, q219, q220, q227, q228, q252)
+  // --------------------------------------------------------------- q254
+  /** Link reciprocity per host — the classic webgraph mutuality signal
+    * (organic communities reciprocate; farms and scrapers point one
+    * way). Fixture = q135's two intra-cluster families, which reciprocate
+    * at exactly one pair per cluster (i → 3i+1 and i → 2i+3 invert only
+    * at {h5, h6}: 3·5+1 ≡ 6, 2·6+3 ≡ 5 mod 7), so the ratio is sparse
+    * but provably nonzero. Self-loops are excluded; the reverse-edge
+    * probe is a self-join of the deduped directed edge list on the
+    * swapped key — one shuffle, candidates only. */
+  private val q254 = Q(
+    "q254_link_reciprocity",
+    (s, dir) => {
+      val e = triangleEdges(s, dir)
+        .select(col("src_host").as("src"), col("dst_host").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("has_rev", lit(1L))
+      e.join(rev, Seq("src", "dst"), "left")
+        .groupBy(col("src").as("host"))
+        .agg(
+          count(lit(1)).as("out_deg"),
+          sum(coalesce(col("has_rev"), lit(0L))).as("reciprocated"))
+        .withColumn("reciprocity",
+          col("reciprocated").cast("double") / col("out_deg").cast("double"))
+        .orderBy("host")
+    },
+    Some("""
+      WITH raw AS (
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR) AS src,
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR),
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 2 + 3) % 7 AS VARCHAR)
+        FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)
+      SELECT e.src AS host, COUNT(*) AS out_deg,
+             CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS reciprocated,
+             CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*) AS reciprocity
+      FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src
+      GROUP BY e.src
+      ORDER BY host""")
+  )
+
+  // --------------------------------------------------------------- q255
+  /** Two-hop reach per host — the crawl-frontier sizing signal (how many
+    * hosts does one more hop unlock?) and the friend-of-friend
+    * denominator for link-recommendation. Distinct hosts reachable in
+    * ≤ 2 directed hops, self excluded: one self-join of the edge list
+    * (dst = second's src), union with the 1-hop frontier, one distinct —
+    * candidates only, never an all-pairs frame. Same fixture as q254. */
+  private val q255 = Q(
+    "q255_two_hop_reach",
+    (s, dir) => {
+      val e = triangleEdges(s, dir)
+        .select(col("src_host").as("src"), col("dst_host").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val twoHop = e.as("a")
+        .join(e.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      e.union(twoHop)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .groupBy(col("src").as("host"))
+        .agg(count(lit(1)).as("reach2"))
+        .orderBy("host")
+    },
+    Some("""
+      WITH raw AS (
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR) AS src,
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR),
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 2 + 3) % 7 AS VARCHAR)
+        FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+      hops AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src)
+      SELECT src AS host, COUNT(*) AS reach2
+      FROM (SELECT DISTINCT src, dst FROM hops WHERE src <> dst)
+      GROUP BY src
+      ORDER BY host""")
+  )
+
+  val all: Seq[Q] = Seq(q135, q136, q166, q219, q220, q227, q228, q252,
+    q254, q255)
 }
