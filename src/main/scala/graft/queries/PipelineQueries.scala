@@ -3699,13 +3699,12 @@ object PipelineQueries {
 
   private val BpeMergeCount = 12
 
-  private val bpeOracle: String = {
+  /** The shared learn-loop CTE chain (words → s0 → 12 unrolled merge
+    * rounds); q142 reads the per-round winners t1..t12, q256 reads the
+    * final corpus state s12. */
+  private val bpeChain: String = {
     val rounds = (1 to BpeMergeCount).map(bpeRound).mkString(",")
-    val finals = (1 to BpeMergeCount)
-      .map(k => s"SELECT CAST($k AS INT) AS rank, lhs, rhs, CAST(cnt AS BIGINT) AS n FROM t$k")
-      .mkString("\n        UNION ALL ")
-    s"""
-      WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
         SELECT w, COUNT(*) AS freq FROM (
           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE length(w) > 0 GROUP BY w),
@@ -3714,7 +3713,15 @@ object PipelineQueries {
           chr(1) || array_to_string(
             list_transform(range(1, length(w) + 1),
               i -> substr(w, i, 1)), chr(1) || chr(1)) || chr(1) AS s
-        FROM words),$rounds
+        FROM words),$rounds"""
+  }
+
+  private val bpeOracle: String = {
+    val finals = (1 to BpeMergeCount)
+      .map(k => s"SELECT CAST($k AS INT) AS rank, lhs, rhs, CAST(cnt AS BIGINT) AS n FROM t$k")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH $bpeChain
       $finals
       ORDER BY rank"""
   }
@@ -5258,6 +5265,40 @@ object PipelineQueries {
       ORDER BY s.doc_id""")
   )
 
+  // --------------------------------------------------------------- q256
+  /** BPE SEGMENTATION under the hash gate — q142 proves the learner,
+    * this proves the ENCODER: the learned 12-merge table applied to the
+    * whole corpus ([[graft.ops.Bpe.tokenize]] — wrap → N literal
+    * replaces folded into one codegen'd expression → unwrap, encoding
+    * rides the scan with zero shuffle), pinned by the top-50 subword
+    * counts. The oracle replays learning AND application on the shared
+    * round chain: the corpus state after round 12 IS the tokenization,
+    * so its symbol histogram must equal the Spark side's exploded token
+    * counts exactly — identical tie order via (count desc, token). */
+  private val q256 = Q(
+    "q256_bpe_segmentation",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val merges = graft.ops.Bpe.learn(docs, "text", BpeMergeCount)
+      docs.select(explode(graft.ops.Bpe.tokenize(col("text"), merges))
+          .as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    },
+    Some(s"""
+      WITH $bpeChain,
+      tok AS (
+        SELECT unnest(string_split(trim(s, chr(1)), chr(1) || chr(1)))
+                 AS token,
+               freq
+        FROM s$BpeMergeCount)
+      SELECT token, CAST(SUM(freq) AS BIGINT) AS n
+      FROM tok GROUP BY token
+      ORDER BY n DESC, token LIMIT 50""")
+  )
+
   // --------------------------------------------------------------- q251
   /** Retrieval evaluation over the label ground truth: each query's
     * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
@@ -5331,5 +5372,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251)
+    q207, q208, q209, q210, q211, q251, q256)
 }
