@@ -640,6 +640,80 @@ object GraphQueries {
       ORDER BY host""")
   )
 
+  // --------------------------------------------------------------- q258
+  /** Degree assortativity of the directed host graph — Newman's "do
+    * hubs link to hubs?" coefficient: the Pearson correlation between
+    * source out-degree and destination in-degree over the edge list.
+    * Disassortative graphs (hubs feeding leaves) are the organic-web
+    * signature; assortative cores are link exchanges. The q154
+    * discipline end to end: degrees are exact counts, the five moments
+    * are DECIMAL(38,0)/HUGEINT sums over the edges, and the coefficient
+    * is assembled in doubles with the IDENTICAL op tree on both engines
+    * (×, −, ÷, √ only). Two degree aggregates + two key joins — the
+    * edge list never self-joins. */
+  private val q258 = Q(
+    "q258_degree_assortativity",
+    (s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val e = triangleEdges(s, dir)
+        .select(col("src_host").as("src"), col("dst_host").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val outd = e.groupBy("src").agg(count(lit(1)).as("od"))
+      val ind = e.groupBy("dst").agg(count(lit(1)).as("id"))
+      val m = e.join(outd, "src").join(ind, "dst")
+        .agg(
+          count(lit(1)).as("n_edges"),
+          sum(dec(col("od"))).as("s_x"),
+          sum(dec(col("id"))).as("s_y"),
+          sum(dec(col("od")) * dec(col("od"))).as("ss_x"),
+          sum(dec(col("id")) * dec(col("id"))).as("ss_y"),
+          sum(dec(col("od")) * dec(col("id"))).as("s_xy"))
+      m.select(
+        col("n_edges"),
+        col("s_x").cast("long").as("s_x"),
+        col("s_y").cast("long").as("s_y"),
+        ((d(col("n_edges")) * d(col("s_xy")) - d(col("s_x")) * d(col("s_y"))) /
+          (sqrt(d(col("n_edges")) * d(col("ss_x")) - d(col("s_x")) * d(col("s_x"))) *
+            sqrt(d(col("n_edges")) * d(col("ss_y")) - d(col("s_y")) * d(col("s_y")))))
+          .as("assortativity"))
+    },
+    Some("""
+      WITH raw AS (
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR) AS src,
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS dst
+        FROM documents
+        UNION ALL
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR),
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 2 + 3) % 7 AS VARCHAR)
+        FROM documents),
+      e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+      outd AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS od FROM e GROUP BY src),
+      ind AS (SELECT dst, CAST(COUNT(*) AS HUGEINT) AS id FROM e GROUP BY dst),
+      m AS (
+        SELECT COUNT(*) AS n_edges,
+               SUM(od) AS s_x, SUM(id) AS s_y,
+               SUM(od * od) AS ss_x, SUM(id * id) AS ss_y,
+               SUM(od * id) AS s_xy
+        FROM e JOIN outd USING (src) JOIN ind USING (dst))
+      SELECT n_edges,
+             CAST(s_x AS BIGINT) AS s_x,
+             CAST(s_y AS BIGINT) AS s_y,
+             (CAST(n_edges AS DOUBLE) * CAST(s_xy AS DOUBLE)
+                - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE)) /
+             (sqrt(CAST(n_edges AS DOUBLE) * CAST(ss_x AS DOUBLE)
+                - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE)) *
+              sqrt(CAST(n_edges AS DOUBLE) * CAST(ss_y AS DOUBLE)
+                - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE)))
+               AS assortativity
+      FROM m""")
+  )
+
   val all: Seq[Q] = Seq(q135, q136, q166, q219, q220, q227, q228, q252,
-    q254, q255)
+    q254, q255, q258)
 }

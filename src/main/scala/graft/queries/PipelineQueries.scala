@@ -3691,7 +3691,7 @@ object PipelineQueries {
         SELECT lhs, rhs, cnt FROM p$k
         ORDER BY cnt DESC, lhs, rhs LIMIT 1),
       s$k AS MATERIALIZED (
-        SELECT freq,
+        SELECT w, freq,
           replace(s, chr(1) || lhs || chr(1) || chr(1) || rhs || chr(1),
             chr(1) || lhs || rhs || chr(1)) AS s
         FROM $prev CROSS JOIN t$k)"""
@@ -3709,7 +3709,7 @@ object PipelineQueries {
           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE length(w) > 0 GROUP BY w),
       s0 AS MATERIALIZED (
-        SELECT freq,
+        SELECT w, freq,
           chr(1) || array_to_string(
             list_transform(range(1, length(w) + 1),
               i -> substr(w, i, 1)), chr(1) || chr(1)) || chr(1) AS s
@@ -5299,6 +5299,52 @@ object PipelineQueries {
       ORDER BY n DESC, token LIMIT 50""")
   )
 
+  // --------------------------------------------------------------- q257
+  /** Tokenizer fertility per language — THE cross-lingual tokenizer
+    * health metric (subwords per word; a tokenizer trained on one
+    * language fragments the others, inflating their token bills and
+    * shrinking their effective context): q256's learned table applied
+    * corpus-wide, word and subword mass summed per `lang` as exact
+    * longs, fertility one final division. The oracle joins the
+    * per-(lang, word) frequency table against the round-12 corpus state
+    * (the chain carries the word key through every round for exactly
+    * this join) — so the gate pins that per-word segmentations, not
+    * just corpus totals, agree. */
+  private val q257 = Q(
+    "q257_tokenizer_fertility",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val merges = graft.ops.Bpe.learn(docs, "text", BpeMergeCount)
+      docs.select(col("lang"),
+          size(filter(split(col("text"), " "), w => length(w) > 0))
+            .cast("long").as("nw"),
+          size(graft.ops.Bpe.tokenize(col("text"), merges))
+            .cast("long").as("nt"))
+        .groupBy("lang")
+        .agg(sum(col("nw")).as("n_words"), sum(col("nt")).as("n_subwords"))
+        .withColumn("fertility",
+          col("n_subwords").cast("double") / col("n_words").cast("double"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH $bpeChain,
+      wl AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0 GROUP BY 1, 2),
+      tokc AS (
+        SELECT w, CAST(len(string_split(trim(s, chr(1)), chr(1) || chr(1)))
+          AS BIGINT) AS nt
+        FROM s$BpeMergeCount)
+      SELECT lang,
+             CAST(SUM(freq) AS BIGINT) AS n_words,
+             CAST(SUM(freq * nt) AS BIGINT) AS n_subwords,
+             CAST(SUM(freq * nt) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE)
+               AS fertility
+      FROM wl JOIN tokc USING (w)
+      GROUP BY lang ORDER BY lang""")
+  )
+
   // --------------------------------------------------------------- q251
   /** Retrieval evaluation over the label ground truth: each query's
     * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
@@ -5372,5 +5418,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256)
+    q207, q208, q209, q210, q211, q251, q256, q257)
 }
