@@ -128,6 +128,57 @@ object Joins {
       .select(col("__lrow.*") +: col("__matched_ts") +: valueCols.map(col): _*)
   }
 
+  /** FORWARD as-of join — [[asofJoin]]'s lookahead twin: every left row
+    * picks up the EARLIEST right row with `right.ts >= left.ts` for the
+    * same key. This is the label-generation join of ML pipelines ("the
+    * next price after the order", "the first status change following the
+    * incident") — a backward as-of answers "what was true", this answers
+    * "what happened next". Same union-and-scan plan, mirrored: left rows
+    * sort BEFORE right rows at equal ts (a same-instant right row
+    * matches, mirroring the backward side's inclusive bound), and a
+    * `first(ignoreNulls)` over the current-row→following frame pulls the
+    * next right value back. ONE shuffle on the key, O(1) running state —
+    * Spark evaluates the unbounded-following frame in reverse partition
+    * order, so it is the same running-state cost as the backward join,
+    * not a per-row scan-ahead. Left rows after a key's last right row
+    * get nulls. DuckDB's `ASOF ... ON l.ts <= r.ts` states the identical
+    * semantics (the q259 oracle). */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StructType
+    val leftStruct = StructType(left.schema.fields)
+    val lu = left.select(
+      keyCols.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(0).as("__side"),
+        struct(left.columns.map(col): _*).as("__lrow"),
+        lit(null).cast(right.schema(tsCol).dataType).as("__rts")) ++
+        valueCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val ru = right.select(
+      keyCols.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(leftStruct).as("__lrow"),
+        col(tsCol).as("__rts")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lu.unionByName(ru)
+      .select(
+        col("__side") +: col("__lrow") +:
+          first(col("__rts"), ignoreNulls = true).over(w).as("__matched_ts") +:
+          valueCols.map(c =>
+            first(col(s"__v_$c"), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__side") === 0)
+      .select(col("__lrow.*") +: col("__matched_ts") +: valueCols.map(col): _*)
+  }
+
   /** RANGE (interval) join: fact rows matched to every interval
     * containing their timestamp (`start <= ts < end`). The naive plan is
     * a BroadcastNestedLoopJoin — fine when the interval side broadcasts,

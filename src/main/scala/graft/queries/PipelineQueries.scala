@@ -5345,6 +5345,54 @@ object PipelineQueries {
       GROUP BY lang ORDER BY lang""")
   )
 
+  // --------------------------------------------------------------- q261
+  /** Masked-LM corpus generation under the hash gate — the BERT-style
+    * objective builder: every 20th word position (phase-shifted per doc
+    * by doc_id, so the mask pattern is deterministic but not aligned
+    * across docs) is replaced by `<mask>` in the input and recorded as
+    * `pos:word` in the target string. The whole construction is array
+    * ops riding the scan (indexed `transform` + `filter` + `array_join`
+    * — no shuffle, no UDF); the oracle rebuilds it positionally via
+    * unnest + ordered string_agg. Docs too short to hit a mask position
+    * emit an empty target, pinning the no-op path too. */
+  private val q261 = Q(
+    "q261_masked_lm_corpus",
+    (s, dir) => {
+      val words = split(col("text"), " ")
+      val masked = transform(words, (w, i) =>
+        when((i + lit(1) + col("doc_id")) % 20 === 0, lit("<mask>"))
+          .otherwise(w))
+      val targets = filter(
+        transform(words, (w, i) =>
+          when((i + lit(1) + col("doc_id")) % 20 === 0,
+            concat((i + 1).cast("string"), lit(":"), w))),
+        t => t.isNotNull)
+      Lake(s, dir).documents.select(
+          col("doc_id"),
+          size(words).cast("long").as("n_words"),
+          size(targets).cast("long").as("n_masked"),
+          array_join(masked, " ").as("input"),
+          array_join(targets, "|").as("targets"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tok AS (SELECT doc_id, i, ws[i] AS w
+              FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+      m AS (SELECT doc_id, i,
+              CASE WHEN (i + doc_id) % 20 = 0 THEN '<mask>' ELSE w END AS mw,
+              CASE WHEN (i + doc_id) % 20 = 0
+                   THEN CAST(i AS VARCHAR) || ':' || w END AS tgt
+            FROM tok)
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(CASE WHEN tgt IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_masked,
+             string_agg(mw, ' ' ORDER BY i) AS input,
+             COALESCE(string_agg(tgt, '|' ORDER BY i), '') AS targets
+      FROM m GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   // --------------------------------------------------------------- q251
   /** Retrieval evaluation over the label ground truth: each query's
     * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
@@ -5418,5 +5466,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256, q257)
+    q207, q208, q209, q210, q211, q251, q256, q257, q261)
 }

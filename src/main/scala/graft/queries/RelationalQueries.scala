@@ -914,6 +914,39 @@ object RelationalQueries {
       ORDER BY event_id""")
   )
 
+  // --------------------------------------------------------------- q259
+  /** FORWARD as-of join ([[graft.ops.Joins.asofJoinForward]]) — q63's
+    * lookahead twin on the same change/fact split: each event picks up
+    * the NEXT status change at or after it, the label-generation shape
+    * ("what happened next") backward as-of cannot express. Same
+    * union-and-scan plan mirrored to a first-over-following frame; the
+    * oracle is DuckDB's native ASOF with the flipped bound. */
+  private val q259 = Q(
+    "q259_asof_forward",
+    (s, dir) => {
+      val events = Lake(s, dir).events
+      val changes = events.filter(col("event_id") % 50 === 0)
+        .select(col("user_id"), col("ts"), col("value").as("status_value"))
+      val facts = events.filter(col("event_id") % 50 =!= 0)
+      Joins.asofJoinForward(facts, changes, Seq("user_id"), "ts",
+          Seq("status_value"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("event_ts_us"),
+          unix_micros(col("__matched_ts")).as("status_ts_us"),
+          col("status_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH r AS (SELECT user_id, ts, value AS status_value FROM events
+                 WHERE event_id % 50 = 0),
+           l AS (SELECT * FROM events WHERE event_id % 50 <> 0)
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS event_ts_us,
+             epoch_us(r.ts) AS status_ts_us, r.status_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+      ORDER BY event_id""")
+  )
+
   // ---------------------------------------------------------------- q64
   /** RANGE (interval) join: every 100th event opens a 30-minute window;
     * each event matches every window containing its timestamp. The Spark
@@ -1458,5 +1491,5 @@ object RelationalQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q46, q47, q48, q52, q63, q64, q78, q191, q192, q193, q194, q195,
-    q196, q197, q201, q202, q203, q212, q213, q214)
+    q196, q197, q201, q202, q203, q212, q213, q214, q259)
 }

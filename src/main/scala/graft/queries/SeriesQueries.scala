@@ -264,5 +264,62 @@ object SeriesQueries {
       ORDER BY month""")
   )
 
-  val all: Seq[Q] = Seq(q221, q222, q223, q248, q249, q250)
+  // --------------------------------------------------------------- q260
+  /** Theil–Sen trend of daily revenue — the robust slope estimator
+    * (median of all pairwise day-to-day slopes): up to ~29% of the days
+    * can be corrupted before the estimate moves, where the OLS slope
+    * chases a single bad day. Slopes are double divisions of exact
+    * longs (cents per day) — each pair's value is bit-identical across
+    * engines, so ORDERING them is deterministic and the DISCRETE lower
+    * median (element ⌈m/2⌉ of the sorted slopes, no interpolation) hash-
+    * matches. The pair frame is O(days²) — bounded by the CALENDAR, not
+    * the data volume: at 100 TB the daily rollup in front of it is the
+    * data-sized work and this stays a ~10⁶-row tail. The single-
+    * partition rank window rides that same bound. */
+  private val q260 = Q(
+    "q260_theil_sen",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Lake(s, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .select(
+          datediff(col("day"), lit("1995-01-01")).cast("long").as("x"),
+          col("cents"))
+      val a = daily.toDF("xi", "yi")
+      val b = daily.toDF("xj", "yj")
+      val pairs = a.join(b, col("xi") < col("xj"))
+        .select(((col("yj") - col("yi")).cast("double") /
+          (col("xj") - col("xi")).cast("double")).as("slope"))
+      val nd = daily.agg(count(lit(1)).as("n_days"))
+      val m = pairs.agg(count(lit(1)).as("n_pairs"))
+      pairs
+        .withColumn("rn", row_number().over(Window.orderBy("slope")))
+        .crossJoin(broadcast(m)).crossJoin(broadcast(nd))
+        .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+        .select(col("n_days"), col("n_pairs"), col("slope").as("median_slope"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      pts AS (SELECT CAST(datediff('day', DATE '1995-01-01', day) AS BIGINT)
+                       AS x, cents
+              FROM daily),
+      pairs AS (
+        SELECT CAST(b.cents - a.cents AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                 AS slope
+        FROM pts a JOIN pts b ON a.x < b.x),
+      m AS (SELECT COUNT(*) AS n_pairs FROM pairs),
+      nd AS (SELECT COUNT(*) AS n_days FROM pts),
+      rk AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn
+             FROM pairs)
+      SELECT nd.n_days, m.n_pairs, rk.slope AS median_slope
+      FROM rk CROSS JOIN m CROSS JOIN nd
+      WHERE rn = (n_pairs + 1) // 2""")
+  )
+
+  val all: Seq[Q] = Seq(q221, q222, q223, q248, q249, q250, q260)
 }

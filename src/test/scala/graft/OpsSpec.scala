@@ -122,6 +122,31 @@ class OpsSpec extends SparkTestBase {
     assert(out.size == 5) // every left row survives (left-join semantics)
   }
 
+  test("Joins.asofJoinForward: earliest at-or-after per key, same-instant visible, post-last null") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 09:00:00")),  // before change 1 → change 1
+      (2L, 7L, ts("2024-01-01 10:00:00")),  // exactly at change 1 → sees it
+      (3L, 7L, ts("2024-01-01 11:30:00")),  // between changes → change 2
+      (4L, 7L, ts("2024-01-01 12:30:00")),  // after last change → null
+      (5L, 8L, ts("2024-01-01 07:30:00"))   // other key: own stream only
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 10:00:00"), "silver"),
+      (7L, ts("2024-01-01 12:00:00"), "gold"),
+      (8L, ts("2024-01-01 08:00:00"), "bronze")
+    ).toDF("user_id", "ts", "tier")
+    val out = Joins.asofJoinForward(left, right, Seq("user_id"), "ts", Seq("tier"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[String]("tier")),
+          Option(r.getAs[java.sql.Timestamp]("__matched_ts")))).toMap
+    assert(out(1L) == (Some("silver"), Some(ts("2024-01-01 10:00:00"))))
+    assert(out(2L) == (Some("silver"), Some(ts("2024-01-01 10:00:00"))))
+    assert(out(3L) == (Some("gold"), Some(ts("2024-01-01 12:00:00"))))
+    assert(out(4L) == (None, None))
+    assert(out(5L) == (Some("bronze"), Some(ts("2024-01-01 08:00:00"))))
+    assert(out.size == 5) // every left row survives (left-join semantics)
+  }
+
   test("Joins.asofJoin: epoch-long ts columns work (no hardcoded timestamp cast)") {
     // event tables commonly carry bigint epoch millis; the null __rts
     // sentinel must take the RIGHT side's ts type, not assume timestamp
