@@ -17,6 +17,53 @@ class PlanSpec extends SparkTestBase {
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("parquet file-level bloom filters: written on request, readable, and discriminating") {
+    // The point-lookup complement of min/max footers: a needle query on a
+    // NON-sorted key gets no help from min/max (every row group spans the
+    // domain), but a per-row-group bloom filter skips the group without
+    // reading column data — at 100 TB the difference between touching
+    // every row group of a 10k-file table and touching ~one. The writer
+    // option is per-column; this proves it lands in the footer for the
+    // requested column ONLY, and that the written filter actually
+    // discriminates present from absent keys.
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dir = java.nio.file.Files.createTempDirectory("bloomp").resolve("t")
+    // multiply-scrambled ids: unsorted, so min/max footers are useless
+    spark.range(0, 50000)
+      .select(((col("id") * 2654435761L) % 1000003L).as("k"),
+        col("id").as("v"))
+      .coalesce(1)
+      .write
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .parquet(dir.toString)
+    val part = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part),
+      spark.sessionState.newHadoopConf()))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val cols = block.getColumns.asScala.toSeq
+      val kCol = cols.find(_.getPath.toDotString == "k").get
+      val vCol = cols.find(_.getPath.toDotString == "v").get
+      assert(kCol.getBloomFilterOffset >= 0, "bloom filter missing on k")
+      assert(vCol.getBloomFilterOffset < 0,
+        "bloom filter written on v, which never asked for one")
+      val bf = reader.getBloomFilterDataReader(block).readBloomFilter(kCol)
+      val present = (0L until 1000L)
+        .map(i => (i * 2654435761L) % 1000003L)
+      assert(present.forall(k => bf.findHash(bf.hash(k))),
+        "a present key must never be filtered (no false negatives)")
+      // absent probes: keys outside the residue construction's range
+      val absentHits = (1000004L until 1001004L)
+        .count(k => bf.findHash(bf.hash(k)))
+      assert(absentHits < 100,
+        s"bloom filter does not discriminate: $absentHits/1000 absent keys pass")
+    } finally reader.close()
+  }
+
   test("parquet scan: filter pushdown and column pruning reach the reader") {
     val df = Lake(spark, sfDir).lineitem
       .filter(col("l_shipdate") > "1995-01-01")
