@@ -5393,6 +5393,134 @@ object PipelineQueries {
       FROM m GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q262
+  /** Embedding-truncation recall — the Matryoshka question: how much of
+    * the full-dimension neighborhood survives if only the FIRST 16 of 64
+    * dims are stored (4× memory/bandwidth cut at serving time)? Exact
+    * top-10 under both representations (norms recomputed on the
+    * truncated prefix — truncation changes geometry, not just length),
+    * recall@10 = |overlap|/10 per query, aggregated as exact integer
+    * counts with one final division. The oracle replays both rankings on
+    * sliced lists and joins them. At scale both sides swap for the
+    * IVF-served candidate frames (q98) — the metric layer is
+    * representation-agnostic. */
+  private val q262 = Q(
+    "q262_truncation_recall",
+    (s, dir) => {
+      val emb = Lake(s, dir).embeddings
+      val full = Similarity.withNorm(emb, "vec_id", "embedding")
+      val trunc = Similarity.withNorm(
+        emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+        "vec_id", "embedding")
+      val topF = Similarity.bruteForceTopK(full, full.filter(col("vec_id") < 25), 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val topT = Similarity.bruteForceTopK(trunc, trunc.filter(col("vec_id") < 25), 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val inter = topF.join(topT, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("kept"))
+      topF.select("query_id").distinct()
+        .join(inter, Seq("query_id"), "left")
+        .agg(
+          count(lit(1)).as("nq"),
+          sum(coalesce(col("kept"), lit(0L))).as("total_kept"))
+        .select(col("nq"), col("total_kept"),
+          (col("total_kept").cast("double") / (lit(10.0) * col("nq")))
+            .as("mean_recall_at_10"))
+    },
+    Some(s"""
+      WITH $NormedCte,
+      mt AS (SELECT vec_id, v[1:16] AS v,
+               sqrt(list_reduce(list_transform(v[1:16], x -> x*x),
+                 (a,b) -> a+b)) AS nrm
+             FROM e),
+      tf AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${sqlDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+                     c.vec_id) AS rank
+        FROM m q JOIN m c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 25) WHERE rank <= 10),
+      tt AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${sqlDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+                     c.vec_id) AS rank
+        FROM mt q JOIN mt c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 25) WHERE rank <= 10),
+      inter AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS kept
+                FROM tf JOIN tt USING (query_id, neighbor_id)
+                GROUP BY query_id)
+      SELECT COUNT(*) AS nq,
+             CAST(SUM(COALESCE(kept, 0)) AS BIGINT) AS total_kept,
+             CAST(SUM(COALESCE(kept, 0)) AS DOUBLE) / (10.0 * COUNT(*))
+               AS mean_recall_at_10
+      FROM (SELECT DISTINCT query_id FROM tf) q
+      LEFT JOIN inter USING (query_id)""")
+  )
+
+  // --------------------------------------------------------------- q263
+  /** kNN-classifier evaluation — the zero-training baseline every
+    * embedding space owes its users: predict each query's label by
+    * majority vote of its exact top-10 cosine neighbors (tie → smallest
+    * label, stated identically in both engines), scored per true label.
+    * Errors here localize representation problems per class where
+    * q251's retrieval metrics average them away. Vote counting, argmax
+    * and accuracy are all exact integers; one division per class at the
+    * end. */
+  private val q263 = Q(
+    "q263_knn_classifier",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Lake(s, dir).embeddings
+      val corpus = Similarity.withNorm(emb, "vec_id", "embedding")
+      val labels = emb.select(col("vec_id"), col("label"))
+      val top = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 25), 10)
+        .join(broadcast(labels.toDF("neighbor_id", "n_label")), Seq("neighbor_id"))
+      val votes = top.groupBy("query_id", "n_label")
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("n_label"))
+      val pred = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("n_label").as("predicted"))
+      pred.join(broadcast(labels.toDF("query_id", "true_label")), Seq("query_id"))
+        .groupBy("true_label")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("predicted") === col("true_label"), 1L).otherwise(0L))
+            .as("correct"))
+        .withColumn("accuracy",
+          col("correct").cast("double") / col("n").cast("double"))
+        .orderBy("true_label")
+    },
+    Some(s"""
+      WITH $NormedCte,
+      t AS (SELECT query_id, n_label FROM (
+        SELECT q.vec_id AS query_id, c.label AS n_label,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY ${sqlDot("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+                     c.vec_id) AS rank
+        FROM m q JOIN m c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 25) WHERE rank <= 10),
+      votes AS (SELECT query_id, n_label, COUNT(*) AS votes
+                FROM t GROUP BY 1, 2),
+      pred AS (SELECT query_id, n_label AS predicted FROM (
+        SELECT query_id, n_label,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY votes DESC, n_label) AS rn
+        FROM votes) WHERE rn = 1),
+      truth AS (SELECT vec_id AS query_id, label AS true_label
+                FROM embeddings WHERE vec_id < 25)
+      SELECT true_label,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS correct,
+             CAST(SUM(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*) AS accuracy
+      FROM pred JOIN truth USING (query_id)
+      GROUP BY true_label ORDER BY true_label""")
+  )
+
   // --------------------------------------------------------------- q251
   /** Retrieval evaluation over the label ground truth: each query's
     * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
@@ -5466,5 +5594,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256, q257, q261)
+    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263)
 }
