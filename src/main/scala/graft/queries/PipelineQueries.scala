@@ -76,16 +76,18 @@ object PipelineQueries {
     * `textCol` in `srcCte` → hash bucket → integer-tenths weight →
     * per-doc margin `m` (bias included). */
   private def classifierMarginCtes(
-      srcCte: String, textCol: String, dim: Int, biasTenths: Int): String = s"""
-      tok AS (SELECT doc_id, unnest(string_split($textCol, ' ')) AS tk
+      srcCte: String, textCol: String, dim: Int, biasTenths: Int,
+      prefix: String = ""): String = s"""
+      ${prefix}tok AS (SELECT doc_id, unnest(string_split($textCol, ' ')) AS tk
               FROM $srcCte),
-      bkt AS (SELECT doc_id, ${hexSql("md5(tk)", 4)} % $dim AS bucket FROM tok),
-      wt AS (SELECT doc_id,
+      ${prefix}bkt AS (SELECT doc_id, ${hexSql("md5(tk)", 4)} % $dim AS bucket
+              FROM ${prefix}tok),
+      ${prefix}wt AS (SELECT doc_id,
                ${hexSql("md5('w' || CAST(bucket AS VARCHAR))", 2)} % 21 - 10
                  AS wgt
-             FROM bkt),
-      mg AS (SELECT doc_id, SUM(wgt) + $biasTenths AS m FROM wt
-             GROUP BY doc_id)"""
+             FROM ${prefix}bkt),
+      ${prefix}mg AS (SELECT doc_id, SUM(wgt) + $biasTenths AS m
+             FROM ${prefix}wt GROUP BY doc_id)"""
 
   /** Shared oracle CTE: distinct 3-gram word shingles per document. */
   private val ShinglesCte = """
@@ -1425,27 +1427,10 @@ object PipelineQueries {
     * from the corpus (contributes nothing) and one a rare term ('dup',
     * df 26) whose idf dominates — the ranking must surface rare-term
     * docs over common-term frequency. */
-  private val q71 = {
-    val fixture = Seq(
-      ("search_dup", "dup"), ("search_dup", "scan"),
-      ("search_join", "join"), ("search_join", "hash"), ("search_join", "merge"),
-      ("search_missing", "nonexistent"), ("search_missing", "spark"),
-      ("search_stream", "stream"), ("search_stream", "window"),
-      ("search_stream", "batch"))
-    val valuesSql = fixture
-      .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
-    Q(
-      "q71_bm25_topk",
-      (s, dir) => {
-        import s.implicits._
-        val queries = fixture.toDF("query_id", "term")
-        Index.bm25TopK(Lake(s, dir).documents, "doc_id", "text", queries, k = 5)
-          .select("query_id", "doc", "n_terms", "score", "rank")
-          .orderBy("query_id", "rank")
-      },
-      Some(s"""
-      WITH q(query_id, term) AS (VALUES $valuesSql),
-      tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+  /** Shared BM25 ranked-CTE chain (expects a `q(query_id, term)` CTE in
+    * scope; ends at `r` = per-query ranked scores). q71 serves top-5
+    * from it; q264 takes top-20 candidates into the rerank stage. */
+  private val Bm25ChainSql = """tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
               FROM documents),
       p AS (SELECT term, doc, COUNT(*) AS tf FROM tok GROUP BY term, doc),
       rel AS (SELECT p.* FROM p WHERE term IN (SELECT DISTINCT term FROM q)),
@@ -1472,7 +1457,32 @@ object PipelineQueries {
       r AS (SELECT query_id, doc, n_terms, score,
               row_number() OVER (PARTITION BY query_id
                                  ORDER BY score DESC, doc) AS rank
-            FROM agg)
+            FROM agg)"""
+
+  /** Shared BM25 fixture (q71 serves top-5; q264 reranks top-20). */
+  private val Bm25Fixture = Seq(
+    ("search_dup", "dup"), ("search_dup", "scan"),
+    ("search_join", "join"), ("search_join", "hash"), ("search_join", "merge"),
+    ("search_missing", "nonexistent"), ("search_missing", "spark"),
+    ("search_stream", "stream"), ("search_stream", "window"),
+    ("search_stream", "batch"))
+
+  private val q71 = {
+    val fixture = Bm25Fixture
+    val valuesSql = fixture
+      .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    Q(
+      "q71_bm25_topk",
+      (s, dir) => {
+        import s.implicits._
+        val queries = fixture.toDF("query_id", "term")
+        Index.bm25TopK(Lake(s, dir).documents, "doc_id", "text", queries, k = 5)
+          .select("query_id", "doc", "n_terms", "score", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+      WITH q(query_id, term) AS (VALUES $valuesSql),
+      $Bm25ChainSql
       SELECT query_id, doc, CAST(n_terms AS BIGINT) AS n_terms, score,
         CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""")
@@ -5521,6 +5531,56 @@ object PipelineQueries {
       GROUP BY true_label ORDER BY true_label""")
   )
 
+  // --------------------------------------------------------------- q264
+  /** Retrieve-then-rerank — the two-stage serving shape every production
+    * retrieval stack uses: a cheap high-recall first stage (q71's BM25,
+    * widened to top-20 candidates) feeds an expensive scorer that runs
+    * on CANDIDATES ONLY (q68's hashed-linear margin, computed on the 20
+    * joined texts — never the corpus; at 100 TB that candidates-only
+    * contract IS the operator). Final order: margin desc, doc tiebreak,
+    * top-5 per query; the gate pins the composed chain — BM25 candidate
+    * set, margin recompute, rerank — not either stage alone. */
+  private val q264 = {
+    val valuesSql = Bm25Fixture
+      .map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    Q(
+      "q264_retrieve_rerank",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Lake(s, dir).documents
+        val queries = Bm25Fixture.toDF("query_id", "term")
+        val cand = Index.bm25TopK(docs, "doc_id", "text", queries, k = 20)
+          .select(col("query_id"), col("doc"),
+            col("rank").as("retrieval_rank"))
+        val rescored = cand
+          .join(docs.select(col("doc_id").as("doc"), col("text")), Seq("doc"))
+          .withColumn("m", Classifier.marginTenths(col("text"), 64, 5))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("m").desc, col("doc"))
+        rescored.withColumn("rerank", row_number().over(w).cast("long"))
+          .filter(col("rerank") <= 5)
+          .select("query_id", "doc", "m", "retrieval_rank", "rerank")
+          .orderBy("query_id", "rerank")
+      },
+      Some(s"""
+      WITH q(query_id, term) AS (VALUES $valuesSql),
+      $Bm25ChainSql,
+      cand AS (SELECT query_id, doc, CAST(rank AS BIGINT) AS retrieval_rank
+               FROM r WHERE rank <= 20),
+      ${classifierMarginCtes(
+        "(SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc FROM cand))",
+        "text", 64, 5, prefix = "c_")}
+      SELECT query_id, doc, CAST(m AS BIGINT) AS m, retrieval_rank,
+             CAST(rerank AS BIGINT) AS rerank
+      FROM (SELECT cand.query_id, cand.doc, c_mg.m, cand.retrieval_rank,
+              row_number() OVER (PARTITION BY cand.query_id
+                ORDER BY c_mg.m DESC, cand.doc) AS rerank
+            FROM cand JOIN c_mg ON cand.doc = c_mg.doc_id)
+      WHERE rerank <= 5 ORDER BY query_id, rerank""")
+    )
+  }
+
   // --------------------------------------------------------------- q251
   /** Retrieval evaluation over the label ground truth: each query's
     * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
@@ -5594,5 +5654,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263)
+    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264)
 }
