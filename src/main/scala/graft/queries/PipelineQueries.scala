@@ -5581,6 +5581,100 @@ object PipelineQueries {
     )
   }
 
+  // --------------------------------------------------------------- q265
+  /** T5-style span corruption under the hash gate — q261's masked-LM
+    * sibling for seq2seq objectives: one 3-word span per full 20-word
+    * block is cut out, the INPUT keeps a single `<extra_id_i>` sentinel
+    * where the span was, and the TARGET lists each sentinel with its
+    * removed words. Span offsets are md5-driven (`md5(doc_id#i)` → 6 hex
+    * digits mod 18, the q160 hex idiom) — deterministic, per-doc
+    * de-aligned, non-overlapping by block construction. Everything is
+    * indexed array ops riding the scan; the oracle rebuilds the same
+    * construction positionally (nibble arithmetic via the shared
+    * hexSql). Docs under 20 words emit zero spans and pass through —
+    * the no-op path is pinned too. */
+  private val q265 = {
+    val B = 20; val L = 3; val R = B - L + 1
+    Q(
+      "q265_span_corruption",
+      (s, dir) => {
+        val words = filter(split(col("text"), " "), w => length(w) > 0)
+        val d = Lake(s, dir).documents
+          .select(col("doc_id"), words.as("ws"))
+          .withColumn("n", size(col("ws")).cast("long"))
+          .withColumn("k", expr(s"n div $B"))
+          .withColumn("offs", when(col("k") > 0,
+            transform(sequence(lit(0L), col("k") - 1), i =>
+              conv(substring(md5(concat(col("doc_id").cast("string"),
+                lit("#"), i.cast("string"))), 1, 6), 16, 10)
+                .cast("long") % R))
+            .otherwise(array().cast("array<long>")))
+        val inputToks = filter(
+          transform(col("ws"), (w, p) => {
+            val block = floor(p / lit(B)).cast("int")
+            val inBlocks = block.cast("long") < col("k")
+            val off = element_at(col("offs"), block + 1)
+            val pos = pmod(p, lit(B)).cast("long")
+            when(inBlocks && pos === off,
+              concat(lit("<extra_id_"), block.cast("string"), lit(">")))
+              .when(inBlocks && pos > off && pos < off + L,
+                lit(null).cast("string"))
+              .otherwise(w)
+          }),
+          t => t.isNotNull)
+        val targets = transform(col("offs"), (off, i) =>
+          concat(lit("<extra_id_"), i.cast("string"), lit("> "),
+            array_join(slice(col("ws"),
+              (i.cast("long") * B + off + 1).cast("int"), lit(L)), " ")))
+        d.select(
+            col("doc_id"),
+            col("n").as("n_words"),
+            col("k").as("n_spans"),
+            array_join(inputToks, " ").as("input"),
+            array_join(targets, " ").as("targets"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+      WITH w AS (SELECT doc_id,
+              list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+            FROM documents),
+      base AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+                 CAST(len(ws) // $B AS BIGINT) AS k
+               FROM w),
+      offs AS (SELECT doc_id, i,
+                 ${hexSql(
+          "md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR))", 6)}
+                   % $R AS off
+               FROM base, unnest(generate_series(0, k - 1)) AS t(i)
+               WHERE k > 0),
+      tokpos AS (SELECT doc_id, p, ws[CAST(p + 1 AS INT)] AS word
+                 FROM base, unnest(generate_series(0, n - 1)) AS t(p)),
+      marked AS (SELECT tp.doc_id, p,
+                   CASE WHEN o.off IS NOT NULL AND p % $B = o.off
+                          THEN '<extra_id_' || CAST(p // $B AS VARCHAR) || '>'
+                        WHEN o.off IS NOT NULL AND p % $B > o.off
+                             AND p % $B < o.off + $L THEN NULL
+                        ELSE word END AS tok
+                 FROM tokpos tp LEFT JOIN offs o
+                   ON tp.doc_id = o.doc_id AND p // $B = o.i),
+      inp AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS input
+              FROM marked GROUP BY doc_id),
+      tgt AS (SELECT o.doc_id,
+                string_agg('<extra_id_' || CAST(i AS VARCHAR) || '> ' ||
+                  array_to_string(ws[CAST(i * $B + off + 1 AS INT) :
+                                     CAST(i * $B + off + $L AS INT)], ' '),
+                  ' ' ORDER BY i) AS targets
+              FROM offs o JOIN base USING (doc_id)
+              GROUP BY o.doc_id)
+      SELECT b.doc_id, b.n AS n_words, b.k AS n_spans,
+             inp.input, COALESCE(tgt.targets, '') AS targets
+      FROM base b
+      JOIN inp ON b.doc_id = inp.doc_id
+      LEFT JOIN tgt ON b.doc_id = tgt.doc_id
+      ORDER BY b.doc_id""")
+    )
+  }
+
   // --------------------------------------------------------------- q251
   /** Retrieval evaluation over the label ground truth: each query's
     * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
@@ -5654,5 +5748,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264)
+    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265)
 }
