@@ -514,6 +514,85 @@ object ScaleQueries {
       FROM agg ORDER BY c_nationkey, bal_band""")
   )
 
+  // --------------------------------------------------------------- q266
+  /** Multivariate (2-D Mahalanobis) outliers over (quantity, price) —
+    * the correlation-aware complement of q117/q122's univariate fences:
+    * a row can be unremarkable on each axis yet far off the joint
+    * distribution (high quantity × high unit price), and only the
+    * covariance-whitened distance sees it. The q154 discipline: the five
+    * moments and the centered matrix entries A = n·Sxx−Sx², B, C are
+    * EXACT (DECIMAL/HUGEINT — the 2×2 inverse needs no iteration:
+    * Σ⁻¹ ∝ [[B,−C],[−C,A]]/det), then D² per row is assembled in
+    * doubles with the IDENTICAL parenthesization on both engines:
+    * D² = (n−1)·(B·dx'² − 2C·dx'dy' + A·dy'²)/(n·det), dx' = n·x−Sx.
+    * One scan + a broadcast 1-row moment frame + a top-20 TakeOrdered —
+    * no second pass, no per-row shuffle. */
+  private val q266 = Q(
+    "q266_mahalanobis_outliers",
+    (s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val v = Lake(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100.0d, 0).cast("long").as("y"))
+      val m = v.agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+      val j = v.crossJoin(broadcast(m)).select(
+        col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+        d(dec(col("n")) * dec(col("x")) - col("sx")).as("dxp"),
+        d(dec(col("n")) * dec(col("y")) - col("sy")).as("dyp"),
+        d(dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("ad"),
+        d(dec(col("n")) * col("syy") - col("sy") * col("sy")).as("bd"),
+        d(dec(col("n")) * col("sxy") - col("sx") * col("sy")).as("cd"),
+        d(col("n")).as("nd"))
+      j.select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+          (((col("nd") - lit(1.0)) *
+            (((col("bd") * col("dxp")) * col("dxp") -
+              ((lit(2.0) * col("cd")) * col("dxp")) * col("dyp")) +
+              (col("ad") * col("dyp")) * col("dyp"))) /
+            (col("nd") * (col("ad") * col("bd") - col("cd") * col("cd"))))
+            .as("d2"))
+        .orderBy(col("d2").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    },
+    Some("""
+      WITH v AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS y
+        FROM lineitem),
+      m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM v),
+      j AS (
+        SELECT l_orderkey, l_linenumber, x, y,
+               CAST(n * x - sx AS DOUBLE) AS dxp,
+               CAST(n * y - sy AS DOUBLE) AS dyp,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS ad,
+               CAST(n * syy - sy * sy AS DOUBLE) AS bd,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS cd,
+               CAST(n AS DOUBLE) AS nd
+        FROM v CROSS JOIN m)
+      SELECT l_orderkey, l_linenumber, x, y,
+             ((nd - 1.0) *
+              (((bd * dxp) * dxp - ((2.0 * cd) * dxp) * dyp)
+                + (ad * dyp) * dyp)) /
+             (nd * (ad * bd - cd * cd)) AS d2
+      FROM j
+      ORDER BY d2 DESC, l_orderkey, l_linenumber
+      LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173,
-    q177, q178, q206, q253)
+    q177, q178, q206, q253, q266)
 }
