@@ -641,6 +641,60 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("SCC equals brute-force mutual reachability on random digraphs") {
+    import graft.ops.WebGraph
+    val gen = Gen.listOfN(14, Gen.zip(Gen.choose(0, 7), Gen.choose(0, 7)))
+    holds(Prop.forAll(gen) { pairs =>
+      val edges = pairs.map { case (a, b) => (s"n$a", s"n$b") }
+        .toDF("src_host", "dst_host")
+      val out = WebGraph.stronglyConnectedComponents(edges)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // brute-force reference: Floyd-Warshall closure over ≤ 8 nodes
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      val idx = nodes.zipWithIndex.toMap
+      val n = nodes.size
+      val reach = Array.fill(n, n)(false)
+      pairs.foreach { case (a, b) => reach(idx(a))(idx(b)) = true }
+      for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val expected = nodes.map { v =>
+        val i = idx(v)
+        val mutual = nodes.filter(u =>
+          u == v || (reach(i)(idx(u)) && reach(idx(u))(i)))
+        s"n$v" -> s"n${mutual.max}"
+      }.toMap
+      out == expected
+    })
+  }
+
+  test("asofJoinForward mirrors asofJoin under time reversal") {
+    import graft.ops.Joins
+    val gen = Gen.zip(
+      Gen.listOfN(10, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 50L))),
+      Gen.listOfN(4, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 50L))))
+    holds(Prop.forAll(gen) { case (lrows, rrows) =>
+      // distinct (key, ts) on the right: which same-instant row wins is
+      // unspecified by contract, so the law only quantifies over unique ts
+      val rr = rrows.distinctBy(x => (x._1, x._2))
+      val left = lrows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("event_id", "k", "ts")
+      val right = rr.map { case (k, t) => (k, t, s"v$k-$t") }
+        .toDF("k", "ts", "tier")
+      val fwd = Joins.asofJoinForward(left, right, Seq("k"), "ts", Seq("tier"))
+        .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("tier"))).toMap
+      // reverse time on both sides: forward-in-reversed == backward
+      val leftR = lrows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, 1000L - t) }
+        .toDF("event_id", "k", "ts")
+      val rightR = rr.map { case (k, t) => (k, 1000L - t, s"v$k-$t") }
+        .toDF("k", "ts", "tier")
+      val bwd = Joins.asofJoin(leftR, rightR, Seq("k"), "ts", Seq("tier"))
+        .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("tier"))).toMap
+      fwd == bwd
+    })
+  }
+
   test("series laws: constant values give ewma == value and cusum_num == 0") {
     import graft.ops.Series
     val gen = Gen.zip(Gen.choose(1, 12), Gen.choose(1L, 500L))
