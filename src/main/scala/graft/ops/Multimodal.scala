@@ -377,6 +377,68 @@ object Multimodal {
       }
   }
 
+  /** Per-image spectral-hash row: the 64 sign bits of the 2-D
+    * Walsh–Hadamard transform, row-major over the coefficient grid. */
+  final case class WHash(doc_id: Long, whash: String)
+
+  /** In-place 8-point Walsh–Hadamard butterfly (natural order): three
+    * stages of paired sums/differences — every coefficient stays an
+    * exact integer, |coef| ≤ 8·255·3 after both dimensions. */
+  private def wht8(a: Array[Long], off: Int, stride: Int): Unit = {
+    var bit = 1
+    while (bit < 8) {
+      var i = 0
+      while (i < 8) {
+        if ((i & bit) == 0) {
+          val p = off + i * stride
+          val q = off + (i | bit) * stride
+          val u = a(p); val v = a(q)
+          a(p) = u + v; a(q) = u - v
+        }
+        i += 1
+      }
+      bit <<= 1
+    }
+  }
+
+  /** Walsh–Hadamard spectral hash (wHash) — the pHash idea with the DCT
+    * swapped for the Hadamard transform, whose ±1 basis keeps every
+    * coefficient an exact INTEGER (a DCT's cosines are transcendental and
+    * would break the cross-engine hash gate; the Hadamard basis is the
+    * standard integer-exact stand-in and a known fast pHash variant).
+    * Third lens next to [[imageAHash]] (global mean) and [[imageDHash]]
+    * (local gradient): the bit for coefficient (u,v) is the SIGN of a
+    * whole-image correlation with the (u,v) rectangular wave, so each bit
+    * summarizes global structure at one scale/orientation — robust to
+    * per-cell noise that flips aHash bits, sensitive to layout changes
+    * dHash's neighbor compare misses. Resample 8×8 → ⌊(r+g+b)/3⌋ gray →
+    * row then column 8-point butterflies (O(n log n), 3+3 stages) → 64
+    * sign bits, row-major. Integer-exact end to end; gated by q267
+    * against the fully unrolled butterfly in SQL. Serving shape downstream
+    * is the same Hamming band-join as the other two hashes. */
+  def imageWHash(df: DataFrame, idCol: String, binCol: String): Dataset[WHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          decodeBmp(bytes).map { img =>
+            val r = resampleNearest(img, 8, 8)
+            val c = Array.tabulate(64) { i =>
+              (((r.rgb(i * 3) & 0xff) + (r.rgb(i * 3 + 1) & 0xff) +
+                (r.rgb(i * 3 + 2) & 0xff)) / 3).toLong
+            }
+            var y = 0
+            while (y < 8) { wht8(c, y * 8, 1); y += 1 }
+            var x = 0
+            while (x < 8) { wht8(c, x, 8); x += 1 }
+            WHash(id, c.map(v => if (v > 0) '1' else '0').mkString)
+          }
+        }
+      }
+  }
+
   /** Per-image difference-hash row: the 64-bit gradient fingerprint as a
     * bit string (row-major, each row comparing 8 adjacent cell pairs). */
   final case class DHash(doc_id: Long, dhash: String)

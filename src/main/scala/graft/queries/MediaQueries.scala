@@ -190,5 +190,93 @@ object MediaQueries {
       FROM d ORDER BY doc_id, frame_idx""")
   )
 
-  val all: Seq[Q] = Seq(q230, q231, q232)
+  // --------------------------------------------------------------- q267
+  /** 64-bit Walsh–Hadamard spectral hash per generated BMP
+    * ([[graft.ops.Multimodal.imageWHash]]) — the frequency-domain third
+    * lens next to q126 aHash and q230 dHash, DCT-free so every
+    * coefficient is an exact integer. The oracle unrolls the full 2-D
+    * butterfly: the q126 sampling/grayscale chain, then six MATERIALIZED
+    * stages of paired sums/differences (bits 1/2/4 across x, then across
+    * y — each stage self-joins on the xor-partner cell), then the 64
+    * sign bits row-major. A hash gate over an actual fast transform. */
+  private val q267 = {
+    val rowStage = (prev: String, cur: String, b: Int) => s"""
+      $cur AS MATERIALIZED (
+        SELECT a.doc_id, a.x, a.y,
+          CASE WHEN a.x % ${2 * b} < $b THEN a.g + p.g ELSE p.g - a.g END AS g
+        FROM $prev a JOIN $prev p
+          ON a.doc_id = p.doc_id AND a.y = p.y AND p.x = xor(a.x, $b))"""
+    val colStage = (prev: String, cur: String, b: Int) => s"""
+      $cur AS MATERIALIZED (
+        SELECT a.doc_id, a.x, a.y,
+          CASE WHEN a.y % ${2 * b} < $b THEN a.g + p.g ELSE p.g - a.g END AS g
+        FROM $prev a JOIN $prev p
+          ON a.doc_id = p.doc_id AND a.x = p.x AND p.y = xor(a.y, $b))"""
+    Q(
+      "q267_image_whash",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val bmps = Lake(s, dir).documents
+          .filter(col("doc_id") < 400)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val k = id % 50
+            val w = (8 + k % 9).toInt
+            val h = (6 + k % 7).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                rgb(i) = ((k + x + 2L * y) % 256).toByte
+                rgb(i + 1) = ((2L * k + 3L * x + y) % 256).toByte
+                rgb(i + 2) = ((k + 5L * x + 7L * y) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            (id, Multimodal.encodeBmp(Multimodal.DecodedImage(w, h, rgb)))
+          })
+          .toDF("doc_id", "media")
+        Multimodal.imageWHash(bmps, "doc_id", "media").toDF()
+          .withColumn("dup_count",
+            count(lit(1)).over(Window.partitionBy("whash")))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 50 AS k,
+          8 + (doc_id % 50) % 9 AS w, 6 + (doc_id % 50) % 7 AS h
+        FROM documents WHERE doc_id < 400),
+      grid AS (
+        SELECT doc_id, k, w, h, t1.x, t2.y,
+          (x * w) // 8 AS sx, (y * h) // 8 AS sy
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      s0 AS MATERIALIZED (
+        SELECT doc_id, x, y,
+          CAST(((k + sx + 2 * sy) % 256 + (2 * k + 3 * sx + sy) % 256
+            + (k + 5 * sx + 7 * sy) % 256) // 3 AS BIGINT) AS g
+        FROM grid),
+      ${rowStage("s0", "s1", 1)},
+      ${rowStage("s1", "s2", 2)},
+      ${rowStage("s2", "s3", 4)},
+      ${colStage("s3", "s4", 1)},
+      ${colStage("s4", "s5", 2)},
+      ${colStage("s5", "s6", 4)},
+      hashed AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN g > 0 THEN '1' ELSE '0' END, ''
+                     ORDER BY y, x) AS whash
+        FROM s6 GROUP BY doc_id)
+      SELECT doc_id, whash,
+        COUNT(*) OVER (PARTITION BY whash) AS dup_count
+      FROM hashed ORDER BY doc_id""")
+    )
+  }
+
+  val all: Seq[Q] = Seq(q230, q231, q232, q267)
 }
