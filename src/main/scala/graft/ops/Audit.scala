@@ -213,7 +213,8 @@ object Audit {
     * distribution, no domain cross join, which is what keeps the plan
     * flat when the sensitive domain is wide. Sums ride DECIMAL(38,0)
     * (HUGEINT in the oracle) because c_v·N is quadratic in table size.
-    * Gated by q253. */
+    * Gated by q253. MEASURED (AnalyticsScaleProbe, sf0.1 customers ×10):
+    * 0.6× — fixed-cost dominated at this scale. */
   def tCloseness(
       df: DataFrame,
       quasiCols: Seq[String],
