@@ -230,11 +230,19 @@ object Audit {
     def dec(c: Column): Column = c.cast("decimal(19,0)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(quasiCols.map(col): _*)
-    val joint = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+    // ONE exchange for the whole chain: hash(quasi) co-locates equal
+    // (quasi, sensitive) tuples too, so the joint aggregation, the
+    // class-size window and the final per-class aggregation all reuse
+    // this partitioning (PlanSpec pins the exchange count)
+    val joint = df.repartition(quasiCols.map(col): _*)
+      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("__c"))
       .withColumn("__n", sum(col("__c")).over(w))
     val glob = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__g"))
-    val total = glob.agg(sum(col("__g")).as("__tot"))
+    // N directly from df (a global count: partial-agg + SinglePartition,
+    // no hash exchange) — deriving it from glob would duplicate glob's
+    // whole aggregate subtree in the plan
+    val total = df.agg(count(lit(1)).as("__tot"))
     joint
       .join(broadcast(glob), Seq(sensitiveCol))
       .crossJoin(broadcast(total))

@@ -310,6 +310,10 @@ object TpchShapeQueries {
         .filter(col("l_shipdate") >= ts("1997-01-01") &&
           col("l_shipdate") < ts("1998-01-01"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        // hash(partkey) co-locates (partkey, suppkey) pairs too, so the
+        // pair aggregation AND the per-part total window share ONE
+        // exchange instead of shuffling twice
+        .repartition(col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(sum(col("l_quantity").cast("long")).as("pair_qty"))
       val dominant = shipped

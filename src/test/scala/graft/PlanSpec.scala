@@ -64,6 +64,25 @@ class PlanSpec extends SparkTestBase {
     } finally reader.close()
   }
 
+  test("tCloseness rides ONE data shuffle: hash(quasi) serves agg, window, and re-agg") {
+    val df = Lake(spark, sfDir).customer.select(
+      col("c_nationkey"),
+      (floor(col("c_acctbal") / lit(2000.0d)) * 2000.0d).cast("long")
+        .as("bal_band"),
+      col("c_mktsegment"))
+    val out = graft.ops.Audit.tCloseness(
+      df, Seq("c_nationkey", "bal_band"), "c_mktsegment", 1L, 5L)
+    val plan = planOf(out)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // two hash exchanges total: the explicit repartition(quasi) — which
+    // the joint aggregation, the class-size window, and the per-class
+    // aggregation ALL reuse (hash(quasi) co-locates the superset keys) —
+    // plus the independent global value-distribution aggregate on the
+    // sensitive column; orderBy's range exchange is not counted here
+    assert(shuffles == 2,
+      s"expected TWO hash exchanges in the tCloseness plan, found $shuffles:\n$plan")
+  }
+
   test("parquet scan: filter pushdown and column pruning reach the reader") {
     val df = Lake(spark, sfDir).lineitem
       .filter(col("l_shipdate") > "1995-01-01")
