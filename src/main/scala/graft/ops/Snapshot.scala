@@ -166,4 +166,36 @@ object Snapshot {
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .drop("__rn", opCol)
   }
+
+  /** Temporal-consistency audit for SCD2-style validity tables — the
+    * quality gate every slowly-changing dimension owes its consumers
+    * before a point-in-time join ([[graft.ops.Joins.asofJoin]], q238)
+    * trusts it: per key ordered by `fromCol`, count rows that
+    *   - OVERLAP their predecessor (`from < prev.to` — two versions
+    *     claim the same instant; an as-of join returns an arbitrary one),
+    *   - leave a GAP (`from > prev.to` — instants where the key has no
+    *     version at all; an as-of join silently serves the stale row),
+    *   - are OPEN (null `to`) while a successor exists — two "current"
+    *     rows, the classic botched-merge symptom.
+    * One key-partitioned window pass + a single global aggregate; output
+    * is one row `(n_rows, n_overlap, n_gap, n_open_not_last)`. Generic
+    * over any orderable from/to type (timestamps, micros longs, date
+    * serials). A well-formed [[scd2]] output audits clean by
+    * construction; gated by q269 against a deterministically CORRUPTED
+    * history so every counter is exercised. */
+  def temporalAudit(
+      df: DataFrame, keyCol: String, fromCol: String, toCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("__f"))
+    df.select(col(keyCol), col(fromCol).as("__f"), col(toCol).as("__t"))
+      .withColumn("__pt", lag(col("__t"), 1).over(w))
+      .withColumn("__has_next", lead(col("__f"), 1).over(w).isNotNull)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("__pt").isNotNull && col("__f") < col("__pt"), 1L)
+          .otherwise(0L)).as("n_overlap"),
+        sum(when(col("__pt").isNotNull && col("__f") > col("__pt"), 1L)
+          .otherwise(0L)).as("n_gap"),
+        sum(when(col("__t").isNull && col("__has_next"), 1L)
+          .otherwise(0L)).as("n_open_not_last"))
+  }
 }

@@ -831,6 +831,74 @@ object BehaviorQueries {
       ORDER BY e.event_id""")
   )
 
+  // --------------------------------------------------------------- q269
+  /** Temporal-consistency audit ([[graft.ops.Snapshot.temporalAudit]])
+    * on a deterministically CORRUPTED q102 history — a well-formed scd2
+    * output audits clean by construction, so the fixture plants every
+    * violation class: version ≡ 3 (mod 7) extends valid_to by an hour
+    * (OVERLAP with the successor), version ≡ 7 (mod 13) shaves one
+    * microsecond (GAP), version ≡ 5 (mod 11) nulls valid_to (an OPEN
+    * row that is not last). The when-chain order is the contract and is
+    * mirrored as the oracle's CASE chain; nulls propagate identically
+    * (the last version's null valid_to stays null through the +1h arm).
+    * This is the gate a point-in-time join (q238) should demand of its
+    * dimension before trusting it. */
+  private val q269 = Q(
+    "q269_temporal_audit",
+    (s, dir) => {
+      val hist = Snapshot.scd2(Lake(s, dir).events,
+          "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"), col("version"),
+          unix_micros(col("valid_from")).as("f_us"),
+          unix_micros(col("valid_to")).as("t_us"))
+      val corrupted = hist.withColumn("t_us",
+        when(col("version") % 7 === 3, col("t_us") + 3600000000L)
+          .when(col("version") % 13 === 7, col("t_us") - 1L)
+          .when(col("version") % 11 === 5, lit(null).cast("long"))
+          .otherwise(col("t_us")))
+      Snapshot.temporalAudit(corrupted, "user_id", "f_us", "t_us")
+    },
+    Some("""
+      WITH m AS (SELECT user_id, ts, event_id, event_type,
+          row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS rn,
+          lag(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events),
+      c AS (SELECT *, CASE WHEN rn = 1
+                             OR prev IS DISTINCT FROM event_type
+                           THEN 1 ELSE 0 END AS chg FROM m),
+      i AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+            FROM c),
+      r AS (SELECT user_id, version, MIN(ts) AS valid_from
+            FROM i GROUP BY user_id, version),
+      f AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+              ORDER BY version) AS valid_to FROM r),
+      b AS (SELECT user_id, version, epoch_us(valid_from) AS f_us,
+              epoch_us(valid_to) AS t_us FROM f),
+      x AS (SELECT user_id, f_us,
+              CASE WHEN version % 7 = 3 THEN t_us + 3600000000
+                   WHEN version % 13 = 7 THEN t_us - 1
+                   WHEN version % 11 = 5 THEN NULL
+                   ELSE t_us END AS t_us
+            FROM b),
+      l AS (SELECT user_id, f_us, t_us,
+              lag(t_us) OVER (PARTITION BY user_id ORDER BY f_us) AS pt,
+              lead(f_us) OVER (PARTITION BY user_id ORDER BY f_us)
+                IS NOT NULL AS has_next
+            FROM x)
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN pt IS NOT NULL AND f_us < pt THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_overlap,
+        CAST(SUM(CASE WHEN pt IS NOT NULL AND f_us > pt THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_gap,
+        CAST(SUM(CASE WHEN t_us IS NULL AND has_next THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_open_not_last
+      FROM l""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
-    q176, q179, q180, q181, q183, q186, q198, q199, q205, q238)
+    q176, q179, q180, q181, q183, q186, q198, q199, q205, q238, q269)
 }

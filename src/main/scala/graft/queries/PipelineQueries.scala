@@ -5675,6 +5675,48 @@ object PipelineQueries {
     )
   }
 
+  // --------------------------------------------------------------- q268
+  /** Cross-source duplication matrix — WHO copies WHOM, the
+    * provenance-level complement of q30's instance dedup and q184's
+    * vocabulary overlap: duplicate-PREFIX pairs (same md5 over the first
+    * 50 chars — template headers and shared boilerplate openings, the
+    * duplication mode that survives light editing) rolled up per
+    * unordered source pair, with the cross-source count split out. High
+    * n_cross between two crawls means the same upstream site was
+    * ingested twice under different source labels — the mix-planning
+    * input q60 cannot see from per-source stats alone. One md5-key
+    * shuffle; within-class pair fan-out is duplicate-class-bounded,
+    * never all-pairs. */
+  private val q268 = Q(
+    "q268_cross_source_dupes",
+    (s, dir) => {
+      val d = Lake(s, dir).documents
+        .select(col("doc_id"), col("source"),
+          md5(substring(col("text"), 1, 50)).as("h"))
+      val a = d.toDF("id_a", "src_a", "h")
+      val b = d.toDF("id_b", "src_b", "h")
+      a.join(b, Seq("h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("src_a") =!= col("src_b"), 1L).otherwise(0L))
+            .as("n_cross"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, md5(substr(text, 1, 50)) AS h
+                 FROM documents)
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b,
+             COUNT(*) AS n_pairs,
+             CAST(SUM(CASE WHEN a.source <> b.source THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cross
+      FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      ORDER BY source_a, source_b""")
+  )
+
   // --------------------------------------------------------------- q251
   /** Retrieval evaluation over the label ground truth: each query's
     * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
@@ -5748,5 +5790,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265)
+    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268)
 }
