@@ -321,5 +321,59 @@ object SeriesQueries {
       WHERE rn = (n_pairs + 1) // 2""")
   )
 
-  val all: Seq[Q] = Seq(q221, q222, q223, q248, q249, q250, q260)
+  // --------------------------------------------------------------- q270
+  /** Hampel filter — q249's rolling median armed as an outlier detector:
+    * a day is flagged when its deviation from the trailing 7-day median
+    * exceeds 3× the window's median absolute deviation. Everything is
+    * exact integers (the MAD of seven cent values is element 4 of the
+    * sorted absolute deviations) and the 3σ-equivalent test multiplies
+    * through — |x − med| > 3·mad as a long comparison, no float, no
+    * interpolation. This is the standard robust time-series cleaner: a
+    * sigma rule (q186) moves its own threshold when the outlier lands in
+    * the window; the median/MAD pair does not. Calendar-bounded frame,
+    * one groupBy(day) shuffle, one ordered window. */
+  private val q270 = Q(
+    "q270_hampel_filter",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Lake(s, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy("day").rowsBetween(-6, 0)
+      daily
+        .withColumn("win", collect_list(col("cents")).over(w))
+        .filter(size(col("win")) === 7)
+        .withColumn("med7", element_at(array_sort(col("win")), 4))
+        .withColumn("mad7", element_at(
+          array_sort(transform(col("win"), v => abs(v - col("med7")))), 4))
+        .filter(abs(col("cents") - col("med7")) > col("mad7") * 3)
+        .select(date_format(col("day"), "yyyyMMdd").as("day"),
+          col("cents"), col("med7"), col("mad7"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      win AS (
+        SELECT day, cents,
+               list(cents) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w
+        FROM daily),
+      med AS (
+        SELECT day, cents, list_sort(w)[4] AS med7, w
+        FROM win WHERE len(w) = 7),
+      mad AS (
+        SELECT day, cents, med7,
+               list_sort(list_transform(w, v -> abs(v - med7)))[4] AS mad7
+        FROM med)
+      SELECT strftime(day, '%Y%m%d') AS day, cents, med7, mad7
+      FROM mad
+      WHERE abs(cents - med7) > mad7 * 3
+      ORDER BY day""")
+  )
+
+  val all: Seq[Q] = Seq(q221, q222, q223, q248, q249, q250, q260, q270)
 }
