@@ -1044,6 +1044,57 @@ object WebGraph {
       .groupBy("host").agg(count(lit(1)).as("core_degree"))
   }
 
+  /** k-truss decomposition — [[kCore]]'s cohesion test upgraded from
+    * degree to TRIANGLE support: an edge survives the k-truss iff it
+    * closes at least k−2 triangles among surviving edges. Where k-core
+    * keeps any well-connected node (a star hub passes trivially), the
+    * truss demands mutual neighborhoods — the tightest standard
+    * definition of a community core short of cliques, and the
+    * link-farm shape (dense mutual rings) that degree screens miss.
+    * Same peel loop discipline as [[kCore]] (per-round localCheckpoint,
+    * scalar-only driver traffic, loud non-convergence); each round
+    * recounts support with the [[triangles]]-style wedge join on the
+    * CANONICAL (a<b) edge list — candidates only, never all pairs —
+    * then semi-joins the survivors. Returns the fixpoint edges with
+    * their final support, the per-edge community-strength score.
+    * Gated by q271 against fully unrolled MATERIALIZED peel rounds. */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 3, s"k must be >= 3: $k")
+    def support(und: DataFrame): DataFrame = {
+      val e1 = und.select(col("a").as("x"), col("b").as("y"))
+      val e2 = und.select(col("a").as("x"), col("b").as("z"))
+      val e3 = und.select(col("a").as("y"), col("b").as("z"))
+      val tri = e1.join(e2, Seq("x")).filter(col("y") < col("z"))
+        .join(e3, Seq("y", "z"))
+      tri.select(col("x").as("a"), col("y").as("b"))
+        .union(tri.select(col("x").as("a"), col("z").as("b")))
+        .union(tri.select(col("y").as("a"), col("z").as("b")))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+    }
+    var und = edges
+      .select(col("src_host").cast("string").as("s"),
+        col("dst_host").cast("string").as("d"))
+      .filter(col("s") =!= "" && col("d") =!= "" && col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var pruned = 1L
+    var rounds = 0
+    while (pruned > 0 && rounds < maxIter) {
+      val next = und.join(
+          support(und).filter(col("sup") >= k - 2).select("a", "b"),
+          Seq("a", "b"), "left_semi")
+        .localCheckpoint()
+      pruned = und.count() - next.count()
+      und = next
+      rounds += 1
+    }
+    require(pruned == 0,
+      s"kTruss did not converge in $maxIter rounds (peel depth exceeded)")
+    und.join(support(und), Seq("a", "b"))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "(?i)^(https?)://", 1))
     val host = hostOf(url)

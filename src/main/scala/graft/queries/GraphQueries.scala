@@ -714,6 +714,82 @@ object GraphQueries {
       FROM m""")
   )
 
+  // --------------------------------------------------------------- q271
+  /** 4-truss decomposition ([[graft.ops.WebGraph.kTruss]]) on a
+    * three-family fixture (i → 3i+1, 2i+3, i+1 per cluster) built so the
+    * peel genuinely CASCADES: initial supports are mixed {1,2,3},
+    * removing the support-1 edges drops some survivors below 2, and the
+    * fixpoint (support uniformly 2, 6 edges/cluster) arrives after two
+    * productive peels — a single-pass "filter by support" would return
+    * the wrong answer, which is exactly what the gate is for. The oracle
+    * unrolls three MATERIALIZED rounds of the wedge-join support count +
+    * peel and emits the fixpoint edges with final supports. */
+  private val q271 = Q(
+    "q271_host_ktruss",
+    (s, dir) => {
+      val d = Lake(s, dir).documents
+      def host(expr: org.apache.spark.sql.Column) =
+        concat(lit("c"), pmod(col("doc_id"), lit(5)), lit("h"), expr)
+      val fams = Seq(
+        pmod(col("doc_id") * 3 + 1, lit(7)),
+        pmod(col("doc_id") * 2 + 3, lit(7)),
+        pmod(col("doc_id") + 1, lit(7)))
+      val edges = fams.map(f =>
+          d.select(host(pmod(col("doc_id"), lit(7))).as("src_host"),
+            host(f).as("dst_host")))
+        .reduce(_.union(_))
+      WebGraph.kTruss(edges, k = 4)
+        .select(col("a"), col("b"), col("sup"))
+        .orderBy("a", "b")
+    },
+    Some {
+      val gen = """
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR) AS s,
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS d
+        FROM documents
+        UNION ALL
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR),
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 2 + 3) % 7 AS VARCHAR)
+        FROM documents
+        UNION ALL
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR),
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id + 1) % 7 AS VARCHAR)
+        FROM documents"""
+      def round(r: Int): String = s"""
+      tri$r AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e$r e1 JOIN e$r e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN e$r e3 ON e3.a = e1.b AND e3.b = e2.b),
+      sup$r AS MATERIALIZED (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+          SELECT x AS a, y AS b FROM tri$r
+          UNION ALL SELECT x, z FROM tri$r
+          UNION ALL SELECT y, z FROM tri$r)
+        GROUP BY a, b),
+      e${r + 1} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e$r e
+        JOIN sup$r s ON e.a = s.a AND e.b = s.b
+        WHERE s.sup >= 2)"""
+      s"""
+      WITH raw AS ($gen),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        FROM raw WHERE s <> d),
+      ${round(0)},
+      ${round(1)},
+      ${round(2)}
+      SELECT a, b, sup FROM sup2
+      JOIN e3 USING (a, b)
+      ORDER BY a, b"""
+    }
+  )
+
   val all: Seq[Q] = Seq(q135, q136, q166, q219, q220, q227, q228, q252,
-    q254, q255, q258)
+    q254, q255, q258, q271)
 }

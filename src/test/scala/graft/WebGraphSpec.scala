@@ -547,6 +547,21 @@ class WebGraphSpec extends SparkTestBase {
     assert(out == Map("a" -> "a", "b" -> "b", "c" -> "c", "d" -> "d"))
   }
 
+  test("kTruss: the peel cascades — one support pass is not enough") {
+    // two triangles sharing edge B-C: supports are {BC: 2, others: 1}.
+    // k=4 needs support >= 2: the first peel keeps only B-C, whose
+    // support then drops to 0 — the truss is EMPTY, which a single
+    // "filter by initial support" pass would get wrong (it returns B-C).
+    val chain = Seq(("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"), ("B", "D"))
+      .toDF("src_host", "dst_host")
+    assert(WebGraph.kTruss(chain, k = 4).count() == 0)
+    // k=3 (support >= 1) keeps both triangles intact, with B-C at 2
+    val t3 = WebGraph.kTruss(chain, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(t3 == Map(("A", "B") -> 1L, ("B", "C") -> 2L, ("A", "C") -> 1L,
+      ("C", "D") -> 1L, ("B", "D") -> 1L))
+  }
+
   test("rankAndTrust: the fused loop equals separate hostRank/trustRank bit-for-bit") {
     val edges = Seq(("s", "a"), ("a", "b"), ("b", "a"), ("s", "b"),
       ("f1", "f2"), ("f2", "f1"), ("b", "f1"), ("a", "s"))
