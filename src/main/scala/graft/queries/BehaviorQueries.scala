@@ -899,6 +899,64 @@ object BehaviorQueries {
       FROM l""")
   )
 
+  // --------------------------------------------------------------- q272
+  /** Cohort LTV curves — the acquisition-economics readout q101's
+    * retention (who comes back) and q199's growth (how many arrive) do
+    * not give: per FIRST-ORDER-month cohort, cumulative revenue through
+    * each month offset, plus how many of the cohort were active in that
+    * offset. Month arithmetic is exact integer (year·12 + month index —
+    * no date intervals, no month-length edge cases), money is exact
+    * cents, and the curve is one running sum over the
+    * (cohort, offset)-grouped frame. Two shuffles: first-order per
+    * customer, then the cohort/offset rollup whose partitioning the
+    * cumulative window reuses. */
+  private val q272 = Q(
+    "q272_cohort_ltv",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Lake(s, dir).orders.select(
+        col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("idx"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val f = o.groupBy("o_custkey").agg(min(col("idx")).as("fidx"))
+      val g = o.join(f, "o_custkey")
+        .groupBy(col("fidx"), (col("idx") - col("fidx")).as("month_offset"))
+        .agg(sum(col("cents")).as("cents"),
+          countDistinct(col("o_custkey")).as("active_customers"))
+      val c = f.groupBy("fidx").agg(count(lit(1)).as("cohort_customers"))
+      val w = Window.partitionBy("fidx").orderBy("month_offset")
+      g.join(broadcast(c), "fidx")
+        .withColumn("cum_cents", sum(col("cents")).over(w))
+        .select(
+          concat(expr("fidx div 12").cast("string"),
+            lpad((col("fidx") % 12 + 1).cast("string"), 2, "0")).as("cohort"),
+          col("month_offset"), col("cohort_customers"),
+          col("active_customers"), col("cum_cents"))
+        .orderBy("cohort", "month_offset")
+    },
+    Some("""
+      WITH o AS (SELECT o_custkey,
+              CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                AS BIGINT) AS idx,
+              CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+            FROM orders),
+      f AS (SELECT o_custkey, MIN(idx) AS fidx FROM o GROUP BY 1),
+      g AS (SELECT f.fidx, o.idx - f.fidx AS month_offset,
+              CAST(SUM(o.cents) AS BIGINT) AS cents,
+              COUNT(DISTINCT o.o_custkey) AS active_customers
+            FROM o JOIN f USING (o_custkey)
+            GROUP BY 1, 2),
+      c AS (SELECT fidx, COUNT(*) AS cohort_customers FROM f GROUP BY 1)
+      SELECT CAST(g.fidx // 12 AS VARCHAR)
+               || lpad(CAST(g.fidx % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
+             g.month_offset, c.cohort_customers, g.active_customers,
+             CAST(SUM(g.cents) OVER (PARTITION BY g.fidx
+               ORDER BY g.month_offset) AS BIGINT) AS cum_cents
+      FROM g JOIN c USING (fidx)
+      ORDER BY cohort, month_offset""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
-    q176, q179, q180, q181, q183, q186, q198, q199, q205, q238, q269)
+    q176, q179, q180, q181, q183, q186, q198, q199, q205, q238, q269, q272)
 }
