@@ -1957,6 +1957,71 @@ object PipelineQueries {
     )
   }
 
+  // --------------------------------------------------------------- q273
+  /** Crawl-budget apportionment — turning q83's rank into an actionable
+    * integer fetch plan: 10,000 fetches split across hosts PROPORTIONAL
+    * to their PageRank by the largest-remainder (Hamilton) method. Floor
+    * quotas first, then the leftover fetches go to the largest
+    * remainders (host tiebreak) — the budgets sum to EXACTLY the budget
+    * (floats would drift; the gate would catch a single lost fetch) and
+    * every step is long arithmetic: quota = rank·B, base = quota div R,
+    * remainder rank via one window. This is the standard apportionment
+    * algorithm (parliamentary seats, shard quotas, crawl budgets); the
+    * oracle replays the full rank chain and the same remainder ranking. */
+  private val q273 = {
+    val unit = 1000000000000L
+    val iters = 5
+    val budget = 10000L
+    val step = pagerankStepSql _
+    Q(
+      "q273_crawl_budget",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pages = linkPagesSpark(s, dir)
+        val edges = WebGraph.hostEdges(pages, col("src_host"), col("html"))
+        val ranks = WebGraph.hostRank(edges, iterations = iters, unit = unit)
+        val tot = ranks.agg(sum(col("rank_units")).as("rtot"))
+        val q = ranks.crossJoin(broadcast(tot))
+          .withColumn("quota", col("rank_units") * budget)
+          .withColumn("base", expr("quota div rtot"))
+          .withColumn("rem", col("quota") % col("rtot"))
+        val leftover = q.agg((lit(budget) - sum(col("base"))).as("leftover"))
+        val w = Window.orderBy(col("rem").desc, col("host"))
+        q.withColumn("rn", row_number().over(w).cast("long"))
+          .crossJoin(broadcast(leftover))
+          .select(col("host"), col("rank_units"),
+            (col("base") +
+              when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+              .as("budget"))
+          .orderBy("host")
+      },
+      Some(s"""
+      WITH $linkHostsSql,
+      eall AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lhosts
+               WHERE dst_host <> ''),
+      e AS (SELECT * FROM eall WHERE src <> dst),
+      h AS (SELECT src AS host FROM eall UNION SELECT dst FROM eall),
+      p AS (SELECT CAST($unit // COUNT(*) AS BIGINT) AS base FROM h),
+      outd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+      r0 AS (SELECT host, base AS rank FROM h CROSS JOIN p),
+      ${(1 to iters).map(step).mkString(",")},
+      rk AS (SELECT host, CAST(rank AS BIGINT) AS rank_units FROM r$iters),
+      t AS (SELECT CAST(SUM(rank_units) AS BIGINT) AS rtot FROM rk),
+      qq AS (SELECT host, rank_units,
+               (rank_units * $budget) // rtot AS base,
+               (rank_units * $budget) % rtot AS rem
+             FROM rk CROSS JOIN t),
+      lo AS (SELECT $budget - CAST(SUM(base) AS BIGINT) AS leftover FROM qq),
+      rn AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rn
+             FROM qq)
+      SELECT host, rank_units,
+             CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+               AS BIGINT) AS budget
+      FROM rn CROSS JOIN lo
+      ORDER BY host""")
+    )
+  }
+
   // ---------------------------------------------------------------- q84
   /** URL canonicalization — the identity under which a crawl dedups
     * fetches: scheme/host case, default ports, fragments, and tracking
@@ -5790,5 +5855,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268)
+    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268, q273)
 }
