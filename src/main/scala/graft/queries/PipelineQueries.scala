@@ -5782,6 +5782,38 @@ object PipelineQueries {
       ORDER BY source_a, source_b""")
   )
 
+  // --------------------------------------------------------------- q274
+  /** Duplication-aware loss weights — SOFT dedup: instead of dropping
+    * near-duplicates (q30/q120), keep every copy but downweight it by
+    * 1/class-size, so the training loss sees each content class with
+    * total weight 1 no matter how many times the crawl caught it. The
+    * published middle ground between "dedup destroys diversity" and
+    * "duplicates dominate the gradient". Classes are q268's boilerplate-
+    * prefix fingerprint; weights are exact integer ppm (10⁶ div n — no
+    * float, and Σ weights per class reconstructs to ≤ 10⁶ with the
+    * div-truncation stated identically in both engines). One md5-key
+    * window pass. */
+  private val q274 = Q(
+    "q274_dedup_loss_weights",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Lake(s, dir).documents
+        .select(col("doc_id"), md5(substring(col("text"), 1, 50)).as("h"))
+        .withColumn("class_size",
+          count(lit(1)).over(Window.partitionBy("h")))
+        .select(col("doc_id"), col("class_size"),
+          expr("1000000 div class_size").as("weight_ppm"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, class_size, 1000000 // class_size AS weight_ppm
+      FROM (SELECT doc_id,
+              COUNT(*) OVER (PARTITION BY md5(substr(text, 1, 50)))
+                AS class_size
+            FROM documents)
+      ORDER BY doc_id""")
+  )
+
   // --------------------------------------------------------------- q251
   /** Retrieval evaluation over the label ground truth: each query's
     * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
@@ -5855,5 +5887,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268, q273)
+    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268, q273, q274)
 }
