@@ -320,6 +320,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(hamming >= 1 && hamming <= 4, s"one flipped corner pixel ≈ 1 grid cell, got $hamming")
   }
 
+  test("imageWHash: resolution-invariant, non-BMP dropped, DC bit reflects brightness") {
+    import Multimodal.{DecodedImage, encodeBmp}
+    def flat(w: Int, h: Int, v: Int): DecodedImage = {
+      val rgb = Array.fill((w * h * 3))(v.toByte)
+      DecodedImage(w, h, rgb)
+    }
+    def gradient(w: Int, h: Int): DecodedImage = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (x < w / 2) 200 else 20
+        val i = (y * w + x) * 3
+        rgb(i) = v.toByte; rgb(i + 1) = v.toByte; rgb(i + 2) = v.toByte
+      }
+      DecodedImage(w, h, rgb)
+    }
+    val df = Seq(
+      (1L, encodeBmp(gradient(16, 16))),
+      (2L, encodeBmp(gradient(24, 24))),   // same content, other resolution
+      (3L, encodeBmp(flat(8, 8, 100))),    // flat bright: only DC positive
+      (4L, "not an image".getBytes)).toDF("doc_id", "media")
+    val hashes = Multimodal.imageWHash(df, "doc_id", "media")
+      .collect().map(a => a.doc_id -> a.whash).toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L))
+    assert(hashes(1L) == hashes(2L), "same content, different resolution")
+    // flat image: every non-DC Hadamard coefficient is exactly 0 (not >0)
+    assert(hashes(3L).head == '1' && hashes(3L).tail.forall(_ == '0'),
+      s"flat image must be DC-only: ${hashes(3L)}")
+    // the left/right step excites x-frequency coefficients beyond DC
+    assert(hashes(1L).count(_ == '1') > 1)
+  }
+
   test("pcmStats: exact integer stats from a real PCM payload; non-PCM rejected") {
     val samples = Array[Short](0, 100, -200, 300, -1024, 1023)
     val df = Seq(

@@ -147,6 +147,28 @@ class OpsSpec extends SparkTestBase {
     assert(out.size == 5) // every left row survives (left-join semantics)
   }
 
+  test("Joins.asofJoinForward: epoch-long ts columns work (typed null sentinel)") {
+    val left = Seq((1L, 7L, 1000L), (2L, 7L, 3000L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, 2000L, "gold")).toDF("user_id", "ts", "tier")
+    val out = Joins.asofJoinForward(left, right, Seq("user_id"), "ts", Seq("tier"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[String]("tier"))).toMap
+    // forward: the 1000 event sees the 2000 change; the 3000 event has
+    // nothing ahead of it
+    assert(out(1L).contains("gold") && out(2L).isEmpty)
+  }
+
+  test("Snapshot.temporalAudit: a well-formed SCD2 history audits clean") {
+    val rows = Seq(
+      ("u1", 0L, Some(10L)), ("u1", 10L, Some(20L)), ("u1", 20L, None),
+      ("u2", 5L, None)
+    ).map { case (k, f, t) => (k, f, t.map(java.lang.Long.valueOf).orNull) }
+      .toDF("k", "f", "t")
+    val r = graft.ops.Snapshot.temporalAudit(rows, "k", "f", "t").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 0L, 0L, 0L)))
+  }
+
   test("Joins.asofJoin: epoch-long ts columns work (no hardcoded timestamp cast)") {
     // event tables commonly carry bigint epoch millis; the null __rts
     // sentinel must take the RIGHT side's ts type, not assume timestamp
