@@ -5814,6 +5814,62 @@ object PipelineQueries {
       ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q275
+  /** Cross-source quantile normalization — mapping each document's
+    * length onto the POOLED length distribution by rank: a doc at the
+    * p-th within-source quantile gets the pooled distribution's p-th
+    * value. The standard distribution-alignment transform (features
+    * from heterogeneous sources become comparable without touching
+    * their order) and the continuous complement of q204's equalization
+    * SAMPLING (which drops rows; this rewrites values). All discrete
+    * and exact: within-source rank r of m maps to pooled index
+    * ⌈r·N/m⌉ = (r·N + m − 1) div m over the (value, doc_id)-ordered
+    * pooled frame — no interpolation, every output value is a real
+    * observed value. The pooled rank is the q178 global-order shape; at
+    * 100 TB it swaps for repartitionByRange + per-partition offsets
+    * (the sortedWrite discipline) with identical semantics. */
+  private val q275 = Q(
+    "q275_quantile_normalization",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Lake(s, dir).documents.select(
+        col("doc_id"), col("source"), col("n_chars"))
+      val withinW = Window.partitionBy("source")
+        .orderBy(col("n_chars"), col("doc_id"))
+      val sizeW = Window.partitionBy("source")
+      val pooledW = Window.orderBy(col("n_chars"), col("doc_id"))
+      val tot = d.agg(count(lit(1)).as("n_total"))
+      val ranked = d
+        .withColumn("r", row_number().over(withinW).cast("long"))
+        .withColumn("m", count(lit(1)).over(sizeW))
+        .crossJoin(broadcast(tot))
+        .withColumn("idx", expr("(r * n_total + m - 1) div m"))
+      val pooled = d
+        .withColumn("rn", row_number().over(pooledW).cast("long"))
+        .select(col("rn"), col("n_chars").as("norm_chars"))
+      ranked.join(pooled, col("idx") === col("rn"))
+        .select("doc_id", "source", "n_chars", "norm_chars")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      tot AS (SELECT COUNT(*) AS n_total FROM d),
+      ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id) AS r,
+               COUNT(*) OVER (PARTITION BY source) AS m
+        FROM d),
+      pooled AS (
+        SELECT n_chars AS norm_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM d)
+      SELECT ranked.doc_id, ranked.source, ranked.n_chars, pooled.norm_chars
+      FROM ranked CROSS JOIN tot
+      JOIN pooled ON (r * n_total + m - 1) // m = rn
+      ORDER BY ranked.doc_id""")
+  )
+
   // --------------------------------------------------------------- q251
   /** Retrieval evaluation over the label ground truth: each query's
     * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
@@ -5887,5 +5943,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268, q273, q274)
+    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268, q273, q274, q275)
 }
