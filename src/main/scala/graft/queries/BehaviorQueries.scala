@@ -957,6 +957,64 @@ object BehaviorQueries {
       ORDER BY cohort, month_offset""")
   )
 
+  // --------------------------------------------------------------- q276
+  /** Cohort retention half-life — q272's curve collapsed to the single
+    * number an acquisition dashboard tracks: the first month offset
+    * (> 0) where fewer than half the cohort is still active, tested as
+    * the pure integer inequality 2·active < cohort (no ratio, no
+    * float). Cohorts that never decay below half within the observed
+    * window report NULL — "not yet measurable" is a different answer
+    * than a number, and the gate pins that distinction. A conditional
+    * MIN over the (cohort, offset) frame — no new shuffle beyond
+    * q272's rollup. */
+  private val q276 = Q(
+    "q276_retention_half_life",
+    (s, dir) => {
+      val o = Lake(s, dir).orders.select(
+        col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("idx"))
+      val f = o.groupBy("o_custkey").agg(min(col("idx")).as("fidx"))
+      val g = o.join(f, "o_custkey")
+        .groupBy(col("fidx"), (col("idx") - col("fidx")).as("month_offset"))
+        .agg(countDistinct(col("o_custkey")).as("active"))
+      val c = f.groupBy("fidx").agg(count(lit(1)).as("cohort_customers"))
+      g.join(broadcast(c), "fidx")
+        .groupBy("fidx")
+        .agg(
+          first(col("cohort_customers")).as("cohort_customers"),
+          min(when(col("month_offset") > 0 &&
+            col("active") * 2 < col("cohort_customers"),
+            col("month_offset"))).as("half_life_months"))
+        .select(
+          concat(expr("fidx div 12").cast("string"),
+            lpad((col("fidx") % 12 + 1).cast("string"), 2, "0")).as("cohort"),
+          col("cohort_customers"), col("half_life_months"))
+        .orderBy("cohort")
+    },
+    Some("""
+      WITH o AS (SELECT o_custkey,
+              CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                AS BIGINT) AS idx
+            FROM orders),
+      f AS (SELECT o_custkey, MIN(idx) AS fidx FROM o GROUP BY 1),
+      g AS (SELECT f.fidx, o.idx - f.fidx AS month_offset,
+              COUNT(DISTINCT o.o_custkey) AS active
+            FROM o JOIN f USING (o_custkey)
+            GROUP BY 1, 2),
+      c AS (SELECT fidx, COUNT(*) AS cohort_customers FROM f GROUP BY 1)
+      SELECT CAST(g.fidx // 12 AS VARCHAR)
+               || lpad(CAST(g.fidx % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
+             c.cohort_customers,
+             MIN(CASE WHEN g.month_offset > 0
+                       AND g.active * 2 < c.cohort_customers
+                      THEN g.month_offset END) AS half_life_months
+      FROM g JOIN c USING (fidx)
+      GROUP BY g.fidx, c.cohort_customers
+      ORDER BY cohort""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
-    q176, q179, q180, q181, q183, q186, q198, q199, q205, q238, q269, q272)
+    q176, q179, q180, q181, q183, q186, q198, q199, q205, q238, q269, q272,
+    q276)
 }
