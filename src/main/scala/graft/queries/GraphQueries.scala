@@ -790,6 +790,75 @@ object GraphQueries {
     }
   )
 
+  // --------------------------------------------------------------- q277
+  /** Rich-club coefficient — do the high-degree hosts link to EACH
+    * OTHER? φ(k) = edges among degree-≥k nodes / (n_rich choose 2), the
+    * club-formation signal that complements q258's assortativity (a
+    * correlation over all edges) with a subgraph density at the top of
+    * the degree distribution. Everything is exact integers — edge and
+    * node counts, the possible-pairs denominator n(n−1)/2 — and φ is
+    * one double division at the end. Two aggregates + two semi-joins;
+    * the club subgraph is degree-filtered before any pairing. */
+  private val q277 = Q(
+    "q277_rich_club",
+    (s, dir) => {
+      val und = triangleEdges(s, dir)
+        .select(col("src_host").as("s"), col("dst_host").as("d"))
+        .filter(col("s") =!= col("d"))
+        .select(least(col("s"), col("d")).as("a"),
+          greatest(col("s"), col("d")).as("b"))
+        .distinct()
+      val deg = und.select(col("a").as("host"))
+        .union(und.select(col("b").as("host")))
+        .groupBy("host").agg(count(lit(1)).as("degree"))
+      val rich = deg.filter(col("degree") >= 3).select("host")
+      val clubEdges = und
+        .join(rich.withColumnRenamed("host", "a"), Seq("a"), "left_semi")
+        .join(rich.withColumnRenamed("host", "b"), Seq("b"), "left_semi")
+        .agg(count(lit(1)).as("edges_among"))
+      val clubSize = rich.agg(count(lit(1)).as("n_rich"))
+      clubEdges.crossJoin(broadcast(clubSize))
+        .select(
+          lit(3L).as("degree_threshold"),
+          col("n_rich"), col("edges_among"),
+          (col("n_rich") * (col("n_rich") - 1) / 2).cast("long")
+            .as("possible"),
+          (col("edges_among").cast("double") /
+            ((col("n_rich") * (col("n_rich") - 1) / 2).cast("double")))
+            .as("phi"))
+    },
+    Some("""
+      WITH raw AS (
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR) AS s,
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS d
+        FROM documents
+        UNION ALL
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR),
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 2 + 3) % 7 AS VARCHAR)
+        FROM documents),
+      und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM raw WHERE s <> d),
+      deg AS (SELECT host, COUNT(*) AS degree FROM (
+                SELECT a AS host FROM und
+                UNION ALL SELECT b FROM und)
+              GROUP BY host),
+      rich AS (SELECT host FROM deg WHERE degree >= 3),
+      ce AS (SELECT CAST(COUNT(*) AS BIGINT) AS edges_among
+             FROM und
+             WHERE a IN (SELECT host FROM rich)
+               AND b IN (SELECT host FROM rich)),
+      cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rich FROM rich)
+      SELECT CAST(3 AS BIGINT) AS degree_threshold, n_rich, edges_among,
+             CAST(n_rich * (n_rich - 1) / 2 AS BIGINT) AS possible,
+             CAST(edges_among AS DOUBLE)
+               / CAST(n_rich * (n_rich - 1) / 2 AS DOUBLE) AS phi
+      FROM ce CROSS JOIN cs""")
+  )
+
   val all: Seq[Q] = Seq(q135, q136, q166, q219, q220, q227, q228, q252,
-    q254, q255, q258, q271)
+    q254, q255, q258, q271, q277)
 }
