@@ -947,6 +947,47 @@ object RelationalQueries {
       ORDER BY event_id""")
   )
 
+  // --------------------------------------------------------------- q279
+  /** Bounded-staleness as-of — q63 with a freshness SLA: a status match
+    * older than one hour at event time is WORSE than no match (serving
+    * year-old tier data as "current" is the classic as-of footgun), so
+    * stale matches null out, exactly like rows before a key's first
+    * change. The staleness test is exact micros arithmetic applied
+    * AFTER the one-shuffle as-of scan — the plan is q63's plus one
+    * projected conditional; no second pass, no join change. The oracle
+    * applies the identical CASE over DuckDB's native ASOF. */
+  private val q279 = Q(
+    "q279_asof_bounded",
+    (s, dir) => {
+      val events = Lake(s, dir).events
+      val changes = events.filter(col("event_id") % 50 === 0)
+        .select(col("user_id"), col("ts"), col("value").as("status_value"))
+      val facts = events.filter(col("event_id") % 50 =!= 0)
+      val hourUs = 3600000000L
+      val joined = Joins.asofJoin(facts, changes, Seq("user_id"), "ts",
+        Seq("status_value"))
+      val fresh = unix_micros(col("ts")) - unix_micros(col("__matched_ts")) <=
+        hourUs
+      joined.select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("event_ts_us"),
+          when(fresh, unix_micros(col("__matched_ts"))).as("status_ts_us"),
+          when(fresh, col("status_value")).as("status_value"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH r AS (SELECT user_id, ts, value AS status_value FROM events
+                 WHERE event_id % 50 = 0),
+           l AS (SELECT * FROM events WHERE event_id % 50 <> 0)
+      SELECT l.event_id, l.user_id, epoch_us(l.ts) AS event_ts_us,
+             CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+                  THEN epoch_us(r.ts) END AS status_ts_us,
+             CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+                  THEN r.status_value END AS status_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY event_id""")
+  )
+
   // ---------------------------------------------------------------- q64
   /** RANGE (interval) join: every 100th event opens a 30-minute window;
     * each event matches every window containing its timestamp. The Spark
@@ -1491,5 +1532,5 @@ object RelationalQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q46, q47, q48, q52, q63, q64, q78, q191, q192, q193, q194, q195,
-    q196, q197, q201, q202, q203, q212, q213, q214, q259)
+    q196, q197, q201, q202, q203, q212, q213, q214, q259, q279)
 }
