@@ -55,6 +55,70 @@ object BehaviorQueries {
       GROUP BY step, step_name ORDER BY step""")
   )
 
+  // --------------------------------------------------------------- q278
+  /** Per-step-window funnel — q99's sibling with the OTHER windowing
+    * semantics product analytics offers: each step must land within one
+    * day of the PREVIOUS step (a slow-burn user who clicks on day 6 and
+    * buys on day 7 converts here but not under a tight total budget;
+    * a user who does everything in the last hour converts under both).
+    * Same one-window-per-step min-fold plan as q99 — the only change is
+    * which timestamp anchors each step's deadline, which is exactly
+    * what the gate pins. */
+  private val q278 = Q(
+    "q278_funnel_step_windows",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 86400000000L
+      val w = Window.partitionBy("user_id")
+      val s0 = Lake(s, dir).events
+        .withColumn("t0",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+      val s1 = s0.withColumn("t1",
+        min(when(col("event_type") === "click" && col("ts") > col("t0") &&
+          unix_micros(col("ts")) <= unix_micros(col("t0")) + dayUs,
+          col("ts"))).over(w))
+      val s2 = s1.withColumn("t2",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t1") &&
+          unix_micros(col("ts")) <= unix_micros(col("t1")) + dayUs,
+          col("ts"))).over(w))
+      val u = s2.groupBy("user_id")
+        .agg(max(col("t0")).as("t0"), max(col("t1")).as("t1"),
+          max(col("t2")).as("t2"))
+      u.select(expr(
+          """stack(3,
+             0L, 'view', CASE WHEN t0 IS NOT NULL THEN 1L ELSE 0L END,
+             1L, 'click', CASE WHEN t1 IS NOT NULL THEN 1L ELSE 0L END,
+             2L, 'purchase', CASE WHEN t2 IS NOT NULL THEN 1L ELSE 0L END)
+             AS (step, step_name, reached)"""))
+        .groupBy("step", "step_name")
+        .agg(sum(col("reached")).as("n_users"))
+        .orderBy("step")
+    },
+    Some("""
+      WITH s0 AS (SELECT user_id, ts, event_type,
+          MIN(CASE WHEN event_type = 'view' THEN ts END)
+            OVER (PARTITION BY user_id) AS t0
+        FROM events),
+      s1 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0
+            AND epoch_us(ts) <= epoch_us(t0) + 86400000000 THEN ts END)
+          OVER (PARTITION BY user_id) AS t1 FROM s0),
+      s2 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1
+            AND epoch_us(ts) <= epoch_us(t1) + 86400000000 THEN ts END)
+          OVER (PARTITION BY user_id) AS t2 FROM s1),
+      u AS (SELECT user_id, MAX(t0) AS t0, MAX(t1) AS t1, MAX(t2) AS t2
+            FROM s2 GROUP BY user_id),
+      steps(step, step_name) AS (VALUES (0, 'view'), (1, 'click'),
+                                        (2, 'purchase'))
+      SELECT CAST(step AS BIGINT) AS step, step_name,
+        CAST(SUM(CASE step
+          WHEN 0 THEN CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END
+          WHEN 1 THEN CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+          ELSE CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END END) AS BIGINT)
+          AS n_users
+      FROM u CROSS JOIN steps
+      GROUP BY step, step_name ORDER BY step""")
+  )
+
   // --------------------------------------------------------------- q100
   /** First-order Markov transition matrix of user journeys
     * ([[graft.ops.Behavior.transitions]]): lag over the per-user
@@ -1016,5 +1080,5 @@ object BehaviorQueries {
 
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
     q176, q179, q180, q181, q183, q186, q198, q199, q205, q238, q269, q272,
-    q276)
+    q276, q278)
 }
