@@ -593,6 +593,61 @@ object ScaleQueries {
       LIMIT 20""")
   )
 
+  // --------------------------------------------------------------- q280
+  /** Spearman rank correlation between quantity and price — q154's
+    * Pearson answers "linear?", this answers "monotone?", and it is the
+    * robust choice when either margin is heavy-tailed (ranks cannot be
+    * dragged by one outlier). Ranks are UNIQUE by the deterministic
+    * (value, orderkey, linenumber) tiebreak — stated identically in both
+    * engines, so there are no tie-averaged fractional ranks and the
+    * textbook identity ρ = 1 − 6·Σd²/(n·(n²−1)) applies exactly: Σd² is
+    * an exact long (HUGEINT-guarded in the oracle), n·(n²−1) an exact
+    * long, and ρ one mirrored double expression. The global rank windows
+    * are the q275 shape (repartitionByRange + offsets at 100 TB). */
+  private val q280 = Q(
+    "q280_spearman_corr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = Lake(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100.0d, 0).cast("long").as("y"))
+      val wx = Window.orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+      val wy = Window.orderBy(col("y"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = v
+        .withColumn("rx", row_number().over(wx).cast("long"))
+        .withColumn("ry", row_number().over(wy).cast("long"))
+      ranked.agg(
+          count(lit(1)).as("n"),
+          sum(((col("rx") - col("ry")) * (col("rx") - col("ry")))
+            .cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_d2"))
+        .select(col("n"), col("sum_d2").cast("long").as("sum_d2"),
+          (lit(1.0) - (lit(6.0) * col("sum_d2").cast("long").cast("double")) /
+            (col("n") * (col("n") * col("n") - 1)).cast("double"))
+            .as("rho"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS y
+        FROM lineitem),
+      ranked AS (
+        SELECT row_number() OVER (ORDER BY x, l_orderkey, l_linenumber)
+                 AS rx,
+               row_number() OVER (ORDER BY y, l_orderkey, l_linenumber)
+                 AS ry
+        FROM v),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS BIGINT)
+                AS sum_d2
+            FROM ranked)
+      SELECT n, sum_d2,
+             1.0 - (6.0 * CAST(sum_d2 AS DOUBLE))
+               / CAST(n * (n * n - 1) AS DOUBLE) AS rho
+      FROM m""")
+  )
+
   val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173,
-    q177, q178, q206, q253, q266)
+    q177, q178, q206, q253, q266, q280)
 }
