@@ -5870,6 +5870,69 @@ object PipelineQueries {
       ORDER BY ranked.doc_id""")
   )
 
+  // --------------------------------------------------------------- q281
+  /** Term burstiness — the dispersion diagnostic behind better-than-tf
+    * term weighting: a word that arrives in BURSTS (VMR of its
+    * within-document position gaps ≫ 1) is topical; one spread evenly
+    * (VMR ≈ 1, Poisson-like) is functional. Computed for the five most
+    * frequent corpus words over the exact integer gap sequence
+    * (positions via posexplode, gaps via lag within doc), with the
+    * variance-to-mean ratio cleared of denominators:
+    * vmr = (n·Σg² − S²)/(n·S) — numerator and denominator exact longs,
+    * one double division. One tokenize pass, one (word, doc) window,
+    * one rollup. */
+  private val q281 = Q(
+    "q281_term_burstiness",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Lake(s, dir).documents
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "w")
+      val top = tok.groupBy("w").agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("w")).limit(5)
+      val gaps = tok.join(broadcast(top), "w")
+        .withColumn("gap",
+          (col("pos") - lag(col("pos"), 1).over(
+            Window.partitionBy("w", "doc_id").orderBy("pos"))).cast("long"))
+        .filter(col("gap").isNotNull)
+      gaps.groupBy("w")
+        .agg(
+          first(col("n_occ")).as("n_occ"),
+          count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("s"),
+          sum(col("gap") * col("gap")).as("ss"))
+        .select(col("w"), col("n_occ"), col("n_gaps"),
+          (col("n_gaps") * col("ss") - col("s") * col("s")).as("vmr_num"),
+          (col("n_gaps") * col("s")).as("vmr_den"))
+        .withColumn("vmr",
+          col("vmr_num").cast("double") / col("vmr_den").cast("double"))
+        .orderBy(col("n_occ").desc, col("w"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w FROM (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          unnest(generate_series(1, len(ws))) AS t(i)),
+      top AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_occ FROM tok
+              GROUP BY w ORDER BY n_occ DESC, w LIMIT 5),
+      gaps AS (
+        SELECT tok.w, CAST(pos - lag(pos) OVER (
+                 PARTITION BY tok.w, doc_id ORDER BY pos) AS BIGINT) AS gap
+        FROM tok JOIN top ON tok.w = top.w),
+      agg AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap) AS BIGINT) AS s,
+               CAST(SUM(gap * gap) AS BIGINT) AS ss
+        FROM gaps WHERE gap IS NOT NULL GROUP BY w)
+      SELECT a.w, t.n_occ, a.n_gaps,
+             a.n_gaps * a.ss - a.s * a.s AS vmr_num,
+             a.n_gaps * a.s AS vmr_den,
+             CAST(a.n_gaps * a.ss - a.s * a.s AS DOUBLE)
+               / CAST(a.n_gaps * a.s AS DOUBLE) AS vmr
+      FROM agg a JOIN top t ON a.w = t.w
+      ORDER BY t.n_occ DESC, a.w""")
+  )
+
   // --------------------------------------------------------------- q251
   /** Retrieval evaluation over the label ground truth: each query's
     * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
@@ -5943,5 +6006,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268, q273, q274, q275)
+    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268, q273, q274, q275, q281)
 }
