@@ -119,6 +119,42 @@ object BehaviorQueries {
       GROUP BY step, step_name ORDER BY step""")
   )
 
+  // --------------------------------------------------------------- q282
+  /** Churn-label generation — the supervised-learning complement of
+    * q276's aggregate half-life: every user active in the observation
+    * window (Jan 1–15) gets a label, churned = no activity in the
+    * outcome window (Jan 16–30). The population restriction is the
+    * point — scoring users who were never active leaks trivial
+    * negatives into training — and the two windows are disjoint by
+    * construction (temporal leakage is the q226 lesson applied to
+    * labels). One conditional aggregation per user; counts are exact. */
+  private val q282 = Q(
+    "q282_churn_labels",
+    (s, dir) => {
+      val mid = to_timestamp(lit("2024-01-16"))
+      Lake(s, dir).events
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("ts") < mid, 1L).otherwise(0L)).as("n_obs"),
+          sum(when(col("ts") >= mid, 1L).otherwise(0L)).as("n_out"))
+        .filter(col("n_obs") > 0)
+        .withColumn("churned", col("n_out") === 0)
+        .orderBy("user_id")
+    },
+    Some("""
+      SELECT user_id,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_obs,
+        CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_out,
+        SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) = 0
+          AS churned
+      FROM events
+      GROUP BY user_id
+      HAVING SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) > 0
+      ORDER BY user_id""")
+  )
+
   // --------------------------------------------------------------- q100
   /** First-order Markov transition matrix of user journeys
     * ([[graft.ops.Behavior.transitions]]): lag over the per-user
@@ -1080,5 +1116,5 @@ object BehaviorQueries {
 
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
     q176, q179, q180, q181, q183, q186, q198, q199, q205, q238, q269, q272,
-    q276, q278)
+    q276, q278, q282)
 }
