@@ -859,6 +859,63 @@ object GraphQueries {
       FROM ce CROSS JOIN cs""")
   )
 
+  // --------------------------------------------------------------- q284
+  /** Average neighbor degree per host (k_nn) — q258's assortativity
+    * decomposed to the node level: for each host, the mean degree of
+    * its undirected neighbors as the exact fraction
+    * Σ deg(neighbor) / deg(host) (numerator and denominator exact
+    * longs, one division). A host with degree 2 and knn 6 is a leaf
+    * hanging off hubs; degree 6 and knn 2 is the hub itself — the
+    * per-node view the single assortativity scalar averages away. One
+    * degree aggregate, one join of the symmetric edge list back onto
+    * it. */
+  private val q284 = Q(
+    "q284_avg_neighbor_degree",
+    (s, dir) => {
+      val und = triangleEdges(s, dir)
+        .select(col("src_host").as("s"), col("dst_host").as("d"))
+        .filter(col("s") =!= col("d"))
+        .select(least(col("s"), col("d")).as("a"),
+          greatest(col("s"), col("d")).as("b"))
+        .distinct()
+      val sym = und.select(col("a").as("host"), col("b").as("nbr"))
+        .union(und.select(col("b").as("host"), col("a").as("nbr")))
+      val deg = sym.groupBy("host").agg(count(lit(1)).as("degree"))
+      sym.join(deg.select(col("host").as("nbr"), col("degree").as("nd")),
+          Seq("nbr"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("degree"), sum(col("nd")).as("nbr_deg_sum"))
+        .withColumn("knn",
+          col("nbr_deg_sum").cast("double") / col("degree").cast("double"))
+        .orderBy("host")
+    },
+    Some("""
+      WITH raw AS (
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR) AS s,
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS d
+        FROM documents
+        UNION ALL
+        SELECT 'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST(doc_id % 7 AS VARCHAR),
+               'c' || CAST(doc_id % 5 AS VARCHAR) || 'h'
+                 || CAST((doc_id * 2 + 3) % 7 AS VARCHAR)
+        FROM documents),
+      und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+              FROM raw WHERE s <> d),
+      sym AS (SELECT a AS host, b AS nbr FROM und
+              UNION ALL SELECT b, a FROM und),
+      deg AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS degree
+              FROM sym GROUP BY host)
+      SELECT sym.host, CAST(COUNT(*) AS BIGINT) AS degree,
+             CAST(SUM(nd.degree) AS BIGINT) AS nbr_deg_sum,
+             CAST(SUM(nd.degree) AS DOUBLE) / COUNT(*) AS knn
+      FROM sym JOIN deg nd ON sym.nbr = nd.host
+      GROUP BY sym.host
+      ORDER BY sym.host""")
+  )
+
   val all: Seq[Q] = Seq(q135, q136, q166, q219, q220, q227, q228, q252,
-    q254, q255, q258, q271, q277)
+    q254, q255, q258, q271, q277, q284)
 }

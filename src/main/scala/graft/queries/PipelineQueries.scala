@@ -5933,6 +5933,44 @@ object PipelineQueries {
       ORDER BY t.n_occ DESC, a.w""")
   )
 
+  // --------------------------------------------------------------- q283
+  /** Shard-rebalancing plan — what a resharding from 8 to 10 shards
+    * actually moves, BEFORE anyone moves it: per (old shard, new shard)
+    * cell, document and token mass, with stay/move flagged. Assignment
+    * is the q182 convention (12-hex md5 prefix mod n), so the plan is a
+    * pure function of the corpus — deterministic, auditable, and the
+    * data-migration bill is Σ moved tokens read off one GROUP BY. The
+    * modulo-change worst case (gcd(8,10)=2 keeps only ~1/10 in place)
+    * is exactly why this readout matters before choosing new shard
+    * counts. */
+  private val q283 = Q(
+    "q283_shard_rebalance_plan",
+    (s, dir) => {
+      val hex12 = substring(md5(col("doc_id").cast("string")), 1, 12)
+      val key = conv(hex12, 16, 10).cast("long")
+      Lake(s, dir).documents
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          (key % 8).as("old_shard"), (key % 10).as("new_shard"))
+        .groupBy("old_shard", "new_shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .withColumn("moves", col("old_shard") =!= col("new_shard"))
+        .orderBy("old_shard", "new_shard")
+    },
+    Some(s"""
+      WITH k AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              ${hexSql("md5(CAST(doc_id AS VARCHAR))", 12)} AS key
+            FROM documents)
+      SELECT key % 8 AS old_shard, key % 10 AS new_shard,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+             key % 8 <> key % 10 AS moves
+      FROM k
+      GROUP BY 1, 2, 5
+      ORDER BY old_shard, new_shard""")
+  )
+
   // --------------------------------------------------------------- q251
   /** Retrieval evaluation over the label ground truth: each query's
     * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
@@ -6006,5 +6044,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268, q273, q274, q275, q281)
+    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268, q273, q274, q275, q281, q283)
 }
