@@ -5971,6 +5971,57 @@ object PipelineQueries {
       ORDER BY old_shard, new_shard""")
   )
 
+  // --------------------------------------------------------------- q286
+  /** Vocabulary-growth curve — Heaps' law measured without the fit
+    * (log-free, the q173 discipline): distinct-word count after the
+    * first 1k / 10k / 100k tokens of the corpus in its deterministic
+    * (doc_id, position) order. The prefix distinct-count needs no
+    * per-prefix scan: each word's FIRST global position is computed
+    * once, and vocab(N) = |{w : first_pos(w) ≤ N}| — three counts off
+    * one first-occurrence frame. Feeding tokenizer-vocab sizing: where
+    * the curve flattens is where a bigger vocab stops paying. */
+  private val q286 = Q(
+    "q286_vocab_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = Lake(s, dir).documents
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "p", "w")
+      val g = tok.withColumn("gp",
+        row_number().over(Window.orderBy("doc_id", "p")).cast("long"))
+      val fp = g.groupBy("w").agg(min(col("gp")).as("first_pos"))
+      val checkpoints = s.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(1000L),
+          org.apache.spark.sql.Row(10000L),
+          org.apache.spark.sql.Row(100000L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_prefix",
+            org.apache.spark.sql.types.LongType))))
+      broadcast(checkpoints)
+        .join(fp, col("first_pos") <= col("n_prefix"))
+        .groupBy("n_prefix")
+        .agg(count(lit(1)).as("vocab_size"))
+        .orderBy("n_prefix")
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, i AS p, ws[i] AS w FROM (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          unnest(generate_series(1, len(ws))) AS t(i)),
+      g AS (SELECT w, row_number() OVER (ORDER BY doc_id, p) AS gp
+            FROM tok),
+      fp AS (SELECT w, CAST(MIN(gp) AS BIGINT) AS first_pos
+             FROM g GROUP BY w),
+      cp(n_prefix) AS (VALUES (CAST(1000 AS BIGINT)),
+                              (CAST(10000 AS BIGINT)),
+                              (CAST(100000 AS BIGINT)))
+      SELECT n_prefix, COUNT(*) AS vocab_size
+      FROM cp JOIN fp ON first_pos <= n_prefix
+      GROUP BY n_prefix
+      ORDER BY n_prefix""")
+  )
+
   // --------------------------------------------------------------- q251
   /** Retrieval evaluation over the label ground truth: each query's
     * exact top-10 cosine neighbors (q35's brute-force path), a neighbor
@@ -6044,5 +6095,5 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268, q273, q274, q275, q281, q283)
+    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268, q273, q274, q275, q281, q283, q286)
 }

@@ -988,6 +988,88 @@ object RelationalQueries {
       ORDER BY event_id""")
   )
 
+  // --------------------------------------------------------------- q285
+  /** Order lead time — days from order to FIRST shipment, the
+    * operational latency metric, distributed per priority class in
+    * exact-day buckets: one orderkey-join + min-agg (reusing the join
+    * key as the aggregation key, so no second shuffle), then a
+    * calendar-bounded histogram. datediff on DATE-truncated timestamps
+    * is exact integer days on both engines. */
+  private val q285 = Q(
+    "q285_order_lead_time",
+    (s, dir) => {
+      val lake = Lake(s, dir)
+      val firstShip = lake.lineitem
+        .groupBy("l_orderkey")
+        .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+      lake.orders
+        .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("first_ship"), to_date(col("o_orderdate")))
+            .cast("long").as("lead_days"))
+        .groupBy("o_orderpriority", "lead_days")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority", "lead_days")
+    },
+    Some("""
+      WITH fs AS (SELECT l_orderkey,
+              MIN(CAST(l_shipdate AS DATE)) AS first_ship
+            FROM lineitem GROUP BY 1)
+      SELECT o_orderpriority,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), first_ship)
+               AS BIGINT) AS lead_days,
+             COUNT(*) AS n_orders
+      FROM orders JOIN fs ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+      ORDER BY o_orderpriority, lead_days""")
+  )
+
+  // --------------------------------------------------------------- q287
+  /** Supplier concentration per part (Herfindahl–Hirschman index) — is
+    * a part single-sourced? HHI = Σ share², cleared of its divisions:
+    * with per-supplier quantities q_i and total Q, hhi·Q² = Σ q_i² —
+    * both exact longs — and the familiar 0–10000 scale is one double
+    * expression at the end. The top-20 most-concentrated multi-supplier
+    * parts surface procurement risk; single-supplier parts (HHI 10000
+    * by definition) are excluded so the ranking is informative. */
+  private val q287 = Q(
+    "q287_supplier_hhi",
+    (s, dir) => {
+      val pair = Lake(s, dir).lineitem
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+      pair.groupBy("l_partkey")
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          sum(col("q")).as("q_total"),
+          sum(col("q") * col("q")).as("sum_q2"))
+        .filter(col("n_suppliers") > 1)
+        .withColumn("hhi",
+          lit(10000.0) * col("sum_q2").cast("double") /
+            (col("q_total") * col("q_total")).cast("double"))
+        .orderBy(col("hhi").desc, col("l_partkey"))
+        .limit(20)
+    },
+    Some("""
+      WITH pair AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1, 2),
+      agg AS (
+        SELECT l_partkey,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(q) AS BIGINT) AS q_total,
+               CAST(SUM(q * q) AS BIGINT) AS sum_q2
+        FROM pair GROUP BY 1)
+      SELECT l_partkey, n_suppliers, q_total, sum_q2,
+             10000.0 * CAST(sum_q2 AS DOUBLE)
+               / CAST(q_total * q_total AS DOUBLE) AS hhi
+      FROM agg
+      WHERE n_suppliers > 1
+      ORDER BY hhi DESC, l_partkey
+      LIMIT 20""")
+  )
+
   // ---------------------------------------------------------------- q64
   /** RANGE (interval) join: every 100th event opens a 30-minute window;
     * each event matches every window containing its timestamp. The Spark
@@ -1532,5 +1614,5 @@ object RelationalQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q46, q47, q48, q52, q63, q64, q78, q191, q192, q193, q194, q195,
-    q196, q197, q201, q202, q203, q212, q213, q214, q259, q279)
+    q196, q197, q201, q202, q203, q212, q213, q214, q259, q279, q285, q287)
 }
