@@ -1070,6 +1070,66 @@ object RelationalQueries {
       LIMIT 20""")
   )
 
+  // --------------------------------------------------------------- q288
+  /** Lorenz-curve deciles — q206's Gini unfolded into the points an
+    * equity chart actually plots: customers ranked by revenue, cut into
+    * ten explicit buckets (bucket = (rn−1)·10 div n — NOT ntile, whose
+    * remainder placement is an engine convention this gate refuses to
+    * depend on), each with its exact cent mass, the running cumulative,
+    * and the cumulative share as one double division. "The top decile
+    * holds X% of revenue" reads off row 9. */
+  private val q288 = Q(
+    "q288_lorenz_deciles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Lake(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val n = rev.agg(count(lit(1)).as("n"))
+      val ranked = rev
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("cents"), col("o_custkey")))
+            .cast("long"))
+        .crossJoin(broadcast(n))
+        .withColumn("decile", expr("((rn - 1) * 10) div n"))
+      val byDecile = ranked.groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+      val tot = byDecile.agg(sum(col("cents")).as("total_cents"))
+      byDecile
+        .withColumn("cum_cents",
+          sum(col("cents")).over(Window.orderBy("decile")))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_customers"), col("cents"),
+          col("cum_cents"),
+          (col("cum_cents").cast("double") / col("total_cents").cast("double"))
+            .as("cum_share"))
+        .orderBy("decile")
+    },
+    Some("""
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM rev),
+      ranked AS (
+        SELECT cents,
+               ((row_number() OVER (ORDER BY cents, o_custkey) - 1) * 10)
+                 // n AS decile
+        FROM rev CROSS JOIN n),
+      byDecile AS (
+        SELECT decile, COUNT(*) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM ranked GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM byDecile)
+      SELECT decile, n_customers, cents,
+             CAST(SUM(cents) OVER (ORDER BY decile) AS BIGINT) AS cum_cents,
+             CAST(SUM(cents) OVER (ORDER BY decile) AS DOUBLE)
+               / CAST(total_cents AS DOUBLE) AS cum_share
+      FROM byDecile CROSS JOIN tot
+      ORDER BY decile""")
+  )
+
   // ---------------------------------------------------------------- q64
   /** RANGE (interval) join: every 100th event opens a 30-minute window;
     * each event matches every window containing its timestamp. The Spark
@@ -1614,5 +1674,5 @@ object RelationalQueries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q46, q47, q48, q52, q63, q64, q78, q191, q192, q193, q194, q195,
-    q196, q197, q201, q202, q203, q212, q213, q214, q259, q279, q285, q287)
+    q196, q197, q201, q202, q203, q212, q213, q214, q259, q279, q285, q287, q288)
 }
