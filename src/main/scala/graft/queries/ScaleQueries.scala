@@ -648,6 +648,64 @@ object ScaleQueries {
       FROM m""")
   )
 
+  // --------------------------------------------------------------- q289
+  /** Grouped correlation — q154's exact-moment Pearson machinery run
+    * PER GROUP: the discount↔quantity correlation within each part
+    * brand, the first-order price-elasticity probe ("which brands move
+    * volume when discounted?"). The grouping is the whole point of the
+    * gate: the moments become one map-side-combined aggregate over the
+    * brand key instead of a global row, and the per-group double
+    * assembly must still be bit-identical — same op tree, 25 times.
+    * part is broadcast; one shuffle on p_brand. */
+  private val q289 = Q(
+    "q289_brand_discount_corr",
+    (s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val v = Lake(s, dir).lineitem
+        .join(broadcast(Lake(s, dir).part.select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_discount") * 100.0d, 0).cast("long").as("y"))
+      v.groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("x"))).as("s_x"), sum(dec(col("y"))).as("s_y"),
+          sum(dec(col("x")) * dec(col("x"))).as("ss_x"),
+          sum(dec(col("y")) * dec(col("y"))).as("ss_y"),
+          sum(dec(col("x")) * dec(col("y"))).as("s_xy"))
+        .select(col("p_brand"), col("n"),
+          ((d(col("n")) * d(col("s_xy")) - d(col("s_x")) * d(col("s_y"))) /
+            (sqrt(d(col("n")) * d(col("ss_x")) - d(col("s_x")) * d(col("s_x"))) *
+              sqrt(d(col("n")) * d(col("ss_y")) - d(col("s_y")) * d(col("s_y")))))
+            .as("corr"))
+        .orderBy("p_brand")
+    },
+    Some("""
+      WITH v AS (
+        SELECT p_brand,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_discount * 100.0) AS BIGINT) AS y
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      m AS (
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS HUGEINT) AS s_x, CAST(SUM(y) AS HUGEINT) AS s_y,
+               SUM(CAST(x AS HUGEINT) * x) AS ss_x,
+               SUM(CAST(y AS HUGEINT) * y) AS ss_y,
+               SUM(CAST(x AS HUGEINT) * y) AS s_xy
+        FROM v GROUP BY 1)
+      SELECT p_brand, n,
+             (CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE)
+                - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE)) /
+             (sqrt(CAST(n AS DOUBLE) * CAST(ss_x AS DOUBLE)
+                - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE)) *
+              sqrt(CAST(n AS DOUBLE) * CAST(ss_y AS DOUBLE)
+                - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))) AS corr
+      FROM m
+      ORDER BY p_brand""")
+  )
+
   val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173,
-    q177, q178, q206, q253, q266, q280)
+    q177, q178, q206, q253, q266, q280, q289)
 }
