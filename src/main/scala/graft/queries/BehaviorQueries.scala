@@ -155,6 +155,46 @@ object BehaviorQueries {
       ORDER BY user_id""")
   )
 
+  // --------------------------------------------------------------- q290
+  /** Hour-of-day conversion profile — the circadian axis q223's weekday
+    * indices don't cover: per UTC hour, views, purchases, and the
+    * purchase-per-view rate as one division of exact counts. The
+    * shape every notification scheduler and bid curve starts from;
+    * hours with views but no purchases emit rate 0 (not null — a
+    * measured zero), pinned by COALESCE on both sides. One groupBy
+    * over a 24-row output. */
+  private val q290 = Q(
+    "q290_hourly_conversion",
+    (s, dir) =>
+      Lake(s, dir).events
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(hour(col("ts")).cast("long").as("hour_utc"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("views"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchases"))
+        .withColumn("rate",
+          coalesce(col("purchases").cast("double") /
+            nullif(col("views").cast("double"), lit(0.0)), lit(0.0)))
+        .orderBy("hour_utc"),
+    Some("""
+      SELECT CAST(hour(ts) AS BIGINT) AS hour_utc,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+          AS BIGINT) AS views,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS purchases,
+        COALESCE(
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS DOUBLE) /
+          NULLIF(CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS DOUBLE), 0.0), 0.0) AS rate
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1
+      ORDER BY hour_utc""")
+  )
+
   // --------------------------------------------------------------- q100
   /** First-order Markov transition matrix of user journeys
     * ([[graft.ops.Behavior.transitions]]): lag over the per-user
@@ -1116,5 +1156,5 @@ object BehaviorQueries {
 
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
     q176, q179, q180, q181, q183, q186, q198, q199, q205, q238, q269, q272,
-    q276, q278, q282)
+    q276, q278, q282, q290)
 }
