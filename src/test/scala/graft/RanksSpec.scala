@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Ranks
+
+/** [[graft.ops.Ranks]] — the distributed replacement for single-partition
+  * global windows. Each law is checked against the window it replaces, and
+  * the plan tests pin the structural point: no Window node with an empty
+  * partition spec, and exactly one physical shuffle of the data (the range
+  * exchange, reused by the counts path).
+  */
+class RanksSpec extends SparkTestBase {
+  import testImplicits._
+
+  private def globalWindows(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w.simpleString(3)
+    }
+
+  test("globalRowNumber equals row_number over the same total order") {
+    val df = spark.range(0, 5000).select(
+      (col("id") * 2654435761L % 1000L).as("k"), col("id"))
+    val expected = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
+    val actual = Ranks.globalRowNumber(df, Seq(col("k"), col("id")), "rn")
+    assert(actual.except(expected).isEmpty && expected.except(actual).isEmpty,
+      "distributed row numbers diverge from the window's")
+    assert(globalWindows(actual).isEmpty,
+      "globalRowNumber must not plan a partition-less Window")
+  }
+
+  test("globalRowNumber respects descending sort orders") {
+    val df = spark.range(0, 500).select(col("id"))
+    val actual = Ranks.globalRowNumber(df, Seq(col("id").desc), "rn")
+      .orderBy(col("rn")).collect()
+    assert(actual.head.getLong(0) === 499L && actual.head.getLong(1) === 1L)
+    assert(actual.last.getLong(0) === 0L && actual.last.getLong(1) === 500L)
+  }
+
+  test("globalRowNumber plans ONE data shuffle (range exchange reused by counts)") {
+    val df = spark.range(0, 1000).select(col("id"), (col("id") % 7).as("k"))
+    val out = Ranks.globalRowNumber(df, Seq(col("k"), col("id")), "rn")
+    out.collect() // materialize so AQE finalizes the physical plan
+    // the adaptive plan string repeats every exchange in its "Initial Plan"
+    // section — inspect only the executed final plan
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the DATA is shuffled exactly once: one materialized range exchange,
+    // which the counts path consumes as a ReusedExchange. The remaining
+    // exchanges in the plan (hash on __pid, SinglePartition, broadcast) all
+    // carry O(#partitions) count rows, not data.
+    // a ReusedExchange line repeats the reused exchange's description, so
+    // count materialized range exchanges line-wise
+    val ranges = plan.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+    val reused = plan.linesIterator.count(_.contains("ReusedExchange"))
+    assert(ranges == 1,
+      s"expected exactly one materialized range shuffle, got $ranges:\n$plan")
+    assert(reused >= 1,
+      s"counts path must reuse the range exchange, not re-shuffle:\n$plan")
+  }
+
+  test("globalCumSum equals a running sum over the same total order") {
+    val df = spark.range(0, 3000).select(
+      (col("id") * 48271L % 600L).as("k"), col("id"),
+      (col("id") % 13L + 1L).as("v"))
+    val w = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cs", sum(col("v")).over(w))
+    val actual = Ranks.globalCumSum(df, Seq(col("k"), col("id")), col("v"), "cs")
+    assert(actual.except(expected).isEmpty && expected.except(actual).isEmpty,
+      "distributed running sums diverge from the window's")
+    assert(globalWindows(actual).isEmpty,
+      "globalCumSum must not plan a partition-less Window")
+  }
+
+  test("ntileFromRowNumber matches NTILE for even, remainder and n<k cases") {
+    for ((n, k) <- Seq((100, 10), (103, 10), (7, 10), (1, 3), (25, 4))) {
+      val df = spark.range(1, n + 1).select(col("id"))
+      val expected = df
+        .withColumn("b", ntile(k).over(Window.orderBy("id")).cast("long"))
+      val actual = df.withColumn("b",
+        Ranks.ntileFromRowNumber(col("id"), lit(n.toLong), k))
+      assert(actual.except(expected).isEmpty && expected.except(actual).isEmpty,
+        s"ntile mismatch at n=$n k=$k")
+    }
+  }
+
+  test("globalRowNumber on an empty frame is empty (no division/offset edge)") {
+    val df = spark.range(0).select(col("id"))
+    assert(Ranks.globalRowNumber(df, Seq(col("id")), "rn").count() === 0L)
+    assert(Ranks.globalCumSum(df, Seq(col("id")), col("id"), "cs").count() === 0L)
+  }
+}
