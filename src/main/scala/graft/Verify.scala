@@ -78,4 +78,27 @@ object VerifyCore {
     Files.writeString(Paths.get(s"$outDir/errors.json"), body)
     errors.toMap
   }
+
+  /** Output-schema contract for the hash gate: the driver loads each
+    * result into pandas, sorts rows by every column, and hashes the typed
+    * values against DuckDB's. Two type families survive the round trip
+    * with values equal but hashes broken, and both burned a round-6 query:
+    * DecimalType (Spark decimal128 ≠ DuckDB HUGEINT in the driver's typed
+    * compare — q253) and nested containers (pandas sort_values throws on
+    * ndarray cells — q207). Binary cells don't reach pandas comparably
+    * either. Queries must flatten to the hashable scalars: integral,
+    * floating, string, boolean, date/timestamp. Returns the offending
+    * `column: type` strings; VerifySpec sweeps every registered query's
+    * schema through this at build time so the class of failure cannot
+    * recur. */
+  def unhashableColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.collect {
+      case f if (f.dataType match {
+        case _: DecimalType | _: ArrayType | _: MapType | _: StructType |
+             BinaryType => true
+        case _ => false
+      }) => s"${f.name}: ${f.dataType.simpleString}"
+    }
+  }
 }

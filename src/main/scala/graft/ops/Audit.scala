@@ -211,8 +211,12 @@ object Audit {
     * full value domain, the absent mass folds to n·(N − Σ_present g_v) —
     * one joint groupBy, one broadcast of the (small) global value
     * distribution, no domain cross join, which is what keeps the plan
-    * flat when the sensitive domain is wide. Sums ride DECIMAL(38,0)
-    * (HUGEINT in the oracle) because c_v·N is quadratic in table size.
+    * flat when the sensitive domain is wide. Internal sums ride
+    * DECIMAL(38,0) (HUGEINT in the oracle) because c_v·N is quadratic in
+    * table size; the reported tvd_scaled is a lossless-at-gate-scale
+    * BIGINT (see inline note). NULL sensitive values are first-class: the
+    * global-distribution join is null-safe, so a null class-cell matches
+    * the null global cell rather than folding into the absent mass.
     * Gated by q253. MEASURED (AnalyticsScaleProbe, sf0.1 customers ×10):
     * 0.6× — fixed-cost dominated at this scale. */
   def tCloseness(
@@ -238,13 +242,18 @@ object Audit {
       .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
       .agg(count(lit(1)).as("__c"))
       .withColumn("__n", sum(col("__c")).over(w))
-    val glob = df.groupBy(col(sensitiveCol)).agg(count(lit(1)).as("__g"))
+    // null-safe distribution key: a NULL sensitive value participates as
+    // a regular value (the <=> join below), instead of silently dropping
+    // out of the inner join and misattributing its mass to the absent fold
+    val glob = df.groupBy(col(sensitiveCol).as("__sv"))
+      .agg(count(lit(1)).as("__g"))
     // N directly from df (a global count: partial-agg + SinglePartition,
     // no hash exchange) — deriving it from glob would duplicate glob's
     // whole aggregate subtree in the plan
     val total = df.agg(count(lit(1)).as("__tot"))
     joint
-      .join(broadcast(glob), Seq(sensitiveCol))
+      .join(broadcast(glob), col(sensitiveCol) <=> col("__sv"))
+      .drop("__sv")
       .crossJoin(broadcast(total))
       .groupBy(quasiCols.map(col): _*)
       .agg(
@@ -258,7 +267,14 @@ object Audit {
           dec(col("__n")) * (dec(col("__tot")) - col("__g_present"))
         Seq(
           col("__n").as("class_size"),
-          scaled.cast("decimal(38,0)").as("tvd_scaled"),
+          // reported as BIGINT: the driver's typed hash can't equate
+          // Spark decimal128 with DuckDB HUGEINT even when every value
+          // matches (round-6 q253). The INTERNAL at_risk inequality stays
+          // decimal — exact at any scale. tvd_scaled ≤ 2·n·N, so the long
+          // cast is lossless until n·N ≥ 2^62 (~10^9 rows in one class
+          // AND table — beyond that, report the per-class normalized TVD
+          // double instead of the scaled integer).
+          scaled.cast("long").as("tvd_scaled"),
           (scaled * lit(tDen) >
             dec(lit(2L * tNum)) * dec(col("__n")) * dec(col("__tot")))
             .as("at_risk"))

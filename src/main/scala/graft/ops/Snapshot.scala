@@ -171,10 +171,17 @@ object Snapshot {
     * quality gate every slowly-changing dimension owes its consumers
     * before a point-in-time join ([[graft.ops.Joins.asofJoin]], q238)
     * trusts it: per key ordered by `fromCol`, count rows that
-    *   - OVERLAP their predecessor (`from < prev.to` — two versions
-    *     claim the same instant; an as-of join returns an arbitrary one),
-    *   - leave a GAP (`from > prev.to` — instants where the key has no
-    *     version at all; an as-of join silently serves the stale row),
+    *   - OVERLAP any earlier version (`from < max(to) over all
+    *     predecessors` — two versions claim the same instant; an as-of
+    *     join returns an arbitrary one). The RUNNING MAX matters: with
+    *     only a lag-1 comparison, a long interval that outlives several
+    *     successors ((0,100),(10,20),(30,40)) hides its overlap with row
+    *     3 and even flags the covered instant 20–30 as a gap. An OPEN
+    *     predecessor (null `to`) covers everything after its start, so
+    *     any successor overlaps it — the running max treats null as +∞;
+    *   - leave a GAP (`from > max(to) so far` with every earlier `to`
+    *     closed — instants no version covers; an as-of join silently
+    *     serves the stale row),
     *   - are OPEN (null `to`) while a successor exists — two "current"
     *     rows, the classic botched-merge symptom.
     * One key-partitioned window pass + a single global aggregate; output
@@ -186,14 +193,24 @@ object Snapshot {
   def temporalAudit(
       df: DataFrame, keyCol: String, fromCol: String, toCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col("__f"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(keyCol).orderBy(col("__f"))
     df.select(col(keyCol), col(fromCol).as("__f"), col(toCol).as("__t"))
-      .withColumn("__pt", lag(col("__t"), 1).over(w))
-      .withColumn("__has_next", lead(col("__f"), 1).over(w).isNotNull)
+      // an open (null-to) predecessor covers all later instants: track it
+      // separately, since max() skips nulls
+      .withColumn("__pmax", max(col("__t")).over(w))
+      .withColumn("__popen",
+        coalesce(max(when(col("__t").isNull, lit(1)).otherwise(lit(0)))
+          .over(w), lit(0)))
+      .withColumn("__pany", count(lit(1)).over(w) > 0)
+      .withColumn("__has_next", lead(col("__f"), 1).over(wNext).isNotNull)
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col("__pt").isNotNull && col("__f") < col("__pt"), 1L)
+        sum(when(col("__pany") &&
+            (col("__popen") === 1 || col("__f") < col("__pmax")), 1L)
           .otherwise(0L)).as("n_overlap"),
-        sum(when(col("__pt").isNotNull && col("__f") > col("__pt"), 1L)
+        sum(when(col("__pany") && col("__popen") === 0 &&
+            col("__f") > col("__pmax"), 1L)
           .otherwise(0L)).as("n_gap"),
         sum(when(col("__t").isNull && col("__has_next"), 1L)
           .otherwise(0L)).as("n_open_not_last"))

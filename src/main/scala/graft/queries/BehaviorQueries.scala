@@ -132,11 +132,16 @@ object BehaviorQueries {
     "q282_churn_labels",
     (s, dir) => {
       val mid = to_timestamp(lit("2024-01-16"))
+      val hi = to_timestamp(lit("2024-01-31"))
+      // the outcome window is BOUNDED (Jan 16–30): without the upper
+      // bound, a fixture that grows past Jan 30 would silently leak
+      // post-window activity into the labels
       Lake(s, dir).events
         .groupBy("user_id")
         .agg(
           sum(when(col("ts") < mid, 1L).otherwise(0L)).as("n_obs"),
-          sum(when(col("ts") >= mid, 1L).otherwise(0L)).as("n_out"))
+          sum(when(col("ts") >= mid && col("ts") < hi, 1L).otherwise(0L))
+            .as("n_out"))
         .filter(col("n_obs") > 0)
         .withColumn("churned", col("n_out") === 0)
         .orderBy("user_id")
@@ -145,9 +150,11 @@ object BehaviorQueries {
       SELECT user_id,
         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
           AS BIGINT) AS n_obs,
-        CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+        CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       AND ts < TIMESTAMP '2024-01-31' THEN 1 ELSE 0 END)
           AS BIGINT) AS n_out,
-        SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) = 0
+        SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  AND ts < TIMESTAMP '2024-01-31' THEN 1 ELSE 0 END) = 0
           AS churned
       FROM events
       GROUP BY user_id
@@ -981,6 +988,10 @@ object BehaviorQueries {
     * row that is not last). The when-chain order is the contract and is
     * mirrored as the oracle's CASE chain; nulls propagate identically
     * (the last version's null valid_to stays null through the +1h arm).
+    * Overlap/gap compare each row against the RUNNING max(valid_to) of
+    * all predecessors (open predecessors count as +∞), not just lag-1 —
+    * a long interval outliving several successors flags every one of
+    * them, and never mints a phantom gap inside its own span.
     * This is the gate a point-in-time join (q238) should demand of its
     * dimension before trusting it. */
   private val q269 = Q(
@@ -1025,15 +1036,23 @@ object BehaviorQueries {
                    ELSE t_us END AS t_us
             FROM b),
       l AS (SELECT user_id, f_us, t_us,
-              lag(t_us) OVER (PARTITION BY user_id ORDER BY f_us) AS pt,
+              MAX(t_us) OVER (PARTITION BY user_id ORDER BY f_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax,
+              COALESCE(MAX(CASE WHEN t_us IS NULL THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY f_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS popen,
+              COUNT(*) OVER (PARTITION BY user_id ORDER BY f_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0
+                AS pany,
               lead(f_us) OVER (PARTITION BY user_id ORDER BY f_us)
                 IS NOT NULL AS has_next
             FROM x)
       SELECT COUNT(*) AS n_rows,
-        CAST(SUM(CASE WHEN pt IS NOT NULL AND f_us < pt THEN 1 ELSE 0 END)
-          AS BIGINT) AS n_overlap,
-        CAST(SUM(CASE WHEN pt IS NOT NULL AND f_us > pt THEN 1 ELSE 0 END)
-          AS BIGINT) AS n_gap,
+        CAST(SUM(CASE WHEN pany AND (popen = 1 OR f_us < pmax)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+        CAST(SUM(CASE WHEN pany AND popen = 0 AND f_us > pmax
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_gap,
         CAST(SUM(CASE WHEN t_us IS NULL AND has_next THEN 1 ELSE 0 END)
           AS BIGINT) AS n_open_not_last
       FROM l""")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Lake
-import graft.ops.{Classifier, Dedup, Index, LanguageModel, Layout, Linkage, Multimodal, Packing, Sampling, Similarity, Snapshot, TextAnalysis, WebGraph}
+import graft.ops.{Classifier, Dedup, Index, LanguageModel, Layout, Linkage, Multimodal, Packing, Ranks, Sampling, Similarity, Snapshot, TextAnalysis, WebGraph}
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact / n-gram Jaccard / MinHash+LSH / SimHash /
@@ -1965,9 +1965,11 @@ object PipelineQueries {
     * remainders (host tiebreak) — the budgets sum to EXACTLY the budget
     * (floats would drift; the gate would catch a single lost fetch) and
     * every step is long arithmetic: quota = rank·B, base = quota div R,
-    * remainder rank via one window. This is the standard apportionment
-    * algorithm (parliamentary seats, shard quotas, crawl budgets); the
-    * oracle replays the full rank chain and the same remainder ranking. */
+    * remainder rank via [[graft.ops.Ranks.globalRowNumber]] — the host
+    * frame is web-scale-unbounded, so it never rides a single-partition
+    * window. This is the standard apportionment algorithm (parliamentary
+    * seats, shard quotas, crawl budgets); the oracle replays the full
+    * rank chain and the same remainder ranking. */
   private val q273 = {
     val unit = 1000000000000L
     val iters = 5
@@ -1976,7 +1978,6 @@ object PipelineQueries {
     Q(
       "q273_crawl_budget",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val pages = linkPagesSpark(s, dir)
         val edges = WebGraph.hostEdges(pages, col("src_host"), col("html"))
         val ranks = WebGraph.hostRank(edges, iterations = iters, unit = unit)
@@ -1986,8 +1987,7 @@ object PipelineQueries {
           .withColumn("base", expr("quota div rtot"))
           .withColumn("rem", col("quota") % col("rtot"))
         val leftover = q.agg((lit(budget) - sum(col("base"))).as("leftover"))
-        val w = Window.orderBy(col("rem").desc, col("host"))
-        q.withColumn("rn", row_number().over(w).cast("long"))
+        Ranks.globalRowNumber(q, Seq(col("rem").desc, col("host")), "rn")
           .crossJoin(broadcast(leftover))
           .select(col("host"), col("rank_units"),
             (col("base") +
@@ -3973,16 +3973,19 @@ object PipelineQueries {
     * kept ALL-INTEGER until one final division: `2·avgrank = 2·rank +
     * ties − 1` is an integer, so the numerator `Σ2r − P² − P` is exact
     * and the AUC is a single double division (no per-row float sums to
-    * order). The global rank window is one sort of (score) pairs —
-    * at 100 TB you'd rank per stratum and average; the algebra gated
-    * here is the per-stratum kernel. */
+    * order). The score rank is distributed: a
+    * [[graft.ops.Ranks.globalRowNumber]] over the unique (m, doc_id)
+    * order, then RANK falls out as min(row_number) over each score's
+    * tie group — a score-partitioned window, never a single task. */
   private val q151 = Q(
     "q151_roc_auc",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val r2 = scoredDocs(s, dir)
-        .withColumn("r", rank().over(Window.orderBy("m")).cast("long"))
-        .withColumn("c", count(lit(1)).over(Window.partitionBy("m")))
+      val byScore = Window.partitionBy("m")
+      val r2 = Ranks
+        .globalRowNumber(scoredDocs(s, dir), Seq(col("m"), col("doc_id")), "__rn")
+        .withColumn("r", min(col("__rn")).over(byScore))
+        .withColumn("c", count(lit(1)).over(byScore))
         .withColumn("r2", lit(2L) * col("r") + col("c") - 1L)
       r2.agg(
           sum(when(col("label"), col("r2")).otherwise(0L)).as("sum2r"),
@@ -4017,14 +4020,19 @@ object PipelineQueries {
     * (score, doc_id), so both engines cut identical bins), each with its
     * mean score and observed positive rate. Mean score is an exact
     * integer-tenths sum divided once; a well-calibrated model shows
-    * pos_rate tracking mean score across bins. */
+    * pos_rate tracking mean score across bins. The bins come from
+    * [[graft.ops.Ranks.ntileFromRowNumber]] over a distributed
+    * [[graft.ops.Ranks.globalRowNumber]] — the SQL-standard remainder
+    * convention reconstructed arithmetically, so it still hash-matches
+    * DuckDB's native NTILE without the single-partition window. */
   private val q152 = Q(
     "q152_calibration",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      scoredDocs(s, dir)
+      val rn = Ranks.globalRowNumber(
+        scoredDocs(s, dir), Seq(col("m"), col("doc_id")), "__rn")
+      rn.crossJoin(broadcast(rn.agg(count(lit(1)).as("__n"))))
         .withColumn("bucket",
-          ntile(10).over(Window.orderBy(col("m"), col("doc_id"))).cast("long"))
+          Ranks.ntileFromRowNumber(col("__rn"), col("__n"), 10))
         .groupBy("bucket")
         .agg(
           count(lit(1)).as("n"),
@@ -4787,8 +4795,12 @@ object PipelineQueries {
     * into a dense 32-dim count vector (the fastText/Vowpal featurization;
     * collisions are the accepted lossy compression). Built by explode +
     * (doc, bucket) aggregate + a SORTED struct fold back to a dense
-    * array — no per-row 32-way conditional scan; the oracle rebuilds the
-    * same nibble arithmetic and list ordering. */
+    * vector — no per-row 32-way conditional scan; the oracle rebuilds the
+    * same nibble arithmetic and list ordering. The vector leaves the
+    * query as a canonical comma-joined STRING: the driver's hasher sorts
+    * rows through pandas, which cannot hash raw array cells (round-6
+    * q207 was value-correct but crashed the harness), and the string
+    * encoding is bijective with the array for non-negative counts. */
   private val q207 = Q(
     "q207_hashed_features",
     (s, dir) => {
@@ -4803,11 +4815,11 @@ object PipelineQueries {
         .agg(sort_array(collect_list(struct(col("bucket"), col("n"))))
           .as("__cells"))
         .select(col("doc_id"),
-          transform(sequence(lit(0L), lit(dim - 1L)), b =>
+          concat_ws(",", transform(sequence(lit(0L), lit(dim - 1L)), b =>
             coalesce(
               element_at(
                 map_from_entries(col("__cells")), b),
-              lit(0L))).as("features"))
+              lit(0L)).cast("string"))).as("features"))
         .orderBy("doc_id")
     },
     Some(s"""
@@ -4822,8 +4834,10 @@ object PipelineQueries {
               list({'k': bucket, 'v': n} ORDER BY bucket)) AS mp
             FROM cells GROUP BY doc_id)
       SELECT doc_id,
-             [COALESCE(map_extract(mp, CAST(i AS BIGINT))[1], 0)
-              for i in generate_series(0, 31)] AS features
+             array_to_string(
+               [CAST(COALESCE(map_extract(mp, CAST(i AS BIGINT))[1], 0)
+                  AS VARCHAR)
+                for i in generate_series(0, 31)], ',') AS features
       FROM m ORDER BY doc_id""")
   )
 
@@ -5825,9 +5839,10 @@ object PipelineQueries {
     * and exact: within-source rank r of m maps to pooled index
     * ⌈r·N/m⌉ = (r·N + m − 1) div m over the (value, doc_id)-ordered
     * pooled frame — no interpolation, every output value is a real
-    * observed value. The pooled rank is the q178 global-order shape; at
-    * 100 TB it swaps for repartitionByRange + per-partition offsets
-    * (the sortedWrite discipline) with identical semantics. */
+    * observed value. The pooled rank rides
+    * [[graft.ops.Ranks.globalRowNumber]] (repartitionByRange +
+    * per-partition offsets), so no frame ever funnels through a single
+    * task; the within-source ranks stay ordinary partitioned windows. */
   private val q275 = Q(
     "q275_quantile_normalization",
     (s, dir) => {
@@ -5837,15 +5852,14 @@ object PipelineQueries {
       val withinW = Window.partitionBy("source")
         .orderBy(col("n_chars"), col("doc_id"))
       val sizeW = Window.partitionBy("source")
-      val pooledW = Window.orderBy(col("n_chars"), col("doc_id"))
       val tot = d.agg(count(lit(1)).as("n_total"))
       val ranked = d
         .withColumn("r", row_number().over(withinW).cast("long"))
         .withColumn("m", count(lit(1)).over(sizeW))
         .crossJoin(broadcast(tot))
         .withColumn("idx", expr("(r * n_total + m - 1) div m"))
-      val pooled = d
-        .withColumn("rn", row_number().over(pooledW).cast("long"))
+      val pooled = Ranks
+        .globalRowNumber(d, Seq(col("n_chars"), col("doc_id")), "rn")
         .select(col("rn"), col("n_chars").as("norm_chars"))
       ranked.join(pooled, col("idx") === col("rn"))
         .select("doc_id", "source", "n_chars", "norm_chars")
@@ -5979,17 +5993,31 @@ object PipelineQueries {
     * per-prefix scan: each word's FIRST global position is computed
     * once, and vocab(N) = |{w : first_pos(w) ≤ N}| — three counts off
     * one first-occurrence frame. Feeding tokenizer-vocab sizing: where
-    * the curve flattens is where a bigger vocab stops paying. */
+    * the curve flattens is where a bigger vocab stops paying.
+    *
+    * The token stream itself is never globally ranked (the round-6
+    * audit's worst single-partition window): a word's first global
+    * position decomposes as `tokens-in-docs-before(doc) + p + 1`, where
+    * the first occurrence (doc, p) is a plain min(struct) aggregate over
+    * tokens and the doc prefix-counts ride
+    * [[graft.ops.Ranks.globalCumSum]] over the per-doc token totals — the
+    * only ordered frame is #docs-sized, and it is range-partitioned. */
   private val q286 = Q(
     "q286_vocab_curve",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val tok = Lake(s, dir).documents
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .toDF("doc_id", "p", "w")
-      val g = tok.withColumn("gp",
-        row_number().over(Window.orderBy("doc_id", "p")).cast("long"))
-      val fp = g.groupBy("w").agg(min(col("gp")).as("first_pos"))
+      val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("__nt"))
+      val before = Ranks
+        .globalCumSum(perDoc, Seq(col("doc_id")), col("__nt"), "__cum")
+        .select(col("doc_id"), (col("__cum") - col("__nt")).as("__before"))
+      val firstOcc = tok.groupBy("w")
+        .agg(min(struct(col("doc_id"), col("p"))).as("f"))
+        .select(col("w"), col("f.doc_id").as("doc_id"), col("f.p").as("p"))
+      val fp = firstOcc.join(before, Seq("doc_id"))
+        .select(col("w"),
+          (col("__before") + col("p").cast("long") + lit(1L)).as("first_pos"))
       val checkpoints = s.createDataFrame(
         java.util.Arrays.asList(
           org.apache.spark.sql.Row(1000L),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.Lake
-import graft.ops.{Crosstab, DateKeys, Descriptors, Joins, OrderedAgg}
+import graft.ops.{Crosstab, DateKeys, Descriptors, Joins, OrderedAgg, Ranks}
 
 /** Relational operator coverage (SURVEY.md §2.2–§2.6) expressed over the
   * driver's synthetic TPC-H-ish tables.
@@ -1086,10 +1086,10 @@ object RelationalQueries {
         .groupBy("o_custkey")
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       val n = rev.agg(count(lit(1)).as("n"))
-      val ranked = rev
-        .withColumn("rn",
-          row_number().over(Window.orderBy(col("cents"), col("o_custkey")))
-            .cast("long"))
+      // distributed global rank (Ranks: range partition + offsets); the
+      // only remaining ordered window below is over the 10-row decile frame
+      val ranked = Ranks
+        .globalRowNumber(rev, Seq(col("cents"), col("o_custkey")), "rn")
         .crossJoin(broadcast(n))
         .withColumn("decile", expr("((rn - 1) * 10) div n"))
       val byDecile = ranked.groupBy("decile")

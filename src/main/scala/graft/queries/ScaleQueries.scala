@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Lake
-import graft.ops.{Audit, Bloom, Stats}
+import graft.ops.{Audit, Bloom, Ranks, Stats}
 
 /** Scale-and-governance coverage — the round-6 additions that close the
   * "run this against 100 TB and against a privacy office" gaps:
@@ -400,15 +400,25 @@ object ScaleQueries {
     * order's price mapped to its within-priority cumulative rank over
     * the unique total order (price, key). cume_dist over a unique
     * ordering is row_number/n — a division of exact integers, so the
-    * doubles hash-match; no interpolation, no distribution assumptions. */
+    * doubles hash-match; no interpolation, no distribution assumptions.
+    * With only 5 priorities a partitioned window is 5 near-global tasks,
+    * so the rank rides [[graft.ops.Ranks.globalRowNumber]] over the
+    * composite (priority, price, key) order instead; the within-priority
+    * rank falls out as `rn − min(rn over priority) + 1` via a 5-row
+    * broadcast of per-priority bases — every stage distributed. */
   private val q178 = Q(
     "q178_percentile_rank",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      Lake(s, dir).orders
+      val rn = Ranks.globalRowNumber(
+        Lake(s, dir).orders,
+        Seq(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+        "__rn")
+      val bases = rn.groupBy("o_orderpriority")
+        .agg(min(col("__rn")).as("__base"), count(lit(1)).as("__np"))
+      rn.join(broadcast(bases), Seq("o_orderpriority"))
         .withColumn("price_pct",
-          cume_dist().over(Window.partitionBy("o_orderpriority")
-            .orderBy(col("o_totalprice"), col("o_orderkey"))))
+          (col("__rn") - col("__base") + lit(1L)).cast("double") /
+            col("__np").cast("double"))
         .select("o_orderkey", "o_orderpriority", "o_totalprice", "price_pct")
         .orderBy("o_orderkey")
     },
@@ -431,14 +441,14 @@ object ScaleQueries {
   private val q206 = Q(
     "q206_revenue_gini",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.{Window => W}
       val per = Lake(s, dir).orders
         .groupBy("o_custkey")
         .agg(sum(round(col("o_totalprice") * 100.0d, 0).cast("long"))
           .as("cents"))
-      val ranked = per.withColumn("rank",
-        row_number().over(W.orderBy(col("cents"), col("o_custkey")))
-          .cast("long"))
+      // distributed global rank (range partition + offsets) — the
+      // customer frame never funnels through one task
+      val ranked = Ranks.globalRowNumber(
+        per, Seq(col("cents"), col("o_custkey")), "rank")
       val agg = ranked.agg(
         count(lit(1)).as("n"),
         sum(col("cents").cast("decimal(38,0)")).as("sx"),
@@ -474,8 +484,10 @@ object ScaleQueries {
     * class big enough", q172 "is it diverse enough", q253 "does its
     * sensitive distribution still match the population" (the skewness
     * attack l-diversity misses). Threshold t = 1/5; the statistic is
-    * the denominator-cleared TVD Σ_v |c_v·N − g_v·n| in HUGEINT /
-    * DECIMAL(38,0), absent-value mass folded in as n·(N − Σ g_present)
+    * the denominator-cleared TVD Σ_v |c_v·N − g_v·n| (HUGEINT /
+    * DECIMAL(38,0) internally, reported as BIGINT — the one type the
+    * driver hashes identically on both engines), absent-value mass
+    * folded in as n·(N − Σ g_present)
     * instead of a domain cross join, and the flag is the pure integer
     * inequality tvd_scaled·5 > 2·n·N — no float anywhere in the gate. */
   private val q253 = Q(
@@ -508,7 +520,7 @@ object ScaleQueries {
         GROUP BY 1, 2)
       SELECT c_nationkey, bal_band,
              CAST(n AS BIGINT) AS class_size,
-             present + n * (total - g_present) AS tvd_scaled,
+             CAST(present + n * (total - g_present) AS BIGINT) AS tvd_scaled,
              (present + n * (total - g_present)) * 5 > 2 * n * total
                AS at_risk
       FROM agg ORDER BY c_nationkey, bal_band""")
@@ -601,28 +613,32 @@ object ScaleQueries {
     * (value, orderkey, linenumber) tiebreak — stated identically in both
     * engines, so there are no tie-averaged fractional ranks and the
     * textbook identity ρ = 1 − 6·Σd²/(n·(n²−1)) applies exactly: Σd² is
-    * an exact long (HUGEINT-guarded in the oracle), n·(n²−1) an exact
-    * long, and ρ one mirrored double expression. The global rank windows
-    * are the q275 shape (repartitionByRange + offsets at 100 TB). */
+    * an exact DECIMAL(38,0) (HUGEINT in the oracle), n·(n²−1) an exact
+    * long, and ρ one mirrored double expression. The two global ranks
+    * ride [[graft.ops.Ranks.globalRowNumber]] (repartitionByRange +
+    * per-partition offsets — no single-partition window; PlanSpec pins
+    * it). ρ is assembled straight from the DECIMAL Σd² — the reported
+    * `sum_d2` long is display-only, so a beyond-int64 Σd² at extreme n
+    * can only null that column, never silently bend ρ (Spark's non-ANSI
+    * decimal→long cast nulls on overflow where DuckDB's HUGEINT→BIGINT
+    * errors; ρ itself never goes through the long). */
   private val q280 = Q(
     "q280_spearman_corr",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val v = Lake(s, dir).lineitem.select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("long").as("x"),
         round(col("l_extendedprice") * 100.0d, 0).cast("long").as("y"))
-      val wx = Window.orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
-      val wy = Window.orderBy(col("y"), col("l_orderkey"), col("l_linenumber"))
-      val ranked = v
-        .withColumn("rx", row_number().over(wx).cast("long"))
-        .withColumn("ry", row_number().over(wy).cast("long"))
+      val ranked = Ranks.globalRowNumber(
+        Ranks.globalRowNumber(
+          v, Seq(col("x"), col("l_orderkey"), col("l_linenumber")), "rx"),
+        Seq(col("y"), col("l_orderkey"), col("l_linenumber")), "ry")
       ranked.agg(
           count(lit(1)).as("n"),
           sum(((col("rx") - col("ry")) * (col("rx") - col("ry")))
-            .cast("decimal(38,0)")).cast("decimal(38,0)").as("sum_d2"))
-        .select(col("n"), col("sum_d2").cast("long").as("sum_d2"),
-          (lit(1.0) - (lit(6.0) * col("sum_d2").cast("long").cast("double")) /
+            .cast("decimal(38,0)")).cast("decimal(38,0)").as("__d2"))
+        .select(col("n"), col("__d2").cast("long").as("sum_d2"),
+          (lit(1.0) - (lit(6.0) * col("__d2").cast("double")) /
             (col("n") * (col("n") * col("n") - 1)).cast("double"))
             .as("rho"))
     },
@@ -639,11 +655,10 @@ object ScaleQueries {
                  AS ry
         FROM v),
       m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-              CAST(SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS BIGINT)
-                AS sum_d2
+              SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) AS d2
             FROM ranked)
-      SELECT n, sum_d2,
-             1.0 - (6.0 * CAST(sum_d2 AS DOUBLE))
+      SELECT n, CAST(d2 AS BIGINT) AS sum_d2,
+             1.0 - (6.0 * CAST(d2 AS DOUBLE))
                / CAST(n * (n * n - 1) AS DOUBLE) AS rho
       FROM m""")
   )

@@ -200,4 +200,71 @@ object AmtLoop {
     }
     counts.result()
   }
+
+  /** File-arrival sensor — the event-driven twin of [[loop]] and the
+    * engine's answer to the reference's always-true Dagster sensor
+    * (reference dagster_config/sensors/sensor.py:8-12, which ticks every
+    * 30s and rebuilds unconditionally): block on a filesystem
+    * WatchService over the silver tree, and refresh ONLY when something
+    * actually lands. Each wake runs the same [[runOnce]] change
+    * detection, so a burst of deliveries that nets out to no endpoint
+    * drift still no-ops, and a single dropped file rebuilds exactly the
+    * views its endpoint reaches.
+    *
+    * Mechanics: every directory under `silverRoot` is registered
+    * (new directories are registered as their create events arrive, so a
+    * brand-new endpoint folder is watched from birth); after the first
+    * event of a batch, the sensor lets the delivery SETTLE for
+    * `settleMillis` and drains everything queued (multi-file drops fire
+    * one refresh, not one per file). Returns the per-wake rebuild counts.
+    * `maxEvents` bounds the life of the sensor for tests/one-shot
+    * deployments; `idleTimeoutMillis` ends it after a quiet period. */
+  def sensor(
+      spark: SparkSession,
+      silverRoot: String,
+      goldRoot: String,
+      years: Seq[String],
+      maxEvents: Int = Int.MaxValue,
+      idleTimeoutMillis: Long = Long.MaxValue,
+      settleMillis: Long = 100L
+  ): Seq[Int] = {
+    import java.nio.file.StandardWatchEventKinds._
+    val watcher = Paths.get(silverRoot).getFileSystem.newWatchService()
+    def register(dir: Path): Unit =
+      dir.register(watcher, ENTRY_CREATE, ENTRY_MODIFY, ENTRY_DELETE)
+    def registerTree(root: Path): Unit =
+      if (Files.isDirectory(root))
+        Files.walk(root).iterator().asScala
+          .filter(Files.isDirectory(_)).foreach(register)
+    registerTree(Paths.get(silverRoot))
+    val counts = Seq.newBuilder[Int]
+    var handled = 0
+    try {
+      while (handled < maxEvents) {
+        val key = watcher.poll(idleTimeoutMillis,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (key == null) return counts.result() // quiet period: sensor ends
+        // settle, then drain the whole delivery burst into ONE refresh;
+        // register any new directories so future drops inside them wake us
+        Thread.sleep(settleMillis)
+        var k = key
+        while (k != null) {
+          val dir = k.watchable().asInstanceOf[Path]
+          k.pollEvents().asScala.foreach { ev =>
+            ev.context() match {
+              case p: Path =>
+                val child = dir.resolve(p)
+                if (Files.isDirectory(child)) registerTree(child)
+              case _ => ()
+            }
+          }
+          k.reset()
+          k = watcher.poll()
+        }
+        counts += years.count(y => runOnce(spark, silverRoot, goldRoot, y))
+        handled += 1
+      }
+      counts.result()
+    } finally watcher.close()
+  }
 }

@@ -134,6 +134,64 @@ object AnalyticsScaleProbe {
           host(c + 1, h).as("dst_host")))
     }
 
+    def docsTextNx(n: Int): DataFrame =
+      Lake(spark, sfDir).documents.select("doc_id", "text")
+        .crossJoin(broadcast(rep(n)))
+        .select((col("doc_id") + col("replica") * 700000L).as("doc_id"),
+          col("text"))
+
+    // q280's two global ranks: the round-6 single-partition window vs the
+    // round-7 Ranks rewrite — same statistic, the probe shows the
+    // one-task sort tail disappear at replicas×
+    def spearmanVals(d: DataFrame): DataFrame = d.select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100.0d, 0).cast("long").as("y"))
+    def spearmanAgg(r: DataFrame): DataFrame =
+      r.agg(count(lit(1)).as("n"),
+        sum(((col("rx") - col("ry")) * (col("rx") - col("ry")))
+          .cast("decimal(38,0)")).as("d2"))
+    def spearmanWindow(d: DataFrame): DataFrame = {
+      val v = spearmanVals(d)
+      spearmanAgg(v
+        .withColumn("rx", row_number().over(
+          Window.orderBy(col("x"), col("l_orderkey"), col("l_linenumber")))
+          .cast("long"))
+        .withColumn("ry", row_number().over(
+          Window.orderBy(col("y"), col("l_orderkey"), col("l_linenumber")))
+          .cast("long")))
+    }
+    def spearmanRanks(d: DataFrame): DataFrame = {
+      val v = spearmanVals(d)
+      spearmanAgg(graft.ops.Ranks.globalRowNumber(
+        graft.ops.Ranks.globalRowNumber(
+          v, Seq(col("x"), col("l_orderkey"), col("l_linenumber")), "rx"),
+        Seq(col("y"), col("l_orderkey"), col("l_linenumber")), "ry"))
+    }
+
+    // q286's first-global-position frame: token-level global row_number
+    // (round 6) vs per-doc cumulative offsets (round 7)
+    def vocabTok(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "p", "w")
+    def vocabWindow(d: DataFrame): DataFrame =
+      vocabTok(d)
+        .withColumn("gp",
+          row_number().over(Window.orderBy("doc_id", "p")).cast("long"))
+        .groupBy("w").agg(min(col("gp")).as("first_pos"))
+    def vocabRanks(d: DataFrame): DataFrame = {
+      val tok = vocabTok(d)
+      val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("__nt"))
+      val before = graft.ops.Ranks
+        .globalCumSum(perDoc, Seq(col("doc_id")), col("__nt"), "__cum")
+        .select(col("doc_id"), (col("__cum") - col("__nt")).as("__before"))
+      tok.groupBy("w").agg(min(struct(col("doc_id"), col("p"))).as("f"))
+        .select(col("w"), col("f.doc_id").as("doc_id"), col("f.p").as("p"))
+        .join(before, Seq("doc_id"))
+        .select(col("w"),
+          (col("__before") + col("p").cast("long") + lit(1L)).as("first_pos"))
+    }
+
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     def timed(f: => Unit): Double = {
@@ -158,7 +216,19 @@ object AnalyticsScaleProbe {
         () => noop(theilSen(ordersNx(replicas)))),
       ("scc",
         () => noop(WebGraph.stronglyConnectedComponents(sccEdges(docsNx(1)))),
-        () => noop(WebGraph.stronglyConnectedComponents(sccEdges(docsNx(replicas)))))
+        () => noop(WebGraph.stronglyConnectedComponents(sccEdges(docsNx(replicas))))),
+      ("spearman_window",
+        () => noop(spearmanWindow(lineNx(1))),
+        () => noop(spearmanWindow(lineNx(replicas)))),
+      ("spearman_ranks",
+        () => noop(spearmanRanks(lineNx(1))),
+        () => noop(spearmanRanks(lineNx(replicas)))),
+      ("vocab_window",
+        () => noop(vocabWindow(docsTextNx(1))),
+        () => noop(vocabWindow(docsTextNx(replicas)))),
+      ("vocab_ranks",
+        () => noop(vocabRanks(docsTextNx(1))),
+        () => noop(vocabRanks(docsTextNx(replicas))))
     )
 
     val results = probes.map { case (name, p1, pn) =>

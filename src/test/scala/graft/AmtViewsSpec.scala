@@ -1452,6 +1452,31 @@ class AmtViewsSpec extends SparkTestBase {
     assert(!AmtLoop.runOnce(spark, silver.toString, gold, "1999"))
   }
 
+  test("file-arrival sensor: one dropped silver file provokes exactly one refresh") {
+    import graft.runner.AmtLoop
+    val silver = silverWith(
+      "gradingPeriods" -> gradingPeriodsJson,
+      "gradingPeriodDescriptors" -> gradingPeriodDescriptorsJson)
+    val gold = Files.createTempDirectory("gold-sensor").toString
+    assert(AmtLoop.runOnce(spark, silver.toString, gold, "2022")) // baseline
+    @volatile var result: Seq[Int] = null
+    val t = new Thread(() => {
+      result = AmtLoop.sensor(spark, silver.toString, gold, Seq("2022"),
+        maxEvents = 1, idleTimeoutMillis = 60000L, settleMillis = 200L)
+    })
+    t.start()
+    Thread.sleep(1000) // watch registration is a tiny directory walk
+    // the delta batch lands — the sensor must wake, refresh ONCE, and end
+    Files.writeString(
+      silver.resolve("2022").resolve("gradingPeriods")
+        .resolve("gradingPeriods_2.json"), "[]")
+    t.join(120000)
+    assert(!t.isAlive, "sensor did not wake on the file drop")
+    assert(result == Seq(1), s"expected exactly one refresh, got $result")
+    // the refresh consumed the drift: a poll-style runOnce now no-ops
+    assert(!AmtLoop.runOnce(spark, silver.toString, gold, "2022"))
+  }
+
   test("qualityReport: view key audited not-null and unique; extra checks compose") {
     import graft.ops.Audit
     val silver = silverWith(

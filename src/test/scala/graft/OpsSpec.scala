@@ -169,6 +169,25 @@ class OpsSpec extends SparkTestBase {
       ((4L, 0L, 0L, 0L)))
   }
 
+  test("Snapshot.temporalAudit: multi-row overlaps compare against the RUNNING max") {
+    // (0,100) outlives both successors: lag-1 would miss row3's overlap
+    // AND flag the covered instant 20-30 as a gap; the running max must
+    // count 2 overlaps and 0 gaps
+    val rows = Seq(
+      ("u", 0L, Some(100L)), ("u", 10L, Some(20L)), ("u", 30L, Some(40L)),
+      // a genuinely uncovered instant after the long interval closes
+      ("u", 200L, Some(210L)),
+      // an OPEN predecessor covers everything after it: w overlaps, and
+      // the open row is flagged open-not-last
+      ("w", 0L, None), ("w", 50L, Some(60L))
+    ).map { case (k, f, t) => (k, f, t.map(java.lang.Long.valueOf).orNull) }
+      .toDF("k", "f", "t")
+    val r = graft.ops.Snapshot.temporalAudit(rows, "k", "f", "t").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 3L, 1L, 1L)),
+      s"expected (6 rows, 3 overlaps, 1 gap, 1 open-not-last), got $r")
+  }
+
   test("Joins.asofJoin: epoch-long ts columns work (no hardcoded timestamp cast)") {
     // event tables commonly carry bigint epoch millis; the null __rts
     // sentinel must take the RIGHT side's ts type, not assume timestamp
@@ -809,9 +828,24 @@ class OpsSpec extends SparkTestBase {
     // B: |1·6−2·2| + |1·6−1·2| + absent x 3·2 = 2+4+6 = 12 → TVD 12/24 = 0.5
     val out = Audit.tCloseness(df, Seq("qc"), "sv", tNum = 3, tDen = 10)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDecimal(2).longValueExact(), r.getBoolean(3))).toMap
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
     assert(out("A") == ((4L, 12L, false)), "TVD 0.25 < t = 0.3 passes")
     assert(out("B") == ((2L, 12L, true)), "TVD 0.5 > t = 0.3 is at risk")
+  }
+
+  test("Audit.tCloseness: NULL sensitive values join the distribution, not the absent fold") {
+    // global: x=1, null=3 over N=4. The null-safe join must give the null
+    // cells their real global mass; before the fix they dropped out of the
+    // inner join and were double-counted as absent mass.
+    val df = Seq(("A", Some("x")), ("A", None), ("B", None), ("B", None))
+      .map { case (q, s) => (q, s.orNull) }.toDF("qc", "sv")
+    // A: |1·4−1·2| + |1·4−3·2| = 4 (nothing absent: x and null both present)
+    // B: |2·4−3·2| = 2 + absent x mass 1·2 = 4 → TVD 4/16 = 0.25 for both
+    val out = Audit.tCloseness(df, Seq("qc"), "sv", tNum = 1, tDen = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out("A") == ((2L, 4L, true)), "TVD 0.25 > t = 0.2 flags A")
+    assert(out("B") == ((2L, 4L, true)), "TVD 0.25 > t = 0.2 flags B")
   }
 
   test("Snapshot.applyChanges: upsert, tombstone, replay idempotence") {

@@ -605,6 +605,50 @@ class PlanSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("no registered query plans a single-partition global window (bounded frames allowlisted)") {
+    // Window.orderBy with no partitionBy ships EVERY row through one task —
+    // the classic 100 TB scale-killer (round-6 audit #3). Rank/quantile
+    // queries must ride ops.Ranks instead. The allowlist names the queries
+    // whose partition-less windows run over frames bounded by something
+    // other than data size, each with its justification; anything else
+    // fails the build.
+    val allowed: Map[String, String] = Map(
+      "q288_lorenz_deciles" ->
+        "cumulative over the 10-row decile frame (customer rank itself rides Ranks)",
+      "q182_shard_skew" ->
+        "share-of-total over the nShards=8 aggregate frame",
+      "q199_user_growth_curve" ->
+        "running sum over the DISTINCT-day grid — calendar-bounded",
+      "q155_chi2_independence" ->
+        "marginals over the status×priority contingency cells — category-domain-bounded",
+      "q156_lang_divergence" ->
+        "global total over the source×lang grid — category-domain-bounded",
+      "q216_sorted_neighborhood" ->
+        "block sequence number over DISTINCT 2-char block keys — key-prefix-domain-bounded (Linkage.scala:146)",
+      "q233_snm_linkage" ->
+        "same block-sequence window via Linkage.sortedNeighborhood as q216",
+      "q248_acf_daily" ->
+        "lagged windows over the per-day aggregate — calendar-bounded",
+      "q249_rolling_median" ->
+        "7-day rolling window over the per-day aggregate — calendar-bounded",
+      "q250_mom_growth" ->
+        "lag over the per-month aggregate — calendar-bounded",
+      "q260_theil_sen" ->
+        "median-of-slopes rank over the day-pair frame — calendar-bounded (days², not rows)",
+      "q270_hampel_filter" ->
+        "7-day rolling window over the per-day aggregate — calendar-bounded")
+    val offenders = Registry.all.flatMap { q =>
+      val globals = q.run(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty && !allowed.contains(q.name)) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"single-partition global windows in: ${offenders.mkString(", ")} — " +
+        "route through ops.Ranks or allowlist with a bounded-frame justification")
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes the fact partition scan") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-dpp").toString

@@ -67,6 +67,39 @@ class VerifySpec extends SparkTestBase {
       Seq("q_a" -> 1.0), failed = Seq("q_new_fail"), prev = Map("q_a" -> 2.0))
     assert(out.toMap === Map("q_a" -> 1.0))
   }
+
+  test("unhashableColumns flags decimal/array/map/struct/binary, passes scalars") {
+    val bad = StructType(Seq(
+      StructField("ok_long", LongType),
+      StructField("dec", DecimalType(38, 0)),
+      StructField("arr", ArrayType(LongType)),
+      StructField("mp", MapType(StringType, LongType)),
+      StructField("st", StructType(Seq(StructField("x", LongType)))),
+      StructField("bin", BinaryType)))
+    assert(VerifyCore.unhashableColumns(bad).map(_.takeWhile(_ != ':')) ===
+      Seq("dec", "arr", "mp", "st", "bin"))
+    val good = StructType(Seq(
+      StructField("l", LongType), StructField("d", DoubleType),
+      StructField("s", StringType), StructField("b", BooleanType),
+      StructField("dt", DateType), StructField("ts", TimestampType),
+      StructField("i", IntegerType)))
+    assert(VerifyCore.unhashableColumns(good).isEmpty)
+  }
+
+  test("no registered query emits a column the driver's hash gate cannot compare") {
+    // round-6 lesson: q253 (the registry's only decimal output) and q207
+    // (its only array output) were VALUE-correct yet non-green — the
+    // driver's pandas hasher can't equate decimal128 with HUGEINT and
+    // crashes sorting ndarray cells. This sweep makes the whole class of
+    // failure impossible to reintroduce.
+    val offenders = graft.queries.Registry.all.flatMap { qr =>
+      VerifyCore.unhashableColumns(qr.run(spark, sfDir).schema)
+        .map(c => s"${qr.name} -> $c")
+    }
+    assert(offenders.isEmpty,
+      s"unhashable output columns (flatten to scalars or cast):\n  " +
+        offenders.mkString("\n  "))
+  }
 }
 
 /** Pins the schema [[Lake]] exposes for every driver table — the normalized
