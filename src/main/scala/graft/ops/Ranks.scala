@@ -40,6 +40,13 @@ import org.apache.spark.sql.functions._
   * Determinism contract (same as any `row_number`): `sortCols` should form
   * a total order (include a unique tiebreaker). Ties still produce a valid
   * permutation, but which tied row gets which number is not pinned.
+  *
+  * MEASURED (AnalyticsScaleProbe, sf0.1 ×10 rows, local[32]): the q280
+  * Spearman double-rank grows 1.89 s → 16.7 s (8.8×) through the global
+  * window but 1.64 s → 6.37 s (3.9×) through [[globalRowNumber]]; the
+  * q286 vocab first-position frame grows 0.46 s → 2.93 s (6.4×) windowed
+  * vs 0.67 s → 2.08 s (3.1×) through [[globalCumSum]] — the single-task
+  * sort tail is the difference, and it widens with every further ×.
   */
 object Ranks {
 

@@ -6114,6 +6114,129 @@ object PipelineQueries {
       FROM per""")
   )
 
+  // --------------------------------------------------------------- q293
+  /** Trigram novelty rate — how much of each document's 3-gram type set
+    * appears here FIRST (in deterministic doc_id order): the
+    * memorization/contamination counterpart of the q30-q33 dedup family,
+    * read from the other side. A doc whose trigrams all debuted earlier
+    * is boilerplate or a near-copy even when no single pair crosses a
+    * dedup threshold; a curriculum that front-loads high-novelty docs
+    * maximizes early token diversity. Each trigram's first document is a
+    * plain min aggregate over the [[graft.ops.Dedup.shingles]] frame —
+    * no global order over tokens, no pair join, two data-sized shuffles
+    * (shingle, then doc). Docs under 3 words have no trigram types and
+    * drop out in both engines alike. */
+  private val q293 = Q(
+    "q293_trigram_novelty",
+    (s, dir) => {
+      val sh = Dedup.shingles(Lake(s, dir).documents, "doc_id", "text", 3)
+      val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("shingle"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_types"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_types").cast("double"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w2 AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+             FROM w2, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+      SELECT sh.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel,
+             CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+      FROM sh JOIN f USING (shingle)
+      GROUP BY sh.doc_id ORDER BY sh.doc_id""")
+  )
+
+  // --------------------------------------------------------------- q294
+  /** Zipf rank-frequency profile — the top-30 corpus words with their
+    * global frequency rank and the rank·count product (Zipf's law says
+    * the product is roughly flat; a corpus whose head products SLOPE is
+    * template-heavy or deduplicated wrong — the log-free twin of the
+    * q286 vocabulary curve, same discipline as q173). The rank is a
+    * DESCENDING [[graft.ops.Ranks.globalRowNumber]] over the word-count
+    * frame — vocabulary is data-sized (hapax mass), so this is exactly
+    * the frame that must never funnel through one task. */
+  private val q294 = Q(
+    "q294_zipf_profile",
+    (s, dir) => {
+      val counts = Lake(s, dir).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      Ranks.globalRowNumber(counts, Seq(col("n").desc, col("w")), "rank")
+        .filter(col("rank") <= 30)
+        .select(col("rank"), col("w"), col("n"),
+          (col("rank") * col("n")).as("rank_freq"))
+        .orderBy("rank")
+    },
+    Some("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+      r AS (SELECT w, n,
+               CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT)
+                 AS rank
+            FROM c)
+      SELECT rank, w, n, rank * n AS rank_freq
+      FROM r WHERE rank <= 30 ORDER BY rank""")
+  )
+
+  // --------------------------------------------------------------- q295
+  /** Token-budget curriculum cut — "fill a 10k-token training budget
+    * with the densest documents": docs ordered by an exact integer
+    * quality proxy (tokens per 1000 chars — per-mille word density,
+    * no floats in the ORDER) descending, selected while the RUNNING
+    * token total stays within budget, reported per source. The running
+    * total is [[graft.ops.Ranks.globalCumSum]] over the (score desc,
+    * doc_id) order — the data-sized cut that makes greedy budget fills
+    * viable at corpus scale, where a single-partition cumsum would be
+    * the whole job's tail. The per-source rollup is the mixture report
+    * a curriculum change ships with. */
+  private val q295 = Q(
+    "q295_budget_curriculum",
+    (s, dir) => {
+      val budget = 10000L
+      val d = Lake(s, dir).documents.select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        col("n_chars"))
+        .withColumn("score", expr("(n_tok * 1000) div n_chars"))
+      Ranks.globalCumSum(
+          d, Seq(col("score").desc, col("doc_id")), col("n_tok"), "cum")
+        .filter(col("cum") <= budget)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_selected"),
+          sum(col("n_tok")).as("tokens"),
+          min(col("score")).as("min_score"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               n_chars
+             FROM documents),
+      s AS (SELECT *, (n_tok * 1000) // n_chars AS score FROM t),
+      c AS (SELECT *, SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM s)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens,
+             CAST(MIN(score) AS BIGINT) AS min_score
+      FROM c WHERE cum <= 10000
+      GROUP BY source ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -6123,5 +6246,6 @@ object PipelineQueries {
     q133, q134, q138, q139, q141, q142, q143, q145, q146, q147, q149, q150,
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
-    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264, q265, q268, q273, q274, q275, q281, q283, q286)
+    q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264,
+    q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295)
 }

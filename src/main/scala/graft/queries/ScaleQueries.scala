@@ -721,6 +721,174 @@ object ScaleQueries {
       ORDER BY p_brand""")
   )
 
+  // --------------------------------------------------------------- q291
+  /** Two-sample Kolmogorov–Smirnov statistic between the English and
+    * non-English document-length distributions — the distribution-drift
+    * gate a mixture rebalance or a new crawl source must pass before its
+    * documents join training ("same length profile, or did the tokenizer
+    * budget just shift?"). Exact end to end, the repo's
+    * no-transcendentals discipline applied to an ECDF statistic:
+    * with per-distinct-value group counts c1, c2 and running totals
+    * cum1, cum2 (both via [[graft.ops.Ranks.globalCumSum]] — distributed,
+    * never a single-task sort), `D = max |cum1/n1 − cum2/n2|` is computed
+    * as the INTEGER `d_scaled = max |cum1·n2 − cum2·n1|` and divided
+    * once; ties are handled exactly because the ECDFs are evaluated after
+    * folding each distinct value's full mass (the right-continuous
+    * convention, identical in both engines). d_scaled ≤ n1·n2, so the
+    * BIGINT is lossless until n1·n2 ≥ 2^63 (~3·10^9 docs per side) —
+    * past that, keep the per-value normalized doubles instead. */
+  private val q291 = Q(
+    "q291_ks_two_sample",
+    (s, dir) => {
+      val d = Lake(s, dir).documents.select(col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("g1"))
+      val cells = d.groupBy("n_chars").agg(
+        sum(col("g1")).as("c1"),
+        sum(lit(1L) - col("g1")).as("c2"))
+      val cum = Ranks.globalCumSum(
+        Ranks.globalCumSum(cells, Seq(col("n_chars")), col("c1"), "cum1"),
+        Seq(col("n_chars")), col("c2"), "cum2")
+      val tot = cells.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .as("d_scaled"))
+        .crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"), col("d_scaled"),
+          (col("d_scaled").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")))
+            .as("ks_stat"))
+    },
+    Some("""
+      WITH d AS (SELECT n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g1
+             FROM documents),
+      cells AS (SELECT n_chars, CAST(SUM(g1) AS BIGINT) AS c1,
+               CAST(SUM(1 - g1) AS BIGINT) AS c2
+             FROM d GROUP BY 1),
+      cum AS (SELECT
+               SUM(c1) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+               SUM(c2) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+             FROM cells),
+      tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2 FROM cells),
+      m AS (SELECT CAST(MAX(ABS(cum1 * n2 - cum2 * n1)) AS BIGINT)
+               AS d_scaled
+            FROM cum CROSS JOIN tot)
+      SELECT n1, n2, d_scaled,
+             CAST(d_scaled AS DOUBLE) /
+               (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
+      FROM m CROSS JOIN tot""")
+  )
+
+  // --------------------------------------------------------------- q292
+  /** 10%-trimmed mean of per-customer order value — the robust center
+    * q206's Gini complements: drop the bottom and top k = n div 10
+    * customers by exact rank (ties broken by key, identically in both
+    * engines — a trimmed mean is only reproducible if the trim boundary
+    * is), then one exact integer sum over the kept band and ONE double
+    * division. The rank rides [[graft.ops.Ranks.globalRowNumber]]; the
+    * kept-band sum stays DECIMAL internally (cents × customers is
+    * quadratic-ish at warehouse scale) and the reported total is
+    * gate-lossless BIGINT, q253 convention. */
+  private val q292 = Q(
+    "q292_trimmed_mean",
+    (s, dir) => {
+      val per = Lake(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100.0d, 0).cast("long"))
+          .as("cents"))
+      val ranked = Ranks.globalRowNumber(
+        per, Seq(col("cents"), col("o_custkey")), "rn")
+      val n = per.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("k", expr("n div 10"))
+        .filter(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+        .agg(
+          first(col("n")).as("n"),
+          first(col("k")).as("k"),
+          count(lit(1)).as("n_kept"),
+          sum(col("cents").cast("decimal(38,0)")).as("__kept"))
+        .select(col("n"), col("k"), col("n_kept"),
+          col("__kept").cast("long").as("kept_cents"),
+          (col("__kept").cast("double") / col("n_kept").cast("double"))
+            .as("trimmed_mean_cents"))
+    },
+    Some("""
+      WITH per AS (SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS cents
+             FROM orders GROUP BY 1),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, COUNT(*) // 10 AS k
+            FROM per),
+      ranked AS (SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS rn
+             FROM per),
+      kept AS (SELECT cents FROM ranked CROSS JOIN n
+               WHERE rn > k AND rn <= n - k),
+      agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+               SUM(CAST(cents AS HUGEINT)) AS kept
+              FROM kept)
+      SELECT n, CAST(k AS BIGINT) AS k, n_kept,
+             CAST(kept AS BIGINT) AS kept_cents,
+             CAST(kept AS DOUBLE) / CAST(n_kept AS DOUBLE)
+               AS trimmed_mean_cents
+      FROM agg CROSS JOIN n""")
+  )
+
+  // --------------------------------------------------------------- q296
+  /** Exact global quantile table of order values — p1/p5/p25/p50/p75/
+    * p95/p99 as REAL observed data points (the clipping/normalization
+    * table a feature pipeline ships; approximate sketches drift between
+    * engines, so the gate wants the order statistic itself). Quantile
+    * index is the exact integer `⌈p·n⌉ = (p_mille·n + 999) div 1000`
+    * over the unique (cents, custkey) total order; the rank rides
+    * [[graft.ops.Ranks.globalRowNumber]], and the seven probes pick
+    * their rows with one broadcast semi-join — one data shuffle, no
+    * single-task sort, no interpolation arithmetic to disagree on. */
+  private val q296 = Q(
+    "q296_exact_quantiles",
+    (s, dir) => {
+      val per = Lake(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100.0d, 0).cast("long"))
+          .as("cents"))
+      val ranked = Ranks.globalRowNumber(
+        per, Seq(col("cents"), col("o_custkey")), "rn")
+      val n = per.agg(count(lit(1)).as("n"))
+      val probes = s.createDataFrame(
+        java.util.Arrays.asList(
+          Seq(10L, 50L, 250L, 500L, 750L, 950L, 990L)
+            .map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("p_mille",
+            org.apache.spark.sql.types.LongType))))
+      ranked.crossJoin(broadcast(n))
+        .join(broadcast(probes),
+          col("rn") === expr("(p_mille * n + 999) div 1000"))
+        .select(col("p_mille"), col("rn").as("rank"),
+          col("cents").as("value_cents"))
+        .orderBy("p_mille")
+    },
+    Some("""
+      WITH per AS (SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS cents
+             FROM orders GROUP BY 1),
+      ranked AS (SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, o_custkey)
+                 AS BIGINT) AS rn
+             FROM per),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+      p(p_mille) AS (VALUES (CAST(10 AS BIGINT)), (50), (250), (500),
+                            (750), (950), (990))
+      SELECT p_mille, rn AS rank, cents AS value_cents
+      FROM ranked CROSS JOIN n
+      JOIN p ON rn = (p_mille * n + 999) // 1000
+      ORDER BY p_mille""")
+  )
+
   val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173,
-    q177, q178, q206, q253, q266, q280, q289)
+    q177, q178, q206, q253, q266, q280, q289, q291, q292, q296)
 }
