@@ -100,21 +100,38 @@ object Ranks {
     * task). Appends `out` (LongType, inclusive of the current row); the
     * exclusive form is `out - valueCol`. `valueCol` must be integral. */
   def globalCumSum(
-      df: DataFrame, sortCols: Seq[Column], valueCol: Column, out: String): DataFrame = {
-    require(sortCols.nonEmpty, "globalCumSum needs at least one sort column")
-    val ranged = df
-      .repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__v", valueCol.cast("long"))
+      df: DataFrame, sortCols: Seq[Column], valueCol: Column, out: String): DataFrame =
+    globalCumSums(df, sortCols, Seq(valueCol -> out))
+
+  /** [[globalCumSum]] for several value columns over ONE shared order:
+    * the data rides a single range exchange and a single per-partition
+    * window node (k window functions over the same spec); only the
+    * O(#partitions) offset frames — one tiny broadcast per column — are
+    * per-column. q291's paired ECDFs ride this. */
+  def globalCumSums(
+      df: DataFrame, sortCols: Seq[Column], values: Seq[(Column, String)]): DataFrame = {
+    require(sortCols.nonEmpty, "globalCumSums needs at least one sort column")
+    require(values.nonEmpty, "globalCumSums needs at least one value column")
+    val tmp = values.zipWithIndex.map { case ((c, out), i) => (s"__v$i", c, out) }
+    val ranged = tmp.foldLeft(
+        df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)) {
+        case (acc, (v, c, _)) => acc.withColumn(v, c.cast("long"))
+      }
       .withColumn("__pid", spark_partition_id().cast("long"))
     val sums = ranged.groupBy(col("__pid"))
-      .agg(sum(col("__v")).as("__cnt"))
+      .agg(sum(col(tmp.head._1)).as(s"__cnt_${tmp.head._1}"),
+        tmp.tail.map(t => sum(col(t._1)).as(s"__cnt_${t._1}")): _*)
     val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .join(broadcast(offsetsFrame(sums)), Seq("__pid"))
-      .withColumn(out, col("__off") + sum(col("__v")).over(w))
-      .drop("__pid", "__off", "__v")
+    val joined = tmp.foldLeft(ranged) { case (acc, (v, _, _)) =>
+      acc.join(broadcast(
+        offsetsFrame(sums.select(col("__pid"), col(s"__cnt_$v").as("__cnt")))
+          .withColumnRenamed("__off", s"__off_$v")), Seq("__pid"))
+    }
+    tmp.foldLeft(joined) { case (acc, (v, _, out)) =>
+        acc.withColumn(out, col(s"__off_$v") + sum(col(v)).over(w))
+      }
+      .drop("__pid" +: tmp.flatMap(t => Seq(t._1, s"__off_${t._1}")): _*)
   }
 
   /** `ntile(buckets) over (order by …)` reconstructed from a global row

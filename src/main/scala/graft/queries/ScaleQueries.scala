@@ -745,9 +745,8 @@ object ScaleQueries {
       val cells = d.groupBy("n_chars").agg(
         sum(col("g1")).as("c1"),
         sum(lit(1L) - col("g1")).as("c2"))
-      val cum = Ranks.globalCumSum(
-        Ranks.globalCumSum(cells, Seq(col("n_chars")), col("c1"), "cum1"),
-        Seq(col("n_chars")), col("c2"), "cum2")
+      val cum = Ranks.globalCumSums(cells, Seq(col("n_chars")),
+        Seq(col("c1") -> "cum1", col("c2") -> "cum2"))
       val tot = cells.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       cum.crossJoin(broadcast(tot))
         .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))

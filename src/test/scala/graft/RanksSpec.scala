@@ -95,4 +95,44 @@ class RanksSpec extends SparkTestBase {
     assert(Ranks.globalRowNumber(df, Seq(col("id")), "rn").count() === 0L)
     assert(Ranks.globalCumSum(df, Seq(col("id")), col("id"), "cs").count() === 0L)
   }
+
+  test("globalCumSums: several running sums share one order and one window pass") {
+    val df = spark.range(0, 2000).select(
+      (col("id") * 69621L % 400L).as("k"), col("id"),
+      (col("id") % 7L).as("a"), (col("id") % 11L).as("b"))
+    val w = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+    val actual = Ranks.globalCumSums(df, Seq(col("k"), col("id")),
+      Seq(col("a") -> "ca", col("b") -> "cb"))
+    assert(actual.except(expected).isEmpty && expected.except(actual).isEmpty)
+    assert(globalWindows(actual).isEmpty)
+    // one Window NODE carrying both running sums, not one per column
+    val windows = actual.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size === 1,
+      s"both cumsums must share one window node, got ${windows.size}")
+  }
+
+  test("law: globalRowNumber is the unique order-consistent bijection 1..n") {
+    // randomized shapes: skewed keys, duplicates in the non-key column,
+    // row counts that don't divide the partition count
+    for (seed <- Seq(1L, 7L, 42L)) {
+      val n = 997 + seed * 131
+      val df = spark.range(0, n).select(
+        ((col("id") * 48271L + seed) % 97L).as("k"),
+        col("id"))
+      val got = Ranks.globalRowNumber(df, Seq(col("k"), col("id")), "rn")
+        .select("k", "id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(_._3).sorted.toSeq === (1L to n).toSeq,
+        s"seed=$seed: row numbers must be a bijection onto 1..$n")
+      val bySort = got.sortBy(t => (t._1, t._2)).map(_._3).toSeq
+      assert(bySort === (1L to n).toSeq,
+        s"seed=$seed: row numbers must follow the (k, id) order")
+    }
+  }
 }
