@@ -1173,7 +1173,105 @@ object BehaviorQueries {
       ORDER BY cohort""")
   )
 
+  // --------------------------------------------------------------- q298
+  /** CUPED-adjusted A/B readout — the variance-reduction standard of
+    * every experimentation platform (Deng et al. 2013): each user's
+    * post-period value is adjusted by θ·(pre − mean(pre)) using the
+    * PRE-experiment covariate, shrinking variance without biasing the
+    * delta. Everything before the final doubles is exact: per-user
+    * pre/post cent sums (pre = Jan 1–15, post = the q282 bounded
+    * Jan 16–30 window; population = users with pre activity, the
+    * leakage-safe frame), pooled moments in DECIMAL/HUGEINT, and
+    * θ = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) plus the per-variant
+    * `mean_adj = ȳ_v − θ·(x̄_v − x̄)` assembled with the identical
+    * per-operand double casts on both engines (the q154/q289 moment
+    * discipline applied to an experimentation op). One data-sized
+    * aggregate, a 2-row variant rollup, a broadcast 1-row moment frame. */
+  private val q298 = Q(
+    "q298_cuped_ab",
+    (s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val lo = to_timestamp(lit("2024-01-16"))
+      val hi = to_timestamp(lit("2024-01-31"))
+      val cents = round(col("value") * 100.0d, 0).cast("long")
+      val per = Lake(s, dir).events
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("ts") < lo, cents).otherwise(0L)).as("pre"),
+          sum(when(col("ts") >= lo && col("ts") < hi, cents).otherwise(0L))
+            .as("post"),
+          sum(when(col("ts") < lo, 1L).otherwise(0L)).as("n_pre"))
+        .filter(col("n_pre") > 0)
+        .withColumn("variant", pmod(col("user_id"), lit(2L)))
+      val m = per.agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("pre"))).as("sx"),
+        sum(dec(col("post"))).as("sy"),
+        sum(dec(col("pre")) * dec(col("pre"))).as("sxx"),
+        sum(dec(col("pre")) * dec(col("post"))).as("sxy"))
+      val theta =
+        (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+      per.groupBy("variant")
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(dec(col("pre"))).as("sx_v"),
+          sum(dec(col("post"))).as("sy_v"))
+        .crossJoin(broadcast(m))
+        .select(col("variant"), col("n_users"),
+          col("sx_v").cast("long").as("sum_pre_cents"),
+          col("sy_v").cast("long").as("sum_post_cents"),
+          theta.as("theta"),
+          (d(col("sy_v")) / d(col("n_users")) -
+            theta * (d(col("sx_v")) / d(col("n_users")) -
+              d(col("sx")) / d(col("n")))).as("mean_adj_cents"))
+        .orderBy("variant")
+    },
+    Some("""
+      WITH per AS (
+        SELECT user_id,
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+            THEN CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS pre,
+          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                         AND ts < TIMESTAMP '2024-01-31'
+            THEN CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS post,
+          SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+            AS n_pre
+        FROM events GROUP BY user_id
+        HAVING SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+          > 0),
+      v AS (SELECT *, user_id % 2 AS variant FROM per),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(pre) AS HUGEINT) AS sx,
+              CAST(SUM(post) AS HUGEINT) AS sy,
+              SUM(CAST(pre AS HUGEINT) * pre) AS sxx,
+              SUM(CAST(pre AS HUGEINT) * post) AS sxy
+            FROM v),
+      g AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(SUM(pre) AS HUGEINT) AS sx_v,
+              CAST(SUM(post) AS HUGEINT) AS sy_v
+            FROM v GROUP BY 1)
+      SELECT CAST(variant AS BIGINT) AS variant, n_users,
+             CAST(sx_v AS BIGINT) AS sum_pre_cents,
+             CAST(sy_v AS BIGINT) AS sum_post_cents,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+             CAST(sy_v AS DOUBLE) / CAST(n_users AS DOUBLE) -
+               ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+               (CAST(sx_v AS DOUBLE) / CAST(n_users AS DOUBLE)
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_adj_cents
+      FROM g CROSS JOIN m ORDER BY variant""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
     q176, q179, q180, q181, q183, q186, q198, q199, q205, q238, q269, q272,
-    q276, q278, q282, q290)
+    q276, q278, q282, q290, q298)
 }

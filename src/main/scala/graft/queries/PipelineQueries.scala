@@ -6237,6 +6237,151 @@ object PipelineQueries {
       GROUP BY source ORDER BY source""")
   )
 
+  // --------------------------------------------------------------- q297
+  /** Temperature-scaled mixture plan (τ = 0.5) — the multilingual-
+    * pretraining sampling rule: source weights ∝ share^τ, which lifts
+    * low-resource sources without letting any source dominate. With
+    * τ = 1/2 the weight is `√n_i / Σ_j √n_j` — sqrt is IEEE-correctly
+    * rounded (the q156 rule: no ln/exp in a gate, √ is exempt), and the
+    * denominator folds a SOURCE-SORTED list so no partition fold order
+    * leaks into the double. Each source also gets its integer epoch
+    * count `repeats = ⌈target/n⌉` — the "how many times must this
+    * source repeat to fill its quota" column a data-loading plan ships
+    * with; upsampled (repeats > 1) sources are exactly the lifted tail.
+    * One data-sized aggregate; everything after is #sources-sized. */
+  private val q297 = Q(
+    "q297_temperature_mix",
+    (s, dir) => {
+      val budget = 1000000.0d
+      val per = Lake(s, dir).documents
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val z = per
+        .agg(sort_array(collect_list(struct(col("source"),
+          sqrt(col("n_tokens").cast("double")).as("s")))).as("arr"))
+        .select(aggregate(col("arr"), lit(0.0d), (a, x) => a + x("s")).as("z"))
+      per.crossJoin(broadcast(z))
+        .withColumn("weight",
+          sqrt(col("n_tokens").cast("double")) / col("z"))
+        .withColumn("target_tokens",
+          floor(col("weight") * lit(budget)).cast("long"))
+        .withColumn("repeats",
+          expr("(target_tokens + n_tokens - 1) div n_tokens"))
+        .select("source", "n_tokens", "weight", "target_tokens", "repeats")
+        .orderBy("source")
+    },
+    Some("""
+      WITH per AS (SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY 1),
+      z AS (SELECT list_reduce(list_prepend(0.0,
+               list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)),
+               (a, b) -> a + b) AS z
+            FROM per)
+      SELECT source, n_tokens,
+             sqrt(CAST(n_tokens AS DOUBLE)) / z AS weight,
+             CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) / z * 1000000.0)
+               AS BIGINT) AS target_tokens,
+             (CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) / z * 1000000.0)
+               AS BIGINT) + n_tokens - 1) // n_tokens AS repeats
+      FROM per CROSS JOIN z ORDER BY source""")
+  )
+
+  // --------------------------------------------------------------- q299
+  /** Johnson–Lindenstrauss ±1 sketch — the 64-dim embeddings projected
+    * to 8 dimensions through a DETERMINISTIC Rademacher matrix
+    * (sign(j,d) = parity of the first md5 nibble of "j#d"): the
+    * cheap distance-preserving compression in front of an ANN index
+    * when the full vector is too wide to shuffle. No randomness at
+    * runtime — the matrix is a pure hash function, so any executor (or
+    * engine) regenerates it bit-identically. Each output coordinate is
+    * one strict left fold over d = 1..64 (the q34/q35 dot-product
+    * discipline: identical associativity in both engines, float→double
+    * per element before any add). Gated on the first 50 vectors. */
+  private val q299 = Q(
+    "q299_jl_sketch",
+    (s, dir) => {
+      def sign(j: Int, d: org.apache.spark.sql.Column) =
+        when(conv(substring(md5(
+            concat(lit(s"$j#"), d.cast("string"))), 1, 1), 16, 10)
+          .cast("long") % 2 === 0, lit(1.0d)).otherwise(lit(-1.0d))
+      val projections = (0 until 8).map { j =>
+        aggregate(sequence(lit(1), lit(64)), lit(0.0d),
+          (acc, d) => acc +
+            sign(j, d) * element_at(col("embedding"), d).cast("double"))
+          .as(s"p$j")
+      }
+      Lake(s, dir).embeddings
+        .filter(col("vec_id") < 50)
+        .select(col("vec_id") +: col("label").cast("long").as("label") +:
+          projections: _*)
+        .orderBy("vec_id")
+    },
+    Some {
+      def nib(j: Int) =
+        s"(strpos('0123456789abcdef', substr(md5('$j#' || CAST(d AS VARCHAR)), 1, 1)) - 1)"
+      val cols = (0 until 8).map { j =>
+        s"""list_reduce(list_prepend(0.0,
+           |  [(CASE WHEN ${nib(j)} % 2 = 0 THEN 1.0 ELSE -1.0 END)
+           |     * CAST(embedding[d] AS DOUBLE)
+           |   for d in generate_series(1, 64)]),
+           |  (a, b) -> a + b) AS p$j""".stripMargin
+      }.mkString(",\n             ")
+      s"""
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             $cols
+      FROM embeddings WHERE vec_id < 50 ORDER BY vec_id"""
+    }
+  )
+
+  // --------------------------------------------------------------- q300
+  /** Label-stratified train/val/test allocation — the leakage-free split
+    * every evaluation pipeline starts from: within each label, members
+    * are ordered by a salted content hash (rerun-stable, growth-stable
+    * for existing ids — the q51/q145 determinism rule) and cut at the
+    * EXACT cumulative boundaries b1 = (n·8) div 10, b2 = (n·9) div 10.
+    * Cumulative flooring makes the three sizes sum to n per label with
+    * no remainder logic and no engine rounding convention; per-label
+    * ranks are ordinary partitioned windows (labels are the parallel
+    * unit — never a global sort). Output: the (label, split) census a
+    * datasheet reports. */
+  private val q300 = Q(
+    "q300_stratified_split",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(concat(lit("split"), col("vec_id").cast("string")))
+      val ranked = Lake(s, dir).embeddings
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy(h, col("vec_id"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("label")))
+      ranked
+        .withColumn("split",
+          when(col("rn") <= expr("(n * 8) div 10"), "train")
+            .when(col("rn") <= expr("(n * 9) div 10"), "val")
+            .otherwise("test"))
+        .groupBy("label", "split")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("label", "split")
+    },
+    Some("""
+      WITH r AS (
+        SELECT label,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY md5('split' || CAST(vec_id AS VARCHAR)), vec_id)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY label) AS n
+        FROM embeddings),
+      sp AS (SELECT label,
+               CASE WHEN rn <= (n * 8) // 10 THEN 'train'
+                    WHEN rn <= (n * 9) // 10 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM r)
+      SELECT CAST(label AS BIGINT) AS label, split,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM sp GROUP BY 1, 2 ORDER BY label, split""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -6247,5 +6392,5 @@ object PipelineQueries {
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
     q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264,
-    q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295)
+    q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300)
 }
