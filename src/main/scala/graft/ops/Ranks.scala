@@ -41,6 +41,12 @@ import org.apache.spark.sql.functions._
   * a total order (include a unique tiebreaker). Ties still produce a valid
   * permutation, but which tied row gets which number is not pinned.
   *
+  * The tiebreaker is also the SKEW defense: range boundaries are tuples
+  * over ALL sortCols, so a key carrying half the table is still split
+  * across partitions by the tiebreaker — no straggler task, unlike a
+  * partition on the key alone (RanksSpec pins this under a 100%-skewed
+  * key).
+  *
   * MEASURED (AnalyticsScaleProbe, sf0.1 ×10 rows, local[32]): the q280
   * Spearman double-rank grows 1.89 s → 16.7 s (8.8×) through the global
   * window but 1.64 s → 6.37 s (3.9×) through [[globalRowNumber]]; the

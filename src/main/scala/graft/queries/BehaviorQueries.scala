@@ -1271,7 +1271,55 @@ object BehaviorQueries {
       FROM g CROSS JOIN m ORDER BY variant""")
   )
 
+  // --------------------------------------------------------------- q301
+  /** Incremental global sequence numbers for an append-only log — the
+    * maintenance story for [[graft.ops.Ranks.globalRowNumber]]: when new
+    * data sorts strictly AFTER everything already ranked (monotone
+    * event time, the append-only lake's normal case), the new batch's
+    * global positions are just `old_total + rank_within_batch` — O(batch)
+    * work, history untouched, the q54 incremental-dedup discipline
+    * applied to ordering. This gate derives ranks incrementally (history
+    * before Jan 16 ranked on its own; the later batch ranked on its own
+    * and offset by one broadcast count) and the ORACLE ranks the whole
+    * log in one pass — hash equality IS the proof that the incremental
+    * path reproduces the full recompute. Per-day rollup keeps the gate
+    * compact: contiguous min/max ranks per day also witness that no
+    * position was skipped or doubled. */
+  private val q301 = Q(
+    "q301_incremental_rank",
+    (s, dir) => {
+      import graft.ops.Ranks
+      val cutoff = to_timestamp(lit("2024-01-16"))
+      val ev = Lake(s, dir).events.select(col("event_id"), col("ts"))
+      val hist = ev.filter(col("ts") < cutoff)
+      val batch = ev.filter(col("ts") >= cutoff)
+      val histRanked = Ranks.globalRowNumber(
+        hist, Seq(col("ts"), col("event_id")), "grank")
+      val histCount = hist.agg(count(lit(1)).as("__c"))
+      val batchRanked = Ranks.globalRowNumber(
+          batch, Seq(col("ts"), col("event_id")), "__brank")
+        .crossJoin(broadcast(histCount))
+        .select(col("event_id"), col("ts"),
+          (col("__brank") + col("__c")).as("grank"))
+      histRanked.unionByName(batchRanked)
+        .groupBy(date_format(col("ts"), "yyyyMMdd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("grank")).as("min_rank"),
+          max(col("grank")).as("max_rank"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH r AS (SELECT ts,
+               CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+                 AS grank
+             FROM events)
+      SELECT strftime(ts, '%Y%m%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(grank) AS min_rank, MAX(grank) AS max_rank
+      FROM r GROUP BY 1 ORDER BY day""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
     q176, q179, q180, q181, q183, q186, q198, q199, q205, q238, q269, q272,
-    q276, q278, q282, q290, q298)
+    q276, q278, q282, q290, q298, q301)
 }

@@ -6382,6 +6382,77 @@ object PipelineQueries {
       FROM sp GROUP BY 1, 2 ORDER BY label, split""")
   )
 
+  // --------------------------------------------------------------- q302
+  /** LSH quality self-report — the measurement every banded-dedup
+    * deployment owes its operators: against the EXACT Jaccard ≥ 0.8
+    * ground truth (q31's inverted-index chain), how many true pairs did
+    * the 16-hash / 4×4-band geometry surface as candidates (recall —
+    * banding's false negatives are silent data duplication left in the
+    * corpus), and what fraction of candidates were real (yield — the
+    * wasted verify work). Both engines replay BOTH chains and the
+    * report is three exact counts plus two guarded divisions; changing
+    * the band geometry moves these numbers, and this gate is where the
+    * move becomes visible. The ground-truth chain is gate-scale tooling;
+    * at 100 TB the recall estimate runs on a small sample stratum while
+    * the candidate chain is the production path. */
+  private val q302 = Q(
+    "q302_lsh_recall_report",
+    (s, dir) => {
+      val sh = Dedup.shingles(Lake(s, dir).documents, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = Dedup.jaccardPairs(sh, 0.8).select("doc_a", "doc_b")
+      val cand = Dedup.lshCandidates(
+        Dedup.lshBands(Dedup.minhashSignatures(sh), bands = 4, rowsPerBand = 4))
+      val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+          (col("n_truth") - col("n_hit")).as("n_missed"),
+          coalesce(col("n_hit").cast("double") /
+            nullif(col("n_truth").cast("double"), lit(0.0d)), lit(1.0d))
+            .as("recall"),
+          coalesce(col("n_hit").cast("double") /
+            nullif(col("n_candidates").cast("double"), lit(0.0d)), lit(0.0d))
+            .as("candidate_yield"))
+    },
+    Some(s"""
+      WITH $ShinglesCte,
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.8),
+      sig AS (SELECT doc_id,
+        $SigCols
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        $BandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+      hit AS (SELECT doc_a, doc_b FROM truth JOIN cand
+              USING (doc_a, doc_b)),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+      c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+      h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM hit)
+      SELECT n_truth, n_candidates, n_hit,
+             n_truth - n_hit AS n_missed,
+             COALESCE(CAST(n_hit AS DOUBLE) /
+               NULLIF(CAST(n_truth AS DOUBLE), 0.0), 1.0) AS recall,
+             COALESCE(CAST(n_hit AS DOUBLE) /
+               NULLIF(CAST(n_candidates AS DOUBLE), 0.0), 0.0)
+               AS candidate_yield
+      FROM t CROSS JOIN c CROSS JOIN h""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -6392,5 +6463,5 @@ object PipelineQueries {
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
     q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264,
-    q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300)
+    q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300, q302)
 }

@@ -117,6 +117,21 @@ class RanksSpec extends SparkTestBase {
       s"both cumsums must share one window node, got ${windows.size}")
   }
 
+  test("skew: a dominant sort key still spreads across partitions via the tiebreaker") {
+    // the property Ranks' scale story rests on: range boundaries are
+    // TUPLES over all sortCols, so a key holding 100% of the rows is
+    // still split by the unique tiebreaker — no single straggler task.
+    // (A plain hash/range partition on the key alone would put every row
+    // in one partition.)
+    val df = spark.range(0, 5000).select(lit(0L).as("k"), col("id"))
+    val spread = df.repartitionByRange(4, col("k"), col("id"))
+      .select(spark_partition_id().as("p")).distinct().count()
+    assert(spread > 1, s"constant key must spread via tiebreak, got $spread partition(s)")
+    val out = Ranks.globalRowNumber(df, Seq(col("k"), col("id")), "rn")
+      .orderBy("id").select("rn").collect().map(_.getLong(0)).toSeq
+    assert(out === (1L to 5000L), "row numbers under total skew stay correct")
+  }
+
   test("law: globalRowNumber is the unique order-consistent bijection 1..n") {
     // randomized shapes: skewed keys, duplicates in the non-key column,
     // row counts that don't divide the partition count
