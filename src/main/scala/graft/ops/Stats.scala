@@ -477,6 +477,55 @@ object Stats {
       .orderBy(rowCol, colCol)
   }
 
+  /** Cramér's V — the χ² association folded to ONE comparable scalar in
+    * [0, 1]: `V = √(χ² / (n · min(r−1, c−1)))`. Where [[chi2Cells]]
+    * answers "WHICH cells deviate", this answers "how associated are
+    * these two categoricals at all" — the number a feature-selection or
+    * redundancy audit ranks column pairs by. The cross-cell χ² sum is a
+    * fold over the CATEGORY-SORTED cell list (the [[categoricalDivergence]]
+    * discipline — partition fold order cannot leak into the double), the
+    * grid includes ABSENT cells (their expected mass counts), and √ is
+    * IEEE-exact, so the scalar hash-matches across engines. Contract:
+    * both columns non-null with ≥ 2 distinct values (V is undefined on a
+    * constant column — min(r−1, c−1) = 0). One data-sized aggregate;
+    * everything after is category-product-sized. Gated by q303. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val internal = Seq("_cv_n", "_cv_rt", "_cv_ct", "_cv_tot", "_cv_r",
+      "_cv_c", "_cv_arr", "n_rows", "n_a", "n_b", "chi2", "cramers_v")
+    require(!internal.contains(aCol) && !internal.contains(bCol),
+      s"input columns collide with cramersV internals: $aCol, $bCol")
+    val cells = df.groupBy(aCol, bCol).agg(F.count(F.lit(1)).as("_cv_n"))
+    val rows = cells.groupBy(aCol).agg(F.sum("_cv_n").as("_cv_rt"))
+    val colsF = cells.groupBy(bCol).agg(F.sum("_cv_n").as("_cv_ct"))
+    val tot = cells.agg(F.sum("_cv_n").as("_cv_tot"),
+      F.countDistinct(F.col(aCol)).as("_cv_r"),
+      F.countDistinct(F.col(bCol)).as("_cv_c"))
+    val grid = rows.crossJoin(F.broadcast(colsF))
+      .join(cells, Seq(aCol, bCol), "left_outer")
+      .na.fill(0L, Seq("_cv_n"))
+      .crossJoin(F.broadcast(tot))
+    val e = F.col("_cv_rt").cast("double") * F.col("_cv_ct").cast("double") /
+      F.col("_cv_tot").cast("double")
+    val dev = F.col("_cv_n").cast("double") - e
+    val cell = F.struct(
+      F.col(aCol).cast("string").as("a"),
+      F.col(bCol).cast("string").as("b"),
+      (dev * dev / e).as("x"))
+    grid
+      .agg(
+        F.max(F.col("_cv_tot")).as("n_rows"),
+        F.max(F.col("_cv_r")).as("n_a"),
+        F.max(F.col("_cv_c")).as("n_b"),
+        F.sort_array(F.collect_list(cell)).as("_cv_arr"))
+      .withColumn("chi2",
+        F.aggregate(F.col("_cv_arr"), F.lit(0.0d), (acc, x) => acc + x("x")))
+      .select(F.col("n_rows"), F.col("n_a"), F.col("n_b"), F.col("chi2"),
+        F.sqrt(F.col("chi2") /
+          (F.col("n_rows").cast("double") *
+            F.least(F.col("n_a") - 1, F.col("n_b") - 1).cast("double")))
+          .as("cramers_v"))
+  }
+
   /** Per-group categorical diversity + divergence from the corpus — the
     * "is this source's language mix collapsing / drifting from the
     * whole" monitor for mixture-controlled pretraining corpora. Per

@@ -888,6 +888,76 @@ object ScaleQueries {
       ORDER BY p_mille""")
   )
 
+  /** One union arm of the q303 oracle: the full Cramér's V chain for one
+    * (table, a, b) pair — alignment grid with absent cells, χ² folded
+    * over the category-sorted cell list, √ at the end. Mirrors
+    * [[graft.ops.Stats.cramersV]] operation for operation. */
+  private def cramersSql(table: String, a: String, b: String, label: String): String = s"""
+      SELECT '$label' AS pair, n_rows, n_a, n_b, chi2,
+             sqrt(chi2 / (CAST(n_rows AS DOUBLE)
+               * CAST(least(n_a - 1, n_b - 1) AS DOUBLE))) AS cramers_v
+      FROM (
+        WITH cells AS (SELECT $a AS a, $b AS b, COUNT(*) AS n
+                       FROM $table GROUP BY 1, 2),
+        r AS (SELECT a, SUM(n) AS rt FROM cells GROUP BY 1),
+        c AS (SELECT b, SUM(n) AS ct FROM cells GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+                CAST(COUNT(DISTINCT a) AS BIGINT) AS nr,
+                CAST(COUNT(DISTINCT b) AS BIGINT) AS nc
+              FROM cells),
+        grid AS (SELECT r.a, c.b, r.rt, c.ct, t.tot, t.nr, t.nc,
+                   COALESCE(cells.n, 0) AS n
+                 FROM r CROSS JOIN c CROSS JOIN t
+                 LEFT JOIN cells ON cells.a = r.a AND cells.b = c.b),
+        cc AS (SELECT a, b, tot, nr, nc,
+                 (CAST(n AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(tot AS DOUBLE)) *
+                 (CAST(n AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(tot AS DOUBLE)) /
+                 (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                    / CAST(tot AS DOUBLE)) AS x
+               FROM grid)
+        SELECT MAX(tot) AS n_rows, MAX(nr) AS n_a, MAX(nc) AS n_b,
+               list_reduce(list_prepend(0.0,
+                 list(x ORDER BY CAST(a AS VARCHAR), CAST(b AS VARCHAR))),
+                 (p, q) -> p + q) AS chi2
+        FROM cc)"""
+
+  // --------------------------------------------------------------- q303
+  /** Cramér's V association matrix ([[graft.ops.Stats.cramersV]]) for
+    * three categorical pairs across three tables — the feature-
+    * redundancy ranking a tabular-training or drift audit reads: q155
+    * shows WHICH cells of one pair deviate; this puts DIFFERENT pairs on
+    * one [0,1] scale. Each arm is the exact χ² (absent grid cells
+    * included, category-sorted fold) normalized by n·min(r−1,c−1) and
+    * √'d — no transcendental anywhere, so three scalars hash-match. */
+  private val q303 = Q(
+    "q303_cramers_v",
+    (s, dir) => {
+      def one(df: org.apache.spark.sql.DataFrame, a: String, b: String,
+          label: String) =
+        Stats.cramersV(df, a, b)
+          .select(lit(label).as("pair"), col("n_rows"), col("n_a"),
+            col("n_b"), col("chi2"), col("cramers_v"))
+      one(Lake(s, dir).orders, "o_orderstatus", "o_orderpriority",
+          "status_priority")
+        .unionByName(one(Lake(s, dir).customer, "c_mktsegment",
+          "c_nationkey", "segment_nation"))
+        .unionByName(one(Lake(s, dir).documents, "source", "lang",
+          "source_lang"))
+        .orderBy("pair")
+    },
+    Some(s"""
+      ${cramersSql("orders", "o_orderstatus", "o_orderpriority", "status_priority")}
+      UNION ALL
+      ${cramersSql("customer", "c_mktsegment", "c_nationkey", "segment_nation")}
+      UNION ALL
+      ${cramersSql("documents", "source", "lang", "source_lang")}
+      ORDER BY pair""")
+  )
+
   val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173,
-    q177, q178, q206, q253, q266, q280, q289, q291, q292, q296)
+    q177, q178, q206, q253, q266, q280, q289, q291, q292, q296, q303)
 }

@@ -833,6 +833,22 @@ class OpsSpec extends SparkTestBase {
     assert(out("B") == ((2L, 12L, true)), "TVD 0.5 > t = 0.3 is at risk")
   }
 
+  test("Stats.cramersV: 1 on perfect association, 0 on independence, absent cells counted") {
+    import graft.ops.Stats
+    // perfect: b determined by a (diagonal only — absent off-diagonal
+    // cells must contribute their expected mass or V underestimates)
+    val perfect = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2"))
+      .toDF("a", "b")
+    val vp = Stats.cramersV(perfect, "a", "b").collect().head
+    assert(math.abs(vp.getAs[Double]("cramers_v") - 1.0) < 1e-12)
+    // independence: uniform 2x2 → chi2 = 0 → V = 0
+    val indep = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2"))
+      .toDF("a", "b")
+    val vi = Stats.cramersV(indep, "a", "b").collect().head
+    assert(vi.getAs[Double]("chi2") === 0.0 &&
+      vi.getAs[Double]("cramers_v") === 0.0)
+  }
+
   test("Audit.tCloseness: NULL sensitive values join the distribution, not the absent fold") {
     // global: x=1, null=3 over N=4. The null-safe join must give the null
     // cells their real global mass; before the fix they dropped out of the
