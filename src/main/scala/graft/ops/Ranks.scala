@@ -35,7 +35,12 @@ import org.apache.spark.sql.functions._
   * subtree inside one plan, which `ReuseExchange` collapses to a single
   * physical shuffle (PlanSpec pins this), so boundaries are computed once
   * and the counts can never disagree with the data. This also keeps the
-  * whole operator LAZY — no driver collect, no persist.
+  * whole operator LAZY — no driver collect, no persist. AQE composes
+  * safely for the same reason: both consumers read the ONE materialized
+  * stage, and `CoalesceShufflePartitions` derives every `AQEShuffleRead`
+  * of a stage from that stage's map-output statistics deterministically,
+  * so the partition ids the counts see are the partition ids the data
+  * sees (RanksSpec's value-equality tests run under default AQE).
   *
   * Determinism contract (same as any `row_number`): `sortCols` should form
   * a total order (include a unique tiebreaker). Ties still produce a valid

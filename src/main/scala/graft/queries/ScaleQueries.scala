@@ -958,6 +958,84 @@ object ScaleQueries {
       ORDER BY pair""")
   )
 
+  // --------------------------------------------------------------- q304
+  /** Deterministic bootstrap CI for the mean order value — resampling
+    * WITHOUT a random number generator: replicate r's i-th draw is row
+    * `md5(i "#" r) mod n + 1` of the rank-indexed population, so any
+    * engine (or any rerun, or any executor) regenerates the identical
+    * resample — the q51/q166 hash-randomness rule applied to the
+    * statistician's favorite tool. The population gets its 1..n index
+    * from [[graft.ops.Ranks.globalRowNumber]] (the rank IS the sampling
+    * frame — no collect, no broadcast of data); each of the B = 16
+    * replicate means is an exact DECIMAL cent sum divided once; and the
+    * CI readout folds the 16 means VALUE-SORTED (boot_lo/boot_hi are the
+    * 3rd/14th order statistics — an ~80% percentile-bootstrap interval;
+    * with B fixed the convention is pinned, not interpolated). */
+  private val q304 = Q(
+    "q304_bootstrap_ci",
+    (s, dir) => {
+      val per = Lake(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100.0d, 0).cast("long"))
+          .as("cents"))
+      val ranked = Ranks.globalRowNumber(
+        per, Seq(col("cents"), col("o_custkey")), "rn")
+      val n = per.agg(count(lit(1)).as("n"))
+      val reps = s.range(16).select(col("id").as("rep"))
+      val draws = ranked.select(col("rn").as("i"))
+        .crossJoin(broadcast(reps))
+        .crossJoin(broadcast(n))
+        .select(col("rep"),
+          (conv(substring(md5(concat(col("i").cast("string"), lit("#"),
+            col("rep").cast("string"))), 1, 12), 16, 10).cast("long")
+            % col("n") + 1L).as("draw"))
+      val means = draws
+        .join(ranked.select(col("rn"), col("cents")), col("draw") === col("rn"))
+        .groupBy("rep")
+        .agg(sum(col("cents").cast("decimal(38,0)")).as("__s"),
+          count(lit(1)).as("__k"))
+        .select(col("rep"),
+          (col("__s").cast("double") / col("__k").cast("double")).as("m"))
+      means
+        .agg(sort_array(collect_list(struct(col("m"), col("rep"))))
+          .as("arr"))
+        .select(
+          lit(16L).as("b"),
+          (aggregate(col("arr"), lit(0.0d), (a, x) => a + x("m")) / 16.0d)
+            .as("boot_mean"),
+          element_at(col("arr"), 3)("m").as("boot_lo"),
+          element_at(col("arr"), 14)("m").as("boot_hi"))
+    },
+    Some(s"""
+      WITH per AS (SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS cents
+             FROM orders GROUP BY 1),
+      ranked AS (SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, o_custkey)
+                 AS BIGINT) AS rn
+             FROM per),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+      reps AS (SELECT CAST(r AS BIGINT) AS rep
+               FROM generate_series(0, 15) AS g(r)),
+      draws AS (SELECT rep,
+               ${PipelineQueries.hexSql(
+                 "md5(CAST(rn AS VARCHAR) || '#' || CAST(rep AS VARCHAR))",
+                 12)} % n + 1 AS draw
+             FROM ranked CROSS JOIN reps CROSS JOIN n),
+      means AS (SELECT rep,
+               CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS m
+             FROM draws JOIN ranked ON draw = rn
+             GROUP BY rep),
+      arr AS (SELECT list(m ORDER BY m, rep) AS a FROM means)
+      SELECT CAST(16 AS BIGINT) AS b,
+             list_reduce(list_prepend(0.0, a), (x, y) -> x + y) / 16.0
+               AS boot_mean,
+             a[3] AS boot_lo, a[14] AS boot_hi
+      FROM arr""")
+  )
+
   val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173,
-    q177, q178, q206, q253, q266, q280, q289, q291, q292, q296, q303)
+    q177, q178, q206, q253, q266, q280, q289, q291, q292, q296, q303, q304)
 }
