@@ -1319,7 +1319,95 @@ object BehaviorQueries {
       FROM r GROUP BY 1 ORDER BY day""")
   )
 
+  // --------------------------------------------------------------- q305
+  /** Deterministic permutation test for the A/B delta — the
+    * assumption-free significance check beside q163's z-test and q298's
+    * CUPED: under the null, variant labels are exchangeable, so the
+    * observed mean difference is compared against B = 16 label
+    * permutations. No RNG anywhere (the q304 discipline): permutation
+    * p relabels each user by the parity of md5(user "#" p), so both
+    * engines — and any rerun — walk the identical null distribution.
+    * Per-permutation means come from exact DECIMAL/HUGEINT cent sums
+    * with one mirrored division; the readout is the exact count of
+    * permutations at least as extreme as observed and the standard
+    * add-one p-value (n_extreme + 1)/(B + 1). */
+  private val q305 = Q(
+    "q305_permutation_test",
+    (s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      def delta(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String]) =
+        df.groupBy(groupCols.map(col): _*)
+          .agg(
+            sum(when(col("v") === 1, dec(col("cents"))).otherwise(dec(lit(0L))))
+              .as("s1"),
+            sum(when(col("v") === 0, dec(col("cents"))).otherwise(dec(lit(0L))))
+              .as("s0"),
+            sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("v") === 0, 1L).otherwise(0L)).as("n0"))
+          .withColumn("delta",
+            d(col("s1")) / d(col("n1")) - d(col("s0")) / d(col("n0")))
+      val base = Lake(s, dir).events
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100.0d, 0).cast("long")).as("cents"))
+      val obs = delta(
+        base.withColumn("v", pmod(col("user_id"), lit(2L))), Seq.empty)
+        .select(col("delta").as("obs_delta"))
+      val perms = s.range(16).select(col("id").as("p"))
+      val permDeltas = delta(
+        base.crossJoin(broadcast(perms))
+          .withColumn("v",
+            conv(substring(md5(concat(col("user_id").cast("string"),
+              lit("#"), col("p").cast("string"))), 1, 1), 16, 10)
+              .cast("long") % 2),
+        Seq("p"))
+      permDeltas.crossJoin(broadcast(obs))
+        .agg(sum(when(abs(col("delta")) >= abs(col("obs_delta")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+        .crossJoin(broadcast(obs))
+        .select(col("obs_delta"), lit(16L).as("b"), col("n_extreme"),
+          ((col("n_extreme") + 1L).cast("double") / lit(17.0d))
+            .as("p_value"))
+    },
+    Some("""
+      WITH base AS (SELECT user_id,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                 AS cents
+             FROM events GROUP BY 1),
+      obs AS (SELECT
+          CAST(SUM(CASE WHEN user_id % 2 = 1 THEN CAST(cents AS HUGEINT)
+            ELSE 0 END) AS DOUBLE) /
+          CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE) -
+          CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(cents AS HUGEINT)
+            ELSE 0 END) AS DOUBLE) /
+          CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+            AS obs_delta
+        FROM base),
+      perms AS (SELECT CAST(p AS BIGINT) AS p
+                FROM generate_series(0, 15) AS g(p)),
+      lab AS (SELECT p,
+               (strpos('0123456789abcdef',
+                  substr(md5(CAST(user_id AS VARCHAR) || '#'
+                    || CAST(p AS VARCHAR)), 1, 1)) - 1) % 2 AS v,
+               cents
+             FROM base CROSS JOIN perms),
+      pd AS (SELECT p,
+          CAST(SUM(CASE WHEN v = 1 THEN CAST(cents AS HUGEINT)
+            ELSE 0 END) AS DOUBLE) /
+          CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS DOUBLE) -
+          CAST(SUM(CASE WHEN v = 0 THEN CAST(cents AS HUGEINT)
+            ELSE 0 END) AS DOUBLE) /
+          CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS delta
+        FROM lab GROUP BY p),
+      x AS (SELECT CAST(SUM(CASE WHEN ABS(delta) >= ABS(obs_delta)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+            FROM pd CROSS JOIN obs)
+      SELECT obs_delta, CAST(16 AS BIGINT) AS b, n_extreme,
+             CAST(n_extreme + 1 AS DOUBLE) / 17.0 AS p_value
+      FROM x CROSS JOIN obs""")
+  )
+
   val all: Seq[Q] = Seq(q99, q100, q101, q102, q107, q137, q140, q162, q163,
     q176, q179, q180, q181, q183, q186, q198, q199, q205, q238, q269, q272,
-    q276, q278, q282, q290, q298, q301)
+    q276, q278, q282, q290, q298, q301, q305)
 }
