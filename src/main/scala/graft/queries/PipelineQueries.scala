@@ -6453,6 +6453,94 @@ object PipelineQueries {
       FROM t CROSS JOIN c CROSS JOIN h""")
   )
 
+  /** One q306 threshold arm: edges at `pct`% Jaccard, recursive CC, and
+    * the cluster census. `pairs` is the shared ≥ 0.70 superset CTE. */
+  private def thresholdArmSql(pct: Int): String = {
+    val frac = pct / 100.0
+    s"""edges_$pct AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jacc >= $frac
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs WHERE jacc >= $frac),
+      reach_$pct AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst AS node, r.label
+        FROM reach_$pct r JOIN edges_$pct e ON r.node = e.src),
+      cc_$pct AS (SELECT node, MIN(label) AS cluster_id
+                  FROM reach_$pct GROUP BY node),
+      sz_$pct AS (SELECT cluster_id, COUNT(*) AS csz
+                  FROM cc_$pct GROUP BY cluster_id),
+      sum_$pct AS (
+        SELECT CAST($pct AS BIGINT) AS threshold_pct,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs WHERE jacc >= $frac)
+            AS n_pairs,
+          CAST(COALESCE(SUM(csz) FILTER (WHERE csz > 1), 0) AS BIGINT)
+            AS docs_in_dups,
+          CAST(COUNT(*) FILTER (WHERE csz > 1) AS BIGINT) AS n_clusters,
+          CAST(MAX(csz) AS BIGINT) AS max_cluster_size
+        FROM sz_$pct)"""
+  }
+
+  // --------------------------------------------------------------- q306
+  /** Dedup threshold-sensitivity profile — the tuning table behind every
+    * "what Jaccard cutoff do we ship" decision: the SAME candidate pair
+    * frame (computed once at the loosest cutoff, 0.70 — tighter cutoffs
+    * are pure filters over it, never a recompute) is clustered at
+    * 0.70/0.80/0.90, and each threshold reports its pair count,
+    * documents caught in duplicate clusters, cluster count, and largest
+    * cluster. A cliff between rows (one giant cluster appearing at 0.70)
+    * is the over-merging signal; a flat profile says the corpus's
+    * duplicate structure is threshold-robust. Three pointer-jumping CC
+    * passes over edge frames that only shrink as the threshold rises. */
+  private val q306 = Q(
+    "q306_dedup_threshold_profile",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents.select("doc_id")
+      val sh = Dedup.shingles(Lake(s, dir).documents, "doc_id", "text", 3)
+      val allPairs = Dedup.jaccardPairs(sh, 0.70)
+        .select("doc_a", "doc_b", "jaccard")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val arms = Seq(70, 80, 90).map { pct =>
+        val pairsT = allPairs.filter(col("jaccard") >= pct / 100.0)
+          .select("doc_a", "doc_b")
+        val sz = Dedup.dupClusters(docs, pairsT)
+          .select("doc_id", "cluster_id", "cluster_size")
+          .groupBy("cluster_id")
+          .agg(first(col("cluster_size")).as("csz"))
+        sz.agg(
+            coalesce(sum(when(col("csz") > 1, col("csz"))), lit(0L))
+              .as("docs_in_dups"),
+            sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_clusters"),
+            max(col("csz")).as("max_cluster_size"))
+          .crossJoin(broadcast(pairsT.agg(count(lit(1)).as("n_pairs"))))
+          .select(lit(pct.toLong).as("threshold_pct"), col("n_pairs"),
+            col("docs_in_dups"), col("n_clusters"), col("max_cluster_size"))
+      }
+      arms.reduce(_.unionByName(_)).orderBy("threshold_pct")
+    },
+    Some(s"""
+      WITH RECURSIVE $ShinglesCte,
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jacc
+        FROM common
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.70),
+      ${thresholdArmSql(70)},
+      ${thresholdArmSql(80)},
+      ${thresholdArmSql(90)}
+      SELECT * FROM sum_70
+      UNION ALL SELECT * FROM sum_80
+      UNION ALL SELECT * FROM sum_90
+      ORDER BY threshold_pct""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -6463,5 +6551,5 @@ object PipelineQueries {
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
     q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264,
-    q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300, q302)
+    q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300, q302, q306)
 }
