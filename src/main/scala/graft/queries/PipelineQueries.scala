@@ -6541,6 +6541,114 @@ object PipelineQueries {
       ORDER BY threshold_pct""")
   )
 
+  // --------------------------------------------------------------- q308
+  /** Embedding class-separation report — the quality audit run before
+    * trusting labels (or an embedding model): per label, members'
+    * mean cosine to their OWN centroid (cohesion) next to the
+    * centroid's cosine to the GLOBAL centroid (how far the class sits
+    * from the corpus center). Collapsing cohesion with a
+    * near-1 global cosine = the class is not separable in this space.
+    * Float determinism is the whole craft here: every centroid
+    * component is a fold of member values SORTED by vec_id (never the
+    * partition arrival order), every dot/norm is one strict left fold
+    * over dims 1..64 with float→double per element, and the per-label
+    * cohesion mean folds its cosines vec_id-sorted — so ten doubles
+    * hash-match across engines. Frames after the one posexplode are
+    * label- and dim-bounded. */
+  private val q308 = Q(
+    "q308_class_separation",
+    (s, dir) => {
+      def fold(arr: org.apache.spark.sql.Column) =
+        aggregate(arr, lit(0.0d), (a, x) => a + x)
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        fold(zip_with(a, b, (x, y) => x * y))
+      def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+      val e = Lake(s, dir).embeddings.select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      val cells = e.select(col("label"), col("vec_id"),
+        posexplode(col("emb")).as(Seq("p0", "x")))
+        .select(col("label"), col("vec_id"), (col("p0") + 1).as("pos"),
+          col("x"))
+      def centroid(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+        df.groupBy((keys :+ "pos").map(col): _*)
+          .agg(sort_array(collect_list(struct(col("vec_id"), col("x"))))
+            .as("a"), count(lit(1)).as("k"))
+          .select((keys.map(col) :+ col("pos") :+
+            (aggregate(col("a"), lit(0.0d), (acc, s0) => acc + s0("x")) /
+              col("k").cast("double")).as("m")): _*)
+      def toVec(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+          out: String) =
+        df.groupBy(keys.map(col): _*)
+          .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+            .as("pm"))
+          .select((keys.map(col) :+
+            transform(col("pm"), s0 => s0.getField("m")).as(out)): _*)
+      val lvec = toVec(centroid(cells, Seq("label")), Seq("label"), "cvec")
+      val gvec = toVec(centroid(cells, Seq.empty), Seq.empty, "gv")
+      val percos = e.join(broadcast(lvec), Seq("label"))
+        .select(col("label"), col("vec_id"), cos(col("emb"), col("cvec"))
+          .as("cosv"))
+      val intra = percos
+        .groupBy("label")
+        .agg(count(lit(1)).as("k"),
+          sort_array(collect_list(struct(col("vec_id"), col("cosv"))))
+            .as("cs"))
+        .select(col("label"), col("k"),
+          (aggregate(col("cs"), lit(0.0d), (acc, s0) => acc + s0("cosv")) /
+            col("k").cast("double")).as("mean_intra_cos"))
+      val toGlobal = lvec.crossJoin(broadcast(gvec))
+        .select(col("label"), cos(col("cvec"), col("gv")).as("cos_to_global"))
+      intra.join(toGlobal, Seq("label")).orderBy("label")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+                 FROM embeddings),
+      cells AS (SELECT label, vec_id, d AS pos,
+                  CAST(embedding[d] AS DOUBLE) AS x
+                FROM e, unnest(generate_series(1, 64)) AS t(d)),
+      lcen AS (SELECT label, pos,
+                 list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+                   (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS m
+               FROM cells GROUP BY 1, 2),
+      lvec AS (SELECT label, list(m ORDER BY pos) AS cvec
+               FROM lcen GROUP BY 1),
+      gcen AS (SELECT pos,
+                 list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)),
+                   (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS m
+               FROM cells GROUP BY 1),
+      gvec AS (SELECT list(m ORDER BY pos) AS gv FROM gcen),
+      percos AS (SELECT e.label, e.vec_id,
+          list_reduce(list_prepend(0.0,
+            [CAST(embedding[d] AS DOUBLE) * cvec[d]
+             for d in generate_series(1, 64)]), (a, b) -> a + b) /
+          (sqrt(list_reduce(list_prepend(0.0,
+             [CAST(embedding[d] AS DOUBLE) * CAST(embedding[d] AS DOUBLE)
+              for d in generate_series(1, 64)]), (a, b) -> a + b)) *
+           sqrt(list_reduce(list_prepend(0.0,
+             [cvec[d] * cvec[d] for d in generate_series(1, 64)]),
+             (a, b) -> a + b))) AS cosv
+        FROM e JOIN lvec USING (label)),
+      intra AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS k,
+          list_reduce(list_prepend(0.0, list(cosv ORDER BY vec_id)),
+            (a, b) -> a + b) / CAST(COUNT(*) AS DOUBLE) AS mean_intra_cos
+        FROM percos GROUP BY label),
+      lg AS (SELECT label,
+          list_reduce(list_prepend(0.0,
+            [cvec[d] * gv[d] for d in generate_series(1, 64)]),
+            (a, b) -> a + b) /
+          (sqrt(list_reduce(list_prepend(0.0,
+             [cvec[d] * cvec[d] for d in generate_series(1, 64)]),
+             (a, b) -> a + b)) *
+           sqrt(list_reduce(list_prepend(0.0,
+             [gv[d] * gv[d] for d in generate_series(1, 64)]),
+             (a, b) -> a + b))) AS cos_to_global
+        FROM lvec CROSS JOIN gvec)
+      SELECT label, k, mean_intra_cos, cos_to_global
+      FROM intra JOIN lg USING (label) ORDER BY label""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -6551,5 +6659,5 @@ object PipelineQueries {
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
     q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264,
-    q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300, q302, q306)
+    q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300, q302, q306, q308)
 }

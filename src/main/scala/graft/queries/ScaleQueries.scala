@@ -1036,6 +1036,79 @@ object ScaleQueries {
       FROM arr""")
   )
 
+  // --------------------------------------------------------------- q307
+  /** Clip-and-standardize feature transform — the tabular feature-prep
+    * pipeline end to end in one gate: per-customer order value is
+    * winsorized at the EXACT p1/p99 order statistics (q296's rank-probe
+    * selection — the clip bounds are real data points, not interpolated
+    * estimates), then z-scored against the CLIPPED distribution with
+    * every division cleared: `z = (n·x − S)/√(n·Q − S²)` (S, Q exact
+    * DECIMAL sums of clipped cents and their squares) equals
+    * (x − μ)/σ_pop with a single sqrt and a single division — the q154
+    * no-transcendentals discipline applied to the most common feature
+    * transform there is. The rank rides
+    * [[graft.ops.Ranks.globalRowNumber]]; the bounds and moments are
+    * two broadcast one-row frames over the data-sized scan. */
+  private val q307 = Q(
+    "q307_clip_standardize",
+    (s, dir) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("double")
+      val per = Lake(s, dir).orders
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100.0d, 0).cast("long"))
+          .as("cents"))
+      val ranked = Ranks.globalRowNumber(
+        per, Seq(col("cents"), col("o_custkey")), "rn")
+      val n = per.agg(count(lit(1)).as("n"))
+      val bounds = ranked.crossJoin(broadcast(n))
+        .filter(col("rn") === expr("(10 * n + 999) div 1000") ||
+          col("rn") === expr("(990 * n + 999) div 1000"))
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      val clipped = per.crossJoin(broadcast(bounds))
+        .withColumn("clipped", least(greatest(col("cents"), col("lo")),
+          col("hi")))
+      val m = clipped.agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("clipped"))).as("s"),
+        sum(dec(col("clipped")) * dec(col("clipped"))).as("q"))
+      clipped.crossJoin(broadcast(m))
+        .select(col("o_custkey"), col("cents"), col("clipped"),
+          ((d(col("n")) * d(col("clipped")) - d(col("s"))) /
+            sqrt(d(col("n")) * d(col("q")) - d(col("s")) * d(col("s"))))
+            .as("z"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      WITH per AS (SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                 AS BIGINT) AS cents
+             FROM orders GROUP BY 1),
+      ranked AS (SELECT cents, o_custkey,
+               CAST(row_number() OVER (ORDER BY cents, o_custkey)
+                 AS BIGINT) AS rn
+             FROM per),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per),
+      b AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi
+            FROM ranked CROSS JOIN n
+            WHERE rn = (10 * n + 999) // 1000
+               OR rn = (990 * n + 999) // 1000),
+      c AS (SELECT o_custkey, cents,
+               LEAST(GREATEST(cents, lo), hi) AS clipped
+            FROM per CROSS JOIN b),
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(clipped) AS HUGEINT) AS s,
+               SUM(CAST(clipped AS HUGEINT) * clipped) AS q
+            FROM c)
+      SELECT o_custkey, cents, clipped,
+             (CAST(n AS DOUBLE) * CAST(clipped AS DOUBLE)
+                - CAST(s AS DOUBLE)) /
+             sqrt(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS z
+      FROM c CROSS JOIN m ORDER BY o_custkey""")
+  )
+
   val all: Seq[Q] = Seq(q148, q153, q154, q155, q156, q164, q165, q172, q173,
-    q177, q178, q206, q253, q266, q280, q289, q291, q292, q296, q303, q304)
+    q177, q178, q206, q253, q266, q280, q289, q291, q292, q296, q303, q304,
+    q307)
 }
