@@ -71,7 +71,11 @@ object VerifyCore {
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name FAILED: $msg")
         errors(name) = msg.take(500)
-      }
+      } finally
+        // a few queries persist() intermediates (q302/q306 pair frames,
+        // Dedup.jaccardPairs internals); without this, a full-registry
+        // sweep accumulates every cached RDD of all 300+ queries
+        spark.catalog.clearCache()
     }
     val body = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")

@@ -273,8 +273,10 @@ object Audit {
           // decimal — exact at any scale. tvd_scaled ≤ 2·n·N, so the long
           // cast is lossless until n·N ≥ 2^62 (~10^9 rows in one class
           // AND table — beyond that, report the per-class normalized TVD
-          // double instead of the scaled integer).
-          scaled.cast("long").as("tvd_scaled"),
+          // double instead of the scaled integer). try_cast, not cast:
+          // overflow must be null under ANSI mode too, not an exception —
+          // the documented contract must not invert with a session flag.
+          scaled.try_cast("long").as("tvd_scaled"),
           (scaled * lit(tDen) >
             dec(lit(2L * tNum)) * dec(col("__n")) * dec(col("__tot")))
             .as("at_risk"))

@@ -87,7 +87,13 @@ object Ranks {
     *
     * Replaces the global windows the round-6 audit flagged in
     * q151/q152/q178/q206/q275/q280/q288; PlanSpec asserts none of their
-    * plans contain a Window with an empty partition spec. */
+    * plans contain a Window with an empty partition spec.
+    *
+    * Capacity bound: any single range partition must hold < 2^33 rows
+    * (the ordinal width of `monotonically_increasing_id`); the counts
+    * aggregate enforces this with a `raise_error` so overflow is an
+    * exception, never a silent mis-rank. At the default ~128 MB-per-
+    * partition sizing this is ~3 orders of magnitude of headroom. */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column], out: String): DataFrame = {
     require(sortCols.nonEmpty, "globalRowNumber needs at least one sort column")
     val ranged = df
@@ -95,7 +101,20 @@ object Ranks {
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+    // Capacity guard: monotonically_increasing_id packs the within-
+    // partition ordinal into the low 33 bits, so a single range partition
+    // holding >= 2^33 (~8.6e9) rows would overflow the ordinal into the
+    // partition-id bits and silently corrupt every rank. The counts frame
+    // already carries per-partition totals — fail LOUDLY from inside the
+    // same aggregate instead (cost: one comparison over #partitions rows).
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cnt",
+        when(col("__cnt") < lit(1L << 33), col("__cnt")).otherwise(raise_error(
+          concat(lit("globalRowNumber: range partition "), col("__pid"),
+            lit(" holds "), col("__cnt"),
+            lit(" rows >= 2^33 — the monotonically_increasing_id ordinal " +
+              "would overflow into the partition-id bits; raise the shuffle " +
+              "partition count so no partition exceeds the bound")))))
     ranged
       .join(broadcast(offsetsFrame(counts)), Seq("__pid"))
       .withColumn(out,

@@ -619,9 +619,9 @@ object ScaleQueries {
     * per-partition offsets — no single-partition window; PlanSpec pins
     * it). ρ is assembled straight from the DECIMAL Σd² — the reported
     * `sum_d2` long is display-only, so a beyond-int64 Σd² at extreme n
-    * can only null that column, never silently bend ρ (Spark's non-ANSI
-    * decimal→long cast nulls on overflow where DuckDB's HUGEINT→BIGINT
-    * errors; ρ itself never goes through the long). */
+    * can only null that column, never silently bend ρ (try_cast nulls on
+    * overflow in BOTH ANSI and legacy modes, where DuckDB's
+    * HUGEINT→BIGINT errors; ρ itself never goes through the long). */
   private val q280 = Q(
     "q280_spearman_corr",
     (s, dir) => {
@@ -637,7 +637,7 @@ object ScaleQueries {
           count(lit(1)).as("n"),
           sum(((col("rx") - col("ry")) * (col("rx") - col("ry")))
             .cast("decimal(38,0)")).cast("decimal(38,0)").as("__d2"))
-        .select(col("n"), col("__d2").cast("long").as("sum_d2"),
+        .select(col("n"), col("__d2").try_cast("long").as("sum_d2"),
           (lit(1.0) - (lit(6.0) * col("__d2").cast("double")) /
             (col("n") * (col("n") * col("n") - 1)).cast("double"))
             .as("rho"))

@@ -232,10 +232,22 @@ object AmtLoop {
     val watcher = Paths.get(silverRoot).getFileSystem.newWatchService()
     def register(dir: Path): Unit =
       dir.register(watcher, ENTRY_CREATE, ENTRY_MODIFY, ENTRY_DELETE)
+    // The walk stream must be closed (it holds directory handles), and a
+    // racing delete mid-walk surfaces as NoSuchFileException /
+    // UncheckedIOException — swallow it: the deleted directory needs no
+    // watch, and the sensor must outlive the race.
     def registerTree(root: Path): Unit =
-      if (Files.isDirectory(root))
-        Files.walk(root).iterator().asScala
-          .filter(Files.isDirectory(_)).foreach(register)
+      if (Files.isDirectory(root)) {
+        try {
+          val walk = Files.walk(root)
+          try walk.iterator().asScala
+            .filter(Files.isDirectory(_)).foreach(register)
+          finally walk.close()
+        } catch {
+          case _: java.nio.file.NoSuchFileException => ()
+          case _: java.io.UncheckedIOException => ()
+        }
+      }
     registerTree(Paths.get(silverRoot))
     val counts = Seq.newBuilder[Int]
     var handled = 0
