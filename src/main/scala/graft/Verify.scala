@@ -18,7 +18,10 @@ import graft.core.GraftSession
   * seam (VerifySpec registers a deliberately-broken query against it). */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated name-prefix filter for local
+    // single-query checks (the driver always runs the full registry)
+    val Array(sfDir, outDir) = args.take(2)
+    val prefixes = args.drop(2).headOption.map(_.split(',').toSeq)
     val cpus = GraftSession.defaultParallelism
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-verify"),
@@ -26,8 +29,13 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val errors = VerifyCore.runQueries(spark, sfDir, outDir, SparkEntry.queries)
-    val json = SparkEntry.oracleSql
+    def selected[V](m: Map[String, V]): Map[String, V] = prefixes match {
+      case Some(ps) => m.filter { case (k, _) => ps.exists(k.startsWith) }
+      case None => m
+    }
+    val errors = VerifyCore.runQueries(
+      spark, sfDir, outDir, selected(SparkEntry.queries))
+    val json = selected(SparkEntry.oracleSql)
       .map { case (k, v) => s"${VerifyCore.q(k)}: ${VerifyCore.q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

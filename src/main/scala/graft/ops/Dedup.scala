@@ -87,10 +87,15 @@ object Dedup {
     * The shingle frame feeds three consumers (counts + both join sides);
     * persisting it runs the explode+distinct pipeline once — the self-join
     * sides share a ReusedExchange, but the doc_id-keyed counts shuffle
-    * would otherwise recompute the scan from scratch.
+    * would otherwise recompute the scan from scratch. Callers that already
+    * persisted `sh` (or that need the raw logical plan, e.g. plan tests)
+    * pass `cache = false` — persist is keyed by the analyzed plan, so a
+    * second persist of the same frame is only warning noise.
     */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    val shc = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def jaccardPairs(sh: DataFrame, threshold: Double, cache: Boolean = true): DataFrame = {
+    val shc = if (cache)
+      sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh
     val counts = shc.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val common = shc.as("a")
       .join(shc.as("b"),
@@ -836,5 +841,113 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** Sampled-stratum LSH recall estimate — the 100 TB form of the full
+    * recall audit (q302): instead of replaying the exact-Jaccard ground
+    * truth over the whole corpus (O(pairs-within-df) — at web scale the
+    * audit would cost more than the dedup it audits), BOTH chains run
+    * over a deterministic md5 stratum of the documents and the recall is
+    * extrapolated with a deterministic bootstrap CI.
+    *
+    * Why restricting BOTH chains to the stratum measures the production
+    * chain's recall: a band collision between docs a and b depends ONLY
+    * on their two signatures — no third document participates — so for
+    * any pair with both endpoints in the stratum, the stratum-restricted
+    * candidate chain fires exactly iff the full-corpus chain would. The
+    * within-stratum truth pairs are therefore an unbiased probe of the
+    * production chain's per-pair hit behavior, at O(frac²) of the full
+    * audit's pair volume (frac=1 recovers q302's exact recall — the
+    * SimilaritySpec convergence law).
+    *
+    * Determinism (the q51/q304 discipline — no RNG anywhere):
+    *   - the stratum is [[Sampling.keeps]] (md5-prefix string compare on
+    *     the doc id), so any engine selects the identical document set;
+    *   - the bootstrap's replicate r draws its i-th element as
+    *     `md5(i "#" r) mod m + 1` over the truth pairs rank-indexed by
+    *     [[Ranks.globalRowNumber]] — every rerun, engine, and executor
+    *     regenerates the identical resample;
+    *   - `boot_lo`/`boot_hi` are the `bootLo`/`bootHi`-th order
+    *     statistics of the value-sorted replicate recalls (defaults 3/14
+    *     of B=16: an ~80% percentile-bootstrap interval; with B fixed
+    *     the convention is pinned, never interpolated).
+    *
+    * Empty-stratum edge (possible at tiny frac): `m = 0` nulls the draw
+    * via `nullif`, the replicate frame is empty, and every readout
+    * coalesces to the recall-1.0 convention — no ANSI divide-by-zero,
+    * no out-of-bounds element_at (try_element_at mirrors DuckDB's
+    * null-on-out-of-range list index).
+    *
+    * Shuffles: the stratum filter is a scan-level predicate (PlanSpec
+    * pins that the truth chain's shingle explode sits ABOVE the md5
+    * filter — the audit provably touches only stratum documents);
+    * everything downstream is the production dedup chain's own shape
+    * plus O(truth-pair) bootstrap frames; the only broadcasts are
+    * one-row aggregates and the B-row replicate spine.
+    *
+    * The shingle frame feeds three consumers (the truth chain's counts +
+    * self-join, the candidate chain's signatures); `cache = true`
+    * persists it so the explode+distinct runs once. Pass `cache = false`
+    * for plan inspection (no InMemoryRelation hides the filter) —
+    * callers owning the sweep should `spark.catalog.clearCache()` after
+    * the final action either way. */
+  def lshRecallSampled(
+      docs: DataFrame, idCol: String, textCol: String, frac: Double,
+      threshold: Double = 0.8, shingleN: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, rowsPerBand: Int = 4,
+      salt: String = "", bootReps: Int = 16,
+      bootLo: Int = 3, bootHi: Int = 14, cache: Boolean = true): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1]: $frac")
+    require(bootReps >= 1 && bootLo >= 1 && bootHi <= bootReps && bootLo <= bootHi,
+      s"bad bootstrap geometry: B=$bootReps lo=$bootLo hi=$bootHi")
+    val stratum = docs.filter(Sampling.keeps(col(idCol), frac, salt))
+    val shRaw = shingles(stratum, idCol, textCol, shingleN)
+    val sh = if (cache)
+      shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shRaw
+    val truth = jaccardPairs(sh, threshold, cache = false)
+      .select("doc_a", "doc_b")
+    val cand = lshCandidates(
+      lshBands(minhashSignatures(sh, numHashes), bands, rowsPerBand))
+    val flagged = truth
+      .join(cand.withColumn("__c", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        when(col("__c").isNotNull, 1L).otherwise(0L).as("hit"))
+    val ranked = Ranks.globalRowNumber(
+      flagged, Seq(col("doc_a"), col("doc_b")), "rn")
+    val mF = flagged.agg(count(lit(1)).as("m"))
+    val reps = docs.sparkSession.range(bootReps.toLong)
+      .select(col("id").as("rep"))
+    val draws = ranked.select(col("rn").as("i"))
+      .crossJoin(broadcast(reps))
+      .crossJoin(broadcast(mF))
+      .select(col("rep"),
+        (conv(substring(md5(concat(col("i").cast("string"), lit("#"),
+          col("rep").cast("string"))), 1, 12), 16, 10).cast("long")
+          % nullif(col("m"), lit(0L)) + 1L).as("draw"))
+    val repMeans = draws
+      .join(ranked.select(col("rn"), col("hit")), col("draw") === col("rn"))
+      .groupBy("rep")
+      .agg(sum(col("hit")).as("__h"), count(lit(1)).as("__k"))
+      .select(col("rep"),
+        (col("__h").cast("double") / col("__k").cast("double")).as("m"))
+    val ci = repMeans
+      .agg(sort_array(collect_list(struct(col("m"), col("rep")))).as("arr"))
+      .select(
+        coalesce(try_element_at(col("arr"), lit(bootLo))("m"), lit(1.0d))
+          .as("boot_lo"),
+        coalesce(try_element_at(col("arr"), lit(bootHi))("m"), lit(1.0d))
+          .as("boot_hi"))
+    stratum.agg(count(lit(1)).as("n_stratum_docs"))
+      .crossJoin(broadcast(flagged.agg(
+        count(lit(1)).as("n_truth"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))))
+      .crossJoin(broadcast(ci))
+      .select(col("n_stratum_docs"), col("n_truth"), col("n_hit"),
+        (col("n_truth") - col("n_hit")).as("n_missed"),
+        coalesce(col("n_hit").cast("double") /
+          nullif(col("n_truth").cast("double"), lit(0.0d)), lit(1.0d))
+          .as("recall"),
+        col("boot_lo"), col("boot_hi"))
   }
 }

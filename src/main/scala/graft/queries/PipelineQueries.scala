@@ -6649,6 +6649,92 @@ object PipelineQueries {
       FROM intra JOIN lg USING (label) ORDER BY label""")
   )
 
+  // --------------------------------------------------------------- q309
+  /** Sampled-stratum LSH recall — q302's 100 TB form as CODE, not prose:
+    * both the exact-Jaccard truth chain and the banded candidate chain
+    * run over the deterministic md5 half-stratum of documents
+    * ([[graft.ops.Sampling.keeps]] at frac=0.5, salt "audit"), so the
+    * audit touches O(frac²) of the corpus pair volume while still
+    * measuring the PRODUCTION chain's behavior (a band collision
+    * depends only on the two endpoint signatures — the restricted chain
+    * fires exactly where the full chain would; PlanSpec pins that the
+    * truth side's shingle explode sits above the stratum filter). The
+    * point estimate ships with a deterministic percentile-bootstrap CI
+    * (B=16 resamples drawn `md5(i#rep) mod m + 1` over the globally
+    * rank-indexed truth pairs — the q304 discipline), so the operator
+    * reports not just "recall ≈ r on the stratum" but how much that
+    * estimate can wobble. Frac→1 converges to q302's exact recall
+    * (SimilaritySpec law). */
+  private val q309 = Q(
+    "q309_lsh_recall_sampled",
+    (s, dir) => Dedup.lshRecallSampled(
+      Lake(s, dir).documents, "doc_id", "text", frac = 0.5,
+      threshold = 0.8, salt = "audit"),
+    Some(s"""
+      WITH sd AS (
+        SELECT doc_id, text FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'audit'), 1, 3)
+          < '800'),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sd),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.8),
+      sig AS (SELECT doc_id,
+        $SigCols
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        $BandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+      flag AS (
+        SELECT t.doc_a, t.doc_b,
+               CASE WHEN c.doc_a IS NOT NULL THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS hit
+        FROM truth t LEFT JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+      ranked AS (SELECT hit,
+               CAST(row_number() OVER (ORDER BY doc_a, doc_b) AS BIGINT)
+                 AS rn FROM flag),
+      mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM flag),
+      reps AS (SELECT CAST(r AS BIGINT) AS rep
+               FROM generate_series(0, 15) AS g(r)),
+      draws AS (SELECT rep,
+               ${hexSql(
+                 "md5(CAST(rn AS VARCHAR) || '#' || CAST(rep AS VARCHAR))",
+                 12)}
+                 % NULLIF(m, 0) + 1 AS draw
+             FROM ranked CROSS JOIN reps CROSS JOIN mm),
+      means AS (SELECT rep,
+               CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mn
+             FROM draws JOIN ranked ON draw = rn GROUP BY rep),
+      arr AS (SELECT list(mn ORDER BY mn, rep) AS a FROM means),
+      agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+                     CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hit
+              FROM flag),
+      sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_stratum_docs FROM sd)
+      SELECT n_stratum_docs, n_truth, n_hit,
+             n_truth - n_hit AS n_missed,
+             COALESCE(CAST(n_hit AS DOUBLE) /
+               NULLIF(CAST(n_truth AS DOUBLE), 0.0), 1.0) AS recall,
+             COALESCE(a[3], 1.0) AS boot_lo,
+             COALESCE(a[14], 1.0) AS boot_hi
+      FROM sc CROSS JOIN agg CROSS JOIN arr""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -6659,5 +6745,6 @@ object PipelineQueries {
     q151, q152, q157, q158, q159, q160, q161, q167, q168, q169, q170, q171,
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
     q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264,
-    q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300, q302, q306, q308)
+    q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300, q302, q306, q308,
+    q309)
 }

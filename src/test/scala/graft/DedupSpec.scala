@@ -398,4 +398,73 @@ class DedupSpec extends SparkTestBase {
       .sum
     assert(exp < full, "fixture too small to demonstrate pruning")
   }
+
+  test("lshRecallSampled: frac=1 converges to the exact full-audit recall") {
+    // the q309 convergence law: with the stratum = the whole corpus the
+    // sampled estimator must reproduce q302's exact counts bit-for-bit
+    val real = graft.core.Lake(spark, sfDir).documents
+    val sh = Dedup.shingles(real, "doc_id", "text", 3)
+    val truth = Dedup.jaccardPairs(sh, 0.8).select("doc_a", "doc_b")
+    val cand = Dedup.lshCandidates(
+      Dedup.lshBands(Dedup.minhashSignatures(sh), 4, 4))
+    val nTruth = truth.count()
+    val nHit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
+    assert(nTruth > 0, "fixture has no truth pairs — law would be vacuous")
+    val r = Dedup.lshRecallSampled(real, "doc_id", "text", frac = 1.0,
+      threshold = 0.8, salt = "audit").head()
+    assert(r.getAs[Long]("n_stratum_docs") == real.count())
+    assert(r.getAs[Long]("n_truth") == nTruth)
+    assert(r.getAs[Long]("n_hit") == nHit)
+    assert(r.getAs[Double]("recall") == nHit.toDouble / nTruth)
+  }
+
+  /** 10 disjoint-vocabulary base docs (20 words each) + a last-word
+    * variant of each: the pair's shingle Jaccard is 17/19 ≈ 0.895 ≥ 0.8
+    * (the last word lives in exactly one trigram), and no cross-base
+    * pair shares a shingle — exactly 10 truth pairs. */
+  private def missCorpus = {
+    val rows = (0 until 10).flatMap { b =>
+      val words = (0 until 20).map(i => s"w${b}_$i")
+      Seq((b * 2L, words.mkString(" ")),
+        (b * 2L + 1L, (words.init :+ s"alt$b").mkString(" ")))
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("lshRecallSampled: misses are measured, CI ordered, output deterministic") {
+    // one band of 16 rows = candidates need the FULL signature equal;
+    // at jaccard 0.895 most truth pairs miss — the estimator must SAY so
+    val r = Dedup.lshRecallSampled(missCorpus, "doc_id", "text", frac = 1.0,
+      threshold = 0.8, numHashes = 16, bands = 1, rowsPerBand = 16).head()
+    assert(r.getAs[Long]("n_truth") == 10L)
+    val hit = r.getAs[Long]("n_hit")
+    assert(r.getAs[Long]("n_missed") == 10L - hit)
+    assert(hit < 10L, "harsh geometry expected to miss at least one pair")
+    assert(r.getAs[Double]("recall") == hit.toDouble / 10.0)
+    val lo = r.getAs[Double]("boot_lo")
+    val hi = r.getAs[Double]("boot_hi")
+    assert(lo >= 0.0 && lo <= hi && hi <= 1.0)
+    // bootstrap draws are md5-indexed — a rerun is bit-identical
+    val again = Dedup.lshRecallSampled(missCorpus, "doc_id", "text",
+      frac = 1.0, threshold = 0.8, numHashes = 16, bands = 1,
+      rowsPerBand = 16).head()
+    assert(again.toSeq == r.toSeq)
+  }
+
+  test("lshRecallSampled: sub-unit stratum audits a strict subset") {
+    val r = Dedup.lshRecallSampled(missCorpus, "doc_id", "text", frac = 0.5,
+      threshold = 0.8, salt = "s1").head()
+    val nd = r.getAs[Long]("n_stratum_docs")
+    assert(nd > 0L && nd < 20L)
+    // truth pairs need BOTH endpoints sampled — at most the full 10
+    assert(r.getAs[Long]("n_truth") <= 10L)
+    // empty-stratum degenerate form: recall convention 1.0, CI collapses
+    val empty = Dedup.lshRecallSampled(
+      missCorpus.filter(col("doc_id") < 0), "doc_id", "text", frac = 0.5)
+      .head()
+    assert(empty.getAs[Long]("n_truth") == 0L)
+    assert(empty.getAs[Double]("recall") == 1.0)
+    assert(empty.getAs[Double]("boot_lo") == 1.0)
+    assert(empty.getAs[Double]("boot_hi") == 1.0)
+  }
 }

@@ -602,6 +602,7 @@ class PlanSpec extends SparkTestBase {
         val plan = planOf(q.run(spark, sfDir))
         if (plan.contains("CartesianProduct")) Some(q.name) else None
       }
+    spark.catalog.clearCache()
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
@@ -644,9 +645,40 @@ class PlanSpec extends SparkTestBase {
       }
       if (globals.nonEmpty && !allowed.contains(q.name)) Some(q.name) else None
     }
+    // plan-building registers (never materializes) each query's persist()
+    // frames in the CacheManager; drop the bookkeeping for later suites
+    spark.catalog.clearCache()
     assert(offenders.isEmpty,
       s"single-partition global windows in: ${offenders.mkString(", ")} — " +
         "route through ops.Ranks or allowlist with a bounded-frame justification")
+  }
+
+  test("q309 sampled recall: every shingle explode sits above the stratum filter") {
+    // the sampled audit's 100 TB claim is that BOTH chains touch only the
+    // md5 stratum of documents — i.e. the stratum predicate is applied
+    // BELOW every Generate (shingle/band explode), before any pair work.
+    // The filter carries the folded salt literal inside the md5 argument,
+    // so it is unmistakable in the plan. cache = false keeps the plan
+    // fully logical (no InMemoryRelation hides the filter from the
+    // collect), and the unique salt guarantees no previously cached
+    // shingle frame from the registry sweep substitutes in.
+    val plan = graft.ops.Dedup.lshRecallSampled(
+        graft.core.Lake(spark, sfDir).documents, "doc_id", "text",
+        frac = 0.5, threshold = 0.8, salt = "plan-pin", cache = false)
+      .queryExecution.optimizedPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "expected shingle explodes in the q309 plan")
+    gens.foreach { g =>
+      val stratumBelow = g.child.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.toString.contains("plan-pin") &&
+              f.condition.toString.toLowerCase.contains("md5") => f
+      }
+      assert(stratumBelow.nonEmpty,
+        s"explode without the md5 stratum filter below it:\n$g")
+    }
   }
 
   test("dynamic partition pruning: a dim-side filter prunes the fact partition scan") {

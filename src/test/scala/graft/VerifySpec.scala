@@ -96,6 +96,9 @@ class VerifySpec extends SparkTestBase {
       VerifyCore.unhashableColumns(qr.run(spark, sfDir).schema)
         .map(c => s"${qr.name} -> $c")
     }
+    // schema-building registers each query's persist() frames in the
+    // CacheManager (never materialized here); drop the bookkeeping
+    spark.catalog.clearCache()
     assert(offenders.isEmpty,
       s"unhashable output columns (flatten to scalars or cast):\n  " +
         offenders.mkString("\n  "))
