@@ -11,9 +11,12 @@ import org.apache.spark.sql.functions._
   * Metadata decode is REAL for the containers a pure-JVM byte reader can
   * handle — PNG (IHDR chunk) and JPEG (SOF marker scan) in
   * [[parseImageHeader]] — and falls back to deterministic stub values for
-  * everything else (this container hosts no native codecs; full pixel
-  * decode stays out of scope). Equally real is the Spark plumbing a
-  * production decoder needs:
+  * everything else. PIXEL decode is real too wherever a no-native-dep
+  * codec exists: 24-bit BMP bit-exact in [[decodeBmp]], and PNG/JPEG/GIF
+  * through the JDK's own `javax.imageio` readers in [[decodeImageIO]]
+  * (public Java SE API, every JRE ships them); stubs remain only for
+  * codec-bound formats with no JDK reader (WebP, H.264…). Equally real
+  * is the Spark plumbing a production decoder needs:
   *   - media travels as `binary`, never materialized driver-side;
   *   - the decoder runs `mapPartitions` over a typed Dataset, i.e. one
   *     JVM-side batch per partition (the Scala analogue of `mapInPandas`'s
@@ -251,6 +254,129 @@ object Multimodal {
     out
   }
 
+  // ------------------------------------------------------------- ImageIO
+  // The compressed web formats (JPEG — the dominant web image format —
+  // plus PNG and GIF) decode through the JDK's own `javax.imageio`
+  // readers: public Java SE API, present in every JRE, no native deps.
+  // PNG is lossless so its decode is oracle-gatable with the q125 trick
+  // (arithmetic oracle that never sees bytes — q310); JPEG decode is not
+  // bit-specified across libraries, so it is gated by property laws
+  // instead (round-trip pixel tolerance, hash stability across quality
+  // levels — MultimodalSpec). WebP has no JDK reader and stays refused.
+
+  // ImageIO defaults to a disk-backed stream cache; blobs here are
+  // in-memory byte arrays, so the temp-file indirection is pure overhead
+  // (and a surprise /tmp dependency on an executor). One-time static
+  // switch, idempotent, safe per-JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Pixel decode via the JDK ImageIO readers (PNG/JPEG/GIF). The
+    * container is sniffed FIRST with [[parseImageHeader]] — arbitrary
+    * text/binary blobs are never probed — and the canvas dimensions are
+    * read from the header and capped BEFORE any pixel allocation, so a
+    * decompression bomb (tiny file, huge claimed canvas) is rejected
+    * without decoding. Pixels land as row-major top-down RGB through
+    * `BufferedImage.getRGB`'s sRGB conversion (palette GIFs, gray PNGs,
+    * CMYK JPEGs all normalize through the JDK's ColorModel; alpha is
+    * dropped). Returns `None` — never throws — on unsupported or
+    * malformed bytes. GIF note: only the first frame of an animation. */
+  def decodeImageIO(bytes: Array[Byte]): Option[DecodedImage] = {
+    val supported = Set("png", "jpeg", "gif")
+    if (bytes == null) return None
+    if (!parseImageHeader(bytes).exists(h => supported(h._1))) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h > 64L * 1024 * 1024)
+            return None // same 64 MPix cap as decodeBmp
+          val img = reader.read(0)
+          val rgb = new Array[Byte](w * h * 3)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              val d = (y * w + x) * 3
+              rgb(d) = ((p >> 16) & 0xff).toByte
+              rgb(d + 1) = ((p >> 8) & 0xff).toByte
+              rgb(d + 2) = (p & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(DecodedImage(w, h, rgb))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode any supported raster container to RGB: the pure-JVM BMP
+    * codec first (bit-exact, its arithmetic is stated in SQL oracles),
+    * then the JDK ImageIO readers for PNG/JPEG/GIF. This is the single
+    * entry every pixel consumer ([[imageFeatures]], [[resizeImage]],
+    * [[imageAHash]]/[[imageDHash]]/[[imageWHash]]) routes through. */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+    decodeBmp(bytes).orElse(decodeImageIO(bytes))
+
+  private def toBuffered(img: DecodedImage): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](img.width)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        row(x) = ((img.rgb(s) & 0xff) << 16) |
+          ((img.rgb(s + 1) & 0xff) << 8) | (img.rgb(s + 2) & 0xff)
+        x += 1
+      }
+      bi.setRGB(0, y, img.width, 1, row, 0, img.width)
+      y += 1
+    }
+    bi
+  }
+
+  /** Encode RGB as PNG via the JDK writer. PNG is lossless:
+    * decodeImage ∘ encodePng = identity on pixels (MultimodalSpec law),
+    * which is what lets q310 gate the ImageIO path with an arithmetic
+    * oracle. */
+  def encodePng(img: DecodedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBuffered(img), "png", out)
+    out.toByteArray
+  }
+
+  /** Encode RGB as baseline JPEG at the given quality via the JDK
+    * writer — fixture generator for the lossy-path property laws and
+    * the MJPEG frame payloads. */
+  def encodeJpeg(img: DecodedImage, quality: Float = 0.9f): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(toBuffered(img), null, null), p)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
+
   /** Nearest-neighbor resample to (w, h): source pixel for output (x, y)
     * is (⌊x·W/w⌋, ⌊y·H/h⌋) — integer arithmetic only, so the oracle can
     * state the identical sampling in SQL. */
@@ -283,11 +409,12 @@ object Multimodal {
       mean_b: Double
   )
 
-  /** Decode (BMP) → nearest-neighbor resize → channel means, one row per
-    * decodable image; non-BMP blobs are dropped (a production pipeline
-    * routes them to their codec's variant of this map). Means are exact:
-    * integer pixel sums divided once — bit-identical to the SQL oracle's
-    * CAST(SUM)/(w·h). Partition-wise flatMap: no shuffle, no driver data. */
+  /** Decode ([[decodeImage]]: BMP bit-exact, PNG/JPEG/GIF via the JDK
+    * readers) → nearest-neighbor resize → channel means, one row per
+    * decodable image; undecodable blobs are dropped. Means are exact for
+    * the lossless formats: integer pixel sums divided once —
+    * bit-identical to the SQL oracle's CAST(SUM)/(w·h) (BMP: q125,
+    * PNG: q310). Partition-wise flatMap: no shuffle, no driver data. */
   def imageFeatures(
       df: DataFrame, idCol: String, binCol: String,
       width: Int, height: Int
@@ -298,7 +425,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          decodeBmp(bytes).map { img =>
+          decodeImage(bytes).map { img =>
             val r = resampleNearest(img, width, height)
             var (sr, sg, sb) = (0L, 0L, 0L)
             var i = 0
@@ -315,8 +442,9 @@ object Multimodal {
       }
   }
 
-  /** Resized media with REAL pixels where the format allows: BMP blobs are
-    * decoded, nearest-neighbor resampled and re-encoded; anything else
+  /** Resized media with REAL pixels where a decoder exists
+    * ([[decodeImage]]: BMP/PNG/JPEG/GIF): decode, nearest-neighbor
+    * resample, re-encode as canonical 24-bit BMP; anything undecodable
     * falls through to the documented [[resizeStub]] byte arithmetic. */
   def resizeImage(
       df: DataFrame, idCol: String, binCol: String,
@@ -328,7 +456,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          decodeBmp(bytes) match {
+          decodeImage(bytes) match {
             case Some(img) =>
               Resized(id, width.toLong, height.toLong,
                 encodeBmp(resampleNearest(img, width, height)))
@@ -356,7 +484,9 @@ object Multimodal {
     * source resolution that samples to the same grid; near-identical
     * images differ in few bits, so downstream near-dup is a Hamming
     * band-join — exactly [[graft.ops.Dedup.simhashPairs]]'s shape over
-    * this column. BMP-decodable rows only (codec honesty contract). */
+    * this column. Decodable rows only — BMP bit-exact plus PNG/JPEG/GIF
+    * via [[decodeImage]] (JPEG hash stability is property-law-tested:
+    * quality levels may flip only a few bits, never most). */
   def imageAHash(df: DataFrame, idCol: String, binCol: String): Dataset[AHash] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -364,7 +494,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          decodeBmp(bytes).map { img =>
+          decodeImage(bytes).map { img =>
             val r = resampleNearest(img, 8, 8)
             val gray = Array.tabulate(64) { i =>
               ((r.rgb(i * 3) & 0xff) + (r.rgb(i * 3 + 1) & 0xff) +
@@ -423,7 +553,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          decodeBmp(bytes).map { img =>
+          decodeImage(bytes).map { img =>
             val r = resampleNearest(img, 8, 8)
             val c = Array.tabulate(64) { i =>
               (((r.rgb(i * 3) & 0xff) + (r.rgb(i * 3 + 1) & 0xff) +
@@ -461,7 +591,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          decodeBmp(bytes).map { img =>
+          decodeImage(bytes).map { img =>
             val r = resampleNearest(img, 9, 8)
             def gray(x: Int, y: Int): Int = {
               val i = (y * 9 + x) * 3
@@ -695,6 +825,206 @@ object Multimodal {
       }
   }
 
+  // ----------------------------------------------------------------- AVI
+  // MJPEG — JPEG frames in an AVI (RIFF) container — is the one video
+  // codec this container can run END-TO-END with no native deps: the
+  // RIFF walk is pure byte arithmetic (like TAR/ZIP/Y4M) and each frame
+  // payload decodes through the same JDK ImageIO path as still JPEGs
+  // ([[decodeImageIO]]). The demux layer is EXACT and oracle-gated with
+  // the q132 trick (frame sizes + content md5 vs payloads the oracle
+  // rebuilds in SQL — q311); the pixel layer is property-law-tested
+  // (JPEG is not bit-specified). Codec-bound formats (H.264 in MP4…)
+  // stay honestly refused: [[frameSampleStub]] remains their documented
+  // stand-in.
+
+  /** Serialize JPEG (or arbitrary) frame payloads as a minimal
+    * spec-correct AVI: RIFF('AVI ') { LIST hdrl { avih, LIST strl
+    * { strh 'vids'/'MJPG', strf BITMAPINFOHEADER } }, LIST movi
+    * { '00dc' frames, even-padded } } — the layout any AVI demuxer
+    * reads (AVI RIFF form, Windows multimedia file formats). */
+  def aviMjpeg(width: Int, height: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def u32le(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def u16le(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    // movi payload: '00dc' + size + bytes (+ 1 pad byte if odd)
+    val moviBody = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlBody = 4 + /*avih*/ 8 + 56 + /*LIST strl*/ 12 + /*strh*/ 8 + 56 + /*strf*/ 8 + 40
+    val riffBody = 4 + /*LIST hdrl*/ 8 + hdrlBody + /*LIST movi*/ 8 + 4 + moviBody
+    fourcc("RIFF"); u32le(riffBody.toLong); fourcc("AVI ")
+    fourcc("LIST"); u32le(hdrlBody.toLong); fourcc("hdrl")
+    fourcc("avih"); u32le(56L)
+    u32le(40000L)                 // dwMicroSecPerFrame (25 fps)
+    u32le(0L); u32le(0L); u32le(0L)
+    u32le(frames.length.toLong)   // dwTotalFrames
+    u32le(0L); u32le(1L)          // dwInitialFrames, dwStreams
+    u32le(maxFrame.toLong)        // dwSuggestedBufferSize
+    u32le(width.toLong); u32le(height.toLong)
+    (0 until 4).foreach(_ => u32le(0L)) // dwReserved
+    fourcc("LIST"); u32le((4 + 8 + 56 + 8 + 40).toLong); fourcc("strl")
+    fourcc("strh"); u32le(56L)
+    fourcc("vids"); fourcc("MJPG")
+    u32le(0L); u16le(0); u16le(0) // dwFlags, wPriority, wLanguage
+    u32le(0L)                     // dwInitialFrames
+    u32le(1L); u32le(25L)         // dwScale, dwRate (25 fps)
+    u32le(0L)                     // dwStart
+    u32le(frames.length.toLong)   // dwLength (frames)
+    u32le(maxFrame.toLong); u32le(10000L) // buffer, quality
+    u32le(0L)                     // dwSampleSize (0: one sample per chunk)
+    u16le(0); u16le(0); u16le(width); u16le(height) // rcFrame
+    fourcc("strf"); u32le(40L)
+    u32le(40L); u32le(width.toLong); u32le(height.toLong)
+    u16le(1); u16le(24)           // biPlanes, biBitCount
+    fourcc("MJPG")                // biCompression
+    u32le(0L); u32le(0L); u32le(0L); u32le(0L); u32le(0L)
+    fourcc("LIST"); u32le((4 + moviBody).toLong); fourcc("movi")
+    frames.foreach { f =>
+      fourcc("00dc"); u32le(f.length.toLong); out.write(f)
+      if ((f.length & 1) == 1) out.write(0) // RIFF chunks pad to even
+    }
+    out.toByteArray
+  }
+
+  /** Demux an AVI's video frames: the RIFF chunk walk to `LIST movi`,
+    * collecting every `##dc`/`##db` payload in stream order. Returns
+    * `(width, height, frames)` only when the header declares a `vids`
+    * stream handled by MJPG (fccHandler or biCompression — encoders set
+    * either) — anything else is refused, never mis-demuxed (the codec
+    * honesty contract: we only claim frames we can also decode).
+    * Never throws on arbitrary bytes; bounds-checked throughout. */
+  def parseAviMjpegFrames(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    if (bytes == null || bytes.length < 24) return None
+    def ascii(from: Int, until: Int): String =
+      if (until <= bytes.length) new String(bytes, from, until - from, "US-ASCII")
+      else ""
+    def u32le(i: Int): Long =
+      ((bytes(i + 3) & 0xffL) << 24) | ((bytes(i + 2) & 0xffL) << 16) |
+        ((bytes(i + 1) & 0xffL) << 8) | (bytes(i) & 0xffL)
+    if (ascii(0, 4) != "RIFF" || ascii(8, 12) != "AVI ") return None
+    var mjpg = false
+    var w = 0; var h = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // walk(from, until): iterate sibling chunks, recursing into LISTs
+    def walk(from: Int, until: Int): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        val tag = ascii(i, i + 4)
+        val size = u32le(i + 4)
+        if (size < 0 || i + 8 + size > until) return // malformed: stop
+        if (tag == "LIST" && size >= 4) {
+          walk(i + 12, i + 8 + size.toInt) // skip the 4-byte list type
+        } else if (tag == "strh" && size >= 56 &&
+          ascii(i + 8, i + 12) == "vids") {
+          if (ascii(i + 12, i + 16) == "MJPG") mjpg = true
+        } else if (tag == "strf" && size >= 40) {
+          if (ascii(i + 24, i + 28) == "MJPG") mjpg = true
+          if (w == 0) { w = u32le(i + 12).toInt; h = u32le(i + 16).toInt }
+        } else if (tag.length == 4 && (tag.endsWith("dc") || tag.endsWith("db"))) {
+          frames += java.util.Arrays.copyOfRange(bytes, i + 8, i + 8 + size.toInt)
+        }
+        i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+    }
+    walk(12, bytes.length)
+    if (mjpg && w > 0 && h > 0) Some((w, h, frames.toSeq)) else None
+  }
+
+  /** Frame sampling with REAL demux where the container allows — the
+    * production replacement for [[frameSampleStub]]'s byte slicing:
+    *   - AVI-MJPEG → every `stride`-th `00dc` payload (the JPEG bytes,
+    *     which [[decodeImage]] handles downstream);
+    *   - mono Y4M → every `stride`-th raw luma plane;
+    *   - anything else (H.264 etc. — codec-bound, no JDK decoder) falls
+    *     through to the documented stub slicing, same schema.
+    * 1:N fan-out inside the partition iterator: no shuffle, no driver
+    * data, output scales with frames KEPT. Demux gated by q311 (exact
+    * sizes + md5 vs SQL-rebuilt payloads); pixels by MultimodalSpec. */
+  def frameSample(
+      df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int = 64, stride: Int = 4
+  ): Dataset[Frame] = {
+    require(stride >= 1, s"stride must be positive, got $stride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val b = if (bytes == null) Array.empty[Byte] else bytes
+          parseAviMjpegFrames(b) match {
+            case Some((_, _, frames)) =>
+              (0 until frames.length by stride).iterator
+                .map(f => Frame(id, f.toLong, frames(f)))
+            case None => parseY4mHeader(b) match {
+              case Some((w, h, "mono", dataOff)) =>
+                val planeBytes = w * h
+                val step = marker.length + planeBytes
+                val nFrames = (b.length - dataOff) / step
+                (0 until nFrames by stride).iterator.flatMap { f =>
+                  val off = dataOff + f * step
+                  if (!b.slice(off, off + marker.length).sameElements(marker)) None
+                  else Some(Frame(id, f.toLong,
+                    java.util.Arrays.copyOfRange(
+                      b, off + marker.length, off + step)))
+                }
+              case _ =>
+                val nFrames = b.length / frameBytes
+                (0 until nFrames by stride).iterator.map { f =>
+                  Frame(id, f.toLong, b.slice(f * frameBytes, (f + 1) * frameBytes))
+                }
+            }
+          }
+        }
+      }
+  }
+
+  /** Exact per-frame RGB statistics for one sampled video frame: integer
+    * channel sums over the DECODED pixels, divided once. */
+  final case class FrameRgbStats(
+      doc_id: Long, frame_idx: Long, width: Long, height: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** End-to-end MJPEG video → pixels: demux the AVI
+    * ([[parseAviMjpegFrames]]), decode every `stride`-th JPEG frame
+    * through the JDK ImageIO path ([[decodeImage]]), and emit exact
+    * channel means per frame — the video twin of [[imageFeatures]].
+    * Non-AVI-MJPEG blobs and undecodable frames are dropped (honesty
+    * contract). Partition-wise flatMap: no shuffle, no driver data. */
+  def mjpegFrameStats(
+      df: DataFrame, idCol: String, binCol: String, stride: Int = 1
+  ): Dataset[FrameRgbStats] = {
+    require(stride >= 1, s"stride must be positive, got $stride")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseAviMjpegFrames(bytes).iterator.flatMap { case (_, _, frames) =>
+            (0 until frames.length by stride).iterator.flatMap { f =>
+              decodeImage(frames(f)).map { img =>
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                var i = 0
+                while (i < img.rgb.length) {
+                  sr += img.rgb(i) & 0xff; sg += img.rgb(i + 1) & 0xff
+                  sb += img.rgb(i + 2) & 0xff
+                  i += 3
+                }
+                val n = (img.width.toLong * img.height).toDouble
+                FrameRgbStats(id, f.toLong, img.width.toLong,
+                  img.height.toLong, sr / n, sg / n, sb / n)
+              }
+            }
+          }
+        }
+      }
+  }
+
   // ----------------------------------------------------------------- TAR
   // WebDataset-shaped shard handling: training corpora commonly land as
   // tar archives of per-sample member files. POSIX ustar needs no codec —
@@ -889,7 +1219,9 @@ object Multimodal {
     * the partition iterator (`flatMap`), so no shuffle and no driver
     * involvement — output size scales with frames kept, not source size.
     * The "frame" is a deterministic byte slice standing in for a decoded
-    * frame; a real demuxer replaces the slicing only. */
+    * frame. [[frameSample]] is the real demuxer for the containers this
+    * JVM can walk (AVI-MJPEG, mono Y4M); this stub remains the documented
+    * stand-in for codec-bound formats only (H.264 in MP4 etc.). */
   def frameSampleStub(
       df: DataFrame, idCol: String, binCol: String,
       frameBytes: Int = 64, stride: Int = 4

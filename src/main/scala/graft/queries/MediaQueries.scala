@@ -278,5 +278,123 @@ object MediaQueries {
     )
   }
 
-  val all: Seq[Q] = Seq(q230, q231, q232, q267)
+  // --------------------------------------------------------------- q310
+  /** REAL PNG pixels under the hash gate — the q125 trick applied to the
+    * `javax.imageio` decode path: the same deterministic per-doc pixel
+    * field as q125, but encoded as PNG ([[graft.ops.Multimodal.encodePng]],
+    * the JDK writer) instead of BMP, then decoded back through
+    * [[graft.ops.Multimodal.decodeImageIO]] inside the ordinary
+    * imageFeatures chain. PNG is LOSSLESS, so the decoded pixels must be
+    * bit-identical to the generative formula and the oracle can restate
+    * the whole decode → 8×8 nearest-neighbor resample → exact channel
+    * means pipeline arithmetically without ever seeing a byte — a hash
+    * match proves the ImageIO path (sniff, header-capped read, sRGB
+    * conversion to row-major RGB) byte-correct end-to-end. JPEG, whose
+    * decode is not bit-specified across libraries, is gated by
+    * MultimodalSpec property laws instead. */
+  private val q310 = Q(
+    "q310_png_features",
+    (s, dir) => {
+      import s.implicits._
+      val pngs = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (6 + id % 7).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = (y * w + x) * 3
+              rgb(i) = ((id + x + 2L * y) % 256).toByte
+              rgb(i + 1) = ((2L * id + 3L * x + y) % 256).toByte
+              rgb(i + 2) = ((id + 5L * x + 7L * y) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.encodePng(Multimodal.DecodedImage(w, h, rgb)))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.imageFeatures(pngs, "doc_id", "media", 8, 8)
+        .toDF().orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+        FROM documents WHERE doc_id < 400),
+      grid AS (
+        SELECT doc_id, w, h, t1.x, t2.y
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      sampled AS (
+        SELECT doc_id,
+          (doc_id + (x * w) // 8 + 2 * ((y * h) // 8)) % 256 AS r,
+          (2 * doc_id + 3 * ((x * w) // 8) + (y * h) // 8) % 256 AS g,
+          (doc_id + 5 * ((x * w) // 8) + 7 * ((y * h) // 8)) % 256 AS b
+        FROM grid)
+      SELECT doc_id,
+        CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        CAST(SUM(r) AS DOUBLE) / 64 AS mean_r,
+        CAST(SUM(g) AS DOUBLE) / 64 AS mean_g,
+        CAST(SUM(b) AS DOUBLE) / 64 AS mean_b
+      FROM sampled GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q311
+  /** Video demux under the hash gate — the q132 trick on the AVI
+    * container: genuine RIFF/AVI archives (MJPG-declared `vids` stream,
+    * `00dc` frame chunks with even-padding, counts and ASCII payloads
+    * all functions of doc_id) demuxed by
+    * [[graft.ops.Multimodal.frameSample]] at stride 2, emitting each
+    * kept frame's exact size and content md5. The oracle rebuilds the
+    * identical payload strings with repeat() and hashes them in SQL — a
+    * hash match proves the chunk walk (header gate, LIST recursion,
+    * even-pad stepping, stride) byte-for-byte. The frame payloads here
+    * are deterministic strings rather than JPEGs because no SQL oracle
+    * can restate a JPEG encoder; the pixel layer over real JPEG frames
+    * is property-law-gated in MultimodalSpec (mjpegFrameStats). */
+  private val q311 = Q(
+    "q311_avi_frame_demux",
+    (s, dir) => {
+      import s.implicits._
+      val avis = Lake(s, dir).documents
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val frames = (0 until (3 + id % 4).toInt).map { i =>
+            val reps = (8 + (id + i) % 5).toInt
+            (s"frame-$id-$i|" * reps).getBytes("US-ASCII")
+          }
+          (id, Multimodal.aviMjpeg(64, 48, frames))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.frameSample(avis, "doc_id", "media", stride = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("n_bytes"),
+          md5(col("frame")).as("content_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 3 + doc_id % 4 AS nf
+        FROM documents WHERE doc_id < 300),
+      frames AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS frame_idx,
+          repeat('frame-' || CAST(doc_id AS VARCHAR) || '-'
+            || CAST(t.i AS VARCHAR) || '|',
+            CAST(8 + (doc_id + t.i) % 5 AS INT)) AS payload
+        FROM ids, unnest(generate_series(0, nf - 1)) AS t(i)
+        WHERE t.i % 2 = 0)
+      SELECT doc_id, frame_idx,
+        CAST(length(payload) AS BIGINT) AS n_bytes,
+        md5(payload) AS content_md5
+      FROM frames ORDER BY doc_id, frame_idx""")
+  )
+
+  val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311)
 }

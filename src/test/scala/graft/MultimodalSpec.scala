@@ -583,4 +583,210 @@ class MultimodalSpec extends SparkTestBase {
       .toDF("doc_id", "media")
     assert(Multimodal.pcmFrameStats(junk, "doc_id", "media", 4).count() == 0)
   }
+
+  // ------------------------------------------------------------- ImageIO
+  // Laws for the JDK-reader pixel path (decodeImageIO). PNG is lossless:
+  // decode ∘ encode must be the identity on pixels (that exactness is
+  // what q310's arithmetic oracle rides). JPEG decode is NOT
+  // bit-specified across libraries, so its laws are tolerances: bounded
+  // per-pixel error on re-encode, bounded hash flips across quality
+  // levels, resolution invariance of the sampled hash grid.
+
+  /** Smooth deterministic test image — JPEG-friendly (no hard edges, so
+    * quality-level error stays small and hash bits stay put). */
+  private def smooth(w: Int, h: Int): Multimodal.DecodedImage = {
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      rgb(i) = (40 + (160 * x) / w).toByte
+      rgb(i + 1) = (40 + (160 * y) / h).toByte
+      rgb(i + 2) = (40 + (80 * (x + y)) / (w + h)).toByte
+    }
+    Multimodal.DecodedImage(w, h, rgb)
+  }
+
+  test("PNG codec law: decodeImage ∘ encodePng = identity on pixels") {
+    val img = smooth(23, 17) // odd dims exercise row strides
+    val bytes = Multimodal.encodePng(img)
+    // sniffs as a real PNG with the right canvas
+    assert(Multimodal.parseImageHeader(bytes).contains(("png", 23L, 17L)))
+    val back = Multimodal.decodeImage(bytes).get
+    assert(back.width == 23 && back.height == 17)
+    assert(back.rgb.sameElements(img.rgb), "PNG is lossless — exact pixels")
+  }
+
+  test("GIF decode: palette image round-trips through the JDK reader") {
+    // few distinct colors → the GIF writer's palette holds them exactly
+    val w = 16; val h = 12
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if ((x / 4 + y / 4) % 2 == 0) 220 else 30
+      val i = (y * w + x) * 3
+      rgb(i) = v.toByte; rgb(i + 1) = v.toByte; rgb(i + 2) = v.toByte
+    }
+    val img = Multimodal.DecodedImage(w, h, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(
+      new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB) {
+        for (y <- 0 until h; x <- 0 until w) {
+          val i = (y * w + x) * 3
+          setRGB(x, y, ((rgb(i) & 0xff) << 16) |
+            ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        }
+      }, "gif", out)
+    val bytes = out.toByteArray
+    assert(Multimodal.parseImageHeader(bytes).exists(_._1 == "gif"))
+    val back = Multimodal.decodeImage(bytes).get
+    assert(back.width == w && back.height == h)
+    assert(back.rgb.sameElements(img.rgb), "2-color GIF decodes exactly")
+  }
+
+  test("JPEG laws: bounded re-encode error, hash stability across quality, sniff gate") {
+    val img = smooth(64, 48)
+    val q90 = Multimodal.encodeJpeg(img, 0.9f)
+    assert(Multimodal.parseImageHeader(q90).contains(("jpeg", 64L, 48L)))
+    val back = Multimodal.decodeImage(q90).get
+    assert(back.width == 64 && back.height == 48)
+    // re-encode tolerance: smooth content at q90 stays within a tight
+    // per-pixel band (JPEG error is bounded, not bit-exact)
+    val maxErr = img.rgb.indices.map { i =>
+      math.abs((img.rgb(i) & 0xff) - (back.rgb(i) & 0xff))
+    }.max
+    assert(maxErr <= 16, s"q90 smooth-gradient error should be small: $maxErr")
+
+    // hash stability across quality levels: aHash/dHash flip at most a
+    // few of 64 bits between q95 and q75 of the SAME image
+    def hashes(bytes: Array[Byte]) = {
+      val df = Seq((1L, bytes)).toDF("doc_id", "media")
+      (Multimodal.imageAHash(df, "doc_id", "media").head().ahash,
+        Multimodal.imageDHash(df, "doc_id", "media").head().dhash)
+    }
+    val (a95, d95) = hashes(Multimodal.encodeJpeg(img, 0.95f))
+    val (a75, d75) = hashes(Multimodal.encodeJpeg(img, 0.75f))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(a95, a75) <= 6, s"aHash across quality: ${hamming(a95, a75)} bits")
+    assert(hamming(d95, d75) <= 6, s"dHash across quality: ${hamming(d95, d75)} bits")
+
+    // resolution invariance: the same content JPEG'd at 2x resolution
+    // lands within a few bits of the base hash (sampling grid dominates)
+    val (aBig, _) = hashes(Multimodal.encodeJpeg(smooth(128, 96), 0.9f))
+    val (aBase, _) = hashes(q90)
+    assert(hamming(aBig, aBase) <= 6, s"aHash across resolution: ${hamming(aBig, aBase)}")
+  }
+
+  test("decodeImageIO: refuses junk, truncation, and WebP; caps the canvas") {
+    assert(Multimodal.decodeImageIO(null).isEmpty)
+    assert(Multimodal.decodeImageIO("plain text".getBytes).isEmpty)
+    // a real PNG truncated mid-stream must return None, not throw
+    val png = Multimodal.encodePng(smooth(32, 32))
+    assert(Multimodal.decodeImageIO(png.take(png.length / 2)).isEmpty)
+    // WebP has no JDK reader — refused at the sniff, never probed
+    val vp8x = {
+      def u24le(v: Long) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+      val payload = "WEBP".getBytes ++ "VP8X".getBytes ++
+        Array.fill(8)(0.toByte) ++ u24le(15) ++ u24le(15) ++ Array.fill(2)(0.toByte)
+      "RIFF".getBytes ++ Array[Byte](
+        (payload.length & 0xff).toByte, 0, 0, 0) ++ payload
+    }
+    assert(Multimodal.parseImageHeader(vp8x).exists(_._1 == "webp"))
+    assert(Multimodal.decodeImageIO(vp8x).isEmpty)
+    // a PNG whose IHDR claims a >64 MPix canvas is rejected from the
+    // header, before any pixel allocation (decompression-bomb guard):
+    // doctor the canvas fields of a real PNG — the reader reads
+    // dimensions from IHDR without validating the CRC first
+    val bomb = png.clone()
+    def putU32(off: Int, v: Long): Unit = {
+      bomb(off) = (v >> 24).toByte; bomb(off + 1) = (v >> 16).toByte
+      bomb(off + 2) = (v >> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putU32(16, 1 << 14); putU32(20, 1 << 14) // 268 MPix claimed
+    assert(Multimodal.decodeImageIO(bomb).isEmpty)
+  }
+
+  test("AVI-MJPEG: writer/parser round trip, honesty gate, malformed rejects") {
+    val frames = Seq(
+      "first frame payload".getBytes,   // odd length → exercises padding
+      "second".getBytes,
+      "third frame".getBytes)
+    val avi = Multimodal.aviMjpeg(64, 48, frames)
+    val (w, h, back) = Multimodal.parseAviMjpegFrames(avi).get
+    assert(w == 64 && h == 48 && back.length == 3)
+    frames.zip(back).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // non-MJPG vids stream refused: flip the strh handler and strf codec
+    val notMjpg = avi.clone()
+    def patch(needle: String, repl: String): Unit = {
+      val n = needle.getBytes("US-ASCII")
+      val idx = notMjpg.indices.find(i => i + n.length <= notMjpg.length &&
+        n.indices.forall(j => notMjpg(i + j) == n(j)))
+      idx.foreach(i => repl.getBytes("US-ASCII").zipWithIndex
+        .foreach { case (b, j) => notMjpg(i + j) = b })
+    }
+    patch("MJPG", "H264"); patch("MJPG", "H264")
+    assert(Multimodal.parseAviMjpegFrames(notMjpg).isEmpty,
+      "a non-MJPG stream must be refused, not mis-demuxed")
+    // junk, truncation, and a RIFF that is not AVI
+    assert(Multimodal.parseAviMjpegFrames(null).isEmpty)
+    assert(Multimodal.parseAviMjpegFrames("not a container".getBytes).isEmpty)
+    assert(Multimodal.parseAviMjpegFrames(avi.take(40)).isEmpty)
+    assert(Multimodal.parseAviMjpegFrames(
+      Multimodal.pcm16Wav(8000L, Array[Short](1, 2, 3))).isEmpty)
+  }
+
+  test("frameSample: real AVI demux with stride, Y4M plane walk, stub fallback") {
+    val frames = (0 until 5).map(i => s"frame-$i-payload".getBytes.asInstanceOf[Array[Byte]])
+    val y4m = Multimodal.y4mMono(4, 3, Seq(
+      Array.fill(12)(10.toByte), Array.fill(12)(20.toByte), Array.fill(12)(30.toByte)))
+    val df = Seq(
+      (1L, Multimodal.aviMjpeg(16, 16, frames)),
+      (2L, y4m),
+      (3L, Array.fill(256)(7.toByte))).toDF("doc_id", "media")
+    val out = Multimodal.frameSample(df, "doc_id", "media", frameBytes = 64, stride = 2)
+      .collect().groupBy(_.doc_id)
+    // AVI: frames 0, 2, 4 with exact payloads
+    val avi = out(1L).sortBy(_.frame_idx)
+    assert(avi.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L))
+    assert(avi(1).frame.sameElements(frames(2)))
+    // Y4M mono: planes 0 and 2, raw luma bytes
+    val y = out(2L).sortBy(_.frame_idx)
+    assert(y.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(y(0).frame.forall(_ == 10.toByte) && y(0).frame.length == 12)
+    assert(y(1).frame.forall(_ == 30.toByte))
+    // unknown container: documented stub slicing (256/64 = 4 frames, stride 2)
+    assert(out(3L).map(_.frame_idx).sorted.toSeq == Seq(0L, 2L))
+  }
+
+  test("mjpegFrameStats: end-to-end video pixels — demux + JPEG decode per frame") {
+    // three REAL JPEG frames of distinct brightness; per-frame means must
+    // track the source brightness within JPEG tolerance
+    def flat(v: Int) = {
+      val rgb = Array.fill(32 * 24 * 3)(v.toByte)
+      Multimodal.DecodedImage(32, 24, rgb)
+    }
+    val jpegs = Seq(60, 120, 200).map(v => Multimodal.encodeJpeg(flat(v), 0.9f))
+    val df = Seq((9L, Multimodal.aviMjpeg(32, 24, jpegs))).toDF("doc_id", "media")
+    val stats = Multimodal.mjpegFrameStats(df, "doc_id", "media")
+      .collect().sortBy(_.frame_idx)
+    assert(stats.length == 3)
+    assert(stats.forall(s => s.width == 32 && s.height == 24))
+    stats.zip(Seq(60, 120, 200)).foreach { case (s, v) =>
+      assert(math.abs(s.mean_r - v) <= 3.0 &&
+        math.abs(s.mean_g - v) <= 3.0 && math.abs(s.mean_b - v) <= 3.0,
+        s"frame ${s.frame_idx} mean (${s.mean_r},${s.mean_g},${s.mean_b}) vs $v")
+    }
+    // stride keeps every other frame
+    assert(Multimodal.mjpegFrameStats(df, "doc_id", "media", stride = 2)
+      .collect().map(_.frame_idx).sorted.toSeq == Seq(0L, 2L))
+  }
+
+  test("imageFeatures rides the ImageIO path: PNG means match the BMP means") {
+    val img = smooth(40, 30)
+    val df = Seq(
+      (1L, Multimodal.encodeBmp(img)),
+      (2L, Multimodal.encodePng(img))).toDF("doc_id", "media")
+    val rows = Multimodal.imageFeatures(df, "doc_id", "media", 8, 8)
+      .collect().map(f => f.doc_id -> (f.mean_r, f.mean_g, f.mean_b)).toMap
+    assert(rows(1L) == rows(2L),
+      "the same pixels through BMP and PNG must produce identical features")
+  }
 }
