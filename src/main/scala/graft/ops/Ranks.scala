@@ -42,6 +42,19 @@ import org.apache.spark.sql.functions._
   * so the partition ids the counts see are the partition ids the data
   * sees (RanksSpec's value-equality tests run under default AQE).
   *
+  * AQE skew-split boundary (pinned by RanksSpec's forced-skew stress
+  * test): `OptimizeSkewedJoin` — the one AQE rule that can split a
+  * reducer partition into PartialReducer sub-reads — rewrites only
+  * shuffle reads feeding a sort-merge/shuffled-hash join DIRECTLY.
+  * Neither consumer of the range exchange qualifies: the data path feeds
+  * a broadcast join (the O(#partitions) offsets side is always
+  * broadcast, by construction), the counts path feeds an aggregate, and
+  * any downstream SMJ sits above its own exchange of already-numbered
+  * rows. The stress test forces the machinery
+  * (`spark.sql.adaptive.forceOptimizeSkewedJoin`, 1KB skew thresholds, a
+  * 90%-one-key fixture, broadcast disabled downstream) and asserts the
+  * bijection holds.
+  *
   * Determinism contract (same as any `row_number`): `sortCols` should form
   * a total order (include a unique tiebreaker). Ties still produce a valid
   * permutation, but which tied row gets which number is not pinned.

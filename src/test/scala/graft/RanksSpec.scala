@@ -132,6 +132,75 @@ class RanksSpec extends SparkTestBase {
     assert(out === (1L to 5000L), "row numbers under total skew stay correct")
   }
 
+  test("AQE skew-split stress: forced skew optimization cannot desync offsets from data") {
+    // The open question from the round-7 review: could AQE's skew
+    // machinery (OptimizeSkewedJoin splitting a reducer partition into
+    // PartialReducer sub-reads) split the reused range exchange AFTER the
+    // counts were taken, desyncing partition ids from counts? Answer, now
+    // pinned: no. OptimizeSkewedJoin rewrites only shuffle reads feeding
+    // a sort-merge/shuffled-hash JOIN directly; both consumers of Ranks'
+    // range exchange are a per-partition projection (the data path into a
+    // BROADCAST join) and an aggregate (the counts path), neither a skew-
+    // split candidate — and a downstream SMJ sits above its OWN exchange
+    // of the already-numbered rows. This test forces the machinery as
+    // hard as the configs allow (forceOptimizeSkewedJoin + 1KB skew
+    // thresholds + a 90%-one-key fixture wide enough to trip them + an
+    // SMJ consumer with broadcast disabled) and asserts the ranks stay a
+    // perfect order-consistent bijection.
+    val keys = Seq(
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val n = 20000L
+      val df = spark.range(0, n).select(
+        when(col("id") % 10 =!= 0, lit(7L))
+          .otherwise(col("id") % 97).as("k"),
+        col("id"),
+        lpad(col("id").cast("string"), 64, "0").as("pad"))
+      val ranked = Ranks.globalRowNumber(df, Seq(col("k"), col("id")), "rn")
+      val got = ranked.select("k", "id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(_._3).sorted.toSeq === (1L to n).toSeq,
+        "forced skew configs must not break the 1..n bijection")
+      assert(got.sortBy(t => (t._1, t._2)).map(_._3).toSeq === (1L to n).toSeq,
+        "forced skew configs must not break order consistency")
+      // downstream sort-merge join over the skewed key (the one place the
+      // skew-split CAN fire — above its own exchange of numbered rows)
+      val dim = spark.range(0, 100).select(col("id").as("k"),
+        (col("id") * 3L).as("w"))
+      val joined = ranked.join(dim, Seq("k")).agg(
+        count(lit(1)).as("cnt"), sum(col("rn")).as("s"))
+      val row = joined.head()
+      assert(row.getAs[Long]("cnt") === n,
+        "every row must survive the skewed SMJ")
+      assert(row.getAs[Long]("s") === n * (n + 1) / 2,
+        "rank sum must be exactly n(n+1)/2 after the skewed SMJ")
+      // cumsum variant rides spark_partition_id() instead of the mid
+      // layout — same desync concern, same pin
+      val cs = Ranks.globalCumSum(
+        spark.range(0, 5000).select(lit(1L).as("k"), col("id"),
+          (col("id") % 5L).as("v")),
+        Seq(col("k"), col("id")), col("v"), "cs")
+        .orderBy("id").select("cs").collect().map(_.getLong(0))
+      val expect = (0L until 5000L).scanLeft(0L)((a, i) => a + i % 5).tail
+      assert(cs.toSeq === expect.toSeq,
+        "globalCumSum under forced skew configs diverged")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("law: globalRowNumber is the unique order-consistent bijection 1..n") {
     // randomized shapes: skewed keys, duplicates in the non-key column,
     // row counts that don't divide the partition count
