@@ -909,10 +909,17 @@ object Dedup {
       .select("doc_a", "doc_b")
     val cand = lshCandidates(
       lshBands(minhashSignatures(sh, numHashes), bands, rowsPerBand))
-    val flagged = truth
+    val flaggedRaw = truth
       .join(cand.withColumn("__c", lit(1)), Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),
         when(col("__c").isNotNull, 1L).otherwise(0L).as("hit"))
+    // four consumers read the flagged-pair frame (the rank index, the
+    // bootstrap join, the pair count, the final hit tally); without this
+    // persist EACH replays the jaccard self-join and the banded candidate
+    // chain — measured 8.7 s → 4.0 s at sf0.1. O(truth pairs) rows.
+    val flagged = if (cache)
+      flaggedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else flaggedRaw
     val ranked = Ranks.globalRowNumber(
       flagged, Seq(col("doc_a"), col("doc_b")), "rn")
     val mF = flagged.agg(count(lit(1)).as("m"))
