@@ -920,31 +920,9 @@ object Dedup {
     val flagged = if (cache)
       flaggedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else flaggedRaw
-    val ranked = Ranks.globalRowNumber(
-      flagged, Seq(col("doc_a"), col("doc_b")), "rn")
-    val mF = flagged.agg(count(lit(1)).as("m"))
-    val reps = docs.sparkSession.range(bootReps.toLong)
-      .select(col("id").as("rep"))
-    val draws = ranked.select(col("rn").as("i"))
-      .crossJoin(broadcast(reps))
-      .crossJoin(broadcast(mF))
-      .select(col("rep"),
-        (conv(substring(md5(concat(col("i").cast("string"), lit("#"),
-          col("rep").cast("string"))), 1, 12), 16, 10).cast("long")
-          % nullif(col("m"), lit(0L)) + 1L).as("draw"))
-    val repMeans = draws
-      .join(ranked.select(col("rn"), col("hit")), col("draw") === col("rn"))
-      .groupBy("rep")
-      .agg(sum(col("hit")).as("__h"), count(lit(1)).as("__k"))
-      .select(col("rep"),
-        (col("__h").cast("double") / col("__k").cast("double")).as("m"))
-    val ci = repMeans
-      .agg(sort_array(collect_list(struct(col("m"), col("rep")))).as("arr"))
-      .select(
-        coalesce(try_element_at(col("arr"), lit(bootLo))("m"), lit(1.0d))
-          .as("boot_lo"),
-        coalesce(try_element_at(col("arr"), lit(bootHi))("m"), lit(1.0d))
-          .as("boot_hi"))
+    val ci = indicatorBootstrapCI(
+      flagged, Seq(col("doc_a"), col("doc_b")), bootReps, bootLo, bootHi,
+      emptyDefault = 1.0)
     stratum.agg(count(lit(1)).as("n_stratum_docs"))
       .crossJoin(broadcast(flagged.agg(
         count(lit(1)).as("n_truth"),
@@ -956,5 +934,162 @@ object Dedup {
           nullif(col("n_truth").cast("double"), lit(0.0d)), lit(1.0d))
           .as("recall"),
         col("boot_lo"), col("boot_hi"))
+  }
+
+  /** Deterministic percentile-bootstrap CI over a 0/1 `hit` column — the
+    * shared engine under [[lshRecallSampled]] and
+    * [[contaminationRateSampled]] (the q304 discipline, no RNG anywhere):
+    * the population is rank-indexed by [[Ranks.globalRowNumber]] over
+    * `orderCols`, replicate r draws its i-th element as
+    * `md5(i "#" r) mod m + 1`, and the interval is the (`bootLo`,
+    * `bootHi`)-th order statistics of the value-sorted replicate means.
+    * Empty population: `m = 0` nulls every draw via `nullif` and both
+    * bounds coalesce to `emptyDefault` (1.0 for recall — "nothing to
+    * miss"; 0.0 for contamination — "nothing flagged"). Returns ONE row
+    * (boot_lo, boot_hi); all frames are O(population × B). */
+  private def indicatorBootstrapCI(
+      flagged: DataFrame, orderCols: Seq[Column],
+      bootReps: Int, bootLo: Int, bootHi: Int,
+      emptyDefault: Double): DataFrame = {
+    val ranked = Ranks.globalRowNumber(flagged, orderCols, "rn")
+    val mF = flagged.agg(count(lit(1)).as("m"))
+    val reps = flagged.sparkSession.range(bootReps.toLong)
+      .select(col("id").as("rep"))
+    val draws = ranked.select(col("rn").as("i"))
+      .crossJoin(broadcast(reps))
+      .crossJoin(broadcast(mF))
+      .select(col("rep"),
+        (conv(substring(md5(concat(col("i").cast("string"), lit("#"),
+          col("rep").cast("string"))), 1, 12), 16, 10).cast("long")
+          % nullif(col("m"), lit(0L)) + 1L).as("draw"))
+    draws
+      .join(ranked.select(col("rn"), col("hit")), col("draw") === col("rn"))
+      .groupBy("rep")
+      .agg(sum(col("hit")).as("__h"), count(lit(1)).as("__k"))
+      .select(col("rep"),
+        (col("__h").cast("double") / col("__k").cast("double")).as("m"))
+      .agg(sort_array(collect_list(struct(col("m"), col("rep")))).as("arr"))
+      .select(
+        coalesce(try_element_at(col("arr"), lit(bootLo))("m"),
+          lit(emptyDefault)).as("boot_lo"),
+        coalesce(try_element_at(col("arr"), lit(bootHi))("m"),
+          lit(emptyDefault)).as("boot_hi"))
+  }
+
+  /** Sampled-stratum decontamination audit — [[lshRecallSampled]]'s
+    * discipline applied to the q55 concern: at extreme scale even the
+    * single broadcast-join corpus pass of [[contamination]] is worth
+    * AUDITING on a stratum before paying for it in full, and the
+    * contamination RATE (what fraction of corpus documents overlap the
+    * eval suite?) is the number that decides whether decontamination is
+    * even needed. The corpus is cut to a deterministic md5 stratum
+    * ([[Sampling.keeps]] — any engine selects the identical documents);
+    * every stratum document gets a 0/1 flag (≥ `minOverlap` distinct
+    * shingles shared with the benchmark set, exactly [[contamination]]'s
+    * rule); the rate ships with the deterministic bootstrap CI. The
+    * benchmark side is never sampled — it is O(eval suite), already
+    * small and broadcast. frac→1 converges to the exact full-corpus
+    * flag census (DedupSpec law). */
+  def contaminationRateSampled(
+      corpus: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      frac: Double, minOverlap: Int = 2, shingleN: Int = 3,
+      salt: String = "", bootReps: Int = 16,
+      bootLo: Int = 3, bootHi: Int = 14, cache: Boolean = true): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1]: $frac")
+    require(bootReps >= 1 && bootLo >= 1 && bootHi <= bootReps && bootLo <= bootHi,
+      s"bad bootstrap geometry: B=$bootReps lo=$bootLo hi=$bootHi")
+    val stratum = corpus.filter(Sampling.keeps(col(idCol), frac, salt))
+    val corpusSh = shingles(stratum, idCol, textCol, shingleN)
+    val benchSh = shingles(bench, idCol, textCol, shingleN)
+    val hits = contamination(corpusSh, benchSh, minOverlap)
+      .select(col("doc_id"), lit(1L).as("__hit"))
+    val flaggedRaw = stratum.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__hit"), lit(0L)).as("hit"))
+    // three consumers (rank index, bootstrap join, final tally) would
+    // each replay the shingle explode + broadcast overlap join
+    val flagged = if (cache)
+      flaggedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else flaggedRaw
+    val ci = indicatorBootstrapCI(
+      flagged, Seq(col("doc_id")), bootReps, bootLo, bootHi,
+      emptyDefault = 0.0)
+    flagged.agg(
+        count(lit(1)).as("n_stratum_docs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_flagged"))
+      .crossJoin(broadcast(ci))
+      .select(col("n_stratum_docs"), col("n_flagged"),
+        coalesce(col("n_flagged").cast("double") /
+          nullif(col("n_stratum_docs").cast("double"), lit(0.0d)), lit(0.0d))
+          .as("contamination_rate"),
+        col("boot_lo"), col("boot_hi"))
+  }
+
+  /** Composed dedup TUNING REPORT — the q306 threshold census and the
+    * q309 recall audit fused over ONE stratum pair frame: for each
+    * Jaccard cutoff, what the dedup would do to the corpus (pair count,
+    * documents caught in duplicate clusters, cluster count, largest
+    * cluster — the over-merge cliff detector) AND what fraction of those
+    * true pairs the production LSH geometry would actually surface
+    * (recall at that cutoff). One table answers the tuning question both
+    * halves only hint at alone: a cutoff is shippable when its census is
+    * stable AND its recall holds — q306 without q309 ships thresholds
+    * the bands cannot see; q309 without q306 ships recall for clusters
+    * nobody audited.
+    *
+    * Cost shape: the exact pair frame is computed ONCE at the loosest
+    * cutoff with its LSH hit flag attached (tighter cutoffs are filters,
+    * the q306 discipline); the banded candidate chain runs ONCE; only
+    * the per-cutoff CC passes repeat, over edge frames that shrink as
+    * the threshold rises. Everything runs on the deterministic md5
+    * stratum (the q309 discipline), so the report costs O(frac²) of the
+    * full-corpus audit. */
+  def tuningReport(
+      docs: DataFrame, idCol: String, textCol: String, frac: Double,
+      thresholdPcts: Seq[Int] = Seq(70, 80, 90), shingleN: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, rowsPerBand: Int = 4,
+      salt: String = "", cache: Boolean = true): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1]: $frac")
+    require(thresholdPcts.nonEmpty && thresholdPcts.forall(p => p > 0 && p <= 100),
+      s"threshold percents must be in (0,100]: $thresholdPcts")
+    val loosest = thresholdPcts.min / 100.0
+    val stratum = docs.filter(Sampling.keeps(col(idCol), frac, salt))
+    val stratumDocs = stratum.select(col(idCol).as("doc_id"))
+    val shRaw = shingles(stratum, idCol, textCol, shingleN)
+    val sh = if (cache)
+      shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shRaw
+    val cand = lshCandidates(
+      lshBands(minhashSignatures(sh, numHashes), bands, rowsPerBand))
+    val flaggedRaw = jaccardPairs(sh, loosest, cache = false)
+      .select("doc_a", "doc_b", "jaccard")
+      .join(cand.withColumn("__c", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        when(col("__c").isNotNull, 1L).otherwise(0L).as("hit"))
+    val flagged = if (cache)
+      flaggedRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else flaggedRaw
+    val arms = thresholdPcts.sorted.map { pct =>
+      val pairsT = flagged.filter(col("jaccard") >= pct / 100.0)
+      val sz = dupClusters(stratumDocs, pairsT.select("doc_a", "doc_b"))
+        .select("doc_id", "cluster_id", "cluster_size")
+        .groupBy("cluster_id")
+        .agg(first(col("cluster_size")).as("csz"))
+      sz.agg(
+          coalesce(sum(when(col("csz") > 1, col("csz"))), lit(0L))
+            .as("docs_in_dups"),
+          sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_clusters"),
+          max(col("csz")).as("max_cluster_size"))
+        .crossJoin(broadcast(pairsT.agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))))
+        .select(lit(pct.toLong).as("threshold_pct"), col("n_pairs"),
+          col("docs_in_dups"), col("n_clusters"), col("max_cluster_size"),
+          col("n_hit"),
+          coalesce(col("n_hit").cast("double") /
+            nullif(col("n_pairs").cast("double"), lit(0.0d)), lit(1.0d))
+            .as("recall"))
+    }
+    arms.reduce(_.unionByName(_))
   }
 }

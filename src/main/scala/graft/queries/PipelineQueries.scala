@@ -6749,6 +6749,172 @@ object PipelineQueries {
       FROM sc CROSS JOIN agg CROSS JOIN arr""")
   )
 
+  // --------------------------------------------------------------- q312
+  /** Sampled decontamination audit — the q309 discipline applied to the
+    * q55 concern ([[graft.ops.Dedup.contaminationRateSampled]]): before
+    * paying for a full-corpus decontamination pass, estimate the
+    * contamination RATE on a deterministic md5 half-stratum of the
+    * corpus (salt "contam"). Every stratum doc gets a 0/1 flag (≥ 2
+    * distinct trigram shingles shared with the broadcast eval suite —
+    * exactly q55's rule) and the rate ships with the deterministic
+    * percentile-bootstrap CI over the doc_id-rank-indexed flags. The
+    * empty-stratum convention is 0.0 (nothing flagged), where q309's is
+    * 1.0 (nothing missed). */
+  private val q312 = Q(
+    "q312_contamination_sampled",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      Dedup.contaminationRateSampled(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "doc_id", "text", frac = 0.5, minOverlap = 2, salt = "contam")
+    },
+    Some(s"""
+      WITH sd AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id >= 20
+          AND substring(md5(CAST(doc_id AS VARCHAR) || 'contam'), 1, 3)
+            < '800'),
+      bw AS (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents WHERE doc_id < 20),
+      bsh AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                AS shingle
+              FROM bw, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sd),
+      csh AS (SELECT DISTINCT doc_id,
+                ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+              FROM cw, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      ov AS (SELECT c.doc_id, COUNT(*) AS n
+             FROM csh c JOIN bsh b USING (shingle) GROUP BY c.doc_id),
+      flag AS (SELECT sd.doc_id,
+                 CASE WHEN ov.n >= 2 THEN CAST(1 AS BIGINT)
+                      ELSE CAST(0 AS BIGINT) END AS hit
+               FROM sd LEFT JOIN ov ON sd.doc_id = ov.doc_id),
+      ranked AS (SELECT hit,
+               CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn
+             FROM flag),
+      mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM flag),
+      reps AS (SELECT CAST(r AS BIGINT) AS rep
+               FROM generate_series(0, 15) AS g(r)),
+      draws AS (SELECT rep,
+               ${hexSql(
+                 "md5(CAST(rn AS VARCHAR) || '#' || CAST(rep AS VARCHAR))",
+                 12)}
+                 % NULLIF(m, 0) + 1 AS draw
+             FROM ranked CROSS JOIN reps CROSS JOIN mm),
+      means AS (SELECT rep,
+               CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mn
+             FROM draws JOIN ranked ON draw = rn GROUP BY rep),
+      arr AS (SELECT list(mn ORDER BY mn, rep) AS a FROM means),
+      agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_stratum_docs,
+                     CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_flagged
+              FROM flag)
+      SELECT n_stratum_docs, n_flagged,
+             COALESCE(CAST(n_flagged AS DOUBLE) /
+               NULLIF(CAST(n_stratum_docs AS DOUBLE), 0.0), 0.0)
+               AS contamination_rate,
+             COALESCE(a[3], 0.0) AS boot_lo,
+             COALESCE(a[14], 0.0) AS boot_hi
+      FROM agg CROSS JOIN arr""")
+  )
+
+  /** One q313 arm: the q306 census columns PLUS the recall columns, all
+    * over the flagged stratum pair frame `pf` and stratum docs `sd`. */
+  private def tuningArmSql(pct: Int): String = {
+    val frac = pct / 100.0
+    s"""edges_$pct AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pf WHERE jacc >= $frac
+        UNION ALL
+        SELECT doc_b, doc_a FROM pf WHERE jacc >= $frac),
+      reach_$pct AS (
+        SELECT doc_id AS node, doc_id AS label FROM sd
+        UNION
+        SELECT e.dst AS node, r.label
+        FROM reach_$pct r JOIN edges_$pct e ON r.node = e.src),
+      cc_$pct AS (SELECT node, MIN(label) AS cluster_id
+                  FROM reach_$pct GROUP BY node),
+      sz_$pct AS (SELECT cluster_id, COUNT(*) AS csz
+                  FROM cc_$pct GROUP BY cluster_id),
+      rec_$pct AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hit
+        FROM pf WHERE jacc >= $frac),
+      sum_$pct AS (
+        SELECT CAST($pct AS BIGINT) AS threshold_pct, n_pairs,
+          CAST(COALESCE(SUM(csz) FILTER (WHERE csz > 1), 0) AS BIGINT)
+            AS docs_in_dups,
+          CAST(COUNT(*) FILTER (WHERE csz > 1) AS BIGINT) AS n_clusters,
+          CAST(MAX(csz) AS BIGINT) AS max_cluster_size,
+          n_hit,
+          COALESCE(CAST(n_hit AS DOUBLE) / NULLIF(CAST(n_pairs AS DOUBLE),
+            0.0), 1.0) AS recall
+        FROM sz_$pct CROSS JOIN rec_$pct
+        GROUP BY n_pairs, n_hit)"""
+  }
+
+  // --------------------------------------------------------------- q313
+  /** Composed dedup tuning report ([[graft.ops.Dedup.tuningReport]]) —
+    * q306's threshold census and q309's recall audit fused over ONE
+    * stratum pair frame: per Jaccard cutoff, the cluster census (pairs,
+    * docs-in-dups, clusters, largest cluster) AND the fraction of those
+    * true pairs the production LSH geometry surfaces. The exact pair
+    * frame is computed once at the loosest cutoff with its band-hit flag
+    * attached; tighter cutoffs are filters; the banded chain runs once;
+    * only the CC passes repeat over shrinking edges. All on the md5
+    * half-stratum (salt "tune") — O(frac²) of the full audit. */
+  private val q313 = Q(
+    "q313_dedup_tuning_report",
+    (s, dir) => Dedup.tuningReport(
+      Lake(s, dir).documents, "doc_id", "text", frac = 0.5,
+      thresholdPcts = Seq(70, 80, 90), salt = "tune")
+      .orderBy("threshold_pct"),
+    Some(s"""
+      WITH RECURSIVE
+      sd AS (
+        SELECT doc_id, text FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'tune'), 1, 3)
+          < '800'),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sd),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jacc
+        FROM common
+        JOIN cnt ca ON doc_a = ca.doc_id
+        JOIN cnt cb ON doc_b = cb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) >= 0.70),
+      sig AS (SELECT doc_id,
+        $SigCols
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        $BandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+      pf AS (
+        SELECT p.doc_a, p.doc_b, p.jacc,
+               CASE WHEN c.doc_a IS NOT NULL THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS hit
+        FROM pairs p LEFT JOIN cand c
+          ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b),
+      ${tuningArmSql(70)},
+      ${tuningArmSql(80)},
+      ${tuningArmSql(90)}
+      SELECT * FROM sum_70
+      UNION ALL SELECT * FROM sum_80
+      UNION ALL SELECT * FROM sum_90
+      ORDER BY threshold_pct""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -6760,5 +6926,5 @@ object PipelineQueries {
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
     q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264,
     q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300, q302, q306, q308,
-    q309)
+    q309, q312, q313)
 }

@@ -451,6 +451,68 @@ class DedupSpec extends SparkTestBase {
     assert(again.toSeq == r.toSeq)
   }
 
+  test("contaminationRateSampled: frac=1 equals the exact flag census; CI ordered; empty → 0") {
+    val docs = graft.core.Lake(spark, sfDir).documents
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val bench = docs.filter(col("doc_id") < 20)
+    // exact census via the production operator
+    val nCorpus = corpus.count()
+    val nFlagged = Dedup.contamination(
+      Dedup.shingles(corpus, "doc_id", "text", 3),
+      Dedup.shingles(bench, "doc_id", "text", 3), minOverlap = 2).count()
+    val r = Dedup.contaminationRateSampled(
+      corpus, bench, "doc_id", "text", frac = 1.0).head()
+    assert(r.getAs[Long]("n_stratum_docs") == nCorpus)
+    assert(r.getAs[Long]("n_flagged") == nFlagged)
+    assert(r.getAs[Double]("contamination_rate") == nFlagged.toDouble / nCorpus)
+    val lo = r.getAs[Double]("boot_lo"); val hi = r.getAs[Double]("boot_hi")
+    assert(lo >= 0.0 && lo <= hi && hi <= 1.0)
+    // determinism: bit-identical rerun
+    val again = Dedup.contaminationRateSampled(
+      corpus, bench, "doc_id", "text", frac = 1.0).head()
+    assert(again.toSeq == r.toSeq)
+    // sub-unit stratum audits a strict subset
+    val half = Dedup.contaminationRateSampled(
+      corpus, bench, "doc_id", "text", frac = 0.5, salt = "s2").head()
+    val nd = half.getAs[Long]("n_stratum_docs")
+    assert(nd > 0L && nd < nCorpus)
+    // empty corpus: rate convention 0.0, CI collapses to 0.0
+    val empty = Dedup.contaminationRateSampled(
+      corpus.filter(col("doc_id") < 0), bench, "doc_id", "text", frac = 0.5)
+      .head()
+    assert(empty.getAs[Long]("n_stratum_docs") == 0L)
+    assert(empty.getAs[Double]("contamination_rate") == 0.0)
+    assert(empty.getAs[Double]("boot_lo") == 0.0)
+    assert(empty.getAs[Double]("boot_hi") == 0.0)
+  }
+
+  test("tuningReport: census monotone in the cutoff, recall bounded, arms consistent") {
+    val docs = graft.core.Lake(spark, sfDir).documents
+    val rows = Dedup.tuningReport(docs, "doc_id", "text", frac = 1.0,
+      thresholdPcts = Seq(70, 80, 90))
+      .orderBy("threshold_pct").collect()
+    assert(rows.length == 3)
+    val pairs = rows.map(_.getAs[Long]("n_pairs"))
+    val dups = rows.map(_.getAs[Long]("docs_in_dups"))
+    val maxSz = rows.map(_.getAs[Long]("max_cluster_size"))
+    // raising the cutoff can only REMOVE edges
+    assert(pairs.sliding(2).forall(p => p(0) >= p(1)), s"pairs not monotone: ${pairs.toSeq}")
+    assert(dups.sliding(2).forall(p => p(0) >= p(1)), s"dups not monotone: ${dups.toSeq}")
+    assert(maxSz.sliding(2).forall(p => p(0) >= p(1)), s"max size not monotone: ${maxSz.toSeq}")
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_pairs"))
+    }
+    // the fused frame must agree with the standalone recall audit at the
+    // same geometry/stratum: tuningReport's 80-arm vs lshRecallSampled
+    val r80 = rows.find(_.getAs[Long]("threshold_pct") == 80L).get
+    val solo = Dedup.lshRecallSampled(docs, "doc_id", "text", frac = 1.0,
+      threshold = 0.8).head()
+    assert(r80.getAs[Long]("n_pairs") == solo.getAs[Long]("n_truth"))
+    assert(r80.getAs[Long]("n_hit") == solo.getAs[Long]("n_hit"))
+  }
+
   test("lshRecallSampled: sub-unit stratum audits a strict subset") {
     val r = Dedup.lshRecallSampled(missCorpus, "doc_id", "text", frac = 0.5,
       threshold = 0.8, salt = "s1").head()

@@ -662,22 +662,28 @@ class PlanSpec extends SparkTestBase {
     // fully logical (no InMemoryRelation hides the filter from the
     // collect), and the unique salt guarantees no previously cached
     // shingle frame from the registry sweep substitutes in.
-    val plan = graft.ops.Dedup.lshRecallSampled(
+    val audits = Seq(
+      "q309" -> graft.ops.Dedup.lshRecallSampled(
         graft.core.Lake(spark, sfDir).documents, "doc_id", "text",
-        frac = 0.5, threshold = 0.8, salt = "plan-pin", cache = false)
-      .queryExecution.optimizedPlan
-    val gens = plan.collect {
-      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
-    }
-    assert(gens.nonEmpty, "expected shingle explodes in the q309 plan")
-    gens.foreach { g =>
-      val stratumBelow = g.child.collect {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-            if f.condition.toString.contains("plan-pin") &&
-              f.condition.toString.toLowerCase.contains("md5") => f
+        frac = 0.5, threshold = 0.8, salt = "plan-pin", cache = false),
+      "q313" -> graft.ops.Dedup.tuningReport(
+        graft.core.Lake(spark, sfDir).documents, "doc_id", "text",
+        frac = 0.5, salt = "plan-pin", cache = false))
+    audits.foreach { case (name, df) =>
+      val plan = df.queryExecution.optimizedPlan
+      val gens = plan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
       }
-      assert(stratumBelow.nonEmpty,
-        s"explode without the md5 stratum filter below it:\n$g")
+      assert(gens.nonEmpty, s"expected shingle explodes in the $name plan")
+      gens.foreach { g =>
+        val stratumBelow = g.child.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if f.condition.toString.contains("plan-pin") &&
+                f.condition.toString.toLowerCase.contains("md5") => f
+        }
+        assert(stratumBelow.nonEmpty,
+          s"$name: explode without the md5 stratum filter below it:\n$g")
+      }
     }
   }
 
