@@ -396,5 +396,83 @@ object MediaQueries {
       FROM frames ORDER BY doc_id, frame_idx""")
   )
 
-  val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311)
+  // --------------------------------------------------------------- q314
+  /** CROSS-CODEC image near-dup under the hash gate: the same content
+    * class (pixels keyed on doc_id % 40) is delivered as 24-bit BMP for
+    * even docs and PNG for odd docs, and the aHash fingerprint must
+    * collapse every class to ONE hash regardless of delivery format —
+    * the production image-dedup claim ("pixel-identical images dedupe
+    * whatever container they arrived in") stated as an oracle gate. The
+    * oracle computes the hash arithmetic once per doc and counts
+    * duplicates per hash; it never knows formats exist, which is exactly
+    * the point: a format-dependent pixel (one sRGB conversion slip, one
+    * row-order bug in either codec path) splits a class into two hashes
+    * and breaks dup_count for every member. */
+  private val q314 = Q(
+    "q314_cross_codec_ahash",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val imgs = Lake(s, dir).documents
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id % 40
+          val w = (8 + k % 9).toInt
+          val h = (6 + k % 7).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = (y * w + x) * 3
+              rgb(i) = ((k + x + 2L * y) % 256).toByte
+              rgb(i + 1) = ((2L * k + 3L * x + y) % 256).toByte
+              rgb(i + 2) = ((k + 5L * x + 7L * y) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val img = Multimodal.DecodedImage(w, h, rgb)
+          val media =
+            if (id % 2 == 0) Multimodal.encodeBmp(img)
+            else Multimodal.encodePng(img)
+          (id, media)
+        })
+        .toDF("doc_id", "media")
+      Multimodal.imageAHash(imgs, "doc_id", "media").toDF()
+        .withColumn("dup_count",
+          count(lit(1)).over(Window.partitionBy("ahash")))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 40 AS k,
+          8 + (doc_id % 40) % 9 AS w, 6 + (doc_id % 40) % 7 AS h
+        FROM documents WHERE doc_id < 500),
+      grid AS (
+        SELECT doc_id, k, w, h, t1.x, t2.y,
+          (x * w) // 8 AS sx, (y * h) // 8 AS sy
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      gray AS (
+        SELECT doc_id, x, y,
+          ((k + sx + 2 * sy) % 256 + (2 * k + 3 * sx + sy) % 256
+            + (k + 5 * sx + 7 * sy) % 256) // 3 AS g
+        FROM grid),
+      hashed AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN g > m THEN '1' ELSE '0' END, ''
+                     ORDER BY y, x) AS ahash
+        FROM (SELECT doc_id, x, y, g,
+                SUM(g) OVER (PARTITION BY doc_id) // 64 AS m
+              FROM gray)
+        GROUP BY doc_id)
+      SELECT doc_id, ahash,
+        COUNT(*) OVER (PARTITION BY ahash) AS dup_count
+      FROM hashed ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314)
 }

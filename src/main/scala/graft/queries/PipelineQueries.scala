@@ -6404,7 +6404,12 @@ object PipelineQueries {
     * the band geometry moves these numbers, and this gate is where the
     * move becomes visible. The ground-truth chain is gate-scale tooling;
     * at 100 TB the recall estimate runs on a small sample stratum while
-    * the candidate chain is the production path. */
+    * the candidate chain is the production path — that form is
+    * [[graft.ops.Dedup.lshRecallSampled]] (q309, with a deterministic
+    * bootstrap CI; frac→1 reproduces this report's exact counts), and
+    * the census-fused variant is [[graft.ops.Dedup.tuningReport]]
+    * (q313). This gate keeps the full-corpus truth so the sampled
+    * operators have an exact target to converge to. */
   private val q302 = Q(
     "q302_lsh_recall_report",
     (s, dir) => {
