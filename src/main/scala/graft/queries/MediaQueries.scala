@@ -474,5 +474,107 @@ object MediaQueries {
       FROM hashed ORDER BY doc_id""")
   )
 
-  val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314)
+  // --------------------------------------------------------------- q315
+  /** Image near-dup SERVING end-to-end: bytes → aHash → 4×16-bit banded
+    * Hamming join ([[graft.ops.Dedup.simhashPairs]] — a candidate pair
+    * must agree on at least one band, so the join never goes all-pairs)
+    * → exact Hamming verify ≤ 4. The fixture is the q314 mixed-codec
+    * corpus (BMP even / PNG odd, content keyed on doc_id % 40) with a
+    * planted NEAR-dup: docs divisible by 5 carry a +128 spike on the
+    * red channel of source pixel (0,0), so their hash sits a few bits
+    * from their classmates' — the banded join must surface both the
+    * hamming-0 identical pairs and the spiked near pairs, across
+    * codecs. The oracle rebuilds the hash arithmetic (spike included,
+    * keyed on the sampled source coords), bands by substring, joins on
+    * band equality and counts differing bit positions — the whole
+    * serving path stated in SQL. */
+  private val q315 = Q(
+    "q315_image_neardup_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val imgs = Lake(s, dir).documents
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id % 40
+          val spike = id % 5 == 0
+          val w = (8 + k % 9).toInt
+          val h = (6 + k % 7).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = (y * w + x) * 3
+              val rBase = (k + x + 2L * y) % 256
+              rgb(i) =
+                (if (spike && x == 0 && y == 0) (rBase + 128) % 256
+                 else rBase).toByte
+              rgb(i + 1) = ((2L * k + 3L * x + y) % 256).toByte
+              rgb(i + 2) = ((k + 5L * x + 7L * y) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          val img = Multimodal.DecodedImage(w, h, rgb)
+          (id, if (id % 2 == 0) Multimodal.encodeBmp(img)
+               else Multimodal.encodePng(img))
+        })
+        .toDF("doc_id", "media")
+      val fp = Multimodal.imageAHash(imgs, "doc_id", "media").toDF()
+        .select(col("doc_id") +: (0 until 4).map(b =>
+          conv(substring(col("ahash"), b * 16 + 1, 16), 2, 10)
+            .cast("long").as(s"b$b")): _*)
+      graft.ops.Dedup.simhashPairs(fp, maxHamming = 4)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 40 AS k,
+          CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS spike,
+          8 + (doc_id % 40) % 9 AS w, 6 + (doc_id % 40) % 7 AS h
+        FROM documents WHERE doc_id < 500),
+      grid AS (
+        SELECT doc_id, k, spike, w, h, t1.x, t2.y,
+          (x * w) // 8 AS sx, (y * h) // 8 AS sy
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      gray AS (
+        SELECT doc_id, x, y,
+          ((CASE WHEN spike = 1 AND sx = 0 AND sy = 0
+                 THEN ((k + sx + 2 * sy) % 256 + 128) % 256
+                 ELSE (k + sx + 2 * sy) % 256 END)
+            + (2 * k + 3 * sx + sy) % 256
+            + (k + 5 * sx + 7 * sy) % 256) // 3 AS g
+        FROM grid),
+      hashed AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN g > m THEN '1' ELSE '0' END, ''
+                     ORDER BY y, x) AS ahash
+        FROM (SELECT doc_id, x, y, g,
+                SUM(g) OVER (PARTITION BY doc_id) // 64 AS m
+              FROM gray)
+        GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, ahash, b.bi,
+               substr(ahash, b.bi * 16 + 1, 16) AS bv
+        FROM hashed, unnest(generate_series(0, 3)) AS b(bi)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.ahash AS ha, b.ahash AS hb
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(range(1, 65),
+               i -> substr(ha, CAST(i AS INT), 1)
+                 != substr(hb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+      FROM cand
+      WHERE len(list_filter(range(1, 65),
+        i -> substr(ha, CAST(i AS INT), 1)
+          != substr(hb, CAST(i AS INT), 1))) <= 4
+      ORDER BY doc_a, doc_b""")
+  )
+
+  val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315)
 }
