@@ -1731,6 +1731,37 @@ object Multimodal {
     * `array<float>` shape the similarity/ANN operators consume, so
     * `frameSampleStub → featureExtractStub → Similarity.withNorm →
     * ivfTopK` is a complete media-dedup pipeline. */
+  /** REAL image embedding — the production replacement for
+    * [[featureExtractStub]] wherever a decoder exists ([[decodeImage]]:
+    * BMP/PNG/JPEG/GIF): decode → nearest-neighbor resample to a
+    * `grid`×`grid` raster → the raw RGB cells as a 3·grid² float vector
+    * (row-major, r/g/b per cell). Every dimension is an exact integer
+    * 0–255, so downstream dot products and squared norms stay exact
+    * integers in doubles (all partial sums < 2^53) — fold order cannot
+    * matter and a SQL oracle can restate the whole ANN chain
+    * arithmetically (q316). Undecodable blobs are DROPPED (the honesty
+    * contract — [[featureExtractStub]] remains the documented stand-in
+    * for bytes no JVM codec reads). Feeds [[graft.ops.Similarity]]
+    * directly: `imageEmbedding → withNorm → bruteForceTopK/ivfTopK` is
+    * the real media-similarity pipeline. */
+  def imageEmbedding(
+      df: DataFrame, idCol: String, binCol: String, grid: Int = 4
+  ): Dataset[MediaEmbedding] = {
+    require(grid >= 1, s"grid must be positive, got $grid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          decodeImage(bytes).map { img =>
+            val r = resampleNearest(img, grid, grid)
+            MediaEmbedding(id, r.rgb.map(b => (b & 0xff).toFloat))
+          }
+        }
+      }
+  }
+
   def featureExtractStub(
       df: DataFrame, idCol: String, binCol: String, dim: Int = 16
   ): Dataset[MediaEmbedding] = {

@@ -576,5 +576,109 @@ object MediaQueries {
       ORDER BY doc_a, doc_b""")
   )
 
-  val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315)
+  // --------------------------------------------------------------- q316
+  /** Media similarity SERVING end-to-end on REAL pixels: bytes →
+    * [[graft.ops.Multimodal.imageEmbedding]] (decode, 4×4 resample, 48
+    * exact-integer dims) → [[graft.ops.Similarity.withNorm]] →
+    * [[graft.ops.Similarity.bruteForceTopK]] — the full image-ANN chain
+    * with zero stubs, across codecs (queries and corpus both mix BMP and
+    * PNG delivery). Every embedding dimension is an integer 0–255, so
+    * dots and squared norms are exact integers in doubles (fold order
+    * irrelevant), the norms are single correctly-rounded sqrts, and the
+    * cosine is one division — the oracle rebuilds the vectors from the
+    * pixel formula and walks the identical arithmetic. Each query doc's
+    * top-3 are its pixel-identical classmates (cos = 1, id tiebreak) —
+    * the ANN result the dedup story depends on. */
+  private val q316 = Q(
+    "q316_image_ann_topk",
+    (s, dir) => {
+      import s.implicits._
+      def imgFrame(base: org.apache.spark.sql.DataFrame) = {
+        val imgs = base.select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val k = id % 40
+            val w = (8 + k % 9).toInt
+            val h = (6 + k % 7).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                rgb(i) = ((k + x + 2L * y) % 256).toByte
+                rgb(i + 1) = ((2L * k + 3L * x + y) % 256).toByte
+                rgb(i + 2) = ((k + 5L * x + 7L * y) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val img = Multimodal.DecodedImage(w, h, rgb)
+            (id, if (id % 2 == 0) Multimodal.encodeBmp(img)
+                 else Multimodal.encodePng(img))
+          })
+          .toDF("doc_id", "media")
+        graft.ops.Similarity.withNorm(
+          Multimodal.imageEmbedding(imgs, "doc_id", "media", grid = 4)
+            .toDF(), "doc_id", "embedding")
+      }
+      val docs = Lake(s, dir).documents
+      val queries = imgFrame(docs.filter(col("doc_id") < 40))
+      val corpus = imgFrame(
+        docs.filter(col("doc_id") >= 40 && col("doc_id") < 440))
+      graft.ops.Similarity.bruteForceTopK(corpus, queries, k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("cos"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH qids AS (
+        SELECT doc_id, doc_id % 40 AS k,
+          8 + (doc_id % 40) % 9 AS w, 6 + (doc_id % 40) % 7 AS h
+        FROM documents WHERE doc_id < 40),
+      cids AS (
+        SELECT doc_id, doc_id % 40 AS k,
+          8 + (doc_id % 40) % 9 AS w, 6 + (doc_id % 40) % 7 AS h
+        FROM documents WHERE doc_id >= 40 AND doc_id < 440),
+      qcell AS (
+        SELECT doc_id, t1.cx, t2.cy,
+          (k + (cx * w) // 4 + 2 * ((cy * h) // 4)) % 256 AS r,
+          (2 * k + 3 * ((cx * w) // 4) + (cy * h) // 4) % 256 AS g,
+          (k + 5 * ((cx * w) // 4) + 7 * ((cy * h) // 4)) % 256 AS b
+        FROM qids,
+          unnest(generate_series(0, 3)) AS t1(cx),
+          unnest(generate_series(0, 3)) AS t2(cy)),
+      ccell AS (
+        SELECT doc_id, t1.cx, t2.cy,
+          (k + (cx * w) // 4 + 2 * ((cy * h) // 4)) % 256 AS r,
+          (2 * k + 3 * ((cx * w) // 4) + (cy * h) // 4) % 256 AS g,
+          (k + 5 * ((cx * w) // 4) + 7 * ((cy * h) // 4)) % 256 AS b
+        FROM cids,
+          unnest(generate_series(0, 3)) AS t1(cx),
+          unnest(generate_series(0, 3)) AS t2(cy)),
+      qn AS (SELECT doc_id, SUM(r*r + g*g + b*b) AS n2 FROM qcell GROUP BY doc_id),
+      cn AS (SELECT doc_id, SUM(r*r + g*g + b*b) AS n2 FROM ccell GROUP BY doc_id),
+      dots AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+               SUM(q.r*c.r + q.g*c.g + q.b*c.b) AS dot
+        FROM qcell q JOIN ccell c ON q.cx = c.cx AND q.cy = c.cy
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(dot AS DOUBLE) /
+                 (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+                 AS cos
+        FROM dots
+        JOIN qn ON query_id = qn.doc_id
+        JOIN cn ON neighbor_id = cn.doc_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+               cos
+        FROM scored)
+      SELECT query_id, neighbor_id, rank, cos
+      FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""")
+  )
+
+  val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315, q316)
 }

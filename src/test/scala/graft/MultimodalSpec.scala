@@ -779,6 +779,25 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(_.frame_idx).sorted.toSeq == Seq(0L, 2L))
   }
 
+  test("imageEmbedding: exact integer dims, cross-codec equality, undecodable dropped") {
+    val img = smooth(17, 13)
+    val df = Seq(
+      (1L, Multimodal.encodeBmp(img)),
+      (2L, Multimodal.encodePng(img)),
+      (3L, "not an image".getBytes)).toDF("doc_id", "media")
+    val embs = Multimodal.imageEmbedding(df, "doc_id", "media", grid = 4)
+      .collect().map(e => e.doc_id -> e.embedding).toMap
+    assert(embs.keySet == Set(1L, 2L), "undecodable blobs must be dropped")
+    assert(embs(1L).length == 48)
+    assert(embs(1L).forall(v => v == v.floor && v >= 0f && v <= 255f),
+      "every dimension is an exact integer 0-255")
+    assert(embs(1L).sameElements(embs(2L)),
+      "the same pixels through BMP and PNG must embed identically")
+    // dims are the resampled cells, row-major r/g/b
+    val r = Multimodal.resampleNearest(img, 4, 4)
+    assert(embs(1L).sameElements(r.rgb.map(b => (b & 0xff).toFloat)))
+  }
+
   test("imageFeatures rides the ImageIO path: PNG means match the BMP means") {
     val img = smooth(40, 30)
     val df = Seq(
