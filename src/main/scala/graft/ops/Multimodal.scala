@@ -671,6 +671,61 @@ object Multimodal {
       }
   }
 
+  /** Per-audio-blob fingerprint row: the `nFrames`-bit energy hash as a
+    * bit string (frame order). */
+  final case class AudioFp(doc_id: Long, afp: String)
+
+  /** Audio fingerprint — the [[imageAHash]] idea on PCM energy: the
+    * sample stream is cut into `nFrames` balanced frames (sample i →
+    * frame ⌊i·nFrames/n⌋, the exact inverse of nearest-neighbor
+    * resampling), each frame reduces to its integer mean |sample|, and
+    * bit f is 1 iff frame f's mean exceeds the integer mean of the
+    * frame means — a duration-invariant energy-envelope signature.
+    * Identical recordings fingerprint identically at ANY length that
+    * buckets to the same envelope; a local edit (a click, a dropped
+    * beat) flips the few bits whose frames it touches, so near-dup
+    * serving is the same Hamming band-join as the image hashes
+    * ([[graft.ops.Dedup.simhashPairs]]). All arithmetic integer — the
+    * oracle restates it exactly (q317). Mono 16-bit WAV with at least
+    * `nFrames` samples only (the codec honesty contract); everything
+    * else is dropped. */
+  def audioFingerprint(
+      df: DataFrame, idCol: String, binCol: String, nFrames: Int = 64
+  ): Dataset[AudioFp] = {
+    require(nFrames >= 1, s"nFrames must be positive, got $nFrames")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseWavHeader(bytes).flatMap { case (_, channels, bits, n) =>
+            if (channels != 1 || bits != 16 || n < nFrames) None
+            else {
+              val dataOff = findDataChunk(bytes)
+              if (dataOff < 0 || dataOff + n * 2 > bytes.length) None
+              else {
+                val sumAbs = new Array[Long](nFrames)
+                val cnt = new Array[Long](nFrames)
+                var i = 0L
+                while (i < n) {
+                  val o = (dataOff + i * 2).toInt
+                  val s = ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toLong
+                  val f = ((i * nFrames) / n).toInt
+                  sumAbs(f) += math.abs(s); cnt(f) += 1
+                  i += 1
+                }
+                val means = Array.tabulate(nFrames)(f => sumAbs(f) / cnt(f))
+                val thr = means.sum / nFrames
+                Some(AudioFp(id,
+                  means.map(m => if (m > thr) '1' else '0').mkString))
+              }
+            }
+          }
+        }
+      }
+  }
+
   /** Offset of the first byte of the `data` chunk payload, or -1. */
   /** Exact per-frame PCM statistics: one row per fixed-size frame —
     * the voice-activity / silence-detection primitive (energy gating

@@ -680,5 +680,71 @@ object MediaQueries {
       FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""")
   )
 
-  val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315, q316)
+  // --------------------------------------------------------------- q317
+  /** Audio near-dup fingerprinting on REAL PCM
+    * ([[graft.ops.Multimodal.audioFingerprint]] — the aHash idea on the
+    * energy envelope): genuine mono 16-bit WAVs whose samples are a
+    * function of the content class (doc_id % 30), fingerprinted into 64
+    * frame-energy bits, plus the per-fingerprint duplicate count. Docs
+    * divisible by 7 carry a +900 spike on sample 0 — a click at the
+    * head of the recording — which shifts only frame 0's mean and the
+    * global threshold, so spiked docs land a few Hamming bits from
+    * their classmates (the near-dup story) while unspiked classmates
+    * collapse to ONE fingerprint (the exact-dup story). The oracle
+    * regenerates the samples with generate_series and restates the
+    * balanced framing (⌊i·64/n⌋), integer frame means, integer
+    * threshold, and ordered bit concat in SQL. */
+  private val q317 = Q(
+    "q317_audio_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wavs = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id % 30
+          val n = (200 + k % 100).toInt
+          val spike = id % 7 == 0
+          val samples = Array.tabulate(n) { i =>
+            val base = ((k * 31 + i * 17) % 2048) - 1024
+            (if (spike && i == 0) base + 900 else base).toShort
+          }
+          (id, Multimodal.pcm16Wav(16000L, samples))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.audioFingerprint(wavs, "doc_id", "media").toDF()
+        .withColumn("dup_count",
+          count(lit(1)).over(Window.partitionBy("afp")))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 30 AS k,
+          200 + (doc_id % 30) % 100 AS n,
+          CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS spike
+        FROM documents WHERE doc_id < 400),
+      samples AS (
+        SELECT doc_id, t.i, (t.i * 64) // n AS f,
+          abs((k * 31 + t.i * 17) % 2048 - 1024
+            + CASE WHEN spike = 1 AND t.i = 0 THEN 900 ELSE 0 END) AS a
+        FROM ids, unnest(generate_series(0, n - 1)) AS t(i)),
+      frames AS (
+        SELECT doc_id, f, SUM(a) // COUNT(*) AS m
+        FROM samples GROUP BY doc_id, f),
+      thr AS (
+        SELECT doc_id, SUM(m) // 64 AS t FROM frames GROUP BY doc_id),
+      hashed AS (
+        SELECT frames.doc_id,
+          string_agg(CASE WHEN m > t THEN '1' ELSE '0' END, ''
+                     ORDER BY f) AS afp
+        FROM frames JOIN thr ON frames.doc_id = thr.doc_id
+        GROUP BY frames.doc_id)
+      SELECT doc_id, afp,
+        COUNT(*) OVER (PARTITION BY afp) AS dup_count
+      FROM hashed ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
+    q316, q317)
 }

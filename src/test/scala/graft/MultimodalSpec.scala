@@ -798,6 +798,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(embs(1L).sameElements(r.rgb.map(b => (b & 0xff).toFloat)))
   }
 
+  test("audioFingerprint: duration invariance, local-edit sensitivity, rejects") {
+    val base = Array.tabulate(320)(i => (((i * 37) % 1600) - 800).toShort)
+    // same envelope at 2x duration: every sample repeated twice buckets
+    // into the same 64 frames with identical integer means
+    val doubled = base.flatMap(s => Array(s, s))
+    // a click at the head flips only the frame-0 bit neighborhood
+    val clicked = base.clone(); clicked(0) = (clicked(0) + 900).toShort
+    val df = Seq(
+      (1L, Multimodal.pcm16Wav(16000L, base)),
+      (2L, Multimodal.pcm16Wav(16000L, doubled)),
+      (3L, Multimodal.pcm16Wav(16000L, clicked)),
+      (4L, "not audio".getBytes),
+      (5L, Multimodal.pcm16Wav(16000L, Array.tabulate(10)(_.toShort))))
+      .toDF("doc_id", "media")
+    val fps = Multimodal.audioFingerprint(df, "doc_id", "media")
+      .collect().map(f => f.doc_id -> f.afp).toMap
+    assert(fps.keySet == Set(1L, 2L, 3L),
+      "junk and sub-64-sample blobs must be dropped")
+    assert(fps(1L).length == 64 && fps(1L).forall(c => c == '0' || c == '1'))
+    assert(fps(1L) == fps(2L), "same envelope at 2x duration must collapse")
+    val hamming = fps(1L).zip(fps(3L)).count { case (a, b) => a != b }
+    assert(hamming >= 1 && hamming <= 6,
+      s"a single click is a near-dup, not a different recording: $hamming")
+  }
+
   test("imageFeatures rides the ImageIO path: PNG means match the BMP means") {
     val img = smooth(40, 30)
     val df = Seq(
