@@ -107,13 +107,15 @@ object DocumentStreams {
   /** Streaming media ingestion — the multimodal arm's incremental twin:
     * watch a landing directory with Spark's `binaryFile` source and run
     * the SAME real decode the batch path uses
-    * ([[graft.ops.Multimodal.imageFeatures]]: BMP → resample → exact
-    * channel means) on every arriving blob. Stateless per batch (pure
-    * partition-wise decode, no watermark, no state store), so throughput
-    * is read-bound; `doc_id` is the digits of the file name (the lake
-    * convention for media drops: `<id>.bmp`). Undecodable blobs are
-    * dropped by the decode, exactly like the batch operator — a
-    * StreamingSpec test pins stream ≡ batch on the same files. */
+    * ([[graft.ops.Multimodal.imageFeatures]] →
+    * [[graft.ops.Multimodal.decodeImage]]: BMP bit-exact, PNG/JPEG/GIF
+    * via the JDK ImageIO readers → resample → exact channel means) on
+    * every arriving blob. Stateless per batch (pure partition-wise
+    * decode, no watermark, no state store), so throughput is read-bound;
+    * `doc_id` is the digits of the file name (the lake convention for
+    * media drops: `<id>.<ext>`). Undecodable blobs are dropped by the
+    * decode, exactly like the batch operator — a StreamingSpec test pins
+    * stream ≡ batch on the same files, across codecs. */
   def imageFeatureStream(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
@@ -133,12 +135,48 @@ object DocumentStreams {
         org.apache.spark.sql.types.BinaryType)))
     val raw = spark.readStream.format("binaryFile")
       .schema(binaryFileSchema)
-      .option("pathGlobFilter", "*.bmp")
+      .option("pathGlobFilter", "*.{bmp,png,jpg,jpeg,gif}")
       .load(dir)
       .select(
-        regexp_extract(col("path"), "(\\d+)\\.bmp$", 1).cast("long").as("doc_id"),
+        regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long")
+          .as("doc_id"),
         col("content").as("media"))
     graft.ops.Multimodal.imageFeatures(raw, "doc_id", "media", width, height)
+      .toDF()
+  }
+
+  /** Streaming video frame statistics — the incremental twin of
+    * [[graft.ops.Multimodal.mjpegFrameStats]]: watch a landing directory
+    * for `.avi` drops and run the SAME demux + per-frame JPEG decode the
+    * batch path uses (RIFF walk with the MJPG honesty gate, JDK ImageIO
+    * per frame, exact channel means). Stateless per batch — the 1:N
+    * frame fan-out happens inside the partition iterator, so a
+    * micro-batch's output scales with frames kept, not files seen.
+    * Non-AVI-MJPEG drops and undecodable frames vanish exactly like the
+    * batch operator; StreamingSpec pins stream ≡ batch. */
+  def frameStatsStream(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      stride: Int = 1
+  ): DataFrame = {
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val raw = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.avi")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.avi$", 1).cast("long")
+          .as("doc_id"),
+        col("content").as("media"))
+    graft.ops.Multimodal.mjpegFrameStats(raw, "doc_id", "media", stride)
       .toDF()
   }
 

@@ -368,8 +368,14 @@ class StreamingSpec extends SparkTestBase {
       val rgb = Array.tabulate(w * h * 3)(i => ((id * 7 + i) % 256).toByte)
       Multimodal.encodeBmp(Multimodal.DecodedImage(w, h, rgb))
     }
+    def png(id: Long): Array[Byte] = {
+      val w = 6; val h = 4
+      val rgb = Array.tabulate(w * h * 3)(i => ((id * 7 + i) % 256).toByte)
+      Multimodal.encodePng(Multimodal.DecodedImage(w, h, rgb))
+    }
     java.nio.file.Files.write(dir.resolve("101.bmp"), bmp(101))
     java.nio.file.Files.write(dir.resolve("102.bmp"), bmp(102))
+    java.nio.file.Files.write(dir.resolve("103.png"), png(103))
     java.nio.file.Files.writeString(dir.resolve("readme.txt"), "not media")
     val q = graft.streaming.DocumentStreams
       .imageFeatureStream(spark, dir.toString, 3, 3)
@@ -385,11 +391,48 @@ class StreamingSpec extends SparkTestBase {
             r.getAs[Double]("mean_b"))).toMap
       // twin law: identical to the batch operator over the same bytes
       val batch = Multimodal.imageFeatures(
-        Seq((101L, bmp(101)), (102L, bmp(102))).toDF("doc_id", "media"),
+        Seq((101L, bmp(101)), (102L, bmp(102)), (103L, png(103)))
+          .toDF("doc_id", "media"),
         "doc_id", "media", 3, 3)
         .collect().map(f => f.doc_id -> (f.mean_r, f.mean_g, f.mean_b)).toMap
       assert(streamed == batch)
-      assert(streamed.keySet == Set(101L, 102L)) // the .txt never enters
+      // the .txt never enters; the PNG decodes through ImageIO like batch
+      assert(streamed.keySet == Set(101L, 102L, 103L))
+    } finally q.stop()
+  }
+
+  test("frameStatsStream: arriving AVI-MJPEG videos decode like the batch path") {
+    import graft.ops.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("video-land")
+    def flat(v: Int) = Multimodal.DecodedImage(16, 12,
+      Array.fill(16 * 12 * 3)(v.toByte))
+    def avi(id: Long): Array[Byte] = Multimodal.aviMjpeg(16, 12,
+      Seq(40 + id.toInt, 120, 200).map(v =>
+        Multimodal.encodeJpeg(flat(v), 0.9f)))
+    java.nio.file.Files.write(dir.resolve("7.avi"), avi(7))
+    java.nio.file.Files.write(dir.resolve("8.avi"), avi(8))
+    java.nio.file.Files.writeString(dir.resolve("notes.txt"), "not media")
+    val q = graft.streaming.DocumentStreams
+      .frameStatsStream(spark, dir.toString, stride = 2)
+      .writeStream.format("memory").queryName("video_feats")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("video_feats").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+          (r.getAs[Double]("mean_r"), r.getAs[Double]("mean_g"),
+            r.getAs[Double]("mean_b"))).toMap
+      val batch = Multimodal.mjpegFrameStats(
+        Seq((7L, avi(7)), (8L, avi(8))).toDF("doc_id", "media"),
+        "doc_id", "media", stride = 2)
+        .collect().map(f => (f.doc_id, f.frame_idx) ->
+          (f.mean_r, f.mean_g, f.mean_b)).toMap
+      assert(streamed == batch)
+      // stride 2 keeps frames 0 and 2 of each 3-frame video
+      assert(streamed.keySet ==
+        Set((7L, 0L), (7L, 2L), (8L, 0L), (8L, 2L)))
     } finally q.stop()
   }
 
