@@ -890,7 +890,10 @@ object Dedup {
     * persists it so the explode+distinct runs once. Pass `cache = false`
     * for plan inspection (no InMemoryRelation hides the filter) —
     * callers owning the sweep should `spark.catalog.clearCache()` after
-    * the final action either way. */
+    * the final action either way.
+    *
+    * MEASURED (DedupScaleProbe, sf0.1 ×10 shingle-disjoint replicas,
+    * local[32], frac = 0.5): 4.51 s → 9.25 s — 2.1× at 10× rows. */
   def lshRecallSampled(
       docs: DataFrame, idCol: String, textCol: String, frac: Double,
       threshold: Double = 0.8, shingleN: Int = 3,
@@ -1043,7 +1046,10 @@ object Dedup {
     * the per-cutoff CC passes repeat, over edge frames that shrink as
     * the threshold rises. Everything runs on the deterministic md5
     * stratum (the q309 discipline), so the report costs O(frac²) of the
-    * full-corpus audit. */
+    * full-corpus audit.
+    *
+    * MEASURED (DedupScaleProbe, sf0.1 ×10 shingle-disjoint replicas,
+    * local[32], frac = 0.5): 6.46 s → 12.4 s — 1.9× at 10× rows. */
   def tuningReport(
       docs: DataFrame, idCol: String, textCol: String, frac: Double,
       thresholdPcts: Seq[Int] = Seq(70, 80, 90), shingleN: Int = 3,

@@ -121,10 +121,23 @@ object DedupScaleProbe {
     }
     def clean(): Unit = spark.catalog.clearCache()
 
+    def plain: DataFrame =
+      Lake(spark, sfDir).documents.select("doc_id", "text", "n_chars")
+
     val probes: Seq[(String, () => Unit, () => Unit)] = Seq(
       ("shared_spans",
         () => noop(spans(docsNx(phrased, 1))),
         () => noop(spans(docsNx(phrased, replicas)))),
+      ("sampled_recall",
+        () => noop(Dedup.lshRecallSampled(docsNx(plain, 1),
+          "doc_id", "text", frac = 0.5, salt = "probe")),
+        () => noop(Dedup.lshRecallSampled(docsNx(plain, replicas),
+          "doc_id", "text", frac = 0.5, salt = "probe"))),
+      ("tuning_report",
+        () => noop(Dedup.tuningReport(docsNx(plain, 1),
+          "doc_id", "text", frac = 0.5, salt = "probe")),
+        () => noop(Dedup.tuningReport(docsNx(plain, replicas),
+          "doc_id", "text", frac = 0.5, salt = "probe"))),
       ("ensemble_dedup",
         () => noop(ensemble(docsNx(phrased, 1))),
         () => noop(ensemble(docsNx(phrased, replicas)))),
