@@ -726,6 +726,101 @@ object Multimodal {
       }
   }
 
+  /** Resampled audio: the new WAV bytes plus the output sample count. */
+  final case class ResampledAudio(doc_id: Long, n_samples: Long, media: Array[Byte])
+
+  /** Nearest-neighbor PCM resample to exactly `targetN` samples — the
+    * audio twin of [[resampleNearest]]: output sample j is source sample
+    * ⌊j·n/targetN⌋ (integer arithmetic only, so a SQL oracle can state
+    * the identical index mapping — q318 gates the chain through
+    * [[pcmStats]] over the REAL re-emitted WAV bytes). The length
+    * normalization every audio-embedding batch needs (fixed-size model
+    * inputs) — decimation for long clips, sample-repeat for short ones.
+    * Sample rate is carried through unchanged; mono 16-bit WAV only,
+    * everything else dropped. */
+  def pcmResample(
+      df: DataFrame, idCol: String, binCol: String, targetN: Int
+  ): Dataset[ResampledAudio] = {
+    require(targetN >= 1, s"targetN must be positive, got $targetN")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseWavHeader(bytes).flatMap { case (rate, channels, bits, n) =>
+            if (channels != 1 || bits != 16 || n <= 0) None
+            else {
+              val dataOff = findDataChunk(bytes)
+              if (dataOff < 0 || dataOff + n * 2 > bytes.length) None
+              else {
+                val out = Array.tabulate(targetN) { j =>
+                  val src = (j.toLong * n / targetN).toInt
+                  val o = dataOff + src * 2
+                  ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+                }
+                Some(ResampledAudio(id, targetN.toLong, pcm16Wav(rate, out)))
+              }
+            }
+          }
+        }
+      }
+  }
+
+  /** Silence-trimmed audio: head/tail counts plus the trimmed WAV. */
+  final case class TrimmedAudio(
+      doc_id: Long, n_samples: Long, n_trimmed_head: Long,
+      n_trimmed_tail: Long, media: Array[Byte])
+
+  /** Trim leading and trailing silence: drop every sample before the
+    * first and after the last whose |amplitude| exceeds `threshold` —
+    * the standard head/tail gate before fingerprinting or embedding
+    * (dead air shifts every frame boundary and breaks envelope
+    * alignment; [[audioFingerprint]] composed after this is
+    * lead-in-invariant). All-integer, re-emits real WAV bytes (q319
+    * gates counts AND the trimmed payload through [[pcmStats]]).
+    * Fully-silent clips are DROPPED (nothing to keep); mono 16-bit
+    * WAV only. */
+  def pcmTrimSilence(
+      df: DataFrame, idCol: String, binCol: String, threshold: Long
+  ): Dataset[TrimmedAudio] = {
+    require(threshold >= 0, s"threshold must be non-negative, got $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseWavHeader(bytes).flatMap { case (rate, channels, bits, n) =>
+            if (channels != 1 || bits != 16 || n <= 0) None
+            else {
+              val dataOff = findDataChunk(bytes)
+              if (dataOff < 0 || dataOff + n * 2 > bytes.length) None
+              else {
+                def sample(i: Long): Short = {
+                  val o = (dataOff + i * 2).toInt
+                  ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+                }
+                var head = 0L
+                while (head < n && math.abs(sample(head).toLong) <= threshold)
+                  head += 1
+                if (head == n) None // fully silent
+                else {
+                  var tail = n - 1
+                  while (tail > head && math.abs(sample(tail).toLong) <= threshold)
+                    tail -= 1
+                  val kept = Array.tabulate((tail - head + 1).toInt)(j =>
+                    sample(head + j))
+                  Some(TrimmedAudio(id, kept.length.toLong, head,
+                    n - 1 - tail, pcm16Wav(rate, kept)))
+                }
+              }
+            }
+          }
+        }
+      }
+  }
+
   /** Offset of the first byte of the `data` chunk payload, or -1. */
   /** Exact per-frame PCM statistics: one row per fixed-size frame —
     * the voice-activity / silence-detection primitive (energy gating

@@ -745,6 +745,123 @@ object MediaQueries {
       FROM hashed ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q318
+  /** PCM length normalization under the hash gate
+    * ([[graft.ops.Multimodal.pcmResample]] → [[graft.ops.Multimodal.pcmStats]]):
+    * variable-length WAVs (150–229 samples, content keyed on
+    * doc_id % 35) nearest-neighbor resampled to exactly 128 samples —
+    * output sample j is source ⌊j·n/128⌋ — re-emitted as REAL WAV bytes
+    * and walked by the exact-stats operator. The oracle regenerates the
+    * source samples, applies the identical index mapping and aggregates
+    * in SQL; a hash match proves decode → resample → re-encode → decode
+    * byte-for-byte through two codec round trips. */
+  private val q318 = Q(
+    "q318_audio_resample",
+    (s, dir) => {
+      import s.implicits._
+      val wavs = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id % 35
+          val n = (150 + k % 80).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((k * 29 + i * 13) % 2048) - 1024).toShort)
+          (id, Multimodal.pcm16Wav(16000L, samples))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.pcmStats(
+        Multimodal.pcmResample(wavs, "doc_id", "media", targetN = 128).toDF(),
+        "doc_id", "media")
+        .toDF().orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 35 AS k, 150 + (doc_id % 35) % 80 AS n
+        FROM documents WHERE doc_id < 400),
+      res AS (
+        SELECT doc_id,
+          (k * 29 + ((t.j * n) // 128) * 13) % 2048 - 1024 AS s
+        FROM ids, unnest(generate_series(0, 127)) AS t(j))
+      SELECT doc_id,
+        CAST(128 AS BIGINT) AS n_samples,
+        CAST(MAX(abs(s)) AS BIGINT) AS peak,
+        CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+        CAST(SUM(s * s) // 128 AS BIGINT) AS mean_sq
+      FROM res GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q319
+  /** Silence trim under the hash gate
+    * ([[graft.ops.Multimodal.pcmTrimSilence]]): WAVs with planted dead
+    * air (k % 20 leading and k % 15 trailing zero samples around a
+    * 100–149-sample signal) trimmed at threshold 0, emitting the kept
+    * count, both trim counts, and the exact stats of the REAL trimmed
+    * payload. The oracle rebuilds the padded series, finds the first
+    * and last above-threshold indices with MIN/MAX filters, and
+    * aggregates the kept range — trim arithmetic and the re-encoded
+    * bytes both proven. */
+  private val q319 = Q(
+    "q319_audio_silence_trim",
+    (s, dir) => {
+      import s.implicits._
+      val wavs = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id % 35
+          val h = (k % 20).toInt
+          val m = (100 + k % 50).toInt
+          val t = (k % 15).toInt
+          val samples = new Array[Short](h + m + t)
+          var j = 0
+          while (j < m) {
+            samples(h + j) = (((k * 23 + j * 11) % 1800) - 900).toShort
+            j += 1
+          }
+          (id, Multimodal.pcm16Wav(16000L, samples))
+        })
+        .toDF("doc_id", "media")
+      val trimmed = Multimodal.pcmTrimSilence(wavs, "doc_id", "media", 0L)
+      val stats = Multimodal.pcmStats(trimmed.toDF(), "doc_id", "media")
+        .toDF().select("doc_id", "peak", "sum_abs", "mean_sq")
+      trimmed.toDF()
+        .select("doc_id", "n_samples", "n_trimmed_head", "n_trimmed_tail")
+        .join(stats, Seq("doc_id"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 35 AS k,
+          (doc_id % 35) % 20 AS h,
+          100 + (doc_id % 35) % 50 AS m,
+          (doc_id % 35) % 15 AS tl
+        FROM documents WHERE doc_id < 400),
+      series AS (
+        SELECT doc_id, t.i,
+          CASE WHEN t.i < h OR t.i >= h + m THEN 0
+               ELSE (k * 23 + (t.i - h) * 11) % 1800 - 900 END AS s
+        FROM ids, unnest(generate_series(0, h + m + tl - 1)) AS t(i)),
+      bounds AS (
+        SELECT doc_id,
+          MIN(i) FILTER (WHERE abs(s) > 0) AS head,
+          MAX(i) FILTER (WHERE abs(s) > 0) AS tail,
+          COUNT(*) AS n
+        FROM series GROUP BY doc_id),
+      kept AS (
+        SELECT s.doc_id, s.s, b.head, b.tail, b.n
+        FROM series s JOIN bounds b
+          ON s.doc_id = b.doc_id AND s.i BETWEEN b.head AND b.tail)
+      SELECT doc_id,
+        CAST(tail - head + 1 AS BIGINT) AS n_samples,
+        CAST(head AS BIGINT) AS n_trimmed_head,
+        CAST(n - 1 - tail AS BIGINT) AS n_trimmed_tail,
+        CAST(MAX(abs(s)) AS BIGINT) AS peak,
+        CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+        CAST(SUM(s * s) // (tail - head + 1) AS BIGINT) AS mean_sq
+      FROM kept GROUP BY doc_id, head, tail, n ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
-    q316, q317)
+    q316, q317, q318, q319)
 }

@@ -823,6 +823,42 @@ class MultimodalSpec extends SparkTestBase {
       s"a single click is a near-dup, not a different recording: $hamming")
   }
 
+  test("pcmResample/pcmTrimSilence: real WAV round trips, edge semantics, rejects") {
+    val base = Array[Short](0, 0, 0, 100, -200, 0, 300, 0, 0)
+    val wav = Multimodal.pcm16Wav(8000L, base)
+    val df = Seq((1L, wav), (2L, "junk".getBytes),
+      (3L, Multimodal.pcm16Wav(8000L, Array[Short](0, 0, 0))))
+      .toDF("doc_id", "media")
+    // trim at 0: head 3 zeros, tail 2 zeros, keep [100,-200,0,300]
+    val tr = Multimodal.pcmTrimSilence(df, "doc_id", "media", 0L).collect()
+    assert(tr.map(_.doc_id).toSet == Set(1L),
+      "junk and fully-silent clips must be dropped")
+    val t = tr.head
+    assert(t.n_samples == 4L && t.n_trimmed_head == 3L && t.n_trimmed_tail == 2L)
+    // the trimmed payload is a REAL WAV carrying exactly the kept samples
+    val st = Multimodal.pcmStats(
+      Seq((1L, t.media)).toDF("doc_id", "media"), "doc_id", "media").head()
+    assert(st.n_samples == 4L && st.peak == 300L && st.sum_abs == 600L)
+    // interior silence is preserved — trim touches only head/tail
+    assert(st.mean_sq == (100L * 100 + 200L * 200 + 0L + 300L * 300) / 4)
+
+    // resample: upsample 4 -> 8 repeats each sample twice (j*4/8 = j/2)
+    val up = Multimodal.pcmResample(
+      Seq((1L, Multimodal.pcm16Wav(8000L, Array[Short](10, -20, 30, -40))))
+        .toDF("doc_id", "media"), "doc_id", "media", targetN = 8).head()
+    assert(up.n_samples == 8L)
+    val upStats = Multimodal.pcmStats(
+      Seq((1L, up.media)).toDF("doc_id", "media"), "doc_id", "media").head()
+    assert(upStats.n_samples == 8L && upStats.sum_abs == 2L * (10 + 20 + 30 + 40))
+    // downsample 4 -> 2 keeps samples 0 and 2
+    val down = Multimodal.pcmResample(
+      Seq((1L, Multimodal.pcm16Wav(8000L, Array[Short](10, -20, 30, -40))))
+        .toDF("doc_id", "media"), "doc_id", "media", targetN = 2).head()
+    val downStats = Multimodal.pcmStats(
+      Seq((1L, down.media)).toDF("doc_id", "media"), "doc_id", "media").head()
+    assert(downStats.sum_abs == 40L && downStats.peak == 30L)
+  }
+
   test("imageFeatures rides the ImageIO path: PNG means match the BMP means") {
     val img = smooth(40, 30)
     val df = Seq(
