@@ -335,6 +335,59 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Incremental banded-Hamming dedup — [[simhashPairs]]'s O(batch)
+    * serving form, and the media-dedup twin of [[minhashIncremental]]:
+    * near-dup pairs INVOLVING A NEW BATCH of fingerprints against a
+    * persisted fingerprint index, without re-pairing the corpus.
+    *
+    * The production loop: the lake persists each document's 4×16-bit
+    * fingerprint bands (aHash/dHash/wHash for images, [[graft.ops
+    * .Multimodal.audioFingerprint]] for audio, simhash for text — a few
+    * bytes per doc); a new batch computes ITS OWN fingerprints only,
+    * joins its bands against index ∪ own bands for candidates, and
+    * Hamming-verifies with both fingerprints in hand. Corpus-side work
+    * is the band join restricted to colliding keys — O(batch), not
+    * O(corpus). Corpus-internal pairs are never re-emitted (one side of
+    * every candidate is a new doc); new-new pairs appear once
+    * (doc_a < doc_b). Inputs carry (doc_id, b0..b3) with ids disjoint
+    * across the two frames (the lake's append-only contract). Returns
+    * (doc_a, doc_b, hamming) with hamming ≤ `maxHamming`; doc_a < doc_b.
+    * Gated by q320 against the full-recompute oracle restricted to
+    * new-involving pairs. */
+  def simhashIncremental(
+      newFp: DataFrame, indexFp: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bandNames = (0 until 4).map(b => s"b$b")
+    def banded(fp: DataFrame): DataFrame = fp.select(
+      Seq(col("doc_id"),
+        posexplode(array(bandNames.map(col): _*))
+          .as(Seq("band_idx", "band_val"))): _*)
+    val newB = banded(newFp)
+    val allB = banded(newFp.unionByName(indexFp))
+    // one side is ALWAYS a new doc; new-new pairs orient a < b, new-index
+    // pairs keep both orientations out by the id inequality then reorient
+    val cand = newB.as("a")
+      .join(allB.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val all = newFp.unionByName(indexFp)
+    val withFp = cand
+      .join(all.withColumnsRenamed(
+        (("doc_id" -> "doc_a") +: bandNames.map(n => n -> s"a_$n")).toMap), "doc_a")
+      .join(all.withColumnsRenamed(
+        (("doc_id" -> "doc_b") +: bandNames.map(n => n -> s"b_$n")).toMap), "doc_b")
+    val hamming = bandNames.map(n =>
+      bit_count(col(s"a_$n").bitwiseXOR(col(s"b_$n")))).reduce(_ + _)
+    withFp
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Incremental MinHash dedup: near-dup pairs INVOLVING A NEW BATCH
     * against an existing corpus, without recomputing the corpus.
     *

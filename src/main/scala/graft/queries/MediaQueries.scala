@@ -862,6 +862,115 @@ object MediaQueries {
       FROM kept GROUP BY doc_id, head, tail, n ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q320
+  /** Incremental image-dedup serving
+    * ([[graft.ops.Dedup.simhashIncremental]]) — the O(batch) production
+    * loop for media near-dup: the corpus (docs 40–439) persists only its
+    * 4×16-bit aHash fingerprint bands; the NEW batch (docs < 40)
+    * fingerprints itself, band-joins against index ∪ own bands, and
+    * Hamming-verifies — corpus pairs are never re-emitted, new-new
+    * pairs appear once. Fixture is the q315 mixed-codec corpus with the
+    * red-channel spike, so the batch surfaces both exact classmates and
+    * spiked near-dups from the index. The oracle recomputes everything
+    * from scratch and restricts to pairs involving a new doc — the
+    * incremental path must land on exactly the full recompute's answer,
+    * which is the whole point of an incremental index. */
+  private val q320 = Q(
+    "q320_image_dedup_incremental",
+    (s, dir) => {
+      import s.implicits._
+      def fpFrame(base: org.apache.spark.sql.DataFrame) = {
+        val imgs = base.select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val k = id % 40
+            val spike = id % 5 == 0
+            val w = (8 + k % 9).toInt
+            val h = (6 + k % 7).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                val rBase = (k + x + 2L * y) % 256
+                rgb(i) =
+                  (if (spike && x == 0 && y == 0) (rBase + 128) % 256
+                   else rBase).toByte
+                rgb(i + 1) = ((2L * k + 3L * x + y) % 256).toByte
+                rgb(i + 2) = ((k + 5L * x + 7L * y) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val img = Multimodal.DecodedImage(w, h, rgb)
+            (id, if (id % 2 == 0) Multimodal.encodeBmp(img)
+                 else Multimodal.encodePng(img))
+          })
+          .toDF("doc_id", "media")
+        Multimodal.imageAHash(imgs, "doc_id", "media").toDF()
+          .select(col("doc_id") +: (0 until 4).map(b =>
+            conv(substring(col("ahash"), b * 16 + 1, 16), 2, 10)
+              .cast("long").as(s"b$b")): _*)
+      }
+      val docs = Lake(s, dir).documents
+      val index = fpFrame(docs.filter(col("doc_id") >= 40 && col("doc_id") < 440))
+      val fresh = fpFrame(docs.filter(col("doc_id") < 40))
+      graft.ops.Dedup.simhashIncremental(fresh, index, maxHamming = 4)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 40 AS k,
+          CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS spike,
+          8 + (doc_id % 40) % 9 AS w, 6 + (doc_id % 40) % 7 AS h
+        FROM documents WHERE doc_id < 440),
+      grid AS (
+        SELECT doc_id, k, spike, w, h, t1.x, t2.y,
+          (x * w) // 8 AS sx, (y * h) // 8 AS sy
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      gray AS (
+        SELECT doc_id, x, y,
+          ((CASE WHEN spike = 1 AND sx = 0 AND sy = 0
+                 THEN ((k + sx + 2 * sy) % 256 + 128) % 256
+                 ELSE (k + sx + 2 * sy) % 256 END)
+            + (2 * k + 3 * sx + sy) % 256
+            + (k + 5 * sx + 7 * sy) % 256) // 3 AS g
+        FROM grid),
+      hashed AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN g > m THEN '1' ELSE '0' END, ''
+                     ORDER BY y, x) AS ahash
+        FROM (SELECT doc_id, x, y, g,
+                SUM(g) OVER (PARTITION BY doc_id) // 64 AS m
+              FROM gray)
+        GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, b.bi, substr(ahash, b.bi * 16 + 1, 16) AS bv
+        FROM hashed, unnest(generate_series(0, 3)) AS b(bi)),
+      cand AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                        greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id != b.doc_id
+        WHERE a.doc_id < 40),
+      paired AS (
+        SELECT c.doc_a, c.doc_b, x.ahash AS ha, y.ahash AS hb
+        FROM cand c
+        JOIN hashed x ON c.doc_a = x.doc_id
+        JOIN hashed y ON c.doc_b = y.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(range(1, 65),
+               i -> substr(ha, CAST(i AS INT), 1)
+                 != substr(hb, CAST(i AS INT), 1))) AS BIGINT) AS hamming
+      FROM paired
+      WHERE len(list_filter(range(1, 65),
+        i -> substr(ha, CAST(i AS INT), 1)
+          != substr(hb, CAST(i AS INT), 1))) <= 4
+      ORDER BY doc_a, doc_b""")
+  )
+
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
-    q316, q317, q318, q319)
+    q316, q317, q318, q319, q320)
 }

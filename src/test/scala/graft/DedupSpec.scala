@@ -513,6 +513,34 @@ class DedupSpec extends SparkTestBase {
     assert(r80.getAs[Long]("n_hit") == solo.getAs[Long]("n_hit"))
   }
 
+  test("simhashIncremental equals the full recompute restricted to new-involving pairs") {
+    // random-ish 4x16-bit fingerprints with planted collisions: ids
+    // sharing id % 9 share a fingerprint class; some classes perturbed
+    def fp(ids: Seq[Long]) = ids.map { id =>
+      val k = id % 9
+      val base = Array.tabulate(4)(b => (k * 7919L + b * 104729L) % 65536L)
+      // even docs flip one low bit in band 2 → hamming-1 neighbors exist
+      // within a class (9 is odd, so id % 9 classes mix both parities)
+      if (id % 2 == 0) base(2) = base(2) ^ 1L
+      (id, base(0), base(1), base(2), base(3))
+    }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    val index = fp(40L until 140L)
+    val fresh = fp(0L until 40L)
+    val inc = Dedup.simhashIncremental(fresh, index, maxHamming = 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Dedup.simhashPairs(fresh.unionByName(index), maxHamming = 2)
+      .filter(col("doc_a") < 40 || col("doc_b") < 40)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full, "incremental path diverged from the full recompute")
+    assert(inc.nonEmpty, "fixture must produce pairs or the law is vacuous")
+    // no corpus-internal pair leaks through
+    assert(inc.forall { case (a, b, _) => a < 40 || b < 40 })
+    // both exact (hamming 0) and near (hamming >= 1) pairs occur
+    assert(inc.exists(_._3 == 0L) && inc.exists(_._3 >= 1L))
+  }
+
   test("lshRecallSampled: sub-unit stratum audits a strict subset") {
     val r = Dedup.lshRecallSampled(missCorpus, "doc_id", "text", frac = 0.5,
       threshold = 0.8, salt = "s1").head()
