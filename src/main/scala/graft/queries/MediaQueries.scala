@@ -971,6 +971,93 @@ object MediaQueries {
       ORDER BY doc_a, doc_b""")
   )
 
+  // --------------------------------------------------------------- q321
+  /** Batch media-lake ingestion under the hash gate — the PRODUCTION
+    * entry point for blobs, which every other media gate bypasses by
+    * building binaries in-flight: real files land in a directory with
+    * the lake naming convention (`<id>.<ext>`, BMP for even ids, PNG
+    * for odd), `spark.read.format("binaryFile")` picks them up through
+    * the same glob the streaming twin uses, doc_id comes from the file
+    * name, and the decode → resize → channel-means chain runs on the
+    * bytes THE FILESYSTEM handed back. Junk drops are covered both
+    * ways: a `.txt` file the glob must exclude, and a text-bytes
+    * `.png` the decode must drop. The fixture files are written
+    * executor-side (`foreachPartition`, no driver materialization);
+    * the oracle is q125's arithmetic restated for the doc range — a
+    * hash match proves glob, id extraction, filesystem round trip and
+    * both codecs end-to-end. */
+  private val q321 = Q(
+    "q321_media_lake_ingest",
+    (s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q321").toString
+      Lake(s, dir).documents
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .foreachPartition { (ids: Iterator[Long]) =>
+          ids.foreach { id =>
+            val w = (8 + id % 9).toInt
+            val h = (6 + id % 7).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                rgb(i) = ((id + x + 2L * y) % 256).toByte
+                rgb(i + 1) = ((2L * id + 3L * x + y) % 256).toByte
+                rgb(i + 2) = ((id + 5L * x + 7L * y) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val img = Multimodal.DecodedImage(w, h, rgb)
+            val (ext, bytes) =
+              if (id % 2 == 0) ("bmp", Multimodal.encodeBmp(img))
+              else ("png", Multimodal.encodePng(img))
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, s"$id.$ext"), bytes)
+          }
+        }
+      // adversarial drops: excluded by glob / dropped by decode
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, "notes.txt"), "not media")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "999999.png"),
+        "text bytes wearing a png name".getBytes)
+      val raw = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{bmp,png}")
+        .load(tmp)
+        .select(
+          regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long")
+            .as("doc_id"),
+          col("content").as("media"))
+      Multimodal.imageFeatures(raw, "doc_id", "media", 8, 8)
+        .toDF().orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+        FROM documents WHERE doc_id < 200),
+      grid AS (
+        SELECT doc_id, w, h, t1.x, t2.y
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      sampled AS (
+        SELECT doc_id,
+          (doc_id + (x * w) // 8 + 2 * ((y * h) // 8)) % 256 AS r,
+          (2 * doc_id + 3 * ((x * w) // 8) + (y * h) // 8) % 256 AS g,
+          (doc_id + 5 * ((x * w) // 8) + 7 * ((y * h) // 8)) % 256 AS b
+        FROM grid)
+      SELECT doc_id,
+        CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        CAST(SUM(r) AS DOUBLE) / 64 AS mean_r,
+        CAST(SUM(g) AS DOUBLE) / 64 AS mean_g,
+        CAST(SUM(b) AS DOUBLE) / 64 AS mean_b
+      FROM sampled GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
-    q316, q317, q318, q319, q320)
+    q316, q317, q318, q319, q320, q321)
 }
