@@ -145,6 +145,59 @@ object DocumentStreams {
       .toDF()
   }
 
+  /** Streaming media near-dup probe — the arrival-time half of
+    * [[graft.ops.Dedup.simhashIncremental]]: every image landing in the
+    * directory is aHash-fingerprinted ([[graft.ops.Multimodal.imageAHash]]
+    * over the real decode) and Hamming-checked against a STATIC
+    * fingerprint index, emitting (doc_id, index_id, hamming ≤ max) —
+    * the "is this upload a duplicate?" gate at ingest.
+    *
+    * Shape contract, stated honestly: the index is BROADCAST and the
+    * check is a stateless nested-loop Hamming probe — exact, no
+    * streaming state, no duplicate emissions — which is the right
+    * serving shape while the index fits an executor (a hot-set of
+    * recent fingerprints; 32 bytes/doc ≈ 30M docs/GB). An unbounded
+    * corpus index rides the batch [[graft.ops.Dedup.simhashIncremental]]
+    * on a schedule instead (its banded join never materializes the
+    * cross product); new-new pairs within a micro-batch are likewise
+    * the batch compactor's job. StreamingSpec pins stream ≡ the batch
+    * probe on the same files. */
+  def mediaDedupStream(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      indexFp: DataFrame,
+      maxHamming: Int = 4
+  ): DataFrame = {
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val raw = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.{bmp,png,jpg,jpeg,gif}")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long")
+          .as("doc_id"),
+        col("content").as("media"))
+    val bandNames = (0 until 4).map(b => s"b$b")
+    val fp = graft.ops.Multimodal.imageAHash(raw, "doc_id", "media").toDF()
+      .select(col("doc_id") +: (0 until 4).map(b =>
+        conv(substring(col("ahash"), b * 16 + 1, 16), 2, 10)
+          .cast("long").as(s"b$b")): _*)
+    val idx = indexFp.withColumnsRenamed(
+      (("doc_id" -> "index_id") +: bandNames.map(n => n -> s"i_$n")).toMap)
+    val hamming = bandNames.map(n =>
+      bit_count(col(n).bitwiseXOR(col(s"i_$n")))).reduce(_ + _)
+    fp.join(broadcast(idx), hamming <= maxHamming)
+      .select(col("doc_id"), col("index_id"), hamming.as("hamming"))
+  }
+
   /** Streaming video frame statistics — the incremental twin of
     * [[graft.ops.Multimodal.mjpegFrameStats]]: watch a landing directory
     * for `.avi` drops and run the SAME demux + per-frame JPEG decode the

@@ -436,6 +436,74 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("mediaDedupStream: arrivals Hamming-probe the static index like batch") {
+    import graft.ops.{Dedup, Multimodal}
+    val dir = java.nio.file.Files.createTempDirectory("media-dedup-land")
+    def img(k: Long, flip: Boolean): Multimodal.DecodedImage = {
+      val w = 16; val h = 16
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = if (x < w / 2 ^ y < h / 2) 200 else 20
+        val vv = if (flip && x == 0 && y == 0) 255
+                 else (v + k * 3).min(255).toInt
+        val i = (y * w + x) * 3
+        rgb(i) = vv.toByte; rgb(i + 1) = vv.toByte; rgb(i + 2) = vv.toByte
+      }
+      Multimodal.DecodedImage(w, h, rgb)
+    }
+    def fpOf(pairs: Seq[(Long, Array[Byte])]) =
+      Multimodal.imageAHash(pairs.toDF("doc_id", "media"), "doc_id", "media")
+        .toDF()
+        .select(col("doc_id") +: (0 until 4).map(b =>
+          conv(substring(col("ahash"), b * 16 + 1, 16), 2, 10)
+            .cast("long").as(s"b$b")): _*)
+    // index: fingerprints of three corpus images
+    val corpus = Seq(
+      (100L, Multimodal.encodeBmp(img(0, flip = false))),
+      (101L, Multimodal.encodeBmp(img(1, flip = false))),
+      (102L, Multimodal.encodeBmp(img(40, flip = false))))
+    val index = fpOf(corpus)
+    index.persist().count()
+    // arrivals: an exact dup of 100 (as PNG), a near-dup (flipped corner),
+    // and junk that never decodes
+    java.nio.file.Files.write(dir.resolve("1.png"),
+      Multimodal.encodePng(img(0, flip = false)))
+    java.nio.file.Files.write(dir.resolve("2.png"),
+      Multimodal.encodePng(img(0, flip = true)))
+    java.nio.file.Files.write(dir.resolve("3.png"), "junk".getBytes)
+    val q = graft.streaming.DocumentStreams
+      .mediaDedupStream(spark, dir.toString, index, maxHamming = 4)
+      .writeStream.format("memory").queryName("media_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("media_dedup").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("index_id"),
+          r.getAs[Number]("hamming").longValue)).toSet
+      // batch twin: same probe over the same decodable files
+      val arrivals = fpOf(Seq(
+        (1L, Multimodal.encodePng(img(0, flip = false))),
+        (2L, Multimodal.encodePng(img(0, flip = true)))))
+      val bandNames = (0 until 4).map(b => s"b$b")
+      val idx = index.withColumnsRenamed(
+        (("doc_id" -> "index_id") +: bandNames.map(n => n -> s"i_$n")).toMap)
+      val hamming = bandNames.map(n =>
+        bit_count(col(n).bitwiseXOR(col(s"i_$n")))).reduce(_ + _)
+      val batch = arrivals.join(idx, hamming <= 4)
+        .select(col("doc_id"), col("index_id"), hamming.cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      // the exact dup must hit its source at hamming 0
+      assert(streamed.contains((1L, 100L, 0L)))
+      // the near-dup hits with a small positive distance
+      assert(streamed.exists { case (d, i, h) => d == 2L && i == 100L && h >= 0L })
+      // junk never decodes, never probes
+      assert(!streamed.exists(_._1 == 3L))
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("scrubStream: in-flight PII redaction matches the batch expressions row for row") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, String)]
