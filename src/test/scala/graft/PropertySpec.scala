@@ -709,4 +709,81 @@ class PropertySpec extends SparkTestBase {
       e.getAs[Double]("ewma") == v && c.getAs[Long]("cusum_num") == 0L
     })
   }
+
+  test("PNG codec: decodeImage ∘ encodePng = identity for ANY pixels/dims") {
+    import graft.ops.Multimodal
+    val gen = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 24)
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield (w, h, px.map(_.toByte).toArray)
+    holds(Prop.forAll(gen) { case (w, h, rgb) =>
+      val img = Multimodal.DecodedImage(w, h, rgb)
+      val back = Multimodal.decodeImage(Multimodal.encodePng(img)).get
+      back.width == w && back.height == h && back.rgb.sameElements(rgb)
+    }, n = 20)
+  }
+
+  test("BMP/PNG cross-codec: identical pixels hash and embed identically") {
+    import graft.ops.Multimodal
+    val gen = for {
+      w <- Gen.choose(8, 20)
+      h <- Gen.choose(8, 20)
+      px <- Gen.listOfN(w * h * 3, Gen.choose(0, 255))
+    } yield (w, h, px.map(_.toByte).toArray)
+    holds(Prop.forAll(gen) { case (w, h, rgb) =>
+      val img = Multimodal.DecodedImage(w, h, rgb)
+      val df = Seq(
+        (1L, Multimodal.encodeBmp(img)),
+        (2L, Multimodal.encodePng(img))).toDF("doc_id", "media")
+      val a = Multimodal.imageAHash(df, "doc_id", "media")
+        .collect().map(r => r.doc_id -> r.ahash).toMap
+      val e = Multimodal.imageEmbedding(df, "doc_id", "media")
+        .collect().map(r => r.doc_id -> r.embedding.toSeq).toMap
+      a(1L) == a(2L) && e(1L) == e(2L)
+    }, n = 10)
+  }
+
+  test("pcmResample to the same length is the identity; resample preserves peak bound") {
+    import graft.ops.Multimodal
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      ss <- Gen.listOfN(n, Gen.choose(-32768, 32767))
+    } yield ss.map(_.toShort).toArray
+    holds(Prop.forAll(gen) { samples =>
+      val wav = Multimodal.pcm16Wav(8000L, samples)
+      val df = Seq((1L, wav)).toDF("doc_id", "media")
+      val same = Multimodal.pcmResample(df, "doc_id", "media",
+        targetN = samples.length).head()
+      val idOk = Multimodal.pcmStats(
+        Seq((1L, same.media)).toDF("doc_id", "media"), "doc_id", "media")
+        .head() == Multimodal.pcmStats(df, "doc_id", "media").head()
+      // any resample only SELECTS source samples: peak can never grow
+      val down = Multimodal.pcmResample(df, "doc_id", "media",
+        targetN = math.max(1, samples.length / 2)).head()
+      val peakSrc = Multimodal.pcmStats(df, "doc_id", "media").head().peak
+      val peakDown = Multimodal.pcmStats(
+        Seq((1L, down.media)).toDF("doc_id", "media"), "doc_id", "media")
+        .head().peak
+      idOk && peakDown <= peakSrc
+    }, n = 10)
+  }
+
+  test("AVI-MJPEG demux is the inverse of the writer for ANY frame payloads") {
+    import graft.ops.Multimodal
+    val gen = for {
+      nf <- Gen.choose(0, 6)
+      frames <- Gen.listOfN(nf, Gen.nonEmptyListOf(Gen.choose(0, 255))
+        .map(_.map(_.toByte).toArray))
+    } yield frames
+    holds(Prop.forAll(gen) { frames =>
+      val avi = Multimodal.aviMjpeg(32, 24, frames)
+      Multimodal.parseAviMjpegFrames(avi) match {
+        case Some((32, 24, back)) =>
+          back.length == frames.length &&
+            frames.zip(back).forall { case (a, b) => a.sameElements(b) }
+        case _ => false
+      }
+    }, n = 20)
+  }
 }
