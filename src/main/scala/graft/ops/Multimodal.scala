@@ -442,6 +442,155 @@ object Multimodal {
       }
   }
 
+  // -------------------------------------------------------------- EXIF
+  // Camera JPEGs carry their true orientation in an EXIF APP1 segment
+  // (a TIFF structure: byte-order mark, IFD walk, tag 0x0112) — a
+  // pipeline that ignores it hashes/embeds sideways images. The walk is
+  // pure byte arithmetic (no codec), so it is another genuinely
+  // end-to-end path: write APP1 → parse it back → apply the transform
+  // to real decoded pixels. Gated by q322 (construction-truth oracle)
+  // and orientation-algebra laws in MultimodalSpec.
+
+  /** A minimal big-endian EXIF APP1 segment carrying only the
+    * orientation tag — spliced after SOI by [[jpegWithExif]]. */
+  def exifApp1(orientation: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation is 1-8, got $orientation")
+    val b = java.nio.ByteBuffer.allocate(36) // marker(2) + len(2) + payload(32)
+    b.put(0xff.toByte).put(0xe1.toByte).putShort(34) // len includes itself
+    b.put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    b.put('M'.toByte).put('M'.toByte).putShort(42) // big-endian TIFF
+    b.putInt(8)                                     // IFD0 at offset 8
+    b.putShort(1)                                   // one entry
+    b.putShort(0x0112).putShort(3).putInt(1)        // Orientation, SHORT, x1
+    b.putShort(orientation.toShort).putShort(0)     // value in first 2 bytes
+    b.putInt(0)                                     // no next IFD
+    b.array()
+  }
+
+  /** A real JPEG with an EXIF orientation: SOI + APP1 + the encoder's
+    * stream minus its SOI — decodable by any JPEG reader. */
+  def jpegWithExif(img: DecodedImage, orientation: Int,
+      quality: Float = 0.9f): Array[Byte] = {
+    val plain = encodeJpeg(img, quality)
+    Array(0xff.toByte, 0xd8.toByte) ++ exifApp1(orientation) ++ plain.drop(2)
+  }
+
+  /** EXIF orientation (1–8) from a JPEG's APP1 segment: the marker scan
+    * to APP1/`Exif\0\0`, then the TIFF walk — byte-order mark (`II`
+    * little- or `MM` big-endian), magic 42, IFD0 entry scan for tag
+    * 0x0112 (SHORT, value inlined in the entry). `None` when the blob
+    * is not a JPEG, carries no EXIF, or the tag is absent/malformed —
+    * never throws. */
+  def parseExifOrientation(bytes: Array[Byte]): Option[Int] = {
+    if (bytes == null || bytes.length < 4 ||
+      (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    def u16be(i: Int): Int = (bytes(i) & 0xff) << 8 | (bytes(i + 1) & 0xff)
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if ((bytes(i) & 0xff) != 0xff) return None
+      while (i + 1 < bytes.length && (bytes(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 3 >= bytes.length) return None
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xda || marker == 0xd9) return None // scan/EOI: no EXIF
+      if (marker == 0xe1 && i + 10 < bytes.length &&
+        new String(bytes, i + 4, 4, "US-ASCII") == "Exif" &&
+        bytes(i + 8) == 0 && bytes(i + 9) == 0) {
+        val t = i + 10 // TIFF header base
+        if (t + 8 > bytes.length) return None
+        val le = bytes(t) == 'I' && bytes(t + 1) == 'I'
+        val be = bytes(t) == 'M' && bytes(t + 1) == 'M'
+        if (!le && !be) return None
+        def u16(p: Int): Int =
+          if (be) (bytes(p) & 0xff) << 8 | (bytes(p + 1) & 0xff)
+          else (bytes(p + 1) & 0xff) << 8 | (bytes(p) & 0xff)
+        def u32(p: Int): Long =
+          if (be) ((bytes(p) & 0xffL) << 24) | ((bytes(p + 1) & 0xffL) << 16) |
+            ((bytes(p + 2) & 0xffL) << 8) | (bytes(p + 3) & 0xffL)
+          else ((bytes(p + 3) & 0xffL) << 24) | ((bytes(p + 2) & 0xffL) << 16) |
+            ((bytes(p + 1) & 0xffL) << 8) | (bytes(p) & 0xffL)
+        if (u16(t + 2) != 42) return None
+        val ifd = t + u32(t + 4).toInt
+        if (ifd + 2 > bytes.length) return None
+        val n = u16(ifd)
+        var e = 0
+        while (e < n) {
+          val at = ifd + 2 + e * 12
+          if (at + 12 > bytes.length) return None
+          if (u16(at) == 0x0112 && u16(at + 2) == 3) {
+            val v = u16(at + 8)
+            return if (v >= 1 && v <= 8) Some(v) else None
+          }
+          e += 1
+        }
+        return None
+      }
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2
+      else i += 2 + u16be(i + 2)
+    }
+    None
+  }
+
+  /** Apply an EXIF orientation (1–8) to decoded pixels — the 8-element
+    * dihedral group on the raster: 1 identity, 2 mirror-H, 3 rotate
+    * 180°, 4 mirror-V, 5 transpose, 6 rotate 90° CW, 7 anti-transpose,
+    * 8 rotate 90° CCW. Pure integer array permutation (exact). */
+  def orientImage(img: DecodedImage, orientation: Int): DecodedImage = {
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation is 1-8, got $orientation")
+    if (orientation == 1) return img
+    val (w, h) = (img.width, img.height)
+    val swap = orientation >= 5
+    val (ow, oh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (ox, oy) = orientation match {
+          case 2 => (w - 1 - x, y)          // mirror horizontal
+          case 3 => (w - 1 - x, h - 1 - y)  // rotate 180
+          case 4 => (x, h - 1 - y)          // mirror vertical
+          case 5 => (y, x)                  // transpose
+          case 6 => (h - 1 - y, x)          // rotate 90 CW
+          case 7 => (h - 1 - y, w - 1 - x)  // anti-transpose
+          case _ => (y, w - 1 - x)          // 8: rotate 90 CCW
+        }
+        val s = (y * w + x) * 3
+        val d = (oy * ow + ox) * 3
+        out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1)
+        out(d + 2) = img.rgb(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(ow, oh, out)
+  }
+
+  /** Orientation-aware decode: [[decodeImage]] + [[parseExifOrientation]]
+    * + [[orientImage]] — pixels land upright regardless of how the
+    * camera held the sensor. Non-JPEG and EXIF-less blobs pass through
+    * the plain decode (orientation 1). */
+  def decodeImageOriented(bytes: Array[Byte]): Option[DecodedImage] =
+    decodeImage(bytes).map(img =>
+      orientImage(img, parseExifOrientation(bytes).getOrElse(1)))
+
+  /** Per-image EXIF orientation row. */
+  final case class ExifOrientation(doc_id: Long, orientation: Long)
+
+  /** Partition-wise EXIF orientation extraction; rows only for blobs
+    * that actually carry the tag (the honesty contract). */
+  def exifOrientations(
+      df: DataFrame, idCol: String, binCol: String): Dataset[ExifOrientation] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseExifOrientation(bytes).map(o => ExifOrientation(id, o.toLong))
+      })
+  }
+
   /** Resized media with REAL pixels where a decoder exists
     * ([[decodeImage]]: BMP/PNG/JPEG/GIF): decode, nearest-neighbor
     * resample, re-encode as canonical 24-bit BMP; anything undecodable

@@ -1058,6 +1058,46 @@ object MediaQueries {
       FROM sampled GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q322
+  /** EXIF orientation extraction under the hash gate
+    * ([[graft.ops.Multimodal.parseExifOrientation]]): REAL JPEGs (the
+    * JDK encoder's stream) with an APP1/TIFF EXIF segment spliced in
+    * carrying orientation 1 + doc_id % 8, walked back out by the
+    * marker scan + byte-order-aware IFD walk. Every fourth doc gets a
+    * plain JPEG with NO EXIF and must emit no row (the honesty
+    * contract — a pipeline must distinguish "orientation 1" from
+    * "orientation unknown"). The oracle states construction truth; a
+    * hash match proves the APP1 splice and the TIFF walk
+    * byte-for-byte. The pixel side of orientation
+    * ([[graft.ops.Multimodal.orientImage]], the dihedral-group
+    * transform) is law-tested in MultimodalSpec. */
+  private val q322 = Q(
+    "q322_exif_orientation",
+    (s, dir) => {
+      import s.implicits._
+      val jpgs = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val rgb = Array.tabulate(16 * 12 * 3)(i =>
+            (40 + (id + i / 3) % 160).toByte)
+          val img = Multimodal.DecodedImage(16, 12, rgb)
+          val bytes =
+            if (id % 4 == 3) Multimodal.encodeJpeg(img)
+            else Multimodal.jpegWithExif(img, (1 + id % 8).toInt)
+          (id, bytes)
+        })
+        .toDF("doc_id", "media")
+      Multimodal.exifOrientations(jpgs, "doc_id", "media").toDF()
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, CAST(1 + doc_id % 8 AS BIGINT) AS orientation
+      FROM documents
+      WHERE doc_id < 400 AND doc_id % 4 != 3
+      ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
-    q316, q317, q318, q319, q320, q321)
+    q316, q317, q318, q319, q320, q321, q322)
 }

@@ -859,6 +859,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(downStats.sum_abs == 40L && downStats.peak == 30L)
   }
 
+  test("EXIF: APP1 round trip, orientation algebra, oriented decode, rejects") {
+    import Multimodal.{DecodedImage, orientImage}
+    val img = smooth(7, 5) // asymmetric dims catch any w/h mixup
+    // APP1 write → parse round trip for all 8 values, on a REAL JPEG
+    for (o <- 1 to 8) {
+      val bytes = Multimodal.jpegWithExif(img, o)
+      assert(Multimodal.parseExifOrientation(bytes).contains(o))
+      // still a valid JPEG after the splice
+      assert(Multimodal.decodeImage(bytes).isDefined)
+      assert(Multimodal.parseImageHeader(bytes).exists(_._1 == "jpeg"))
+    }
+    // no EXIF → None; junk → None; PNG → None
+    assert(Multimodal.parseExifOrientation(Multimodal.encodeJpeg(img)).isEmpty)
+    assert(Multimodal.parseExifOrientation("junk".getBytes).isEmpty)
+    assert(Multimodal.parseExifOrientation(Multimodal.encodePng(img)).isEmpty)
+
+    // orientation algebra on exact pixels
+    def px(i: DecodedImage, x: Int, y: Int): (Byte, Byte, Byte) = {
+      val s = (y * i.width + x) * 3
+      (i.rgb(s), i.rgb(s + 1), i.rgb(s + 2))
+    }
+    val r90 = orientImage(img, 6)
+    assert(r90.width == 5 && r90.height == 7)
+    // rotate 90 CW: source (x, y) lands at (h-1-y, x)
+    assert(px(r90, 4, 0) == px(img, 0, 0))
+    val r180 = orientImage(img, 3)
+    assert(px(r180, 6, 4) == px(img, 0, 0))
+    // inverses: 6 (90 CW) then 8 (90 CCW) = identity; 3∘3 = identity;
+    // every transform is a bijection that self-inverts or pairs up
+    assert(orientImage(r90, 8).rgb.sameElements(img.rgb))
+    assert(orientImage(r180, 3).rgb.sameElements(img.rgb))
+    assert(orientImage(orientImage(img, 2), 2).rgb.sameElements(img.rgb))
+    assert(orientImage(orientImage(img, 5), 5).rgb.sameElements(img.rgb))
+
+    // oriented decode: a 90CW-tagged JPEG lands upright (dims swapped)
+    val tagged = Multimodal.jpegWithExif(img, 6)
+    val up = Multimodal.decodeImageOriented(tagged).get
+    assert(up.width == 5 && up.height == 7)
+    // untagged blobs pass through the plain decode
+    val plain = Multimodal.decodeImageOriented(Multimodal.encodePng(img)).get
+    assert(plain.width == 7 && plain.height == 5)
+  }
+
   test("imageFeatures rides the ImageIO path: PNG means match the BMP means") {
     val img = smooth(40, 30)
     val df = Seq(
