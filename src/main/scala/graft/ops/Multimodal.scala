@@ -916,6 +916,64 @@ object Multimodal {
       }
   }
 
+  /** Interleaved 16-bit stereo WAV (L0 R0 L1 R1 …) with a real payload —
+    * the fixture generator for the multichannel path. */
+  def pcm16WavStereo(sampleRate: Long, left: Array[Short],
+      right: Array[Short]): Array[Byte] = {
+    require(left.length == right.length,
+      s"channel length mismatch: ${left.length} vs ${right.length}")
+    val header = wavHeader(sampleRate, channels = 2, bitsPerSample = 16,
+      nSamples = left.length.toLong)
+    val b = java.nio.ByteBuffer.allocate(header.length + left.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(header)
+    var i = 0
+    while (i < left.length) { b.putShort(left(i)); b.putShort(right(i)); i += 1 }
+    b.array()
+  }
+
+  /** Stereo → mono downmix: each output sample is (L + R) / 2 with
+    * division TRUNCATING toward zero — Java's `/` and DuckDB's `//`
+    * agree on that convention for negatives (floorDiv would not) —
+    * re-emitted as a real mono WAV — the normalization step in
+    * front of every mono-only audio operator ([[pcmStats]],
+    * [[audioFingerprint]], [[pcmResample]]…), which is exactly how the
+    * honesty restriction on those operators is DISCHARGED rather than
+    * worked around. 16-bit stereo WAV only; mono and junk are dropped
+    * (a mono file doesn't need downmixing — route on
+    * [[parseWavHeader]]'s channel count). Gated by q323 through
+    * [[pcmStats]] over the re-encoded payload. */
+  def pcmDownmix(
+      df: DataFrame, idCol: String, binCol: String): Dataset[ResampledAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseWavHeader(bytes).flatMap { case (rate, channels, bits, n) =>
+            if (channels != 2 || bits != 16 || n <= 0) None
+            else {
+              val dataOff = findDataChunk(bytes)
+              if (dataOff < 0 || dataOff + n * 4 > bytes.length) None
+              else {
+                val out = Array.tabulate(n.toInt) { i =>
+                  val o = (dataOff + i.toLong * 4).toInt
+                  val l = ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toInt
+                  val r = ((bytes(o + 3) << 8) | (bytes(o + 2) & 0xff)).toShort.toInt
+                  // Java / truncates toward zero, exactly like DuckDB //
+                  // (-3/2 = -1 in both); floorDiv would diverge on odd
+                  // negative sums
+                  ((l + r) / 2).toShort
+                }
+                Some(ResampledAudio(id, n, pcm16Wav(rate, out)))
+              }
+            }
+          }
+        }
+      }
+  }
+
   /** Silence-trimmed audio: head/tail counts plus the trimmed WAV. */
   final case class TrimmedAudio(
       doc_id: Long, n_samples: Long, n_trimmed_head: Long,

@@ -1098,6 +1098,62 @@ object MediaQueries {
       ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q323
+  /** Stereo downmix under the hash gate
+    * ([[graft.ops.Multimodal.pcmDownmix]] → [[graft.ops.Multimodal.pcmStats]]):
+    * genuine interleaved 16-bit stereo WAVs (L and R each a function of
+    * doc_id, R phase-shifted and sign-flipped so the mix genuinely
+    * cancels and clips through zero) downmixed to mono at (L+R)/2 with
+    * truncating division, re-emitted as real mono WAV bytes and walked
+    * to exact integer stats. This is how the mono-only restriction on
+    * the audio operators is DISCHARGED: route stereo through the
+    * downmix, not around the honesty check. The oracle regenerates
+    * both channels and mirrors the truncating division — Java's `/`
+    * and DuckDB's `//` agree toward zero (floorDiv would not, measured:
+    * -3//2 = -1 in DuckDB). */
+  private val q323 = Q(
+    "q323_audio_downmix",
+    (s, dir) => {
+      import s.implicits._
+      val wavs = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id % 30
+          val n = (180 + k % 60).toInt
+          val left = Array.tabulate(n)(i =>
+            (((k * 31 + i * 17) % 2048) - 1024).toShort)
+          val right = Array.tabulate(n)(i =>
+            (1024 - ((k * 19 + i * 23) % 2048)).toShort)
+          (id, Multimodal.pcm16WavStereo(16000L, left, right))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.pcmStats(
+        Multimodal.pcmDownmix(wavs, "doc_id", "media").toDF(),
+        "doc_id", "media")
+        .toDF().orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 30 AS k, 180 + (doc_id % 30) % 60 AS n
+        FROM documents WHERE doc_id < 400),
+      mixed AS (
+        SELECT doc_id,
+          (((k * 31 + t.i * 17) % 2048 - 1024)
+           + (1024 - (k * 19 + t.i * 23) % 2048)) // 2 AS s
+        FROM ids, unnest(generate_series(0, n - 1)) AS t(i)),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n, MAX(abs(s)) AS peak,
+               SUM(abs(s)) AS sum_abs, SUM(s * s) AS sum_sq
+        FROM mixed GROUP BY doc_id)
+      SELECT doc_id,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(peak AS BIGINT) AS peak,
+        CAST(sum_abs AS BIGINT) AS sum_abs,
+        CAST(sum_sq // n AS BIGINT) AS mean_sq
+      FROM agg ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
-    q316, q317, q318, q319, q320, q321, q322)
+    q316, q317, q318, q319, q320, q321, q322, q323)
 }

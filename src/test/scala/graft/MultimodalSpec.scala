@@ -902,6 +902,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(plain.width == 7 && plain.height == 5)
   }
 
+  test("pcmDownmix: exact stereo mix, truncating negatives, routing honesty") {
+    val left = Array[Short](100, -3, 0, 32767)
+    val right = Array[Short](200, 0, -5, 32767)
+    val df = Seq(
+      (1L, Multimodal.pcm16WavStereo(8000L, left, right)),
+      (2L, Multimodal.pcm16Wav(8000L, left)), // mono: not downmixable
+      (3L, "junk".getBytes)).toDF("doc_id", "media")
+    val out = Multimodal.pcmDownmix(df, "doc_id", "media").collect()
+    assert(out.map(_.doc_id).toSet == Set(1L),
+      "mono and junk must be dropped — route on channel count")
+    // (L+R)/2 truncating: 150, -1 (not -2), -2, 32767
+    val st = Multimodal.pcmStats(
+      Seq((1L, out.head.media)).toDF("doc_id", "media"), "doc_id", "media")
+      .head()
+    assert(st.n_samples == 4L && st.peak == 32767L)
+    assert(st.sum_abs == 150L + 1L + 2L + 32767L)
+  }
+
   test("imageFeatures rides the ImageIO path: PNG means match the BMP means") {
     val img = smooth(40, 30)
     val df = Seq(
