@@ -1431,6 +1431,7 @@ object Multimodal {
     * terminator or on any malformed header (never throws on arbitrary
     * bytes, never reads past the blob). */
   def parseTarMembers(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    if (bytes == null) return Seq.empty // totality: null blob, no members
     val out = Seq.newBuilder[(String, Array[Byte])]
     var p = 0
     var ok = true

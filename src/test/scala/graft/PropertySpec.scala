@@ -769,6 +769,72 @@ class PropertySpec extends SparkTestBase {
     }, n = 10)
   }
 
+  private def smooth(w: Int, h: Int): graft.ops.Multimodal.DecodedImage = {
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      rgb(i) = (40 + (160 * x) / w).toByte
+      rgb(i + 1) = (40 + (160 * y) / h).toByte
+      rgb(i + 2) = (40 + (80 * (x + y)) / (w + h)).toByte
+    }
+    graft.ops.Multimodal.DecodedImage(w, h, rgb)
+  }
+
+  test("every byte parser is total: arbitrary bytes never throw, truncations never throw") {
+    import graft.ops.Multimodal
+    // the containers' totality contract — a web-scale lake WILL deliver
+    // garbage, and a parser that throws kills the whole partition task.
+    val parsers: Seq[(String, Array[Byte] => Any)] = Seq(
+      ("parseImageHeader", Multimodal.parseImageHeader _),
+      ("decodeImageIO", Multimodal.decodeImageIO _),
+      ("decodeBmp", Multimodal.decodeBmp _),
+      ("decodeImage", Multimodal.decodeImage _),
+      ("decodeImageOriented", Multimodal.decodeImageOriented _),
+      ("parseExifOrientation", Multimodal.parseExifOrientation _),
+      ("parseAviMjpegFrames", Multimodal.parseAviMjpegFrames _),
+      ("parseWavHeader", Multimodal.parseWavHeader _),
+      ("parseY4mHeader", Multimodal.parseY4mHeader _),
+      ("parseFlacHeader", Multimodal.parseFlacHeader _),
+      ("parseMp3Header", Multimodal.parseMp3Header _),
+      ("parseOpusHead", Multimodal.parseOpusHead _),
+      ("parseMp4Header", Multimodal.parseMp4Header _),
+      ("parseTarMembers", Multimodal.parseTarMembers _),
+      ("gunzip", (b: Array[Byte]) => Multimodal.gunzip(b)),
+      ("parseZipMembers", (b: Array[Byte]) => Multimodal.parseZipMembers(b)))
+    val junk = Gen.oneOf(
+      Gen.listOf(Gen.choose(0, 255)).map(_.map(_.toByte).toArray),
+      // magic-prefixed junk: right signature, garbage body
+      Gen.zip(
+        Gen.oneOf("RIFF", "BM", "PNG", "ÿØÿ", "GIF89a",
+          "YUV4MPEG2", "PK", "fLaC", "OggS", ""),
+        Gen.listOf(Gen.choose(0, 255))).map { case (m, tail) =>
+        m.getBytes("ISO-8859-1") ++ tail.map(_.toByte) })
+    holds(Prop.forAll(junk) { bytes =>
+      parsers.forall { case (name, p) =>
+        try { p(bytes); p(null); true }
+        catch { case e: Throwable =>
+          println(s"$name threw ${e.getClass.getSimpleName} on ${bytes.take(20).toSeq}")
+          false
+        }
+      }
+    }, n = 60)
+    // real containers truncated at EVERY prefix length must not throw
+    val real = Seq(
+      Multimodal.encodePng(smooth(9, 7)),
+      Multimodal.encodeJpeg(smooth(9, 7)),
+      Multimodal.jpegWithExif(smooth(9, 7), 6),
+      Multimodal.encodeBmp(smooth(9, 7)),
+      Multimodal.aviMjpeg(8, 8, Seq("frame".getBytes)),
+      Multimodal.pcm16Wav(8000L, Array[Short](1, -2, 3)),
+      Multimodal.tarArchive(Seq(("a.txt", "hello".getBytes))))
+    real.foreach { full =>
+      (0 to full.length by math.max(1, full.length / 23)).foreach { cut =>
+        val b = full.take(cut)
+        parsers.foreach { case (_, p) => p(b) }
+      }
+    }
+  }
+
   test("AVI-MJPEG demux is the inverse of the writer for ANY frame payloads") {
     import graft.ops.Multimodal
     val gen = for {
