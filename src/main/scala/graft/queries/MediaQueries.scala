@@ -1154,6 +1154,110 @@ object MediaQueries {
       FROM agg ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q324
+  /** Composed media release pipeline — the image twin of q200's text
+    * release gate, every stage a count the oracle can restate: 600
+    * mixed deliveries (BMP for doc_id%3=0, PNG otherwise, content keyed
+    * on doc_id%40; every tenth doc is junk bytes) flow intake →
+    * decode gate (junk dies at the sniff) → aHash near-dup census
+    * (pixel-identical classes collapse regardless of codec) →
+    * shard plan (⌈unique/8⌉). The oracle recomputes the hash arithmetic
+    * and the same stage algebra — the composition is gated, not just
+    * the parts, and the 'unique_content' stage makes NO assumption that
+    * the 40 classes hash distinctly (both engines count whatever
+    * collisions the hash actually has). */
+  private val q324 = Q(
+    "q324_media_release_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val blobs = Lake(s, dir).documents
+        .filter(col("doc_id") < 600)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          if (id % 10 == 9) (id, s"junk delivery $id".getBytes)
+          else {
+            val k = id % 40
+            val w = (8 + k % 9).toInt
+            val h = (6 + k % 7).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                rgb(i) = ((k + x + 2L * y) % 256).toByte
+                rgb(i + 1) = ((2L * k + 3L * x + y) % 256).toByte
+                rgb(i + 2) = ((k + 5L * x + 7L * y) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val img = Multimodal.DecodedImage(w, h, rgb)
+            (id, if (id % 3 == 0) Multimodal.encodeBmp(img)
+                 else Multimodal.encodePng(img))
+          }
+        })
+        .toDF("doc_id", "media")
+      val nInput = blobs.agg(count(lit(1)).as("n"))
+      val hashes = Multimodal.imageAHash(blobs, "doc_id", "media").toDF()
+      val census = hashes.agg(
+        count(lit(1)).as("n_dec"),
+        count_distinct(col("ahash")).as("n_uniq"))
+      nInput.crossJoin(broadcast(census))
+        .select(
+          array(
+            struct(lit("input").as("stage"), col("n").as("n")),
+            struct(lit("decodable").as("stage"), col("n_dec").as("n")),
+            struct(lit("unique_content").as("stage"), col("n_uniq").as("n")),
+            struct(lit("dupes_removed").as("stage"),
+              (col("n_dec") - col("n_uniq")).as("n")),
+            struct(lit("shards_planned").as("stage"),
+              ceil(col("n_uniq") / 8.0).cast("long").as("n"))).as("a"))
+        .select(explode(col("a")).as("s"))
+        .select(col("s.stage"), col("s.n"))
+        .orderBy("stage")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 40 AS k,
+          8 + (doc_id % 40) % 9 AS w, 6 + (doc_id % 40) % 7 AS h
+        FROM documents WHERE doc_id < 600 AND doc_id % 10 != 9),
+      grid AS (
+        SELECT doc_id, k, w, h, t1.x, t2.y,
+          (x * w) // 8 AS sx, (y * h) // 8 AS sy
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      gray AS (
+        SELECT doc_id, x, y,
+          ((k + sx + 2 * sy) % 256 + (2 * k + 3 * sx + sy) % 256
+            + (k + 5 * sx + 7 * sy) % 256) // 3 AS g
+        FROM grid),
+      hashed AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN g > m THEN '1' ELSE '0' END, ''
+                     ORDER BY y, x) AS ahash
+        FROM (SELECT doc_id, x, y, g,
+                SUM(g) OVER (PARTITION BY doc_id) // 64 AS m
+              FROM gray)
+        GROUP BY doc_id),
+      census AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_dec,
+               CAST(COUNT(DISTINCT ahash) AS BIGINT) AS n_uniq
+        FROM hashed),
+      total AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents WHERE doc_id < 600)
+      SELECT stage, n FROM (
+        SELECT 'input' AS stage, n FROM total
+        UNION ALL SELECT 'decodable', n_dec FROM census
+        UNION ALL SELECT 'unique_content', n_uniq FROM census
+        UNION ALL SELECT 'dupes_removed', n_dec - n_uniq FROM census
+        UNION ALL SELECT 'shards_planned',
+          CAST(ceil(n_uniq / 8.0) AS BIGINT) FROM census)
+      ORDER BY stage""")
+  )
+
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
-    q316, q317, q318, q319, q320, q321, q322, q323)
+    q316, q317, q318, q319, q320, q321, q322, q323, q324)
 }
