@@ -718,6 +718,52 @@ object Multimodal {
       }
   }
 
+  /** All three perceptual hashes of one image, from ONE decode. */
+  final case class ImageHashes(
+      doc_id: Long, ahash: String, dhash: String, whash: String)
+
+  /** Production fingerprinting pass: aHash + dHash + wHash in ONE
+    * decode — [[imageAHash]]/[[imageDHash]]/[[imageWHash]] run
+    * separately decode the blob three times, and at lake scale the
+    * decode IS the cost (the hash arithmetic is 64 cells). One decode,
+    * two resamples (8×8 for aHash/wHash, 9×8 for dHash), three hash
+    * folds; bit-identical to the three standalone operators (q325
+    * gates all three columns against the single-hash oracles' combined
+    * arithmetic; MultimodalSpec pins agreement with the standalone
+    * ops). Dedup serving bands over ALL THREE (the hashes fail
+    * differently — global mean vs local gradient vs spectral sign). */
+  def imageHashes(
+      df: DataFrame, idCol: String, binCol: String): Dataset[ImageHashes] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          decodeImage(bytes).map { img =>
+            val r88 = resampleNearest(img, 8, 8)
+            val r98 = resampleNearest(img, 9, 8)
+            def grayAt(r: DecodedImage, i: Int): Int =
+              ((r.rgb(i * 3) & 0xff) + (r.rgb(i * 3 + 1) & 0xff) +
+                (r.rgb(i * 3 + 2) & 0xff)) / 3
+            val g88 = Array.tabulate(64)(grayAt(r88, _))
+            val mean = g88.sum / 64
+            val a = g88.map(g => if (g > mean) '1' else '0').mkString
+            val d = (for (y <- 0 until 8; x <- 0 until 8) yield
+              if (grayAt(r98, y * 9 + x + 1) > grayAt(r98, y * 9 + x)) '1'
+              else '0').mkString
+            val c = g88.map(_.toLong)
+            var y = 0
+            while (y < 8) { wht8(c, y * 8, 1); y += 1 }
+            var x = 0
+            while (x < 8) { wht8(c, x, 8); x += 1 }
+            val w = c.map(v => if (v > 0) '1' else '0').mkString
+            ImageHashes(id, a, d, w)
+          }
+        }
+      }
+  }
+
   /** Per-image difference-hash row: the 64-bit gradient fingerprint as a
     * bit string (row-major, each row comparing 8 adjacent cell pairs). */
   final case class DHash(doc_id: Long, dhash: String)

@@ -1258,6 +1258,121 @@ object MediaQueries {
       ORDER BY stage""")
   )
 
+  // --------------------------------------------------------------- q325
+  /** One-decode fingerprinting ([[graft.ops.Multimodal.imageHashes]]):
+    * aHash + dHash + wHash from a SINGLE decode of each blob — at lake
+    * scale the decode IS the cost, and the three standalone operators
+    * pay it three times. Mixed BMP/PNG delivery; the oracle joins the
+    * three single-hash arithmetic chains (q126 mean threshold, q230
+    * gradient compare on the 9×8 grid, q267's six unrolled butterfly
+    * stages) on doc_id — all three columns must match the fused pass
+    * bit-for-bit. */
+  private val q325 = {
+    val rowStage = (prev: String, cur: String, b: Int) => s"""
+      $cur AS MATERIALIZED (
+        SELECT a.doc_id, a.x, a.y,
+          CASE WHEN a.x % ${2 * b} < $b THEN a.g + p.g ELSE p.g - a.g END AS g
+        FROM $prev a JOIN $prev p
+          ON a.doc_id = p.doc_id AND a.y = p.y AND p.x = xor(a.x, $b))"""
+    val colStage = (prev: String, cur: String, b: Int) => s"""
+      $cur AS MATERIALIZED (
+        SELECT a.doc_id, a.x, a.y,
+          CASE WHEN a.y % ${2 * b} < $b THEN a.g + p.g ELSE p.g - a.g END AS g
+        FROM $prev a JOIN $prev p
+          ON a.doc_id = p.doc_id AND a.x = p.x AND p.y = xor(a.y, $b))"""
+    Q(
+      "q325_image_hashes_fused",
+      (s, dir) => {
+        import s.implicits._
+        val imgs = Lake(s, dir).documents
+          .filter(col("doc_id") < 400)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val k = id % 40
+            val w = (8 + k % 9).toInt
+            val h = (6 + k % 7).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val i = (y * w + x) * 3
+                rgb(i) = ((k + x + 2L * y) % 256).toByte
+                rgb(i + 1) = ((2L * k + 3L * x + y) % 256).toByte
+                rgb(i + 2) = ((k + 5L * x + 7L * y) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val img = Multimodal.DecodedImage(w, h, rgb)
+            (id, if (id % 2 == 0) Multimodal.encodeBmp(img)
+                 else Multimodal.encodePng(img))
+          })
+          .toDF("doc_id", "media")
+        Multimodal.imageHashes(imgs, "doc_id", "media").toDF()
+          .orderBy("doc_id")
+      },
+      Some(s"""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 40 AS k,
+          8 + (doc_id % 40) % 9 AS w, 6 + (doc_id % 40) % 7 AS h
+        FROM documents WHERE doc_id < 400),
+      grid AS (
+        SELECT doc_id, k, w, h, t1.x, t2.y,
+          (x * w) // 8 AS sx, (y * h) // 8 AS sy
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      s0 AS MATERIALIZED (
+        SELECT doc_id, x, y,
+          CAST(((k + sx + 2 * sy) % 256 + (2 * k + 3 * sx + sy) % 256
+            + (k + 5 * sx + 7 * sy) % 256) // 3 AS BIGINT) AS g
+        FROM grid),
+      ahashed AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN g > m THEN '1' ELSE '0' END, ''
+                     ORDER BY y, x) AS ahash
+        FROM (SELECT doc_id, x, y, g,
+                SUM(g) OVER (PARTITION BY doc_id) // 64 AS m
+              FROM s0)
+        GROUP BY doc_id),
+      grid9 AS (
+        SELECT doc_id, k, t1.x, t2.y,
+          (x * w) // 9 AS sx, (y * h) // 8 AS sy
+        FROM ids,
+          unnest(generate_series(0, 8)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      g9 AS (
+        SELECT doc_id, x, y,
+          ((k + sx + 2 * sy) % 256 + (2 * k + 3 * sx + sy) % 256
+            + (k + 5 * sx + 7 * sy) % 256) // 3 AS g
+        FROM grid9),
+      dbits AS (
+        SELECT doc_id, x, y,
+          CASE WHEN lead(g) OVER (PARTITION BY doc_id, y ORDER BY x) > g
+               THEN '1' ELSE '0' END AS bit
+        FROM g9),
+      dhashed AS (
+        SELECT doc_id,
+          string_agg(bit, '' ORDER BY y, x) AS dhash
+        FROM dbits WHERE x < 8 GROUP BY doc_id),
+      ${rowStage("s0", "s1", 1)},
+      ${rowStage("s1", "s2", 2)},
+      ${rowStage("s2", "s3", 4)},
+      ${colStage("s3", "s4", 1)},
+      ${colStage("s4", "s5", 2)},
+      ${colStage("s5", "s6", 4)},
+      whashed AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN g > 0 THEN '1' ELSE '0' END, ''
+                     ORDER BY y, x) AS whash
+        FROM s6 GROUP BY doc_id)
+      SELECT doc_id, ahash, dhash, whash
+      FROM ahashed JOIN dhashed USING (doc_id) JOIN whashed USING (doc_id)
+      ORDER BY doc_id""")
+    )
+  }
+
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
-    q316, q317, q318, q319, q320, q321, q322, q323, q324)
+    q316, q317, q318, q319, q320, q321, q322, q323, q324, q325)
 }

@@ -920,6 +920,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(st.sum_abs == 150L + 1L + 2L + 32767L)
   }
 
+  test("imageHashes: the fused pass is bit-identical to the three standalone ops") {
+    val imgs = Seq(
+      (1L, Multimodal.encodeBmp(smooth(17, 11))),
+      (2L, Multimodal.encodePng(smooth(24, 16))),
+      (3L, "not an image".getBytes)).toDF("doc_id", "media")
+    val fused = Multimodal.imageHashes(imgs, "doc_id", "media")
+      .collect().map(h => h.doc_id -> (h.ahash, h.dhash, h.whash)).toMap
+    assert(fused.keySet == Set(1L, 2L))
+    val a = Multimodal.imageAHash(imgs, "doc_id", "media")
+      .collect().map(h => h.doc_id -> h.ahash).toMap
+    val d = Multimodal.imageDHash(imgs, "doc_id", "media")
+      .collect().map(h => h.doc_id -> h.dhash).toMap
+    val w = Multimodal.imageWHash(imgs, "doc_id", "media")
+      .collect().map(h => h.doc_id -> h.whash).toMap
+    fused.foreach { case (id, (fa, fd, fw)) =>
+      assert(fa == a(id) && fd == d(id) && fw == w(id),
+        s"fused hashes diverge from standalone ops for doc $id")
+    }
+  }
+
   test("imageFeatures rides the ImageIO path: PNG means match the BMP means") {
     val img = smooth(40, 30)
     val df = Seq(
