@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis expressions for large-scale training-data pipelines:
@@ -260,4 +260,57 @@ object TextAnalysis {
     * 11.2× — linear in length. */
   def vowelGroups(text: Column): Column =
     size(regexp_extract_all(text, lit("[aeiouy]+"), lit(0))).cast("long")
+
+  /** The Unicode scripts the census counts, in priority order (ties in
+    * [[dominantScript]] resolve to the EARLIER entry). Each pairs the
+    * reported name with java.util.regex's script-class spelling; DuckDB's
+    * RE2 accepts the bare `\p{Name}` form of the same names, so the two
+    * engines count identical codepoint sets (verified: both count 3/2/3
+    * Cyrillic/Han/Latin over the same mixed string). */
+  val CensusScripts: Seq[(String, String)] = Seq(
+    "Latin" -> "\\p{IsLatin}",
+    "Cyrillic" -> "\\p{IsCyrillic}",
+    "Han" -> "\\p{IsHan}",
+    "Arabic" -> "\\p{IsArabic}",
+    "Greek" -> "\\p{IsGreek}")
+
+  /** Codepoints of `text` belonging to one script — the multilingual
+    * triage primitive: `length(regexp_replace(text, [^script], ''))`,
+    * a codegen'd expression, no UDF. */
+  def scriptCount(text: Column, scriptClass: String): Column =
+    length(regexp_replace(text, s"[^$scriptClass]", "")).cast("long")
+
+  /** Dominant script by count over [[CensusScripts]], first-in-order
+    * wins ties, `'none'` when every counted script is absent — the
+    * routing key a multilingual pipeline shards on (tokenizer choice,
+    * langid model family, script-specific quality rules). */
+  def dominantScript(counts: Seq[(String, Column)]): Column = {
+    val none = lit("none")
+    counts.foldRight(none) { case ((name, c), rest) =>
+      when(c > 0L &&
+        counts.map(_._2).foldLeft(lit(true))((acc, o) => acc && c >= o),
+        lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Per-document Unicode script census: one count column per
+    * [[CensusScripts]] entry (`n_<lowercased name>`), `n_other` (every
+    * remaining codepoint — digits, punctuation, spaces, uncounted
+    * scripts), and `dominant_script`. One projection over the input —
+    * no shuffle, no explode; the per-script regexes are independent
+    * codegen'd expressions in the same WholeStageCodegen. Gated by
+    * q326 with both engines running the census over identical
+    * constructed multilingual text. */
+  def scriptCensus(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = CensusScripts.map { case (name, cls) =>
+      name -> scriptCount(col(textCol), cls)
+    }
+    val total = counts.map(_._2).reduce(_ + _)
+    df.select(
+      Seq(col(idCol).as("doc_id")) ++
+        counts.map { case (n, c) => c.as(s"n_${n.toLowerCase}") } ++
+        Seq(
+          (length(col(textCol)).cast("long") - total).as("n_other"),
+          dominantScript(counts).as("dominant_script")): _*)
+  }
 }

@@ -6920,6 +6920,74 @@ object PipelineQueries {
       ORDER BY threshold_pct""")
   )
 
+  // --------------------------------------------------------------- q326
+  /** Unicode script census
+    * ([[graft.ops.TextAnalysis.scriptCensus]]) — the multilingual
+    * triage a web-scale corpus needs before any tokenizer/langid
+    * choice: per-doc codepoint counts for Latin/Cyrillic/Han/Arabic/
+    * Greek plus the dominant script (first-in-order tie-break, 'none'
+    * when all absent). Fixture injects deterministic script runs
+    * (repeat(chr(cp), doc_id mod k)) onto the ASCII corpus; both
+    * engines then run the SAME census regexes — java.util.regex's
+    * `\\p{IsScript}` and RE2's `\\p{Script}` count identical codepoint
+    * sets (verified on mixed strings), which is exactly what the gate
+    * pins. One projection, no shuffle, all codegen'd regex — no UDF. */
+  private val q326 = Q(
+    "q326_script_census",
+    (s, dir) => {
+      // Unicode chars as Scala literals: Spark's chr() is Latin-1-only
+      // (chr(n % 256)), unlike DuckDB's codepoint chr — the one place
+      // the two engines' "same" function genuinely diverges here
+      def run(ch: String, mod: Int) = call_function("repeat",
+        lit(ch), (col("doc_id") % mod).cast("int"))
+      val docs = Lake(s, dir).documents.select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          run("\u0431", 7), run("\u6F22", 5),   // Cyrillic be, Han
+          run("\u0645", 3), run("\u03BB", 4)).as("text")) // Arabic meem, Greek lambda
+      TextAnalysis.scriptCensus(docs, "doc_id", "text").orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, text || ' ' ||
+          repeat(chr(1073), CAST(doc_id % 7 AS INT)) ||
+          repeat(chr(28450), CAST(doc_id % 5 AS INT)) ||
+          repeat(chr(1605), CAST(doc_id % 3 AS INT)) ||
+          repeat(chr(955), CAST(doc_id % 4 AS INT)) AS t
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          CAST(length(regexp_replace(t, '[^\p{Latin}]', '', 'g')) AS BIGINT)
+            AS n_latin,
+          CAST(length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) AS BIGINT)
+            AS n_cyrillic,
+          CAST(length(regexp_replace(t, '[^\p{Han}]', '', 'g')) AS BIGINT)
+            AS n_han,
+          CAST(length(regexp_replace(t, '[^\p{Arabic}]', '', 'g')) AS BIGINT)
+            AS n_arabic,
+          CAST(length(regexp_replace(t, '[^\p{Greek}]', '', 'g')) AS BIGINT)
+            AS n_greek,
+          CAST(length(t) AS BIGINT) AS n_all
+        FROM d)
+      SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_greek,
+        n_all - (n_latin + n_cyrillic + n_han + n_arabic + n_greek)
+          AS n_other,
+        CASE
+          WHEN n_latin > 0 AND n_latin >= n_cyrillic AND n_latin >= n_han
+            AND n_latin >= n_arabic AND n_latin >= n_greek THEN 'Latin'
+          WHEN n_cyrillic > 0 AND n_cyrillic >= n_latin
+            AND n_cyrillic >= n_han AND n_cyrillic >= n_arabic
+            AND n_cyrillic >= n_greek THEN 'Cyrillic'
+          WHEN n_han > 0 AND n_han >= n_latin AND n_han >= n_cyrillic
+            AND n_han >= n_arabic AND n_han >= n_greek THEN 'Han'
+          WHEN n_arabic > 0 AND n_arabic >= n_latin
+            AND n_arabic >= n_cyrillic AND n_arabic >= n_han
+            AND n_arabic >= n_greek THEN 'Arabic'
+          WHEN n_greek > 0 AND n_greek >= n_latin AND n_greek >= n_cyrillic
+            AND n_greek >= n_han AND n_greek >= n_arabic THEN 'Greek'
+          ELSE 'none' END AS dominant_script
+      FROM c ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75,
@@ -6931,5 +6999,5 @@ object PipelineQueries {
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
     q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264,
     q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300, q302, q306, q308,
-    q309, q312, q313)
+    q309, q312, q313, q326)
 }
