@@ -1134,11 +1134,17 @@ object Dedup {
         .select("doc_id", "cluster_id", "cluster_size")
         .groupBy("cluster_id")
         .agg(first(col("cluster_size")).as("csz"))
+      // every aggregate coalesced: an empty stratum (tiny frac or empty
+      // input) must still emit the one-row-per-cutoff contract with
+      // zeros, matching the lshRecallSampled/contaminationRateSampled
+      // empty conventions (NULLs here would also diverge from engines
+      // whose GROUP BY over zero rows emits no row at all)
       sz.agg(
           coalesce(sum(when(col("csz") > 1, col("csz"))), lit(0L))
             .as("docs_in_dups"),
-          sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_clusters"),
-          max(col("csz")).as("max_cluster_size"))
+          coalesce(sum(when(col("csz") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_clusters"),
+          coalesce(max(col("csz")), lit(0L)).as("max_cluster_size"))
         .crossJoin(broadcast(pairsT.agg(
           count(lit(1)).as("n_pairs"),
           coalesce(sum(col("hit")), lit(0L)).as("n_hit"))))

@@ -510,8 +510,12 @@ object Multimodal {
           else ((bytes(p + 3) & 0xffL) << 24) | ((bytes(p + 2) & 0xffL) << 16) |
             ((bytes(p + 1) & 0xffL) << 8) | (bytes(p) & 0xffL)
         if (u16(t + 2) != 42) return None
-        val ifd = t + u32(t + 4).toInt
-        if (ifd + 2 > bytes.length) return None
+        // keep the untrusted IFD0 offset in Long: a crafted offset
+        // >= 2^31 would wrap negative via .toInt and slip past the
+        // upper-bound guard (same Long discipline as parseWavHeader)
+        val ifdL = t + u32(t + 4)
+        if (ifdL < t || ifdL + 2 > bytes.length) return None
+        val ifd = ifdL.toInt
         val n = u16(ifd)
         var e = 0
         while (e < n) {

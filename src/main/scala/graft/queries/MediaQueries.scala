@@ -982,15 +982,22 @@ object MediaQueries {
     * bytes THE FILESYSTEM handed back. Junk drops are covered both
     * ways: a `.txt` file the glob must exclude, and a text-bytes
     * `.png` the decode must drop. The fixture files are written
-    * executor-side (`foreachPartition`, no driver materialization);
+    * executor-side (`foreachPartition` — which reaches the
+    * driver-created temp dir because the harness is local[*]; on a
+    * real cluster the lake dir would be shared storage anyway);
     * the oracle is q125's arithmetic restated for the doc range — a
     * hash match proves glob, id extraction, filesystem round trip and
-    * both codecs end-to-end. */
+    * both codecs end-to-end. The ≤200-row feature frame is
+    * materialized (O(k)-bounded collect) so the fixture directory can
+    * be deleted in a `finally` — verify sweeps and bench loops invoke
+    * queries repeatedly, and leaking a dir per run is unbounded. */
   private val q321 = Q(
     "q321_media_lake_ingest",
     (s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q321").toString
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft-q321")
+      val tmp = tmpPath.toString
+      try {
       Lake(s, dir).documents
         .filter(col("doc_id") < 200)
         .select(col("doc_id")).as[Long]
@@ -1029,11 +1036,21 @@ object MediaQueries {
         .option("pathGlobFilter", "*.{bmp,png}")
         .load(tmp)
         .select(
-          regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long")
-            .as("doc_id"),
+          nullif(regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1), lit(""))
+            .cast("long").as("doc_id"),
           col("content").as("media"))
-      Multimodal.imageFeatures(raw, "doc_id", "media", 8, 8)
+        .filter(col("doc_id").isNotNull)
+      val feats = Multimodal.imageFeatures(raw, "doc_id", "media", 8, 8)
         .toDF().orderBy("doc_id")
+      val schema = feats.schema
+      val rows = feats.collect().toSeq // ≤200 rows: the fixture gate's size
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     },
     Some("""
       WITH ids AS (

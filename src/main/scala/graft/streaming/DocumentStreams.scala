@@ -137,10 +137,15 @@ object DocumentStreams {
       .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.{bmp,png,jpg,jpeg,gif}")
       .load(dir)
+      // nullif before the cast: a glob-matching file with no digit
+      // prefix (cover.png) extracts "" and an ANSI cast of "" would
+      // kill the whole streaming query; null-id files drop like
+      // undecodable blobs instead
       .select(
-        regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long")
-          .as("doc_id"),
+        nullif(regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1), lit(""))
+          .cast("long").as("doc_id"),
         col("content").as("media"))
+      .filter(col("doc_id").isNotNull)
     graft.ops.Multimodal.imageFeatures(raw, "doc_id", "media", width, height)
       .toDF()
   }
@@ -181,10 +186,15 @@ object DocumentStreams {
       .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.{bmp,png,jpg,jpeg,gif}")
       .load(dir)
+      // nullif before the cast: a glob-matching file with no digit
+      // prefix (cover.png) extracts "" and an ANSI cast of "" would
+      // kill the whole streaming query; null-id files drop like
+      // undecodable blobs instead
       .select(
-        regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1).cast("long")
-          .as("doc_id"),
+        nullif(regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1), lit(""))
+          .cast("long").as("doc_id"),
         col("content").as("media"))
+      .filter(col("doc_id").isNotNull)
     val bandNames = (0 until 4).map(b => s"b$b")
     val fp = graft.ops.Multimodal.imageAHash(raw, "doc_id", "media").toDF()
       .select(col("doc_id") +: (0 until 4).map(b =>
@@ -226,9 +236,10 @@ object DocumentStreams {
       .option("pathGlobFilter", "*.avi")
       .load(dir)
       .select(
-        regexp_extract(col("path"), "(\\d+)\\.avi$", 1).cast("long")
-          .as("doc_id"),
+        nullif(regexp_extract(col("path"), "(\\d+)\\.avi$", 1), lit(""))
+          .cast("long").as("doc_id"),
         col("content").as("media"))
+      .filter(col("doc_id").isNotNull)
     graft.ops.Multimodal.mjpegFrameStats(raw, "doc_id", "media", stride)
       .toDF()
   }

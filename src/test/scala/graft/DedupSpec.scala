@@ -511,6 +511,22 @@ class DedupSpec extends SparkTestBase {
       threshold = 0.8).head()
     assert(r80.getAs[Long]("n_pairs") == solo.getAs[Long]("n_truth"))
     assert(r80.getAs[Long]("n_hit") == solo.getAs[Long]("n_hit"))
+
+    // empty stratum: the one-row-per-cutoff contract holds with explicit
+    // zeros (not NULLs), mirroring the lshRecallSampled /
+    // contaminationRateSampled empty-case conventions
+    val emptyRows = Dedup.tuningReport(
+      docs.filter(col("doc_id") < 0), "doc_id", "text", frac = 0.5,
+      thresholdPcts = Seq(70, 90)).orderBy("threshold_pct").collect()
+    assert(emptyRows.length == 2)
+    emptyRows.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == 0L)
+      assert(r.getAs[Long]("docs_in_dups") == 0L)
+      assert(r.getAs[Long]("n_clusters") == 0L)
+      assert(r.getAs[Long]("max_cluster_size") == 0L)
+      assert(r.getAs[Long]("n_hit") == 0L)
+      assert(r.getAs[Double]("recall") == 1.0) // 0-of-0: vacuous recall
+    }
   }
 
   test("simhashIncremental equals the full recompute restricted to new-involving pairs") {

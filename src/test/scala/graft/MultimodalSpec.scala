@@ -875,6 +875,16 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.parseExifOrientation("junk".getBytes).isEmpty)
     assert(Multimodal.parseExifOrientation(Multimodal.encodePng(img)).isEmpty)
 
+    // adversarial: an IFD0 offset >= 2^31 must stay in Long inside the
+    // parser — a .toInt wrap would turn it negative, slip past the
+    // upper-bound guard, and index the array at a negative offset.
+    // jpegWithExif layout: SOI(2) + APP1 marker/len(4) + "Exif\0\0"(6)
+    // puts the TIFF base at byte 12; the u32 IFD0 offset is at base+4.
+    val evil = Multimodal.jpegWithExif(img, 1)
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xf0.toByte
+    assert(Multimodal.parseExifOrientation(evil).isEmpty) // no AIOOBE
+
     // orientation algebra on exact pixels
     def px(i: DecodedImage, x: Int, y: Int): (Byte, Byte, Byte) = {
       val s = (y * i.width + x) * 3

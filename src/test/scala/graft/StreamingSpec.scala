@@ -377,6 +377,9 @@ class StreamingSpec extends SparkTestBase {
     java.nio.file.Files.write(dir.resolve("102.bmp"), bmp(102))
     java.nio.file.Files.write(dir.resolve("103.png"), png(103))
     java.nio.file.Files.writeString(dir.resolve("readme.txt"), "not media")
+    // glob-matching but digit-less name: must DROP (ANSI cast of the
+    // "" regexp_extract would otherwise kill the whole streaming query)
+    java.nio.file.Files.write(dir.resolve("cover.png"), png(999))
     val q = graft.streaming.DocumentStreams
       .imageFeatureStream(spark, dir.toString, 3, 3)
       .writeStream.format("memory").queryName("media_feats")
@@ -396,7 +399,8 @@ class StreamingSpec extends SparkTestBase {
         "doc_id", "media", 3, 3)
         .collect().map(f => f.doc_id -> (f.mean_r, f.mean_g, f.mean_b)).toMap
       assert(streamed == batch)
-      // the .txt never enters; the PNG decodes through ImageIO like batch
+      // the .txt never enters; the digit-less cover.png drops on its
+      // null doc_id; the PNG decodes through ImageIO like batch
       assert(streamed.keySet == Set(101L, 102L, 103L))
     } finally q.stop()
   }
