@@ -875,50 +875,67 @@ object MediaQueries {
     * from scratch and restricts to pairs involving a new doc — the
     * incremental path must land on exactly the full recompute's answer,
     * which is the whole point of an incremental index. */
+  /** The q315/q320/q327 mixed-codec fingerprint fixture: content keyed
+    * on doc_id % 40 with a red-channel spike on id % 5 == 0, encoded
+    * BMP (even) / PNG (odd), decoded through the REAL codecs and
+    * aHash-fingerprinted into the 4×16-bit band layout the incremental
+    * dedup family consumes. */
+  private def spikedAHashFrame(
+      s: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val imgs = base.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val k = id % 40
+        val spike = id % 5 == 0
+        val w = (8 + k % 9).toInt
+        val h = (6 + k % 7).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            val rBase = (k + x + 2L * y) % 256
+            rgb(i) =
+              (if (spike && x == 0 && y == 0) (rBase + 128) % 256
+               else rBase).toByte
+            rgb(i + 1) = ((2L * k + 3L * x + y) % 256).toByte
+            rgb(i + 2) = ((k + 5L * x + 7L * y) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val img = Multimodal.DecodedImage(w, h, rgb)
+        (id, if (id % 2 == 0) Multimodal.encodeBmp(img)
+             else Multimodal.encodePng(img))
+      })
+      .toDF("doc_id", "media")
+    Multimodal.imageAHash(imgs, "doc_id", "media").toDF()
+      .select(col("doc_id") +: (0 until 4).map(b =>
+        conv(substring(col("ahash"), b * 16 + 1, 16), 2, 10)
+          .cast("long").as(s"b$b")): _*)
+  }
+
   private val q320 = Q(
     "q320_image_dedup_incremental",
     (s, dir) => {
-      import s.implicits._
-      def fpFrame(base: org.apache.spark.sql.DataFrame) = {
-        val imgs = base.select(col("doc_id")).as[Long]
-          .mapPartitions(_.map { id =>
-            val k = id % 40
-            val spike = id % 5 == 0
-            val w = (8 + k % 9).toInt
-            val h = (6 + k % 7).toInt
-            val rgb = new Array[Byte](w * h * 3)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val i = (y * w + x) * 3
-                val rBase = (k + x + 2L * y) % 256
-                rgb(i) =
-                  (if (spike && x == 0 && y == 0) (rBase + 128) % 256
-                   else rBase).toByte
-                rgb(i + 1) = ((2L * k + 3L * x + y) % 256).toByte
-                rgb(i + 2) = ((k + 5L * x + 7L * y) % 256).toByte
-                x += 1
-              }
-              y += 1
-            }
-            val img = Multimodal.DecodedImage(w, h, rgb)
-            (id, if (id % 2 == 0) Multimodal.encodeBmp(img)
-                 else Multimodal.encodePng(img))
-          })
-          .toDF("doc_id", "media")
-        Multimodal.imageAHash(imgs, "doc_id", "media").toDF()
-          .select(col("doc_id") +: (0 until 4).map(b =>
-            conv(substring(col("ahash"), b * 16 + 1, 16), 2, 10)
-              .cast("long").as(s"b$b")): _*)
-      }
       val docs = Lake(s, dir).documents
-      val index = fpFrame(docs.filter(col("doc_id") >= 40 && col("doc_id") < 440))
-      val fresh = fpFrame(docs.filter(col("doc_id") < 40))
+      val index = spikedAHashFrame(s,
+        docs.filter(col("doc_id") >= 40 && col("doc_id") < 440))
+      val fresh = spikedAHashFrame(s, docs.filter(col("doc_id") < 40))
       graft.ops.Dedup.simhashIncremental(fresh, index, maxHamming = 4)
         .orderBy("doc_a", "doc_b")
     },
-    Some("""
+    Some(ImageIncrementalOracle)
+  )
+
+  /** The full-recompute-restricted-to-new-pairs spec shared by q320 and
+    * q327: the incremental probe — shuffled (q320) or bucketed
+    * exchange-free (q327) — must land on exactly this answer. (A `def`,
+    * not a `val`: q320 references it before this point in object-init
+    * order.) */
+  private def ImageIncrementalOracle: String = """
       WITH ids AS (
         SELECT doc_id, doc_id % 40 AS k,
           CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS spike,
@@ -968,7 +985,42 @@ object MediaQueries {
       WHERE len(list_filter(range(1, 65),
         i -> substr(ha, CAST(i AS INT), 1)
           != substr(hb, CAST(i AS INT), 1))) <= 4
-      ORDER BY doc_a, doc_b""")
+      ORDER BY doc_a, doc_b"""
+
+  // --------------------------------------------------------------- q327
+  /** EXCHANGE-FREE incremental image dedup — q320's production loop with
+    * the shuffle deleted: both the corpus fingerprint index (docs
+    * 40–439) and the new batch (docs < 40) are written BUCKETED AND
+    * SORTED on the band key
+    * ([[graft.ops.Dedup.writeSimhashIndexBucketed]]), so the per-batch
+    * band joins are bucket-aligned sort-merge joins with zero exchanges
+    * and zero sorts — the corpus index is never re-shuffled, not even
+    * once per batch; the only shuffle left in the plan is the
+    * O(candidates) distinct. PlanSpec pins that physical property; this
+    * gate pins the VALUE contract — the bucketed write/read round trip
+    * plus the inline-fingerprint verify must land on exactly the q320
+    * full-recompute oracle. At 100 TB this is the difference between a
+    * daily batch that re-shuffles a corpus-sized index and one whose
+    * corpus-side cost is a bucket-pruned read. */
+  private val q327 = Q(
+    "q327_image_dedup_bucketed",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q327").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      graft.ops.Dedup.writeSimhashIndexBucketed(
+        spikedAHashFrame(s,
+          docs.filter(col("doc_id") >= 40 && col("doc_id") < 440)),
+        "q327_b_index", s"$tmp/i", 8)
+      graft.ops.Dedup.writeSimhashIndexBucketed(
+        spikedAHashFrame(s, docs.filter(col("doc_id") < 40)),
+        "q327_b_batch", s"$tmp/b", 8)
+      graft.ops.Dedup
+        .simhashIncrementalBucketed(s, "q327_b_batch", "q327_b_index",
+          maxHamming = 4)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(ImageIncrementalOracle)
   )
 
   // --------------------------------------------------------------- q321
@@ -1391,5 +1443,5 @@ object MediaQueries {
   }
 
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
-    q316, q317, q318, q319, q320, q321, q322, q323, q324, q325)
+    q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327)
 }

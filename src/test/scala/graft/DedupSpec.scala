@@ -555,6 +555,23 @@ class DedupSpec extends SparkTestBase {
     assert(inc.forall { case (a, b, _) => a < 40 || b < 40 })
     // both exact (hamming 0) and near (hamming >= 1) pairs occur
     assert(inc.exists(_._3 == 0L) && inc.exists(_._3 >= 1L))
+
+    // the bucketed exchange-free serving path lands on the SAME answer
+    // through the write/read round trip (PlanSpec pins the plan shape)
+    val wh = java.nio.file.Files.createTempDirectory("dedup-bucketed")
+    Dedup.writeSimhashIndexBucketed(index, "t_bidx", s"$wh/i", 4)
+    Dedup.writeSimhashIndexBucketed(fresh, "t_bbat", s"$wh/b", 4)
+    try {
+      val bucketed = Dedup
+        .simhashIncrementalBucketed(spark, "t_bbat", "t_bidx", maxHamming = 2)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(bucketed == full,
+        "bucketed incremental path diverged from the full recompute")
+    } finally {
+      spark.sql("DROP TABLE t_bidx")
+      spark.sql("DROP TABLE t_bbat")
+    }
   }
 
   test("lshRecallSampled: sub-unit stratum audits a strict subset") {

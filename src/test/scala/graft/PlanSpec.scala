@@ -165,6 +165,68 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("bucketed incremental dedup: corpus index never re-shuffled, ONE candidate-sized exchange") {
+    import graft.ops.Dedup
+    val wh = java.nio.file.Files.createTempDirectory("bucketed-dedup")
+    // disjoint-id fingerprint frames; % 17 classes guarantee band collisions
+    def fp(ids: Seq[Long]) = ids.map { id =>
+      val k = id % 17
+      (id, (k * 7919L) % 65536L, (k * 104729L) % 65536L,
+        (k * 1299709L) % 65536L, (k * 15485863L) % 65536L)
+    }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    Dedup.writeSimhashIndexBucketed(fp(100L until 400L), "p_bidx", s"$wh/i", 4)
+    Dedup.writeSimhashIndexBucketed(fp(0L until 40L), "p_bbat", s"$wh/b", 4)
+    val before = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast off: at 100 TB neither side fits an executor — the pin
+      // must hold for the aligned sort-merge shape, not a broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Dedup.simhashIncrementalBucketed(spark, "p_bbat", "p_bidx", 3)
+      val plan = planOf(out)
+      // the band joins are bucket-aligned: NO exchange on the band key —
+      // the corpus-sized index is never re-shuffled, the whole point
+      assert(!plan.contains("Exchange hashpartitioning(band_"),
+        s"bucketed band join still shuffles on the band key:\n$plan")
+      // exactly one exchange in the whole plan: the O(candidates) distinct
+      val ex = "Exchange".r.findAllIn(plan).size -
+        "ReusedExchange".r.findAllIn(plan).size
+      assert(ex == 1,
+        s"expected ONE candidate-sized exchange, found $ex:\n$plan")
+      assert(out.count() > 0) // collisions exist: the joins really ran
+
+      // serving path (plain batch frame → bucketed index): the batch pays
+      // exactly ONE materialized band-key shuffle (its explicit
+      // repartition to the index's bucket spec, which AQE's stage cache
+      // reuses for both new-new sides), the index scan stays bucketed
+      // with NO exchange forced above it — the corpus never moves
+      val probe = Dedup.probeSimhashIndexBucketed(
+        spark, fp(0L until 40L), "p_bidx", 3)
+      // collect() runs THIS QueryExecution (count() would build its own),
+      // finalizing the adaptive plan so stage reuse is visible
+      assert(probe.collect().nonEmpty)
+      val pPlan = planOf(probe).split("== Initial Plan ==")(0)
+      assert(pPlan.contains("isFinalPlan=true"), s"expected final plan:\n$pPlan")
+      val bandLines = pPlan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning(band_")).toSeq
+      val (reused, materialized) = bandLines.partition(_.contains("ReusedExchange"))
+      assert(materialized.size == 1 && reused.size == 2,
+        s"serving probe: want 1 materialized + 2 reused band shuffles, " +
+          s"got ${materialized.size}+${reused.size}:\n$pPlan")
+      assert(!materialized.head.contains("ENSURE_REQUIREMENTS"),
+        s"the band shuffle must be the explicit batch repartition, not a " +
+          s"join-forced exchange:\n$pPlan")
+      assert(pPlan.contains("Bucketed: true"),
+        s"index scan lost its bucketed layout:\n$pPlan")
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      spark.sql("DROP TABLE p_bidx")
+      spark.sql("DROP TABLE p_bbat")
+    }
+  }
+
   test("keySkew surfaces the hot key with share and skew ratio") {
     val skewed = ((1 to 900).map(_ => 7L) ++ (1 to 100).map(_.toLong + 100))
       .toDF("k")
