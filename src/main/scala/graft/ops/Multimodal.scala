@@ -2106,6 +2106,275 @@ object Multimodal {
     b.array()
   }
 
+  /** One MP4 track's container-level story, no codec: identity and
+    * presentation size from `tkhd` (16.16 fixed-point, stored as whole
+    * pixels), the media clock from `mdhd`, the sample timing runs from
+    * `stts` (count, delta) and the sync-sample (keyframe) numbers from
+    * `stss` — everything a seek/preview/triage pipeline needs before
+    * any decoder runs. */
+  final case class Mp4Track(
+      trackId: Long, width: Long, height: Long,
+      mediaTimescale: Long, mediaDuration: Long,
+      stts: Seq[(Long, Long)], stss: Seq[Long])
+
+  /** Deep ISO BMFF walk (ISO/IEC 14496-12) — [[parseMp4Header]]'s
+    * track-level extension: recurse `moov → trak → {tkhd, mdia → {mdhd,
+    * minf → stbl → {stts, stss}}}` and return one [[Mp4Track]] per
+    * `trak` carrying a valid `mdhd` (timescale > 0). No codec anywhere:
+    * dimensions, clocks, sample timing and the keyframe index are all
+    * container metadata — the point is that a 100 TB video lake can be
+    * cataloged, deduped by structure, and seek-indexed without touching
+    * H.264 (whose frame decode stays the documented stub).
+    *
+    * Totality: sizes/counts/offsets are untrusted — the walk advances in
+    * Long (no u32 wrap), any overshoot or sub-8 size ends the enclosing
+    * scan, `stts`/`stss` entry counts are bounds-checked against the box
+    * END (a 4-billion entry_count in an 80-byte box reads nothing), and
+    * v0/v1 layouts of `tkhd`/`mdhd` are both handled. Fuzz-pinned in
+    * PropertySpec next to the other 16 parsers. */
+  def parseMp4Tracks(bytes: Array[Byte]): Option[Seq[Mp4Track]] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def ascii(from: Int, until: Int): String =
+      new String(bytes.slice(from, until), "US-ASCII")
+    if (ascii(4, 8) != "ftyp") return None
+    final class Cur {
+      var id: Long = -1L; var w: Long = 0L; var h: Long = 0L
+      var ts: Long = 0L; var dur: Long = 0L
+      val stts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val stss = scala.collection.mutable.ArrayBuffer.empty[Long]
+    }
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
+    var cur: Cur = null
+    def walk(from: Long, until: Long, path: List[String]): Unit = {
+      var i = from
+      while (i + 8 <= until) {
+        val at = i.toInt
+        val size0 = u32(at)
+        val tag = ascii(at + 4, at + 8)
+        val (payload, size) =
+          if (size0 == 1 && i + 16 <= until) (i + 16, u64(at + 8))
+          else if (size0 == 0) (i + 8, until - i) // runs to end
+          else (i + 8, size0)
+        if (size < 8 || i + size > until || payload > i + size) return
+        val boxEnd = i + size
+        val p = payload.toInt
+        (tag, path) match {
+          case ("moov", Nil) => walk(payload, boxEnd, List("moov"))
+          case ("trak", "moov" :: _) =>
+            cur = new Cur
+            walk(payload, boxEnd, "trak" :: path)
+            if (cur.id >= 0 && cur.ts > 0)
+              tracks += Mp4Track(cur.id, cur.w, cur.h, cur.ts, cur.dur,
+                cur.stts.toSeq, cur.stss.toSeq)
+            cur = null
+          case ("mdia", "trak" :: _) => walk(payload, boxEnd, "mdia" :: path)
+          case ("minf", "mdia" :: _) => walk(payload, boxEnd, "minf" :: path)
+          case ("stbl", "minf" :: _) => walk(payload, boxEnd, "stbl" :: path)
+          case ("tkhd", "trak" :: _) if cur != null =>
+            val v = if (payload + 1 <= boxEnd) bytes(p) & 0xff else -1
+            if (v == 0 && payload + 84 <= boxEnd) {
+              cur.id = u32(p + 12)
+              cur.w = u32(p + 76) >> 16; cur.h = u32(p + 80) >> 16
+            } else if (v == 1 && payload + 96 <= boxEnd) {
+              cur.id = u32(p + 20)
+              cur.w = u32(p + 88) >> 16; cur.h = u32(p + 92) >> 16
+            }
+          case ("mdhd", "mdia" :: _) if cur != null =>
+            val v = if (payload + 1 <= boxEnd) bytes(p) & 0xff else -1
+            if (v == 0 && payload + 20 <= boxEnd) {
+              cur.ts = u32(p + 12); cur.dur = u32(p + 16)
+            } else if (v == 1 && payload + 32 <= boxEnd) {
+              cur.ts = u32(p + 20); cur.dur = u64(p + 24)
+            }
+          case ("stts", "stbl" :: _) if cur != null =>
+            if (payload + 8 <= boxEnd) {
+              val n = u32(p + 4)
+              // bounds-check the ENTRY TABLE against the box end: a huge
+              // count in a small box reads nothing instead of throwing
+              if (n >= 0 && payload + 8 + n * 8 <= boxEnd) {
+                var e = 0
+                while (e < n) {
+                  cur.stts += ((u32(p + 8 + e * 8), u32(p + 12 + e * 8)))
+                  e += 1
+                }
+              }
+            }
+          case ("stss", "stbl" :: _) if cur != null =>
+            if (payload + 8 <= boxEnd) {
+              val n = u32(p + 4)
+              if (n >= 0 && payload + 8 + n * 4 <= boxEnd) {
+                var e = 0
+                while (e < n) { cur.stss += u32(p + 8 + e * 4); e += 1 }
+              }
+            }
+          case _ => ()
+        }
+        i = boxEnd
+      }
+    }
+    walk(0L, bytes.length.toLong, Nil)
+    if (tracks.isEmpty) None else Some(tracks.toSeq)
+  }
+
+  /** Fixture spec for [[mp4WithTracks]] — the builder-side twin of
+    * [[Mp4Track]]. */
+  final case class Mp4TrackSpec(
+      trackId: Long, width: Long, height: Long,
+      mediaTimescale: Long, mediaDuration: Long,
+      stts: Seq[(Long, Long)], stss: Seq[Long])
+
+  /** Build a real ISO BMFF structural skeleton: `ftyp` + `moov { mvhd,
+    * trak { tkhd, mdia { mdhd, minf { stbl { stts [, stss] } } } }* }`
+    * with spec-exact v0 box layouts — the round-trip twin of
+    * [[parseMp4Tracks]] (no `mdat`/`stsd`: the skeleton carries exactly
+    * the container metadata the parser reads; a real file adds codec
+    * boxes this walk ignores). */
+  def mp4WithTracks(
+      brand: String, timescale: Long, duration: Long,
+      tracks: Seq[Mp4TrackSpec]): Array[Byte] = {
+    require(brand.length == 4, s"brand must be 4 ASCII chars: '$brand'")
+    def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def full(tag: String, body: java.nio.ByteBuffer): Array[Byte] =
+      box(tag, body.array())
+    val ftyp = {
+      val b = java.nio.ByteBuffer.allocate(8)
+      b.put(brand.getBytes("US-ASCII")).putInt(0)
+      box("ftyp", b.array())
+    }
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0) // version + flags
+        .putInt(0).putInt(0) // creation/modification
+        .putInt(timescale.toInt).putInt(duration.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort)
+        .putLong(0L)
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)
+      (1 to 6).foreach(_ => b.putInt(0))
+      b.putInt(tracks.size + 1)
+      full("mvhd", b)
+    }
+    val traks = tracks.map { t =>
+      val tkhd = {
+        val b = java.nio.ByteBuffer.allocate(84)
+        b.putInt(0x00000007) // v0 + enabled/in-movie/in-preview flags
+          .putInt(0).putInt(0) // creation/modification
+          .putInt(t.trackId.toInt).putInt(0) // track_ID, reserved
+          .putInt(0) // duration (movie timescale; skeleton leaves 0)
+          .putLong(0L) // reserved
+          .putShort(0.toShort).putShort(0.toShort) // layer, alt group
+          .putShort(0.toShort).putShort(0.toShort) // volume, reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(b.putInt)
+        b.putInt((t.width << 16).toInt).putInt((t.height << 16).toInt)
+        full("tkhd", b)
+      }
+      val mdhd = {
+        val b = java.nio.ByteBuffer.allocate(24)
+        b.putInt(0).putInt(0).putInt(0)
+          .putInt(t.mediaTimescale.toInt).putInt(t.mediaDuration.toInt)
+          .putShort(0x55c4.toShort) // language 'und'
+          .putShort(0.toShort)
+        full("mdhd", b)
+      }
+      val stts = {
+        val b = java.nio.ByteBuffer.allocate(8 + t.stts.size * 8)
+        b.putInt(0).putInt(t.stts.size)
+        t.stts.foreach { case (c, d) => b.putInt(c.toInt).putInt(d.toInt) }
+        full("stts", b)
+      }
+      val stss =
+        if (t.stss.isEmpty) Array.emptyByteArray
+        else {
+          val b = java.nio.ByteBuffer.allocate(8 + t.stss.size * 4)
+          b.putInt(0).putInt(t.stss.size)
+          t.stss.foreach(s => b.putInt(s.toInt))
+          full("stss", b)
+        }
+      val stbl = box("stbl", stts ++ stss)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ minf)
+      box("trak", tkhd ++ mdia)
+    }
+    ftyp ++ box("moov", mvhd ++ traks.flatten.toArray)
+  }
+
+  /** Per-track container metadata row: sample count and total timing
+    * units fold the `stts` runs, `n_keyframes` counts `stss`. */
+  final case class Mp4TrackMetaRow(
+      doc_id: Long, track_id: Long, width: Long, height: Long,
+      media_timescale: Long, media_duration: Long,
+      n_samples: Long, total_units: Long, n_keyframes: Long)
+
+  /** Partition-wise MP4 track catalog over [[parseMp4Tracks]]: one row
+    * per parsed track; blobs with no parseable `moov` are DROPPED (the
+    * honesty contract — [[decodeVideoMeta]] is the stub-backed variant
+    * that never drops). Pure per-row byte walk: scan-speed, no shuffle,
+    * embarrassingly parallel at any scale. Gated by q329 against the
+    * construction-truth oracle. */
+  def mp4TrackMeta(
+      df: DataFrame, idCol: String, binCol: String): Dataset[Mp4TrackMetaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseMp4Tracks(bytes).toSeq.flatten.map { t =>
+            Mp4TrackMetaRow(id, t.trackId, t.width, t.height,
+              t.mediaTimescale, t.mediaDuration,
+              t.stts.map(_._1).sum,
+              t.stts.map { case (c, d) => c * d }.sum,
+              t.stss.size.toLong)
+          }
+        }
+      }
+  }
+
+  /** One keyframe (sync sample) with its media-clock timestamp. */
+  final case class Mp4Keyframe(
+      doc_id: Long, track_id: Long, sample_number: Long, t_units: Long)
+
+  /** The SEEK TABLE: every `stss` sync sample resolved to its start time
+    * on the media clock by walking the `stts` runs — `t_units` = Σ
+    * deltas of samples before it, exact integer arithmetic. Sync
+    * entries beyond the sample count (corrupt index) are dropped.
+    * This is what "jump to the keyframe nearest t" needs, computed from
+    * container metadata alone — no codec, scan-speed, no shuffle.
+    * Gated by q328 against the construction-truth oracle. */
+  def mp4KeyframeIndex(
+      df: DataFrame, idCol: String, binCol: String): Dataset[Mp4Keyframe] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseMp4Tracks(bytes).toSeq.flatten.flatMap { t =>
+            val nSamples = t.stts.map(_._1).sum
+            // run starts: sample number and time at each run boundary
+            val starts = t.stts.scanLeft((1L, 0L)) {
+              case ((s0, t0), (c, d)) => (s0 + c, t0 + c * d)
+            }
+            t.stss.filter(s => s >= 1 && s <= nSamples).map { s =>
+              // the run containing sample s: last boundary with s0 <= s
+              val ((s0, t0), (_, d)) =
+                starts.zip(t.stts).takeWhile(_._1._1 <= s).last
+              Mp4Keyframe(id, t.trackId, s, t0 + (s - s0) * d)
+            }
+          }
+        }
+      }
+  }
+
   /** Partition-wise video metadata decode — the video face of
     * [[decodeMeta]]/[[decodeAudioMeta]]: real MP4 box walk,
     * deterministic stub values for other containers (same honesty

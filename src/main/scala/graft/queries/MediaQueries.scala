@@ -1023,6 +1023,101 @@ object MediaQueries {
     Some(ImageIncrementalOracle)
   )
 
+  /** The q328/q329 ISO-BMFF fixture: per doc a structural MP4 skeleton
+    * ([[Multimodal.mp4WithTracks]]) with one video track (dims, media
+    * clock, two stts timing runs, stss keyframes every k-th sample) and
+    * one audio-like track (no dims, one run, no stss) — all parameters
+    * arithmetic in doc_id so the oracle can state construction truth. */
+  private def mp4Fixture(
+      s: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    base.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val c1 = 3 + id % 4; val c2 = 2 + id % 3
+      val d2 = 150 + (id % 5) * 10; val k = 2 + id % 3
+      val video = Multimodal.Mp4TrackSpec(1, 320 + (id % 5) * 16,
+        240 + (id % 3) * 16, 1000 + (id % 7) * 500, c1 * 100 + c2 * d2,
+        Seq((c1, 100L), (c2, d2)), (1L to (c1 + c2) by k).toSeq)
+      val na = 5 + id % 6
+      val audio = Multimodal.Mp4TrackSpec(2, 0, 0, 8000, 64 * na,
+        Seq((na, 64L)), Nil)
+      (id, Multimodal.mp4WithTracks("isom", 600, 0, Seq(video, audio)))
+    }).toDF("doc_id", "media")
+  }
+
+  // --------------------------------------------------------------- q328
+  /** MP4 keyframe SEEK TABLE from container metadata alone — the deep
+    * ISO-BMFF walk ([[Multimodal.parseMp4Tracks]]: moov → trak → stbl)
+    * resolving every `stss` sync sample to its media-clock start time
+    * by folding the `stts` runs, no codec anywhere. The oracle restates
+    * the construction: sample numbers 1..n step k, t = (s−1)·Δ1 within
+    * the first run, c1·Δ1 + (s−1−c1)·Δ2 past it — a hash match proves
+    * box layout, v0 parsing, run-boundary arithmetic and the
+    * sync-filter end-to-end. Audio track contributes no rows (no stss):
+    * the per-track isolation is part of the contract. */
+  private val q328 = Q(
+    "q328_mp4_keyframe_index",
+    (s, dir) => {
+      val fx = mp4Fixture(s, Lake(s, dir).documents.filter(col("doc_id") < 300))
+      Multimodal.mp4KeyframeIndex(fx, "doc_id", "media")
+        .toDF().orderBy("doc_id", "track_id", "sample_number")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id,
+          3 + doc_id % 4 AS c1, 2 + doc_id % 3 AS c2,
+          150 + (doc_id % 5) * 10 AS d2, 2 + doc_id % 3 AS k
+        FROM documents WHERE doc_id < 300)
+      SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+        CAST(j AS BIGINT) AS sample_number,
+        CAST(CASE WHEN j - 1 <= c1 THEN (j - 1) * 100
+             ELSE c1 * 100 + (j - 1 - c1) * d2 END AS BIGINT) AS t_units
+      FROM ids, unnest(generate_series(1, 10)) AS s(j)
+      WHERE j <= c1 + c2 AND (j - 1) % k = 0
+      ORDER BY doc_id, track_id, sample_number""")
+  )
+
+  // --------------------------------------------------------------- q329
+  /** MP4 track catalog — one row per `trak` with presentation dims
+    * (tkhd 16.16 → pixels), media clock (mdhd), folded sample counts /
+    * total timing units (stts) and keyframe count (stss) — the
+    * container-level census a video lake runs before any decode. Both
+    * tracks of each fixture appear: the video track with dims and
+    * keyframes, the audio-like track with zero dims and no stss —
+    * proving multi-trak isolation inside one moov. */
+  private val q329 = Q(
+    "q329_mp4_track_catalog",
+    (s, dir) => {
+      val fx = mp4Fixture(s, Lake(s, dir).documents.filter(col("doc_id") < 300))
+      Multimodal.mp4TrackMeta(fx, "doc_id", "media")
+        .toDF().orderBy("doc_id", "track_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id,
+          3 + doc_id % 4 AS c1, 2 + doc_id % 3 AS c2,
+          150 + (doc_id % 5) * 10 AS d2, 2 + doc_id % 3 AS k,
+          5 + doc_id % 6 AS na
+        FROM documents WHERE doc_id < 300),
+      tr AS (
+        SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+          CAST(320 + (doc_id % 5) * 16 AS BIGINT) AS width,
+          CAST(240 + (doc_id % 3) * 16 AS BIGINT) AS height,
+          CAST(1000 + (doc_id % 7) * 500 AS BIGINT) AS media_timescale,
+          CAST(c1 * 100 + c2 * d2 AS BIGINT) AS media_duration,
+          CAST(c1 + c2 AS BIGINT) AS n_samples,
+          CAST(c1 * 100 + c2 * d2 AS BIGINT) AS total_units,
+          CAST((c1 + c2 - 1) // k + 1 AS BIGINT) AS n_keyframes
+        FROM ids
+        UNION ALL
+        SELECT doc_id, CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+          CAST(0 AS BIGINT), CAST(8000 AS BIGINT),
+          CAST(64 * na AS BIGINT), CAST(na AS BIGINT),
+          CAST(64 * na AS BIGINT), CAST(0 AS BIGINT)
+        FROM ids)
+      SELECT * FROM tr ORDER BY doc_id, track_id""")
+  )
+
   // --------------------------------------------------------------- q321
   /** Batch media-lake ingestion under the hash gate — the PRODUCTION
     * entry point for blobs, which every other media gate bypasses by
@@ -1443,5 +1538,5 @@ object MediaQueries {
   }
 
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
-    q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327)
+    q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327, q328, q329)
 }

@@ -254,6 +254,58 @@ class MultimodalSpec extends SparkTestBase {
       .contains(("mp42", 90000L, big)))
   }
 
+  test("MP4 track walk: build→parse round trip, seek-table arithmetic, corrupt indices") {
+    import Multimodal._
+    val spec = Seq(
+      Mp4TrackSpec(1, 320, 240, 90000, 620, Seq((3L, 100L), (2L, 160L)),
+        Seq(1L, 3L, 5L)),
+      Mp4TrackSpec(2, 0, 0, 8000, 448, Seq((7L, 64L)), Nil))
+    val bytes = mp4WithTracks("isom", 600, 6000, spec)
+    val parsed = parseMp4Tracks(bytes).get
+    assert(parsed == Seq(
+      Mp4Track(1, 320, 240, 90000, 620, Seq((3L, 100L), (2L, 160L)),
+        Seq(1L, 3L, 5L)),
+      Mp4Track(2, 0, 0, 8000, 448, Seq((7L, 64L)), Nil)))
+    // the shallow walk agrees on the same skeleton
+    assert(parseMp4Header(bytes).contains(("isom", 600L, 6000L)))
+
+    // seek table: t(s) = Σ deltas of samples before s, across run bounds
+    // (samples 1-3 at Δ100, 4-5 at Δ160 → t(1)=0, t(3)=200, t(5)=460)
+    val kf = mp4KeyframeIndex(
+      Seq((9L, bytes)).toDF("doc_id", "media"), "doc_id", "media")
+      .collect().map(k => k.sample_number -> k.t_units).toMap
+    assert(kf == Map(1L -> 0L, 3L -> 200L, 5L -> 460L))
+    val tm = mp4TrackMeta(
+      Seq((9L, bytes)).toDF("doc_id", "media"), "doc_id", "media")
+      .collect().map(t => t.track_id ->
+        (t.width, t.height, t.n_samples, t.total_units, t.n_keyframes)).toMap
+    assert(tm == Map(
+      1L -> ((320L, 240L, 5L, 620L, 3L)),
+      2L -> ((0L, 0L, 7L, 448L, 0L))))
+
+    // a sync sample beyond the sample count is dropped, not mis-timed
+    val corruptSync = mp4WithTracks("isom", 600, 0, Seq(
+      Mp4TrackSpec(1, 16, 16, 1000, 300, Seq((3L, 100L)), Seq(1L, 99L))))
+    val kf2 = mp4KeyframeIndex(
+      Seq((1L, corruptSync)).toDF("doc_id", "media"), "doc_id", "media")
+      .collect().map(_.sample_number).toSeq
+    assert(kf2 == Seq(1L))
+
+    // a huge stss entry_count in a small box reads nothing (no throw,
+    // track survives with zero keyframes)
+    val evil = mp4WithTracks("isom", 600, 0, Seq(spec.head))
+    val stssAt = {
+      val s = new String(evil.map(b => (b & 0xff).toChar))
+      s.indexOf("stss")
+    }
+    assert(stssAt > 0)
+    evil(stssAt + 8) = 0x7f.toByte // entry_count high byte
+    val survived = parseMp4Tracks(evil).get.head
+    assert(survived.stss.isEmpty && survived.stts == spec.head.stts)
+    // truncations never throw
+    (0 to bytes.length by 7).foreach(cut => parseMp4Tracks(bytes.take(cut)))
+  }
+
   test("parseMp3Header: syncsafe tag skip, version tables, reject bad sync/layer") {
     // mpeg1 idx 9 → 128 kbps, rate idx 0 → 44100; big tag exercises syncsafe
     assert(Multimodal.parseMp3Header(Multimodal.mp3Header(

@@ -798,6 +798,7 @@ class PropertySpec extends SparkTestBase {
       ("parseMp3Header", Multimodal.parseMp3Header _),
       ("parseOpusHead", Multimodal.parseOpusHead _),
       ("parseMp4Header", Multimodal.parseMp4Header _),
+      ("parseMp4Tracks", Multimodal.parseMp4Tracks _),
       ("parseTarMembers", Multimodal.parseTarMembers _),
       ("gunzip", (b: Array[Byte]) => Multimodal.gunzip(b)),
       ("parseZipMembers", (b: Array[Byte]) => Multimodal.parseZipMembers(b)))
@@ -826,7 +827,10 @@ class PropertySpec extends SparkTestBase {
       Multimodal.encodeBmp(smooth(9, 7)),
       Multimodal.aviMjpeg(8, 8, Seq("frame".getBytes)),
       Multimodal.pcm16Wav(8000L, Array[Short](1, -2, 3)),
-      Multimodal.tarArchive(Seq(("a.txt", "hello".getBytes))))
+      Multimodal.tarArchive(Seq(("a.txt", "hello".getBytes))),
+      Multimodal.mp4WithTracks("isom", 600, 1200, Seq(
+        Multimodal.Mp4TrackSpec(1, 32, 16, 1000, 300,
+          Seq((3L, 100L)), Seq(1L, 3L)))))
     real.foreach { full =>
       (0 to full.length by math.max(1, full.length / 23)).foreach { cut =>
         val b = full.take(cut)
