@@ -829,8 +829,9 @@ object Multimodal {
     b.array()
   }
 
-  /** REAL audio feature extraction for PCM WAV: walk the 16-bit LE data
-    * chunk and reduce to exact integer statistics (count, peak |s|,
+  /** REAL audio feature extraction for mono 16-bit PCM — WAV via the
+    * chunk walk or FLAC via the real frame decode ([[decodePcm16Mono]])
+    * — reduced to exact integer statistics (count, peak |s|,
     * Σ|s|, ⌊Σs²/n⌋). Only 16-bit mono PCM rows survive (the depth/layout
     * the walk decodes); compressed containers keep their header-only
     * parses — same honesty contract as the image arm. Partition-wise
@@ -843,27 +844,22 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          parseWavHeader(bytes).flatMap { case (rate @ _, channels, bits, n) =>
-            if (channels != 1 || bits != 16 || n <= 0) None
+          // WAV via the chunk walk or FLAC via the real frame decode —
+          // one normalization point for the whole family
+          decodePcm16Mono(bytes).flatMap { case (_, samples) =>
+            if (samples.isEmpty) None
             else {
-              // the data chunk starts right after the canonical 44-byte
-              // header layout wavHeader emits; re-locate it defensively
-              // by chunk walk (LIST/INFO tolerant, like parseWavHeader)
-              val dataOff = findDataChunk(bytes)
-              if (dataOff < 0 || dataOff + n * 2 > bytes.length) None
-              else {
-                var i = 0L
-                var peak = 0L; var sumAbs = 0L; var sumSq = 0L
-                while (i < n) {
-                  val o = (dataOff + i * 2).toInt
-                  val s = ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toLong
-                  val a = math.abs(s)
-                  if (a > peak) peak = a
-                  sumAbs += a; sumSq += s * s
-                  i += 1
-                }
-                Some(PcmStats(id, n, peak, sumAbs, sumSq / n))
+              var i = 0
+              var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+              while (i < samples.length) {
+                val s = samples(i).toLong
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                sumAbs += a; sumSq += s * s
+                i += 1
               }
+              Some(PcmStats(id, samples.length.toLong, peak, sumAbs,
+                sumSq / samples.length))
             }
           }
         }
@@ -885,9 +881,8 @@ object Multimodal {
     * beat) flips the few bits whose frames it touches, so near-dup
     * serving is the same Hamming band-join as the image hashes
     * ([[graft.ops.Dedup.simhashPairs]]). All arithmetic integer — the
-    * oracle restates it exactly (q317). Mono 16-bit WAV with at least
-    * `nFrames` samples only (the codec honesty contract); everything
-    * else is dropped. */
+    * oracle restates it exactly (q317). Mono 16-bit WAV or FLAC ([[decodePcm16Mono]]) with at least
+    * `nFrames` samples; everything else is dropped. */
   def audioFingerprint(
       df: DataFrame, idCol: String, binCol: String, nFrames: Int = 64
   ): Dataset[AudioFp] = {
@@ -898,27 +893,23 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          parseWavHeader(bytes).flatMap { case (_, channels, bits, n) =>
-            if (channels != 1 || bits != 16 || n < nFrames) None
+          decodePcm16Mono(bytes).flatMap { case (_, samples) =>
+            val n = samples.length.toLong
+            if (n < nFrames) None
             else {
-              val dataOff = findDataChunk(bytes)
-              if (dataOff < 0 || dataOff + n * 2 > bytes.length) None
-              else {
-                val sumAbs = new Array[Long](nFrames)
-                val cnt = new Array[Long](nFrames)
-                var i = 0L
-                while (i < n) {
-                  val o = (dataOff + i * 2).toInt
-                  val s = ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toLong
-                  val f = ((i * nFrames) / n).toInt
-                  sumAbs(f) += math.abs(s); cnt(f) += 1
-                  i += 1
-                }
-                val means = Array.tabulate(nFrames)(f => sumAbs(f) / cnt(f))
-                val thr = means.sum / nFrames
-                Some(AudioFp(id,
-                  means.map(m => if (m > thr) '1' else '0').mkString))
+              val sumAbs = new Array[Long](nFrames)
+              val cnt = new Array[Long](nFrames)
+              var i = 0L
+              while (i < n) {
+                val s = samples(i.toInt).toLong
+                val f = ((i * nFrames) / n).toInt
+                sumAbs(f) += math.abs(s); cnt(f) += 1
+                i += 1
               }
+              val means = Array.tabulate(nFrames)(f => sumAbs(f) / cnt(f))
+              val thr = means.sum / nFrames
+              Some(AudioFp(id,
+                means.map(m => if (m > thr) '1' else '0').mkString))
             }
           }
         }
@@ -935,8 +926,8 @@ object Multimodal {
     * [[pcmStats]] over the REAL re-emitted WAV bytes). The length
     * normalization every audio-embedding batch needs (fixed-size model
     * inputs) — decimation for long clips, sample-repeat for short ones.
-    * Sample rate is carried through unchanged; mono 16-bit WAV only,
-    * everything else dropped. */
+    * Sample rate is carried through unchanged; mono 16-bit WAV or FLAC
+    * ([[decodePcm16Mono]]), everything else dropped. */
   def pcmResample(
       df: DataFrame, idCol: String, binCol: String, targetN: Int
   ): Dataset[ResampledAudio] = {
@@ -947,19 +938,13 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          parseWavHeader(bytes).flatMap { case (rate, channels, bits, n) =>
-            if (channels != 1 || bits != 16 || n <= 0) None
+          decodePcm16Mono(bytes).flatMap { case (rate, samples) =>
+            val n = samples.length.toLong
+            if (n <= 0) None
             else {
-              val dataOff = findDataChunk(bytes)
-              if (dataOff < 0 || dataOff + n * 2 > bytes.length) None
-              else {
-                val out = Array.tabulate(targetN) { j =>
-                  val src = (j.toLong * n / targetN).toInt
-                  val o = dataOff + src * 2
-                  ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
-                }
-                Some(ResampledAudio(id, targetN.toLong, pcm16Wav(rate, out)))
-              }
+              val out = Array.tabulate(targetN)(j =>
+                samples((j.toLong * n / targetN).toInt))
+              Some(ResampledAudio(id, targetN.toLong, pcm16Wav(rate, out)))
             }
           }
         }
@@ -1048,29 +1033,23 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          parseWavHeader(bytes).flatMap { case (rate, channels, bits, n) =>
-            if (channels != 1 || bits != 16 || n <= 0) None
+          decodePcm16Mono(bytes).flatMap { case (rate, samples) =>
+            val n = samples.length.toLong
+            if (n <= 0) None
             else {
-              val dataOff = findDataChunk(bytes)
-              if (dataOff < 0 || dataOff + n * 2 > bytes.length) None
+              def sample(i: Long): Short = samples(i.toInt)
+              var head = 0L
+              while (head < n && math.abs(sample(head).toLong) <= threshold)
+                head += 1
+              if (head == n) None // fully silent
               else {
-                def sample(i: Long): Short = {
-                  val o = (dataOff + i * 2).toInt
-                  ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
-                }
-                var head = 0L
-                while (head < n && math.abs(sample(head).toLong) <= threshold)
-                  head += 1
-                if (head == n) None // fully silent
-                else {
-                  var tail = n - 1
-                  while (tail > head && math.abs(sample(tail).toLong) <= threshold)
-                    tail -= 1
-                  val kept = Array.tabulate((tail - head + 1).toInt)(j =>
-                    sample(head + j))
-                  Some(TrimmedAudio(id, kept.length.toLong, head,
-                    n - 1 - tail, pcm16Wav(rate, kept)))
-                }
+                var tail = n - 1
+                while (tail > head && math.abs(sample(tail).toLong) <= threshold)
+                  tail -= 1
+                val kept = Array.tabulate((tail - head + 1).toInt)(j =>
+                  sample(head + j))
+                Some(TrimmedAudio(id, kept.length.toLong, head,
+                  n - 1 - tail, pcm16Wav(rate, kept)))
               }
             }
           }
@@ -1104,17 +1083,12 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        parseWavHeader(bytes).toSeq.flatMap { case (_, channels, bits, n) =>
-          val data = findDataChunk(bytes)
-          if (channels != 1 || bits != 16 || n <= 0 ||
-              data < 0 || data + n * 2 > bytes.length) Seq.empty
+        decodePcm16Mono(bytes).toSeq.flatMap { case (_, samples) =>
+          if (samples.isEmpty) Seq.empty
           else {
-            (0 until n.toInt).grouped(frameSize).zipWithIndex.map {
+            (0 until samples.length).grouped(frameSize).zipWithIndex.map {
               case (idxs, f) =>
-                val vs = idxs.map { i =>
-                  (((bytes(data + 2 * i + 1) << 8) |
-                    (bytes(data + 2 * i) & 0xff)).toShort).toLong
-                }
+                val vs = idxs.map(i => samples(i).toLong)
                 PcmFrame(id, f.toLong, vs.size.toLong,
                   vs.map(math.abs).max, vs.map(math.abs).sum,
                   vs.map(v => v * v).sum)
@@ -1849,6 +1823,419 @@ object Multimodal {
       .putLong(packed)
     // 16-byte unaudited-MD5 field stays zeroed (allocate() zero-fills)
     b.array()
+  }
+
+  // ------------------------------------------------------------------
+  // FLAC frame codec (pure JVM): real lossless decode for mono 16-bit
+  // streams, extending the whole PCM operator family past WAV.
+  // ------------------------------------------------------------------
+
+  /** MSB-first bit writer for [[flacEncode]]. */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nb = 0
+    def put(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >>> i) & 1L).toInt
+        nb += 1
+        if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    /** FLAC unary: q zero bits then a one bit. */
+    def putUnary(q: Long): Unit = { var i = 0L; while (i < q) { put(0, 1); i += 1 }; put(1, 1) }
+    def align(): Unit = if (nb > 0) put(0, 8 - nb)
+    def bytes: Array[Byte] = { align(); buf.toArray }
+  }
+
+  /** MSB-first bit reader with a sticky overrun flag — reads past the
+    * end return 0 and set `!ok`, so the caller checks once at the end
+    * instead of every read (the totality contract for untrusted lake
+    * bytes). */
+  private final class BitReader(bytes: Array[Byte], startByte: Int) {
+    var pos: Long = startByte.toLong * 8
+    var ok: Boolean = true
+    def bits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) {
+        val bp = pos + i
+        val by = (bp >> 3).toInt
+        if (by >= bytes.length) { ok = false; return 0L }
+        v = (v << 1) | ((bytes(by) >> (7 - (bp & 7)).toInt) & 1).toLong
+        i += 1
+      }
+      pos += n
+      v
+    }
+    def signedBits(n: Int): Long = {
+      val v = bits(n)
+      if (n == 0) 0L else (v << (64 - n)) >> (64 - n)
+    }
+    /** FLAC unary: count zeros up to the terminating one. */
+    def unary(maxQ: Long = 1L << 20): Long = {
+      var q = 0L
+      while (ok) {
+        if (bits(1) == 1L) return q
+        q += 1
+        if (q > maxQ) { ok = false; return 0L } // adversarial zero run
+      }
+      0L
+    }
+    def alignToByte(): Unit = if ((pos & 7) != 0) pos = (pos | 7) + 1
+    def bytePos: Int = (pos >> 3).toInt
+  }
+
+  /** CRC-8, polynomial 0x07, init 0 — the FLAC frame-header checksum. */
+  private def flacCrc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) { crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff; b += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial 0x8005, init 0 — the FLAC whole-frame checksum. */
+  private def flacCrc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) { crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff else (crc << 1) & 0xffff; b += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  /** The four FLAC fixed predictors' residual at position i (i ≥ order),
+    * binomial-coefficient differences of the preceding samples. */
+  private def fixedResidual(s: Array[Int], i: Int, order: Int): Long =
+    order match {
+      case 0 => s(i).toLong
+      case 1 => s(i).toLong - s(i - 1)
+      case 2 => s(i).toLong - 2L * s(i - 1) + s(i - 2)
+      case 3 => s(i).toLong - 3L * s(i - 1) + 3L * s(i - 2) - s(i - 3)
+      case _ => s(i).toLong - 4L * s(i - 1) + 6L * s(i - 2) -
+        4L * s(i - 3) + s(i - 4)
+    }
+
+  /** REAL FLAC encoder (FLAC format spec, mono 16-bit subset):
+    * STREAMINFO ([[flacHeader]]) followed by fixed-blocksize frames,
+    * each one subframe choosing the best FIXED predictor (order 0–2 by
+    * total folded-residual magnitude) with a single-partition Rice
+    * residual (4-bit parameter chosen to minimize the emitted bits,
+    * escape code when raw is cheaper) — genuinely compressed, spec-
+    * layout output with real CRC-8 header and CRC-16 frame checksums.
+    * The round-trip twin of [[flacDecode]]; q330/q331 gate the pair
+    * against arithmetic oracles and the WAV path. */
+  def flacEncode(
+      sampleRate: Long, samples: Array[Short], blockSize: Int = 4096
+  ): Array[Byte] = {
+    require(blockSize >= 16 && blockSize <= 65536,
+      s"blockSize out of range: $blockSize")
+    val header = flacHeader(sampleRate, 1, 16, samples.length.toLong)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= header
+    var frameIdx = 0L
+    var off = 0
+    while (off < samples.length || (samples.isEmpty && frameIdx == 0)) {
+      val n = math.min(blockSize, samples.length - off)
+      if (n <= 0) return out.toArray
+      val block = Array.tabulate(n)(j => samples(off + j).toInt)
+      // pick the fixed order with the smallest total |residual|
+      val maxOrder = math.min(2, n - 1)
+      val order = (0 to maxOrder).minBy { o =>
+        var s = 0L; var i = o
+        while (i < n) { s += math.abs(fixedResidual(block, i, o)); i += 1 }
+        s
+      }
+      val res = Array.tabulate(n - order)(j =>
+        fixedResidual(block, j + order, order))
+      val folded = res.map(e => (e << 1) ^ (e >> 63)) // zigzag
+      // rice parameter minimizing emitted bits; 15 is the escape code
+      val (k, riceBits) = (0 to 14).map { k =>
+        (k, folded.map(u => (u >>> k) + 1 + k).sum)
+      }.minBy(_._2)
+      val escape = riceBits > (5L + 17L * folded.length) // raw 17-bit cheaper
+      val w = new BitWriter
+      // frame header: sync(14) 11111111111110, reserved 0, strategy 0
+      w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
+      w.put(0x7, 4) // blocksize: 16-bit value-1 at header end
+      w.put(0x0, 4) // sample rate: from STREAMINFO
+      w.put(0x0, 4) // channels: mono
+      w.put(0x4, 3) // sample size: 16 bit
+      w.put(0, 1) // reserved
+      // UTF-8-coded frame number (fixed-blocksize strategy)
+      val fn = frameIdx
+      if (fn < 0x80) w.put(fn, 8)
+      else if (fn < 0x800) { w.put(0xc0 | (fn >> 6), 8); w.put(0x80 | (fn & 0x3f), 8) }
+      else {
+        w.put(0xe0 | (fn >> 12), 8); w.put(0x80 | ((fn >> 6) & 0x3f), 8)
+        w.put(0x80 | (fn & 0x3f), 8)
+      }
+      w.put(n - 1L, 16) // blocksize-1
+      val headBytes = w.bytes // byte-aligned here by construction
+      out ++= headBytes
+      out += flacCrc8(headBytes, 0, headBytes.length).toByte
+      // subframe: fixed(order), no wasted bits
+      val sw = new BitWriter
+      sw.put(0, 1); sw.put(8 + order, 6); sw.put(0, 1)
+      var i = 0
+      while (i < order) { sw.put(block(i).toLong & 0xffff, 16); i += 1 }
+      sw.put(0, 2) // residual method: 4-bit rice
+      sw.put(0, 4) // partition order 0
+      if (escape) {
+        sw.put(0xf, 4) // escape
+        sw.put(17, 5) // raw residual bit width
+        res.foreach(e => sw.put(e & 0x1ffff, 17))
+      } else {
+        sw.put(k.toLong, 4)
+        folded.foreach { u => sw.putUnary(u >>> k); sw.put(u & ((1L << k) - 1), k) }
+      }
+      val subBytes = sw.bytes // align() pads the frame to a byte boundary
+      out ++= subBytes
+      val frameStart = out.length - headBytes.length - 1 - subBytes.length
+      val crc = flacCrc16(out.toArray, frameStart, out.length)
+      out += (crc >> 8).toByte; out += (crc & 0xff).toByte
+      frameIdx += 1
+      off += n
+    }
+    out.toArray
+  }
+
+  /** REAL FLAC decoder (pure JVM, no codec library): metadata-block
+    * skip, then per frame — header bitfields (all blocksize codes, the
+    * sample-rate codes including the 8/16-bit trailing forms, UTF-8
+    * frame number, CRC-8 verify), one subframe of ANY spec type
+    * (CONSTANT, VERBATIM, FIXED 0–4, LPC with signed quantized
+    * coefficients and shift), wasted-bits unary, Rice residuals in both
+    * 4- and 5-bit parameter forms plus the raw escape, partition orders
+    * ≥ 0, and the frame CRC-16 verify. Returns (sample_rate, samples).
+    *
+    * Honesty scope: MONO 16-bit streams only — multichannel assignments
+    * (independent, left/right/mid-side) return None rather than a wrong
+    * downmix ([[pcmDownmix]] is the explicit normalization step); the
+    * lossless guarantee is the point — q330 proves decode(encode(x)) ≡ x
+    * sample-for-sample against the WAV path. Totality: every read is
+    * bounds-checked through the sticky-overrun [[BitReader]], unary
+    * runs are capped, CRC mismatches and reserved codes end the decode
+    * with None — fuzz-pinned next to the other parsers. */
+  def flacDecode(bytes: Array[Byte]): Option[(Long, Array[Short])] = {
+    parseFlacHeader(bytes) match {
+      case Some((rate, channels, bits, nTotal))
+          if channels == 1 && bits == 16 =>
+        // skip metadata blocks
+        var i = 4
+        var last = false
+        while (!last) {
+          if (i + 4 > bytes.length) return None
+          last = (bytes(i) & 0x80) != 0
+          val len = ((bytes(i + 1) & 0xff) << 16) |
+            ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+          i += 4 + len
+          if (i > bytes.length) return None
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+        while ((nTotal == 0L || out.length < nTotal) && i + 5 <= bytes.length) {
+          val frameStart = i
+          val r = new BitReader(bytes, i)
+          if (r.bits(14) != 0x3ffe) return None // lost sync
+          r.bits(1) // reserved
+          r.bits(1) // blocking strategy (both read the coded number)
+          val bsCode = r.bits(4).toInt
+          val srCode = r.bits(4).toInt
+          val chan = r.bits(4).toInt
+          val ssCode = r.bits(3).toInt
+          r.bits(1) // reserved
+          if (chan != 0) return None // mono honesty scope
+          val bps = ssCode match {
+            case 0 => 16L // from STREAMINFO (checked above)
+            case 1 => 8L
+            case 2 => 12L
+            case 4 => 16L
+            case 5 => 20L
+            case 6 => 24L
+            case 7 => 32L
+            case _ => return None
+          }
+          if (bps != 16L) return None
+          // UTF-8 coded frame/sample number: first byte's leading ones
+          val b0 = r.bits(8).toInt
+          val extra =
+            if ((b0 & 0x80) == 0) 0
+            else if ((b0 & 0xe0) == 0xc0) 1
+            else if ((b0 & 0xf0) == 0xe0) 2
+            else if ((b0 & 0xf8) == 0xf0) 3
+            else if ((b0 & 0xfc) == 0xf8) 4
+            else if ((b0 & 0xfe) == 0xfc) 5
+            else if (b0 == 0xfe) 6
+            else return None
+          var e = 0
+          while (e < extra) {
+            if ((r.bits(8).toInt & 0xc0) != 0x80) return None
+            e += 1
+          }
+          val blockSize = bsCode match {
+            case 0 => return None // reserved
+            case 1 => 192L
+            case v if v >= 2 && v <= 5 => 576L << (v - 2)
+            case 6 => r.bits(8) + 1
+            case 7 => r.bits(16) + 1
+            case v => 256L << (v - 8)
+          }
+          srCode match {
+            case 12 => r.bits(8)
+            case 13 | 14 => r.bits(16)
+            case 15 => return None // invalid
+            case _ => () // table / STREAMINFO codes carry no extra bytes
+          }
+          val crc8At = r.bytePos
+          val crc8 = r.bits(8).toInt
+          if (!r.ok || flacCrc8(bytes, frameStart, crc8At) != crc8) return None
+          if (blockSize <= 0 || blockSize > (1L << 20)) return None
+          // ---- one subframe (mono) ----
+          if (r.bits(1) != 0) return None // padding bit
+          val sfType = r.bits(6).toInt
+          val wasted =
+            if (r.bits(1) == 1L) (r.unary() + 1).toInt else 0
+          val effBps = 16 - wasted
+          if (effBps <= 0) return None
+          val n = blockSize.toInt
+          val block = new Array[Int](n)
+          def readResiduals(order: Int): Boolean = {
+            val method = r.bits(2).toInt
+            if (method > 1) return false
+            val pBits = if (method == 0) 4 else 5
+            val escParam = if (method == 0) 0xf else 0x1f
+            val partOrder = r.bits(4).toInt
+            val nPart = 1 << partOrder
+            if ((n & (nPart - 1)) != 0 || n >> partOrder <= 0) return false
+            var idx = order
+            var p = 0
+            while (p < nPart) {
+              val cnt = (n >> partOrder) - (if (p == 0) order else 0)
+              if (cnt < 0) return false
+              val param = r.bits(pBits).toInt
+              if (param == escParam) {
+                val raw = r.bits(5).toInt
+                var j = 0
+                while (j < cnt) {
+                  block(idx) = r.signedBits(raw).toInt; idx += 1; j += 1
+                }
+              } else {
+                var j = 0
+                while (j < cnt) {
+                  val q = r.unary()
+                  val u = (q << param) | r.bits(param)
+                  block(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // unzigzag
+                  idx += 1; j += 1
+                }
+              }
+              p += 1
+            }
+            r.ok
+          }
+          sfType match {
+            case 0 => // CONSTANT
+              val v = r.signedBits(effBps).toInt
+              java.util.Arrays.fill(block, v)
+            case 1 => // VERBATIM
+              var j = 0
+              while (j < n) { block(j) = r.signedBits(effBps).toInt; j += 1 }
+            case t if t >= 8 && t <= 12 => // FIXED order 0-4
+              val order = t - 8
+              if (order > n) return None
+              var j = 0
+              while (j < order) { block(j) = r.signedBits(effBps).toInt; j += 1 }
+              if (!readResiduals(order)) return None
+              var k2 = order
+              while (k2 < n) {
+                val pred = order match {
+                  case 0 => 0L
+                  case 1 => block(k2 - 1).toLong
+                  case 2 => 2L * block(k2 - 1) - block(k2 - 2)
+                  case 3 => 3L * block(k2 - 1) - 3L * block(k2 - 2) + block(k2 - 3)
+                  case _ => 4L * block(k2 - 1) - 6L * block(k2 - 2) +
+                    4L * block(k2 - 3) - block(k2 - 4)
+                }
+                block(k2) = (block(k2) + pred).toInt
+                k2 += 1
+              }
+            case t if t >= 32 => // LPC, order = low 5 bits + 1
+              val order = (t & 0x1f) + 1
+              if (order > n) return None
+              var j = 0
+              while (j < order) { block(j) = r.signedBits(effBps).toInt; j += 1 }
+              val precision = r.bits(4).toInt + 1
+              if (precision == 16) return None // 1111 is invalid per spec
+              val shift = r.signedBits(5).toInt
+              if (shift < 0) return None
+              val coefs = Array.fill(order)(r.signedBits(precision))
+              if (!readResiduals(order)) return None
+              var k2 = order
+              while (k2 < n) {
+                var acc = 0L
+                var c = 0
+                while (c < order) { acc += coefs(c) * block(k2 - 1 - c); c += 1 }
+                block(k2) = (block(k2) + (acc >> shift)).toInt
+                k2 += 1
+              }
+            case _ => return None // reserved type
+          }
+          if (!r.ok) return None
+          r.alignToByte()
+          val crc16At = r.bytePos
+          if (crc16At + 2 > bytes.length) return None
+          val crc16 = ((bytes(crc16At) & 0xff) << 8) | (bytes(crc16At + 1) & 0xff)
+          if (flacCrc16(bytes, frameStart, crc16At) != crc16) return None
+          var j = 0
+          while (j < n) {
+            val v = block(j) << wasted
+            if (v < Short.MinValue || v > Short.MaxValue) return None
+            out += v.toShort
+            j += 1
+          }
+          i = crc16At + 2
+        }
+        if (nTotal > 0L && out.length != nTotal) None
+        else Some((rate, out.toArray))
+      case _ => None
+    }
+  }
+
+  /** Normalize any decodable mono-16-bit audio blob to (sample_rate,
+    * samples): RIFF/WAVE via the chunk walk, FLAC via the REAL frame
+    * decode ([[flacDecode]]). The single entry point the whole PCM
+    * operator family routes through — [[pcmStats]], [[pcmResample]],
+    * [[pcmTrimSilence]], [[pcmFrameStats]], [[audioFingerprint]] all
+    * work identically on either container (q330/q331 pin the
+    * equality); anything else (stereo, other depths, codec-bound
+    * formats) returns None and is dropped by the operators, the same
+    * honesty contract as before. */
+  def decodePcm16Mono(bytes: Array[Byte]): Option[(Long, Array[Short])] = {
+    if (bytes == null || bytes.length < 4) None
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+      parseWavHeader(bytes).flatMap { case (rate, channels, bits, n) =>
+        if (channels != 1 || bits != 16 || n <= 0) None
+        else {
+          val dataOff = findDataChunk(bytes)
+          if (dataOff < 0 || dataOff + n * 2 > bytes.length) None
+          else Some((rate, Array.tabulate(n.toInt) { j =>
+            val o = dataOff + j * 2
+            ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+          }))
+        }
+      }
+    else if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C')
+      flacDecode(bytes)
+    else None
   }
 
   /** Pure-JVM MP3 header parse: (mpeg_version, layer, bitrate_kbps,

@@ -745,6 +745,110 @@ object MediaQueries {
       FROM hashed ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q330
+  /** REAL FLAC decode under the hash gate
+    * ([[graft.ops.Multimodal.flacEncode]] →
+    * [[graft.ops.Multimodal.flacDecode]] inside
+    * [[graft.ops.Multimodal.pcmStats]]): genuinely COMPRESSED mono
+    * 16-bit FLAC blobs — fixed predictors chosen per frame, Rice-coded
+    * residuals, CRC-8/CRC-16 verified, blockSize 64 so every doc spans
+    * several frames with a short last one — decoded losslessly and
+    * reduced to exact integer statistics. The oracle regenerates the
+    * SAMPLES (construction truth): a hash match proves the whole codec
+    * chain bit-exact, which is what "lossless" means. This is the gate
+    * that moves the PCM family's honesty boundary past WAV — q127/q317/
+    * q318/q319 all ride [[graft.ops.Multimodal.decodePcm16Mono]] now,
+    * so the same operators accept either container unchanged. */
+  private val q330 = Q(
+    "q330_audio_flac_stats",
+    (s, dir) => {
+      import s.implicits._
+      val flacs = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id % 40
+          val n = (180 + k % 90).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((k * 37 + i * 23) % 3001) - 1500).toShort)
+          (id, Multimodal.flacEncode(16000L, samples, blockSize = 64))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.pcmStats(flacs, "doc_id", "media").toDF().orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 40 AS k, 180 + (doc_id % 40) % 90 AS n
+        FROM documents WHERE doc_id < 400),
+      s AS (
+        SELECT doc_id, n, (k * 37 + t.i * 23) % 3001 - 1500 AS v
+        FROM ids, unnest(generate_series(0, n - 1)) AS t(i))
+      SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        CAST(MAX(abs(v)) AS BIGINT) AS peak,
+        CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+        CAST(SUM(v * v) // n AS BIGINT) AS mean_sq
+      FROM s GROUP BY doc_id, n ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q331
+  /** Cross-codec audio fingerprint collapse — q317's exact fixture and
+    * oracle, but the blobs are FLAC: the fingerprints (and therefore
+    * the dup census) must be IDENTICAL to the WAV path's, because the
+    * decode is lossless and [[graft.ops.Multimodal.audioFingerprint]]
+    * routes both containers through the same
+    * [[graft.ops.Multimodal.decodePcm16Mono]] normalization — the q314
+    * format-blindness law, restated for audio. */
+  private val q331 = Q(
+    "q331_audio_fingerprint_flac",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val flacs = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id % 30
+          val n = (200 + k % 100).toInt
+          val spike = id % 7 == 0
+          val samples = Array.tabulate(n) { i =>
+            val base = ((k * 31 + i * 17) % 2048) - 1024
+            (if (spike && i == 0) base + 900 else base).toShort
+          }
+          (id, Multimodal.flacEncode(16000L, samples, blockSize = 96))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.audioFingerprint(flacs, "doc_id", "media").toDF()
+        .withColumn("dup_count",
+          count(lit(1)).over(Window.partitionBy("afp")))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 30 AS k,
+          200 + (doc_id % 30) % 100 AS n,
+          CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS spike
+        FROM documents WHERE doc_id < 400),
+      samples AS (
+        SELECT doc_id, t.i, (t.i * 64) // n AS f,
+          abs((k * 31 + t.i * 17) % 2048 - 1024
+            + CASE WHEN spike = 1 AND t.i = 0 THEN 900 ELSE 0 END) AS a
+        FROM ids, unnest(generate_series(0, n - 1)) AS t(i)),
+      frames AS (
+        SELECT doc_id, f, SUM(a) // COUNT(*) AS m
+        FROM samples GROUP BY doc_id, f),
+      thr AS (
+        SELECT doc_id, SUM(m) // 64 AS t FROM frames GROUP BY doc_id),
+      hashed AS (
+        SELECT frames.doc_id,
+          string_agg(CASE WHEN m > t THEN '1' ELSE '0' END, ''
+                     ORDER BY f) AS afp
+        FROM frames JOIN thr ON frames.doc_id = thr.doc_id
+        GROUP BY frames.doc_id)
+      SELECT doc_id, afp,
+        COUNT(*) OVER (PARTITION BY afp) AS dup_count
+      FROM hashed ORDER BY doc_id""")
+  )
+
   // --------------------------------------------------------------- q318
   /** PCM length normalization under the hash gate
     * ([[graft.ops.Multimodal.pcmResample]] → [[graft.ops.Multimodal.pcmStats]]):
@@ -1538,5 +1642,5 @@ object MediaQueries {
   }
 
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
-    q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327, q328, q329)
+    q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327, q328, q329, q330, q331)
 }

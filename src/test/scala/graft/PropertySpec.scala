@@ -795,6 +795,8 @@ class PropertySpec extends SparkTestBase {
       ("parseWavHeader", Multimodal.parseWavHeader _),
       ("parseY4mHeader", Multimodal.parseY4mHeader _),
       ("parseFlacHeader", Multimodal.parseFlacHeader _),
+      ("flacDecode", Multimodal.flacDecode _),
+      ("decodePcm16Mono", Multimodal.decodePcm16Mono _),
       ("parseMp3Header", Multimodal.parseMp3Header _),
       ("parseOpusHead", Multimodal.parseOpusHead _),
       ("parseMp4Header", Multimodal.parseMp4Header _),
@@ -830,7 +832,9 @@ class PropertySpec extends SparkTestBase {
       Multimodal.tarArchive(Seq(("a.txt", "hello".getBytes))),
       Multimodal.mp4WithTracks("isom", 600, 1200, Seq(
         Multimodal.Mp4TrackSpec(1, 32, 16, 1000, 300,
-          Seq((3L, 100L)), Seq(1L, 3L)))))
+          Seq((3L, 100L)), Seq(1L, 3L)))),
+      Multimodal.flacEncode(8000L,
+        Array.tabulate(200)(i => ((i * 37) % 995 - 497).toShort), 64))
     real.foreach { full =>
       (0 to full.length by math.max(1, full.length / 23)).foreach { cut =>
         val b = full.take(cut)
