@@ -595,10 +595,15 @@ object Multimodal {
       })
   }
 
-  /** Resized media with REAL pixels where a decoder exists
-    * ([[decodeImage]]: BMP/PNG/JPEG/GIF): decode, nearest-neighbor
-    * resample, re-encode as canonical 24-bit BMP; anything undecodable
-    * falls through to the documented [[resizeStub]] byte arithmetic. */
+  /** REAL image resize ([[decodeImage]]: BMP/PNG/JPEG/GIF → nearest-
+    * neighbor [[resampleNearest]] → canonical 24-bit BMP re-encode) —
+    * the normalization step in front of every fixed-input-size consumer
+    * (embedding batches, fused hashing, thumbnailing). Undecodable
+    * blobs are DROPPED, the same honesty contract as the rest of the
+    * pixel family — there is no byte-arithmetic stand-in left on this
+    * path. Gated by q332: content rendered at DIFFERENT source
+    * resolutions must collapse to identical fused hashes after the
+    * resize (scale-invariant near-dup). */
   def resizeImage(
       df: DataFrame, idCol: String, binCol: String,
       width: Int, height: Int
@@ -608,19 +613,10 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          decodeImage(bytes) match {
-            case Some(img) =>
-              Resized(id, width.toLong, height.toLong,
-                encodeBmp(resampleNearest(img, width, height)))
-            case None =>
-              val b = if (bytes == null) Array.empty[Byte] else bytes
-              val target = math.max(1, (width.toLong * height / 64).toInt)
-              val out =
-                if (b.length >= target) b.take(target)
-                else b ++ Array.fill(target - b.length)(0.toByte)
-              Resized(id, width.toLong, height.toLong, out)
-          }
+        rows.flatMap { case (id, bytes) =>
+          decodeImage(bytes).map(img =>
+            Resized(id, width.toLong, height.toLong,
+              encodeBmp(resampleNearest(img, width, height))))
         }
       }
   }
@@ -1625,29 +1621,6 @@ object Multimodal {
 
   /** Resized media. */
   final case class Resized(doc_id: Long, width: Long, height: Long, media: Array[Byte])
-
-  /** Resize plumbing: binary in, binary out with target dimensions carried
-    * in the schema. The stub truncates/pads bytes proportionally to the
-    * pixel-count ratio — a real scaler replaces the array arithmetic. */
-  def resizeStub(
-      df: DataFrame, idCol: String, binCol: String,
-      width: Int, height: Int
-  ): Dataset[Resized] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          val b = if (bytes == null) Array.empty[Byte] else bytes
-          val target = math.max(1, (width.toLong * height / 64).toInt)
-          val out =
-            if (b.length >= target) b.take(target)
-            else b ++ Array.fill(target - b.length)(0.toByte)
-          Resized(id, width.toLong, height.toLong, out)
-        }
-      }
-  }
 
   /** Typed audio metadata a decoder would emit. */
   final case class AudioMeta(

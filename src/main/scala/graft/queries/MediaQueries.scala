@@ -1641,6 +1641,138 @@ object MediaQueries {
     )
   }
 
+  // --------------------------------------------------------------- q332
+  /** SCALE-INVARIANT image near-dup — the real-resize law
+    * ([[graft.ops.Multimodal.resizeImage]]: decode → nearest-neighbor
+    * resample → BMP re-encode, undecodables dropped; the byte-padding
+    * resizeStub is DELETED): the same content rendered at DIFFERENT
+    * source resolutions (8×8-block patterns upscaled to w = 8·(1+id%3),
+    * h = 8·(1+id%4), mixed BMP/PNG) is resized to a common 16×16 and
+    * fused-hashed ([[graft.ops.Multimodal.imageHashes]], one decode).
+    * Because nearest-neighbor floors compose (⌊⌊a·x⌋/a⌋ = ⌊x⌋), every
+    * rendition of a content class must collapse to IDENTICAL
+    * ahash/dhash/whash — the dup_count census states the collapse. The
+    * oracle walks the full two-stage index mapping (source → resized →
+    * hash grid) rather than its simplification, so a hash match proves
+    * the real pipeline: two decodes, a resample, a re-encode, and three
+    * hash chains end-to-end. */
+  private val q332 = {
+    val rowStage = (prev: String, cur: String, b: Int) => s"""
+      $cur AS MATERIALIZED (
+        SELECT a.doc_id, a.x, a.y,
+          CASE WHEN a.x % ${2 * b} < $b THEN a.g + p.g ELSE p.g - a.g END AS g
+        FROM $prev a JOIN $prev p
+          ON a.doc_id = p.doc_id AND a.y = p.y AND p.x = xor(a.x, $b))"""
+    val colStage = (prev: String, cur: String, b: Int) => s"""
+      $cur AS MATERIALIZED (
+        SELECT a.doc_id, a.x, a.y,
+          CASE WHEN a.y % ${2 * b} < $b THEN a.g + p.g ELSE p.g - a.g END AS g
+        FROM $prev a JOIN $prev p
+          ON a.doc_id = p.doc_id AND a.x = p.x AND p.y = xor(a.y, $b))"""
+    Q(
+      "q332_image_scale_invariant_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val imgs = Lake(s, dir).documents
+          .filter(col("doc_id") < 400)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val k = id % 25
+            val w = (8 * (1 + id % 3)).toInt
+            val h = (8 * (1 + id % 4)).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var py = 0
+            while (py < h) {
+              var px = 0
+              while (px < w) {
+                val bx = px * 8 / w
+                val by = py * 8 / h
+                val i = (py * w + px) * 3
+                rgb(i) = ((k * 7 + bx * 11 + by * 13) % 256).toByte
+                rgb(i + 1) = ((2 * k + 3 * bx + by) % 256).toByte
+                rgb(i + 2) = ((k + 5 * bx + 7 * by) % 256).toByte
+                px += 1
+              }
+              py += 1
+            }
+            val img = Multimodal.DecodedImage(w, h, rgb)
+            (id, if (id % 2 == 0) Multimodal.encodeBmp(img)
+                 else Multimodal.encodePng(img))
+          })
+          .toDF("doc_id", "media")
+        val resized = Multimodal.resizeImage(imgs, "doc_id", "media", 16, 16)
+          .toDF().select(col("doc_id"), col("media"))
+        Multimodal.imageHashes(resized, "doc_id", "media").toDF()
+          .withColumn("dup_count",
+            count(lit(1)).over(Window.partitionBy("ahash")))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 25 AS k,
+          8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 4) AS h
+        FROM documents WHERE doc_id < 400),
+      grid AS (
+        SELECT doc_id, k, t1.x, t2.y,
+          ((((2 * x * w) // 16) * 8) // w) AS bx,
+          ((((2 * y * h) // 16) * 8) // h) AS by
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      s0 AS MATERIALIZED (
+        SELECT doc_id, x, y,
+          CAST(((k * 7 + bx * 11 + by * 13) % 256 + (2 * k + 3 * bx + by) % 256
+            + (k + 5 * bx + 7 * by) % 256) // 3 AS BIGINT) AS g
+        FROM grid),
+      ahashed AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN g > m THEN '1' ELSE '0' END, ''
+                     ORDER BY y, x) AS ahash
+        FROM (SELECT doc_id, x, y, g,
+                SUM(g) OVER (PARTITION BY doc_id) // 64 AS m
+              FROM s0)
+        GROUP BY doc_id),
+      grid9 AS (
+        SELECT doc_id, k, t1.x, t2.y,
+          (((((x * 16) // 9) * w) // 16) * 8) // w AS bx,
+          ((((2 * y * h) // 16) * 8) // h) AS by
+        FROM ids,
+          unnest(generate_series(0, 8)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      g9 AS (
+        SELECT doc_id, x, y,
+          ((k * 7 + bx * 11 + by * 13) % 256 + (2 * k + 3 * bx + by) % 256
+            + (k + 5 * bx + 7 * by) % 256) // 3 AS g
+        FROM grid9),
+      dbits AS (
+        SELECT doc_id, x, y,
+          CASE WHEN lead(g) OVER (PARTITION BY doc_id, y ORDER BY x) > g
+               THEN '1' ELSE '0' END AS bit
+        FROM g9),
+      dhashed AS (
+        SELECT doc_id,
+          string_agg(bit, '' ORDER BY y, x) AS dhash
+        FROM dbits WHERE x < 8 GROUP BY doc_id),
+      ${rowStage("s0", "s1", 1)},
+      ${rowStage("s1", "s2", 2)},
+      ${rowStage("s2", "s3", 4)},
+      ${colStage("s3", "s4", 1)},
+      ${colStage("s4", "s5", 2)},
+      ${colStage("s5", "s6", 4)},
+      whashed AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN g > 0 THEN '1' ELSE '0' END, ''
+                     ORDER BY y, x) AS whash
+        FROM s6 GROUP BY doc_id)
+      SELECT doc_id, ahash, dhash, whash,
+        COUNT(*) OVER (PARTITION BY ahash) AS dup_count
+      FROM ahashed JOIN dhashed USING (doc_id) JOIN whashed USING (doc_id)
+      ORDER BY doc_id""")
+    )
+  }
+
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
-    q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327, q328, q329, q330, q331)
+    q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327,
+    q328, q329, q330, q331, q332)
 }

@@ -130,14 +130,6 @@ class MultimodalSpec extends SparkTestBase {
     assert(!byDoc.contains(4L))
   }
 
-  test("resizeStub: output carries target dims, byte budget scales with pixels") {
-    val out = Multimodal.resizeStub(media, "doc_id", "media", 32, 16).collect()
-      .map(r => r.doc_id -> r).toMap
-    assert(out(1L).width == 32 && out(1L).height == 16)
-    assert(out(1L).media.length == 32 * 16 / 64)
-    assert(out(4L).media.length == 32 * 16 / 64) // padded from empty
-  }
-
   test("featureExtractStub → Similarity: media embeddings drive ANN end-to-end") {
     val emb = Multimodal.featureExtractStub(media, "doc_id", "media", dim = 8)
       .toDF("vec_id", "embedding")
@@ -698,7 +690,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(r1.width == 3 && r1.height == 3)
     assert(r1.rgb.grouped(3).forall(px =>
       (px(0) & 0xff) == 100 && (px(1) & 0xff) == 150 && (px(2) & 0xff) == 250))
-    assert(Multimodal.decodeBmp(resized(2L)).isEmpty) // stub path for text
+    assert(!resized.contains(2L)) // undecodable blobs DROP (honesty)
   }
 
   test("imageDHash: gradient bits, uniform-shift invariance, local-edit sensitivity") {
