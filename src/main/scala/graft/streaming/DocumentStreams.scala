@@ -120,7 +120,8 @@ object DocumentStreams {
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
       width: Int,
-      height: Int
+      height: Int,
+      maxFilesPerTrigger: Int = 0 // 0 = unlimited; >0 rate-limits ingest
   ): DataFrame = {
     // streaming sources need the schema declared up front; binaryFile's
     // is fixed by the format (path, modificationTime, length, content)
@@ -133,10 +134,14 @@ object DocumentStreams {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("content",
         org.apache.spark.sql.types.BinaryType)))
-    val raw = spark.readStream.format("binaryFile")
+    val reader = spark.readStream.format("binaryFile")
       .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.{bmp,png,jpg,jpeg,gif}")
-      .load(dir)
+    val limited =
+      if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else reader
+    val raw = limited.load(dir)
       // nullif before the cast: a glob-matching file with no digit
       // prefix (cover.png) extracts "" and an ANSI cast of "" would
       // kill the whole streaming query; null-id files drop like
