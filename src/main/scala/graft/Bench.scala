@@ -152,6 +152,28 @@ object Bench {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bench-pipeline")
     val silver = s"$tmp/silver"
     val gold = s"$tmp/gold"
+    deriveSilver(spark, sfDir, silver)
+    dropCaches()
+    val t0 = System.nanoTime()
+    val ok =
+      try { new AmtPipeline(spark, silver, "1995").writeAll(gold); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+        false
+      }
+    val sec = (System.nanoTime() - t0) / 1e9
+    dropCaches()
+    graft.core.SilverWriter.deleteOnExit(tmp.toString)
+    // a crash must not masquerade as a fast run — report a sentinel
+    if (ok) sec else -1.0
+  }
+
+  /** Derive and write the bench's silver tree from the sf tables —
+    * students/schools/enrollment/calendar/attendance populated (the
+    * spine feeding the deep EWS/chrab/equity DAGs), every other
+    * endpoint an empty frame. Shared by [[pipelineBench]] and
+    * `runner.ConcurrencyProbe`. */
+  def deriveSilver(spark: SparkSession, sfDir: String, silver: String): Unit = {
     val lake = Lake(spark, sfDir)
     val cust = lake.customer.select(
       col("c_custkey"), col("c_nationkey"), col("c_name"))
@@ -215,20 +237,6 @@ object Bench {
       "calendarDates" -> cal,
       "studentSchoolAttendanceEvents" -> att
     ).foreach { case (name, df) => SilverWriter.write(df, s"$silver/1995/$name") }
-
-    dropCaches()
-    val t0 = System.nanoTime()
-    val ok =
-      try { new AmtPipeline(spark, silver, "1995").writeAll(gold); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
-        false
-      }
-    val sec = (System.nanoTime() - t0) / 1e9
-    dropCaches()
-    graft.core.SilverWriter.deleteOnExit(tmp.toString)
-    // a crash must not masquerade as a fast run — report a sentinel
-    if (ok) sec else -1.0
   }
 }
 
