@@ -272,7 +272,21 @@ object TextAnalysis {
     "Cyrillic" -> "\\p{IsCyrillic}",
     "Han" -> "\\p{IsHan}",
     "Arabic" -> "\\p{IsArabic}",
-    "Greek" -> "\\p{IsGreek}")
+    "Greek" -> "\\p{IsGreek}",
+    "Devanagari" -> "\\p{IsDevanagari}",
+    "Hangul" -> "\\p{IsHangul}",
+    "Thai" -> "\\p{IsThai}")
+
+  /** Mixed-script confusable flag — the homoglyph-spoofing shape: a
+    * Latin letter DIRECTLY adjacent to a Cyrillic or Greek one inside
+    * the same word ("pаypal" with a Cyrillic а). Adjacency is the
+    * tokenizer-free approximation: cross-script words have at least one
+    * such boundary, while legitimate multilingual text separates
+    * scripts with spaces/punctuation. One codegen'd rlike; both
+    * engines' regex classes agree (java `\p{IsX}` ≡ RE2 `\p{X}`). */
+  def mixedScriptConfusable(text: Column): Column =
+    text.rlike("[\\p{IsLatin}][\\p{IsCyrillic}\\p{IsGreek}]" +
+      "|[\\p{IsCyrillic}\\p{IsGreek}][\\p{IsLatin}]")
 
   /** Codepoints of `text` belonging to one script — the multilingual
     * triage primitive: `length(regexp_replace(text, [^script], ''))`,
@@ -311,6 +325,8 @@ object TextAnalysis {
         counts.map { case (n, c) => c.as(s"n_${n.toLowerCase}") } ++
         Seq(
           (length(col(textCol)).cast("long") - total).as("n_other"),
-          dominantScript(counts).as("dominant_script")): _*)
+          dominantScript(counts).as("dominant_script"),
+          mixedScriptConfusable(col(textCol)).cast("long")
+            .as("confusable")): _*)
   }
 }

@@ -6932,61 +6932,68 @@ object PipelineQueries {
     * `\\p{IsScript}` and RE2's `\\p{Script}` count identical codepoint
     * sets (verified on mixed strings), which is exactly what the gate
     * pins. One projection, no shuffle, all codegen'd regex — no UDF. */
-  private val q326 = Q(
-    "q326_script_census",
-    (s, dir) => {
-      // Unicode chars as Scala literals: Spark's chr() is Latin-1-only
-      // (chr(n % 256)), unlike DuckDB's codepoint chr — the one place
-      // the two engines' "same" function genuinely diverges here
-      def run(ch: String, mod: Int) = call_function("repeat",
-        lit(ch), (col("doc_id") % mod).cast("int"))
-      val docs = Lake(s, dir).documents.select(col("doc_id"),
-        concat(col("text"), lit(" "),
-          run("\u0431", 7), run("\u6F22", 5),   // Cyrillic be, Han
-          run("\u0645", 3), run("\u03BB", 4)).as("text")) // Arabic meem, Greek lambda
-      TextAnalysis.scriptCensus(docs, "doc_id", "text").orderBy("doc_id")
-    },
-    Some("""
+  private val q326 = {
+    val scripts = Seq("latin", "cyrillic", "han", "arabic", "greek",
+      "devanagari", "hangul", "thai")
+    val countCols = scripts.map { sc =>
+      s"""          CAST(length(regexp_replace(t, '[^\\p{${sc.capitalize}}]', '', 'g')) AS BIGINT)
+            AS n_$sc"""
+    }.mkString(",\n")
+    val caseArms = scripts.map { sc =>
+      val others = scripts.filterNot(_ == sc)
+        .map(o => s"n_$sc >= n_$o").mkString(" AND ")
+      s"          WHEN n_$sc > 0 AND $others THEN '${sc.capitalize}'"
+    }.mkString("\n")
+    Q(
+      "q326_script_census",
+      (s, dir) => {
+        // Unicode chars as Scala literals: Spark's chr() is Latin-1-only
+        // (chr(n % 256)), unlike DuckDB's codepoint chr — the one place
+        // the two engines' "same" function genuinely diverges here
+        def run(ch: String, mod: Int) = call_function("repeat",
+          lit(ch), (col("doc_id") % mod).cast("int"))
+        val docs = Lake(s, dir).documents.select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            run("б", 7), run("漢", 5),   // Cyrillic be, Han
+            run("م", 3), run("λ", 4),   // Arabic meem, Greek lambda
+            run("क", 6), run("가", 8),   // Devanagari ka, Hangul ga
+            run("ก", 9),                     // Thai ko kai
+            // homoglyph-confusable token: Latin p + CYRILLIC a + Latin y
+            when(col("doc_id") % 11 === 0, lit(" pаy"))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.scriptCensus(docs, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(s"""
       WITH d AS (
         SELECT doc_id, text || ' ' ||
           repeat(chr(1073), CAST(doc_id % 7 AS INT)) ||
           repeat(chr(28450), CAST(doc_id % 5 AS INT)) ||
           repeat(chr(1605), CAST(doc_id % 3 AS INT)) ||
-          repeat(chr(955), CAST(doc_id % 4 AS INT)) AS t
+          repeat(chr(955), CAST(doc_id % 4 AS INT)) ||
+          repeat(chr(2325), CAST(doc_id % 6 AS INT)) ||
+          repeat(chr(44032), CAST(doc_id % 8 AS INT)) ||
+          repeat(chr(3585), CAST(doc_id % 9 AS INT)) ||
+          CASE WHEN doc_id % 11 = 0 THEN ' p' || chr(1072) || 'y'
+               ELSE '' END AS t
         FROM documents),
       c AS (
         SELECT doc_id,
-          CAST(length(regexp_replace(t, '[^\p{Latin}]', '', 'g')) AS BIGINT)
-            AS n_latin,
-          CAST(length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) AS BIGINT)
-            AS n_cyrillic,
-          CAST(length(regexp_replace(t, '[^\p{Han}]', '', 'g')) AS BIGINT)
-            AS n_han,
-          CAST(length(regexp_replace(t, '[^\p{Arabic}]', '', 'g')) AS BIGINT)
-            AS n_arabic,
-          CAST(length(regexp_replace(t, '[^\p{Greek}]', '', 'g')) AS BIGINT)
-            AS n_greek,
-          CAST(length(t) AS BIGINT) AS n_all
+$countCols,
+          CAST(length(t) AS BIGINT) AS n_all,
+          CAST(regexp_matches(t,
+            '[\\p{Latin}][\\p{Cyrillic}\\p{Greek}]|[\\p{Cyrillic}\\p{Greek}][\\p{Latin}]')
+            AS BIGINT) AS confusable
         FROM d)
-      SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_greek,
-        n_all - (n_latin + n_cyrillic + n_han + n_arabic + n_greek)
+      SELECT doc_id, ${scripts.map(sc => s"n_$sc").mkString(", ")},
+        n_all - (${scripts.map(sc => s"n_$sc").mkString(" + ")})
           AS n_other,
         CASE
-          WHEN n_latin > 0 AND n_latin >= n_cyrillic AND n_latin >= n_han
-            AND n_latin >= n_arabic AND n_latin >= n_greek THEN 'Latin'
-          WHEN n_cyrillic > 0 AND n_cyrillic >= n_latin
-            AND n_cyrillic >= n_han AND n_cyrillic >= n_arabic
-            AND n_cyrillic >= n_greek THEN 'Cyrillic'
-          WHEN n_han > 0 AND n_han >= n_latin AND n_han >= n_cyrillic
-            AND n_han >= n_arabic AND n_han >= n_greek THEN 'Han'
-          WHEN n_arabic > 0 AND n_arabic >= n_latin
-            AND n_arabic >= n_cyrillic AND n_arabic >= n_han
-            AND n_arabic >= n_greek THEN 'Arabic'
-          WHEN n_greek > 0 AND n_greek >= n_latin AND n_greek >= n_cyrillic
-            AND n_greek >= n_han AND n_greek >= n_arabic THEN 'Greek'
-          ELSE 'none' END AS dominant_script
+$caseArms
+          ELSE 'none' END AS dominant_script,
+        confusable
       FROM c ORDER BY doc_id""")
-  )
+    )
+  }
 
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q39, q40, q41, q42, q44, q45, q50, q51, q54, q55, q56, q57, q58, q59,

@@ -493,4 +493,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(out("n")._3 == false && out("n")._4 == false)
     assert(out("t")._2 == false && out("t")._4 == false)
   }
+
+  test("scriptCensus: eight scripts, confusable fires on in-word adjacency only") {
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "hello p\u0430ypal"),          // Latin + in-word Cyrillic \u0430
+      (2L, "hello \u043c\u0438\u0440"), // space-separated scripts: clean
+      (3L, "test\u03ba"),                 // Latin directly followed by Greek
+      (4L, "\u0915\u0916 \uac00\uac01 \u0e01\u0e02"), // Dev/Hangul/Thai
+      (5L, "plain ascii only")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptCensus(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("confusable") == 1L)
+    assert(out(2L).getAs[Long]("confusable") == 0L)
+    assert(out(2L).getAs[Long]("n_cyrillic") == 3L)
+    assert(out(3L).getAs[Long]("confusable") == 1L)
+    assert(out(4L).getAs[Long]("confusable") == 0L)
+    assert(out(4L).getAs[Long]("n_devanagari") == 2L)
+    assert(out(4L).getAs[Long]("n_hangul") == 2L)
+    assert(out(4L).getAs[Long]("n_thai") == 2L)
+    assert(out(4L).getAs[String]("dominant_script") == "Devanagari") // tie: earlier wins
+    assert(out(5L).getAs[String]("dominant_script") == "Latin")
+    assert(out(5L).getAs[Long]("confusable") == 0L)
+  }
 }
