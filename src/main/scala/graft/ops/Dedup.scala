@@ -578,16 +578,26 @@ object Dedup {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // restrict the corpus side to candidate docs BEFORE any aggregation —
-    // this semi-join is what makes the job O(batch): without it the
-    // per-doc shingle counts would shuffle the full corpus frame
+    jaccardVerifyCandidates(cands, corpusShingles.unionByName(shc),
+      threshold, cache = true)
+  }
+
+  /** Shared exact-Jaccard verify over a CANDIDATE pair frame: restrict
+    * the (possibly corpus-sized) shingle frame to candidate docs via a
+    * semi-join BEFORE any aggregation — the restriction is what makes
+    * the incremental family O(batch) — then common-shingle counts and
+    * the threshold filter. Used by [[incrementalMinhash]] and
+    * [[incrementalMinhashBucketed]]. */
+  private def jaccardVerifyCandidates(
+      cands: DataFrame, allShingles: DataFrame, threshold: Double,
+      cache: Boolean): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    // candidate docs' shingles only — also small, also read three times
+    // candidate docs' shingles only — small, read three times
     // (counts + both sides of the verify join)
-    val sh = corpusShingles.unionByName(shc)
-      .join(candDocs, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shRaw = allShingles.join(candDocs, Seq("doc_id"), "left_semi")
+    val sh = if (cache) shRaw.persist(StorageLevel.MEMORY_AND_DISK) else shRaw
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val common = cands
       .join(sh.as("sa"), col("sa.doc_id") === col("doc_a"))
@@ -602,6 +612,81 @@ object Dedup {
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Compaction half of the exchange-free incremental MinHash loop:
+    * persist an [[lshBands]] frame bucketed+sorted on the band key —
+    * the text twin of [[writeSimhashIndexBucketed]]. */
+  def writeMinhashIndexBucketed(
+      indexBands: DataFrame, table: String, path: String, nBuckets: Int): Unit =
+    graft.core.Bucketing.writeBucketed(
+      indexBands, table, path, nBuckets, Seq("band_idx", "band_key"))
+
+  /** Corpus shingle store bucketed on doc_id — the verify side's
+    * artifact: per-doc shingle counts aggregate exchange-free on the
+    * bucketing, and the candidate semi-join broadcasts its tiny doc
+    * list against the scan rather than shuffling the corpus. */
+  def writeShingleStoreBucketed(
+      sh: DataFrame, table: String, path: String, nBuckets: Int): Unit =
+    graft.core.Bucketing.writeBucketed(sh, table, path, nBuckets, Seq("doc_id"))
+
+  /** EXCHANGE-FREE serving form of [[incrementalMinhash]] — the q54
+    * production loop with the index re-shuffle deleted, mirroring
+    * [[probeSimhashIndexBucketed]]: the persisted band index (written by
+    * [[writeMinhashIndexBucketed]]) is NEVER re-shuffled; the batch's
+    * bands pay one explicit repartition to the index's bucket spec
+    * (AQE-stage-reused across the new-old and new-new joins), and the
+    * corpus shingle store (written by [[writeShingleStoreBucketed]])
+    * reaches the verify through a broadcast semi-join on the tiny
+    * candidate doc list — no corpus-sized exchange anywhere in the
+    * plan (PlanSpec pins it; q333 pins the value contract ≡ q54's
+    * full-recompute-restricted oracle). `cache = false` is for plan
+    * tests only (the persists hide filters inside InMemoryRelation). */
+  def incrementalMinhashBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexBandsTable: String,
+      corpusShinglesTable: String,
+      newSh: DataFrame,
+      threshold: Double,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      cache: Boolean = true
+  ): DataFrame = {
+    require(numHashes >= 1 && bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes: numHashes=$numHashes bands=$bands")
+    import org.apache.spark.storage.StorageLevel
+    val indexBands = spark.table(indexBandsTable)
+    val nBuckets = spark.sessionState.catalog
+      .getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(indexBandsTable))
+      .bucketSpec.map(_.numBuckets)
+    val shc =
+      if (cache) newSh.persist(StorageLevel.MEMORY_AND_DISK) else newSh
+    val rawBands =
+      lshBands(minhashSignatures(shc, numHashes), bands, numHashes / bands)
+    val aligned = nBuckets
+      .map(n => rawBands.repartition(n, col("band_idx"), col("band_key")))
+      .getOrElse(rawBands)
+    val newBands =
+      if (cache) aligned.persist(StorageLevel.MEMORY_AND_DISK) else aligned
+    def pairs(b: DataFrame, newNew: Boolean): DataFrame = {
+      val keys = col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key")
+      val cond =
+        if (newNew) keys && col("a.doc_id") < col("b.doc_id")
+        else keys // id-disjoint: index never contains batch docs
+      newBands.as("a").join(b.as("b"), cond)
+        .select(
+          least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    }
+    val candsRaw = pairs(indexBands, newNew = false)
+      .unionByName(pairs(newBands, newNew = true))
+      .distinct()
+    val cands =
+      if (cache) candsRaw.persist(StorageLevel.MEMORY_AND_DISK) else candsRaw
+    jaccardVerifyCandidates(cands,
+      spark.table(corpusShinglesTable).unionByName(shc), threshold, cache)
   }
 
   /** Connected components over an undirected pair list by iterative

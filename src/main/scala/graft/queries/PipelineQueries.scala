@@ -962,6 +962,69 @@ object PipelineQueries {
       ORDER BY doc_a, doc_b""")
   )
 
+  // --------------------------------------------------------------- q333
+  /** EXCHANGE-FREE incremental text dedup — q54's production loop with
+    * the corpus re-shuffle deleted (the q327 mechanism, text twin):
+    * the LSH band index persists BUCKETED on its band key
+    * ([[graft.ops.Dedup.writeMinhashIndexBucketed]]) and the corpus
+    * shingle store bucketed on doc_id
+    * ([[graft.ops.Dedup.writeShingleStoreBucketed]]); the batch's bands
+    * pay one AQE-reused repartition to the index's bucket spec and the
+    * verify reaches corpus shingles through a broadcast semi-join on the
+    * tiny candidate list — no corpus-sized exchange anywhere (PlanSpec
+    * pins the shape). Same fixture split and ORACLE as q54: the bucketed
+    * round trip must land on exactly the full-recompute answer
+    * restricted to new-involving pairs. The gate's timed cost INCLUDES
+    * the two compaction writes (bucketed index + shingle store, a
+    * metastore commit each) that production pays once and amortizes —
+    * the serving-time advantage of the exchange-free shape is what
+    * BucketedDedupProbe measures. */
+  private val q333 = Q(
+    "q333_dedup_incremental_bucketed",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q333").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      val corpusSh = Dedup.shingles(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", 3)
+      Dedup.writeMinhashIndexBucketed(
+        Dedup.lshBands(Dedup.minhashSignatures(corpusSh, 16), 4, 4),
+        "q333_b_index", s"$tmp/i", 8)
+      Dedup.writeShingleStoreBucketed(corpusSh, "q333_b_sh", s"$tmp/s", 8)
+      val newSh = Dedup.shingles(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", 3)
+      Dedup.incrementalMinhashBucketed(
+        s, "q333_b_index", "q333_b_sh", newSh, 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $ShinglesCte,
+      sig AS (SELECT doc_id,
+        $SigCols
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        $BandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id),
+      cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT doc_a, doc_b, COUNT(*) AS c
+        FROM cand
+        JOIN sh sa ON sa.doc_id = cand.doc_a
+        JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+        GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+      FROM common
+      JOIN cnt ca ON doc_a = ca.doc_id
+      JOIN cnt cb ON doc_b = cb.doc_id
+      WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+        AND (doc_a >= 250 OR doc_b >= 250)
+      ORDER BY doc_a, doc_b""")
+  )
+
   // ---------------------------------------------------------------- q55
   /** Benchmark decontamination: docs < 20 stand in for an eval suite;
     * corpus docs (≥ 20) sharing ≥ 2 distinct trigram shingles with it are
@@ -7006,5 +7069,5 @@ $caseArms
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
     q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264,
     q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300, q302, q306, q308,
-    q309, q312, q313, q326)
+    q309, q312, q313, q326, q333)
 }

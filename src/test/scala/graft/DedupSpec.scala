@@ -199,6 +199,22 @@ class DedupSpec extends SparkTestBase {
     val pairs = Dedup.incrementalMinhash(index, corpusSh, newSh, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 10L), (11L, 12L))) // (6,7) absent: O(batch), not O(corpus)
+
+    // the bucketed exchange-free serving path lands on the same answer
+    // through the write/read round trip of BOTH persisted artifacts
+    val wh = java.nio.file.Files.createTempDirectory("minhash-bucketed")
+    Dedup.writeMinhashIndexBucketed(index, "t_mbidx", s"$wh/i", 4)
+    Dedup.writeShingleStoreBucketed(corpusSh, "t_mbsh", s"$wh/s", 4)
+    try {
+      val bucketed = Dedup
+        .incrementalMinhashBucketed(spark, "t_mbidx", "t_mbsh", newSh, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bucketed == pairs,
+        "bucketed incremental minhash diverged from the shuffled path")
+    } finally {
+      spark.sql("DROP TABLE t_mbidx")
+      spark.sql("DROP TABLE t_mbsh")
+    }
   }
 
   test("contamination: overlap threshold flags docs sharing benchmark shingles") {

@@ -217,6 +217,35 @@ class PlanSpec extends SparkTestBase {
           s"join-forced exchange:\n$pPlan")
       assert(pPlan.contains("Bucketed: true"),
         s"index scan lost its bucketed layout:\n$pPlan")
+
+      // the text twin (incrementalMinhashBucketed): band-key exchanges
+      // are ONLY the batch's explicit repartition — never forced by the
+      // join (that would mean the index moved) — and the corpus shingle
+      // store reaches the verify with no exchange forced on it either
+      // (broadcast semi-join on the tiny candidate list). cache=false:
+      // persists would hide the shape inside InMemoryRelation.
+      val sh = Seq((100L, "sA"), (100L, "sB"), (101L, "sB"), (101L, "sC"))
+        .toDF("doc_id", "shingle")
+      val idxB = Dedup.lshBands(Dedup.minhashSignatures(sh, 16), 4, 4)
+      Dedup.writeMinhashIndexBucketed(idxB, "p_mbidx", s"$wh/mi", 4)
+      Dedup.writeShingleStoreBucketed(sh, "p_mbsh", s"$wh/ms", 4)
+      try {
+        val newSh = Seq((0L, "sA"), (0L, "sB"), (1L, "sD"))
+          .toDF("doc_id", "shingle")
+        val out = Dedup.incrementalMinhashBucketed(
+          spark, "p_mbidx", "p_mbsh", newSh, 0.5, cache = false)
+        val mPlan = planOf(out)
+        val forced = ("Exchange hashpartitioning\\(band_[^\\n]*" +
+          "ENSURE_REQUIREMENTS").r.findAllMatchIn(mPlan).size
+        assert(forced == 0,
+          s"minhash band index re-shuffled by a join:\n$mPlan")
+        assert(mPlan.contains("Bucketed: true"),
+          s"bucketed scans lost their layout:\n$mPlan")
+        out.collect() // the shape executes
+      } finally {
+        spark.sql("DROP TABLE p_mbidx")
+        spark.sql("DROP TABLE p_mbsh")
+      }
     } finally {
       before match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
