@@ -970,10 +970,12 @@ object Multimodal {
     * front of every mono-only audio operator ([[pcmStats]],
     * [[audioFingerprint]], [[pcmResample]]…), which is exactly how the
     * honesty restriction on those operators is DISCHARGED rather than
-    * worked around. 16-bit stereo WAV only; mono and junk are dropped
-    * (a mono file doesn't need downmixing — route on
-    * [[parseWavHeader]]'s channel count). Gated by q323 through
-    * [[pcmStats]] over the re-encoded payload. */
+    * worked around. 16-bit stereo WAV or FLAC ([[decodePcm16Stereo]] —
+    * the FLAC arm decodes every stereo assignment exactly); mono and
+    * junk are dropped (a mono file doesn't need downmixing — route on
+    * the container's channel count). Gated by q323 (WAV) and q334
+    * (FLAC, all four assignments) through [[pcmStats]] over the
+    * re-encoded payload. */
   def pcmDownmix(
       df: DataFrame, idCol: String, binCol: String): Dataset[ResampledAudio] = {
     val spark = df.sparkSession
@@ -982,27 +984,54 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
-          parseWavHeader(bytes).flatMap { case (rate, channels, bits, n) =>
-            if (channels != 2 || bits != 16 || n <= 0) None
+          decodePcm16Stereo(bytes).flatMap { case (rate, l, r) =>
+            if (l.isEmpty) None
             else {
-              val dataOff = findDataChunk(bytes)
-              if (dataOff < 0 || dataOff + n * 4 > bytes.length) None
-              else {
-                val out = Array.tabulate(n.toInt) { i =>
-                  val o = (dataOff + i.toLong * 4).toInt
-                  val l = ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toInt
-                  val r = ((bytes(o + 3) << 8) | (bytes(o + 2) & 0xff)).toShort.toInt
-                  // Java / truncates toward zero, exactly like DuckDB //
-                  // (-3/2 = -1 in both); floorDiv would diverge on odd
-                  // negative sums
-                  ((l + r) / 2).toShort
-                }
-                Some(ResampledAudio(id, n, pcm16Wav(rate, out)))
+              val out = Array.tabulate(l.length) { i =>
+                // Java / truncates toward zero, exactly like DuckDB //
+                // (-3/2 = -1 in both); floorDiv would diverge on odd
+                // negative sums
+                ((l(i) + r(i)) / 2).toShort
               }
+              Some(ResampledAudio(id, l.length.toLong, pcm16Wav(rate, out)))
             }
           }
         }
       }
+  }
+
+  /** Normalize any decodable STEREO 16-bit audio blob to
+    * (sample_rate, left, right): interleaved RIFF/WAVE via the chunk
+    * walk, FLAC via [[flacDecodeStereo]] (exact under every stereo
+    * assignment). The stereo twin of [[decodePcm16Mono]] — mono and
+    * junk return None (a mono file doesn't need downmixing; route on
+    * channel count). */
+  def decodePcm16Stereo(
+      bytes: Array[Byte]): Option[(Long, Array[Short], Array[Short])] = {
+    if (bytes == null || bytes.length < 4) None
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+      parseWavHeader(bytes).flatMap { case (rate, channels, bits, n) =>
+        if (channels != 2 || bits != 16 || n <= 0) None
+        else {
+          val dataOff = findDataChunk(bytes)
+          if (dataOff < 0 || dataOff + n * 4 > bytes.length) None
+          else {
+            val l = new Array[Short](n.toInt)
+            val r = new Array[Short](n.toInt)
+            var i = 0
+            while (i < n) {
+              val o = (dataOff + i.toLong * 4).toInt
+              l(i) = ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+              r(i) = ((bytes(o + 3) << 8) | (bytes(o + 2) & 0xff)).toShort
+              i += 1
+            }
+            Some((rate, l, r))
+          }
+        }
+      }
+    else if (bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C')
+      flacDecodeStereo(bytes)
+    else None
   }
 
   /** Silence-trimmed audio: head/tail counts plus the trimmed WAV. */
@@ -1899,13 +1928,84 @@ object Multimodal {
         4L * s(i - 3) + s(i - 4)
     }
 
-  /** REAL FLAC encoder (FLAC format spec, mono 16-bit subset):
+  /** Write one FIXED-predictor subframe (order 0–2 chosen by total
+    * |residual|, single-partition Rice with a size-minimizing parameter,
+    * raw escape when cheaper) at an arbitrary bit depth — side channels
+    * in stereo assignments carry bps+1. */
+  private def writeFlacSubframe(
+      sw: BitWriter, block: Array[Int], bps: Int): Unit = {
+    val n = block.length
+    val maxOrder = math.min(2, n - 1)
+    val order = (0 to maxOrder).minBy { o =>
+      var s = 0L; var i = o
+      while (i < n) { s += math.abs(fixedResidual(block, i, o)); i += 1 }
+      s
+    }
+    val res = Array.tabulate(n - order)(j =>
+      fixedResidual(block, j + order, order))
+    val folded = res.map(e => (e << 1) ^ (e >> 63)) // zigzag
+    val (k, riceBits) = (0 to 14).map { k =>
+      (k, folded.map(u => (u >>> k) + 1 + k).sum)
+    }.minBy(_._2)
+    // raw escape width: an order-o residual of bps-bit input spans at
+    // most bps + o + 1 bits signed (Σ|binomial coefficients| = 2^o)
+    val rawBits = bps + order + 1
+    val escape = riceBits > (5L + rawBits.toLong * folded.length)
+    sw.put(0, 1); sw.put(8 + order, 6); sw.put(0, 1)
+    var i = 0
+    while (i < order) {
+      sw.put(block(i).toLong & ((1L << bps) - 1), bps); i += 1
+    }
+    sw.put(0, 2) // residual method: 4-bit rice
+    sw.put(0, 4) // partition order 0
+    if (escape) {
+      sw.put(0xf, 4) // escape
+      sw.put(rawBits.toLong, 5)
+      res.foreach(e => sw.put(e & ((1L << rawBits) - 1), rawBits))
+    } else {
+      sw.put(k.toLong, 4)
+      folded.foreach { u => sw.putUnary(u >>> k); sw.put(u & ((1L << k) - 1), k) }
+    }
+  }
+
+  /** Build one complete FLAC frame — header (sync, fixed-blocksize
+    * strategy, 16-bit blocksize-at-end, rate-from-STREAMINFO, the given
+    * channel-assignment code, 16-bit sample size, UTF-8 frame number,
+    * CRC-8), the channel subframes at their per-assignment bit depths,
+    * byte alignment, CRC-16. */
+  private def flacFrame(
+      chanCode: Int, frameIdx: Long,
+      channels: Seq[(Array[Int], Int)]): Array[Byte] = {
+    val n = channels.head._1.length
+    val w = new BitWriter
+    w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
+    w.put(0x7, 4) // blocksize: 16-bit value-1 at header end
+    w.put(0x0, 4) // sample rate: from STREAMINFO
+    w.put(chanCode.toLong, 4)
+    w.put(0x4, 3) // sample size: 16 bit
+    w.put(0, 1) // reserved
+    val fn = frameIdx
+    if (fn < 0x80) w.put(fn, 8)
+    else if (fn < 0x800) { w.put(0xc0 | (fn >> 6), 8); w.put(0x80 | (fn & 0x3f), 8) }
+    else {
+      w.put(0xe0 | (fn >> 12), 8); w.put(0x80 | ((fn >> 6) & 0x3f), 8)
+      w.put(0x80 | (fn & 0x3f), 8)
+    }
+    w.put(n - 1L, 16)
+    val headBytes = w.bytes // byte-aligned by construction
+    val sw = new BitWriter
+    channels.foreach { case (block, bps) => writeFlacSubframe(sw, block, bps) }
+    val subBytes = sw.bytes // align() pads to a byte boundary
+    val frame = headBytes ++
+      Array(flacCrc8(headBytes, 0, headBytes.length).toByte) ++ subBytes
+    val crc = flacCrc16(frame, 0, frame.length)
+    frame ++ Array((crc >> 8).toByte, (crc & 0xff).toByte)
+  }
+
+  /** REAL FLAC encoder (FLAC format spec, mono 16-bit):
     * STREAMINFO ([[flacHeader]]) followed by fixed-blocksize frames,
-    * each one subframe choosing the best FIXED predictor (order 0–2 by
-    * total folded-residual magnitude) with a single-partition Rice
-    * residual (4-bit parameter chosen to minimize the emitted bits,
-    * escape code when raw is cheaper) — genuinely compressed, spec-
-    * layout output with real CRC-8 header and CRC-16 frame checksums.
+    * each one FIXED-predictor subframe with Rice residuals — genuinely
+    * compressed, spec-layout output with real CRC-8/CRC-16 checksums.
     * The round-trip twin of [[flacDecode]]; q330/q331 gate the pair
     * against arithmetic oracles and the WAV path. */
   def flacEncode(
@@ -1913,98 +2013,184 @@ object Multimodal {
   ): Array[Byte] = {
     require(blockSize >= 16 && blockSize <= 65536,
       s"blockSize out of range: $blockSize")
-    val header = flacHeader(sampleRate, 1, 16, samples.length.toLong)
     val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
-    out ++= header
+    out ++= flacHeader(sampleRate, 1, 16, samples.length.toLong)
     var frameIdx = 0L
     var off = 0
-    while (off < samples.length || (samples.isEmpty && frameIdx == 0)) {
+    while (off < samples.length) {
       val n = math.min(blockSize, samples.length - off)
-      if (n <= 0) return out.toArray
       val block = Array.tabulate(n)(j => samples(off + j).toInt)
-      // pick the fixed order with the smallest total |residual|
-      val maxOrder = math.min(2, n - 1)
-      val order = (0 to maxOrder).minBy { o =>
-        var s = 0L; var i = o
-        while (i < n) { s += math.abs(fixedResidual(block, i, o)); i += 1 }
-        s
-      }
-      val res = Array.tabulate(n - order)(j =>
-        fixedResidual(block, j + order, order))
-      val folded = res.map(e => (e << 1) ^ (e >> 63)) // zigzag
-      // rice parameter minimizing emitted bits; 15 is the escape code
-      val (k, riceBits) = (0 to 14).map { k =>
-        (k, folded.map(u => (u >>> k) + 1 + k).sum)
-      }.minBy(_._2)
-      val escape = riceBits > (5L + 17L * folded.length) // raw 17-bit cheaper
-      val w = new BitWriter
-      // frame header: sync(14) 11111111111110, reserved 0, strategy 0
-      w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
-      w.put(0x7, 4) // blocksize: 16-bit value-1 at header end
-      w.put(0x0, 4) // sample rate: from STREAMINFO
-      w.put(0x0, 4) // channels: mono
-      w.put(0x4, 3) // sample size: 16 bit
-      w.put(0, 1) // reserved
-      // UTF-8-coded frame number (fixed-blocksize strategy)
-      val fn = frameIdx
-      if (fn < 0x80) w.put(fn, 8)
-      else if (fn < 0x800) { w.put(0xc0 | (fn >> 6), 8); w.put(0x80 | (fn & 0x3f), 8) }
-      else {
-        w.put(0xe0 | (fn >> 12), 8); w.put(0x80 | ((fn >> 6) & 0x3f), 8)
-        w.put(0x80 | (fn & 0x3f), 8)
-      }
-      w.put(n - 1L, 16) // blocksize-1
-      val headBytes = w.bytes // byte-aligned here by construction
-      out ++= headBytes
-      out += flacCrc8(headBytes, 0, headBytes.length).toByte
-      // subframe: fixed(order), no wasted bits
-      val sw = new BitWriter
-      sw.put(0, 1); sw.put(8 + order, 6); sw.put(0, 1)
-      var i = 0
-      while (i < order) { sw.put(block(i).toLong & 0xffff, 16); i += 1 }
-      sw.put(0, 2) // residual method: 4-bit rice
-      sw.put(0, 4) // partition order 0
-      if (escape) {
-        sw.put(0xf, 4) // escape
-        sw.put(17, 5) // raw residual bit width
-        res.foreach(e => sw.put(e & 0x1ffff, 17))
-      } else {
-        sw.put(k.toLong, 4)
-        folded.foreach { u => sw.putUnary(u >>> k); sw.put(u & ((1L << k) - 1), k) }
-      }
-      val subBytes = sw.bytes // align() pads the frame to a byte boundary
-      out ++= subBytes
-      val frameStart = out.length - headBytes.length - 1 - subBytes.length
-      val crc = flacCrc16(out.toArray, frameStart, out.length)
-      out += (crc >> 8).toByte; out += (crc & 0xff).toByte
+      out ++= flacFrame(0x0, frameIdx, Seq((block, 16)))
       frameIdx += 1
       off += n
     }
     out.toArray
   }
 
-  /** REAL FLAC decoder (pure JVM, no codec library): metadata-block
-    * skip, then per frame — header bitfields (all blocksize codes, the
-    * sample-rate codes including the 8/16-bit trailing forms, UTF-8
-    * frame number, CRC-8 verify), one subframe of ANY spec type
-    * (CONSTANT, VERBATIM, FIXED 0–4, LPC with signed quantized
-    * coefficients and shift), wasted-bits unary, Rice residuals in both
-    * 4- and 5-bit parameter forms plus the raw escape, partition orders
-    * ≥ 0, and the frame CRC-16 verify. Returns (sample_rate, samples).
+  /** Stereo FLAC encoder covering ALL FOUR spec channel assignments:
+    * `independent` (code 0001 — two plain subframes), `left-side`
+    * (1000: left + the 17-bit side = L−R), `right-side` (1001: side +
+    * right), `mid-side` (1010: mid = (L+R)>>1 carrying the side's low
+    * bit, side 17-bit). The decorrelated modes are where FLAC's stereo
+    * compression lives; [[flacDecodeStereo]] must reconstruct L/R
+    * exactly under every mode (unit-pinned) and the downmix chain is
+    * gated by q334. */
+  def flacEncodeStereo(
+      sampleRate: Long, left: Array[Short], right: Array[Short],
+      blockSize: Int = 4096, mode: String = "mid-side"
+  ): Array[Byte] = {
+    require(left.length == right.length,
+      s"channel length mismatch: ${left.length} vs ${right.length}")
+    require(blockSize >= 16 && blockSize <= 65536,
+      s"blockSize out of range: $blockSize")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= flacHeader(sampleRate, 2, 16, left.length.toLong)
+    var frameIdx = 0L
+    var off = 0
+    while (off < left.length) {
+      val n = math.min(blockSize, left.length - off)
+      val l = Array.tabulate(n)(j => left(off + j).toInt)
+      val r = Array.tabulate(n)(j => right(off + j).toInt)
+      val (code, chans) = mode match {
+        case "independent" => (0x1, Seq((l, 16), (r, 16)))
+        case "left-side" =>
+          (0x8, Seq((l, 16), (Array.tabulate(n)(j => l(j) - r(j)), 17)))
+        case "right-side" =>
+          (0x9, Seq((Array.tabulate(n)(j => l(j) - r(j)), 17), (r, 16)))
+        case "mid-side" =>
+          (0xa, Seq((Array.tabulate(n)(j => (l(j) + r(j)) >> 1), 16),
+            (Array.tabulate(n)(j => l(j) - r(j)), 17)))
+        case other =>
+          throw new IllegalArgumentException(s"unknown stereo mode: $other")
+      }
+      out ++= flacFrame(code, frameIdx, chans)
+      frameIdx += 1
+      off += n
+    }
+    out.toArray
+  }
+
+  /** Decode ONE FLAC subframe (any spec type) at the given bit depth:
+    * CONSTANT, VERBATIM, FIXED 0–4, LPC with signed quantized
+    * coefficients and shift, wasted-bits unary, Rice residuals in both
+    * 4- and 5-bit parameter forms plus the raw escape, partition
+    * orders ≥ 0. Returns the reconstructed samples or None on any
+    * malformed shape (reads ride the sticky-overrun [[BitReader]]). */
+  private def decodeFlacSubframe(
+      r: BitReader, n: Int, baseBps: Int): Option[Array[Int]] = {
+    if (r.bits(1) != 0) return None // padding bit
+    val sfType = r.bits(6).toInt
+    val wasted = if (r.bits(1) == 1L) (r.unary() + 1).toInt else 0
+    val effBps = baseBps - wasted
+    if (effBps <= 0 || effBps > 32) return None
+    val block = new Array[Int](n)
+    def readResiduals(order: Int): Boolean = {
+      val method = r.bits(2).toInt
+      if (method > 1) return false
+      val pBits = if (method == 0) 4 else 5
+      val escParam = if (method == 0) 0xf else 0x1f
+      val partOrder = r.bits(4).toInt
+      val nPart = 1 << partOrder
+      if ((n & (nPart - 1)) != 0 || n >> partOrder <= 0) return false
+      var idx = order
+      var p = 0
+      while (p < nPart) {
+        val cnt = (n >> partOrder) - (if (p == 0) order else 0)
+        if (cnt < 0) return false
+        val param = r.bits(pBits).toInt
+        if (param == escParam) {
+          val raw = r.bits(5).toInt
+          var j = 0
+          while (j < cnt) {
+            block(idx) = r.signedBits(raw).toInt; idx += 1; j += 1
+          }
+        } else {
+          var j = 0
+          while (j < cnt) {
+            val q = r.unary()
+            val u = (q << param) | r.bits(param)
+            block(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // unzigzag
+            idx += 1; j += 1
+          }
+        }
+        p += 1
+      }
+      r.ok
+    }
+    sfType match {
+      case 0 => // CONSTANT
+        val v = r.signedBits(effBps).toInt
+        java.util.Arrays.fill(block, v)
+      case 1 => // VERBATIM
+        var j = 0
+        while (j < n) { block(j) = r.signedBits(effBps).toInt; j += 1 }
+      case t if t >= 8 && t <= 12 => // FIXED order 0-4
+        val order = t - 8
+        if (order > n) return None
+        var j = 0
+        while (j < order) { block(j) = r.signedBits(effBps).toInt; j += 1 }
+        if (!readResiduals(order)) return None
+        var k2 = order
+        while (k2 < n) {
+          val pred = order match {
+            case 0 => 0L
+            case 1 => block(k2 - 1).toLong
+            case 2 => 2L * block(k2 - 1) - block(k2 - 2)
+            case 3 => 3L * block(k2 - 1) - 3L * block(k2 - 2) + block(k2 - 3)
+            case _ => 4L * block(k2 - 1) - 6L * block(k2 - 2) +
+              4L * block(k2 - 3) - block(k2 - 4)
+          }
+          block(k2) = (block(k2) + pred).toInt
+          k2 += 1
+        }
+      case t if t >= 32 => // LPC, order = low 5 bits + 1
+        val order = (t & 0x1f) + 1
+        if (order > n) return None
+        var j = 0
+        while (j < order) { block(j) = r.signedBits(effBps).toInt; j += 1 }
+        val precision = r.bits(4).toInt + 1
+        if (precision == 16) return None // 1111 is invalid per spec
+        val shift = r.signedBits(5).toInt
+        if (shift < 0) return None
+        val coefs = Array.fill(order)(r.signedBits(precision))
+        if (!readResiduals(order)) return None
+        var k2 = order
+        while (k2 < n) {
+          var acc = 0L
+          var c = 0
+          while (c < order) { acc += coefs(c) * block(k2 - 1 - c); c += 1 }
+          block(k2) = (block(k2) + (acc >> shift)).toInt
+          k2 += 1
+        }
+      case _ => return None // reserved type
+    }
+    if (!r.ok) return None
+    if (wasted > 0) {
+      var j = 0
+      while (j < n) { block(j) = block(j) << wasted; j += 1 }
+    }
+    Some(block)
+  }
+
+  /** REAL FLAC decoder (pure JVM, no codec library), mono and stereo:
+    * metadata-block skip, then per frame — header bitfields (all
+    * blocksize codes, the sample-rate codes including the 8/16-bit
+    * trailing forms, UTF-8 frame numbers, CRC-8 verify), the channel
+    * subframes ([[decodeFlacSubframe]] — every spec subframe type),
+    * stereo decorrelation for ALL FOUR assignments (independent,
+    * left/side, right/side, mid/side with the 17-bit side channel), and
+    * the frame CRC-16 verify. Returns (sample_rate, one Array[Short]
+    * per channel).
     *
-    * Honesty scope: MONO 16-bit streams only — multichannel assignments
-    * (independent, left/right/mid-side) return None rather than a wrong
-    * downmix ([[pcmDownmix]] is the explicit normalization step); the
-    * lossless guarantee is the point — q330 proves decode(encode(x)) ≡ x
-    * sample-for-sample against the WAV path. Totality: every read is
+    * Honesty scope: 16-bit streams with 1–2 channels — >2-channel
+    * layouts return None rather than a wrong fold. Totality: every read
     * bounds-checked through the sticky-overrun [[BitReader]], unary
-    * runs are capped, CRC mismatches and reserved codes end the decode
-    * with None — fuzz-pinned next to the other parsers. */
-  def flacDecode(bytes: Array[Byte]): Option[(Long, Array[Short])] = {
+    * runs capped, CRC mismatches and reserved codes end the decode with
+    * None — fuzz-pinned next to the other parsers. */
+  def flacDecodeFrames(bytes: Array[Byte]): Option[(Long, Seq[Array[Short]])] = {
     parseFlacHeader(bytes) match {
       case Some((rate, channels, bits, nTotal))
-          if channels == 1 && bits == 16 =>
-        // skip metadata blocks
+          if (channels == 1 || channels == 2) && bits == 16 =>
         var i = 4
         var last = false
         while (!last) {
@@ -2015,8 +2201,10 @@ object Multimodal {
           i += 4 + len
           if (i > bytes.length) return None
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[Short]
-        while ((nTotal == 0L || out.length < nTotal) && i + 5 <= bytes.length) {
+        val outs = Array.fill(channels.toInt)(
+          scala.collection.mutable.ArrayBuffer.empty[Short])
+        while ((nTotal == 0L || outs(0).length < nTotal) &&
+            i + 5 <= bytes.length) {
           val frameStart = i
           val r = new BitReader(bytes, i)
           if (r.bits(14) != 0x3ffe) return None // lost sync
@@ -2027,9 +2215,19 @@ object Multimodal {
           val chan = r.bits(4).toInt
           val ssCode = r.bits(3).toInt
           r.bits(1) // reserved
-          if (chan != 0) return None // mono honesty scope
+          // per-channel base bit depths from the assignment: the side
+          // channel of the decorrelated stereo modes carries bps+1
+          val chanBps: Seq[Int] = chan match {
+            case 0x0 => Seq(16)
+            case 0x1 => Seq(16, 16)
+            case 0x8 => Seq(16, 17) // left/side
+            case 0x9 => Seq(17, 16) // side/right
+            case 0xa => Seq(16, 17) // mid/side
+            case _ => return None   // >2 channels or reserved
+          }
+          if (chanBps.length != channels.toInt) return None
           val bps = ssCode match {
-            case 0 => 16L // from STREAMINFO (checked above)
+            case 0 => 16L
             case 1 => 8L
             case 2 => 12L
             case 4 => 16L
@@ -2039,7 +2237,6 @@ object Multimodal {
             case _ => return None
           }
           if (bps != 16L) return None
-          // UTF-8 coded frame/sample number: first byte's leading ones
           val b0 = r.bits(8).toInt
           val extra =
             if ((b0 & 0x80) == 0) 0
@@ -2073,115 +2270,74 @@ object Multimodal {
           val crc8 = r.bits(8).toInt
           if (!r.ok || flacCrc8(bytes, frameStart, crc8At) != crc8) return None
           if (blockSize <= 0 || blockSize > (1L << 20)) return None
-          // ---- one subframe (mono) ----
-          if (r.bits(1) != 0) return None // padding bit
-          val sfType = r.bits(6).toInt
-          val wasted =
-            if (r.bits(1) == 1L) (r.unary() + 1).toInt else 0
-          val effBps = 16 - wasted
-          if (effBps <= 0) return None
           val n = blockSize.toInt
-          val block = new Array[Int](n)
-          def readResiduals(order: Int): Boolean = {
-            val method = r.bits(2).toInt
-            if (method > 1) return false
-            val pBits = if (method == 0) 4 else 5
-            val escParam = if (method == 0) 0xf else 0x1f
-            val partOrder = r.bits(4).toInt
-            val nPart = 1 << partOrder
-            if ((n & (nPart - 1)) != 0 || n >> partOrder <= 0) return false
-            var idx = order
-            var p = 0
-            while (p < nPart) {
-              val cnt = (n >> partOrder) - (if (p == 0) order else 0)
-              if (cnt < 0) return false
-              val param = r.bits(pBits).toInt
-              if (param == escParam) {
-                val raw = r.bits(5).toInt
-                var j = 0
-                while (j < cnt) {
-                  block(idx) = r.signedBits(raw).toInt; idx += 1; j += 1
-                }
-              } else {
-                var j = 0
-                while (j < cnt) {
-                  val q = r.unary()
-                  val u = (q << param) | r.bits(param)
-                  block(idx) = ((u >>> 1) ^ -(u & 1L)).toInt // unzigzag
-                  idx += 1; j += 1
-                }
-              }
-              p += 1
-            }
-            r.ok
-          }
-          sfType match {
-            case 0 => // CONSTANT
-              val v = r.signedBits(effBps).toInt
-              java.util.Arrays.fill(block, v)
-            case 1 => // VERBATIM
-              var j = 0
-              while (j < n) { block(j) = r.signedBits(effBps).toInt; j += 1 }
-            case t if t >= 8 && t <= 12 => // FIXED order 0-4
-              val order = t - 8
-              if (order > n) return None
-              var j = 0
-              while (j < order) { block(j) = r.signedBits(effBps).toInt; j += 1 }
-              if (!readResiduals(order)) return None
-              var k2 = order
-              while (k2 < n) {
-                val pred = order match {
-                  case 0 => 0L
-                  case 1 => block(k2 - 1).toLong
-                  case 2 => 2L * block(k2 - 1) - block(k2 - 2)
-                  case 3 => 3L * block(k2 - 1) - 3L * block(k2 - 2) + block(k2 - 3)
-                  case _ => 4L * block(k2 - 1) - 6L * block(k2 - 2) +
-                    4L * block(k2 - 3) - block(k2 - 4)
-                }
-                block(k2) = (block(k2) + pred).toInt
-                k2 += 1
-              }
-            case t if t >= 32 => // LPC, order = low 5 bits + 1
-              val order = (t & 0x1f) + 1
-              if (order > n) return None
-              var j = 0
-              while (j < order) { block(j) = r.signedBits(effBps).toInt; j += 1 }
-              val precision = r.bits(4).toInt + 1
-              if (precision == 16) return None // 1111 is invalid per spec
-              val shift = r.signedBits(5).toInt
-              if (shift < 0) return None
-              val coefs = Array.fill(order)(r.signedBits(precision))
-              if (!readResiduals(order)) return None
-              var k2 = order
-              while (k2 < n) {
-                var acc = 0L
-                var c = 0
-                while (c < order) { acc += coefs(c) * block(k2 - 1 - c); c += 1 }
-                block(k2) = (block(k2) + (acc >> shift)).toInt
-                k2 += 1
-              }
-            case _ => return None // reserved type
-          }
-          if (!r.ok) return None
+          val decoded = chanBps.map(bd => decodeFlacSubframe(r, n, bd))
+          if (decoded.exists(_.isEmpty) || !r.ok) return None
+          val chs = decoded.map(_.get)
           r.alignToByte()
           val crc16At = r.bytePos
           if (crc16At + 2 > bytes.length) return None
           val crc16 = ((bytes(crc16At) & 0xff) << 8) | (bytes(crc16At + 1) & 0xff)
           if (flacCrc16(bytes, frameStart, crc16At) != crc16) return None
-          var j = 0
-          while (j < n) {
-            val v = block(j) << wasted
-            if (v < Short.MinValue || v > Short.MaxValue) return None
-            out += v.toShort
-            j += 1
+          // undo stereo decorrelation, then bound-check to 16 bits
+          val (lr0, lr1) = chan match {
+            case 0x8 => // left/side: R = L - side
+              val l = chs(0); val sd = chs(1)
+              (l, Array.tabulate(n)(j => l(j) - sd(j)))
+            case 0x9 => // side/right: L = R + side
+              val sd = chs(0); val rr = chs(1)
+              (Array.tabulate(n)(j => rr(j) + sd(j)), rr)
+            case 0xa => // mid/side: mid2 = (mid<<1)|(side&1)
+              val mid = chs(0); val sd = chs(1)
+              val l = Array.tabulate(n) { j =>
+                (((mid(j) << 1) | (sd(j) & 1)) + sd(j)) >> 1
+              }
+              val rr = Array.tabulate(n) { j =>
+                (((mid(j) << 1) | (sd(j) & 1)) - sd(j)) >> 1
+              }
+              (l, rr)
+            case _ => (chs(0), if (chs.length > 1) chs(1) else null)
+          }
+          val perChan: Seq[Array[Int]] =
+            if (channels == 1L) Seq(lr0) else Seq(lr0, lr1)
+          var c = 0
+          while (c < perChan.length) {
+            val arr = perChan(c)
+            var j = 0
+            while (j < n) {
+              val v = arr(j)
+              if (v < Short.MinValue || v > Short.MaxValue) return None
+              outs(c) += v.toShort
+              j += 1
+            }
+            c += 1
           }
           i = crc16At + 2
         }
-        if (nTotal > 0L && out.length != nTotal) None
-        else Some((rate, out.toArray))
+        if (nTotal > 0L && outs(0).length != nTotal) None
+        else Some((rate, outs.toSeq.map(_.toArray)))
       case _ => None
     }
   }
+
+  /** Mono 16-bit FLAC decode — [[flacDecodeFrames]] restricted to one
+    * channel; the form the PCM operator family consumes through
+    * [[decodePcm16Mono]]. */
+  def flacDecode(bytes: Array[Byte]): Option[(Long, Array[Short])] =
+    flacDecodeFrames(bytes) match {
+      case Some((rate, Seq(mono))) => Some((rate, mono))
+      case _ => None
+    }
+
+  /** Stereo 16-bit FLAC decode: (sample_rate, left, right) — exact
+    * under every channel assignment; feeds [[pcmDownmix]]'s FLAC arm
+    * (q334). */
+  def flacDecodeStereo(
+      bytes: Array[Byte]): Option[(Long, Array[Short], Array[Short])] =
+    flacDecodeFrames(bytes) match {
+      case Some((rate, Seq(l, r))) => Some((rate, l, r))
+      case _ => None
+    }
 
   /** Normalize any decodable mono-16-bit audio blob to (sample_rate,
     * samples): RIFF/WAVE via the chunk walk, FLAC via the REAL frame

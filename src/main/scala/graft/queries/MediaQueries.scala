@@ -1422,6 +1422,62 @@ object MediaQueries {
       FROM agg ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q334
+  /** Stereo FLAC under the hash gate — q323's downmix fixture delivered
+    * as REAL stereo FLAC cycling ALL FOUR spec channel assignments by
+    * doc_id%4 (independent / left-side / right-side / mid-side — the
+    * decorrelated modes carry a 17-bit side channel the decoder must
+    * reconstruct exactly): [[graft.ops.Multimodal.flacDecodeStereo]]
+    * inside [[graft.ops.Multimodal.pcmDownmix]] → (L+R)/2 truncating →
+    * mono WAV → [[graft.ops.Multimodal.pcmStats]]. The oracle is
+    * q323's arithmetic verbatim — the downmix result cannot depend on
+    * the container or the assignment, which is exactly the lossless
+    * claim for the stereo decode path. */
+  private val q334 = Q(
+    "q334_audio_downmix_flac",
+    (s, dir) => {
+      import s.implicits._
+      val modes = Array("independent", "left-side", "right-side", "mid-side")
+      val flacs = Lake(s, dir).documents
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id % 30
+          val n = (180 + k % 60).toInt
+          val left = Array.tabulate(n)(i =>
+            (((k * 31 + i * 17) % 2048) - 1024).toShort)
+          val right = Array.tabulate(n)(i =>
+            (1024 - ((k * 19 + i * 23) % 2048)).toShort)
+          (id, Multimodal.flacEncodeStereo(16000L, left, right,
+            blockSize = 64, mode = modes((id % 4).toInt)))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.pcmStats(
+        Multimodal.pcmDownmix(flacs, "doc_id", "media").toDF(),
+        "doc_id", "media")
+        .toDF().orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, doc_id % 30 AS k, 180 + (doc_id % 30) % 60 AS n
+        FROM documents WHERE doc_id < 400),
+      mixed AS (
+        SELECT doc_id,
+          (((k * 31 + t.i * 17) % 2048 - 1024)
+           + (1024 - (k * 19 + t.i * 23) % 2048)) // 2 AS s
+        FROM ids, unnest(generate_series(0, n - 1)) AS t(i)),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n, MAX(abs(s)) AS peak,
+               SUM(abs(s)) AS sum_abs, SUM(s * s) AS sum_sq
+        FROM mixed GROUP BY doc_id)
+      SELECT doc_id,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(peak AS BIGINT) AS peak,
+        CAST(sum_abs AS BIGINT) AS sum_abs,
+        CAST(sum_sq // n AS BIGINT) AS mean_sq
+      FROM agg ORDER BY doc_id""")
+  )
+
   // --------------------------------------------------------------- q324
   /** Composed media release pipeline — the image twin of q200's text
     * release gate, every stage a count the oracle can restate: 600
@@ -1774,5 +1830,5 @@ object MediaQueries {
 
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
     q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327,
-    q328, q329, q330, q331, q332)
+    q328, q329, q330, q331, q332, q334)
 }

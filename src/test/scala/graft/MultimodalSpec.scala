@@ -344,6 +344,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(flacDecode(flacHeader(8000L, 2, 16, 0)).isEmpty)
   }
 
+  test("FLAC stereo: all four channel assignments round-trip exactly; downmix ≡ WAV") {
+    import Multimodal._
+    val n = 500
+    val left = Array.tabulate(n)(i => ((i * 131) % 1999 - 999).toShort)
+    val right = Array.tabulate(n)(i => ((i * 37 + 7) % 1777 - 888).toShort)
+    for (mode <- Seq("independent", "left-side", "right-side", "mid-side")) {
+      val flac = flacEncodeStereo(16000L, left, right, 96, mode)
+      val (rate, l, r) = flacDecodeStereo(flac).get
+      assert(rate == 16000L)
+      assert(l.toSeq == left.toSeq, s"left channel lossy under $mode")
+      assert(r.toSeq == right.toSeq, s"right channel lossy under $mode")
+      // the mono wrapper refuses stereo; the stereo wrapper is exact
+      assert(flacDecode(flac).isEmpty)
+    }
+    // extremes through the decorrelated modes: the 17-bit side channel
+    // must carry L−R spans up to ±65534 without wrap
+    val lx = Array.tabulate(64)(i =>
+      (if (i % 2 == 0) Short.MaxValue else Short.MinValue))
+    val rx = Array.tabulate(64)(i =>
+      (if (i % 2 == 0) Short.MinValue else Short.MaxValue))
+    for (mode <- Seq("left-side", "right-side", "mid-side")) {
+      val (_, l2, r2) = flacDecodeStereo(
+        flacEncodeStereo(8000L, lx, rx, 32, mode)).get
+      assert(l2.toSeq == lx.toSeq && r2.toSeq == rx.toSeq,
+        s"extreme side channel lossy under $mode")
+    }
+    // downmix: FLAC stereo lands on exactly the WAV stereo answer
+    val both = Seq(
+      (1L, pcm16WavStereo(16000L, left, right)),
+      (2L, flacEncodeStereo(16000L, left, right, 128, "mid-side")))
+      .toDF("doc_id", "media")
+    val mixed = pcmDownmix(both, "doc_id", "media").collect()
+      .map(d => d.doc_id -> d.media.toSeq).toMap
+    assert(mixed(1L) == mixed(2L),
+      "downmix diverges between WAV and FLAC stereo")
+    // mono FLAC refuses the stereo decode path and vice versa
+    assert(flacDecodeStereo(flacEncode(8000L, left, 128)).isEmpty)
+  }
+
   test("FLAC decoder: hand-crafted LPC subframe with 5-bit-rice residuals") {
     import Multimodal._
     // order-1 LPC, coefficient 1, shift 0 → prediction = previous sample,

@@ -796,7 +796,9 @@ class PropertySpec extends SparkTestBase {
       ("parseY4mHeader", Multimodal.parseY4mHeader _),
       ("parseFlacHeader", Multimodal.parseFlacHeader _),
       ("flacDecode", Multimodal.flacDecode _),
+      ("flacDecodeStereo", Multimodal.flacDecodeStereo _),
       ("decodePcm16Mono", Multimodal.decodePcm16Mono _),
+      ("decodePcm16Stereo", Multimodal.decodePcm16Stereo _),
       ("parseMp3Header", Multimodal.parseMp3Header _),
       ("parseOpusHead", Multimodal.parseOpusHead _),
       ("parseMp4Header", Multimodal.parseMp4Header _),
@@ -834,7 +836,11 @@ class PropertySpec extends SparkTestBase {
         Multimodal.Mp4TrackSpec(1, 32, 16, 1000, 300,
           Seq((3L, 100L)), Seq(1L, 3L)))),
       Multimodal.flacEncode(8000L,
-        Array.tabulate(200)(i => ((i * 37) % 995 - 497).toShort), 64))
+        Array.tabulate(200)(i => ((i * 37) % 995 - 497).toShort), 64),
+      Multimodal.flacEncodeStereo(8000L,
+        Array.tabulate(120)(i => ((i * 31) % 801 - 400).toShort),
+        Array.tabulate(120)(i => ((i * 53) % 601 - 300).toShort),
+        48, "mid-side"))
     real.foreach { full =>
       (0 to full.length by math.max(1, full.length / 23)).foreach { cut =>
         val b = full.take(cut)
