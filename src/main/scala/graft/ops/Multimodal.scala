@@ -2631,7 +2631,10 @@ object Multimodal {
   final case class Mp4Track(
       trackId: Long, width: Long, height: Long,
       mediaTimescale: Long, mediaDuration: Long,
-      stts: Seq[(Long, Long)], stss: Seq[Long])
+      stts: Seq[(Long, Long)], stss: Seq[Long],
+      sampleSizes: Seq[Long] = Nil,          // stsz, materialized per sample
+      stsc: Seq[(Long, Long)] = Nil,         // (first_chunk, samples_per_chunk)
+      chunkOffsets: Seq[Long] = Nil)         // stco / co64
 
   /** Deep ISO BMFF walk (ISO/IEC 14496-12) — [[parseMp4Header]]'s
     * track-level extension: recurse `moov → trak → {tkhd, mdia → {mdhd,
@@ -2662,6 +2665,9 @@ object Multimodal {
       var ts: Long = 0L; var dur: Long = 0L
       val stts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       val stss = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val stsz = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val stsc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val stco = scala.collection.mutable.ArrayBuffer.empty[Long]
     }
     val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
     var cur: Cur = null
@@ -2685,7 +2691,8 @@ object Multimodal {
             walk(payload, boxEnd, "trak" :: path)
             if (cur.id >= 0 && cur.ts > 0)
               tracks += Mp4Track(cur.id, cur.w, cur.h, cur.ts, cur.dur,
-                cur.stts.toSeq, cur.stss.toSeq)
+                cur.stts.toSeq, cur.stss.toSeq, cur.stsz.toSeq,
+                cur.stsc.toSeq, cur.stco.toSeq)
             cur = null
           case ("mdia", "trak" :: _) => walk(payload, boxEnd, "mdia" :: path)
           case ("minf", "mdia" :: _) => walk(payload, boxEnd, "minf" :: path)
@@ -2727,6 +2734,49 @@ object Multimodal {
                 while (e < n) { cur.stss += u32(p + 8 + e * 4); e += 1 }
               }
             }
+          case ("stsz", "stbl" :: _) if cur != null =>
+            // u32 uniform sample_size (0 = per-sample table), u32 count;
+            // a uniform size materializes count entries — count is still
+            // bounds-capped (a 4-billion count expands nothing)
+            if (payload + 12 <= boxEnd) {
+              val uniform = u32(p + 4)
+              val n = u32(p + 8)
+              if (uniform > 0 && n >= 0 && n <= (1L << 20)) {
+                var e = 0L
+                while (e < n) { cur.stsz += uniform; e += 1 }
+              } else if (uniform == 0 && n >= 0 &&
+                  payload + 12 + n * 4 <= boxEnd) {
+                var e = 0
+                while (e < n) { cur.stsz += u32(p + 12 + e * 4); e += 1 }
+              }
+            }
+          case ("stsc", "stbl" :: _) if cur != null =>
+            if (payload + 8 <= boxEnd) {
+              val n = u32(p + 4)
+              if (n >= 0 && payload + 8 + n * 12 <= boxEnd) {
+                var e = 0
+                while (e < n) { // (first_chunk, samples_per_chunk); desc idx skipped
+                  cur.stsc += ((u32(p + 8 + e * 12), u32(p + 12 + e * 12)))
+                  e += 1
+                }
+              }
+            }
+          case ("stco", "stbl" :: _) if cur != null =>
+            if (payload + 8 <= boxEnd) {
+              val n = u32(p + 4)
+              if (n >= 0 && payload + 8 + n * 4 <= boxEnd) {
+                var e = 0
+                while (e < n) { cur.stco += u32(p + 8 + e * 4); e += 1 }
+              }
+            }
+          case ("co64", "stbl" :: _) if cur != null =>
+            if (payload + 8 <= boxEnd) {
+              val n = u32(p + 4)
+              if (n >= 0 && payload + 8 + n * 8 <= boxEnd) {
+                var e = 0
+                while (e < n) { cur.stco += u64(p + 8 + e * 8); e += 1 }
+              }
+            }
           case _ => ()
         }
         i = boxEnd
@@ -2741,7 +2791,10 @@ object Multimodal {
   final case class Mp4TrackSpec(
       trackId: Long, width: Long, height: Long,
       mediaTimescale: Long, mediaDuration: Long,
-      stts: Seq[(Long, Long)], stss: Seq[Long])
+      stts: Seq[(Long, Long)], stss: Seq[Long],
+      sampleSizes: Seq[Long] = Nil,
+      stsc: Seq[(Long, Long)] = Nil,
+      chunkOffsets: Seq[Long] = Nil)
 
   /** Build a real ISO BMFF structural skeleton: `ftyp` + `moov { mvhd,
     * trak { tkhd, mdia { mdhd, minf { stbl { stts [, stss] } } } }* }`
@@ -2815,7 +2868,33 @@ object Multimodal {
           t.stss.foreach(s => b.putInt(s.toInt))
           full("stss", b)
         }
-      val stbl = box("stbl", stts ++ stss)
+      val stsz =
+        if (t.sampleSizes.isEmpty) Array.emptyByteArray
+        else {
+          val b = java.nio.ByteBuffer.allocate(12 + t.sampleSizes.size * 4)
+          b.putInt(0).putInt(0).putInt(t.sampleSizes.size) // per-sample table
+          t.sampleSizes.foreach(s => b.putInt(s.toInt))
+          full("stsz", b)
+        }
+      val stsc =
+        if (t.stsc.isEmpty) Array.emptyByteArray
+        else {
+          val b = java.nio.ByteBuffer.allocate(8 + t.stsc.size * 12)
+          b.putInt(0).putInt(t.stsc.size)
+          t.stsc.foreach { case (fc, spc) =>
+            b.putInt(fc.toInt).putInt(spc.toInt).putInt(1)
+          }
+          full("stsc", b)
+        }
+      val stco =
+        if (t.chunkOffsets.isEmpty) Array.emptyByteArray
+        else {
+          val b = java.nio.ByteBuffer.allocate(8 + t.chunkOffsets.size * 4)
+          b.putInt(0).putInt(t.chunkOffsets.size)
+          t.chunkOffsets.foreach(o => b.putInt(o.toInt))
+          full("stco", b)
+        }
+      val stbl = box("stbl", stts ++ stss ++ stsz ++ stsc ++ stco)
       val minf = box("minf", stbl)
       val mdia = box("mdia", mdhd ++ minf)
       box("trak", tkhd ++ mdia)
@@ -2885,6 +2964,71 @@ object Multimodal {
               val ((s0, t0), (_, d)) =
                 starts.zip(t.stts).takeWhile(_._1._1 <= s).last
               Mp4Keyframe(id, t.trackId, s, t0 + (s - s0) * d)
+            }
+          }
+        }
+      }
+  }
+
+  /** One sample's byte extent in the container. */
+  final case class Mp4Sample(
+      doc_id: Long, track_id: Long, sample_number: Long,
+      chunk_number: Long, byte_offset: Long, size: Long)
+
+  /** The SAMPLE BYTE MAP — "where exactly are sample N's bytes": the
+    * stsc run-length (chunk c takes its samples-per-chunk from the last
+    * entry with first_chunk ≤ c) assigns samples to chunks, stco/co64
+    * places each chunk, and stsz sizes accumulate within a chunk —
+    * offset(sample) = chunk_offset + Σ sizes of its chunk predecessors.
+    * Exact integer arithmetic over container metadata only: this is the
+    * random-access map a range-request extractor or a clip service
+    * needs before touching any codec. Tracks whose three tables are
+    * inconsistent (stsc-implied count ≠ stsz count, or missing chunks)
+    * are DROPPED whole — a partially wrong seek map is worse than none.
+    * Gated by q335 against the construction-truth oracle. */
+  def mp4SampleMap(
+      df: DataFrame, idCol: String, binCol: String): Dataset[Mp4Sample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseMp4Tracks(bytes).toSeq.flatten.flatMap { t =>
+            if (t.sampleSizes.isEmpty || t.stsc.isEmpty ||
+                t.chunkOffsets.isEmpty) Seq.empty
+            else {
+              // samples-per-chunk for chunk c (1-based): the last stsc
+              // entry with first_chunk <= c (entries sorted per spec)
+              val sorted = t.stsc.sortBy(_._1)
+              def spcOf(c: Long): Long =
+                sorted.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(0L)
+              val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
+              var sample = 0 // 0-based index into sampleSizes
+              var consistent = true
+              var c = 0
+              while (c < t.chunkOffsets.length && consistent) {
+                val spc = spcOf(c + 1L)
+                if (spc <= 0) consistent = false
+                else {
+                  var within = 0L
+                  var off = t.chunkOffsets(c)
+                  while (within < spc && consistent) {
+                    if (sample >= t.sampleSizes.length) consistent = false
+                    else {
+                      out += Mp4Sample(id, t.trackId, sample + 1L, c + 1L,
+                        off, t.sampleSizes(sample))
+                      off += t.sampleSizes(sample)
+                      sample += 1; within += 1
+                    }
+                  }
+                }
+                c += 1
+              }
+              // every size must be consumed: trailing unplaced samples
+              // mean the chunk tables are short — drop the track
+              if (consistent && sample == t.sampleSizes.length) out.toSeq
+              else Seq.empty
             }
           }
         }

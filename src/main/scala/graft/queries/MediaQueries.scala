@@ -1422,6 +1422,59 @@ object MediaQueries {
       FROM agg ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q335
+  /** MP4 SAMPLE BYTE MAP ([[Multimodal.mp4SampleMap]]) — the
+    * random-access half of the container story q328/q329 started:
+    * stsz per-sample sizes, a TWO-RUN stsc in the fixture-wide shape
+    * real muxers emit (uniform chunks, then chunk placement via stco),
+    * resolved to every sample's (chunk, byte_offset, size) with
+    * within-chunk size accumulation. No codec, pure integer walk; the
+    * oracle restates the construction: sample j sits in chunk ⌊j/3⌋ at
+    * the chunk's stco base plus its predecessors' sizes. */
+  private val q335 = Q(
+    "q335_mp4_sample_map",
+    (s, dir) => {
+      import s.implicits._
+      val fx = Lake(s, dir).documents
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (3 * (2 + id % 4)).toInt
+          val sizes = (0 until n).map(j => 100L + (id + j * 7) % 50)
+          val nChunks = n / 3
+          val spec = Multimodal.Mp4TrackSpec(1, 64, 48, 1000, 100L * n,
+            Seq((n.toLong, 100L)), Nil,
+            sampleSizes = sizes,
+            stsc = Seq((1L, 3L)),
+            chunkOffsets = (1 to nChunks).map(c => 48L + 1000L * c + id))
+          (id, Multimodal.mp4WithTracks("isom", 600, 0, Seq(spec)))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.mp4SampleMap(fx, "doc_id", "media")
+        .toDF().orderBy("doc_id", "sample_number")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 3 * (2 + doc_id % 4) AS n
+        FROM documents WHERE doc_id < 300),
+      s AS (
+        SELECT doc_id, t.j,
+          100 + (doc_id + t.j * 7) % 50 AS sz,
+          t.j // 3 AS c, t.j % 3 AS w
+        FROM ids, unnest(generate_series(0, n - 1)) AS t(j))
+      SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+        CAST(j + 1 AS BIGINT) AS sample_number,
+        CAST(c + 1 AS BIGINT) AS chunk_number,
+        CAST(48 + 1000 * (c + 1) + doc_id
+          + CASE w WHEN 0 THEN 0
+                   WHEN 1 THEN 100 + (doc_id + (3 * c) * 7) % 50
+                   ELSE (100 + (doc_id + (3 * c) * 7) % 50)
+                      + (100 + (doc_id + (3 * c + 1) * 7) % 50) END
+          AS BIGINT) AS byte_offset,
+        CAST(sz AS BIGINT) AS size
+      FROM s ORDER BY doc_id, sample_number""")
+  )
+
   // --------------------------------------------------------------- q334
   /** Stereo FLAC under the hash gate — q323's downmix fixture delivered
     * as REAL stereo FLAC cycling ALL FOUR spec channel assignments by
@@ -1830,5 +1883,5 @@ object MediaQueries {
 
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
     q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327,
-    q328, q329, q330, q331, q332, q334)
+    q328, q329, q330, q331, q332, q334, q335)
 }

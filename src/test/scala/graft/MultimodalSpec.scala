@@ -298,6 +298,42 @@ class MultimodalSpec extends SparkTestBase {
     (0 to bytes.length by 7).foreach(cut => parseMp4Tracks(bytes.take(cut)))
   }
 
+  test("MP4 sample map: stsz/stsc/stco resolve every sample's byte extent") {
+    import Multimodal._
+    // 7 samples over chunks of (3, 3, 1): stsc needs TWO runs — chunks
+    // 1-2 take 3 samples, chunk 3 takes 1 (the real muxer tail shape)
+    val sizes = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L)
+    val spec = Mp4TrackSpec(1, 16, 16, 1000, 700, Seq((7L, 100L)), Nil,
+      sampleSizes = sizes, stsc = Seq((1L, 3L), (3L, 1L)),
+      chunkOffsets = Seq(1000L, 2000L, 3000L))
+    val bytes = mp4WithTracks("isom", 600, 0, Seq(spec))
+    val parsed = parseMp4Tracks(bytes).get.head
+    assert(parsed.sampleSizes == sizes)
+    assert(parsed.stsc == Seq((1L, 3L), (3L, 1L)))
+    assert(parsed.chunkOffsets == Seq(1000L, 2000L, 3000L))
+    val map = mp4SampleMap(
+      Seq((5L, bytes)).toDF("doc_id", "media"), "doc_id", "media")
+      .collect().map(s => s.sample_number -> (s.chunk_number, s.byte_offset, s.size))
+      .toMap
+    assert(map == Map(
+      1L -> ((1L, 1000L, 10L)), 2L -> ((1L, 1010L, 20L)),
+      3L -> ((1L, 1030L, 30L)), 4L -> ((2L, 2000L, 40L)),
+      5L -> ((2L, 2040L, 50L)), 6L -> ((2L, 2090L, 60L)),
+      7L -> ((3L, 3000L, 70L))))
+
+    // inconsistent tables (stsz shorter than the chunks imply) drop the
+    // whole track — no partially wrong seek map
+    val bad = mp4WithTracks("isom", 600, 0, Seq(spec.copy(
+      sampleSizes = sizes.take(5))))
+    assert(mp4SampleMap(Seq((1L, bad)).toDF("doc_id", "media"),
+      "doc_id", "media").collect().isEmpty)
+    // and a track without the tables contributes nothing (q328 fixture)
+    val plain = mp4WithTracks("isom", 600, 0,
+      Seq(Mp4TrackSpec(1, 16, 16, 1000, 300, Seq((3L, 100L)), Seq(1L))))
+    assert(mp4SampleMap(Seq((1L, plain)).toDF("doc_id", "media"),
+      "doc_id", "media").collect().isEmpty)
+  }
+
   test("FLAC codec: lossless round trip across signal shapes, frames, and predictors") {
     import Multimodal._
     def roundTrip(rate: Long, samples: Array[Short], block: Int = 4096): Unit = {
