@@ -2986,6 +2986,45 @@ object Multimodal {
     * inconsistent (stsc-implied count ≠ stsz count, or missing chunks)
     * are DROPPED whole — a partially wrong seek map is worse than none.
     * Gated by q335 against the construction-truth oracle. */
+  /** The pure extent walk behind [[mp4SampleMap]] and
+    * [[mp4ExtractSamples]]: (sample_number, chunk_number, byte_offset,
+    * size) per sample, or Nil when the three tables are missing or
+    * inconsistent. */
+  private def mp4SampleExtents(t: Mp4Track): Seq[(Long, Long, Long, Long)] = {
+    if (t.sampleSizes.isEmpty || t.stsc.isEmpty || t.chunkOffsets.isEmpty)
+      return Seq.empty
+    // samples-per-chunk for chunk c (1-based): the last stsc entry with
+    // first_chunk <= c (entries sorted per spec)
+    val sorted = t.stsc.sortBy(_._1)
+    def spcOf(c: Long): Long =
+      sorted.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(0L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var sample = 0 // 0-based index into sampleSizes
+    var consistent = true
+    var c = 0
+    while (c < t.chunkOffsets.length && consistent) {
+      val spc = spcOf(c + 1L)
+      if (spc <= 0) consistent = false
+      else {
+        var within = 0L
+        var off = t.chunkOffsets(c)
+        while (within < spc && consistent) {
+          if (sample >= t.sampleSizes.length) consistent = false
+          else {
+            out += ((sample + 1L, c + 1L, off, t.sampleSizes(sample)))
+            off += t.sampleSizes(sample)
+            sample += 1; within += 1
+          }
+        }
+      }
+      c += 1
+    }
+    // every size must be consumed: trailing unplaced samples mean the
+    // chunk tables are short — drop the track
+    if (consistent && sample == t.sampleSizes.length) out.toSeq
+    else Seq.empty
+  }
+
   def mp4SampleMap(
       df: DataFrame, idCol: String, binCol: String): Dataset[Mp4Sample] = {
     val spark = df.sparkSession
@@ -2995,40 +3034,40 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
           parseMp4Tracks(bytes).toSeq.flatten.flatMap { t =>
-            if (t.sampleSizes.isEmpty || t.stsc.isEmpty ||
-                t.chunkOffsets.isEmpty) Seq.empty
-            else {
-              // samples-per-chunk for chunk c (1-based): the last stsc
-              // entry with first_chunk <= c (entries sorted per spec)
-              val sorted = t.stsc.sortBy(_._1)
-              def spcOf(c: Long): Long =
-                sorted.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(0L)
-              val out = scala.collection.mutable.ArrayBuffer.empty[Mp4Sample]
-              var sample = 0 // 0-based index into sampleSizes
-              var consistent = true
-              var c = 0
-              while (c < t.chunkOffsets.length && consistent) {
-                val spc = spcOf(c + 1L)
-                if (spc <= 0) consistent = false
-                else {
-                  var within = 0L
-                  var off = t.chunkOffsets(c)
-                  while (within < spc && consistent) {
-                    if (sample >= t.sampleSizes.length) consistent = false
-                    else {
-                      out += Mp4Sample(id, t.trackId, sample + 1L, c + 1L,
-                        off, t.sampleSizes(sample))
-                      off += t.sampleSizes(sample)
-                      sample += 1; within += 1
-                    }
-                  }
-                }
-                c += 1
-              }
-              // every size must be consumed: trailing unplaced samples
-              // mean the chunk tables are short — drop the track
-              if (consistent && sample == t.sampleSizes.length) out.toSeq
-              else Seq.empty
+            mp4SampleExtents(t).map { case (s, c, off, sz) =>
+              Mp4Sample(id, t.trackId, s, c, off, sz)
+            }
+          }
+        }
+      }
+  }
+
+  /** One extracted sample payload. */
+  final case class Mp4SamplePayload(
+      doc_id: Long, track_id: Long, sample_number: Long, payload: Array[Byte])
+
+  /** CLIP EXTRACTION: slice every sample's actual bytes out of the blob
+    * through the [[mp4SampleMap]] extents — the map proven against REAL
+    * `mdat` bytes, not just arithmetic (a wrong offset returns wrong
+    * bytes, and q336's md5 gate catches it). Samples whose extent falls
+    * outside the blob drop their whole TRACK (same all-or-nothing
+    * contract as the map: a clip service serving partially wrong bytes
+    * is worse than failing). */
+  def mp4ExtractSamples(
+      df: DataFrame, idCol: String, binCol: String): Dataset[Mp4SamplePayload] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          parseMp4Tracks(bytes).toSeq.flatten.flatMap { t =>
+            val ext = mp4SampleExtents(t)
+            if (ext.exists { case (_, _, off, sz) =>
+              off < 0 || sz < 0 || off + sz > bytes.length }) Seq.empty
+            else ext.map { case (s, _, off, sz) =>
+              Mp4SamplePayload(id, t.trackId, s,
+                java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt))
             }
           }
         }

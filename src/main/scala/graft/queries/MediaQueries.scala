@@ -1475,6 +1475,73 @@ object MediaQueries {
       FROM s ORDER BY doc_id, sample_number""")
   )
 
+  // --------------------------------------------------------------- q336
+  /** MP4 clip extraction against REAL bytes
+    * ([[Multimodal.mp4ExtractSamples]]): complete files — moov with
+    * full sample tables, then an actual `mdat` whose chunk offsets were
+    * computed two-pass against the real skeleton length — have every
+    * sample's payload sliced back out through the stsz/stsc/stco
+    * extents and md5'd. The oracle rebuilds each payload character by
+    * character (ASCII by construction, the q132/q311 md5 trick): a hash
+    * match means the offsets pointed at exactly the right bytes in a
+    * real container, not just that the arithmetic was self-consistent. */
+  private val q336 = Q(
+    "q336_mp4_clip_extract",
+    (s, dir) => {
+      import s.implicits._
+      val fx = Lake(s, dir).documents
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val n = (3 * (2 + id % 3)).toInt
+          val sizes = (0 until n).map(j => 8L + (id + j * 5) % 24)
+          val nChunks = n / 3
+          def spec(offsets: Seq[Long]) = Multimodal.Mp4TrackSpec(
+            1, 32, 24, 1000, 100L * n, Seq((n.toLong, 100L)), Nil,
+            sampleSizes = sizes, stsc = Seq((1L, 3L)),
+            chunkOffsets = offsets)
+          // two-pass: skeleton length is offset-value-independent, so a
+          // placeholder build tells us where mdat's payload will start
+          val skeletonLen = Multimodal.mp4WithTracks(
+            "isom", 600, 0, Seq(spec(Seq.fill(nChunks)(0L)))).length
+          val base = skeletonLen + 8L // + mdat box header
+          val chunkStarts = (0 until nChunks).map(c =>
+            base + sizes.take(c * 3).sum)
+          val payload = (0 until n).flatMap(j =>
+            (0L until sizes(j)).map(t =>
+              (97 + (id + j * 7 + t) % 26).toByte)).toArray
+          val mdat = java.nio.ByteBuffer.allocate(8 + payload.length)
+            .putInt(8 + payload.length).put("mdat".getBytes("US-ASCII"))
+            .put(payload).array()
+          (id, Multimodal.mp4WithTracks("isom", 600, 0,
+            Seq(spec(chunkStarts))) ++ mdat)
+        })
+        .toDF("doc_id", "media")
+      Multimodal.mp4ExtractSamples(fx, "doc_id", "media").toDF()
+        .select(col("doc_id"), col("track_id"), col("sample_number"),
+          md5(col("payload")).as("payload_md5"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy("doc_id", "sample_number")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 3 * (2 + doc_id % 3) AS n
+        FROM documents WHERE doc_id < 300),
+      samples AS (
+        SELECT doc_id, t.j, 8 + (doc_id + t.j * 5) % 24 AS sz
+        FROM ids, unnest(generate_series(0, n - 1)) AS t(j)),
+      payloads AS (
+        SELECT doc_id, j, sz,
+          md5(string_agg(chr(CAST(97 + (doc_id + j * 7 + t.t) % 26 AS INT)),
+            '' ORDER BY t.t)) AS payload_md5
+        FROM samples, unnest(generate_series(0, sz - 1)) AS t(t)
+        GROUP BY doc_id, j, sz)
+      SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+        CAST(j + 1 AS BIGINT) AS sample_number,
+        payload_md5, CAST(sz AS BIGINT) AS n_bytes
+      FROM payloads ORDER BY doc_id, sample_number""")
+  )
+
   // --------------------------------------------------------------- q334
   /** Stereo FLAC under the hash gate — q323's downmix fixture delivered
     * as REAL stereo FLAC cycling ALL FOUR spec channel assignments by
@@ -1883,5 +1950,5 @@ object MediaQueries {
 
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
     q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327,
-    q328, q329, q330, q331, q332, q334, q335)
+    q328, q329, q330, q331, q332, q334, q335, q336)
 }
