@@ -213,6 +213,40 @@ object DocumentStreams {
       .select(col("doc_id"), col("index_id"), hamming.as("hamming"))
   }
 
+  /** Streaming audio intake — the incremental twin of
+    * [[graft.ops.Multimodal.pcmStats]] over a `.wav`/`.flac` landing
+    * directory: every drop is decoded through the SAME
+    * [[graft.ops.Multimodal.decodePcm16Mono]] normalization the batch
+    * path uses (WAV chunk walk or the real FLAC frame decode) and
+    * reduced to exact integer statistics. Stateless per batch;
+    * undecodable or stereo drops vanish exactly like the batch
+    * operator, digit-less filenames drop on their null doc_id.
+    * StreamingSpec pins stream ≡ batch across BOTH containers. */
+  def audioStatsStream(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): DataFrame = {
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val raw = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.{wav,flac}")
+      .load(dir)
+      .select(
+        nullif(regexp_extract(col("path"), "(\\d+)\\.[a-z]+$", 1), lit(""))
+          .cast("long").as("doc_id"),
+        col("content").as("media"))
+      .filter(col("doc_id").isNotNull)
+    graft.ops.Multimodal.pcmStats(raw, "doc_id", "media").toDF()
+  }
+
   /** Streaming video frame statistics — the incremental twin of
     * [[graft.ops.Multimodal.mjpegFrameStats]]: watch a landing directory
     * for `.avi` drops and run the SAME demux + per-frame JPEG decode the

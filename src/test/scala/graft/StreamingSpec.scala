@@ -500,6 +500,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("audioStatsStream: WAV and FLAC drops decode like the batch path") {
+    import graft.ops.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("audio-land")
+    def sig(id: Long): Array[Short] =
+      Array.tabulate(300)(i => (((id * 31 + i * 17) % 2003) - 1001).toShort)
+    java.nio.file.Files.write(dir.resolve("301.wav"),
+      Multimodal.pcm16Wav(16000L, sig(301)))
+    java.nio.file.Files.write(dir.resolve("302.flac"),
+      Multimodal.flacEncode(16000L, sig(302), 64))
+    java.nio.file.Files.write(dir.resolve("303.flac"),
+      Multimodal.flacEncodeStereo(16000L, sig(303), sig(304), 64)) // stereo: drops
+    java.nio.file.Files.writeString(dir.resolve("304.wav"), "junk") // undecodable
+    java.nio.file.Files.write(dir.resolve("intro.flac"),
+      Multimodal.flacEncode(8000L, sig(9), 64)) // digit-less name: drops
+    val q = graft.streaming.DocumentStreams
+      .audioStatsStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("audio_stats")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val streamed = spark.table("audio_stats").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_samples"), r.getAs[Long]("peak"),
+            r.getAs[Long]("sum_abs"), r.getAs[Long]("mean_sq"))).toMap
+      val batch = Multimodal.pcmStats(
+        Seq((301L, Multimodal.pcm16Wav(16000L, sig(301))),
+          (302L, Multimodal.flacEncode(16000L, sig(302), 64)))
+          .toDF("doc_id", "media"),
+        "doc_id", "media")
+        .collect().map(s => s.doc_id ->
+          (s.n_samples, s.peak, s.sum_abs, s.mean_sq)).toMap
+      assert(streamed == batch)
+      assert(streamed.keySet == Set(301L, 302L))
+      // same content, either container: identical stats
+      assert(streamed(301L)._2 == batch(301L)._2)
+    } finally q.stop()
+  }
+
   test("mediaDedupStream: arrivals Hamming-probe the static index like batch") {
     import graft.ops.{Dedup, Multimodal}
     val dir = java.nio.file.Files.createTempDirectory("media-dedup-land")
