@@ -133,6 +133,41 @@ object Multimodal {
           Some(("webp", (bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1))
         case _ => None
       }
+    } else if (bytes.length >= 8 &&
+      ((bytes(0) == 'I' && bytes(1) == 'I' &&
+        (bytes(2) & 0xff) == 0x2a && bytes(3) == 0) ||
+       (bytes(0) == 'M' && bytes(1) == 'M' && bytes(2) == 0 &&
+        (bytes(3) & 0xff) == 0x2a))) {
+      // TIFF: IFD0 walk for ImageWidth (256) / ImageLength (257), both
+      // SHORT or LONG with the value inline; offsets stay in Long (the
+      // parseExifOrientation discipline for untrusted u32s)
+      val be = bytes(0) == 'M'
+      def t16(i: Int): Long =
+        if (be) u16(i) else u16le(i)
+      def t32(i: Int): Long =
+        if (be) u32(i) else u32le(i)
+      val ifd = t32(4)
+      if (ifd < 8 || ifd + 2 > bytes.length) None
+      else {
+        val p = ifd.toInt
+        val n = t16(p)
+        var w = -1L; var h = -1L
+        var e = 0
+        while (e < n && ifd + 2 + (e + 1) * 12 <= bytes.length) {
+          val at = p + 2 + e * 12
+          val tag = t16(at)
+          val typ = t16(at + 2)
+          if (tag == 256 || tag == 257) {
+            val v =
+              if (typ == 3) t16(at + 8) // SHORT sits in the low bytes
+              else if (typ == 4) t32(at + 8)
+              else -1L
+            if (tag == 256) w = v else h = v
+          }
+          e += 1
+        }
+        if (w > 0 && h > 0) Some(("tiff", w, h)) else None
+      }
     } else None
   }
 
@@ -281,7 +316,7 @@ object Multimodal {
     * dropped). Returns `None` — never throws — on unsupported or
     * malformed bytes. GIF note: only the first frame of an animation. */
   def decodeImageIO(bytes: Array[Byte]): Option[DecodedImage] = {
-    val supported = Set("png", "jpeg", "gif")
+    val supported = Set("png", "jpeg", "gif", "tiff")
     if (bytes == null) return None
     if (!parseImageHeader(bytes).exists(h => supported(h._1))) return None
     try {
@@ -322,7 +357,7 @@ object Multimodal {
 
   /** Decode any supported raster container to RGB: the pure-JVM BMP
     * codec first (bit-exact, its arithmetic is stated in SQL oracles),
-    * then the JDK ImageIO readers for PNG/JPEG/GIF. This is the single
+    * then the JDK ImageIO readers for PNG/JPEG/GIF/TIFF. This is the single
     * entry every pixel consumer ([[imageFeatures]], [[resizeImage]],
     * [[imageAHash]]/[[imageDHash]]/[[imageWHash]]) routes through. */
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
@@ -354,6 +389,15 @@ object Multimodal {
   def encodePng(img: DecodedImage): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(toBuffered(img), "png", out)
+    out.toByteArray
+  }
+
+  /** Encode RGB as TIFF via the JDK writer (baseline RGB, lossless like
+    * PNG: decodeImage ∘ encodeTiff = identity on pixels) — the fixture
+    * generator for the TIFF arm of the codec family (q337). */
+  def encodeTiff(img: DecodedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBuffered(img), "tiff", out)
     out.toByteArray
   }
 

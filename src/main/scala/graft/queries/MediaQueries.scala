@@ -1475,6 +1475,67 @@ object MediaQueries {
       FROM s ORDER BY doc_id, sample_number""")
   )
 
+  // --------------------------------------------------------------- q337
+  /** TIFF under the arithmetic gate — the q310 PNG law for the fifth
+    * codec: TIFF is lossless, so real blobs written by the JDK TIFF
+    * writer ([[Multimodal.encodeTiff]]), sniffed by the new IFD-walk
+    * header parse and decoded through ImageIO, must land the
+    * decode → resize → channel-means chain EXACTLY on the
+    * construction-truth oracle. Extends every pixel consumer
+    * (features/hashes/resize/EXIF-less fingerprints) to the scanned-
+    * document format web archives are full of. */
+  private val q337 = Q(
+    "q337_image_tiff_features",
+    (s, dir) => {
+      import s.implicits._
+      val tiffs = Lake(s, dir).documents
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (6 + id % 7).toInt
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = (y * w + x) * 3
+              rgb(i) = ((id + x + 2L * y) % 256).toByte
+              rgb(i + 1) = ((2L * id + 3L * x + y) % 256).toByte
+              rgb(i + 2) = ((id + 5L * x + 7L * y) % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, Multimodal.encodeTiff(Multimodal.DecodedImage(w, h, rgb)))
+        })
+        .toDF("doc_id", "media")
+      Multimodal.imageFeatures(tiffs, "doc_id", "media", 8, 8)
+        .toDF().orderBy("doc_id")
+    },
+    Some("""
+      WITH ids AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+        FROM documents WHERE doc_id < 300),
+      grid AS (
+        SELECT doc_id, w, h, t1.x, t2.y
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      sampled AS (
+        SELECT doc_id,
+          (doc_id + (x * w) // 8 + 2 * ((y * h) // 8)) % 256 AS r,
+          (2 * doc_id + 3 * ((x * w) // 8) + (y * h) // 8) % 256 AS g,
+          (doc_id + 5 * ((x * w) // 8) + 7 * ((y * h) // 8)) % 256 AS b
+        FROM grid)
+      SELECT doc_id,
+        CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        CAST(SUM(r) AS DOUBLE) / 64 AS mean_r,
+        CAST(SUM(g) AS DOUBLE) / 64 AS mean_g,
+        CAST(SUM(b) AS DOUBLE) / 64 AS mean_b
+      FROM sampled GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   // --------------------------------------------------------------- q336
   /** MP4 clip extraction against REAL bytes
     * ([[Multimodal.mp4ExtractSamples]]): complete files — moov with
@@ -1950,5 +2011,5 @@ object MediaQueries {
 
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
     q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327,
-    q328, q329, q330, q331, q332, q334, q335, q336)
+    q328, q329, q330, q331, q332, q334, q335, q336, q337)
 }

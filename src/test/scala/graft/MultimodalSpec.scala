@@ -334,6 +334,36 @@ class MultimodalSpec extends SparkTestBase {
       "doc_id", "media").collect().isEmpty)
   }
 
+  test("TIFF: lossless ImageIO round trip, header dims both byte orders, hash collapse") {
+    import Multimodal._
+    val img = smooth(9, 7)
+    val tiff = encodeTiff(img)
+    // sniffer: dims from the IFD walk (ImageIO emits little-endian)
+    assert(parseImageHeader(tiff).contains(("tiff", 9L, 7L)))
+    // lossless: decode ∘ encode = identity on pixels (the q310 PNG law)
+    val back = decodeImage(tiff).get
+    assert(back.width == 9 && back.height == 7)
+    assert(back.rgb.toSeq == img.rgb.toSeq)
+    // big-endian header parse: hand-build an MM header with dims only
+    val be = java.nio.ByteBuffer.allocate(8 + 2 + 24 + 4)
+    be.put('M'.toByte).put('M'.toByte).putShort(42).putInt(8)
+      .putShort(2) // two IFD entries
+      .putShort(256).putShort(3).putInt(1).putShort(640).putShort(0)
+      .putShort(257).putShort(4).putInt(1).putInt(480)
+      .putInt(0)
+    assert(parseImageHeader(be.array()).contains(("tiff", 640L, 480L)))
+    // same pixels as TIFF and PNG collapse to one aHash (q314's law)
+    val hashes = imageAHash(
+      Seq((1L, tiff), (2L, encodePng(img))).toDF("doc_id", "media"),
+      "doc_id", "media").collect().map(_.ahash).toSet
+    assert(hashes.size == 1, "TIFF and PNG of the same pixels hash apart")
+    // corrupt: IFD offset past the end → None, no throw
+    val evil = tiff.clone()
+    if (evil(0) == 'I') { evil(4) = 0x7f.toByte; evil(5) = 0x7f.toByte }
+    parseImageHeader(evil) // must not throw
+    (0 to tiff.length by 13).foreach(cut => parseImageHeader(tiff.take(cut)))
+  }
+
   test("FLAC codec: lossless round trip across signal shapes, frames, and predictors") {
     import Multimodal._
     def roundTrip(rate: Long, samples: Array[Short], block: Int = 4096): Unit = {

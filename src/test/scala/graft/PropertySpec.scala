@@ -831,6 +831,7 @@ class PropertySpec extends SparkTestBase {
       Multimodal.encodeBmp(smooth(9, 7)),
       Multimodal.aviMjpeg(8, 8, Seq("frame".getBytes)),
       Multimodal.pcm16Wav(8000L, Array[Short](1, -2, 3)),
+      Multimodal.encodeTiff(smooth(9, 7)),
       Multimodal.tarArchive(Seq(("a.txt", "hello".getBytes))),
       Multimodal.mp4WithTracks("isom", 600, 1200, Seq(
         Multimodal.Mp4TrackSpec(1, 32, 16, 1000, 300,
