@@ -641,7 +641,18 @@ object Dedup {
     * candidate doc list — no corpus-sized exchange anywhere in the
     * plan (PlanSpec pins it; q333 pins the value contract ≡ q54's
     * full-recompute-restricted oracle). `cache = false` is for plan
-    * tests only (the persists hide filters inside InMemoryRelation). */
+    * tests only (the persists hide filters inside InMemoryRelation).
+    *
+    * MEASURED, honestly (BucketedMinhashProbe, sf0.1, 500-doc batch,
+    * corpus ×1/×10/×20, min of 3): LOCALLY both forms are corpus-size-
+    * flat (shuffled 2.09→2.27→2.43 s, bucketed 2.36→2.61→2.89 s) — at
+    * these fixture sizes the batch's own shingle/signature work
+    * dominates and the bucketed form's ~0.3-0.5 s metastore constant is
+    * a net loss. The exchange it deletes grows with the corpus while
+    * everything else here is batch-bound, and the mechanism's measured
+    * win at index sizes where the shuffle IS the cost (1-3M rows) is on
+    * record in [[probeSimhashIndexBucketed]]'s BucketedDedupProbe
+    * numbers; prefer plain [[incrementalMinhash]] below that regime. */
   def incrementalMinhashBucketed(
       spark: org.apache.spark.sql.SparkSession,
       indexBandsTable: String,
