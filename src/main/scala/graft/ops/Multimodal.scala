@@ -2666,6 +2666,56 @@ object Multimodal {
     b.array()
   }
 
+  /** One blob's triage row: sniffed container (or `unknown`) and
+    * whether the cheap structural parse succeeded — decode_ok means
+    * "this blob will survive its family's real decoder/parser", per
+    * container: pixels for images, PCM reachability for WAV/FLAC
+    * (mono-16 today), a valid moov for MP4, MJPEG frames for AVI. */
+  final case class MediaTriage(
+      doc_id: Long, container: String, decode_ok: Long, n_bytes: Long)
+
+  /** MEDIA-LAKE TRIAGE — the first pass over a mixed blob column:
+    * sniff every container ([[parseImageHeader]] for the five image
+    * formats, RIFF/WAVE vs RIFF/AVI, fLaC, ISO-BMFF) and probe whether
+    * its family's structural decode succeeds, without ever throwing on
+    * junk (every parser here is totality-fuzzed). One partition-wise
+    * pass, scan-speed, no shuffle — the census that decides which
+    * downstream pipelines (image/audio/video) see which rows and how
+    * much of the lake is dead weight. Gated by q338 against
+    * construction truth over a deliberately mixed delivery. */
+  def mediaTriage(
+      df: DataFrame, idCol: String, binCol: String): Dataset[MediaTriage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val b = if (bytes == null) Array.empty[Byte] else bytes
+          def ascii(from: Int, until: Int): String =
+            if (b.length >= until)
+              new String(b.slice(from, until), "US-ASCII") else ""
+          val (container, ok) = parseImageHeader(b) match {
+            case Some((fmt, _, _)) => (fmt, decodeImage(b).isDefined)
+            case None if b.length >= 2 && b(0) == 'B' && b(1) == 'M' =>
+              ("bmp", decodeImage(b).isDefined)
+            case None if ascii(0, 4) == "RIFF" && ascii(8, 12) == "WAVE" =>
+              ("wav", decodePcm16Mono(b).isDefined ||
+                decodePcm16Stereo(b).isDefined)
+            case None if ascii(0, 4) == "RIFF" && ascii(8, 12) == "AVI " =>
+              ("avi", parseAviMjpegFrames(b).isDefined)
+            case None if ascii(0, 4) == "fLaC" =>
+              ("flac", decodePcm16Mono(b).isDefined ||
+                decodePcm16Stereo(b).isDefined)
+            case None if ascii(4, 8) == "ftyp" =>
+              ("mp4", parseMp4Tracks(b).isDefined)
+            case None => ("unknown", false)
+          }
+          MediaTriage(id, container, if (ok) 1L else 0L, b.length.toLong)
+        }
+      }
+  }
+
   /** One MP4 track's container-level story, no codec: identity and
     * presentation size from `tkhd` (16.16 fixed-point, stored as whole
     * pixels), the media clock from `mdhd`, the sample timing runs from

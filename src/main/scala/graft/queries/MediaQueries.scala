@@ -1475,6 +1475,66 @@ object MediaQueries {
       FROM s ORDER BY doc_id, sample_number""")
   )
 
+  // --------------------------------------------------------------- q338
+  /** Media-lake TRIAGE census ([[Multimodal.mediaTriage]]) — the first
+    * pass over a mixed delivery: one scan sniffs every blob's container
+    * and probes whether its family's structural decode succeeds,
+    * totality-guaranteed on junk. The fixture cycles eight delivery
+    * kinds by doc_id%8 — BMP/PNG/TIFF pixels, mono WAV (with a planted
+    * 8-bit-depth header-only WAV on doc_id%16=3 that SNIFFS as wav but
+    * fails the PCM contract — the sniff/decode distinction the triage
+    * exists to make), mono FLAC, an ISO-BMFF skeleton, AVI-MJPEG, and
+    * plain junk — and the oracle states construction truth per doc. */
+  private val q338 = Q(
+    "q338_media_triage",
+    (s, dir) => {
+      import s.implicits._
+      val blobs = Lake(s, dir).documents
+        .filter(col("doc_id") < 600)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          def img(): Multimodal.DecodedImage = {
+            val w = 8; val h = 6
+            Multimodal.DecodedImage(w, h,
+              Array.tabulate(w * h * 3)(i => ((id * 7 + i) % 256).toByte))
+          }
+          def sig(): Array[Short] =
+            Array.tabulate(120)(i => (((id * 31 + i * 17) % 2003) - 1001).toShort)
+          val bytes = (id % 8) match {
+            case 0 => Multimodal.encodeBmp(img())
+            case 1 => Multimodal.encodePng(img())
+            case 2 => Multimodal.encodeTiff(img())
+            case 3 =>
+              if (id % 16 == 3) // sniffs as wav, fails the 16-bit contract
+                Multimodal.wavHeader(8000L, 1, 8, 100)
+              else Multimodal.pcm16Wav(8000L, sig())
+            case 4 => Multimodal.flacEncode(8000L, sig(), 64)
+            case 5 => Multimodal.mp4WithTracks("isom", 600, 1200, Seq(
+              Multimodal.Mp4TrackSpec(1, 32, 24, 1000, 300,
+                Seq((3L, 100L)), Seq(1L))))
+            case 6 => Multimodal.aviMjpeg(8, 6, Seq(
+              Multimodal.encodeJpeg(img())))
+            case _ => s"not media at all, just text $id".getBytes("UTF-8")
+          }
+          (id, bytes)
+        })
+        .toDF("doc_id", "media")
+      Multimodal.mediaTriage(blobs, "doc_id", "media").toDF()
+        .select("doc_id", "container", "decode_ok")
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+        CASE doc_id % 8
+          WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
+          WHEN 3 THEN 'wav' WHEN 4 THEN 'flac' WHEN 5 THEN 'mp4'
+          WHEN 6 THEN 'avi' ELSE 'unknown' END AS container,
+        CAST(CASE WHEN doc_id % 8 = 7 THEN 0
+                  WHEN doc_id % 16 = 3 THEN 0
+                  ELSE 1 END AS BIGINT) AS decode_ok
+      FROM documents WHERE doc_id < 600 ORDER BY doc_id""")
+  )
+
   // --------------------------------------------------------------- q337
   /** TIFF under the arithmetic gate — the q310 PNG law for the fifth
     * codec: TIFF is lossless, so real blobs written by the JDK TIFF
@@ -2011,5 +2071,5 @@ object MediaQueries {
 
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
     q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327,
-    q328, q329, q330, q331, q332, q334, q335, q336, q337)
+    q328, q329, q330, q331, q332, q334, q335, q336, q337, q338)
 }
