@@ -6995,7 +6995,7 @@ object PipelineQueries {
     * `\\p{IsScript}` and RE2's `\\p{Script}` count identical codepoint
     * sets (verified on mixed strings), which is exactly what the gate
     * pins. One projection, no shuffle, all codegen'd regex — no UDF. */
-  private val q326 = {
+  private val (q326, q339) = {
     val scripts = Seq("latin", "cyrillic", "han", "arabic", "greek",
       "devanagari", "hangul", "thai")
     val countCols = scripts.map { sc =>
@@ -7007,28 +7007,10 @@ object PipelineQueries {
         .map(o => s"n_$sc >= n_$o").mkString(" AND ")
       s"          WHEN n_$sc > 0 AND $others THEN '${sc.capitalize}'"
     }.mkString("\n")
-    Q(
-      "q326_script_census",
-      (s, dir) => {
-        // Unicode chars as Scala literals: Spark's chr() is Latin-1-only
-        // (chr(n % 256)), unlike DuckDB's codepoint chr — the one place
-        // the two engines' "same" function genuinely diverges here
-        def run(ch: String, mod: Int) = call_function("repeat",
-          lit(ch), (col("doc_id") % mod).cast("int"))
-        val docs = Lake(s, dir).documents.select(col("doc_id"),
-          concat(col("text"), lit(" "),
-            run("б", 7), run("漢", 5),   // Cyrillic be, Han
-            run("م", 3), run("λ", 4),   // Arabic meem, Greek lambda
-            run("क", 6), run("가", 8),   // Devanagari ka, Hangul ga
-            run("ก", 9),                     // Thai ko kai
-            // homoglyph-confusable token: Latin p + CYRILLIC a + Latin y
-            when(col("doc_id") % 11 === 0, lit(" pаy"))
-              .otherwise(lit(""))).as("text"))
-        TextAnalysis.scriptCensus(docs, "doc_id", "text").orderBy("doc_id")
-      },
-      Some(s"""
+    def censusSql(textSql: String) = s"""
+
       WITH d AS (
-        SELECT doc_id, text || ' ' ||
+        SELECT doc_id, $textSql || ' ' ||
           repeat(chr(1073), CAST(doc_id % 7 AS INT)) ||
           repeat(chr(28450), CAST(doc_id % 5 AS INT)) ||
           repeat(chr(1605), CAST(doc_id % 3 AS INT)) ||
@@ -7054,8 +7036,64 @@ $countCols,
 $caseArms
           ELSE 'none' END AS dominant_script,
         confusable
-      FROM c ORDER BY doc_id""")
+      FROM c"""
+    val gate326 = Q(
+      "q326_script_census",
+      (s, dir) => {
+        // Unicode chars as Scala literals: Spark's chr() is Latin-1-only
+        // (chr(n % 256)), unlike DuckDB's codepoint chr — the one place
+        // the two engines' "same" function genuinely diverges here
+        def run(ch: String, mod: Int) = call_function("repeat",
+          lit(ch), (col("doc_id") % mod).cast("int"))
+        val docs = Lake(s, dir).documents.select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            run("б", 7), run("漢", 5),   // Cyrillic be, Han
+            run("م", 3), run("λ", 4),   // Arabic meem, Greek lambda
+            run("क", 6), run("가", 8),   // Devanagari ka, Hangul ga
+            run("ก", 9),                     // Thai ko kai
+            // homoglyph-confusable token: Latin p + CYRILLIC a + Latin y
+            when(col("doc_id") % 11 === 0, lit(" pаy"))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.scriptCensus(docs, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(censusSql("text") + " ORDER BY doc_id")
     )
+    // q339: the ROUTING consumer of the census — the composition the
+    // multilingual curation pipeline actually runs: shard the corpus by
+    // (dominant_script, confusable) and count docs + residual-codepoint
+    // mass per route. Oracle = the SAME generated census SQL wrapped in
+    // an outer GROUP BY, so the two gates cannot drift apart.
+    val gate339 = Q(
+      "q339_script_routing",
+      (s, dir) => {
+        def run(ch: String, mod: Int) = call_function("repeat",
+          lit(ch), (col("doc_id") % mod).cast("int"))
+        val docs = Lake(s, dir).documents.select(col("doc_id"),
+          concat(expr("substring(text, 1, CAST(doc_id % 20 AS INT))"),
+            lit(" "),
+            run("\u0431", 7), run("\u6F22", 5),
+            run("\u0645", 3), run("\u03BB", 4),
+            run("\u0915", 6), run("\uAC00", 8),
+            run("\u0E01", 9),
+            when(col("doc_id") % 11 === 0, lit(" p\u0430y"))
+              .otherwise(lit(""))).as("text"))
+        TextAnalysis.scriptCensus(docs, "doc_id", "text")
+          .groupBy("dominant_script", "confusable")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_other")).as("sum_other"))
+          .orderBy("dominant_script", "confusable")
+      },
+      Some(s"""
+      WITH census AS (${censusSql(
+        "substring(text, 1, CAST(doc_id % 20 AS INT))")})
+      SELECT dominant_script, confusable,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_other) AS BIGINT) AS sum_other
+      FROM census
+      GROUP BY dominant_script, confusable
+      ORDER BY dominant_script, confusable""")
+    )
+    (gate326, gate339)
   }
 
   val all: Seq[Q] = Seq(q29, q30, q31, q32, q33, q34, q35, q36, q37, q38,
@@ -7069,5 +7107,5 @@ $caseArms
     q174, q175, q182, q184, q185, q187, q188, q189, q190, q200, q204,
     q207, q208, q209, q210, q211, q251, q256, q257, q261, q262, q263, q264,
     q265, q268, q273, q274, q275, q281, q283, q286, q293, q294, q295, q297, q299, q300, q302, q306, q308,
-    q309, q312, q313, q326, q333)
+    q309, q312, q313, q326, q333, q339)
 }
