@@ -530,6 +530,15 @@ class PlanSpec extends SparkTestBase {
     val plan3 = planOf(ws)
     assert(!plan3.contains("Exchange"),
       s"weightedSample should be shuffle-free:\n$plan3")
+
+    // media triage is one partition-wise pass: scan-speed, no shuffle —
+    // the census claim for the 100 TB first pass, as a plan property
+    val tri = graft.ops.Multimodal.mediaTriage(
+      docs.select(col("doc_id"), col("text").cast("binary").as("media")),
+      "doc_id", "media")
+    val plan4 = planOf(tri.toDF())
+    assert(!plan4.contains("Exchange"),
+      s"mediaTriage should be shuffle-free:\n$plan4")
   }
 
   test("link extraction and URL canonicalization are shuffle-free; hostEdges shuffles once") {
