@@ -397,7 +397,10 @@ object Multimodal {
     * generator for the TIFF arm of the codec family (q337). */
   def encodeTiff(img: DecodedImage): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(toBuffered(img), "tiff", out)
+    // fixture generator: a JRE with no registered TIFF writer returns
+    // false — fail loudly instead of handing q337/q338 an empty blob
+    require(javax.imageio.ImageIO.write(toBuffered(img), "tiff", out),
+      "no registered TIFF ImageIO writer on this JRE")
     out.toByteArray
   }
 
@@ -2012,6 +2015,37 @@ object Multimodal {
     }
   }
 
+  /** FLAC "UTF-8 style" coded number, full multi-byte form (FLAC format
+    * spec §9.1.5): 7 bits in one byte, else a lead byte with c+1 leading
+    * ones followed by c ∈ [1,6] continuation bytes of 6 payload bits each
+    * (capacity 6+5c bits in the lead, 36 bits total at c=6) — the exact
+    * mirror of [[flacDecodeFrames]]'s 6-continuation reader. Frame
+    * numbers beyond 36 bits are unrepresentable in the format; fail
+    * loudly rather than emit an undecodable stream. */
+  private def writeFlacCodedNumber(w: BitWriter, fn: Long): Unit = {
+    require(fn >= 0 && fn < (1L << 36), s"FLAC coded number out of range: $fn")
+    if (fn < 0x80) w.put(fn, 8)
+    else {
+      var c = 1
+      while (c < 6 && fn >= (1L << (6 + 5 * c))) c += 1
+      val leadBits = 6 - c
+      w.put(((0xfe << leadBits) & 0xff).toLong |
+        ((fn >>> (6 * c)) & ((1L << leadBits) - 1)), 8)
+      var i = c - 1
+      while (i >= 0) { w.put(0x80L | ((fn >>> (6 * i)) & 0x3f), 8); i -= 1 }
+    }
+  }
+
+  /** Test hook: the coded-number encoding of `fn` as raw bytes (the
+    * byte-aligned output of [[writeFlacCodedNumber]]), so MultimodalSpec
+    * can law-check the full 36-bit range without synthesizing a
+    * 65536-frame stream. */
+  private[graft] def flacCodedNumberBytes(fn: Long): Array[Byte] = {
+    val w = new BitWriter
+    writeFlacCodedNumber(w, fn)
+    w.bytes
+  }
+
   /** Build one complete FLAC frame — header (sync, fixed-blocksize
     * strategy, 16-bit blocksize-at-end, rate-from-STREAMINFO, the given
     * channel-assignment code, 16-bit sample size, UTF-8 frame number,
@@ -2028,13 +2062,7 @@ object Multimodal {
     w.put(chanCode.toLong, 4)
     w.put(0x4, 3) // sample size: 16 bit
     w.put(0, 1) // reserved
-    val fn = frameIdx
-    if (fn < 0x80) w.put(fn, 8)
-    else if (fn < 0x800) { w.put(0xc0 | (fn >> 6), 8); w.put(0x80 | (fn & 0x3f), 8) }
-    else {
-      w.put(0xe0 | (fn >> 12), 8); w.put(0x80 | ((fn >> 6) & 0x3f), 8)
-      w.put(0x80 | (fn & 0x3f), 8)
-    }
+    writeFlacCodedNumber(w, frameIdx)
     w.put(n - 1L, 16)
     val headBytes = w.bytes // byte-aligned by construction
     val sw = new BitWriter
@@ -2670,7 +2698,8 @@ object Multimodal {
     * whether the cheap structural parse succeeded — decode_ok means
     * "this blob will survive its family's real decoder/parser", per
     * container: pixels for images, PCM reachability for WAV/FLAC
-    * (mono-16 today), a valid moov for MP4, MJPEG frames for AVI. */
+    * (mono or stereo 16-bit, via decodePcm16Mono/decodePcm16Stereo),
+    * a valid moov for MP4, MJPEG frames for AVI. */
   final case class MediaTriage(
       doc_id: Long, container: String, decode_ok: Long, n_bytes: Long)
 

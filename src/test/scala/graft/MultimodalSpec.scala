@@ -410,6 +410,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(flacDecode(flacHeader(8000L, 2, 16, 0)).isEmpty)
   }
 
+  test("FLAC coded frame number: full multi-byte form across the 36-bit range") {
+    import Multimodal._
+    // reference decode mirroring flacDecodeFrames' reader: lead-byte
+    // class → continuation count, 6 payload bits per continuation
+    def decode(bytes: Array[Byte]): Long = {
+      val b0 = bytes(0) & 0xff
+      val extra =
+        if ((b0 & 0x80) == 0) 0
+        else if ((b0 & 0xe0) == 0xc0) 1
+        else if ((b0 & 0xf0) == 0xe0) 2
+        else if ((b0 & 0xf8) == 0xf0) 3
+        else if ((b0 & 0xfc) == 0xf8) 4
+        else if ((b0 & 0xfe) == 0xfc) 5
+        else if (b0 == 0xfe) 6
+        else fail(s"invalid lead byte: $b0")
+      assert(bytes.length == 1 + extra)
+      val leadPayload =
+        if (extra == 0) b0 & 0x7f else b0 & ((1 << (6 - extra)) - 1)
+      bytes.drop(1).foldLeft(leadPayload.toLong) { (acc, b) =>
+        assert((b & 0xc0) == 0x80, "bad continuation byte")
+        (acc << 6) | (b & 0x3f)
+      }
+    }
+    // boundary values of every byte-length class + interior samples;
+    // the old writer silently corrupted everything >= 0x10000
+    val cases = Seq(0L, 1L, 0x7fL, 0x80L, 0x7ffL, 0x800L, 0xffffL,
+      0x10000L, 0x1fffffL, 0x200000L, 0x3ffffffL, 0x4000000L,
+      0x7fffffffL, 0x80000000L, (1L << 36) - 1, 123456789012L % (1L << 36))
+    cases.foreach { fn =>
+      assert(decode(flacCodedNumberBytes(fn)) == fn, s"round trip failed at $fn")
+    }
+    // out of range: fail loudly, never emit an undecodable stream
+    intercept[IllegalArgumentException](flacCodedNumberBytes(1L << 36))
+    intercept[IllegalArgumentException](flacCodedNumberBytes(-1L))
+  }
+
   test("FLAC stereo: all four channel assignments round-trip exactly; downmix ≡ WAV") {
     import Multimodal._
     val n = 500
