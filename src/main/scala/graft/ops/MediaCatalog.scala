@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Bucketing
+
+/** Bucketed media catalogs — the media lake's join spine persisted
+  * exchange-free (VERDICT r9 item 2), the image twin of the text family's
+  * [[Dedup.writeSimhashIndexBucketed]]/[[Dedup.writeShingleStoreBucketed]].
+  *
+  * The media pipelines recompute two catalogs every run and then shuffle
+  * them into every consumer:
+  *
+  *   - the TRIAGE census ([[Multimodal.mediaTriage]], q338): container +
+  *     decode-probe verdict per blob — the routing spine every
+  *     family-specific pipeline joins on `doc_id`;
+  *   - the FUSED-HASH catalog ([[Multimodal.imageHashes]], q325):
+  *     aHash/dHash/wHash per decodable image — the content spine the
+  *     release census groups and the near-dup probe joins on `ahash`.
+  *
+  * At 100 TB the decode pass is paid once at ingest anyway; what this
+  * module removes is the per-consumer EXCHANGE: each catalog is persisted
+  * bucketed+sorted on its consumer join key, so
+  *
+  *   - routing ([[routeFromCatalog]]): blob table ⋈ triage catalog on
+  *     `doc_id` is a bucket-aligned sort-merge join — zero exchanges,
+  *     zero sorts when the blob table shares the bucket spec (the lake's
+  *     ingest layout);
+  *   - release census ([[hashCensus]]): groupBy(ahash) over the bucketed
+  *     catalog — the scan's hash-partitioning satisfies the aggregation,
+  *     zero exchanges;
+  *   - near-dup serving ([[probeHashCatalog]]): a new delivery's hashes
+  *     probe the catalog with ONE batch-sized repartition; the
+  *     corpus-sized catalog is never shuffled (the
+  *     [[Dedup.probeSimhashIndexBucketed]] shape).
+  *
+  * PlanSpec pins each physical property; q342/q343 pin the value
+  * contracts against construction-truth oracles. Measured
+  * (graft.runner.MediaCatalogProbe, BENCH_NOTES.md): the census from the
+  * bucketed catalog is flat decode-free scan work while the
+  * recompute-per-run arm grows with the corpus.
+  */
+object MediaCatalog {
+
+  /** Compaction half of the routing spine: the q338 triage census
+    * persisted bucketed+sorted on `doc_id`. Run once per delivery at
+    * ingest; every downstream family pipeline then joins it
+    * exchange-free. */
+  def writeTriageCatalog(
+      blobs: DataFrame, idCol: String, binCol: String,
+      table: String, path: String, nBuckets: Int): Unit =
+    Bucketing.writeBucketed(
+      Multimodal.mediaTriage(blobs, idCol, binCol).toDF(),
+      table, path, nBuckets, Seq("doc_id"))
+
+  /** Compaction half of the content spine: the q325 one-decode fused
+    * hash catalog persisted bucketed+sorted on `ahash` (the census and
+    * near-dup consumers' key). */
+  def writeHashCatalog(
+      blobs: DataFrame, idCol: String, binCol: String,
+      table: String, path: String, nBuckets: Int): Unit =
+    Bucketing.writeBucketed(
+      Multimodal.imageHashes(blobs, idCol, binCol).toDF(),
+      table, path, nBuckets, Seq("ahash"))
+
+  /** Container → downstream pipeline family. Quarantine anything whose
+    * structural decode failed — the sniff/decode distinction the triage
+    * census exists to make (a blob that LOOKS like WAV but fails the PCM
+    * contract must not reach the audio pipeline). */
+  val routeExpr: org.apache.spark.sql.Column =
+    when(col("decode_ok") === 0L, "quarantine")
+      .when(col("container").isin("bmp", "png", "tiff", "jpeg", "gif"), "image")
+      .when(col("container").isin("wav", "flac"), "audio")
+      .when(col("container").isin("mp4", "avi"), "video")
+      .otherwise("quarantine")
+
+  /** Serving half of the routing spine: blob metadata ⋈ triage catalog
+    * on `doc_id`, each row routed to its pipeline family. With both
+    * tables bucketed on `doc_id` at the same count (the ingest layout),
+    * the join is exchange-free and sort-free — PlanSpec-pinned. */
+  def routeFromCatalog(
+      spark: SparkSession, blobsTable: String, catalogTable: String): DataFrame =
+    spark.table(blobsTable)
+      .join(spark.table(catalogTable), Seq("doc_id"))
+      .withColumn("route", routeExpr)
+
+  /** Release-census half of the content spine: duplicate-content classes
+    * straight off the bucketed hash catalog — per ahash class the member
+    * count and canonical (min) doc. The bucketed scan's partitioning
+    * satisfies the groupBy: zero exchanges (PlanSpec-pinned), where the
+    * recompute-per-run shape pays decode + a corpus-sized shuffle. */
+  def hashCensus(spark: SparkSession, catalogTable: String): DataFrame =
+    spark.table(catalogTable)
+      .groupBy("ahash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc"))
+
+  /** Near-dup serving: a new delivery's fused hashes probe the catalog
+    * for exact-ahash content hits. The batch pays ONE repartition to the
+    * catalog's bucket spec; the corpus-sized catalog is never shuffled
+    * ([[Dedup.probeSimhashIndexBucketed]]'s shape on the media spine).
+    * Returns (batch doc, catalog doc, shared ahash) pairs. */
+  def probeHashCatalog(
+      spark: SparkSession, batchHashes: DataFrame,
+      catalogTable: String): DataFrame = {
+    val nBuckets = spark.sessionState.catalog
+      .getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(catalogTable))
+      .bucketSpec.map(_.numBuckets)
+    val bat = nBuckets
+      .map(n => batchHashes.repartition(n, col("ahash")))
+      .getOrElse(batchHashes)
+      .select(col("doc_id").as("batch_doc"), col("ahash"))
+    bat.join(spark.table(catalogTable)
+        .select(col("doc_id").as("catalog_doc"), col("ahash")),
+      Seq("ahash"))
+      .select(col("batch_doc"), col("catalog_doc"), col("ahash"))
+  }
+}

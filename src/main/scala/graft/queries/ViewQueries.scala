@@ -443,5 +443,248 @@ object ViewQueries {
     Some(schoolDimOracle)
   )
 
-  val all: Seq[Q] = Seq(q27, q28, q43, q49, q53)
+  // ---------------------------------------------------------------- q340
+  /** INCREMENTAL GOLD REFRESH, dim arm (VERDICT r9 item 1): schoolDim is
+    * advanced by one change-version CDC batch instead of recomputed.
+    * Customers are schools (custkey%5==0 get a mailing-only address and
+    * never reach the view); the batch renames custkey%7==3 (upserts) and
+    * deletes custkey%13==5 via the `/deletes` id feed. The query runs the
+    * FULL incremental path — oldGold from the pre-delta snapshot,
+    * [[IncrementalGold.applyCdc]] at the endpoint layer, affected scopes
+    * from upserts + [[IncrementalGold.deleteScopes]], scoped rebuild +
+    * broadcast anti-join merge — and the oracle states the view over the
+    * FINAL state directly, so the hash match IS the
+    * incremental ≡ full-recompute proof. */
+  private val q340 = Q(
+    "q340_incremental_school_dim",
+    (s, dir) => {
+      import graft.ops.IncrementalGold
+      val lake = Lake(s, dir)
+      val cust = lake.customer.select(
+        col("c_custkey"), col("c_nationkey"), col("c_name"), col("c_mktsegment"))
+
+      def schoolRows(df: DataFrame, renamed: Boolean): DataFrame = df.select(
+        col("c_custkey").cast("string").as("id"),
+        col("c_custkey").cast("long").as("schoolId"),
+        (if (renamed) concat(col("c_name"), lit(" (renamed)"))
+         else col("c_name")).as("nameOfInstitution"),
+        lit("uri://ed-fi.org/SchoolTypeDescriptor#Regular")
+          .as("schoolTypeDescriptor"),
+        struct(col("c_nationkey").cast("long").as("localEducationAgencyId"))
+          .as("localEducationAgencyReference"),
+        array(struct(
+          when(col("c_custkey") % 5 === 0,
+            "uri://ed-fi.org/AddressTypeDescriptor#Mailing")
+            .otherwise("uri://ed-fi.org/AddressTypeDescriptor#Physical")
+            .as("addressTypeDescriptor"),
+          lit("uri://ed-fi.org/StateAbbreviationDescriptor#TX")
+            .as("stateAbbreviationDescriptor"),
+          concat(col("c_custkey").cast("string"), lit(" Main St"))
+            .as("streetNumberName"),
+          col("c_mktsegment").as("city"),
+          lit("Central").as("nameOfCounty"))).as("addresses"))
+
+      val leas = lake.nation.select(
+        col("n_nationkey").cast("long").as("localEducationAgencyId"),
+        col("n_name").as("nameOfInstitution"),
+        struct(lit(null).cast("long").as("educationServiceCenterId"))
+          .as("educationServiceCenterReference"))
+
+      val snapshot = schoolRows(cust, renamed = false)
+      val upserts = schoolRows(cust.filter(col("c_custkey") % 7 === 3),
+        renamed = true)
+      val delIds = cust
+        .filter(col("c_custkey") % 13 === 5 && col("c_custkey") % 7 =!= 3)
+        .select(col("c_custkey").cast("string").as("id"))
+
+      val oldGold = ctxWith(s, Map(
+        "schools" -> snapshot, "localEducationAgencies" -> leas))
+        .view("schoolDim")
+
+      val newSchools = IncrementalGold.applyCdc(
+        snapshot, IncrementalGold.CdcBatch(upserts, delIds))
+      val affected = IncrementalGold
+        .affectedScopes(Seq((upserts, (df: DataFrame) => df("schoolId"))), s)
+        .unionByName(IncrementalGold.deleteScopes(
+          snapshot, delIds, df => df("schoolId")))
+        .distinct()
+
+      IncrementalGold.refreshView(
+        IncrementalGold.schoolDimScope, oldGold,
+        newEndpoint = {
+          case "schools" => newSchools
+          case "localEducationAgencies" => leas
+          case other => emptyEndpoint(s, other)
+        },
+        affected = affected)
+        .orderBy("SchoolKey")
+    },
+    Some("""
+      SELECT CAST(c_custkey AS VARCHAR) AS SchoolKey,
+             CASE WHEN c_custkey % 7 = 3 THEN c_name || ' (renamed)'
+                  ELSE c_name END AS SchoolName,
+             'Regular' AS SchoolType,
+             CAST(c_custkey AS VARCHAR) || ' Main St, ' || c_mktsegment
+               || ' TX Central' AS SchoolAddress,
+             c_mktsegment AS SchoolCity,
+             'Central' AS SchoolCounty,
+             'TX' AS SchoolState,
+             n_name AS LocalEducationAgencyName,
+             CAST(c_nationkey AS VARCHAR) AS LocalEducationAgencyKey,
+             '' AS StateEducationAgencyName,
+             '' AS StateEducationAgencyKey,
+             '' AS EducationServiceCenterName,
+             '' AS EducationServiceCenterKey
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey % 5 <> 0
+        AND NOT (c_custkey % 13 = 5 AND c_custkey % 7 <> 3)
+      ORDER BY SchoolKey""")
+  )
+
+  // ---------------------------------------------------------------- q341
+  /** INCREMENTAL GOLD REFRESH, fact arm: the q27 EWS construction split
+    * into an initial delivery (attendance events with orderkey%3 != 0)
+    * and a CDC batch (the %3==0 events as upserts keyed by resource id =
+    * orderkey; enrollment deletes for custkey%17==0 via the `/deletes`
+    * feed). Affected students come from the upserted events' student
+    * refs plus the deleted enrollments' students recovered from the
+    * pre-delta snapshot; the fact is rebuilt ONLY for those students
+    * (all five student-keyed endpoints semi-filtered, the calendar spine
+    * passed whole) and merged over the old gold with a broadcast
+    * anti-join. Oracle = q27's full-view SQL over the FINAL state (all
+    * events, enrollment minus the deletes) — hash-exact means
+    * incremental(old gold, delta) ≡ full recompute. */
+  private val q341 = Q(
+    "q341_incremental_ews_fact",
+    (s, dir) => {
+      import graft.ops.IncrementalGold
+      val lake = Lake(s, dir)
+      val cust = lake.customer.select(col("c_custkey"), col("c_nationkey"))
+
+      val ssa = cust.select(
+        col("c_custkey").cast("string").as("id"),
+        struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
+        struct(lit(1995L).as("schoolYear")).as("schoolYearTypeReference"),
+        struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
+        lit("1995-01-05").as("entryDate"),
+        when(col("c_custkey") % 10 === 0, "1995-01-20")
+          .otherwise(lit(null).cast("string")).as("exitWithdrawDate"))
+
+      val jan = lake.orders
+        .filter(col("o_orderdate").between("1995-01-01", "1995-01-31"))
+      val cal = jan.select(col("o_orderdate").cast("string").as("date")).distinct()
+        .crossJoin(lake.nation.select(col("n_nationkey")))
+        .select(
+          struct(
+            col("n_nationkey").cast("long").as("schoolId"),
+            lit(1995L).as("schoolYear")).as("calendarReference"),
+          col("date"),
+          array(struct(
+            when(dayofmonth(to_date(col("date"))) % 5 =!= 0,
+              "uri://ed-fi.org/CalendarEventDescriptor#Instructional day")
+              .otherwise("uri://ed-fi.org/CalendarEventDescriptor#Holiday")
+              .as("calendarEventDescriptor"))).as("calendarEvents"))
+
+      val att = jan.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(
+          col("o_orderkey").cast("string").as("id"),
+          struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
+          struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
+          col("o_orderdate").cast("string").as("eventDate"),
+          concat(lit("uri://ed-fi.org/AttendanceEventCategoryDescriptor#"),
+            element_at(
+              array(lit("In Attendance"), lit("Tardy"),
+                lit("Excused Absence"), lit("Unexcused Absence")),
+              (col("o_orderkey") % 4 + 1).cast("int")))
+            .as("attendanceEventCategoryDescriptor"))
+
+      // initial delivery vs the CDC batch
+      val attInitial = att.filter(col("id").cast("long") % 3 =!= 0)
+      val attUpserts = att.filter(col("id").cast("long") % 3 === 0)
+      val ssaDelIds = ssa.filter(
+        col("studentReference.studentUniqueId").cast("long") % 17 === 0)
+        .select(col("id"))
+
+      val oldGold = ctxWith(s, Map(
+        "studentSchoolAssociations" -> ssa,
+        "calendarDates" -> cal,
+        "studentSchoolAttendanceEvents" -> attInitial))
+        .view("ews_studentEarlyWarningFact")
+
+      val newSsa = IncrementalGold.applyCdc(
+        ssa, IncrementalGold.CdcBatch(ssa.limit(0), ssaDelIds))
+      val newAtt = IncrementalGold.applyCdc(
+        attInitial, IncrementalGold.CdcBatch(attUpserts, att.select(col("id")).limit(0)))
+
+      val affected = IncrementalGold
+        .affectedScopes(Seq(
+          (attUpserts, (df: DataFrame) => df("studentReference.studentUniqueId"))), s)
+        .unionByName(IncrementalGold.deleteScopes(
+          ssa, ssaDelIds, df => df("studentReference.studentUniqueId")))
+        .distinct()
+
+      IncrementalGold.refreshView(
+        IncrementalGold.ewsFactScope, oldGold,
+        newEndpoint = {
+          case "studentSchoolAssociations" => newSsa
+          case "studentSchoolAttendanceEvents" => newAtt
+          case "calendarDates" => cal
+          case other => emptyEndpoint(s, other)
+        },
+        affected = affected)
+        .orderBy("StudentKey", "SchoolKey", "DateKey")
+    },
+    Some("""
+      WITH cal AS (
+        SELECT n_nationkey AS school_id, d.date_str, d.is_instr
+        FROM nation, (
+          SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+                 CASE WHEN day(o_orderdate) % 5 <> 0 THEN 1 ELSE 0 END AS is_instr
+          FROM orders
+          WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31') d),
+      enr AS (
+        SELECT c_nationkey AS school_id, CAST(c_custkey AS VARCHAR) AS student_key,
+               CASE WHEN c_custkey % 10 = 0 THEN '19950120' ELSE '' END AS exit_key
+        FROM customer
+        WHERE c_custkey % 17 <> 0),
+      att AS (
+        SELECT c_nationkey AS school_id, CAST(c_custkey AS VARCHAR) AS student_key,
+               strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+               2 * SUM(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS present,
+               SUM(CASE WHEN o_orderkey % 4 = 2 THEN 1 ELSE 0 END) AS excused,
+               SUM(CASE WHEN o_orderkey % 4 = 3 THEN 1 ELSE 0 END) AS unexcused,
+               SUM(CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END) AS tardy
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+        GROUP BY 1, 2, 3)
+      SELECT e.student_key AS StudentKey,
+             CAST(c.school_id AS VARCHAR) AS SchoolKey,
+             replace(c.date_str, '-', '') AS DateKey,
+             CAST(c.is_instr AS INTEGER) AS IsInstructionalDay,
+             CAST(1 AS INTEGER) AS IsEnrolled,
+             CAST(COALESCE(a.present, 0) AS INTEGER) AS IsPresentSchool,
+             CAST(COALESCE(a.excused, 0) AS INTEGER) AS IsAbsentFromSchoolExcused,
+             CAST(COALESCE(a.unexcused, 0) AS INTEGER) AS IsAbsentFromSchoolUnexcused,
+             CAST(COALESCE(a.tardy, 0) AS INTEGER) AS IsTardyToSchool,
+             CAST(0 AS INTEGER) AS IsPresentHomeroom,
+             CAST(0 AS INTEGER) AS IsAbsentFromHomeroomExcused,
+             CAST(0 AS INTEGER) AS IsAbsentFromHomeroomUnexcused,
+             CAST(0 AS INTEGER) AS IsTardyToHomeroom,
+             CAST(0 AS INTEGER) AS IsPresentAnyClass,
+             CAST(0 AS INTEGER) AS IsAbsentFromAnyClassExcused,
+             CAST(0 AS INTEGER) AS IsAbsentFromAnyClassUnexcused,
+             CAST(0 AS INTEGER) AS IsTardyToAnyClass,
+             CAST(0 AS INTEGER) AS CountByDayOfStateOffenses,
+             CAST(0 AS INTEGER) AS CountByDayOfConductOffenses
+      FROM enr e
+      JOIN cal c ON e.school_id = c.school_id
+      LEFT JOIN att a ON a.school_id = e.school_id
+        AND a.student_key = e.student_key AND a.date_str = c.date_str
+      WHERE '19950105' <= replace(c.date_str, '-', '')
+        AND (e.exit_key = '' OR e.exit_key >= replace(c.date_str, '-', ''))
+        AND replace(c.date_str, '-', '') <= strftime(current_date, '%Y%m%d')
+      ORDER BY StudentKey, SchoolKey, DateKey""")
+  )
+
+  val all: Seq[Q] = Seq(q27, q28, q43, q49, q53, q340, q341)
 }

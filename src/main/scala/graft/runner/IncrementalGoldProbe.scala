@@ -1,0 +1,164 @@
+package graft.runner
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+import graft.ops.IncrementalGold
+import graft.views.ViewContext
+
+/** Scale evidence for [[IncrementalGold.refreshView]] (VERDICT r9 item 1):
+  * the EWS fact advanced by a FIXED-SIZE change-version batch against a
+  * student corpus at 1× and 10×, two arms —
+  *
+  *   - `full`: the reference's behavior (schedule.py:8-10) — recompute
+  *     the whole view over the post-CDC endpoint state; cost grows with
+  *     the corpus;
+  *   - `incr`: [[IncrementalGold.refreshView]] — CDC-apply the batch,
+  *     rebuild only the affected students' slice, broadcast-anti-merge
+  *     into the parquet-backed old gold; the corpus is only SCANNED
+  *     (once per side), never shuffled, so cost is scan-bound flat.
+  *
+  * Old gold + endpoint snapshots are parquet-backed and UNTIMED (they are
+  * the standing lake state); both arms end in a noop write of the new
+  * gold frame — the same work a real refresh materializes.
+  *
+  * Fixture: students i enrolled at school i%25 (no exit), a 31-day
+  * January-1995 calendar over 25 schools (every 5th day a holiday), 4
+  * attendance events per student. The batch upserts 4 fresh events for
+  * 1,000 fixed students and deletes 200 enrollments via the `/deletes`
+  * id feed — the delta-delivery norm.
+  *
+  * Run: `graft.runner.IncrementalGoldProbe [students1x] [deltaStudents]`.
+  * Measured results live in IncrementalGold's scaladoc and BENCH_NOTES.md.
+  */
+object IncrementalGoldProbe {
+  def main(args: Array[String]): Unit = {
+    val n1x = if (args.length > 0) args(0).toLong else 100000L
+    val deltaStudents = if (args.length > 1) args(1).toLong else 1000L
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]")
+        .appName("graft-incr-gold-probe"),
+      shufflePartitions = cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def dropCaches(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def ssaRows(from: Long, until: Long): DataFrame =
+      spark.range(from, until).select(
+        col("id").cast("string").as("id"),
+        struct((col("id") % 25).as("schoolId")).as("schoolReference"),
+        struct(lit(1995L).as("schoolYear")).as("schoolYearTypeReference"),
+        struct(col("id").cast("string").as("studentUniqueId")).as("studentReference"),
+        lit("1995-01-05").as("entryDate"),
+        lit(null).cast("string").as("exitWithdrawDate"))
+
+    // 4 events per student; `gen` disjoints delta event ids from initial
+    def attRows(students: DataFrame, gen: Long): DataFrame =
+      students.select(col("id"), explode(sequence(lit(0L), lit(3L))).as("j"))
+        .select(
+          concat(lit(s"g$gen-"), col("id"), lit("-"), col("j")).as("id"),
+          struct((col("id") % 25).as("schoolId")).as("schoolReference"),
+          struct(col("id").cast("string").as("studentUniqueId")).as("studentReference"),
+          concat(lit("1995-01-"),
+            lpad(((col("id") + col("j") + gen) % 20 + 6).cast("string"), 2, "0"))
+            .as("eventDate"),
+          concat(lit("uri://ed-fi.org/AttendanceEventCategoryDescriptor#"),
+            element_at(
+              array(lit("In Attendance"), lit("Tardy"),
+                lit("Excused Absence"), lit("Unexcused Absence")),
+              ((col("id") + col("j")) % 4 + 1).cast("int")))
+            .as("attendanceEventCategoryDescriptor"))
+
+    val cal = spark.range(1, 32).crossJoin(
+        spark.range(0, 25).toDF("school"))
+      .select(
+        struct(col("school").as("schoolId"), lit(1995L).as("schoolYear"))
+          .as("calendarReference"),
+        concat(lit("1995-01-"), lpad(col("id").cast("string"), 2, "0")).as("date"),
+        array(struct(
+          when(col("id") % 5 =!= 0,
+            "uri://ed-fi.org/CalendarEventDescriptor#Instructional day")
+            .otherwise("uri://ed-fi.org/CalendarEventDescriptor#Holiday")
+            .as("calendarEventDescriptor"))).as("calendarEvents"))
+
+    def emptyEndpoint(name: String): DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], graft.core.EndpointCatalog.schema(name))
+    def ctxOver(eps: Map[String, DataFrame]): ViewContext =
+      ViewContext(spark,
+        endpoint = n => eps.getOrElse(n, emptyEndpoint(n)),
+        view = n => sys.error(s"unexpected view dep: $n"))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-igold").toString
+    graft.core.SilverWriter.deleteOnExit(tmp)
+    val view = graft.views.ews.StudentEarlyWarningFact
+
+    val results = Seq(1 -> n1x, 10 -> n1x * 10).map { case (scale, n) =>
+      // ---- untimed: the standing lake state at this corpus size
+      ssaRows(0L, n).write.mode("overwrite").parquet(s"$tmp/ssa_$scale")
+      attRows(spark.range(0L, n).toDF("id"), 0L).write.mode("overwrite")
+        .parquet(s"$tmp/att_$scale")
+      val ssa = spark.read.parquet(s"$tmp/ssa_$scale")
+      val att = spark.read.parquet(s"$tmp/att_$scale")
+      ctxOver(Map("studentSchoolAssociations" -> ssa, "calendarDates" -> cal,
+        "studentSchoolAttendanceEvents" -> att))
+        .let(view.build).write.mode("overwrite").parquet(s"$tmp/gold_$scale")
+      val oldGold = spark.read.parquet(s"$tmp/gold_$scale")
+
+      // ---- the fixed-size CDC batch (same absolute size at every scale)
+      val attUpserts = attRows(spark.range(0L, deltaStudents).toDF("id"), 1L)
+      val ssaDelIds = spark.range(n - 200, n)
+        .select(col("id").cast("string").as("id"))
+
+      def runFull(): Unit = {
+        val newSsa = IncrementalGold.applyCdc(
+          ssa, IncrementalGold.CdcBatch(ssa.limit(0), ssaDelIds))
+        val newAtt = IncrementalGold.applyCdc(
+          att, IncrementalGold.CdcBatch(attUpserts, att.select(col("id")).limit(0)))
+        noop(ctxOver(Map("studentSchoolAssociations" -> newSsa,
+          "calendarDates" -> cal, "studentSchoolAttendanceEvents" -> newAtt))
+          .let(view.build))
+      }
+      def runIncr(): Unit = {
+        val newSsa = IncrementalGold.applyCdc(
+          ssa, IncrementalGold.CdcBatch(ssa.limit(0), ssaDelIds))
+        val newAtt = IncrementalGold.applyCdc(
+          att, IncrementalGold.CdcBatch(attUpserts, att.select(col("id")).limit(0)))
+        val affected = IncrementalGold.affectedScopes(Seq(
+            (attUpserts, (df: DataFrame) => df("studentReference.studentUniqueId"))),
+            spark)
+          .unionByName(IncrementalGold.deleteScopes(
+            ssa, ssaDelIds, df => df("studentReference.studentUniqueId")))
+          .distinct()
+        noop(IncrementalGold.refreshView(
+          IncrementalGold.ewsFactScope, oldGold,
+          newEndpoint = Map("studentSchoolAssociations" -> newSsa,
+            "calendarDates" -> cal, "studentSchoolAttendanceEvents" -> newAtt)
+            .orElse { case other => emptyEndpoint(other) },
+          affected = affected))
+      }
+      runFull(); runIncr() // warm plan paths
+      def time(run: () => Unit): Double = (1 to 3).map { _ =>
+        dropCaches()
+        val t0 = System.nanoTime(); run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val fu = time(() => runFull())
+      val in = time(() => runIncr())
+      f""""x$scale":{"students":$n,"full":$fu%.3f,"incr":$in%.3f}"""
+    }
+    println(s"""{"probe":"incremental-gold","deltaStudents":$deltaStudents,${results.mkString(",")}}""")
+    spark.stop()
+  }
+
+  /** Tiny pipe helper so the fixture reads top-down. */
+  private implicit class Let[A](private val a: A) extends AnyVal {
+    def let[B](f: A => B): B = f(a)
+  }
+}

@@ -683,6 +683,104 @@ class PlanSpec extends SparkTestBase {
     assert(rbEx == 1, s"robustOutliers should shuffle once, got $rbEx:\n$rbPlan")
   }
 
+  test("incremental gold refresh: corpus sides cross ZERO shuffle exchanges") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import graft.ops.IncrementalGold
+    import graft.views.ViewContext
+
+    // parquet-backed corpus (endpoint snapshot + old gold) so the pin sees
+    // real FileSourceScans; the delta is 50 rows against 20k
+    val wh = java.nio.file.Files.createTempDirectory("incr-gold").toString
+    def schoolsFrame(ids: DataFrame): DataFrame = ids.select(
+      col("id").cast("string").as("id"),
+      col("id").cast("long").as("schoolId"),
+      concat(lit("S"), col("id")).as("nameOfInstitution"),
+      lit("uri://ed-fi.org/SchoolTypeDescriptor#Regular").as("schoolTypeDescriptor"),
+      struct(lit(1L).as("localEducationAgencyId")).as("localEducationAgencyReference"),
+      array(struct(
+        lit("uri://ed-fi.org/AddressTypeDescriptor#Physical").as("addressTypeDescriptor"),
+        lit("uri://ed-fi.org/StateAbbreviationDescriptor#TX").as("stateAbbreviationDescriptor"),
+        lit("1 Main St").as("streetNumberName"),
+        lit("Metro").as("city"),
+        lit("Central").as("nameOfCounty"))).as("addresses"))
+    val lea = Seq((1L, "LEA")).toDF("localEducationAgencyId", "nameOfInstitution")
+      .withColumn("educationServiceCenterReference",
+        struct(lit(null).cast("long").as("educationServiceCenterId")))
+    schoolsFrame(spark.range(0, 20000).toDF("id")).write.parquet(s"$wh/schools")
+    val snapshot = spark.read.parquet(s"$wh/schools")
+    val ctx = ViewContext(spark,
+      endpoint = n => if (n == "schools") snapshot else if (n == "localEducationAgencies") lea
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.core.EndpointCatalog.schema(n)),
+      view = n => fail(s"unexpected view dep: $n"))
+    graft.views.base.SchoolDim.build(ctx).write.parquet(s"$wh/gold")
+    val oldGold = spark.read.parquet(s"$wh/gold")
+
+    val upserts = schoolsFrame(spark.range(0, 50).toDF("id"))
+      .withColumn("nameOfInstitution", concat(col("nameOfInstitution"), lit("!")))
+    val delIds = spark.range(100, 130).select(col("id").cast("string").as("id"))
+    val newSchools = IncrementalGold.applyCdc(
+      snapshot, IncrementalGold.CdcBatch(upserts, delIds))
+    val affected = IncrementalGold
+      .affectedScopes(Seq((upserts, (df: DataFrame) => df("schoolId"))), spark)
+      .unionByName(IncrementalGold.deleteScopes(snapshot, delIds, df => df("schoolId")))
+      .distinct()
+    val merged = IncrementalGold.refreshView(
+      IncrementalGold.schoolDimScope, oldGold,
+      newEndpoint = n => if (n == "schools") newSchools else if (n == "localEducationAgencies") lea
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.core.EndpointCatalog.schema(n)),
+      affected = affected)
+
+    // AQE off for this assertion: the structural walk needs a plain tree
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = merged.queryExecution.executedPlan
+      def corpusScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(wh)) => f
+      }
+      // both corpus scans are present (snapshot feeds the scoped rebuild,
+      // old gold feeds the merge) ...
+      assert(corpusScans(plan).size >= 2, s"corpus scans missing:\n$plan")
+      // ... and NO exchange moves a corpus-sized stream. A subtree is
+      // corpus-sized iff a corpus scan reaches its root without passing
+      // a broadcast LEFT SEMI join (the delta-key scope/id filters cut
+      // the stream to delta size there; LEFT ANTI keeps corpus size and
+      // must stay terminal). The affected-scope distinct may shuffle —
+      // it sits above a semi-join and is delta-sized by construction.
+      def corpusSized(p: SparkPlan): Boolean = p match {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains(wh))
+        case b: BroadcastHashJoinExec if b.joinType.sql == "LEFT SEMI" => false
+        case other => other.children.exists(corpusSized)
+      }
+      val shuffledCorpus = plan.collect {
+        case e: ShuffleExchangeExec if corpusSized(e.child) => e
+      }
+      assert(shuffledCorpus.isEmpty,
+        s"corpus-sized exchange in the incremental refresh:\n$plan")
+      // the merge itself is the broadcast anti-join, the scope filters are
+      // broadcast semi-joins
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      assert(bhj.exists(_.joinType.sql == "LEFT ANTI") &&
+        bhj.exists(_.joinType.sql == "LEFT SEMI"),
+        s"expected broadcast anti (merge/CDC) + semi (scope) joins:\n$plan")
+
+      // correctness spot-check on top of the q340/q341 hash gates: the
+      // rename landed, the deletes vanished, untouched rows intact
+      val out = merged.collect()
+      assert(out.length == 20000 - 30)
+      val byKey = out.map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(byKey("7") == "S7!")
+      assert(byKey("777") == "S777")
+      assert(!byKey.contains("105"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("audit referential integrity probes via broadcast anti-join") {
     import graft.ops.Audit
     val lake = Lake(spark, sfDir)
@@ -693,9 +791,10 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("no registered query plans a cartesian product (cross-join ops excepted)") {
-    // q07 is the deliberate J4 cross-join operator; q27 cross-joins a
+    // q07 is the deliberate J4 cross-join operator; q27/q341 cross-join a
     // 775-row calendar spine (broadcast nested loop, intentional).
-    val allowed = Set("q07_year_type_matrix", "q27_view_early_warning")
+    val allowed = Set("q07_year_type_matrix", "q27_view_early_warning",
+      "q341_incremental_ews_fact")
     val offenders = Registry.all
       .filterNot(q => allowed.contains(q.name))
       .flatMap { q =>
