@@ -49,9 +49,22 @@ import graft.views.{AmtView, ViewContext}
   * every scoped-endpoint corpus cross ZERO exchanges — each is scanned
   * once into a broadcast (anti/semi) hash join against the delta-sized
   * key set; all shuffles in the refresh plan are delta-sized (the
-  * rebuilt slice's own aggregations). Measured
-  * (graft.runner.IncrementalGoldProbe): at 10× corpus the full rebuild
-  * grows proportionally while the incremental refresh stays flat.
+  * rebuilt slice's own aggregations).
+  *
+  * Measured (graft.runner.IncrementalGoldProbe, local[32], min of 3,
+  * cold caches, fixed 1k-student delta; BENCH_NOTES.md): the
+  * shuffle-free [[refreshView]] is SCAN-BOUND, not flat — at ×10 corpus
+  * (100k → 1M students) the full rebuild grows 1.840 → 8.169 s (4.4×)
+  * while the incremental refresh grows 1.879 → 4.232 s (2.25×): every
+  * corpus parquet is still read whole into the broadcast semi/anti
+  * joins each batch, so the win is ~2× at ×10 and the cost still tracks
+  * corpus size. True flatness needs the SCAN pruned, not just the
+  * shuffle: [[writeGoldPartitioned]] lays gold out hash-partitioned on
+  * the scope key so [[refreshViewPruned]]'s merge reads ONLY the
+  * affected buckets (partition-pruned scan, PlanSpec-pinned) and
+  * rewrites only those partitions (dynamic partition overwrite) — the
+  * probe's `pruned` arm holds near-flat at ×10 while both scan-bound
+  * arms grow.
   */
 object IncrementalGold {
 
@@ -98,7 +111,13 @@ object IncrementalGold {
 
   /** Union of scope keys touched by a set of per-endpoint deltas —
     * upsert rows contribute their own scope, delete ids contribute
-    * through [[deleteScopes]] against the pre-delta snapshot. */
+    * through [[deleteScopes]] against the pre-delta snapshot.
+    *
+    * NOTE: this reads only the NEW scope off each upsert row. If an
+    * upsert can RE-KEY a resource (same `id`, new scope value — Ed-Fi
+    * key changes do this to studentUniqueId/schoolId), the vacated OLD
+    * scope must be invalidated too: use [[batchScopes]], which recovers
+    * it from the pre-delta snapshot. */
   def affectedScopes(
       perEndpoint: Seq[(DataFrame, DataFrame => Column)],
       spark: SparkSession): DataFrame = {
@@ -109,6 +128,26 @@ object IncrementalGold {
       import spark.implicits._
       Seq.empty[String].toDF("scope")
     } else parts.reduce(_ unionByName _).distinct()
+  }
+
+  /** FULL affected-scope set for one endpoint's CDC batch, including the
+    * pre-delta scopes VACATED by the batch: an upsert that re-keys a
+    * resource (same `id`, new scope value) abandons its old scope exactly
+    * the way a delete does, and the stale gold rows there must be rebuilt
+    * or they survive the merge with now-wrong aggregates. New scopes come
+    * off the upsert rows themselves; vacated scopes — of upserted AND
+    * deleted ids — are recovered from the PRE-delta snapshot (the only
+    * surviving copy of the old rows) via the same broadcast semi-join as
+    * [[deleteScopes]]. Delta-sized output, no corpus shuffle. */
+  def batchScopes(
+      snapshot: DataFrame, batch: CdcBatch,
+      scopeOf: DataFrame => Column, idCol: String = "id"): DataFrame = {
+    val touched = batch.upserts.select(col(idCol))
+      .unionByName(batch.deleteIds.select(col(idCol)))
+    batch.upserts
+      .select(scopeOf(batch.upserts).cast("string").as("scope"))
+      .unionByName(deleteScopes(snapshot, touched, scopeOf, idCol))
+      .distinct()
   }
 
   /** Rebuild only the affected slice of `scope.view` over the POST-CDC
@@ -131,13 +170,24 @@ object IncrementalGold {
       oldGold: DataFrame,
       newEndpoint: String => DataFrame,
       affected: DataFrame): DataFrame = {
-    val spark = oldGold.sparkSession
-    val aff = affected
-      .select(col(affected.columns.head).cast("string").as("__scope"))
-      .distinct()
+    val aff = normalizedScopes(affected)
+    oldGold.join(broadcast(aff),
+        col(scope.goldScopeCol).cast("string") === col("__scope"), "left_anti")
+      .unionByName(rebuildSlice(scope, newEndpoint, aff))
+  }
+
+  /** Rebuild the view restricted to the affected scope set: scoped
+    * endpoints are broadcast-semi-filtered (their corpus never shuffles),
+    * shared dimensions pass through whole, and view-on-view dependencies
+    * resolve through a local memoized context over the SAME scoped
+    * endpoints — AmtPipeline's DAG semantics for the rebuilt slice. */
+  private def rebuildSlice(
+      scope: Scope,
+      newEndpoint: String => DataFrame,
+      aff: DataFrame): DataFrame = {
     val memo = mutable.Map.empty[String, DataFrame]
     lazy val ctx: ViewContext = ViewContext(
-      spark,
+      aff.sparkSession,
       endpoint = name => {
         val full = newEndpoint(name)
         scope.scopedEndpoints.get(name) match {
@@ -149,10 +199,93 @@ object IncrementalGold {
       },
       view = n => memo.getOrElseUpdate(n,
         graft.runner.AmtRegistry.byName(n).build(ctx)))
-    val rebuilt = scope.view.build(ctx)
-    oldGold.join(broadcast(aff),
+    scope.view.build(ctx)
+  }
+
+  private def normalizedScopes(affected: DataFrame): DataFrame = affected
+    .select(col(affected.columns.head).cast("string").as("__scope"))
+    .distinct()
+
+  /** Partition column [[writeGoldPartitioned]] appends: a stable hash
+    * bucket of the scope key. A VALUE, not raw scope, so the lake holds
+    * `nBuckets` directories regardless of scope cardinality. */
+  val BucketCol = "scope_bucket"
+
+  /** `xxhash64(scope) mod n` as a non-negative bucket id. INT, not long:
+    * parquet partition-value inference reads the directory names back as
+    * int, and the pruning literals must match that type exactly or the
+    * cast around the partition column defeats the prune. */
+  def scopeBucket(scopeCol: Column, nBuckets: Int): Column =
+    org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(scopeCol.cast("string")),
+      lit(nBuckets.toLong)).cast("int")
+
+  /** Lay a gold view out hash-partitioned on its scope key so a delta
+    * refresh can PRUNE the merge scan (the scan-bound ceiling of
+    * [[refreshView]], measured in the object scaladoc): one directory per
+    * scope bucket, and [[refreshViewPruned]] reads/rewrites only the
+    * buckets the delta touches. */
+  def writeGoldPartitioned(
+      gold: DataFrame, scope: Scope, path: String, nBuckets: Int): Unit =
+    gold.withColumn(BucketCol, scopeBucket(col(scope.goldScopeCol), nBuckets))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+
+  /** [[refreshView]] against a [[writeGoldPartitioned]] layout, with the
+    * corpus SCAN pruned, not just the shuffle: the delta's distinct
+    * bucket ids (an O(nBuckets)-bounded collect — the only driver-side
+    * set here, capped by the layout constant, never by data size) prune
+    * the old-gold read to the affected partitions, the merge anti-join
+    * runs over that delta-sized slice only, and the write rewrites ONLY
+    * those partitions via dynamic partition overwrite. Untouched buckets
+    * are never read and never rewritten — refresh cost is delta-sized,
+    * independent of corpus size (IncrementalGoldProbe `pruned` arm).
+    *
+    * The merged slice is staged to `stagingPath` first: Spark refuses to
+    * overwrite a path that feeds the same plan, and the stage also makes
+    * the gold rewrite all-or-nothing per run. Both writes are
+    * delta-sized. */
+  def refreshViewPruned(
+      scope: Scope,
+      goldPath: String,
+      stagingPath: String,
+      nBuckets: Int,
+      newEndpoint: String => DataFrame,
+      affected: DataFrame): Unit = {
+    val spark = affected.sparkSession
+    val merged = prunedMerge(scope, goldPath, nBuckets, newEndpoint, affected)
+    merged.write.mode("overwrite").parquet(stagingPath)
+
+    spark.read.parquet(stagingPath)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BucketCol)
+      .parquet(goldPath)
+  }
+
+  /** The pruned merge frame [[refreshViewPruned]] materializes — exposed
+    * so PlanSpec can pin the physical property directly: the old-gold
+    * scan under this frame carries a partition filter on [[BucketCol]]
+    * and lists only the affected buckets' files. */
+  def prunedMerge(
+      scope: Scope,
+      goldPath: String,
+      nBuckets: Int,
+      newEndpoint: String => DataFrame,
+      affected: DataFrame): DataFrame = {
+    val spark = affected.sparkSession
+    val aff = normalizedScopes(affected)
+    val buckets = aff
+      .select(scopeBucket(col("__scope"), nBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0))
+
+    val oldSlice = spark.read.parquet(goldPath)
+      .filter(col(BucketCol).isin(buckets: _*))
+    oldSlice
+      .join(broadcast(aff),
         col(scope.goldScopeCol).cast("string") === col("__scope"), "left_anti")
-      .unionByName(rebuilt)
+      .unionByName(
+        rebuildSlice(scope, newEndpoint, aff)
+          .withColumn(BucketCol, scopeBucket(col(scope.goldScopeCol), nBuckets)))
   }
 
   /** The per-view scope contracts for the incrementally-maintainable
@@ -181,4 +314,32 @@ object IncrementalGold {
         (df => df("studentReference.studentUniqueId")),
       "studentDisciplineIncidentBehaviorAssociations" ->
         (df => df("studentReference.studentUniqueId"))))
+
+  /** chrab fact: same student grain as the EWS fact — every output row's
+    * StudentKey is a pure function of the student-keyed endpoint rows
+    * sharing it (enrollment spine + both attendance-event crosstabs);
+    * the calendar is the shared spine dimension. Gated by q344. */
+  val chrabFactScope: Scope = Scope(
+    graft.views.chrab.ChronicAbsenteeismAttendanceFact,
+    goldScopeCol = "StudentKey",
+    scopedEndpoints = Map(
+      "studentSchoolAssociations" ->
+        (df => df("studentReference.studentUniqueId")),
+      "studentSectionAssociations" ->
+        (df => df("studentReference.studentUniqueId")),
+      "studentSchoolAttendanceEvents" ->
+        (df => df("studentReference.studentUniqueId")),
+      "studentSectionAttendanceEvents" ->
+        (df => df("studentReference.studentUniqueId"))))
+
+  /** studentSectionGradeFact: grades is the single scoped endpoint (one
+    * output row per qualifying grade row, keyed by its student);
+    * gradingPeriods and the descriptor lookup are shared broadcast
+    * dimensions. Gated by q345. */
+  val sectionGradeFactScope: Scope = Scope(
+    graft.views.ews.StudentSectionGradeFact,
+    goldScopeCol = "StudentKey",
+    scopedEndpoints = Map(
+      "grades" ->
+        (df => df("studentSectionAssociationReference.studentUniqueId"))))
 }

@@ -24,9 +24,9 @@ import graft.core.Bucketing
   * bucketed+sorted on its consumer join key, so
   *
   *   - routing ([[routeFromCatalog]]): blob table ⋈ triage catalog on
-  *     `doc_id` is a bucket-aligned sort-merge join — zero exchanges,
-  *     zero sorts when the blob table shares the bucket spec (the lake's
-  *     ingest layout);
+  *     `doc_id` is a bucket-aligned sort-merge join — zero exchanges
+  *     (and zero sorts once each bucket is compacted to one file, the
+  *     lake's steady-state layout);
   *   - release census ([[hashCensus]]): groupBy(ahash) over the bucketed
   *     catalog — the scan's hash-partitioning satisfies the aggregation,
   *     zero exchanges;
@@ -35,11 +35,14 @@ import graft.core.Bucketing
   *     corpus-sized catalog is never shuffled (the
   *     [[Dedup.probeSimhashIndexBucketed]] shape).
   *
-  * PlanSpec pins each physical property; q342/q343 pin the value
-  * contracts against construction-truth oracles. Measured
-  * (graft.runner.MediaCatalogProbe, BENCH_NOTES.md): the census from the
-  * bucketed catalog is flat decode-free scan work while the
-  * recompute-per-run arm grows with the corpus.
+  * PlanSpec ("media catalog") pins each physical property; q342
+  * (routing round trip, including the uncataloged-blob quarantine) and
+  * q343/q347 (census / probe) pin the value contracts against
+  * construction-truth oracles. Measured
+  * (graft.runner.MediaCatalogProbe, BENCH_NOTES.md): the census off the
+  * bucketed catalog is decode-free scan work while the
+  * recompute-per-run arm pays the full decode + a corpus shuffle every
+  * release — numbers in BENCH_NOTES.
   */
 object MediaCatalog {
 
@@ -78,12 +81,18 @@ object MediaCatalog {
   /** Serving half of the routing spine: blob metadata ⋈ triage catalog
     * on `doc_id`, each row routed to its pipeline family. With both
     * tables bucketed on `doc_id` at the same count (the ingest layout),
-    * the join is exchange-free and sort-free — PlanSpec-pinned. */
+    * the join is exchange-free and sort-free — PlanSpec-pinned.
+    *
+    * LEFT join, fail-closed: a blob absent from the catalog (stale
+    * catalog, partial ingest) routes to 'quarantine' with a null
+    * container — visible downstream instead of silently vanishing, the
+    * same policy the triage applies to undecodable blobs. */
   def routeFromCatalog(
       spark: SparkSession, blobsTable: String, catalogTable: String): DataFrame =
     spark.table(blobsTable)
-      .join(spark.table(catalogTable), Seq("doc_id"))
-      .withColumn("route", routeExpr)
+      .join(spark.table(catalogTable), Seq("doc_id"), "left")
+      .withColumn("route",
+        when(col("decode_ok").isNull, "quarantine").otherwise(routeExpr))
 
   /** Release-census half of the content spine: duplicate-content classes
     * straight off the bucketed hash catalog — per ahash class the member

@@ -2019,11 +2019,21 @@ object Multimodal {
     * spec §9.1.5): 7 bits in one byte, else a lead byte with c+1 leading
     * ones followed by c ∈ [1,6] continuation bytes of 6 payload bits each
     * (capacity 6+5c bits in the lead, 36 bits total at c=6) — the exact
-    * mirror of [[flacDecodeFrames]]'s 6-continuation reader. Frame
-    * numbers beyond 36 bits are unrepresentable in the format; fail
-    * loudly rather than emit an undecodable stream. */
-  private def writeFlacCodedNumber(w: BitWriter, fn: Long): Unit = {
-    require(fn >= 0 && fn < (1L << 36), s"FLAC coded number out of range: $fn")
+    * mirror of [[flacDecodeFrames]]'s 6-continuation reader.
+    *
+    * `maxBits` is the CALLER's strategy cap (RFC 9639 §9.1.5): a
+    * fixed-blocksize stream codes a FRAME number capped at 31 bits —
+    * external decoders may reject more, even though the wire format (and
+    * the in-repo reader) carries up to 36 — while a variable-blocksize
+    * stream codes a 36-bit SAMPLE number. [[flacFrame]] writes the
+    * fixed-blocksize strategy, so it passes the 31-bit default. Numbers
+    * beyond the cap fail loudly rather than emit a stream other decoders
+    * drop. */
+  private def writeFlacCodedNumber(
+      w: BitWriter, fn: Long, maxBits: Int = 31): Unit = {
+    require(maxBits <= 36, s"FLAC coded numbers cap at 36 bits: $maxBits")
+    require(fn >= 0 && fn < (1L << maxBits),
+      s"FLAC coded number out of range for a $maxBits-bit strategy: $fn")
     if (fn < 0x80) w.put(fn, 8)
     else {
       var c = 1
@@ -2039,10 +2049,13 @@ object Multimodal {
   /** Test hook: the coded-number encoding of `fn` as raw bytes (the
     * byte-aligned output of [[writeFlacCodedNumber]]), so MultimodalSpec
     * can law-check the full 36-bit range without synthesizing a
-    * 65536-frame stream. */
-  private[graft] def flacCodedNumberBytes(fn: Long): Array[Byte] = {
+    * 65536-frame stream. `maxBits` defaults to the full wire capacity
+    * here (the law test covers the variable-blocksize sample-number
+    * range); production frames go through [[flacFrame]]'s 31-bit cap. */
+  private[graft] def flacCodedNumberBytes(
+      fn: Long, maxBits: Int = 36): Array[Byte] = {
     val w = new BitWriter
-    writeFlacCodedNumber(w, fn)
+    writeFlacCodedNumber(w, fn, maxBits)
     w.bytes
   }
 

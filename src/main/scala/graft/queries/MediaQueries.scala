@@ -1485,40 +1485,48 @@ object MediaQueries {
     * fails the PCM contract — the sniff/decode distinction the triage
     * exists to make), mono FLAC, an ISO-BMFF skeleton, AVI-MJPEG, and
     * plain junk — and the oracle states construction truth per doc. */
+  /** The q338/q342 mixed-delivery blob fixture: eight delivery kinds
+    * cycled by doc_id%8 (BMP/PNG/TIFF pixels, mono WAV with a planted
+    * header-only 8-bit WAV on doc_id%16=3, mono FLAC, an ISO-BMFF
+    * skeleton, AVI-MJPEG, junk) — construction truth per doc. */
+  private def triageBlobs(
+      s: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    base.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        def img(): Multimodal.DecodedImage = {
+          val w = 8; val h = 6
+          Multimodal.DecodedImage(w, h,
+            Array.tabulate(w * h * 3)(i => ((id * 7 + i) % 256).toByte))
+        }
+        def sig(): Array[Short] =
+          Array.tabulate(120)(i => (((id * 31 + i * 17) % 2003) - 1001).toShort)
+        val bytes = (id % 8) match {
+          case 0 => Multimodal.encodeBmp(img())
+          case 1 => Multimodal.encodePng(img())
+          case 2 => Multimodal.encodeTiff(img())
+          case 3 =>
+            if (id % 16 == 3) // sniffs as wav, fails the 16-bit contract
+              Multimodal.wavHeader(8000L, 1, 8, 100)
+            else Multimodal.pcm16Wav(8000L, sig())
+          case 4 => Multimodal.flacEncode(8000L, sig(), 64)
+          case 5 => Multimodal.mp4WithTracks("isom", 600, 1200, Seq(
+            Multimodal.Mp4TrackSpec(1, 32, 24, 1000, 300,
+              Seq((3L, 100L)), Seq(1L))))
+          case 6 => Multimodal.aviMjpeg(8, 6, Seq(
+            Multimodal.encodeJpeg(img())))
+          case _ => s"not media at all, just text $id".getBytes("UTF-8")
+        }
+        (id, bytes)
+      })
+      .toDF("doc_id", "media")
+  }
+
   private val q338 = Q(
     "q338_media_triage",
     (s, dir) => {
-      import s.implicits._
-      val blobs = Lake(s, dir).documents
-        .filter(col("doc_id") < 600)
-        .select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          def img(): Multimodal.DecodedImage = {
-            val w = 8; val h = 6
-            Multimodal.DecodedImage(w, h,
-              Array.tabulate(w * h * 3)(i => ((id * 7 + i) % 256).toByte))
-          }
-          def sig(): Array[Short] =
-            Array.tabulate(120)(i => (((id * 31 + i * 17) % 2003) - 1001).toShort)
-          val bytes = (id % 8) match {
-            case 0 => Multimodal.encodeBmp(img())
-            case 1 => Multimodal.encodePng(img())
-            case 2 => Multimodal.encodeTiff(img())
-            case 3 =>
-              if (id % 16 == 3) // sniffs as wav, fails the 16-bit contract
-                Multimodal.wavHeader(8000L, 1, 8, 100)
-              else Multimodal.pcm16Wav(8000L, sig())
-            case 4 => Multimodal.flacEncode(8000L, sig(), 64)
-            case 5 => Multimodal.mp4WithTracks("isom", 600, 1200, Seq(
-              Multimodal.Mp4TrackSpec(1, 32, 24, 1000, 300,
-                Seq((3L, 100L)), Seq(1L))))
-            case 6 => Multimodal.aviMjpeg(8, 6, Seq(
-              Multimodal.encodeJpeg(img())))
-            case _ => s"not media at all, just text $id".getBytes("UTF-8")
-          }
-          (id, bytes)
-        })
-        .toDF("doc_id", "media")
+      val blobs = triageBlobs(s, Lake(s, dir).documents.filter(col("doc_id") < 600))
       Multimodal.mediaTriage(blobs, "doc_id", "media").toDF()
         .select("doc_id", "container", "decode_ok")
         .orderBy("doc_id")
@@ -1823,6 +1831,194 @@ object MediaQueries {
       ORDER BY stage""")
   )
 
+  /** The q325/q343/q347 content-class image fixture: the image is a pure
+    * function of k = doc_id % 40 (so each class's members are
+    * byte-identical content in different codecs: BMP even, PNG odd) —
+    * the census/probe oracles can state hash classes arithmetically. */
+  private def fusedHashBlobs(
+      s: org.apache.spark.sql.SparkSession,
+      base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    base.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val k = id % 40
+        val w = (8 + k % 9).toInt
+        val h = (6 + k % 7).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            rgb(i) = ((k + x + 2L * y) % 256).toByte
+            rgb(i + 1) = ((2L * k + 3L * x + y) % 256).toByte
+            rgb(i + 2) = ((k + 5L * x + 7L * y) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val img = Multimodal.DecodedImage(w, h, rgb)
+        (id, if (id % 2 == 0) Multimodal.encodeBmp(img)
+             else Multimodal.encodePng(img))
+      })
+      .toDF("doc_id", "media")
+  }
+
+  /** The shared ahash arithmetic of the q325-family oracles (q343/q347
+    * reuse it): per doc < maxDoc the 64-bit aHash as a '0'/'1' string,
+    * stated from the construction (8×8 nearest-neighbor resample of the
+    * k-keyed image, global-mean threshold). */
+  private def ahashCte(maxDoc: Int): String = s"""
+      ids AS (
+        SELECT doc_id, doc_id % 40 AS k,
+          8 + (doc_id % 40) % 9 AS w, 6 + (doc_id % 40) % 7 AS h
+        FROM documents WHERE doc_id < $maxDoc),
+      grid AS (
+        SELECT doc_id, k, w, h, t1.x, t2.y,
+          (x * w) // 8 AS sx, (y * h) // 8 AS sy
+        FROM ids,
+          unnest(generate_series(0, 7)) AS t1(x),
+          unnest(generate_series(0, 7)) AS t2(y)),
+      s0 AS MATERIALIZED (
+        SELECT doc_id, x, y,
+          CAST(((k + sx + 2 * sy) % 256 + (2 * k + 3 * sx + sy) % 256
+            + (k + 5 * sx + 7 * sy) % 256) // 3 AS BIGINT) AS g
+        FROM grid),
+      ahashed AS (
+        SELECT doc_id,
+          string_agg(CASE WHEN g > m THEN '1' ELSE '0' END, ''
+                     ORDER BY y, x) AS ahash
+        FROM (SELECT doc_id, x, y, g,
+                SUM(g) OVER (PARTITION BY doc_id) // 64 AS m
+              FROM s0)
+        GROUP BY doc_id)"""
+
+  // --------------------------------------------------------------- q342
+  /** BUCKETED MEDIA ROUTING (VERDICT r10 item 2) — the triage catalog
+    * ([[graft.ops.MediaCatalog.writeTriageCatalog]], the q338 census
+    * persisted bucketed+sorted on doc_id) joined back to a doc_id-
+    * bucketed blob-metadata table by
+    * [[graft.ops.MediaCatalog.routeFromCatalog]]: a bucket-aligned
+    * sort-merge join with zero exchanges and zero sorts
+    * (PlanSpec-pinned), each blob routed to its pipeline family. The
+    * metadata table deliberately holds 50 docs (600–649) the catalog has
+    * never triaged — the stale-catalog case — and the LEFT join must
+    * surface them as 'quarantine' rather than dropping them (ADVICE r10,
+    * MediaCatalog.scala:85). Oracle states construction truth: container
+    * and decode verdict by doc_id%8, the route by family, sentinel
+    * container=''/decode_ok=-1 for the uncataloged tail. */
+  private val q342 = Q(
+    "q342_media_route_from_catalog",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q342").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      graft.core.Bucketing.writeBucketed(
+        docs.filter(col("doc_id") < 650)
+          .select(col("doc_id"), (col("doc_id") % 97).as("n_ref")),
+        "q342_blobs", s"$tmp/blobs", 8, Seq("doc_id"))
+      graft.ops.MediaCatalog.writeTriageCatalog(
+        triageBlobs(s, docs.filter(col("doc_id") < 600)),
+        "doc_id", "media", "q342_catalog", s"$tmp/cat", 8)
+      graft.ops.MediaCatalog.routeFromCatalog(s, "q342_blobs", "q342_catalog")
+        .select(col("doc_id"),
+          coalesce(col("container"), lit("")).as("container"),
+          coalesce(col("decode_ok"), lit(-1L)).as("decode_ok"),
+          col("route"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH cat AS (
+        SELECT doc_id,
+          CASE doc_id % 8
+            WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'tiff'
+            WHEN 3 THEN 'wav' WHEN 4 THEN 'flac' WHEN 5 THEN 'mp4'
+            WHEN 6 THEN 'avi' ELSE 'unknown' END AS container,
+          CAST(CASE WHEN doc_id % 8 = 7 THEN 0
+                    WHEN doc_id % 16 = 3 THEN 0
+                    ELSE 1 END AS BIGINT) AS decode_ok
+        FROM documents WHERE doc_id < 600)
+      SELECT m.doc_id,
+             COALESCE(c.container, '') AS container,
+             COALESCE(c.decode_ok, -1) AS decode_ok,
+             CASE WHEN c.decode_ok IS NULL THEN 'quarantine'
+                  WHEN c.decode_ok = 0 THEN 'quarantine'
+                  WHEN c.container IN ('bmp', 'png', 'tiff', 'jpeg', 'gif')
+                    THEN 'image'
+                  WHEN c.container IN ('wav', 'flac') THEN 'audio'
+                  WHEN c.container IN ('mp4', 'avi') THEN 'video'
+                  ELSE 'quarantine' END AS route
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 650) m
+      LEFT JOIN cat c USING (doc_id)
+      ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q343
+  /** RELEASE CENSUS off the bucketed hash catalog
+    * ([[graft.ops.MediaCatalog.writeHashCatalog]] +
+    * [[graft.ops.MediaCatalog.hashCensus]]): duplicate-content classes
+    * (member count + canonical doc per ahash) computed straight off the
+    * catalog's bucketed scan — the scan's hash-partitioning satisfies
+    * the groupBy, zero exchanges (PlanSpec-pinned), where the
+    * recompute-per-run shape pays decode + a corpus-sized shuffle every
+    * release (MediaCatalogProbe measures the gap). The fixture's image
+    * is a pure function of doc_id%40, so each of the 40 content classes
+    * collapses to one ahash with 10 members and canonical doc = k;
+    * the oracle states the ahash arithmetic and groups it. */
+  private val q343 = Q(
+    "q343_media_hash_census_bucketed",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q343").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      graft.ops.MediaCatalog.writeHashCatalog(
+        fusedHashBlobs(s, docs.filter(col("doc_id") < 400)),
+        "doc_id", "media", "q343_catalog", s"$tmp/cat", 8)
+      graft.ops.MediaCatalog.hashCensus(s, "q343_catalog")
+        .orderBy("ahash")
+    },
+    Some(s"""
+      WITH ${ahashCte(400)}
+      SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS canonical_doc
+      FROM ahashed GROUP BY ahash ORDER BY ahash""")
+  )
+
+  // --------------------------------------------------------------- q347
+  /** NEAR-DUP SERVING off the bucketed hash catalog
+    * ([[graft.ops.MediaCatalog.probeHashCatalog]]): a new 40-doc
+    * delivery's fused hashes probe the 400-doc catalog for exact-ahash
+    * content hits; the batch pays ONE repartition to the catalog's
+    * bucket spec and the corpus-sized catalog is never shuffled
+    * (PlanSpec pins exactly one exchange, batch-sized). Every batch doc
+    * (ids 400–439, same doc_id%40 content classes) must hit exactly its
+    * class's 10 catalog members — modulo real ahash collisions across
+    * classes, which the oracle reproduces because it computes the same
+    * ahash arithmetic on both sides of its self-join. */
+  private val q347 = Q(
+    "q347_media_hash_probe_bucketed",
+    (s, dir) => {
+      val docs = Lake(s, dir).documents
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q347").toString
+      graft.core.SilverWriter.deleteOnExit(tmp)
+      graft.ops.MediaCatalog.writeHashCatalog(
+        fusedHashBlobs(s, docs.filter(col("doc_id") < 400)),
+        "doc_id", "media", "q347_catalog", s"$tmp/cat", 8)
+      val batch = Multimodal.imageHashes(
+        fusedHashBlobs(s,
+          docs.filter(col("doc_id") >= 400 && col("doc_id") < 440)),
+        "doc_id", "media").toDF()
+      graft.ops.MediaCatalog.probeHashCatalog(s, batch, "q347_catalog")
+        .orderBy("batch_doc", "catalog_doc")
+    },
+    Some(s"""
+      WITH ${ahashCte(440)}
+      SELECT b.doc_id AS batch_doc, c.doc_id AS catalog_doc, b.ahash
+      FROM ahashed b JOIN ahashed c ON b.ahash = c.ahash
+      WHERE b.doc_id >= 400 AND c.doc_id < 400
+      ORDER BY batch_doc, catalog_doc""")
+  )
+
   // --------------------------------------------------------------- q325
   /** One-decode fingerprinting ([[graft.ops.Multimodal.imageHashes]]):
     * aHash + dHash + wHash from a SINGLE decode of each blob — at lake
@@ -1848,32 +2044,8 @@ object MediaQueries {
     Q(
       "q325_image_hashes_fused",
       (s, dir) => {
-        import s.implicits._
-        val imgs = Lake(s, dir).documents
-          .filter(col("doc_id") < 400)
-          .select(col("doc_id")).as[Long]
-          .mapPartitions(_.map { id =>
-            val k = id % 40
-            val w = (8 + k % 9).toInt
-            val h = (6 + k % 7).toInt
-            val rgb = new Array[Byte](w * h * 3)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val i = (y * w + x) * 3
-                rgb(i) = ((k + x + 2L * y) % 256).toByte
-                rgb(i + 1) = ((2L * k + 3L * x + y) % 256).toByte
-                rgb(i + 2) = ((k + 5L * x + 7L * y) % 256).toByte
-                x += 1
-              }
-              y += 1
-            }
-            val img = Multimodal.DecodedImage(w, h, rgb)
-            (id, if (id % 2 == 0) Multimodal.encodeBmp(img)
-                 else Multimodal.encodePng(img))
-          })
-          .toDF("doc_id", "media")
+        val imgs = fusedHashBlobs(s,
+          Lake(s, dir).documents.filter(col("doc_id") < 400))
         Multimodal.imageHashes(imgs, "doc_id", "media").toDF()
           .orderBy("doc_id")
       },
@@ -2071,5 +2243,6 @@ object MediaQueries {
 
   val all: Seq[Q] = Seq(q230, q231, q232, q267, q310, q311, q314, q315,
     q316, q317, q318, q319, q320, q321, q322, q323, q324, q325, q327,
-    q328, q329, q330, q331, q332, q334, q335, q336, q337, q338)
+    q328, q329, q330, q331, q332, q334, q335, q336, q337, q338, q342,
+    q343, q347)
 }

@@ -686,5 +686,354 @@ object ViewQueries {
       ORDER BY StudentKey, SchoolKey, DateKey""")
   )
 
-  val all: Seq[Q] = Seq(q27, q28, q43, q49, q53, q340, q341)
+  // ---------------------------------------------------------------- q344
+  /** INCREMENTAL GOLD REFRESH, chrab arm (VERDICT r10 item 1c): the q43
+    * chronic-absenteeism fact advanced by one CDC batch through the new
+    * [[IncrementalGold.chrabFactScope]] contract. Same delta shape as
+    * q341 (attendance upserts for orderkey%3==0 events, enrollment
+    * deletes for custkey%17==0 via the `/deletes` id feed), but the
+    * affected-scope set comes from [[IncrementalGold.batchScopes]] — the
+    * full-contract API that also recovers scopes VACATED by re-keying
+    * upserts (here a no-op: event ids are delivery-disjoint, so the
+    * pre-delta semi-join is empty — q345 exercises the non-empty case).
+    * Oracle = q43's full-view SQL over the FINAL state; hash-exact means
+    * incremental ≡ full recompute for a third of the 41 views. */
+  private val q344 = Q(
+    "q344_incremental_chrab_fact",
+    (s, dir) => {
+      import graft.ops.IncrementalGold
+      val lake = Lake(s, dir)
+      val cust = lake.customer.select(col("c_custkey"), col("c_nationkey"))
+
+      val ssa = cust.select(
+        col("c_custkey").cast("string").as("id"),
+        struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
+        struct(lit(1995L).as("schoolYear")).as("schoolYearTypeReference"),
+        struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
+        lit("1995-01-05").as("entryDate"),
+        when(col("c_custkey") % 10 === 0, "1995-01-20")
+          .otherwise(lit(null).cast("string")).as("exitWithdrawDate"))
+
+      val jan = lake.orders
+        .filter(col("o_orderdate").between("1995-01-01", "1995-01-31"))
+      val cal = jan.select(col("o_orderdate").cast("string").as("date")).distinct()
+        .crossJoin(lake.nation.select(col("n_nationkey")))
+        .select(
+          struct(
+            col("n_nationkey").cast("long").as("schoolId"),
+            lit(1995L).as("schoolYear")).as("calendarReference"),
+          col("date"),
+          array(struct(
+            when(dayofmonth(to_date(col("date"))) % 5 =!= 0,
+              "uri://ed-fi.org/CalendarEventDescriptor#Instructional day")
+              .otherwise("uri://ed-fi.org/CalendarEventDescriptor#Holiday")
+              .as("calendarEventDescriptor"))).as("calendarEvents"))
+
+      val att = jan.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(
+          col("o_orderkey").cast("string").as("id"),
+          struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
+          struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
+          col("o_orderdate").cast("string").as("eventDate"),
+          concat(lit("uri://ed-fi.org/AttendanceEventCategoryDescriptor#"),
+            element_at(
+              array(lit("In Attendance"), lit("Tardy"),
+                lit("Excused Absence"), lit("Unexcused Absence")),
+              (col("o_orderkey") % 4 + 1).cast("int")))
+            .as("attendanceEventCategoryDescriptor"))
+
+      val attInitial = att.filter(col("id").cast("long") % 3 =!= 0)
+      val attUpserts = att.filter(col("id").cast("long") % 3 === 0)
+      val ssaDelIds = ssa.filter(
+        col("studentReference.studentUniqueId").cast("long") % 17 === 0)
+        .select(col("id"))
+
+      val oldGold = ctxWith(s, Map(
+        "studentSchoolAssociations" -> ssa,
+        "calendarDates" -> cal,
+        "studentSchoolAttendanceEvents" -> attInitial))
+        .view("chrab_chronicAbsenteeismAttendanceFact")
+
+      val newSsa = IncrementalGold.applyCdc(
+        ssa, IncrementalGold.CdcBatch(ssa.limit(0), ssaDelIds))
+      val newAtt = IncrementalGold.applyCdc(
+        attInitial, IncrementalGold.CdcBatch(attUpserts, att.select(col("id")).limit(0)))
+
+      val studentOf = (df: DataFrame) => df("studentReference.studentUniqueId")
+      val affected = IncrementalGold
+        .batchScopes(attInitial,
+          IncrementalGold.CdcBatch(attUpserts, att.select(col("id")).limit(0)),
+          studentOf)
+        .unionByName(IncrementalGold.batchScopes(ssa,
+          IncrementalGold.CdcBatch(ssa.limit(0), ssaDelIds), studentOf))
+        .distinct()
+
+      IncrementalGold.refreshView(
+        IncrementalGold.chrabFactScope, oldGold,
+        newEndpoint = {
+          case "studentSchoolAssociations" => newSsa
+          case "studentSchoolAttendanceEvents" => newAtt
+          case "calendarDates" => cal
+          case other => emptyEndpoint(s, other)
+        },
+        affected = affected)
+        .orderBy("StudentKey", "SchoolKey", "DateKey")
+    },
+    Some("""
+      WITH cal AS (
+        SELECT DISTINCT n_nationkey AS school_id,
+               replace(strftime(o_orderdate, '%Y-%m-%d'), '-', '') AS date_key
+        FROM orders, nation
+        WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+          AND day(o_orderdate) % 5 <> 0),
+      enr AS (
+        SELECT c_nationkey AS school_id, CAST(c_custkey AS VARCHAR) AS student_key,
+               CASE WHEN c_custkey % 10 = 0 THEN '19950120' ELSE '' END AS exit_key
+        FROM customer
+        WHERE c_custkey % 17 <> 0),
+      att AS (
+        SELECT c_nationkey AS school_id, CAST(c_custkey AS VARCHAR) AS student_key,
+               replace(strftime(o_orderdate, '%Y-%m-%d'), '-', '') AS date_key,
+               SUM(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS present,
+               SUM(CASE WHEN o_orderkey % 4 IN (2, 3) THEN 1 ELSE 0 END) AS absence
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+        GROUP BY 1, 2, 3)
+      SELECT e.student_key || '-' || CAST(c.school_id AS VARCHAR) AS StudentSchoolKey,
+             e.student_key AS StudentKey,
+             CAST(c.school_id AS VARCHAR) AS SchoolKey,
+             c.date_key AS DateKey,
+             CAST(CASE WHEN COALESCE(a.present, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS ReportedAsPresentAtSchool,
+             CAST(CASE WHEN COALESCE(a.absence, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS ReportedAsAbsentFromSchool,
+             CAST(0 AS INTEGER) AS ReportedAsPresentAtHomeRoom,
+             CAST(0 AS INTEGER) AS ReportedAsAbsentFromHomeRoom,
+             CAST(0 AS INTEGER) AS ReportedAsIsPresentInAllSections,
+             CAST(0 AS INTEGER) AS ReportedAsAbsentFromAnySection
+      FROM enr e
+      JOIN cal c ON e.school_id = c.school_id
+      LEFT JOIN att a ON a.school_id = e.school_id
+        AND a.student_key = e.student_key AND a.date_key = c.date_key
+      WHERE '19950105' <= c.date_key
+        AND (e.exit_key = '' OR e.exit_key >= c.date_key)
+        AND c.date_key <= strftime(current_date, '%Y%m%d')
+      ORDER BY StudentKey, SchoolKey, DateKey""")
+  )
+
+  // ---------------------------------------------------------------- q345
+  /** RE-KEYING upserts under the incremental hash gate (ADVICE r10,
+    * IncrementalGold.scala:102): the studentSectionGradeFact's initial
+    * delivery lands every orderkey%3==0 grade MIS-KEYED to a ghost
+    * student (`ghost-<custkey>`), and the CDC batch re-keys those same
+    * resource ids (same `id`, new studentUniqueId) to the real student —
+    * the Ed-Fi key-change case. [[IncrementalGold.batchScopes]] recovers
+    * the vacated ghost scopes from the PRE-delta snapshot, so the ghost
+    * students' stale gold rows are rebuilt away; the old
+    * `affectedScopes` (new-scope-only) would leave them alive and this
+    * hash gate would fail. Deletes ride along (orderkey%11==0 of the
+    * initial delivery). Oracle states the view over the FINAL state —
+    * ghosts never appear. Also the q345 gate for the new
+    * [[IncrementalGold.sectionGradeFactScope]] contract. */
+  private val q345 = Q(
+    "q345_incremental_section_grade_fact",
+    (s, dir) => {
+      import s.implicits._
+      import graft.ops.IncrementalGold
+      val lake = Lake(s, dir)
+      val base = lake.orders.join(
+        lake.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+
+      def gradeRows(df: DataFrame, ghost: Boolean): DataFrame = df.select(
+        col("o_orderkey").cast("string").as("id"),
+        struct(
+          lit("uri://ed-fi.org/GradingPeriodDescriptor#First")
+            .as("gradingPeriodDescriptor"),
+          lit(1L).as("periodSequence"),
+          col("c_nationkey").cast("long").as("schoolId"),
+          lit(1995L).as("schoolYear")).as("gradingPeriodReference"),
+        struct(
+          (if (ghost) concat(lit("ghost-"), col("c_custkey").cast("string"))
+           else col("c_custkey").cast("string")).as("studentUniqueId"),
+          col("c_nationkey").cast("long").as("schoolId"),
+          lit("1995-08-01").as("beginDate"),
+          lit("ALG-1").as("localCourseCode"),
+          lit(1995L).as("schoolYear"),
+          concat(lit("sec-"), (col("o_orderkey") % 3).cast("string"))
+            .as("sectionIdentifier"),
+          lit("Fall").as("sessionName")).as("studentSectionAssociationReference"),
+        element_at(array(lit("A"), lit("B"), lit("C"), lit("D"), lit("F")),
+          (col("o_orderkey") % 5 + 1).cast("int")).as("letterGradeEarned"),
+        ((col("o_orderkey") % 20) * lit(5.0)).as("numericGradeEarned"),
+        concat(lit("uri://ed-fi.org/GradeTypeDescriptor#"),
+          element_at(
+            array(lit("Grading Period"), lit("Semester"), lit("Final"), lit("Exam")),
+            (col("o_orderkey") % 4 + 1).cast("int"))).as("gradeTypeDescriptor"))
+
+      val snapshot = gradeRows(base.filter(col("o_orderkey") % 3 =!= 0), ghost = false)
+        .unionByName(gradeRows(base.filter(col("o_orderkey") % 3 === 0), ghost = true))
+      val upserts = gradeRows(base.filter(col("o_orderkey") % 3 === 0), ghost = false)
+      val delIds = base
+        .filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey").cast("string").as("id"))
+
+      val gps = lake.nation.select(
+        lit("uri://ed-fi.org/GradingPeriodDescriptor#First")
+          .as("gradingPeriodDescriptor"),
+        lit(1L).as("periodSequence"),
+        struct(col("n_nationkey").cast("long").as("schoolId")).as("schoolReference"),
+        struct(lit(1995L).as("schoolYear")).as("schoolYearTypeReference"),
+        lit("1995-01-01").as("beginDate"))
+      val gpd = Seq((7L, "First")).toDF("gradingPeriodDescriptorId", "codeValue")
+
+      val oldGold = ctxWith(s, Map(
+        "grades" -> snapshot, "gradingPeriods" -> gps,
+        "gradingPeriodDescriptors" -> gpd))
+        .view("ews_studentSectionGradeFact")
+
+      val batch = IncrementalGold.CdcBatch(upserts, delIds)
+      val newGrades = IncrementalGold.applyCdc(snapshot, batch)
+      val affected = IncrementalGold.batchScopes(snapshot, batch,
+        df => df("studentSectionAssociationReference.studentUniqueId"))
+
+      IncrementalGold.refreshView(
+        IncrementalGold.sectionGradeFactScope, oldGold,
+        newEndpoint = {
+          case "grades" => newGrades
+          case "gradingPeriods" => gps
+          case "gradingPeriodDescriptors" => gpd
+          case other => emptyEndpoint(s, other)
+        },
+        affected = affected)
+        .orderBy("StudentKey", "SchoolKey", "GradingPeriodKey",
+          "StudentSectionKey", "SectionKey", "NumericGradeEarned",
+          "LetterGradeEarned", "GradeType")
+    },
+    Some("""
+      SELECT CAST(c_custkey AS VARCHAR) AS StudentKey,
+             CAST(c_nationkey AS VARCHAR) AS SchoolKey,
+             '7-' || CAST(c_nationkey AS VARCHAR) || '-19950101' AS GradingPeriodKey,
+             CAST(c_custkey AS VARCHAR) || '-' || CAST(c_nationkey AS VARCHAR)
+               || '-ALG-1-1995-sec-' || CAST(o_orderkey % 3 AS VARCHAR)
+               || '-Fall-19950801' AS StudentSectionKey,
+             CAST(c_nationkey AS VARCHAR) || '-ALG-1-1995-sec-'
+               || CAST(o_orderkey % 3 AS VARCHAR) || '-Fall' AS SectionKey,
+             CASE WHEN o_orderkey % 20 = 0 THEN 95.0
+                  ELSE CAST(o_orderkey % 20 AS DOUBLE) * 5.0 END
+               AS NumericGradeEarned,
+             CASE o_orderkey % 5 WHEN 0 THEN 'A' WHEN 1 THEN 'B' WHEN 2 THEN 'C'
+                  WHEN 3 THEN 'D' ELSE 'F' END AS LetterGradeEarned,
+             CASE o_orderkey % 4 WHEN 0 THEN 'Grading Period'
+                  WHEN 1 THEN 'Semester' ELSE 'Final' END AS GradeType
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey % 4 <> 3
+        AND NOT (o_orderkey % 3 <> 0 AND o_orderkey % 11 = 0)
+      ORDER BY StudentKey, SchoolKey, GradingPeriodKey, StudentSectionKey,
+               SectionKey, NumericGradeEarned, LetterGradeEarned, GradeType""")
+  )
+
+  // ---------------------------------------------------------------- q346
+  /** PARTITION-PRUNED incremental refresh (VERDICT r10 item 1b): q340's
+    * schoolDim delta served from a [[IncrementalGold.writeGoldPartitioned]]
+    * layout — gold hash-partitioned on the scope key, the merge reading
+    * ONLY the affected buckets (partition-pruned scan, PlanSpec-pinned)
+    * and rewriting ONLY those partitions via dynamic partition overwrite.
+    * The query round-trips the WHOLE refreshed lake back through the
+    * partitioned layout, so the hash gate proves the pruned path leaves
+    * untouched buckets byte-correct while landing the same final state
+    * as q340's scan-bound merge. Oracle identical to q340's. */
+  private val q346 = Q(
+    "q346_incremental_pruned_school_dim",
+    (s, dir) => {
+      import graft.ops.IncrementalGold
+      val lake = Lake(s, dir)
+      val cust = lake.customer.select(
+        col("c_custkey"), col("c_nationkey"), col("c_name"), col("c_mktsegment"))
+
+      def schoolRows(df: DataFrame, renamed: Boolean): DataFrame = df.select(
+        col("c_custkey").cast("string").as("id"),
+        col("c_custkey").cast("long").as("schoolId"),
+        (if (renamed) concat(col("c_name"), lit(" (renamed)"))
+         else col("c_name")).as("nameOfInstitution"),
+        lit("uri://ed-fi.org/SchoolTypeDescriptor#Regular")
+          .as("schoolTypeDescriptor"),
+        struct(col("c_nationkey").cast("long").as("localEducationAgencyId"))
+          .as("localEducationAgencyReference"),
+        array(struct(
+          when(col("c_custkey") % 5 === 0,
+            "uri://ed-fi.org/AddressTypeDescriptor#Mailing")
+            .otherwise("uri://ed-fi.org/AddressTypeDescriptor#Physical")
+            .as("addressTypeDescriptor"),
+          lit("uri://ed-fi.org/StateAbbreviationDescriptor#TX")
+            .as("stateAbbreviationDescriptor"),
+          concat(col("c_custkey").cast("string"), lit(" Main St"))
+            .as("streetNumberName"),
+          col("c_mktsegment").as("city"),
+          lit("Central").as("nameOfCounty"))).as("addresses"))
+
+      val leas = lake.nation.select(
+        col("n_nationkey").cast("long").as("localEducationAgencyId"),
+        col("n_name").as("nameOfInstitution"),
+        struct(lit(null).cast("long").as("educationServiceCenterId"))
+          .as("educationServiceCenterReference"))
+
+      val snapshot = schoolRows(cust, renamed = false)
+      val upserts = schoolRows(cust.filter(col("c_custkey") % 7 === 3),
+        renamed = true)
+      val delIds = cust
+        .filter(col("c_custkey") % 13 === 5 && col("c_custkey") % 7 =!= 3)
+        .select(col("c_custkey").cast("string").as("id"))
+
+      val oldGold = ctxWith(s, Map(
+        "schools" -> snapshot, "localEducationAgencies" -> leas))
+        .view("schoolDim")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q346").toString
+      SilverWriter.deleteOnExit(tmp)
+      val goldPath = s"$tmp/gold"
+      IncrementalGold.writeGoldPartitioned(
+        oldGold, IncrementalGold.schoolDimScope, goldPath, nBuckets = 16)
+
+      val batch = IncrementalGold.CdcBatch(upserts, delIds)
+      val newSchools = IncrementalGold.applyCdc(snapshot, batch)
+      val affected = IncrementalGold.batchScopes(
+        snapshot, batch, df => df("schoolId"))
+
+      IncrementalGold.refreshViewPruned(
+        IncrementalGold.schoolDimScope, goldPath, s"$tmp/staging",
+        nBuckets = 16,
+        newEndpoint = {
+          case "schools" => newSchools
+          case "localEducationAgencies" => leas
+          case other => emptyEndpoint(s, other)
+        },
+        affected = affected)
+
+      s.read.parquet(goldPath)
+        .drop(IncrementalGold.BucketCol)
+        .orderBy("SchoolKey")
+    },
+    Some("""
+      SELECT CAST(c_custkey AS VARCHAR) AS SchoolKey,
+             CASE WHEN c_custkey % 7 = 3 THEN c_name || ' (renamed)'
+                  ELSE c_name END AS SchoolName,
+             'Regular' AS SchoolType,
+             CAST(c_custkey AS VARCHAR) || ' Main St, ' || c_mktsegment
+               || ' TX Central' AS SchoolAddress,
+             c_mktsegment AS SchoolCity,
+             'Central' AS SchoolCounty,
+             'TX' AS SchoolState,
+             n_name AS LocalEducationAgencyName,
+             CAST(c_nationkey AS VARCHAR) AS LocalEducationAgencyKey,
+             '' AS StateEducationAgencyName,
+             '' AS StateEducationAgencyKey,
+             '' AS EducationServiceCenterName,
+             '' AS EducationServiceCenterKey
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey % 5 <> 0
+        AND NOT (c_custkey % 13 = 5 AND c_custkey % 7 <> 3)
+      ORDER BY SchoolKey""")
+  )
+
+  val all: Seq[Q] = Seq(q27, q28, q43, q49, q53, q340, q341, q344, q345, q346)
 }

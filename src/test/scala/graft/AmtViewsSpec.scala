@@ -1573,4 +1573,84 @@ class AmtViewsSpec extends SparkTestBase {
     assert(bySchool.head.getAs[Double]("share") == 1.0)
     intercept[IllegalArgumentException](p.diagnose("nope"))
   }
+
+  test("batchScopes: re-keying upserts vacate their old scope (incremental ≡ full)") {
+    // ADVICE r10 (IncrementalGold.scala:102): an upsert that RE-KEYS a
+    // resource (same id, new studentUniqueId — Ed-Fi key changes do this)
+    // abandons its old scope; the new-scope-only affectedScopes leaves
+    // the vacated scope's stale gold rows alive, batchScopes rebuilds
+    // them away. q345 is the oracle-hash twin of this law.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.ops.IncrementalGold
+    import graft.views.ViewContext
+    import testImplicits._
+
+    def grades(rows: Seq[(String, String)]): DataFrame =
+      rows.toDF("id", "student").select(
+        col("id"),
+        struct(
+          lit("uri://ed-fi.org/GradingPeriodDescriptor#First")
+            .as("gradingPeriodDescriptor"),
+          lit(1L).as("periodSequence"),
+          lit(10L).as("schoolId"),
+          lit(2022L).as("schoolYear")).as("gradingPeriodReference"),
+        struct(
+          col("student").as("studentUniqueId"),
+          lit(10L).as("schoolId"),
+          lit("2021-08-23").as("beginDate"),
+          lit("ALG-1").as("localCourseCode"),
+          lit(2022L).as("schoolYear"),
+          lit("ALG1-01").as("sectionIdentifier"),
+          lit("Fall").as("sessionName")).as("studentSectionAssociationReference"),
+        lit("B").as("letterGradeEarned"),
+        lit(88.0).as("numericGradeEarned"),
+        lit("uri://ed-fi.org/GradeTypeDescriptor#Grading Period")
+          .as("gradeTypeDescriptor"))
+    val gps = Seq(1).toDF("x").select(
+      lit("uri://ed-fi.org/GradingPeriodDescriptor#First")
+        .as("gradingPeriodDescriptor"),
+      lit(1L).as("periodSequence"),
+      struct(lit(10L).as("schoolId")).as("schoolReference"),
+      struct(lit(2022L).as("schoolYear")).as("schoolYearTypeReference"),
+      lit("2021-08-23").as("beginDate"))
+    val gpd = Seq((7L, "First")).toDF("gradingPeriodDescriptorId", "codeValue")
+
+    val snapshot = grades(Seq(("g1", "A"), ("g2", "C")))
+    val batch = IncrementalGold.CdcBatch(
+      grades(Seq(("g1", "B"))), // re-key g1: student A → B
+      snapshot.limit(0).select(col("id")))
+    val newGrades = IncrementalGold.applyCdc(snapshot, batch)
+    def ctxOf(g: DataFrame) = ViewContext(spark,
+      endpoint = {
+        case "grades" => g
+        case "gradingPeriods" => gps
+        case "gradingPeriodDescriptors" => gpd
+        case other => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.core.EndpointCatalog.schema(other))
+      },
+      view = n => fail(s"unexpected view dep: $n"))
+    val oldGold = graft.views.ews.StudentSectionGradeFact.build(ctxOf(snapshot))
+    def students(df: DataFrame): Set[String] =
+      df.select("StudentKey").collect().map(_.getString(0)).toSet
+    val scopeOf = (df: DataFrame) =>
+      df("studentSectionAssociationReference.studentUniqueId")
+    def refresh(affected: DataFrame): DataFrame =
+      IncrementalGold.refreshView(
+        IncrementalGold.sectionGradeFactScope, oldGold,
+        n => ctxOf(newGrades).endpoint(n), affected)
+
+    assert(students(graft.views.ews.StudentSectionGradeFact
+      .build(ctxOf(newGrades))) == Set("B", "C"))
+    // the documented failure mode: new-scope-only misses the vacated A
+    val stale = refresh(
+      IncrementalGold.affectedScopes(Seq((batch.upserts, scopeOf)), spark))
+    assert(students(stale) == Set("A", "B", "C"),
+      "expected the stale vacated-scope row to survive under affectedScopes")
+    // the contract API recovers the vacated scope from the pre-delta
+    // snapshot: incremental ≡ full recompute
+    val fixed = refresh(IncrementalGold.batchScopes(snapshot, batch, scopeOf))
+    assert(students(fixed) == Set("B", "C"))
+  }
 }

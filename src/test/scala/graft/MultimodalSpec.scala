@@ -444,6 +444,14 @@ class MultimodalSpec extends SparkTestBase {
     // out of range: fail loudly, never emit an undecodable stream
     intercept[IllegalArgumentException](flacCodedNumberBytes(1L << 36))
     intercept[IllegalArgumentException](flacCodedNumberBytes(-1L))
+    // fixed-blocksize strategy (what flacFrame writes) caps the FRAME
+    // number at 31 bits (RFC 9639 §9.1.5) — the wire carries up to 36,
+    // but external decoders may reject frames past 2^31; the writer must
+    // refuse, not emit
+    assert(decode(flacCodedNumberBytes((1L << 31) - 1, maxBits = 31))
+      == (1L << 31) - 1)
+    intercept[IllegalArgumentException](
+      flacCodedNumberBytes(1L << 31, maxBits = 31))
   }
 
   test("FLAC stereo: all four channel assignments round-trip exactly; downmix ≡ WAV") {

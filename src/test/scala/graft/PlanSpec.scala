@@ -781,6 +781,193 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("pruned incremental gold: merge reads only affected buckets; untouched partitions never rewritten") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.ops.IncrementalGold
+
+    val wh = java.nio.file.Files.createTempDirectory("incr-gold-pruned").toString
+    def schoolsFrame(ids: DataFrame): DataFrame = ids.select(
+      col("id").cast("string").as("id"),
+      col("id").cast("long").as("schoolId"),
+      concat(lit("S"), col("id")).as("nameOfInstitution"),
+      lit("uri://ed-fi.org/SchoolTypeDescriptor#Regular").as("schoolTypeDescriptor"),
+      struct(lit(1L).as("localEducationAgencyId")).as("localEducationAgencyReference"),
+      array(struct(
+        lit("uri://ed-fi.org/AddressTypeDescriptor#Physical").as("addressTypeDescriptor"),
+        lit("uri://ed-fi.org/StateAbbreviationDescriptor#TX").as("stateAbbreviationDescriptor"),
+        lit("1 Main St").as("streetNumberName"),
+        lit("Metro").as("city"),
+        lit("Central").as("nameOfCounty"))).as("addresses"))
+    val lea = Seq((1L, "LEA")).toDF("localEducationAgencyId", "nameOfInstitution")
+      .withColumn("educationServiceCenterReference",
+        struct(lit(null).cast("long").as("educationServiceCenterId")))
+    schoolsFrame(spark.range(0, 2000).toDF("id")).write.parquet(s"$wh/schools")
+    val snapshot = spark.read.parquet(s"$wh/schools")
+    def endpointFor(schools: DataFrame): String => DataFrame =
+      n => if (n == "schools") schools
+        else if (n == "localEducationAgencies") lea
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.core.EndpointCatalog.schema(n))
+    val ctx = graft.views.ViewContext(spark,
+      endpoint = endpointFor(snapshot),
+      view = n => fail(s"unexpected view dep: $n"))
+    val goldPath = s"$wh/gold"
+    val nBuckets = 16
+    IncrementalGold.writeGoldPartitioned(
+      graft.views.base.SchoolDim.build(ctx),
+      IncrementalGold.schoolDimScope, goldPath, nBuckets)
+
+    val upserts = schoolsFrame(spark.range(0, 3).toDF("id"))
+      .withColumn("nameOfInstitution", concat(col("nameOfInstitution"), lit("!")))
+    val delIds = spark.range(100, 102).select(col("id").cast("string").as("id"))
+    val batch = IncrementalGold.CdcBatch(upserts, delIds)
+    val newSchools = IncrementalGold.applyCdc(snapshot, batch)
+    val affected = IncrementalGold.batchScopes(
+      snapshot, batch, df => df("schoolId"))
+    // the five affected scopes' distinct buckets — what the prune must hit
+    val expectBuckets = Seq(0L, 1L, 2L, 100L, 101L).map(_.toString)
+      .toDF("s").select(IncrementalGold.scopeBucket(col("s"), nBuckets))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+    def goldFiles(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(goldPath)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+    }
+    val before = goldFiles()
+
+    // physical pin: the old-gold scan under the pruned merge carries a
+    // partition filter on scope_bucket and lists ONLY the affected
+    // buckets' partitions — the corpus is never read whole
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val merged = IncrementalGold.prunedMerge(
+        IncrementalGold.schoolDimScope, goldPath, nBuckets,
+        endpointFor(newSchools), affected)
+      val goldScans = merged.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("/gold")) => f
+      }
+      assert(goldScans.nonEmpty, "old-gold scan missing from the pruned merge")
+      goldScans.foreach { f =>
+        assert(f.partitionFilters.nonEmpty,
+          s"gold scan lost its partition filter:\n${merged.queryExecution.executedPlan}")
+        val listed = f.relation.location
+          .listFiles(f.partitionFilters, f.dataFilters)
+        assert(listed.size == expectBuckets.size && listed.size < nBuckets,
+          s"expected ${expectBuckets.size} pruned partitions of $nBuckets, " +
+            s"scan lists ${listed.size}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    IncrementalGold.refreshViewPruned(
+      IncrementalGold.schoolDimScope, goldPath, s"$wh/staging", nBuckets,
+      endpointFor(newSchools), affected)
+
+    // file-level pin: dynamic partition overwrite rewrote ONLY the
+    // affected buckets — every untouched partition's files are identical
+    val after = goldFiles()
+    def bucketOf(rel: String): Int =
+      rel.split("/").find(_.startsWith("scope_bucket="))
+        .map(_.stripPrefix("scope_bucket=").toInt).getOrElse(-1)
+    val untouchedBefore = before.filter { case (p, _) => !expectBuckets(bucketOf(p)) }
+    val untouchedAfter = after.filter { case (p, _) => !expectBuckets(bucketOf(p)) }
+    assert(untouchedBefore == untouchedAfter,
+      "untouched scope buckets were rewritten by the pruned refresh")
+    assert(before.keySet.filter(p => expectBuckets(bucketOf(p))) !=
+      after.keySet.filter(p => expectBuckets(bucketOf(p))),
+      "affected buckets were not rewritten")
+
+    // value law on top of the q346 hash gate: read-back ≡ full recompute
+    // over the post-CDC state
+    val got = spark.read.parquet(goldPath).drop(IncrementalGold.BucketCol)
+      .collect().map(_.toSeq).toSet
+    val want = graft.views.base.SchoolDim.build(
+      graft.views.ViewContext(spark, endpoint = endpointFor(newSchools),
+        view = n => fail(s"unexpected view dep: $n")))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "pruned refresh diverged from full recompute")
+  }
+
+  test("media catalog: exchange-free routing and census; probe pays ONE batch-sized exchange") {
+    import graft.ops.{MediaCatalog, Multimodal}
+    val wh = java.nio.file.Files.createTempDirectory("media-catalog").toString
+    def blobs(ids: Seq[Long]): DataFrame = ids.map { id =>
+      val k = id % 40
+      val img = Multimodal.DecodedImage(8, 6,
+        Array.tabulate(8 * 6 * 3)(i => ((k * 7 + i) % 256).toByte))
+      (id, Multimodal.encodeBmp(img))
+    }.toDF("doc_id", "media")
+    MediaCatalog.writeTriageCatalog(
+      blobs(0L until 200L), "doc_id", "media", "p_mc_cat", s"$wh/t", 4)
+    graft.core.Bucketing.writeBucketed(
+      spark.range(0, 220).select(col("id").as("doc_id"),
+        (col("id") % 97).as("n_ref")),
+      "p_mc_blobs", s"$wh/b", 4, Seq("doc_id"))
+    MediaCatalog.writeHashCatalog(
+      blobs(0L until 200L), "doc_id", "media", "p_mc_hash", s"$wh/h", 4)
+    val thresh = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast off: at 100 TB neither catalog nor blob table fits an
+      // executor — the pins must hold for the aligned sort-merge shape
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      // routing: blob ⋈ triage catalog, both bucketed on doc_id at the
+      // same count — zero exchanges; the LEFT join keeps uncataloged
+      // blobs and quarantines them (ADVICE r10) instead of dropping them
+      val routed = MediaCatalog.routeFromCatalog(spark, "p_mc_blobs", "p_mc_cat")
+      val rPlan = planOf(routed)
+      assert(!rPlan.contains("Exchange hashpartitioning"),
+        s"bucket-aligned routing join still shuffles:\n$rPlan")
+      val byRoute = routed.groupBy("route").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(routed.count() == 220, "left routing join dropped blobs")
+      assert(byRoute.getOrElse("quarantine", 0L) >= 20,
+        s"uncataloged blobs must surface as quarantine: $byRoute")
+      assert(byRoute.getOrElse("image", 0L) == 200L, s"got $byRoute")
+
+      // census: groupBy(ahash) over the ahash-bucketed catalog — the
+      // scan's partitioning satisfies the aggregation, zero exchanges
+      val census = MediaCatalog.hashCensus(spark, "p_mc_hash")
+      val cPlan = planOf(census)
+      assert(!cPlan.contains("Exchange hashpartitioning"),
+        s"census over the bucketed catalog still shuffles:\n$cPlan")
+      assert(census.count() > 0)
+
+      // probe: a plain batch frame pays exactly ONE materialized
+      // exchange (its explicit repartition to the catalog's bucket
+      // spec); the corpus-sized catalog scan stays bucketed, unmoved
+      val batch = blobs(200L until 210L)
+      val probe = MediaCatalog.probeHashCatalog(spark,
+        Multimodal.imageHashes(batch, "doc_id", "media").toDF(), "p_mc_hash")
+      assert(probe.collect().nonEmpty, "probe found no content hits")
+      val pPlan = planOf(probe).split("== Initial Plan ==")(0)
+      val exLines = pPlan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      val (reused, materialized) = exLines.partition(_.contains("ReusedExchange"))
+      assert(materialized.size == 1 && reused.isEmpty,
+        s"probe: want exactly 1 materialized exchange, got " +
+          s"${materialized.size}+${reused.size} reused:\n$pPlan")
+      assert(!materialized.head.contains("ENSURE_REQUIREMENTS"),
+        s"the exchange must be the explicit batch repartition, not a " +
+          s"join-forced shuffle of the catalog:\n$pPlan")
+      assert(pPlan.contains("Bucketed: true"),
+        s"catalog scan lost its bucketed layout:\n$pPlan")
+    } finally {
+      thresh match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      spark.sql("DROP TABLE p_mc_cat")
+      spark.sql("DROP TABLE p_mc_blobs")
+      spark.sql("DROP TABLE p_mc_hash")
+    }
+  }
+
   test("audit referential integrity probes via broadcast anti-join") {
     import graft.ops.Audit
     val lake = Lake(spark, sfDir)
