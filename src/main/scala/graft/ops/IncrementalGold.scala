@@ -59,12 +59,28 @@ import graft.views.{AmtView, ViewContext}
   * corpus parquet is still read whole into the broadcast semi/anti
   * joins each batch, so the win is ~2× at ×10 and the cost still tracks
   * corpus size. True flatness needs the SCAN pruned, not just the
-  * shuffle: [[writeGoldPartitioned]] lays gold out hash-partitioned on
-  * the scope key so [[refreshViewPruned]]'s merge reads ONLY the
-  * affected buckets (partition-pruned scan, PlanSpec-pinned) and
-  * rewrites only those partitions (dynamic partition overwrite) — the
-  * probe's `pruned` arm holds near-flat at ×10 while both scan-bound
-  * arms grow.
+  * shuffle, on BOTH sides of the refresh:
+  *
+  *   - gold: [[writeGoldPartitioned]] + [[refreshViewPruned]] — the
+  *     merge reads only the affected buckets (partition-pruned scan,
+  *     PlanSpec-pinned) and rewrites only those partitions;
+  *   - endpoints: [[writeEndpointPartitioned]] + [[postCdcSlicePruned]]
+  *     so the slice rebuild reads only the affected buckets of each
+  *     scoped endpoint, and [[writeKeyMap]]/[[lookupScopes]] so
+  *     delete/re-key scope recovery reads only the delta ids' buckets
+  *     of a slim (id, scope) sidecar instead of the corpus.
+  *
+  * SIZING RULE the pruned path depends on: a delta touching k distinct
+  * scopes reads ≈ B·(1−(1−1/B)^k) of B buckets, which is ≈ k only when
+  * k ≪ B. Hold the BUCKET SIZE constant (an executor-core read unit) so
+  * B grows with the corpus — then a fixed-size delta's refresh cost is
+  * O(k · bucketSize), independent of corpus size. With B fixed instead,
+  * the pruned read is a fixed FRACTION of the corpus (still linear).
+  * The probe's `pruned` arm measures both regimes honestly (numbers in
+  * BENCH_NOTES.md round 12): at the constant-bucket-size rule a
+  * 100-student delta reads 83/256 buckets at 1× but 98/2560 at ×10 —
+  * the pruned fraction FALLS as the corpus grows, which is the 100 TB
+  * story the scan-bound arms cannot tell.
   */
 object IncrementalGold {
 
@@ -232,18 +248,27 @@ object IncrementalGold {
 
   /** [[refreshView]] against a [[writeGoldPartitioned]] layout, with the
     * corpus SCAN pruned, not just the shuffle: the delta's distinct
-    * bucket ids (an O(nBuckets)-bounded collect — the only driver-side
-    * set here, capped by the layout constant, never by data size) prune
-    * the old-gold read to the affected partitions, the merge anti-join
-    * runs over that delta-sized slice only, and the write rewrites ONLY
-    * those partitions via dynamic partition overwrite. Untouched buckets
-    * are never read and never rewritten — refresh cost is delta-sized,
-    * independent of corpus size (IncrementalGoldProbe `pruned` arm).
+    * bucket ids (an O(nBuckets)-bounded collect — capped by the layout
+    * constant, never by data size) prune the old-gold read to the
+    * affected partitions, the merge anti-join runs over that pruned
+    * slice only, and the write rewrites ONLY those partitions via
+    * dynamic partition overwrite. Untouched buckets are never read and
+    * never rewritten, so refresh cost tracks the affected-bucket
+    * volume ≈ B·(1−(1−1/B)^k) · bucketSize — delta-sized when k ≪ B
+    * (the sizing rule in the object scaladoc); the endpoint side needs
+    * [[postCdcSlicePruned]] or the rebuild stays endpoint-scan-bound.
     *
     * The merged slice is staged to `stagingPath` first: Spark refuses to
-    * overwrite a path that feeds the same plan, and the stage also makes
-    * the gold rewrite all-or-nothing per run. Both writes are
-    * delta-sized. */
+    * overwrite a path that feeds the same plan, and the stage isolates
+    * the read from the overwrite. The overwrite itself commits per
+    * partition, NOT atomically across buckets — a run that dies midway
+    * leaves a mix of old and new buckets; re-running the same batch
+    * converges (the whole refresh is idempotent given the same staged
+    * inputs). Affected buckets the merge leaves EMPTY (a batch that
+    * deletes or re-keys away every scope in a bucket) are explicitly
+    * dropped — dynamic overwrite alone never touches a partition absent
+    * from the output, which would leave the vacated bucket's stale
+    * files alive. Both writes are affected-slice-sized. */
   def refreshViewPruned(
       scope: Scope,
       goldPath: String,
@@ -253,13 +278,216 @@ object IncrementalGold {
       affected: DataFrame): Unit = {
     val spark = affected.sparkSession
     val merged = prunedMerge(scope, goldPath, nBuckets, newEndpoint, affected)
-    merged.write.mode("overwrite").parquet(stagingPath)
+    overwriteAffected(spark, merged, goldPath, stagingPath, BucketCol,
+      affectedBuckets(affected, nBuckets).toSeq)
+  }
 
-    spark.read.parquet(stagingPath)
+  /** Stage `merged`, rewrite only its partitions into `destPath` via
+    * dynamic partition overwrite, then DROP any affected bucket the
+    * merged output has zero rows for — without the drop, a batch that
+    * vacates a whole bucket would leave its stale files alive and
+    * resurfacing on read-back (ADVICE r11). The staged copy is what the
+    * overwrite reads (Spark refuses to overwrite its own input path);
+    * the final repartition gives one file per rewritten bucket. The
+    * present-bucket collect is O(nBuckets)-bounded and reads one column
+    * of the delta-sized staging. Per-partition commit means a midway
+    * failure leaves mixed old/new buckets; re-running the same batch is
+    * idempotent and converges. */
+  private def overwriteAffected(
+      spark: SparkSession,
+      merged: DataFrame,
+      destPath: String,
+      stagingPath: String,
+      bucketCol: String,
+      affectedBucketIds: Seq[Int]): Unit = {
+    merged.write.mode("overwrite").parquet(stagingPath)
+    val staged = spark.read.parquet(stagingPath)
+    staged.repartition(col(bucketCol))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BucketCol)
-      .parquet(goldPath)
+      .partitionBy(bucketCol)
+      .parquet(destPath)
+    val present = staged.select(col(bucketCol).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val vacated = affectedBucketIds.filterNot(present)
+    if (vacated.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(destPath)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      vacated.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"$bucketCol=$b"), true)
+      }
+    }
+  }
+
+  /** The delta's distinct bucket ids — the O(nBuckets)-bounded collect
+    * every pruned path shares (never data-sized: capped by the layout
+    * constant). */
+  private def affectedBuckets(affected: DataFrame, nBuckets: Int): Array[Int] =
+    normalizedScopes(affected)
+      .select(scopeBucket(col("__scope"), nBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0))
+
+  // ------------------------------------------------------------------
+  // Endpoint-side pruning (VERDICT r11 item 1b): gold-only pruning
+  // leaves the refresh ENDPOINT-scan-bound — rebuildSlice still read
+  // each scoped endpoint's full parquet into the broadcast semi-join.
+  // The same scope-bucket layout on the endpoint snapshots closes that.
+  // ------------------------------------------------------------------
+
+  /** Lay a scoped ENDPOINT snapshot out hash-partitioned on its scope
+    * key — the same layout as [[writeGoldPartitioned]], so a delta
+    * refresh prunes the endpoint scans exactly like the gold scan. One
+    * file per bucket (the repartition shuffles once, at write time —
+    * the standing-lake cost every pruned refresh amortizes). */
+  def writeEndpointPartitioned(
+      snapshot: DataFrame, scopeOf: DataFrame => Column,
+      path: String, nBuckets: Int): Unit =
+    snapshot.withColumn(BucketCol, scopeBucket(scopeOf(snapshot), nBuckets))
+      .repartition(col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+
+  /** Partition-pruned read of a [[writeEndpointPartitioned]] layout:
+    * only the affected scopes' buckets are listed and scanned
+    * (PlanSpec-pinned partition filter). A bucket is a superset of its
+    * scopes, so callers still apply the exact semi-join on top —
+    * [[rebuildSlice]] already does. */
+  def readEndpointPruned(
+      spark: SparkSession, path: String, nBuckets: Int,
+      affected: DataFrame): DataFrame = {
+    val buckets = affectedBuckets(affected, nBuckets)
+    spark.read.parquet(path)
+      .filter(col(BucketCol).isin(buckets.map(Integer.valueOf).toSeq: _*))
+      .drop(BucketCol)
+  }
+
+  /** POST-CDC state of a scope-partitioned endpoint, restricted to the
+    * affected buckets: pruned old slice, minus touched ids (broadcast
+    * anti-join), plus the upserts. Exact for any consumer that only
+    * looks at affected scopes — [[rebuildSlice]]'s semi-join — PROVIDED
+    * `affected` ⊇ the batch's [[batchScopes]] (an upsert whose scope is
+    * outside `affected` would land in an unread bucket). */
+  def postCdcSlicePruned(
+      spark: SparkSession, path: String, nBuckets: Int,
+      batch: CdcBatch, affected: DataFrame, idCol: String = "id"): DataFrame = {
+    val touched = batch.upserts.select(col(idCol))
+      .unionByName(batch.deleteIds.select(col(idCol))).distinct()
+    readEndpointPruned(spark, path, nBuckets, affected)
+      .join(broadcast(touched), Seq(idCol), "left_anti")
+      .unionByName(batch.upserts)
+  }
+
+  /** Advance a [[writeEndpointPartitioned]] snapshot by one CDC batch,
+    * reading and rewriting only the affected buckets (the endpoint twin
+    * of [[refreshViewPruned]], vacated buckets dropped the same way).
+    * `affected` must cover the batch's [[batchScopes]] — use
+    * [[batchScopesPruned]] so the vacated-scope recovery is itself
+    * pruned. */
+  def refreshEndpointPartitioned(
+      spark: SparkSession, path: String, stagingPath: String, nBuckets: Int,
+      batch: CdcBatch, scopeOf: DataFrame => Column,
+      affected: DataFrame, idCol: String = "id"): Unit = {
+    val slice = postCdcSlicePruned(spark, path, nBuckets, batch, affected, idCol)
+    val merged = slice.withColumn(BucketCol, scopeBucket(scopeOf(slice), nBuckets))
+    overwriteAffected(spark, merged, path, stagingPath, BucketCol,
+      affectedBuckets(affected, nBuckets).toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // Keymap sidecar: delete/re-key scope recovery without a corpus scan.
+  // The /deletes feed carries only resource ids (api/api.py:133-136);
+  // deleteScopes/batchScopes recover their vacated scopes by an
+  // id-semi-join over the WHOLE pre-delta snapshot — the one residual
+  // full scan in the pruned refresh. A slim (id, scope) sidecar laid
+  // out by ID bucket makes that lookup delta-sized too.
+  // ------------------------------------------------------------------
+
+  /** Partition column of the [[writeKeyMap]] sidecar: a stable hash
+    * bucket of the resource id (ids don't carry the scope, so the scope
+    * layout can't serve id lookups). */
+  val IdBucketCol = "id_bucket"
+
+  /** Write the (id, scope) sidecar for one endpoint, hash-partitioned
+    * on the id. Two thin columns regardless of endpoint width — at
+    * 100 TB the sidecar is a rounding error next to the snapshot, and
+    * it turns delete/re-key scope recovery from a corpus scan into a
+    * read of ≈ min(|delta|, nIdBuckets) buckets. */
+  def writeKeyMap(
+      snapshot: DataFrame, scopeOf: DataFrame => Column,
+      path: String, nIdBuckets: Int, idCol: String = "id"): Unit =
+    snapshot.select(
+        col(idCol).cast("string").as(idCol),
+        scopeOf(snapshot).cast("string").as("scope"))
+      .withColumn(IdBucketCol, scopeBucket(col(idCol), nIdBuckets))
+      .repartition(col(IdBucketCol))
+      .write.mode("overwrite").partitionBy(IdBucketCol).parquet(path)
+
+  /** The scopes a set of resource ids occupy, served from the keymap:
+    * the ids' distinct id-buckets (O(nIdBuckets)-bounded collect) prune
+    * the sidecar scan, then a broadcast semi-join narrows to the exact
+    * ids. Delta-sized both sides. */
+  def lookupScopes(
+      spark: SparkSession, keyMapPath: String, nIdBuckets: Int,
+      ids: DataFrame, idCol: String = "id"): DataFrame = {
+    val wanted = ids.select(col(ids.columns.head).cast("string").as(idCol))
+      .distinct()
+    val buckets = wanted
+      .select(scopeBucket(col(idCol), nIdBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0))
+    spark.read.parquet(keyMapPath)
+      .filter(col(IdBucketCol).isin(buckets.map(Integer.valueOf).toSeq: _*))
+      .join(broadcast(wanted), Seq(idCol), "left_semi")
+      .select(col("scope"))
+  }
+
+  /** [[batchScopes]] with the vacated-scope recovery served from the
+    * keymap instead of a full-snapshot semi-join — the fully pruned
+    * affected-scope set: new scopes off the upsert rows (delta-sized),
+    * vacated scopes of upserted AND deleted ids from their id-buckets
+    * only.
+    *
+    * EAGERLY materialized (delta-sized localCheckpoint): the affected
+    * set drives refreshes that REWRITE the very keymap/endpoint files
+    * it derives from — a lazy plan re-executed after [[refreshKeyMap]]
+    * would re-list mutated paths and die on vanished files. Truncating
+    * the lineage here makes the set safe to consume in any refresh
+    * order. */
+  def batchScopesPruned(
+      spark: SparkSession, keyMapPath: String, nIdBuckets: Int,
+      batch: CdcBatch, scopeOf: DataFrame => Column,
+      idCol: String = "id"): DataFrame = {
+    val touched = batch.upserts.select(col(idCol))
+      .unionByName(batch.deleteIds.select(col(idCol)))
+    batch.upserts
+      .select(scopeOf(batch.upserts).cast("string").as("scope"))
+      .unionByName(lookupScopes(spark, keyMapPath, nIdBuckets, touched, idCol))
+      .distinct()
+      .localCheckpoint(true)
+  }
+
+  /** Advance the keymap sidecar by one CDC batch: read only the touched
+    * ids' buckets, drop the touched ids, append the upserts' (id, scope)
+    * rows, rewrite only those id-buckets (vacated buckets dropped). */
+  def refreshKeyMap(
+      spark: SparkSession, path: String, stagingPath: String,
+      nIdBuckets: Int, batch: CdcBatch, scopeOf: DataFrame => Column,
+      idCol: String = "id"): Unit = {
+    val touched = batch.upserts.select(col(idCol).cast("string").as(idCol))
+      .unionByName(batch.deleteIds.select(col(idCol).cast("string").as(idCol)))
+      .distinct()
+    val buckets = touched
+      .select(scopeBucket(col(idCol), nIdBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0))
+    val oldSlice = spark.read.parquet(path)
+      .filter(col(IdBucketCol).isin(buckets.map(Integer.valueOf).toSeq: _*))
+    val merged = oldSlice
+      .join(broadcast(touched), Seq(idCol), "left_anti")
+      .unionByName(
+        batch.upserts.select(
+            col(idCol).cast("string").as(idCol),
+            scopeOf(batch.upserts).cast("string").as("scope"))
+          .withColumn(IdBucketCol, scopeBucket(col(idCol), nIdBuckets)))
+    overwriteAffected(spark, merged, path, stagingPath, IdBucketCol,
+      buckets.toSeq)
   }
 
   /** The pruned merge frame [[refreshViewPruned]] materializes — exposed

@@ -1035,5 +1035,119 @@ object ViewQueries {
       ORDER BY SchoolKey""")
   )
 
-  val all: Seq[Q] = Seq(q27, q28, q43, q49, q53, q340, q341, q344, q345, q346)
+  // ---------------------------------------------------------------- q348
+  /** FULLY PRUNED incremental refresh (VERDICT r11 item 1b): q346's
+    * schoolDim delta with the ENDPOINT side pruned too — the schools
+    * snapshot laid out scope-partitioned
+    * ([[IncrementalGold.writeEndpointPartitioned]]) with an id→scope
+    * keymap sidecar ([[IncrementalGold.writeKeyMap]]), so the whole
+    * refresh loop touches only affected buckets: scope recovery reads
+    * the delta ids' keymap buckets (not the corpus), the endpoint and
+    * keymap layouts advance by rewriting only affected buckets, and the
+    * view rebuild reads the refreshed endpoint partition-pruned. q346
+    * left the endpoint scans corpus-bound; this gate proves the pruned
+    * loop end-to-end — hash-exact against the same full-recompute
+    * oracle. */
+  private val q348 = Q(
+    "q348_incremental_fully_pruned_school_dim",
+    (s, dir) => {
+      import graft.ops.IncrementalGold
+      val lake = Lake(s, dir)
+      val cust = lake.customer.select(
+        col("c_custkey"), col("c_nationkey"), col("c_name"), col("c_mktsegment"))
+
+      def schoolRows(df: DataFrame, renamed: Boolean): DataFrame = df.select(
+        col("c_custkey").cast("string").as("id"),
+        col("c_custkey").cast("long").as("schoolId"),
+        (if (renamed) concat(col("c_name"), lit(" (renamed)"))
+         else col("c_name")).as("nameOfInstitution"),
+        lit("uri://ed-fi.org/SchoolTypeDescriptor#Regular")
+          .as("schoolTypeDescriptor"),
+        struct(col("c_nationkey").cast("long").as("localEducationAgencyId"))
+          .as("localEducationAgencyReference"),
+        array(struct(
+          when(col("c_custkey") % 5 === 0,
+            "uri://ed-fi.org/AddressTypeDescriptor#Mailing")
+            .otherwise("uri://ed-fi.org/AddressTypeDescriptor#Physical")
+            .as("addressTypeDescriptor"),
+          lit("uri://ed-fi.org/StateAbbreviationDescriptor#TX")
+            .as("stateAbbreviationDescriptor"),
+          concat(col("c_custkey").cast("string"), lit(" Main St"))
+            .as("streetNumberName"),
+          col("c_mktsegment").as("city"),
+          lit("Central").as("nameOfCounty"))).as("addresses"))
+
+      val leas = lake.nation.select(
+        col("n_nationkey").cast("long").as("localEducationAgencyId"),
+        col("n_name").as("nameOfInstitution"),
+        struct(lit(null).cast("long").as("educationServiceCenterId"))
+          .as("educationServiceCenterReference"))
+
+      val snapshot = schoolRows(cust, renamed = false)
+      val upserts = schoolRows(cust.filter(col("c_custkey") % 7 === 3),
+        renamed = true)
+      val delIds = cust
+        .filter(col("c_custkey") % 13 === 5 && col("c_custkey") % 7 =!= 3)
+        .select(col("c_custkey").cast("string").as("id"))
+
+      val oldGold = ctxWith(s, Map(
+        "schools" -> snapshot, "localEducationAgencies" -> leas))
+        .view("schoolDim")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q348").toString
+      SilverWriter.deleteOnExit(tmp)
+      val nBuckets = 16
+      val scopeOf = (df: DataFrame) => df("schoolId")
+      IncrementalGold.writeEndpointPartitioned(
+        snapshot, scopeOf, s"$tmp/schools", nBuckets)
+      IncrementalGold.writeKeyMap(snapshot, scopeOf, s"$tmp/keymap", nBuckets)
+      IncrementalGold.writeGoldPartitioned(
+        oldGold, IncrementalGold.schoolDimScope, s"$tmp/gold", nBuckets)
+
+      val batch = IncrementalGold.CdcBatch(upserts, delIds)
+      val affected = IncrementalGold.batchScopesPruned(
+        s, s"$tmp/keymap", nBuckets, batch, scopeOf)
+
+      IncrementalGold.refreshEndpointPartitioned(
+        s, s"$tmp/schools", s"$tmp/stage-ep", nBuckets, batch, scopeOf, affected)
+      IncrementalGold.refreshKeyMap(
+        s, s"$tmp/keymap", s"$tmp/stage-km", nBuckets, batch, scopeOf)
+      IncrementalGold.refreshViewPruned(
+        IncrementalGold.schoolDimScope, s"$tmp/gold", s"$tmp/stage-gold",
+        nBuckets,
+        newEndpoint = {
+          case "schools" => IncrementalGold.readEndpointPruned(
+            s, s"$tmp/schools", nBuckets, affected)
+          case "localEducationAgencies" => leas
+          case other => emptyEndpoint(s, other)
+        },
+        affected = affected)
+
+      s.read.parquet(s"$tmp/gold")
+        .drop(IncrementalGold.BucketCol)
+        .orderBy("SchoolKey")
+    },
+    Some("""
+      SELECT CAST(c_custkey AS VARCHAR) AS SchoolKey,
+             CASE WHEN c_custkey % 7 = 3 THEN c_name || ' (renamed)'
+                  ELSE c_name END AS SchoolName,
+             'Regular' AS SchoolType,
+             CAST(c_custkey AS VARCHAR) || ' Main St, ' || c_mktsegment
+               || ' TX Central' AS SchoolAddress,
+             c_mktsegment AS SchoolCity,
+             'Central' AS SchoolCounty,
+             'TX' AS SchoolState,
+             n_name AS LocalEducationAgencyName,
+             CAST(c_nationkey AS VARCHAR) AS LocalEducationAgencyKey,
+             '' AS StateEducationAgencyName,
+             '' AS StateEducationAgencyKey,
+             '' AS EducationServiceCenterName,
+             '' AS EducationServiceCenterKey
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey % 5 <> 0
+        AND NOT (c_custkey % 13 = 5 AND c_custkey % 7 <> 3)
+      ORDER BY SchoolKey""")
+  )
+
+  val all: Seq[Q] = Seq(q27, q28, q43, q49, q53, q340, q341, q344, q345, q346,
+    q348)
 }

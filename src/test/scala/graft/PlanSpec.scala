@@ -893,6 +893,166 @@ class PlanSpec extends SparkTestBase {
     assert(got == want, "pruned refresh diverged from full recompute")
   }
 
+  test("fully pruned incremental gold: endpoint + keymap scans carry partition filters; vacated buckets dropped") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.ops.IncrementalGold
+
+    val wh = java.nio.file.Files.createTempDirectory("incr-gold-endpoint").toString
+    def schoolsFrame(ids: DataFrame): DataFrame = ids.select(
+      col("id").cast("string").as("id"),
+      col("id").cast("long").as("schoolId"),
+      concat(lit("S"), col("id")).as("nameOfInstitution"),
+      lit("uri://ed-fi.org/SchoolTypeDescriptor#Regular").as("schoolTypeDescriptor"),
+      struct(lit(1L).as("localEducationAgencyId")).as("localEducationAgencyReference"),
+      array(struct(
+        lit("uri://ed-fi.org/AddressTypeDescriptor#Physical").as("addressTypeDescriptor"),
+        lit("uri://ed-fi.org/StateAbbreviationDescriptor#TX").as("stateAbbreviationDescriptor"),
+        lit("1 Main St").as("streetNumberName"),
+        lit("Metro").as("city"),
+        lit("Central").as("nameOfCounty"))).as("addresses"))
+    val lea = Seq((1L, "LEA")).toDF("localEducationAgencyId", "nameOfInstitution")
+      .withColumn("educationServiceCenterReference",
+        struct(lit(null).cast("long").as("educationServiceCenterId")))
+    val nBuckets = 16
+    val snapshot0 = schoolsFrame(spark.range(0, 2000).toDF("id"))
+    val scopeOf = (df: DataFrame) => df("schoolId")
+    IncrementalGold.writeEndpointPartitioned(
+      snapshot0, scopeOf, s"$wh/schools", nBuckets)
+    IncrementalGold.writeKeyMap(snapshot0, scopeOf, s"$wh/keymap", nBuckets)
+    def endpointOver(schools: DataFrame): String => DataFrame =
+      n => if (n == "schools") schools
+        else if (n == "localEducationAgencies") lea
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.core.EndpointCatalog.schema(n))
+    val goldPath = s"$wh/gold"
+    IncrementalGold.writeGoldPartitioned(
+      graft.views.base.SchoolDim.build(graft.views.ViewContext(spark,
+        endpoint = endpointOver(snapshot0),
+        view = n => fail(s"unexpected view dep: $n"))),
+      IncrementalGold.schoolDimScope, goldPath, nBuckets)
+
+    // the batch: a rename, a RE-KEY (id 5 moves to scope 9005 — only the
+    // keymap knows scope 5 is vacated), and deletes that empty a WHOLE
+    // bucket (every scope hashing to the first school's bucket) — the
+    // ADVICE r11 hole: dynamic overwrite alone never rewrites a
+    // partition absent from the output
+    val bucketOfScope = (spark.range(0, 2000).toDF("id")
+        union Seq(9005L).toDF("id"))
+      .select(col("id"),
+        IncrementalGold.scopeBucket(col("id").cast("string"), nBuckets).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // a bucket holding neither the renamed id 7, the re-keyed id 5, nor
+    // the re-key's landing scope 9005 — deleting all its scopes must
+    // leave it with zero rows
+    val keep = Set(bucketOfScope(5L), bucketOfScope(7L), bucketOfScope(9005L))
+    val emptiedBucket = (0 until nBuckets).find(b => !keep(b)).get
+    val emptied = bucketOfScope.collect {
+      case (id, b) if b == emptiedBucket && id != 9005L => id
+    }.toSeq
+    assert(emptied.size > 50, "fixture: bucket unexpectedly sparse")
+    val upserts = schoolsFrame(Seq(7L).toDF("id"))
+      .withColumn("nameOfInstitution", concat(col("nameOfInstitution"), lit("!")))
+      .unionByName(schoolsFrame(Seq(5L).toDF("id"))
+        .withColumn("schoolId", lit(9005L)))
+    val delIds = emptied.toDF("x").select(col("x").cast("string").as("id"))
+    val batch = IncrementalGold.CdcBatch(upserts, delIds)
+
+    // fully pruned affected-scope set: vacated scopes (5 and the emptied
+    // bucket's) come from the keymap's id-buckets, not a corpus scan
+    val affected = IncrementalGold.batchScopesPruned(
+      spark, s"$wh/keymap", nBuckets, batch, scopeOf)
+    val affSet = affected.collect().map(_.getString(0)).toSet
+    assert(affSet.contains("5") && affSet.contains("9005") &&
+      affSet.contains("7") && emptied.forall(i => affSet.contains(i.toString)),
+      s"keymap scope recovery incomplete: $affSet")
+
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // physical pin 1: the keymap lookup scan is partition-pruned
+      val look = IncrementalGold.lookupScopes(
+        spark, s"$wh/keymap", nBuckets, upserts.select(col("id")))
+      val kScans = look.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("/keymap")) => f
+      }
+      assert(kScans.nonEmpty && kScans.forall(_.partitionFilters.nonEmpty),
+        s"keymap scan lost its partition filter:\n${look.queryExecution.executedPlan}")
+      kScans.foreach { f =>
+        val listed = f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+        assert(listed.size < nBuckets,
+          s"keymap lookup read ${listed.size} of $nBuckets buckets — not pruned")
+      }
+
+      // physical pin 2: in the merge, BOTH the gold scan and the scoped
+      // ENDPOINT scan carry partition filters — the r11 gap was
+      // endpoint scans reading the whole corpus
+      val postCdc = IncrementalGold.postCdcSlicePruned(
+        spark, s"$wh/schools", nBuckets, batch, affected)
+      val merged = IncrementalGold.prunedMerge(
+        IncrementalGold.schoolDimScope, goldPath, nBuckets,
+        endpointOver(postCdc), affected)
+      val scans = merged.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      def scansUnder(dir: String) = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains(dir)))
+      Seq("/gold", "/schools").foreach { dir =>
+        val ss = scansUnder(dir)
+        assert(ss.nonEmpty, s"$dir scan missing from the pruned merge")
+        ss.foreach { f =>
+          assert(f.partitionFilters.nonEmpty,
+            s"$dir scan lost its partition filter:\n${merged.queryExecution.executedPlan}")
+          val listed = f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          assert(listed.size < nBuckets,
+            s"$dir scan read ${listed.size} of $nBuckets buckets — not pruned")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    // the full pruned production loop: endpoint, keymap, then gold
+    IncrementalGold.refreshEndpointPartitioned(
+      spark, s"$wh/schools", s"$wh/stage-ep", nBuckets, batch, scopeOf, affected)
+    IncrementalGold.refreshKeyMap(
+      spark, s"$wh/keymap", s"$wh/stage-km", nBuckets, batch, scopeOf)
+    IncrementalGold.refreshViewPruned(
+      IncrementalGold.schoolDimScope, goldPath, s"$wh/stage-gold", nBuckets,
+      endpointOver(IncrementalGold.readEndpointPruned(
+        spark, s"$wh/schools", nBuckets, affected)),
+      affected)
+
+    // file-level pin: the emptied bucket's partition directory is GONE
+    // from gold and from the endpoint snapshot (ADVICE r11 — stale files
+    // must not survive a bucket-vacating batch)
+    Seq(goldPath, s"$wh/schools").foreach { p =>
+      val dir = java.nio.file.Paths.get(
+        p, s"${IncrementalGold.BucketCol}=$emptiedBucket")
+      assert(!java.nio.file.Files.exists(dir),
+        s"vacated bucket dir survived the pruned refresh: $dir")
+    }
+
+    // value law: endpoint, keymap and gold read-backs all equal a full
+    // recompute over the post-CDC snapshot
+    val wantSnapshot = IncrementalGold.applyCdc(snapshot0, batch)
+    val gotSnapshot = spark.read.parquet(s"$wh/schools")
+      .drop(IncrementalGold.BucketCol)
+    assert(gotSnapshot.collect().map(_.toSeq).toSet ==
+      wantSnapshot.collect().map(_.toSeq).toSet,
+      "pruned endpoint refresh diverged from applyCdc")
+    val wantKeys = wantSnapshot.select(col("id").cast("string"),
+      col("schoolId").cast("string")).collect().map(_.toSeq).toSet
+    val gotKeys = spark.read.parquet(s"$wh/keymap")
+      .select(col("id"), col("scope")).collect().map(_.toSeq).toSet
+    assert(gotKeys == wantKeys, "pruned keymap refresh diverged")
+    val want = graft.views.base.SchoolDim.build(
+      graft.views.ViewContext(spark, endpoint = endpointOver(wantSnapshot),
+        view = n => fail(s"unexpected view dep: $n")))
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(goldPath).drop(IncrementalGold.BucketCol)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "fully pruned refresh diverged from full recompute")
+  }
+
   test("media catalog: exchange-free routing and census; probe pays ONE batch-sized exchange") {
     import graft.ops.{MediaCatalog, Multimodal}
     val wh = java.nio.file.Files.createTempDirectory("media-catalog").toString
