@@ -244,6 +244,7 @@ object IncrementalGold {
   def writeGoldPartitioned(
       gold: DataFrame, scope: Scope, path: String, nBuckets: Int): Unit =
     gold.withColumn(BucketCol, scopeBucket(col(scope.goldScopeCol), nBuckets))
+      .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
 
   /** [[refreshView]] against a [[writeGoldPartitioned]] layout, with the
@@ -570,4 +571,31 @@ object IncrementalGold {
     scopedEndpoints = Map(
       "grades" ->
         (df => df("studentSectionAssociationReference.studentUniqueId"))))
+
+  /** allStudentSchoolDim (the largest dimension,
+    * all_student_school_dim/main.py:48-597): student grain across the
+    * three student-keyed endpoints — enrollment spine, demographics
+    * associations, and the student resource itself; schools is the
+    * shared broadcast dimension (a school/LEA drift invalidates every
+    * scope → full-rebuild route). Gated by q349. */
+  val allStudentSchoolDimScope: Scope = Scope(
+    graft.views.base.AllStudentSchoolDim,
+    goldScopeCol = "StudentKey",
+    scopedEndpoints = Map(
+      "studentSchoolAssociations" ->
+        (df => df("studentReference.studentUniqueId")),
+      "studentEducationOrganizationAssociations" ->
+        (df => df("studentReference.studentUniqueId")),
+      "students" -> (df => df("studentUniqueId"))))
+
+  /** studentSchoolDim — the VIEW-ON-VIEW chain (student_school_dim/
+    * main.py:29-66 derives it from allStudentSchoolDim): same student
+    * grain, same scoped endpoints; [[rebuildSlice]] resolves the parent
+    * view through its memoized local context over the SAME scoped
+    * endpoints, so the chain rebuild is delta-scoped end to end. Gated
+    * by q350. */
+  val studentSchoolDimScope: Scope = Scope(
+    graft.views.base.StudentSchoolDim,
+    goldScopeCol = "StudentKey",
+    scopedEndpoints = allStudentSchoolDimScope.scopedEndpoints)
 }

@@ -1920,12 +1920,19 @@ object MediaQueries {
       graft.ops.MediaCatalog.writeTriageCatalog(
         triageBlobs(s, docs.filter(col("doc_id") < 600)),
         "doc_id", "media", "q342_catalog", s"$tmp/cat", 8)
-      graft.ops.MediaCatalog.routeFromCatalog(s, "q342_blobs", "q342_catalog")
+      val out = graft.ops.MediaCatalog
+        .routeFromCatalog(s, "q342_blobs", "q342_catalog")
         .select(col("doc_id"),
           coalesce(col("container"), lit("")).as("container"),
           coalesce(col("decode_ok"), lit(-1L)).as("decode_ok"),
           col("route"))
         .orderBy("doc_id")
+      // the resolved plan keeps the file relations; dropping the catalog
+      // entries stops the session accumulating tables whose deleteOnExit
+      // paths vanish at JVM exit (ADVICE r11)
+      Seq("q342_blobs", "q342_catalog")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      out
     },
     Some("""
       WITH cat AS (
@@ -1974,8 +1981,10 @@ object MediaQueries {
       graft.ops.MediaCatalog.writeHashCatalog(
         fusedHashBlobs(s, docs.filter(col("doc_id") < 400)),
         "doc_id", "media", "q343_catalog", s"$tmp/cat", 8)
-      graft.ops.MediaCatalog.hashCensus(s, "q343_catalog")
+      val out = graft.ops.MediaCatalog.hashCensus(s, "q343_catalog")
         .orderBy("ahash")
+      s.sql("DROP TABLE IF EXISTS q343_catalog") // plan keeps the files
+      out
     },
     Some(s"""
       WITH ${ahashCte(400)}
@@ -1988,13 +1997,15 @@ object MediaQueries {
   /** NEAR-DUP SERVING off the bucketed hash catalog
     * ([[graft.ops.MediaCatalog.probeHashCatalog]]): a new 40-doc
     * delivery's fused hashes probe the 400-doc catalog for exact-ahash
-    * content hits; the batch pays ONE repartition to the catalog's
-    * bucket spec and the corpus-sized catalog is never shuffled
-    * (PlanSpec pins exactly one exchange, batch-sized). Every batch doc
-    * (ids 400–439, same doc_id%40 content classes) must hit exactly its
-    * class's 10 catalog members — modulo real ahash collisions across
-    * classes, which the oracle reproduces because it computes the same
-    * ahash arithmetic on both sides of its self-join. */
+    * content hits; the batch's distinct ahashes push into the catalog
+    * scan as an isin, so the bucketed scan PRUNES (SelectedBucketsCount,
+    * PlanSpec-pinned) and neither side shuffles — catalog bytes read
+    * scale with the batch, not the corpus (VERDICT r11 item 2). Every
+    * batch doc (ids 400–439, same doc_id%40 content classes) must hit
+    * exactly its class's 10 catalog members — modulo real ahash
+    * collisions across classes, which the oracle reproduces because it
+    * computes the same ahash arithmetic on both sides of its
+    * self-join. */
   private val q347 = Q(
     "q347_media_hash_probe_bucketed",
     (s, dir) => {
@@ -2008,8 +2019,10 @@ object MediaQueries {
         fusedHashBlobs(s,
           docs.filter(col("doc_id") >= 400 && col("doc_id") < 440)),
         "doc_id", "media").toDF()
-      graft.ops.MediaCatalog.probeHashCatalog(s, batch, "q347_catalog")
+      val out = graft.ops.MediaCatalog.probeHashCatalog(s, batch, "q347_catalog")
         .orderBy("batch_doc", "catalog_doc")
+      s.sql("DROP TABLE IF EXISTS q347_catalog") // plan keeps the files
+      out
     },
     Some(s"""
       WITH ${ahashCte(440)}

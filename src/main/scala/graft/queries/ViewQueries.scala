@@ -1148,6 +1148,237 @@ object ViewQueries {
       ORDER BY SchoolKey""")
   )
 
+  // ------------------------------------------------------------ q349/q350
+  /** Shared fixture for the allStudentSchoolDim → studentSchoolDim
+    * incremental chain: customers are students at their nation's school
+    * (LEA = region + 100, disjoint from school ids so the edOrg
+    * school/district join arms can't cross-match), demographics live in
+    * studentEducationOrganizationAssociations at SCHOOL level for even
+    * custkeys and DISTRICT level for custkey%3==0 — exercising the
+    * reference's school-first/district-fallback cascade
+    * (all_student_school_dim/main.py:429-483). The CDC batch touches all
+    * three scoped endpoints: grade-level upserts on the enrollment spine
+    * (%7==3), sex re-statements on the school-level demographics
+    * (%22==8), and student DELETES via the `/deletes` id feed (%13==5,
+    * scope recovered from the pre-delta snapshot). */
+  private final case class StudentChain(
+      students: DataFrame, schools: DataFrame, ssa: DataFrame,
+      edorg: DataFrame, studentsBatch: graft.ops.IncrementalGold.CdcBatch,
+      ssaBatch: graft.ops.IncrementalGold.CdcBatch,
+      edorgBatch: graft.ops.IncrementalGold.CdcBatch)
+
+  private def studentChainFixture(s: SparkSession, dir: String): StudentChain = {
+    import graft.ops.IncrementalGold.CdcBatch
+    val lake = Lake(s, dir)
+    val cust = lake.customer.select(
+      col("c_custkey"), col("c_nationkey"), col("c_name"))
+
+    val students = cust.select(
+      col("c_custkey").cast("string").as("id"),
+      col("c_custkey").cast("string").as("studentUniqueId"),
+      lit("1988-03-01").as("birthDate"),
+      col("c_name").as("firstName"),
+      when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("M"), col("c_custkey").cast("string")))
+        .as("middleName"),
+      concat(lit("Last"), (col("c_custkey") % 50).cast("string"))
+        .as("lastSurname"))
+
+    // LEA id = schoolId%5 + 100: disjoint from the school-id space (so
+    // the edOrg school/district join arms can't cross-match) and
+    // computable from c_nationkey on the edorg side without a join
+    val schools = lake.nation.select(
+      col("n_nationkey").cast("long").as("schoolId"),
+      struct((col("n_nationkey") % 5 + 100).cast("long")
+        .as("localEducationAgencyId")).as("localEducationAgencyReference"))
+
+    val ssaRows = (df: DataFrame, tenth: Boolean) => df.select(
+      col("c_custkey").cast("string").as("id"),
+      struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
+      struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
+      struct(lit(1995L).as("schoolYear")).as("schoolYearTypeReference"),
+      lit("1995-01-05").as("entryDate"),
+      lit(s"uri://ed-fi.org/GradeLevelDescriptor#${if (tenth) "Tenth" else "Ninth"} grade")
+        .as("entryGradeLevelDescriptor"),
+      when(col("c_custkey") % 10 === 0, "1995-01-20")
+        .otherwise(lit(null).cast("string")).as("exitWithdrawDate"))
+    val ssa = ssaRows(cust, false)
+
+    val indType = "array<struct<indicatorName:string,indicator:string>>"
+    val edorgSchool = (df: DataFrame, sexOverride: Option[String]) => df.select(
+      concat(lit("es-"), col("c_custkey").cast("string")).as("id"),
+      struct(col("c_nationkey").cast("long").as("educationOrganizationId"))
+        .as("educationOrganizationReference"),
+      struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
+      (col("c_custkey") % 4 === 0).as("hispanicLatinoEthnicity"),
+      when(col("c_custkey") % 5 === 2,
+        "uri://ed-fi.org/LimitedEnglishProficiencyDescriptor#Limited")
+        .otherwise(lit(null).cast("string"))
+        .as("limitedEnglishProficiencyDescriptor"),
+      sexOverride.map(v => lit(s"uri://ed-fi.org/SexDescriptor#$v"))
+        .getOrElse(
+          when(col("c_custkey") % 4 === 0, "uri://ed-fi.org/SexDescriptor#Female")
+            .otherwise(lit("uri://ed-fi.org/SexDescriptor#Male")))
+        .as("sexDescriptor"),
+      when(col("c_custkey") % 7 === 0,
+        array(struct(lit("Digital Device").as("indicatorName"),
+          lit("Yes").as("indicator"))))
+        .otherwise(lit(null).cast(indType)).as("studentIndicators"))
+    val edorgDistrict = (df: DataFrame) => df.select(
+      concat(lit("ed-"), col("c_custkey").cast("string")).as("id"),
+      struct((col("c_nationkey") % 5 + 100).cast("long")
+        .as("educationOrganizationId")).as("educationOrganizationReference"),
+      struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
+      lit(true).as("hispanicLatinoEthnicity"),
+      lit(null).cast("string").as("limitedEnglishProficiencyDescriptor"),
+      lit("uri://ed-fi.org/SexDescriptor#NotSelected").as("sexDescriptor"),
+      lit(null).cast(indType).as("studentIndicators"))
+    val edorg = edorgSchool(cust.filter(col("c_custkey") % 2 === 0), None)
+      .unionByName(edorgDistrict(cust.filter(col("c_custkey") % 3 === 0)))
+
+    val none = (df: DataFrame) => df.select(col("id")).limit(0)
+    StudentChain(
+      students, schools, ssa, edorg,
+      studentsBatch = CdcBatch(
+        students.limit(0),
+        students.filter(col("studentUniqueId").cast("long") % 13 === 5)
+          .select(col("id"))),
+      ssaBatch = CdcBatch(
+        ssaRows(cust.filter(col("c_custkey") % 7 === 3), true),
+        none(ssa)),
+      edorgBatch = CdcBatch(
+        edorgSchool(cust.filter(col("c_custkey") % 22 === 8), Some("Other")),
+        none(edorg)))
+  }
+
+  /** The post-CDC endpoint resolver + affected-scope set for the chain. */
+  private def studentChainRefresh(
+      s: SparkSession, fx: StudentChain): (String => DataFrame, DataFrame) = {
+    import graft.ops.IncrementalGold
+    val newStudents = IncrementalGold.applyCdc(fx.students, fx.studentsBatch)
+    val newSsa = IncrementalGold.applyCdc(fx.ssa, fx.ssaBatch)
+    val newEdorg = IncrementalGold.applyCdc(fx.edorg, fx.edorgBatch)
+    val studentRef = (df: DataFrame) => df("studentReference.studentUniqueId")
+    val affected = IncrementalGold
+      .batchScopes(fx.students, fx.studentsBatch, df => df("studentUniqueId"))
+      .unionByName(IncrementalGold.batchScopes(fx.ssa, fx.ssaBatch, studentRef))
+      .unionByName(IncrementalGold.batchScopes(fx.edorg, fx.edorgBatch, studentRef))
+      .distinct()
+    val resolve: String => DataFrame = {
+      case "students" => newStudents
+      case "studentSchoolAssociations" => newSsa
+      case "studentEducationOrganizationAssociations" => newEdorg
+      case "schools" => fx.schools
+      case other => emptyEndpoint(s, other)
+    }
+    (resolve, affected)
+  }
+
+  private val studentChainOracleBody = """
+      FROM customer
+      WHERE c_custkey % 13 <> 5"""
+
+  private val studentChainHistoryCols = """,
+             CAST(CASE WHEN c_custkey % 10 = 0
+                        AND '19950120' <= strftime(current_date, '%Y%m%d')
+                       THEN 0 ELSE 1 END AS INTEGER) AS IsEnrolled,
+             CASE WHEN c_custkey % 10 = 0 THEN '1995-01-20' ELSE '' END
+               AS ExitWithdrawDate"""
+
+  private def studentChainCols(withHistory: Boolean) = s"""
+             CAST(c_custkey AS VARCHAR) || '-' || CAST(c_nationkey AS VARCHAR)
+               AS StudentSchoolKey,
+             CAST(c_custkey AS VARCHAR) AS StudentKey,
+             CAST(c_nationkey AS VARCHAR) AS SchoolKey,
+             '1995' AS SchoolYear,
+             c_name AS StudentFirstName,
+             CASE WHEN c_custkey % 3 = 0 THEN ''
+                  ELSE 'M' || CAST(c_custkey AS VARCHAR) END AS StudentMiddleName,
+             'Last' || CAST(c_custkey % 50 AS VARCHAR) AS StudentLastName,
+             '1988-03-01' AS BirthDate,
+             '1995-01-05' AS EnrollmentDateKey,
+             CASE WHEN c_custkey % 7 = 3 THEN 'Tenth grade'
+                  ELSE 'Ninth grade' END AS GradeLevel,
+             CASE WHEN c_custkey % 2 = 0 AND c_custkey % 5 = 2 THEN 'Limited'
+                  ELSE 'Not applicable' END AS LimitedEnglishProficiency,
+             CAST(CASE WHEN c_custkey % 2 = 0
+                       THEN (CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END)
+                       WHEN c_custkey % 3 = 0 THEN 1
+                       ELSE 0 END AS INTEGER) AS IsHispanic,
+             CASE WHEN c_custkey % 22 = 8 THEN 'Other'
+                  WHEN c_custkey % 2 = 0 AND c_custkey % 4 = 0 THEN 'Female'
+                  WHEN c_custkey % 2 = 0 THEN 'Male'
+                  WHEN c_custkey % 3 = 0 THEN 'NotSelected'
+                  ELSE '' END AS Sex,
+             'n/a' AS InternetAccessInResidence,
+             'n/a' AS InternetAccessTypeInResidence,
+             'n/a' AS InternetPerformance,
+             CASE WHEN c_custkey % 14 = 0 THEN 'Yes' ELSE 'n/a' END
+               AS DigitalDevice,
+             'n/a' AS DeviceAccess${if (withHistory) studentChainHistoryCols else ""}"""
+
+  // ---------------------------------------------------------------- q349
+  /** INCREMENTAL allStudentSchoolDim (VERDICT r11 item 4): the largest
+    * dimension advanced by a three-endpoint CDC batch through
+    * [[IncrementalGold.allStudentSchoolDimScope]]. Oracle states the
+    * full view over the FINAL state — upserted grades and sexes land,
+    * deleted students vanish, the school/district demographic cascade
+    * and the indicator pivot survive the slice rebuild hash-exact. */
+  private val q349 = Q(
+    "q349_incremental_all_student_school_dim",
+    (s, dir) => {
+      import graft.ops.IncrementalGold
+      val fx = studentChainFixture(s, dir)
+      val oldGold = ctxWith(s, Map(
+        "students" -> fx.students, "schools" -> fx.schools,
+        "studentSchoolAssociations" -> fx.ssa,
+        "studentEducationOrganizationAssociations" -> fx.edorg))
+        .view("allStudentSchoolDim")
+      val (resolve, affected) = studentChainRefresh(s, fx)
+      IncrementalGold.refreshView(
+        IncrementalGold.allStudentSchoolDimScope, oldGold, resolve, affected)
+        .orderBy("StudentKey", "SchoolKey")
+    },
+    Some(s"""
+      SELECT CAST(c_custkey AS VARCHAR) || '-' || CAST(c_nationkey AS VARCHAR)
+               || '-19950105' AS AllStudentSchoolKey,
+             ${studentChainCols(withHistory = true)}
+      $studentChainOracleBody
+      ORDER BY StudentKey, SchoolKey""")
+  )
+
+  // ---------------------------------------------------------------- q350
+  /** INCREMENTAL studentSchoolDim — the VIEW-ON-VIEW chain (VERDICT r11
+    * item 4: student_school_dim/main.py:29-66 derives from
+    * allStudentSchoolDim): same CDC batch, but the refreshed view has no
+    * endpoint deps of its own — [[IncrementalGold.rebuildSlice]] must
+    * resolve the PARENT view through its memoized local context over the
+    * scoped endpoints, proving the delta-scoped rebuild composes through
+    * the DAG. Oracle = q349's final state filtered to enrolled, minus
+    * the history columns. */
+  private val q350 = Q(
+    "q350_incremental_student_school_dim_chain",
+    (s, dir) => {
+      import graft.ops.IncrementalGold
+      val fx = studentChainFixture(s, dir)
+      val oldGold = ctxWith(s, Map(
+        "students" -> fx.students, "schools" -> fx.schools,
+        "studentSchoolAssociations" -> fx.ssa,
+        "studentEducationOrganizationAssociations" -> fx.edorg))
+        .view("studentSchoolDim")
+      val (resolve, affected) = studentChainRefresh(s, fx)
+      IncrementalGold.refreshView(
+        IncrementalGold.studentSchoolDimScope, oldGold, resolve, affected)
+        .orderBy("StudentKey", "SchoolKey")
+    },
+    Some(s"""
+      SELECT ${studentChainCols(withHistory = false)}
+      $studentChainOracleBody
+        AND NOT (c_custkey % 10 = 0
+                 AND '19950120' <= strftime(current_date, '%Y%m%d'))
+      ORDER BY StudentKey, SchoolKey""")
+  )
+
   val all: Seq[Q] = Seq(q27, q28, q43, q49, q53, q340, q341, q344, q345, q346,
-    q348)
+    q348, q349, q350)
 }

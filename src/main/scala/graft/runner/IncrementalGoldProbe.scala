@@ -7,27 +7,45 @@ import graft.core.GraftSession
 import graft.ops.IncrementalGold
 import graft.views.ViewContext
 
-/** Scale evidence for [[IncrementalGold.refreshView]] (VERDICT r9 item 1):
-  * the EWS fact advanced by a FIXED-SIZE change-version batch against a
-  * student corpus at 1× and 10×, two arms —
+/** Scale evidence for [[IncrementalGold]] (VERDICT r9 item 1, r11
+  * item 1): the EWS fact advanced by a FIXED-SIZE change-version batch
+  * against a student corpus at 1× and 10×, three arms —
   *
   *   - `full`: the reference's behavior (schedule.py:8-10) — recompute
   *     the whole view over the post-CDC endpoint state; cost grows with
   *     the corpus;
   *   - `incr`: [[IncrementalGold.refreshView]] — CDC-apply the batch,
   *     rebuild only the affected students' slice, broadcast-anti-merge
-  *     into the parquet-backed old gold; the corpus is only SCANNED
-  *     (once per side), never shuffled, so cost is scan-bound flat.
+  *     into the parquet-backed old gold; shuffle-free but SCAN-BOUND
+  *     (every corpus parquet still read whole each batch);
+  *   - `pruned`: the fully pruned loop — gold AND endpoint snapshots
+  *     scope-partitioned ([[IncrementalGold.writeGoldPartitioned]] /
+  *     [[IncrementalGold.writeEndpointPartitioned]]), delete-scope
+  *     recovery off the id-bucketed keymap sidecar
+  *     ([[IncrementalGold.batchScopesPruned]]), the merge reading only
+  *     affected buckets ([[IncrementalGold.prunedMerge]] +
+  *     [[IncrementalGold.postCdcSlicePruned]]).
   *
-  * Old gold + endpoint snapshots are parquet-backed and UNTIMED (they are
-  * the standing lake state); both arms end in a noop write of the new
-  * gold frame — the same work a real refresh materializes.
+  * Bucket counts follow the CONSTANT-BUCKET-SIZE rule (object scaladoc):
+  * B = corpus/400 students per layout, so B grows 10× with the corpus
+  * and a fixed-k delta touches ≈ B·(1−(1−1/B)^k) buckets — a FALLING
+  * fraction of the corpus as it grows. The probe prints the touched
+  * bucket count per scale so the recorded numbers carry their own
+  * prune-factor evidence; run it at deltaStudents=1000 (k comparable to
+  * B at 1× — prune useless there, real at ×10) AND deltaStudents=100
+  * (k ≪ B both scales) to see both regimes.
+  *
+  * Old gold + endpoint snapshots + keymap are parquet-backed and UNTIMED
+  * (they are the standing lake state); every arm ends in a noop write of
+  * the gold frame it materializes — full/incr produce the whole view,
+  * pruned produces the affected buckets' merged slice (exactly what its
+  * dynamic-partition-overwrite write would land).
   *
   * Fixture: students i enrolled at school i%25 (no exit), a 31-day
   * January-1995 calendar over 25 schools (every 5th day a holiday), 4
   * attendance events per student. The batch upserts 4 fresh events for
-  * 1,000 fixed students and deletes 200 enrollments via the `/deletes`
-  * id feed — the delta-delivery norm.
+  * `deltaStudents` fixed students and deletes 200 enrollments via the
+  * `/deletes` id feed — the delta-delivery norm.
   *
   * Run: `graft.runner.IncrementalGoldProbe [students1x] [deltaStudents]`.
   * Measured results live in IncrementalGold's scaladoc and BENCH_NOTES.md.
@@ -99,7 +117,13 @@ object IncrementalGoldProbe {
     graft.core.SilverWriter.deleteOnExit(tmp)
     val view = graft.views.ews.StudentEarlyWarningFact
 
+    val scope = IncrementalGold.ewsFactScope
+    val studentOf = (df: DataFrame) => df("studentReference.studentUniqueId")
+
     val results = Seq(1 -> n1x, 10 -> n1x * 10).map { case (scale, n) =>
+      // constant bucket size: ~400 students per bucket, so B scales with
+      // the corpus and a fixed delta touches a falling fraction of it
+      val nBuckets = math.max(64L, n / 400L).toInt
       // ---- untimed: the standing lake state at this corpus size
       ssaRows(0L, n).write.mode("overwrite").parquet(s"$tmp/ssa_$scale")
       attRows(spark.range(0L, n).toDF("id"), 0L).write.mode("overwrite")
@@ -110,11 +134,23 @@ object IncrementalGoldProbe {
         "studentSchoolAttendanceEvents" -> att))
         .let(view.build).write.mode("overwrite").parquet(s"$tmp/gold_$scale")
       val oldGold = spark.read.parquet(s"$tmp/gold_$scale")
+      // the pruned arm's standing layouts: scope-partitioned gold and
+      // endpoints + the ssa keymap (delete-scope recovery without a
+      // corpus scan)
+      IncrementalGold.writeEndpointPartitioned(
+        ssa, studentOf, s"$tmp/ssa_p_$scale", nBuckets)
+      IncrementalGold.writeEndpointPartitioned(
+        att, studentOf, s"$tmp/att_p_$scale", nBuckets)
+      IncrementalGold.writeKeyMap(ssa, studentOf, s"$tmp/km_$scale", nBuckets)
+      IncrementalGold.writeGoldPartitioned(
+        oldGold, scope, s"$tmp/gold_p_$scale", nBuckets)
 
       // ---- the fixed-size CDC batch (same absolute size at every scale)
       val attUpserts = attRows(spark.range(0L, deltaStudents).toDF("id"), 1L)
       val ssaDelIds = spark.range(n - 200, n)
         .select(col("id").cast("string").as("id"))
+      val attBatch = IncrementalGold.CdcBatch(attUpserts, att.select(col("id")).limit(0))
+      val ssaBatch = IncrementalGold.CdcBatch(ssa.limit(0), ssaDelIds)
 
       def runFull(): Unit = {
         val newSsa = IncrementalGold.applyCdc(
@@ -143,7 +179,29 @@ object IncrementalGoldProbe {
             .orElse { case other => emptyEndpoint(other) },
           affected = affected))
       }
-      runFull(); runIncr() // warm plan paths
+      def runPruned(): Unit = {
+        val affected = attUpserts
+          .select(studentOf(attUpserts).cast("string").as("scope"))
+          .unionByName(IncrementalGold.batchScopesPruned(
+            spark, s"$tmp/km_$scale", nBuckets, ssaBatch, studentOf))
+          .distinct()
+        noop(IncrementalGold.prunedMerge(
+          scope, s"$tmp/gold_p_$scale", nBuckets,
+          newEndpoint = Map(
+            "calendarDates" -> cal)
+            .orElse {
+              case "studentSchoolAssociations" =>
+                IncrementalGold.postCdcSlicePruned(
+                  spark, s"$tmp/ssa_p_$scale", nBuckets, ssaBatch, affected)
+              case "studentSchoolAttendanceEvents" =>
+                IncrementalGold.postCdcSlicePruned(
+                  spark, s"$tmp/att_p_$scale", nBuckets, attBatch, affected)
+              case other => emptyEndpoint(other)
+            },
+          affected = affected))
+      }
+
+      runFull(); runIncr(); runPruned() // warm plan paths
       def time(run: () => Unit): Double = (1 to 3).map { _ =>
         dropCaches()
         val t0 = System.nanoTime(); run()
@@ -151,7 +209,15 @@ object IncrementalGoldProbe {
       }.min
       val fu = time(() => runFull())
       val in = time(() => runIncr())
-      f""""x$scale":{"students":$n,"full":$fu%.3f,"incr":$in%.3f}"""
+      val pr = time(() => runPruned())
+      // the prune-factor evidence: how many of B buckets this delta hits
+      val touched = attUpserts
+        .select(studentOf(attUpserts).cast("string").as("s"))
+        .unionByName(IncrementalGold.lookupScopes(
+          spark, s"$tmp/km_$scale", nBuckets, ssaDelIds).toDF("s"))
+        .select(IncrementalGold.scopeBucket(col("s"), nBuckets))
+        .distinct().count()
+      f""""x$scale":{"students":$n,"nBuckets":$nBuckets,"touchedBuckets":$touched,"full":$fu%.3f,"incr":$in%.3f,"pruned":$pr%.3f}"""
     }
     println(s"""{"probe":"incremental-gold","deltaStudents":$deltaStudents,${results.mkString(",")}}""")
     spark.stop()

@@ -23,12 +23,14 @@ import graft.ops.{MediaCatalog, Multimodal}
   *
   * The blob lake and the catalog are parquet/table-backed and UNTIMED
   * (standing state, the decode+bucket cost paid once at ingest); every
-  * timed arm ends in a noop write. Blobs are real tiny BMPs decoded by
-  * the real codec, content keyed on doc_id%1000 so the census has
-  * 1000 duplicate classes.
+  * timed arm ends in a noop write. Blobs are real 64×48 PNGs decoded by
+  * the real codec — inflate + unfilter per pixel, so the recompute arm
+  * pays a genuine decode (the r11 fixture's 144-byte BMPs made decode
+  * nearly free and could not show it; VERDICT r11 item 2) — content
+  * keyed on doc_id%1000 so the census has 1000 duplicate classes.
   *
   * Run: `graft.runner.MediaCatalogProbe [docs1x]`. Results in
-  * BENCH_NOTES.md and the [[MediaCatalog]] scaladoc.
+  * BENCH_NOTES.md under "r12: MediaCatalogProbe".
   */
 object MediaCatalogProbe {
   def main(args: Array[String]): Unit = {
@@ -52,9 +54,10 @@ object MediaCatalogProbe {
       spark.range(from, until).select(col("id")).as[Long]
         .mapPartitions(_.map { id =>
           val k = id % 1000
-          val img = Multimodal.DecodedImage(8, 6,
-            Array.tabulate(8 * 6 * 3)(i => ((k * 7 + i) % 256).toByte))
-          (id, Multimodal.encodeBmp(img))
+          val img = Multimodal.DecodedImage(64, 48,
+            Array.tabulate(64 * 48 * 3)(i =>
+              ((k * 7 + i * 131 + (i >> 5) * k) % 256).toByte))
+          (id, Multimodal.encodePng(img))
         })
         .toDF("doc_id", "media")
 

@@ -1098,25 +1098,53 @@ class PlanSpec extends SparkTestBase {
         s"census over the bucketed catalog still shuffles:\n$cPlan")
       assert(census.count() > 0)
 
-      // probe: a plain batch frame pays exactly ONE materialized
-      // exchange (its explicit repartition to the catalog's bucket
-      // spec); the corpus-sized catalog scan stays bucketed, unmoved
+      // probe (r12 shape): the batch's distinct ahashes are pushed into
+      // the catalog scan as an isin, the merge hint keeps the join
+      // bucket-aligned so the scan keeps its bucket identity and PRUNES
+      // bucket files (SelectedBucketsCount < all, and the runtime
+      // numFiles metric agrees); the batch pays its one repartition,
+      // the catalog is never shuffled
       val batch = blobs(200L until 210L)
       val probe = MediaCatalog.probeHashCatalog(spark,
         Multimodal.imageHashes(batch, "doc_id", "media").toDF(), "p_mc_hash")
       assert(probe.collect().nonEmpty, "probe found no content hits")
       val pPlan = planOf(probe).split("== Initial Plan ==")(0)
-      val exLines = pPlan.linesIterator
+      val pEx = pPlan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+        .filterNot(_.contains("ReusedExchange"))
+      assert(pEx.size == 1 && !pEx.head.contains("ENSURE_REQUIREMENTS"),
+        s"probe: want exactly the batch's explicit repartition:\n$pPlan")
+      assert(pPlan.contains("PushedFilters: [IsNotNull(ahash)"),
+        s"ahash isin lost scan-level pushdown:\n$pPlan")
+      val selected = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(pPlan)
+      assert(selected.isDefined,
+        s"catalog scan lost bucket pruning (no SelectedBucketsCount):\n$pPlan")
+      assert(selected.get.group(1).toInt < selected.get.group(2).toInt,
+        s"isin pushdown selected every bucket:\n$pPlan")
+      // (the numFiles metric can't pin this — it is computed from the
+      // partition listing BEFORE bucket pruning; SelectedBucketsCount is
+      // what createBucketedReadRDD actually filters file groups by)
+
+      // oversized-delivery fallback: past the pushdown guard the probe
+      // reverts to the bucket-aligned full-scan join — one batch-sized
+      // exchange, catalog still unshuffled
+      val fb = MediaCatalog.probeHashCatalog(spark,
+        Multimodal.imageHashes(batch, "doc_id", "media").toDF(), "p_mc_hash",
+        maxPushdownHashes = 0)
+      assert(fb.collect().nonEmpty, "fallback probe found no content hits")
+      val fPlan = planOf(fb).split("== Initial Plan ==")(0)
+      val exLines = fPlan.linesIterator
         .filter(_.contains("Exchange hashpartitioning")).toSeq
       val (reused, materialized) = exLines.partition(_.contains("ReusedExchange"))
       assert(materialized.size == 1 && reused.isEmpty,
-        s"probe: want exactly 1 materialized exchange, got " +
-          s"${materialized.size}+${reused.size} reused:\n$pPlan")
+        s"fallback: want exactly 1 materialized exchange, got " +
+          s"${materialized.size}+${reused.size} reused:\n$fPlan")
       assert(!materialized.head.contains("ENSURE_REQUIREMENTS"),
         s"the exchange must be the explicit batch repartition, not a " +
-          s"join-forced shuffle of the catalog:\n$pPlan")
-      assert(pPlan.contains("Bucketed: true"),
-        s"catalog scan lost its bucketed layout:\n$pPlan")
+          s"join-forced shuffle of the catalog:\n$fPlan")
+      assert(fPlan.contains("SelectedBucketsCount: 4 out of 4"),
+        s"fallback must scan the catalog whole (no stale prune):\n$fPlan")
     } finally {
       thresh match {
         case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
