@@ -746,22 +746,32 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val labelType = labels.schema("cluster_id").dataType
       val msgs = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"),
+          lit(null).cast(labelType).as("__old"))
       // pointer jump: adopt my label's own label (doubles propagation
-      // distance per round — O(log diameter) total rounds)
+      // distance per round — O(log diameter) total rounds). The jump leg
+      // also CARRIES each node's old label (`a.cluster_id`): labels only
+      // decrease, so min(msgs ∪ jump) ≤ old and a separate `labels` leg
+      // in the union is redundant; and max(__old) rides the SAME
+      // aggregation, so convergence is read off the checkpointed result
+      // with a plain scan — the per-round next⋈labels shuffle join the
+      // old shape paid just to detect convergence is gone (guide §2.4:
+      // two operations keyed the same way share one exchange). Every
+      // node has exactly one jump row (its label is itself a doc_id), so
+      // no node can drop out of the aggregation.
       val jump = labels.as("a")
         .join(labels.as("b"), col("a.cluster_id") === col("b.doc_id"))
-        .select(col("a.doc_id"), col("b.cluster_id").as("cluster_id"))
-      val next = labels.union(msgs).union(jump)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .select(col("a.doc_id"), col("b.cluster_id").as("cluster_id"),
+          col("a.cluster_id").as("__old"))
+      val next = msgs.union(jump)
+        .groupBy("doc_id").agg(
+          min("cluster_id").as("cluster_id"), max("__old").as("__old"))
         .localCheckpoint()
-      converged = next.withColumnRenamed("cluster_id", "next_id")
-        .join(labels, Seq("doc_id"))
-        .filter(col("next_id") =!= col("cluster_id"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("cluster_id") =!= col("__old")).isEmpty
+      labels = next.drop("__old")
       iter += 1
     }
     edges.unpersist()
