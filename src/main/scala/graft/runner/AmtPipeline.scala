@@ -1,6 +1,6 @@
 package graft.runner
 
-import scala.collection.mutable
+import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -60,8 +60,32 @@ final class AmtPipeline(
     schoolYear: String
 ) {
   private val reader = SilverReader(spark, silverRoot, schoolYear)
-  private val built = mutable.Map.empty[String, DataFrame]
-  private val endpoints = mutable.Map.empty[String, DataFrame]
+  private val built = new ConcurrentHashMap[String, DataFrame]
+  private val endpoints = new ConcurrentHashMap[String, DataFrame]
+  private val locks = new ConcurrentHashMap[String, Object]
+
+  /** Striped memoization (round-12 optimization, guide §2.6): the old
+    * instance-`synchronized` resolvers serialized ALL plan construction —
+    * with 4-8 writer threads, every thread queued behind whichever view
+    * was resolving, and the ConcurrencyProbe ladder flattened past 4
+    * threads. Per-NAME locks let independent views' Catalyst analysis
+    * run concurrently while a dependency shared by two threads is still
+    * built exactly once (second requester blocks on that name's lock,
+    * then reads the memo). Lock ordering follows the acyclic view DAG
+    * (a builder only requests its dependencies), so no cycles — and the
+    * endpoint locks are leaves. Keyed by "v:"/"e:" prefix so a view and
+    * an endpoint sharing a name never share a lock. */
+  private def memo(map: ConcurrentHashMap[String, DataFrame], key: String)(
+      build: => DataFrame): DataFrame = {
+    val hit = map.get(key)
+    if (hit != null) return hit
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = map.get(key)
+      if (again != null) again
+      else { val df = build; map.put(key, df); df }
+    }
+  }
 
   /** Endpoints consumed by ≥3 views (studentSchoolAssociations feeds 9 of
     * them): cache the parsed silver frame so the JSON scan+parse runs once
@@ -72,24 +96,20 @@ final class AmtPipeline(
     .groupBy(identity).collect { case (e, uses) if uses.size >= 3 => e }
     .toSet
 
-  private def endpoint(name: String): DataFrame = synchronized {
-    endpoints.getOrElseUpdate(name, {
-      val df = reader.read(name)
-      if (hotEndpoints(name)) df.cache() else df
-    })
+  private def endpoint(name: String): DataFrame = memo(endpoints, s"e:$name") {
+    val df = reader.read(name)
+    if (hotEndpoints(name)) df.cache() else df
   }
 
   private val ctx: ViewContext =
     ViewContext(spark, endpoint = this.endpoint, view = this.view)
 
-  def view(name: String): DataFrame = synchronized {
-    built.getOrElseUpdate(name, {
-      val v = AmtRegistry.byName.getOrElse(name,
-        throw new IllegalArgumentException(s"unknown view: $name"))
-      val df = v.build(ctx)
-      // cache only views other views depend on; leaf views stream to gold
-      if (AmtRegistry.all.exists(_.viewDeps.contains(name))) df.cache() else df
-    })
+  def view(name: String): DataFrame = memo(built, s"v:$name") {
+    val v = AmtRegistry.byName.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown view: $name"))
+    val df = v.build(ctx)
+    // cache only views other views depend on; leaf views stream to gold
+    if (AmtRegistry.all.exists(_.viewDeps.contains(name))) df.cache() else df
   }
 
   /** One-call key-skew diagnostic for a view: [[Stats.keySkew]] over the
@@ -212,7 +232,8 @@ final class AmtPipeline(
     * iteration — without release the previous iteration's caches pin
     * executor memory for the session's lifetime. */
   def release(): Unit = synchronized {
-    (endpoints.values ++ built.values).foreach(_.unpersist(false))
-    endpoints.clear(); built.clear()
+    import scala.jdk.CollectionConverters._
+    (endpoints.values.asScala ++ built.values.asScala).foreach(_.unpersist(false))
+    endpoints.clear(); built.clear(); locks.clear()
   }
 }
