@@ -76,11 +76,20 @@ import graft.views.{AmtView, ViewContext}
   * B grows with the corpus — then a fixed-size delta's refresh cost is
   * O(k · bucketSize), independent of corpus size. With B fixed instead,
   * the pruned read is a fixed FRACTION of the corpus (still linear).
-  * The probe's `pruned` arm measures both regimes honestly (numbers in
-  * BENCH_NOTES.md round 12): at the constant-bucket-size rule a
-  * 100-student delta reads 83/256 buckets at 1× but 98/2560 at ×10 —
-  * the pruned fraction FALLS as the corpus grows, which is the 100 TB
-  * story the scan-bound arms cannot tell.
+  *
+  * MEASURED (IncrementalGoldProbe, local[32], min of 3, 100k→1M
+  * students, B = corpus/400; BENCH_NOTES.md round 12). The touched
+  * fraction falls exactly as the formula says — a ~300-scope delta
+  * touches 180/250 buckets at 1× but 286/2500 at ×10 (72% → 11%) — and
+  * dir-targeted listing (r12: [[readBuckets]] lists only affected
+  * bucket dirs, O(touched), instead of indexing all B partitions) cut
+  * the pruned arm 23.7 → 8.0 s at ×10. The LOCAL wall-clock remains an
+  * honest negative: at sandbox scale a bucket is a KB-sized file, so
+  * per-file open overhead keeps the pruned arm at ≈ the scan-bound
+  * `incr` arm at ×10 (8.0 vs 7.4 s) and LOSING at 1× (5.9 vs 2.3 s).
+  * The win this layout buys is the falling touched-fraction and the
+  * O(touched) listing — realized when buckets are production-sized
+  * (≥ tens of MB), a regime a 128 GB sandbox cannot reach.
   */
 object IncrementalGold {
 
@@ -278,9 +287,17 @@ object IncrementalGold {
       newEndpoint: String => DataFrame,
       affected: DataFrame): Unit = {
     val spark = affected.sparkSession
-    val merged = prunedMerge(scope, goldPath, nBuckets, newEndpoint, affected)
+    // Normalize + eagerly materialize the delta-sized scope set ONCE
+    // (r12 optimization, guide §5): the bucket-id collect, the staging
+    // write, and the overwrite are separate JOBS, and a lazy `affected`
+    // re-runs its scope-recovery subtree — for a batchScopes caller
+    // that is a full corpus semi-join — once per job. The checkpoint is
+    // delta-sized; measured on q346 (JobCount): 34 → 31 jobs.
+    val aff = normalizedScopes(affected).localCheckpoint(true)
+    val buckets = bucketIds(aff, nBuckets)
+    val merged = prunedMergeOf(scope, goldPath, nBuckets, newEndpoint, aff, buckets)
     overwriteAffected(spark, merged, goldPath, stagingPath, BucketCol,
-      affectedBuckets(affected, nBuckets).toSeq)
+      buckets.toSeq)
   }
 
   /** Stage `merged`, rewrite only its partitions into `destPath` via
@@ -324,9 +341,39 @@ object IncrementalGold {
     * every pruned path shares (never data-sized: capped by the layout
     * constant). */
   private def affectedBuckets(affected: DataFrame, nBuckets: Int): Array[Int] =
-    normalizedScopes(affected)
-      .select(scopeBucket(col("__scope"), nBuckets).as("b"))
+    bucketIds(normalizedScopes(affected), nBuckets)
+
+  /** [[affectedBuckets]] over an already-normalized `__scope` frame. */
+  private def bucketIds(aff: DataFrame, nBuckets: Int): Array[Int] =
+    aff.select(scopeBucket(col("__scope"), nBuckets).as("b"))
       .distinct().collect().map(_.getInt(0))
+
+  /** Dir-targeted pruned read of a bucket-partitioned layout: list ONLY
+    * the affected buckets' directories (existence-checked, O(touched)
+    * driver calls) instead of indexing all B partitions and pruning
+    * after the fact (r12 optimization, guide §6). With B sized by the
+    * constant-bucket-size rule, B grows with the corpus — an O(B)
+    * directory listing per refresh job is exactly the driver-side
+    * listing bottleneck the guide warns about (§7.3), and Spark spawns
+    * a distributed listing job once the path count passes 32. The
+    * `basePath` option keeps the partition column recoverable from the
+    * selected dir names. A bucket dir may be legitimately absent (never
+    * written, or vacated and dropped) — absent dirs contribute no rows,
+    * same as the partition-filter shape. Empty selection returns the
+    * layout's empty frame. IncrementalGoldProbe measured the switch at
+    * ×10 corpus (B=2500): pruned arm 23.7 → 8.0 s (BENCH_NOTES r12). */
+  private def readBuckets(
+      spark: SparkSession, path: String, bucketCol: String,
+      buckets: Array[Int]): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dirs = buckets.sorted.map(b =>
+        new org.apache.hadoop.fs.Path(root, s"$bucketCol=$b"))
+      .filter(fs.exists)
+    if (dirs.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.option("basePath", path)
+      .parquet(dirs.map(_.toString).toIndexedSeq: _*)
+  }
 
   // ------------------------------------------------------------------
   // Endpoint-side pruning (VERDICT r11 item 1b): gold-only pruning
@@ -354,12 +401,13 @@ object IncrementalGold {
     * [[rebuildSlice]] already does. */
   def readEndpointPruned(
       spark: SparkSession, path: String, nBuckets: Int,
-      affected: DataFrame): DataFrame = {
-    val buckets = affectedBuckets(affected, nBuckets)
-    spark.read.parquet(path)
-      .filter(col(BucketCol).isin(buckets.map(Integer.valueOf).toSeq: _*))
-      .drop(BucketCol)
-  }
+      affected: DataFrame): DataFrame =
+    readEndpointPrunedBy(spark, path, affectedBuckets(affected, nBuckets))
+
+  /** [[readEndpointPruned]] with the bucket ids already collected. */
+  private def readEndpointPrunedBy(
+      spark: SparkSession, path: String, buckets: Array[Int]): DataFrame =
+    readBuckets(spark, path, BucketCol, buckets).drop(BucketCol)
 
   /** POST-CDC state of a scope-partitioned endpoint, restricted to the
     * affected buckets: pruned old slice, minus touched ids (broadcast
@@ -387,10 +435,18 @@ object IncrementalGold {
       spark: SparkSession, path: String, stagingPath: String, nBuckets: Int,
       batch: CdcBatch, scopeOf: DataFrame => Column,
       affected: DataFrame, idCol: String = "id"): Unit = {
-    val slice = postCdcSlicePruned(spark, path, nBuckets, batch, affected, idCol)
+    // one evaluation of the affected set for both the pruned read and
+    // the vacated-bucket drop list (same rationale as refreshViewPruned)
+    val aff = normalizedScopes(affected).localCheckpoint(true)
+    val buckets = bucketIds(aff, nBuckets)
+    val touched = batch.upserts.select(col(idCol))
+      .unionByName(batch.deleteIds.select(col(idCol))).distinct()
+    val slice = readEndpointPrunedBy(spark, path, buckets)
+      .join(broadcast(touched), Seq(idCol), "left_anti")
+      .unionByName(batch.upserts)
     val merged = slice.withColumn(BucketCol, scopeBucket(scopeOf(slice), nBuckets))
     overwriteAffected(spark, merged, path, stagingPath, BucketCol,
-      affectedBuckets(affected, nBuckets).toSeq)
+      buckets.toSeq)
   }
 
   // ------------------------------------------------------------------
@@ -434,8 +490,7 @@ object IncrementalGold {
     val buckets = wanted
       .select(scopeBucket(col(idCol), nIdBuckets).as("b"))
       .distinct().collect().map(_.getInt(0))
-    spark.read.parquet(keyMapPath)
-      .filter(col(IdBucketCol).isin(buckets.map(Integer.valueOf).toSeq: _*))
+    readBuckets(spark, keyMapPath, IdBucketCol, buckets)
       .join(broadcast(wanted), Seq(idCol), "left_semi")
       .select(col("scope"))
   }
@@ -478,8 +533,7 @@ object IncrementalGold {
     val buckets = touched
       .select(scopeBucket(col(idCol), nIdBuckets).as("b"))
       .distinct().collect().map(_.getInt(0))
-    val oldSlice = spark.read.parquet(path)
-      .filter(col(IdBucketCol).isin(buckets.map(Integer.valueOf).toSeq: _*))
+    val oldSlice = readBuckets(spark, path, IdBucketCol, buckets)
     val merged = oldSlice
       .join(broadcast(touched), Seq(idCol), "left_anti")
       .unionByName(
@@ -501,14 +555,24 @@ object IncrementalGold {
       nBuckets: Int,
       newEndpoint: String => DataFrame,
       affected: DataFrame): DataFrame = {
-    val spark = affected.sparkSession
     val aff = normalizedScopes(affected)
-    val buckets = aff
-      .select(scopeBucket(col("__scope"), nBuckets).as("b"))
-      .distinct().collect().map(_.getInt(0))
+    prunedMergeOf(scope, goldPath, nBuckets, newEndpoint, aff,
+      bucketIds(aff, nBuckets))
+  }
 
-    val oldSlice = spark.read.parquet(goldPath)
-      .filter(col(BucketCol).isin(buckets: _*))
+  /** [[prunedMerge]] over a pre-normalized scope frame and its
+    * pre-collected bucket ids — the seam [[refreshViewPruned]] uses so
+    * the (possibly corpus-scan-recovered) affected set is evaluated
+    * once, not once per downstream job. */
+  private def prunedMergeOf(
+      scope: Scope,
+      goldPath: String,
+      nBuckets: Int,
+      newEndpoint: String => DataFrame,
+      aff: DataFrame,
+      buckets: Array[Int]): DataFrame = {
+    val spark = aff.sparkSession
+    val oldSlice = readBuckets(spark, goldPath, BucketCol, buckets)
     oldSlice
       .join(broadcast(aff),
         col(scope.goldScopeCol).cast("string") === col("__scope"), "left_anti")

@@ -839,9 +839,12 @@ class PlanSpec extends SparkTestBase {
     }
     val before = goldFiles()
 
-    // physical pin: the old-gold scan under the pruned merge carries a
-    // partition filter on scope_bucket and lists ONLY the affected
-    // buckets' partitions — the corpus is never read whole
+    // physical pin: the old-gold scan under the pruned merge is
+    // DIR-TARGETED — its file index holds ONLY the affected buckets'
+    // directories (r12: the read selects bucket dirs up front, so the
+    // corpus is never read OR LISTED whole; an O(B) partition listing
+    // per refresh was itself a scaling cost). Stronger than the old
+    // partition-filter pin: pruning is by construction, not post-listing.
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -854,13 +857,13 @@ class PlanSpec extends SparkTestBase {
       }
       assert(goldScans.nonEmpty, "old-gold scan missing from the pruned merge")
       goldScans.foreach { f =>
-        assert(f.partitionFilters.nonEmpty,
-          s"gold scan lost its partition filter:\n${merged.queryExecution.executedPlan}")
-        val listed = f.relation.location
-          .listFiles(f.partitionFilters, f.dataFilters)
-        assert(listed.size == expectBuckets.size && listed.size < nBuckets,
-          s"expected ${expectBuckets.size} pruned partitions of $nBuckets, " +
-            s"scan lists ${listed.size}")
+        val roots = f.relation.location.rootPaths.map(_.getName)
+        assert(roots.forall(_.startsWith(s"${IncrementalGold.BucketCol}=")),
+          s"gold scan is not dir-targeted: $roots")
+        val listedBuckets = roots
+          .map(_.stripPrefix(s"${IncrementalGold.BucketCol}=").toInt).toSet
+        assert(listedBuckets == expectBuckets && listedBuckets.size < nBuckets,
+          s"expected buckets $expectBuckets of $nBuckets, scan lists $listedBuckets")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
@@ -969,24 +972,25 @@ class PlanSpec extends SparkTestBase {
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      // physical pin 1: the keymap lookup scan is partition-pruned
+      // physical pin 1: the keymap lookup scan is dir-targeted — its
+      // file index holds only the wanted ids' bucket directories
       val look = IncrementalGold.lookupScopes(
         spark, s"$wh/keymap", nBuckets, upserts.select(col("id")))
       val kScans = look.queryExecution.executedPlan.collect {
         case f: FileSourceScanExec
             if f.relation.location.rootPaths.exists(_.toString.contains("/keymap")) => f
       }
-      assert(kScans.nonEmpty && kScans.forall(_.partitionFilters.nonEmpty),
-        s"keymap scan lost its partition filter:\n${look.queryExecution.executedPlan}")
+      assert(kScans.nonEmpty, "keymap scan missing from the lookup")
       kScans.foreach { f =>
-        val listed = f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
-        assert(listed.size < nBuckets,
-          s"keymap lookup read ${listed.size} of $nBuckets buckets — not pruned")
+        val roots = f.relation.location.rootPaths.map(_.getName)
+        assert(roots.forall(_.startsWith(s"${IncrementalGold.IdBucketCol}=")) &&
+          roots.size < nBuckets,
+          s"keymap lookup not dir-targeted (${roots.size} of $nBuckets): $roots")
       }
 
       // physical pin 2: in the merge, BOTH the gold scan and the scoped
-      // ENDPOINT scan carry partition filters — the r11 gap was
-      // endpoint scans reading the whole corpus
+      // ENDPOINT scan are dir-targeted — the r11 gap was endpoint scans
+      // reading (and listing) the whole corpus
       val postCdc = IncrementalGold.postCdcSlicePruned(
         spark, s"$wh/schools", nBuckets, batch, affected)
       val merged = IncrementalGold.prunedMerge(
@@ -1001,11 +1005,10 @@ class PlanSpec extends SparkTestBase {
         val ss = scansUnder(dir)
         assert(ss.nonEmpty, s"$dir scan missing from the pruned merge")
         ss.foreach { f =>
-          assert(f.partitionFilters.nonEmpty,
-            s"$dir scan lost its partition filter:\n${merged.queryExecution.executedPlan}")
-          val listed = f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
-          assert(listed.size < nBuckets,
-            s"$dir scan read ${listed.size} of $nBuckets buckets — not pruned")
+          val roots = f.relation.location.rootPaths.map(_.getName)
+          assert(roots.forall(_.startsWith(s"${IncrementalGold.BucketCol}=")) &&
+            roots.size < nBuckets,
+            s"$dir scan not dir-targeted (${roots.size} of $nBuckets): $roots")
         }
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
