@@ -1343,21 +1343,27 @@ object WebGraph {
     while (left > 0 && outer < maxOuter) {
       outer += 1
       // 1. forward max-color fixpoint: color(v) = max id reaching v.
+      // The color leg carries each host's OLD color through the same
+      // aggregation (the Dedup.connectedComponents r12 fusion): colors
+      // only grow, so max(__old) is the old color and convergence is a
+      // plain scan of the checkpointed result — the per-round
+      // next⋈color shuffle join the old shape paid is gone (guide §2.4).
       var color = remaining.select(col("host"), col("host").as("color"))
         .localCheckpoint()
       var changed = 1L
       var inner = 0
       while (changed > 0 && inner < maxInner) {
         inner += 1
-        val next = color
+        val next = color.select(col("host"), col("color"),
+            col("color").as("__old"))
           .union(eRem.join(color.withColumnRenamed("host", "src"), "src")
-            .select(col("dst").as("host"), col("color")))
-          .groupBy("host").agg(max(col("color")).as("color"))
+            .select(col("dst").as("host"), col("color"),
+              lit(null).cast("string").as("__old")))
+          .groupBy("host").agg(
+            max(col("color")).as("color"), max(col("__old")).as("__old"))
           .localCheckpoint()
-        changed = next.as("n")
-          .join(color.as("c"), col("n.host") === col("c.host"))
-          .filter(col("n.color") =!= col("c.color")).count()
-        color = next
+        changed = next.filter(col("color") =!= col("__old")).count()
+        color = next.drop("__old")
       }
       require(changed == 0,
         s"SCC color propagation did not converge in $maxInner rounds")
@@ -1373,15 +1379,21 @@ object WebGraph {
       inner = 0
       while (grew > 0 && inner < maxInner) {
         inner += 1
-        val next = marked
+        // same fusion as the forward pass: membership in the previous
+        // round rides the aggregation (groupBy replaces the distinct —
+        // same shuffle), so "did the marked set grow" is a scan, not
+        // two count jobs over both checkpoints
+        val next = marked.select(col("host"), col("color"),
+            lit(1L).as("__old"))
           .union(colored
             .join(marked.select(col("host").as("dst"), col("color")),
               Seq("dst", "color"))
-            .select(col("src").as("host"), col("color")))
-          .distinct()
+            .select(col("src").as("host"), col("color"),
+              lit(null).cast("long").as("__old")))
+          .groupBy("host", "color").agg(max(col("__old")).as("__old"))
           .localCheckpoint()
-        grew = next.count() - marked.count()
-        marked = next
+        grew = next.filter(col("__old").isNull).count()
+        marked = next.drop("__old")
       }
       require(grew == 0,
         s"SCC backward sweep did not converge in $maxInner rounds")
