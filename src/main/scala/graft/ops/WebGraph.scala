@@ -1018,6 +1018,10 @@ object WebGraph {
         greatest(col("s"), col("d")).as("b"))
       .distinct()
     var und = und0.localCheckpoint()
+    // carry the edge count across rounds: round k's input count IS
+    // round k-1's output count, so re-counting the previous checkpoint
+    // every round was a pure extra job (r12, one count job per round)
+    var undCount = und.count()
     var pruned = 1L
     var rounds = 0
     while (pruned > 0 && rounds < maxIter) {
@@ -1031,8 +1035,10 @@ object WebGraph {
         .join(keep.select(col("host").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint()
-      pruned = und.count() - next.count()
+      val nextCount = next.count()
+      pruned = undCount - nextCount
       und = next
+      undCount = nextCount
       rounds += 1
     }
     require(pruned == 0,
@@ -1079,6 +1085,7 @@ object WebGraph {
         greatest(col("s"), col("d")).as("b"))
       .distinct()
       .localCheckpoint()
+    var undCount = und.count() // carried across rounds, same as kCore
     var pruned = 1L
     var rounds = 0
     while (pruned > 0 && rounds < maxIter) {
@@ -1086,8 +1093,10 @@ object WebGraph {
           support(und).filter(col("sup") >= k - 2).select("a", "b"),
           Seq("a", "b"), "left_semi")
         .localCheckpoint()
-      pruned = und.count() - next.count()
+      val nextCount = next.count()
+      pruned = undCount - nextCount
       und = next
+      undCount = nextCount
       rounds += 1
     }
     require(pruned == 0,
