@@ -118,9 +118,7 @@ object Bench {
     // this run's mins for the next round. Absolute floor 0.25 s keeps
     // sub-second jitter from triggering child JVMs.
     val prevMins = BenchRecheck.readMins("BENCH_MINS.json")
-    val outliers = good.collect {
-      case (name, v) if prevMins.get(name).exists(p => v > 1.5 * p && v - p > 0.25) => name
-    }.take(10)
+    val outliers = BenchRecheck.rankOutliers(good, prevMins)
     val dedicated = BenchRecheck.dedicatedSamples(outliers, sfDir)
     BenchRecheck.writeMins("BENCH_MINS.json",
       BenchRecheck.minsToRecord(good, benchErrors.keys.toSeq, prevMins))
@@ -137,6 +135,16 @@ object Bench {
       VerifyCore.q(k) + ":" + VerifyCore.q(v)
     }.mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","pipeline_total":$pipelineSec%.3f,"setup":$setupJson,"queries":$qs,"max":$maxJson,"dedicated":$dedJson,"errors":$errJson,"sf":"$sfDir"}""")
+    // Second, COMPACT summary line (same keys, "queries" holds only the ≤15
+    // biggest movers vs committed floors): the full line above is ~12 KB
+    // with 350 queries and the driver retains only a ~2000-char output tail,
+    // so rounds 11 and 12 shipped `parsed: null` and an empty PERF file.
+    // This line is self-contained JSON under 2 KB — printed LAST so it is
+    // the complete line in any tail — restoring totals, error visibility
+    // and a top-movers regression signal to the driver. The full line stays
+    // byte-compatible for tooling that reads the artifact file.
+    println(BenchRecheck.compactLine(
+      total, results.size, pipelineSec, good, prevMins, benchErrors.toSeq, sfDir))
     graft.core.SilverWriter.deleteOnExit(setupDir)
     spark.stop()
   }
@@ -249,15 +257,62 @@ object Bench {
   * empty "dedicated" map. */
 object BenchRecheck {
 
-  /** What BENCH_MINS.json records: this run's good minima, plus — for
-    * queries that FAILED this run — their previous minima unchanged, so the
-    * self-defense gate still has a baseline once they're fixed. A failed
-    * query must never mint a new (fail-fast) minimum. Pure; VerifySpec
-    * covers the failure cases. */
+  /** What BENCH_MINS.json records — a RATCHET, `min(prev, thisRun)` per
+    * query: floors only ever move down, so one contended-host sweep (this
+    * box swings ±2× with co-tenant load) cannot clobber the committed
+    * floors that the next round's outlier gate compares against. Round 12
+    * needed two manual BENCH_MINS restores for exactly this; now the file
+    * survives a noisy run unchanged except genuine new lows. Queries that
+    * FAILED this run keep their previous minima unchanged (a fail-fast
+    * exception must never mint a minimum); queries no longer registered
+    * drop out. Pure; VerifySpec covers all three cases. */
   def minsToRecord(
       good: Seq[(String, Double)], failed: Seq[String],
       prev: Map[String, Double]): Seq[(String, Double)] =
-    good ++ failed.flatMap(n => prev.get(n).map(n -> _))
+    good.map { case (n, v) => n -> prev.get(n).fold(v)(math.min(v, _)) } ++
+      failed.flatMap(n => prev.get(n).map(n -> _))
+
+  /** Queries inflated vs their committed floor (`> factor×` AND `> absFloor`
+    * above it), WORST RATIO FIRST, capped at `cap` — the dedicated-JVM
+    * re-check budget must go to the biggest inflations. Round 12's noisy
+    * host inflated ~50 queries and the previous alphabetical `.take(10)`
+    * spent the whole budget on q02/q03/q05… while the 6–25× offenders
+    * (q79/q80/q81/q96) were never re-adjudicated. Pure; VerifySpec. */
+  def rankOutliers(
+      good: Seq[(String, Double)], prev: Map[String, Double],
+      factor: Double = 1.5, absFloor: Double = 0.25, cap: Int = 10): Seq[String] =
+    good.flatMap { case (name, v) =>
+      prev.get(name).collect {
+        case p if v > factor * p && v - p > absFloor => (name, v / p)
+      }
+    }.sortBy(-_._2).take(cap).map(_._1)
+
+  /** The compact driver-facing summary line: contract keys (metric/value/
+    * unit/queries/sf) plus n and n_errors, with "queries" restricted to the
+    * `cap` biggest movers vs `prev` floors (by max(r, 1/r), both directions
+    * — regressions AND wins are signal) and "vs_mins" carrying each mover's
+    * now/floor ratio. Error messages are truncated and capped so the line
+    * stays under ~2 KB no matter what fails. Pure; VerifySpec pins the
+    * size bound and mover selection. */
+  def compactLine(
+      total: Double, n: Int, pipelineSec: Double,
+      good: Seq[(String, Double)], prev: Map[String, Double],
+      errors: Seq[(String, String)], sfDir: String, cap: Int = 15): String = {
+    val movers = good.flatMap { case (name, v) =>
+      prev.get(name).filter(_ > 0).map { p =>
+        val r = v / p
+        (name, v, r, math.max(r, 1.0 / r))
+      }
+    }.sortBy(-_._4).take(cap)
+    val qs = movers.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val ratios = movers.map { case (k, _, r, _) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val errJson = errors.take(5).map { case (k, v) =>
+      VerifyCore.q(k) + ":" + VerifyCore.q(v.take(60))
+    }.mkString("{", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":3,"agg":"min","n":$n,"n_errors":${errors.size},"pipeline_total":$pipelineSec%.3f,"queries":$qs,"vs_mins":$ratios,"errors":$errJson,"sf":"$sfDir"}"""
+  }
 
   /** name → min seconds from a previous run (flat JSON object file). */
   def readMins(path: String): Map[String, Double] = {

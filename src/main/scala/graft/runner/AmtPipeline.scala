@@ -230,7 +230,15 @@ final class AmtPipeline(
   /** Unpersist every frame this pipeline cached (hot endpoints + shared
     * views). A long-lived loop ([[AmtLoop]]) builds a fresh pipeline per
     * iteration — without release the previous iteration's caches pin
-    * executor memory for the session's lifetime. */
+    * executor memory for the session's lifetime.
+    *
+    * CONCURRENCY CONTRACT (ADVICE r12): release() must not run while a
+    * build is in flight. The memos are striped per-name locks (not
+    * instance-synchronized), so a concurrent release could clear `locks`
+    * mid-build — a second requester would then mint a fresh lock and
+    * double-build the same view — and unpersist frames a running build
+    * still reads. Every current caller ([[AmtLoop]], writeAll users)
+    * releases only after its Await completes; keep it that way. */
   def release(): Unit = synchronized {
     import scala.jdk.CollectionConverters._
     (endpoints.values.asScala ++ built.values.asScala).foreach(_.unpersist(false))

@@ -22,8 +22,18 @@ import graft.core.GraftSession
   * Run: `SPARK_GRAFT_SF_DIR=... runMain graft.runner.JobCount <query> […]`.
   * One JSON line per query:
   *   {"query": ..., "jobs": n, "stages": n, "tasks": n,
-  *    "shuffle_write_bytes": n, "shuffle_write_rows": n}
-  */
+  *    "shuffle_write_bytes": n, "shuffle_write_rows": n,
+  *    "executor_run_ms": n, "executor_cpu_ms": n}
+  *
+  * The two executor-time sums are the round-13 task-metrics extension
+  * (VERDICT r12 item 5): they aggregate every task's executorRunTime /
+  * executorCpuTime, so sub-noise expression rewrites (a narrower shuffle
+  * type, fewer `conv` calls per row) can be validated against executor
+  * CPU seconds rather than wall-clock — CPU time excludes scheduler and
+  * fetch waits, so it is far less contended-host-sensitive. Counters are
+  * read only after a deterministic `listenerBus.waitUntilEmpty()` drain
+  * (via [[org.apache.spark.graft.ListenerShim]]); the previous fixed
+  * sleep could under-count on a loaded host (ADVICE r12). */
 object JobCount {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: JobCount <queryName> [queryName …]")
@@ -39,6 +49,8 @@ object JobCount {
     val tasks = new AtomicInteger
     val shufBytes = new AtomicLong
     val shufRows = new AtomicLong
+    val execRunMs = new AtomicLong
+    val execCpuNs = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
@@ -50,6 +62,8 @@ object JobCount {
         if (m != null) {
           shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           shufRows.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          execRunMs.addAndGet(m.executorRunTime)
+          execCpuNs.addAndGet(m.executorCpuTime)
         }
       }
     })
@@ -62,14 +76,20 @@ object JobCount {
     args.toSeq.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
       dropCaches()
+      // drain events from the PREVIOUS query before zeroing, so a straggler
+      // task-end can't leak into this query's counters
+      org.apache.spark.graft.ListenerShim.waitUntilListenerBusEmpty(spark.sparkContext)
       jobs.set(0); stages.set(0); tasks.set(0); shufBytes.set(0); shufRows.set(0)
+      execRunMs.set(0); execCpuNs.set(0)
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      // listener bus is async (and private) — give it a beat to drain
-      // before reading the counters; counters are exact, arrival is not
-      Thread.sleep(1500)
+      // deterministic drain: block until every queued listener event has
+      // been dispatched — exact counters on any host load
+      org.apache.spark.graft.ListenerShim.waitUntilListenerBusEmpty(spark.sparkContext)
       println(s"""{"query":"$name","jobs":${jobs.get},"stages":${stages.get},""" +
         s""""tasks":${tasks.get},"shuffle_write_bytes":${shufBytes.get},""" +
-        s""""shuffle_write_rows":${shufRows.get}}""")
+        s""""shuffle_write_rows":${shufRows.get},""" +
+        s""""executor_run_ms":${execRunMs.get},""" +
+        s""""executor_cpu_ms":${execCpuNs.get / 1000000}}""")
     }
     spark.stop()
   }

@@ -56,7 +56,7 @@ class VerifySpec extends SparkTestBase {
     val good = Seq("q_a" -> 1.2, "q_b" -> 0.4)
     val prev = Map("q_a" -> 1.5, "q_fail" -> 0.443, "q_gone" -> 9.9)
     val out = BenchRecheck.minsToRecord(good, failed = Seq("q_fail"), prev).toMap
-    assert(out("q_a") === 1.2)           // good min replaces prev
+    assert(out("q_a") === 1.2)           // new low ratchets the floor down
     assert(out("q_b") === 0.4)           // new query recorded
     assert(out("q_fail") === 0.443)      // failed → previous min preserved
     assert(!out.contains("q_gone"))      // unregistered queries drop out
@@ -66,6 +66,58 @@ class VerifySpec extends SparkTestBase {
     val out = BenchRecheck.minsToRecord(
       Seq("q_a" -> 1.0), failed = Seq("q_new_fail"), prev = Map("q_a" -> 2.0))
     assert(out.toMap === Map("q_a" -> 1.0))
+  }
+
+  test("minsToRecord ratchets: a noisy (inflated) run leaves committed floors unchanged") {
+    // round-12 failure mode: a contended-host sweep 1.3-2x over floor
+    // REPLACED the floors, requiring manual BENCH_MINS restores
+    val good = Seq("q_a" -> 3.1, "q_b" -> 0.9)   // both above their floors
+    val prev = Map("q_a" -> 1.5, "q_b" -> 0.7)
+    val out = BenchRecheck.minsToRecord(good, failed = Nil, prev).toMap
+    assert(out === Map("q_a" -> 1.5, "q_b" -> 0.7))
+  }
+
+  test("rankOutliers: worst inflation first, not alphabetical; gates respected") {
+    val prev = Map("q_a" -> 1.0, "q_b" -> 1.0, "q_c" -> 1.0,
+      "q_d" -> 0.10, "q_e" -> 1.0)
+    val good = Seq(
+      "q_a" -> 2.0,   // 2.0x — outlier
+      "q_b" -> 25.0,  // 25x — worst, must rank first despite 'b' > 'a'
+      "q_c" -> 1.4,   // below 1.5x factor → not an outlier
+      "q_d" -> 0.30,  // 3x ratio but only +0.2s absolute → sub-floor jitter
+      "q_e" -> 6.0)   // 6x
+    assert(BenchRecheck.rankOutliers(good, prev) === Seq("q_b", "q_e", "q_a"))
+    assert(BenchRecheck.rankOutliers(good, prev, cap = 2) === Seq("q_b", "q_e"))
+    assert(BenchRecheck.rankOutliers(good, Map.empty) === Nil) // no floors yet
+  }
+
+  test("compactLine fits the driver's 2000-char tail and picks biggest movers both ways") {
+    // 350 queries, worst-case long names, 5+ errors with long messages —
+    // the compact line must stay parseable and under 2000 chars regardless
+    val names = (1 to 350).map(i => f"q$i%03d_some_quite_long_query_name_here")
+    val prev = names.map(_ -> 1.0).toMap
+    val good = names.zipWithIndex.map { case (n, i) =>
+      n -> (i match {
+        case 0 => 30.0    // 30x regression — biggest mover
+        case 1 => 0.05    // 20x improvement — second biggest (1/r)
+        case 2 => 9.0
+        case _ => 1.0 + (i % 7) * 0.01
+      })
+    }
+    val errors = (1 to 8).map(i => s"q_err$i" -> ("boom " * 40))
+    val out = BenchRecheck.compactLine(
+      total = 431.25, n = 350, pipelineSec = 5.2, good, prev, errors,
+      "/root/testdata/sf0.1")
+    assert(out.length < 2000, s"compact line is ${out.length} chars")
+    assert(out.startsWith("{\"metric\":\"total\",\"value\":431.250,"))
+    assert(out.contains("\"n\":350"))
+    assert(out.contains("\"n_errors\":8"))
+    val firstMover = out.indexOf(names(0))   // 30x regression
+    val secondMover = out.indexOf(names(1))  // 20x improvement
+    assert(firstMover >= 0 && secondMover >= 0 && firstMover < secondMover)
+    assert(!out.contains(names(100)), "non-mover leaked into compact line")
+    assert(out.contains("\"vs_mins\":{\"" + names(0) + "\":30.00"))
+    assert(out.endsWith("\"sf\":\"/root/testdata/sf0.1\"}"))
   }
 
   test("unhashableColumns flags decimal/array/map/struct/binary, passes scalars") {
