@@ -98,11 +98,24 @@ object IncrementalGold {
     * it in the view output. Endpoints NOT listed are shared dimensions —
     * a change there invalidates every scope, and the caller must fall
     * back to a full rebuild ([[AmtLoop.affectedViews]] already routes
-    * that case). */
+    * that case).
+    *
+    * `goldScopeOf` (r13): views whose output carries the scope only
+    * INSIDE a concatenated surrogate key (the `<student>-<school>-…`
+    * pattern, e.g. the equity program dims) supply an expression that
+    * recovers it; the default reads the named column. The expression
+    * must be exactly inverse to the key construction or the merge
+    * anti-join misses rows — pinned per contract by the AmtViewsSpec
+    * incremental ≡ full law. */
   final case class Scope(
       view: AmtView,
       goldScopeCol: String,
-      scopedEndpoints: Map[String, DataFrame => Column])
+      scopedEndpoints: Map[String, DataFrame => Column],
+      goldScopeOf: Option[DataFrame => Column] = None) {
+    /** The scope value column on a gold/output frame. */
+    def scopeColumn(df: DataFrame): Column =
+      goldScopeOf.map(_(df)).getOrElse(df(goldScopeCol))
+  }
 
   /** One endpoint's CDC batch: full upserted resources plus the
     * `/deletes` twin's ids (reference api/api.py:133-136 saves exactly
@@ -197,7 +210,7 @@ object IncrementalGold {
       affected: DataFrame): DataFrame = {
     val aff = normalizedScopes(affected)
     oldGold.join(broadcast(aff),
-        col(scope.goldScopeCol).cast("string") === col("__scope"), "left_anti")
+        scope.scopeColumn(oldGold).cast("string") === col("__scope"), "left_anti")
       .unionByName(rebuildSlice(scope, newEndpoint, aff))
   }
 
@@ -252,7 +265,7 @@ object IncrementalGold {
     * buckets the delta touches. */
   def writeGoldPartitioned(
       gold: DataFrame, scope: Scope, path: String, nBuckets: Int): Unit =
-    gold.withColumn(BucketCol, scopeBucket(col(scope.goldScopeCol), nBuckets))
+    gold.withColumn(BucketCol, scopeBucket(scope.scopeColumn(gold), nBuckets))
       .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
 
@@ -360,8 +373,17 @@ object IncrementalGold {
     * selected dir names. A bucket dir may be legitimately absent (never
     * written, or vacated and dropped) — absent dirs contribute no rows,
     * same as the partition-filter shape. Empty selection returns the
-    * layout's empty frame. IncrementalGoldProbe measured the switch at
-    * ×10 corpus (B=2500): pruned arm 23.7 → 8.0 s (BENCH_NOTES r12). */
+    * layout's empty frame with the schema read off ONE existing bucket
+    * dir, not an O(B) whole-root listing (ADVICE r12 — schema inference
+    * over the root re-paid exactly the listing this method removes, and
+    * threw on a layout with no files yet). Concurrency: the exists-check
+    * then read is not atomic — a concurrent refresh dropping a vacated
+    * bucket between them would fail the scan with FileNotFoundException.
+    * That is acceptable under the documented SINGLE-WRITER refresh
+    * assumption (one batch advances a layout at a time; the overwrite
+    * commit in [[overwriteAffected]] is per-partition, same assumption).
+    * IncrementalGoldProbe measured the dir-targeted switch at ×10 corpus
+    * (B=2500): pruned arm 23.7 → 8.0 s (BENCH_NOTES r12). */
   private def readBuckets(
       spark: SparkSession, path: String, bucketCol: String,
       buckets: Array[Int]): DataFrame = {
@@ -370,8 +392,23 @@ object IncrementalGold {
     val dirs = buckets.sorted.map(b =>
         new org.apache.hadoop.fs.Path(root, s"$bucketCol=$b"))
       .filter(fs.exists)
-    if (dirs.isEmpty) spark.read.parquet(path).filter(lit(false))
-    else spark.read.option("basePath", path)
+    if (dirs.isEmpty) {
+      // one directory-level listStatus (a single RPC), then the schema
+      // from one bucket dir — never a recursive whole-root file listing
+      val anyBucket = fs.listStatus(root).collectFirst {
+        case s if s.isDirectory && s.getPath.getName.startsWith(s"$bucketCol=") =>
+          s.getPath
+      }
+      anyBucket match {
+        case Some(d) =>
+          spark.read.option("basePath", path).parquet(d.toString)
+            .filter(lit(false))
+        case None => throw new IllegalStateException(
+          s"no $bucketCol=* partitions under $path — the layout must be " +
+            "written (writeGoldPartitioned/writeEndpointPartitioned/" +
+            "writeKeyMap) before a pruned read")
+      }
+    } else spark.read.option("basePath", path)
       .parquet(dirs.map(_.toString).toIndexedSeq: _*)
   }
 
@@ -573,12 +610,13 @@ object IncrementalGold {
       buckets: Array[Int]): DataFrame = {
     val spark = aff.sparkSession
     val oldSlice = readBuckets(spark, goldPath, BucketCol, buckets)
+    val rebuilt = rebuildSlice(scope, newEndpoint, aff)
     oldSlice
       .join(broadcast(aff),
-        col(scope.goldScopeCol).cast("string") === col("__scope"), "left_anti")
+        scope.scopeColumn(oldSlice).cast("string") === col("__scope"), "left_anti")
       .unionByName(
-        rebuildSlice(scope, newEndpoint, aff)
-          .withColumn(BucketCol, scopeBucket(col(scope.goldScopeCol), nBuckets)))
+        rebuilt.withColumn(BucketCol,
+          scopeBucket(scope.scopeColumn(rebuilt), nBuckets)))
   }
 
   /** The per-view scope contracts for the incrementally-maintainable
@@ -662,4 +700,99 @@ object IncrementalGold {
     graft.views.base.StudentSchoolDim,
     goldScopeCol = "StudentKey",
     scopedEndpoints = allStudentSchoolDimScope.scopedEndpoints)
+
+  // ------------------------------------------------------------------
+  // Round-13 contract extension (VERDICT r12 item 3): the equity /
+  // attendance spine. Each contract's grain-purity argument: every
+  // output row's StudentKey is a pure function of the source rows
+  // sharing that student id in the scoped endpoints (all joins to other
+  // endpoints are shared dimensions passed whole — descriptor lookups,
+  // org chain, section/course chain, calendar). Equivalence law
+  // refreshView ≡ full-recompute is pinned per contract in AmtViewsSpec
+  // ("scope contracts: incremental ≡ full on the equity spine").
+  // ------------------------------------------------------------------
+
+  private val byStudentRef: DataFrame => Column =
+    df => df("studentReference.studentUniqueId")
+
+  /** equity_studentDisciplineActionDim: one row per exploded discipline
+    * action of a currently-enrolled student — actions and enrollment are
+    * both student-keyed; the descriptor lookup is a shared broadcast
+    * dimension. */
+  val disciplineActionDimScope: Scope = Scope(
+    graft.views.equity.StudentDisciplineActionDim,
+    goldScopeCol = "StudentKey",
+    scopedEndpoints = Map(
+      "disciplineActions" -> byStudentRef,
+      "studentSchoolAssociations" -> byStudentRef))
+
+  /** base studentLocalEducationAgencyDim: student grain over the same
+    * three student-keyed endpoints as allStudentSchoolDim (enrollment
+    * spine, demographics associations, the student resource); the LEA
+    * list is a shared broadcast dimension. */
+  val studentLeaDimScope: Scope = Scope(
+    graft.views.base.StudentLocalEducationAgencyDim,
+    goldScopeCol = "StudentKey",
+    scopedEndpoints = allStudentSchoolDimScope.scopedEndpoints)
+
+  /** Recover the student id from a `<student>-<school>` surrogate key:
+    * strip the trailing numeric school segment (schoolIds are longs, so
+    * `-[0-9]+$` is exact even when the student id itself contains
+    * hyphens). The program dims carry the scope only inside this
+    * concatenation. */
+  private val studentOfStudentSchoolKey: DataFrame => Column =
+    df => org.apache.spark.sql.functions.regexp_replace(
+      df("StudentSchoolKey"), "-[0-9]+$", "")
+
+  /** equity_studentSchoolFoodServiceProgramDim: program associations and
+    * the enrollment filter are student-keyed; program-type and service
+    * descriptors are shared dimensions. The output has no bare
+    * StudentKey column — the scope rides the StudentSchoolKey prefix. */
+  val foodServiceProgramDimScope: Scope = Scope(
+    graft.views.equity.StudentSchoolFoodServiceProgramDim,
+    goldScopeCol = "StudentSchoolKey",
+    scopedEndpoints = Map(
+      "studentSchoolFoodServiceProgramAssociations" -> byStudentRef,
+      "studentSchoolAssociations" -> byStudentRef),
+    goldScopeOf = Some(studentOfStudentSchoolKey))
+
+  /** equity_studentProgramCohortDim: cohort associations and enrollment
+    * are student-keyed; the cohort catalog and its descriptors are
+    * shared dimensions (a cohort edit drifts every member → full-rebuild
+    * route, the honest policy). */
+  val programCohortDimScope: Scope = Scope(
+    graft.views.equity.StudentProgramCohortDim,
+    goldScopeCol = "StudentSchoolKey",
+    scopedEndpoints = Map(
+      "studentCohortAssociations" -> byStudentRef,
+      "studentSchoolAssociations" -> byStudentRef),
+    goldScopeOf = Some(studentOfStudentSchoolKey))
+
+  /** equity_studentHistoryDim — the DEEPEST view-on-view node (6 view
+    * deps; student_history_dim/main.py:37-399): output is one row per
+    * current student-school with per-STUDENT aggregations (enrollment
+    * history, attendance rate, referrals, grade summary). Scoped
+    * endpoints are the union of the student-keyed endpoints across its
+    * whole dependency closure — allStudentSchoolDim/studentSchoolDim
+    * (students, enrollment spine, demographics), the chrab fact (both
+    * attendance crosstabs + section spine), the discipline dim
+    * (disciplineActions), and its own grades scan. schoolDim, the
+    * section/course chain, staff, descriptors and the calendar are
+    * shared dimensions. [[rebuildSlice]]'s memoized local context
+    * rebuilds the six parents over the SAME semi-filtered endpoints, so
+    * the slice composes through the DAG exactly as q350 proved for the
+    * one-level chain. */
+  val studentHistoryDimScope: Scope = Scope(
+    graft.views.equity.StudentHistoryDim,
+    goldScopeCol = "StudentKey",
+    scopedEndpoints = Map(
+      "students" -> (df => df("studentUniqueId")),
+      "studentSchoolAssociations" -> byStudentRef,
+      "studentEducationOrganizationAssociations" -> byStudentRef,
+      "studentSectionAssociations" -> byStudentRef,
+      "studentSchoolAttendanceEvents" -> byStudentRef,
+      "studentSectionAttendanceEvents" -> byStudentRef,
+      "disciplineActions" -> byStudentRef,
+      "grades" ->
+        (df => df("studentSectionAssociationReference.studentUniqueId"))))
 }

@@ -1653,4 +1653,239 @@ class AmtViewsSpec extends SparkTestBase {
     val fixed = refresh(IncrementalGold.batchScopes(snapshot, batch, scopeOf))
     assert(students(fixed) == Set("B", "C"))
   }
+
+  test("scope contracts: incremental ≡ full on the equity/attendance spine (r13 contracts)") {
+    // VERDICT r12 item 3: the five round-13 Scope contracts
+    // (disciplineActionDim, studentLeaDim, foodServiceProgramDim,
+    // programCohortDim, studentHistoryDim — the deepest view-on-view
+    // node). For each, one mixed CDC wave (a grade upsert, an enrollment
+    // DELETE, a discipline-action RE-KEY, a food-service re-date, a
+    // cohort delete) must make refreshView(scope, oldGold, post, affected)
+    // row-identical to a full recompute over the post-CDC state, with the
+    // affected set built from batchScopes (vacated scopes recovered).
+    import scala.collection.mutable
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.ops.IncrementalGold
+    import graft.ops.IncrementalGold.CdcBatch
+    import graft.views.ViewContext
+    import testImplicits._
+
+    val studs = Seq("s1", "s2", "s3", "s4", "s5", "s6").toDF("s")
+    def ref(c: org.apache.spark.sql.Column) =
+      struct(c.as("studentUniqueId")).as("studentReference")
+
+    val students = studs.select(
+      concat(lit("stu-"), col("s")).as("id"), col("s").as("studentUniqueId"),
+      lit("1988-03-01").as("birthDate"), concat(lit("F"), col("s")).as("firstName"),
+      lit(null).cast("string").as("middleName"), lit("Last").as("lastSurname"))
+    val ssa = studs.select(
+      concat(lit("ssa-"), col("s")).as("id"),
+      struct(lit(100L).as("schoolId")).as("schoolReference"),
+      ref(col("s")),
+      struct(lit(2022L).as("schoolYear")).as("schoolYearTypeReference"),
+      lit("2021-08-23").as("entryDate"),
+      lit("uri://ed-fi.org/GradeLevelDescriptor#Ninth grade")
+        .as("entryGradeLevelDescriptor"),
+      lit(null).cast("string").as("exitWithdrawDate"))
+    val edorg = studs.select(
+      concat(lit("eo-"), col("s")).as("id"),
+      struct(lit(9000L).as("educationOrganizationId"))
+        .as("educationOrganizationReference"),
+      ref(col("s")),
+      lit(true).as("hispanicLatinoEthnicity"),
+      lit(null).cast("string").as("limitedEnglishProficiencyDescriptor"),
+      lit("uri://ed-fi.org/SexDescriptor#Female").as("sexDescriptor"),
+      lit(null).cast("array<struct<indicatorName:string,indicator:string>>")
+        .as("studentIndicators"))
+    val schools = Seq((100L, "GB High")).toDF("schoolId", "nameOfInstitution")
+      .select(col("schoolId"), col("nameOfInstitution"),
+        lit("uri://ed-fi.org/SchoolTypeDescriptor#Regular").as("schoolTypeDescriptor"),
+        struct(lit(9000L).as("localEducationAgencyId"))
+          .as("localEducationAgencyReference"),
+        array(struct(
+          lit("uri://ed-fi.org/AddressTypeDescriptor#Physical").as("addressTypeDescriptor"),
+          lit("uri://ed-fi.org/StateAbbreviationDescriptor#TX").as("stateAbbreviationDescriptor"),
+          lit("1 Main").as("streetNumberName"), lit("GB").as("city"),
+          lit("W").as("nameOfCounty"))).as("addresses"))
+    val leas = Seq((9000L, "GB ISD")).toDF("localEducationAgencyId", "nameOfInstitution")
+      .withColumn("educationServiceCenterReference",
+        struct(lit(null).cast("long").as("educationServiceCenterId")))
+    val cal = Seq("2021-09-13", "2021-09-14").toDF("date").select(
+      struct(lit(100L).as("schoolId"), lit(2022L).as("schoolYear"))
+        .as("calendarReference"),
+      col("date"),
+      array(struct(lit("uri://ed-fi.org/CalendarEventDescriptor#Instructional day")
+        .as("calendarEventDescriptor"))).as("calendarEvents"))
+    val schoolAtt = studs.filter(col("s").isin("s1", "s2")).select(
+      concat(lit("sa-"), col("s")).as("id"),
+      struct(lit(100L).as("schoolId")).as("schoolReference"), ref(col("s")),
+      lit("2021-09-13").as("eventDate"),
+      lit("uri://ed-fi.org/AttendanceEventCategoryDescriptor#Unexcused Absence")
+        .as("attendanceEventCategoryDescriptor"))
+    val secRef = struct(
+      lit("ALG-1").as("localCourseCode"), lit(100L).as("schoolId"),
+      lit(2022L).as("schoolYear"), lit("A").as("sectionIdentifier"),
+      lit("Fall").as("sessionName"),
+      struct(lit("Section").as("rel"), lit("/ed-fi/sections/sec-1").as("href"))
+        .as("link")).as("sectionReference")
+    val sectionAtt = studs.filter(col("s") === "s1").select(
+      concat(lit("se-"), col("s")).as("id"),
+      struct(lit(100L).as("schoolId")).as("schoolReference"), secRef, ref(col("s")),
+      lit("2021-09-13").as("eventDate"),
+      lit("uri://ed-fi.org/AttendanceEventCategoryDescriptor#Unexcused Absence")
+        .as("attendanceEventCategoryDescriptor"))
+    val sectionAssoc = studs.select(
+      concat(lit("ssec-"), col("s")).as("id"), secRef, ref(col("s")),
+      lit("2021-08-23").as("beginDate"), lit(null).cast("string").as("endDate"),
+      lit(true).as("homeroomIndicator"))
+    val sections = Seq(("sec-1", "A")).toDF("id", "sectionIdentifier")
+      .withColumn("courseOfferingReference", struct(
+        lit("ALG-1").as("localCourseCode"), lit(100L).as("schoolId"),
+        lit(2022L).as("schoolYear"), lit("Fall").as("sessionName"),
+        struct(lit("CourseOffering").as("rel"),
+          lit("/ed-fi/courseOfferings/co-1").as("href")).as("link")))
+    val courseOfferings = Seq("co-1").toDF("id")
+      .withColumn("courseReference", struct(lit("ALG-1").as("courseCode"),
+        struct(lit("Course").as("rel"), lit("/ed-fi/courses/crs-1").as("href"))
+          .as("link")))
+    val courses = Seq(("crs-1", "Algebra I")).toDF("id", "courseTitle")
+      .withColumn("academicSubjectDescriptor",
+        lit("uri://ed-fi.org/AcademicSubjectDescriptor#Mathematics"))
+    val subjects = Seq(("Mathematics", "Mathematics"))
+      .toDF("codeValue", "description")
+    val grades = studs.select(
+      concat(lit("g-"), col("s")).as("id"),
+      struct(
+        lit("uri://ed-fi.org/GradingPeriodDescriptor#First").as("gradingPeriodDescriptor"),
+        lit(1L).as("periodSequence"), lit(100L).as("schoolId"),
+        lit(2022L).as("schoolYear")).as("gradingPeriodReference"),
+      struct(
+        col("s").as("studentUniqueId"), lit(100L).as("schoolId"),
+        lit("2021-08-23").as("beginDate"), lit("ALG-1").as("localCourseCode"),
+        lit(2022L).as("schoolYear"), lit("A").as("sectionIdentifier"),
+        lit("Fall").as("sessionName")).as("studentSectionAssociationReference"),
+      lit("B").as("letterGradeEarned"), lit(88.0).as("numericGradeEarned"),
+      lit("uri://ed-fi.org/GradeTypeDescriptor#Grading Period")
+        .as("gradeTypeDescriptor"))
+    val da = studs.filter(col("s") === "s4").select(
+      lit("DA-1").as("id"), lit("DA-1").as("disciplineActionIdentifier"),
+      lit("2021-11-04").as("disciplineDate"), ref(col("s")),
+      array(struct(lit("uri://ed-fi.org/DisciplineDescriptor#In School Suspension")
+        .as("disciplineDescriptor"))).as("disciplines"),
+      lit(null).cast(
+        "array<struct<staffReference:struct<staffUniqueId:string>>>").as("staffs"))
+    val daDesc = Seq(("In School Suspension", "In School Suspension"))
+      .toDF("codeValue", "description")
+    val fs = studs.filter(col("s").isin("s1", "s2")).select(
+      concat(lit("fs-"), col("s")).as("id"), ref(col("s")),
+      struct(lit("Lunch").as("programName"),
+        lit("uri://ed-fi.org/ProgramTypeDescriptor#Food Service")
+          .as("programTypeDescriptor"),
+        lit(9000L).as("educationOrganizationId")).as("programReference"),
+      struct(lit(100L).as("educationOrganizationId"))
+        .as("educationOrganizationReference"),
+      lit("2021-09-01").as("beginDate"),
+      array(struct(
+        lit("uri://ed-fi.org/SchoolFoodServiceProgramServiceDescriptor#Free Lunch")
+          .as("schoolFoodServiceProgramServiceDescriptor")))
+        .as("schoolFoodServiceProgramServices"))
+    val progTypes = Seq((6L, "Food Service"), (77L, "Remedial Education"))
+      .toDF("programTypeDescriptorId", "codeValue")
+    val fsDesc = Seq((12L, "Free Lunch"))
+      .toDF("schoolFoodServiceProgramServiceDescriptorId", "codeValue")
+    val cohortAssoc = studs.filter(col("s").isin("s1", "s6")).select(
+      concat(lit("ca-"), col("s")).as("id"),
+      struct(lit("ACAD").as("cohortIdentifier"),
+        lit(9000L).as("educationOrganizationId"),
+        struct(lit("Cohort").as("rel"), lit("/ed-fi/cohorts/co-h1").as("href"))
+          .as("link")).as("cohortReference"),
+      ref(col("s")), lit("2021-09-01").as("beginDate"))
+    val cohorts = Seq("co-h1").toDF("id").select(col("id"),
+      lit("ACAD").as("cohortIdentifier"),
+      lit("Academic support").as("cohortDescription"),
+      lit("uri://ed-fi.org/CohortTypeDescriptor#Academic Intervention")
+        .as("cohortTypeDescriptor"),
+      struct(lit(9000L).as("educationOrganizationId"))
+        .as("educationOrganizationReference"),
+      array(struct(struct(lit(9000L).as("educationOrganizationId"),
+        lit("Tutoring").as("programName"),
+        lit("uri://ed-fi.org/ProgramTypeDescriptor#Remedial Education")
+          .as("programTypeDescriptor")).as("programReference"))).as("programs"))
+    val cohortTypes = Seq(("Academic Intervention", "Academic Intervention Cohort"))
+      .toDF("codeValue", "description")
+    val gradeLevels = Seq(("Ninth grade", "9th Grade"))
+      .toDF("codeValue", "description")
+
+    val base: Map[String, DataFrame] = Map(
+      "students" -> students, "studentSchoolAssociations" -> ssa,
+      "studentEducationOrganizationAssociations" -> edorg,
+      "schools" -> schools, "localEducationAgencies" -> leas,
+      "calendarDates" -> cal,
+      "studentSchoolAttendanceEvents" -> schoolAtt,
+      "studentSectionAttendanceEvents" -> sectionAtt,
+      "studentSectionAssociations" -> sectionAssoc,
+      "sections" -> sections, "courseOfferings" -> courseOfferings,
+      "courses" -> courses, "academicSubjectDescriptors" -> subjects,
+      "grades" -> grades, "disciplineActions" -> da,
+      "disciplineDescriptors" -> daDesc,
+      "studentSchoolFoodServiceProgramAssociations" -> fs,
+      "programTypeDescriptors" -> progTypes,
+      "schoolFoodServiceProgramServiceDescriptors" -> fsDesc,
+      "studentCohortAssociations" -> cohortAssoc, "cohorts" -> cohorts,
+      "cohortTypeDescriptors" -> cohortTypes,
+      "gradeLevelDescriptors" -> gradeLevels)
+
+    val noIds = Seq.empty[String].toDF("id")
+    // one CDC wave across five endpoints: upsert, delete, re-key,
+    // re-date, delete — every contract sees at least one change
+    val batches: Map[String, CdcBatch] = Map(
+      "grades" -> CdcBatch(
+        grades.filter(col("id") === "g-s2")
+          .withColumn("numericGradeEarned", lit(95.0)), noIds),
+      "studentSchoolAssociations" -> CdcBatch(
+        ssa.limit(0), Seq("ssa-s3").toDF("id")),
+      "disciplineActions" -> CdcBatch(
+        da.withColumn("studentReference",
+          struct(lit("s5").as("studentUniqueId"))), noIds),
+      "studentSchoolFoodServiceProgramAssociations" -> CdcBatch(
+        fs.filter(col("id") === "fs-s2")
+          .withColumn("beginDate", lit("2021-10-01")), noIds),
+      "studentCohortAssociations" -> CdcBatch(
+        cohortAssoc.limit(0), Seq("ca-s6").toDF("id")))
+
+    def pre(n: String): DataFrame = base.getOrElse(n,
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.core.EndpointCatalog.schema(n)))
+    def post(n: String): DataFrame = batches.get(n)
+      .map(b => IncrementalGold.applyCdc(pre(n), b)).getOrElse(pre(n))
+    def ctxOver(resolve: String => DataFrame): ViewContext = {
+      val memo = mutable.Map.empty[String, DataFrame]
+      lazy val c: ViewContext = ViewContext(spark, endpoint = resolve,
+        view = n => memo.getOrElseUpdate(n,
+          graft.runner.AmtRegistry.byName(n).build(c)))
+      c
+    }
+
+    Seq(
+      IncrementalGold.disciplineActionDimScope,
+      IncrementalGold.studentLeaDimScope,
+      IncrementalGold.foodServiceProgramDimScope,
+      IncrementalGold.programCohortDimScope,
+      IncrementalGold.studentHistoryDimScope
+    ).foreach { scope =>
+      val oldGold = scope.view.build(ctxOver(pre))
+      val affected = scope.scopedEndpoints.toSeq.flatMap { case (n, scopeOf) =>
+        batches.get(n).map(b => IncrementalGold.batchScopes(pre(n), b, scopeOf))
+      }.reduce(_ unionByName _).distinct()
+      val got = IncrementalGold.refreshView(scope, oldGold, post, affected)
+        .collect().map(_.toSeq).toSet
+      val want = scope.view.build(ctxOver(post)).collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"${scope.view.name}: incremental refresh diverged from full recompute")
+      val before = oldGold.collect().map(_.toSeq).toSet
+      assert(got != before,
+        s"${scope.view.name}: fixture batch did not exercise the view")
+    }
+  }
 }
