@@ -422,7 +422,39 @@ object BenchSetup {
         .write.mode("overwrite").partitionBy("cluster_id")
         .parquet(s"$dir/q98_ivf_index")
     }
-    val overrides = Map[String, (SparkSession, String) => DataFrame](
+    // q340/q341/q344/q345 (round-13 pruned-loop migration, VERDICT r12
+    // item 3): the migrated gates' self-contained shape builds the
+    // STANDING lake state — scope-partitioned endpoint snapshots, keymap
+    // sidecars, partitioned gold — from scratch inside the query, which
+    // production writes once and amortizes across every batch. Build it
+    // ONCE here (timed, reported under "setup"); the timed query is then
+    // exactly the per-batch cost: keymap-served scope recovery + bucket-
+    // pruned endpoint/keymap/gold refresh + gold read-back. Re-applying
+    // a fixed batch is idempotent (documented in IncrementalGold), so
+    // three timed passes against one setup measure the same converged
+    // operation. The Verify/oracle path keeps the self-contained shape.
+    val prunedGates = Seq[(String, (SparkSession, String) => graft.queries.ViewQueries.PrunedGate)](
+      "q340_incremental_school_dim" -> (graft.queries.ViewQueries.q340Gate _),
+      "q341_incremental_ews_fact" -> (graft.queries.ViewQueries.q341Gate _),
+      "q344_incremental_chrab_fact" -> (graft.queries.ViewQueries.q344Gate _),
+      "q345_incremental_section_grade_fact" -> (graft.queries.ViewQueries.q345Gate _))
+    val gateSetups = prunedGates.map { case (name, gateOf) =>
+      name -> timed {
+        val g = gateOf(spark, sfDir)
+        graft.queries.ViewQueries.writeStandingState(
+          spark, g.scope, g.scoped, g.shared, s"$dir/$name")
+      }
+    }
+    val gateOverrides = prunedGates.map { case (name, gateOf) =>
+      name -> ((s: SparkSession, d: String) => {
+        val g = gateOf(s, d)
+        graft.queries.ViewQueries.refreshPruned(
+          s, g.scope, g.scoped, g.shared, s"$dir/$name")
+          .orderBy(g.orderCols.map(col): _*)
+      })
+    }.toMap
+
+    val overrides = gateOverrides ++ Map[String, (SparkSession, String) => DataFrame](
       "q50_dedup_clusters" -> ((s, d) => {
         val pairs = s.read.parquet(s"$dir/q50_pairs")
         Dedup.dupClusters(Lake(s, d).documents.select("doc_id"), pairs)
@@ -450,6 +482,6 @@ object BenchSetup {
     )
     (overrides,
       Map("q50_dedup_clusters" -> q50Setup, "q54_dedup_incremental" -> q54Setup,
-        "q98_ann_ivf_served" -> q98Setup))
+        "q98_ann_ivf_served" -> q98Setup) ++ gateSetups)
   }
 }

@@ -50,6 +50,123 @@ object ViewQueries {
     ctx
   }
 
+  /** One scoped endpoint of a pruned-loop gate: its pre-delta snapshot,
+    * the scope accessor, and the CDC batch advancing it. */
+  private[graft] final case class ScopedEp(
+      name: String, snapshot: DataFrame,
+      scopeOf: DataFrame => org.apache.spark.sql.Column,
+      batch: graft.ops.IncrementalGold.CdcBatch)
+
+  /** A pruned-loop gate's full specification — shared between the
+    * self-contained declared query and [[graft.BenchSetup]]'s
+    * setup/operator split. */
+  private[graft] final case class PrunedGate(
+      scope: graft.ops.IncrementalGold.Scope,
+      scoped: Seq[ScopedEp],
+      shared: Map[String, DataFrame],
+      orderCols: Seq[String])
+
+  /** The FULL pruned incremental loop for one view (round-13 migration,
+    * VERDICT r12 item 3 — q341/q344/q345 previously rode the scan-bound
+    * [[graft.ops.IncrementalGold.refreshView]], whose broadcast semi/anti
+    * joins still READ every corpus parquet whole per batch: their 100 TB
+    * ceiling). Shape identical to the q348 gate, generalized to
+    * multi-endpoint scopes:
+    *
+    *  1. standing lake state (what production carries between batches):
+    *     each scoped endpoint laid out scope-partitioned with an
+    *     id→scope keymap sidecar, the old gold laid out scope-partitioned;
+    *  2. affected scopes from [[IncrementalGold.batchScopesPruned]] —
+    *     vacated/re-keyed scopes recovered from the delta ids' keymap
+    *     buckets, never a corpus scan;
+    *  3. endpoints + keymaps advanced bucket-pruned
+    *     ([[IncrementalGold.refreshEndpointPartitioned]]/[[IncrementalGold.refreshKeyMap]]);
+    *  4. the view merged via [[IncrementalGold.refreshViewPruned]] with
+    *     scoped endpoints served by [[IncrementalGold.readEndpointPruned]]
+    *     (shared dimensions pass whole), reading and rewriting only
+    *     affected buckets.
+    *
+    * Returns the refreshed gold read back (bucket column dropped) — each
+    * caller's unchanged DuckDB oracle states the view over the FINAL
+    * state, so the hash gate IS the pruned ≡ full-recompute proof. */
+  private def fullyPrunedRefresh(
+      s: SparkSession,
+      scope: graft.ops.IncrementalGold.Scope,
+      scoped: Seq[ScopedEp],
+      shared: Map[String, DataFrame],
+      nBuckets: Int = 16): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pruned").toString
+    SilverWriter.deleteOnExit(tmp)
+    writeStandingState(s, scope, scoped, shared, tmp, nBuckets)
+    refreshPruned(s, scope, scoped, shared, tmp, nBuckets)
+  }
+
+  /** The STANDING lake state the pruned loop amortizes across batches:
+    * each scoped endpoint's scope-partitioned snapshot + id→scope keymap
+    * and the old gold scope-partitioned. In production these are written
+    * once and advanced per batch; the self-contained gates rebuild them
+    * per invocation (correctness shape), while [[graft.BenchSetup]]
+    * builds them ONCE under the bench's setup dir (timed under "setup")
+    * so the timed query measures the per-batch refresh — exactly what a
+    * production invocation pays. */
+  private[graft] def writeStandingState(
+      s: SparkSession,
+      scope: graft.ops.IncrementalGold.Scope,
+      scoped: Seq[ScopedEp],
+      shared: Map[String, DataFrame],
+      root: String,
+      nBuckets: Int = 16): Unit = {
+    import graft.ops.IncrementalGold
+    val oldGold = ctxWith(s,
+      scoped.map(e => e.name -> e.snapshot).toMap ++ shared)
+      .view(scope.view.name)
+    scoped.foreach { e =>
+      IncrementalGold.writeEndpointPartitioned(
+        e.snapshot, e.scopeOf, s"$root/ep-${e.name}", nBuckets)
+      IncrementalGold.writeKeyMap(
+        e.snapshot, e.scopeOf, s"$root/km-${e.name}", nBuckets)
+    }
+    IncrementalGold.writeGoldPartitioned(oldGold, scope, s"$root/gold", nBuckets)
+  }
+
+  /** One per-batch advance of a [[writeStandingState]] lake: keymap-served
+    * affected scopes, endpoint + keymap + gold layouts refreshed bucket-
+    * pruned, refreshed gold read back. Idempotent for a fixed batch —
+    * re-applying the same batch to an already-advanced lake converges to
+    * the same state (documented in [[graft.ops.IncrementalGold]]), which
+    * is what lets the bench time it three times against one setup. */
+  private[graft] def refreshPruned(
+      s: SparkSession,
+      scope: graft.ops.IncrementalGold.Scope,
+      scoped: Seq[ScopedEp],
+      shared: Map[String, DataFrame],
+      root: String,
+      nBuckets: Int = 16): DataFrame = {
+    import graft.ops.IncrementalGold
+    val affected = scoped.map { e =>
+      IncrementalGold.batchScopesPruned(
+        s, s"$root/km-${e.name}", nBuckets, e.batch, e.scopeOf)
+    }.reduce(_ unionByName _).distinct().localCheckpoint(true)
+
+    scoped.foreach { e =>
+      IncrementalGold.refreshEndpointPartitioned(
+        s, s"$root/ep-${e.name}", s"$root/stage-ep-${e.name}", nBuckets,
+        e.batch, e.scopeOf, affected)
+      IncrementalGold.refreshKeyMap(
+        s, s"$root/km-${e.name}", s"$root/stage-km-${e.name}", nBuckets,
+        e.batch, e.scopeOf)
+    }
+    val scopedNames = scoped.map(_.name).toSet
+    IncrementalGold.refreshViewPruned(
+      scope, s"$root/gold", s"$root/stage-gold", nBuckets,
+      newEndpoint = name =>
+        if (scopedNames(name))
+          IncrementalGold.readEndpointPruned(s, s"$root/ep-$name", nBuckets, affected)
+        else shared.getOrElse(name, emptyEndpoint(s, name)),
+      affected = affected)
+    s.read.parquet(s"$root/gold").drop(IncrementalGold.BucketCol)
+  }
+
   // ---------------------------------------------------------------- q27
   /** ews_studentEarlyWarningFact end-to-end: customers enroll at their
     * nation's school, January-1995 order dates are the calendar (every 5th
@@ -455,10 +572,10 @@ object ViewQueries {
     * broadcast anti-join merge — and the oracle states the view over the
     * FINAL state directly, so the hash match IS the
     * incremental ≡ full-recompute proof. */
-  private val q340 = Q(
-    "q340_incremental_school_dim",
-    (s, dir) => {
-      import graft.ops.IncrementalGold
+  /** q340's fixture as a [[PrunedGate]] (shared with BenchSetup). */
+  private[graft] def q340Gate(s: SparkSession, dir: String): PrunedGate = {
+    import graft.ops.IncrementalGold
+    {
       val lake = Lake(s, dir)
       val cust = lake.customer.select(
         col("c_custkey"), col("c_nationkey"), col("c_name"), col("c_mktsegment"))
@@ -497,27 +614,24 @@ object ViewQueries {
         .filter(col("c_custkey") % 13 === 5 && col("c_custkey") % 7 =!= 3)
         .select(col("c_custkey").cast("string").as("id"))
 
-      val oldGold = ctxWith(s, Map(
-        "schools" -> snapshot, "localEducationAgencies" -> leas))
-        .view("schoolDim")
+      PrunedGate(IncrementalGold.schoolDimScope,
+        scoped = Seq(ScopedEp("schools", snapshot,
+          df => df("schoolId"), IncrementalGold.CdcBatch(upserts, delIds))),
+        shared = Map("localEducationAgencies" -> leas),
+        orderCols = Seq("SchoolKey"))
+    }
+  }
 
-      val newSchools = IncrementalGold.applyCdc(
-        snapshot, IncrementalGold.CdcBatch(upserts, delIds))
-      val affected = IncrementalGold
-        .affectedScopes(Seq((upserts, (df: DataFrame) => df("schoolId"))), s)
-        .unionByName(IncrementalGold.deleteScopes(
-          snapshot, delIds, df => df("schoolId")))
-        .distinct()
-
-      IncrementalGold.refreshView(
-        IncrementalGold.schoolDimScope, oldGold,
-        newEndpoint = {
-          case "schools" => newSchools
-          case "localEducationAgencies" => leas
-          case other => emptyEndpoint(s, other)
-        },
-        affected = affected)
-        .orderBy("SchoolKey")
+  private val q340 = Q(
+    "q340_incremental_school_dim",
+    (s, dir) => {
+      // round-13 migration (VERDICT r12 item 3): the scan-bound
+      // refreshView became the FULL pruned loop — endpoint + keymap +
+      // gold layouts, keymap-served scope recovery, bucket-pruned
+      // refresh. Oracle unchanged: the hash gate proves pruned ≡ full.
+      val g = q340Gate(s, dir)
+      fullyPrunedRefresh(s, g.scope, g.scoped, g.shared)
+        .orderBy(g.orderCols.map(col): _*)
     },
     Some("""
       SELECT CAST(c_custkey AS VARCHAR) AS SchoolKey,
@@ -554,10 +668,14 @@ object ViewQueries {
     * anti-join. Oracle = q27's full-view SQL over the FINAL state (all
     * events, enrollment minus the deletes) — hash-exact means
     * incremental(old gold, delta) ≡ full recompute. */
-  private val q341 = Q(
-    "q341_incremental_ews_fact",
-    (s, dir) => {
-      import graft.ops.IncrementalGold
+  /** The shared q341/q344 fixture as a [[PrunedGate]]: enrollment spine +
+    * split attendance delivery + calendar, parameterized by which fact
+    * contract consumes it. */
+  private[graft] def ewsChrabGate(
+      s: SparkSession, dir: String,
+      scope: graft.ops.IncrementalGold.Scope): PrunedGate = {
+    import graft.ops.IncrementalGold
+    {
       val lake = Lake(s, dir)
       val cust = lake.customer.select(col("c_custkey"), col("c_nationkey"))
 
@@ -605,34 +723,33 @@ object ViewQueries {
         col("studentReference.studentUniqueId").cast("long") % 17 === 0)
         .select(col("id"))
 
-      val oldGold = ctxWith(s, Map(
-        "studentSchoolAssociations" -> ssa,
-        "calendarDates" -> cal,
-        "studentSchoolAttendanceEvents" -> attInitial))
-        .view("ews_studentEarlyWarningFact")
+      val studentOf = (df: DataFrame) => df("studentReference.studentUniqueId")
+      PrunedGate(scope,
+        scoped = Seq(
+          ScopedEp("studentSchoolAssociations", ssa, studentOf,
+            IncrementalGold.CdcBatch(ssa.limit(0), ssaDelIds)),
+          ScopedEp("studentSchoolAttendanceEvents", attInitial, studentOf,
+            IncrementalGold.CdcBatch(attUpserts, att.select(col("id")).limit(0)))),
+        shared = Map("calendarDates" -> cal),
+        orderCols = Seq("StudentKey", "SchoolKey", "DateKey"))
+    }
+  }
 
-      val newSsa = IncrementalGold.applyCdc(
-        ssa, IncrementalGold.CdcBatch(ssa.limit(0), ssaDelIds))
-      val newAtt = IncrementalGold.applyCdc(
-        attInitial, IncrementalGold.CdcBatch(attUpserts, att.select(col("id")).limit(0)))
+  private[graft] def q341Gate(s: SparkSession, dir: String): PrunedGate =
+    ewsChrabGate(s, dir, graft.ops.IncrementalGold.ewsFactScope)
+  private[graft] def q344Gate(s: SparkSession, dir: String): PrunedGate =
+    ewsChrabGate(s, dir, graft.ops.IncrementalGold.chrabFactScope)
 
-      val affected = IncrementalGold
-        .affectedScopes(Seq(
-          (attUpserts, (df: DataFrame) => df("studentReference.studentUniqueId"))), s)
-        .unionByName(IncrementalGold.deleteScopes(
-          ssa, ssaDelIds, df => df("studentReference.studentUniqueId")))
-        .distinct()
-
-      IncrementalGold.refreshView(
-        IncrementalGold.ewsFactScope, oldGold,
-        newEndpoint = {
-          case "studentSchoolAssociations" => newSsa
-          case "studentSchoolAttendanceEvents" => newAtt
-          case "calendarDates" => cal
-          case other => emptyEndpoint(s, other)
-        },
-        affected = affected)
-        .orderBy("StudentKey", "SchoolKey", "DateKey")
+  private val q341 = Q(
+    "q341_incremental_ews_fact",
+    (s, dir) => {
+      // round-13 migration (VERDICT r12 item 3): scan-bound refreshView →
+      // the FULL pruned loop over both scoped endpoints (enrollment
+      // deletes recover their vacated students from the ssa keymap, not a
+      // corpus scan). Oracle unchanged: hash gate proves pruned ≡ full.
+      val g = q341Gate(s, dir)
+      fullyPrunedRefresh(s, g.scope, g.scoped, g.shared)
+        .orderBy(g.orderCols.map(col): _*)
     },
     Some("""
       WITH cal AS (
@@ -701,83 +818,14 @@ object ViewQueries {
   private val q344 = Q(
     "q344_incremental_chrab_fact",
     (s, dir) => {
-      import graft.ops.IncrementalGold
-      val lake = Lake(s, dir)
-      val cust = lake.customer.select(col("c_custkey"), col("c_nationkey"))
-
-      val ssa = cust.select(
-        col("c_custkey").cast("string").as("id"),
-        struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
-        struct(lit(1995L).as("schoolYear")).as("schoolYearTypeReference"),
-        struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
-        lit("1995-01-05").as("entryDate"),
-        when(col("c_custkey") % 10 === 0, "1995-01-20")
-          .otherwise(lit(null).cast("string")).as("exitWithdrawDate"))
-
-      val jan = lake.orders
-        .filter(col("o_orderdate").between("1995-01-01", "1995-01-31"))
-      val cal = jan.select(col("o_orderdate").cast("string").as("date")).distinct()
-        .crossJoin(lake.nation.select(col("n_nationkey")))
-        .select(
-          struct(
-            col("n_nationkey").cast("long").as("schoolId"),
-            lit(1995L).as("schoolYear")).as("calendarReference"),
-          col("date"),
-          array(struct(
-            when(dayofmonth(to_date(col("date"))) % 5 =!= 0,
-              "uri://ed-fi.org/CalendarEventDescriptor#Instructional day")
-              .otherwise("uri://ed-fi.org/CalendarEventDescriptor#Holiday")
-              .as("calendarEventDescriptor"))).as("calendarEvents"))
-
-      val att = jan.join(cust, col("o_custkey") === col("c_custkey"))
-        .select(
-          col("o_orderkey").cast("string").as("id"),
-          struct(col("c_nationkey").cast("long").as("schoolId")).as("schoolReference"),
-          struct(col("c_custkey").cast("string").as("studentUniqueId")).as("studentReference"),
-          col("o_orderdate").cast("string").as("eventDate"),
-          concat(lit("uri://ed-fi.org/AttendanceEventCategoryDescriptor#"),
-            element_at(
-              array(lit("In Attendance"), lit("Tardy"),
-                lit("Excused Absence"), lit("Unexcused Absence")),
-              (col("o_orderkey") % 4 + 1).cast("int")))
-            .as("attendanceEventCategoryDescriptor"))
-
-      val attInitial = att.filter(col("id").cast("long") % 3 =!= 0)
-      val attUpserts = att.filter(col("id").cast("long") % 3 === 0)
-      val ssaDelIds = ssa.filter(
-        col("studentReference.studentUniqueId").cast("long") % 17 === 0)
-        .select(col("id"))
-
-      val oldGold = ctxWith(s, Map(
-        "studentSchoolAssociations" -> ssa,
-        "calendarDates" -> cal,
-        "studentSchoolAttendanceEvents" -> attInitial))
-        .view("chrab_chronicAbsenteeismAttendanceFact")
-
-      val newSsa = IncrementalGold.applyCdc(
-        ssa, IncrementalGold.CdcBatch(ssa.limit(0), ssaDelIds))
-      val newAtt = IncrementalGold.applyCdc(
-        attInitial, IncrementalGold.CdcBatch(attUpserts, att.select(col("id")).limit(0)))
-
-      val studentOf = (df: DataFrame) => df("studentReference.studentUniqueId")
-      val affected = IncrementalGold
-        .batchScopes(attInitial,
-          IncrementalGold.CdcBatch(attUpserts, att.select(col("id")).limit(0)),
-          studentOf)
-        .unionByName(IncrementalGold.batchScopes(ssa,
-          IncrementalGold.CdcBatch(ssa.limit(0), ssaDelIds), studentOf))
-        .distinct()
-
-      IncrementalGold.refreshView(
-        IncrementalGold.chrabFactScope, oldGold,
-        newEndpoint = {
-          case "studentSchoolAssociations" => newSsa
-          case "studentSchoolAttendanceEvents" => newAtt
-          case "calendarDates" => cal
-          case other => emptyEndpoint(s, other)
-        },
-        affected = affected)
-        .orderBy("StudentKey", "SchoolKey", "DateKey")
+      // round-13 migration (VERDICT r12 item 3): the batchScopes corpus
+      // semi-joins became keymap lookups; the refresh reads/rewrites only
+      // affected buckets. Same fixture as q341 (ewsChrabGate), consumed
+      // through the chrab contract. Oracle unchanged: hash gate proves
+      // pruned ≡ full.
+      val g = q344Gate(s, dir)
+      fullyPrunedRefresh(s, g.scope, g.scoped, g.shared)
+        .orderBy(g.orderCols.map(col): _*)
     },
     Some("""
       WITH cal AS (
@@ -835,11 +883,11 @@ object ViewQueries {
     * initial delivery). Oracle states the view over the FINAL state —
     * ghosts never appear. Also the q345 gate for the new
     * [[IncrementalGold.sectionGradeFactScope]] contract. */
-  private val q345 = Q(
-    "q345_incremental_section_grade_fact",
-    (s, dir) => {
-      import s.implicits._
-      import graft.ops.IncrementalGold
+  /** q345's fixture as a [[PrunedGate]] (shared with BenchSetup). */
+  private[graft] def q345Gate(s: SparkSession, dir: String): PrunedGate = {
+    import s.implicits._
+    import graft.ops.IncrementalGold
+    {
       val lake = Lake(s, dir)
       val base = lake.orders.join(
         lake.customer.select(col("c_custkey"), col("c_nationkey")),
@@ -887,28 +935,28 @@ object ViewQueries {
         lit("1995-01-01").as("beginDate"))
       val gpd = Seq((7L, "First")).toDF("gradingPeriodDescriptorId", "codeValue")
 
-      val oldGold = ctxWith(s, Map(
-        "grades" -> snapshot, "gradingPeriods" -> gps,
-        "gradingPeriodDescriptors" -> gpd))
-        .view("ews_studentSectionGradeFact")
-
-      val batch = IncrementalGold.CdcBatch(upserts, delIds)
-      val newGrades = IncrementalGold.applyCdc(snapshot, batch)
-      val affected = IncrementalGold.batchScopes(snapshot, batch,
-        df => df("studentSectionAssociationReference.studentUniqueId"))
-
-      IncrementalGold.refreshView(
-        IncrementalGold.sectionGradeFactScope, oldGold,
-        newEndpoint = {
-          case "grades" => newGrades
-          case "gradingPeriods" => gps
-          case "gradingPeriodDescriptors" => gpd
-          case other => emptyEndpoint(s, other)
-        },
-        affected = affected)
-        .orderBy("StudentKey", "SchoolKey", "GradingPeriodKey",
+      PrunedGate(IncrementalGold.sectionGradeFactScope,
+        scoped = Seq(ScopedEp("grades", snapshot,
+          df => df("studentSectionAssociationReference.studentUniqueId"),
+          IncrementalGold.CdcBatch(upserts, delIds))),
+        shared = Map("gradingPeriods" -> gps, "gradingPeriodDescriptors" -> gpd),
+        orderCols = Seq("StudentKey", "SchoolKey", "GradingPeriodKey",
           "StudentSectionKey", "SectionKey", "NumericGradeEarned",
-          "LetterGradeEarned", "GradeType")
+          "LetterGradeEarned", "GradeType"))
+    }
+  }
+
+  private val q345 = Q(
+    "q345_incremental_section_grade_fact",
+    (s, dir) => {
+      // round-13 migration (VERDICT r12 item 3): the re-keying batch's
+      // vacated GHOST scopes now come from the keymap's id-buckets
+      // (q348's proven recovery path), and the refresh is bucket-pruned
+      // end to end. Oracle unchanged: hash gate proves pruned ≡ full —
+      // ghosts never appear.
+      val g = q345Gate(s, dir)
+      fullyPrunedRefresh(s, g.scope, g.scoped, g.shared)
+        .orderBy(g.orderCols.map(col): _*)
     },
     Some("""
       SELECT CAST(c_custkey AS VARCHAR) AS StudentKey,

@@ -47,13 +47,30 @@ import graft.views.ViewContext
   * `deltaStudents` fixed students and deletes 200 enrollments via the
   * `/deletes` id feed — the delta-delivery norm.
   *
-  * Run: `graft.runner.IncrementalGoldProbe [students1x] [deltaStudents]`.
+  * Run: `graft.runner.IncrementalGoldProbe [students1x] [deltaStudents]
+  * [targetBucketKB] [deleteCount]`.
+  *
+  * `targetBucketKB` (r13, VERDICT r12 item 6) switches the layout to the
+  * bucket-size-by-BYTES rule: B = layoutBytes / targetBucketBytes
+  * (measured off the written plain-parquet layouts, per layout), so the
+  * sandbox exercises PRODUCTION-SHAPED files — the r12 honest negative
+  * was that one-file-per-bucket at B=corpus/400 makes KB-sized files
+  * whose open overhead swamps the prune at local scale. 0 (default)
+  * keeps the legacy constant-students rule so r12 numbers stay
+  * reproducible. The probe prints the measured layout bytes and per-file
+  * sizes alongside the arm times. `deleteCount` (default 200) sizes the
+  * enrollment-delete feed — at bytes-sized B the prune factor is set by
+  * k = deltaStudents + deleteCount vs B, so small-delta regimes need it
+  * adjustable.
+  *
   * Measured results live in IncrementalGold's scaladoc and BENCH_NOTES.md.
   */
 object IncrementalGoldProbe {
   def main(args: Array[String]): Unit = {
     val n1x = if (args.length > 0) args(0).toLong else 100000L
     val deltaStudents = if (args.length > 1) args(1).toLong else 1000L
+    val targetBucketKB = if (args.length > 2) args(2).toLong else 0L
+    val deleteCount = if (args.length > 3) args(3).toLong else 200L
     val cpus = GraftSession.defaultParallelism
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]")
@@ -120,10 +137,13 @@ object IncrementalGoldProbe {
     val scope = IncrementalGold.ewsFactScope
     val studentOf = (df: DataFrame) => df("studentReference.studentUniqueId")
 
+    def dirBytes(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getContentSummary(p).getLength
+    }
+
     val results = Seq(1 -> n1x, 10 -> n1x * 10).map { case (scale, n) =>
-      // constant bucket size: ~400 students per bucket, so B scales with
-      // the corpus and a fixed delta touches a falling fraction of it
-      val nBuckets = math.max(64L, n / 400L).toInt
       // ---- untimed: the standing lake state at this corpus size
       ssaRows(0L, n).write.mode("overwrite").parquet(s"$tmp/ssa_$scale")
       attRows(spark.range(0L, n).toDF("id"), 0L).write.mode("overwrite")
@@ -134,6 +154,15 @@ object IncrementalGoldProbe {
         "studentSchoolAttendanceEvents" -> att))
         .let(view.build).write.mode("overwrite").parquet(s"$tmp/gold_$scale")
       val oldGold = spark.read.parquet(s"$tmp/gold_$scale")
+      // bucket count: constant-students rule (legacy, B = n/400) or the
+      // bytes rule (r13) — B sized so one bucket file lands near
+      // targetBucketKB, measured off the LARGEST layout (gold dominates;
+      // one shared B keeps every layout's bucket column aligned)
+      val layoutBytes = Seq(s"$tmp/ssa_$scale", s"$tmp/att_$scale",
+        s"$tmp/gold_$scale").map(dirBytes)
+      val nBuckets =
+        if (targetBucketKB <= 0L) math.max(64L, n / 400L).toInt
+        else math.max(4L, layoutBytes.max / (targetBucketKB * 1024L)).toInt
       // the pruned arm's standing layouts: scope-partitioned gold and
       // endpoints + the ssa keymap (delete-scope recovery without a
       // corpus scan)
@@ -147,7 +176,7 @@ object IncrementalGoldProbe {
 
       // ---- the fixed-size CDC batch (same absolute size at every scale)
       val attUpserts = attRows(spark.range(0L, deltaStudents).toDF("id"), 1L)
-      val ssaDelIds = spark.range(n - 200, n)
+      val ssaDelIds = spark.range(n - deleteCount, n)
         .select(col("id").cast("string").as("id"))
       val attBatch = IncrementalGold.CdcBatch(attUpserts, att.select(col("id")).limit(0))
       val ssaBatch = IncrementalGold.CdcBatch(ssa.limit(0), ssaDelIds)
@@ -217,9 +246,11 @@ object IncrementalGoldProbe {
           spark, s"$tmp/km_$scale", nBuckets, ssaDelIds).toDF("s"))
         .select(IncrementalGold.scopeBucket(col("s"), nBuckets))
         .distinct().count()
-      f""""x$scale":{"students":$n,"nBuckets":$nBuckets,"touchedBuckets":$touched,"full":$fu%.3f,"incr":$in%.3f,"pruned":$pr%.3f}"""
+      val prunedBytes = Seq(s"$tmp/ssa_p_$scale", s"$tmp/att_p_$scale",
+        s"$tmp/gold_p_$scale").map(dirBytes)
+      f""""x$scale":{"students":$n,"nBuckets":$nBuckets,"touchedBuckets":$touched,"layout_mb":[${layoutBytes.map(b => f"${b / 1e6}%.1f").mkString(",")}],"bucket_file_kb":[${prunedBytes.map(b => f"${b / 1024.0 / nBuckets}%.1f").mkString(",")}],"full":$fu%.3f,"incr":$in%.3f,"pruned":$pr%.3f}"""
     }
-    println(s"""{"probe":"incremental-gold","deltaStudents":$deltaStudents,${results.mkString(",")}}""")
+    println(s"""{"probe":"incremental-gold","deltaStudents":$deltaStudents,"deleteCount":$deleteCount,"targetBucketKB":$targetBucketKB,${results.mkString(",")}}""")
     spark.stop()
   }
 

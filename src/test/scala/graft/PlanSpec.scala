@@ -1056,6 +1056,121 @@ class PlanSpec extends SparkTestBase {
     assert(got == want, "fully pruned refresh diverged from full recompute")
   }
 
+  test("fully pruned EWS merge: both scoped endpoint scans AND the gold scan are dir-targeted") {
+    // r13 migration pin (VERDICT r12 item 3) for the MULTI-endpoint scopes
+    // behind q341/q344: in one pruned merge, the gold scan and EVERY
+    // scoped endpoint scan (enrollment spine + attendance events) hold
+    // only the affected buckets' directories; the calendar is a shared
+    // dimension and passes whole. Value law on top: the full pruned loop
+    // lands exactly the full-recompute state.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.ops.IncrementalGold
+    import graft.views.ViewContext
+
+    val wh = java.nio.file.Files.createTempDirectory("incr-gold-ews").toString
+    def ssaRows(ids: DataFrame): DataFrame = ids.select(
+      col("id").cast("string").as("id"),
+      struct((col("id") % 5).as("schoolId")).as("schoolReference"),
+      struct(lit(1995L).as("schoolYear")).as("schoolYearTypeReference"),
+      struct(col("id").cast("string").as("studentUniqueId")).as("studentReference"),
+      lit("1995-01-05").as("entryDate"),
+      lit(null).cast("string").as("exitWithdrawDate"))
+    def attRows(ids: DataFrame, gen: String): DataFrame = ids.select(
+      concat(lit(gen), col("id").cast("string")).as("id"),
+      struct((col("id") % 5).as("schoolId")).as("schoolReference"),
+      struct(col("id").cast("string").as("studentUniqueId")).as("studentReference"),
+      lit("1995-01-10").as("eventDate"),
+      lit("uri://ed-fi.org/AttendanceEventCategoryDescriptor#Tardy")
+        .as("attendanceEventCategoryDescriptor"))
+    val cal = spark.range(0, 5).select(
+      struct(col("id").as("schoolId"), lit(1995L).as("schoolYear"))
+        .as("calendarReference"),
+      lit("1995-01-10").as("date"),
+      array(struct(lit("uri://ed-fi.org/CalendarEventDescriptor#Instructional day")
+        .as("calendarEventDescriptor"))).as("calendarEvents"))
+    def emptyEp(n: String) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.core.EndpointCatalog.schema(n))
+
+    val nBuckets = 16
+    val ids = spark.range(0, 2000).toDF("id")
+    val ssa = ssaRows(ids)
+    val att = attRows(ids, "a-")
+    val scope = IncrementalGold.ewsFactScope
+    val studentOf = (df: DataFrame) => df("studentReference.studentUniqueId")
+    IncrementalGold.writeEndpointPartitioned(ssa, studentOf, s"$wh/ssa_p", nBuckets)
+    IncrementalGold.writeEndpointPartitioned(att, studentOf, s"$wh/att_p", nBuckets)
+    IncrementalGold.writeKeyMap(ssa, studentOf, s"$wh/km", nBuckets)
+    def epOver(s: DataFrame, a: DataFrame): String => DataFrame = {
+      case "studentSchoolAssociations" => s
+      case "studentSchoolAttendanceEvents" => a
+      case "calendarDates" => cal
+      case other => emptyEp(other)
+    }
+    val oldGold = scope.view.build(ViewContext(spark,
+      endpoint = epOver(ssa, att), view = n => fail(s"unexpected view dep: $n")))
+    IncrementalGold.writeGoldPartitioned(oldGold, scope, s"$wh/gold", nBuckets)
+
+    // fixed-size delta: new attendance for 3 students, 2 enrollment deletes
+    val attUpserts = attRows(spark.range(0, 3).toDF("id"), "b-")
+    val ssaDelIds = spark.range(100, 102).select(col("id").cast("string").as("id"))
+    val attBatch = IncrementalGold.CdcBatch(attUpserts, att.select(col("id")).limit(0))
+    val ssaBatch = IncrementalGold.CdcBatch(ssa.limit(0), ssaDelIds)
+    val affected = attUpserts
+      .select(studentOf(attUpserts).cast("string").as("scope"))
+      .unionByName(IncrementalGold.batchScopesPruned(
+        spark, s"$wh/km", nBuckets, ssaBatch, studentOf))
+      .distinct().localCheckpoint(true)
+
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val merged = IncrementalGold.prunedMerge(
+        scope, s"$wh/gold", nBuckets,
+        epOver(
+          IncrementalGold.postCdcSlicePruned(
+            spark, s"$wh/ssa_p", nBuckets, ssaBatch, affected),
+          IncrementalGold.postCdcSlicePruned(
+            spark, s"$wh/att_p", nBuckets, attBatch, affected)),
+        affected)
+      val scans = merged.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      Seq("/gold", "/ssa_p", "/att_p").foreach { dir =>
+        val ss = scans.filter(
+          _.relation.location.rootPaths.exists(_.toString.contains(dir)))
+        assert(ss.nonEmpty, s"$dir scan missing from the pruned EWS merge")
+        ss.foreach { f =>
+          val roots = f.relation.location.rootPaths.map(_.getName)
+          assert(roots.forall(_.startsWith(s"${IncrementalGold.BucketCol}=")) &&
+            roots.size < nBuckets,
+            s"$dir scan not dir-targeted (${roots.size} of $nBuckets): $roots")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    // value law: the full pruned loop ≡ full recompute over post-CDC state
+    IncrementalGold.refreshEndpointPartitioned(
+      spark, s"$wh/ssa_p", s"$wh/st-ssa", nBuckets, ssaBatch, studentOf, affected)
+    IncrementalGold.refreshEndpointPartitioned(
+      spark, s"$wh/att_p", s"$wh/st-att", nBuckets, attBatch, studentOf, affected)
+    IncrementalGold.refreshViewPruned(
+      scope, s"$wh/gold", s"$wh/st-gold", nBuckets,
+      epOver(
+        IncrementalGold.readEndpointPruned(spark, s"$wh/ssa_p", nBuckets, affected),
+        IncrementalGold.readEndpointPruned(spark, s"$wh/att_p", nBuckets, affected)),
+      affected)
+    val got = spark.read.parquet(s"$wh/gold").drop(IncrementalGold.BucketCol)
+      .collect().map(_.toSeq).toSet
+    val want = scope.view.build(ViewContext(spark,
+      endpoint = epOver(
+        IncrementalGold.applyCdc(ssa, ssaBatch),
+        IncrementalGold.applyCdc(att, attBatch)),
+      view = n => fail(s"unexpected view dep: $n")))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "fully pruned EWS refresh diverged from full recompute")
+  }
+
   test("media catalog: exchange-free routing and census; probe pays ONE batch-sized exchange") {
     import graft.ops.{MediaCatalog, Multimodal}
     val wh = java.nio.file.Files.createTempDirectory("media-catalog").toString
