@@ -578,8 +578,12 @@ object WebGraph {
     val seedHosts = hosts.join(
       seeds.select(col("host").cast("string").as("host")).distinct(),
       Seq("host"), "left_semi")
+    // lazy checkpoints (r13): the frontier count is the one materializing
+    // job per round; the dist union is only CONSUMED by the next round's
+    // anti-join (or the caller), so its mark cuts lineage without its own
+    // job — BFS rounds go from 3 jobs to 1
     var dist = seedHosts.select(col("host"), lit(0L).as("depth"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var frontier = dist
     var frontierSize = frontier.count()
     var k = 1L
@@ -589,9 +593,9 @@ object WebGraph {
         .select(col("dst").as("host")).distinct()
         .join(dist, Seq("host"), "left_anti")
         .select(col("host"), lit(k).as("depth"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       frontierSize = next.count()
-      dist = dist.union(next).localCheckpoint()
+      dist = dist.union(next).localCheckpoint(false)
       frontier = next
       k += 1
     }
@@ -1017,10 +1021,11 @@ object WebGraph {
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .distinct()
-    var und = und0.localCheckpoint()
+    var und = und0.localCheckpoint(false)
     // carry the edge count across rounds: round k's input count IS
     // round k-1's output count, so re-counting the previous checkpoint
-    // every round was a pure extra job (r12, one count job per round)
+    // every round was a pure extra job (r12, one count job per round);
+    // the lazy checkpoint makes this count the materializing job too
     var undCount = und.count()
     var pruned = 1L
     var rounds = 0
@@ -1030,11 +1035,14 @@ object WebGraph {
         .groupBy("host").agg(count(lit(1)).as("core_degree"))
         .localCheckpoint()
       val keep = deg.filter(col("core_degree") >= k)
+      // lazy checkpoint: the count is the single materializing action
+      // (full scan, every partition persisted) — the eager checkpoint's
+      // internal count was a second job per round (r13, guide §2.4)
       val next = und
         .join(keep.select(col("host").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("host").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextCount = next.count()
       pruned = undCount - nextCount
       und = next
@@ -1084,15 +1092,16 @@ object WebGraph {
       .select(least(col("s"), col("d")).as("a"),
         greatest(col("s"), col("d")).as("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var undCount = und.count() // carried across rounds, same as kCore
     var pruned = 1L
     var rounds = 0
     while (pruned > 0 && rounds < maxIter) {
+      // lazy checkpoint + count = one materializing job (same as kCore)
       val next = und.join(
           support(und).filter(col("sup") >= k - 2).select("a", "b"),
           Seq("a", "b"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextCount = next.count()
       pruned = undCount - nextCount
       und = next
@@ -1342,7 +1351,11 @@ object WebGraph {
       .distinct()
     val hosts = eAll.select(col("src").as("host"))
       .union(eAll.select(col("dst").as("host"))).distinct()
-    var remaining = hosts.localCheckpoint()
+    // lazy local checkpoints throughout this operator (r13, guide §2.4
+    // finish): each frame's single full-scan count both materializes the
+    // checkpoint and answers the loop question — the eager checkpoints
+    // ran their own count jobs, one extra job per round/frame
+    var remaining = hosts.localCheckpoint(false)
     var eRem = eAll.filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var result = remaining.sparkSession.emptyDataFrame
@@ -1358,7 +1371,7 @@ object WebGraph {
       // plain scan of the checkpointed result — the per-round
       // next⋈color shuffle join the old shape paid is gone (guide §2.4).
       var color = remaining.select(col("host"), col("host").as("color"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       var changed = 1L
       var inner = 0
       while (changed > 0 && inner < maxInner) {
@@ -1370,7 +1383,9 @@ object WebGraph {
               lit(null).cast("string").as("__old")))
           .groupBy("host").agg(
             max(col("color")).as("color"), max(col("__old")).as("__old"))
-          .localCheckpoint()
+          .localCheckpoint(false)
+        // the single per-round job: full-scan count materializes the
+        // checkpoint AND reads convergence
         changed = next.filter(col("color") =!= col("__old")).count()
         color = next.drop("__old")
       }
@@ -1382,8 +1397,9 @@ object WebGraph {
         .join(color.select(col("host").as("dst"), col("color").as("dc")), "dst")
         .filter(col("sc") === col("dc"))
         .select(col("src"), col("dst"), col("sc").as("color"))
-        .localCheckpoint()
-      var marked = color.filter(col("host") === col("color")).localCheckpoint()
+        .localCheckpoint(false)
+      var marked = color.filter(col("host") === col("color"))
+        .localCheckpoint(false)
       var grew = 1L
       inner = 0
       while (grew > 0 && inner < maxInner) {
@@ -1400,18 +1416,24 @@ object WebGraph {
             .select(col("src").as("host"), col("color"),
               lit(null).cast("long").as("__old")))
           .groupBy("host", "color").agg(max(col("__old")).as("__old"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         grew = next.filter(col("__old").isNull).count()
         marked = next.drop("__old")
       }
       require(grew == 0,
         s"SCC backward sweep did not converge in $maxInner rounds")
       // 4. bank the resolved SCCs; shrink the graph.
+      // result is only CONSUMED at the end (or unioned next round): a
+      // lazy mark cuts lineage without spending a per-round job on it
       result = result
         .union(marked.select(col("host"), col("color").as("scc")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       remaining = remaining.join(marked.select("host"), Seq("host"),
-        "left_anti").localCheckpoint()
+        "left_anti").localCheckpoint(false)
+      // materialize remaining FIRST (its count is the loop variable
+      // anyway), so eNext's two semi-join legs read its persisted blocks
+      // instead of computing the anti-join twice
+      left = remaining.count()
       val eNext = eRem
         .join(remaining.select(col("host").as("src")), Seq("src"), "left_semi")
         .join(remaining.select(col("host").as("dst")), Seq("dst"), "left_semi")
@@ -1420,7 +1442,6 @@ object WebGraph {
       eNext.count()
       eRem.unpersist()
       eRem = eNext
-      left = remaining.count()
     }
     eRem.unpersist()
     require(left == 0,
