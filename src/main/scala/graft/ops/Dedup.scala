@@ -276,10 +276,20 @@ object Dedup {
       col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("word"))
       .withColumn("__h", md5(col("word")))
-    // hex nibble values once per char, then pure integer bit tests
-    val nibs = (1 to 16).map(j =>
-      conv(substring(col("__h"), j, 1), 16, 10).cast("int").as(s"n$j"))
-    val withNibs = tok.select(col("doc_id") +: nibs: _*)
+    // two 32-bit hex parses per token, then pure integer bit tests: the
+    // previous shape ran 16 single-char conv()s per token (16 substring
+    // allocations + 16 radix parses); nibble j of an 8-char half is
+    // (half >> 4*(8-j)) & 15, bit-identical to parsing char j alone
+    // (r13, guide §4 — fewer non-trivial expressions in the hot path)
+    val halves = Seq(
+      conv(substring(col("__h"), 1, 8), 16, 10).cast("long").as("__w1"),
+      conv(substring(col("__h"), 9, 8), 16, 10).cast("long").as("__w2"))
+    val withWords = tok.select(col("doc_id") +: halves: _*)
+    val nibs = (1 to 16).map { j =>
+      val (w, jj) = if (j <= 8) (col("__w1"), j) else (col("__w2"), j - 8)
+      shiftright(w, 4 * (8 - jj)).bitwiseAND(lit(15L)).cast("int").as(s"n$j")
+    }
+    val withNibs = withWords.select(col("doc_id") +: nibs: _*)
     val bitSums = (0 until 64).map { i =>
       val nib = col(s"n${i / 4 + 1}")
       val shift = 3 - i % 4
