@@ -200,30 +200,70 @@ final class AmtPipeline(
     require(unknown.isEmpty, s"unknown views: ${unknown.mkString(", ")}")
     val pool = Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try
-      Await.result(Future.sequence(names.map(AmtRegistry.byName).map { v =>
-        Future {
-          // sort within partitions by the leading key column so parquet
-          // row-group min/max stats prune consumer point-lookups (the
-          // RLS views filter gold by user/student keys constantly)
-          if (partitionedByYear)
-            // sort AFTER adding the partition column and lead with it:
-            // the file writer requires ordering by partition columns and
-            // would otherwise inject its own SortExec over the constant
-            // schoolYear — correct only by sorter-stability luck, and a
-            // spill could reorder equal keys and void the row-group stats
-            view(v.name).withColumn("schoolYear", lit(schoolYear))
-              .sortWithinPartitions(col("schoolYear"), col(v.outputColumns.head))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("schoolYear")
-              .parquet(s"$goldRoot/${v.name}.parquet")
-          else
-            view(v.name).sortWithinPartitions(col(v.outputColumns.head))
-              .write.mode("overwrite")
-              .parquet(s"$goldRoot/$schoolYear/${v.name}.parquet")
-        }
-      }), Duration.Inf)
+
+    def writeOne(v: AmtView): Unit = {
+      // sort within partitions by the leading key column so parquet
+      // row-group min/max stats prune consumer point-lookups (the
+      // RLS views filter gold by user/student keys constantly)
+      if (partitionedByYear)
+        // sort AFTER adding the partition column and lead with it:
+        // the file writer requires ordering by partition columns and
+        // would otherwise inject its own SortExec over the constant
+        // schoolYear — correct only by sorter-stability luck, and a
+        // spill could reorder equal keys and void the row-group stats
+        view(v.name).withColumn("schoolYear", lit(schoolYear))
+          .sortWithinPartitions(col("schoolYear"), col(v.outputColumns.head))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("schoolYear")
+          .parquet(s"$goldRoot/${v.name}.parquet")
+      else
+        view(v.name).sortWithinPartitions(col(v.outputColumns.head))
+          .write.mode("overwrite")
+          .parquet(s"$goldRoot/$schoolYear/${v.name}.parquet")
+    }
+
+    // Shared-spine scheduling (r13, guide §2.6 driver concurrency): views
+    // other views depend on are cache()d by `view`, but the cache only
+    // fills when the first ACTION computes it — and concurrent writer
+    // jobs racing over a still-unfilled cache each compute the spine's
+    // partitions themselves (Spark dedups cached blocks per partition
+    // AFTER they land, not the in-flight computation). That duplicated
+    // spine work is the measured reason the par4→par8 ladder was flat
+    // (r12 ConcurrencyProbe). Chain each view's write future after a
+    // cache-FILL future (one count) for every shared view in its
+    // transitive dep closure: the spine materializes exactly once, and
+    // dependents unblock the moment the fill lands — waiting on the
+    // spine's own gold WRITE instead was measured 21% slower at par4
+    // (parquet IO on the critical path). Views off the spine overlap
+    // the fill from the pool's other threads.
+    val shared: Set[String] = AmtRegistry.all.flatMap(_.viewDeps).toSet
+    def closure(n: String): Set[String] = {
+      val direct = AmtRegistry.byName(n).viewDeps.toSet
+      direct ++ direct.flatMap(closure)
+    }
+    val nameSet = names.toSet
+    val consumers: Map[String, Int] = names.flatMap(n => closure(n))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    // spine = shared views ≥2 jobs would otherwise compute concurrently
+    // (its own write counts as one consumer when it is being written)
+    val spine: Set[String] = shared.filter(s =>
+      consumers.getOrElse(s, 0) + (if (nameSet(s)) 1 else 0) >= 2)
+    // one cache-fill future per spine view (count = full materialization),
+    // itself chained after ITS spine deps; dependents — including the
+    // spine view's own gold write — wait only for this fill, never for
+    // another view's parquet IO
+    val mats = scala.collection.mutable.Map.empty[String, Future[Unit]]
+    def matOf(s: String): Future[Unit] = mats.getOrElseUpdate(s, {
+      val waits = closure(s).intersect(spine).toSeq.map(matOf)
+      Future.sequence(waits).flatMap(_ => Future { view(s).count(); () })
+    })
+    val writes = names.map { n =>
+      val waits = (closure(n) ++ Set(n)).intersect(spine).toSeq.map(matOf)
+      Future.sequence(waits).flatMap(_ =>
+        Future { writeOne(AmtRegistry.byName(n)) })
+    }
+    try Await.result(Future.sequence(writes), Duration.Inf)
     finally pool.shutdown()
   }
 
